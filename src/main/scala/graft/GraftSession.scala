@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place to build a correctly-configured SparkSession.
+  *
+  * All entry points (Bench, Verify, tests) go through here so that
+  * session-level settings — UTC timezone, shuffle parallelism sized to the
+  * local core count, AQE, and the `nanosAsLong` legacy flag needed to read
+  * the driver-generated `events.parquet` (TIMESTAMP(NANOS)) — are applied
+  * once, before any scan is planned, instead of being mutated mid-query.
+  */
+object GraftSession {
+
+  /** Cores to size local parallelism with (driver exports SPARK_GRAFT_CPUS). */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet is written as parquet TIMESTAMP(NANOS); Spark reads it
+      // as a long (ns since epoch) under this flag — Tables truncates to µs.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+
+  /** Local session for harness mains and tests. */
+  def local(appName: String): SparkSession = {
+    val s = builder(appName).master(s"local[$cpus]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

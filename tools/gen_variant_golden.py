@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Differential-test golden generator (test tooling only, not product code).
+
+Executes the reference's variant-caller functions (/root/reference/MSA_Reader.py,
+with the Biopython imports stubbed out) on randomly generated alignments and
+dumps the emitted raw-variant lines to src/test/resources/variant_golden.tsv.
+A ScalaTest (VariantCallerGoldenSpec) replays the same alignments through the
+Scala port in legacy-truthiness mode and asserts byte-identical events.
+"""
+import random, io, os, tempfile, contextlib
+
+SRC = open("/root/reference/MSA_Reader.py").read()
+# Strip the Biopython / environment preamble (first ~14 lines of imports);
+# keep everything from the first def onwards plus numpy/pandas-free logic.
+body = SRC[SRC.index("def initalize_file") : SRC.index('"""\nPart 2')]
+ns = {}
+exec(body, ns)
+
+class Row:
+    def __init__(self, id_, s):
+        self.id = id_
+        self.seq = s
+
+class Slice:
+    def __init__(self, s):
+        self.seq = s
+
+class Aln:
+    def __init__(self, rows):
+        self.rows = rows
+    def __len__(self):
+        return len(self.rows)
+    def __getitem__(self, key):
+        if isinstance(key, tuple):
+            j, i = key
+            if isinstance(i, slice):
+                return Slice(self.rows[j].seq[i])
+            return self.rows[j].seq[i]
+        return self.rows[key]
+
+random.seed(20260812)
+ALPHA = "ACDEFGHIKLMNPQRSTVWY"
+cases = []
+for case in range(400):
+    n = random.randint(3, 60)
+    # aligned reference: mostly letters, some gaps, never all-gap
+    while True:
+        ref = "".join(random.choice(ALPHA) if random.random() > 0.18 else "-" for _ in range(n))
+        if any(c != "-" for c in ref):
+            break
+    rows = [Row("Ref;size=1;", ref)]
+    for r in range(3):
+        seq = []
+        for i in range(n):
+            p = random.random()
+            if p < 0.68:
+                seq.append(ref[i])
+            elif p < 0.82:
+                seq.append("-")
+            else:
+                seq.append(random.choice(ALPHA))
+        rows.append(Row(f"Uniq{case}_{r};size={random.randint(1, 99)};", "".join(seq)))
+    cases.append((ref, rows))
+
+out_dir = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources")
+os.makedirs(out_dir, exist_ok=True)
+aln_lines = []
+tsv_lines = []
+for ref, rows in cases:
+    with tempfile.NamedTemporaryFile("w+", suffix=".tsv", delete=False) as f:
+        raw = f.name
+    ref_index = ns["reference_position"](ref)
+    with contextlib.redirect_stdout(io.StringIO()):
+        ns["msa_iterator"](Aln(rows), raw, ref, ref_index, raw)
+    with open(raw) as f:
+        ev = f.read().rstrip("\n")
+    os.unlink(raw)
+    for row in rows:
+        aln_lines.append(f"{row.id}\t{row.seq}\t{ref}")
+    if ev:
+        tsv_lines.extend(ev.split("\n"))
+
+with open(os.path.join(out_dir, "variant_golden_alignments.tsv"), "w") as f:
+    f.write("\n".join(aln_lines) + "\n")
+with open(os.path.join(out_dir, "variant_golden_events.tsv"), "w") as f:
+    f.write("\n".join(tsv_lines) + "\n")
+print(f"cases={len(cases)} rows={len(aln_lines)} events={len(tsv_lines)}")
