@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Weekly time-series block (SURVEY.md C6–C8, A5–A7, A11, W3).
+  *
+  * The reference builds Sunday→Saturday week bins with pandas
+  * (`/root/reference/Time_Series.py:677–715`) and then RE-FILTERS the whole
+  * frame once per week × per continent (`Time_Series.py:744, 323`) —
+  * O(weeks × regions × rows). Everything here is a single shuffle:
+  * assign each row its week with date arithmetic, then one
+  * `groupBy`/`rollup`, and normalize with a window — O(rows).
+  */
+object TimeSeries {
+
+  /** C7 — previous-Sunday truncation ≡ pandas `W-SUN` bin assignment
+    * (`Time_Series.py:691–714`). Spark `dayofweek` is 1=Sunday.
+    */
+  def weekStart(date: Column): Column = date_sub(date, dayofweek(date) - 1)
+
+  /** F5 — ISO-date validity filter: the reference drops rows whose date has
+    * no day-of-month (`Time_Series.py:625–639`).
+    */
+  def validIsoDate(s: Column): Column = s.rlike("\\d{4}-\\d{2}-\\d{2}")
+
+  /** C8 — week label `Week<i> (mm/dd/yyyy-mm/dd/yyyy)`
+    * (`Time_Series.py:772`). `idx` is 1-based week index.
+    */
+  def weekLabel(idx: Column, weekStartCol: Column): Column =
+    format_string("Week%d (%s-%s)", idx,
+      date_format(weekStartCol, "MM/dd/yyyy"),
+      date_format(date_add(weekStartCol, 6), "MM/dd/yyyy"))
+
+  /** A5 — weekly frequency in LONG form: one `(key, week_start, freq)` row
+    * per present combination. Callers densify with [[denseWeekly]] and pivot
+    * only at the sink (SURVEY.md §7.4 risk 5: never carry a wide matrix
+    * through the plan).
+    */
+  def weeklyFrequency(df: DataFrame, dateCol: Column, keyCol: Column): DataFrame =
+    df.groupBy(keyCol.as("key"), weekStart(dateCol).as("week_start"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** Densify: every key × every week in [min, max] of the data, missing
+    * combinations zero-filled (`Time_Series.py:731–788` emits every week
+    * column for every code). The key×week frame is built with `sequence()`
+    * — no driver loop — and the join is a broadcast of the tiny key set.
+    */
+  def denseWeekly(longFreq: DataFrame): DataFrame = {
+    val weeks = longFreq
+      .agg(min("week_start").as("lo"), max("week_start").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 7 days)")).as("week_start"))
+    val keys = longFreq.select("key").distinct()
+    broadcast(keys).crossJoin(weeks)
+      .join(longFreq, Seq("key", "week_start"), "left")
+      .withColumn("freq", coalesce(col("freq"), lit(0L)))
+  }
+
+  /** A6 — per-region AND global totals in ONE shuffle via `rollup` instead
+    * of the reference's repeat-per-continent loop (`Time_Series.py:323,
+    * 868–897`). The null-region row is the `Worldwide` total.
+    */
+  def rollupRegions(df: DataFrame, regionCol: Column, dateCol: Column,
+      worldwideLabel: String = "Worldwide"): DataFrame =
+    df.rollup(regionCol.as("region"), weekStart(dateCol).as("week_start"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("week_start").isNotNull) // keep (region, week) + (null, week) sets
+      .withColumn("region", coalesce(col("region"), lit(worldwideLabel)))
+
+  /** A7/W3 — share of the week's total, without a second scan: window sum
+    * per week (`Time_Series.py:790–811`; zero-total weeks ⇒ 0.0).
+    */
+  def normalizeByWeek(longFreq: DataFrame, weekCol: String = "week_start",
+      freqCol: String = "freq"): DataFrame = {
+    val total = sum(col(freqCol)).over(Window.partitionBy(col(weekCol)))
+    longFreq.withColumn("week_total", total)
+      .withColumn("share",
+        when(col("week_total") === 0, 0.0)
+          .otherwise(col(freqCol).cast("double") / col("week_total")))
+  }
+
+  /** A11 — variant-combination frequencies: `value_counts` of the sorted
+    * comma-joined list per week (`Time_Series.py:927–986`).
+    */
+  def comboFrequencies(df: DataFrame, dateCol: Column, listCol: Column): DataFrame =
+    df.groupBy(array_join(listCol, ",").as("combo"),
+        weekStart(dateCol).as("week_start"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** Sink-side pivot to the reference's wide matrix, with explicit week
+    * labels as columns. Only call on an already-aggregated long frame.
+    */
+  def pivotWide(longFreq: DataFrame): DataFrame = {
+    val weeks = longFreq.select(col("week_start")).distinct()
+      .orderBy("week_start").collect().map(_.getDate(0))
+    val idx = weeks.zipWithIndex.toMap
+    val labeled = longFreq.withColumn("week_label",
+      weekLabel(udfFreeIndex(col("week_start"), weeks), col("week_start")))
+    labeled.groupBy("key")
+      .pivot("week_label", weeks.map(w =>
+        s"Week${idx(w) + 1} (${fmt(w)}-${fmt(addDays(w, 6))})").toSeq)
+      .agg(first("freq")).na.fill(0L)
+  }
+
+  private def fmt(d: java.sql.Date): String =
+    new java.text.SimpleDateFormat("MM/dd/yyyy").format(d)
+  private def addDays(d: java.sql.Date, n: Int): java.sql.Date =
+    java.sql.Date.valueOf(d.toLocalDate.plusDays(n))
+  private def udfFreeIndex(week: Column, weeks: Array[java.sql.Date]): Column =
+    weeks.zipWithIndex.foldLeft(lit(0)) { case (acc, (w, i)) =>
+      when(week === lit(w), i + 1).otherwise(acc)
+    }
+}
