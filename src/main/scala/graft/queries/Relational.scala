@@ -1,0 +1,549 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Filters, Region, Regions, TimeSeries}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator registry (SURVEY.md §2) over the driver testdata.
+  *
+  * Every entry has a DuckDB `oracleSql` twin with IDENTICAL column names and
+  * deterministic `ORDER BY`. Numeric-parity rules used throughout so the
+  * Spark and DuckDB results hash-match exactly:
+  *
+  *  - money sums go through `decimal(18,2)` (exact, order-independent) and
+  *    cast back to double at the end — a raw double sum is order-dependent
+  *    and differs between engines;
+  *  - sums of int-valued doubles (`l_quantity`, event counts) are exact in
+  *    IEEE double, so plain `sum` is fine;
+  *  - ratios are a single double division of exactly-equal operands, which
+  *    IEEE defines bit-exactly;
+  *  - Spark `sum(int)` is BIGINT while DuckDB's is HUGEINT — oracle SQL
+  *    casts those back to BIGINT.
+  *
+  * Each query is written the way it should run on a 1000-executor cluster:
+  * small dimensions broadcast, aggregates partial-before-shuffle, filters
+  * pushed to the scan, top-k via TakeOrdered, and no driver-side loops.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** A1/A13 — grouped sums with exact int-valued-double quantities
+    * (reference by-code totals, `/root/reference/MSA_Reader.py:862–867`). */
+  def a1SumByFlagStatus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** J1 — large⋈large join (sort-merge at scale; AQE may broadcast at
+    * small SF) + grouped revenue (`/root/reference/Time_Series.py:490–498`). */
+  def j1OrdersCustomerSegment(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** J2/C13 — left join with null-probe detection and zero-fill
+    * (`/root/reference/Time_Series.py:613–623, 657–661`). */
+  def j2LeftJoinZeroFill(s: SparkSession, dir: String): DataFrame = {
+    val oc = t(s, dir, "orders").groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    val c = t(s, dir, "customer")
+    c.join(oc, c("c_custkey") === oc("o_custkey"), "left")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("cnt").isNull, 1).otherwise(0)).as("n_no_orders"))
+      .orderBy("c_nationkey")
+  }
+
+  /** J3/J5 — star join: fact ⋈ three explicitly-broadcast dimensions
+    * (`/root/reference/Time_Series.py:567–585`). The probe side never
+    * shuffles — one scan, one partial agg, one tiny exchange. */
+  def j3BroadcastStarJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier"); val na = t(s, dir, "nation"); val re = t(s, dir, "region")
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(na), sup("s_nationkey") === na("n_nationkey"))
+      .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("r_name")
+  }
+
+  private val sizeBands = Seq(
+    Region("small", 1, 10), Region("medium", 11, 25), Region("large", 26, 49))
+
+  /** J6/E4 — point-in-interval annotation, driver-known intervals → pure
+    * codegen when-chain, zero join zero shuffle
+    * (`/root/reference/Plotting_Functions.py:135–169`). */
+  def j6SizeBandWhenChain(s: SparkSession, dir: String): DataFrame =
+    Regions.annotate(t(s, dir, "part"), "p_size", sizeBands, "band")
+      .groupBy("band").agg(count(lit(1)).as("n")).orderBy("band")
+
+  /** J6 variant — intervals only known as a DataFrame → broadcast range
+    * join with first-match-wins ordinal and "Other" fallback. */
+  def j6SizeBandRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val regions = s.createDataFrame(
+      sizeBands.zipWithIndex.map { case (r, i) => (r.name, r.start, r.end, i) })
+      .toDF("name", "start", "end", "ord")
+    Regions.annotateJoin(t(s, dir, "part"), "p_size", regions, "band")
+      .groupBy("band").agg(count(lit(1)).as("n")).orderBy("band")
+  }
+
+  /** O4 — global top-k with deterministic tie-break: Spark plans this as
+    * TakeOrdered (no full sort, no single-node collect of the input)
+    * (`/root/reference/Plotting_Functions.py:715–730`). */
+  def o4TopkParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_partkey").agg(sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("l_partkey").asc)
+      .limit(10)
+
+  /** W1/W2 — per-group top-n via row_number window
+    * (`/root/reference/Plotting_Functions.py:626–639`). */
+  def w1Top3PerNation(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+      .orderBy("c_nationkey", "rn")
+  }
+
+  /** A7/W3 — share-of-week normalization with a window sum: one shuffle,
+    * no second scan (`/root/reference/Time_Series.py:790–811`). */
+  def w3ShareNormalization(s: SparkSession, dir: String): DataFrame = {
+    val f = t(s, dir, "events")
+      .groupBy(TimeSeries.weekStart(to_date(col("ts"))).as("week_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("freq"))
+    TimeSeries.normalizeByWeek(f)
+      .select("week_start", "event_type", "freq", "share")
+      .orderBy("week_start", "event_type")
+  }
+
+  /** A6 — per-region AND worldwide totals in ONE shuffle via rollup instead
+    * of the reference's repeat-per-continent loop
+    * (`/root/reference/Time_Series.py:323, 868–897`). */
+  def a6RollupWorldwide(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val na = t(s, dir, "nation"); val re = t(s, dir, "region")
+    c.join(broadcast(na), c("c_nationkey") === na("n_nationkey"))
+      .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
+      .rollup(col("r_name"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("r_name"), lit("Worldwide")).as("region"), col("n"))
+      .orderBy("region")
+  }
+
+  /** A8/O2 — first-row-per-group with a total order (never `first()` on an
+    * unordered group) (`/root/reference/Time_Series.py:573`). */
+  def a8FirstOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+        to_date(col("o_orderdate")).as("first_date"))
+      .orderBy("o_custkey")
+  }
+
+  /** A12/F13 — 2×2 contingency in one pass: four conditional sums, no
+    * four-subset rescan (`/root/reference/Plotting_Functions.py:1243–1315`). */
+  def a12Contingency(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      sum(when(col("l_returnflag") === "R" && col("l_linestatus") === "F", 1).otherwise(0)).as("rf"),
+      sum(when(col("l_returnflag") === "R" && col("l_linestatus") =!= "F", 1).otherwise(0)).as("r_notf"),
+      sum(when(col("l_returnflag") =!= "R" && col("l_linestatus") === "F", 1).otherwise(0)).as("notr_f"),
+      sum(when(col("l_returnflag") =!= "R" && col("l_linestatus") =!= "F", 1).otherwise(0)).as("notr_notf"),
+      count(lit(1)).as("total"))
+
+  /** A14/E5 — histogram with the reference's exact edge semantics: all bins
+    * half-open except the last (closed), overflow labeled
+    * (`/root/reference/Seq_Tools.py:126–148`). */
+  def a14HistogramQuantity(s: SparkSession, dir: String): DataFrame =
+    Filters.histogram(t(s, dir, "lineitem"), col("l_quantity"),
+        Seq(1, 10, 20, 30, 40, 50).map(_.toDouble))
+      .orderBy("bin")
+
+  /** U1/U3 — vertical concat of two sides with aligned schemas
+    * (`/root/reference/Plotting_Functions.py:300–386`). */
+  def u1UnionAccounts(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      col("c_nationkey").as("nationkey"),
+      col("c_acctbal").cast("decimal(18,2)").as("bal"),
+      lit("customer").as("side"))
+    val su = t(s, dir, "supplier").select(
+      col("s_nationkey").as("nationkey"),
+      col("s_acctbal").cast("decimal(18,2)").as("bal"),
+      lit("supplier").as("side"))
+    c.unionByName(su)
+      .groupBy("nationkey", "side")
+      .agg(count(lit(1)).as("n"), sum(col("bal")).cast("double").as("total_bal"))
+      .orderBy("nationkey", "side")
+  }
+
+  /** F5/F6/F8 — predicate stack: set membership + date range + regex, all
+    * pushed into one scan (`/root/reference/Time_Series.py:625–655`,
+    * `Plotting_Functions.py:45–49`). */
+  def f5PredicateStack(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "signup"))
+      .filter(to_date(col("ts")).between(lit("2024-01-08"), lit("2024-03-31")))
+      .filter(col("props").rlike("\"k\": [0-9]+"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** C6/C7/A5 — Sunday-aligned weekly bins by date arithmetic, one groupBy
+    * instead of the reference's filter-per-week loop
+    * (`/root/reference/Time_Series.py:677–715, 744`). */
+  def c7WeeklyCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(TimeSeries.weekStart(to_date(col("ts"))).as("week_start"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy("week_start")
+
+  /** C8 — `Week<i> (mm/dd/yyyy-mm/dd/yyyy)` labels
+    * (`/root/reference/Time_Series.py:772`). */
+  def c8WeekLabels(s: SparkSession, dir: String): DataFrame = {
+    val weekly = c7WeeklyCounts(s, dir)
+    val idx = dense_rank().over(Window.orderBy("week_start"))
+    weekly
+      .withColumn("label", TimeSeries.weekLabel(idx, col("week_start")))
+      .select("week_start", "label", "freq")
+      .orderBy("week_start")
+  }
+
+  /** A5 dense — every key × every week zero-filled; the week dimension comes
+    * from `sequence()`, the key set is broadcast — no driver loop
+    * (`/root/reference/Time_Series.py:731–788`). */
+  def a5DenseWeekly(s: SparkSession, dir: String): DataFrame = {
+    val f = TimeSeries.weeklyFrequency(
+      t(s, dir, "events"), to_date(col("ts")), col("event_type"))
+    TimeSeries.denseWeekly(f)
+      .select("key", "week_start", "freq")
+      .orderBy("key", "week_start")
+  }
+
+  /** A11/C10/A13 — variant-combination frequencies: sorted distinct set per
+    * (user, day) joined to one string, then value_counts
+    * (`/root/reference/Time_Series.py:927–986`). */
+  def a11ComboFrequencies(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(concat_ws(",", array_sort(collect_set(col("event_type")))).as("combo"))
+      .groupBy("combo").agg(count(lit(1)).as("n"))
+      .orderBy("combo")
+
+  /** O1/O3/E6/C1 — natural sort: numeric suffix extracted and sorted as int
+    * (`/root/reference/MSA_Reader.py:781–803`). */
+  def o1NaturalSortSources(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("src_num", regexp_extract(col("source"), "(\\d+)", 1).cast("int"))
+      .select("source", "src_num", "n_docs")
+      .orderBy("src_num")
+
+  /** C14 — `{:.4%}` percent strings at the sink, numeric upstream
+    * (`/root/reference/MSA_Reader.py:1030`). */
+  def c14PercentFormatting(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(Window.partitionBy()))
+      .withColumn("pct", format_string("%.4f%%", col("share") * 100))
+      .select("lang", "n", "pct")
+      .orderBy("lang")
+  }
+
+  /** C15 — title-casing (single-token exact semantics,
+    * `/root/reference/Sequence_Filter.py:52–54`). */
+  def c15TitleCase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .select(col("n_name"),
+        concat(upper(substring(lower(col("n_name")), 1, 1)),
+          lower(col("n_name")).substr(lit(2), length(col("n_name")))).as("title"))
+      .orderBy("n_name")
+
+  /** A15 — pipeline stage counts as rows
+    * (`/root/reference/Sequence_Counter.py:19–241`). */
+  def a15StageCounts(s: SparkSession, dir: String): DataFrame = {
+    def stage(name: String) =
+      t(s, dir, name).agg(count(lit(1)).as("n")).withColumn("stage", lit(name))
+    stage("lineitem").unionByName(stage("orders")).unionByName(stage("customer"))
+      .select("stage", "n").orderBy("stage")
+  }
+
+  /** A17/O7 — means for ordering, derived exactly (decimal sum ÷ count; a
+    * single IEEE division) (`/root/reference/Plotting_Functions.py:1512–1514`). */
+  def a17AvgValueByType(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+        .as("avg_value"), count(lit(1)).as("n"))
+      .orderBy(col("avg_value").desc, col("event_type"))
+
+  /** A2/W2 — exact dedup with counts + `Uniq<n>` naming, the in-engine
+    * USEARCH `fastx_uniques` replacement
+    * (`/root/reference/Time_Series.py:471–478`, `MSA_Reader.py:1296–1297`).
+    * The groupBy key here is the content column; at 100 TB the same operator
+    * runs over `xxhash64(content)` buckets first (operators.Dedup) so the
+    * shuffle carries 8-byte keys, and the `Uniq` rank is over the already-
+    * aggregated (small) cluster table. */
+  def a2ExactDedupDocs(s: SparkSession, dir: String): DataFrame = {
+    val clusters = t(s, dir, "documents")
+      .groupBy("text")
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("first_doc"))
+    clusters
+      .withColumn("cluster_id", concat(lit("Uniq"),
+        row_number().over(Window.orderBy(col("cluster_size").desc, col("first_doc").asc))))
+      .select("cluster_id", "cluster_size", "first_doc")
+      .orderBy(col("cluster_size").desc, col("first_doc").asc)
+  }
+
+  /** A9 — per-position pivot as conditional aggregation: one shuffle, never
+    * a per-position rescan (`/root/reference/MSA_Reader.py:1107–1162`). */
+  def a9PivotByFlag(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_linenumber")
+      .agg(
+        sum(when(col("l_returnflag") === "A", col("l_quantity")).otherwise(0.0)).as("qty_A"),
+        sum(when(col("l_returnflag") === "N", col("l_quantity")).otherwise(0.0)).as("qty_N"),
+        sum(when(col("l_returnflag") === "R", col("l_quantity")).otherwise(0.0)).as("qty_R"),
+        sum(col("l_quantity")).as("qty_total"))
+      .orderBy("l_linenumber")
+
+  /** A10/C11 — explode a generated position range (multi-residue deletion
+    * expansion, `/root/reference/MSA_Reader.py:1038–1077`). */
+  def a10ExplodePositions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(explode(expr("sequence(1, l_linenumber)")).as("pos"))
+      .groupBy("pos").agg(count(lit(1)).as("n"))
+      .select(col("pos").cast("bigint").as("pos"), col("n"))
+      .orderBy("pos")
+
+  /** J9 — top-k key set then left-semi membership subsetting
+    * (`/root/reference/Plotting_Functions.py:630–644`). */
+  def j9SemiTopkFilter(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val top = li.groupBy("l_partkey").agg(sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("l_partkey").asc).limit(10)
+    li.join(top.select("l_partkey"), Seq("l_partkey"), "left_semi")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_sum_by_flag_status" -> (a1SumByFlagStatus _),
+    "j1_orders_customer_segment" -> (j1OrdersCustomerSegment _),
+    "j2_left_join_zero_fill" -> (j2LeftJoinZeroFill _),
+    "j3_broadcast_star_join" -> (j3BroadcastStarJoin _),
+    "j6_size_band_when_chain" -> (j6SizeBandWhenChain _),
+    "j6_size_band_range_join" -> (j6SizeBandRangeJoin _),
+    "j9_semi_topk_filter" -> (j9SemiTopkFilter _),
+    "o4_topk_parts" -> (o4TopkParts _),
+    "w1_top3_per_nation" -> (w1Top3PerNation _),
+    "w3_share_normalization" -> (w3ShareNormalization _),
+    "a6_rollup_worldwide" -> (a6RollupWorldwide _),
+    "a8_first_order_per_customer" -> (a8FirstOrderPerCustomer _),
+    "a12_contingency" -> (a12Contingency _),
+    "a14_histogram_quantity" -> (a14HistogramQuantity _),
+    "u1_union_accounts" -> (u1UnionAccounts _),
+    "f5_predicate_stack" -> (f5PredicateStack _),
+    "c7_weekly_counts" -> (c7WeeklyCounts _),
+    "c8_week_labels" -> (c8WeekLabels _),
+    "a5_dense_weekly" -> (a5DenseWeekly _),
+    "a11_combo_frequencies" -> (a11ComboFrequencies _),
+    "o1_natural_sort_sources" -> (o1NaturalSortSources _),
+    "c14_percent_formatting" -> (c14PercentFormatting _),
+    "c15_title_case" -> (c15TitleCase _),
+    "a15_stage_counts" -> (a15StageCounts _),
+    "a17_avg_value_by_type" -> (a17AvgValueByType _),
+    "a2_exact_dedup_docs" -> (a2ExactDedupDocs _),
+    "a9_pivot_by_flag" -> (a9PivotByFlag _),
+    "a10_explode_positions" -> (a10ExplodePositions _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_sum_by_flag_status" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "j1_orders_customer_segment" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j2_left_join_zero_fill" ->
+      """WITH oc AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1)
+        |SELECT c_nationkey, COUNT(*) AS n_customers,
+        |  CAST(SUM(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_orders
+        |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j3_broadcast_star_join" ->
+      """SELECT r_name, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j6_size_band_when_chain" ->
+      """SELECT CASE WHEN p_size BETWEEN 1 AND 10 THEN 'small'
+        |            WHEN p_size BETWEEN 11 AND 25 THEN 'medium'
+        |            WHEN p_size BETWEEN 26 AND 49 THEN 'large'
+        |            ELSE 'Other' END AS band, COUNT(*) AS n
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j6_size_band_range_join" ->
+      """SELECT CASE WHEN p_size BETWEEN 1 AND 10 THEN 'small'
+        |            WHEN p_size BETWEEN 11 AND 25 THEN 'medium'
+        |            WHEN p_size BETWEEN 26 AND 49 THEN 'large'
+        |            ELSE 'Other' END AS band, COUNT(*) AS n
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j9_semi_topk_filter" ->
+      """WITH top AS (SELECT l_partkey FROM lineitem GROUP BY 1
+        |             ORDER BY SUM(l_quantity) DESC, l_partkey LIMIT 10)
+        |SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+        |WHERE l_partkey IN (SELECT l_partkey FROM top)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "o4_topk_parts" ->
+      """SELECT l_partkey, SUM(l_quantity) AS sum_qty FROM lineitem
+        |GROUP BY 1 ORDER BY sum_qty DESC, l_partkey LIMIT 10""".stripMargin,
+    "w1_top3_per_nation" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn
+        |  FROM customer) WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+    "w3_share_normalization" ->
+      """WITH f AS (SELECT CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+        |    event_type, COUNT(*) AS freq FROM events GROUP BY 1, 2)
+        |SELECT week_start, event_type, freq,
+        |  CAST(freq AS DOUBLE) / CAST(SUM(freq) OVER (PARTITION BY week_start) AS DOUBLE) AS share
+        |FROM f ORDER BY week_start, event_type""".stripMargin,
+    "a6_rollup_worldwide" ->
+      """SELECT COALESCE(r_name, 'Worldwide') AS region, COUNT(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name) ORDER BY region""".stripMargin,
+    "a8_first_order_per_customer" ->
+      """SELECT o_custkey, first_orderkey, first_date FROM (
+        |  SELECT o_custkey, o_orderkey AS first_orderkey,
+        |    CAST(o_orderdate AS DATE) AS first_date,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "a12_contingency" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS rf,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS r_notf,
+        |  CAST(SUM(CASE WHEN l_returnflag <> 'R' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS notr_f,
+        |  CAST(SUM(CASE WHEN l_returnflag <> 'R' AND l_linestatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS notr_notf,
+        |  COUNT(*) AS total
+        |FROM lineitem""".stripMargin,
+    "a14_histogram_quantity" ->
+      """SELECT CASE WHEN l_quantity > 50 THEN 'Greater than 50'
+        |            WHEN l_quantity >= 40 AND l_quantity <= 50 THEN '40 to 50'
+        |            WHEN l_quantity >= 30 AND l_quantity < 40 THEN '30 to 40'
+        |            WHEN l_quantity >= 20 AND l_quantity < 30 THEN '20 to 30'
+        |            WHEN l_quantity >= 10 AND l_quantity < 20 THEN '10 to 20'
+        |            WHEN l_quantity >= 1 AND l_quantity < 10 THEN '1 to 10'
+        |            END AS bin, COUNT(*) AS count
+        |FROM lineitem WHERE bin IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "u1_union_accounts" ->
+      """WITH u AS (
+        |  SELECT c_nationkey AS nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+        |    'customer' AS side FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey, CAST(s_acctbal AS DECIMAL(18,2)) AS bal,
+        |    'supplier' AS side FROM supplier)
+        |SELECT nationkey, side, COUNT(*) AS n, CAST(SUM(bal) AS DOUBLE) AS total_bal
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "f5_predicate_stack" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |WHERE event_type IN ('purchase', 'signup')
+        |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-03-31'
+        |  AND regexp_matches(props, '"k": [0-9]+')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c7_weekly_counts" ->
+      """SELECT CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+        |  COUNT(*) AS freq
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c8_week_labels" ->
+      """WITH f AS (SELECT CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+        |    COUNT(*) AS freq FROM events GROUP BY 1)
+        |SELECT week_start,
+        |  printf('Week%d (%s-%s)', DENSE_RANK() OVER (ORDER BY week_start),
+        |    strftime(week_start, '%m/%d/%Y'),
+        |    strftime(week_start + 6, '%m/%d/%Y')) AS label,
+        |  freq
+        |FROM f ORDER BY week_start""".stripMargin,
+    "a5_dense_weekly" ->
+      """WITH f AS (SELECT event_type AS key,
+        |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+        |    COUNT(*) AS freq FROM events GROUP BY 1, 2),
+        |w AS (SELECT CAST(UNNEST(generate_series(
+        |    (SELECT MIN(week_start) FROM f), (SELECT MAX(week_start) FROM f),
+        |    INTERVAL 7 DAY)) AS DATE) AS week_start),
+        |k AS (SELECT DISTINCT key FROM f)
+        |SELECT k.key, w.week_start, COALESCE(f.freq, 0) AS freq
+        |FROM k CROSS JOIN w
+        |LEFT JOIN f ON f.key = k.key AND f.week_start = w.week_start
+        |ORDER BY 1, 2""".stripMargin,
+    "a11_combo_frequencies" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS combo
+        |  FROM events GROUP BY 1, 2)
+        |SELECT combo, COUNT(*) AS n FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "o1_natural_sort_sources" ->
+      """SELECT source, CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) AS src_num,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY src_num""".stripMargin,
+    "c14_percent_formatting" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1)
+        |SELECT lang, n,
+        |  printf('%.4f%%', 100 * CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)) AS pct
+        |FROM c ORDER BY lang""".stripMargin,
+    "c15_title_case" ->
+      """SELECT n_name,
+        |  upper(substr(lower(n_name), 1, 1)) || substr(lower(n_name), 2) AS title
+        |FROM nation ORDER BY n_name""".stripMargin,
+    "a15_stage_counts" ->
+      """SELECT 'customer' AS stage, COUNT(*) AS n FROM customer
+        |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |ORDER BY stage""".stripMargin,
+    "a17_avg_value_by_type" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY avg_value DESC, event_type""".stripMargin,
+    "a2_exact_dedup_docs" ->
+      """WITH g AS (SELECT text, COUNT(*) AS cluster_size, MIN(doc_id) AS first_doc
+        |  FROM documents GROUP BY 1)
+        |SELECT 'Uniq' || CAST(ROW_NUMBER() OVER (
+        |    ORDER BY cluster_size DESC, first_doc) AS VARCHAR) AS cluster_id,
+        |  cluster_size, first_doc
+        |FROM g ORDER BY cluster_size DESC, first_doc""".stripMargin,
+    "a9_pivot_by_flag" ->
+      """SELECT l_linenumber,
+        |  SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END) AS qty_A,
+        |  SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0 END) AS qty_N,
+        |  SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS qty_R,
+        |  SUM(l_quantity) AS qty_total
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a10_explode_positions" ->
+      """SELECT pos, COUNT(*) AS n FROM (
+        |  SELECT UNNEST(generate_series(1, l_linenumber)) AS pos FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}
