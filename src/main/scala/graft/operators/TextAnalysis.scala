@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * Everything is a pure Catalyst column expression — whole-stage codegen,
+  * no UDFs, no shuffles until an explicit aggregate. At 100 TB these run at
+  * scan speed, bound only by parquet decode.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the reference-style split; empty input → empty). */
+  def wsTokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish sub-word tokens: letter runs, digit runs, or single other
+    * glyphs — the standard pre-tokenizer shape (`[A-Za-z]+|[0-9]+|\S`). */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** Count of tokens drawn from `vocab` (used for stopword ratios and the
+    * language votes below). */
+  def vocabHits(tokens: Column, vocab: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(vocab.map(x => x: Any): _*)))
+
+  val EnStop = Seq("the", "a", "of", "and", "to", "in", "is", "that")
+  val DeStop = Seq("der", "die", "das", "und", "ist", "nicht", "ein")
+  val EsStop = Seq("el", "la", "de", "y", "que", "los", "un")
+  val FrStop = Seq("le", "la", "et", "les", "des", "un", "est")
+
+  /** Language-ID n-gram/stopword heuristic: vote per language = stopword
+    * hits; highest vote wins, ties broken by the fixed language order,
+    * zero hits → "und" (undetermined). Deterministic, codegen-friendly. */
+  def languageGuess(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    val votes = Seq("en" -> EnStop, "de" -> DeStop, "es" -> EsStop, "fr" -> FrStop)
+      .map { case (lang, stop) => lang -> vocabHits(toks, stop) }
+    val best = votes.map(_._2).reduce((a, b) => greatest(a, b))
+    votes.foldRight(lit("und")) { case ((lang, v), acc) =>
+      when(v > 0 && v === best, lang).otherwise(acc)
+    }
+  }
+
+  /** Quality components (length / punctuation / stopword / digit ratios),
+    * each an exact ratio of two ints (single IEEE division). */
+  def charLen(text: Column): Column = length(text)
+  def punctRatio(text: Column): Column =
+    size(bpeishTokens(regexp_replace(text, "[A-Za-z0-9\\s]+", ""))).cast("double") /
+      greatest(length(text), lit(1))
+  def digitRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+  def stopwordRatio(text: Column): Column =
+    vocabHits(wsTokens(lower(text)), EnStop).cast("double") /
+      greatest(tokenCount(text), lit(1))
+  def meanTokenLen(text: Column): Column =
+    aggregate(wsTokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(tokenCount(text), lit(1))
+
+  /** Composite quality score in [0,1]: fraction of heuristics passed —
+    * the shape of a Gopher/C4-style rule filter. */
+  def qualityScore(text: Column): Column = {
+    val checks: Seq[Column] = Seq(
+      tokenCount(text).between(5, 10000),
+      meanTokenLen(text).between(2.0, 12.0),
+      punctRatio(text) < 0.2,
+      digitRatio(text) < 0.3,
+      stopwordRatio(text) > 0.0)
+    checks.map(c => when(c, 1.0).otherwise(0.0)).reduce(_ + _) / checks.size
+  }
+
+  /** Canonical form for fingerprinting: lowercase, punctuation stripped,
+    * whitespace collapsed. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** 64-bit content fingerprint of the normalized text (xxhash64 — 8-byte
+    * shuffle keys at 100 TB instead of multi-KB documents). */
+  def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+
+  /** Rolling-hash document sketch (winnowing flavor): the minimum xxhash64
+    * over the normalized text's character `k`-grams. Two documents sharing
+    * any window agree with probability ∝ overlap — a cheap near-dup key. */
+  def rollingMinHash(text: Column, k: Int = 8): Column = {
+    val t = normalized(text)
+    val grams = transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => t.substr(i, lit(k)))
+    array_min(transform(grams, g => xxhash64(g)))
+  }
+}

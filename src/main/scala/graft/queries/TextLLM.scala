@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data-pipeline query registry: text analysis, dedup,
+  * similarity search, multimodal plumbing — over `documents` /
+  * `embeddings` (TESTDATA.md).
+  *
+  * Oracle parity notes: DuckDB's SUM/MAX over integers widen to HUGEINT →
+  * oracle SQL casts back to BIGINT; Spark int-sized `size()` results are
+  * cast up to BIGINT on the Spark side. Ratio outputs are single IEEE
+  * divisions of exact ints. Near-dup queries that hinge on xxhash64 have
+  * no SQL twin → driver's rows-only check; their semantics are covered by
+  * ScalaTest (including a no-cartesian plan assertion).
+  */
+object TextLLM {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  /** Documents plus a perturbed near-duplicate of each (id+1e6, one token
+    * appended) — the standard recall fixture for near-dup queries, built
+    * inline so the query is self-contained at any SF. */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" appended")).as("text")))
+  }
+
+  // ------------------------------------------------------------ oracle'd
+
+  def tTokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("n_tokens", TA.tokenCount(col("text")).cast("bigint"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy("lang")
+
+  def tQualityStopwords(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", TA.wsTokens(lower(col("text"))))
+      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+      .withColumn("n_stop", TA.vocabHits(col("toks"), TA.EnStop).cast("bigint"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_stop")).as("total_stop"))
+      .withColumn("stop_ratio",
+        col("total_stop").cast("double") / col("total_tokens"))
+      .orderBy("source")
+
+  def tLangidConfusion(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("guess", TA.languageGuess(col("text")))
+      .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "guess")
+
+  def tFingerprintMd5(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(TA.normalized(col("text")).cast("binary")).as("fp"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .orderBy("fp").limit(50)
+
+  def dTokenJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sets = docs(s, dir).filter(col("doc_id") < 60)
+      .select(col("doc_id"),
+        array_distinct(TA.wsTokens(TA.normalized(col("text")))).as("toks"))
+    val a = sets.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+    val b = sets.select(col("doc_id").as("id_b"), col("toks").as("tb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard", Dedup.jaccard(col("ta"), col("tb")))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  def mBinaryMeta(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("bigint"))
+      .withColumn("sha", sha2(col("payload"), 256))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("sha")).as("distinct_sha"),
+        max(col("n_bytes")).as("max_bytes"))
+      .orderBy("source")
+
+  def sAnnBruteTop5(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.bruteForceTopK(base, queries, 5)
+      .select("qid", "rank", "nid")
+      .orderBy("qid", "rank")
+  }
+
+  // ------------------------------------------- rows-only (no SQL oracle)
+
+  def dMinhashNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(docsWithNearDups(s, dir), col("doc_id"), col("text"),
+        shingleK = 3, numHashes = 24, bands = 8, minJaccard = 0.5)
+      .orderBy("id_a", "id_b")
+
+  def dSimhashNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docsWithNearDups(s, dir)
+      .withColumn("sh", Dedup.simhash64(col("text")))
+    Dedup.simhashCandidates(d, col("doc_id"), col("text"))
+      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("hamming", Dedup.hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= 8)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  def sAnnLshTop3(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.lshTopK(base, queries, k = 3, numBits = 6)
+      .select("qid", "rank", "nid", "cos")
+      .orderBy("qid", "rank")
+  }
+
+  def dEmbeddingNearDups(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(
+        emb(s, dir).filter(col("vec_id") < 200), minCosine = 0.3)
+      .orderBy("id_a", "id_b")
+
+  def mFrameFeatures(s: SparkSession, dir: String): DataFrame = {
+    val items = Multimodal.fromDocuments(s, docs(s, dir))
+    Multimodal.extractFeatures(items, framesPerItem = 4).toDF()
+      .groupBy("frame_idx")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(expr("aggregate(feature, 0D, (a, x) -> a + x)")).as("feature_mass"))
+      .orderBy("frame_idx")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_stats" -> (tTokenStats _),
+    "t_quality_stopwords" -> (tQualityStopwords _),
+    "t_langid_confusion" -> (tLangidConfusion _),
+    "t_fingerprint_md5" -> (tFingerprintMd5 _),
+    "d_token_jaccard_pairs" -> (dTokenJaccardPairs _),
+    "m_binary_meta" -> (mBinaryMeta _),
+    "s_ann_brute_top5" -> (sAnnBruteTop5 _),
+    "d_minhash_neardups" -> (dMinhashNearDups _),
+    "d_simhash_neardups" -> (dSimhashNearDups _),
+    "s_ann_lsh_top3" -> (sAnnLshTop3 _),
+    "d_embedding_neardups" -> (dEmbeddingNearDups _),
+    "m_frame_features" -> (mFrameFeatures _),
+  )
+
+  private val stopList = TA.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracle: Map[String, String] = Map(
+    "t_token_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |  CAST(MAX(length(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS max_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_quality_stopwords" ->
+      s"""WITH d AS (SELECT source,
+         |    length(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+         |    length(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> list_contains($stopList, x))) AS n_stop
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_stop) AS BIGINT) AS total_stop,
+         |  CAST(SUM(n_stop) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS stop_ratio
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_langid_confusion" -> {
+      def hits(stops: Seq[String]) =
+        s"length(list_filter(string_split_regex(trim(lower(text)), '\\s+'), " +
+          s"x -> list_contains(${stops.map(w => s"'$w'").mkString("[", ", ", "]")}, x)))"
+      s"""WITH v AS (SELECT lang,
+         |    ${hits(TA.EnStop)} AS ve, ${hits(TA.DeStop)} AS vd,
+         |    ${hits(TA.EsStop)} AS vs, ${hits(TA.FrStop)} AS vf
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN ve > 0 AND ve >= vd AND ve >= vs AND ve >= vf THEN 'en'
+         |       WHEN vd > 0 AND vd >= ve AND vd >= vs AND vd >= vf THEN 'de'
+         |       WHEN vs > 0 AND vs >= ve AND vs >= vd AND vs >= vf THEN 'es'
+         |       WHEN vf > 0 AND vf >= ve AND vf >= vd AND vf >= vs THEN 'fr'
+         |       ELSE 'und' END AS guess,
+         |  COUNT(*) AS n
+         |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "t_fingerprint_md5" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
+        |  COUNT(*) AS n, MIN(doc_id) AS first_doc
+        |FROM documents GROUP BY 1 ORDER BY 1 LIMIT 50""".stripMargin,
+    "d_token_jaccard_pairs" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_distinct(string_split_regex(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (length(a.toks) + length(b.toks) - length(list_intersect(a.toks, b.toks))) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (length(a.toks) + length(b.toks) - length(list_intersect(a.toks, b.toks))) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+    "m_binary_meta" ->
+      """SELECT source, COUNT(*) AS n_items,
+        |  COUNT(DISTINCT sha256(text)) AS distinct_sha,
+        |  CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s_ann_brute_top5" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |    FROM embeddings WHERE vec_id < 5),
+        |scored AS (SELECT qid, b.vec_id AS nid,
+        |    list_cosine_similarity(qe, CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM q CROSS JOIN embeddings b WHERE b.vec_id <> qid),
+        |ranked AS (SELECT qid, nid, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, nid FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+  )
+}

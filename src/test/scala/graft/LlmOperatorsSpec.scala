@@ -1,0 +1,189 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local("llm-operators-spec")
+  import scala.jdk.CollectionConverters._
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsDf(rows: (Long, String)*) = {
+    spark.createDataFrame(rows.map { case (i, t) => (i, t) }).toDF("doc_id", "text")
+  }
+
+  // ------------------------------------------------------------- text ops
+
+  test("token counting and normalization") {
+    val df = docsDf((1L, "  The quick, brown fox!  "), (2L, ""))
+    val out = df.select(TA.tokenCount(col("text")).as("n"),
+      TA.normalized(col("text")).as("norm")).collect()
+    assert(out(0).getInt(0) == 4)
+    assert(out(0).getString(1) == "the quick brown fox")
+    assert(out(1).getInt(0) == 0)
+  }
+
+  test("language guess votes stopwords, ties break by language order") {
+    val df = docsDf(
+      (1L, "the cat and the dog is here"), // en
+      (2L, "der hund ist nicht ein katze"), // de
+      (3L, "xyzzy plugh qwerty")) // no stopwords → und
+    val out = df.select(TA.languageGuess(col("text"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("quality score is 1.0 for clean prose and lower for junk") {
+    val df = docsDf(
+      (1L, "the quick brown fox jumps over the lazy dog near a river bank"),
+      (2L, "!!! ??? ### 123 456 789 $$$ %%% @@@ ^^^ &&& *** ((( )))"))
+    val out = df.select(TA.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(out(0) == 1.0)
+    assert(out(1) <= 0.6) // junk fails the punct + stopword checks
+  }
+
+  test("fingerprint64 is invariant to case/punct/whitespace") {
+    val df = docsDf((1L, "Hello,   World!"), (2L, "hello world"), (3L, "other"))
+    val fps = df.select(TA.fingerprint64(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  // ---------------------------------------------------------------- dedup
+
+  test("exact dedup: cluster sizes sum to input rows; Uniq naming by size") {
+    val df = docsDf((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"), (5L, "bbb"), (6L, "c"))
+    val clusters = Dedup.exactClusters(df, col("doc_id"), col("text")).collect()
+    assert(clusters.map(_.getAs[Long]("cluster_size")).sum == 6)
+    val byId = clusters.map(r => r.getAs[String]("cluster_id") ->
+      (r.getAs[Long]("cluster_size"), r.getAs[Long]("first_id"))).toMap
+    assert(byId("Uniq1") == (3L, 1L)) // "aaa" ×3
+    assert(byId("Uniq2") == (2L, 2L)) // "bbb" ×2
+    assert(byId("Uniq3") == (1L, 6L))
+    val survivors = Dedup.exactSurvivors(df, col("doc_id"), col("text"))
+      .collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq == Seq(1L, 2L, 6L))
+  }
+
+  test("jaccard is exact on known sets") {
+    val df = spark.sql(
+      "SELECT array('a','b','c','d') AS ta, array('c','d','e','f') AS tb")
+    val j = df.select(Dedup.jaccard(col("ta"), col("tb"))).head().getDouble(0)
+    assert(j == 2.0 / 6.0)
+  }
+
+  test("minhash near-dups: finds perturbed copies, not unrelated docs") {
+    val base = (0L until 40L).map(i =>
+      (i, s"alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima token$i"))
+    val near = base.map { case (i, t) => (i + 1000L, t + " mike") }
+    val far = (2000L until 2040L).map(i =>
+      (i, s"zulu yankee xray whiskey victor uniform sierra romeo q$i p$i o$i n$i m$i l$i"))
+    val df = docsDf((base ++ near ++ far): _*)
+    val pairs = Dedup.minhashNearDups(df, col("doc_id"), col("text"),
+      shingleK = 3, numHashes = 24, bands = 8, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    base.foreach { case (i, _) => assert(pairs.contains((i, i + 1000L)),
+      s"perturbed pair ($i,${i + 1000L}) missed") }
+    assert(pairs.forall { case (a, b) => (a < 2000) == (b < 2000) },
+      "no far-corpus cross pairs expected")
+  }
+
+  test("minhash candidate plan contains no cartesian product") {
+    val df = docsDf((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w v u"))
+    val plan = Dedup.minhashCandidates(df, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
+  }
+
+  test("simhash: identical texts hash equal; perturbation stays within band distance") {
+    val df = docsDf(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (3L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"),
+      (4L, "totally different words entirely unrelated content here now then"))
+    val hs = df.select(Dedup.simhash64(col("text"))).collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+    val d13 = java.lang.Long.bitCount(hs(0) ^ hs(2))
+    val d14 = java.lang.Long.bitCount(hs(0) ^ hs(3))
+    assert(d13 < d14, s"near dist $d13 should be < far dist $d14")
+    val cands = Dedup.simhashCandidates(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("rare-shingle candidates bound fanout and find equal docs") {
+    val df = docsDf((1L, "p q r s t u"), (2L, "p q r s t u"), (3L, "a b c d e f"))
+    val pairs = Dedup.rareShingleCandidates(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  // ----------------------------------------------------------- similarity
+
+  private def vecsDf(rows: (Long, Seq[Float])*) =
+    spark.createDataFrame(rows).toDF("vec_id", "embedding")
+
+  test("cosine: orthogonal → 0, identical → 1, zero-norm → 0") {
+    val df = vecsDf((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(0f, 0f)))
+    val a = df.filter(col("vec_id") === 1).select(col("embedding").as("va"))
+    val out = a.crossJoin(df)
+      .select(Similarity.cosine(col("va"), col("embedding"))).collect()
+      .map(_.getDouble(0))
+    assert(out.toSeq == Seq(1.0, 0.0, 0.0))
+  }
+
+  test("brute-force top-k returns nearest by construction") {
+    val df = vecsDf(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f)),
+      (2L, Seq(0f, 1f, 0f)), (3L, Seq(-1f, 0f, 0f)))
+    val q = df.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = Similarity.bruteForceTopK(df, q, 2).orderBy("rank")
+      .collect().map(_.getAs[Long]("nid"))
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("LSH top-k candidates are a subset scored identically to brute force") {
+    val rng = new scala.util.Random(7)
+    val df = vecsDf((0L until 100L).map(i =>
+      (i, Seq.fill(16)(rng.nextGaussian().toFloat))): _*)
+    val q = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(df, q, 10, baseVec = "embedding")
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Double]("cos"))).toSet
+    val lsh = Similarity.lshTopK(df, q, 10, numBits = 4, dim = 16)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Double]("cos")))
+    assert(lsh.nonEmpty)
+    // every LSH hit's cosine equals the brute-force cosine for that pair
+    val bruteAll = Similarity.bruteForceTopK(df, q, 100)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) ->
+        r.getAs[Double]("cos")).toMap
+    lsh.foreach { case (qid, nid, cos) => assert(bruteAll((qid, nid)) == cos) }
+  }
+
+  // ----------------------------------------------------------- multimodal
+
+  test("frame sampling is even and bounded") {
+    assert(Multimodal.sampleFrameIndices(3, 8) == Seq(0, 1, 2))
+    assert(Multimodal.sampleFrameIndices(24, 4) == Seq(0, 6, 12, 18))
+  }
+
+  test("feature extraction: one row per sampled frame, deterministic") {
+    import spark.implicits._
+    val items = Multimodal.fromDocuments(spark,
+      docsDf((1L, "hello world"), (2L, "other doc")).withColumn("lang", lit("en")))
+    val out1 = Multimodal.extractFeatures(items, 4).collect()
+    val out2 = Multimodal.extractFeatures(items, 4).collect()
+    assert(out1.length == out1.map(f => (f.media_id, f.frame_idx)).distinct.length)
+    assert(out1.map(f => (f.media_id, f.frame_idx, f.feature.toSeq)).sortBy(x => (x._1, x._2)).toSeq ==
+      out2.map(f => (f.media_id, f.frame_idx, f.feature.toSeq)).sortBy(x => (x._1, x._2)).toSeq)
+    assert(out1.forall(_.feature.length == Multimodal.FeatureDim))
+  }
+}
