@@ -46,22 +46,42 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word `k`-shingles of a text column; documents shorter than `k` tokens
-    * contribute their whole text as one shingle. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = TextAnalysis.wsTokens(TextAnalysis.normalized(text))
-    when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  /** One row per (id, distinct word `k`-shingle). Tokenization happens in
+    * its OWN projection (toks is referenced twice, so CollapseProject keeps
+    * it a materialized attribute) and the shingle array is built from that
+    * attribute — per-row cost O(tokens × k), then a single Generate.
+    *
+    * Never build shingles inline inside per-hash lambdas: Catalyst
+    * higher-order functions are interpreted, and an inlined tokenizer
+    * re-runs per lambda element — O(numHashes × shingles × tokenize) per
+    * row (measured: minutes for 10k short docs). Exploding first keeps
+    * every downstream hash a codegen'd scalar on an attribute. */
+  def shinglePosting(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int): DataFrame = {
+    val toks = df.select(idCol.as("id"),
+      TextAnalysis.wsTokens(TextAnalysis.normalized(textCol)).as("toks"))
+    val shingles = toks.select(col("id"),
+      when(size(col("toks")) < k, array(concat_ws(" ", col("toks"))))
+        .otherwise(transform(sequence(lit(0), size(col("toks")) - k),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))).as("shingles"))
+    shingles.select(col("id"), explode(array_distinct(col("shingles"))).as("sh"))
   }
 
   // -------------------------------------------------------------- minhash
 
-  /** MinHash signature: `numHashes` independent permutations approximated
-    * by seeded xxhash64; entry h = min over shingles of hash(shingle, h). */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(shingles, sh => xxhash64(sh, h))))
+  /** MinHash signatures, relationally: hash every (id, shingle) row with
+    * `numHashes` seeded xxhash64 columns, then one codegen'd HashAggregate
+    * takes the per-id minimum of each — the signature. The shuffle carries
+    * (id, numHashes × 8 bytes); the raw text never moves. */
+  def minhashSignatures(df: DataFrame, idCol: Column, textCol: Column,
+      shingleK: Int, numHashes: Int): DataFrame = {
+    val posting = shinglePosting(df, idCol, textCol, shingleK)
+    val mins = (0 until numHashes).map(h =>
+      min(xxhash64(col("sh"), lit(h))).as(s"h$h"))
+    posting.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(h => col(s"h$h")): _*).as("signature"))
+  }
 
   /** LSH band keys: the signature is cut into `bands` rows of
     * `numHashes/bands` entries; each band hashes to one bucket key. Two
@@ -79,9 +99,10 @@ object Dedup {
       maxBucket: Int = 200): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val sig = minhashSignature(wordShingles(textCol, shingleK), numHashes)
-    val keyed = df
-      .select(idCol.as("id"), explode(lshBandKeys(sig, bands, rowsPerBand)).as("bk"))
+    val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes)
+    val keyed = sigs
+      .select(col("id"),
+        explode(lshBandKeys(col("signature"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val capped = keyed.withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy("band", "bucket")))
@@ -106,11 +127,11 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: Column, textCol: Column,
       shingleK: Int = 3, numHashes: Int = 24, bands: Int = 8,
       minJaccard: Double = 0.7): DataFrame = {
-    val sets = df.select(idCol.as("id"),
-      array_distinct(wordShingles(textCol, shingleK)).as("sh"))
+    val sets = shinglePosting(df, idCol, textCol, shingleK)
+      .groupBy("id").agg(collect_list(col("sh")).as("sh")) // posting is distinct
     minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands)
-      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
@@ -137,18 +158,39 @@ object Dedup {
       lit(0L), (acc, bit) => acc + bit)
   }
 
+  /** SimHash signatures, relationally (the scale path — one token hash per
+    * (id, token) row, 64 codegen'd conditional sums per id): shuffle
+    * carries (id, 64 ints). Zero-token documents drop out (no content). */
+  def simhashSignatures(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val tokens = df.select(idCol.as("id"),
+      explode(TextAnalysis.wsTokens(TextAnalysis.normalized(textCol))).as("tok"))
+    val hashed = tokens.select(col("id"), xxhash64(col("tok")).as("h"))
+    val sums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    hashed.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash"))
+  }
+
   /** SimHash near-dup candidates: the 64-bit hash is cut into `bands`
     * equal bit-slices; docs agreeing exactly on any slice are candidates
     * (catches all pairs within Hamming distance < bands). Bucket-join
     * shaped like minhashCandidates. */
   def simhashCandidates(df: DataFrame, idCol: Column, textCol: Column,
-      bands: Int = 4, maxBucket: Int = 200): DataFrame = {
+      bands: Int = 4, maxBucket: Int = 200): DataFrame =
+    simhashCandidatesFromSigs(simhashSignatures(df, idCol, textCol), bands, maxBucket)
+
+  /** Candidate generation over a precomputed (id, simhash) frame. */
+  def simhashCandidatesFromSigs(sigs: DataFrame, bands: Int = 4,
+      maxBucket: Int = 200): DataFrame = {
     val bits = 64 / bands
-    val sh = simhash64(textCol)
+    val sh = col("simhash")
     val mask = if (bits == 64) -1L else (1L << bits) - 1
     val bandKeys = array((0 until bands).map(b => struct(lit(b).as("band"),
       shiftright(sh, b * bits).bitwiseAND(lit(mask)).as("bucket"))): _*)
-    val keyed = df.select(idCol.as("id"), explode(bandKeys).as("bk"))
+    val keyed = sigs.select(col("id"), explode(bandKeys).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val capped = keyed.withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy("band", "bucket")))
@@ -169,8 +211,7 @@ object Dedup {
     * per-shingle fanout at `maxDf²` — the inverted-index analog of LSH. */
   def rareShingleCandidates(df: DataFrame, idCol: Column, textCol: Column,
       shingleK: Int = 3, maxDf: Int = 20): DataFrame = {
-    val posting = df.select(idCol.as("id"),
-        explode(array_distinct(wordShingles(textCol, shingleK))).as("sh"))
+    val posting = shinglePosting(df, idCol, textCol, shingleK)
     val rare = posting.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .filter(col("df") <= maxDf).drop("df")
     val a = rare.as("a"); val b = rare.as("b")

@@ -109,11 +109,11 @@ object TextLLM {
       .orderBy("id_a", "id_b")
 
   def dSimhashNearDups(s: SparkSession, dir: String): DataFrame = {
-    val d = docsWithNearDups(s, dir)
-      .withColumn("sh", Dedup.simhash64(col("text")))
-    Dedup.simhashCandidates(d, col("doc_id"), col("text"))
-      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    val sigs = Dedup.simhashSignatures(
+      docsWithNearDups(s, dir), col("doc_id"), col("text"))
+    Dedup.simhashCandidatesFromSigs(sigs)
+      .join(sigs.select(col("id").as("id_a"), col("simhash").as("sh_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("simhash").as("sh_b")), "id_b")
       .withColumn("hamming", Dedup.hamming64(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= 8)
       .select("id_a", "id_b", "hamming")

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.operators.TimeSeries
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming ingestion mode (SURVEY.md §2.9): the batch weekly aggregates
+  * re-expressed over `readStream` sources with event-time semantics.
+  *
+  * The batch reference silently drops rows outside its configured window
+  * and rows with malformed dates (`/root/reference/Time_Series.py:632–639,
+  * 744`); the streaming twin makes that policy explicit: a watermark bounds
+  * how late an event may arrive and still update its week.
+  *
+  * Counts are associative, so the SAME week-binning expression
+  * (TimeSeries.weekStart) produces identical results in batch and
+  * streaming — run either mode against the same sink schema.
+  */
+object StreamingTimeSeries {
+
+  /** Weekly counts per key with a tumbling 7-day Sunday-aligned window.
+    * `window()` with startTime "4 days" aligns to Sundays (epoch day
+    * 1970-01-01 is a Thursday); we instead reuse the batch date-arith bin
+    * so batch and stream share one definition. */
+  def weeklyCounts(events: DataFrame, tsCol: String, keyCol: String,
+      maxLateness: String = "14 days"): DataFrame =
+    events
+      .withWatermark(tsCol, maxLateness)
+      .groupBy(
+        TimeSeries.weekStart(to_date(col(tsCol))).as("week_start"),
+        col(keyCol).as("key"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** Per-key running state: count + last-seen timestamp, kept across
+    * micro-batches via mapGroupsWithState — the KeyValueGroupedDataset
+    * custom-state surface. (No processing-time timeout: registered
+    * timeouts make Spark schedule data-less batches forever, which breaks
+    * `processAllAvailable`-style draining; evict idle state with a
+    * watermark-based variant instead if retention matters.) */
+  case class KeyState(key: String, count: Long, lastTs: Long)
+  case class KeyUpdate(key: String, count: Long)
+
+  def runningCounts(events: Dataset[(String, Long)]): Dataset[KeyUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[KeyState, KeyUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[KeyState]) =>
+          val prev = state.getOption.getOrElse(KeyState(key, 0L, 0L))
+          var n = prev.count
+          var maxTs = prev.lastTs
+          rows.foreach { case (_, ts) => n += 1; if (ts > maxTs) maxTs = ts }
+          state.update(KeyState(key, n, maxTs))
+          KeyUpdate(key, n)
+      }
+  }
+
+  /** Wire a weekly-count stream to an in-flight aggregation sink in
+    * update mode; the caller controls trigger + termination. */
+  def startWeeklyQuery(events: DataFrame, tsCol: String, keyCol: String,
+      queryName: String) =
+    weeklyCounts(events, tsCol, keyCol)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName).start()
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.sources.Fasta
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class FastaSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark = GraftSession.local("fasta-spec")
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("read: wrapped lines, CRLF, header-only records, '>' in description") {
+    val fasta =
+      ">Spike|hCoV-19/x/1|2021-01-03|EPI_ISL_1|orig|lab|Human\r\n" +
+        "MFVFLV\r\nLLPLVSS\r\n" +
+        ">NSP5|hCoV-19/x/2|2021-01-04|EPI_ISL_2|orig|lab|Human\n" +
+        "SGFRKM\n" +
+        ">Empty|record|with|no|sequence|x|Human\n"
+    val path = "/tmp/graft_test_read.fasta"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), fasta)
+    val recs = Fasta.read(spark, path).collect().sortBy(_.header)
+    assert(recs.length == 3)
+    val spike = recs.find(_.header.startsWith("Spike")).get
+    assert(spike.seq == "MFVFLVLLPLVSS") // wrapping + CRLF removed
+    assert(recs.find(_.header.startsWith("Empty")).get.seq == "")
+    val fields = Fasta.withHeaderFields(
+      spark.createDataFrame(recs.toSeq).toDF())
+      .filter(col("protein") === "Spike").head()
+    assert(fields.getAs[String]("accession") == "EPI_ISL_1")
+    assert(fields.getAs[String]("host") == "Human")
+  }
+
+  test("cluster headers: Uniq<n>;size=<k>; contract") {
+    import spark.implicits._
+    val df = Seq(("Uniq12;size=345;", "MF"), ("clust0;size=1;", "MF"))
+      .toDF("header", "seq")
+    val out = Fasta.withClusterFields(df).collect()
+    assert(out.map(r => (r.getAs[String]("cluster_id"), r.getAs[Int]("cluster_size"))).toSet
+      == Set(("Uniq12", 345), ("clust0", 1)))
+  }
+
+  test("partitioned write (S3) round-trips through read") {
+    import spark.implicits._
+    val df = Seq(
+      ("Spike|a|b|EPI1|c|d|Human", "MFVF", "Spike"),
+      ("NSP5|a|b|EPI2|c|d|Human", "SGFR", "NSP5"))
+      .toDF("header", "seq", "protein")
+    val out = "/tmp/graft_test_fasta_part"
+    Fasta.writePartitioned(df, "protein", out)
+    val back = Fasta.read(spark, s"$out/protein=Spike/*.txt").collect()
+    assert(back.length == 1)
+    assert(back.head.header == "Spike|a|b|EPI1|c|d|Human")
+    assert(back.head.seq == "MFVF")
+  }
+}

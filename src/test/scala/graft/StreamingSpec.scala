@@ -1,0 +1,59 @@
+package graft
+
+import graft.streaming.StreamingTimeSeries
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark = GraftSession.local("streaming-spec")
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("streaming weekly counts equal the batch weekly bin on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val rows = Seq(
+      ("2021-01-03 10:00:00", "purchase"), // Sunday → week 2021-01-03
+      ("2021-01-05 11:00:00", "purchase"),
+      ("2021-01-05 12:00:00", "signup"),
+      ("2021-01-12 09:00:00", "purchase")) // Tuesday → week 2021-01-10
+      .map { case (t, k) => (java.sql.Timestamp.valueOf(t), k) }
+    val df = input.toDF().toDF("ts", "event_type")
+    val q = StreamingTimeSeries.startWeeklyQuery(df, "ts", "event_type", "weekly_test")
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("weekly_test")
+        .collect().map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      val batch = rows.toDF("ts", "event_type")
+        .groupBy(graft.operators.TimeSeries.weekStart(to_date(col("ts"))).as("week_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("freq"))
+        .collect().map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+      assert(batch(("2021-01-03", "purchase")) == 2L)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-key counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val out = StreamingTimeSeries.runningCounts(input.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("running_test").start()
+    try {
+      input.addData(("a", 1L), ("a", 2L), ("b", 3L))
+      out.processAllAvailable()
+      input.addData(("a", 4L))
+      out.processAllAvailable()
+      val counts = spark.table("running_test")
+        .groupBy("key").agg(max("count").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("a" -> 3L, "b" -> 1L))
+    } finally out.stop()
+  }
+}
