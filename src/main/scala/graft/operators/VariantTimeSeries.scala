@@ -96,6 +96,32 @@ object VariantTimeSeries {
         .otherwise(col("freq").cast("double") / col("total_genomes")))
   }
 
+  /** J8 — annotate each exploded variant-list element with its per-code
+    * info (type, reference position) via a broadcast join to the distinct
+    * code table — the reference probes the events frame once per element
+    * in a Python loop (`/root/reference/Time_Series.py:409–412`). */
+  def annotateVariantElements(joined: DataFrame,
+      events: Dataset[VariantEvent]): DataFrame = {
+    val codeInfo = events.toDF()
+      .select(col("code"), col("varType"), col("refStart"))
+      .dropDuplicates("code")
+    joined.select(col("accession"), col("cluster_id"),
+        explode(col("variants")).as("code"))
+      .join(broadcast(codeInfo), Seq("code"), "left")
+  }
+
+  /** O5/O6 — top-n codes by total prevalence (share summed over weeks) or
+    * by total frequency, from the weekly matrix
+    * (`/root/reference/Plotting_Functions.py:624–730`). One aggregate +
+    * TakeOrdered; ties break on code for determinism. */
+  def topCodes(matrix: DataFrame, region: String, n: Int,
+      by: String = "freq"): DataFrame =
+    matrix.filter(col("region") === region)
+      .groupBy("code")
+      .agg(sum(col(by)).as("total"))
+      .orderBy(col("total").desc, col("code").asc)
+      .limit(n)
+
   /** A11 — weekly combination counts: the comma-joined variant list is the
     * key (`/root/reference/Time_Series.py:927–986`). */
   def weeklyCombos(joined: DataFrame): DataFrame =
