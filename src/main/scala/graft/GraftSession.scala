@@ -18,6 +18,8 @@ object GraftSession {
   def builder(appName: String): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
+      // custom Catalyst expressions (graft_vector_dot, plans.VectorDot)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -33,19 +33,26 @@ object Regions {
     df.withColumn(outCol, regionExpr(col(posCol), regions))
 
   /** Interval table only available as a DataFrame(name, start, end, ord):
-    * broadcast theta-join + min-ordinal tie-break + "Other" for no match.
-    * The build side is broadcast so the probe side never shuffles.
+    * collect the (by-definition tiny) table to the driver and compile the
+    * same first-match-wins when-chain as [[annotate]].
+    *
+    * This replaces an earlier broadcast-theta-join + per-row-id window
+    * implementation: the window repartitioned EVERY probe row by a
+    * synthetic id — a full shuffle of the fact table that a dozen-row
+    * dimension never justifies. Collect-and-compile keeps the probe side
+    * narrow and codegen'd; `maxRegions` guards against misuse with a
+    * non-tiny interval table (use a real range join there instead).
     */
   def annotateJoin(df: DataFrame, posCol: String, regions: DataFrame,
-      outCol: String = "domain"): DataFrame = {
-    val keyed = df.withColumn("__rid", monotonically_increasing_id())
-    val joined = keyed.join(broadcast(regions),
-      keyed(posCol).between(regions("start"), regions("end")), "left")
-    val first = row_number().over(
-      Window.partitionBy(col("__rid")).orderBy(col("ord").asc_nulls_last))
-    joined.withColumn("__rn", first).filter(col("__rn") === 1)
-      .withColumn(outCol, coalesce(col("name"), lit("Other")))
-      .drop("__rid", "__rn", "name", "start", "end", "ord")
+      outCol: String = "domain", maxRegions: Int = 10000): DataFrame = {
+    val rows = regions.select(col("name"), col("start"), col("end"), col("ord"))
+      .collect()
+    require(rows.length <= maxRegions,
+      s"interval table has ${rows.length} rows (> $maxRegions); " +
+        "use an explicit range join for non-tiny interval tables")
+    val ordered = rows.sortBy(_.getAs[Int]("ord")).toSeq.map(r =>
+      Region(r.getAs[String]("name"), r.getAs[Int]("start"), r.getAs[Int]("end")))
+    annotate(df, posCol, ordered, outCol)
   }
 
   /** A16 — distinct variants per domain

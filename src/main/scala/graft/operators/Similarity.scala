@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<numeric> columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two array<float|double> columns, accumulated left-to-
+    * right in double — the codegen'd Catalyst expression
+    * (graft.plans.VectorDot, registered by GraftSession). The built-in
+    * `aggregate(zip_with(...))` formulation is interpreted and allocates
+    * per row; this is the engine's scoring hot loop, so it gets the one
+    * custom Expression (same result bit-for-bit). */
+  def dot(a: Column, b: Column): Column = call_function("graft_vector_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -33,6 +36,15 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d === 0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Cosine from a precomputed-norm pair — norms are per-VECTOR, so they
+    * are computed once per row on each side BEFORE the pair join instead
+    * of once per candidate pair (O(N+Q) vs O(N×Q) norm loops). */
+  private def cosineWithNorms(qv: Column, bv: Column,
+      qn: Column, bn: Column): Column = {
+    val d = qn * bn
+    when(d === 0, 0.0).otherwise(dot(qv, bv) / d)
   }
 
   /** Exact top-k neighbors for each query vector. `queries` must be small
@@ -44,9 +56,12 @@ object Similarity {
   def bruteForceTopK(base: DataFrame, queries: DataFrame, k: Int,
       baseId: String = "vec_id", baseVec: String = "embedding",
       queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
-    val scored = base.crossJoin(broadcast(queries))
+    val baseN = base.withColumn("__bnorm", norm(col(baseVec)))
+    val queryN = queries.withColumn("__qnorm", norm(col(queryVec)))
+    val scored = baseN.crossJoin(broadcast(queryN))
       .filter(col(queryId) =!= col(baseId))
-      .withColumn("cos", cosine(col(queryVec), col(baseVec)))
+      .withColumn("cos", cosineWithNorms(col(queryVec), col(baseVec),
+        col("__qnorm"), col("__bnorm")))
     val w = Window.partitionBy(queryId).orderBy(col("cos").desc, col(baseId).asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col(queryId), col("rank"), col(baseId).as("nid"), col("cos"))
@@ -79,12 +94,15 @@ object Similarity {
       queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
     val planes = randomPlanes(numBits, dim, seed)
     val baseB = base.withColumn("bucket", planeSignature(col(baseVec), planes))
+      .withColumn("__bnorm", norm(col(baseVec)))
     val queryB = queries
+      .withColumn("__qnorm", norm(col(queryVec)))
       .withColumn("bucket",
         explode(probeBuckets(planeSignature(col(queryVec), planes), numBits)))
     val scored = baseB.join(broadcast(queryB), Seq("bucket"))
       .filter(col(queryId) =!= col(baseId))
-      .withColumn("cos", cosine(col(queryVec), col(baseVec)))
+      .withColumn("cos", cosineWithNorms(col(queryVec), col(baseVec),
+        col("__qnorm"), col("__bnorm")))
     val w = Window.partitionBy(queryId).orderBy(col("cos").desc, col(baseId).asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col(queryId), col("rank"), col(baseId).as("nid"), col("cos"))
@@ -96,10 +114,13 @@ object Similarity {
     * is only for already-bucketed candidate groups. */
   def cosineNearDupPairs(vectors: DataFrame, minCosine: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val withNorm = vectors.withColumn("__n", norm(col(vecCol)))
+    val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      col("__n").as("na"))
+    val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col("__n").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= minCosine)
       .select("id_a", "id_b", "cos")
   }

@@ -128,6 +128,19 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def vecsDf(rows: (Long, Seq[Float])*) =
     spark.createDataFrame(rows).toDF("vec_id", "embedding")
 
+  test("graft_vector_dot: codegen expression matches HOF math, SQL-callable") {
+    val df = vecsDf((1L, Seq(1f, 2f, 3f)))
+      .withColumn("b", typedLit(Seq(4.0, 5.0, 6.0)))
+    val fast = df.select(Similarity.dot(col("embedding"), col("b"))).head().getDouble(0)
+    val hof = df.select(aggregate(
+      zip_with(col("embedding"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)).head().getDouble(0)
+    assert(fast == 32.0 && hof == fast)
+    val sqlVal = spark.sql(
+      "SELECT graft_vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").head().getDouble(0)
+    assert(sqlVal == 11.0)
+  }
+
   test("cosine: orthogonal → 0, identical → 1, zero-norm → 0") {
     val df = vecsDf((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(0f, 0f)))
     val a = df.filter(col("vec_id") === 1).select(col("embedding").as("va"))
