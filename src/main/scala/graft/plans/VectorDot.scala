@@ -96,5 +96,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "graft_vector_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("variant_events"),
+      new ExpressionInfo(classOf[VariantEventsGenerator].getName, "variant_events"),
+      (children: Seq[Expression]) => VariantEventsGenerator(children)))
   }
 }

@@ -41,6 +41,30 @@ class FastaSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Set(("Uniq12", 345), ("clust0", 1)))
   }
 
+  test("DataSourceV2: format(\"fasta\") matches Fasta.read; splits never lose records") {
+    // ~200 records × ~600 bytes ⇒ forcing 4 KiB splits yields ~30 splits,
+    // each of which must hand boundary-straddling records to its neighbor
+    val sb = new StringBuilder
+    for (i <- 0 until 200) {
+      sb.append(s">rec$i|field1|field2\r\n")
+      val seq = ("ACDEFGHIKLMNPQRSTVWY" * 30).grouped(80).mkString("\n")
+      sb.append(seq).append("\n")
+    }
+    val path = "/tmp/graft_test_dsv2.fasta"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+
+    val viaRdd = Fasta.read(spark, path).collect().map(r => (r.header, r.seq)).sorted
+    val viaDsv2 = spark.read.format("fasta").option("maxSplitBytes", "4096")
+      .load(path).collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(viaDsv2.length == 200)
+    assert(viaDsv2.toSeq == viaRdd.toSeq)
+
+    // column pruning: a seq-only projection still parses correctly
+    val seqOnly = spark.read.format("fasta").option("maxSplitBytes", "4096")
+      .load(path).select("seq").collect().map(_.getString(0))
+    assert(seqOnly.length == 200 && seqOnly.forall(_.length == 600))
+  }
+
   test("partitioned write (S3) round-trips through read") {
     import spark.implicits._
     val df = Seq(
