@@ -12,10 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.TextLLM.queries
+    graft.queries.Relational.queries ++ graft.queries.TextLLM.queries ++
+      graft.queries.Extras.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle ++ graft.queries.TextLLM.oracle
+    graft.queries.Relational.oracle ++ graft.queries.TextLLM.oracle ++
+      graft.queries.Extras.oracle
 }

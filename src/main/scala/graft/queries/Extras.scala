@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Filters, RefCluster, Regions, Region}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second relational wave: the remaining SURVEY patterns that are cheap to
+  * oracle — filter pipelines with exclusion accounting, the `.pivot()`
+  * API, overflow histogram bins, J4-style dash-filled left joins, C12
+  * mappings, O6 row-sum top-k, dedup survivor selection. */
+object Extras {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** F1–F3 — the sequence-filter stack on documents: length band
+    * (half-open), char-ratio cutoff; survivors counted per lang
+    * (`/root/reference/Sequence_Filter.py:124–152`). */
+  def f2FilterPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val banded = Filters.lengthBand(docs, col("n_chars"), refLen = 300, delta = 150)
+    Filters.ambiguityFilter(banded, col("text"), cutoff = 0.05, ambiguous = "z")
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  /** F1–F3 side output — one row per exclusion reason
+    * (`/root/reference/Sequence_Filter.py:112–152` counters). */
+  def f3ExclusionCounts(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("host",
+      when(col("doc_id") % 7 === 0, "Other").otherwise("Human"))
+    Filters.exclusionCounts(docs, col("host"), col("n_chars"), col("text"),
+        refLen = 300, delta = 150, cutoff = 0.05)
+      .orderBy("exclusion_reason")
+  }
+
+  /** A9 via the real `.pivot()` API with an explicit value list (never an
+    * unbounded pivot — SURVEY §7.4 risk 5). */
+  def a9PivotApi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_linenumber")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity")))
+      .na.fill(0.0, Seq("A", "N", "R"))
+      .orderBy("l_linenumber")
+
+  /** A14 with the overflow bin exercised (`Greater than <last>`,
+    * `/root/reference/Seq_Tools.py:135–148`). */
+  def a14HistogramOverflow(s: SparkSession, dir: String): DataFrame =
+    Filters.histogram(t(s, dir, "documents"), col("n_chars").cast("double"),
+        Seq(0, 100, 200, 300).map(_.toDouble))
+      .orderBy("bin")
+
+  /** J4 — left join to a tiny code→info map with the `"-"` sentinel fill
+    * (`/root/reference/Plotting_Functions.py:56–71`). */
+  def j4DashFillLookup(s: SparkSession, dir: String): DataFrame = {
+    val info = s.createDataFrame(Seq(
+      ("purchase", "revenue"), ("refund", "revenue"), ("signup", "growth")))
+      .toDF("event_type", "category")
+    val counts = t(s, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    counts.join(broadcast(info), Seq("event_type"), "left")
+      .withColumn("category", coalesce(col("category"), lit("-")))
+      .orderBy("event_type")
+  }
+
+  /** C12 — short→long mutation-type names over a derived type column
+    * (`/root/reference/Plotting_Functions.py:1334–1354`). */
+  def c12LongTypes(s: SparkSession, dir: String): DataFrame = {
+    val typed = t(s, dir, "events").withColumn("t",
+      element_at(array(lit("sub"), lit("del"), lit("ins"), lit("ext"), lit("delins")),
+        (pmod(col("event_id"), lit(5)) + 1).cast("int")))
+    RefCluster.longTypes(typed, "t")
+      .groupBy("t", "t_long").agg(count(lit(1)).as("n"))
+      .orderBy("t")
+  }
+
+  /** O6 — top-5 event types by row-sum of weekly frequencies
+    * (`/root/reference/Plotting_Functions.py:700–713`). */
+  def o6TopByRowSum(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"),
+        graft.operators.TimeSeries.weekStart(to_date(col("ts"))).as("w"))
+      .agg(count(lit(1)).as("freq"))
+      .groupBy("event_type").agg(sum(col("freq")).as("total"))
+      .orderBy(col("total").desc, col("event_type")).limit(5)
+
+  /** A2 survivors — keep the representative (min id) per distinct content:
+    * the "deduplicated corpus" output (md5-keyed here so DuckDB can mirror
+    * it; the engine path uses xxhash64+sha256, Dedup.exactSurvivors). */
+  def a2DedupSurvivors(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("survivor_id"))
+      .groupBy().agg(count(lit(1)).as("n_clusters"),
+        sum(col("survivor_id")).as("survivor_id_sum"))
+
+  /** A16 — distinct part names per size band (unique-variants-per-domain,
+    * `/root/reference/Plotting_Functions.py:1320–1332`). */
+  def a16UniquePerDomain(s: SparkSession, dir: String): DataFrame = {
+    val banded = Regions.annotate(t(s, dir, "part"), "p_size",
+      Seq(Region("small", 1, 10), Region("medium", 11, 25), Region("large", 26, 49)),
+      "band")
+    Regions.uniquePerDomain(banded, "band", "p_name")
+      .orderBy("band")
+  }
+
+  /** W1 rank/dense_rank family beyond row_number — per-segment price rank
+    * with ties (`/root/reference` has no rank, SURVEY W1 generalization). */
+  def w1RankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy("o_orderpriority", "rnk", "o_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f2_filter_pipeline" -> (f2FilterPipeline _),
+    "f3_exclusion_counts" -> (f3ExclusionCounts _),
+    "a9_pivot_api" -> (a9PivotApi _),
+    "a14_histogram_overflow" -> (a14HistogramOverflow _),
+    "j4_dash_fill_lookup" -> (j4DashFillLookup _),
+    "c12_long_types" -> (c12LongTypes _),
+    "o6_top_by_row_sum" -> (o6TopByRowSum _),
+    "a2_dedup_survivors" -> (a2DedupSurvivors _),
+    "a16_unique_per_domain" -> (a16UniquePerDomain _),
+    "w1_rank_family" -> (w1RankFamily _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "f2_filter_pipeline" ->
+      """SELECT lang, COUNT(*) AS n_kept FROM documents
+        |WHERE n_chars >= 150 AND n_chars < 450
+        |  AND (length(text) - length(replace(text, 'z', ''))) * 1.0 / length(text) <= 0.05
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f3_exclusion_counts" ->
+      """WITH d AS (SELECT *,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'Other' ELSE 'Human' END AS host
+        |  FROM documents)
+        |SELECT CASE WHEN host <> 'Human' THEN 'non_human'
+        |            WHEN n_chars < 150 THEN 'too_short'
+        |            WHEN n_chars >= 450 THEN 'too_long'
+        |            WHEN (length(text) - length(replace(text, 'X', ''))) * 1.0
+        |                 / length(text) > 0.05 THEN 'too_ambiguous'
+        |            ELSE 'kept' END AS exclusion_reason, COUNT(*) AS count
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a9_pivot_api" ->
+      """SELECT l_linenumber,
+        |  SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END) AS A,
+        |  SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0 END) AS N,
+        |  SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS R
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a14_histogram_overflow" ->
+      """SELECT CASE WHEN n_chars > 300 THEN 'Greater than 300'
+        |            WHEN n_chars >= 200 AND n_chars <= 300 THEN '200 to 300'
+        |            WHEN n_chars >= 100 AND n_chars < 200 THEN '100 to 200'
+        |            WHEN n_chars >= 0 AND n_chars < 100 THEN '0 to 100'
+        |            END AS bin, COUNT(*) AS count
+        |FROM documents WHERE bin IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j4_dash_fill_lookup" ->
+      """WITH info AS (SELECT * FROM (VALUES ('purchase', 'revenue'),
+        |    ('refund', 'revenue'), ('signup', 'growth')) AS v(event_type, category)),
+        |c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1)
+        |SELECT c.event_type, n, COALESCE(category, '-') AS category
+        |FROM c LEFT JOIN info ON c.event_type = info.event_type
+        |ORDER BY c.event_type""".stripMargin,
+    "c12_long_types" ->
+      """WITH d AS (SELECT CASE CAST(event_id % 5 AS INTEGER)
+        |    WHEN 0 THEN 'sub' WHEN 1 THEN 'del' WHEN 2 THEN 'ins'
+        |    WHEN 3 THEN 'ext' WHEN 4 THEN 'delins' END AS t FROM events)
+        |SELECT t, CASE t WHEN 'sub' THEN 'Substitution' WHEN 'del' THEN 'Deletion'
+        |    WHEN 'ins' THEN 'Insertion' WHEN 'ext' THEN 'Extension'
+        |    WHEN 'delins' THEN 'Deletion-Insertion' END AS t_long,
+        |  COUNT(*) AS n
+        |FROM d GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "o6_top_by_row_sum" ->
+      """WITH f AS (SELECT event_type,
+        |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS w,
+        |    COUNT(*) AS freq FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(SUM(freq) AS BIGINT) AS total FROM f
+        |GROUP BY 1 ORDER BY total DESC, event_type LIMIT 5""".stripMargin,
+    "a2_dedup_survivors" ->
+      """WITH g AS (SELECT md5(text) AS fp, MIN(doc_id) AS survivor_id
+        |  FROM documents GROUP BY 1)
+        |SELECT COUNT(*) AS n_clusters,
+        |  CAST(SUM(survivor_id) AS BIGINT) AS survivor_id_sum FROM g""".stripMargin,
+    "a16_unique_per_domain" ->
+      """SELECT CASE WHEN p_size BETWEEN 1 AND 10 THEN 'small'
+        |            WHEN p_size BETWEEN 11 AND 25 THEN 'medium'
+        |            WHEN p_size BETWEEN 26 AND 49 THEN 'large'
+        |            ELSE 'Other' END AS band,
+        |  COUNT(DISTINCT p_name) AS unique_variants
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w1_rank_family" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(RANK() OVER w AS INTEGER) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+        |QUALIFY rnk <= 3
+        |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+  )
+}
