@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators._
+import graft.sinks.Sinks
+import graft.sources.Fasta
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The complete reference pipeline, end-to-end, as one Spark application
+  * (SURVEY.md §3): a user of `wish1832/GISAID_Pipeline_Functions` points
+  * this at the same inputs and gets the same products.
+  *
+  * Stages (reference stage → here):
+  *  1. split by protein (`Protein_File_Splitter.py`) → partitioned write
+  *  2. filter host/length/ambiguity (`Sequence_Filter.py`) → [[filtered]]
+  *  3. USEARCH dedup → in-engine [[operators.Dedup.exactClusters]]
+  *  4. clustalo alignment → EXTERNAL (its MSA output is our S1 input)
+  *  5. find reference cluster (`Find_Reference_Clusters.R`) → [[RefCluster.find]]
+  *  6. variant calling (`MSA_Reader.py`) → [[VariantCalling.callAgainstCluster]]
+  *  7. reports (`MSA_Reader.py:806–1162`) → [[Reports]]
+  *  8. weekly time series (`Time_Series.py`) → [[VariantTimeSeries]]
+  */
+object Pipeline {
+
+  /** Stages 1–3 over a raw `allprot`-style FASTA. */
+  def prepare(spark: SparkSession, fastaPath: String, outDir: String,
+      refLenByProtein: Map[String, Int], lengthDelta: Int = 30,
+      ambiguityCutoff: Double = 0.01): DataFrame = {
+    val raw = Fasta.withHeaderFields(Fasta.read(spark, fastaPath).toDF())
+    val refLens = spark.createDataFrame(refLenByProtein.toSeq)
+      .toDF("protein", "ref_len")
+    val filtered = raw
+      .join(broadcast(refLens), Seq("protein")) // F2's per-protein band
+      .filter(col("host") === "Human")
+      .filter(length(col("seq")) >= col("ref_len") - lengthDelta &&
+        length(col("seq")) < col("ref_len") + lengthDelta)
+      .filter(Filters.charRatio(col("seq"), "X") <= ambiguityCutoff)
+    Fasta.writePartitioned(filtered, "protein", s"$outDir/filtered")
+    val clusters = Dedup.exactClusters(
+      filtered.withColumn("id", col("accession")), col("id"), col("seq"))
+    Sinks.writeCsv(clusters.select("cluster_id", "cluster_size", "first_id"),
+      s"$outDir/clusters")
+    filtered
+  }
+
+  /** Stages 5–8 over one protein's MSA (the aligned FASTA an external
+    * aligner produced from stage 3's clusters). */
+  def analyzeMsa(spark: SparkSession, msaPath: String, refIsolateId: String,
+      meta: DataFrame, clusterMap: DataFrame, outDir: String): Unit = {
+    val aligned = VariantCalling.readMsa(spark, msaPath)
+    val clusterHeaders = aligned.toDF().select(
+      col("clusterId"), col("clusterSize"))
+
+    // stage 5: which cluster holds the reference isolate
+    val refClusterId = RefCluster.find(
+      clusterMap.withColumnRenamed("accession", "input_id"), refIsolateId)
+    val refRow = aligned.filter(col("clusterId") === refClusterId)
+      .select("seq", "clusterSize").head()
+
+    // stage 6: embarrassingly-parallel variant calling, cached for fan-out
+    val events = VariantCalling.callAll(aligned, refRow.getString(0))
+      .filter(col("clusterId") =!= refClusterId).cache()
+
+    // stage 7: report fan-out off the cached events
+    val total = Reports.totalSequences(clusterHeaders).head().getLong(0)
+    Sinks.writeCsv(VariantCalling.toRawTsvShape(events),
+      s"$outDir/variants_raw", sep = "\t")
+    Sinks.writeBlockReport(
+      Reports.infoByCluster(events).select(
+        concat(col("cluster_id"), lit(", "), col("cluster_size"),
+          lit(" sequences")).as("hdr"), col("codes")),
+      "hdr", "codes", s"$outDir/info_by_cluster")
+    Sinks.writeCsv(Reports.mutationCsv(events, total), s"$outDir/all_by_code")
+    val refGapless = refRow.getString(0).replace("-", "")
+    Sinks.writeCsv(Reports.perPositionTable(events, refGapless, total),
+      s"$outDir/per_position")
+    Sinks.writeCsv(Reports.pymolStrings(
+      Reports.perPositionTable(events, refGapless, total)), s"$outDir/pymol")
+
+    // stage 8: weekly matrices (every region + Worldwide, one pass)
+    val per = VariantTimeSeries.variantsPerCluster(events, refClusterId,
+      refRow.getInt(1))
+    val joined = VariantTimeSeries.joinMetadata(meta, clusterMap, per)
+    Sinks.writeCsv(VariantTimeSeries.weeklyMatrix(joined)
+      .orderBy("region", "code", "week_start"), s"$outDir/weekly_matrix")
+    Sinks.writeCsv(VariantTimeSeries.weeklyCombos(joined)
+      .orderBy("region", "week_start", "combo"), s"$outDir/weekly_combos")
+    events.unpersist()
+  }
+}
