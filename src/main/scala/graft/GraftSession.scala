@@ -26,6 +26,7 @@ object GraftSession {
       // events.parquet is written as parquet TIMESTAMP(NANOS); Spark reads it
       // as a long (ns since epoch) under this flag — Tables truncates to µs.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

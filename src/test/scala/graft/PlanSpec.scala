@@ -70,6 +70,50 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("salted aggregate equals plain aggregate (skew-spread two-phase)") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i.toDouble))
+      .toDF("key", "v")
+    val salted = operators.Skew.saltedAggregate(df,
+        org.apache.spark.sql.functions.col("key"), salts = 8,
+        Map("total" -> org.apache.spark.sql.functions.col("v")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = df.groupBy("key")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("v").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables sort-merge join with NO exchange (co-located join)") {
+    spark.sql("DROP TABLE IF EXISTS b1")
+    spark.sql("DROP TABLE IF EXISTS b2")
+    for (t <- Seq("b1", "b2")) { // clear stale managed-table locations
+      val d = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    Tables(spark, sf, "orders")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b1")
+    Tables(spark, sf, "customer")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b2")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("b1").join(spark.table("b2"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the scan→filter→aggregate spine") {
     val df = queries.Relational.a1SumByFlagStatus(spark, sf)
     df.collect() // AQE finalizes the plan (and codegen spans) on execution
