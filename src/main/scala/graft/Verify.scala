@@ -10,9 +10,20 @@ object Verify {
     val spark = GraftSession.local("graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
-      catch { case e: Throwable =>
+      try {
+        // write a single-part directory, then promote the part file to a
+        // plain <name>.parquet FILE — readable by both directory-aware
+        // (pyarrow) and single-file (duckdb read_parquet) consumers
+        val tmp = s"$outDir/.tmp_$name"
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written for $name"))
+        Files.move(part.toPath, Paths.get(s"$outDir/$name.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        new java.io.File(tmp).listFiles().foreach(_.delete())
+        Files.deleteIfExists(Paths.get(tmp))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

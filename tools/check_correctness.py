@@ -76,7 +76,7 @@ def main():
             continue
         try:
             scols, srows = table_rows(
-                con, f"SELECT * FROM read_parquet('{OUT}/{name}.parquet/*.parquet')")
+                con, f"SELECT * FROM read_parquet('{OUT}/{name}.parquet')")
         except Exception as e:
             failures.append((name, f"spark result unreadable: {e}"))
             continue
