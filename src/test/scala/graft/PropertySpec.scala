@@ -1,0 +1,139 @@
+package graft
+
+import graft.core.VariantCaller
+import graft.operators.{Dedup, Filters, TimeSeries}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Generative invariants (SURVEY.md §5.3) over seeded random inputs. */
+class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark = GraftSession.local("property-spec")
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val AAs = "ACDEFGHIKLMNPQRSTVWY"
+
+  private def randomAligned(rng: Random, len: Int): (String, String) = {
+    // build an alignment column by column: match / sub / del / ins / double-gap
+    val ref = new StringBuilder; val seq = new StringBuilder
+    var refResidues = 0
+    while (ref.length < len) {
+      val aa = AAs(rng.nextInt(AAs.length))
+      rng.nextInt(10) match {
+        case 0 => ref += aa; seq += '-' // deletion column
+        case 1 if refResidues > 0 => ref += '-'; seq += aa // insertion column
+        case 2 => ref += aa; seq += AAs(rng.nextInt(AAs.length)) // sub or match
+        case _ => ref += aa; seq += aa
+      }
+      if (ref.last != '-') refResidues += 1
+    }
+    (ref.toString, seq.toString)
+  }
+
+  test("identity alignment emits zero events (1000 random refs)") {
+    val rng = new Random(1)
+    for (_ <- 0 until 1000) {
+      val ref = Seq.fill(20 + rng.nextInt(60))(AAs(rng.nextInt(20))).mkString
+      val idx = VariantCaller.referencePosition(ref)
+      assert(VariantCaller.callVariants(ref, idx, "c", 1, ref).isEmpty)
+    }
+  }
+
+  test("events are ordered, non-overlapping, within bounds (2000 random rows)") {
+    val rng = new Random(2)
+    for (_ <- 0 until 2000) {
+      val (ref, seq) = randomAligned(rng, 30 + rng.nextInt(70))
+      val idx = VariantCaller.referencePosition(ref)
+      val refLen = ref.count(_ != '-')
+      val events = VariantCaller.callVariants(ref, idx, "c", 1, seq)
+      var lastEnd = 0
+      for (e <- events) {
+        assert(e.msaStart >= 1 && e.msaStart <= ref.length)
+        assert(e.msaEnd.forall(en => en >= e.msaStart && en <= ref.length))
+        assert(e.msaStart > lastEnd, s"overlap at ${e.code} in\n$ref\n$seq")
+        lastEnd = e.msaEnd.getOrElse(e.msaStart)
+        assert(e.refStart.forall(r => r >= 1 && r <= refLen))
+        assert(e.refEnd.forall(r => r >= 1 && r <= refLen))
+      }
+    }
+  }
+
+  test("dedup conservation: cluster sizes sum to input rows (random corpora)") {
+    import spark.implicits._
+    val rng = new Random(3)
+    for (_ <- 0 until 3) {
+      val n = 200 + rng.nextInt(200)
+      val docs = (0 until n).map(i =>
+        (i.toLong, s"doc content ${rng.nextInt(50)}")).toDF("id", "text")
+      val total = Dedup.exactClusters(docs, col("id"), col("text"))
+        .agg(sum("cluster_size")).head().getLong(0)
+      assert(total == n)
+      val survivors = Dedup.exactSurvivors(docs, col("id"), col("text")).count()
+      val distinct = docs.select("text").distinct().count()
+      assert(survivors == distinct)
+    }
+  }
+
+  test("histogram totality: every in-range value lands in exactly one bin") {
+    import spark.implicits._
+    val edges = Seq(0.0, 10.0, 25.0, 50.0)
+    val vals = (-5 until 120).map(_.toDouble).toDF("v")
+    val labeled = vals.withColumn("bin", Filters.histogramBin(col("v"), edges))
+    // below first edge → null; [0,50] → a bin; >50 → overflow
+    assert(labeled.filter(col("v") < 0 && col("bin").isNotNull).count() == 0)
+    assert(labeled.filter(col("v") >= 0 && col("bin").isNull).count() == 0)
+    val inBand = labeled.filter(col("v") >= 0 && col("v") <= 50)
+      .groupBy("bin").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inBand.keySet == Set("0 to 10", "10 to 25", "25 to 50"))
+    assert(inBand.values.sum == 51)
+    assert(labeled.filter(col("v") > 50)
+      .select(collect_set(col("bin"))).head().getSeq[String](0) == Seq("Greater than 50"))
+  }
+
+  test("weekStart is always the preceding (or same) Sunday") {
+    import spark.implicits._
+    val days = (0 until 400).map(i => s"2023-06-${"%02d".format(1 + i % 28)}")
+      .toDF("d").withColumn("d", to_date(col("d")))
+      .withColumn("w", TimeSeries.weekStart(col("d")))
+    val bad = days.filter(
+      dayofweek(col("w")) =!= 1 || col("w") > col("d") ||
+        datediff(col("d"), col("w")) > 6).count()
+    assert(bad == 0)
+  }
+
+  test("jaccard ∈ [0,1] and is symmetric") {
+    import spark.implicits._
+    val rng = new Random(4)
+    val rows = (0 until 300).map { _ =>
+      def set() = (0 until 3 + rng.nextInt(8)).map(_ => s"w${rng.nextInt(12)}").distinct
+      (set(), set())
+    }.toDF("a", "b")
+    val out = rows.select(Dedup.jaccard(col("a"), col("b")).as("ab"),
+      Dedup.jaccard(col("b"), col("a")).as("ba")).collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(0) == r.getDouble(1))
+    }
+  }
+
+  test("vector dot matches an exact reference on random float vectors") {
+    import spark.implicits._
+    val rng = new Random(5)
+    val rows = (0 until 200).map { _ =>
+      val a = Seq.fill(32)(rng.nextFloat() * 2 - 1)
+      val b = Seq.fill(32)(rng.nextFloat() * 2 - 1)
+      val expected = a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+        s + x.toDouble * y.toDouble }
+      (a, b, expected)
+    }
+    val df = rows.toDF("a", "b", "expected")
+    val bad = df.withColumn("got",
+        graft.operators.Similarity.dot(col("a"), col("b")))
+      .filter(col("got") =!= col("expected")).count()
+    assert(bad == 0)
+  }
+}
