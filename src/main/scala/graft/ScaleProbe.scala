@@ -1,0 +1,108 @@
+package graft
+
+import graft.core.VariantCaller
+import graft.operators._
+import graft.sources.Fasta
+import org.apache.spark.sql.functions._
+
+/** Scale probe: generates a synthetic corpus ~100× the sf0.1 testdata and
+  * measures the engine's heavy operators end-to-end on local[32]. The
+  * point is to catch super-linear behavior (quadratic expression eval,
+  * bucket blowup, driver funnels) at a size where it shows, and to record
+  * single-node throughput numbers that extrapolate to cluster scale.
+  *
+  * Run: `sbt "runMain graft.ScaleProbe [nSeqs] [nDocs]"`. Prints one
+  * JSON line per stage: {"stage":..., "rows":..., "sec":...}.
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val nSeqs = args.headOption.map(_.toInt).getOrElse(200000)
+    val nDocs = args.lift(1).map(_.toInt).getOrElse(100000)
+    val spark = GraftSession.local("graft-scale-probe")
+    import spark.implicits._
+
+    def timed[T](stage: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"""{"stage":"$stage","rows":$rows,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    }
+
+    // ---- synthetic aligned corpus: one reference, nSeqs mutated rows ----
+    val AAs = "ACDEFGHIKLMNPQRSTVWY"
+    val ref = {
+      val r = new scala.util.Random(11)
+      Seq.fill(1273)(AAs(r.nextInt(20))).mkString // Spike-sized protein
+    }
+    val fastaDir = "/tmp/graft_scale_fasta"
+    timed("gen_fasta_write") {
+      val refB = spark.sparkContext.broadcast(ref)
+      val df = spark.range(nSeqs).map { i =>
+        val r = new scala.util.Random(i)
+        val sb = new StringBuilder(refB.value)
+        // ~5 substitutions per row, occasional deletion run
+        for (_ <- 0 until 5) sb.setCharAt(r.nextInt(sb.length), AAs(r.nextInt(20)))
+        if (i % 7 == 0) { val p = 1 + r.nextInt(sb.length - 5)
+          for (j <- p until p + 3) sb.setCharAt(j, '-') }
+        (s"Uniq$i;size=${1 + (i % 9)};", sb.toString)
+      }.toDF("header", "seq")
+      Fasta.write(df, fastaDir)
+      nSeqs.toLong
+    }
+
+    timed("fasta_scan_dsv2") {
+      spark.read.format("fasta").load(s"$fastaDir/*.txt").count()
+    }
+
+    val aligned = Fasta.withClusterFields(
+      spark.read.format("fasta").load(s"$fastaDir/*.txt"))
+      .select(col("cluster_id").as("clusterId"),
+        col("cluster_size").as("clusterSize"), col("seq"))
+      .as[AlignedSeq]
+
+    timed("variant_caller_flatmap") {
+      VariantCalling.callAll(aligned, ref).count()
+    }
+
+    timed("exact_dedup_hashed") {
+      Dedup.exactClusters(aligned.toDF(), col("clusterId"), col("seq")).count()
+    }
+
+    // ---- synthetic text corpus; every 10th doc also appears as a
+    // near-duplicate copy (one appended token) under id + nDocs ----
+    val docs = spark.range(nDocs).flatMap { i =>
+      val id = i.toLong
+      val r = new scala.util.Random(id)
+      val words = Seq.fill(120)(s"w${r.nextInt(5000)}").mkString(" ")
+      if (id % 10 == 0) Seq((id, words), (id + nDocs, words + " tail"))
+      else Seq((id, words))
+    }.toDF("doc_id", "text").cache()
+    timed("docs_materialize") { docs.count() }
+
+    timed("minhash_signatures") {
+      Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 24).count()
+    }
+    timed("minhash_candidates") {
+      Dedup.minhashCandidates(docs, col("doc_id"), col("text")).count()
+    }
+    timed("simhash_signatures") {
+      Dedup.simhashSignatures(docs, col("doc_id"), col("text")).count()
+    }
+
+    val vecs = spark.range(nDocs).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Seq.fill(64)(r.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding").cache()
+    timed("vectors_materialize") { vecs.count() }
+    val queries = vecs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    timed("ann_bruteforce_16q") {
+      Similarity.bruteForceTopK(vecs, queries, 10).count()
+    }
+    timed("ann_lsh_16q") {
+      Similarity.lshTopK(vecs, queries, 10, numBits = 10).count()
+    }
+
+    spark.stop()
+  }
+}
