@@ -96,10 +96,18 @@ object Dedup {
     * The join shuffles 16-byte keys; there is no cross-bucket product. */
   def minhashCandidates(df: DataFrame, idCol: Column, textCol: Column,
       shingleK: Int = 3, numHashes: Int = 24, bands: Int = 8,
-      maxBucket: Int = 200): DataFrame = {
+      maxBucket: Int = 200): DataFrame =
+    minhashCandidatesFromSigs(
+      minhashSignatures(df, idCol, textCol, shingleK, numHashes),
+      numHashes, bands, maxBucket)
+
+  /** Candidate generation over a precomputed (id, signature) frame — use
+    * when the signatures (or their shingle posting) are shared with the
+    * verification stage, so the corpus is shingled once, not three times. */
+  def minhashCandidatesFromSigs(sigs: DataFrame, numHashes: Int = 24,
+      bands: Int = 8, maxBucket: Int = 200): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes)
     val keyed = sigs
       .select(col("id"),
         explode(lshBandKeys(col("signature"), bands, rowsPerBand)).as("bk"))
@@ -127,9 +135,16 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: Column, textCol: Column,
       shingleK: Int = 3, numHashes: Int = 24, bands: Int = 8,
       minJaccard: Double = 0.7): DataFrame = {
-    val sets = shinglePosting(df, idCol, textCol, shingleK)
-      .groupBy("id").agg(collect_list(col("sh")).as("sh")) // posting is distinct
-    minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands)
+    // shingle the corpus ONCE; signatures, candidates and exact-Jaccard
+    // verification all derive from this cached posting
+    val posting = shinglePosting(df, idCol, textCol, shingleK).cache()
+    val sets = posting.groupBy("id").agg(collect_list(col("sh")).as("sh"))
+    val mins = (0 until numHashes).map(h =>
+      min(xxhash64(col("sh"), lit(h))).as(s"h$h"))
+    val sigs = posting.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(h => col(s"h$h")): _*).as("signature"))
+    minhashCandidatesFromSigs(sigs, numHashes, bands)
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))

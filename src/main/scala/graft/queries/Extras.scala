@@ -118,7 +118,19 @@ object Extras {
       .orderBy("o_orderpriority", "rnk", "o_orderkey")
   }
 
+  /** Skew — two-phase salted aggregation must be value-identical to the
+    * plain GROUP BY the oracle runs (quantities are int-valued doubles,
+    * so partial sums are exact in any grouping). */
+  def skewSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedAggregate(
+        t(s, dir, "lineitem"), col("l_returnflag"), salts = 16,
+        Map("sum_qty" -> col("l_quantity")))
+      .withColumnRenamed("key", "l_returnflag")
+      .select("l_returnflag", "n", "sum_qty")
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_salted_agg" -> (skewSaltedAgg _),
     "f2_filter_pipeline" -> (f2FilterPipeline _),
     "f3_exclusion_counts" -> (f3ExclusionCounts _),
     "a9_pivot_api" -> (a9PivotApi _),
@@ -132,6 +144,9 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "skew_salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "f2_filter_pipeline" ->
       """SELECT lang, COUNT(*) AS n_kept FROM documents
         |WHERE n_chars >= 150 AND n_chars < 450
