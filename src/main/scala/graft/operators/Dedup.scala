@@ -219,6 +219,59 @@ object Dedup {
   /** Hamming distance between two 64-bit hashes (bit_count of XOR). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // ------------------------------------------ clustering the pair graph
+
+  /** Connected components over a candidate-pair graph by min-label
+    * propagation: every doc starts as its own label; each round takes the
+    * min label across neighbors; stop at fixpoint. Rounds needed = graph
+    * diameter — near-dup components are shallow (dups of one source), so
+    * this converges in a few rounds; `maxIter` bounds pathological chains.
+    * `localCheckpoint` truncates the per-round lineage so the plan does
+    * not grow with iterations. Output: (id, label) with label = min id of
+    * the component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .cache()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("id_b") === labels("id"))
+        .groupBy(edges("id_a").as("id")).agg(min("label").as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /** The full corpus-dedup flow (the standard LLM-data pipeline shape):
+    * exact dedup first (hash groupBy), then MinHash-LSH near-dups among
+    * the exact survivors, connected components over the pair graph, and
+    * one canonical survivor (min id) per component. Returns the kept ids. */
+  def dedupCorpus(df: DataFrame, idCol: Column, textCol: Column,
+      shingleK: Int = 3, numHashes: Int = 24, bands: Int = 8,
+      minJaccard: Double = 0.7): DataFrame = {
+    val exact = exactSurvivors(df, idCol, textCol)
+    val survivors = df.join(exact.withColumnRenamed("id", "__keep"),
+      idCol === col("__keep"), "left_semi")
+    val pairs = minhashNearDups(survivors, idCol, textCol,
+      shingleK, numHashes, bands, minJaccard)
+    val components = connectedComponents(pairs.select("id_a", "id_b"))
+    val dropped = components.filter(col("id") =!= col("label")).select("id")
+    survivors.select(idCol.as("id"))
+      .join(dropped.withColumnRenamed("id", "__drop"),
+        col("id") === col("__drop"), "left_anti")
+      .select("id")
+  }
+
   // ------------------------------------------------- n-gram Jaccard (rare)
 
   /** Jaccard candidate pairs via RARE shingles: only shingles whose

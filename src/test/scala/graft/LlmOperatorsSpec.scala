@@ -100,6 +100,28 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
+  test("connected components: chains collapse to one min-labeled cluster") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+  }
+
+  test("dedupCorpus: exact dups, transitive near-dups, unique docs") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val df = docsDf(
+      (1L, base), (2L, base), // exact dups → keep 1
+      (3L, base + " mike"), // near-dup of 1 (transitively clusters)
+      (4L, "completely different content with many unrelated words here now"),
+      (5L, "zulu yankee xray whiskey victor uniform tango sierra romeo quebec"))
+    val kept = Dedup.dedupCorpus(df, col("doc_id"), col("text"), minJaccard = 0.5)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+
   test("simhash: identical texts hash equal; perturbation stays within band distance") {
     val df = docsDf(
       (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
