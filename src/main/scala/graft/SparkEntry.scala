@@ -15,6 +15,21 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.TextLLM.queries ++
       graft.queries.Extras.queries
 
+  /** Headline subset Bench times (Verify still runs every query):
+    * representative of each operator family, excluding the iterative
+    * composite demos whose cost is job-scheduling overhead at bench SF. */
+  val headline: Seq[String] = Seq(
+    "a1_sum_by_flag_status", "j1_orders_customer_segment",
+    "j3_broadcast_star_join", "j6_size_band_when_chain",
+    "j9_semi_topk_filter", "o4_topk_parts", "w1_top3_per_nation",
+    "w3_share_normalization", "a5_dense_weekly", "a6_rollup_worldwide",
+    "a8_first_order_per_customer", "a11_combo_frequencies",
+    "a14_histogram_quantity", "a2_exact_dedup_docs", "a9_pivot_by_flag",
+    "a10_explode_positions", "skew_salted_agg",
+    "t_token_stats", "t_langid_confusion", "t_fingerprint_md5",
+    "d_minhash_neardups", "s_ann_brute_top5", "s_ann_lsh_top3",
+    "m_binary_meta", "c7_weekly_counts")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =

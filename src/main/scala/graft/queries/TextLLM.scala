@@ -134,6 +134,11 @@ object TextLLM {
         emb(s, dir).filter(col("vec_id") < 200), minCosine = 0.3)
       .orderBy("id_a", "id_b")
 
+  def dDedupCorpus(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupCorpus(docsWithNearDups(s, dir), col("doc_id"), col("text"),
+        minJaccard = 0.5)
+      .orderBy("id")
+
   def mFrameFeatures(s: SparkSession, dir: String): DataFrame = {
     val items = Multimodal.fromDocuments(s, docs(s, dir))
     Multimodal.extractFeatures(items, framesPerItem = 4).toDF()
@@ -152,6 +157,7 @@ object TextLLM {
     "m_binary_meta" -> (mBinaryMeta _),
     "s_ann_brute_top5" -> (sAnnBruteTop5 _),
     "d_minhash_neardups" -> (dMinhashNearDups _),
+    "d_dedup_corpus" -> (dDedupCorpus _),
     "d_simhash_neardups" -> (dSimhashNearDups _),
     "s_ann_lsh_top3" -> (sAnnLshTop3 _),
     "d_embedding_neardups" -> (dEmbeddingNearDups _),
