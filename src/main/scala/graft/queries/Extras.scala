@@ -129,7 +129,18 @@ object Extras {
       .select("l_returnflag", "n", "sum_qty")
       .orderBy("l_returnflag")
 
+  /** JSON property extraction (beyond the reference's surface — the
+    * `props` column is JSON): typed extraction + aggregation, codegen'd
+    * via get_json_object, no UDF. */
+  def jsonPropsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"), max(col("k")).as("k_max"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_props_agg" -> (jsonPropsAgg _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "f2_filter_pipeline" -> (f2FilterPipeline _),
     "f3_exclusion_counts" -> (f3ExclusionCounts _),
@@ -144,6 +155,11 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "json_props_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum,
+        |  CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS k_max
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "skew_salted_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
