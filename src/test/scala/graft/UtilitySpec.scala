@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.Scalars
+import graft.operators.Multimodal
+import graft.sources.Tsv
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark = GraftSession.local("utility-spec")
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("raw-variants TSV round-trip: '-' sentinels become typed nulls (S6)") {
+    import spark.implicits._
+    val raw = VariantCalling_fixtureEvents()
+    val path = "/tmp/graft_test_raw_tsv"
+    sinks.Sinks.writeCsv(raw, path, sep = "\t")
+    val back = Tsv.readRawVariants(spark, path)
+    val sub = back.filter(col("Code") === "F2L").head()
+    assert(sub.getAs[Any]("AA_End(MSA)") == null) // "-" → real null
+    assert(sub.getAs[Int]("AA_Start(Ref)") == 2) // int-typed
+    val del = back.filter(col("Code") === "V3_F4del").head()
+    assert(del.getAs[Int]("AA_End(Ref)") == 4)
+    assert(back.count() == raw.count())
+  }
+
+  private def VariantCalling_fixtureEvents() = {
+    import spark.implicits._
+    val aligned = Seq(
+      graft.operators.AlignedSeq("Uniq1", 5, "MLVFLVLLPL-VSS"),
+      graft.operators.AlignedSeq("Uniq2", 3, "MF--LVLLPL-VSS")).toDS()
+    graft.operators.VariantCalling.toRawTsvShape(
+      graft.operators.VariantCalling.callAll(aligned, "MFVFLVLLPL-VSS"))
+  }
+
+  test("clusters.tsv scan uses the fixed 6-column schema (S5)") {
+    val path = "/tmp/graft_test_clusters.tsv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      "H\t0\t42\t*\t+\thCoV|EPI_1\nC\t1\t7\t99.1\t-\thCoV|EPI_2\n")
+    val df = Tsv.readClusters(spark, path)
+    assert(df.schema.fieldNames.toSeq == Tsv.clustersSchema.fieldNames.toSeq)
+    val r = df.orderBy("cluster_num").collect()
+    assert(r(0).getAs[Int]("cluster_size") == 42)
+    assert(r(1).getAs[String]("input_id") == "hCoV|EPI_2")
+  }
+
+  test("scalar helpers: drange, charCount, regionQuery, orderOfMagnitude, date labels") {
+    import spark.implicits._
+    val d = spark.range(1).select(Scalars.drange(0.0, 1.0, 0.25).as("r"))
+      .head().getSeq[Double](0)
+    assert(d == Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+
+    val cc = Seq(("MXXM")).toDF("s")
+      .select(Scalars.charCount(col("s"), "X")).head().getInt(0)
+    assert(cc == 2)
+
+    val rq = Seq(("Spike", 501), ("Spike", 10), ("NSP5", 501))
+      .toDF("protein", "pos")
+      .filter(Scalars.regionQuery(col("protein"), col("pos"), "Spike", Seq(484, 501)))
+      .count()
+    assert(rq == 1)
+
+    val oom = Seq(9.0, 10.0, 99.0, 1234.0).toDF("v")
+      .select(Scalars.orderOfMagnitude(col("v"))).collect().map(_.getLong(0))
+    assert(oom.toSeq == Seq(0L, 1L, 1L, 3L)) // Spark floor() yields LONG
+
+    val lbl = Seq(("2021-01-01", true), ("2021-02-03", false))
+      .toDF("d", "first").withColumn("d", to_date(col("d")))
+      .select(Scalars.graphDateLabel(col("d"), col("first"))).collect().map(_.getString(0))
+    assert(lbl.toSeq == Seq("01/01/2021", "02/03"))
+  }
+
+  test("multimodal describe + resizeMeta keep payload opaque (metadata only)") {
+    import spark.implicits._
+    val items = Multimodal.fromDocuments(spark,
+      Seq((1L, "hello world", "en"), (2L, "tiny", "de"))
+        .toDF("doc_id", "text", "lang"))
+    val desc = Multimodal.describe(items.toDF())
+    val r = desc.filter(col("media_id") === 1).head()
+    assert(r.getAs[Int]("n_bytes") == 11)
+    assert(r.getAs[String]("content_sha").length == 64)
+    val resized = Multimodal.resizeMeta(desc, maxDim = 64)
+      .select("out_width", "out_height").collect()
+    assert(resized.forall(r => r.getInt(0) <= 64 && r.getInt(1) <= 64))
+  }
+}
