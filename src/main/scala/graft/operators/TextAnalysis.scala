@@ -35,9 +35,17 @@ object TextAnalysis {
 
   /** Language-ID n-gram/stopword heuristic: vote per language = stopword
     * hits; highest vote wins, ties broken by the fixed language order,
-    * zero hits → "und" (undetermined). Deterministic, codegen-friendly. */
-  def languageGuess(text: Column): Column = {
-    val toks = wsTokens(lower(text))
+    * zero hits → "und" (undetermined). Deterministic, codegen-friendly.
+    *
+    * Prefer [[languageGuessFromTokens]] over a pre-tokenized COLUMN in
+    * scan-scale pipelines: this convenience form inlines the tokenizer
+    * into each of the 8 vote expressions. */
+  def languageGuess(text: Column): Column =
+    languageGuessFromTokens(wsTokens(lower(text)))
+
+  /** As [[languageGuess]], over an already-tokenized (lowercase) column —
+    * pass a materialized tokens attribute so the split runs once per row. */
+  def languageGuessFromTokens(toks: Column): Column = {
     val votes = Seq("en" -> EnStop, "de" -> DeStop, "es" -> EsStop, "fr" -> FrStop)
       .map { case (lang, stop) => lang -> vocabHits(toks, stop) }
     val best = votes.map(_._2).reduce((a, b) => greatest(a, b))

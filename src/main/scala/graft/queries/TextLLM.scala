@@ -58,7 +58,10 @@ object TextLLM {
 
   def tLangidConfusion(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .withColumn("guess", TA.languageGuess(col("text")))
+      // tokens staged as a column: referenced 8× by the votes, so
+      // CollapseProject keeps them materialized (tokenize once per row)
+      .withColumn("toks", TA.wsTokens(lower(col("text"))))
+      .withColumn("guess", TA.languageGuessFromTokens(col("toks")))
       .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
       .orderBy("lang", "guess")
 
