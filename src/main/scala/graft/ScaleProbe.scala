@@ -1,6 +1,5 @@
 package graft
 
-import graft.core.VariantCaller
 import graft.operators._
 import graft.sources.Fasta
 import org.apache.spark.sql.functions._

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.{VariantCaller, VariantEvent}
-import graft.sources.{Fasta, FastaRecord}
+import graft.sources.Fasta
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
