@@ -139,7 +139,28 @@ object Extras {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"), max(col("k")).as("k_max"))
       .orderBy("event_type")
 
+  /** A6 generalization — two-dimension CUBE: all four grouping sets in one
+    * shuffle, null cells labeled "All". */
+  def a6CubeTwoDims(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("dow", dayofweek(to_date(col("ts"))))
+      .cube(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("event_type"), lit("All")).as("event_type"),
+        coalesce(col("dow"), lit(-1)).as("dow"), col("n"))
+      .orderBy("event_type", "dow")
+
+  /** C6 — calendar-month truncation (monthly rollups at the sink). */
+  def c6MonthlyCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(trunc(to_date(col("ts")), "month").as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .orderBy("month")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a6_cube_two_dims" -> (a6CubeTwoDims _),
+    "c6_monthly_counts" -> (c6MonthlyCounts _),
     "json_props_agg" -> (jsonPropsAgg _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "f2_filter_pipeline" -> (f2FilterPipeline _),
@@ -155,6 +176,18 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "a6_cube_two_dims" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS dow FROM events)
+        |SELECT COALESCE(event_type, 'All') AS event_type,
+        |  COALESCE(dow, -1) AS dow, COUNT(*) AS n
+        |FROM d GROUP BY CUBE(event_type, dow)
+        |ORDER BY event_type, dow""".stripMargin,
+    "c6_monthly_counts" ->
+      """SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "json_props_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum,

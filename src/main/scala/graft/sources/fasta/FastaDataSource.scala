@@ -134,7 +134,18 @@ class FastaPartitionReader(part: FastaInputPartition, columns: Array[String])
           val seq =
             if (!wantSeq) null
             else if (nl < 0) ""
-            else body.substring(nl + 1).replaceAll("[\r\n]", "")
+            else {
+              // hot loop: strip line breaks without regex
+              val s = body; val n = s.length
+              val sb = new java.lang.StringBuilder(n - nl - 1)
+              var i = nl + 1
+              while (i < n) {
+                val c = s.charAt(i)
+                if (c != '\n' && c != '\r') sb.append(c)
+                i += 1
+              }
+              sb.toString
+            }
           val values = columns.map {
             case "header" => UTF8String.fromString(header)
             case "seq" => UTF8String.fromString(seq)
