@@ -135,6 +135,7 @@ object TextLLM {
   def dEmbeddingNearDups(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(
         emb(s, dir).filter(col("vec_id") < 200), minCosine = 0.3)
+      .select("id_a", "id_b") // ids only: float-exact across engines
       .orderBy("id_a", "id_b")
 
   def dDedupCorpus(s: SparkSession, dir: String): DataFrame =
@@ -225,6 +226,13 @@ object TextLLM {
         |  COUNT(DISTINCT sha256(text)) AS distinct_sha,
         |  CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_embedding_neardups" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |    FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+        |ORDER BY 1, 2""".stripMargin,
     "s_ann_brute_top5" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
         |    FROM embeddings WHERE vec_id < 5),
