@@ -93,12 +93,28 @@ object TextAnalysis {
 
   /** Rolling-hash document sketch (winnowing flavor): the minimum xxhash64
     * over the normalized text's character `k`-grams. Two documents sharing
-    * any window agree with probability ∝ overlap — a cheap near-dup key. */
+    * any window agree with probability ∝ overlap — a cheap near-dup key.
+    *
+    * Expression form — the normalization is re-inlined per gram by the
+    * interpreted HOF, so this is O(len²) on large documents; fine for
+    * short strings, use [[rollingMinHashes]] at corpus scale. */
   def rollingMinHash(text: Column, k: Int = 8): Column = {
     val t = normalized(text)
     val grams = transform(
       sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
       i => t.substr(i, lit(k)))
     array_min(transform(grams, g => xxhash64(g)))
+  }
+
+  /** Relational rolling fingerprint — the scale path: normalization is a
+    * materialized attribute (referenced twice → CollapseProject keeps it),
+    * grams explode from it, one HashAggregate takes the per-id min. */
+  def rollingMinHashes(df: org.apache.spark.sql.DataFrame,
+      idCol: Column, textCol: Column, k: Int = 8): org.apache.spark.sql.DataFrame = {
+    val norm = df.select(idCol.as("id"), normalized(textCol).as("t"))
+    val grams = norm.select(col("id"), explode(transform(
+      sequence(lit(1), greatest(length(col("t")) - (k - 1), lit(1))),
+      i => col("t").substr(i, lit(k)))).as("g"))
+    grams.groupBy("id").agg(min(xxhash64(col("g"))).as("fingerprint"))
   }
 }

@@ -138,6 +138,15 @@ object TextLLM {
       .select("id_a", "id_b") // ids only: float-exact across engines
       .orderBy("id_a", "id_b")
 
+  def tRollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val fps = TA.rollingMinHashes(docs(s, dir), col("doc_id"), col("text"))
+    fps.join(docs(s, dir).select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fingerprint")).as("distinct_fp"))
+      .orderBy("source")
+  }
+
   def dDedupCorpus(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupCorpus(docsWithNearDups(s, dir), col("doc_id"), col("text"),
         minJaccard = 0.5)
@@ -157,6 +166,7 @@ object TextLLM {
     "t_quality_stopwords" -> (tQualityStopwords _),
     "t_langid_confusion" -> (tLangidConfusion _),
     "t_fingerprint_md5" -> (tFingerprintMd5 _),
+    "t_rolling_fingerprint" -> (tRollingFingerprint _),
     "d_token_jaccard_pairs" -> (dTokenJaccardPairs _),
     "m_binary_meta" -> (mBinaryMeta _),
     "s_ann_brute_top5" -> (sAnnBruteTop5 _),

@@ -46,6 +46,20 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1) <= 0.6) // junk fails the punct + stopword checks
   }
 
+  test("rolling min-hash: relational form equals expression form; shared windows collide") {
+    val df = docsDf(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different words without overlap zone"))
+    val rel = TA.rollingMinHashes(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expr = df.select(col("doc_id"), TA.rollingMinHash(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel == expr)
+    assert(rel(1L) == rel(2L))
+    assert(rel(1L) != rel(3L))
+  }
+
   test("fingerprint64 is invariant to case/punct/whitespace") {
     val df = docsDf((1L, "Hello,   World!"), (2L, "hello world"), (3L, "other"))
     val fps = df.select(TA.fingerprint64(col("text"))).collect().map(_.getLong(0))
