@@ -108,6 +108,88 @@ object Similarity {
       .select(col(queryId), col("rank"), col(baseId).as("nid"), col("cos"))
   }
 
+  // -------------------------------------------------------------- IVF
+
+  /** Squared-distance argmin rank against fixed centroids: index of the
+    * nearest centroid by `-2·v·c + ||c||²` (the `||v||²` term is constant
+    * per row). k codegen'd dot products per row. */
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dists = array(centroids.map { c =>
+      val norm2 = c.map(x => x * x).sum
+      dot(vec, typedLit(c)) * -2 + norm2
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Lloyd's k-means over the vector column, centroids collected to the
+    * driver each round (k × dim doubles — tiny). Deterministic: seeds from
+    * the first k rows by id; empty clusters keep their previous centroid.
+    * Per round: one scan for assignment + one (centroid, dim) aggregate —
+    * scales to any corpus size because only centroids ever leave the
+    * executors. */
+  def trainCentroids(vectors: DataFrame, k: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    def toD(x: Any): Double = x match {
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d
+      case n: Number => n.doubleValue()
+    }
+    var centroids: Seq[Seq[Double]] = vectors.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Any](0).map(toD).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = vectors.withColumn("__c", nearestCentroid(col(vecCol), centroids))
+      val sums = assigned
+        .select(col("__c"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+        .groupBy("__c", "__pos")
+        .agg(avg(col("__x")).as("__mean"))
+        .collect()
+      val byCentroid = sums.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        byCentroid.get(i) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          case None => old // empty cluster
+        }
+      }
+    }
+    centroids
+  }
+
+  /** IVF index: every base vector tagged with its inverted-list id. */
+  def ivfIndex(base: DataFrame, centroids: Seq[Seq[Double]],
+      vecCol: String = "embedding"): DataFrame =
+    base.withColumn("ivf_list", nearestCentroid(col(vecCol), centroids))
+
+  /** IVF top-k: each query probes its `nProbe` nearest inverted lists; only
+    * vectors in those lists are scored. Candidate volume per query ≈
+    * |base| × nProbe / k — the classic recall/cost dial. */
+  def ivfTopK(indexed: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[Seq[Double]], nProbe: Int = 2,
+      baseId: String = "vec_id", baseVec: String = "embedding",
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val probeDists = array(centroids.map { c =>
+      val norm2 = c.map(x => x * x).sum
+      dot(col(queryVec), typedLit(c)) * -2 + norm2
+    }: _*)
+    val probes = queries
+      .withColumn("__lists",
+        slice(array_sort(zip_with(probeDists,
+          sequence(lit(0), lit(centroids.size - 1)),
+          (d, i) => struct(d.as("d"), i.as("i")))), 1, nProbe))
+      .withColumn("ivf_list", explode(col("__lists.i")))
+      .withColumn("ivf_list", col("ivf_list").cast("int"))
+      .drop("__lists")
+      .withColumn("__qnorm", norm(col(queryVec)))
+    val baseN = indexed.withColumn("__bnorm", norm(col(baseVec)))
+    val scored = baseN.join(broadcast(probes), Seq("ivf_list"))
+      .filter(col(queryId) =!= col(baseId))
+      .withColumn("cos", cosineWithNorms(col(queryVec), col(baseVec),
+        col("__qnorm"), col("__bnorm")))
+    val w = Window.partitionBy(queryId).orderBy(col("cos").desc, col(baseId).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(baseId).as("nid"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a bounded id subset —
     * the exact-verification tail of an embedding-dedup pipeline. For the
     * full corpus use [[lshTopK]]-style bucketing first; this all-pairs form

@@ -132,6 +132,17 @@ object TextLLM {
       .orderBy("qid", "rank")
   }
 
+  def sAnnIvfTop3(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val centroids = Similarity.trainCentroids(base, k = 8, iters = 3)
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.ivfTopK(Similarity.ivfIndex(base, centroids), queries,
+        k = 3, centroids, nProbe = 3)
+      .select("qid", "rank", "nid", "cos")
+      .orderBy("qid", "rank")
+  }
+
   def dEmbeddingNearDups(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(
         emb(s, dir).filter(col("vec_id") < 200), minCosine = 0.3)
@@ -174,6 +185,7 @@ object TextLLM {
     "d_dedup_corpus" -> (dDedupCorpus _),
     "d_simhash_neardups" -> (dSimhashNearDups _),
     "s_ann_lsh_top3" -> (sAnnLshTop3 _),
+    "s_ann_ivf_top3" -> (sAnnIvfTop3 _),
     "d_embedding_neardups" -> (dEmbeddingNearDups _),
     "m_frame_features" -> (mFrameFeatures _),
   )

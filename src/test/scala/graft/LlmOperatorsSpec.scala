@@ -217,6 +217,37 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     lsh.foreach { case (qid, nid, cos) => assert(bruteAll((qid, nid)) == cos) }
   }
 
+  test("IVF: k-means separates blobs; probe search finds brute-force neighbors") {
+    val rng = new scala.util.Random(11)
+    // three well-separated blobs in 8 dims
+    val centers = Seq(
+      Array.fill(8)(5.0), Array.fill(8)(-5.0),
+      Array.tabulate(8)(i => if (i % 2 == 0) 5.0 else -5.0))
+    val rows = (0L until 300L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 0.3).toFloat).toSeq)
+    }
+    val df = vecsDf(rows: _*)
+    val centroids = Similarity.trainCentroids(df, k = 3, iters = 5)
+    val indexed = Similarity.ivfIndex(df, centroids)
+    // every blob maps to exactly one inverted list
+    val lists = indexed.withColumn("blob", col("vec_id") % 3)
+      .groupBy("blob").agg(countDistinct(col("ivf_list")).as("n"))
+      .collect().map(_.getLong(1))
+    assert(lists.forall(_ == 1L))
+
+    val q = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val ivf = Similarity.ivfTopK(indexed, q, k = 5, centroids, nProbe = 1)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("nid")).toMap
+    val brute = Similarity.bruteForceTopK(df, q, 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("nid")).toMap
+    // same-blob neighbors dominate, so nProbe=1 already matches brute force
+    assert(ivf == brute)
+  }
+
   // ----------------------------------------------------------- multimodal
 
   test("frame sampling is even and bounded") {
