@@ -7,10 +7,13 @@ import scala.io.Source
 
 /** Differential test: tools/gen_variant_golden.py runs the REFERENCE's own
   * variant-caller code (/root/reference/MSA_Reader.py, Biopython stubbed) on
-  * 400 random alignments (1600 rows) and records every emitted raw-variant
-  * line. This spec replays the identical rows through the Scala port in
-  * legacy-truthiness mode and requires byte-identical events — the strongest
-  * branch-fidelity evidence we can get without the reference's runtime.
+  * 1500 random alignments (~7.5k rows, ~50k events) and records every
+  * emitted raw-variant line. This spec replays the identical rows through
+  * the Scala port in legacy-truthiness mode and requires byte-identical
+  * events — the strongest branch-fidelity evidence we can get without the
+  * reference's runtime. (Inputs on which the reference itself crashes —
+  * flankless insertions via its index-0 truthiness bug — are excluded by
+  * the generator and covered by VariantCallerSpec instead.)
   */
 class VariantCallerGoldenSpec extends AnyFunSuite {
 

@@ -41,7 +41,7 @@ class Aln:
 random.seed(20260812)
 ALPHA = "ACDEFGHIKLMNPQRSTVWY"
 cases = []
-for case in range(400):
+for case in range(1500):
     n = random.randint(3, 60)
     # aligned reference: mostly letters, some gaps, never all-gap
     while True:
@@ -49,7 +49,7 @@ for case in range(400):
         if any(c != "-" for c in ref):
             break
     rows = [Row("Ref;size=1;", ref)]
-    for r in range(3):
+    for r in range(4):
         seq = []
         for i in range(n):
             p = random.random()
@@ -66,12 +66,23 @@ out_dir = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resource
 os.makedirs(out_dir, exist_ok=True)
 aln_lines = []
 tsv_lines = []
+skipped = 0
 for ref, rows in cases:
     with tempfile.NamedTemporaryFile("w+", suffix=".tsv", delete=False) as f:
         raw = f.name
     ref_index = ns["reference_position"](ref)
-    with contextlib.redirect_stdout(io.StringIO()):
-        ns["msa_iterator"](Aln(rows), raw, ref, ref_index, raw)
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            ns["msa_iterator"](Aln(rows), raw, ref, ref_index, raw)
+    except UnboundLocalError:
+        # The REFERENCE crashes on inputs where an insertion has a
+        # truthiness-falsy N flank at index 0 and no C flank
+        # (record_insertion_info's print_type is never assigned,
+        # MSA_Reader.py:526-580). No golden can exist for these; the Scala
+        # port handles them (VariantCallerSpec covers the index-0 flank).
+        skipped += 1
+        os.unlink(raw)
+        continue
     with open(raw) as f:
         ev = f.read().rstrip("\n")
     os.unlink(raw)
@@ -79,6 +90,7 @@ for ref, rows in cases:
         aln_lines.append(f"{row.id}\t{row.seq}\t{ref}")
     if ev:
         tsv_lines.extend(ev.split("\n"))
+print(f"skipped {skipped} reference-crashing cases of {len(cases)}")
 
 with open(os.path.join(out_dir, "variant_golden_alignments.tsv"), "w") as f:
     f.write("\n".join(aln_lines) + "\n")
