@@ -62,4 +62,34 @@ object StreamingTimeSeries {
     weeklyCounts(events, tsCol, keyCol)
       .writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName(queryName).start()
+
+  /** Production sink shape: foreachBatch appends each micro-batch's
+    * UPDATED (week, key) aggregates to parquet, stamped with the batch id;
+    * [[latestWeekly]] reads back the last value per cell. Appends are
+    * idempotent under retries because a replayed batch rewrites the same
+    * batch id and the reader keeps one row per (key, week) by max batch.
+    * (With a transactional table format this becomes a MERGE; plain
+    * parquet is what this container has.) */
+  def startWeeklyParquetQuery(events: DataFrame, tsCol: String, keyCol: String,
+      targetDir: String, checkpointDir: String) =
+    weeklyCounts(events, tsCol, keyCol)
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(targetDir)
+      }
+      .start()
+
+  /** Current weekly matrix from the foreachBatch target: latest batch's
+    * value per (key, week). */
+  def latestWeekly(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key", "week_start").orderBy(col("batch_id").desc)
+    spark.read.parquet(targetDir)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("week_start", "key", "freq")
+  }
 }

@@ -39,6 +39,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink: incremental updates converge to batch truth (RocksDB state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val target = "/tmp/graft_stream_target"
+    val ckpt = "/tmp/graft_stream_ckpt"
+    for (d <- Seq(target, ckpt)) {
+      val f = new java.io.File(d)
+      if (f.exists()) java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val q = StreamingTimeSeries.startWeeklyParquetQuery(df, "ts", "event_type", target, ckpt)
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((t("2021-01-03 10:00:00"), "purchase"))
+      q.processAllAvailable()
+      input.addData((t("2021-01-05 11:00:00"), "purchase"),
+        (t("2021-01-12 09:00:00"), "signup"))
+      q.processAllAvailable()
+      val latest = StreamingTimeSeries.latestWeekly(spark, target)
+        .collect().map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      assert(latest == Map(
+        ("2021-01-03", "purchase") -> 2L, // updated across two batches
+        ("2021-01-10", "signup") -> 1L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState keeps running per-key counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
