@@ -122,6 +122,25 @@ object VariantTimeSeries {
       .orderBy(col("total").desc, col("code").asc)
       .limit(n)
 
+  /** A15 — total genomes across weeks with head/tail week trimming
+    * (`/root/reference/Sequence_Counter.py:229–236`): weeks are ranked by
+    * start date and the first `trimHead` / last `trimTail` excluded before
+    * summing the per-week totals. Input = [[weeklyMatrix]] output (or any
+    * frame with week_start + total_genomes per region). */
+  def trimmedWeeklyTotal(matrix: DataFrame, region: String,
+      trimHead: Int, trimTail: Int): DataFrame = {
+    require(trimHead >= 0 && trimTail >= 0, "trims must be non-negative")
+    val weeks = matrix.filter(col("region") === region)
+      .select("week_start", "total_genomes").distinct()
+    val n = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    val rk = row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy("week_start"))
+    weeks.withColumn("__rk", rk).withColumn("__n", n)
+      .filter(col("__rk") > trimHead && col("__rk") <= col("__n") - trimTail)
+      .agg(sum(col("total_genomes")).as("total_genomes"))
+  }
+
   /** A11 — weekly combination counts: the comma-joined variant list is the
     * key (`/root/reference/Time_Series.py:927–986`). */
   def weeklyCombos(joined: DataFrame): DataFrame =
