@@ -158,7 +158,32 @@ object Extras {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
       .orderBy("month")
 
+  /** Anti join — customers with no orders, counted per nation. */
+  def jAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_idle"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Set intersection — nation keys having BOTH customers and suppliers. */
+  def uIntersect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** Exact median per group (both engines interpolate the middle pair). */
+  def aMedianPrice(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j_anti_join" -> (jAntiJoin _),
+    "u_intersect" -> (uIntersect _),
+    "a_median_price" -> (aMedianPrice _),
     "a6_cube_two_dims" -> (a6CubeTwoDims _),
     "c6_monthly_counts" -> (c6MonthlyCounts _),
     "json_props_agg" -> (jsonPropsAgg _),
@@ -176,6 +201,19 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "j_anti_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_idle FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "u_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY 1""".stripMargin,
+    "a_median_price" ->
+      """SELECT o_orderpriority, MEDIAN(o_totalprice) AS median_price,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "a6_cube_two_dims" ->
       """WITH d AS (SELECT event_type,
         |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS dow FROM events)
