@@ -13,6 +13,8 @@ object Bench {
     // charged for session/codegen startup
     SparkEntry.entry(spark).count()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val missing = SparkEntry.headline.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty, s"headline names not in queries: ${missing.mkString(",")}")
     val headline = SparkEntry.queries.view.filterKeys(SparkEntry.headline.contains).toMap
     val results = headline.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

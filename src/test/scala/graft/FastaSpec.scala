@@ -65,6 +65,37 @@ class FastaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seqOnly.length == 200 && seqOnly.forall(_.length == 600))
   }
 
+  test("fuzz: DSv2 and RDD readers agree on 50 random file layouts") {
+    val rng = new scala.util.Random(99)
+    for (trial <- 0 until 50) {
+      val sb = new StringBuilder
+      val expected = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val n = 1 + rng.nextInt(12)
+      for (r <- 0 until n) {
+        val hdr = s"rec${trial}_$r" +
+          (if (rng.nextBoolean()) "|with|fields>and|glyphs" else "")
+        val seqLen = rng.nextInt(200)
+        val seq = Seq.fill(seqLen)("ACDEFGHIKLMNPQRSTVWY"(rng.nextInt(20))).mkString
+        val nl = if (rng.nextBoolean()) "\r\n" else "\n"
+        val wrapped =
+          if (seqLen == 0) ""
+          else seq.grouped(1 + rng.nextInt(80)).mkString(nl) + nl
+        sb.append(">").append(hdr).append(nl).append(wrapped)
+        expected += ((hdr, seq))
+      }
+      if (rng.nextBoolean()) sb.setLength(sb.length - 1) // no trailing newline
+      val path = s"/tmp/graft_fuzz_$trial.fasta"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+      val viaRdd = Fasta.read(spark, path).collect()
+        .map(r => (r.header, r.seq)).sortBy(_._1)
+      val viaDsv2 = spark.read.format("fasta")
+        .option("maxSplitBytes", (64 + rng.nextInt(512)).toString).load(path)
+        .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+      assert(viaRdd.toSeq == expected.sortBy(_._1).toSeq, s"RDD reader trial $trial")
+      assert(viaDsv2.toSeq == viaRdd.toSeq, s"DSv2 reader trial $trial")
+    }
+  }
+
   test("partitioned write (S3) round-trips through read") {
     import spark.implicits._
     val df = Seq(
