@@ -87,6 +87,9 @@ object ScaleProbe {
     timed("simhash_signatures") {
       Dedup.simhashSignatures(docs, col("doc_id"), col("text")).count()
     }
+    timed("dedup_corpus_full") {
+      Dedup.dedupCorpus(docs, col("doc_id"), col("text"), minJaccard = 0.5).count()
+    }
 
     val vecs = spark.range(nDocs).map { i =>
       val r = new scala.util.Random(i)

@@ -81,6 +81,19 @@ object StreamingTimeSeries {
       }
       .start()
 
+  /** Streaming exact dedup — the ingestion-time face of the batch dedup
+    * block: arriving documents are keyed by (xxhash64, sha2) of their
+    * content and deduplicated statefully; the event-time watermark bounds
+    * how long a content key stays in state, so the store cannot grow
+    * unboundedly on an endless stream. Emits only first sightings. */
+  def streamingDedup(docs: DataFrame, tsCol: String, contentCol: String,
+      retention: String = "30 days"): DataFrame =
+    docs
+      .withColumn("h64", xxhash64(col(contentCol)))
+      .withColumn("h256", sha2(col(contentCol).cast("binary"), 256))
+      .withWatermark(tsCol, retention)
+      .dropDuplicatesWithinWatermark("h64", "h256")
+
   /** Current weekly matrix from the foreachBatch target: latest batch's
     * value per (key, week). */
   def latestWeekly(spark: org.apache.spark.sql.SparkSession,

@@ -77,6 +77,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming dedup: repeated content across batches emits once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val out = StreamingTimeSeries.streamingDedup(
+        input.toDF().toDF("ts", "text"), "ts", "text")
+      .select("text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_test").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((t("2021-01-01 10:00:00"), "doc A"),
+        (t("2021-01-01 10:01:00"), "doc A"), (t("2021-01-01 10:02:00"), "doc B"))
+      out.processAllAvailable()
+      input.addData((t("2021-01-02 09:00:00"), "doc A"), // dup from batch 1
+        (t("2021-01-02 09:01:00"), "doc C"))
+      out.processAllAvailable()
+      val texts = spark.table("dedup_test").collect().map(_.getString(0)).sorted
+      assert(texts.toSeq == Seq("doc A", "doc B", "doc C"))
+    } finally out.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
