@@ -43,6 +43,37 @@ object Pipeline {
     filtered
   }
 
+  /** A15 — sequence counts at each pipeline stage
+    * (`/root/reference/Sequence_Counter.py:19–241`): raw FASTA records,
+    * filtered records (per protein), Σ cluster sizes from the dedup table.
+    * One row per (stage, protein); a `null` protein row carries the raw
+    * total (the raw file predates the protein split). */
+  def stageCounts(spark: SparkSession, fastaPath: String,
+      outDir: String): DataFrame = {
+    val raw = Fasta.read(spark, fastaPath).toDF()
+      .agg(count(lit(1)).as("n"))
+      .select(lit("1_raw").as("stage"), lit(null).cast("string").as("protein"), col("n"))
+    // one count per protein partition dir (input_file_name() is empty for
+    // DSv2 readers, so enumerate the hive-style dirs like partition
+    // discovery does)
+    val partDirs = Option(new java.io.File(s"$outDir/filtered").listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("protein="))
+    require(partDirs.nonEmpty, s"no filtered partitions under $outDir/filtered")
+    val filtered = partDirs.map { d =>
+      spark.read.format("fasta").load(s"${d.getAbsolutePath}/*.txt")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("2_filtered").as("stage"),
+          lit(d.getName.stripPrefix("protein=")).as("protein"), col("n"))
+    }.reduce(_ unionByName _)
+    val clustered = spark.read.option("header", "true").csv(s"$outDir/clusters")
+      .agg(sum(col("cluster_size").cast("long")).as("n"))
+      .select(lit("3_cluster_sizes").as("stage"),
+        lit(null).cast("string").as("protein"), col("n"))
+    raw.unionByName(filtered).unionByName(clustered)
+      .orderBy("stage", "protein")
+  }
+
   /** Stages 5–8 over one protein's MSA (the aligned FASTA an external
     * aligner produced from stage 3's clusters). */
   def analyzeMsa(spark: SparkSession, msaPath: String, refIsolateId: String,

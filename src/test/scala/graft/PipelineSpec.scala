@@ -40,6 +40,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes("Uniq1") == "2") // EPI_1+EPI_2 dedup'd
     // partitioned FASTA written per protein
     assert(new java.io.File(s"$out/filtered/protein=Spike").exists())
+
+    // A15: stage counts over the actual pipeline outputs
+    val stages = Pipeline.stageCounts(spark, in, out).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("*")) ->
+        r.getLong(2)).toMap
+    assert(stages(("1_raw", "*")) == 6L)
+    assert(stages(("2_filtered", "Spike")) == 2L)
+    assert(stages(("2_filtered", "NSP5")) == 1L)
+    assert(stages(("3_cluster_sizes", "*")) == 3L) // Σ sizes == filtered rows
   }
 
   test("analyzeMsa: reports + weekly matrix from an aligned MSA") {
