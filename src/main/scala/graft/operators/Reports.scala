@@ -52,17 +52,30 @@ object Reports {
   def totalSequences(clusters: DataFrame, sizeCol: String = "clusterSize"): DataFrame =
     clusters.agg(sum(col(sizeCol)).as("total"))
 
-  /** Mutation CSV (`<p>_all_by_code.csv`,
-    * `/root/reference/MSA_Reader.py:968–1036`): one row per code with the
-    * share of all sequences carrying it, formatted `{:.4%}` at the sink
-    * (C14). `total` comes from [[totalSequences]] — pass it in so the
-    * events scan isn't repeated. */
+  /** Mutation CSV (`<p>_all_by_code.csv`) with the reference's EXACT
+    * contract (`/root/reference/MSA_Reader.py:968–1036`): columns
+    * `Position,Type,Code,Frequency,Percentage`; Position = the code's
+    * reference position with N-terminal extensions mapped to 1 (`:1016`);
+    * any other positionless record raises (`:990`); Percentage is
+    * `{:.4%}` of all sequences. Ordered by Position (the reference's
+    * within-position order is first-appearance; Code is the deterministic
+    * stand-in). */
   def mutationCsv(events: Dataset[VariantEvent], total: Long): DataFrame =
-    infoByCode(events, None)
-      .withColumn("share", col("n_sequences").cast("double") / total)
-      .withColumn("percent", format_string("%.4f%%", col("share") * 100))
-      .select("code", "var_type", "msa_start", "ref_start",
-        "n_sequences", "percent")
+    events.toDF()
+      .groupBy(col("code").as("Code"))
+      .agg(first(col("varType")).as("Type"),
+        min(col("refStart")).as("__ref_start"),
+        sum(col("clusterSize")).as("Frequency"))
+      .withColumn("Position",
+        when(col("__ref_start").isNotNull, col("__ref_start"))
+          .when(col("Type") === "ext", 1)
+          .otherwise(raise_error(
+            concat(lit("Unanticipated Case Missing Reference Position: "), col("Code"))
+              .cast("string")).cast("int")))
+      .withColumn("Percentage",
+        format_string("%.4f%%", col("Frequency").cast("double") / total * 100))
+      .select("Position", "Type", "Code", "Frequency", "Percentage")
+      .orderBy("Position", "Code")
 
   /** A10 — explode multi-residue deletions to one `del` row per deleted
     * residue, regenerating single-residue codes from the reference string
@@ -87,32 +100,34 @@ object Reports {
       .withColumnRenamed("ref_pos", "refStart")
   }
 
-  /** A9 — per-position variant count table: for every reference residue
-    * 1..refLen, Σ cluster_size by type + total + percent-of-total
-    * (`/root/reference/MSA_Reader.py:1107–1162`). One shuffle (groupBy
-    * position), then a join to the dense `sequence(1, refLen)` frame;
-    * absent positions zero-filled. */
+  /** A9 — per-position variant count table with the reference's EXACT CSV
+    * contract (`/root/reference/MSA_Reader.py:1107–1162`): columns
+    * `Residue_Number,Total_Variants,Percent_Variants,Substitutions,
+    * Insertions,Deletions,Extensions,Indels`, every residue 1..refLen,
+    * zero-filled, percent `{:.4%}`. One shuffle (groupBy position) + a
+    * join to the dense `sequence(1, refLen)` frame — vs the reference's
+    * O(refLen × events) rescan loop. */
   def perPositionTable(events: Dataset[VariantEvent], refGapless: String,
       total: Long): DataFrame = {
     val spark = events.sparkSession
     val exploded = breakUpDeletions(events, refGapless)
       .filter(col("refStart").isNotNull)
-    val types = Seq("sub", "del", "ins", "ext", "delins")
-    val aggs = types.map(t =>
-      sum(when(col("varType") === t, col("clusterSize")).otherwise(0L)).as(t)) :+
-      sum(col("clusterSize")).as("total_variants")
-    val counted = exploded.groupBy(col("refStart").as("position"))
+    val typeCols = Seq("sub" -> "Substitutions", "ins" -> "Insertions",
+      "del" -> "Deletions", "ext" -> "Extensions", "delins" -> "Indels")
+    val aggs = typeCols.map { case (t, name) =>
+      sum(when(col("varType") === t, col("clusterSize")).otherwise(0L)).as(name)
+    } :+ sum(col("clusterSize")).as("Total_Variants")
+    val counted = exploded.groupBy(col("refStart").as("Residue_Number"))
       .agg(aggs.head, aggs.tail: _*)
     val dense = spark.range(1, refGapless.length + 1)
-      .select(col("id").cast("int").as("position"))
-    dense.join(counted, Seq("position"), "left")
-      .na.fill(0L, types :+ "total_variants")
-      .withColumn("residue", lit(refGapless).substr(col("position"), lit(1)))
-      .withColumn("percent_of_sequences",
-        format_string("%.5f%%", col("total_variants").cast("double") / total * 100))
-      .select(Seq("position", "residue").map(col) ++ types.map(col) ++
-        Seq(col("total_variants"), col("percent_of_sequences")): _*)
-      .orderBy("position")
+      .select(col("id").cast("int").as("Residue_Number"))
+    dense.join(counted, Seq("Residue_Number"), "left")
+      .na.fill(0L, typeCols.map(_._2) :+ "Total_Variants")
+      .withColumn("Percent_Variants",
+        format_string("%.4f%%", col("Total_Variants").cast("double") / total * 100))
+      .select(Seq("Residue_Number", "Total_Variants", "Percent_Variants").map(col) ++
+        typeCols.map(tc => col(tc._2)): _*)
+      .orderBy("Residue_Number")
   }
 
   /** F9/S11 — PyMOL selection strings: residues bucketed into the
@@ -122,9 +137,9 @@ object Reports {
     * is preserved; its totality check becomes `unbanded_positions`. */
   def pymolStrings(perPosition: DataFrame): DataFrame =
     perPosition
-      .withColumn("band", Filters.frequencyBand(col("total_variants")))
+      .withColumn("band", Filters.frequencyBand(col("Total_Variants")))
       .groupBy("band")
       .agg(count(lit(1)).as("n_residues"),
-        array_join(array_sort(collect_list(col("position"))), "+").as("selection"))
+        array_join(array_sort(collect_list(col("Residue_Number"))), "+").as("selection"))
       .orderBy("band")
 }

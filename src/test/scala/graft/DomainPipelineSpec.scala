@@ -55,10 +55,11 @@ class DomainPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val total = Reports.totalSequences(clusters).head().getLong(0)
     assert(total == 11) // 1+5+3+2, including the zero-variant ref cluster
     val csv = Reports.mutationCsv(evs, total).collect()
-      .map(r => r.getAs[String]("code") -> r.getAs[String]("percent")).toMap
-    assert(csv("F2L") == "45.4545%") // 5/11
-    assert(csv("V3_F4del") == "27.2727%") // 3/11
-    assert(csv("L10_V11insK") == "18.1818%") // 2/11
+      .map(r => r.getAs[String]("Code") ->
+        (r.getAs[Int]("Position"), r.getAs[String]("Percentage"))).toMap
+    assert(csv("F2L") == (2, "45.4545%")) // 5/11
+    assert(csv("V3_F4del") == (3, "27.2727%")) // 3/11
+    assert(csv("L10_V11insK") == (10, "18.1818%")) // 2/11
   }
 
   test("breakUpDeletions: per-residue del rows with regenerated codes") {
@@ -74,14 +75,17 @@ class DomainPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val table = Reports.perPositionTable(evs, refGapless, total = 11)
     val rows = table.collect()
     assert(rows.length == refGapless.length)
-    val byPos = rows.map(r => r.getAs[Int]("position") -> r).toMap
-    assert(byPos(2).getAs[Long]("sub") == 5L)
-    assert(byPos(3).getAs[Long]("del") == 3L)
-    assert(byPos(4).getAs[Long]("del") == 3L)
-    assert(byPos(10).getAs[Long]("ins") == 2L)
-    assert(byPos(1).getAs[Long]("total_variants") == 0L)
-    assert(byPos(2).getAs[String]("percent_of_sequences") == "45.45455%")
-    assert(byPos(1).getAs[String]("residue") == "M")
+    assert(table.columns.toSeq == Seq("Residue_Number", "Total_Variants",
+      "Percent_Variants", "Substitutions", "Insertions", "Deletions",
+      "Extensions", "Indels")) // MSA_Reader.py:1117 header, exactly
+    val byPos = rows.map(r => r.getAs[Int]("Residue_Number") -> r).toMap
+    assert(byPos(2).getAs[Long]("Substitutions") == 5L)
+    assert(byPos(3).getAs[Long]("Deletions") == 3L)
+    assert(byPos(4).getAs[Long]("Deletions") == 3L)
+    assert(byPos(10).getAs[Long]("Insertions") == 2L)
+    assert(byPos(1).getAs[Long]("Total_Variants") == 0L)
+    assert(byPos(2).getAs[String]("Percent_Variants") == "45.4545%")
+    assert(byPos(1).getAs[String]("Percent_Variants") == "0.0000%")
   }
 
   test("pymolStrings: banded +-joined selections with the reference's bands") {

@@ -79,7 +79,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Pipeline.analyzeMsa(spark, msaPath, "WIV04-ref", meta, clusterMap, out)
 
     val byCode = spark.read.option("header", "true").csv(s"$out/all_by_code")
-      .collect().map(r => r.getAs[String]("code") -> r.getAs[String]("percent")).toMap
+      .collect().map(r => r.getAs[String]("Code") -> r.getAs[String]("Percentage")).toMap
     assert(byCode("F2L") == "45.4545%") // 5 of 11 sequences
     val weekly = spark.read.option("header", "true").csv(s"$out/weekly_matrix")
     assert(weekly.filter(col("region") === "Worldwide" && col("code") === "F2L")
