@@ -3,13 +3,30 @@ package graft
 import java.nio.file.{Files, Paths}
 
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Besides the file outputs, prints ONE machine-readable JSON line on
+  * stdout (same shape as [[Bench]]) so a stdout-parsing driver sees a
+  * per-query summary even if it never opens the parquet:
+  * `{"metric":"verify","value":N,"unit":"queries","queries":{name:rows},
+  *   "errors":{name:msg},"sf":...,"outDir":...}`.
+  * The same JSON is also written to `outDir/verify_summary.json`.
+  *
+  * Arg handling is deliberately forgiving: `args(0)` = sfDir (default
+  * `$SPARK_GRAFT_SF_DIR` or /root/testdata/sf0.01), `args(1)` = outDir
+  * (default /tmp/verify_out). Extra args are ignored — a driver-side
+  * invocation mismatch must degrade to defaults, not a MatchError.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args.headOption.filter(_.nonEmpty)
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val outDir = args.lift(1).filter(_.nonEmpty).getOrElse("/tmp/verify_out")
     val spark = GraftSession.local("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         // write a single-part directory, then promote the part file to a
         // plain <name>.parquet FILE — readable by both directory-aware
@@ -23,7 +40,10 @@ object Verify {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         new java.io.File(tmp).listFiles().foreach(_.delete())
         Files.deleteIfExists(Paths.get(tmp))
+        rows(name) = spark.read.parquet(s"$outDir/$name.parquet").count()
       } catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("\\s+", " ").take(160)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -42,6 +62,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val qs = rows.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+    val summary = s"""{"metric":"verify","value":${rows.size},"unit":"queries",""" +
+      s""""queries":$qs,"errors":$es,"sf":${q(sfDir)},"outDir":${q(outDir)}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
+    println(summary)
     spark.stop()
   }
 }

@@ -151,6 +151,7 @@ object TextLLM {
 
   def tRollingFingerprint(s: SparkSession, dir: String): DataFrame = {
     val fps = TA.rollingMinHashes(docs(s, dir), col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
     fps.join(docs(s, dir).select("doc_id", "source"), Seq("doc_id"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
