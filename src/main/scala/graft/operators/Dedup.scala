@@ -25,17 +25,21 @@ object Dedup {
     * `/root/reference/Time_Series.py:471–478`, `MSA_Reader.py:1296–1297`).
     *
     * The shuffle key is (xxhash64, sha2) — 40 bytes — not the document.
-    * The `Uniq` rank is a global window, but it runs over the already
-    * aggregated cluster table (|clusters| ≪ |docs|); for corpora where even
-    * that is huge, callers can keep the hash as the cluster id instead.
+    * The `Uniq` rank is assigned by [[Ranks.globalRowNumber]] (two-phase:
+    * range-repartition + per-partition offsets), NOT a partition-less
+    * window — a 100 TB corpus still has billions of distinct clusters, so
+    * the post-agg table must never collapse to one task.
     */
-  def exactClusters(df: DataFrame, idCol: Column, contentCol: Column): DataFrame =
-    df.select(idCol.as("id"),
+  def exactClusters(df: DataFrame, idCol: Column, contentCol: Column): DataFrame = {
+    val clusters = df.select(idCol.as("id"),
         xxhash64(contentCol).as("h64"), sha2(contentCol.cast("binary"), 256).as("h256"))
       .groupBy("h64", "h256")
       .agg(count(lit(1)).as("cluster_size"), min(col("id")).as("first_id"))
-      .withColumn("cluster_id", concat(lit("Uniq"), row_number().over(
-        Window.orderBy(col("cluster_size").desc, col("first_id").asc))))
+    Ranks.globalRowNumber(clusters,
+        Seq(col("cluster_size").desc, col("first_id").asc), "__uniq_rank")
+      .withColumn("cluster_id", concat(lit("Uniq"), col("__uniq_rank")))
+      .drop("__uniq_rank")
+  }
 
   /** Survivors of exact dedup: the representative id per cluster. */
   def exactSurvivors(df: DataFrame, idCol: Column, contentCol: Column): DataFrame =

@@ -132,11 +132,11 @@ object VariantTimeSeries {
     require(trimHead >= 0 && trimTail >= 0, "trims must be non-negative")
     val weeks = matrix.filter(col("region") === region)
       .select("week_start", "total_genomes").distinct()
-    val n = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy())
-    val rk = row_number().over(
-      org.apache.spark.sql.expressions.Window.orderBy("week_start"))
-    weeks.withColumn("__rk", rk).withColumn("__n", n)
+    // rank + grand count without partition-less windows: two-phase global
+    // row number, grand total as a broadcast 1-row agg
+    val ranked = Ranks.globalRowNumber(weeks, Seq(col("week_start").asc), "__rk")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
       .filter(col("__rk") > trimHead && col("__rk") <= col("__n") - trimTail)
       .agg(sum(col("total_genomes")).as("total_genomes"))
   }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Filters, Region, Regions, TimeSeries}
+import graft.operators.{Filters, Ranks, Region, Regions, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -215,10 +215,12 @@ object Relational {
   /** C8 — `Week<i> (mm/dd/yyyy-mm/dd/yyyy)` labels
     * (`/root/reference/Time_Series.py:772`). */
   def c8WeekLabels(s: SparkSession, dir: String): DataFrame = {
-    val weekly = c7WeeklyCounts(s, dir)
-    val idx = dense_rank().over(Window.orderBy("week_start"))
+    // week_start is unique post-groupBy, so a global row number IS the
+    // dense rank — assigned scale-safely, no partition-less window
+    val weekly = Ranks.globalRowNumber(
+      c7WeeklyCounts(s, dir), Seq(col("week_start").asc), "__idx")
     weekly
-      .withColumn("label", TimeSeries.weekLabel(idx, col("week_start")))
+      .withColumn("label", TimeSeries.weekLabel(col("__idx"), col("week_start")))
       .select("week_start", "label", "freq")
       .orderBy("week_start")
   }
@@ -258,9 +260,10 @@ object Relational {
   def c14PercentFormatting(s: SparkSession, dir: String): DataFrame = {
     val counts = t(s, dir, "documents")
       .groupBy("lang").agg(count(lit(1)).as("n"))
-    counts
-      .withColumn("share",
-        col("n").cast("double") / sum(col("n")).over(Window.partitionBy()))
+    // grand total via broadcast 1-row agg, not a partition-less window
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") / col("__total"))
       .withColumn("pct", format_string("%.4f%%", col("share") * 100))
       .select("lang", "n", "pct")
       .orderBy("lang")
@@ -304,9 +307,9 @@ object Relational {
     val clusters = t(s, dir, "documents")
       .groupBy("text")
       .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("first_doc"))
-    clusters
-      .withColumn("cluster_id", concat(lit("Uniq"),
-        row_number().over(Window.orderBy(col("cluster_size").desc, col("first_doc").asc))))
+    Ranks.globalRowNumber(clusters,
+        Seq(col("cluster_size").desc, col("first_doc").asc), "__rk")
+      .withColumn("cluster_id", concat(lit("Uniq"), col("__rk")))
       .select("cluster_id", "cluster_size", "first_doc")
       .orderBy(col("cluster_size").desc, col("first_doc").asc)
   }

@@ -70,6 +70,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("no registered query plans a partition-less window (single-task trap)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w.windowExpressions.mkString(",")
+      }
+      bad.map(name -> _)
+    }
+    assert(offenders.isEmpty,
+      s"partition-less Window (moves all rows to ONE task) in: $offenders")
+  }
+
   test("salted aggregate equals plain aggregate (skew-spread two-phase)") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i.toDouble))
