@@ -43,34 +43,66 @@ object Pipeline {
     filtered
   }
 
-  /** A15 — sequence counts at each pipeline stage
-    * (`/root/reference/Sequence_Counter.py:19–241`): raw FASTA records,
-    * filtered records (per protein), Σ cluster sizes from the dedup table.
-    * One row per (stage, protein); a `null` protein row carries the raw
-    * total (the raw file predates the protein split). */
-  def stageCounts(spark: SparkSession, fastaPath: String,
-      outDir: String): DataFrame = {
+  /** A15 — sequence counts at each of the FIVE reference pipeline stages
+    * (`/root/reference/Sequence_Counter.py:19–241`):
+    *
+    *  1. `1_raw` — raw FASTA records ("Sequences Downloaded")
+    *  2. `2_filtered` — filtered records per protein
+    *  3. `3_cluster_sizes` — Σ cluster sizes from the dedup table
+    *     ("Sequences Clustered and Aligned", `Sequence_Counter.py:134–171`)
+    *  4. `4_meta_linked` — rows of the metadata-with-variants join per
+    *     protein ("Clustered Sequences Linked to Metadata",
+    *     `Sequence_Counter.py:173–203`)
+    *  5. `5_ts_total` — Σ total_genomes of the Worldwide weekly series
+    *     after head/tail week trimming ("Metadata-Sequence Pairs Included
+    *     in Time Series Analysis", `Sequence_Counter.py:205–241`)
+    *
+    * Stages 4–5 consume the in-flight per-protein frames (the reference
+    * re-reads its own TSV/CSV products; here the caller passes the same
+    * frames it is about to sink, so the counts stay one job, no re-scan).
+    * One row per (stage, protein); a `null` protein carries a cross-protein
+    * total (the raw file predates the protein split).
+    *
+    * Partition discovery goes through the Hadoop `FileSystem` API — a
+    * `java.io.File` listing would return nothing on HDFS/S3, where a
+    * 100 TB run actually stores its stages. */
+  def stageCounts(spark: SparkSession, fastaPath: String, outDir: String,
+      metaWithVariants: Map[String, DataFrame] = Map.empty,
+      weeklyMatrix: Map[String, DataFrame] = Map.empty,
+      trimHead: Int = 0, trimTail: Int = 0): DataFrame = {
     val raw = Fasta.read(spark, fastaPath).toDF()
       .agg(count(lit(1)).as("n"))
       .select(lit("1_raw").as("stage"), lit(null).cast("string").as("protein"), col("n"))
     // one count per protein partition dir (input_file_name() is empty for
     // DSv2 readers, so enumerate the hive-style dirs like partition
-    // discovery does)
-    val partDirs = Option(new java.io.File(s"$outDir/filtered").listFiles())
-      .getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("protein="))
+    // discovery does — via Hadoop FS, which resolves file://, hdfs://, s3a://)
+    val filteredRoot = new org.apache.hadoop.fs.Path(s"$outDir/filtered")
+    val fs = filteredRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val partDirs = (if (fs.exists(filteredRoot)) fs.listStatus(filteredRoot)
+      else Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("protein="))
     require(partDirs.nonEmpty, s"no filtered partitions under $outDir/filtered")
     val filtered = partDirs.map { d =>
-      spark.read.format("fasta").load(s"${d.getAbsolutePath}/*.txt")
+      spark.read.format("fasta").load(s"${d.getPath.toString}/*.txt")
         .agg(count(lit(1)).as("n"))
         .select(lit("2_filtered").as("stage"),
-          lit(d.getName.stripPrefix("protein=")).as("protein"), col("n"))
+          lit(d.getPath.getName.stripPrefix("protein=")).as("protein"), col("n"))
     }.reduce(_ unionByName _)
     val clustered = spark.read.option("header", "true").csv(s"$outDir/clusters")
       .agg(sum(col("cluster_size").cast("long")).as("n"))
       .select(lit("3_cluster_sizes").as("stage"),
         lit(null).cast("string").as("protein"), col("n"))
-    raw.unionByName(filtered).unionByName(clustered)
+    val metaLinked = metaWithVariants.toSeq.sortBy(_._1).map { case (prot, df) =>
+      df.agg(count(lit(1)).as("n"))
+        .select(lit("4_meta_linked").as("stage"), lit(prot).as("protein"), col("n"))
+    }
+    val tsTotals = weeklyMatrix.toSeq.sortBy(_._1).map { case (prot, matrix) =>
+      VariantTimeSeries.trimmedWeeklyTotal(matrix, "Worldwide", trimHead, trimTail)
+        .select(lit("5_ts_total").as("stage"), lit(prot).as("protein"),
+          coalesce(col("total_genomes"), lit(0L)).as("n"))
+    }
+    (Seq(raw, filtered, clustered) ++ metaLinked ++ tsTotals)
+      .reduce(_ unionByName _)
       .orderBy("stage", "protein")
   }
 

@@ -20,15 +20,21 @@ import org.apache.spark.sql.types._
   * emits a tight primitive loop: no allocation, no virtual dispatch.
   *
   * Accumulation is double, left-to-right — bit-identical to the HOF
-  * formulation it replaces (LlmOperatorsSpec asserts equality).
-  * Null elements inside the arrays are treated as 0 (embeddings are
-  * dense); a null array yields null (standard null-intolerant binary
-  * expression semantics).
+  * formulation it replaces on equal-length dense (no-null-element) arrays,
+  * which is what embeddings are (LlmOperatorsSpec asserts equality).
+  * Divergence on degenerate inputs, chosen deliberately: mismatched
+  * lengths yield NULL (the HOF also yields null there, via zip_with's
+  * null padding — a partial dot over min(len) would be silently wrong);
+  * null ELEMENTS are skipped (treated as 0) where the HOF nulls the whole
+  * sum. A null array yields null (standard null-intolerant semantics).
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // result can be null on length mismatch even for non-null inputs
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(lt, _), ArrayType(rt, _))
@@ -45,7 +51,8 @@ case class VectorDot(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var s = 0.0
     var i = 0
@@ -68,14 +75,18 @@ case class VectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $s += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |      $s += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |    }
          |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   }

@@ -20,17 +20,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingTimeSeries {
 
   /** Weekly counts per key with a tumbling 7-day Sunday-aligned window.
-    * `window()` with startTime "4 days" aligns to Sundays (epoch day
-    * 1970-01-01 is a Thursday); we instead reuse the batch date-arith bin
-    * so batch and stream share one definition. */
+    *
+    * The grouping key MUST be `window(tsCol, ...)` over the original
+    * timestamp attribute: the event-time watermark attaches to that
+    * attribute and does not propagate through derived expressions like
+    * `date_sub(to_date(ts), ...)` — grouping by the derived batch bin
+    * (TimeSeries.weekStart) compiles, but the watermark then never evicts
+    * (week, key) state and never drops late rows: unbounded state on an
+    * endless stream. With the window key, state for a week is dropped once
+    * the watermark passes its end, and rows later than `maxLateness` are
+    * discarded (the streaming face of the batch reference's silent drop of
+    * out-of-window rows, `/root/reference/Time_Series.py:632–639, 744`).
+    *
+    * `startTime = "3 days"` aligns tumbling starts to Sundays (epoch day
+    * 1970-01-01 is a Thursday), so `to_date(window.start)` equals the batch
+    * `TimeSeries.weekStart` bin — asserted batch==stream in StreamingSpec. */
   def weeklyCounts(events: DataFrame, tsCol: String, keyCol: String,
       maxLateness: String = "14 days"): DataFrame =
     events
       .withWatermark(tsCol, maxLateness)
       .groupBy(
-        TimeSeries.weekStart(to_date(col(tsCol))).as("week_start"),
+        window(col(tsCol), "7 days", "7 days", "3 days").as("__week"),
         col(keyCol).as("key"))
       .agg(count(lit(1)).as("freq"))
+      .select(to_date(col("__week.start")).as("week_start"), col("key"), col("freq"))
 
   /** Per-key running state: count + last-seen timestamp, kept across
     * micro-batches via mapGroupsWithState — the KeyValueGroupedDataset

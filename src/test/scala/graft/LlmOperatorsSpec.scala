@@ -175,6 +175,15 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sqlVal = spark.sql(
       "SELECT graft_vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").head().getDouble(0)
     assert(sqlVal == 11.0)
+    // mismatched lengths: NULL, same as the HOF via zip_with's null padding
+    // (a partial dot over min(len) would be silently wrong)
+    val mism = spark.sql(
+      "SELECT graft_vector_dot(array(1.0D, 2.0D), array(3.0D))").head()
+    assert(mism.isNullAt(0))
+    val hofMism = spark.sql(
+      """SELECT aggregate(zip_with(array(1.0D, 2.0D), array(3.0D),
+        |  (x, y) -> x * y), 0.0D, (a, x) -> a + x)""".stripMargin).head()
+    assert(hofMism.isNullAt(0))
   }
 
   test("cosine: orthogonal → 0, identical → 1, zero-norm → 0") {

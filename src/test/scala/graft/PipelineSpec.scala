@@ -41,14 +41,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // partitioned FASTA written per protein
     assert(new java.io.File(s"$out/filtered/protein=Spike").exists())
 
-    // A15: stage counts over the actual pipeline outputs
-    val stages = Pipeline.stageCounts(spark, in, out).collect()
+    // A15: stage counts over the actual pipeline outputs — all FIVE
+    // reference stages (Sequence_Counter.py's contract)
+    import spark.implicits._
+    val metaLinked = Seq(
+      ("EPI_1", "Uniq1", "2021-01-03"), ("EPI_2", "Uniq1", "2021-01-05"),
+      ("EPI_6", "Uniq2", "2021-01-12"))
+      .toDF("accession", "cluster_id", "date")
+    val matrix = Seq( // three weeks; trimming drops the first and last
+      ("Worldwide", "2021-01-03", "A1B", 1L, 10L),
+      ("Worldwide", "2021-01-10", "A1B", 2L, 20L),
+      ("Worldwide", "2021-01-17", "A1B", 1L, 30L),
+      ("Europe", "2021-01-10", "A1B", 2L, 99L)) // other region: excluded
+      .toDF("region", "week_start", "code", "freq", "total_genomes")
+    val stages = Pipeline.stageCounts(spark, in, out,
+        metaWithVariants = Map("Spike" -> metaLinked),
+        weeklyMatrix = Map("Spike" -> matrix),
+        trimHead = 1, trimTail = 1).collect()
       .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("*")) ->
         r.getLong(2)).toMap
     assert(stages(("1_raw", "*")) == 6L)
     assert(stages(("2_filtered", "Spike")) == 2L)
     assert(stages(("2_filtered", "NSP5")) == 1L)
     assert(stages(("3_cluster_sizes", "*")) == 3L) // Σ sizes == filtered rows
+    assert(stages(("4_meta_linked", "Spike")) == 3L)
+    assert(stages(("5_ts_total", "Spike")) == 20L) // middle week only
   }
 
   test("analyzeMsa: reports + weekly matrix from an aligned MSA") {

@@ -39,6 +39,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("weekly counts drop rows later than the watermark (state actually evicts)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val q = StreamingTimeSeries.startWeeklyQuery(df, "ts", "event_type", "late_test")
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // batch 1 advances the watermark to ~2021-05-18 (max event − 14 days)
+      input.addData((t("2021-06-01 10:00:00"), "purchase"))
+      q.processAllAvailable()
+      // batch 2: a January row is months behind the watermark → must be
+      // DISCARDED, not aggregated (with the derived-column grouping bug the
+      // watermark never applied and this row would create a new week)
+      input.addData((t("2021-01-03 10:00:00"), "purchase"))
+      q.processAllAvailable()
+      val weeks = spark.table("late_test").collect().map(_.getDate(0).toString).toSet
+      assert(weeks == Set("2021-05-30"), s"late row leaked into: $weeks")
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink: incremental updates converge to batch truth (RocksDB state)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
