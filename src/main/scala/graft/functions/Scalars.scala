@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Small scalar helpers completing the SURVEY.md §2.8 checklist (C9, C16,
@@ -13,6 +13,64 @@ object Scalars {
   def graphDateLabel(date: Column, isFirstOfYear: Column): Column =
     when(isFirstOfYear, date_format(date, "MM/dd/yyyy"))
       .otherwise(date_format(date, "MM/dd"))
+
+  /** C9, all `dates_for_graph` variants
+    * (`/root/reference/Plotting_Functions.py:1356–1449`):
+    *
+    *  - `dateRange` — `start-end` vs start only
+    *  - `numericMonth` — `12/27` vs `Dec 27`
+    *  - `year = None` — no year; `Some("all")` — two-digit year on every
+    *    date (`12/27/20`); `Some("first")` — full year prefixed
+    *    `2020: 12/27-01/02` on the first label and on each label whose
+    *    END date starts a new year (the reference keys both the boundary
+    *    test and the printed year off the END dates, `:1386–1405`)
+    *  - `formatOverride` — a datetime pattern applied to both dates
+    *    (Spark `date_format` codes here, vs strftime in the reference —
+    *    same dial, host-native pattern language)
+    */
+  def graphDateLabel(start: Column, end: Column, dateRange: Boolean,
+      numericMonth: Boolean, year: Option[String],
+      newYear: Column = lit(false),
+      formatOverride: Option[String] = None): Column = {
+    def range(s: Column, e: Column): Column =
+      if (dateRange) concat(s, lit("-"), e) else s
+    formatOverride match {
+      case Some(fmt) => range(date_format(start, fmt), date_format(end, fmt))
+      case None =>
+        val md = if (numericMonth) "MM/dd" else "MMM dd"
+        year match {
+          case None => range(date_format(start, md), date_format(end, md))
+          case Some("all") =>
+            val mdy = if (numericMonth) "MM/dd/yy" else "MMM dd yy"
+            range(date_format(start, mdy), date_format(end, mdy))
+          case Some("first") =>
+            val base = range(date_format(start, md), date_format(end, md))
+            when(newYear, concat(date_format(end, "yyyy"), lit(": "), base))
+              .otherwise(base)
+          case Some(other) =>
+            throw new IllegalArgumentException(s"year must be all|first, got $other")
+        }
+    }
+  }
+
+  /** DataFrame face of [[graphDateLabel]]: adds a `label` column over
+    * `(startCol, endCol)` rows ordered by start date, computing the
+    * `year="first"` new-year flag with a lag over the ordered axis. The
+    * input is a PLOT-AXIS table (one row per displayed week — dozens of
+    * rows by construction), so the partition-less lag window is fine here;
+    * never call this on row-scale data. */
+  def graphDateLabels(df: DataFrame, startCol: String, endCol: String,
+      dateRange: Boolean = true, numericMonth: Boolean = true,
+      year: Option[String] = None,
+      formatOverride: Option[String] = None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(startCol)
+    val prevEndYear = lag(org.apache.spark.sql.functions.year(col(endCol)), 1).over(w)
+    val newYear = prevEndYear.isNull ||
+      org.apache.spark.sql.functions.year(col(endCol)) =!= prevEndYear
+    df.withColumn("label",
+      graphDateLabel(col(startCol), col(endCol), dateRange, numericMonth,
+        year, newYear, formatOverride))
+  }
 
   /** C16 — `Drange` decimal range (`/root/reference/Seq_Tools.py:57–74`):
     * fractional-step sequence via integer scaling (exact, no float drift). */

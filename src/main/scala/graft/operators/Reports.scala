@@ -57,15 +57,24 @@ object Reports {
     * `Position,Type,Code,Frequency,Percentage`; Position = the code's
     * reference position with N-terminal extensions mapped to 1 (`:1016`);
     * any other positionless record raises (`:990`); Percentage is
-    * `{:.4%}` of all sequences. Ordered by Position (the reference's
-    * within-position order is first-appearance; Code is the deterministic
-    * stand-in). */
+    * `{:.4%}` of all sequences.
+    *
+    * Row ORDER is reference-exact too: the reference sorts its insertion-
+    * ordered code dict by Position with Python's STABLE sort (`:995`), so
+    * within a position, codes appear in first-appearance order over the
+    * cluster-major event stream. That key is reproduced relationally as
+    * `min(struct(cluster nat-key, msaStart))` per code — the earliest
+    * cluster (file order) carrying the code, leftmost alignment column
+    * within it — with Code as a final deterministic tiebreak
+    * (ReportGoldenSpec diffs row order against the reference's own CSV). */
   def mutationCsv(events: Dataset[VariantEvent], total: Long): DataFrame =
     events.toDF()
       .groupBy(col("code").as("Code"))
       .agg(first(col("varType")).as("Type"),
         min(col("refStart")).as("__ref_start"),
-        sum(col("clusterSize")).as("Frequency"))
+        sum(col("clusterSize")).as("Frequency"),
+        min(struct(natKey(col("clusterId")).as("c"), col("msaStart").as("m")))
+          .as("__first_seen"))
       .withColumn("Position",
         when(col("__ref_start").isNotNull, col("__ref_start"))
           .when(col("Type") === "ext", 1)
@@ -74,8 +83,8 @@ object Reports {
               .cast("string")).cast("int")))
       .withColumn("Percentage",
         format_string("%.4f%%", col("Frequency").cast("double") / total * 100))
+      .orderBy(col("Position"), col("__first_seen"), col("Code"))
       .select("Position", "Type", "Code", "Frequency", "Percentage")
-      .orderBy("Position", "Code")
 
   /** A10 — explode multi-residue deletions to one `del` row per deleted
     * residue, regenerating single-residue codes from the reference string

@@ -81,9 +81,21 @@ object Similarity {
       when(dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Buckets a query signature probes: its own and every 1-bit flip. */
-  def probeBuckets(sig: Column, numBits: Int): Column =
-    array(sig +: (0 until numBits).map(i => sig.bitwiseXOR(lit(1L << i))): _*)
+  /** Buckets a query signature probes: its own, every 1-bit flip, and
+    * (at `probeDepth = 2`) every 2-bit flip. Multi-probe depth is the
+    * recall/cost dial: candidate volume ≈ N × Σ_{d≤depth} C(bits,d) /
+    * 2^bits, so depth 2 at 6 bits probes 22/64 buckets — recall close to
+    * brute force while the join stays bucket-equality only. */
+  def probeBuckets(sig: Column, numBits: Int, probeDepth: Int = 1): Column = {
+    require(probeDepth >= 0 && probeDepth <= 2, "probeDepth must be 0, 1, or 2")
+    val flips1 = if (probeDepth >= 1)
+      (0 until numBits).map(i => sig.bitwiseXOR(lit(1L << i))) else Seq.empty
+    val flips2 = if (probeDepth >= 2)
+      for { i <- 0 until numBits; j <- (i + 1) until numBits }
+        yield sig.bitwiseXOR(lit((1L << i) | (1L << j)))
+    else Seq.empty
+    array(sig +: (flips1 ++ flips2): _*)
+  }
 
   /** LSH-bucketed approximate top-k: join on bucket equality only, score
     * only collisions, then per-query top-k. No cartesian product appears
@@ -91,14 +103,15 @@ object Similarity {
   def lshTopK(base: DataFrame, queries: DataFrame, k: Int, numBits: Int = 10,
       dim: Int = 64, seed: Long = 42L,
       baseId: String = "vec_id", baseVec: String = "embedding",
-      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+      queryId: String = "qid", queryVec: String = "qvec",
+      probeDepth: Int = 1): DataFrame = {
     val planes = randomPlanes(numBits, dim, seed)
     val baseB = base.withColumn("bucket", planeSignature(col(baseVec), planes))
       .withColumn("__bnorm", norm(col(baseVec)))
     val queryB = queries
       .withColumn("__qnorm", norm(col(queryVec)))
       .withColumn("bucket",
-        explode(probeBuckets(planeSignature(col(queryVec), planes), numBits)))
+        explode(probeBuckets(planeSignature(col(queryVec), planes), numBits, probeDepth)))
     val scored = baseB.join(broadcast(queryB), Seq("bucket"))
       .filter(col(queryId) =!= col(baseId))
       .withColumn("cos", cosineWithNorms(col(queryVec), col(baseVec),
@@ -190,13 +203,32 @@ object Similarity {
       .select(col(queryId), col("rank"), col(baseId).as("nid"), col("cos"))
   }
 
+  /** Fail-fast bound for all-pairs (O(n²)) verification tails: counts at
+    * most `maxRows + 1` input rows (limit-pushed, so the scan early-exits)
+    * and refuses to proceed past the cap. An UNBOUNDED all-pairs call on a
+    * corpus would plan a BroadcastNestedLoopJoin over n² pairs — this
+    * turns that silent scale-killer into an immediate error naming the
+    * scale path. */
+  def requireBounded(df: DataFrame, maxRows: Long, what: String): DataFrame = {
+    val n = df.limit(math.min(maxRows + 1, Int.MaxValue).toInt).count()
+    require(n <= maxRows,
+      s"$what: input has more than $maxRows rows — the all-pairs form is " +
+        "only for already-bucketed candidate groups; bucket first " +
+        "(minhashNearDuplicates / simhashNearDuplicates / lshTopK) and " +
+        "run the exact tail per bucket, or raise maxRows deliberately")
+    df
+  }
+
   /** Embedding-cosine near-duplicate pairs within a bounded id subset —
     * the exact-verification tail of an embedding-dedup pipeline. For the
     * full corpus use [[lshTopK]]-style bucketing first; this all-pairs form
-    * is only for already-bucketed candidate groups. */
+    * is only for already-bucketed candidate groups, and [[requireBounded]]
+    * fails fast (default cap 10k rows ≈ 50M pairs) if called on more. */
   def cosineNearDupPairs(vectors: DataFrame, minCosine: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val withNorm = vectors.withColumn("__n", norm(col(vecCol)))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxRows: Long = 10000): DataFrame = {
+    val bounded = requireBounded(vectors, maxRows, "cosineNearDupPairs")
+    val withNorm = bounded.withColumn("__n", norm(col(vecCol)))
     val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       col("__n").as("na"))
     val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vb"),

@@ -108,13 +108,19 @@ object TextAnalysis {
 
   /** Relational rolling fingerprint — the scale path: normalization is a
     * materialized attribute (referenced twice → CollapseProject keeps it),
-    * grams explode from it, one HashAggregate takes the per-id min. */
+    * grams explode from it, one HashAggregate takes the per-id min.
+    * `gramHash` defaults to xxhash64 (8-byte keys); pass e.g.
+    * `g => md5(g.cast("binary"))` for an engine-portable hash — the
+    * DuckDB-oracle twin (`t_rolling_fp_md5_twin`) verifies the whole
+    * winnowing structure that way, since min-over-hex-strings is
+    * identical across engines while xxhash64 is Spark-only. */
   def rollingMinHashes(df: org.apache.spark.sql.DataFrame,
-      idCol: Column, textCol: Column, k: Int = 8): org.apache.spark.sql.DataFrame = {
+      idCol: Column, textCol: Column, k: Int = 8,
+      gramHash: Column => Column = xxhash64(_)): org.apache.spark.sql.DataFrame = {
     val norm = df.select(idCol.as("id"), normalized(textCol).as("t"))
     val grams = norm.select(col("id"), explode(transform(
       sequence(lit(1), greatest(length(col("t")) - (k - 1), lit(1))),
       i => col("t").substr(i, lit(k)))).as("g"))
-    grams.groupBy("id").agg(min(xxhash64(col("g"))).as("fingerprint"))
+    grams.groupBy("id").agg(min(gramHash(col("g"))).as("fingerprint"))
   }
 }

@@ -72,7 +72,10 @@ object TextLLM {
       .orderBy("fp").limit(50)
 
   def dTokenJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sets = docs(s, dir).filter(col("doc_id") < 60)
+    // all-pairs verification tail: the id subset keeps it tiny, and the
+    // guard fails fast if this query is ever pointed at an unbounded corpus
+    val sets = graft.operators.Similarity.requireBounded(
+      docs(s, dir).filter(col("doc_id") < 60), maxRows = 1000, "d_token_jaccard_pairs")
       .select(col("doc_id"),
         array_distinct(TA.wsTokens(TA.normalized(col("text")))).as("toks"))
     val a = sets.select(col("doc_id").as("id_a"), col("toks").as("ta"))
@@ -127,7 +130,12 @@ object TextLLM {
     val base = emb(s, dir)
     val queries = base.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    Similarity.lshTopK(base, queries, k = 3, numBits = 6)
+    // bits sized to the corpus (~2^bits ≈ N/30 keeps ~30 vectors per
+    // bucket) + depth-2 multi-probe; recall is regression-asserted ≥0.6
+    // against brute-force truth in LlmOperatorsSpec. At 100 TB the same
+    // two dials scale the index: more bits for smaller buckets, deeper
+    // probes to buy recall back.
+    Similarity.lshTopK(base, queries, k = 3, numBits = 4, probeDepth = 2)
       .select("qid", "rank", "nid", "cos")
       .orderBy("qid", "rank")
   }
@@ -159,6 +167,51 @@ object TextLLM {
       .orderBy("source")
   }
 
+  // ---- DuckDB-oracle TWINS of the hash-based pipelines' verification
+  // stages. The LSH candidate generators hinge on xxhash64 (no SQL twin),
+  // but everything downstream of candidates is portable: exact Jaccard
+  // over the SAME word-shingle expression minhash verifies with, the
+  // bit_count∘xor Hamming distance simhash thresholds on, and the full
+  // winnowing min-over-gram-hash structure under an engine-portable md5.
+
+  /** Exact 3-word-shingle Jaccard over a fixed bounded candidate set
+    * (docs < 30 plus their injected near-dup twins) — the verification
+    * tail of [[Dedup.minhashNearDups]], DuckDB-checked end to end. */
+  def dShingleJaccardTwin(s: SparkSession, dir: String): DataFrame = {
+    val bounded = docsWithNearDups(s, dir).filter(col("doc_id") % 1000000 < 30)
+    val posting = Dedup.shinglePosting(bounded, col("doc_id"), col("text"), 3)
+    val sets = posting.groupBy("id").agg(collect_list(col("sh")).as("sh"))
+    val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** [[Dedup.hamming64]] (bit_count∘xor — the distance simhash near-dup
+    * thresholds on) over deterministic doc_id-derived signatures, so the
+    * expression itself is DuckDB-checked bit for bit. */
+  def dHammingTwin(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("doc_id") < 50)
+      .withColumn("hamming", Dedup.hamming64(
+        col("doc_id") * 1315423911L,
+        col("doc_id") * 2654435761L + 98765L).cast("int"))
+      .select("doc_id", "hamming")
+      .orderBy("doc_id")
+
+  /** The full winnowing structure of [[TA.rollingMinHashes]] — normalize,
+    * 8-char grams, min over gram hashes — under md5 instead of xxhash64,
+    * which makes the min (lexicographic over hex strings) identical in
+    * DuckDB: the one hash swap turns a rows-only sketch into an
+    * oracle-checked one. */
+  def tRollingFpMd5Twin(s: SparkSession, dir: String): DataFrame =
+    TA.rollingMinHashes(docs(s, dir).filter(col("doc_id") < 50),
+        col("doc_id"), col("text"), k = 8, gramHash = g => md5(g.cast("binary")))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   def dDedupCorpus(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupCorpus(docsWithNearDups(s, dir), col("doc_id"), col("text"),
         minJaccard = 0.5)
@@ -179,6 +232,9 @@ object TextLLM {
     "t_langid_confusion" -> (tLangidConfusion _),
     "t_fingerprint_md5" -> (tFingerprintMd5 _),
     "t_rolling_fingerprint" -> (tRollingFingerprint _),
+    "d_shingle_jaccard_twin" -> (dShingleJaccardTwin _),
+    "d_hamming_twin" -> (dHammingTwin _),
+    "t_rolling_fp_md5_twin" -> (tRollingFpMd5Twin _),
     "d_token_jaccard_pairs" -> (dTokenJaccardPairs _),
     "m_binary_meta" -> (mBinaryMeta _),
     "s_ann_brute_top5" -> (sAnnBruteTop5 _),
@@ -232,6 +288,43 @@ object TextLLM {
         |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
         |  COUNT(*) AS n, MIN(doc_id) AS first_doc
         |FROM documents GROUP BY 1 ORDER BY 1 LIMIT 50""".stripMargin,
+    "d_shingle_jaccard_twin" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' appended' FROM documents),
+        |t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM d WHERE doc_id % 1000000 < 30),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> array_to_string(toks[i:i+2], ' ')))
+        |    END AS sh
+        |  FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+    "d_hamming_twin" ->
+      """SELECT doc_id,
+        |  CAST(bit_count(xor(doc_id * 1315423911, doc_id * 2654435761 + 98765))
+        |    AS INTEGER) AS hamming
+        |FROM documents WHERE doc_id < 50 ORDER BY 1""".stripMargin,
+    "t_rolling_fp_md5_twin" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        |  list_min(list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+        |    i -> md5(substr(t, CAST(i AS INTEGER), 8)))) AS fingerprint
+        |FROM n ORDER BY 1""".stripMargin,
     "d_token_jaccard_pairs" ->
       """WITH s AS (SELECT doc_id,
         |    list_distinct(string_split_regex(trim(regexp_replace(regexp_replace(

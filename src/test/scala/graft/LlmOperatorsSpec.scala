@@ -186,6 +186,39 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hofMism.isNullAt(0))
   }
 
+  test("ANN recall@3: LSH (multi-probe) and IVF vs brute-force truth") {
+    val dir = "/root/testdata/sf0.001"
+    def byQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.filter(col("rank") <= 3).select("qid", "nid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = byQuery(graft.queries.TextLLM.sAnnBruteTop5(spark, dir))
+    assert(truth.nonEmpty && truth.values.forall(_.size == 3))
+    def recall(approx: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size / 3.0
+      }.sum / truth.size
+    val lshRecall = recall(byQuery(graft.queries.TextLLM.sAnnLshTop3(spark, dir)))
+    val ivfRecall = recall(byQuery(graft.queries.TextLLM.sAnnIvfTop3(spark, dir)))
+    info(f"recall@3 — lsh: $lshRecall%.3f, ivf: $ivfRecall%.3f")
+    // the dials (6-bit multi-probe LSH; IVF k=8, nProbe=3) are chosen for
+    // high recall at this SF; a regression in bucketing/probing shows up
+    // as a collapse well below these floors
+    assert(lshRecall >= 0.6, f"LSH recall@3 $lshRecall%.3f < 0.6")
+    assert(ivfRecall >= 0.6, f"IVF recall@3 $ivfRecall%.3f < 0.6")
+  }
+
+  test("all-pairs guard fires before planning an unbounded nested-loop join") {
+    val many = vecsDf((1L to 20L).map(i => (i, Seq(i.toFloat, 1f))): _*)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(many, minCosine = 0.9, maxRows = 10)
+    }
+    assert(e.getMessage.contains("bucket first"))
+    // under the cap the same call works
+    val ok = Similarity.cosineNearDupPairs(many.limit(5), minCosine = -1.0, maxRows = 10)
+    assert(ok.count() == 10) // C(5,2) pairs
+  }
+
   test("cosine: orthogonal → 0, identical → 1, zero-norm → 0") {
     val df = vecsDf((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(0f, 0f)))
     val a = df.filter(col("vec_id") === 1).select(col("embedding").as("va"))

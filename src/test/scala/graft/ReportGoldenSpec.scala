@@ -43,18 +43,21 @@ class ReportGoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     (evs.toDS(), ref.replace("-", ""), total.toLong)
   }
 
-  test("mutation_csv matches the reference's output value-for-value") {
+  test("mutation_csv matches the reference's output row-for-row, IN ORDER") {
     val (evs, _, total) = events()
+    // no sort on either side: the emitted row order itself is the contract
+    // (Position asc, then first-appearance within a position)
     val mine = Reports.mutationCsv(evs, total).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2),
-        r.getLong(3), r.getString(4))).sortBy(t => (t._1, t._3))
+        r.getLong(3), r.getString(4))).toList
     val golden = res("report_golden_all_by_code.csv").drop(1).map { l =>
       val f = l.split(",", -1)
       (f(0).toInt, f(1), f(2), f(3).toLong, f(4))
-    }.sortBy(t => (t._1, t._3))
+    }
     assert(mine.length == golden.length,
       s"row count: mine=${mine.length} golden=${golden.length}")
-    mine.zip(golden).foreach { case (m, g) => assert(m == g, s"mine=$m golden=$g") }
+    mine.zip(golden).zipWithIndex.foreach { case ((m, g), i) =>
+      assert(m == g, s"row $i: mine=$m golden=$g") }
   }
 
   test("variant_counts table matches the reference's output value-for-value") {

@@ -73,6 +73,33 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lbl.toSeq == Seq("01/01/2021", "02/03"))
   }
 
+  test("C9 dates_for_graph variants: range/start-only, month style, year modes, override") {
+    import spark.implicits._
+    // three Sunday weeks straddling a year boundary — the reference's
+    // year="first" mode must stamp the year on row 0 and on the week whose
+    // END date lands in the new year
+    val weeks = Seq(("2020-12-20", "2020-12-26"), ("2020-12-27", "2021-01-02"),
+        ("2021-01-03", "2021-01-09"))
+      .toDF("ws", "we")
+      .withColumn("ws", to_date(col("ws"))).withColumn("we", to_date(col("we")))
+    def labels(dateRange: Boolean = true, numericMonth: Boolean = true,
+        year: Option[String] = None, fmt: Option[String] = None) =
+      Scalars.graphDateLabels(weeks, "ws", "we", dateRange, numericMonth, year, fmt)
+        .orderBy("ws").select("label").collect().map(_.getString(0)).toSeq
+    assert(labels() == Seq("12/20-12/26", "12/27-01/02", "01/03-01/09"))
+    assert(labels(dateRange = false) == Seq("12/20", "12/27", "01/03"))
+    assert(labels(numericMonth = false) ==
+      Seq("Dec 20-Dec 26", "Dec 27-Jan 02", "Jan 03-Jan 09"))
+    assert(labels(year = Some("all")) ==
+      Seq("12/20/20-12/26/20", "12/27/20-01/02/21", "01/03/21-01/09/21"))
+    assert(labels(year = Some("first")) ==
+      Seq("2020: 12/20-12/26", "2021: 12/27-01/02", "01/03-01/09"))
+    assert(labels(dateRange = false, year = Some("first")) ==
+      Seq("2020: 12/20", "2021: 12/27", "01/03"))
+    assert(labels(fmt = Some("yyyy.MM.dd"), dateRange = false) ==
+      Seq("2020.12.20", "2020.12.27", "2021.01.03"))
+  }
+
   test("multimodal describe + resizeMeta keep payload opaque (metadata only)") {
     import spark.implicits._
     val items = Multimodal.fromDocuments(spark,
