@@ -62,6 +62,50 @@ for case in range(1500):
         rows.append(Row(f"Uniq{case}_{r};size={random.randint(1, 99)};", "".join(seq)))
     cases.append((ref, rows))
 
+# ---- adversarial families: shapes the uniform fuzz rarely produces, and
+# where the caller's resume-index logic is most at risk (all-gap columns,
+# N/C-terminal indel stacks, length-1 alignments, fully-deleted rows,
+# long interior runs driving the del/ins/delins switchover).
+def adversarial_cases():
+    out = []
+    case_id = 10000
+    def mk(ref, variants):
+        nonlocal case_id
+        rows = [Row("Ref;size=1;", ref)]
+        for i, v in enumerate(variants):
+            assert len(v) == len(ref), (ref, v)
+            rows.append(Row(f"Adv{case_id}_{i};size={random.randint(1, 99)};", v))
+        out.append((ref, rows))
+        case_id += 1
+    # length-1 alignments: every (ref, var) combination over letter/gap
+    for rc in ["A", "-"]:
+        if rc == "-":
+            continue  # all-gap ref is rejected upstream; nothing to call
+        for vc in ["A", "C", "-"]:
+            mk(rc, [vc])
+    # all-gap COLUMNS shared by ref and variant (alignment padding)
+    mk("A--CDE--F", ["A--CDE--F", "G--CDE--F", "A--C-E--F", "A--CDEK-F"])
+    mk("--ACD--EF--", ["--ACD--EF--", "--A-D--EF--", "--ACDK-EF--"])
+    # N-terminal indel stacks: leading deletion runs, leading insertions
+    # (letters where the ref has gaps), and both stacked
+    mk("MFVKLMNP", ["---KLMNP", "----LMNP", "-------P", "AFVKLMNP"])
+    mk("---KLMNP", ["AAQKLMNP", "A--KLMNP", "AA-KLMNP", "---KLMNP"])
+    mk("--MFVKLP", ["AA-FVKLP", "A---VKLP", "AAMFVKLP"])
+    # C-terminal stacks: trailing deletions, trailing extensions
+    mk("MFVKLMNP", ["MFVKL---", "MFVKLMN-", "M-------"])
+    mk("MFVKL---", ["MFVKLAAQ", "MFVKLA--", "MFVKL--A", "MFVK-AAQ"])
+    # whole-row deletion (every ref position gapped in the variant)
+    mk("ACDEF", ["-----", "A----", "----F"])
+    # long interior runs: del->ins switchover (delins) and back-to-back
+    # opposite runs with single-column flanks
+    mk("MAAAAAAAAAP", ["M---------P", "MCCCCCCCCCP", "M----CCCCCP", "MC----CCCCP"])
+    mk("MA---AAAAP", ["MACCCAAAAP", "M----AAAAP", "MACC-AAAAP", "MA---AA--P"])
+    # interleaved all-gap columns inside an indel run (gap-run bridging)
+    mk("MA--AA--AP", ["M---------", "M--------P", "MG--AA--GP", "M---AA---P"])
+    return out
+
+cases.extend(adversarial_cases())
+
 out_dir = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources")
 os.makedirs(out_dir, exist_ok=True)
 aln_lines = []
