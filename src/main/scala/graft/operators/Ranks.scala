@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Scale-safe global ordering primitives.
   *
@@ -10,11 +11,20 @@ import org.apache.spark.sql.types.LongType
   * for Window operation"), serializing the job exactly when the data gets
   * big enough to matter. [[globalRowNumber]] computes the same rank with
   * the classic two-phase shape instead: range-repartition on the sort key
-  * (sampled bounds → balanced partitions), sort within partitions, then
-  * assign contiguous indices from per-partition counts + prefix offsets
-  * (`RDD.zipWithIndex`). Cost is one extra lightweight count job; no stage
-  * ever runs on a single task, so a `Uniq<n>` assignment over billions of
-  * distinct clusters scales with the cluster count.
+  * (sampled bounds → balanced partitions), rank WITHIN each partition
+  * (the window partitions by `spark_partition_id()`, so it is parallel),
+  * then add per-partition prefix offsets. Range partitions are ordered by
+  * the partitioner, so offset + local rank IS the global rank.
+  *
+  * Everything is one lazy plan in Tungsten/whole-stage codegen — no RDD
+  * round-trip, no row serde, no driver collect. The offsets branch and
+  * the ranking branch share the SAME range exchange (ReuseExchange
+  * dedupes the identical subtrees), so the sampled partition bounds are
+  * computed once and both branches see identical pids — and because the
+  * partition count is explicit, AQE never coalesces the stage differently
+  * per branch. The prefix sum itself is a theta self-join over the
+  * ≤`parts`-row count table (≤ parts² ≈ 1k pairs — constant), broadcast
+  * back onto the data.
   *
   * Correctness requires `order` to be a TOTAL order (include a unique
   * tiebreak column, e.g. the representative id) — equal keys split across
@@ -29,15 +39,22 @@ object Ranks {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*)
-    val schema = sorted.schema.add(outCol, LongType, nullable = false)
-    // zipWithIndex = per-partition counts (small extra job) + broadcast
-    // prefix offsets; partition order matches the range partitioner, so
-    // the index IS the global rank.
-    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(indexed, schema)
+    val withPid = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    // per-partition sizes (≤ `parts` rows) → prefix offsets via a tiny
+    // theta self-join (no window, no collect)
+    val counts = withPid.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__off"))
+    // rank within each range partition (parallel — the window IS
+    // partitioned) and shift by the broadcast offset
+    val local = row_number().over(
+      Window.partitionBy("__pid").orderBy(order: _*)).cast("long")
+    withPid.withColumn("__lrk", local)
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__off") + col("__lrk"))
+      .drop("__pid", "__lrk", "__off")
   }
 }

@@ -70,6 +70,48 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("globalRowNumber == naive global rank, with both phases over ONE range exchange") {
+    import spark.implicits._
+    val df = (1 to 10000).map(i => ((i * 2654435761L) % 997, i)).toDF("k", "id")
+    import org.apache.spark.sql.functions.col
+    val ranked = graft.operators.Ranks.globalRowNumber(
+      df, Seq(col("k").asc, col("id").asc), "rk", numPartitions = 8)
+    val got = ranked.orderBy("rk").collect()
+      .map(r => (r.getLong(2), r.getLong(0), r.getInt(1)))
+    val expected = (1 to 10000).map(i => ((i * 2654435761L) % 997, i))
+      .sorted.zipWithIndex.map { case ((k, id), i) => (i + 1L, k, id) }
+    assert(got.toSeq == expected)
+    // the offsets branch must REUSE the ranking branch's range shuffle —
+    // otherwise independently sampled bounds could disagree between phases.
+    // AQE reuse is a runtime decision (collect() first) and shows up as the
+    // SAME ShuffleQueryStage id at every consumer: walk the final plan and
+    // assert all range-shuffle stages share one id (one materialization).
+    ranked.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val adaptive = ranked.queryExecution.executedPlan.collectFirst {
+      case a: AdaptiveSparkPlanExec => a
+    }.get
+    // QueryStageExec hides its subtree from collect(); walk through .plan
+    def rangeStages(p: SparkPlan): Seq[SparkPlan] = {
+      val here = p match {
+        case s: ShuffleQueryStageExec
+            if s.shuffle.outputPartitioning.isInstanceOf[RangePartitioning] => Seq(s.plan)
+        case _ => Seq.empty
+      }
+      val kids = p match { case q: QueryStageExec => Seq(q.plan); case _ => p.children }
+      here ++ kids.flatMap(rangeStages)
+    }
+    val stages = rangeStages(adaptive.executedPlan)
+    val materialized = stages.count(_.isInstanceOf[ShuffleExchangeExec])
+    val reused = stages.count(_.isInstanceOf[ReusedExchangeExec])
+    assert(stages.size >= 3 && materialized == 1 && reused == stages.size - 1,
+      s"range shuffle must materialize ONCE and be reused by the offset " +
+        s"branches: got $materialized materialized / $reused reused of ${stages.size}")
+  }
+
   test("no registered query plans a partition-less window (single-task trap)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
