@@ -136,6 +136,39 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.toSeq == Seq(1L, 4L, 5L))
   }
 
+  test("dedupCorpus: 40 synthetic clusters resolve to exactly min-id survivors") {
+    // ground truth BY CONSTRUCTION: each cluster draws from a disjoint
+    // 30-token vocabulary (inter-cluster jaccard = 0) and members are
+    // 1-token perturbations of the seed (pairwise jaccard ≈ 0.94, far
+    // above the 0.5 threshold and high enough that 8×3 LSH bands collide
+    // with probability ≈ 1) — so the ONLY correct answer is one survivor
+    // per cluster, the minimum doc id. Any regression in banding,
+    // verification, components, or survivor selection breaks this.
+    val rng = new scala.util.Random(4242)
+    val docs = Seq.newBuilder[(Long, String)]
+    val expected = Seq.newBuilder[Long]
+    var nextId = 1L
+    for (c <- 0 until 40) {
+      val vocab = (0 until 30).map(t => s"w${c}_$t")
+      val seed = rng.shuffle(vocab).mkString(" ")
+      val size = 1 + rng.nextInt(6)
+      val ids = (0 until size).map { m =>
+        val id = nextId; nextId += 1
+        val text = if (m == 0) seed else {
+          val toks = seed.split(" ").toBuffer
+          toks(rng.nextInt(toks.size)) = s"w${c}_x$m" // one-token swap
+          toks.mkString(" ")
+        }
+        docs += ((id, text)); id
+      }
+      expected += ids.min
+    }
+    val kept = Dedup.dedupCorpus(docsDf(docs.result(): _*),
+        col("doc_id"), col("text"), minJaccard = 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == expected.result().sorted)
+  }
+
   test("simhash: identical texts hash equal; perturbation stays within band distance") {
     val df = docsDf(
       (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
