@@ -82,6 +82,59 @@ object TextAnalysis {
     checks.map(c => when(c, 1.0).otherwise(0.0)).reduce(_ + _) / checks.size
   }
 
+  // ---------------------------------------------- repetition (Gopher-style)
+
+  /** Gopher-style repetition statistics, relational (the scale path — a
+    * per-row HOF mode computation would be interpreted O(tokens²)):
+    * token n-grams explode once, one count aggregate finds each document's
+    * most frequent n-gram, and line stats come from a plain split. Output
+    * per id: `n_tokens`, `top_ngram_count`, `top_ngram_fraction`
+    * (tokens covered by the most frequent n-gram: count × n / tokens),
+    * `n_lines`, `dup_line_fraction` — the two repetition filters every
+    * large-corpus quality pipeline applies before training. */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: Column,
+      textCol: Column, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    val base = df.select(idCol.as("id"), textCol.as("__text"),
+      wsTokens(lower(textCol)).as("toks"))
+    val lineStats = base.select(col("id"),
+        size(col("toks")).as("n_tokens"),
+        split(col("__text"), "\n").as("__lines"))
+      .select(col("id"), col("n_tokens"),
+        size(col("__lines")).as("n_lines"),
+        (size(col("__lines")) - size(array_distinct(col("__lines"))))
+          .cast("double")./(greatest(size(col("__lines")), lit(1)))
+          .as("dup_line_fraction"))
+    val grams = base.select(col("id"),
+        explode(when(size(col("toks")) < n, array(concat_ws(" ", col("toks"))))
+          .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))).as("g"))
+    val top = grams.groupBy("id", "g").agg(count(lit(1)).as("__cnt"))
+      .groupBy("id").agg(max(col("__cnt")).as("top_ngram_count"))
+    lineStats.join(top, Seq("id"))
+      .withColumn("top_ngram_fraction",
+        (col("top_ngram_count") * n).cast("double") / greatest(col("n_tokens"), lit(1)))
+      .select("id", "n_tokens", "top_ngram_count", "top_ngram_fraction",
+        "n_lines", "dup_line_fraction")
+  }
+
+  // ------------------------------------------------------- PII redaction
+
+  /** Java-regex AND RE2 compatible patterns (no backrefs/lookaround), so
+    * the DuckDB oracle can apply the identical expressions. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,2}[ .-]?\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}"
+
+  /** Count of pattern occurrences in `text` (codegen'd, zero UDF). */
+  def patternCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** PII redaction: emails first (their digit runs must not be half-eaten
+    * by the phone pass), then phone-shaped sequences. Pure
+    * `regexp_replace` — runs at scan speed over 100 TB. */
+  def redactPii(text: Column, emailToken: String = "<EMAIL>",
+      phoneToken: String = "<PHONE>"): Column =
+    regexp_replace(regexp_replace(text, EmailRe, emailToken), PhoneRe, phoneToken)
+
   /** Canonical form for fingerprinting: lowercase, punctuation stripped,
     * whitespace collapsed. */
   def normalized(text: Column): Column =

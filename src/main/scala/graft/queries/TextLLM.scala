@@ -212,6 +212,29 @@ object TextLLM {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Gopher-style repetition filter stats per document (bounded output;
+    * the operator itself is corpus-scale). */
+  def tRepetitionStats(s: SparkSession, dir: String): DataFrame =
+    TA.repetitionStats(docs(s, dir).filter(col("doc_id") < 80),
+        col("doc_id"), col("text"), n = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** PII count + redaction over text augmented with a deterministic
+    * doc_id-derived email and phone (the raw corpus has none — the
+    * augmentation is mirrored in the oracle, so the counts and the md5 of
+    * the REDACTED text are exact cross-engine checks). */
+  def tPiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"), lit(" contact"), col("doc_id").cast("string"),
+      lit("@example.com or +1 (555) 010-1234"))
+    docs(s, dir).filter(col("doc_id") < 80)
+      .select(col("doc_id"),
+        TA.patternCount(aug, TA.EmailRe).cast("bigint").as("n_emails"),
+        TA.patternCount(aug, TA.PhoneRe).cast("bigint").as("n_phones"),
+        md5(TA.redactPii(aug).cast("binary")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   def dDedupCorpus(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupCorpus(docsWithNearDups(s, dir), col("doc_id"), col("text"),
         minJaccard = 0.5)
@@ -233,6 +256,8 @@ object TextLLM {
     "t_fingerprint_md5" -> (tFingerprintMd5 _),
     "t_rolling_fingerprint" -> (tRollingFingerprint _),
     "d_shingle_jaccard_twin" -> (dShingleJaccardTwin _),
+    "t_repetition_stats" -> (tRepetitionStats _),
+    "t_pii_redaction" -> (tPiiRedaction _),
     "d_hamming_twin" -> (dHammingTwin _),
     "t_rolling_fp_md5_twin" -> (tRollingFpMd5Twin _),
     "d_token_jaccard_pairs" -> (dTokenJaccardPairs _),
@@ -325,6 +350,44 @@ object TextLLM {
         |  list_min(list_transform(range(1, greatest(length(t) - 7, 1) + 1),
         |    i -> md5(substr(t, CAST(i AS INTEGER), 8)))) AS fingerprint
         |FROM n ORDER BY 1""".stripMargin,
+    "t_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 80),
+        |l AS (SELECT doc_id, len(toks) AS n_tokens,
+        |    string_split(text, chr(10)) AS lines, toks FROM t),
+        |g AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks)),
+        |           i -> array_to_string(toks[i:i+1], ' '))
+        |    END) AS gram FROM l),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        |m AS (SELECT doc_id, MAX(cnt) AS top_ngram_count FROM c GROUP BY 1)
+        |SELECT l.doc_id, CAST(l.n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(m.top_ngram_count AS BIGINT) AS top_ngram_count,
+        |  CAST(m.top_ngram_count * 2 AS DOUBLE) / greatest(l.n_tokens, 1)
+        |    AS top_ngram_fraction,
+        |  CAST(len(lines) AS INTEGER) AS n_lines,
+        |  CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+        |    / greatest(len(lines), 1) AS dup_line_fraction
+        |FROM l JOIN m ON l.doc_id = m.doc_id
+        |ORDER BY 1""".stripMargin,
+    "t_pii_redaction" ->
+      """WITH a AS (SELECT doc_id,
+        |    text || ' contact' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or +1 (555) 010-1234' AS aug
+        |  FROM documents WHERE doc_id < 80)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '\+?[0-9]{1,2}[ .-]?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9]{1,2}[ .-]?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}',
+        |    '<PHONE>', 'g')) AS redacted_md5
+        |FROM a ORDER BY 1""".stripMargin,
     "d_token_jaccard_pairs" ->
       """WITH s AS (SELECT doc_id,
         |    list_distinct(string_split_regex(trim(regexp_replace(regexp_replace(

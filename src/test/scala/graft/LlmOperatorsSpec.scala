@@ -136,6 +136,31 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.toSeq == Seq(1L, 4L, 5L))
   }
 
+  test("repetitionStats: top-bigram and duplicate-line fractions (Gopher rules)") {
+    import graft.operators.TextAnalysis
+    val df = docsDf(
+      (1L, "spam spam spam spam ham"), // bigram "spam spam" ×3 of 4
+      (2L, "all words here differ totally"),
+      (3L, "line one\nline one\nline two")) // 1 dup of 3 lines
+    val got = TextAnalysis.repetitionStats(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getInt(4), r.getDouble(5))).toMap
+    assert(got(1L) == ((3L, 3 * 2 / 5.0, 1, 0.0)))
+    assert(got(2L)._1 == 1L && got(2L)._2 == 2 / 5.0)
+    assert(got(3L)._3 == 3 && got(3L)._4 == 1 / 3.0)
+  }
+
+  test("redactPii replaces emails and phone shapes; counts match") {
+    import graft.operators.TextAnalysis
+    val df = docsDf((1L, "mail a.user+tag@sub.example.org or call +1 (555) 010-1234 today"))
+    val r = df.select(
+      TextAnalysis.redactPii(col("text")).as("red"),
+      TextAnalysis.patternCount(col("text"), TextAnalysis.EmailRe).as("ne"),
+      TextAnalysis.patternCount(col("text"), TextAnalysis.PhoneRe).as("np")).head()
+    assert(r.getString(0) == "mail <EMAIL> or call <PHONE> today")
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1)
+  }
+
   test("dedupCorpus: 40 synthetic clusters resolve to exactly min-id survivors") {
     // ground truth BY CONSTRUCTION: each cluster draws from a disjoint
     // 30-token vocabulary (inter-cluster jaccard = 0) and members are
