@@ -111,8 +111,11 @@ object TextAnalysis {
     val top = grams.groupBy("id", "g").agg(count(lit(1)).as("__cnt"))
       .groupBy("id").agg(max(col("__cnt")).as("top_ngram_count"))
     lineStats.join(top, Seq("id"))
+      // least(1.0, ...): the short-doc fallback gram spans ALL tokens, so
+      // without the clamp a 1-token doc would report a fraction of n
       .withColumn("top_ngram_fraction",
-        (col("top_ngram_count") * n).cast("double") / greatest(col("n_tokens"), lit(1)))
+        least(lit(1.0),
+          (col("top_ngram_count") * n).cast("double") / greatest(col("n_tokens"), lit(1))))
       .select("id", "n_tokens", "top_ngram_count", "top_ngram_fraction",
         "n_lines", "dup_line_fraction")
   }

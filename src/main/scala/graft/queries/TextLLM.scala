@@ -366,7 +366,7 @@ object TextLLM {
         |m AS (SELECT doc_id, MAX(cnt) AS top_ngram_count FROM c GROUP BY 1)
         |SELECT l.doc_id, CAST(l.n_tokens AS INTEGER) AS n_tokens,
         |  CAST(m.top_ngram_count AS BIGINT) AS top_ngram_count,
-        |  CAST(m.top_ngram_count * 2 AS DOUBLE) / greatest(l.n_tokens, 1)
+        |  least(1.0, CAST(m.top_ngram_count * 2 AS DOUBLE) / greatest(l.n_tokens, 1))
         |    AS top_ngram_fraction,
         |  CAST(len(lines) AS INTEGER) AS n_lines,
         |  CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)

@@ -107,6 +107,16 @@ object StreamingTimeSeries {
       .withWatermark(tsCol, retention)
       .dropDuplicatesWithinWatermark("h64", "h256")
 
+  /** Stream-static enrichment — the ingestion-time face of the batch
+    * metadata join (J1): arriving events left-join a static dimension by
+    * key. The static side is broadcast into every micro-batch, so the
+    * STREAM never shuffles — the same broadcast discipline the batch
+    * plan asserts, applied at ingestion. Combine with [[weeklyCounts]]
+    * downstream for enriched weekly aggregates. */
+  def enrichedStream(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Current weekly matrix from the foreachBatch target: latest batch's
     * value per (key, week). */
   def latestWeekly(spark: org.apache.spark.sql.SparkSession,

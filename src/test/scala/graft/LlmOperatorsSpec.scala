@@ -145,7 +145,8 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = TextAnalysis.repetitionStats(df, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) ->
         (r.getLong(2), r.getDouble(3), r.getInt(4), r.getDouble(5))).toMap
-    assert(got(1L) == ((3L, 3 * 2 / 5.0, 1, 0.0)))
+    // "spam spam" ×3 covers 6 token-slots of 5 (overlap) → clamped to 1.0
+    assert(got(1L) == ((3L, 1.0, 1, 0.0)))
     assert(got(2L)._1 == 1L && got(2L)._2 == 2 / 5.0)
     assert(got(3L)._3 == 3 && got(3L)._4 == 1 / 3.0)
   }

@@ -120,6 +120,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally out.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the broadcast dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("purchase", "revenue"), ("signup", "growth"))
+      .toDF("event_type", "category")
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val out = StreamingTimeSeries.enrichedStream(
+        input.toDF().toDF("ts", "event_type"), dim, "event_type")
+      .select("event_type", "category")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_test").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((t("2021-01-03 10:00:00"), "purchase"),
+        (t("2021-01-03 11:00:00"), "unknown_evt"))
+      out.processAllAvailable()
+      val rows = spark.table("enrich_test").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(rows == Map("purchase" -> Some("revenue"), "unknown_evt" -> None))
+    } finally out.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
