@@ -120,6 +120,33 @@ object TextAnalysis {
         "n_lines", "dup_line_fraction")
   }
 
+  // ----------------------------------------------------------- chunking
+
+  /** Token-bounded document chunking with overlap — the step before
+    * packing sequences for training. One row per chunk:
+    * `(id, chunk_idx, chunk_text, n_chunk_tokens)`; chunk i starts at
+    * token i×(maxTokens−overlap), every document emits ≥1 chunk (an
+    * empty text yields one empty chunk, so no document silently
+    * disappears from the corpus). Pure explode over a computed range —
+    * no shuffle at all; at 100 TB this is a flat map at scan speed. */
+  def chunkByTokens(df: org.apache.spark.sql.DataFrame, idCol: Column,
+      textCol: Column, maxTokens: Int,
+      overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens, "overlap must be in [0, maxTokens)")
+    val step = maxTokens - overlap
+    val t = df.select(idCol.as("id"), wsTokens(textCol).as("toks"))
+    val nChunks = greatest(lit(1),
+      ceil((size(col("toks")) - overlap).cast("double") / step).cast("int"))
+    t.select(col("id"), col("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .withColumn("__chunk",
+        slice(col("toks"), col("chunk_idx") * step + 1, lit(maxTokens)))
+      .select(col("id"), col("chunk_idx"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"),
+        size(col("__chunk")).as("n_chunk_tokens"))
+  }
+
   // ------------------------------------------------------- PII redaction
 
   /** Java-regex AND RE2 compatible patterns (no backrefs/lookaround), so

@@ -235,6 +235,17 @@ object TextLLM {
       .orderBy("doc_id")
   }
 
+  /** Token-window chunking with overlap (32-token chunks, 8 overlap) —
+    * the sequence-packing precursor; md5 of each chunk makes the oracle
+    * compare exact. */
+  def tChunking(s: SparkSession, dir: String): DataFrame =
+    TA.chunkByTokens(docs(s, dir).filter(col("doc_id") < 40),
+        col("doc_id"), col("text"), maxTokens = 32, overlap = 8)
+      .withColumnRenamed("id", "doc_id")
+      .withColumn("chunk_md5", md5(col("chunk_text").cast("binary")))
+      .drop("chunk_text")
+      .orderBy("doc_id", "chunk_idx")
+
   def dDedupCorpus(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupCorpus(docsWithNearDups(s, dir), col("doc_id"), col("text"),
         minJaccard = 0.5)
@@ -258,6 +269,7 @@ object TextLLM {
     "d_shingle_jaccard_twin" -> (dShingleJaccardTwin _),
     "t_repetition_stats" -> (tRepetitionStats _),
     "t_pii_redaction" -> (tPiiRedaction _),
+    "t_chunking" -> (tChunking _),
     "d_hamming_twin" -> (dHammingTwin _),
     "t_rolling_fp_md5_twin" -> (tRollingFpMd5Twin _),
     "d_token_jaccard_pairs" -> (dTokenJaccardPairs _),
@@ -388,6 +400,21 @@ object TextLLM {
         |    '\+?[0-9]{1,2}[ .-]?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}',
         |    '<PHONE>', 'g')) AS redacted_md5
         |FROM a ORDER BY 1""".stripMargin,
+    "t_chunking" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 40),
+        |n AS (SELECT doc_id, toks,
+        |    greatest(1, CAST(ceil((len(toks) - 8) / 24.0) AS INTEGER)) AS n_chunks
+        |  FROM t),
+        |c AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS ci FROM n),
+        |s AS (SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+        |    toks[(ci*24 + 1):(ci*24 + 32)] AS chunk FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(chunk) AS INTEGER) AS n_chunk_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM s ORDER BY 1, 2""".stripMargin,
     "d_token_jaccard_pairs" ->
       """WITH s AS (SELECT doc_id,
         |    list_distinct(string_split_regex(trim(regexp_replace(regexp_replace(

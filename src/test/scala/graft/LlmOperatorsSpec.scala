@@ -151,6 +151,23 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L)._3 == 3 && got(3L)._4 == 1 / 3.0)
   }
 
+  test("chunkByTokens: overlapping windows, full coverage, empty doc keeps one chunk") {
+    import graft.operators.TextAnalysis
+    val words = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = docsDf((1L, words), (2L, ""), (3L, "solo"))
+    val got = TextAnalysis.chunkByTokens(df, col("doc_id"), col("text"),
+        maxTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getInt(3))).toMap
+    // step = 3: starts at tokens 1, 4, 7, 10 — ceil((10-1)/3) = 3 chunks
+    assert(got((1L, 0)) == (("w1 w2 w3 w4", 4)))
+    assert(got((1L, 1)) == (("w4 w5 w6 w7", 4))) // 1-token overlap
+    assert(got((1L, 2)) == (("w7 w8 w9 w10", 4)))
+    assert(!got.contains((1L, 3)))
+    assert(got((2L, 0)) == (("", 0))) // empty doc still emits one chunk
+    assert(got((3L, 0)) == (("solo", 1)))
+  }
+
   test("redactPii replaces emails and phone shapes; counts match") {
     import graft.operators.TextAnalysis
     val df = docsDf((1L, "mail a.user+tag@sub.example.org or call +1 (555) 010-1234 today"))
