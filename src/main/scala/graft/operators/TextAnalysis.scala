@@ -147,6 +147,26 @@ object TextAnalysis {
         size(col("__chunk")).as("n_chunk_tokens"))
   }
 
+  // --------------------------------------------------- deterministic split
+
+  /** Deterministic train/val/test assignment: the first 4 hex chars of
+    * `md5(key)` are compared against cumulative weight thresholds
+    * (granularity 1/65536), so the label is a pure function of the key —
+    * stable across runs, partitionings, and engines (the DuckDB oracle
+    * applies the identical string comparison). Weights are given in
+    * label order and must sum to ~1; the last label absorbs rounding.
+    * Zero shuffle: a scan-speed expression, never a sample(). */
+  def hashSplit(key: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-6, "weights must sum to 1")
+    val hex = substring(md5(key.cast("string").cast("binary")), 1, 4)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val thresholds = cum.init.map(c => f"${math.round(c * 65536).toInt}%04x")
+    splits.init.zip(thresholds).foldRight(lit(splits.last._1): Column) {
+      case (((label, _), thr), acc) => when(hex < thr, label).otherwise(acc)
+    }
+  }
+
   // ------------------------------------------------------- PII redaction
 
   /** Java-regex AND RE2 compatible patterns (no backrefs/lookaround), so

@@ -246,6 +246,16 @@ object TextLLM {
       .drop("chunk_text")
       .orderBy("doc_id", "chunk_idx")
 
+  /** Deterministic 80/10/10 corpus split by id hash — label counts and
+    * first id per split, exact across engines. */
+  def tHashSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TA.hashSplit(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
+      .orderBy("split")
+
   def dDedupCorpus(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupCorpus(docsWithNearDups(s, dir), col("doc_id"), col("text"),
         minJaccard = 0.5)
@@ -270,6 +280,7 @@ object TextLLM {
     "t_repetition_stats" -> (tRepetitionStats _),
     "t_pii_redaction" -> (tPiiRedaction _),
     "t_chunking" -> (tChunking _),
+    "t_hash_split" -> (tHashSplit _),
     "d_hamming_twin" -> (dHammingTwin _),
     "t_rolling_fp_md5_twin" -> (tRollingFpMd5Twin _),
     "d_token_jaccard_pairs" -> (dTokenJaccardPairs _),
@@ -400,6 +411,14 @@ object TextLLM {
         |    '\+?[0-9]{1,2}[ .-]?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}',
         |    '<PHONE>', 'g')) AS redacted_md5
         |FROM a ORDER BY 1""".stripMargin,
+    "t_hash_split" ->
+      """WITH s AS (SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, COUNT(*) AS n, MIN(doc_id) AS first_id
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_chunking" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split_regex(trim(text), '\s+'),

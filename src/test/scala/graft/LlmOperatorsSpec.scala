@@ -168,6 +168,25 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got((3L, 0)) == (("solo", 1)))
   }
 
+  test("hashSplit: deterministic, exhaustive, proportional to weights") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = (1 to 10000).toDF("id")
+    val splitCol = TextAnalysis.hashSplit(col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = df.select(splitCol.as("s")).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L) // every row labeled
+    assert(counts("train") > 7700 && counts("train") < 8300)
+    assert(counts("val") > 700 && counts("val") < 1300)
+    assert(counts("test") > 700 && counts("test") < 1300)
+    // stable: same ids → same labels on a re-evaluation
+    val twice = df.select(col("id"), splitCol.as("a"))
+      .join(df.select(col("id"), splitCol.as("b")), "id")
+      .filter(col("a") =!= col("b")).count()
+    assert(twice == 0L)
+  }
+
   test("redactPii replaces emails and phone shapes; counts match") {
     import graft.operators.TextAnalysis
     val df = docsDf((1L, "mail a.user+tag@sub.example.org or call +1 (555) 010-1234 today"))
