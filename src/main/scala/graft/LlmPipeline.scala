@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation — the LLM-side analog of
+  * [[Pipeline]]: raw documents → quality gate → near-duplicate removal →
+  * token-window chunking → deterministic split → parquet partitioned by
+  * split. Every stage is one of the engine's tested operators; this
+  * object only composes them, so the whole flow inherits their scale
+  * properties (hash-key shuffles, bucket joins, zero-shuffle chunking).
+  *
+  * Leakage note: the train/val/test label is assigned from the DOCUMENT
+  * id and inherited by its chunks — assigning per chunk would scatter
+  * near-identical overlapping windows of one document across splits,
+  * quietly leaking train content into eval.
+  */
+object LlmPipeline {
+
+  /** Quality-gated, deduplicated, chunked, split corpus. Returns the
+    * chunk-level frame that was written:
+    * `(doc_id, chunk_idx, chunk_text, n_chunk_tokens, quality, lang, split)`. */
+  def curate(docs: DataFrame, idCol: Column, textCol: Column, outDir: String,
+      maxTokens: Int = 512, overlap: Int = 64, minQuality: Double = 0.6,
+      minJaccard: Double = 0.8,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      : DataFrame = {
+    // 1. score + gate (scan-speed expressions, no shuffle)
+    val scored = docs
+      .withColumn("__id", idCol)
+      .withColumn("__text", textCol)
+      .withColumn("quality", TextAnalysis.qualityScore(textCol))
+      .withColumn("lang", TextAnalysis.languageGuessFromTokens(
+        TextAnalysis.wsTokens(lower(textCol))))
+      .filter(col("quality") >= minQuality)
+    // 2. exact + near dedup → survivor ids (hash shuffles only), then a
+    //    semi join keeps the surviving documents' full rows
+    val survivors = Dedup.dedupCorpus(scored, col("__id"), col("__text"),
+      minJaccard = minJaccard)
+    val kept = scored.join(survivors.select(col("id").as("__id")), Seq("__id"), "left_semi")
+    // 3. split label from the DOCUMENT id (leak-free), then chunk — the
+    //    doc-level columns ride through the chunker, zero joins
+    val labeled = kept.withColumn("split",
+      TextAnalysis.hashSplit(col("__id"), splits))
+    val chunks = TextAnalysis.chunkByTokens(labeled, col("__id"), col("__text"),
+        maxTokens, overlap, passthrough = Seq("quality", "lang", "split"))
+      .withColumnRenamed("id", "doc_id")
+    chunks.write.mode("overwrite").partitionBy("split").parquet(outDir)
+    chunks
+  }
+}

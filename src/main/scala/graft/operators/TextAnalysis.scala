@@ -130,21 +130,25 @@ object TextAnalysis {
     * disappears from the corpus). Pure explode over a computed range —
     * no shuffle at all; at 100 TB this is a flat map at scan speed. */
   def chunkByTokens(df: org.apache.spark.sql.DataFrame, idCol: Column,
-      textCol: Column, maxTokens: Int,
-      overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+      textCol: Column, maxTokens: Int, overlap: Int = 0,
+      passthrough: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     require(overlap >= 0 && overlap < maxTokens, "overlap must be in [0, maxTokens)")
     val step = maxTokens - overlap
-    val t = df.select(idCol.as("id"), wsTokens(textCol).as("toks"))
+    // document-level columns ride along through the explode — never join
+    // chunk rows back to a doc table (that join would shuffle the largest
+    // frame in the pipeline)
+    val pass = passthrough.map(col)
+    val t = df.select(idCol.as("id") +: wsTokens(textCol).as("toks") +: pass: _*)
     val nChunks = greatest(lit(1),
       ceil((size(col("toks")) - overlap).cast("double") / step).cast("int"))
-    t.select(col("id"), col("toks"),
-        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+    t.select(col("id") +: col("toks") +:
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx") +: pass: _*)
       .withColumn("__chunk",
         slice(col("toks"), col("chunk_idx") * step + 1, lit(maxTokens)))
-      .select(col("id"), col("chunk_idx"),
-        concat_ws(" ", col("__chunk")).as("chunk_text"),
-        size(col("__chunk")).as("n_chunk_tokens"))
+      .select(col("id") +: col("chunk_idx") +:
+        concat_ws(" ", col("__chunk")).as("chunk_text") +:
+        size(col("__chunk")).as("n_chunk_tokens") +: pass: _*)
   }
 
   // --------------------------------------------------- deterministic split

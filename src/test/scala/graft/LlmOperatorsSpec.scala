@@ -168,6 +168,33 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got((3L, 0)) == (("solo", 1)))
   }
 
+  test("LlmPipeline.curate: gate → dedup → chunk → leak-free split → partitioned parquet") {
+    val good = (1 to 12).map(i => s"word$i the and of to in is that").mkString(" ")
+    val df = docsDf(
+      (1L, good), (2L, good), // exact dups → one survivor
+      (3L, good + " extra"), // near-dup of 1 → removed transitively
+      (4L, "!!! ??? ;;; ###"), // fails the quality gate
+      (5L, (1 to 40).map(i => s"u$i the of and to").mkString(" ")))
+    val out = "/tmp/graft_llm_curate"
+    val chunks = LlmPipeline.curate(df, col("doc_id"), col("text"), out,
+      maxTokens = 64, overlap = 8, minQuality = 0.6, minJaccard = 0.5)
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.keySet == Set(1L, 5L)) // junk gated, dups collapsed to min id
+    assert(perDoc.values.forall(_ == 1L)) // every doc in exactly ONE split
+    // doc 5 has 200 tokens → ceil((200-8)/56) = 4 chunks
+    assert(chunks.filter(col("doc_id") === 5L).count() == 4L)
+    // partitioned layout on disk: every split dir that exists is one of ours
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("split="))
+    assert(dirs.nonEmpty &&
+      dirs.forall(d => Set("split=train", "split=val", "split=test").contains(d)))
+    val back = spark.read.parquet(out)
+    assert(back.count() == chunks.count())
+    assert(back.columns.contains("split") && back.columns.contains("quality"))
+  }
+
   test("hashSplit: deterministic, exhaustive, proportional to weights") {
     import spark.implicits._
     import graft.operators.TextAnalysis
