@@ -90,6 +90,11 @@ object ScaleProbe {
     timed("dedup_corpus_full") {
       Dedup.dedupCorpus(docs, col("doc_id"), col("text"), minJaccard = 0.5).count()
     }
+    timed("curate_end_to_end") { // gate → dedup → chunk → split → parquet
+      LlmPipeline.curate(docs, col("doc_id"), col("text"),
+        "/tmp/graft_scale_curated", maxTokens = 64, overlap = 8,
+        minQuality = 0.2, minJaccard = 0.5).count()
+    }
 
     val vecs = spark.range(nDocs).map { i =>
       val r = new scala.util.Random(i)
