@@ -171,6 +171,30 @@ object TextAnalysis {
     }
   }
 
+  // ------------------------------------------ substring-level duplication
+
+  /** Repeated k-token windows across the corpus — the substring-dedup /
+    * contamination-analysis shape (find every k-token span that occurs
+    * more than once, within or across documents). One explode over the
+    * token windows, one aggregate over their hashes: the shuffle carries
+    * 16-byte window digests, never the text, so at 100 TB the exchanged
+    * volume is (tokens × 16 B), bounded and hash-shaped. Returns
+    * `(window_md5, n_docs, n_occurrences)` for windows with more than one
+    * occurrence; join back on the hash to locate spans. */
+  def duplicateWindows(df: org.apache.spark.sql.DataFrame, idCol: Column,
+      textCol: Column, k: Int = 50): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    val t = df.select(idCol.as("id"), wsTokens(lower(textCol)).as("toks"))
+    val wins = t.select(col("id"), explode(
+        when(size(col("toks")) < k, array(concat_ws(" ", col("toks"))))
+          .otherwise(transform(sequence(lit(0), size(col("toks")) - k),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))).as("w"))
+    wins.groupBy(md5(col("w").cast("binary")).as("window_md5"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") > 1)
+  }
+
   // ------------------------------------------------------- PII redaction
 
   /** Java-regex AND RE2 compatible patterns (no backrefs/lookaround), so

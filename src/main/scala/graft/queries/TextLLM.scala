@@ -256,6 +256,14 @@ object TextLLM {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
       .orderBy("split")
 
+  /** Repeated 16-token windows over docs + their injected near-dup twins
+    * (the twins guarantee shared spans) — substring-level dup detection. */
+  def dDupWindows(s: SparkSession, dir: String): DataFrame =
+    TA.duplicateWindows(
+        docsWithNearDups(s, dir).filter(col("doc_id") % 1000000 < 100),
+        col("doc_id"), col("text"), k = 16)
+      .orderBy("window_md5")
+
   def dDedupCorpus(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupCorpus(docsWithNearDups(s, dir), col("doc_id"), col("text"),
         minJaccard = 0.5)
@@ -281,6 +289,7 @@ object TextLLM {
     "t_pii_redaction" -> (tPiiRedaction _),
     "t_chunking" -> (tChunking _),
     "t_hash_split" -> (tHashSplit _),
+    "d_dup_windows" -> (dDupWindows _),
     "d_hamming_twin" -> (dHammingTwin _),
     "t_rolling_fp_md5_twin" -> (tRollingFpMd5Twin _),
     "d_token_jaccard_pairs" -> (dTokenJaccardPairs _),
@@ -411,6 +420,24 @@ object TextLLM {
         |    '\+?[0-9]{1,2}[ .-]?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}',
         |    '<PHONE>', 'g')) AS redacted_md5
         |FROM a ORDER BY 1""".stripMargin,
+    "d_dup_windows" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' appended' FROM documents),
+        |t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM d WHERE doc_id % 1000000 < 100),
+        |w AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 16 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 14),
+        |           i -> array_to_string(toks[i:i+15], ' '))
+        |    END) AS win FROM t)
+        |SELECT md5(win) AS window_md5,
+        |  COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+        |FROM w GROUP BY 1 HAVING COUNT(*) > 1
+        |ORDER BY 1""".stripMargin,
     "t_hash_split" ->
       """WITH s AS (SELECT doc_id,
         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'

@@ -195,6 +195,21 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.columns.contains("split") && back.columns.contains("quality"))
   }
 
+  test("duplicateWindows finds shared k-token spans within and across docs") {
+    import graft.operators.TextAnalysis
+    val span = (1 to 6).map(i => s"s$i").mkString(" ") // 6 shared tokens
+    val df = docsDf(
+      (1L, s"a1 a2 $span a3"),
+      (2L, s"b1 $span b2 b3"), // shares the 6-token span with doc 1
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8"), // no repeats
+      (4L, "r r r r r r r r")) // internal repetition only
+    val got = TextAnalysis.duplicateWindows(df, col("doc_id"), col("text"), k = 6)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // exactly one cross-doc window (the span) and one intra-doc window
+    // ("r r r r r r" ×3 occurrences in doc 4)
+    assert(got.sorted.toSeq == Seq((1L, 3L), (2L, 2L)))
+  }
+
   test("hashSplit: deterministic, exhaustive, proportional to weights") {
     import spark.implicits._
     import graft.operators.TextAnalysis
