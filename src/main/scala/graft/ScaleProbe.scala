@@ -90,6 +90,9 @@ object ScaleProbe {
     timed("dedup_corpus_full") {
       Dedup.dedupCorpus(docs, col("doc_id"), col("text"), minJaccard = 0.5).count()
     }
+    timed("dup_windows_16tok") { // ~11M exploded windows, 16-byte digests
+      TextAnalysis.duplicateWindows(docs, col("doc_id"), col("text"), k = 16).count()
+    }
     timed("curate_end_to_end") { // gate → dedup → chunk → split → parquet
       LlmPipeline.curate(docs, col("doc_id"), col("text"),
         "/tmp/graft_scale_curated", maxTokens = 64, overlap = 8,
