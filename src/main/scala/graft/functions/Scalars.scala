@@ -54,22 +54,27 @@ object Scalars {
   }
 
   /** DataFrame face of [[graphDateLabel]]: adds a `label` column over
-    * `(startCol, endCol)` rows ordered by start date, computing the
-    * `year="first"` new-year flag with a lag over the ordered axis. The
-    * input is a PLOT-AXIS table (one row per displayed week — dozens of
-    * rows by construction), so the partition-less lag window is fine here;
-    * never call this on row-scale data. */
+    * `(startCol, endCol)` rows ordered by start date. The `year="first"`
+    * new-year flag needs each row's PREDECESSOR year — computed with the
+    * scale-safe global rank ([[graft.operators.Ranks.globalRowNumber]])
+    * and a self-join on rank−1 instead of a partition-less lag window, so
+    * even this axis-shaped helper never plans a single-task stage. */
   def graphDateLabels(df: DataFrame, startCol: String, endCol: String,
       dateRange: Boolean = true, numericMonth: Boolean = true,
       year: Option[String] = None,
       formatOverride: Option[String] = None): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(startCol)
-    val prevEndYear = lag(org.apache.spark.sql.functions.year(col(endCol)), 1).over(w)
-    val newYear = prevEndYear.isNull ||
-      org.apache.spark.sql.functions.year(col(endCol)) =!= prevEndYear
-    df.withColumn("label",
-      graphDateLabel(col(startCol), col(endCol), dateRange, numericMonth,
-        year, newYear, formatOverride))
+    val yearFn = org.apache.spark.sql.functions.year _
+    val ranked = graft.operators.Ranks.globalRowNumber(
+      df, Seq(col(startCol).asc), "__rk")
+    val prev = ranked.select((col("__rk") + 1).as("__rk"),
+      yearFn(col(endCol)).as("__prev_end_year"))
+    val newYear = col("__prev_end_year").isNull ||
+      yearFn(col(endCol)) =!= col("__prev_end_year")
+    ranked.join(prev, Seq("__rk"), "left")
+      .withColumn("label",
+        graphDateLabel(col(startCol), col(endCol), dateRange, numericMonth,
+          year, newYear, formatOverride))
+      .drop("__rk", "__prev_end_year")
   }
 
   /** C16 — `Drange` decimal range (`/root/reference/Seq_Tools.py:57–74`):

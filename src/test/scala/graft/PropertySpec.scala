@@ -120,6 +120,55 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("chunking totality: non-overlap parts reconstruct every document (300 random docs)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val rng = new Random(6)
+    val docs = (1 to 300).map { i =>
+      (i.toLong, Seq.fill(rng.nextInt(120))(s"t${rng.nextInt(50)}").mkString(" "))
+    }
+    val maxTokens = 16; val overlap = 5; val step = maxTokens - overlap
+    val chunks = TextAnalysis.chunkByTokens(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), maxTokens, overlap)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val cs = chunks(id)
+      // dropping each chunk's overlapping prefix (except the first)
+      // re-concatenates to exactly the original token stream
+      val rebuilt = (cs.head +: cs.tail.map(_.split(" ").filter(_.nonEmpty)
+        .drop(overlap).mkString(" "))).filter(_.nonEmpty).flatMap(_.split(" "))
+      // every chunk except the last is full-size... only when the doc has
+      // enough tokens; the invariant that matters is exact reconstruction
+      assert(rebuilt.toSeq == toks.toSeq, s"doc $id reconstruction")
+      val starts = cs.indices.map(_ * step)
+      assert(starts.forall(st => st == 0 || st < toks.length),
+        s"doc $id: chunk start beyond text")
+    }
+  }
+
+  test("hashSplit totality + stability; repetition fractions bounded (random corpora)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val rng = new Random(7)
+    val docs = (1 to 400).map { i =>
+      (i.toLong, Seq.fill(1 + rng.nextInt(60))(s"t${rng.nextInt(8)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val labels = docs.select(TextAnalysis.hashSplit(col("doc_id"),
+        Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)).as("s"))
+      .collect().map(_.getString(0))
+    assert(labels.forall(Set("a", "b", "c").contains)) // total: no row unlabeled
+    val reps = TextAnalysis.repetitionStats(docs, col("doc_id"), col("text"))
+      .collect()
+    assert(reps.length == 400)
+    reps.foreach { r =>
+      val (tf, dlf) = (r.getDouble(3), r.getDouble(5))
+      assert(tf >= 0.0 && tf <= 1.0, s"top-ngram fraction $tf out of [0,1]")
+      assert(dlf >= 0.0 && dlf <= 1.0, s"dup-line fraction $dlf out of [0,1]")
+    }
+  }
+
   test("vector dot matches an exact reference on random float vectors") {
     import spark.implicits._
     val rng = new Random(5)
