@@ -117,6 +117,30 @@ object StreamingTimeSeries {
       key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming curation — the ingestion-time face of
+    * [[graft.LlmPipeline.curate]]: arriving documents are quality-gated
+    * (stateless scan expressions), deduplicated exactly within the
+    * watermark ([[streamingDedup]] — the only stateful stage, bounded),
+    * chunked (stateless explode), and split-labeled (pure hash of the
+    * id). Every stage is the SAME operator the batch pipeline uses, so
+    * batch and stream produce identical rows for identical inputs —
+    * near-dup (MinHash) removal stays batch-side where it belongs (it
+    * needs corpus-wide candidates, not a per-event decision). */
+  def streamingCurate(docs: DataFrame, tsCol: String, idCol: String,
+      textCol: String, maxTokens: Int = 512, overlap: Int = 64,
+      minQuality: Double = 0.6, retention: String = "30 days",
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
+    import graft.operators.TextAnalysis
+    val gated = docs
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .filter(col("quality") >= minQuality)
+    val deduped = streamingDedup(gated, tsCol, textCol, retention)
+      .withColumn("split", TextAnalysis.hashSplit(col(idCol), splits))
+    TextAnalysis.chunkByTokens(deduped, col(idCol), col(textCol),
+      maxTokens, overlap, passthrough = Seq("quality", "split"))
+  }
+
   /** Current weekly matrix from the foreachBatch target: latest batch's
     * value per (key, week). */
   def latestWeekly(spark: org.apache.spark.sql.SparkSession,

@@ -142,6 +142,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally out.stop()
   }
 
+  test("streamingCurate: gate, dedup-across-batches, chunk, split — at ingestion") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = (1 to 30).map(i => s"w$i the and of to in is that").mkString(" ")
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = StreamingTimeSeries.streamingCurate(
+        input.toDF().toDF("ts", "doc_id", "text"),
+        "ts", "doc_id", "text", maxTokens = 64, overlap = 8, minQuality = 0.6)
+      .select("id", "chunk_idx", "split")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curate_stream_test").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((t("2021-01-01 10:00:00"), 1L, good),
+        (t("2021-01-01 10:01:00"), 2L, "### !!! ;;;")) // gated out
+      out.processAllAvailable()
+      input.addData((t("2021-01-02 09:00:00"), 3L, good)) // exact dup of 1 → dropped
+      out.processAllAvailable()
+      val rows = spark.table("curate_stream_test").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      assert(rows.map(_._1).distinct.toSeq == Seq(1L)) // only doc 1 survives
+      // 240 tokens → ceil((240-8)/56) = 5 chunks, all one split label
+      assert(rows.length == 5 && rows.map(_._3).distinct.length == 1)
+    } finally out.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
