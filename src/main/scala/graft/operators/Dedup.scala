@@ -105,6 +105,20 @@ object Dedup {
       minhashSignatures(df, idCol, textCol, shingleK, numHashes),
       numHashes, bands, maxBucket)
 
+  /** Drop members of mega-buckets before the self-join, via a windowed
+    * per-(band, bucket) count. The window IS partitioned (no single-task
+    * trap) and its one hash exchange is reused by both sides of the
+    * downstream self-join, so the expensive signature subtree runs once.
+    * (An aggregate + broadcast-anti-join variant was measured 1.7× SLOWER
+    * at 110k docs: its extra counts branch re-derives the signature
+    * pipeline instead of sharing the window's exchange, and the per-group
+    * sort it saves is negligible at ≤maxBucket rows per group.) */
+  private def capBuckets(keyed: DataFrame, maxBucket: Int): DataFrame =
+    keyed.withColumn("__bucket_n",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+
   /** Candidate generation over a precomputed (id, signature) frame — use
     * when the signatures (or their shingle posting) are shared with the
     * verification stage, so the corpus is shingled once, not three times. */
@@ -116,10 +130,7 @@ object Dedup {
       .select(col("id"),
         explode(lshBandKeys(col("signature"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val capped = keyed.withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val capped = capBuckets(keyed, maxBucket)
     val a = capped.as("a"); val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -211,9 +222,7 @@ object Dedup {
       shiftright(sh, b * bits).bitwiseAND(lit(mask)).as("bucket"))): _*)
     val keyed = sigs.select(col("id"), explode(bandKeys).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val capped = keyed.withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bucket_n") <= maxBucket).drop("bucket_n")
+    val capped = capBuckets(keyed, maxBucket)
     val a = capped.as("a"); val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
