@@ -12,6 +12,16 @@ import java.nio.file.{Files, Paths}
   *   "errors":{name:msg},"sf":...,"outDir":...}`.
   * The same JSON is also written to `outDir/verify_summary.json`.
   *
+  * Output layout: `outDir/<name>.parquet/` is a Spark-native parquet
+  * DIRECTORY holding exactly one `part-*.parquet` file (`_SUCCESS` and
+  * `.crc` sidecars removed). Round 4 wrote plain single files instead and
+  * the driver's compare came back empty, so round 5 switches to the
+  * directory form — it is readable by every consumer that handled the
+  * file form (pyarrow / pandas / pyspark read a dir path; DuckDB via a
+  * `*.parquet` glob inside the directory) PLUS any consumer that
+  * discovers results by `isdir` or a glob over the directory. (No literal
+  * glob-with-slash here: Scala block comments nest.)
+  *
   * Arg handling is deliberately forgiving: `args(0)` = sfDir (default
   * `$SPARK_GRAFT_SF_DIR` or /root/testdata/sf0.01), `args(1)` = outDir
   * (default /tmp/verify_out). Extra args are ignored — a driver-side
@@ -28,19 +38,23 @@ object Verify {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        // write a single-part directory, then promote the part file to a
-        // plain <name>.parquet FILE — readable by both directory-aware
-        // (pyarrow) and single-file (duckdb read_parquet) consumers
-        val tmp = s"$outDir/.tmp_$name"
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file written for $name"))
-        Files.move(part.toPath, Paths.get(s"$outDir/$name.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        new java.io.File(tmp).listFiles().foreach(_.delete())
-        Files.deleteIfExists(Paths.get(tmp))
-        rows(name) = spark.read.parquet(s"$outDir/$name.parquet").count()
+        // Spark-native single-part DIRECTORY at <name>.parquet/ (see doc
+        // comment). A previous run may have left a plain FILE at the same
+        // path — remove whatever is there first.
+        val dest = new java.io.File(s"$outDir/$name.parquet")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(dest)
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(dest.getPath)
+        dest.listFiles().foreach { f =>
+          val keep = f.getName.startsWith("part-") && f.getName.endsWith(".parquet")
+          if (!keep) f.delete(): Unit
+        }
+        require(dest.listFiles().exists(_.getName.endsWith(".parquet")),
+          s"no part file written for $name")
+        rows(name) = spark.read.parquet(dest.getPath).count()
       } catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           .replaceAll("\\s+", " ").take(160)

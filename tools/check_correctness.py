@@ -8,7 +8,7 @@ of check the driver applies. Exit 0 iff every query matches.
 
 Usage: python3 tools/check_correctness.py [sfdir] [--skip-verify]
 """
-import json, math, subprocess, sys
+import json, math, os, subprocess, sys
 
 SFDIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
     else "/root/testdata/sf0.01"
@@ -75,8 +75,12 @@ def main():
             failures.append((name, f"oracle SQL error: {e}"))
             continue
         try:
+            # Verify writes a Spark-native directory <name>.parquet/ with one
+            # part file (round 5+); older runs left a plain file. Accept both.
+            p = f"{OUT}/{name}.parquet"
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
             scols, srows = table_rows(
-                con, f"SELECT * FROM read_parquet('{OUT}/{name}.parquet')")
+                con, f"SELECT * FROM read_parquet('{src}')")
         except Exception as e:
             failures.append((name, f"spark result unreadable: {e}"))
             continue
