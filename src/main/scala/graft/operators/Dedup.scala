@@ -73,15 +73,40 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
+  /** The hash pair minhash is built from: `shingleHash(sh, seed)` produces
+    * the per-seed orderable hash the signature takes minima of;
+    * `bucketHash(bandSlice)` collapses one band's sub-signature (an array
+    * column) to a join key. MinHash only needs a totally ordered hash
+    * codomain, so families over 8-byte longs and over hex STRINGS are both
+    * valid — min over strings is lexicographic in every engine. */
+  final case class MinhashFamily(
+      shingleHash: (Column, Int) => Column,
+      bucketHash: Column => Column)
+
+  /** Default family: seeded xxhash64 — 8-byte signature entries, the 100 TB
+    * shuffle-width choice. Spark-only (no SQL twin). */
+  val XxMinhash: MinhashFamily =
+    MinhashFamily((sh, seed) => xxhash64(sh, lit(seed)), xxhash64(_))
+
+  /** Engine-portable family: md5 hex strings (`md5(seed # shingle)`,
+    * buckets = md5 of the comma-joined band slice). ~4× wider signatures
+    * than xxhash64, but every stage is expressible in DuckDB — the
+    * registered near-dup queries use it so the driver's oracle checks the
+    * WHOLE pipeline, not just the verification tail. */
+  val Md5Minhash: MinhashFamily = MinhashFamily(
+    (sh, seed) => md5(concat(lit(seed.toString), lit("#"), sh).cast("binary")),
+    bandSlice => md5(concat_ws(",", bandSlice).cast("binary")))
+
   /** MinHash signatures, relationally: hash every (id, shingle) row with
-    * `numHashes` seeded xxhash64 columns, then one codegen'd HashAggregate
+    * `numHashes` seeded hash columns, then one codegen'd HashAggregate
     * takes the per-id minimum of each — the signature. The shuffle carries
-    * (id, numHashes × 8 bytes); the raw text never moves. */
+    * (id, numHashes × hash width); the raw text never moves. */
   def minhashSignatures(df: DataFrame, idCol: Column, textCol: Column,
-      shingleK: Int, numHashes: Int): DataFrame = {
+      shingleK: Int, numHashes: Int,
+      family: MinhashFamily = XxMinhash): DataFrame = {
     val posting = shinglePosting(df, idCol, textCol, shingleK)
     val mins = (0 until numHashes).map(h =>
-      min(xxhash64(col("sh"), lit(h))).as(s"h$h"))
+      min(family.shingleHash(col("sh"), h)).as(s"h$h"))
     posting.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(h => col(s"h$h")): _*).as("signature"))
@@ -90,9 +115,10 @@ object Dedup {
   /** LSH band keys: the signature is cut into `bands` rows of
     * `numHashes/bands` entries; each band hashes to one bucket key. Two
     * documents collide in a band iff that band's sub-signature is equal. */
-  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int,
+      bucketHash: Column => Column = xxhash64(_)): Column =
     array((0 until bands).map(b => struct(lit(b).as("band"),
-      xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("bucket"))): _*)
+      bucketHash(slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("bucket"))): _*)
 
   /** MinHash+LSH candidate pairs (`id_a < id_b`), bucket-join shaped:
     * explode band keys → self-join on (band, bucket) → distinct. Buckets
@@ -100,10 +126,10 @@ object Dedup {
     * The join shuffles 16-byte keys; there is no cross-bucket product. */
   def minhashCandidates(df: DataFrame, idCol: Column, textCol: Column,
       shingleK: Int = 3, numHashes: Int = 24, bands: Int = 8,
-      maxBucket: Int = 200): DataFrame =
+      maxBucket: Int = 200, family: MinhashFamily = XxMinhash): DataFrame =
     minhashCandidatesFromSigs(
-      minhashSignatures(df, idCol, textCol, shingleK, numHashes),
-      numHashes, bands, maxBucket)
+      minhashSignatures(df, idCol, textCol, shingleK, numHashes, family),
+      numHashes, bands, maxBucket, family.bucketHash)
 
   /** Drop members of mega-buckets before the self-join, via a windowed
     * per-(band, bucket) count. The window IS partitioned (no single-task
@@ -123,12 +149,13 @@ object Dedup {
     * when the signatures (or their shingle posting) are shared with the
     * verification stage, so the corpus is shingled once, not three times. */
   def minhashCandidatesFromSigs(sigs: DataFrame, numHashes: Int = 24,
-      bands: Int = 8, maxBucket: Int = 200): DataFrame = {
+      bands: Int = 8, maxBucket: Int = 200,
+      bucketHash: Column => Column = xxhash64(_)): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     val keyed = sigs
       .select(col("id"),
-        explode(lshBandKeys(col("signature"), bands, rowsPerBand)).as("bk"))
+        explode(lshBandKeys(col("signature"), bands, rowsPerBand, bucketHash)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val capped = capBuckets(keyed, maxBucket)
     val a = capped.as("a"); val b = capped.as("b")
@@ -149,17 +176,18 @@ object Dedup {
     * distinct word shingles (join back to the docs for token sets). */
   def minhashNearDups(df: DataFrame, idCol: Column, textCol: Column,
       shingleK: Int = 3, numHashes: Int = 24, bands: Int = 8,
-      minJaccard: Double = 0.7): DataFrame = {
+      minJaccard: Double = 0.7, family: MinhashFamily = XxMinhash): DataFrame = {
     // shingle the corpus ONCE; signatures, candidates and exact-Jaccard
     // verification all derive from this cached posting
     val posting = shinglePosting(df, idCol, textCol, shingleK).cache()
     val sets = posting.groupBy("id").agg(collect_list(col("sh")).as("sh"))
     val mins = (0 until numHashes).map(h =>
-      min(xxhash64(col("sh"), lit(h))).as(s"h$h"))
+      min(family.shingleHash(col("sh"), h)).as(s"h$h"))
     val sigs = posting.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(h => col(s"h$h")): _*).as("signature"))
-    minhashCandidatesFromSigs(sigs, numHashes, bands)
+    minhashCandidatesFromSigs(sigs, numHashes, bands,
+        bucketHash = family.bucketHash)
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
@@ -188,34 +216,50 @@ object Dedup {
       lit(0L), (acc, bit) => acc + bit)
   }
 
+  /** Engine-portable 60-bit token hash: the first 15 hex digits of md5,
+    * parsed base-16 (Spark `conv`; DuckDB mirrors with shift-sum digit
+    * arithmetic — 16^14 overflows double precision, so neither side may
+    * go through floats). 60 bits keep the value in a signed long with the
+    * sign bit clear in both engines. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Bit width of [[md5Hash60]]-based simhashes. */
+  val Md5SimhashBits = 60
+
   /** SimHash signatures, relationally (the scale path — one token hash per
-    * (id, token) row, 64 codegen'd conditional sums per id): shuffle
-    * carries (id, 64 ints). Zero-token documents drop out (no content). */
-  def simhashSignatures(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    * (id, token) row, `nBits` codegen'd conditional sums per id): shuffle
+    * carries (id, nBits ints). Zero-token documents drop out (no content).
+    * Default `tokenHash` is xxhash64/64-bit; pass [[md5Hash60]] with
+    * `nBits = 60` for the DuckDB-mirrorable family the registered
+    * `d_simhash_neardups` query verifies against the oracle. */
+  def simhashSignatures(df: DataFrame, idCol: Column, textCol: Column,
+      tokenHash: Column => Column = xxhash64(_), nBits: Int = 64): DataFrame = {
     val tokens = df.select(idCol.as("id"),
       explode(TextAnalysis.wsTokens(TextAnalysis.normalized(textCol))).as("tok"))
-    val hashed = tokens.select(col("id"), xxhash64(col("tok")).as("h"))
-    val sums = (0 until 64).map(i =>
+    val hashed = tokens.select(col("id"), tokenHash(col("tok")).as("h"))
+    val sums = (0 until nBits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
     hashed.groupBy("id").agg(sums.head, sums.tail: _*)
       .select(col("id"),
-        (0 until 64).map(i =>
+        (0 until nBits).map(i =>
           when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
           .as("simhash"))
   }
 
-  /** SimHash near-dup candidates: the 64-bit hash is cut into `bands`
-    * equal bit-slices; docs agreeing exactly on any slice are candidates
-    * (catches all pairs within Hamming distance < bands). Bucket-join
-    * shaped like minhashCandidates. */
+  /** SimHash near-dup candidates: the `totalBits`-bit hash is cut into
+    * `bands` equal bit-slices; docs agreeing exactly on any slice are
+    * candidates (catches all pairs within Hamming distance < bands).
+    * Bucket-join shaped like minhashCandidates. */
   def simhashCandidates(df: DataFrame, idCol: Column, textCol: Column,
       bands: Int = 4, maxBucket: Int = 200): DataFrame =
     simhashCandidatesFromSigs(simhashSignatures(df, idCol, textCol), bands, maxBucket)
 
   /** Candidate generation over a precomputed (id, simhash) frame. */
   def simhashCandidatesFromSigs(sigs: DataFrame, bands: Int = 4,
-      maxBucket: Int = 200): DataFrame = {
-    val bits = 64 / bands
+      maxBucket: Int = 200, totalBits: Int = 64): DataFrame = {
+    require(totalBits % bands == 0, "bands must divide totalBits")
+    val bits = totalBits / bands
     val sh = col("simhash")
     val mask = if (bits == 64) -1L else (1L << bits) - 1
     val bandKeys = array((0 until bands).map(b => struct(lit(b).as("band"),
@@ -271,12 +315,12 @@ object Dedup {
     * one canonical survivor (min id) per component. Returns the kept ids. */
   def dedupCorpus(df: DataFrame, idCol: Column, textCol: Column,
       shingleK: Int = 3, numHashes: Int = 24, bands: Int = 8,
-      minJaccard: Double = 0.7): DataFrame = {
+      minJaccard: Double = 0.7, family: MinhashFamily = XxMinhash): DataFrame = {
     val exact = exactSurvivors(df, idCol, textCol)
     val survivors = df.join(exact.withColumnRenamed("id", "__keep"),
       idCol === col("__keep"), "left_semi")
     val pairs = minhashNearDups(survivors, idCol, textCol,
-      shingleK, numHashes, bands, minJaccard)
+      shingleK, numHashes, bands, minJaccard, family)
     val components = connectedComponents(pairs.select("id_a", "id_b"))
     val dropped = components.filter(col("id") =!= col("label")).select("id")
     survivors.select(idCol.as("id"))

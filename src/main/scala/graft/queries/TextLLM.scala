@@ -110,17 +110,28 @@ object TextLLM {
   // ------------------------------------------- rows-only (no SQL oracle)
 
   def dMinhashNearDups(s: SparkSession, dir: String): DataFrame =
+    // Md5Minhash family (round 5): every stage — seeded shingle minima,
+    // band buckets, the mega-bucket cap, exact-Jaccard verification — has
+    // a DuckDB mirror, so the driver's oracle checks the WHOLE pipeline.
+    // The xxhash64 family stays the operator default (8-byte shuffle keys)
+    // and is covered by LlmOperatorsSpec + ScaleProbe.
     Dedup.minhashNearDups(docsWithNearDups(s, dir), col("doc_id"), col("text"),
-        shingleK = 3, numHashes = 24, bands = 8, minJaccard = 0.5)
+        shingleK = 3, numHashes = 24, bands = 8, minJaccard = 0.5,
+        family = Dedup.Md5Minhash)
       .orderBy("id_a", "id_b")
 
   def dSimhashNearDups(s: SparkSession, dir: String): DataFrame = {
+    // md5Hash60 token hashes (round 5): 60-bit simhash, 4×15-bit bands —
+    // the whole pipeline (bit sums, banding, bucket cap, Hamming verify)
+    // has a DuckDB mirror, so the oracle checks it end to end. xxhash64 /
+    // 64-bit stays the operator default (LlmOperatorsSpec + ScaleProbe).
     val sigs = Dedup.simhashSignatures(
-      docsWithNearDups(s, dir), col("doc_id"), col("text"))
-    Dedup.simhashCandidatesFromSigs(sigs)
+      docsWithNearDups(s, dir), col("doc_id"), col("text"),
+      tokenHash = Dedup.md5Hash60, nBits = Dedup.Md5SimhashBits)
+    Dedup.simhashCandidatesFromSigs(sigs, totalBits = Dedup.Md5SimhashBits)
       .join(sigs.select(col("id").as("id_a"), col("simhash").as("sh_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("simhash").as("sh_b")), "id_b")
-      .withColumn("hamming", Dedup.hamming64(col("sh_a"), col("sh_b")))
+      .withColumn("hamming", Dedup.hamming64(col("sh_a"), col("sh_b")).cast("int"))
       .filter(col("hamming") <= 8)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
@@ -158,7 +169,12 @@ object TextLLM {
       .orderBy("id_a", "id_b")
 
   def tRollingFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val fps = TA.rollingMinHashes(docs(s, dir), col("doc_id"), col("text"))
+    // gramHash=md5: min-over-hex-strings is identical in DuckDB, so the
+    // registered query is oracle-checked end to end (round 5; xxhash64
+    // stays the operator default for 8-byte shuffle keys at scale, and is
+    // exercised by LlmOperatorsSpec + ScaleProbe)
+    val fps = TA.rollingMinHashes(docs(s, dir), col("doc_id"), col("text"),
+        k = 8, gramHash = g => md5(g.cast("binary")))
       .withColumnRenamed("id", "doc_id")
     fps.join(docs(s, dir).select("doc_id", "source"), Seq("doc_id"))
       .groupBy("source")
@@ -265,8 +281,12 @@ object TextLLM {
       .orderBy("window_md5")
 
   def dDedupCorpus(s: SparkSession, dir: String): DataFrame =
+    // Md5Minhash family (round 5): with the portable hashes, the ENTIRE
+    // flow — exact survivors, minhash-LSH pairs, connected components,
+    // canonical-survivor selection — is mirrored in DuckDB (recursive-CTE
+    // min-label propagation), so the oracle checks it end to end.
     Dedup.dedupCorpus(docsWithNearDups(s, dir), col("doc_id"), col("text"),
-        minJaccard = 0.5)
+        minJaccard = 0.5, family = Dedup.Md5Minhash)
       .orderBy("id")
 
   def mFrameFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -305,6 +325,48 @@ object TextLLM {
   )
 
   private val stopList = TA.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB mirror of the portable simhash pipeline (60 bits). Generated:
+    * 60 conditional-sum aggregates + the bit-reassembly polynomial are the
+    * same loop the Spark side builds its columns with. The 60-bit token
+    * hash is digit-by-digit shift arithmetic over md5 hex — 16^14 exceeds
+    * double precision, so no float may touch the value. */
+  private val simhashOracleSql: String = {
+    val h60 = "CAST(list_sum(list_transform(range(1, 16), j -> " +
+      "CAST(strpos('0123456789abcdef', substr(md5(tok), CAST(j AS INTEGER), 1)) - 1 AS BIGINT)" +
+      " << (4 * (15 - CAST(j AS INTEGER))))) AS BIGINT)"
+    val sums = (0 until 60).map(i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n    ")
+    val assemble = (0 until 60).map(i =>
+      s"(CASE WHEN b$i > 0 THEN CAST(1 AS BIGINT) << $i ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' appended' FROM documents),
+       |t AS (SELECT doc_id,
+       |    list_filter(string_split_regex(trim(regexp_replace(regexp_replace(
+       |      lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), '\\s+'),
+       |      x -> length(x) > 0) AS toks
+       |  FROM d),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |hh AS (SELECT doc_id, $h60 AS h FROM tok),
+       |s AS (SELECT doc_id, $sums FROM hh GROUP BY 1),
+       |sig AS (SELECT doc_id, $assemble AS simhash FROM s),
+       |bk AS (SELECT doc_id, b, (simhash >> CAST(b * 15 AS INTEGER)) & 32767 AS bucket
+       |  FROM sig CROSS JOIN range(4) r(b)),
+       |capped AS (SELECT doc_id, b, bucket FROM (
+       |    SELECT doc_id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n
+       |    FROM bk) WHERE n <= 200),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM capped a JOIN capped c
+       |    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+       |FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 8
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "t_token_stats" ->
@@ -368,11 +430,114 @@ object TextLLM {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
+    // Full MinHash-LSH mirror under the Md5Minhash family: shingles →
+    // 24 seeded min-md5 signatures → 8 band buckets (md5 of the joined
+    // 3-entry slice) → ≤200 bucket cap → bucket self-join → exact-Jaccard
+    // verification. Every stage matches Dedup.minhashNearDups exactly.
+    "d_minhash_neardups" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' appended' FROM documents),
+        |t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM d),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> array_to_string(toks[i:i+2], ' ')))
+        |    END AS sh
+        |  FROM t),
+        |p AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |m AS (SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || '#' || s)) AS mh
+        |  FROM p CROSS JOIN range(24) r(h) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY h) AS sig FROM m GROUP BY 1),
+        |bk AS (SELECT doc_id, b,
+        |    md5(array_to_string(sig[(b*3 + 1):(b*3 + 3)], ',')) AS bucket
+        |  FROM sig CROSS JOIN range(8) rb(b)),
+        |capped AS (SELECT doc_id, b, bucket FROM (
+        |    SELECT doc_id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n
+        |    FROM bk) WHERE n <= 200),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM capped a JOIN capped c
+        |    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+        |FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+    "d_simhash_neardups" -> simhashOracleSql,
+    // Full dedupCorpus mirror (Md5Minhash): exact survivors by text →
+    // portable minhash-LSH pairs → recursive-CTE min-label connected
+    // components → drop non-canonical members. Matches Dedup.dedupCorpus
+    // stage for stage.
+    "d_dedup_corpus" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' appended' FROM documents),
+        |ex AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY text),
+        |dd AS (SELECT d.doc_id, d.text FROM d JOIN ex ON d.doc_id = ex.doc_id),
+        |t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM dd),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> array_to_string(toks[i:i+2], ' ')))
+        |    END AS sh
+        |  FROM t),
+        |p AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |m AS (SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || '#' || s)) AS mh
+        |  FROM p CROSS JOIN range(24) r(h) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY h) AS sig FROM m GROUP BY 1),
+        |bk AS (SELECT doc_id, b,
+        |    md5(array_to_string(sig[(b*3 + 1):(b*3 + 3)], ',')) AS bucket
+        |  FROM sig CROSS JOIN range(8) rb(b)),
+        |capped AS (SELECT doc_id, b, bucket FROM (
+        |    SELECT doc_id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n
+        |    FROM bk) WHERE n <= 200),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM capped a JOIN capped c
+        |    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+        |pairs AS (SELECT id_a, id_b
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+        |edges AS (SELECT id_a, id_b FROM pairs
+        |  UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+        |r2(id, label) AS (
+        |  SELECT DISTINCT id_a AS id, id_a AS label FROM edges
+        |  UNION
+        |  SELECT e.id_a AS id, r2.label FROM edges e JOIN r2 ON r2.id = e.id_b),
+        |lab AS (SELECT id, MIN(label) AS label FROM r2 GROUP BY 1),
+        |dropped AS (SELECT id FROM lab WHERE id <> label)
+        |SELECT dd.doc_id AS id FROM dd
+        |WHERE dd.doc_id NOT IN (SELECT id FROM dropped)
+        |ORDER BY 1""".stripMargin,
     "d_hamming_twin" ->
       """SELECT doc_id,
         |  CAST(bit_count(xor(doc_id * 1315423911, doc_id * 2654435761 + 98765))
         |    AS INTEGER) AS hamming
         |FROM documents WHERE doc_id < 50 ORDER BY 1""".stripMargin,
+    "t_rolling_fingerprint" ->
+      """WITH n AS (SELECT doc_id, source,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |f AS (SELECT doc_id, source,
+        |    list_min(list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+        |      i -> md5(substr(t, CAST(i AS INTEGER), 8)))) AS fingerprint
+        |  FROM n)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT fingerprint) AS distinct_fp
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_rolling_fp_md5_twin" ->
       """WITH n AS (SELECT doc_id,
         |    trim(regexp_replace(regexp_replace(lower(text),
