@@ -41,16 +41,24 @@ object Multimodal {
 
   /** STUB codec: deterministic pseudo-features from payload bytes. A real
     * build replaces the body with an actual decode (e.g. JPEG → pixels →
-    * pooled features); the signature and everything downstream stay. */
+    * pooled features); the signature and everything downstream stay.
+    *
+    * The fake is md5-derived (feature i = the first 12 bits of
+    * `md5(payload:frameIdx:i)` over 4096) so it is expressible in SQL —
+    * the driver's DuckDB oracle checks the whole extract-features flow,
+    * not just its row counts. 12-bit/4096 values are exact in Float, and
+    * their sums stay exact in Double, so cross-engine aggregation of the
+    * features compares bit-for-bit. */
   def decodeFrame(payload: Array[Byte], frameIdx: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Float](FeatureDim)
-    var h = 1125899906842597L + frameIdx * 2654435761L
     var i = 0
-    while (i < payload.length) { h = h * 31 + payload(i); i += 1 }
-    i = 0
     while (i < FeatureDim) {
-      h ^= h << 13; h ^= h >>> 7; h ^= h << 17
-      out(i) = (h % 1000L) / 1000.0f
+      md.reset()
+      md.update(payload)
+      md.update(s":$frameIdx:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      out(i) = (((d(0) & 0xff) << 4) | ((d(1) & 0xff) >>> 4)) / 4096.0f
       i += 1
     }
     out

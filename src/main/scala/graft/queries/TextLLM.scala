@@ -643,6 +643,29 @@ object TextLLM {
         |  COUNT(DISTINCT sha256(text)) AS distinct_sha,
         |  CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Mirror of the multimodal feature-extract flow: same synthetic
+    // MediaItem derivation (n_frames from doc_id), same evenly-spaced
+    // frame sampling (integer div), same md5-derived 12-bit stub features
+    // (exact in Float and Double, so sums compare bit-for-bit).
+    "m_frame_features" ->
+      """WITH it AS (SELECT doc_id AS media_id, text, (doc_id % 24) + 1 AS n_frames
+        |  FROM documents),
+        |fr AS (SELECT media_id, text, unnest(
+        |    CASE WHEN n_frames <= 4 THEN range(0, n_frames)
+        |         ELSE list_transform(range(0, 4), i -> i * n_frames // 4)
+        |    END) AS frame_idx
+        |  FROM it),
+        |fx AS (SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |    md5(text || ':' || frame_idx || ':' || f.i) AS hx
+        |  FROM fr CROSS JOIN range(16) f(i)),
+        |fe AS (SELECT media_id, frame_idx,
+        |    SUM(CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 256
+        |      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) AS DOUBLE) / 4096.0)
+        |      AS fsum
+        |  FROM fx GROUP BY 1, 2)
+        |SELECT frame_idx, COUNT(*) AS n_frames, SUM(fsum) AS feature_mass
+        |FROM fe GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_embedding_neardups" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |    FROM embeddings WHERE vec_id < 200)
