@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline needs around the
+  * dedup/quality core: benchmark decontamination and target-mixture
+  * sampling.
+  *
+  * Both are designed scan-side for 100 TB: decontamination broadcasts the
+  * (small) benchmark gram set so the corpus never shuffles, and mixture
+  * sampling is a pure filter expression — no shuffle, no join, no RNG
+  * state, reproducible across retries and engines.
+  */
+object Curation {
+
+  /** Per-document contamination hits: training documents sharing at least
+    * one word `k`-gram with the benchmark corpus, with the number of
+    * distinct shared grams (`n_hits`). The GPT-3-style n-gram overlap
+    * check, Spark-first: benchmark grams are a broadcast hash side
+    * (an eval suite is KBs–MBs against a 100 TB corpus), so the training
+    * side streams through a scan → explode → broadcast-join with no
+    * corpus shuffle; only (id, hit) pairs reach the one aggregation.
+    * `k` defaults to 13 — the published overlap-dedup window; the
+    * registered query uses k=8 to have in-fixture hits at test SF. */
+  def contaminationHits(train: DataFrame, trainId: Column, trainText: Column,
+      bench: DataFrame, benchText: Column, k: Int = 13): DataFrame = {
+    val trainGrams = Dedup.shinglePosting(train, trainId, trainText, k)
+    val benchGrams = Dedup.shinglePosting(bench, lit(0L), benchText, k)
+      .select("sh").distinct()
+    trainGrams.join(broadcast(benchGrams), "sh")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Drop every training document flagged by [[contaminationHits]]:
+    * broadcast anti join on the flagged-id set. */
+  def decontaminate(train: DataFrame, trainId: Column, trainText: Column,
+      bench: DataFrame, benchText: Column, k: Int = 13): DataFrame = {
+    val flagged = contaminationHits(train, trainId, trainText, bench, benchText, k)
+      .select(col("id").as("__contaminated_id"))
+    train.join(broadcast(flagged), trainId === col("__contaminated_id"), "left_anti")
+  }
+
+  /** Deterministic domain-mixture sampling: keep a row with probability
+    * `rates(domain)` (else `defaultRate`), decided by comparing the first
+    * 8 md5 hex digits of the id against a per-domain threshold. A pure
+    * scan-level filter: no shuffle, no join, no RNG state — the same row
+    * is kept or dropped on every run, engine, and retry, which is what a
+    * reproducible training-mixture spec requires. Thresholds are 32-bit
+    * (hex-string compare), so rates resolve to ~2.3e-10. */
+  def mixtureSample(df: DataFrame, idCol: Column, domainCol: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val hex = substring(md5(idCol.cast("string").cast("binary")), 1, 8)
+    def keep(r: Double): Column =
+      if (r >= 1.0) lit(true)
+      else if (r <= 0.0) lit(false)
+      else hex < lit(f"${math.round(r * 4294967296.0)}%08x")
+    val cond = rates.toSeq.sortBy(_._1).foldRight(keep(defaultRate)) {
+      case ((dom, r), acc) => when(domainCol === dom, keep(r)).otherwise(acc)
+    }
+    df.filter(cond)
+  }
+}

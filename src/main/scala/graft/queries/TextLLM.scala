@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -280,6 +280,29 @@ object TextLLM {
         col("doc_id"), col("text"), k = 16)
       .orderBy("window_md5")
 
+  /** Benchmark decontamination fixture: every 50th document plays the
+    * eval set, so hits exist by construction (each benchmark doc flags at
+    * least itself; near-dups of one surface too). k=8 (vs the published
+    * 13-gram default) keeps in-fixture gram overlap at test SF. */
+  def tDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Curation.contaminationHits(d, col("doc_id"), col("text"),
+        d.filter(col("doc_id") % 50 === 0), col("text"), k = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic target-mixture sampling: per-source keep rates applied
+    * by md5-threshold — counts are exact across engines AND runs. */
+  def tMixtureSample(s: SparkSession, dir: String): DataFrame =
+    Curation.mixtureSample(docs(s, dir), col("doc_id"), col("source"),
+        rates = Map("src0" -> 0.0, "src1" -> 0.25, "src2" -> 0.5,
+          "src3" -> 0.75),
+        defaultRate = 1.0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_id"))
+      .orderBy("source")
+
   def dDedupCorpus(s: SparkSession, dir: String): DataFrame =
     // Md5Minhash family (round 5): with the portable hashes, the ENTIRE
     // flow — exact survivors, minhash-LSH pairs, connected components,
@@ -317,6 +340,8 @@ object TextLLM {
     "s_ann_brute_top5" -> (sAnnBruteTop5 _),
     "d_minhash_neardups" -> (dMinhashNearDups _),
     "d_dedup_corpus" -> (dDedupCorpus _),
+    "t_decontaminate" -> (tDecontaminate _),
+    "t_mixture_sample" -> (tMixtureSample _),
     "d_simhash_neardups" -> (dSimhashNearDups _),
     "s_ann_lsh_top3" -> (sAnnLshTop3 _),
     "s_ann_ivf_top3" -> (sAnnIvfTop3 _),
@@ -471,6 +496,30 @@ object TextLLM {
         |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
     "d_simhash_neardups" -> simhashOracleSql,
+    "t_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+        |           i -> array_to_string(toks[i:i+7], ' ')))
+        |    END) AS sh
+        |  FROM t),
+        |b AS (SELECT DISTINCT sh FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id, COUNT(*) AS n_hits
+        |FROM g JOIN b ON g.sh = b.sh GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_mixture_sample" ->
+      """WITH k AS (SELECT doc_id, source FROM documents
+        |  WHERE CASE WHEN source = 'src0' THEN FALSE
+        |    WHEN source = 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |    WHEN source = 'src2' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+        |    WHEN source = 'src3' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000'
+        |    ELSE TRUE END)
+        |SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS first_id
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     // Full dedupCorpus mirror (Md5Minhash): exact survivors by text →
     // portable minhash-LSH pairs → recursive-CTE min-label connected
     // components → drop non-canonical members. Matches Dedup.dedupCorpus

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -444,5 +444,40 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out1.map(f => (f.media_id, f.frame_idx, f.feature.toSeq)).sortBy(x => (x._1, x._2)).toSeq ==
       out2.map(f => (f.media_id, f.frame_idx, f.feature.toSeq)).sortBy(x => (x._1, x._2)).toSeq)
     assert(out1.forall(_.feature.length == Multimodal.FeatureDim))
+  }
+
+  // ------------------------------------------------------------- curation
+
+  test("decontamination flags gram-sharing docs and removes them; bench side broadcasts") {
+    val train = docsDf(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "totally unrelated words in this training document here"),
+      (3L, "prefix words then alpha beta gamma delta epsilon zeta eta theta"))
+    val bench = docsDf((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val hits = Curation.contaminationHits(train, col("doc_id"), col("text"),
+      bench, col("text"), k = 8)
+    val m = hits.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.keySet == Set(1L, 3L))
+    assert(m.values.forall(_ == 1L))
+    assert(hits.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val clean = Curation.decontaminate(train, col("doc_id"), col("text"),
+      bench, col("text"), k = 8)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("mixture sampling: deterministic, exact at rates 0 and 1, near target between") {
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val rates = Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.5)
+    def run() = Curation.mixtureSample(df, col("doc_id"), col("source"),
+        rates, defaultRate = 0.25)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = run()
+    assert(!counts.contains("src0"))
+    assert(counts("src1") == 1000L)
+    assert(math.abs(counts("src2") - 500.0) < 100)
+    assert(math.abs(counts("src3") - 250.0) < 80)
+    assert(run() == counts) // same rows every run: no RNG state
   }
 }
