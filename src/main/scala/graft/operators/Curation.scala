@@ -60,4 +60,44 @@ object Curation {
     }
     df.filter(cond)
   }
+
+  /** Greedy sequence packing: assign id-ordered documents to training
+    * bins of at most `budget` tokens (a document larger than the budget
+    * gets a bin of its own). A GLOBAL greedy pack is a serial scan by
+    * definition, so the scalable contract is per-partition: documents are
+    * range-partitioned by id, each partition packs its own id-sorted
+    * slice, and bins never span partitions — bin ids are
+    * (partition, seq) pairs. `numPartitions = 1` gives the exact global
+    * greedy (the oracle-checked form at test SF); at corpus scale use
+    * enough partitions that a slice fits an executor, and accept the
+    * ≤ one-underfilled-bin-per-partition padding loss.
+    *
+    * Output: (id, n_tokens, pack_id) — one row per input document. */
+  def packSequences(df: DataFrame, idCol: Column, nTokensCol: Column,
+      budget: Int, numPartitions: Int = 200): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(numPartitions > 0, "numPartitions must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(idCol.cast("long").as("id"),
+      nTokensCol.cast("int").as("n_tokens"))
+    val parts =
+      if (numPartitions == 1) base.coalesce(1)
+      else base.repartitionByRange(numPartitions, col("id"))
+    parts.sortWithinPartitions("id").as[(Long, Int)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var bin = 0L
+        var acc = 0L
+        it.map { case (id, n) =>
+          if (acc > 0 && acc + n > budget) { bin += 1; acc = 0L }
+          acc += n
+          (id, n, pid, bin)
+        }
+      }
+      .toDF("id", "n_tokens", "partition_id", "bin")
+      .withColumn("pack_id",
+        concat_ws("_", col("partition_id"), col("bin")))
+      .drop("partition_id", "bin")
+  }
 }

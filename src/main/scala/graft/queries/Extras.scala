@@ -180,7 +180,24 @@ object Extras {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Bloom-prefiltered selective join: lineitem is cut at the scan by a
+    * codegen-native Bloom filter over the (few) selected part keys, then
+    * the exact join removes the false positives — so the result is
+    * byte-identical to the plain join the oracle runs, while the big
+    * side's shuffle carries only ~|matching| + fpp·|lineitem| rows. */
+  def jBloomPrefilterJoin(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part").filter(col("p_size") <= 2)
+    val pruned = graft.operators.Bloom.prune(
+      t(s, dir, "lineitem"), col("l_partkey"),
+      part.select("p_partkey"), col("p_partkey"))
+    pruned.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_size")
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("p_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j_bloom_prefilter_join" -> (jBloomPrefilterJoin _),
     "j_anti_join" -> (jAntiJoin _),
     "u_intersect" -> (uIntersect _),
     "a_median_price" -> (aMedianPrice _),
@@ -201,6 +218,15 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    // The Bloom prefilter is semantically transparent (no false
+    // negatives), so the oracle is the PLAIN join — equality proves the
+    // pruning drops nothing it shouldn't.
+    "j_bloom_prefilter_join" ->
+      """SELECT p.p_size, COUNT(*) AS n_items,
+        |  SUM(l.l_quantity) AS sum_qty
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size <= 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j_anti_join" ->
       """SELECT c_nationkey, COUNT(*) AS n_idle FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

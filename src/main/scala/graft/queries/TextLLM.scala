@@ -303,6 +303,21 @@ object TextLLM {
       .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_id"))
       .orderBy("source")
 
+  /** Greedy sequence packing over the first 200 docs with the exact
+    * single-partition (global) contract — the oracle replays the same
+    * greedy scan as a recursive CTE. The partition-parallel form is the
+    * scale path (LlmOperatorsSpec). */
+  def tSeqPacking(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens"))
+    Curation.packSequences(d, col("doc_id"), col("n_tokens"),
+        budget = 256, numPartitions = 1)
+      .withColumn("pack_idx", element_at(split(col("pack_id"), "_"), 2).cast("int"))
+      .groupBy("pack_idx")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy("pack_idx")
+  }
+
   def dDedupCorpus(s: SparkSession, dir: String): DataFrame =
     // Md5Minhash family (round 5): with the portable hashes, the ENTIRE
     // flow — exact survivors, minhash-LSH pairs, connected components,
@@ -342,6 +357,7 @@ object TextLLM {
     "d_dedup_corpus" -> (dDedupCorpus _),
     "t_decontaminate" -> (tDecontaminate _),
     "t_mixture_sample" -> (tMixtureSample _),
+    "t_seq_packing" -> (tSeqPacking _),
     "d_simhash_neardups" -> (dSimhashNearDups _),
     "s_ann_lsh_top3" -> (sAnnLshTop3 _),
     "s_ann_ivf_top3" -> (sAnnIvfTop3 _),
@@ -511,6 +527,26 @@ object TextLLM {
         |b AS (SELECT DISTINCT sh FROM g WHERE doc_id % 50 = 0)
         |SELECT g.doc_id, COUNT(*) AS n_hits
         |FROM g JOIN b ON g.sh = b.sh GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Exact greedy-packing replay: the recursive CTE walks the id-ordered
+    // docs one row per step, carrying (bin, acc) — the same state machine
+    // packSequences runs inside each partition.
+    "t_seq_packing" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    length(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM documents WHERE doc_id < 200),
+        |o AS (SELECT doc_id, n_tokens, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM t),
+        |r AS (
+        |  SELECT rn, 0 AS bin, n_tokens AS acc FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn,
+        |    CASE WHEN r.acc > 0 AND r.acc + o.n_tokens > 256 THEN r.bin + 1 ELSE r.bin END,
+        |    CASE WHEN r.acc > 0 AND r.acc + o.n_tokens > 256 THEN o.n_tokens
+        |         ELSE r.acc + o.n_tokens END
+        |  FROM r JOIN o ON o.rn = r.rn + 1)
+        |SELECT CAST(r.bin AS INTEGER) AS pack_idx, COUNT(*) AS n_docs,
+        |  CAST(SUM(o.n_tokens) AS BIGINT) AS total_tokens
+        |FROM r JOIN o ON o.rn = r.rn
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_mixture_sample" ->
       """WITH k AS (SELECT doc_id, source FROM documents
         |  WHERE CASE WHEN source = 'src0' THEN FALSE

@@ -480,4 +480,46 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(counts("src3") - 250.0) < 80)
     assert(run() == counts) // same rows every run: no RNG state
   }
+
+  test("sequence packing: greedy walk, budget respected, oversized isolated") {
+    import spark.implicits._
+    val df = Seq((1L, 100), (2L, 100), (3L, 100), (4L, 300), (5L, 10), (6L, 250))
+      .toDF("doc_id", "n_tokens")
+    val out = Curation.packSequences(df, col("doc_id"), col("n_tokens"),
+        budget = 256, numPartitions = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val byPack = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(byPack.size == 5) // {1,2}, {3}, {4-oversized}, {5}, {6}
+    assert(byPack.forall { case (p, tot) =>
+      tot <= 256 || out.count(_._3 == p) == 1 })
+  }
+
+  test("sequence packing is partition-parallel and loses no documents") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, 50 + (i % 7).toInt * 30))
+      .toDF("doc_id", "n_tokens")
+    val out = Curation.packSequences(df, col("doc_id"), col("n_tokens"),
+      budget = 512, numPartitions = 8)
+    assert(out.count() == 1000)
+    val packs = out.groupBy("pack_id")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("n")).collect()
+    assert(packs.forall(r => r.getLong(1) <= 512 || r.getLong(2) == 1))
+  }
+
+  test("bloom prune: superset of the true keys, bounded false positives, codegen'd") {
+    import spark.implicits._
+    // Range source (not LocalRelation): keeps the Filter in the physical
+    // plan instead of being constant-folded by ConvertToLocalRelation
+    val big = spark.range(0, 20000).select(col("id").as("k"),
+      (col("id") % 100).as("v"))
+    val small = Seq(1L, 5L, 42L, 9999L).toDF("key")
+    val pruned = graft.operators.Bloom.prune(big, col("k"), small, col("key"),
+      numBits = 1 << 14, numHashes = 5)
+    val kept = pruned.select("k").collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 5L, 42L, 9999L).subsetOf(kept)) // no false negatives, ever
+    assert(kept.size < 200) // 2^14 bits / 4 keys → fpp ≪ 1%
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("Filter") && !plan.toLowerCase.contains("udf"))
+  }
 }
