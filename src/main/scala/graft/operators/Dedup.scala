@@ -73,29 +73,49 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** The hash pair minhash is built from: `shingleHash(sh, seed)` produces
-    * the per-seed orderable hash the signature takes minima of;
-    * `bucketHash(bandSlice)` collapses one band's sub-signature (an array
-    * column) to a join key. MinHash only needs a totally ordered hash
-    * codomain, so families over 8-byte longs and over hex STRINGS are both
-    * valid — min over strings is lexicographic in every engine. */
+  /** The hash triple minhash is built from: `prepare(sh)` is staged ONCE
+    * per (id, shingle) row as its own projected attribute (the expensive
+    * digest goes here — never inside the per-seed expressions, where
+    * it would be recomputed `numHashes` times); `shingleHash(prepared,
+    * seed)` produces the per-seed orderable hash the signature takes
+    * minima of; `bucketHash(bandSlice)` collapses one band's
+    * sub-signature (an array column) to a join key. */
   final case class MinhashFamily(
+      prepare: Column => Column,
       shingleHash: (Column, Int) => Column,
       bucketHash: Column => Column)
 
   /** Default family: seeded xxhash64 — 8-byte signature entries, the 100 TB
     * shuffle-width choice. Spark-only (no SQL twin). */
   val XxMinhash: MinhashFamily =
-    MinhashFamily((sh, seed) => xxhash64(sh, lit(seed)), xxhash64(_))
+    MinhashFamily(identity, (sh, seed) => xxhash64(sh, lit(seed)), xxhash64(_))
 
-  /** Engine-portable family: md5 hex strings (`md5(seed # shingle)`,
-    * buckets = md5 of the comma-joined band slice). ~4× wider signatures
-    * than xxhash64, but every stage is expressible in DuckDB — the
-    * registered near-dup queries use it so the driver's oracle checks the
-    * WHOLE pipeline, not just the verification tail. */
+  private val Mask60 = (1L << 60) - 1
+
+  /** Engine-portable family at xxhash-class cost: ONE md5 per shingle,
+    * split into two 60-bit ints (h1 = hex digits 1–15, h2 = 16–30), then
+    * the standard Kirsch–Mitzenmacher double-hashing derivation
+    * `h_i = (h1 + i·(h2 mod 2^55)) mod 2^60` — pure integer multiply-add
+    * per seed instead of a fresh digest. The 2^55 cap keeps
+    * `i·h2 + h1 < 2^61` so the arithmetic never overflows a signed
+    * 64-bit int in either engine (DuckDB ERRORS on BIGINT overflow rather
+    * than wrapping, so overflow-freedom is a correctness requirement, not
+    * a nicety). Signatures stay 8-byte longs; band buckets are md5 over
+    * the comma-joined decimal slice. Every stage is expressible in
+    * DuckDB, so the registered near-dup queries verify the WHOLE pipeline
+    * against the oracle, not just the verification tail. */
   val Md5Minhash: MinhashFamily = MinhashFamily(
-    (sh, seed) => md5(concat(lit(seed.toString), lit("#"), sh).cast("binary")),
-    bandSlice => md5(concat_ws(",", bandSlice).cast("binary")))
+    sh => {
+      val hx = md5(sh.cast("binary"))
+      struct(
+        conv(substring(hx, 1, 15), 16, 10).cast("long").as("h1"),
+        (conv(substring(hx, 16, 15), 16, 10).cast("long") % (1L << 55)).as("h2"))
+    },
+    (prepared, seed) =>
+      (prepared.getField("h1") + lit(seed.toLong) * prepared.getField("h2"))
+        .bitwiseAND(lit(Mask60)),
+    bandSlice => md5(concat_ws(",",
+      transform(bandSlice, x => x.cast("string"))).cast("binary")))
 
   /** MinHash signatures, relationally: hash every (id, shingle) row with
     * `numHashes` seeded hash columns, then one codegen'd HashAggregate
@@ -105,9 +125,13 @@ object Dedup {
       shingleK: Int, numHashes: Int,
       family: MinhashFamily = XxMinhash): DataFrame = {
     val posting = shinglePosting(df, idCol, textCol, shingleK)
+    // prepare staged as its own attribute: referenced numHashes times
+    // below, so CollapseProject keeps it materialized — the digest runs
+    // once per (id, shingle), not once per (id, shingle, seed)
+    val prepared = posting.select(col("id"), family.prepare(col("sh")).as("shp"))
     val mins = (0 until numHashes).map(h =>
-      min(family.shingleHash(col("sh"), h)).as(s"h$h"))
-    posting.groupBy("id").agg(mins.head, mins.tail: _*)
+      min(family.shingleHash(col("shp"), h)).as(s"h$h"))
+    prepared.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(h => col(s"h$h")): _*).as("signature"))
   }
@@ -181,9 +205,10 @@ object Dedup {
     // verification all derive from this cached posting
     val posting = shinglePosting(df, idCol, textCol, shingleK).cache()
     val sets = posting.groupBy("id").agg(collect_list(col("sh")).as("sh"))
+    val prepared = posting.select(col("id"), family.prepare(col("sh")).as("shp"))
     val mins = (0 until numHashes).map(h =>
-      min(family.shingleHash(col("sh"), h)).as(s"h$h"))
-    val sigs = posting.groupBy("id").agg(mins.head, mins.tail: _*)
+      min(family.shingleHash(col("shp"), h)).as(s"h$h"))
+    val sigs = prepared.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(h => col(s"h$h")): _*).as("signature"))
     minhashCandidatesFromSigs(sigs, numHashes, bands,

@@ -367,6 +367,51 @@ object TextLLM {
 
   private val stopList = TA.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** 60-bit base-16 parse of md5-hex digits `lo..lo+14` (1-based) — the
+    * DuckDB mirror of Spark's `conv(substring(hx, lo, 15), 16, 10)`.
+    * Shift-sum digit arithmetic: 16^14 exceeds double precision, so the
+    * value must never pass through a float. */
+  private def hex15ToLong(lo: Int): String =
+    "CAST(list_sum(list_transform(range(1, 16), j -> " +
+      s"CAST(strpos('0123456789abcdef', substr(hx, CAST(j AS INTEGER) + ${lo - 1}, 1)) - 1 AS BIGINT)" +
+      " << (4 * (15 - CAST(j AS INTEGER))))) AS BIGINT)"
+
+  /** The shared DuckDB mirror of [[Dedup.minhashNearDups]] under
+    * [[Dedup.Md5Minhash]]: tokenize → 3-shingles → ONE md5 per shingle →
+    * two 60-bit halves → Kirsch–Mitzenmacher seeded minima → 8 band
+    * buckets (md5 of the comma-joined slice) → ≤200 bucket cap → bucket
+    * self-join. Parameterized on the docs CTE name so the near-dup query
+    * and the full dedup-corpus query share one definition. */
+  private def minhashSqlCtes(from: String): String =
+    s"""t AS (SELECT doc_id,
+       |    list_filter(string_split_regex(trim(regexp_replace(regexp_replace(
+       |      lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), '\\s+'),
+       |      x -> length(x) > 0) AS toks
+       |  FROM $from),
+       |sh AS (SELECT doc_id,
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |           i -> array_to_string(toks[i:i+2], ' ')))
+       |    END AS sh
+       |  FROM t),
+       |p AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |p2 AS (SELECT doc_id, ${hex15ToLong(1)} AS h1,
+       |    ${hex15ToLong(16)} % (CAST(1 AS BIGINT) << 55) AS h2
+       |  FROM (SELECT doc_id, md5(s) AS hx FROM p)),
+       |m AS (SELECT doc_id, h,
+       |    MIN((h1 + h * h2) & ((CAST(1 AS BIGINT) << 60) - 1)) AS mh
+       |  FROM p2 CROSS JOIN range(24) r(h) GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(mh ORDER BY h) AS sig FROM m GROUP BY 1),
+       |bk AS (SELECT doc_id, b,
+       |    md5(array_to_string(sig[(b*3 + 1):(b*3 + 3)], ',')) AS bucket
+       |  FROM sig CROSS JOIN range(8) rb(b)),
+       |capped AS (SELECT doc_id, b, bucket FROM (
+       |    SELECT doc_id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n
+       |    FROM bk) WHERE n <= 200),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM capped a JOIN capped c
+       |    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id)""".stripMargin
+
   /** DuckDB mirror of the portable simhash pipeline (60 bits). Generated:
     * 60 conditional-sum aggregates + the bit-reassembly polynomial are the
     * same loop the Spark side builds its columns with. The 60-bit token
@@ -471,46 +516,23 @@ object TextLLM {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
-    // Full MinHash-LSH mirror under the Md5Minhash family: shingles →
-    // 24 seeded min-md5 signatures → 8 band buckets (md5 of the joined
-    // 3-entry slice) → ≤200 bucket cap → bucket self-join → exact-Jaccard
-    // verification. Every stage matches Dedup.minhashNearDups exactly.
+    // Full MinHash-LSH mirror under the Md5Minhash family (one md5 per
+    // shingle + Kirsch–Mitzenmacher seeded minima — see minhashSqlCtes)
+    // ending in the exact-Jaccard verification join.
     "d_minhash_neardups" ->
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' appended' FROM documents),
-        |t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(trim(regexp_replace(regexp_replace(
-        |      lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'),
-        |      x -> length(x) > 0) AS toks
-        |  FROM d),
-        |sh AS (SELECT doc_id,
-        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-        |           i -> array_to_string(toks[i:i+2], ' ')))
-        |    END AS sh
-        |  FROM t),
-        |p AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        |m AS (SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || '#' || s)) AS mh
-        |  FROM p CROSS JOIN range(24) r(h) GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, list(mh ORDER BY h) AS sig FROM m GROUP BY 1),
-        |bk AS (SELECT doc_id, b,
-        |    md5(array_to_string(sig[(b*3 + 1):(b*3 + 3)], ',')) AS bucket
-        |  FROM sig CROSS JOIN range(8) rb(b)),
-        |capped AS (SELECT doc_id, b, bucket FROM (
-        |    SELECT doc_id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n
-        |    FROM bk) WHERE n <= 200),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        |  FROM capped a JOIN capped c
-        |    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id)
-        |SELECT id_a, id_b,
-        |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-        |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-        |FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
-        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-        |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
-        |ORDER BY 1, 2""".stripMargin,
+      (s"""WITH d AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text || ' appended' FROM documents),
+          |""".stripMargin + minhashSqlCtes("d") +
+        """
+          |SELECT id_a, id_b,
+          |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+          |FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+          |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+          |ORDER BY 1, 2""".stripMargin),
     "d_simhash_neardups" -> simhashOracleSql,
     "t_decontaminate" ->
       """WITH t AS (SELECT doc_id,
@@ -561,51 +583,29 @@ object TextLLM {
     // components → drop non-canonical members. Matches Dedup.dedupCorpus
     // stage for stage.
     "d_dedup_corpus" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' appended' FROM documents),
-        |ex AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY text),
-        |dd AS (SELECT d.doc_id, d.text FROM d JOIN ex ON d.doc_id = ex.doc_id),
-        |t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(trim(regexp_replace(regexp_replace(
-        |      lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'),
-        |      x -> length(x) > 0) AS toks
-        |  FROM dd),
-        |sh AS (SELECT doc_id,
-        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-        |           i -> array_to_string(toks[i:i+2], ' ')))
-        |    END AS sh
-        |  FROM t),
-        |p AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        |m AS (SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || '#' || s)) AS mh
-        |  FROM p CROSS JOIN range(24) r(h) GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, list(mh ORDER BY h) AS sig FROM m GROUP BY 1),
-        |bk AS (SELECT doc_id, b,
-        |    md5(array_to_string(sig[(b*3 + 1):(b*3 + 3)], ',')) AS bucket
-        |  FROM sig CROSS JOIN range(8) rb(b)),
-        |capped AS (SELECT doc_id, b, bucket FROM (
-        |    SELECT doc_id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n
-        |    FROM bk) WHERE n <= 200),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        |  FROM capped a JOIN capped c
-        |    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
-        |pairs AS (SELECT id_a, id_b
-        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
-        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-        |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
-        |edges AS (SELECT id_a, id_b FROM pairs
-        |  UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
-        |r2(id, label) AS (
-        |  SELECT DISTINCT id_a AS id, id_a AS label FROM edges
-        |  UNION
-        |  SELECT e.id_a AS id, r2.label FROM edges e JOIN r2 ON r2.id = e.id_b),
-        |lab AS (SELECT id, MIN(label) AS label FROM r2 GROUP BY 1),
-        |dropped AS (SELECT id FROM lab WHERE id <> label)
-        |SELECT dd.doc_id AS id FROM dd
-        |WHERE dd.doc_id NOT IN (SELECT id FROM dropped)
-        |ORDER BY 1""".stripMargin,
+      (s"""WITH RECURSIVE d AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text || ' appended' FROM documents),
+          |ex AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY text),
+          |dd AS (SELECT d.doc_id, d.text FROM d JOIN ex ON d.doc_id = ex.doc_id),
+          |""".stripMargin + minhashSqlCtes("dd") +
+        """,
+          |pairs AS (SELECT id_a, id_b
+          |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+          |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+          |edges AS (SELECT id_a, id_b FROM pairs
+          |  UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+          |r2(id, label) AS (
+          |  SELECT DISTINCT id_a AS id, id_a AS label FROM edges
+          |  UNION
+          |  SELECT e.id_a AS id, r2.label FROM edges e JOIN r2 ON r2.id = e.id_b),
+          |lab AS (SELECT id, MIN(label) AS label FROM r2 GROUP BY 1),
+          |dropped AS (SELECT id FROM lab WHERE id <> label)
+          |SELECT dd.doc_id AS id FROM dd
+          |WHERE dd.doc_id NOT IN (SELECT id FROM dropped)
+          |ORDER BY 1""".stripMargin),
     "d_hamming_twin" ->
       """SELECT doc_id,
         |  CAST(bit_count(xor(doc_id * 1315423911, doc_id * 2654435761 + 98765))
