@@ -98,6 +98,30 @@ object ScaleProbe {
         "/tmp/graft_scale_curated", maxTokens = 64, overlap = 8,
         minQuality = 0.2, minJaccard = 0.5).count()
     }
+    timed("minhash_portable_family") { // md5 double-hashing vs xxhash64
+      Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 24,
+        Dedup.Md5Minhash).count()
+    }
+    timed("decontaminate_1k_bench") { // corpus vs 1k-doc broadcast eval set
+      Curation.contaminationHits(docs, col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 100 === 0 && col("doc_id") < nDocs),
+        col("text"), k = 13).count()
+    }
+    timed("mixture_sample_filter") { // pure scan filter, no shuffle
+      Curation.mixtureSample(docs, col("doc_id"),
+        (col("doc_id") % 4).cast("string"),
+        rates = Map("0" -> 0.5, "1" -> 0.25), defaultRate = 0.9).count()
+    }
+    timed("seq_packing_64part") { // per-partition greedy, 64 slices
+      Curation.packSequences(
+        docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n")),
+        col("doc_id"), col("n"), budget = 2048, numPartitions = 64).count()
+    }
+    timed("bloom_prune_join_side") { // 2^20-bit bloom over 1k keys
+      Bloom.prune(docs, col("doc_id"),
+        docs.filter(col("doc_id") % 100 === 0).select("doc_id"),
+        col("doc_id")).count()
+    }
 
     val vecs = spark.range(nDocs).map { i =>
       val r = new scala.util.Random(i)
