@@ -65,11 +65,25 @@ object Dedup {
     val toks = df.select(idCol.as("id"),
       TextAnalysis.wsTokens(TextAnalysis.normalized(textCol)).as("toks"))
     val shingles = toks.select(col("id"),
-      when(size(col("toks")) < k, array(concat_ws(" ", col("toks"))))
-        .otherwise(transform(sequence(lit(0), size(col("toks")) - k),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))).as("shingles"))
+      shinglesFromTokens(col("toks"), k).as("shingles"))
     shingles.select(col("id"), explode(array_distinct(col("shingles"))).as("sh"))
   }
+
+  /** The k-shingle array over a staged token array (pre-distinct). */
+  private def shinglesFromTokens(toks: Column, k: Int): Column =
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+
+  /** Distinct word k-shingles as an ARRAY column — the pre-explode form of
+    * [[shinglePosting]], for per-row membership tests (e.g. streaming
+    * decontamination, where exploding would force an unsupported
+    * stream-stream anti join). Tokenization is inlined (a filter context
+    * has no projection to stage it in), costing one extra tokenize per
+    * row — fine for a scan-level predicate. */
+  def shingleArray(textCol: Column, k: Int): Column =
+    array_distinct(shinglesFromTokens(
+      TextAnalysis.wsTokens(TextAnalysis.normalized(textCol)), k))
 
   // -------------------------------------------------------------- minhash
 

@@ -203,6 +203,31 @@ object Similarity {
       .select(col(queryId), col("rank"), col(baseId).as("nid"), col("cos"))
   }
 
+  // --------------------------------------------------------- quantization
+
+  /** Symmetric int8 quantization of an embedding: per-vector scale
+    * `max(|x|)/127`, elements `round(x/scale)` in [-127, 127]. The
+    * 100 TB storage path — a 4× cut over float32 (16× over float64)
+    * before the vectors ever hit parquet, with the scale riding alongside
+    * for dequantization (`x ≈ q·scale`). Pure column expressions
+    * (deterministic IEEE double arithmetic), so the registered query is
+    * oracle-checked exactly. Zero vectors quantize to all-zero (scale 0
+    * guarded, no NaN). Returns struct(scale double, qs array<tinyint>). */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = array_max(transform(vec, x => abs(x.cast("double")))) / 127d
+    struct(
+      scale.as("scale"),
+      transform(vec, x =>
+        when(scale === 0, 0)
+          .otherwise(round(x.cast("double") / scale))
+          .cast("tinyint")).as("qs"))
+  }
+
+  /** Dequantize an int8-quantized embedding back to doubles. */
+  def dequantizeInt8(quantized: Column): Column =
+    transform(quantized.getField("qs"),
+      q => q.cast("double") * quantized.getField("scale"))
+
   /** Fail-fast bound for all-pairs (O(n²)) verification tails: counts at
     * most `maxRows + 1` input rows (limit-pushed, so the scan early-exits)
     * and refuses to proceed past the cap. An UNBOUNDED all-pairs call on a

@@ -162,6 +162,18 @@ object TextLLM {
       .orderBy("qid", "rank")
   }
 
+  /** Int8 quantization of the embedding table (the 100 TB storage path):
+    * per-vector scale + exact integer digests of the quantized values —
+    * deterministic IEEE arithmetic, mirrored exactly in the oracle. */
+  def sQuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") < 100)
+      .withColumn("q", Similarity.quantizeInt8(col("embedding")))
+      .select(col("vec_id"), col("q.scale").as("scale"),
+        expr("CAST(aggregate(q.qs, 0, (a, x) -> a + CAST(x AS INT)) AS BIGINT)")
+          .as("q_sum"),
+        array_max(col("q.qs")).cast("int").as("q_max"))
+      .orderBy("vec_id")
+
   def dEmbeddingNearDups(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(
         emb(s, dir).filter(col("vec_id") < 200), minCosine = 0.3)
@@ -353,6 +365,7 @@ object TextLLM {
     "d_token_jaccard_pairs" -> (dTokenJaccardPairs _),
     "m_binary_meta" -> (mBinaryMeta _),
     "s_ann_brute_top5" -> (sAnnBruteTop5 _),
+    "s_quantize_int8" -> (sQuantizeInt8 _),
     "d_minhash_neardups" -> (dMinhashNearDups _),
     "d_dedup_corpus" -> (dDedupCorpus _),
     "t_decontaminate" -> (tDecontaminate _),
@@ -758,6 +771,21 @@ object TextLLM {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.3
         |ORDER BY 1, 2""".stripMargin,
+    // Same arithmetic, element for element: floats cast to double
+    // exactly, one IEEE division, round-half-away-from-zero in both
+    // engines, integer sums exact.
+    "s_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |    FROM embeddings WHERE vec_id < 100),
+        |s AS (SELECT vec_id, e,
+        |    list_max(list_transform(e, x -> abs(x))) / 127 AS scale FROM v),
+        |q AS (SELECT vec_id, scale,
+        |    list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(round(x / scale) AS INTEGER) END) AS qs
+        |  FROM s)
+        |SELECT vec_id, scale, CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        |  CAST(list_max(qs) AS INTEGER) AS q_max
+        |FROM q ORDER BY 1""".stripMargin,
     "s_ann_brute_top5" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
         |    FROM embeddings WHERE vec_id < 5),

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.TimeSeries
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -139,6 +139,27 @@ object StreamingTimeSeries {
       .withColumn("split", TextAnalysis.hashSplit(col(idCol), splits))
     TextAnalysis.chunkByTokens(deduped, col(idCol), col(textCol),
       maxTokens, overlap, passthrough = Seq("quality", "split"))
+  }
+
+  /** Ingestion-time benchmark decontamination: drop arriving documents
+    * that share any word `k`-gram with the STATIC benchmark corpus. The
+    * benchmark gram set (an eval suite — KBs to MBs by definition) is
+    * collected once and shipped as an array literal; the stream side is a
+    * pure `arrays_overlap` filter — zero streaming state, no join at all,
+    * so it composes with any downstream watermarked stage. (An exploded
+    * gram join would need a stream-stream anti join back onto the
+    * document stream, which Structured Streaming does not support.)
+    * Built from the SAME shingle expression as the batch
+    * [[graft.operators.Curation.decontaminate]], so batch and stream
+    * agree document for document. */
+  def streamingDecontaminate(docs: DataFrame, textCol: String,
+      bench: DataFrame, benchText: Column, k: Int = 13): DataFrame = {
+    import graft.operators.Dedup
+    val benchGrams: Seq[String] =
+      Dedup.shinglePosting(bench, lit(0L), benchText, k)
+        .select("sh").distinct().collect().map(_.getString(0)).toSeq
+    docs.filter(!arrays_overlap(
+      Dedup.shingleArray(col(textCol), k), typedlit(benchGrams)))
   }
 
   /** Current weekly matrix from the foreachBatch target: latest batch's

@@ -446,6 +446,27 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out1.forall(_.feature.length == Multimodal.FeatureDim))
   }
 
+  test("int8 quantization: roundtrip error bounded by scale/2, zero vector safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.125f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(3.0f, -2.0f, 0.001f, 1.5f)))
+      .toDF("vec_id", "embedding")
+    val out = df.withColumn("q", Similarity.quantizeInt8(col("embedding")))
+      .withColumn("back", Similarity.dequantizeInt8(col("q")))
+      .select(col("vec_id"), col("q.scale"), col("embedding"), col("back"))
+      .collect()
+    out.foreach { r =>
+      val scale = r.getDouble(1)
+      val orig = r.getSeq[Float](2)
+      val back = r.getSeq[Double](3)
+      orig.zip(back).foreach { case (o, b) =>
+        assert(math.abs(o.toDouble - b) <= scale / 2 + 1e-12) }
+      if (r.getLong(0) == 2L) assert(scale == 0.0 && back.forall(_ == 0.0))
+    }
+  }
+
   // ------------------------------------------------------------- curation
 
   test("decontamination flags gram-sharing docs and removes them; bench side broadcasts") {

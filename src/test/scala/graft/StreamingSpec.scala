@@ -185,4 +185,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(counts == Map("a" -> 3L, "b" -> 1L))
     } finally out.stop()
   }
+
+  test("streaming decontamination drops gram-sharing docs and agrees with the batch op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "totally unrelated words in this training document here"))
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingTimeSeries.streamingDecontaminate(
+      input.toDF().toDF("doc_id", "text"), "text", bench, col("text"), k = 8)
+    val q = stream.writeStream.format("memory").queryName("decon_test")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("decon_test")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val batch = graft.operators.Curation.decontaminate(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+          bench, col("text"), k = 8)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == Set(2L))
+      assert(streamed == batch) // ingestion-time == batch decontamination
+    } finally q.stop()
+  }
 }
