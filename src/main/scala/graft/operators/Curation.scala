@@ -54,7 +54,10 @@ object Curation {
     def keep(r: Double): Column =
       if (r >= 1.0) lit(true)
       else if (r <= 0.0) lit(false)
-      else hex < lit(f"${math.round(r * 4294967296.0)}%08x")
+      // cap at 2^32−1: a rate within 2^-33 of 1.0 would otherwise round
+      // to 2^32 = nine hex digits, which string-compares BELOW every
+      // 8-digit hash and would silently keep nothing
+      else hex < lit(f"${math.min(math.round(r * 4294967296.0), 4294967295L)}%08x")
     val cond = rates.toSeq.sortBy(_._1).foldRight(keep(defaultRate)) {
       case ((dom, r), acc) => when(domainCol === dom, keep(r)).otherwise(acc)
     }

@@ -213,6 +213,19 @@ object TextAnalysis {
       phoneToken: String = "<PHONE>"): Column =
     regexp_replace(regexp_replace(text, EmailRe, emailToken), PhoneRe, phoneToken)
 
+  /** URL shape (RE2-compatible, like EmailRe/PhoneRe — runs at scan
+    * speed): scheme + host + optional path, stopping at whitespace. */
+  val UrlRe = "https?://[A-Za-z0-9.-]+(/[^\\s]*)?"
+
+  /** All URLs in a text as an array (regexp_extract_all, codegen'd). */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRe), lit(0))
+
+  /** The host part of a URL (domain-level grouping is how curation
+    * pipelines weight, cap, or block sources). */
+  def urlDomain(url: Column): Column =
+    regexp_extract(url, "https?://([A-Za-z0-9.-]+)", 1)
+
   /** Canonical form for fingerprinting: lowercase, punctuation stripped,
     * whitespace collapsed. */
   def normalized(text: Column): Column =

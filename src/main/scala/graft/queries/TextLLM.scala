@@ -263,6 +263,23 @@ object TextLLM {
       .orderBy("doc_id")
   }
 
+  /** Per-domain URL stats over text augmented with deterministic
+    * doc_id-derived URLs (the raw corpus has none — the augmentation is
+    * mirrored in the oracle): domain-level grouping is how curation
+    * pipelines weight, cap, or block sources. */
+  def tUrlDomains(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+      lit(".example.org/p/"), col("doc_id").cast("string"),
+      lit(" or http://ref"), (col("doc_id") % 3).cast("string"), lit(".net"))
+    docs(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), explode(TA.extractUrls(aug)).as("url"))
+      .groupBy(TA.urlDomain(col("url")).as("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("domain")
+  }
+
   /** Token-window chunking with overlap (32-token chunks, 8 overlap) —
     * the sequence-packing precursor; md5 of each chunk makes the oracle
     * compare exact. */
@@ -371,6 +388,7 @@ object TextLLM {
     "t_decontaminate" -> (tDecontaminate _),
     "t_mixture_sample" -> (tMixtureSample _),
     "t_seq_packing" -> (tSeqPacking _),
+    "t_url_domains" -> (tUrlDomains _),
     "d_simhash_neardups" -> (dSimhashNearDups _),
     "s_ann_lsh_top3" -> (sAnnLshTop3 _),
     "s_ann_ivf_top3" -> (sAnnIvfTop3 _),
@@ -562,6 +580,17 @@ object TextLLM {
         |b AS (SELECT DISTINCT sh FROM g WHERE doc_id % 50 = 0)
         |SELECT g.doc_id, COUNT(*) AS n_hits
         |FROM g JOIN b ON g.sh = b.sh GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_url_domains" ->
+      """WITH a AS (SELECT doc_id,
+        |    text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+        |      || ' or http://ref' || CAST(doc_id % 3 AS VARCHAR) || '.net' AS aug
+        |  FROM documents WHERE doc_id < 200),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(aug,
+        |    'https?://[A-Za-z0-9.-]+(/[^\s]*)?', 0)) AS url FROM a)
+        |SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+        |  COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     // Exact greedy-packing replay: the recursive CTE walks the id-ordered
     // docs one row per step, carrying (bin, acc) — the same state machine
     // packSequences runs inside each partition.

@@ -500,6 +500,11 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(counts("src2") - 500.0) < 100)
     assert(math.abs(counts("src3") - 250.0) < 80)
     assert(run() == counts) // same rows every run: no RNG state
+    // a rate within 2^-33 of 1.0 must behave as ~always-keep, not the
+    // 9-hex-digit threshold accident that would keep nothing
+    val nearOne = Curation.mixtureSample(df, col("doc_id"), col("source"),
+      Map("src1" -> (1.0 - 1e-12)), defaultRate = 1.0).count()
+    assert(nearOne == 4000L)
   }
 
   test("sequence packing: greedy walk, budget respected, oversized isolated") {
