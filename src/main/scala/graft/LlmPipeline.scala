@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -18,26 +18,53 @@ import org.apache.spark.sql.functions._
   */
 object LlmPipeline {
 
-  /** Quality-gated, deduplicated, chunked, split corpus. Returns the
-    * chunk-level frame that was written:
-    * `(doc_id, chunk_idx, chunk_text, n_chunk_tokens, quality, lang, split)`. */
+  /** Quality-gated, decontaminated, deduplicated, mixture-sampled,
+    * chunked, split corpus. Returns the chunk-level frame that was
+    * written:
+    * `(doc_id, chunk_idx, chunk_text, n_chunk_tokens, quality, lang, split)`.
+    *
+    * Optional stages: `benchmark` (+`benchmarkText`) drops documents
+    * sharing any `decontamK`-gram with the eval corpus BEFORE dedup (a
+    * contaminated doc must not survive as its cluster's representative);
+    * `mixtureRates` applies per-`mixtureDomainCol` keep rates AFTER dedup
+    * (sampling first would make survivor selection depend on the
+    * mixture, coupling two decisions that should be independent). */
   def curate(docs: DataFrame, idCol: Column, textCol: Column, outDir: String,
       maxTokens: Int = 512, overlap: Int = 64, minQuality: Double = 0.6,
       minJaccard: Double = 0.8,
-      splits: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      splits: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      benchmark: Option[DataFrame] = None, benchmarkText: Column = col("text"),
+      decontamK: Int = 13,
+      mixtureRates: Map[String, Double] = Map.empty,
+      mixtureDomainCol: Column = col("source"))
       : DataFrame = {
     // 1. score + gate (scan-speed expressions, no shuffle)
-    val scored = docs
+    val scored0 = docs
       .withColumn("__id", idCol)
       .withColumn("__text", textCol)
       .withColumn("quality", TextAnalysis.qualityScore(textCol))
       .withColumn("lang", TextAnalysis.languageGuessFromTokens(
         TextAnalysis.wsTokens(lower(textCol))))
       .filter(col("quality") >= minQuality)
+    // 1b. benchmark decontamination (broadcast eval grams, no corpus
+    //     shuffle) — before dedup, so contaminated docs can't become
+    //     cluster representatives
+    val scored = benchmark.fold(scored0)(b =>
+      Curation.decontaminate(scored0, col("__id"), col("__text"),
+        b, benchmarkText, decontamK))
     // 2. exact + near dedup → survivor ids (hash shuffles only), then a
     //    semi join keeps the surviving documents' full rows
-    val survivors = Dedup.dedupCorpus(scored, col("__id"), col("__text"),
+    val survivors0 = Dedup.dedupCorpus(scored, col("__id"), col("__text"),
       minJaccard = minJaccard)
+    // 2b. target-mixture sampling on the SURVIVOR ids (deterministic
+    //     md5-threshold filter; after dedup so survivor selection and
+    //     mixture stay independent decisions)
+    val survivors =
+      if (mixtureRates.isEmpty) survivors0
+      else Curation.mixtureSample(
+        scored.join(survivors0.select(col("id").as("__id")), Seq("__id"), "left_semi")
+          .select(col("__id").as("id"), mixtureDomainCol.as("__dom")),
+        col("id"), col("__dom"), mixtureRates)
     val kept = scored.join(survivors.select(col("id").as("__id")), Seq("__id"), "left_semi")
     // 3. split label from the DOCUMENT id (leak-free), then chunk — the
     //    doc-level columns ride through the chunker, zero joins

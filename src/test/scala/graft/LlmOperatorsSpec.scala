@@ -195,6 +195,25 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.columns.contains("split") && back.columns.contains("quality"))
   }
 
+  test("LlmPipeline.curate: decontamination and mixture stages compose") {
+    val good = (1 to 12).map(i => s"word$i the and of to in is that").mkString(" ")
+    val other = (1 to 40).map(i => s"u$i the of and to").mkString(" ")
+    val df = docsDf((1L, good), (5L, other))
+      .withColumn("source", when(col("doc_id") === 1L, "keep").otherwise("drop"))
+    // benchmark shares doc 1's grams → doc 1 decontaminated away
+    val bench = docsDf((100L, good))
+    val out1 = LlmPipeline.curate(df, col("doc_id"), col("text"),
+      "/tmp/graft_llm_curate_decon", maxTokens = 64, overlap = 8,
+      minQuality = 0.2, minJaccard = 0.5, benchmark = Some(bench), decontamK = 8)
+    assert(out1.select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(5L))
+    // mixture rate 0 for doc 5's domain → only doc 1 survives
+    val out2 = LlmPipeline.curate(df, col("doc_id"), col("text"),
+      "/tmp/graft_llm_curate_mix", maxTokens = 64, overlap = 8,
+      minQuality = 0.2, minJaccard = 0.5,
+      mixtureRates = Map("keep" -> 1.0, "drop" -> 0.0))
+    assert(out2.select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("duplicateWindows finds shared k-token spans within and across docs") {
     import graft.operators.TextAnalysis
     val span = (1 to 6).map(i => s"s$i").mkString(" ") // 6 shared tokens
