@@ -185,4 +185,45 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("got") =!= col("expected")).count()
     assert(bad == 0)
   }
+
+  test("packing invariants hold for random token counts (zeros, oversized, any partitioning)") {
+    import spark.implicits._
+    val rng = new Random(7)
+    for (trial <- 0 until 5) {
+      val budget = 64 + rng.nextInt(512)
+      val n = 200 + rng.nextInt(800)
+      // zeros, ordinary, and oversized-by-2x documents all mixed in
+      val data = (0L until n.toLong).map { i =>
+        (i, rng.nextInt(10) match {
+          case 0 => 0
+          case 1 => budget + rng.nextInt(budget)
+          case _ => 1 + rng.nextInt(budget / 2)
+        })
+      }
+      val parts = 1 + rng.nextInt(8)
+      val out = graft.operators.Curation.packSequences(
+          data.toDF("doc_id", "n_tokens"), col("doc_id"), col("n_tokens"),
+          budget, numPartitions = parts)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      // every doc exactly once
+      assert(out.map(_._1).sorted.toSeq == (0L until n.toLong),
+        s"trial $trial: lost or duplicated docs")
+      // no pack exceeds the budget unless it holds a single oversized doc
+      out.groupBy(_._3).foreach { case (pack, docs) =>
+        val tot = docs.map(_._2.toLong).sum
+        assert(tot <= budget || docs.count(_._2 > 0) == 1,
+          s"trial $trial pack $pack: $tot > $budget with ${docs.length} docs")
+      }
+      // packs are contiguous id ranges within a partition slice: ids in one
+      // pack are never interleaved with ids of another pack of the SAME
+      // partition (greedy scans in id order)
+      out.groupBy(_._3.split("_")(0)).foreach { case (_, slice) =>
+        val byPack = slice.sortBy(_._1).map(_._3)
+        val firstSeen = scala.collection.mutable.LinkedHashSet[String]()
+        byPack.foreach(firstSeen.add)
+        val expected = firstSeen.toSeq.flatMap(p => byPack.filter(_ == p))
+        assert(byPack.toSeq == expected, "packs interleave within a partition")
+      }
+    }
+  }
 }
