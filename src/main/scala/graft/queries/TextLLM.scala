@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * Oracle parity notes: DuckDB's SUM/MAX over integers widen to HUGEINT →
   * oracle SQL casts back to BIGINT; Spark int-sized `size()` results are
   * cast up to BIGINT on the Spark side. Ratio outputs are single IEEE
-  * divisions of exact ints. Near-dup queries that hinge on xxhash64 have
-  * no SQL twin → driver's rows-only check; their semantics are covered by
-  * ScalaTest (including a no-cartesian plan assertion).
+  * divisions of exact ints. The hash near-dup pipelines register under
+  * engine-portable md5 hash families (round 5), so minhash, simhash,
+  * dedup corpus, winnowing, and the multimodal stub are ALL checked end
+  * to end by the DuckDB oracle; only the two seeded ANN queries remain
+  * rows-only (no SQL mirror for random hyperplanes / k-means), with
+  * recall floors against oracle'd brute-force truth in LlmOperatorsSpec.
   */
 object TextLLM {
 
@@ -107,7 +110,7 @@ object TextLLM {
       .orderBy("qid", "rank")
   }
 
-  // ------------------------------------------- rows-only (no SQL oracle)
+  // -------------------------- hash pipelines (oracle'd via md5 families)
 
   def dMinhashNearDups(s: SparkSession, dir: String): DataFrame =
     // Md5Minhash family (round 5): every stage — seeded shingle minima,
@@ -195,12 +198,11 @@ object TextLLM {
       .orderBy("source")
   }
 
-  // ---- DuckDB-oracle TWINS of the hash-based pipelines' verification
-  // stages. The LSH candidate generators hinge on xxhash64 (no SQL twin),
-  // but everything downstream of candidates is portable: exact Jaccard
-  // over the SAME word-shingle expression minhash verifies with, the
-  // bit_count∘xor Hamming distance simhash thresholds on, and the full
-  // winnowing min-over-gram-hash structure under an engine-portable md5.
+  // ---- DuckDB-oracle TWINS that isolate single verification stages of
+  // the hash pipelines on small fixed candidate sets. Since round 5 the
+  // FULL pipelines are oracle'd too (portable md5 families above); the
+  // twins stay because a stage-level mismatch localizes a regression the
+  // end-to-end compare can only flag.
 
   /** Exact 3-word-shingle Jaccard over a fixed bounded candidate set
     * (docs < 30 plus their injected near-dup twins) — the verification
