@@ -59,9 +59,17 @@ object Bloom {
 
   /** Prune `big` to rows whose key might be in `small`'s key set: a
     * scan-level filter that cuts the big side's shuffle volume before an
-    * exact join. Guaranteed superset of the true semi join. */
+    * exact join. Guaranteed superset of the true semi join.
+    *
+    * The small key is CAST to the big key's type before hashing:
+    * xxhash64 is type-sensitive (int 42 and bigint 42 hash differently),
+    * so mismatched key types would otherwise make every membership probe
+    * miss — silent false negatives on a filter whose whole contract is
+    * "no false negatives". */
   def prune(big: DataFrame, bigKey: Column, small: DataFrame, smallKey: Column,
-      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame =
-    big.filter(mightContain(bigKey, buildBits(small, smallKey, numBits, numHashes),
-      numBits, numHashes))
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val bigType = big.select(bigKey).schema.head.dataType
+    val bits = buildBits(small, smallKey.cast(bigType), numBits, numHashes)
+    big.filter(mightContain(bigKey, bits, numBits, numHashes))
+  }
 }

@@ -32,13 +32,18 @@ object Curation {
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
   }
 
-  /** Drop every training document flagged by [[contaminationHits]]:
-    * broadcast anti join on the flagged-id set. */
+  /** Drop every training document flagged by [[contaminationHits]]: anti
+    * join on 8-byte id keys. Deliberately NOT broadcast-hinted — the
+    * flagged set is bounded by how contaminated the CORPUS is, not by the
+    * benchmark's size (one boilerplate gram in the benchmark can flag
+    * millions of documents), so the hint would funnel an unbounded set
+    * through the driver. AQE still broadcasts it when it is actually
+    * small. */
   def decontaminate(train: DataFrame, trainId: Column, trainText: Column,
       bench: DataFrame, benchText: Column, k: Int = 13): DataFrame = {
     val flagged = contaminationHits(train, trainId, trainText, bench, benchText, k)
       .select(col("id").as("__contaminated_id"))
-    train.join(broadcast(flagged), trainId === col("__contaminated_id"), "left_anti")
+    train.join(flagged, trainId === col("__contaminated_id"), "left_anti")
   }
 
   /** Deterministic domain-mixture sampling: keep a row with probability

@@ -69,21 +69,18 @@ object Dedup {
     shingles.select(col("id"), explode(array_distinct(col("shingles"))).as("sh"))
   }
 
-  /** The k-shingle array over a staged token array (pre-distinct). */
-  private def shinglesFromTokens(toks: Column, k: Int): Column =
+  /** The k-shingle array over a token column (pre-distinct). `toks` MUST
+    * be a materialized attribute (a staged `withColumn`/projection), not
+    * an inline tokenizer expression: the slice lambda references it once
+    * per shingle, and Catalyst HOFs are interpreted, so an inline
+    * expression would re-tokenize O(shingles) times per row — the
+    * documented round-2 trap. [[shinglePosting]] and
+    * [[graft.streaming.StreamingTimeSeries.streamingDecontaminate]] both
+    * stage it. */
+  def shinglesFromTokens(toks: Column, k: Int): Column =
     when(size(toks) < k, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-
-  /** Distinct word k-shingles as an ARRAY column — the pre-explode form of
-    * [[shinglePosting]], for per-row membership tests (e.g. streaming
-    * decontamination, where exploding would force an unsupported
-    * stream-stream anti join). Tokenization is inlined (a filter context
-    * has no projection to stage it in), costing one extra tokenize per
-    * row — fine for a scan-level predicate. */
-  def shingleArray(textCol: Column, k: Int): Column =
-    array_distinct(shinglesFromTokens(
-      TextAnalysis.wsTokens(TextAnalysis.normalized(textCol)), k))
 
   // -------------------------------------------------------------- minhash
 

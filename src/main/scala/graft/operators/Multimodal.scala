@@ -44,20 +44,22 @@ object Multimodal {
     * pooled features); the signature and everything downstream stay.
     *
     * The fake is md5-derived (feature i = the first 12 bits of
-    * `md5(payload:frameIdx:i)` over 4096) so it is expressible in SQL —
-    * the driver's DuckDB oracle checks the whole extract-features flow,
-    * not just its row counts. 12-bit/4096 values are exact in Float, and
-    * their sums stay exact in Double, so cross-engine aggregation of the
-    * features compares bit-for-bit. */
+    * `md5(md5hex(payload):frameIdx:i)` over 4096) so it is expressible in
+    * SQL — the driver's DuckDB oracle checks the whole extract-features
+    * flow, not just its row counts. The payload is digested ONCE and the
+    * per-feature hashes derive from its 32-char hex — a multi-MB media
+    * payload is not re-hashed FeatureDim times per frame. 12-bit/4096
+    * values are exact in Float, and their sums stay exact in Double, so
+    * cross-engine aggregation compares bit-for-bit. */
   def decodeFrame(payload: Array[Byte], frameIdx: Int): Array[Float] = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    val payloadHex = md.digest(payload).map(b => f"${b & 0xff}%02x").mkString
     val out = new Array[Float](FeatureDim)
     var i = 0
     while (i < FeatureDim) {
       md.reset()
-      md.update(payload)
-      md.update(s":$frameIdx:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val d = md.digest()
+      val d = md.digest(
+        s"$payloadHex:$frameIdx:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out(i) = (((d(0) & 0xff) << 4) | ((d(1) & 0xff) >>> 4)) / 4096.0f
       i += 1
     }

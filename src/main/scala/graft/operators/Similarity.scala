@@ -205,22 +205,31 @@ object Similarity {
 
   // --------------------------------------------------------- quantization
 
-  /** Symmetric int8 quantization of an embedding: per-vector scale
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
     * `max(|x|)/127`, elements `round(x/scale)` in [-127, 127]. The
     * 100 TB storage path — a 4× cut over float32 (16× over float64)
     * before the vectors ever hit parquet, with the scale riding alongside
     * for dequantization (`x ≈ q·scale`). Pure column expressions
     * (deterministic IEEE double arithmetic), so the registered query is
     * oracle-checked exactly. Zero vectors quantize to all-zero (scale 0
-    * guarded, no NaN). Returns struct(scale double, qs array<tinyint>). */
-  def quantizeInt8(vec: Column): Column = {
-    val scale = array_max(transform(vec, x => abs(x.cast("double")))) / 127d
-    struct(
-      scale.as("scale"),
-      transform(vec, x =>
-        when(scale === 0, 0)
-          .otherwise(round(x.cast("double") / scale))
-          .cast("tinyint")).as("qs"))
+    * guarded, no NaN).
+    *
+    * DataFrame-shaped (not a bare Column) so the scale is STAGED as its
+    * own attribute before the per-element lambda references it — inlined,
+    * the interpreted HOF would re-evaluate the O(d) array_max once per
+    * element, making quantization O(d²) per vector. Adds
+    * `outName = struct(scale double, qs array<tinyint>)`. */
+  def quantizeInt8(df: DataFrame, vecCol: Column, outName: String): DataFrame = {
+    val scale = col("__q8_scale")
+    df.withColumn("__q8_scale",
+        array_max(transform(vecCol, x => abs(x.cast("double")))) / 127d)
+      .withColumn(outName, struct(
+        scale.as("scale"),
+        transform(vecCol, x =>
+          when(scale === 0, 0)
+            .otherwise(round(x.cast("double") / scale))
+            .cast("tinyint")).as("qs")))
+      .drop("__q8_scale")
   }
 
   /** Dequantize an int8-quantized embedding back to doubles. */

@@ -169,8 +169,8 @@ object TextLLM {
     * per-vector scale + exact integer digests of the quantized values —
     * deterministic IEEE arithmetic, mirrored exactly in the oracle. */
   def sQuantizeInt8(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir).filter(col("vec_id") < 100)
-      .withColumn("q", Similarity.quantizeInt8(col("embedding")))
+    Similarity.quantizeInt8(emb(s, dir).filter(col("vec_id") < 100),
+        col("embedding"), "q")
       .select(col("vec_id"), col("q.scale").as("scale"),
         expr("CAST(aggregate(q.qs, 0, (a, x) -> a + CAST(x AS INT)) AS BIGINT)")
           .as("q_sum"),
@@ -488,14 +488,22 @@ object TextLLM {
   }
 
   val oracle: Map[String, String] = Map(
+    // list_filter(length>0) mirrors wsTokens' empty-token filter — same
+    // value on this fixture, but an empty/whitespace-only text would
+    // otherwise count 1 in DuckDB vs 0 in Spark
     "t_token_stats" ->
-      """SELECT lang, COUNT(*) AS n_docs,
-        |  CAST(SUM(length(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
-        |  CAST(MAX(length(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS max_tokens
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH t AS (SELECT lang,
+        |    length(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> length(x) > 0)) AS n
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |  CAST(MAX(n) AS BIGINT) AS max_tokens
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_quality_stopwords" ->
       s"""WITH d AS (SELECT source,
-         |    length(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+         |    length(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> length(x) > 0)) AS n_tokens,
          |    length(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
          |      x -> list_contains($stopList, x))) AS n_stop
          |  FROM documents)
@@ -598,7 +606,8 @@ object TextLLM {
     // packSequences runs inside each partition.
     "t_seq_packing" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
-        |    length(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |    length(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> length(x) > 0)) AS n_tokens
         |  FROM documents WHERE doc_id < 200),
         |o AS (SELECT doc_id, n_tokens, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM t),
         |r AS (
@@ -785,7 +794,7 @@ object TextLLM {
         |    END) AS frame_idx
         |  FROM it),
         |fx AS (SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-        |    md5(text || ':' || frame_idx || ':' || f.i) AS hx
+        |    md5(md5(text) || ':' || frame_idx || ':' || f.i) AS hx
         |  FROM fr CROSS JOIN range(16) f(i)),
         |fe AS (SELECT media_id, frame_idx,
         |    SUM(CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 256

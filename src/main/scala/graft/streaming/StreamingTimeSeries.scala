@@ -154,12 +154,20 @@ object StreamingTimeSeries {
     * agree document for document. */
   def streamingDecontaminate(docs: DataFrame, textCol: String,
       bench: DataFrame, benchText: Column, k: Int = 13): DataFrame = {
-    import graft.operators.Dedup
+    import graft.operators.{Dedup, TextAnalysis}
     val benchGrams: Seq[String] =
       Dedup.shinglePosting(bench, lit(0L), benchText, k)
         .select("sh").distinct().collect().map(_.getString(0)).toSeq
-    docs.filter(!arrays_overlap(
-      Dedup.shingleArray(col(textCol), k), typedlit(benchGrams)))
+    // tokens staged as their own column: the shingle lambda references
+    // them once per shingle, and an inline tokenizer would be re-run by
+    // the interpreted HOF O(shingles) times per row
+    docs
+      .withColumn("__toks",
+        TextAnalysis.wsTokens(TextAnalysis.normalized(col(textCol))))
+      .withColumn("__sh",
+        array_distinct(Dedup.shinglesFromTokens(col("__toks"), k)))
+      .filter(!arrays_overlap(col("__sh"), typedlit(benchGrams)))
+      .drop("__toks", "__sh")
   }
 
   /** Current weekly matrix from the foreachBatch target: latest batch's

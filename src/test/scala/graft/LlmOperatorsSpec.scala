@@ -472,7 +472,7 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
       (3L, Seq(3.0f, -2.0f, 0.001f, 1.5f)))
       .toDF("vec_id", "embedding")
-    val out = df.withColumn("q", Similarity.quantizeInt8(col("embedding")))
+    val out = Similarity.quantizeInt8(df, col("embedding"), "q")
       .withColumn("back", Similarity.dequantizeInt8(col("q")))
       .select(col("vec_id"), col("q.scale"), col("embedding"), col("back"))
       .collect()
