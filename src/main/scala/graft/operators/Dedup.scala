@@ -208,22 +208,34 @@ object Dedup {
   }
 
   /** MinHash candidates verified with exact Jaccard ≥ `minJaccard` over
-    * distinct word shingles (join back to the docs for token sets). */
+    * distinct word shingles (join back to the docs for token sets).
+    *
+    * The verification sets are aggregated ONLY for ids that survived
+    * candidate generation: the shingle posting is left-semi-joined against
+    * the exploded candidate-pair ids before the `collect_list`. Candidates
+    * are typically ≪1% of a deduped corpus, so the heaviest shuffle of the
+    * pipeline — per-doc shingle arrays into the set aggregate — shrinks by
+    * the same factor; the full-corpus arrays never move. */
   def minhashNearDups(df: DataFrame, idCol: Column, textCol: Column,
       shingleK: Int = 3, numHashes: Int = 24, bands: Int = 8,
       minJaccard: Double = 0.7, family: MinhashFamily = XxMinhash): DataFrame = {
     // shingle the corpus ONCE; signatures, candidates and exact-Jaccard
     // verification all derive from this cached posting
     val posting = shinglePosting(df, idCol, textCol, shingleK).cache()
-    val sets = posting.groupBy("id").agg(collect_list(col("sh")).as("sh"))
     val prepared = posting.select(col("id"), family.prepare(col("sh")).as("shp"))
     val mins = (0 until numHashes).map(h =>
       min(family.shingleHash(col("shp"), h)).as(s"h$h"))
     val sigs = prepared.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(h => col(s"h$h")): _*).as("signature"))
-    minhashCandidatesFromSigs(sigs, numHashes, bands,
-        bucketHash = family.bucketHash)
+    // cached: referenced again below as the id source for the semi-join
+    val candidates = minhashCandidatesFromSigs(sigs, numHashes, bands,
+        bucketHash = family.bucketHash).cache()
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+    val sets = posting.join(candIds, Seq("id"), "left_semi")
+      .groupBy("id").agg(collect_list(col("sh")).as("sh"))
+    candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))

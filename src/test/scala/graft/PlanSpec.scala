@@ -70,6 +70,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("minhash verification sets aggregate only semi-joined candidate ids") {
+    // VERDICT r5 #3: the collect_list that builds exact-Jaccard sets must
+    // consume the posting AFTER a left-semi join against candidate ids —
+    // without it, every document's shingle array shuffles into the set
+    // aggregate even though only candidates (≪1%) are ever verified.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = queries.TextLLM.dMinhashNearDups(spark, sf)
+      .queryExecution.optimizedPlan
+    val setAggs = plan.collect {
+      case a: Aggregate
+          if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
+    }
+    assert(setAggs.nonEmpty, "no collect_list aggregate found in minhash plan")
+    setAggs.foreach { a =>
+      val semis = a.collect { case j: Join if j.joinType == LeftSemi => j }
+      assert(semis.nonEmpty,
+        s"collect_list aggregate input is not semi-joined to candidate ids:\n$a")
+    }
+  }
+
   test("globalRowNumber == naive global rank, with both phases over ONE range exchange") {
     import spark.implicits._
     val df = (1 to 10000).map(i => ((i * 2654435761L) % 997, i)).toDF("k", "id")
