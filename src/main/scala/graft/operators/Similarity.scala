@@ -74,6 +74,28 @@ object Similarity {
     Seq.fill(numBits)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
+  /** Engine-portable hyperplanes: element (i, d) is derived from
+    * `md5("plane:i:d")` — first 15 hex digits parsed base-16 (a 60-bit
+    * int), scaled to [-1, 1) by `h / 2^59 - 1`. Any engine with an md5
+    * can reproduce the planes exactly (DuckDB mirrors the decode with a
+    * strpos shift-sum in BIGINT arithmetic — every 16^k term is a power
+    * of two, so the intermediate casts are exact), which makes an
+    * LSH-bucketed query oracle-checkable end to end: signature, probes,
+    * and scores all recompute bit-identically outside Spark. Uniform
+    * (not Gaussian) entries — for sign-bit signatures only direction
+    * symmetry matters, not the marginal distribution. */
+  def md5Planes(numBits: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0 until numBits).map { i =>
+      (0 until dim).map { d =>
+        val h = java.lang.Long.parseLong(hex(s"plane:$i:$d").substring(0, 15), 16)
+        h.toDouble / (1L << 59).toDouble - 1.0
+      }
+    }
+  }
+
   /** Sign-bit signature of a vector under the planes: bit i set iff
     * dot(vec, plane_i) ≥ 0. */
   def planeSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
@@ -104,8 +126,18 @@ object Similarity {
       dim: Int = 64, seed: Long = 42L,
       baseId: String = "vec_id", baseVec: String = "embedding",
       queryId: String = "qid", queryVec: String = "qvec",
+      probeDepth: Int = 1): DataFrame =
+    lshTopKWithPlanes(base, queries, k, randomPlanes(numBits, dim, seed),
+      baseId, baseVec, queryId, queryVec, probeDepth)
+
+  /** [[lshTopK]] over caller-supplied planes — pass [[md5Planes]] for the
+    * engine-portable family an external oracle can mirror. */
+  def lshTopKWithPlanes(base: DataFrame, queries: DataFrame, k: Int,
+      planes: Seq[Seq[Double]],
+      baseId: String = "vec_id", baseVec: String = "embedding",
+      queryId: String = "qid", queryVec: String = "qvec",
       probeDepth: Int = 1): DataFrame = {
-    val planes = randomPlanes(numBits, dim, seed)
+    val numBits = planes.size
     val baseB = base.withColumn("bucket", planeSignature(col(baseVec), planes))
       .withColumn("__bnorm", norm(col(baseVec)))
     val queryB = queries

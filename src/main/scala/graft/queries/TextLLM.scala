@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * divisions of exact ints. The hash near-dup pipelines register under
   * engine-portable md5 hash families (round 5), so minhash, simhash,
   * dedup corpus, winnowing, and the multimodal stub are ALL checked end
-  * to end by the DuckDB oracle; only the two seeded ANN queries remain
-  * rows-only (no SQL mirror for random hyperplanes / k-means), with
-  * recall floors against oracle'd brute-force truth in LlmOperatorsSpec.
+  * to end by the DuckDB oracle. Round 6 closes the last gap: the
+  * registered LSH query uses md5-derived hyperplanes and the registered
+  * IVF query fixes centroids to the k lowest-id vectors, so both have
+  * full SQL mirrors — every registered query is oracle-checked. Recall
+  * floors vs brute-force truth stay in LlmOperatorsSpec.
   */
 object TextLLM {
 
@@ -148,20 +150,30 @@ object TextLLM {
     // bucket) + depth-2 multi-probe; recall is regression-asserted ≥0.6
     // against brute-force truth in LlmOperatorsSpec. At 100 TB the same
     // two dials scale the index: more bits for smaller buckets, deeper
-    // probes to buy recall back.
-    Similarity.lshTopK(base, queries, k = 3, numBits = 4, probeDepth = 2)
-      .select("qid", "rank", "nid", "cos")
+    // probes to buy recall back. Registered with md5-derived planes
+    // (round 6) so the oracle recomputes signature → probes → scores end
+    // to end; `cos` is dropped from the OUTPUT like the brute query
+    // (rank order agrees across engines; last-bit float repr may not).
+    // Seeded-random planes remain the library default (lshTopK).
+    Similarity.lshTopKWithPlanes(base, queries, k = 3,
+        planes = Similarity.md5Planes(numBits = 4, dim = 64), probeDepth = 2)
+      .select("qid", "rank", "nid")
       .orderBy("qid", "rank")
   }
 
   def sAnnIvfTop3(s: SparkSession, dir: String): DataFrame = {
     val base = emb(s, dir)
-    val centroids = Similarity.trainCentroids(base, k = 8, iters = 3)
+    // deterministic centroids: the k lowest-vec_id embeddings verbatim
+    // (trainCentroids' own seeding, zero Lloyd's rounds) — an external
+    // oracle reproduces assignment + probing + scoring exactly. Lloyd's-
+    // refined centroids stay the library path (trainCentroids iters>0,
+    // covered by LlmOperatorsSpec's blob-recovery test).
+    val centroids = Similarity.trainCentroids(base, k = 8, iters = 0)
     val queries = base.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     Similarity.ivfTopK(Similarity.ivfIndex(base, centroids), queries,
         k = 3, centroids, nProbe = 3)
-      .select("qid", "rank", "nid", "cos")
+      .select("qid", "rank", "nid")
       .orderBy("qid", "rank")
   }
 
@@ -836,5 +848,66 @@ object TextLLM {
         |    PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
         |  FROM scored)
         |SELECT qid, rank, nid FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Full LSH mirror: plane (i,d) = md5("plane:i:d") first-15-hex-digit
+    // decode (BIGINT shift-sum; every 16^k is a power of two so the
+    // power() casts are exact) scaled to [-1,1) by h/2^59-1 — identical
+    // to Similarity.md5Planes. Signature = sign bits of sequential-order
+    // inner products (same accumulation as graft_vector_dot); probes =
+    // signature XOR the 11 depth-2 masks over 4 bits.
+    "s_ann_lsh_top3" ->
+      """WITH p AS (SELECT i, list_transform(range(0, 64), d ->
+        |      CAST(list_sum(list_transform(range(1, 16), q ->
+        |        (CAST(strpos('0123456789abcdef',
+        |           substr(md5('plane:' || i || ':' || d), q, 1)) AS BIGINT) - 1)
+        |        * CAST(power(16, 15 - q) AS BIGINT))) AS DOUBLE)
+        |      / 576460752303423488.0 - 1.0) AS w
+        |  FROM range(0, 4) t(i)),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sig AS (SELECT v.vec_id,
+        |    CAST(SUM(CASE WHEN list_inner_product(v.e, p.w) >= 0
+        |      THEN CAST(power(2, p.i) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM v CROSS JOIN p GROUP BY 1),
+        |b AS (SELECT v.vec_id, v.e, s.bucket FROM v JOIN sig s USING (vec_id)),
+        |qp AS (SELECT b.vec_id AS qid, b.e AS qe,
+        |    xor(b.bucket, CAST(m.m AS BIGINT)) AS bucket
+        |  FROM b CROSS JOIN (SELECT unnest([0,1,2,4,8,3,5,9,6,10,12]) AS m) m
+        |  WHERE b.vec_id < 5),
+        |scored AS (SELECT qp.qid, b.vec_id AS nid,
+        |    list_cosine_similarity(qp.qe, b.e) AS cos
+        |  FROM qp JOIN b ON b.bucket = qp.bucket AND b.vec_id <> qp.qid),
+        |ranked AS (SELECT qid, nid, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // IVF mirror: centroids are the 8 lowest-vec_id embeddings verbatim;
+    // assignment/probing rank by (-2·v·c + ||c||², centroid index) with
+    // first-min tie-breaking, exactly Similarity.nearestCentroid.
+    "s_ann_ivf_top3" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci,
+        |    e AS ce FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+        |cn AS (SELECT ci, ce, list_inner_product(ce, ce) AS n2 FROM c),
+        |dist AS (SELECT v.vec_id, cn.ci,
+        |    -2 * list_inner_product(v.e, cn.ce) + cn.n2 AS d
+        |  FROM v CROSS JOIN cn),
+        |assign AS (SELECT vec_id, ci AS ivf_list FROM (
+        |    SELECT vec_id, ci, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY d, ci) AS rn FROM dist)
+        |  WHERE rn = 1),
+        |probe AS (SELECT vec_id AS qid, ci AS ivf_list FROM (
+        |    SELECT vec_id, ci, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY d, ci) AS rn
+        |    FROM dist WHERE vec_id < 5)
+        |  WHERE rn <= 3),
+        |scored AS (SELECT p.qid, a.vec_id AS nid,
+        |    list_cosine_similarity(q.e, b.e) AS cos
+        |  FROM probe p
+        |  JOIN v q ON q.vec_id = p.qid
+        |  JOIN assign a ON a.ivf_list = p.ivf_list AND a.vec_id <> p.qid
+        |  JOIN v b ON b.vec_id = a.vec_id),
+        |ranked AS (SELECT qid, nid, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
   )
 }
