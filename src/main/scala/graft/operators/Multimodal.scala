@@ -22,10 +22,14 @@ case class FrameFeatures(
 /** Multimodal column handling (images/audio/video as opaque binary).
   *
   * The Spark-side plumbing — schema, batch iteration, partition shape,
-  * explode-per-frame — is real and tested; the codec itself is a STUB
-  * (this container has no image/audio libraries): `decodeFrame` derives a
-  * deterministic fake feature vector from the payload bytes. Swapping in a
-  * real decoder changes ONE function, not the pipeline.
+  * explode-per-frame — is real and tested. Two codec tiers (round 6):
+  * [[decodeFrameImageIO]] is a REAL image decoder — `javax.imageio` ships
+  * PNG/BMP/GIF/JPEG readers in the JDK, zero new dependencies — whose
+  * features come from actual pixels; [[decodeFrame]] remains the
+  * md5-derived deterministic stub (expressible in SQL, so the driver's
+  * oracle can check the extract-features flow over arbitrary payloads).
+  * Audio/video codecs are genuinely absent from this container; swapping
+  * one in changes ONE function, not the pipeline.
   *
   * Design points for 100 TB of media:
   *  - payloads never appear in a join/groupBy key — operations key on
@@ -66,6 +70,95 @@ object Multimodal {
     out
   }
 
+  /** Whole-image pixel statistics from a REAL decode. `None` when the
+    * payload is not a decodable image (wrong magic bytes, truncated
+    * stream) — callers decide whether to drop or fall back to the stub. */
+  final case class ImageStats(width: Int, height: Int,
+      sumR: Long, sumG: Long, sumB: Long)
+
+  /** Decode an image payload with `javax.imageio` (PNG/BMP/GIF/JPEG
+    * readers are part of the JDK) and reduce it to per-channel pixel
+    * sums. Integer sums of 8-bit channels — exact, so results computed
+    * from actual pixels can still be compared bit-for-bit against an
+    * oracle that knows the expected pixel values. */
+  def decodeImageStats(payload: Array[Byte]): Option[ImageStats] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < im.getHeight) {
+        var x = 0
+        while (x < im.getWidth) {
+          val p = im.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      ImageStats(im.getWidth, im.getHeight, sr, sg, sb)
+    }
+  }
+
+  /** Encode a PNG from a pixel function (`rgb(x, y)` packs 0xRRGGBB) —
+    * PNG is lossless, so a decode of the result returns exactly these
+    * values. Used to synthesize deterministic real-image payloads in
+    * tests and the registered round-trip query. */
+  def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL codec behind the [[decodeFrame]] signature: decodable payloads
+    * get features from actual pixels — channel means, mean luminance,
+    * and a 12-bin luminance histogram (fractions of pixel count) — and
+    * anything `javax.imageio` cannot read falls back to the md5 stub, so
+    * mixed image/non-image corpora flow through one code path. Still
+    * images ignore `frameIdx` (one frame). */
+  def decodeFrameImageIO(payload: Array[Byte], frameIdx: Int): Array[Float] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) decodeFrame(payload, frameIdx)
+    else {
+      val w = img.getWidth; val h = img.getHeight; val n = w.toLong * h
+      var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+      val hist = new Array[Long](FeatureDim - 4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+          // integer Rec.601 luma in [0, 255]
+          val luma = (r * 299 + g * 587 + b * 114) / 1000
+          sr += r; sg += g; sb += b; sl += luma
+          hist(luma * hist.length / 256) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Float](FeatureDim)
+      out(0) = sr.toFloat / n / 255f
+      out(1) = sg.toFloat / n / 255f
+      out(2) = sb.toFloat / n / 255f
+      out(3) = sl.toFloat / n / 255f
+      var i = 0
+      while (i < hist.length) { out(4 + i) = hist(i).toFloat / n; i += 1 }
+      out
+    }
+  }
+
   /** Evenly-spaced frame indices: `n` samples from [0, nFrames). */
   def sampleFrameIndices(nFrames: Int, n: Int): Seq[Int] =
     if (nFrames <= n) 0 until nFrames
@@ -73,16 +166,18 @@ object Multimodal {
 
   /** Per-frame feature extraction: one output row per sampled frame.
     * Narrow flatMap over batched partitions — no shuffle, codec state
-    * initialized once per partition. */
+    * initialized once per partition. `codec` defaults to the stub;
+    * pass [[decodeFrameImageIO]] for real image corpora. */
   def extractFeatures(items: Dataset[MediaItem], framesPerItem: Int,
-      batchSize: Int = 64): Dataset[FrameFeatures] = {
+      batchSize: Int = 64,
+      codec: (Array[Byte], Int) => Array[Float] = decodeFrame): Dataset[FrameFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       // per-partition codec setup would go here (once, not per row)
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { m =>
           sampleFrameIndices(m.n_frames, framesPerItem).iterator.map { f =>
-            FrameFeatures(m.media_id, f, decodeFrame(m.payload, f))
+            FrameFeatures(m.media_id, f, codec(m.payload, f))
           }
         }
       }

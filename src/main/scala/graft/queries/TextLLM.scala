@@ -379,6 +379,32 @@ object TextLLM {
       .orderBy("frame_idx")
   }
 
+  /** Real-codec round trip (round 6): synthesize a deterministic 2×2 PNG
+    * per document id, decode it back with `javax.imageio`, and emit pixel
+    * sums FROM THE DECODED IMAGE. PNG is lossless, so the oracle computes
+    * the same sums directly from the pixel formula — a match proves the
+    * numbers came from actual decoded pixels, not from the payload bytes
+    * (the md5 stub, fed the same payloads, could not reproduce them). */
+  def mPngPixelStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = docs(s, dir).filter(col("doc_id") < 20)
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val png = Multimodal.encodePng(2, 2, (x, y) => {
+          val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          val g = ((id * 17 + x * 5 + y * 3) % 256).toInt
+          val b = ((id * 7 + x * 11 + y * 19) % 256).toInt
+          (r << 16) | (g << 8) | b
+        })
+        val st = Multimodal.decodeImageStats(png).getOrElse(
+          sys.error(s"PNG round-trip failed for id $id"))
+        (id, st.width, st.height, st.sumR, st.sumG, st.sumB)
+      }
+    }.toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tTokenStats _),
     "t_quality_stopwords" -> (tQualityStopwords _),
@@ -408,6 +434,7 @@ object TextLLM {
     "s_ann_ivf_top3" -> (sAnnIvfTop3 _),
     "d_embedding_neardups" -> (dEmbeddingNearDups _),
     "m_frame_features" -> (mFrameFeatures _),
+    "m_png_pixel_stats" -> (mPngPixelStats _),
   )
 
   private val stopList = TA.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -816,6 +843,19 @@ object TextLLM {
         |  FROM fx GROUP BY 1, 2)
         |SELECT frame_idx, COUNT(*) AS n_frames, SUM(fsum) AS feature_mass
         |FROM fe GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The Spark side encodes a real PNG per id and decodes it with
+    // javax.imageio; the oracle knows the pixel formula and sums it
+    // directly — lossless PNG makes the two bit-identical.
+    "m_png_pixel_stats" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 20),
+        |px AS (SELECT media_id, xs.x, ys.y FROM ids
+        |  CROSS JOIN (SELECT unnest([0, 1]) AS x) xs
+        |  CROSS JOIN (SELECT unnest([0, 1]) AS y) ys)
+        |SELECT media_id, 2 AS width, 2 AS height,
+        |  CAST(SUM((media_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((media_id * 17 + x * 5 + y * 3) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((media_id * 7 + x * 11 + y * 19) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_embedding_neardups" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |    FROM embeddings WHERE vec_id < 200)

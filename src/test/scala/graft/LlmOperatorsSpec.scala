@@ -465,6 +465,38 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out1.forall(_.feature.length == Multimodal.FeatureDim))
   }
 
+  test("ImageIO codec: PNG round-trip returns actual pixels; garbage falls back to stub") {
+    // known 2×2 image: exact channel sums survive the lossless round trip
+    val colors = Map((0, 0) -> 0x102030, (1, 0) -> 0x405060,
+      (0, 1) -> 0x708090, (1, 1) -> 0xa0b0c0)
+    val png = Multimodal.encodePng(2, 2, (x, y) => colors((x, y)))
+    val st = Multimodal.decodeImageStats(png).get
+    assert(st == Multimodal.ImageStats(2, 2,
+      0x10 + 0x40 + 0x70 + 0xa0, 0x20 + 0x50 + 0x80 + 0xb0,
+      0x30 + 0x60 + 0x90 + 0xc0))
+    // real features: channel means in [0,1] from the same pixels, and the
+    // luminance histogram bins sum to 1 (all pixels binned exactly once)
+    val feats = Multimodal.decodeFrameImageIO(png, 0)
+    assert(feats.length == Multimodal.FeatureDim)
+    assert(math.abs(feats(0) - st.sumR / 4.0 / 255.0) < 1e-6)
+    assert(math.abs(feats.drop(4).sum - 1.0f) < 1e-6)
+    // a non-image payload is indistinguishable from the stub path
+    val junk = "definitely not a png".getBytes("UTF-8")
+    assert(Multimodal.decodeImageStats(junk).isEmpty)
+    assert(Multimodal.decodeFrameImageIO(junk, 2).toSeq ==
+      Multimodal.decodeFrame(junk, 2).toSeq)
+    // the extract pipeline runs the real codec end to end
+    import spark.implicits._
+    val items = spark.createDataset(Seq(
+      graft.operators.MediaItem(1L, "image/png", png, 2, 2, 1),
+      graft.operators.MediaItem(2L, "text/plain", junk, 0, 0, 1)))
+    val out = Multimodal.extractFeatures(items, framesPerItem = 1,
+        codec = Multimodal.decodeFrameImageIO)
+      .collect().map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(out(1L) == feats.toSeq)
+    assert(out(2L) == Multimodal.decodeFrame(junk, 0).toSeq)
+  }
+
   test("int8 quantization: roundtrip error bounded by scale/2, zero vector safe") {
     import spark.implicits._
     val df = Seq(
