@@ -9,17 +9,65 @@ package graft
   * run showed 8–13× phantom "regressions" on untouched queries that
   * reproduced at normal speed locally, i.e. ambient load on the driver
   * host, which a min is immune to as long as one rep runs uncontended.
-  * The median is still reported per query (`queries_median`) and every raw
-  * rep is emitted (`reps_sec`) so an outlier run is diagnosable post-hoc.
-  * The line carries `"scope":"headline"` + `"reps"` + `"n_queries"` so
-  * consumers can't misread it as a full-registry or single-shot total.
-  * Failures are reported explicitly in an "errors" object instead of being
-  * folded into the timing sum.
+  *
+  * THE STDOUT LINE MUST STAY SHORT. The driver retains only the last
+  * ~2000 characters of stdout and parses the JSON line out of that tail:
+  * BENCH_r06/r07 came back `parsed: null` because round 6 added
+  * per-query medians + raw reps to the line and it outgrew the window
+  * (the r07 tail starts mid-line). So the line now carries only the
+  * compact essentials — total, per-query min seconds (3 decimals),
+  * errors, scope metadata — and everything else (medians, every raw rep)
+  * goes to a details FILE (`$SPARK_GRAFT_BENCH_DETAILS`, default
+  * /tmp/graft_bench_details.json). [[render]] is unit-tested to stay
+  * under the window even with generous headroom for sbt's trailing
+  * "[success] ..." line.
   */
 object Bench {
+
+  /** Compact one-line JSON for the driver's stdout tail. Pure so
+    * BenchRenderSpec can assert length + parseability. */
+  def render(mins: Seq[(String, Double)], totalMedian: Double, reps: Int,
+      errors: Seq[(String, String)], sfDir: String): String = {
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    def fmt(d: Double) = f"$d%.3f"
+    def obj(m: Seq[(String, String)]) =
+      m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val total = mins.map(_._2).sum
+    val qs = obj(mins.map { case (k, v) => k -> fmt(v) })
+    // errors are capped hard: one failing query must not blow the line
+    // past the tail window and take the whole bench signal down with it
+    val es = obj(errors.take(3).map { case (k, v) => k -> jstr(v.take(60)) })
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""stat":"min_of_warm_reps","total_median":${fmt(totalMedian)},""" +
+      s""""scope":"headline","n_queries":${mins.size},"reps":$reps,""" +
+      s""""queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
+  }
+
+  /** Verbose payload for the details file (not stdout): per-query medians
+    * and every raw rep, so an outlier run is diagnosable post-hoc. */
+  def renderDetails(results: Seq[(String, Seq[Double])], reps: Int,
+      errors: Seq[(String, String)], sfDir: String): String = {
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    def fmt(d: Double) = f"$d%.4f"
+    def obj(m: Seq[(String, String)]) =
+      m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val medians = results.map { case (k, ts) =>
+      k -> (if (ts.isEmpty) 0.0 else ts.sorted.apply(ts.size / 2)) }
+    val qmed = obj(medians.map { case (k, v) => k -> fmt(v) })
+    val raw = obj(results.map { case (k, ts) =>
+      k -> ts.map(fmt).mkString("[", ",", "]") })
+    val es = obj(errors.map { case (k, v) => k -> jstr(v) })
+    s"""{"metric":"bench_details","reps":$reps,"queries_median":$qmed,""" +
+      s""""reps_sec":$raw,"errors":$es,"sf":${jstr(sfDir)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val detailsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS",
+      "/tmp/graft_bench_details.json")
     val spark = GraftSession.local("graft-bench")
     // warm the JVM + parquet footers so the first timed query isn't
     // charged for session/codegen startup
@@ -41,27 +89,16 @@ object Bench {
       }
       name -> times
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\n\\r\\t]", " ") + "\""
-    def fmt(d: Double) = f"$d%.4f"
-    def obj(m: Seq[(String, String)]) =
-      m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val mins = results.map { case (k, ts) =>
       k -> (if (ts.isEmpty) 0.0 else ts.min) }
-    val medians = results.map { case (k, ts) =>
-      k -> (if (ts.isEmpty) 0.0 else ts.sorted.apply(ts.size / 2)) }
-    val qs = obj(mins.map { case (k, v) => k -> fmt(v) })
-    val qmed = obj(medians.map { case (k, v) => k -> fmt(v) })
-    val raw = obj(results.map { case (k, ts) =>
-      k -> ts.map(fmt).mkString("[", ",", "]") })
-    val es = obj(errors.toSeq.map { case (k, v) => k -> jstr(v) })
-    val total = mins.map(_._2).sum
-    val totalMedian = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""stat":"min_of_warm_reps","total_median":${fmt(totalMedian)},""" +
-      s""""scope":"headline","n_queries":${results.size},"reps":$reps,""" +
-      s""""queries":$qs,"queries_median":$qmed,"reps_sec":$raw,""" +
-      s""""errors":$es,"sf":"$sfDir"}""")
+    val totalMedian = results.map { case (_, ts) =>
+      if (ts.isEmpty) 0.0 else ts.sorted.apply(ts.size / 2) }.sum
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailsPath),
+      renderDetails(results, reps, errors.toSeq, sfDir)): Unit
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] details write failed: ${e.getMessage}")
+    }
+    println(render(mins, totalMedian, reps, errors.toSeq, sfDir))
     spark.stop()
   }
 }

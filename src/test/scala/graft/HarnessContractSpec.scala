@@ -1,0 +1,64 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the two driver-facing stdout contracts.
+  *
+  * The driver retains only the last ~2000 characters of a run's stdout
+  * and parses its JSON line out of that tail (BENCH_r06/r07 came back
+  * `parsed: null` after the line outgrew the window; the stored r07 tail
+  * starts mid-line). sbt appends its own "[success] Total time: ..."
+  * trailer (~100 chars) after our line, so the line itself must stay
+  * comfortably under the window.
+  */
+class HarnessContractSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+  private val TailWindow = 2000
+  private val SbtTrailer = 200 // headroom for "[success] ..." + newline
+
+  private def realisticMins: Seq[(String, Double)] =
+    SparkEntry.headline.map(n => n -> 1.2345).toSeq
+
+  test("bench stdout line fits the driver tail for the current headline set") {
+    val line = Bench.render(realisticMins, 40.0, 3, Nil, "/root/testdata/sf0.1")
+    assert(line.length <= TailWindow - SbtTrailer,
+      s"bench line ${line.length} chars — exceeds the ${TailWindow - SbtTrailer} budget")
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText == "total")
+    assert(node.get("unit").asText == "sec")
+    assert(node.get("queries").size == SparkEntry.headline.size)
+    assert(node.get("value").asDouble > 0.0)
+  }
+
+  test("bench stdout line stays bounded even with failing queries") {
+    val errs = SparkEntry.headline.take(10).map(n => n -> ("x" * 500)).toSeq
+    val line = Bench.render(realisticMins, 40.0, 3, errs, "/root/testdata/sf0.1")
+    assert(line.length <= TailWindow - SbtTrailer,
+      s"bench line with errors ${line.length} chars — errors must be capped")
+    assert(mapper.readTree(line).get("errors").size <= 3)
+  }
+
+  test("bench details payload is valid JSON with medians and raw reps") {
+    val results = SparkEntry.headline.map(n => n -> Seq(3.0, 1.0, 2.0)).toSeq
+    val js = Bench.renderDetails(results, 3, Seq("q" -> "boom \"quoted\""), "/sf")
+    val node = mapper.readTree(js)
+    assert(node.get("queries_median").get(SparkEntry.headline.head).asDouble == 2.0)
+    assert(node.get("reps_sec").get(SparkEntry.headline.head).size == 3)
+  }
+
+  test("every oracle query name is a legal filename stem for dual-key sidecars") {
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(k.matches("[A-Za-z0-9_]+"), s"oracle key '$k' not filename-safe")
+      assert(!k.endsWith(".parquet"), s"oracle key '$k' already suffixed")
+    }
+  }
+
+  test("oracle map covers every registered query or is declared rows-only") {
+    // rows-only queries (no SQL oracle) are the seeded ANN pair; anything
+    // else missing an oracle entry silently downgrades its driver check
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly.subsetOf(Set("s_ann_lsh_top3", "s_ann_ivf_top3")),
+      s"queries without oracle SQL: ${rowsOnly.mkString(", ")}")
+  }
+}

@@ -63,6 +63,11 @@ def main():
         run_verify()
     with open(f"{OUT}/oracle_sql.json") as f:
         oracle = json.load(f)
+    # Round 8: Verify writes each entry under BOTH the bare name and the
+    # <name>.parquet filename (driver-key hypothesis). Normalize back to
+    # bare names so each query is checked once.
+    oracle = {k[:-len(".parquet")] if k.endswith(".parquet") else k: v
+              for k, v in oracle.items()}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
