@@ -226,4 +226,47 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  /** Brute-force union-find oracle for connectedComponents. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents: 50-node path graph collapses exactly (adversarial diameter)") {
+    import spark.implicits._
+    // Worst case for min-label propagation (50 rounds); star contraction
+    // must return the EXACT component in O(log n) rounds — and must never
+    // silently truncate (it throws instead).
+    val pairs = (1L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.keySet == (1L to 50L).toSet, "every path node labeled")
+    assert(cc.values.forall(_ == 1L), s"non-min labels: ${cc.filter(_._2 != 1L)}")
+  }
+
+  test("connectedComponents matches union-find on random graphs (10 trials)") {
+    import spark.implicits._
+    val rng = new Random(11)
+    for (trial <- 0 until 10) {
+      val n = 20 + rng.nextInt(60)
+      val m = 1 + rng.nextInt(2 * n)
+      val edges = Seq.fill(m)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val expect = unionFind(edges)
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expect, s"trial $trial: $got vs $expect")
+      }
+    }
+  }
 }
