@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.operators.{Bpe, Curation, Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -47,6 +47,25 @@ object TextLLM {
         sum(col("n_tokens")).as("total_tokens"),
         max(col("n_tokens")).as("max_tokens"))
       .orderBy("lang")
+
+  /** Fixed rank-consistent merge table for the oracle'd BPE query —
+    * common English pairs, every merge's parts single chars or products
+    * of earlier merges, so the replace-chain encoding is exact BPE
+    * (Bpe.applyMergesColumn doc). The LEARNED-table path
+    * (Bpe.trainBpe/tokenizeBpe) has no SQL mirror; LlmOperatorsSpec
+    * cross-checks it against this column path on a trained table. */
+  private val BpeFixedMerges = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "e" -> "r", "o" -> "n", "an" -> "d", "o" -> "r")
+
+  def tBpeEncode(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("enc", Bpe.applyMergesColumn(
+        regexp_replace(col("text"), "\\s+", " "), BpeFixedMerges))
+      .select(col("doc_id"),
+        Bpe.bpeTokenCount(col("text"), BpeFixedMerges).as("n_bpe_tokens"),
+        md5(col("enc").cast("binary")).as("enc_md5"))
+      .orderBy("doc_id")
 
   def tQualityStopwords(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -407,6 +426,7 @@ object TextLLM {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tTokenStats _),
+    "t_bpe_encode" -> (tBpeEncode _),
     "t_quality_stopwords" -> (tQualityStopwords _),
     "t_langid_confusion" -> (tLangidConfusion _),
     "t_fingerprint_md5" -> (tFingerprintMd5 _),
@@ -527,6 +547,24 @@ object TextLLM {
   }
 
   val oracle: Map[String, String] = Map(
+    // replace-chain BPE over the ‹symbol›-wrapped text, innermost replace
+    // = rank-0 merge; token count = symbol count minus space symbols
+    // (each '‹ ›' is 3 codepoints); md5 over the same UTF-8 bytes
+    "t_bpe_encode" ->
+      """WITH e AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
+        |                     '(.)', '‹\1›', 'g'),
+        |      '‹t›‹h›', '‹th›'), '‹th›‹e›', '‹the›'), '‹i›‹n›', '‹in›'),
+        |      '‹a›‹n›', '‹an›'), '‹e›‹r›', '‹er›'), '‹o›‹n›', '‹on›'),
+        |      '‹an›‹d›', '‹and›'), '‹o›‹r›', '‹or›') AS enc
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST((length(enc) - length(replace(enc, '‹', '')))
+        |    - (length(enc) - length(replace(enc, '‹ ›', ''))) / 3
+        |    AS BIGINT) AS n_bpe_tokens,
+        |  md5(enc) AS enc_md5
+        |FROM e ORDER BY doc_id""".stripMargin,
     // list_filter(length>0) mirrors wsTokens' empty-token filter — same
     // value on this fixture, but an empty/whitespace-only text would
     // otherwise count 1 in DuckDB vs 0 in Spark

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.operators.{Bpe, Curation, Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -15,6 +15,69 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def docsDf(rows: (Long, String)*) = {
     spark.createDataFrame(rows.map { case (i, t) => (i, t) }).toDF("doc_id", "text")
+  }
+
+  // ------------------------------------------------------------------ BPE
+
+  test("BPE training matches the classic hand-computed merge sequence") {
+    // Sennrich et al. 2016 fixture: ties break lexicographically
+    val wf = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Bpe.train(wf, 4)
+    assert(merges == Seq("e" -> "s", "es" -> "t", "l" -> "o", "lo" -> "w"))
+    val ranks = merges.zipWithIndex.toMap
+    assert(Bpe.encodeWord("lowest", ranks) == Vector("low", "est"))
+    assert(Bpe.encodeWord("newest", ranks) == Vector("n", "e", "w", "est"))
+    assert(Bpe.encodeWord("xyz", ranks) == Vector("x", "y", "z"))
+  }
+
+  test("BPE: trained table is deterministic across partitionings") {
+    val texts = Seq(
+      "the theory of everything rests on thin air",
+      "another thin theme within the weather",
+      "rather the anthem than the other theory")
+    val df = docsDf(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val m1 = Bpe.trainBpe(df, col("text"), numMerges = 12)
+    val m2 = Bpe.trainBpe(df.repartition(7), col("text"), numMerges = 12)
+    assert(m1 == m2, "training order depends on partitioning")
+    assert(m1.size == 12)
+  }
+
+  test("BPE: codegen replace-chain path equals the greedy encoder on a trained table") {
+    import spark.implicits._
+    val corpus = docsDf(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "pack my box with five dozen liquor jugs and other things"),
+      (3L, "the theory of the thing is thinner than the other theory"),
+      (4L, "ther the the and in on or an er thin"),
+      (5L, ""))
+    val merges = Bpe.trainBpe(corpus, col("text"), numMerges = 20)
+    val greedy = Bpe.tokenizeBpe(corpus, col("doc_id"), col("text"), merges)
+      .select(col("id"), size(col("bpe_tokens")).cast("bigint").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val column = corpus
+      .select(col("doc_id"), Bpe.bpeTokenCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(greedy == column, s"greedy $greedy vs column $column")
+    // and the token STRINGS agree, not just the counts: reassembling the
+    // column path's wrapped encoding must give the greedy token stream
+    val colTokens = corpus.filter(col("doc_id") === 3L)
+      .select(Bpe.applyMergesColumn(regexp_replace(col("text"), "\\s+", " "), merges))
+      .as[String].head()
+      .split("›").filter(_.nonEmpty).map(_.stripPrefix("‹")).filter(_ != " ").toSeq
+    val greedyTokens = Bpe.tokenizeBpe(corpus.filter(col("doc_id") === 3L),
+        col("doc_id"), col("text"), merges)
+      .select(col("bpe_tokens")).as[Seq[String]].head()
+    assert(colTokens == greedyTokens)
+  }
+
+  test("BPE tokenization is lossless: concatenated tokens rebuild each word") {
+    val corpus = docsDf(
+      (1L, "internationalization and localization are complicated words"),
+      (2L, "a bb ccc dddd eeeee"))
+    val merges = Bpe.trainBpe(corpus, col("text"), numMerges = 15)
+    val ranks = merges.zipWithIndex.toMap
+    for (t <- Seq("internationalization", "complicated", "dddd", "zebra"))
+      assert(Bpe.encodeWord(t, ranks).mkString == t, s"lossy encode of $t")
   }
 
   // ------------------------------------------------------------- text ops
