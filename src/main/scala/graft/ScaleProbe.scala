@@ -123,6 +123,24 @@ object ScaleProbe {
         col("doc_id")).count()
     }
 
+    var bpeMerges: Seq[(String, String)] = Seq.empty
+    timed("bpe_train_200_merges") { // ONE histogram pass + driver loop
+      bpeMerges = Bpe.trainBpe(docs, col("text"), numMerges = 200,
+        maxWords = 50000)
+      bpeMerges.size.toLong
+    }
+    timed("bpe_tokenize_learned") { // narrow mapPartitions, broadcast ranks
+      Bpe.tokenizeBpe(docs, col("doc_id"), col("text"), bpeMerges).count()
+    }
+
+    timed("cc_path_graph_1M_hops") { // adversarial diameter for components:
+      // a 1M-hop chain needs ~1M rounds under label propagation; the
+      // large-star/small-star contraction closes it in O(log n) rounds
+      val chain = spark.range(1000000)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      Dedup.connectedComponents(chain, maxIter = 60).count()
+    }
+
     val vecs = spark.range(nDocs).map { i =>
       val r = new scala.util.Random(i)
       (i, Seq.fill(64)(r.nextFloat() * 2 - 1))

@@ -269,6 +269,80 @@ object Similarity {
     transform(quantized.getField("qs"),
       q => q.cast("double") * quantized.getField("scale"))
 
+  // ------------------------------------------- product quantization (PQ)
+
+  /** Per-subspace PQ codebooks (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): the vector is split into `m`
+    * contiguous `dim/m`-dim subvectors, each with its own `k`-entry
+    * codebook learned by [[trainCentroids]] over the sliced column.
+    * `iters = 0` keeps the deterministic seeding (the k lowest-id
+    * subvectors verbatim) — the oracle-able form; Lloyd's-refined
+    * codebooks are the quality path. Driver traffic: m × k × dim/m
+    * doubles — KBs. */
+  def trainPqCodebooks(vectors: DataFrame, dim: Int, m: Int, k: Int,
+      iters: Int = 5, idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    (0 until m).map { s =>
+      trainCentroids(
+        vectors.select(col(idCol),
+          slice(col(vecCol), s * subDim + 1, subDim).as(vecCol)),
+        k, iters, idCol, vecCol)
+    }
+  }
+
+  /** PQ-encode: `pq_code` = the m nearest-sub-centroid ids ([[
+    * nearestCentroid]] per slice — first-min tie-breaking), `pq_norm` =
+    * the exact vector norm (for cosine reconstruction). This is the
+    * 100 TB at-rest path: dim × 4 payload bytes become m code bytes
+    * (k ≤ 256) + 8 norm bytes — 64-dim float32 compresses 16× at m=8 —
+    * and ADC search never reopens the original vectors. */
+  def pqEncode(base: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      vecCol: String = "embedding", codeCol: String = "pq_code",
+      normCol: String = "pq_norm"): DataFrame = {
+    val subDim = codebooks.head.head.size
+    base
+      .withColumn(codeCol, array(codebooks.zipWithIndex.map { case (cb, s) =>
+        nearestCentroid(slice(col(vecCol), s * subDim + 1, subDim), cb)
+      }: _*))
+      .withColumn(normCol, norm(col(vecCol)))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query stages its
+    * m × k lookup table of subspace dot products ONCE as a query-side
+    * projection (queries are few and broadcast), then the encoded base is
+    * scanned with m array lookups + adds per row — codegen'd column
+    * arithmetic, never touching full vectors. Approximate cosine =
+    * table-sum / (‖q‖ · pq_norm); the sum is a fixed left-to-right
+    * expression tree so results are deterministic and engine-mirrorable.
+    * Output matches [[bruteForceTopK]]: (qid, rank, nid, cos). */
+  def pqTopK(encoded: DataFrame, queries: DataFrame, k: Int,
+      codebooks: Seq[Seq[Seq[Double]]],
+      baseId: String = "vec_id", codeCol: String = "pq_code",
+      normCol: String = "pq_norm",
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val m = codebooks.size
+    val subDim = codebooks.head.head.size
+    val lut = array(codebooks.zipWithIndex.map { case (cb, s) =>
+      array(cb.map(c => dot(slice(col(queryVec), s * subDim + 1, subDim),
+        typedLit(c))): _*)
+    }: _*)
+    val q = queries
+      .withColumn("__lut", lut)
+      .withColumn("__qnorm", norm(col(queryVec)))
+    val adc = (0 until m).map { s =>
+      element_at(element_at(col("__lut"), s + 1), col(codeCol).getItem(s) + 1)
+    }.reduce(_ + _)
+    val d = col("__qnorm") * col(normCol)
+    val scored = encoded.crossJoin(broadcast(q))
+      .filter(col(queryId) =!= col(baseId))
+      .withColumn("cos", when(d === 0, 0.0).otherwise(adc / d))
+    val w = Window.partitionBy(queryId).orderBy(col("cos").desc, col(baseId).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(baseId).as("nid"), col("cos"))
+  }
+
   /** Fail-fast bound for all-pairs (O(n²)) verification tails: counts at
     * most `maxRows + 1` input rows (limit-pushed, so the scan early-exits)
     * and refuses to proceed past the cap. An UNBOUNDED all-pairs call on a

@@ -196,6 +196,22 @@ object TextLLM {
       .orderBy("qid", "rank")
   }
 
+  def sAnnPqTop3(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    // deterministic codebooks: per subspace, the 8 lowest-vec_id
+    // subvectors verbatim (trainPqCodebooks iters=0) — DuckDB mirrors
+    // encode (argmin, first-min ties) + ADC scoring exactly. Lloyd's-
+    // refined codebooks stay the library path (LlmOperatorsSpec).
+    val codebooks = Similarity.trainPqCodebooks(base, dim = 64, m = 8,
+      k = 8, iters = 0)
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.pqTopK(Similarity.pqEncode(base, codebooks), queries,
+        k = 3, codebooks)
+      .select("qid", "rank", "nid")
+      .orderBy("qid", "rank")
+  }
+
   /** Int8 quantization of the embedding table (the 100 TB storage path):
     * per-vector scale + exact integer digests of the quantized values —
     * deterministic IEEE arithmetic, mirrored exactly in the oracle. */
@@ -452,6 +468,7 @@ object TextLLM {
     "d_simhash_neardups" -> (dSimhashNearDups _),
     "s_ann_lsh_top3" -> (sAnnLshTop3 _),
     "s_ann_ivf_top3" -> (sAnnIvfTop3 _),
+    "s_ann_pq_top3" -> (sAnnPqTop3 _),
     "d_embedding_neardups" -> (dEmbeddingNearDups _),
     "m_frame_features" -> (mFrameFeatures _),
     "m_png_pixel_stats" -> (mPngPixelStats _),
@@ -986,6 +1003,43 @@ object TextLLM {
         |ranked AS (SELECT qid, nid, CAST(ROW_NUMBER() OVER (
         |    PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
         |  FROM scored)
+        |SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // PQ mirror: per-subspace codebooks = slices of the 8 lowest-vec_id
+    // embeddings; encode = per-(vector, subspace) argmin of
+    // (-2·v_s·c_s + ||c_s||², ci) — Similarity.nearestCentroid's first-min
+    // tie-break; ADC = per-subspace table dots summed in subspace order
+    // (list(... ORDER BY s) → list_sum = the same left-to-right tree as
+    // the Spark reduce); cosine = adc / (||q||·||x||), self excluded.
+    "s_ann_pq_top3" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |seed AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci,
+        |    e FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+        |sub AS (SELECT ss.s, seed.ci, seed.e[ss.s*8+1 : ss.s*8+8] AS ce
+        |  FROM seed CROSS JOIN
+        |    (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS s) ss),
+        |subn AS (SELECT s, ci, ce, list_inner_product(ce, ce) AS n2 FROM sub),
+        |enc AS (SELECT vec_id, s, ci AS code FROM (
+        |    SELECT v.vec_id, sn.s, sn.ci, ROW_NUMBER() OVER (
+        |      PARTITION BY v.vec_id, sn.s
+        |      ORDER BY -2 * list_inner_product(v.e[sn.s*8+1 : sn.s*8+8], sn.ce)
+        |        + sn.n2, sn.ci) AS rn
+        |    FROM v CROSS JOIN subn sn) WHERE rn = 1),
+        |bn AS (SELECT vec_id, sqrt(list_inner_product(e, e)) AS nrm FROM v),
+        |q AS (SELECT vec_id AS qid, e AS qe,
+        |    sqrt(list_inner_product(e, e)) AS qn FROM v WHERE vec_id < 5),
+        |contrib AS (SELECT q.qid, enc.vec_id AS nid, enc.s,
+        |    list_inner_product(q.qe[enc.s*8+1 : enc.s*8+8], sn.ce) AS a
+        |  FROM q CROSS JOIN enc
+        |  JOIN subn sn ON sn.s = enc.s AND sn.ci = enc.code
+        |  WHERE enc.vec_id <> q.qid),
+        |scored AS (SELECT c.qid, c.nid, list_sum(list(c.a ORDER BY c.s)) AS adc
+        |  FROM contrib c GROUP BY c.qid, c.nid),
+        |cs AS (SELECT s.qid, s.nid,
+        |    CASE WHEN q.qn * b.nrm = 0 THEN 0 ELSE s.adc / (q.qn * b.nrm) END AS c
+        |  FROM scored s JOIN q ON q.qid = s.qid JOIN bn b ON b.vec_id = s.nid),
+        |ranked AS (SELECT qid, nid, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY c DESC, nid) AS INTEGER) AS rank
+        |  FROM cs)
         |SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
   )
 }

@@ -509,6 +509,40 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf == brute)
   }
 
+  test("PQ: codes in range, ADC stays near true cosine, blob structure survives") {
+    val rng = new scala.util.Random(13)
+    val centers = Seq(Array.fill(16)(5.0), Array.fill(16)(-5.0),
+      Array.tabulate(16)(i => if (i % 2 == 0) 5.0 else -5.0))
+    val rows = (0L until 300L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 0.3).toFloat).toSeq)
+    }
+    val df = vecsDf(rows: _*)
+    val cb = Similarity.trainPqCodebooks(df, dim = 16, m = 4, k = 8, iters = 5)
+    assert(cb.size == 4 && cb.forall(b => b.size == 8 && b.forall(_.size == 4)))
+    val enc = Similarity.pqEncode(df, cb)
+    val codes = enc.select(col("pq_code")).collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.size == 4 && c.forall(x => x >= 0 && x < 8)),
+      "codes out of [0, k) range")
+    val q = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val pq = Similarity.pqTopK(enc, q, k = 5, cb).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Double]("cos")))
+    assert(pq.length == 15)
+    // quantization never pulls a cross-blob vector into the top-5
+    assert(pq.forall { case (qid, nid, _) => qid % 3 == nid % 3 },
+      s"cross-blob neighbor in ${pq.mkString(",")}")
+    // ADC cosine is the true cosine up to codebook error (tight blobs)
+    val truth = Similarity.bruteForceTopK(df, q, 300).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) ->
+        r.getAs[Double]("cos")).toMap
+    pq.foreach { case (qid, nid, adcCos) =>
+      assert(math.abs(adcCos - truth((qid, nid))) < 0.05,
+        s"ADC cos $adcCos vs true ${truth((qid, nid))} for ($qid,$nid)")
+    }
+  }
+
   // ----------------------------------------------------------- multimodal
 
   test("frame sampling is even and bounded") {
