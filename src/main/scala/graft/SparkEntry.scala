@@ -28,7 +28,8 @@ object SparkEntry {
     "a10_explode_positions", "skew_salted_agg",
     "t_token_stats", "t_bpe_encode", "t_langid_confusion", "t_fingerprint_md5",
     "t_repetition_stats", "t_pii_redaction", "t_chunking", "t_hash_split",
-    "t_decontaminate", "t_mixture_sample", "j_bloom_prefilter_join",
+    "t_decontaminate", "t_lm_transitions", "t_mixture_sample",
+    "j_bloom_prefilter_join",
     "d_minhash_neardups", "s_ann_brute_top5", "s_ann_lsh_top3",
     "m_binary_meta", "c7_weekly_counts")
 

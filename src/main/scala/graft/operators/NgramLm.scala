@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reference-corpus n-gram language-model scoring — the CCNet-style
+  * quality filter (Wenzek et al. 2020): score candidate documents by how
+  * ordinary their token transitions look under a model trained on a
+  * trusted reference corpus, keep the head/middle of the distribution.
+  *
+  * Scale design (the decontamination discipline, `Curation`): the model
+  * is CAPPED at `maxBigrams` rows by a deterministic total order
+  * (count desc, then bigram lexicographic) and BROADCAST, so the scored
+  * corpus never shuffles — per document only (id, three counters) reach
+  * the one aggregation. Training is two hash aggregations over the
+  * reference corpus.
+  *
+  * Two scoring surfaces:
+  *  - [[transitionStats]] — exact integer counters (+ one division):
+  *    engine-portable, which is what the registered `t_lm_transitions`
+  *    query's DuckDB oracle checks end to end;
+  *  - [[perplexity]] — the classic add-α smoothed bigram perplexity;
+  *    transcendental (ln/exp), so it is golden-tested in ScalaTest
+  *    against a naive replay instead of the SQL oracle.
+  */
+object NgramLm {
+
+  /** Adjacent-token bigram structs from a STAGED token attribute (same
+    * HOF discipline as [[Dedup.shinglesFromTokens]]: the lambda must
+    * reference a materialized column, or interpreted HOF eval re-runs the
+    * tokenizer per element). Docs with fewer than 2 tokens yield no
+    * bigrams. */
+  def bigramsFromTokens(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2), i =>
+        struct(element_at(toks, i + 1).as("w1"),
+          element_at(toks, i + 2).as("w2"))))
+
+  private def tokenized(df: DataFrame, idCol: Column, textCol: Column) =
+    df.select(idCol.as("id"),
+      TextAnalysis.wsTokens(TextAnalysis.normalized(textCol)).as("toks"))
+
+  private def transitions(df: DataFrame, idCol: Column, textCol: Column) =
+    tokenized(df, idCol, textCol)
+      .select(col("id"), explode(bigramsFromTokens(col("toks"))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Bigram counts over the reference corpus, capped to the `maxBigrams`
+    * most frequent (ties broken by bigram lexicographic order — a
+    * deterministic total order, so the retained model is identical across
+    * runs, partitionings, and engines). The cap is the explicit broadcast
+    * bound: 250k rows ≈ a few MB. */
+  def bigramCounts(ref: DataFrame, textCol: Column,
+      maxBigrams: Int = 250000): DataFrame =
+    transitions(ref, lit(0L), textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("w1").asc, col("w2").asc)
+      .limit(maxBigrams)
+
+  /** First-token totals WITHIN the retained bigram table (the
+    * denominators are self-consistent with the capped model, not the
+    * uncapped corpus — documented CCNet-style approximation). */
+  def prevCounts(bigrams: DataFrame): DataFrame =
+    bigrams.groupBy("w1").agg(sum("c2").as("c1"))
+
+  /** Per-document transition counters against a reference LM:
+    * `n_trans` adjacent token pairs, `n_known` of them present in the
+    * retained model, `n_likely` with conditional frequency
+    * c(w1,w2)/c(w1,·) ≥ likelyNum/likelyDen (integer cross-multiply — no
+    * float compare), and `known_frac` = n_known/n_trans (ONE division of
+    * exact ints). Documents with <2 tokens emit no row. The model and its
+    * denominators are broadcast; the corpus never shuffles text — only
+    * (id, counters) reach the aggregation. */
+  def transitionStats(docs: DataFrame, idCol: Column, textCol: Column,
+      ref: DataFrame, refTextCol: Column,
+      likelyNum: Int = 1, likelyDen: Int = 100,
+      maxBigrams: Int = 250000): DataFrame = {
+    val lm = bigramCounts(ref, refTextCol, maxBigrams)
+    val pc = prevCounts(lm)
+    transitions(docs, idCol, textCol)
+      .join(broadcast(lm), Seq("w1", "w2"), "left")
+      .join(broadcast(pc), Seq("w1"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_trans"),
+        sum(when(col("c2").isNotNull, 1L).otherwise(0L)).as("n_known"),
+        sum(when(col("c2").isNotNull &&
+            col("c2") * likelyDen >= col("c1") * likelyNum, 1L)
+          .otherwise(0L)).as("n_likely"))
+      .withColumn("known_frac",
+        col("n_known").cast("double") / col("n_trans"))
+  }
+
+  /** Classic add-α smoothed bigram perplexity per document:
+    * exp(mean(-ln P(w2|w1))) with P = (c2+α)/(c1+α·V), V = retained
+    * distinct-successor vocabulary + 1 (the unseen event). Unknown
+    * transitions back off to c2=0 (and c1=0 for unseen first tokens).
+    * Lower = more reference-like; the CCNet keep/bucket signal.
+    * Transcendental — see the object doc for why the oracle checks
+    * [[transitionStats]] instead. */
+  def perplexity(docs: DataFrame, idCol: Column, textCol: Column,
+      ref: DataFrame, refTextCol: Column, alpha: Double = 0.5,
+      maxBigrams: Int = 250000): DataFrame = {
+    val lm = bigramCounts(ref, refTextCol, maxBigrams)
+    val pc = prevCounts(lm)
+    // V: bounded driver scalar (one long) — the vocabulary of retained
+    // successors plus one unseen event
+    val v = lm.select(countDistinct(col("w2")).as("v")).head().getLong(0) + 1
+    val p = (coalesce(col("c2"), lit(0L)) + alpha) /
+      (coalesce(col("c1"), lit(0L)) + alpha * v)
+    transitions(docs, idCol, textCol)
+      .join(broadcast(lm), Seq("w1", "w2"), "left")
+      .join(broadcast(pc), Seq("w1"), "left")
+      .groupBy("id")
+      .agg(exp(avg(-log(p))).as("perplexity"))
+  }
+}

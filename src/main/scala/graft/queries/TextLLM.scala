@@ -370,6 +370,18 @@ object TextLLM {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style LM quality scoring against a reference subset (every
+    * 10th doc): exact integer transition counters + one division — the
+    * engine-portable face of NgramLm (perplexity itself is transcendental
+    * and golden-tested instead). */
+  def tLmTransitions(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.NgramLm.transitionStats(d, col("doc_id"), col("text"),
+        d.filter(col("doc_id") % 10 === 0), col("text"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic target-mixture sampling: per-source keep rates applied
     * by md5-threshold — counts are exact across engines AND runs. */
   def tMixtureSample(s: SparkSession, dir: String): DataFrame =
@@ -462,6 +474,7 @@ object TextLLM {
     "d_minhash_neardups" -> (dMinhashNearDups _),
     "d_dedup_corpus" -> (dDedupCorpus _),
     "t_decontaminate" -> (tDecontaminate _),
+    "t_lm_transitions" -> (tLmTransitions _),
     "t_mixture_sample" -> (tMixtureSample _),
     "t_seq_packing" -> (tSeqPacking _),
     "t_url_domains" -> (tUrlDomains _),
@@ -564,6 +577,35 @@ object TextLLM {
   }
 
   val oracle: Map[String, String] = Map(
+    // bigram LM over the every-10th-doc reference subset (count desc +
+    // lexicographic cap order — non-binding at this SF but mirrored);
+    // counters are exact ints, known_frac one division, likely test an
+    // integer cross-multiply
+    "t_lm_transitions" ->
+      """WITH nrm AS (SELECT doc_id, list_filter(string_split_regex(trim(
+        |      regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')), '\s+'), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |tr AS (SELECT doc_id, t.w1 AS w1, t.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS t
+        |    FROM nrm WHERE len(toks) >= 2)),
+        |lm AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM tr
+        |  WHERE doc_id % 10 = 0 GROUP BY 1, 2
+        |  ORDER BY c2 DESC, w1, w2 LIMIT 250000),
+        |pc AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+        |j AS (SELECT tr.doc_id, lm.c2, pc.c1
+        |  FROM tr LEFT JOIN lm ON lm.w1 = tr.w1 AND lm.w2 = tr.w2
+        |  LEFT JOIN pc ON pc.w1 = tr.w1)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_trans,
+        |  CAST(SUM(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_known,
+        |  CAST(SUM(CASE WHEN c2 IS NOT NULL AND c2 * 100 >= c1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_likely,
+        |  CAST(SUM(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS known_frac
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // replace-chain BPE over the ‹symbol›-wrapped text, innermost replace
     // = rank-0 merge; token count = symbol count minus space symbols
     // (each '‹ ›' is 3 codepoints); md5 over the same UTF-8 bytes

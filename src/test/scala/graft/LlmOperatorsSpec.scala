@@ -80,6 +80,63 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Bpe.encodeWord(t, ranks).mkString == t, s"lossy encode of $t")
   }
 
+  // ------------------------------------------------------------ n-gram LM
+
+  test("NgramLm.transitionStats: exact counters on a hand-computed fixture") {
+    import graft.operators.NgramLm
+    // reference bigrams: (a,b)×2, (b,a)×1, (b,c)×1 → pc: a→2, b→2
+    val ref = docsDf((0L, "a b a b c"))
+    val scored = docsDf((10L, "a b c d"), (11L, "x"), (12L, "z z"))
+    val out = NgramLm.transitionStats(scored, col("doc_id"), col("text"),
+        ref, col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 10: (a,b) known+likely, (b,c) known+likely, (c,d) unknown
+    assert(out(10L) == ((3L, 2L, 2L, 2.0 / 3)))
+    // doc 11 has one token → no transitions → no row
+    assert(!out.contains(11L))
+    // doc 12: one transition, unknown
+    assert(out(12L) == ((1L, 0L, 0L, 0.0)))
+  }
+
+  test("NgramLm.perplexity: in-domain text beats gibberish; matches a naive replay") {
+    import graft.operators.NgramLm
+    val refText = "the cat sat on the mat and the dog sat on the rug"
+    val ref = docsDf((0L, refText), (1L, refText), (2L, refText))
+    val scored = docsDf(
+      (10L, "the cat sat on the rug"),
+      (11L, "rug mat dog cat the on"))
+    val out = NgramLm.perplexity(scored, col("doc_id"), col("text"),
+        ref, col("text"), alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(10L) < out(11L),
+      s"in-domain ${out(10L)} should beat gibberish ${out(11L)}")
+    // naive replay of doc 10 with the same model
+    val lm = NgramLm.bigramCounts(ref, col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pc = lm.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = lm.keySet.map(_._2).size + 1
+    val toks = "the cat sat on the rug".split(" ")
+    val logs = toks.sliding(2).map { case Array(w1, w2) =>
+      -math.log((lm.getOrElse((w1, w2), 0L) + 0.5) /
+        (pc.getOrElse(w1, 0L) + 0.5 * v))
+    }.toSeq
+    val expected = math.exp(logs.sum / logs.size)
+    assert(math.abs(out(10L) - expected) < 1e-9,
+      s"${out(10L)} vs naive $expected")
+  }
+
+  test("NgramLm: model is broadcast — the scored corpus never shuffles text") {
+    import graft.operators.NgramLm
+    val ref = docsDf((0L, "a b a b c"))
+    val scored = docsDf((10L, "a b c d"), (12L, "z z"))
+    val plan = NgramLm.transitionStats(scored, col("doc_id"), col("text"),
+        ref, col("text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$plan")
+  }
+
   // ------------------------------------------------------------- text ops
 
   test("token counting and normalization") {
