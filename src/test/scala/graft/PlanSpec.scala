@@ -171,21 +171,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
       }
     }
-    Tables(spark, sf, "orders")
-      .write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b1")
-    Tables(spark, sf, "customer")
-      .write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b2")
+    graft.sinks.Bucketed.writeBucketed(Tables(spark, sf, "orders"),
+      "b1", "o_custkey", buckets = 8, sortCols = Seq("o_custkey"))
+    graft.sinks.Bucketed.writeBucketed(Tables(spark, sf, "customer"),
+      "b2", "c_custkey", buckets = 8, sortCols = Seq("c_custkey"))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
-      val joined = spark.table("b1").join(spark.table("b2"),
-        org.apache.spark.sql.functions.col("o_custkey") ===
-          org.apache.spark.sql.functions.col("c_custkey"))
+      val joined = graft.sinks.Bucketed.colocatedJoin(spark, "b1", "b2",
+        "o_custkey", "c_custkey")
       joined.collect()
       val p = joined.queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
       assert(!p.contains("Exchange hashpartitioning"),
         s"bucketed join still shuffles:\n$p")
+      // control: identical join over the raw (unbucketed) frames DOES
+      // shuffle — the bucket layout, not data size, removed the exchanges
+      val control = Tables(spark, sf, "orders").join(
+        Tables(spark, sf, "customer"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      assert(control.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"), "control join did not shuffle")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
