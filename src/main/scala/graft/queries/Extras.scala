@@ -196,7 +196,29 @@ object Extras {
       .orderBy("p_size")
   }
 
+  /** As-of (point-in-time) join over the events stream: each purchase
+    * picks up the most recent prior view by the same user (view ties on
+    * (user, ts) pre-aggregated to max value so both engines resolve them
+    * identically). Oracle = DuckDB's native ASOF JOIN — an independent
+    * algorithm checking the union+window formulation. */
+  def jAsofPriorView(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("view_ts"))
+      .agg(max(col("value")).as("view_value"))
+    graft.operators.AsOf.asofJoin(purchases, views, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "view_ts",
+        payloads = Seq("view_ts", "view_value"))
+      .select(col("event_id"), col("user_id"),
+        col("view_ts").as("prior_view_ts"),
+        col("view_value").as("prior_view_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j_asof_prior_view" -> (jAsofPriorView _),
     "j_bloom_prefilter_join" -> (jBloomPrefilterJoin _),
     "j_anti_join" -> (jAntiJoin _),
     "u_intersect" -> (uIntersect _),
@@ -218,6 +240,21 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    // native ASOF JOIN vs the engine's union+window formulation — two
+    // different algorithms must agree row for row; µs truncation mirrors
+    // Tables' nanos→micros read of events.ts
+    "j_asof_prior_view" ->
+      """WITH p AS (SELECT event_id, user_id,
+        |    date_trunc('microseconds', ts) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, date_trunc('microseconds', ts) AS view_ts,
+        |    MAX(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, v.view_ts AS prior_view_ts,
+        |  v.view_value AS prior_view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.view_ts
+        |ORDER BY p.event_id""".stripMargin,
     // The Bloom prefilter is semantically transparent (no false
     // negatives), so the oracle is the PLAIN join — equality proves the
     // pruning drops nothing it shouldn't.
