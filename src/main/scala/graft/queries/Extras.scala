@@ -217,7 +217,18 @@ object Extras {
       .orderBy("event_id")
   }
 
+  /** Gap-based sessionization of the events stream (30-minute timeout):
+    * per (user, session) counts, bounds, and an exact decimal value
+    * total. The batch face of streaming session_window (StreamingSpec
+    * proves parity); oracle replays lag + running-sum in DuckDB. */
+  def cSessionStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessions.sessionStats(t(s, dir, "events"),
+        keys = Seq("user_id"), tsCol = "ts", maxGapSeconds = 1800,
+        valueCol = col("value"))
+      .orderBy("user_id", "session_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_session_stats" -> (cSessionStats _),
     "j_asof_prior_view" -> (jAsofPriorView _),
     "j_bloom_prefilter_join" -> (jBloomPrefilterJoin _),
     "j_anti_join" -> (jAntiJoin _),
@@ -240,6 +251,27 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    // sessionization mirror: identical lag + running-sum windows; gap in
+    // exact integer microseconds; value total decimal-summed then one
+    // double conversion (a float SUM would be order-dependent)
+    "c_session_stats" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+        |    value FROM events),
+        |g AS (SELECT user_id, ts, value,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |      PARTITION BY user_id ORDER BY ts)) AS gap
+        |  FROM e),
+        |s AS (SELECT user_id, ts, value,
+        |    SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |      AS session_idx
+        |  FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // native ASOF JOIN vs the engine's union+window formulation — two
     // different algorithms must agree row for row; µs truncation mirrors
     // Tables' nanos→micros read of events.ts

@@ -213,6 +213,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("batch sessionize: gaps split sessions exactly at the timeout") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (t("2021-01-01 10:00:00"), 1L, 1.0),
+      (t("2021-01-01 10:29:59"), 1L, 2.0), // 29:59 gap → same session
+      (t("2021-01-01 11:00:00"), 1L, 3.0), // 30:01 gap → new session
+      (t("2021-01-01 11:30:00"), 1L, 4.0), // exactly 30:00 → SAME session
+      (t("2021-01-01 10:00:00"), 2L, 5.0))
+      .toDF("ts", "user_id", "value")
+    val out = graft.operators.Sessions.sessionStats(ev, Seq("user_id"), "ts",
+        maxGapSeconds = 1800, valueCol = col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    assert(out == Map(
+      (1L, 0L) -> ((2L, 3.0)),
+      (1L, 1L) -> ((2L, 7.0)),
+      (2L, 0L) -> ((1L, 5.0))))
+  }
+
+  test("streaming session_window produces the same sessions as batch sessionize") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (t("2021-01-01 10:00:00"), 1L), (t("2021-01-01 10:20:00"), 1L),
+      (t("2021-01-01 11:10:00"), 1L), (t("2021-01-01 09:00:00"), 2L),
+      (t("2021-01-01 09:10:00"), 2L), (t("2021-01-01 12:00:00"), 2L))
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("session_test").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("session_test").collect()
+        .map(r => (r.getLong(1), r.getTimestamp(0).toString) -> r.getLong(2)).toMap
+      val batch = graft.operators.Sessions.sessionStats(
+          rows.toDF("ts", "user_id").withColumn("value", lit(0.0)),
+          Seq("user_id"), "ts", maxGapSeconds = 1800, valueCol = col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(3).toString) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"stream $streamed vs batch $batch") // same starts, same counts
+    } finally q.stop()
+  }
+
   test("kill-and-restart: weekly state survives the checkpoint with no dup/loss (RocksDB)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
