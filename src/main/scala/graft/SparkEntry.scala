@@ -31,7 +31,8 @@ object SparkEntry {
     "t_decontaminate", "t_lm_transitions", "t_mixture_sample",
     "j_bloom_prefilter_join",
     "d_minhash_neardups", "s_ann_brute_top5", "s_ann_lsh_top3",
-    "m_binary_meta", "c7_weekly_counts")
+    "m_binary_meta", "c7_weekly_counts", "j_asof_prior_view",
+    "c_session_stats")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
