@@ -67,4 +67,20 @@ object AsOf {
       keys.map(col) ++ leftOther.map(col) ++
         payloads.map(p => col(s"__m.$p").as(p)): _*)
   }
+
+  /** SCD2 validity intervals from a change stream: every change row gets
+    * half-open `[valid_from, valid_to)` bounds, `valid_to` = the NEXT
+    * change's timestamp within the key (null = currently valid). One
+    * shuffle on the key, one `lead()` window. `tieBreak` columns order
+    * same-timestamp changes deterministically — without them, tied rows
+    * would chain in partition-dependent order. Combine with [[asofJoin]]
+    * when a point-in-time lookup is all that's needed (no materialized
+    * intervals). */
+  def intervalize(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = col(tsCol).asc +: tieBreak.map(col(_).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+  }
 }

@@ -227,7 +227,18 @@ object Extras {
         valueCol = col("value"))
       .orderBy("user_id", "session_idx")
 
+  /** SCD2 intervalization of the events stream: every event becomes a
+    * half-open validity interval per user, tie-broken by event_id. */
+  def cScd2Intervals(s: SparkSession, dir: String): DataFrame =
+    graft.operators.AsOf.intervalize(
+        t(s, dir, "events").select("user_id", "event_id", "ts", "value"),
+        keys = Seq("user_id"), tsCol = "ts", tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("valid_from"),
+        col("valid_to"), col("value"))
+      .orderBy("user_id", "valid_from", "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_scd2_intervals" -> (cScd2Intervals _),
     "c_session_stats" -> (cSessionStats _),
     "j_asof_prior_view" -> (jAsofPriorView _),
     "j_bloom_prefilter_join" -> (jBloomPrefilterJoin _),
@@ -251,6 +262,16 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    // SCD2 mirror: lead() over (ts, event_id) — event_id breaks ts ties
+    // identically in both engines
+    "c_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    date_trunc('microseconds', ts) AS ts, value FROM events)
+        |SELECT user_id, event_id, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to,
+        |  value
+        |FROM e ORDER BY user_id, valid_from, event_id""".stripMargin,
     // sessionization mirror: identical lag + running-sum windows; gap in
     // exact integer microseconds; value total decimal-summed then one
     // double conversion (a float SUM would be order-dependent)

@@ -85,6 +85,29 @@ class AsOfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == naive)
   }
 
+  test("intervalize: contiguous half-open intervals, null-terminated per key") {
+    import spark.implicits._
+    val rng = new Random(23)
+    val changes = (0 until 200).map(i =>
+      (rng.nextInt(50).toLong, s"k${rng.nextInt(6)}", i.toLong))
+      .toDF("ts", "k", "change_id")
+    val out = AsOf.intervalize(changes, Seq("k"), "ts",
+        tieBreak = Seq("change_id"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(out.length == 200, "row count preserved")
+    out.groupBy(_._1).foreach { case (k, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      // each interval ends where the next begins; only the last is open
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._2),
+          s"$k: interval after (${a._2},${a._3}) ends at ${a._4}, next starts ${b._2}")
+        case _ =>
+      }
+      assert(sorted.last._4.isEmpty, s"$k: last interval must be open")
+    }
+  }
+
   test("the plan contains no join node — one shuffle, one window") {
     val l = leftDf((10L, "a", 1L))
     val r = rightDf((5L, "a", 1.0))
