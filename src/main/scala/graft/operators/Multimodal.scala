@@ -119,6 +119,82 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Parsed 16-bit PCM WAV reduced to exact integer sample statistics —
+    * like [[ImageStats]], exactness is what lets a formula-knowing oracle
+    * verify that the numbers came from actually-decoded samples. */
+  final case class WavStats(sampleRate: Int, nSamples: Long,
+      sumSamples: Long, minSample: Int, maxSample: Int)
+
+  /** Encode mono 16-bit PCM as a real RIFF/WAVE byte payload (44-byte
+    * canonical header + little-endian samples). PCM is lossless, so a
+    * decode returns exactly these samples. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Decode a RIFF/WAVE payload by real chunk walking (arbitrary chunk
+    * order, unknown chunks skipped by their declared length, word-aligned
+    * per the RIFF spec). Only 16-bit PCM is accepted; the stats run over
+    * every raw sample regardless of channel count. Returns None for
+    * anything that is not a well-formed PCM-16 WAV — callers fall back to
+    * the stub, same policy as [[decodeFrameImageIO]]. */
+  def decodeWavStats(payload: Array[Byte]): Option[WavStats] = {
+    if (payload == null || payload.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(at: Int) = new String(payload, at, 4, "US-ASCII")
+    if (tag4(0) != "RIFF" || tag4(8) != "WAVE") return None
+    var pos = 12
+    var fmtOk = false
+    var sampleRate = 0
+    var dataAt = -1
+    var dataLen = 0
+    while (pos + 8 <= payload.length) {
+      val tag = tag4(pos)
+      val len = bb.getInt(pos + 4)
+      if (len < 0 || pos + 8 + len > payload.length) return None
+      tag match {
+        case "fmt " if len >= 16 =>
+          val audioFormat = bb.getShort(pos + 8)
+          val bits = bb.getShort(pos + 8 + 14)
+          sampleRate = bb.getInt(pos + 8 + 4)
+          fmtOk = audioFormat == 1 && bits == 16
+        case "data" => dataAt = pos + 8; dataLen = len
+        case _ => // skip unknown chunk
+      }
+      pos += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    if (!fmtOk || dataAt < 0 || dataLen % 2 != 0) return None
+    var i = 0
+    var sum = 0L
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    while (i < dataLen) {
+      val s = bb.getShort(dataAt + i).toInt
+      sum += s
+      if (s < mn) mn = s
+      if (s > mx) mx = s
+      i += 2
+    }
+    val n = dataLen / 2
+    if (n == 0) Some(WavStats(sampleRate, 0, 0, 0, 0))
+    else Some(WavStats(sampleRate, n.toLong, sum, mn, mx))
+  }
+
   /** REAL codec behind the [[decodeFrame]] signature: decodable payloads
     * get features from actual pixels — channel means, mean luminance,
     * and a 12-bin luminance histogram (fractions of pixel count) — and

@@ -452,7 +452,34 @@ object TextLLM {
       .orderBy("media_id")
   }
 
+  /** Audio twin of [[mPngPixelStats]]: synthesize a REAL RIFF/WAVE
+    * payload per id from a sample formula, parse it back with the
+    * chunk-walking PCM decoder, and emit exact sample stats FROM THE
+    * DECODED AUDIO. The oracle recomputes the same stats from the
+    * formula — a match proves the numbers came from actually-parsed
+    * samples. */
+  def mWavSampleStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = docs(s, dir).filter(col("doc_id") < 20)
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val n = (50 + id).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((id * 37 + i * 73) % 4001) - 2000).toShort)
+        val wav = Multimodal.encodeWavPcm16(44100, samples)
+        val st = Multimodal.decodeWavStats(wav).getOrElse(
+          sys.error(s"WAV round-trip failed for id $id"))
+        (id, st.sampleRate, st.nSamples, st.sumSamples,
+          st.minSample, st.maxSample)
+      }
+    }.toDF("media_id", "sample_rate", "n_samples", "sum_samples",
+        "min_sample", "max_sample")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_wav_sample_stats" -> (mWavSampleStats _),
     "t_token_stats" -> (tTokenStats _),
     "t_bpe_encode" -> (tBpeEncode _),
     "t_quality_stopwords" -> (tQualityStopwords _),
@@ -577,6 +604,20 @@ object TextLLM {
   }
 
   val oracle: Map[String, String] = Map(
+    // the WAV oracle knows the PCM formula, not the payload: agreement
+    // proves the engine's numbers came from real RIFF parsing
+    "m_wav_sample_stats" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 20),
+        |g AS (SELECT media_id,
+        |    unnest(range(0, 50 + media_id)) AS i FROM ids),
+        |s AS (SELECT media_id,
+        |    ((media_id*37 + i*73) % 4001) - 2000 AS v FROM g)
+        |SELECT media_id, CAST(44100 AS INTEGER) AS sample_rate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS sum_samples,
+        |  CAST(MIN(v) AS INTEGER) AS min_sample,
+        |  CAST(MAX(v) AS INTEGER) AS max_sample
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // bigram LM over the every-10th-doc reference subset (count desc +
     // lexicographic cap order — non-binding at this SF but mirrored);
     // counters are exact ints, known_frac one division, likely test an

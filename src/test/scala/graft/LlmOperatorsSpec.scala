@@ -602,6 +602,30 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ----------------------------------------------------------- multimodal
 
+  test("WAV codec: PCM round-trip, chunk walking, and garbage rejection") {
+    val samples = Array[Short](0, 100, -200, 32767, -32768, 7)
+    val wav = Multimodal.encodeWavPcm16(8000, samples)
+    val st = Multimodal.decodeWavStats(wav).get
+    assert(st == Multimodal.WavStats(8000, 6, 100 - 200 + 32767 - 32768 + 7,
+      -32768, 32767))
+    // chunk walking: a LIST chunk with an ODD declared length before fmt/
+    // data must be skipped with RIFF word alignment intact
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val body = wav.drop(12)
+    val riff = java.nio.ByteBuffer.allocate(12 + extra.length + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riff.put("RIFF".getBytes("US-ASCII"))
+      .putInt(4 + extra.length + body.length)
+      .put("WAVE".getBytes("US-ASCII")).put(extra).put(body)
+    assert(Multimodal.decodeWavStats(riff.array()).contains(st),
+      "unknown odd-length chunk broke the walk")
+    // rejection: garbage, truncation, and non-PCM format codes
+    assert(Multimodal.decodeWavStats("not a wav at all".getBytes).isEmpty)
+    assert(Multimodal.decodeWavStats(wav.take(30)).isEmpty)
+    val nonPcm = wav.clone; nonPcm(20) = 3 // format code 3 = IEEE float
+    assert(Multimodal.decodeWavStats(nonPcm).isEmpty)
+  }
+
   test("frame sampling is even and bounded") {
     assert(Multimodal.sampleFrameIndices(3, 8) == Seq(0, 1, 2))
     assert(Multimodal.sampleFrameIndices(24, 4) == Seq(0, 6, 12, 18))
