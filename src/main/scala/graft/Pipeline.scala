@@ -144,8 +144,21 @@ object Pipeline {
     val per = VariantTimeSeries.variantsPerCluster(events, refClusterId,
       refRow.getInt(1))
     val joined = VariantTimeSeries.joinMetadata(meta, clusterMap, per)
-    Sinks.writeCsv(VariantTimeSeries.weeklyMatrix(joined)
-      .orderBy("region", "code", "week_start"), s"$outDir/weekly_matrix")
+    val wm = VariantTimeSeries.weeklyMatrix(joined)
+    Sinks.writeCsv(wm.orderBy("region", "code", "week_start"),
+      s"$outDir/weekly_matrix")
+    // stage 8b: the reference's styled heatmap table (S10,
+    // Time_Series.py:813–837) over the Worldwide share matrix — week
+    // columns are report-bounded, so the explicit pivot value list and
+    // the xlsx sink's driver-side collect are safe by construction
+    val global = wm.filter(col("region") === "Worldwide")
+    val weeks = global.select("week_start").distinct()
+      .orderBy("week_start").collect().map(_.get(0).toString)
+    if (weeks.nonEmpty)
+      graft.sinks.Xlsx.writeHeatmap(
+        global.groupBy("code").pivot("week_start", weeks.toSeq)
+          .sum("share").na.fill(0.0).orderBy("code"),
+        s"$outDir/heatmap_table.xlsx", "Global")
     Sinks.writeCsv(VariantTimeSeries.weeklyCombos(joined)
       .orderBy("region", "week_start", "combo"), s"$outDir/weekly_combos")
     events.unpersist()

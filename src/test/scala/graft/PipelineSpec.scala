@@ -103,5 +103,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getAs[String]("freq") == "2")
     val perPos = spark.read.option("header", "true").csv(s"$out/per_position")
     assert(perPos.count() == 13) // dense over the ungapped reference length
+    // stage 8b: the styled heatmap table (S10) rides along — a real xlsx
+    // whose sheet holds the Worldwide share matrix
+    val zf = new java.util.zip.ZipFile(s"$out/heatmap_table.xlsx")
+    try {
+      val sheet = new String(zf.getInputStream(
+        zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes(), "UTF-8")
+      assert(sheet.contains("F2L") && sheet.contains("colorScale"))
+    } finally zf.close()
   }
 }
