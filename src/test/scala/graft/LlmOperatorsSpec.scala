@@ -187,6 +187,26 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fps(0) != fps(2))
   }
 
+  test("compression ratio: repetitive text far below prose; empty = 1.0; deterministic") {
+    val boiler = "click here click here click here " * 60
+    val prose = "A different sentence every time: quartz sphinx vow, " +
+      "jackdaws love my big quick zebra, the wide river bends north today."
+    assert(TA.compressionRatio("") == 1.0)
+    val rBoiler = TA.compressionRatio(boiler)
+    val rProse = TA.compressionRatio(prose)
+    assert(rBoiler < 0.05, s"boilerplate ratio $rBoiler")
+    assert(rProse > 0.5, s"prose ratio $rProse")
+    assert(rBoiler == TA.compressionRatio(boiler), "non-deterministic deflate")
+
+    val df = docsDf((1L, boiler), (2L, prose), (3L, ""), (4L, null.asInstanceOf[String]))
+    val out = TA.compressionStats(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((boiler.getBytes("UTF-8").length.toLong, rBoiler)))
+    assert(out(2L) == ((prose.getBytes("UTF-8").length.toLong, rProse)))
+    assert(out(3L) == ((0L, 1.0)))
+    assert(out(4L) == ((0L, 1.0)), "null text must behave as empty")
+  }
+
   // ---------------------------------------------------------------- dedup
 
   test("exact dedup: cluster sizes sum to input rows; Uniq naming by size") {
