@@ -269,8 +269,51 @@ object Multimodal {
       .withColumn("aspect",
         when(col("height") > 0, col("width").cast("double") / col("height")))
 
-  /** "Resize": metadata transform keeping payload opaque (a real build
-    * would re-encode in decodeFrame's codec layer). */
+  /** Downscale-to-fit output dimensions (never upscales), in EXACT
+    * integer math: `ceil(dim * maxDim / max(w, h))` as
+    * `(dim * maxDim + max - 1) / max`. Integer (not float `ceil`) so the
+    * same dims are reproducible in plain SQL — the resize oracle replays
+    * this formula. */
+  def fitDims(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    require(w > 0 && h > 0 && maxDim > 0, s"dims must be positive: ($w, $h, $maxDim)")
+    val m = math.max(w, h)
+    if (m <= maxDim) (w, h)
+    else (((w.toLong * maxDim + m - 1) / m).toInt,
+          ((h.toLong * maxDim + m - 1) / m).toInt)
+  }
+
+  /** REAL image resize: decode with `javax.imageio`, nearest-neighbor
+    * resample with floor integer index math (`srcX = x * srcW / outW`),
+    * re-encode as lossless PNG. `None` when the payload is not a
+    * decodable image. The index math is replayable in plain SQL, which is
+    * what lets the registered resize query be oracle-checked end to end
+    * from the pixel formula. */
+  def resizeImage(payload: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    require(outW > 0 && outH > 0, s"target dims must be positive: ($outW, $outH)")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      val out = new java.awt.image.BufferedImage(outW, outH,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < outH) {
+        val sy = y * im.getHeight / outH
+        var x = 0
+        while (x < outW) {
+          out.setRGB(x, y, im.getRGB(x * im.getWidth / outW, sy))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** "Resize": metadata transform keeping payload opaque (see
+    * [[resizeImage]] for the real pixel path over decodable payloads). */
   def resizeMeta(df: DataFrame, maxDim: Int): DataFrame = {
     val scale = least(lit(1.0),
       lit(maxDim) / greatest(col("width"), col("height")).cast("double"))

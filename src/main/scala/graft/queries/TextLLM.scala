@@ -452,6 +452,39 @@ object TextLLM {
       .orderBy("media_id")
   }
 
+  /** Real-resize round trip: synthesize a deterministic `w×h` PNG per id
+    * (w, h vary by id), downscale it with [[Multimodal.resizeImage]]
+    * (nearest-neighbor, floor integer index math) to fit maxDim = 3, and
+    * emit pixel sums FROM A DECODE OF THE RESIZED PAYLOAD. Every step is
+    * exact integer arithmetic over lossless PNGs, so the oracle replays
+    * fitDims + the source-index math + the pixel formula in plain SQL —
+    * a match proves the resampled pixels came from a real decode→resize→
+    * re-encode→decode chain. */
+  def mResizePixelStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = docs(s, dir).filter(col("doc_id") < 12)
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val png = Multimodal.encodePng(w, h, (x, y) => {
+          val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          val g = ((id * 17 + x * 5 + y * 3) % 256).toInt
+          val b = ((id * 7 + x * 11 + y * 19) % 256).toInt
+          (r << 16) | (g << 8) | b
+        })
+        val (ow, oh) = Multimodal.fitDims(w, h, 3)
+        val resized = Multimodal.resizeImage(png, ow, oh).getOrElse(
+          sys.error(s"resize failed for id $id"))
+        val st = Multimodal.decodeImageStats(resized).getOrElse(
+          sys.error(s"decode of resized PNG failed for id $id"))
+        (id, st.width, st.height, st.sumR, st.sumG, st.sumB)
+      }
+    }.toDF("media_id", "out_w", "out_h", "sum_r", "sum_g", "sum_b")
+      .orderBy("media_id")
+  }
+
   /** Audio twin of [[mPngPixelStats]]: synthesize a REAL RIFF/WAVE
     * payload per id from a sample formula, parse it back with the
     * chunk-walking PCM decoder, and emit exact sample stats FROM THE
@@ -512,6 +545,7 @@ object TextLLM {
     "d_embedding_neardups" -> (dEmbeddingNearDups _),
     "m_frame_features" -> (mFrameFeatures _),
     "m_png_pixel_stats" -> (mPngPixelStats _),
+    "m_resize_pixel_stats" -> (mResizePixelStats _),
   )
 
   private val stopList = TA.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -994,6 +1028,29 @@ object TextLLM {
         |  CAST(SUM((media_id * 17 + x * 5 + y * 3) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((media_id * 7 + x * 11 + y * 19) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Full resize mirror: fitDims' integer-ceil formula, then the
+    // nearest-neighbor floor index math (sx = x*w // ow), then the same
+    // pixel formula as m_png_pixel_stats — all exact integer arithmetic,
+    // so a hash match proves the real decode→resize→re-encode chain.
+    "m_resize_pixel_stats" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id < 12),
+        |dims AS (SELECT media_id, w, h,
+        |    CASE WHEN greatest(w, h) <= 3 THEN w
+        |         ELSE (w * 3 + greatest(w, h) - 1) // greatest(w, h) END AS ow,
+        |    CASE WHEN greatest(w, h) <= 3 THEN h
+        |         ELSE (h * 3 + greatest(w, h) - 1) // greatest(w, h) END AS oh
+        |  FROM ids),
+        |xs AS (SELECT media_id, w, h, ow, oh, unnest(range(0, ow)) AS x FROM dims),
+        |px AS (SELECT media_id, w, h, ow, oh, x, unnest(range(0, oh)) AS y FROM xs),
+        |sp AS (SELECT media_id, ow, oh,
+        |    (x * w) // ow AS sx, (y * h) // oh AS sy FROM px)
+        |SELECT media_id, CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+        |  CAST(SUM((media_id * 31 + sx * 7 + sy * 13) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((media_id * 17 + sx * 5 + sy * 3) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((media_id * 7 + sx * 11 + sy * 19) % 256) AS BIGINT) AS sum_b
+        |FROM sp GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "d_embedding_neardups" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |    FROM embeddings WHERE vec_id < 200)

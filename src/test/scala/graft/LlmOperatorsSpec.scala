@@ -695,6 +695,28 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == Multimodal.decodeFrame(junk, 0).toSeq)
   }
 
+  test("resize: nearest-neighbor picks exact source pixels; fitDims never upscales") {
+    // 4×2 source with distinct pixels: downscale to 2×1 must select
+    // exactly (x*4/2, y*2/1) = (0,0) and (2,0) — nothing blended
+    val src = Array.tabulate(4, 2)((x, y) => (x << 16) | (y << 8) | (x + y))
+    val png = Multimodal.encodePng(4, 2, (x, y) => src(x)(y))
+    val out = Multimodal.resizeImage(png, 2, 1).get
+    val st = Multimodal.decodeImageStats(out).get
+    val expected = Seq(src(0)(0), src(2)(0))
+    assert(st == Multimodal.ImageStats(2, 1,
+      expected.map(p => (p >> 16) & 0xff).sum,
+      expected.map(p => (p >> 8) & 0xff).sum,
+      expected.map(p => p & 0xff).sum))
+    // identity resize is a lossless round trip
+    assert(Multimodal.decodeImageStats(Multimodal.resizeImage(png, 4, 2).get)
+      .contains(Multimodal.decodeImageStats(png).get))
+    // fitDims: integer ceil on downscale, identity at-or-under the cap
+    assert(Multimodal.fitDims(8, 6, 3) == ((3, 3)))
+    assert(Multimodal.fitDims(7, 3, 3) == ((3, 2)))
+    assert(Multimodal.fitDims(2, 3, 3) == ((2, 3)))
+    assert(Multimodal.resizeImage("not an image".getBytes, 2, 2).isEmpty)
+  }
+
   test("int8 quantization: roundtrip error bounded by scale/2, zero vector safe") {
     import spark.implicits._
     val df = Seq(
