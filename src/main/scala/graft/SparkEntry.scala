@@ -26,7 +26,8 @@ object SparkEntry {
     "a8_first_order_per_customer", "a11_combo_frequencies",
     "a14_histogram_quantity", "a2_exact_dedup_docs", "a9_pivot_by_flag",
     "a10_explode_positions", "skew_salted_agg",
-    "t_token_stats", "t_bpe_encode", "t_langid_confusion", "t_fingerprint_md5",
+    "t_token_stats", "t_bpe_encode", "t_langid_confusion", "t_bm25_top5",
+    "t_fingerprint_md5",
     "t_repetition_stats", "t_pii_redaction", "t_chunking", "t_hash_split",
     "t_decontaminate", "t_lm_transitions", "t_mixture_sample",
     "j_bloom_prefilter_join",

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical (keyword) search over a document corpus — the exact-match face
+  * of the similarity block ([[Similarity]] covers embeddings): inverted
+  * index, TF-IDF weighting, BM25 ranking.
+  *
+  * Scale shape: the index is ONE explode + ONE aggregate into (term, id)
+  * postings — the posting-list shuffle every search engine performs.
+  * Query scoring semi-joins the index against a BROADCAST term list, so
+  * per-query cost is proportional to the postings of the query's terms,
+  * never to corpus size; corpus-wide constants (N, total length) ride in
+  * on a broadcast one-row frame. Top-k per query is a window over the
+  * matched candidates only (real engines add block-max/WAND skipping
+  * below this surface; the relational shape is the same).
+  */
+object Search {
+
+  /** Inverted index: one row per (term, id) posting with the term
+    * frequency and the posting document's token length —
+    * `(term, id, tf, dl)`. Tokenization is [[TextAnalysis.wsTokens]] over
+    * lowercased text, staged once per row. */
+  def invertedIndex(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = df.select(idCol.as("id"),
+      TextAnalysis.wsTokens(lower(textCol)).as("toks"))
+    toks
+      .select(col("id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("term", "id")
+      // dl is functionally dependent on id; max() keeps it through the agg
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+  }
+
+  /** Corpus-wide TF-IDF weights: the full index annotated with
+    * `df_t` (document frequency) and `tfidf = tf × ln(N / df_t)`.
+    * Document frequency comes from a groupBy + equi-join on `term`
+    * (not a window) so AQE can pick broadcast / skew strategies for the
+    * vocabulary table. `ln` is JVM-evaluated — exact-value coverage lives
+    * in SearchSpec (golden), not the SQL oracle ([[bm25TopK]]'s ratio idf
+    * is the oracle-checked scoring face). */
+  def tfIdf(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val idx = invertedIndex(df, idCol, textCol)
+    val dft = idx.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val stats = df.select(count(lit(1)).as("n_docs"))
+    idx.join(dft, "term").crossJoin(broadcast(stats))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df_t")))
+      .select("id", "term", "tf", "df_t", "tfidf")
+  }
+
+  /** BM25 top-k: rank corpus documents against each query (a bag of
+    * terms; duplicates count once). Returns `(qid, rank, doc_id, score)`,
+    * `rank` 1..k ordered by (score desc, id) — fully deterministic.
+    *
+    * - `logIdf = true` (default): Robertson idf `ln(1 + (N−df+0.5)/(df+0.5))`
+    *   — the published formula; golden-tested (`ln` is not portably
+    *   bit-identical across engines).
+    * - `logIdf = false`: ratio idf `(N−df+0.5)/(df+0.5)` — same ordering
+    *   for a single-term match and the ORACLE face: every operation is a
+    *   single IEEE op, so with exactly-representable `k1`/`b` (e.g. 1.5,
+    *   0.75) and ≤2-term queries (2-addend sums are order-independent)
+    *   scores replay bit-for-bit in plain SQL.
+    *
+    * N counts ALL documents (an empty document raises others' idf but can
+    * match nothing), matching the usual corpus-statistics convention. */
+  def bm25TopK(df: DataFrame, idCol: Column, textCol: Column,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      k1: Double = 1.5, b: Double = 0.75, logIdf: Boolean = true): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(queries.nonEmpty, "need at least one query")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // corpus constants: one scan reduced to a single broadcast row
+    val stats = df
+      .select(TextAnalysis.wsTokens(lower(textCol)).as("toks"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("bigint")).as("total_dl"))
+
+    val qdf = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("qid", "term")
+
+    // postings of the query terms only; df_t counted over this restricted
+    // set is the term's true document frequency (the semi join keeps every
+    // posting of a matched term). A pathological stop-word query term
+    // funnels its postings into one window partition — same bound as the
+    // term's posting list itself.
+    val cand = invertedIndex(df, idCol, textCol)
+      .join(broadcast(qdf.select("term").distinct()), "term")
+      .withColumn("df_t", count(lit(1)).over(Window.partitionBy("term")))
+
+    val avgdl = col("total_dl").cast("double") / col("n_docs")
+    val idfRatio = (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5))
+    val idf = if (logIdf) log(idfRatio + lit(1.0)) else idfRatio
+    val tfNorm = (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl)))
+
+    cand
+      .join(broadcast(qdf), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", idf * tfNorm)
+      .groupBy("qid", "id")
+      .agg(sum(col("s")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("doc_id"), col("score"))
+  }
+}

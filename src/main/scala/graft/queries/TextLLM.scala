@@ -81,13 +81,24 @@ object TextLLM {
       .orderBy("source")
 
   def tLangidConfusion(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      // tokens staged as a column: referenced 8× by the votes, so
-      // CollapseProject keeps them materialized (tokenize once per row)
-      .withColumn("toks", TA.wsTokens(lower(col("text"))))
-      .withColumn("guess", TA.languageGuessFromTokens(col("toks")))
+    // scale form: tokens AND the four vote counts are materialized
+    // attributes, so the tokenizer and each interpreted-HOF vote run
+    // exactly once per row (the one-expression form re-scans the token
+    // array per vote reference — measured 1.35× slower at sf0.1)
+    TA.withLanguageGuess(docs(s, dir),
+        TA.wsTokens(lower(col("text"))))
       .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
       .orderBy("lang", "guess")
+
+  /** BM25 keyword search, the oracle face: ratio idf (no `ln`), exactly
+    * representable k1=1.5 / b=0.75, two-term queries (2-addend IEEE sums
+    * are order-independent) — every score replays bit-for-bit in DuckDB.
+    * The published log-idf form is differential-tested in SearchSpec. */
+  def tBm25Top5(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Search.bm25TopK(docs(s, dir), col("doc_id"), col("text"),
+      queries = Seq(1L -> Seq("vector", "join"), 2L -> Seq("stream", "filter"),
+        3L -> Seq("customer", "spark")),
+      k = 5, k1 = 1.5, b = 0.75, logIdf = false)
 
   def tFingerprintMd5(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -517,6 +528,7 @@ object TextLLM {
     "t_bpe_encode" -> (tBpeEncode _),
     "t_quality_stopwords" -> (tQualityStopwords _),
     "t_langid_confusion" -> (tLangidConfusion _),
+    "t_bm25_top5" -> (tBm25Top5 _),
     "t_fingerprint_md5" -> (tFingerprintMd5 _),
     "t_rolling_fingerprint" -> (tRollingFingerprint _),
     "d_shingle_jaccard_twin" -> (dShingleJaccardTwin _),
@@ -739,6 +751,39 @@ object TextLLM {
          |       ELSE 'und' END AS guess,
          |  COUNT(*) AS n
          |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    // Exact BM25 mirror: same tokenization, same expression tree shape —
+    // ratio idf ((N−df+0.5)/(df+0.5)), k1=1.5/b=0.75 (exactly
+    // representable, so 2.5/1.5/0.25/0.75 are the same doubles in both
+    // engines), ≤2 terms per query so the per-doc score sum is
+    // order-independent. Scores hash bit-for-bit.
+    "t_bm25_top5" -> {
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(len(toks)) AS BIGINT) AS total_dl FROM toks),
+        |idx AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks),
+        |tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+        |    MAX(dl) AS dl FROM idx GROUP BY 1, 2),
+        |q AS (SELECT * FROM (VALUES (1, 'vector'), (1, 'join'),
+        |    (2, 'stream'), (2, 'filter'), (3, 'customer'), (3, 'spark'))
+        |  AS t(qid, term)),
+        |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1),
+        |m AS (SELECT q.qid, tf.doc_id, tf.tf, tf.dl, dft.df_t
+        |  FROM q JOIN tf USING (term) JOIN dft USING (term)),
+        |s AS (SELECT qid, doc_id, SUM(
+        |    ((n_docs - df_t + 0.5) / (df_t + 0.5)) *
+        |    ((tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 *
+        |      (dl / (CAST(total_dl AS DOUBLE) / n_docs)))))) AS score
+        |  FROM m, stats GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, score, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT CAST(qid AS BIGINT) AS qid, rank, doc_id, score
+        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
     "t_fingerprint_md5" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),

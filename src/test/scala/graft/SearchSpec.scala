@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.Search
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark = GraftSession.local("search-spec")
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsDf(rows: (Long, String)*) =
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+
+  private def tokenize(t: String): Seq[String] =
+    t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+
+  test("inverted index: exact tf/dl postings; case-insensitive") {
+    val df = docsDf((1L, "The cat AND the dog"), (2L, "dog dog dog"), (3L, " "))
+    val idx = Search.invertedIndex(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(idx(("the", 1L)) == ((2L, 5)))
+    assert(idx(("cat", 1L)) == ((1L, 5)))
+    assert(idx(("dog", 2L)) == ((3L, 3)))
+    assert(!idx.keySet.exists(_._2 == 3L), "whitespace-only doc produced postings")
+  }
+
+  test("tf-idf: hand-computed weights; ubiquitous terms weigh zero") {
+    val df = docsDf((1L, "cat dog"), (2L, "cat fish"), (3L, "cat cat bird"))
+    val out = Search.tfIdf(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // "cat" is in all 3 docs: ln(3/3) = 0 regardless of tf
+    assert(out((3L, "cat")) == ((2L, 3L, 0.0)))
+    // "dog" in 1 of 3: tf=1 × ln(3). Spark's log is StrictMath-evaluated
+    // and may differ from math.log in the final bit — tolerance, not
+    // equality (the reason ln stays out of the SQL oracle).
+    assert(out((1L, "dog"))._1 == 1L && out((1L, "dog"))._2 == 1L)
+    assert(math.abs(out((1L, "dog"))._3 - math.log(3.0)) < 1e-14)
+    assert(math.abs(out((3L, "bird"))._3 - math.log(3.0)) < 1e-14)
+  }
+
+  test("bm25: differential vs a naive in-memory replay, including ranks and ties") {
+    val words = Vector("join", "hash", "scan", "vector", "stream", "filter",
+      "batch", "merge", "sort", "spill")
+    // deterministic synthetic corpus with repetition and varied lengths
+    val corpus = (0L until 40L).map { i =>
+      val n = 3 + (i % 7).toInt
+      i -> (0 until n).map(j => words(((i * 13 + j * 7) % 10).toInt)).mkString(" ")
+    }
+    val queries = Seq(1L -> Seq("vector", "join"), 2L -> Seq("stream", "spill"),
+      3L -> Seq("sort", "sort", "merge")) // duplicate term counts once
+    val k1 = 1.5; val b = 0.75; val k = 5
+
+    val got = Search.bm25TopK(docsDf(corpus: _*), col("doc_id"), col("text"),
+        queries, k, k1, b, logIdf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+
+    // naive replay from first principles
+    val toks = corpus.map { case (id, t) => id -> tokenize(t) }
+    val nDocs = toks.size
+    val avgdl = toks.map(_._2.size).sum.toDouble / nDocs
+    val dfT = toks.flatMap(_._2.distinct).groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val expected = queries.flatMap { case (qid, terms) =>
+      val scored = toks.map { case (id, ts) =>
+        val dl = ts.size
+        val s = terms.distinct.map { term =>
+          val tf = ts.count(_ == term)
+          if (tf == 0) 0.0
+          else {
+            val df = dfT(term).toDouble
+            val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+            idf * (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * (dl / avgdl)))
+          }
+        }.sum
+        id -> s
+      }.filter(_._2 > 0.0)
+      scored.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex.map {
+        case ((id, s), i) => (qid, i + 1) -> ((id, s))
+      }
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    for ((key, (id, s)) <- expected) {
+      assert(got(key)._1 == id, s"doc mismatch at $key")
+      assert(math.abs(got(key)._2 - s) < 1e-12, s"score mismatch at $key")
+    }
+  }
+
+  test("bm25 ratio-idf face: zero-hit query absent; k bounds output") {
+    val df = docsDf((1L, "alpha beta"), (2L, "beta gamma"), (3L, "gamma delta"))
+    val out = Search.bm25TopK(df, col("doc_id"), col("text"),
+        Seq(7L -> Seq("beta"), 8L -> Seq("nosuchterm")), k = 1, logIdf = false)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(7L), "no-match query must emit nothing")
+    assert(out.length == 1, "k=1 must cap each query's rows")
+    assert(out.head.getDouble(3) > 0)
+  }
+}
