@@ -141,6 +141,16 @@ object ScaleProbe {
       Dedup.connectedComponents(chain, maxIter = 60).count()
     }
 
+    timed("inverted_index_full") { // one explode + one agg into postings
+      Search.invertedIndex(docs, col("doc_id"), col("text")).count()
+    }
+    timed("bm25_16_queries") { // scoring cost ∝ matched postings
+      Search.bm25TopK(docs, col("doc_id"), col("text"),
+        queries = (0L until 16L).map(q =>
+          q -> Seq(s"w${q * 17 % 5000}", s"w${(q * 31 + 7) % 5000}")),
+        k = 10).count()
+    }
+
     val vecs = spark.range(nDocs).map { i =>
       val r = new scala.util.Random(i)
       (i, Seq.fill(64)(r.nextFloat() * 2 - 1))
