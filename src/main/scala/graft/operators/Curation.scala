@@ -69,6 +69,25 @@ object Curation {
     df.filter(cond)
   }
 
+  /** Exact-size stratified sample: the first `n` rows per domain in
+    * md5-of-id order — the fixed-COUNT face of [[mixtureSample]] (which
+    * fixes the RATE). The hash order is uniform, engine-portable, and
+    * independent of physical row order, so the same `n` rows come back on
+    * every run, plan, and engine — a reproducible "n docs per source"
+    * spec. One hash-partitioned sort per domain (a window, never a
+    * driver-side collect); `sampled_rank` (1-based within domain) rides
+    * along in the output. Ties on the full 32-hex digest are broken by
+    * id, so duplicate ids cannot make the cut nondeterministic. */
+  def stratifiedSample(df: DataFrame, idCol: Column, domainCol: Column,
+      n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(domainCol)
+      .orderBy(md5(idCol.cast("string").cast("binary")), idCol)
+    df.withColumn("sampled_rank", row_number().over(w))
+      .filter(col("sampled_rank") <= n)
+  }
+
   /** Greedy sequence packing: assign id-ordered documents to training
     * bins of at most `budget` tokens (a document larger than the budget
     * gets a bin of its own). A GLOBAL greedy pack is a serial scan by

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Numerically-portable statistics over integer-valued columns.
+  *
+  * Spark's built-in `stddev`/`var_samp`/`corr` stream FLOATING partial
+  * aggregates whose merge order follows the physical plan — the same
+  * query can legally return different last bits run to run (and always
+  * differs engine to engine), which breaks retry determinism and any
+  * hash-based result audit at 100 TB. This object aggregates EXACT
+  * integer moments instead (integer sums are order-independent) and
+  * spends floating point only in a fixed FINAL expression tree of single
+  * IEEE operations — divisions, multiplications, and correctly-rounded
+  * `sqrt` — so results are bit-identical across runs, plans, partition
+  * counts, and engines (the DuckDB oracle reproduces them exactly).
+  *
+  * Bounds: moments are BIGINT; with |x| ≤ B over n rows, `n·Σx²` and
+  * `(Σx)²` must stay under 2⁶³ — e.g. B = 50 allows n up to ~1.9e9 rows
+  * per group. Beyond that, widen the moment sums to DECIMAL(38,0)
+  * (still exact and order-independent; Spark and DuckDB then disagree
+  * only on the final double cast's input type, not its value).
+  */
+object Stats {
+
+  /** Per-group n / mean / sample-variance / sample-stddev of `x`, plus
+    * Pearson correlation of `(x, y)`, all from exact integer moments:
+    *
+    *   var_samp = (n·Σx² − (Σx)²) / (n·(n−1))        — exact ÷ exact
+    *   corr     = (n·Σxy − Σx·Σy) / (√a · √b)         — a, b exact ints
+    *
+    * `x` and `y` must be integer-valued (they are cast to BIGINT before
+    * any arithmetic; a fractional input would be silently truncated —
+    * callers scale fixed-point inputs up first, e.g. cents not dollars).
+    * Output: group cols + (n, sum_x, mean_x, var_x, stddev_x, corr_xy).
+    * Single-row groups yield null variance/corr (division by zero →
+    * null in both engines via explicit guards). */
+  def exactMoments(df: DataFrame, groupCols: Seq[Column],
+      x: Column, y: Column): DataFrame = {
+    val xb = x.cast("bigint")
+    val yb = y.cast("bigint")
+    val agg = df.groupBy(groupCols: _*).agg(
+      count(lit(1)).as("n"),
+      sum(xb).as("sx"), sum(yb).as("sy"),
+      sum(xb * xb).as("sxx"), sum(yb * yb).as("syy"),
+      sum(xb * yb).as("sxy"))
+    val n = col("n")
+    val varNumX = n * col("sxx") - col("sx") * col("sx") // exact BIGINT
+    val varNumY = n * col("syy") - col("sy") * col("sy")
+    val corrNum = n * col("sxy") - col("sx") * col("sy")
+    val varX = when(n > 1,
+      varNumX.cast("double") / (n * (n - 1)).cast("double"))
+    val corr = when(n > 1 && varNumX > 0 && varNumY > 0,
+      corrNum.cast("double") /
+        (sqrt(varNumX.cast("double")) * sqrt(varNumY.cast("double"))))
+    agg
+      .withColumn("mean_x", col("sx").cast("double") / n)
+      .withColumn("var_x", varX)
+      .withColumn("stddev_x", sqrt(varX))
+      .withColumn("corr_xy", corr)
+      .drop("sxx", "syy", "sxy", "sy")
+      .withColumnRenamed("sx", "sum_x")
+  }
+}

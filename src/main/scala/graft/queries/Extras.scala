@@ -180,6 +180,17 @@ object Extras {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Exact-moment statistics ([[graft.operators.Stats.exactMoments]]):
+    * per-flag variance/stddev of quantity and its correlation with line
+    * number, from order-independent BIGINT moments plus a fixed float
+    * tail of single IEEE ops — bit-identical across runs, plans, and
+    * engines, unlike built-in `stddev`/`corr` whose floating partials
+    * merge in plan order. */
+  def aExactMoments(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.exactMoments(t(s, dir, "lineitem"),
+        Seq(col("l_returnflag")), col("l_quantity"), col("l_linenumber"))
+      .orderBy("l_returnflag")
+
   /** Bloom-prefiltered selective join: lineitem is cut at the scan by a
     * codegen-native Bloom filter over the (few) selected part keys, then
     * the exact join removes the false positives — so the result is
@@ -245,6 +256,7 @@ object Extras {
     "j_anti_join" -> (jAntiJoin _),
     "u_intersect" -> (uIntersect _),
     "a_median_price" -> (aMedianPrice _),
+    "a_exact_moments" -> (aExactMoments _),
     "a6_cube_two_dims" -> (a6CubeTwoDims _),
     "c6_monthly_counts" -> (c6MonthlyCounts _),
     "json_props_agg" -> (jsonPropsAgg _),
@@ -330,6 +342,33 @@ object Extras {
       """SELECT o_orderpriority, MEDIAN(o_totalprice) AS median_price,
         |  COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Exact mirror of Stats.exactMoments: identical integer moments,
+    // identical final float tree (each CAST/÷/×/sqrt a single IEEE op —
+    // sqrt is correctly rounded in both engines) → scores hash
+    // bit-for-bit. DuckDB's HUGEINT sums cast back to BIGINT.
+    "a_exact_moments" ->
+      """WITH m AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS BIGINT) AS sxx,
+        |    CAST(SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT))
+        |      AS BIGINT) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT))
+        |      AS BIGINT) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, sx AS sum_x,
+        |  CAST(sx AS DOUBLE) / n AS mean_x,
+        |  CASE WHEN n > 1 THEN CAST(n * sxx - sx * sx AS DOUBLE)
+        |    / CAST(n * (n - 1) AS DOUBLE) END AS var_x,
+        |  sqrt(CASE WHEN n > 1 THEN CAST(n * sxx - sx * sx AS DOUBLE)
+        |    / CAST(n * (n - 1) AS DOUBLE) END) AS stddev_x,
+        |  CASE WHEN n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS corr_xy
+        |FROM m ORDER BY 1""".stripMargin,
     "a6_cube_two_dims" ->
       """WITH d AS (SELECT event_type,
         |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS dow FROM events)

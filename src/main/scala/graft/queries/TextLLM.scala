@@ -404,6 +404,15 @@ object TextLLM {
       .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_id"))
       .orderBy("source")
 
+  /** Exact-COUNT stratified sample: the deterministic first 25 docs per
+    * source in md5-of-id order — the fixed-size companion to
+    * t_mixture_sample's fixed-rate spec. Engine-portable hash order, so
+    * the oracle reproduces the exact member set, not just counts. */
+  def tStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(docs(s, dir), col("doc_id"), col("source"), n = 25)
+      .select("source", "sampled_rank", "doc_id")
+      .orderBy("source", "sampled_rank")
+
   /** Greedy sequence packing over the first 200 docs with the exact
     * single-partition (global) contract — the oracle replays the same
     * greedy scan as a recursive CTE. The partition-parallel form is the
@@ -548,6 +557,7 @@ object TextLLM {
     "t_decontaminate" -> (tDecontaminate _),
     "t_lm_transitions" -> (tLmTransitions _),
     "t_mixture_sample" -> (tMixtureSample _),
+    "t_stratified_sample" -> (tStratifiedSample _),
     "t_seq_packing" -> (tSeqPacking _),
     "t_url_domains" -> (tUrlDomains _),
     "d_simhash_neardups" -> (dSimhashNearDups _),
@@ -887,6 +897,15 @@ object TextLLM {
         |    ELSE TRUE END)
         |SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS first_id
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Exact member-set mirror of Curation.stratifiedSample: same md5
+    // hash order (tie-broken by id), same 1-based rank.
+    "t_stratified_sample" ->
+      """WITH r AS (SELECT source, doc_id, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS sampled_rank
+        |  FROM documents)
+        |SELECT source, sampled_rank, doc_id FROM r
+        |WHERE sampled_rank <= 25 ORDER BY 1, 2""".stripMargin,
     // Full dedupCorpus mirror (Md5Minhash): exact survivors by text →
     // portable minhash-LSH pairs → recursive-CTE min-label connected
     // components → drop non-canonical members. Matches Dedup.dedupCorpus

@@ -778,6 +778,25 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nearOne == 4000L)
   }
 
+  test("stratified sample: exact n per domain, same member set under any layout") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.stratifiedSample(d, col("doc_id"), col("source"), n = 40)
+        .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(0))).toSet
+    val out = run(df)
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc.keySet == Set("src0", "src1", "src2"))
+    assert(bySrc.values.forall(_.size == 40), "exact n per stratum")
+    assert(bySrc.values.forall(_.map(_._2).toSeq.sorted == (1 to 40)),
+      "ranks must be contiguous 1..n")
+    // member SET is a function of ids only — physical layout irrelevant
+    assert(run(df.repartition(17)) == out)
+    // small stratum: all rows kept, never padded
+    val tiny = (0L until 10L).map(i => (i, "only")).toDF("doc_id", "source")
+    assert(run(tiny).size == 10)
+  }
+
   test("sequence packing: greedy walk, budget respected, oversized isolated") {
     import spark.implicits._
     val df = Seq((1L, 100), (2L, 100), (3L, 100), (4L, 300), (5L, 10), (6L, 250))

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Stats
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark = GraftSession.local("stats-spec")
+  override def afterAll(): Unit = spark.stop()
+
+  test("exact moments agree with built-ins to 1e-12 and are bit-stable across partitionings") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (if (i % 3 == 0) "a" else "b", i % 47, (i * 7) % 13))
+    val df = rows.toDF("g", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.exactMoments(d, Seq(col("g")), col("x"), col("y"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5), r.getDouble(6)))).toMap
+    val out = run(df)
+    // differential vs Spark's own floating aggregates (tolerance — their
+    // merge order is plan-dependent, which is the point of this operator)
+    val ref = df.groupBy("g").agg(
+        avg("x"), var_samp("x"), stddev_samp("x"), corr("x", "y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    for ((g, (_, _, mean, varx, std, corr)) <- out) {
+      assert(math.abs(mean - ref(g)._1) < 1e-12)
+      assert(math.abs(varx - ref(g)._2) < 1e-10)
+      assert(math.abs(std - ref(g)._3) < 1e-12)
+      assert(math.abs(corr - ref(g)._4) < 1e-12)
+    }
+    // bit-identical under any physical layout: exact integer moments are
+    // order-independent and the float tail is a fixed tree
+    assert(run(df.repartition(13)) == out)
+    assert(run(df.coalesce(1)) == out)
+  }
+
+  test("single-row group: null variance and corr, not a divide-by-zero") {
+    import spark.implicits._
+    val df = Seq(("solo", 5, 2), ("pair", 1, 1), ("pair", 3, 9)).toDF("g", "x", "y")
+    val out = Stats.exactMoments(df, Seq(col("g")), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("solo").isNullAt(4) && out("solo").isNullAt(5) && out("solo").isNullAt(6))
+    assert(out("pair").getDouble(4) == 2.0) // var_samp of {1,3}
+    // constant-x group: zero variance → corr undefined (null)
+    val const = Seq(("c", 4, 1), ("c", 4, 2)).toDF("g", "x", "y")
+    val c = Stats.exactMoments(const, Seq(col("g")), col("x"), col("y")).collect()(0)
+    assert(c.getDouble(4) == 0.0 && c.isNullAt(6))
+  }
+}
