@@ -117,6 +117,36 @@ object StreamingTimeSeries {
       key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-STREAM interval join — two live streams correlated by key
+    * within an event-time band: each `right` row matches the `left` rows
+    * with the same key whose timestamp lies in
+    * `[rightTs − maxDelay, rightTs]` (e.g. a purchase joins every view by
+    * the same user in the preceding hour — the streaming face of the
+    * batch interval/as-of family in [[graft.operators.AsOf]]).
+    *
+    * Both inputs get watermarks AND the join condition bounds the two
+    * event times against each other — that pair is what lets Spark
+    * compute how long a buffered row can still find a partner and EVICT
+    * join state on both sides (a stream-stream join without a time-bound
+    * condition grows state forever and is rejected in append mode).
+    * Column names must be disjoint apart from the key (the usual
+    * prefixing discipline is the caller's).
+    *
+    * Inner join only: streaming outer interval joins emit their
+    * null-padded rows on watermark expiry — correct but delivery-time-
+    * dependent, which breaks the batch-parity contract this module
+    * keeps (StreamingSpec asserts stream == batch on identical data). */
+  def intervalJoin(left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String, key: String,
+      maxDelay: String, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, l(key) === r(key) &&
+        l(leftTs) >= r(rightTs) - expr(s"INTERVAL $maxDelay") &&
+        l(leftTs) <= r(rightTs))
+      .drop(r(key))
+  }
+
   /** Streaming curation — the ingestion-time face of
     * [[graft.LlmPipeline.curate]]: arriving documents are quality-gated
     * (stateless scan expressions), deduplicated exactly within the

@@ -142,6 +142,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally out.stop()
   }
 
+  test("stream-stream interval join matches the batch join on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val vRows = Seq(
+      (t("2021-01-05 10:00:00"), 1L), (t("2021-01-05 10:40:00"), 1L),
+      (t("2021-01-05 08:00:00"), 1L), // outside the 1h band — no match
+      (t("2021-01-05 10:30:00"), 2L)) // user with no purchase
+    val bRows = Seq((t("2021-01-05 11:00:00"), 1L),
+      (t("2021-01-05 11:30:00"), 3L)) // purchase with no views
+    val views = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long)]
+    val joined = StreamingTimeSeries.intervalJoin(
+      views.toDF().toDF("view_ts", "user_id"), "view_ts",
+      buys.toDF().toDF("buy_ts", "user_id"), "buy_ts",
+      "user_id", maxDelay = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ssij")
+      .outputMode("append").start()
+    try {
+      views.addData(vRows.take(2): _*); buys.addData(bRows.head)
+      q.processAllAvailable()
+      views.addData(vRows.drop(2): _*); buys.addData(bRows(1))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0), r.getLong(1), r.getTimestamp(2))
+      val streamed = spark.table("ssij").collect().map(key).toSet
+      // withWatermark is a no-op on batch frames, so the SAME operator is
+      // its own batch face
+      val batch = StreamingTimeSeries.intervalJoin(
+        vRows.toDF("view_ts", "user_id"), "view_ts",
+        bRows.toDF("buy_ts", "user_id"), "buy_ts",
+        "user_id", maxDelay = "1 hour").collect().map(key).toSet
+      assert(streamed == batch)
+      assert(streamed == Set(
+        (t("2021-01-05 10:00:00"), 1L, t("2021-01-05 11:00:00")),
+        (t("2021-01-05 10:40:00"), 1L, t("2021-01-05 11:00:00"))))
+    } finally q.stop()
+  }
+
   test("streamingCurate: gate, dedup-across-batches, chunk, split — at ingestion") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
