@@ -69,6 +69,51 @@ object Curation {
     df.filter(cond)
   }
 
+  /** Corpus-level boilerplate LINE removal (the CCNet/C4 move: a line —
+    * nav text, cookie banner, license footer — appearing in ≥ `minDf`
+    * DISTINCT documents is template, not content; strip it everywhere).
+    *
+    * Relational, three stages: (1) posexplode lines, count each line
+    * hash's distinct-document frequency; (2) the boilerplate set — hashes
+    * with df ≥ minDf — is SMALL by construction (only genuinely repeated
+    * lines), so it broadcasts and the corpus anti-joins against it with
+    * no shuffle of its own; (3) survivors reassemble per document in
+    * original line order (array_sort over (pos, line) structs — exact,
+    * not insertion-order-dependent). The only full-corpus shuffles are
+    * the df count (carries 8-byte hashes + the distinct (hash, id)
+    * pairs) and the reassembly groupBy.
+    *
+    * Blank lines are kept verbatim (they carry no template signal and
+    * stripping them would mangle paragraph structure). A document whose
+    * every line is boilerplate comes back as the empty string, not a
+    * dropped row — the caller decides whether to gate it. `lineHash`
+    * defaults to xxhash64; pass e.g. `l => md5(l.cast("binary"))` for the
+    * engine-portable face the DuckDB oracle replays. */
+  def removeBoilerplateLines(df: DataFrame, idCol: Column, textCol: Column,
+      minDf: Int, lineHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would strip every non-blank line")
+    val lines = df
+      .select(idCol.as("id"), posexplode(split(textCol, "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", lineHash(col("line")))
+    val boiler = lines
+      .filter(length(trim(col("line"))) > 0)
+      .select("lh", "id").distinct()
+      .groupBy("lh").agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= minDf)
+      .select("lh")
+    val kept = lines
+      .join(broadcast(boiler), Seq("lh"), "left_anti")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("ls"))
+      .select(col("id"),
+        concat_ws("\n", transform(col("ls"), s => s("line"))).as("text"))
+    // an all-boilerplate document has no surviving lines at all — join it
+    // back from the id spine as the empty string rather than dropping it
+    df.select(idCol.as("id"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** Exact-size stratified sample: the first `n` rows per domain in
     * md5-of-id order — the fixed-COUNT face of [[mixtureSample]] (which
     * fixes the RATE). The hash order is uniform, engine-portable, and

@@ -118,6 +118,33 @@ object Extras {
       .orderBy("o_orderpriority", "rnk", "o_orderkey")
   }
 
+  /** The distribution-window family rounding out W1's rank trio:
+    * ntile buckets, percent_rank, cume_dist. Both engines define
+    * percent_rank = (rank−1)/(n−1) and cume_dist = peers≤/n as single
+    * IEEE divisions of exact ints, so the floats hash bit-for-bit.
+    * Restricted to one priority to keep the dump small. */
+  def wDistributionFamily(s: SparkSession, dir: String): DataFrame = {
+    // orderkey tie-break: NTILE splits ties by physical order, so the
+    // window order must be TOTAL or buckets differ run to run
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
+  /** U-family completion: EXCEPT ALL keeps multiplicity (a nationkey
+    * appearing 5× among customers and 2× among suppliers survives 3×) —
+    * the bag-semantics counterpart of u_intersect's set semantics. */
+  def uExceptAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .exceptAll(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("n_surviving"))
+      .orderBy("nationkey")
+
   /** Skew — two-phase salted aggregation must be value-identical to the
     * plain GROUP BY the oracle runs (quantities are int-valued doubles,
     * so partial sums are exact in any grouping). */
@@ -271,6 +298,8 @@ object Extras {
     "a2_dedup_survivors" -> (a2DedupSurvivors _),
     "a16_unique_per_domain" -> (a16UniquePerDomain _),
     "w1_rank_family" -> (w1RankFamily _),
+    "w_distribution_family" -> (wDistributionFamily _),
+    "u_except_all" -> (uExceptAll _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -460,5 +489,22 @@ object Extras {
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
         |QUALIFY rnk <= 3
         |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+    // percent_rank/cume_dist: identical single-division definitions in
+    // both engines → floats hash bit-for-bit.
+    "w_distribution_family" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "u_except_all" ->
+      """WITH s AS (SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |SELECT nationkey, COUNT(*) AS n_surviving
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -404,6 +404,25 @@ object TextLLM {
       .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_id"))
       .orderBy("source")
 
+  /** Corpus-level boilerplate line removal over an injected-template
+    * fixture: even-id docs gain a shared banner and footer line (df =
+    * half the corpus ≫ minDf), odd docs stay as-is; the op must strip
+    * exactly the injected lines plus any naturally-repeated full texts.
+    * Emits md5 of each cleaned doc — the oracle replays line hashing,
+    * distinct-doc df, anti-join, and in-order reassembly in SQL. */
+  def tBoilerplateLines(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("shared cookie banner\n"), col("text"),
+          lit("\nshared footer line")))
+        .otherwise(col("text")).as("text"))
+    Curation.removeBoilerplateLines(base, col("doc_id"), col("text"),
+        minDf = 3, lineHash = l => md5(l.cast("binary")))
+      .select(col("id").as("doc_id"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Exact-COUNT stratified sample: the deterministic first 25 docs per
     * source in md5-of-id order — the fixed-size companion to
     * t_mixture_sample's fixed-rate spec. Engine-portable hash order, so
@@ -558,6 +577,7 @@ object TextLLM {
     "t_lm_transitions" -> (tLmTransitions _),
     "t_mixture_sample" -> (tMixtureSample _),
     "t_stratified_sample" -> (tStratifiedSample _),
+    "t_boilerplate_lines" -> (tBoilerplateLines _),
     "t_seq_packing" -> (tSeqPacking _),
     "t_url_domains" -> (tUrlDomains _),
     "d_simhash_neardups" -> (dSimhashNearDups _),
@@ -897,6 +917,27 @@ object TextLLM {
         |    ELSE TRUE END)
         |SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS first_id
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Full boilerplate-removal mirror: same line split, same md5 line
+    // hash, distinct-doc df over non-blank lines, NOT IN the ≥3-df set,
+    // reassembly in original line order, md5 of the rebuilt text.
+    "t_boilerplate_lines" ->
+      """WITH base AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'shared cookie banner' || chr(10)
+        |      || text || chr(10) || 'shared footer line' ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM base),
+        |ln AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls FROM t),
+        |lines AS (SELECT doc_id, pos, ls[pos] AS line FROM ln),
+        |boiler AS (SELECT lh FROM (
+        |    SELECT md5(line) AS lh, doc_id FROM lines
+        |    WHERE length(trim(line)) > 0 GROUP BY 1, 2)
+        |  GROUP BY lh HAVING COUNT(*) >= 3),
+        |keep AS (SELECT doc_id, pos, line FROM lines
+        |  WHERE md5(line) NOT IN (SELECT lh FROM boiler)),
+        |out AS (SELECT b.doc_id,
+        |    COALESCE(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+        |  FROM base b LEFT JOIN keep k USING (doc_id) GROUP BY 1)
+        |SELECT doc_id, md5(text) AS text_md5 FROM out ORDER BY 1""".stripMargin,
     // Exact member-set mirror of Curation.stratifiedSample: same md5
     // hash order (tie-broken by id), same 1-based rank.
     "t_stratified_sample" ->

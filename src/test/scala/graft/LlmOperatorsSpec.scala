@@ -778,6 +778,29 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nearOne == 4000L)
   }
 
+  test("boilerplate line removal: corpus-frequent lines stripped, order and blanks kept") {
+    import spark.implicits._
+    val banner = "ACCEPT OUR COOKIES"
+    val df = Seq(
+      (1L, s"$banner\nunique one\n\nunique two"),
+      (2L, s"$banner\nother content"),
+      (3L, s"$banner\nmore text\n$banner"), // repeated inside one doc: df counts DISTINCT docs
+      (4L, banner), // all-boilerplate doc → empty string, not a dropped row
+      (5L, "untouched doc")).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplateLines(df, col("doc_id"), col("text"), minDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique one\n\nunique two", "order and blank line must survive")
+    assert(out(2L) == "other content")
+    assert(out(3L) == "more text", "every occurrence of a boilerplate line goes")
+    assert(out(4L) == "")
+    assert(out(5L) == "untouched doc")
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // below the threshold nothing is template
+    val loose = Curation.removeBoilerplateLines(df, col("doc_id"), col("text"), minDf = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(2L) == s"$banner\nother content")
+  }
+
   test("stratified sample: exact n per domain, same member set under any layout") {
     import spark.implicits._
     val df = (0L until 3000L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
