@@ -161,6 +161,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted == plain)
   }
 
+  test("BM25 broadcasts query terms and stats — no SMJ, no cartesian") {
+    val p = plan(queries.TextLLM.tBm25Top5(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"query-term join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"BM25 degraded to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in BM25:\n$p")
+  }
+
+  test("boilerplate removal anti-joins against a BROADCAST high-df set") {
+    val df = operators.Curation.removeBoilerplateLines(
+      Tables(spark, sf, "documents"), org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"), minDf = 3)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"high-df line set must broadcast into an anti join:\n$p")
+  }
+
   test("bucketed tables sort-merge join with NO exchange (co-located join)") {
     spark.sql("DROP TABLE IF EXISTS b1")
     spark.sql("DROP TABLE IF EXISTS b2")
