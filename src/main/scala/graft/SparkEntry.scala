@@ -30,6 +30,7 @@ object SparkEntry {
     "t_fingerprint_md5",
     "t_repetition_stats", "t_pii_redaction", "t_chunking", "t_hash_split",
     "t_decontaminate", "t_lm_transitions", "t_mixture_sample",
+    "t_boilerplate_lines", "a_exact_moments",
     "j_bloom_prefilter_join",
     "d_minhash_neardups", "s_ann_brute_top5", "s_ann_lsh_top3",
     "m_binary_meta", "c7_weekly_counts", "j_asof_prior_view",
