@@ -141,6 +141,16 @@ object ScaleProbe {
       Dedup.connectedComponents(chain, maxIter = 60).count()
     }
 
+    timed("boilerplate_line_scrub") { // line-df count + broadcast anti-join
+      // + in-order reassembly over multi-line docs (10-token lines), a
+      // shared banner injected into every 3rd doc
+      val lined = docs.select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0, lit("SHARED COOKIE BANNER\n")).otherwise(lit("")),
+          regexp_replace(col("text"), "((?:\\S+ ){9}\\S+) ", "$1\n")).as("text"))
+      Curation.removeBoilerplateLines(lined, col("doc_id"), col("text"),
+        minDf = 1000).count()
+    }
     timed("inverted_index_full") { // one explode + one agg into postings
       Search.invertedIndex(docs, col("doc_id"), col("text")).count()
     }

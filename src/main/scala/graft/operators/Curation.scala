@@ -86,7 +86,9 @@ object Curation {
     * Blank lines are kept verbatim (they carry no template signal and
     * stripping them would mangle paragraph structure). A document whose
     * every line is boilerplate comes back as the empty string, not a
-    * dropped row — the caller decides whether to gate it. `lineHash`
+    * dropped row — the caller decides whether to gate it. `idCol` must be
+    * unique per row: two rows sharing an id would have their line
+    * positions interleaved by the reassembly sort. `lineHash`
     * defaults to xxhash64; pass e.g. `l => md5(l.cast("binary"))` for the
     * engine-portable face the DuckDB oracle replays. */
   def removeBoilerplateLines(df: DataFrame, idCol: Column, textCol: Column,

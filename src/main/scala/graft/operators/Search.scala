@@ -80,9 +80,12 @@ object Search {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("bigint")).as("total_dl"))
 
+    // distinct over the flattened pairs, not just per entry: a qid split
+    // across two `queries` entries must not duplicate a (qid, term) pair —
+    // a duplicate would double-count that term's score contribution
     val qdf = queries
-      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
-      .toDF("qid", "term")
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .distinct.toDF("qid", "term")
 
     // postings of the query terms only; df_t counted over this restricted
     // set is the term's true document frequency (the semi join keeps every

@@ -33,6 +33,10 @@ object Stats {
     * `x` and `y` must be integer-valued (they are cast to BIGINT before
     * any arithmetic; a fractional input would be silently truncated —
     * callers scale fixed-point inputs up first, e.g. cents not dollars).
+    * Rows where either input is null are dropped BEFORE counting
+    * (pairwise deletion — matching `corr`'s convention), so `n` always
+    * agrees with what the sums saw; a group of only-null rows therefore
+    * disappears from the output entirely.
     * Output: group cols + (n, sum_x, mean_x, var_x, stddev_x, corr_xy).
     * Single-row groups yield null variance/corr (division by zero →
     * null in both engines via explicit guards). */
@@ -40,7 +44,11 @@ object Stats {
       x: Column, y: Column): DataFrame = {
     val xb = x.cast("bigint")
     val yb = y.cast("bigint")
-    val agg = df.groupBy(groupCols: _*).agg(
+    // pairwise deletion up front: count(*) must agree with what the sums
+    // saw, or a null x row would enter n while Σx skipped it and every
+    // derived moment would be silently wrong
+    val complete = df.filter(xb.isNotNull && yb.isNotNull)
+    val agg = complete.groupBy(groupCols: _*).agg(
       count(lit(1)).as("n"),
       sum(xb).as("sx"), sum(yb).as("sy"),
       sum(xb * xb).as("sxx"), sum(yb * yb).as("syy"),

@@ -88,6 +88,17 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a qid split across query entries does not double-count shared terms") {
+    val df = docsDf((1L, "beta beta gamma"), (2L, "gamma delta"))
+    val once = Search.bm25TopK(df, col("doc_id"), col("text"),
+        Seq(7L -> Seq("beta", "gamma")), k = 5, logIdf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val split = Search.bm25TopK(df, col("doc_id"), col("text"),
+        Seq(7L -> Seq("beta"), 7L -> Seq("gamma", "beta")), k = 5, logIdf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(split == once, "duplicate (qid, term) pairs must collapse")
+  }
+
   test("bm25 ratio-idf face: zero-hit query absent; k bounds output") {
     val df = docsDf((1L, "alpha beta"), (2L, "beta gamma"), (3L, "gamma delta"))
     val out = Search.bm25TopK(df, col("doc_id"), col("text"),

@@ -38,6 +38,21 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(df.coalesce(1)) == out)
   }
 
+  test("null inputs: pairwise deletion keeps n consistent with the sums") {
+    import spark.implicits._
+    val df = Seq[(String, Option[Int], Option[Int])](
+      ("g", Some(1), Some(2)), ("g", None, Some(9)), ("g", Some(3), None),
+      ("g", Some(5), Some(4)), ("empty", None, None))
+      .toDF("g", "x", "y")
+    val out = Stats.exactMoments(df, Seq(col("g")), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // only the two complete (x, y) rows count — n must match the sums
+    assert(out("g").getLong(1) == 2L)
+    assert(out("g").getLong(2) == 6L) // 1 + 5
+    assert(out("g").getDouble(4) == 8.0) // var_samp of {1, 5}
+    assert(!out.contains("empty"), "an all-null group has no complete pairs")
+  }
+
   test("single-row group: null variance and corr, not a divide-by-zero") {
     import spark.implicits._
     val df = Seq(("solo", 5, 2), ("pair", 1, 1), ("pair", 3, 9)).toDF("g", "x", "y")
