@@ -30,7 +30,10 @@ object Bench {
       errors: Seq[(String, String)], sfDir: String): String = {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
-    def fmt(d: Double) = f"$d%.3f"
+    // Locale.ROOT: a comma-decimal default locale would render 1.234 as
+    // "1,234" and hand the driver invalid JSON — the exact parsed:null
+    // failure this line exists to avoid
+    def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", d)
     def obj(m: Seq[(String, String)]) =
       m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val total = mins.map(_._2).sum
@@ -50,7 +53,7 @@ object Bench {
       errors: Seq[(String, String)], sfDir: String): String = {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
-    def fmt(d: Double) = f"$d%.4f"
+    def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.4f", d)
     def obj(m: Seq[(String, String)]) =
       m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val medians = results.map { case (k, ts) =>

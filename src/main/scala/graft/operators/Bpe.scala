@@ -135,7 +135,10 @@ object Bpe {
       .mapPartitions { it =>
         val ranks = ranksB.value
         it.map { case (id, t) =>
-          val toks = t.split("\\s+").iterator.filter(_.nonEmpty)
+          // null text behaves as empty (raw corpora carry nulls; the
+          // sibling mapPartitions operators share this contract)
+          val toks = Option(t).getOrElse("").split("\\s+").iterator
+            .filter(_.nonEmpty)
             .flatMap(w => encodeWord(w, ranks)).toSeq
           (id, toks)
         }

@@ -75,9 +75,13 @@ object Curation {
     *
     * Relational, three stages: (1) posexplode lines, count each line
     * hash's distinct-document frequency; (2) the boilerplate set — hashes
-    * with df ≥ minDf — is SMALL by construction (only genuinely repeated
-    * lines), so it broadcasts and the corpus anti-joins against it with
-    * no shuffle of its own; (3) survivors reassemble per document in
+    * with df ≥ minDf — is usually tiny (only genuinely repeated lines),
+    * but deliberately NOT broadcast-hinted: a low `minDf` over a
+    * near-dup-heavy corpus can flag hundreds of millions of lines, and a
+    * forced broadcast would funnel that through the driver (the same
+    * reasoning as [[decontaminate]]'s flagged set). AQE still broadcasts
+    * it whenever it is actually small — the plan-asserted case; (3)
+    * survivors reassemble per document in
     * original line order (array_sort over (pos, line) structs — exact,
     * not insertion-order-dependent). The only full-corpus shuffles are
     * the df count (carries 8-byte hashes + the distinct (hash, id)
@@ -104,7 +108,7 @@ object Curation {
       .filter(col("line_df") >= minDf)
       .select("lh")
     val kept = lines
-      .join(broadcast(boiler), Seq("lh"), "left_anti")
+      .join(boiler, Seq("lh"), "left_anti")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("ls"))
       .select(col("id"),

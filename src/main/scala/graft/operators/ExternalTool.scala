@@ -23,13 +23,24 @@ object ExternalTool {
     * without a shell) and return the tool's output lines. Line-oriented
     * protocol: one input row per stdin line; each stdout line becomes an
     * output row — tools may emit more or fewer lines than they read
-    * (clustalo does). */
+    * (clustalo does). A value containing an embedded newline would
+    * silently become several stdin records and corrupt the row↔record
+    * correspondence, so it FAILS the job loudly instead (flatten or
+    * escape upstream — e.g. FASTA values are single-line by
+    * construction); null values fail for the same reason. */
   def pipeLines(df: DataFrame, textCol: Column,
       command: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     spark.createDataset(
-      df.select(textCol.cast("string")).rdd.map(_.getString(0)).pipe(command)
+      df.select(textCol.cast("string")).rdd.map { r =>
+        val s = r.getString(0)
+        require(s != null, "pipeLines: null value has no line representation")
+        require(s.indexOf('\n') < 0 && s.indexOf('\r') < 0,
+          "pipeLines: embedded newline would split one row into several " +
+            s"stdin records: ${s.take(80)}...")
+        s
+      }.pipe(command)
     ).toDF("line")
   }
 }

@@ -166,7 +166,9 @@ object Multimodal {
     while (pos + 8 <= payload.length) {
       val tag = tag4(pos)
       val len = bb.getInt(pos + 4)
-      if (len < 0 || pos + 8 + len > payload.length) return None
+      // Long math: a hostile len near Int.MaxValue wraps `pos + 8 + len`
+      // negative and would sail past this guard into an out-of-bounds read
+      if (len < 0 || pos.toLong + 8 + len > payload.length) return None
       tag match {
         case "fmt " if len >= 16 =>
           val audioFormat = bb.getShort(pos + 8)

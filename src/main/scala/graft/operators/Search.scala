@@ -74,17 +74,25 @@ object Search {
     val spark = df.sparkSession
     import spark.implicits._
 
-    // corpus constants: one scan reduced to a single broadcast row
-    val stats = df
-      .select(TextAnalysis.wsTokens(lower(textCol)).as("toks"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("toks")).cast("bigint")).as("total_dl"))
+    val idx = invertedIndex(df, idCol, textCol)
 
-    // distinct over the flattened pairs, not just per entry: a qid split
-    // across two `queries` entries must not duplicate a (qid, term) pair —
-    // a duplicate would double-count that term's score contribution
+    // corpus constants WITHOUT a second tokenization pass: Σtf over the
+    // index is exactly the total token count (per-doc Σtf = dl), and that
+    // aggregate consumes the index's own (term,id) exchange — Catalyst
+    // reuses it (ReusedExchange) rather than rebuilding the index; n_docs
+    // is a column-less count scan (parquet row-group metadata, no text
+    // read). An empty doc contributes 0 tokens and still counts in N —
+    // identical to summing size(toks) over every document.
+    val stats = df.select(idCol).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(idx.agg(sum(col("tf")).as("total_dl")))
+
+    // lowercased to match the index's lower() tokenization — a verbatim
+    // "Spark" would otherwise silently score zero against postings of
+    // "spark"; distinct over the flattened pairs, not just per entry: a
+    // qid split across two `queries` entries must not duplicate a
+    // (qid, term) pair — a duplicate would double-count that term's score
     val qdf = queries
-      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t.toLowerCase)) }
       .distinct.toDF("qid", "term")
 
     // postings of the query terms only; df_t counted over this restricted
@@ -92,7 +100,7 @@ object Search {
     // posting of a matched term). A pathological stop-word query term
     // funnels its postings into one window partition — same bound as the
     // term's posting list itself.
-    val cand = invertedIndex(df, idCol, textCol)
+    val cand = idx
       .join(broadcast(qdf.select("term").distinct()), "term")
       .withColumn("df_t", count(lit(1)).over(Window.partitionBy("term")))
 

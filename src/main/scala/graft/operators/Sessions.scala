@@ -19,9 +19,12 @@ object Sessions {
 
   /** Tag every row with its 0-based `session_idx` within the key group: a
     * session starts at the first event and whenever the gap since the
-    * previous event exceeds `maxGapSeconds`. Events tied on (key, ts)
-    * always share a session (their mutual gap is zero), so the output is
-    * deterministic even though tie order is not. */
+    * previous event EXCEEDS `maxGapSeconds` — a gap of exactly maxGap
+    * stays in one session, matching `session_window`, whose touching
+    * windows merge (StreamingSpec's parity fixture includes an
+    * exactly-boundary pair to pin this empirically). Events tied on
+    * (key, ts) always share a session (their mutual gap is zero), so the
+    * output is deterministic even though tie order is not. */
   def sessionize(df: DataFrame, keys: Seq[String], tsCol: String,
       maxGapSeconds: Long): DataFrame = {
     val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol).asc)

@@ -61,6 +61,13 @@ object Xlsx {
         val ref = s"${colLetters(ci + 1)}$rr"
         r.get(ci) match {
           case null => s"""<c r="$ref" s="1"/>"""
+          // NaN/Infinity are not valid SpreadsheetML numbers — Excel
+          // declares the workbook corrupt; write a blank styled cell
+          // (what pandas' writer does for NaN)
+          case n: java.lang.Double if n.isNaN || n.isInfinite =>
+            s"""<c r="$ref" s="1"/>"""
+          case n: java.lang.Float if n.isNaN || n.isInfinite =>
+            s"""<c r="$ref" s="1"/>"""
           case n: Number => s"""<c r="$ref" s="1"><v>${n.toString}</v></c>"""
           case other =>
             s"""<c r="$ref" t="inlineStr"><is><t>${esc(other.toString)}</t></is></c>"""

@@ -80,6 +80,18 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Bpe.encodeWord(t, ranks).mkString == t, s"lossy encode of $t")
   }
 
+  test("BPE tokenize: null text behaves as empty, not an NPE") {
+    import spark.implicits._
+    val corpus = docsDf((1L, "some text"), (2L, null.asInstanceOf[String]))
+    val merges = Bpe.trainBpe(corpus.filter(col("text").isNotNull),
+      col("text"), numMerges = 4)
+    val out = Bpe.tokenizeBpe(corpus, col("doc_id"), col("text"), merges)
+      .select(col("id"), size(col("bpe_tokens")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) > 0)
+    assert(out(2L) == 0, "null text must tokenize to an empty array")
+  }
+
   // ------------------------------------------------------------ n-gram LM
 
   test("NgramLm.transitionStats: exact counters on a hand-computed fixture") {
@@ -644,6 +656,14 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeWavStats(wav.take(30)).isEmpty)
     val nonPcm = wav.clone; nonPcm(20) = 3 // format code 3 = IEEE float
     assert(Multimodal.decodeWavStats(nonPcm).isEmpty)
+    // a chunk length near Int.MaxValue must not wrap the bounds check
+    // into an out-of-bounds read — None, not an exception
+    val hostile = wav.clone
+    val lenAt = 16 // fmt chunk length field
+    java.nio.ByteBuffer.wrap(hostile).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(lenAt, Int.MaxValue - 4)
+    assert(Multimodal.decodeWavStats(hostile).isEmpty,
+      "overflowing chunk length must be rejected")
   }
 
   test("frame sampling is even and bounded") {

@@ -93,5 +93,26 @@ class SinkToolSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[org.apache.spark.SparkException] {
       ExternalTool.pipeLines(df, col("seq"), Seq("false")).collect()
     }
+    // an embedded newline would silently become TWO stdin records and
+    // corrupt the row↔record protocol — it must fail, not corrupt
+    intercept[org.apache.spark.SparkException] {
+      ExternalTool.pipeLines(Seq("one\ntwo").toDF("seq"), col("seq"),
+        Seq("cat")).collect()
+    }
+  }
+
+  test("xlsx: NaN and Infinity become blank cells, not corrupt <v> entries") {
+    import spark.implicits._
+    val df = Seq(("r1", Double.NaN, 1.5), ("r2", Double.PositiveInfinity, 2.5))
+      .toDF("label", "bad", "good")
+    val path = java.nio.file.Files.createTempDirectory("xlsx").resolve("t.xlsx")
+    graft.sinks.Xlsx.writeHeatmap(df, path.toString, "sheet", maxRows = 100)
+    val zf = new java.util.zip.ZipFile(path.toFile)
+    val sheet = new String(zf.getInputStream(
+      zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes, "UTF-8")
+    zf.close()
+    assert(!sheet.contains("NaN") && !sheet.contains("Infinity"),
+      s"non-finite leaked into SpreadsheetML: $sheet")
+    assert(sheet.contains("<v>1.5</v>") && sheet.contains("<v>2.5</v>"))
   }
 }

@@ -260,6 +260,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (t("2021-01-01 10:29:59"), 1L, 2.0), // 29:59 gap → same session
       (t("2021-01-01 11:00:00"), 1L, 3.0), // 30:01 gap → new session
       (t("2021-01-01 11:30:00"), 1L, 4.0), // exactly 30:00 → SAME session
+      // (empirically matches session_window: its windows DO merge when
+      // they touch — the boundary pair in the parity test below proves it)
       (t("2021-01-01 10:00:00"), 2L, 5.0))
       .toDF("ts", "user_id", "value")
     val out = graft.operators.Sessions.sessionStats(ev, Seq("user_id"), "ts",
@@ -279,7 +281,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = Seq(
       (t("2021-01-01 10:00:00"), 1L), (t("2021-01-01 10:20:00"), 1L),
       (t("2021-01-01 11:10:00"), 1L), (t("2021-01-01 09:00:00"), 2L),
-      (t("2021-01-01 09:10:00"), 2L), (t("2021-01-01 12:00:00"), 2L))
+      (t("2021-01-01 09:10:00"), 2L), (t("2021-01-01 12:00:00"), 2L),
+      // exactly-boundary pair: 30:00 apart — both faces must MERGE here
+      // (session_window merges touching windows; sessionize's strict
+      // gap > maxGap split mirrors that, proven by this fixture)
+      (t("2021-01-01 14:00:00"), 3L), (t("2021-01-01 14:30:00"), 3L))
     val input = MemoryStream[(java.sql.Timestamp, Long)]
     val q = input.toDF().toDF("ts", "user_id")
       .withWatermark("ts", "1 hour")
