@@ -76,15 +76,16 @@ object Search {
 
     val idx = invertedIndex(df, idCol, textCol)
 
-    // corpus constants WITHOUT a second tokenization pass: Σtf over the
-    // index is exactly the total token count (per-doc Σtf = dl), and that
-    // aggregate consumes the index's own (term,id) exchange — Catalyst
-    // reuses it (ReusedExchange) rather than rebuilding the index; n_docs
-    // is a column-less count scan (parquet row-group metadata, no text
-    // read). An empty doc contributes 0 tokens and still counts in N —
-    // identical to summing size(toks) over every document.
-    val stats = df.select(idCol).agg(count(lit(1)).as("n_docs"))
-      .crossJoin(idx.agg(sum(col("tf")).as("total_dl")))
+    // corpus constants: a dedicated tokenizing scan reduced to one
+    // broadcast row. Deliberately NOT derived from `idx` (Σtf equals the
+    // token total): the stats branch prunes `dl` from the index subtree,
+    // so the two subplans canonicalize differently, Catalyst does NOT
+    // reuse the (term,id) exchange, and the index gets built twice —
+    // measured 1.4× slower than this "redundant" scan at sf0.1.
+    val stats = df
+      .select(TextAnalysis.wsTokens(lower(textCol)).as("toks"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("bigint")).as("total_dl"))
 
     // lowercased to match the index's lower() tokenization — a verbatim
     // "Spark" would otherwise silently score zero against postings of
