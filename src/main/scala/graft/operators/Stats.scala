@@ -24,6 +24,39 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** One-pass column profile — the ANALYZE-TABLE face of the engine: for
+    * each named column, null count, EXACT distinct count, and min/max
+    * (rendered as strings so heterogeneous column types share one output
+    * schema). One aggregation job over one scan; the single stats row
+    * unpivots to long form through `stack` (a Generate, no shuffle).
+    *
+    * Exact `countDistinct` per column expands the aggregate (one Expand
+    * branch per column) — the right trade at audit time; for routine
+    * 100 TB profiling swap in [[Sketches.distinctSketch]] per column and
+    * keep this as the exact-verification tail. Min/max stringification
+    * happens AFTER the typed aggregation, so numeric columns compare
+    * numerically, not lexicographically. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggExprs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggExprs: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`")
+      .mkString(", ")
+    row
+      .select(col("__n").as("n_rows"),
+        expr(s"stack(${cols.size}, $stackArgs) " +
+          "as (column, n_nulls, n_distinct, min_value, max_value)"))
+      .select("column", "n_rows", "n_nulls", "n_distinct",
+        "min_value", "max_value")
+  }
+
   /** Per-group n / mean / sample-variance / sample-stddev of `x`, plus
     * Pearson correlation of `(x, y)`, all from exact integer moments:
     *

@@ -218,6 +218,20 @@ object Extras {
         Seq(col("l_returnflag")), col("l_quantity"), col("l_linenumber"))
       .orderBy("l_returnflag")
 
+  /** One-pass column profile over mixed types (int, string, an
+    * artificially-nullable string, date): [[graft.operators.Stats.profile]]
+    * — one aggregation job, `stack`-unpivoted to long form. Also the
+    * registry's unpivot/stack coverage. */
+  def aProfileColumns(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem").select(
+      col("l_linenumber"), col("l_returnflag"),
+      expr("nullif(l_returnflag, 'A')").as("flag_non_a"),
+      col("l_shipdate").cast("date").as("ship_date"))
+    graft.operators.Stats.profile(base,
+        Seq("l_linenumber", "l_returnflag", "flag_non_a", "ship_date"))
+      .orderBy("column")
+  }
+
   /** Bloom-prefiltered selective join: lineitem is cut at the scan by a
     * codegen-native Bloom filter over the (few) selected part keys, then
     * the exact join removes the false positives — so the result is
@@ -284,6 +298,7 @@ object Extras {
     "u_intersect" -> (uIntersect _),
     "a_median_price" -> (aMedianPrice _),
     "a_exact_moments" -> (aExactMoments _),
+    "a_profile_columns" -> (aProfileColumns _),
     "a6_cube_two_dims" -> (a6CubeTwoDims _),
     "c6_monthly_counts" -> (c6MonthlyCounts _),
     "json_props_agg" -> (jsonPropsAgg _),
@@ -371,6 +386,24 @@ object Extras {
       """SELECT o_orderpriority, MEDIAN(o_totalprice) AS median_price,
         |  COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Per-column stat mirror: COUNT(DISTINCT) excludes nulls in both
+    // engines; min/max stringified AFTER typed aggregation.
+    "a_profile_columns" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_value,
+           |  CAST(MAX($c) AS VARCHAR) AS max_value
+           |FROM b""".stripMargin
+      """WITH b AS (SELECT l_linenumber, l_returnflag,
+        |    nullif(l_returnflag, 'A') AS flag_non_a,
+        |    CAST(l_shipdate AS DATE) AS ship_date FROM lineitem)
+        |""".stripMargin +
+        Seq("l_linenumber", "l_returnflag", "flag_non_a", "ship_date")
+          .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY 1")
+    },
     // Exact mirror of Stats.exactMoments: identical integer moments,
     // identical final float tree (each CAST/÷/×/sqrt a single IEEE op —
     // sqrt is correctly rounded in both engines) → scores hash

@@ -38,6 +38,20 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(df.coalesce(1)) == out)
   }
 
+  test("profile: exact per-column stats in one pass; typed (not lexicographic) min/max") {
+    import spark.implicits._
+    val df = Seq((9, Some("b"), "x"), (10, None, "y"), (2, Some("a"), "y"))
+      .toDF("num", "maybe", "cat")
+    val out = Stats.profile(df, Seq("num", "maybe", "cat"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    // numeric min/max: 2 < 9 < 10 — a lexicographic compare would say "10" < "2"
+    assert(out("num") == ((3L, 0L, 3L, "2", "10")))
+    assert(out("maybe") == ((3L, 1L, 2L, "a", "b")), "distinct must exclude nulls")
+    assert(out("cat") == ((3L, 0L, 2L, "x", "y")))
+  }
+
   test("null inputs: pairwise deletion keeps n consistent with the sums") {
     import spark.implicits._
     val df = Seq[(String, Option[Int], Option[Int])](
