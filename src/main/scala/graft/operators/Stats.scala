@@ -81,11 +81,20 @@ object Stats {
     // saw, or a null x row would enter n while Σx skipped it and every
     // derived moment would be silently wrong
     val complete = df.filter(xb.isNotNull && yb.isNotNull)
-    val agg = complete.groupBy(groupCols: _*).agg(
+    deriveFromMoments(complete.groupBy(groupCols: _*).agg(
       count(lit(1)).as("n"),
       sum(xb).as("sx"), sum(yb).as("sy"),
       sum(xb * xb).as("sxx"), sum(yb * yb).as("syy"),
-      sum(xb * yb).as("sxy"))
+      sum(xb * yb).as("sxy")))
+  }
+
+  /** The fixed float tail shared by [[exactMoments]] and
+    * [[momentsAggregator]]: input must carry BIGINT columns
+    * (n, sx, sy, sxx, syy, sxy); emits the documented output schema.
+    * Keeping this ONE expression tree is what makes the Column and
+    * typed-Aggregator faces bit-identical to each other and to the SQL
+    * oracle. */
+  private[operators] def deriveFromMoments(agg: DataFrame): DataFrame = {
     val n = col("n")
     val varNumX = n * col("sxx") - col("sx") * col("sx") // exact BIGINT
     val varNumY = n * col("syy") - col("sy") * col("sy")
@@ -102,5 +111,65 @@ object Stats {
       .withColumn("corr_xy", corr)
       .drop("sxx", "syy", "sxy", "sy")
       .withColumnRenamed("sx", "sum_x")
+  }
+
+  /** Exact integer moment vector — the typed Aggregator's buffer AND
+    * output. Component-wise addition is associative and commutative, so
+    * ANY partial-aggregation tree (map-side combine, AQE coalesced
+    * reducers, speculative retries) produces the same buffer bit for
+    * bit. */
+  final case class Moments(n: Long, sx: Long, sy: Long,
+      sxx: Long, syy: Long, sxy: Long)
+
+  /** The typed-UDAF face of [[exactMoments]] — the same integer-moment
+    * algebra expressed through `org.apache.spark.sql.expressions
+    * .Aggregator` (the Dataset-typed custom-aggregation API the engine
+    * otherwise never needs): reduce folds one (x, y) pair into the
+    * buffer, merge adds buffers component-wise. Feed the result through
+    * [[deriveFromMoments]] (as [[exactMomentsTyped]] does) and the output
+    * is bit-identical to the Column form — the registered twin query
+    * shares a_exact_moments' oracle verbatim. */
+  def momentsAggregator: org.apache.spark.sql.expressions.Aggregator[(Long, Long), Moments, Moments] =
+    new org.apache.spark.sql.expressions.Aggregator[(Long, Long), Moments, Moments] {
+      def zero: Moments = Moments(0L, 0L, 0L, 0L, 0L, 0L)
+      def reduce(b: Moments, a: (Long, Long)): Moments = {
+        val (x, y) = a
+        Moments(b.n + 1, b.sx + x, b.sy + y,
+          b.sxx + x * x, b.syy + y * y, b.sxy + x * y)
+      }
+      def merge(p: Moments, q: Moments): Moments =
+        Moments(p.n + q.n, p.sx + q.sx, p.sy + q.sy,
+          p.sxx + q.sxx, p.syy + q.syy, p.sxy + q.sxy)
+      def finish(r: Moments): Moments = r
+      def bufferEncoder: org.apache.spark.sql.Encoder[Moments] =
+        org.apache.spark.sql.Encoders.product[Moments]
+      def outputEncoder: org.apache.spark.sql.Encoder[Moments] =
+        org.apache.spark.sql.Encoders.product[Moments]
+    }
+
+  /** [[exactMoments]] computed through [[momentsAggregator]]: same
+    * pairwise deletion, same derived columns, same results bit for bit —
+    * kept as the library's worked example of a typed UDAF. `groupCol`
+    * must be a string-typed column here (the typed groupByKey needs an
+    * encoder). */
+  def exactMomentsTyped(df: DataFrame, groupCol: Column,
+      x: Column, y: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val xb = x.cast("bigint")
+    val yb = y.cast("bigint")
+    val groupName = df.select(groupCol).columns.head
+    val pairs = df.filter(xb.isNotNull && yb.isNotNull)
+      .select(groupCol.cast("string"), xb, yb).as[(String, Long, Long)]
+    val agg = pairs
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(momentsAggregator.toColumn)
+      .toDF(groupName, "m")
+      .select(col(groupName), col("m.n").as("n"),
+        col("m.sx").as("sx"), col("m.sy").as("sy"),
+        col("m.sxx").as("sxx"), col("m.syy").as("syy"),
+        col("m.sxy").as("sxy"))
+    deriveFromMoments(agg)
   }
 }

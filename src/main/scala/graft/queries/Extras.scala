@@ -218,6 +218,15 @@ object Extras {
         Seq(col("l_returnflag")), col("l_quantity"), col("l_linenumber"))
       .orderBy("l_returnflag")
 
+  /** Twin of [[aExactMoments]] through the typed `Aggregator` UDAF
+    * (integer-moment buffer, component-wise merge): bit-identical output,
+    * so it shares the SAME oracle SQL — the UDAF path itself is what is
+    * under test. */
+  def aExactMomentsUdaf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.exactMomentsTyped(t(s, dir, "lineitem"),
+        col("l_returnflag"), col("l_quantity"), col("l_linenumber"))
+      .orderBy("l_returnflag")
+
   /** One-pass column profile over mixed types (int, string, an
     * artificially-nullable string, date): [[graft.operators.Stats.profile]]
     * — one aggregation job, `stack`-unpivoted to long form. Also the
@@ -298,6 +307,7 @@ object Extras {
     "u_intersect" -> (uIntersect _),
     "a_median_price" -> (aMedianPrice _),
     "a_exact_moments" -> (aExactMoments _),
+    "a_exact_moments_udaf" -> (aExactMomentsUdaf _),
     "a_profile_columns" -> (aProfileColumns _),
     "a6_cube_two_dims" -> (a6CubeTwoDims _),
     "c6_monthly_counts" -> (c6MonthlyCounts _),
@@ -316,6 +326,30 @@ object Extras {
     "w_distribution_family" -> (wDistributionFamily _),
     "u_except_all" -> (uExceptAll _),
   )
+
+  private val exactMomentsSql =
+    """WITH m AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS BIGINT) AS sxx,
+        |    CAST(SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT))
+        |      AS BIGINT) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT))
+        |      AS BIGINT) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, sx AS sum_x,
+        |  CAST(sx AS DOUBLE) / n AS mean_x,
+        |  CASE WHEN n > 1 THEN CAST(n * sxx - sx * sx AS DOUBLE)
+        |    / CAST(n * (n - 1) AS DOUBLE) END AS var_x,
+        |  sqrt(CASE WHEN n > 1 THEN CAST(n * sxx - sx * sx AS DOUBLE)
+        |    / CAST(n * (n - 1) AS DOUBLE) END) AS stddev_x,
+        |  CASE WHEN n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS corr_xy
+        |FROM m ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // SCD2 mirror: lead() over (ts, event_id) — event_id breaks ts ties
@@ -408,29 +442,11 @@ object Extras {
     // identical final float tree (each CAST/÷/×/sqrt a single IEEE op —
     // sqrt is correctly rounded in both engines) → scores hash
     // bit-for-bit. DuckDB's HUGEINT sums cast back to BIGINT.
-    "a_exact_moments" ->
-      """WITH m AS (SELECT l_returnflag,
-        |    CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
-        |    CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sy,
-        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
-        |      AS BIGINT) AS sxx,
-        |    CAST(SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT))
-        |      AS BIGINT) AS syy,
-        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT))
-        |      AS BIGINT) AS sxy
-        |  FROM lineitem GROUP BY 1)
-        |SELECT l_returnflag, n, sx AS sum_x,
-        |  CAST(sx AS DOUBLE) / n AS mean_x,
-        |  CASE WHEN n > 1 THEN CAST(n * sxx - sx * sx AS DOUBLE)
-        |    / CAST(n * (n - 1) AS DOUBLE) END AS var_x,
-        |  sqrt(CASE WHEN n > 1 THEN CAST(n * sxx - sx * sx AS DOUBLE)
-        |    / CAST(n * (n - 1) AS DOUBLE) END) AS stddev_x,
-        |  CASE WHEN n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-        |    THEN CAST(n * sxy - sx * sy AS DOUBLE) /
-        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-        |       sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS corr_xy
-        |FROM m ORDER BY 1""".stripMargin,
+    "a_exact_moments" -> exactMomentsSql,
+    // the typed-Aggregator twin is bit-identical by construction, so it
+    // shares the oracle verbatim — the UDAF path is what is under test
+    "a_exact_moments_udaf" -> exactMomentsSql,
+    
     "a6_cube_two_dims" ->
       """WITH d AS (SELECT event_type,
         |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS dow FROM events)

@@ -38,6 +38,21 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(df.coalesce(1)) == out)
   }
 
+  test("typed Aggregator face is bit-identical to the Column face") {
+    import spark.implicits._
+    val rows = (1L to 400L).map(i => (if (i % 2 == 0) "e" else "o", i % 31, (i * 3) % 17))
+    val df = rows.toDF("g", "x", "y")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    val column = canon(Stats.exactMoments(df, Seq(col("g")), col("x"), col("y")))
+    val typed = canon(Stats.exactMomentsTyped(df, col("g"), col("x"), col("y")))
+    assert(typed == column, "the two faces must agree bit for bit")
+    assert(canon(Stats.exactMomentsTyped(df.repartition(11), col("g"), col("x"), col("y")))
+      == column, "aggregator merge must be layout-independent")
+  }
+
   test("profile: exact per-column stats in one pass; typed (not lexicographic) min/max") {
     import spark.implicits._
     val df = Seq((9, Some("b"), "x"), (10, None, "y"), (2, Some("a"), "y"))
