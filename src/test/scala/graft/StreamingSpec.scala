@@ -142,6 +142,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally out.stop()
   }
 
+  test("file-source stream: parquet files arriving in a directory converge to batch truth") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val srcDir = java.nio.file.Files.createTempDirectory("stream_src").toString
+    val batch1 = Seq((t("2021-01-03 10:00:00"), "purchase"),
+      (t("2021-01-05 11:00:00"), "signup"))
+    val batch2 = Seq((t("2021-01-05 12:00:00"), "purchase"),
+      (t("2021-01-12 09:00:00"), "purchase"))
+    batch1.toDF("ts", "event_type").write.mode("append").parquet(srcDir)
+    // the REAL production source: readStream over a landing directory —
+    // new part files are discovered as new micro-batches
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING")
+      .parquet(srcDir)
+    val q = StreamingTimeSeries.startWeeklyQuery(stream, "ts", "event_type",
+      "file_src_test")
+    try {
+      q.processAllAvailable()
+      batch2.toDF("ts", "event_type").write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val streamed = spark.table("file_src_test")
+        .collect().map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      val batch = (batch1 ++ batch2).toDF("ts", "event_type")
+        .groupBy(graft.operators.TimeSeries.weekStart(to_date(col("ts"))).as("week_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("freq"))
+        .collect().map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+      assert(batch(("2021-01-03", "purchase")) == 2L)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
