@@ -145,6 +145,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"partition-less Window (moves all rows to ONE task) in: $offenders")
   }
 
+  test("no registered query plans an unbounded cartesian product") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.Cross
+    // all-pairs verification tails that ARE cartesian by design carry a
+    // requireBounded fail-fast on their inputs — everything else must not
+    val boundedAllPairs = Set("d_token_jaccard_pairs", "d_embedding_neardups")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => boundedAllPairs(name) }
+      .flatMap { case (name, fn) =>
+        val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          // cross joins with a 1-row side (corpus-stats broadcast) are
+          // fine, as are explicitly broadcast-HINTED crosses (the dense
+          // key×week frame — the hint is the author's smallness
+          // assertion); flag only unhinted condition-less joins of two
+          // multi-row inputs
+          case j: Join if j.joinType == Cross && j.condition.isEmpty &&
+              j.left.maxRows.forall(_ > 1) && j.right.maxRows.forall(_ > 1) &&
+              j.hint.leftHint.forall(_.strategy.isEmpty) &&
+              j.hint.rightHint.forall(_.strategy.isEmpty) =>
+            j.simpleString(60)
+        }
+        bad.map(name -> _)
+      }
+    assert(offenders.isEmpty, s"unbounded cartesian in: $offenders")
+  }
+
   test("salted aggregate equals plain aggregate (skew-spread two-phase)") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i.toDouble))
