@@ -175,10 +175,17 @@ object Bpe {
   private def countOccurrences(c: Column, literal: String): Column =
     (length(c) - length(replace(c, lit(literal), lit("")))) / literal.length
 
+  /** Token count from an ALREADY-ENCODED (`‹›`-wrapped, merges applied)
+    * column, excluding whitespace symbols. Use this when the encoding is
+    * staged as its own column and referenced more than once — inlining
+    * [[bpeTokenCount]] next to the staged encoding would run the whole
+    * replace chain a second time per row. */
+  def bpeTokenCountFromEncoded(enc: Column): Column =
+    (countOccurrences(enc, "‹") - countOccurrences(enc, "‹ ›")).cast("bigint")
+
   /** Token count under a fixed merge table, excluding whitespace symbols.
     * Collapse runs of whitespace first so ` ` is the only space symbol. */
-  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
-    val enc = applyMergesColumn(regexp_replace(text, "\\s+", " "), merges)
-    (countOccurrences(enc, "‹") - countOccurrences(enc, "‹ ›")).cast("bigint")
-  }
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    bpeTokenCountFromEncoded(
+      applyMergesColumn(regexp_replace(text, "\\s+", " "), merges))
 }

@@ -60,10 +60,16 @@ object TextLLM {
 
   def tBpeEncode(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
+      // enc staged ONCE and referenced twice (count + md5). Measured
+      // neutral at sf0.1 — replace() is codegen'd, so whole-stage
+      // subexpression elimination already deduped the two identical
+      // chains — but the explicit staging keeps the plan's cost honest
+      // if a non-codegen expression ever joins this projection (CSE
+      // does not reach interpreted expressions — the langid lesson)
       .withColumn("enc", Bpe.applyMergesColumn(
         regexp_replace(col("text"), "\\s+", " "), BpeFixedMerges))
       .select(col("doc_id"),
-        Bpe.bpeTokenCount(col("text"), BpeFixedMerges).as("n_bpe_tokens"),
+        Bpe.bpeTokenCountFromEncoded(col("enc")).as("n_bpe_tokens"),
         md5(col("enc").cast("binary")).as("enc_md5"))
       .orderBy("doc_id")
 
