@@ -218,6 +218,38 @@ object Extras {
         Seq(col("l_returnflag")), col("l_quantity"), col("l_linenumber"))
       .orderBy("l_returnflag")
 
+  /** The literal TPC-H Q1 pricing-summary report — the canonical scan →
+    * filter → wide aggregate. Money math is DECIMAL end to end (per-row
+    * products exact, sums exact integers in scaled space, ONE final
+    * double conversion per output column), so the floats hash
+    * bit-for-bit against DuckDB — a float-typed sum here would be
+    * accumulation-order-dependent and unhashable. */
+  def aTpchQ1(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .withColumn("qty", col("l_quantity").cast("decimal(18,2)"))
+      .withColumn("price", col("l_extendedprice").cast("decimal(18,2)"))
+      .withColumn("disc", col("l_discount").cast("decimal(18,2)"))
+      .withColumn("tax", col("l_tax").cast("decimal(18,2)"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("qty")).cast("double").as("sum_qty"),
+        sum(col("price")).cast("double").as("sum_base_price"),
+        sum(col("price") * (lit(1).cast("decimal(18,2)") - col("disc")))
+          .cast("double").as("sum_disc_price"),
+        sum(col("price") * (lit(1).cast("decimal(18,2)") - col("disc")) *
+            (lit(1).cast("decimal(18,2)") + col("tax")))
+          .cast("double").as("sum_charge"),
+        // averages as exact-sum ÷ count, NOT avg(): Spark's avg(decimal)
+        // stays decimal while DuckDB's returns double — this explicit
+        // tree is identical in both engines
+        (sum(col("qty")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("price")).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(col("disc")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** Twin of [[aExactMoments]] through the typed `Aggregator` UDAF
     * (integer-moment buffer, component-wise merge): bit-identical output,
     * so it shares the SAME oracle SQL — the UDAF path itself is what is
@@ -307,6 +339,7 @@ object Extras {
     "u_intersect" -> (uIntersect _),
     "a_median_price" -> (aMedianPrice _),
     "a_exact_moments" -> (aExactMoments _),
+    "a_tpch_q1" -> (aTpchQ1 _),
     "a_exact_moments_udaf" -> (aExactMomentsUdaf _),
     "a_profile_columns" -> (aProfileColumns _),
     "a6_cube_two_dims" -> (a6CubeTwoDims _),
@@ -446,6 +479,29 @@ object Extras {
     // the typed-Aggregator twin is bit-identical by construction, so it
     // shares the oracle verbatim — the UDAF path is what is under test
     "a_exact_moments_udaf" -> exactMomentsSql,
+    // Decimal all the way: per-row products exact, sums exact, one
+    // final double cast per column; averages as exact-sum / count in an
+    // explicit tree (Spark's avg(decimal) stays decimal, DuckDB's
+    // returns double — so neither engine's avg() is used).
+    "a_tpch_q1" ->
+      """WITH li AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |    CAST(l_discount AS DECIMAL(18,2)) AS disc,
+        |    CAST(l_tax AS DECIMAL(18,2)) AS tax
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(price) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(price * (CAST(1 AS DECIMAL(18,2)) - disc)) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  CAST(SUM(price * (CAST(1 AS DECIMAL(18,2)) - disc)
+        |    * (CAST(1 AS DECIMAL(18,2)) + tax)) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(price) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(disc) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM li GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     
     "a6_cube_two_dims" ->
       """WITH d AS (SELECT event_type,
