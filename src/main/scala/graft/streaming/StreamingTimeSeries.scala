@@ -94,6 +94,39 @@ object StreamingTimeSeries {
       }
       .start()
 
+  /** Streaming distinct-count maintenance via mergeable HLL sketches —
+    * the ingestion-time face of [[graft.operators.Sketches]]: each
+    * micro-batch reduces to one sketch per group and APPENDS it to
+    * parquet (sketches are bytes; the raw keys never accumulate
+    * anywhere), and [[mergedDistinct]] folds all stored partials with
+    * `hll_union_agg` at read time. Because sketch union is associative
+    * and commutative, batch boundaries, retries, and arrival order
+    * cannot change the merged estimate — the streaming answer equals the
+    * batch sketch of the union (SketchesSpec proves that equality; the
+    * streaming spec proves it across micro-batches). */
+  def startDistinctSketchQuery(events: DataFrame, groupCol: String,
+      valueCol: String, targetDir: String, checkpointDir: String) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Sketches
+          .distinctSketch(batch.toDF(), Seq(col(groupCol)), col(valueCol))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(targetDir)
+      }
+      .start()
+
+  /** Merge all per-batch sketches stored by [[startDistinctSketchQuery]]
+    * into one distinct-count estimate per group. */
+  def mergedDistinct(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Sketches
+      .mergeSketches(spark.read.parquet(targetDir), Seq(col(groupCol)),
+        col("sketch"))
+      .select(col(groupCol),
+        graft.operators.Sketches.estimate(col("sketch")).as("n_distinct"))
+
   /** Streaming exact dedup — the ingestion-time face of the batch dedup
     * block: arriving documents are keyed by (xxhash64, sha2) of their
     * content and deduplicated statefully; the event-time watermark bounds
