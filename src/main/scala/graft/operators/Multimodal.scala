@@ -119,6 +119,93 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** One decoded animation frame reduced to exact integer pixel sums —
+    * the video analog of [[ImageStats]]. */
+  final case class FrameStats(frameIdx: Int, width: Int, height: Int,
+      sumR: Long, sumG: Long, sumB: Long)
+
+  /** Encode a REAL multi-frame animated GIF from a per-frame pixel
+    * function returning GRAY levels 0–255. GIF is palettized, so frames
+    * are built as TYPE_BYTE_INDEXED over an explicit 256-gray palette —
+    * the encoder then stores exactly those colors and a decode returns
+    * them bit-for-bit (an RGB source would be quantized unpredictably).
+    * Animation structure comes from the writer's standard image metadata
+    * (graphic-control delay per frame). */
+  def encodeGif(width: Int, height: Int, nFrames: Int,
+      gray: (Int, Int, Int) => Int): Array[Byte] = {
+    require(nFrames > 0, "need at least one frame")
+    // Empirical JDK quirk (probed exhaustively on 17.0.20): the bundled
+    // GIF writer silently zeroes every row after the first 1–4 when the
+    // image has FEWER THAN 5 ROWS, at any width; ≥ 5 rows round-trips
+    // exactly. Refuse the corrupting case rather than encode garbage.
+    require(height >= 5,
+      s"height $height < 5: the JDK GIF writer corrupts images under 5 rows")
+    val palette = Array.tabulate(256)(identity[Int])
+    val cm = new java.awt.image.IndexColorModel(8, 256,
+      palette.map(_.toByte), palette.map(_.toByte), palette.map(_.toByte))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until nFrames) {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val v = gray(f, x, y) & 0xff
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Decode every frame of a multi-frame image payload (animated GIF —
+    * the "video" face of the codec layer) into exact per-frame pixel
+    * sums. `None` when the payload is not a decodable multi-frame image.
+    * Frame count comes from the container (`getNumImages(true)`), not
+    * metadata guessing. */
+  def decodeGifStats(payload: Array[Byte]): Option[Seq[FrameStats]] = {
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (iis == null) return None
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) { iis.close(); return None }
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      if (n <= 0) return None
+      Some((0 until n).map { f =>
+        val im = reader.read(f)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < im.getHeight) {
+          var x = 0
+          while (x < im.getWidth) {
+            val p = im.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        FrameStats(f, im.getWidth, im.getHeight, sr, sg, sb)
+      })
+    } catch { case _: Exception => None }
+    finally { reader.dispose(); iis.close() }
+  }
+
   /** Parsed 16-bit PCM WAV reduced to exact integer sample statistics —
     * like [[ImageStats]], exactness is what lets a formula-knowing oracle
     * verify that the numbers came from actually-decoded samples. */

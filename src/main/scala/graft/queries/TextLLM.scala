@@ -530,6 +530,33 @@ object TextLLM {
       .orderBy("media_id")
   }
 
+  /** Video face of the codec layer: synthesize a REAL multi-frame
+    * animated GIF per id (frame count, dims, and gray levels all
+    * id-derived), decode EVERY frame back through the container reader
+    * (`getNumImages(true)` — the frame count comes from the file, not
+    * the formula), and emit exact per-frame pixel sums. The oracle
+    * replays the frame/dim/gray formulas in SQL — a match proves real
+    * multi-frame encode→decode, which the md5 stub cannot fake. */
+  def mGifFrameStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = docs(s, dir).filter(col("doc_id") < 10)
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val n = (2 + id % 3).toInt
+        val w = (4 + id % 3).toInt
+        val h = (5 + id % 2).toInt
+        val gif = Multimodal.encodeGif(w, h, n,
+          (f, x, y) => ((id * 11 + f * 50 + x * 7 + y * 13) % 256).toInt)
+        val frames = Multimodal.decodeGifStats(gif).getOrElse(
+          sys.error(s"GIF round-trip failed for id $id"))
+        require(frames.size == n, s"container lost frames for id $id")
+        frames.map(fr => (id, fr.frameIdx, fr.width, fr.height, fr.sumR))
+      }
+    }.toDF("media_id", "frame_idx", "width", "height", "sum_gray")
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Audio twin of [[mPngPixelStats]]: synthesize a REAL RIFF/WAVE
     * payload per id from a sample formula, parse it back with the
     * chunk-walking PCM decoder, and emit exact sample stats FROM THE
@@ -594,6 +621,7 @@ object TextLLM {
     "m_frame_features" -> (mFrameFeatures _),
     "m_png_pixel_stats" -> (mPngPixelStats _),
     "m_resize_pixel_stats" -> (mResizePixelStats _),
+    "m_gif_frame_stats" -> (mGifFrameStats _),
   )
 
   private val stopList = TA.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1162,6 +1190,21 @@ object TextLLM {
         |  CAST(SUM((media_id * 17 + sx * 5 + sy * 3) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((media_id * 7 + sx * 11 + sy * 19) % 256) AS BIGINT) AS sum_b
         |FROM sp GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // Multi-frame mirror: frame count / dims / gray levels replayed
+    // from the id formulas; three chained unnests build the
+    // (frame, x, y) grid.
+    "m_gif_frame_stats" ->
+      """WITH ids AS (SELECT doc_id AS media_id, 2 + doc_id % 3 AS n,
+        |    4 + doc_id % 3 AS w, 5 + doc_id % 2 AS h
+        |  FROM documents WHERE doc_id < 10),
+        |fr AS (SELECT media_id, w, h, unnest(range(0, n)) AS f FROM ids),
+        |fx AS (SELECT media_id, w, h, f, unnest(range(0, w)) AS x FROM fr),
+        |px AS (SELECT media_id, w, h, f, x, unnest(range(0, h)) AS y FROM fx)
+        |SELECT media_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(SUM((media_id * 11 + f * 50 + x * 7 + y * 13) % 256) AS BIGINT)
+        |    AS sum_gray
+        |FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
     "d_embedding_neardups" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |    FROM embeddings WHERE vec_id < 200)

@@ -666,6 +666,25 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "overflowing chunk length must be rejected")
   }
 
+  test("GIF codec: multi-frame round trip returns exact frames; garbage rejected") {
+    // 3 frames of 4×5 (≥5 rows: the JDK writer corrupts shorter images —
+    // encodeGif refuses those), distinct gray per (frame, x, y)
+    val gif = Multimodal.encodeGif(4, 5, 3,
+      (f, x, y) => (f * 50 + x * 7 + y * 13) % 256)
+    val frames = Multimodal.decodeGifStats(gif).get
+    assert(frames.size == 3, "container must report all frames")
+    for (f <- 0 until 3) {
+      val expect = (for (x <- 0 until 4; y <- 0 until 5)
+        yield (f * 50 + x * 7 + y * 13) % 256).sum.toLong
+      assert(frames(f) == Multimodal.FrameStats(f, 4, 5, expect, expect, expect),
+        s"frame $f decoded pixels diverge from the formula")
+    }
+    assert(Multimodal.decodeGifStats("not a gif".getBytes).isEmpty)
+    assert(Multimodal.decodeGifStats(gif.take(20)).isEmpty,
+      "truncated container must reject, not throw")
+    intercept[IllegalArgumentException](Multimodal.encodeGif(4, 2, 1, (_, _, _) => 0))
+  }
+
   test("frame sampling is even and bounded") {
     assert(Multimodal.sampleFrameIndices(3, 8) == Seq(0, 1, 2))
     assert(Multimodal.sampleFrameIndices(24, 4) == Seq(0, 6, 12, 18))
