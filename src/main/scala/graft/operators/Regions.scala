@@ -59,4 +59,31 @@ object Regions {
     */
   def uniquePerDomain(annotated: DataFrame, domainCol: String, keyCol: String): DataFrame =
     annotated.groupBy(domainCol).agg(countDistinct(col(keyCol)).as("unique_variants"))
+
+  /** Band join between two LARGE sides: all (left, right) pairs with
+    * `|leftVal − rightVal| ≤ delta`. The naive form is a theta join —
+    * a cartesian at scale, and not broadcastable when both sides are
+    * big. This rewrites it as an EQUI-join: every value lands in bucket
+    * `floor(v/delta)`; a qualifying pair's buckets differ by at most 1,
+    * so the left side explodes to its three neighbor buckets, joins on
+    * the bucket key (shuffle hash/sort-merge — a real distributed join),
+    * and the exact `abs ≤ delta` filter drops the bucket-neighbor false
+    * positives. Each true pair matches EXACTLY once (the right row keeps
+    * its single home bucket). Cost: 3× the left row count in the
+    * shuffle, versus |L|×|R| for the cartesian.
+    *
+    * Output: every `left` column (aliased `l_*` by the caller if needed)
+    * plus every `right` column — the caller projects. Column names must
+    * be disjoint. Skew note: a value spike maps to one bucket triplet —
+    * AQE skew-join splits it like any hot equi-key. */
+  def bandJoin(left: DataFrame, leftVal: Column,
+      right: DataFrame, rightVal: Column, delta: Double): DataFrame = {
+    require(delta > 0, "delta must be positive")
+    val lb = floor(leftVal / delta).cast("long")
+    val l = left.withColumn("__band", explode(array(lb - 1, lb, lb + 1)))
+    val r = right.withColumn("__band", floor(rightVal / delta).cast("long"))
+    l.join(r, Seq("__band"))
+      .filter(abs(leftVal - rightVal) <= delta)
+      .drop("__band")
+  }
 }

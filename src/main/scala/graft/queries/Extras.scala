@@ -218,6 +218,21 @@ object Extras {
         Seq(col("l_returnflag")), col("l_quantity"), col("l_linenumber"))
       .orderBy("l_returnflag")
 
+  /** Large×large band join ([[Regions.bandJoin]]): event pairs with
+    * values within 0.05 — the neighbor-bucket equi-join rewrite of a
+    * theta join neither side of which could broadcast at scale. The
+    * oracle runs the naive theta form; matching proves the bucket
+    * decomposition finds every pair exactly once. */
+  def jBandPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("event_id") < 400)
+    val a = e.select(col("event_id").as("id_a"), col("value").as("va"))
+    val b = e.select(col("event_id").as("id_b"), col("value").as("vb"))
+    Regions.bandJoin(a, col("va"), b, col("vb"), delta = 0.05)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "va", "vb")
+      .orderBy("id_a", "id_b")
+  }
+
   /** The literal TPC-H Q1 pricing-summary report — the canonical scan →
     * filter → wide aggregate. Money math is DECIMAL end to end (per-row
     * products exact, sums exact integers in scaled space, ONE final
@@ -340,6 +355,7 @@ object Extras {
     "a_median_price" -> (aMedianPrice _),
     "a_exact_moments" -> (aExactMoments _),
     "a_tpch_q1" -> (aTpchQ1 _),
+    "j_band_pairs" -> (jBandPairs _),
     "a_exact_moments_udaf" -> (aExactMomentsUdaf _),
     "a_profile_columns" -> (aProfileColumns _),
     "a6_cube_two_dims" -> (a6CubeTwoDims _),
@@ -479,6 +495,15 @@ object Extras {
     // the typed-Aggregator twin is bit-identical by construction, so it
     // shares the oracle verbatim — the UDAF path is what is under test
     "a_exact_moments_udaf" -> exactMomentsSql,
+    // Naive theta replay — the bucket rewrite must find exactly these
+    // pairs; values pass through unchanged so doubles hash bit-for-bit.
+    "j_band_pairs" ->
+      """WITH e AS (SELECT event_id, value FROM events WHERE event_id < 400)
+        |SELECT a.event_id AS id_a, b.event_id AS id_b,
+        |  a.value AS va, b.value AS vb
+        |FROM e a JOIN e b
+        |  ON abs(a.value - b.value) <= 0.05 AND a.event_id < b.event_id
+        |ORDER BY 1, 2""".stripMargin,
     // Decimal all the way: per-row products exact, sums exact, one
     // final double cast per column; averages as exact-sum / count in an
     // explicit tree (Spark's avg(decimal) stays decimal, DuckDB's

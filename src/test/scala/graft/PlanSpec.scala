@@ -208,6 +208,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"AQE did not broadcast the small high-df set:\n$p")
   }
 
+  test("band join: equi-join on buckets, never a nested-loop/cartesian; equals theta") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val a = (1 to 300).map(i => (i.toLong, r.nextDouble() * 10)).toDF("id_a", "va")
+    val b = (1 to 300).map(i => (i.toLong, r.nextDouble() * 10)).toDF("id_b", "vb")
+    val band = operators.Regions.bandJoin(a,
+      org.apache.spark.sql.functions.col("va"), b,
+      org.apache.spark.sql.functions.col("vb"), delta = 0.02)
+    val p = plan(band)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join degraded to an all-pairs plan:\n$p")
+    val got = band.select("id_a", "id_b").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    val naive = a.crossJoin(b)
+      .filter(org.apache.spark.sql.functions.abs(
+        org.apache.spark.sql.functions.col("va") -
+          org.apache.spark.sql.functions.col("vb")) <= 0.02)
+      .select("id_a", "id_b").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(got == naive, "bucket rewrite must find exactly the theta pairs")
+    assert(band.count() == band.dropDuplicates("id_a", "id_b").count(),
+      "each pair must match exactly once")
+  }
+
   test("bucketed tables sort-merge join with NO exchange (co-located join)") {
     spark.sql("DROP TABLE IF EXISTS b1")
     spark.sql("DROP TABLE IF EXISTS b2")
