@@ -20,7 +20,7 @@ object SparkEntry {
     * composite demos whose cost is job-scheduling overhead at bench SF. */
   val headline: Seq[String] = Seq(
     "a1_sum_by_flag_status", "j1_orders_customer_segment",
-    "j3_broadcast_star_join", "j6_size_band_when_chain",
+    "j3_broadcast_star_join", "j6_size_band_when_chain", "j6_range_join_exec",
     "j9_semi_topk_filter", "o4_topk_parts", "w1_top3_per_nation",
     "w3_share_normalization", "a5_dense_weekly", "a6_rollup_worldwide",
     "a8_first_order_per_customer", "a11_combo_frequencies",

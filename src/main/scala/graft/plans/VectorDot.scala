@@ -98,9 +98,11 @@ case class VectorDot(left: Expression, right: Expression)
   override def prettyName: String = "graft_vector_dot"
 }
 
-/** SparkSessionExtensions hook: registers `graft_vector_dot` so the
-  * expression is callable from SQL and `call_function`. Wired in
-  * GraftSession via `.withExtensions`. */
+/** SparkSessionExtensions hook: registers `graft_vector_dot` and
+  * `variant_events` so the expressions are callable from SQL and
+  * `call_function`, plus the broadcast range-join rewrite (optimizer rule
+  * + planner strategy, [[RangeJoin]]). Wired in GraftSession via
+  * `.withExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -111,5 +113,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("variant_events"),
       new ExpressionInfo(classOf[VariantEventsGenerator].getName, "variant_events"),
       (children: Seq[Expression]) => VariantEventsGenerator(children)))
+    ext.injectOptimizerRule(RangeJoin.rule)
+    ext.injectPlannerStrategy(RangeJoin.strategy)
   }
 }

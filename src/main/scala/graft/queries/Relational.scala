@@ -98,6 +98,20 @@ object Relational {
       .groupBy("band").agg(count(lit(1)).as("n")).orderBy("band")
   }
 
+  /** J6 variant — the same point-in-interval join expressed as a plain
+    * declarative inner join and REWRITTEN BY THE OPTIMIZER into the custom
+    * broadcast range join (plans.RangeJoin: Rule → RangeJoinPlan →
+    * BroadcastRangeJoinExec, binary search per probe row instead of the
+    * stock BroadcastNestedLoopJoin's per-row interval scan). Inner-join
+    * semantics: sizes outside every band drop; each match emits one row. */
+  def j6RangeJoinExec(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.createDataFrame(
+      sizeBands.map(r => (r.name, r.start, r.end))).toDF("band", "lo", "hi")
+    t(s, dir, "part")
+      .join(bands, col("p_size") >= col("lo") && col("p_size") <= col("hi"))
+      .groupBy("band").agg(count(lit(1)).as("n")).orderBy("band")
+  }
+
   /** O4 — global top-k with deterministic tie-break: Spark plans this as
     * TakeOrdered (no full sort, no single-node collect of the input)
     * (`/root/reference/Plotting_Functions.py:715–730`). */
@@ -353,6 +367,7 @@ object Relational {
     "j3_broadcast_star_join" -> (j3BroadcastStarJoin _),
     "j6_size_band_when_chain" -> (j6SizeBandWhenChain _),
     "j6_size_band_range_join" -> (j6SizeBandRangeJoin _),
+    "j6_range_join_exec" -> (j6RangeJoinExec _),
     "j9_semi_topk_filter" -> (j9SemiTopkFilter _),
     "o4_topk_parts" -> (o4TopkParts _),
     "w1_top3_per_nation" -> (w1Top3PerNation _),
@@ -412,6 +427,13 @@ object Relational {
         |            WHEN p_size BETWEEN 26 AND 49 THEN 'large'
         |            ELSE 'Other' END AS band, COUNT(*) AS n
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j6_range_join_exec" ->
+      """SELECT band, COUNT(*) AS n
+        |FROM part
+        |JOIN (VALUES ('small', 1, 10), ('medium', 11, 25), ('large', 26, 49))
+        |  AS b(band, lo, hi)
+        |ON p_size BETWEEN lo AND hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j9_semi_topk_filter" ->
       """WITH top AS (SELECT l_partkey FROM lineitem GROUP BY 1
         |             ORDER BY SUM(l_quantity) DESC, l_partkey LIMIT 10)

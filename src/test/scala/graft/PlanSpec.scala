@@ -208,6 +208,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"AQE did not broadcast the small high-df set:\n$p")
   }
 
+  test("j6_range_join_exec plans the custom BroadcastRangeJoin, not a nested loop") {
+    val p = plan(queries.Relational.j6RangeJoinExec(spark, sf))
+    assert(p.contains("BroadcastRangeJoin"), s"range-join rewrite did not fire:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degraded to an all-pairs plan:\n$p")
+  }
+
   test("band join: equi-join on buckets, never a nested-loop/cartesian; equals theta") {
     import spark.implicits._
     val r = new scala.util.Random(7)
