@@ -139,6 +139,33 @@ object TextLLM {
         max(col("n_bytes")).as("max_bytes"))
       .orderBy("source")
 
+  /** WARC container round-trip at corpus scale: documents serialized as
+    * WARC records through the DSv2 write path, scanned back with a small
+    * split size (so split-boundary ownership is exercised on real data),
+    * and aggregated. The oracle sees only the original table — the query
+    * matches iff serialization/scan is lossless, byte-for-byte, and
+    * exactly-once under arbitrary splits. */
+  def mWarcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_warc_roundtrip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    docs(s, dir).select(
+      lit("resource").as("record_type"),
+      concat(lit("<urn:doc:"), col("doc_id"), lit(">")).as("record_id"),
+      col("lang").as("content_type"),
+      map(lit("X-Graft-Source"), col("source")).as("headers"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .write.format("warc").mode("overwrite").save(out)
+    s.read.format("warc").option("maxSplitBytes", "65536").load(out)
+      .select(col("content_type").as("lang"),
+        element_at(col("headers"), "X-Graft-Source").as("source"),
+        col("content_length"),
+        length(decode(col("payload"), "UTF-8")).cast("bigint").as("n_chars"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("content_length")).as("sum_bytes"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "source")
+  }
+
   def sAnnBruteTop5(s: SparkSession, dir: String): DataFrame = {
     val base = emb(s, dir)
     val queries = base.filter(col("vec_id") < 5)
@@ -602,6 +629,7 @@ object TextLLM {
     "t_rolling_fp_md5_twin" -> (tRollingFpMd5Twin _),
     "d_token_jaccard_pairs" -> (dTokenJaccardPairs _),
     "m_binary_meta" -> (mBinaryMeta _),
+    "m_warc_roundtrip" -> (mWarcRoundtrip _),
     "s_ann_brute_top5" -> (sAnnBruteTop5 _),
     "s_quantize_int8" -> (sQuantizeInt8 _),
     "d_minhash_neardups" -> (dMinhashNearDups _),
@@ -1131,6 +1159,14 @@ object TextLLM {
         |  COUNT(DISTINCT sha256(text)) AS distinct_sha,
         |  CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The oracle never sees the WARC files: it aggregates the source
+    // table directly, so a match proves the container round-trip is
+    // lossless and exactly-once under 64 KiB splits.
+    "m_warc_roundtrip" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Mirror of the multimodal feature-extract flow: same synthetic
     // MediaItem derivation (n_frames from doc_id), same evenly-spaced
     // frame sampling (integer div), same md5-derived 12-bit stub features
