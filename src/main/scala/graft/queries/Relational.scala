@@ -112,6 +112,23 @@ object Relational {
       .groupBy("band").agg(count(lit(1)).as("n")).orderBy("band")
   }
 
+  /** Z-order layout round-trip: lineitem rewritten on the (l_partkey,
+    * l_suppkey) Z-curve (sinks.Clustered), read back through the
+    * footer-stats-skipping scan with a two-column band filter, and
+    * aggregated. The oracle filters the ORIGINAL table — a match proves
+    * the clustered rewrite is a pure permutation and the pruned scan
+    * loses no qualifying row. */
+  def lZorderRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_zorder_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.sinks.Clustered.writeZOrdered(
+      t(s, dir, "lineitem"), out, Seq("l_partkey", "l_suppkey"), nFiles = 8)
+    s.read.parquet(out)
+      .filter(col("l_partkey") <= 200 && col("l_suppkey") <= 10)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** O4 — global top-k with deterministic tie-break: Spark plans this as
     * TakeOrdered (no full sort, no single-node collect of the input)
     * (`/root/reference/Plotting_Functions.py:715–730`). */
@@ -368,6 +385,7 @@ object Relational {
     "j6_size_band_when_chain" -> (j6SizeBandWhenChain _),
     "j6_size_band_range_join" -> (j6SizeBandRangeJoin _),
     "j6_range_join_exec" -> (j6RangeJoinExec _),
+    "l_zorder_roundtrip" -> (lZorderRoundtrip _),
     "j9_semi_topk_filter" -> (j9SemiTopkFilter _),
     "o4_topk_parts" -> (o4TopkParts _),
     "w1_top3_per_nation" -> (w1Top3PerNation _),
@@ -433,6 +451,11 @@ object Relational {
         |JOIN (VALUES ('small', 1, 10), ('medium', 11, 25), ('large', 26, 49))
         |  AS b(band, lo, hi)
         |ON p_size BETWEEN lo AND hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l_zorder_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey <= 200 AND l_suppkey <= 10
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j9_semi_topk_filter" ->
       """WITH top AS (SELECT l_partkey FROM lineitem GROUP BY 1

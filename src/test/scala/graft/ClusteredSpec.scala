@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** Z-order clustered writes (sinks.Clustered): the parquet footer stats
+  * must become tight on EVERY clustering column simultaneously (that is
+  * the whole point — a single-column sort can't), the data must survive
+  * the re-arrangement untouched, and a two-column band filter must
+  * actually skip most rows at scan time.
+  */
+class ClusteredSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local("clustered-spec")
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Per-file (min, max) of an int column from the parquet footers. */
+  private def fileRanges(dir: String, column: String): Seq[(Long, Long)] = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    files.toSeq.map { f =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), new Configuration())
+      val reader = ParquetFileReader.open(in)
+      try {
+        val stats = reader.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == column)
+            .map(_.getStatistics)
+        }
+        val mins = stats.map(_.genericGetMin.asInstanceOf[Number].longValue())
+        val maxs = stats.map(_.genericGetMax.asInstanceOf[Number].longValue())
+        (mins.min, maxs.max)
+      } finally reader.close()
+    }
+  }
+
+  private def avgCoverage(ranges: Seq[(Long, Long)], domain: Double): Double =
+    ranges.map { case (lo, hi) => (hi - lo).toDouble / domain }.sum / ranges.size
+
+  test("z-order makes per-file ranges tight on BOTH columns; linear sort cannot") {
+    import spark.implicits._
+    val r = new scala.util.Random(42)
+    val df = (1 to 40000).map(_ => (r.nextInt(1000), r.nextInt(1000)))
+      .toDF("x", "y")
+
+    val zdir = "/tmp/clustered_spec_z"
+    sinks.Clustered.writeZOrdered(df, zdir, Seq("x", "y"), nFiles = 16, bits = 10)
+    val zx = avgCoverage(fileRanges(zdir, "x"), 999.0)
+    val zy = avgCoverage(fileRanges(zdir, "y"), 999.0)
+    assert(zx < 0.5 && zy < 0.5,
+      f"z-order per-file coverage should be tight on both dims: x=$zx%.2f y=$zy%.2f")
+
+    val ldir = "/tmp/clustered_spec_linear"
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(ldir)
+    val lx = avgCoverage(fileRanges(ldir, "x"), 999.0)
+    val ly = avgCoverage(fileRanges(ldir, "y"), 999.0)
+    assert(lx < 0.2, f"sanity: linear sort is tight on its own column ($lx%.2f)")
+    assert(ly > 0.8, f"sanity: linear sort has no stats on the other column ($ly%.2f)")
+    assert(zy < ly / 2, "z-order must beat the linear layout on the second column")
+
+    // the re-arrangement is a permutation, not a transformation
+    val back = spark.read.parquet(zdir)
+    assert(back.count() === 40000)
+    assert(back.groupBy().agg(sum("x"), sum("y")).collect()(0).toSeq
+      === df.groupBy().agg(sum("x"), sum("y")).collect()(0).toSeq)
+  }
+
+  test("a two-column band filter skips most rows at scan time") {
+    val zdir = "/tmp/clustered_spec_z" // written above
+    val q = spark.read.parquet(zdir)
+      .filter(col("x") < 100 && col("y") < 100)
+    val n = q.count()
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    val scanned = scan.metrics("numOutputRows").value
+    assert(n > 0)
+    assert(scanned < 40000 / 2,
+      s"scan returned $scanned of 40000 rows — footer stats not skipping")
+  }
+
+  test("null and constant clustering columns don't break the curve") {
+    import spark.implicits._
+    val df = (1 to 100).map(i =>
+      (if (i % 10 == 0) None else Some(i), 7)).toDF("x", "c")
+    val out = "/tmp/clustered_spec_nulls"
+    sinks.Clustered.writeZOrdered(df, out, Seq("x", "c"), nFiles = 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 100)
+    assert(back.filter(col("x").isNull).count() === 10)
+  }
+}
