@@ -175,6 +175,52 @@ object ScaleProbe {
       Similarity.lshTopK(vecs, queries, 10, numBits = 10).count()
     }
 
+    // ---- round-8 additions: range join, WARC container, Z-order ----
+
+    timed("range_join_2M_x_1k") { // optimizer-rewritten BroadcastRangeJoin:
+      // 2M probes binary-search 1k broadcast intervals — the stock plan
+      // is a BroadcastNestedLoopJoin doing 2e9 comparisons
+      val probes = spark.range(2000000).select(
+        col("id"), (col("id") * 2654435761L % 1000000L).as("v"))
+      val ivals = spark.range(1000).select(
+        concat(lit("band"), col("id")).as("name"),
+        (col("id") * 1000L).as("lo"), (col("id") * 1000L + 999L).as("hi"))
+      probes.join(ivals, col("v") >= col("lo") && col("v") <= col("hi")).count()
+    }
+
+    val warcDir = "/tmp/graft_scale_warc"
+    timed("warc_write") { // DSv2 batch-write protocol, 32 tasks
+      docs.select(
+        concat(lit("<urn:doc:"), col("doc_id"), lit(">")).as("record_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+        .write.format("warc").mode("overwrite").save(warcDir)
+      nDocs.toLong
+    }
+    timed("warc_scan_full") { // split-parallel scan, payload materialized
+      spark.read.format("warc").option("maxSplitBytes", (4L << 20).toString)
+        .load(warcDir).select(sum(octet_length(col("payload")))).collect()
+      nDocs.toLong
+    }
+    timed("warc_scan_meta_only") { // pruned scan SKIPS payload bytes
+      spark.read.format("warc").option("maxSplitBytes", (4L << 20).toString)
+        .load(warcDir).select(count(col("record_id"))).collect()
+      nDocs.toLong
+    }
+
+    val zDir = "/tmp/graft_scale_zorder"
+    timed("zorder_write_2M") { // min/max pass + range shuffle + sorted write
+      val df = spark.range(2000000).select(
+        (col("id") * 2654435761L % 100000L).as("a"),
+        (col("id") * 40503L % 100000L).as("b"),
+        col("id").as("payload"))
+      graft.sinks.Clustered.writeZOrdered(df, zDir, Seq("a", "b"), nFiles = 64)
+      2000000L
+    }
+    timed("zorder_pruned_scan") { // two-column band filter over 64 files
+      spark.read.parquet(zDir)
+        .filter(col("a") < 5000 && col("b") < 5000).count()
+    }
+
     spark.stop()
   }
 }
