@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -35,9 +35,11 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * operator, exactly as with a built-in.
   *
   * Scope (checked by the rule, anything else is left to Spark's planner):
-  * inner join only, non-streaming children, one conjunct pair forming a
-  * lower and an upper bound on the same probe expression, orderable
-  * identical operand types, and interval-side stats under
+  * inner joins, plus LEFT OUTER when the probe is the left/outer input
+  * (unmatched probe rows survive null-extended — the zero-fill dimension
+  * lookup shape); non-streaming children; one conjunct pair forming a
+  * lower and an upper bound on the same probe expression; orderable
+  * identical operand types; and interval-side stats under
   * `spark.sql.autoBroadcastJoinThreshold`. Remaining conjuncts are kept
   * and evaluated per emitted row (`extraCond`), so partial matches still
   * rewrite. Multiple overlapping intervals emit one row per match —
@@ -62,14 +64,22 @@ case class RangeJoinPlan(
     loInclusive: Boolean,
     hiInclusive: Boolean,
     probeIsLeft: Boolean,
+    joinType: JoinType,
     extraCond: Option[Expression]) extends BinaryNode {
 
   override def left: LogicalPlan = probeSide
   override def right: LogicalPlan = buildSide
 
+  /** LeftOuter null-extends the build side, so its attributes turn
+    * nullable (probe is always the preserved side — the rule only
+    * rewrites LeftOuter when the probe is the left/outer input). */
+  private def buildOut: Seq[Attribute] =
+    if (joinType == LeftOuter) buildSide.output.map(_.withNullability(true))
+    else buildSide.output
+
   override def output: Seq[Attribute] =
-    if (probeIsLeft) probeSide.output ++ buildSide.output
-    else buildSide.output ++ probeSide.output
+    if (probeIsLeft) probeSide.output ++ buildOut
+    else buildOut ++ probeSide.output
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoinPlan =
@@ -100,13 +110,13 @@ case class RewriteRangeJoin(session: SparkSession)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(l, r, Inner, Some(cond), _)
+    case j @ Join(l, r, jt @ (Inner | LeftOuter), Some(cond), _)
         if !l.isStreaming && !r.isStreaming =>
-      rewrite(j, l, r, cond).getOrElse(j)
+      rewrite(j, l, r, jt, cond).getOrElse(j)
   }
 
   private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
-      cond: Expression): Option[LogicalPlan] = {
+      jt: JoinType, cond: Expression): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
     // Side of a pure single-side expression: Some(true)=left, Some(false)=right.
     def side(e: Expression): Option[Boolean] =
@@ -141,12 +151,15 @@ case class RewriteRangeJoin(session: SparkSession)
       val sameType = probe.dataType == lo.dataType && probe.dataType == hi.dataType
       val small = buildPlan.stats.sizeInBytes >= 0 &&
         buildPlan.stats.sizeInBytes <= conf.autoBroadcastJoinThreshold
-      if (!orderable || !sameType || !small) None
+      // LeftOuter preserves the LEFT input: only rewritable when the left
+      // side is the probe (the build side is the one being null-extended)
+      val outerOk = jt == Inner || probeIsLeft
+      if (!orderable || !sameType || !small || !outerOk) None
       else {
         val rest = conjuncts.filterNot(c => c == cl || c == cu)
         Some(RangeJoinPlan(probePlan, buildPlan, probe, lo, hi,
           loInclusive = !lower.strict, hiInclusive = !upper.strict,
-          probeIsLeft = probeIsLeft,
+          probeIsLeft = probeIsLeft, joinType = jt,
           extraCond = rest.reduceOption(And)))
       }
     }
@@ -156,9 +169,9 @@ case class RewriteRangeJoin(session: SparkSession)
 /** Plans [[RangeJoinPlan]] as [[BroadcastRangeJoinExec]]. */
 object RangeJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case RangeJoinPlan(probe, build, p, lo, hi, li, hiIncl, pLeft, extra) =>
+    case RangeJoinPlan(probe, build, p, lo, hi, li, hiIncl, pLeft, jt, extra) =>
       BroadcastRangeJoinExec(planLater(probe), planLater(build),
-        p, lo, hi, li, hiIncl, pLeft, extra) :: Nil
+        p, lo, hi, li, hiIncl, pLeft, jt, extra) :: Nil
     case _ => Nil
   }
 }
@@ -186,14 +199,19 @@ case class BroadcastRangeJoinExec(
     loInclusive: Boolean,
     hiInclusive: Boolean,
     probeIsLeft: Boolean,
+    joinType: JoinType,
     extraCond: Option[Expression]) extends BinaryExecNode {
 
   override def left: SparkPlan = probeSide
   override def right: SparkPlan = buildSide
 
+  private def buildOut: Seq[Attribute] =
+    if (joinType == LeftOuter) buildSide.output.map(_.withNullability(true))
+    else buildSide.output
+
   override def output: Seq[Attribute] =
-    if (probeIsLeft) probeSide.output ++ buildSide.output
-    else buildSide.output ++ probeSide.output
+    if (probeIsLeft) probeSide.output ++ buildOut
+    else buildOut ++ probeSide.output
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -230,6 +248,8 @@ case class BroadcastRangeJoinExec(
     val probeExpr = probe
     val (loIncl, hiIncl, pLeft) = (loInclusive, hiInclusive, probeIsLeft)
     val extra = extraCond
+    val outer = joinType == LeftOuter
+    val nBuildCols = buildSide.output.length
 
     probeSide.execute().mapPartitions { iter =>
       val (los, his, maxHi, rows) = bc.value
@@ -247,10 +267,12 @@ case class BroadcastRangeJoinExec(
       def loOk(lv: Any, v: Any): Boolean =
         if (loIncl) ord.lteq(lv, v) else ord.lt(lv, v)
 
+      val nullBuild = new GenericInternalRow(nBuildCols)
+
       iter.flatMap { p =>
         val v = probeB.eval(p)
-        if (v == null || rows.isEmpty) Iterator.empty
-        else {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        if (v != null && rows.nonEmpty) {
           // First index whose lo fails the lower bound (binary search).
           var a = 0
           var b = los.length
@@ -259,7 +281,6 @@ case class BroadcastRangeJoinExec(
             if (loOk(los(mid), v)) a = mid + 1 else b = mid
           }
           var idx = a - 1
-          val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
           while (idx >= 0 && hiOk(maxHi(idx), v)) {
             if (hiOk(his(idx), v)) {
               val out = if (pLeft) joined(p, rows(idx)) else joined(rows(idx), p)
@@ -270,8 +291,13 @@ case class BroadcastRangeJoinExec(
             }
             idx -= 1
           }
-          buf.iterator
         }
+        if (outer && buf.isEmpty) {
+          // LeftOuter: unmatched probe rows survive, build side nulled
+          numOutputRows += 1
+          buf += proj(joined(p, nullBuild)).copy()
+        }
+        buf.iterator
       }
     }
   }

@@ -112,6 +112,19 @@ object Relational {
       .groupBy("band").agg(count(lit(1)).as("n")).orderBy("band")
   }
 
+  /** J6 through the custom exec with the reference's EXACT semantics:
+    * LEFT OUTER range join (unmatched sizes survive null-extended) +
+    * "Other" fallback (`/root/reference/Plotting_Functions.py:141–145`'s
+    * return-on-no-match). */
+  def j6RangeJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.createDataFrame(
+      sizeBands.map(r => (r.name, r.start, r.end))).toDF("b_name", "lo", "hi")
+    t(s, dir, "part")
+      .join(bands, col("p_size") >= col("lo") && col("p_size") <= col("hi"), "left")
+      .select(coalesce(col("b_name"), lit("Other")).as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n")).orderBy("band")
+  }
+
   /** Z-order layout round-trip: lineitem rewritten on the (l_partkey,
     * l_suppkey) Z-curve (sinks.Clustered), read back through the
     * footer-stats-skipping scan with a two-column band filter, and
@@ -385,6 +398,7 @@ object Relational {
     "j6_size_band_when_chain" -> (j6SizeBandWhenChain _),
     "j6_size_band_range_join" -> (j6SizeBandRangeJoin _),
     "j6_range_join_exec" -> (j6RangeJoinExec _),
+    "j6_range_join_outer" -> (j6RangeJoinOuter _),
     "l_zorder_roundtrip" -> (lZorderRoundtrip _),
     "j9_semi_topk_filter" -> (j9SemiTopkFilter _),
     "o4_topk_parts" -> (o4TopkParts _),
@@ -450,6 +464,13 @@ object Relational {
         |FROM part
         |JOIN (VALUES ('small', 1, 10), ('medium', 11, 25), ('large', 26, 49))
         |  AS b(band, lo, hi)
+        |ON p_size BETWEEN lo AND hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j6_range_join_outer" ->
+      """SELECT COALESCE(b_name, 'Other') AS band, COUNT(*) AS n
+        |FROM part
+        |LEFT JOIN (VALUES ('small', 1, 10), ('medium', 11, 25), ('large', 26, 49))
+        |  AS b(b_name, lo, hi)
         |ON p_size BETWEEN lo AND hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "l_zorder_roundtrip" ->

@@ -136,11 +136,36 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
-  test("non-inner joins and equi-joins are untouched") {
+  test("LEFT OUTER rewrites when the probe is the outer side; matches naive") {
     val (probe, ivals) = fixtures
     val outer = probe.join(ivals,
       col("v") >= col("lo") && col("v") <= col("hi"), "left")
+    assert(physical(outer).contains("BroadcastRangeJoin"))
+    val got = outer.select("pid", "name").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val matched = naive(probeRows, ivalRows, loIncl = true, hiIncl = true)
+    val matchedIds = matched.map(_._1)
+    val want = matched.map { case (pid, n) => (pid, Some(n)) } ++
+      probeRows.map(_._1).filterNot(matchedIds).map(pid => (pid, None))
+    assert(got === want)
+    // every probe row survives, including null-valued probes
+    assert(outer.count() >= probeRows.size)
+    assert(outer.filter(col("pid") === 900L && col("name").isNull).count() === 1)
+  }
+
+  test("LEFT OUTER with the interval side as the outer input is untouched") {
+    val (probe, ivals) = fixtures
+    // here the preserved side is the interval table — not our shape
+    val outer = ivals.join(probe,
+      col("v") >= col("lo") && col("v") <= col("hi"), "left")
     assert(!physical(outer).contains("BroadcastRangeJoin"))
+  }
+
+  test("other join types and equi-joins are untouched") {
+    val (probe, ivals) = fixtures
+    val semi = probe.join(ivals,
+      col("v") >= col("lo") && col("v") <= col("hi"), "left_semi")
+    assert(!physical(semi).contains("BroadcastRangeJoin"))
     val equi = probe.join(ivals, col("v") === col("lo"))
     assert(!physical(equi).contains("BroadcastRangeJoin"))
   }
