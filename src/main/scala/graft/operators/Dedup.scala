@@ -333,9 +333,12 @@ object Dedup {
     * One groupBy-min + one broadcast-free equi-join over the edge list. */
   private def largeStar(e: DataFrame): DataFrame = {
     val both = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    val mins = both.groupBy("u").agg(min(col("v")).as("mn"))
-      .select(col("u"), least(col("u"), col("mn")).as("m"))
-    both.join(mins, "u")
+    // window-min over the symmetrized adjacency: ONE exchange on u, where
+    // the previous groupBy-then-join form paid three (agg + both join
+    // sides) — and no adjacency list ever materializes on a single row,
+    // so a 10M-degree boilerplate hub can't skew a task
+    val m = min(least(col("u"), col("v"))).over(Window.partitionBy("u"))
+    both.withColumn("m", m)
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
@@ -349,13 +352,22 @@ object Dedup {
     val dir = e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
-    val mins = dir.groupBy("u").agg(min("v").as("m"))
-    dir.join(mins, "u")
-      .select(col("v").as("n"), col("m"))
-      .union(mins.select(col("u").as("n"), col("m")))
+    val withM = dir.withColumn("m", min(col("v")).over(Window.partitionBy("u")))
+    withM.select(col("v").as("n"), col("m"))
+      .union(withM.select(col("u").as("n"), col("m")))
       .filter(col("n") =!= col("m"))
       .select(col("n").as("u"), col("m").as("v"))
       .distinct()
+  }
+
+  /** Order-independent edge-set fingerprint: (count, XOR of xxhash64).
+    * XOR is associative/commutative — partition order can't change it —
+    * and unlike an ANSI SUM it can't overflow. Used as a cheap per-round
+    * convergence screen; equality is then CONFIRMED exactly, so a 64-bit
+    * collision costs one extra `except`, never a wrong answer. */
+  private def edgeFingerprint(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** Connected components over a candidate-pair graph by alternating
@@ -380,13 +392,20 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    var converged = edges.isEmpty
+    var fp = edgeFingerprint(edges)
+    var converged = fp._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // Fixpoint = identical edge sets. Both sides are distinct(), so
-      // equal counts + empty one-sided difference ⇔ set equality.
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      // Fixpoint = identical edge sets. The fingerprint (count + hash XOR)
+      // screens each round with one cheap aggregate; only when it matches
+      // does the exact check run — both sides are distinct(), so equal
+      // counts (implied by the fingerprint) + empty one-sided difference
+      // ⇔ set equality. Net effect: the shuffle-heavy `except` anti-join
+      // runs ONCE per call instead of once per round.
+      val nfp = edgeFingerprint(next)
+      converged = nfp == fp && next.except(edges).isEmpty
+      fp = nfp
       edges = next
       i += 1
     }
@@ -400,6 +419,17 @@ object Dedup {
       .union(edges.select(col("v").as("id"), col("v").as("label")).distinct())
       .distinct()
   }
+
+  /** Component label for EVERY row of `nodes`: the [[connectedComponents]]
+    * label where the node occurs in `pairs`, else itself — a pair-less doc
+    * is its own cluster, exactly as in a dedup sweep. No broadcast hint on
+    * the label table: it is |V|-sized, so forcing a broadcast would OOM
+    * the driver at corpus scale — AQE decides. */
+  def assignComponentsOrSelf(nodes: DataFrame, idCol: Column,
+      pairs: DataFrame): DataFrame =
+    nodes.select(idCol.as("id"))
+      .join(connectedComponents(pairs), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
 
   /** The full corpus-dedup flow (the standard LLM-data pipeline shape):
     * exact dedup first (hash groupBy), then MinHash-LSH near-dups among

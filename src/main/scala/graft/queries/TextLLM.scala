@@ -128,6 +128,29 @@ object TextLLM {
       .orderBy("id_a", "id_b")
   }
 
+  /** Near-dup CLUSTERS: the token-Jaccard pair graph closed transitively
+    * ([[Dedup.connectedComponents]] alternating-star contraction), every
+    * doc mapped to the min doc_id of its duplicate class — the step the
+    * pairwise queries stop short of, and what USEARCH clustering hands the
+    * reference (`/root/reference/Time_Series.py:471–478`). Unlike
+    * d_dedup_corpus (minhash pairs, survivors only) this oracle checks the
+    * FULL assignment including singleton docs as their own cluster. */
+  def dDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dTokenJaccardPairs(s, dir).select("id_a", "id_b")
+    val nodes = docs(s, dir).filter(col("doc_id") < 60)
+    Dedup.assignComponentsOrSelf(nodes, col("doc_id"), pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  /** The deduplicated corpus: one survivor (min doc_id) per duplicate
+    * cluster with the number of docs it absorbed. */
+  def dClusterSurvivors(s: SparkSession, dir: String): DataFrame =
+    dDupClusters(s, dir)
+      .groupBy(col("cluster").as("doc_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("doc_id")
+
   def mBinaryMeta(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("payload", col("text").cast("binary"))
@@ -628,6 +651,8 @@ object TextLLM {
     "d_hamming_twin" -> (dHammingTwin _),
     "t_rolling_fp_md5_twin" -> (tRollingFpMd5Twin _),
     "d_token_jaccard_pairs" -> (dTokenJaccardPairs _),
+    "d_dup_clusters" -> (dDupClusters _),
+    "d_cluster_survivors" -> (dClusterSurvivors _),
     "m_binary_meta" -> (mBinaryMeta _),
     "m_warc_roundtrip" -> (mWarcRoundtrip _),
     "s_ann_brute_top5" -> (sAnnBruteTop5 _),
@@ -1154,6 +1179,39 @@ object TextLLM {
         |WHERE CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |    (length(a.toks) + length(b.toks) - length(list_intersect(a.toks, b.toks))) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
+    "d_dup_clusters" ->
+      """WITH RECURSIVE s AS (SELECT doc_id,
+        |    list_distinct(string_split_regex(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 60),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (length(a.toks) + length(b.toks) - length(list_intersect(a.toks, b.toks))) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |walk(node, r) AS (
+        |  SELECT doc_id, doc_id FROM s
+        |  UNION
+        |  SELECT e.b, walk.r FROM walk JOIN e ON e.a = walk.node)
+        |SELECT node AS doc_id, MIN(r) AS cluster FROM walk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_cluster_survivors" ->
+      """WITH RECURSIVE s AS (SELECT doc_id,
+        |    list_distinct(string_split_regex(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 60),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (length(a.toks) + length(b.toks) - length(list_intersect(a.toks, b.toks))) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |walk(node, r) AS (
+        |  SELECT doc_id, doc_id FROM s
+        |  UNION
+        |  SELECT e.b, walk.r FROM walk JOIN e ON e.a = walk.node),
+        |cc AS (SELECT node, MIN(r) AS cluster FROM walk GROUP BY 1)
+        |SELECT cluster AS doc_id, COUNT(*) AS n_members FROM cc
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "m_binary_meta" ->
       """SELECT source, COUNT(*) AS n_items,
         |  COUNT(DISTINCT sha256(text)) AS distinct_sha,
