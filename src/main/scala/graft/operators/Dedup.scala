@@ -451,6 +451,111 @@ object Dedup {
       .select("id")
   }
 
+  // --------------------------------------------------- incremental dedup
+
+  /** Estimated Jaccard from two equal-length MinHash signatures: the
+    * fraction of agreeing components — the standard unbiased estimator,
+    * exactly expressible in SQL for oracle parity. */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), _ + _).cast("double") / size(sigA)
+
+  /** The persisted dedup state for [[incrementalDedup]]: one row per
+    * retained document — `(id, h64, h256, signature)`. 8 + 32 + numHashes×8
+    * bytes per doc, NEVER the text: a 10B-doc corpus is a ~2 TB state
+    * table, not a second copy of the corpus. */
+  def corpusState(df: DataFrame, idCol: Column, textCol: Column,
+      shingleK: Int = 3, numHashes: Int = 24,
+      family: MinhashFamily = XxMinhash): DataFrame =
+    df.select(idCol.as("id"), xxhash64(textCol).as("h64"),
+        sha2(textCol.cast("binary"), 256).as("h256"))
+      .join(minhashSignatures(df, idCol, textCol, shingleK, numHashes, family),
+        "id")
+
+  final case class IncrementalResult(kept: DataFrame, state: DataFrame)
+
+  /** One snapshot step of INCREMENTAL corpus dedup — the production shape:
+    * a new crawl batch is deduplicated against everything already retained
+    * WITHOUT rescanning the old corpus. 100 TB of history participates as
+    * its [[corpusState]] (hashes + signatures), so the per-snapshot cost is
+    * ∝ batch + state-join, not ∝ corpus.
+    *
+    * Stage order (each documented choice is observable in the result):
+    *  1. exact dedup WITHIN the batch — min id per content survives;
+    *  2. exact vs state — anti join on (h64, h256): 40-byte keys shuffle,
+    *     the batch text never does;
+    *  3. near-dup WITHIN the batch — LSH candidates from one signature
+    *     pass, EXACT-Jaccard verified (texts are in hand), transitively
+    *     closed ([[connectedComponents]]), min id per cluster survives;
+    *  4. surviving representatives vs state — band-bucket join against the
+    *     state's band keys, verified by [[estimatedJaccard]] on signatures
+    *     (the state has no text to verify exactly — the deliberate
+    *     state-size trade; at numHashes=24 the estimator's σ ≈ 0.09, so
+    *     thresholds are soft boundaries, as in every production MinHash
+    *     state design). A dropped representative drops its whole in-batch
+    *     cluster (members were already removed in stage 3).
+    *  5. the kept rows' `(id, h64, h256, signature)` are appended to the
+    *     state — ready for the next snapshot; idempotence follows (the
+    *     same batch replayed against the new state keeps nothing).
+    *
+    * Signatures are computed ONCE (stage 3) and reused for the cross
+    * check and the state append. `kept` is the id column only — callers
+    * semi-join their batch (consistent with [[dedupCorpus]]). */
+  def incrementalDedup(batch: DataFrame, idCol: Column, textCol: Column,
+      state: DataFrame, shingleK: Int = 3, numHashes: Int = 24,
+      bands: Int = 8, minJaccard: Double = 0.7, maxBucket: Int = 200,
+      family: MinhashFamily = XxMinhash): IncrementalResult = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val hashed = batch.select(idCol.as("id"), textCol.as("text"),
+      xxhash64(textCol).as("h64"), sha2(textCol.cast("binary"), 256).as("h256"))
+    // 1. exact within the batch (window-min: one exchange, reused by the
+    // anti join below under AQE's exchange reuse when keys align)
+    val exactKept = hashed
+      .withColumn("__keep", min(col("id")).over(Window.partitionBy("h64", "h256")))
+      .filter(col("id") === col("__keep")).drop("__keep")
+    // 2. exact vs state
+    val afterExact = exactKept.join(state.select("h64", "h256"),
+      Seq("h64", "h256"), "left_anti")
+    // 3. near within the batch
+    val sigs = minhashSignatures(afterExact, col("id"), col("text"),
+      shingleK, numHashes, family)
+    val withSig = afterExact.join(sigs, "id").cache()
+    val cand = minhashCandidatesFromSigs(withSig.select("id", "signature"),
+      numHashes, bands, maxBucket, family.bucketHash)
+    val posting = shinglePosting(withSig, col("id"), col("text"), shingleK)
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+    val sets = posting.join(candIds, Seq("id"), "left_semi")
+      .groupBy("id").agg(collect_list(col("sh")).as("sh"))
+    val pairs = cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= minJaccard)
+      .select("id_a", "id_b")
+    val inBatchDrop = connectedComponents(pairs)
+      .filter(col("id") =!= col("label")).select("id")
+    val reps = withSig.join(inBatchDrop, Seq("id"), "left_anti")
+    // 4. representatives vs state (estimated Jaccard on signatures)
+    def bandKeys(df: DataFrame): DataFrame = capBuckets(df
+      .select(col("id"), explode(
+        lshBandKeys(col("signature"), bands, rowsPerBand, family.bucketHash)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket")),
+      maxBucket)
+    val crossDrop = bandKeys(reps.select("id", "signature")).as("n")
+      .join(bandKeys(state.select("id", "signature")).as("o"),
+        col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket"))
+      .select(col("n.id").as("id"), col("o.id").as("sid")).distinct()
+      .join(reps.select(col("id"), col("signature").as("sig_n")), "id")
+      .join(state.select(col("id").as("sid"), col("signature").as("sig_o")), "sid")
+      .filter(estimatedJaccard(col("sig_n"), col("sig_o")) >= minJaccard)
+      .select("id").distinct()
+    val kept = reps.join(crossDrop, Seq("id"), "left_anti")
+    // 5. state grows by the kept rows
+    val newState = state.unionByName(
+      kept.select("id", "h64", "h256", "signature"))
+    IncrementalResult(kept.select("id"), newState)
+  }
+
   // ------------------------------------------------- n-gram Jaccard (rare)
 
   /** Jaccard candidate pairs via RARE shingles: only shingles whose

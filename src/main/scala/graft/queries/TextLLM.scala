@@ -143,6 +143,35 @@ object TextLLM {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup, one snapshot step oracle'd END TO END on the
+    * portable Md5Minhash family: docs < 30 are the retained corpus
+    * (participating only as [[Dedup.corpusState]] — hashes + signatures,
+    * no text), the batch is docs 30–59 plus injected exact/near dups of
+    * both the state and the batch, exercising all four drop paths
+    * (in-batch exact, vs-state exact, in-batch near with transitive
+    * closure, vs-state near via signature-estimated Jaccard). */
+  def dIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val state0 = d.filter(col("doc_id") < 30)
+    val fresh = d.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+    val batch = fresh
+      .unionByName(state0.filter(col("doc_id") < 10).select(
+        (col("doc_id") + 2000).as("doc_id"),
+        concat(col("text"), lit(" appended")).as("text")))
+      .unionByName(state0.filter(col("doc_id") < 5).select(
+        (col("doc_id") + 3000).as("doc_id"), col("text")))
+      .unionByName(fresh.filter(col("doc_id") < 40).select(
+        (col("doc_id") + 4000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text")))
+      .unionByName(fresh.filter(col("doc_id") < 35).select(
+        (col("doc_id") + 5000).as("doc_id"), col("text")))
+    val st = Dedup.corpusState(state0, col("doc_id"), col("text"),
+      family = Dedup.Md5Minhash)
+    Dedup.incrementalDedup(batch, col("doc_id"), col("text"), st,
+        minJaccard = 0.5, family = Dedup.Md5Minhash)
+      .kept.select(col("id").as("doc_id")).orderBy("doc_id")
+  }
+
   /** The deduplicated corpus: one survivor (min doc_id) per duplicate
     * cluster with the number of docs it absorbed. */
   def dClusterSurvivors(s: SparkSession, dir: String): DataFrame =
@@ -653,6 +682,7 @@ object TextLLM {
     "d_token_jaccard_pairs" -> (dTokenJaccardPairs _),
     "d_dup_clusters" -> (dDupClusters _),
     "d_cluster_survivors" -> (dClusterSurvivors _),
+    "d_incremental_dedup" -> (dIncrementalDedup _),
     "m_binary_meta" -> (mBinaryMeta _),
     "m_warc_roundtrip" -> (mWarcRoundtrip _),
     "s_ann_brute_top5" -> (sAnnBruteTop5 _),
@@ -1212,6 +1242,87 @@ object TextLLM {
         |cc AS (SELECT node, MIN(r) AS cluster FROM walk GROUP BY 1)
         |SELECT cluster AS doc_id, COUNT(*) AS n_members FROM cc
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_incremental_dedup" ->
+      """WITH RECURSIVE
+        |stated AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+        |freshd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 30 AND doc_id < 60),
+        |batchd AS (
+        |  SELECT doc_id, text FROM freshd
+        |  UNION ALL SELECT doc_id + 2000, text || ' appended' FROM stated WHERE doc_id < 10
+        |  UNION ALL SELECT doc_id + 3000, text FROM stated WHERE doc_id < 5
+        |  UNION ALL SELECT doc_id + 4000, text || ' zz' FROM freshd WHERE doc_id < 40
+        |  UNION ALL SELECT doc_id + 5000, text FROM freshd WHERE doc_id < 35),
+        |ex AS (SELECT MIN(doc_id) AS doc_id FROM batchd GROUP BY text),
+        |b2 AS (SELECT bd.doc_id, bd.text FROM batchd bd JOIN ex ON bd.doc_id = ex.doc_id
+        |  WHERE bd.text NOT IN (SELECT text FROM stated)),
+        |allside AS (SELECT 'b' AS side, doc_id, text FROM b2
+        |  UNION ALL SELECT 's', doc_id, text FROM stated),
+        |t AS (SELECT side, doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM allside),
+        |sh AS (SELECT side, doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> array_to_string(toks[i:i+2], ' ')))
+        |    END AS sh
+        |  FROM t),
+        |p AS (SELECT side, doc_id, unnest(sh) AS s FROM sh),
+        |p2 AS (SELECT side, doc_id, CAST(list_sum(list_transform(range(1, 16), j -> CAST(strpos('0123456789abcdef', substr(hx, CAST(j AS INTEGER) + 0, 1)) - 1 AS BIGINT) << (4 * (15 - CAST(j AS INTEGER))))) AS BIGINT) AS h1,
+        |    CAST(list_sum(list_transform(range(1, 16), j -> CAST(strpos('0123456789abcdef', substr(hx, CAST(j AS INTEGER) + 15, 1)) - 1 AS BIGINT) << (4 * (15 - CAST(j AS INTEGER))))) AS BIGINT) % (CAST(1 AS BIGINT) << 55) AS h2
+        |  FROM (SELECT side, doc_id, md5(s) AS hx FROM p)),
+        |m AS (SELECT side, doc_id, h,
+        |    MIN((h1 + h * h2) & ((CAST(1 AS BIGINT) << 60) - 1)) AS mh
+        |  FROM p2 CROSS JOIN range(24) r(h) GROUP BY 1, 2, 3),
+        |sig AS (SELECT side, doc_id, list(mh ORDER BY h) AS sig FROM m GROUP BY 1, 2),
+        |bkb AS (SELECT doc_id, b,
+        |    md5(array_to_string(sig[(b*3 + 1):(b*3 + 3)], ',')) AS bucket
+        |  FROM sig CROSS JOIN range(8) rb(b) WHERE side = 'b'),
+        |cappedb AS (SELECT doc_id, b, bucket FROM (
+        |    SELECT doc_id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n
+        |    FROM bkb) WHERE n <= 200),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM cappedb a JOIN cappedb c
+        |    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+        |pairs AS (SELECT id_a, id_b
+        |  FROM cand JOIN sh sa ON sa.side = 'b' AND sa.doc_id = id_a
+        |    JOIN sh sb ON sb.side = 'b' AND sb.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+        |edges AS (SELECT id_a, id_b FROM pairs
+        |  UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+        |r2(id, label) AS (
+        |  SELECT DISTINCT id_a AS id, id_a AS label FROM edges
+        |  UNION
+        |  SELECT e.id_a AS id, r2.label FROM edges e JOIN r2 ON r2.id = e.id_b),
+        |dropped AS (SELECT id FROM
+        |  (SELECT id, MIN(label) AS label FROM r2 GROUP BY 1) WHERE id <> label),
+        |b3 AS (SELECT doc_id FROM b2
+        |  WHERE doc_id NOT IN (SELECT id FROM dropped)),
+        |bk3 AS (SELECT g.doc_id, rb.b,
+        |    md5(array_to_string(g.sig[(rb.b*3 + 1):(rb.b*3 + 3)], ',')) AS bucket
+        |  FROM sig g JOIN b3 ON g.doc_id = b3.doc_id CROSS JOIN range(8) rb(b)
+        |  WHERE g.side = 'b'),
+        |capped3 AS (SELECT doc_id, b, bucket FROM (
+        |    SELECT doc_id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n
+        |    FROM bk3) WHERE n <= 200),
+        |bks AS (SELECT doc_id, b,
+        |    md5(array_to_string(sig[(b*3 + 1):(b*3 + 3)], ',')) AS bucket
+        |  FROM sig CROSS JOIN range(8) rb(b) WHERE side = 's'),
+        |cappeds AS (SELECT doc_id, b, bucket FROM (
+        |    SELECT doc_id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n
+        |    FROM bks) WHERE n <= 200),
+        |crossdrop AS (SELECT DISTINCT k.doc_id
+        |  FROM capped3 k JOIN cappeds s2 ON k.b = s2.b AND k.bucket = s2.bucket
+        |  JOIN sig nb ON nb.side = 'b' AND nb.doc_id = k.doc_id
+        |  JOIN sig os ON os.side = 's' AND os.doc_id = s2.doc_id
+        |  WHERE CAST(list_sum(list_transform(range(1, 25),
+        |      i -> CASE WHEN nb.sig[CAST(i AS INTEGER)] = os.sig[CAST(i AS INTEGER)]
+        |           THEN 1 ELSE 0 END)) AS DOUBLE) / 24.0 >= 0.5)
+        |SELECT doc_id FROM b3
+        |WHERE doc_id NOT IN (SELECT doc_id FROM crossdrop)
+        |ORDER BY 1""".stripMargin,
     "m_binary_meta" ->
       """SELECT source, COUNT(*) AS n_items,
         |  COUNT(DISTINCT sha256(text)) AS distinct_sha,

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental (state-carrying) corpus dedup: every stage-order decision
+  * observable, plus idempotence — the property production snapshots rely
+  * on. */
+class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = GraftSession.local("incremental-dedup-spec")
+  override def afterAll(): Unit = spark.stop()
+
+  // long distinct texts so 3-shingle Jaccard behaves predictably
+  private def mkText(seed: Int): String =
+    (0 until 30).map(i => s"w${seed}x${(i * 7 + seed) % 13}n$i").mkString(" ")
+
+  private def df(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def keptIds(r: Dedup.IncrementalResult): Set[Long] =
+    r.kept.collect().map(_.getLong(0)).toSet
+
+  private val corpus = df((1L, mkText(1)), (2L, mkText(2)), (3L, mkText(3)))
+  private lazy val state0 =
+    Dedup.corpusState(corpus, col("doc_id"), col("text")).cache()
+
+  test("fresh docs pass; exact and near dups of the state are dropped") {
+    val batch = df(
+      (10L, mkText(10)),                    // fresh → kept
+      (11L, mkText(1)),                     // exact dup of state doc 1 → dropped
+      (12L, mkText(2) + " tail"),           // near dup of state doc 2 → dropped
+      (13L, mkText(13)))                    // fresh → kept
+    val r = Dedup.incrementalDedup(batch, col("doc_id"), col("text"), state0)
+    assert(keptIds(r) === Set(10L, 13L))
+    assert(r.state.count() === 3 + 2)
+  }
+
+  test("in-batch exact keeps min id; in-batch near keeps cluster min") {
+    val batch = df(
+      (20L, mkText(20)), (21L, mkText(20)),          // exact pair → 20 kept
+      (22L, mkText(22)), (23L, mkText(22) + " zz"),  // near pair → 22 kept
+      (24L, mkText(24)))
+    val r = Dedup.incrementalDedup(batch, col("doc_id"), col("text"), state0)
+    assert(keptIds(r) === Set(20L, 22L, 24L))
+  }
+
+  test("a representative near the state drops its whole in-batch cluster") {
+    // 30 ≈ 31 (in-batch near pair, 30 is representative) and 30 ≈ state 3:
+    // stage 3 removes 31, stage 4 removes 30 — nothing of the cluster lands
+    val batch = df(
+      (30L, mkText(3) + " x"), (31L, mkText(3) + " x y"), (32L, mkText(32)))
+    val r = Dedup.incrementalDedup(batch, col("doc_id"), col("text"), state0)
+    assert(keptIds(r) === Set(32L))
+  }
+
+  test("idempotence: replaying a batch against the grown state keeps nothing") {
+    val batch = df((40L, mkText(40)), (41L, mkText(41)), (42L, mkText(2)))
+    val r1 = Dedup.incrementalDedup(batch, col("doc_id"), col("text"), state0)
+    assert(keptIds(r1) === Set(40L, 41L))
+    val r2 = Dedup.incrementalDedup(batch, col("doc_id"), col("text"),
+      r1.state.cache())
+    assert(keptIds(r2) === Set.empty)
+    assert(r2.state.count() === r1.state.count())
+  }
+
+  test("portable Md5Minhash family agrees with the default on this fixture") {
+    val batch = df((50L, mkText(50)), (51L, mkText(1)), (52L, mkText(2) + " t"))
+    val xx = Dedup.incrementalDedup(batch, col("doc_id"), col("text"), state0)
+    val md5State = Dedup.corpusState(corpus, col("doc_id"), col("text"),
+      family = Dedup.Md5Minhash)
+    val md = Dedup.incrementalDedup(batch, col("doc_id"), col("text"), md5State,
+      family = Dedup.Md5Minhash)
+    assert(keptIds(xx) === keptIds(md))
+  }
+
+  test("estimatedJaccard: 1.0 on equal, 0.0 on disjoint, fraction between") {
+    import spark.implicits._
+    val r = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 9L, 9L))).toDF("a", "b")
+      .select(
+        Dedup.estimatedJaccard(col("a"), col("a")).as("same"),
+        Dedup.estimatedJaccard(col("a"), col("b")).as("half"))
+      .head()
+    assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 0.5)
+  }
+}
