@@ -221,6 +221,25 @@ object ScaleProbe {
         .filter(col("a") < 5000 && col("b") < 5000).count()
     }
 
+    val compactDir = "/tmp/graft_scale_compact"
+    timed("compact_fixture_512_files") { // the streaming-append pathology:
+      // 2M rows accreted as 512 tiny files across 8 hive partitions
+      spark.range(2000000).select(col("id"), (col("id") % 8).as("p"))
+        .repartition(64).write.mode("overwrite")
+        .partitionBy("p").parquet(compactDir)
+      2000000L
+    }
+    timed("compact_selective_rewrite") { // listing-only plan, then rewrite
+      // ONLY violating leaves (here: all 8), each to ceil(bytes/target)
+      graft.sinks.Compaction.compact(spark, compactDir,
+        targetBytes = 16L << 20).map(_.filesAfter.toLong).sum
+    }
+    timed("compact_noop_second_pass") { // already-compact table: plan says
+      // nothing to do, zero data read or written
+      graft.sinks.Compaction.compact(spark, compactDir,
+        targetBytes = 16L << 20).size.toLong
+    }
+
     spark.stop()
   }
 }
