@@ -76,4 +76,48 @@ object LlmPipeline {
     chunks.write.mode("overwrite").partitionBy("split").parquet(outDir)
     chunks
   }
+
+  /** A snapshot's worth of [[curate]] plus its carried dedup state. */
+  final case class SnapshotResult(chunks: DataFrame, state: DataFrame)
+
+  /** Snapshot-mode curation — [[curate]]'s stages with
+    * [[Dedup.incrementalDedup]] in place of the from-scratch
+    * [[Dedup.dedupCorpus]]: the batch is gated, decontaminated, then
+    * deduplicated against BOTH itself and every previous snapshot's
+    * retained docs (carried as [[Dedup.corpusState]] — hashes +
+    * signatures, never text), chunked, split-labeled, and APPENDED to
+    * `outDir`. Per-snapshot cost is ∝ batch, not ∝ corpus: the history
+    * participates only through the state joins. Start from
+    * `Dedup.corpusState(emptyBatch, ...)` or any prior corpus; feed each
+    * returned `state` to the next call. Split labels stay stable across
+    * snapshots (hash of the document id), so a later snapshot can never
+    * move an earlier document's near-twin into a different split. */
+  def curateSnapshot(batch: DataFrame, idCol: Column, textCol: Column,
+      state: DataFrame, outDir: String,
+      maxTokens: Int = 512, overlap: Int = 64, minQuality: Double = 0.6,
+      minJaccard: Double = 0.8,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      benchmark: Option[DataFrame] = None, benchmarkText: Column = col("text"),
+      decontamK: Int = 13): SnapshotResult = {
+    val scored0 = batch
+      .withColumn("__id", idCol)
+      .withColumn("__text", textCol)
+      .withColumn("quality", TextAnalysis.qualityScore(textCol))
+      .withColumn("lang", TextAnalysis.languageGuessFromTokens(
+        TextAnalysis.wsTokens(lower(textCol))))
+      .filter(col("quality") >= minQuality)
+    val scored = benchmark.fold(scored0)(b =>
+      Curation.decontaminate(scored0, col("__id"), col("__text"),
+        b, benchmarkText, decontamK))
+    val r = Dedup.incrementalDedup(scored, col("__id"), col("__text"),
+      state, minJaccard = minJaccard)
+    val kept = scored.join(r.kept.select(col("id").as("__id")), Seq("__id"), "left_semi")
+    val labeled = kept.withColumn("split",
+      TextAnalysis.hashSplit(col("__id"), splits))
+    val chunks = TextAnalysis.chunkByTokens(labeled, col("__id"), col("__text"),
+        maxTokens, overlap, passthrough = Seq("quality", "lang", "split"))
+      .withColumnRenamed("id", "doc_id")
+    chunks.write.mode("append").partitionBy("split").parquet(outDir)
+    SnapshotResult(chunks, r.state)
+  }
 }

@@ -79,6 +79,27 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptIds(xx) === keptIds(md))
   }
 
+  test("two snapshots equal one from-scratch dedupCorpus when cross-batch dups are exact") {
+    import spark.implicits._
+    // in-batch NEAR pairs are allowed (both paths verify those exactly);
+    // cross-batch dups are EXACT, where estimated and exact Jaccard agree
+    val b1 = df((1L, mkText(101)), (2L, mkText(101) + " zz"),
+      (3L, mkText(103)), (4L, mkText(104)))
+    val b2 = df((10L, mkText(103)),                         // exact dup of 3
+      (11L, mkText(111)), (12L, mkText(111) + " zz"),       // in-batch near pair
+      (13L, mkText(113)))
+    val batch = Dedup.dedupCorpus(b1.unionByName(b2), col("doc_id"), col("text"),
+      minJaccard = 0.5).collect().map(_.getLong(0)).toSet
+    val empty = Dedup.corpusState(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), col("doc_id"), col("text"))
+    val s1 = Dedup.incrementalDedup(b1, col("doc_id"), col("text"), empty,
+      minJaccard = 0.5)
+    val s2 = Dedup.incrementalDedup(b2, col("doc_id"), col("text"), s1.state,
+      minJaccard = 0.5)
+    assert(keptIds(s1) ++ keptIds(s2) === batch)
+    assert(batch === Set(1L, 3L, 4L, 11L, 13L))
+  }
+
   test("estimatedJaccard: 1.0 on equal, 0.0 on disjoint, fraction between") {
     import spark.implicits._
     val r = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 9L, 9L))).toDF("a", "b")

@@ -366,6 +366,35 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2.select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("LlmPipeline.curateSnapshot: state carries across snapshots, appends accumulate") {
+    import spark.implicits._
+    def good(seed: Int) =
+      (1 to 12).map(i => s"w$seed-$i the and of to in is that").mkString(" ")
+    val out = "/tmp/graft_llm_curate_snap"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val empty = Dedup.corpusState(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), col("doc_id"), col("text"))
+    val s1 = LlmPipeline.curateSnapshot(docsDf((1L, good(1)), (2L, good(2))),
+      col("doc_id"), col("text"), empty, out,
+      maxTokens = 64, overlap = 8, minQuality = 0.2, minJaccard = 0.5)
+    assert(s1.chunks.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    // snapshot 2: an exact dup of snapshot 1's doc, a near dup, a fresh doc
+    val s2 = LlmPipeline.curateSnapshot(
+      docsDf((10L, good(1)), (11L, good(2) + " tail"), (12L, good(12))),
+      col("doc_id"), col("text"), s1.state, out,
+      maxTokens = 64, overlap = 8, minQuality = 0.2, minJaccard = 0.5)
+    assert(s2.chunks.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(12L))
+    assert(s2.state.count() == 3)
+    // the sink accumulated both snapshots, split labels intact
+    val back = spark.read.parquet(out)
+    assert(back.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 12L))
+    assert(back.select("split").distinct().collect().map(_.getString(0))
+      .forall(Set("train", "val", "test")))
+  }
+
   test("duplicateWindows finds shared k-token spans within and across docs") {
     import graft.operators.TextAnalysis
     val span = (1 to 6).map(i => s"s$i").mkString(" ") // 6 shared tokens
