@@ -35,6 +35,11 @@ object SparkEntry {
     "d_minhash_neardups", "s_ann_brute_top5", "s_ann_lsh_top3",
     "m_binary_meta", "c7_weekly_counts", "j_asof_prior_view",
     "c_session_stats")
+  // d_incremental_dedup is deliberately NOT headline: its id-bounded
+  // fixture is constant-size at every SF, so the bench would time ~5.6s
+  // of iterative-job scheduling overhead (the CC loop's per-round
+  // actions), not data throughput. Incremental-dedup scale numbers live
+  // in SCALE.md (dedupCorpus/CC rows), where the corpus actually grows.
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */

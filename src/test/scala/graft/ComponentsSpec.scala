@@ -21,9 +21,14 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("200-node path collapses under default maxIter (log-round convergence)") {
+    import spark.implicits._
     // 4× PropertySpec's path; naive min-flooding would need 200 rounds,
-    // the star contraction must stay within the default 25 or throw
-    val got = run((0L until 199L).map(i => (i, i + 1)))
+    // the star contraction must stay within the default 25 or throw.
+    // smallGraphThreshold = 0 forces the DISTRIBUTED path — the default
+    // would route 199 edges to the driver union-find
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, smallGraphThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size === 200 && got.values.forall(_ == 0L))
   }
 

@@ -247,7 +247,9 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     // must return the EXACT component in O(log n) rounds — and must never
     // silently truncate (it throws instead).
     val pairs = (1L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs).collect()
+    // threshold 0 forces the distributed contraction — the path this test
+    // is adversarial FOR (the default routes 49 edges to the driver)
+    val cc = Dedup.connectedComponents(pairs, smallGraphThreshold = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.keySet == (1L to 50L).toSet, "every path node labeled")
     assert(cc.values.forall(_ == 1L), s"non-min labels: ${cc.filter(_._2 != 1L)}")
@@ -263,9 +265,15 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter { case (a, b) => a != b }
       if (edges.nonEmpty) {
         val expect = unionFind(edges)
-        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        // BOTH execution paths must match the oracle: the driver-side
+        // union-find (default threshold) and the distributed contraction
+        val small = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got == expect, s"trial $trial: $got vs $expect")
+        val dist = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+            smallGraphThreshold = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(small == expect, s"trial $trial (driver path): $small vs $expect")
+        assert(dist == expect, s"trial $trial (distributed path): $dist vs $expect")
       }
     }
   }
