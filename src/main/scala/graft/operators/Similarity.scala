@@ -378,4 +378,67 @@ object Similarity {
       .filter(col("cos") >= minCosine)
       .select("id_a", "id_b", "cos")
   }
+
+  /** SemDeDup-style semantic near-duplicate PAIRS (Abbas et al. 2023,
+    * arXiv:2303.09540 — "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): assign every embedding to its
+    * nearest centroid, then score all pairs ONLY within each cluster.
+    * The global O(n²) cosine problem becomes k independent O((n/k)²)
+    * problems co-located by ONE equi-shuffle on the cluster id — at 100 TB
+    * the corpus never meets itself across clusters, and k is the dial
+    * that keeps per-cluster work bounded (the paper runs k = 11k over
+    * 100M+ embeddings for exactly this reason).
+    *
+    * Centroids come from the caller ([[trainCentroids]]; `iters = 0` for
+    * an engine-portable deterministic seed set). Fails fast if any
+    * cluster exceeds `maxClusterRows` — the signal to raise k — instead
+    * of silently planning a quadratic blow-up on a skewed cluster.
+    *
+    * Output: (id_a, id_b, cluster, cos) with id_a < id_b. Cross-cluster
+    * near-dups are invisible by design — the method's published
+    * recall/cost trade, not an accident (documented, and the bounded
+    * exact [[cosineNearDupPairs]] remains the ground-truth tail). */
+  def semanticDedupPairs(vectors: DataFrame, centroids: Seq[Seq[Double]],
+      minCosine: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxClusterRows: Long = 100000): DataFrame = {
+    val indexed = ivfIndex(vectors, centroids, vecCol)
+      .withColumn("__n", norm(col(vecCol)))
+    val biggest = indexed.groupBy("ivf_list").count()
+      .agg(coalesce(max("count"), lit(0L))).head.getLong(0)
+    require(biggest <= maxClusterRows,
+      s"semanticDedupPairs: largest cluster has $biggest rows " +
+        s"(> $maxClusterRows) — per-cluster work is quadratic; train more " +
+        "centroids (larger k) so clusters stay bounded, or raise " +
+        "maxClusterRows deliberately")
+    val a = indexed.select(col("ivf_list"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = indexed.select(col("ivf_list"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("ivf_list"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        cosineWithNorms(col("__va"), col("__vb"), col("__na"), col("__nb")))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("ivf_list").as("cluster"),
+        col("cos"))
+  }
+
+  /** SemDeDup survivors: [[semanticDedupPairs]] → connected components →
+    * one canonical survivor (min id) per duplicate component; pair-less
+    * vectors survive as their own cluster. (The paper keeps the member
+    * farthest from the centroid; min-id is this library's deterministic
+    * survivor convention everywhere — [[graft.operators.Dedup.dedupCorpus]]
+    * — and is layout- and engine-independent.) Returns the kept ids. */
+  def semanticDedup(vectors: DataFrame, centroids: Seq[Seq[Double]],
+      minCosine: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxClusterRows: Long = 100000): DataFrame = {
+    val pairs = semanticDedupPairs(vectors, centroids, minCosine,
+      idCol, vecCol, maxClusterRows)
+    graft.operators.Dedup.assignComponentsOrSelf(vectors, col(idCol),
+        pairs.select("id_a", "id_b"))
+      .filter(col("id") === col("label"))
+      .select(col("id"))
+  }
 }

@@ -326,6 +326,35 @@ object TextLLM {
       .select("id_a", "id_b") // ids only: float-exact across engines
       .orderBy("id_a", "id_b")
 
+  /** SemDeDup end to end over the FULL embeddings table: deterministic
+    * seed centroids (k lowest vec_ids verbatim, as s_ann_ivf_top3), pairs
+    * only within clusters, CC survivors. Per-cluster counts — assignment,
+    * pair graph, and component structure all have to agree with the
+    * oracle's independent recursive-CTE replay for the row to match. */
+  def dSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val centroids = Similarity.trainCentroids(base, k = 8, iters = 0)
+    val assigned = Similarity.ivfIndex(base, centroids)
+      .select(col("vec_id"), col("ivf_list").as("cluster"))
+    val pairs = Similarity.semanticDedupPairs(base, centroids, minCosine = 0.3)
+    val survivors = Similarity.semanticDedup(base, centroids, minCosine = 0.3)
+    val rowStats = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n_rows"))
+    val pairStats = pairs.groupBy("cluster")
+      .agg(count(lit(1)).as("n_dup_pairs"))
+    val survStats = assigned
+      .join(survivors, assigned("vec_id") === survivors("id"), "left_semi")
+      .groupBy("cluster").agg(count(lit(1)).as("n_survivors"))
+    rowStats
+      .join(pairStats, Seq("cluster"), "left")
+      .join(survStats, Seq("cluster"), "left")
+      .select(col("cluster"),
+        col("n_rows"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_survivors"), lit(0L)).as("n_survivors"))
+      .orderBy("cluster")
+  }
+
   def tRollingFingerprint(s: SparkSession, dir: String): DataFrame = {
     // gramHash=md5: min-over-hex-strings is identical in DuckDB, so the
     // registered query is oracle-checked end to end (round 5; xxhash64
@@ -701,6 +730,7 @@ object TextLLM {
     "s_ann_ivf_top3" -> (sAnnIvfTop3 _),
     "s_ann_pq_top3" -> (sAnnPqTop3 _),
     "d_embedding_neardups" -> (dEmbeddingNearDups _),
+    "d_semantic_dedup" -> (dSemanticDedup _),
     "m_frame_features" -> (mFrameFeatures _),
     "m_png_pixel_stats" -> (mPngPixelStats _),
     "m_resize_pixel_stats" -> (mResizePixelStats _),
@@ -1417,6 +1447,42 @@ object TextLLM {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.3
         |ORDER BY 1, 2""".stripMargin,
+    // SemDeDup mirror: seed centroids = the 8 lowest-vec_id embeddings
+    // verbatim (the s_ann_ivf_top3 convention), assignment by the same
+    // (-2·v·c + ||c||², ci) first-min rank, pairs only within a cluster,
+    // duplicate components via the recursive min-label CTE, survivor =
+    // min id per component (pair-less rows survive as themselves).
+    "d_semantic_dedup" ->
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci,
+        |    e AS ce FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+        |cn AS (SELECT ci, ce, list_inner_product(ce, ce) AS n2 FROM c),
+        |assign AS (SELECT vec_id, ci AS cluster FROM (
+        |    SELECT v.vec_id, cn.ci, ROW_NUMBER() OVER (
+        |      PARTITION BY v.vec_id
+        |      ORDER BY -2 * list_inner_product(v.e, cn.ce) + cn.n2, cn.ci) AS rn
+        |    FROM v CROSS JOIN cn) WHERE rn = 1),
+        |va AS (SELECT a.vec_id, a.cluster, v.e FROM assign a JOIN v USING (vec_id)),
+        |pairs AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM va a JOIN va b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.e, b.e) >= 0.3),
+        |edges AS (SELECT id_a, id_b FROM pairs
+        |  UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+        |r2(id, label) AS (
+        |  SELECT DISTINCT id_a AS id, id_a AS label FROM edges
+        |  UNION
+        |  SELECT e.id_a AS id, r2.label FROM edges e JOIN r2 ON r2.id = e.id_b),
+        |lab AS (SELECT id, MIN(label) AS label FROM r2 GROUP BY 1),
+        |dropped AS (SELECT id FROM lab WHERE id <> label)
+        |SELECT CAST(a.cluster AS INTEGER) AS cluster,
+        |  COUNT(*) AS n_rows,
+        |  COALESCE(ANY_VALUE(p.n_dup_pairs), 0) AS n_dup_pairs,
+        |  CAST(SUM(CASE WHEN a.vec_id IN (SELECT id FROM dropped)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_survivors
+        |FROM assign a LEFT JOIN (SELECT cluster, CAST(COUNT(*) AS BIGINT)
+        |    AS n_dup_pairs FROM pairs GROUP BY 1) p USING (cluster)
+        |GROUP BY a.cluster ORDER BY 1""".stripMargin,
     // Same arithmetic, element for element: floats cast to double
     // exactly, one IEEE division, round-half-away-from-zero in both
     // engines, integer sums exact.

@@ -627,6 +627,49 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf == brute)
   }
 
+  test("SemDeDup: pairs = brute force restricted to clusters; min-id survivors; guard") {
+    val rng = new scala.util.Random(17)
+    val centers = Seq(Array.fill(8)(5.0), Array.fill(8)(-5.0))
+    val rows = (0L until 120L).map { i =>
+      val c = centers((i % 2).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 1.5).toFloat).toSeq)
+    }
+    val df = vecsDf(rows: _*)
+    val centroids = Similarity.trainCentroids(df, k = 2, iters = 5)
+    val assigned = Similarity.ivfIndex(df, centroids)
+      .select(col("vec_id"), col("ivf_list")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val theta = 0.99
+    // the method's exact contract: same pairs as unrestricted brute force,
+    // MINUS cross-cluster pairs (SemDeDup's published recall trade)
+    val pairs = Similarity.semanticDedupPairs(df, centroids, theta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.cosineNearDupPairs(df, theta, maxRows = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == brute.filter { case (a, b) => assigned(a) == assigned(b) })
+    assert(pairs.nonEmpty, "fixture produced no near-dup pairs — raise sigma")
+
+    // survivors: reference union-find over the pair graph, min id kept
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long =
+      if (parent.getOrElse(x, x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val expectKept = (0L until 120L).filter(i => find(i) == i).toSet
+    val kept = Similarity.semanticDedup(df, centroids, theta)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == expectKept)
+
+    // quadratic-cluster guard names the fix (more centroids)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupPairs(df, centroids, theta, maxClusterRows = 10)
+    }
+    assert(e.getMessage.contains("larger k"))
+  }
+
   test("PQ: codes in range, ADC stays near true cosine, blob structure survives") {
     val rng = new scala.util.Random(13)
     val centers = Seq(Array.fill(16)(5.0), Array.fill(16)(-5.0),
