@@ -174,6 +174,17 @@ object ScaleProbe {
     timed("ann_lsh_16q") {
       Similarity.lshTopK(vecs, queries, 10, numBits = 10).count()
     }
+    var semCentroids: Seq[Seq[Double]] = Seq.empty
+    timed("semdedup_kmeans_k64") { // 3 Lloyd's rounds, centroids on driver
+      semCentroids = Similarity.trainCentroids(vecs, k = 64, iters = 3)
+      semCentroids.size.toLong
+    }
+    timed("semdedup_pairs_k64") { // within-cluster all-pairs only: one
+      // equi-shuffle on the cluster id; ~(n/64)² cosines per cluster vs
+      // n² globally — the published SemDeDup cost model
+      Similarity.semanticDedupPairs(vecs, semCentroids, minCosine = 0.75,
+        maxClusterRows = nDocs.toLong).count()
+    }
 
     // ---- round-8 additions: range join, WARC container, Z-order ----
 

@@ -172,4 +172,36 @@ object Stats {
         col("m.sxy").as("sxy"))
     deriveFromMoments(agg)
   }
+
+  /** Mergeable per-group quantile profile — the distribution face of
+    * [[profile]]: for each group, the discrete quantiles of `valueCol`
+    * at `probs`, unpivoted to long form (group cols, prob, value).
+    *
+    * Uses `approx_percentile` — a Greenwald–Khanna sketch that Spark
+    * merges in PARTIAL aggregation: each task summarizes its split into a
+    * bounded sketch and only sketches cross the shuffle, so a 100 TB
+    * distribution report moves KBs per group, never the values. Rank
+    * error is bounded by n/accuracy; whenever accuracy ≥ group size the
+    * returned element is the EXACT discrete order statistic (same
+    * convention as DuckDB's `quantile_disc`, which the registered
+    * query's oracle matches value for value at verification scale).
+    *
+    * The result value type is `valueCol`'s own type (approx_percentile
+    * returns a dataset element, never an interpolation). One aggregation
+    * job; the posexplode over `probs.size` array slots is a Generate on
+    * the already-tiny grouped output, not a second shuffle. */
+  def quantileProfile(df: DataFrame, groupCols: Seq[Column],
+      valueCol: Column, probs: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be within [0,1]: $probs")
+    val probsArr = array(probs.map(lit): _*)
+    val grouped = df.groupBy(groupCols: _*)
+      .agg(percentile_approx(valueCol, probsArr, lit(accuracy)).as("__qs"))
+    grouped
+      .select(col("*"), posexplode(col("__qs")).as(Seq("__pos", "value")))
+      .withColumn("prob",
+        element_at(probsArr, col("__pos").cast("int") + 1))
+      .drop("__qs", "__pos")
+  }
 }

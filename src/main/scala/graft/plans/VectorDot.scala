@@ -110,6 +110,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorDot].getName, "graft_vector_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_centroid_argmin"),
+      new ExpressionInfo(classOf[CentroidArgmin].getName, "graft_centroid_argmin"),
+      (children: Seq[Expression]) => CentroidArgmin(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("variant_events"),
       new ExpressionInfo(classOf[VariantEventsGenerator].getName, "variant_events"),
       (children: Seq[Expression]) => VariantEventsGenerator(children)))

@@ -326,6 +326,20 @@ object TextLLM {
       .select("id_a", "id_b") // ids only: float-exact across engines
       .orderBy("id_a", "id_b")
 
+  /** Per-language document-length quantiles via the mergeable GK sketch
+    * ([[graft.operators.Stats.quantileProfile]]). accuracy (1e6) ≥ any
+    * verification-SF group size, so every returned element is the exact
+    * discrete order statistic — the same convention as the oracle's
+    * `quantile_disc`. At 100 TB the same plan ships bounded sketches
+    * through the shuffle with rank error n/accuracy. */
+  def aQuantileProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.quantileProfile(
+        docs(s, dir).select(col("lang"), length(col("text")).as("len")),
+        Seq(col("lang")), col("len"),
+        probs = Seq(0.0, 0.25, 0.5, 0.75, 0.95, 1.0), accuracy = 1000000)
+      .select(col("lang"), col("prob"), col("value").as("len_q"))
+      .orderBy("lang", "prob")
+
   /** SemDeDup end to end over the FULL embeddings table: deterministic
     * seed centroids (k lowest vec_ids verbatim, as s_ann_ivf_top3), pairs
     * only within clusters, CC survivors. Per-cluster counts — assignment,
@@ -731,6 +745,7 @@ object TextLLM {
     "s_ann_pq_top3" -> (sAnnPqTop3 _),
     "d_embedding_neardups" -> (dEmbeddingNearDups _),
     "d_semantic_dedup" -> (dSemanticDedup _),
+    "a_quantile_profile" -> (aQuantileProfile _),
     "m_frame_features" -> (mFrameFeatures _),
     "m_png_pixel_stats" -> (mPngPixelStats _),
     "m_resize_pixel_stats" -> (mResizePixelStats _),
@@ -1447,6 +1462,17 @@ object TextLLM {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.3
         |ORDER BY 1, 2""".stripMargin,
+    // Discrete-quantile mirror: quantile_disc returns the same order
+    // statistic approx_percentile converges to when accuracy ≥ n (proven
+    // by this match); parallel unnests run in lockstep, pairing each
+    // prob with its quantile.
+    "a_quantile_profile" ->
+      """WITH q AS (SELECT lang,
+        |    quantile_disc(length(text), [0.0,0.25,0.5,0.75,0.95,1.0]) AS qs
+        |  FROM documents GROUP BY 1)
+        |SELECT lang, unnest([0.0,0.25,0.5,0.75,0.95,1.0]) AS prob,
+        |  unnest(qs) AS len_q
+        |FROM q ORDER BY 1, 2""".stripMargin,
     // SemDeDup mirror: seed centroids = the 8 lowest-vec_id embeddings
     // verbatim (the s_ann_ivf_top3 convention), assignment by the same
     // (-2·v·c + ||c||², ci) first-min rank, pairs only within a cluster,

@@ -627,6 +627,37 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf == brute)
   }
 
+  test("centroid argmin: native loop == composed array-of-dots form, bit for bit") {
+    val rng = new scala.util.Random(29)
+    val k = 64 // past the codegen budget of the composed form — the case
+    val dim = 16 // the native expression exists for
+    val centroids = Seq.fill(k)(Seq.fill(dim)(rng.nextGaussian()))
+    val df = vecsDf((0L until 500L).map(i =>
+      (i, Seq.fill(dim)(rng.nextGaussian().toFloat))): _*)
+    // the pre-round-8 composed formulation, verbatim
+    val dists = array(centroids.map { c =>
+      val norm2 = c.map(x => x * x).sum
+      Similarity.dot(col("embedding"), typedLit(c)) * -2 + norm2
+    }: _*)
+    val composed = (array_position(dists, array_min(dists)) - 1).cast("int")
+    val out = df.select(col("vec_id"),
+        Similarity.nearestCentroid(col("embedding"), centroids).as("fast"),
+        composed.as("slow"))
+      .collect()
+    out.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"vec ${r.getLong(0)}: native ${r.getInt(1)} vs composed ${r.getInt(2)}"))
+    // SQL face + null/mismatch semantics
+    df.createOrReplaceTempView("cav")
+    val mat = centroids.map(_.mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val sql = spark.sql(
+      s"SELECT graft_centroid_argmin(embedding, $mat) FROM cav LIMIT 1")
+    assert(!sql.head().isNullAt(0))
+    val bad = df.select(Similarity.nearestCentroid(
+      slice(col("embedding"), 1, 3), centroids)).head()
+    assert(bad.isNullAt(0), "dimension mismatch must yield null")
+  }
+
   test("SemDeDup: pairs = brute force restricted to clusters; min-id survivors; guard") {
     val rng = new scala.util.Random(17)
     val centers = Seq(Array.fill(8)(5.0), Array.fill(8)(-5.0))

@@ -82,6 +82,32 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("empty"), "an all-null group has no complete pairs")
   }
 
+  test("quantileProfile: exact order statistics, partition-invariant, long form") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 100).map(i => ("a", i)) ++
+      (1 to 777).map(_ => ("b", rng.nextInt(10000)))
+    val df = rows.toDF("g", "v")
+    val probs = Seq(0.0, 0.25, 0.5, 0.95, 1.0)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.quantileProfile(d, Seq(col("g")), col("v"), probs)
+        .collect().map(r => (r.getAs[String]("g"), r.getAs[Double]("prob")) ->
+          r.getAs[Int]("value")).toMap
+    val out = run(df)
+    // group "a" is 1..100: quantiles are known order statistics
+    assert(out(("a", 0.0)) == 1 && out(("a", 1.0)) == 100)
+    assert(out(("a", 0.5)) == 50 && out(("a", 0.25)) == 25)
+    // accuracy (10k) ≥ n: the sketch is EXACT, so any partitioning of the
+    // same rows returns identical elements — the mergeability contract
+    assert(run(df.repartition(13)) == out)
+    assert(out.keySet.map(_._1) == Set("a", "b") &&
+      out.size == 2 * probs.size)
+    // every reported value is a dataset element of its group (discrete
+    // quantile, never an interpolation)
+    val bVals = rows.collect { case ("b", v) => v }.toSet
+    probs.foreach(p => assert(bVals.contains(out(("b", p)))))
+  }
+
   test("single-row group: null variance and corr, not a divide-by-zero") {
     import spark.implicits._
     val df = Seq(("solo", 5, 2), ("pair", 1, 1), ("pair", 3, 9)).toDF("g", "x", "y")
