@@ -118,6 +118,13 @@ object LlmPipeline {
         maxTokens, overlap, passthrough = Seq("quality", "lang", "split"))
       .withColumnRenamed("id", "doc_id")
     chunks.write.mode("append").partitionBy("split").parquet(outDir)
-    SnapshotResult(chunks, r.state)
+    // Materialize the carried state (executor-local blocks) so (a) the next
+    // snapshot's plans don't drag this step's full lineage along — across
+    // many snapshots that lineage compounds into re-running every previous
+    // batch's minhashing — and (b) this step's signature cache can be
+    // released instead of accreting one cached batch per snapshot.
+    val carried = r.state.localCheckpoint(true)
+    r.release()
+    SnapshotResult(chunks, carried)
   }
 }

@@ -97,11 +97,15 @@ object Verify {
       case c => c.toString
     } + "\""
     val oracle = SparkEntry.oracleSql
-    // Both key forms in the whole-map JSON: bare query name and the
-    // output filename the driver keys its CORRECTNESS rows by.
+    // ONE canonical key form in the whole-map JSON: the output filename
+    // `<name>.parquet`. That is the form the driver keys CORRECTNESS rows
+    // by, and round 8 (first dual-key round) was the first fully-matched
+    // round after seven rounds of `no_oracle` with bare-name-only keys —
+    // so the filename form is the one that works; the bare-name duplicate
+    // was judged redundant (round-8 verdict housekeeping #3) and dropped.
     val json = oracle.toSeq.sortBy(_._1)
-      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(s"$k.parquet")}: ${q(v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Per-query sidecars next to <name>.parquet, in both key forms, plus
     // an _oracle.sql INSIDE the output directory (invisible to parquet

@@ -335,8 +335,10 @@ object Dedup {
     val both = e.union(e.select(col("v").as("u"), col("u").as("v")))
     // window-min over the symmetrized adjacency: ONE exchange on u, where
     // the previous groupBy-then-join form paid three (agg + both join
-    // sides) — and no adjacency list ever materializes on a single row,
-    // so a 10M-degree boilerplate hub can't skew a task
+    // sides). A high-degree hub's rows still land in one task (WindowExec
+    // buffers and spills the partition), but no adjacency LIST materializes
+    // on a single row, so the hub degrades to spill, not to an OOM — and
+    // large-star itself shrinks hub degree geometrically across rounds.
     val m = min(least(col("u"), col("v"))).over(Window.partitionBy("u"))
     both.withColumn("m", m)
       .filter(col("v") > col("u"))
@@ -512,7 +514,15 @@ object Dedup {
       .join(minhashSignatures(df, idCol, textCol, shingleK, numHashes, family),
         "id")
 
-  final case class IncrementalResult(kept: DataFrame, state: DataFrame)
+  /** `kept`/`state` share a cached signature DataFrame; call [[release]]
+    * once both are materialized (written or collected) to return that
+    * executor storage — a long-lived snapshot loop that never releases
+    * accretes one cached batch per step. The DataFrames stay valid after
+    * release (they recompute without the cache if re-used). */
+  final case class IncrementalResult(kept: DataFrame, state: DataFrame,
+      private val cachedSig: Option[DataFrame] = None) {
+    def release(): Unit = cachedSig.foreach { df => df.unpersist(); () }
+  }
 
   /** One snapshot step of INCREMENTAL corpus dedup — the production shape:
     * a new crawl batch is deduplicated against everything already retained
@@ -593,7 +603,7 @@ object Dedup {
     // 5. state grows by the kept rows
     val newState = state.unionByName(
       kept.select("id", "h64", "h256", "signature"))
-    IncrementalResult(kept.select("id"), newState)
+    IncrementalResult(kept.select("id"), newState, Some(withSig))
   }
 
   // ------------------------------------------------- n-gram Jaccard (rare)

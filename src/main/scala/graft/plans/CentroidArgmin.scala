@@ -32,9 +32,11 @@ import org.apache.spark.sql.types._
   * dimension mismatch yields NULL, as the composed form's null dot did.
   *
   * Second child is the centroid matrix as a FOLDABLE `array<array
-  * <double>>` literal — evaluated once at plan time, never per row —
+  * <numeric>>` literal — evaluated once at plan time (any numeric
+  * element type, converted to double during staging), never per row —
   * which keeps the expression constructible through the registered SQL
-  * function (`graft_centroid_argmin(vec, matrix)`).
+  * function (`graft_centroid_argmin(vec, matrix)`), including with
+  * inline literal matrices whose elements parse as decimals.
   */
 case class CentroidArgmin(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,12 +46,19 @@ case class CentroidArgmin(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(vt, _), ArrayType(ArrayType(DoubleType, _), _))
-          if (vt == FloatType || vt == DoubleType) && right.foldable =>
+      // Matrix accepts ANY numeric element (converted once in `staged`, not
+      // per row): Spark SQL parses plain decimal literals as DecimalType and
+      // scientific-notation ones as DoubleType, so an inline
+      // `array(array(0.91, 1.2E-5))` matrix reaches us as whichever common
+      // type coercion picked — rejecting non-double here made the registered
+      // SQL face unusable with literal matrices.
+      case (ArrayType(vt, _), ArrayType(ArrayType(mt, _), _))
+          if (vt == FloatType || vt == DoubleType) &&
+            mt.isInstanceOf[NumericType] && right.foldable =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         "graft_centroid_argmin expects (array<float|double> vector, " +
-          "foldable array<array<double>> centroid matrix), got " +
+          "foldable array<array<numeric>> centroid matrix), got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}" +
           (if (!right.foldable) " (matrix is not foldable)" else ""))
     }
@@ -63,6 +72,20 @@ case class CentroidArgmin(left: Expression, right: Expression)
     val rows = right.eval(null).asInstanceOf[ArrayData]
     require(rows != null && rows.numElements() > 0,
       "graft_centroid_argmin: empty centroid matrix")
+    val matType = right.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[ArrayType].elementType
+    val getElem: (ArrayData, Int) => Double = matType match {
+      case DoubleType => (a, j) => a.getDouble(j)
+      case FloatType => (a, j) => a.getFloat(j).toDouble
+      case dt: DecimalType =>
+        (a, j) => a.getDecimal(j, dt.precision, dt.scale).toDouble
+      case ByteType => (a, j) => a.getByte(j).toDouble
+      case ShortType => (a, j) => a.getShort(j).toDouble
+      case IntegerType => (a, j) => a.getInt(j).toDouble
+      case LongType => (a, j) => a.getLong(j).toDouble
+      case other => throw new IllegalStateException(
+        s"graft_centroid_argmin: unsupported matrix element type $other")
+    }
     val k = rows.numElements()
     val first = rows.getArray(0)
     val d = first.numElements()
@@ -77,7 +100,7 @@ case class CentroidArgmin(left: Expression, right: Expression)
       var n2 = 0.0
       var j = 0
       while (j < d) {
-        val x = row.getDouble(j)
+        val x = getElem(row, j)
         flat(i * d + j) = x
         n2 += x * x
         j += 1

@@ -1470,7 +1470,8 @@ object TextLLM {
       """WITH q AS (SELECT lang,
         |    quantile_disc(length(text), [0.0,0.25,0.5,0.75,0.95,1.0]) AS qs
         |  FROM documents GROUP BY 1)
-        |SELECT lang, unnest([0.0,0.25,0.5,0.75,0.95,1.0]) AS prob,
+        |SELECT lang,
+        |  unnest(CAST([0.0,0.25,0.5,0.75,0.95,1.0] AS DOUBLE[])) AS prob,
         |  unnest(qs) AS len_q
         |FROM q ORDER BY 1, 2""".stripMargin,
     // SemDeDup mirror: seed centroids = the 8 lowest-vec_id embeddings

@@ -119,8 +119,16 @@ object Compaction {
       }
       val originals = fs.listStatus(dir).filter(isDataFile)
       originals.foreach(f => fs.delete(f.getPath, false))
+      // rename can return false without throwing (object-store FileSystems
+      // especially) — and at this point the originals are already gone, so
+      // a silently failed rename would lose the leaf's data. Fail before
+      // deleting the temp dir: the compacted files stay recoverable there.
       newFiles.foreach { f =>
-        fs.rename(f.getPath, new Path(dir, f.getPath.getName.stripPrefix(".")))
+        val dest = new Path(dir, f.getPath.getName.stripPrefix("."))
+        if (!fs.rename(f.getPath, dest))
+          throw new IllegalStateException(
+            s"compaction of ${lp.dir}: rename ${f.getPath} -> $dest failed; " +
+              s"originals are deleted but all compacted data is intact under $tmp — recover manually")
       }
       fs.delete(tmp, true)
       LeafResult(lp.dir, lp.files, newFiles.length, lp.bytes, after)

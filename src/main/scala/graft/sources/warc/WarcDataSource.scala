@@ -170,21 +170,26 @@ private[warc] class WarcScanner(in: InputStream, var offset: Long,
   private var discardFirstLine = !atRecordBoundary
 
   /** Reads one \n-terminated line (CR stripped); None at EOF.
-    * Returns (line, startOffset). */
+    * Returns (line, startOffset). Bytes are accumulated raw and decoded
+    * as UTF-8 — the writer encodes headers as UTF-8, and byte-at-a-time
+    * `toChar` (Latin-1) would mojibake non-ASCII header values such as
+    * real Common Crawl `WARC-Target-URI`s. Offsets stay byte-accurate
+    * regardless of decoding. */
   private def readLine(): Option[(String, Long)] = {
     val start = offset
-    val sb = new java.lang.StringBuilder(64)
+    val buf = new java.io.ByteArrayOutputStream(64)
     var b = data.read()
     if (b < 0) return None
     while (b >= 0 && b != '\n') {
-      sb.append(b.toChar)
+      buf.write(b)
       offset += 1
       b = data.read()
     }
     if (b == '\n') offset += 1
-    val n = sb.length()
-    if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
-    Some((sb.toString, start))
+    val bytes = buf.toByteArray
+    var n = bytes.length
+    if (n > 0 && bytes(n - 1) == '\r') n -= 1
+    Some((new String(bytes, 0, n, java.nio.charset.StandardCharsets.UTF_8), start))
   }
 
   private def headerLine(s: String): Option[(String, String)] = {
@@ -422,6 +427,17 @@ class WarcDataWriter(dir: String, schema: StructType, jobId: String,
 
   private def crlf(s: String): Array[Byte] = (s + "\r\n").getBytes("UTF-8")
 
+  // A header key/value containing CR or LF would desync the
+  // Content-Length/blank-line framing — the written file could never
+  // round-trip. Fail loudly rather than emit a malformed container.
+  private def checkHeader(k: String, v: String): Unit = {
+    require(k.nonEmpty && k.forall(c => c > ' ' && c < 127 && c != ':'),
+      s"warc write: invalid header name '${k.take(80)}' — names must be " +
+        "printable ASCII with no whitespace or ':'")
+    require(!v.exists(c => c == '\r' || c == '\n'),
+      s"warc write: header '$k' value contains CR/LF — would corrupt record framing")
+  }
+
   override def write(row: InternalRow): Unit = {
     val payload = idx.get("payload").filterNot(row.isNullAt)
       .map(row.getBinary).getOrElse(Array.emptyByteArray)
@@ -429,6 +445,7 @@ class WarcDataWriter(dir: String, schema: StructType, jobId: String,
     val written = scala.collection.mutable.Set.empty[String]
     promoted.foreach { case (col, hdr) =>
       strAt(row, col).foreach { v =>
+        checkHeader(hdr, v)
         out.write(crlf(s"$hdr: $v")); written += hdr.toLowerCase: Unit
       }
     }
@@ -439,8 +456,11 @@ class WarcDataWriter(dir: String, schema: StructType, jobId: String,
       while (j < m.numElements()) {
         val k = ks.getUTF8String(j).toString
         if (!written.contains(k.toLowerCase) &&
-            !k.equalsIgnoreCase(WarcTable.ContentLength))
-          out.write(crlf(s"$k: ${vs.getUTF8String(j).toString}"))
+            !k.equalsIgnoreCase(WarcTable.ContentLength)) {
+          val v = vs.getUTF8String(j).toString
+          checkHeader(k, v)
+          out.write(crlf(s"$k: $v"))
+        }
         j += 1
       }
     }
