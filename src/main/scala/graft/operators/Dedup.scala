@@ -514,6 +514,30 @@ object Dedup {
       .join(minhashSignatures(df, idCol, textCol, shingleK, numHashes, family),
         "id")
 
+  /** Maintenance pass over a [[corpusState]]: drop every row whose MinHash
+    * signature is byte-identical to a lower-id row's. The dropped rows are
+    * REPRESENTATIONALLY redundant — an identical signature occupies exactly
+    * the same LSH band buckets with exactly the same estimator value
+    * against every probe, and a future batch doc exactly equal to a
+    * dropped row's text still dies: it misses the (h64, h256) anti join
+    * but then estimates Jaccard 1 (≥ any threshold) against the surviving
+    * twin at the signature stage. So [[incrementalDedup]] keep-decisions
+    * are unchanged, while a state bootstrapped from a RAW (never-deduped)
+    * corpus collapses every exact-duplicate family to one row — the
+    * monotone-growth pressure release for a long snapshot loop, in the
+    * spirit of [[graft.sinks.Compaction]] for parquet leaves.
+    *
+    * One caveat at the margin: with fewer state rows, a band bucket that
+    * exceeded `maxBucket` (and was therefore ignored wholesale) can come
+    * back under the cap, SURFACING candidates the cap had suppressed —
+    * decisions only ever get stricter (more dropping), never looser.
+    *
+    * One window over one exchange on the signature; nothing else moves. */
+  def compactState(state: DataFrame): DataFrame =
+    state.withColumn("__keep",
+        min(col("id")).over(Window.partitionBy("signature")))
+      .filter(col("id") === col("__keep")).drop("__keep")
+
   /** `kept`/`state` share a cached signature DataFrame; call [[release]]
     * once both are materialized (written or collected) to return that
     * executor storage — a long-lived snapshot loop that never releases

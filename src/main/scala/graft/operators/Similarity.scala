@@ -390,9 +390,10 @@ object Similarity {
     * 100M+ embeddings for exactly this reason).
     *
     * Centroids come from the caller ([[trainCentroids]]; `iters = 0` for
-    * an engine-portable deterministic seed set). Fails fast if any
-    * cluster exceeds `maxClusterRows` — the signal to raise k — instead
-    * of silently planning a quadratic blow-up on a skewed cluster.
+    * an engine-portable deterministic seed set). A cluster exceeding
+    * `maxClusterRows` is automatically re-clustered via [[semanticAssign]]
+    * (recursive sub-k-means up to `maxSplitDepth` levels); the fail-fast
+    * guard survives as the recursion floor.
     *
     * Output: (id_a, id_b, cluster, cos) with id_a < id_b. Cross-cluster
     * near-dups are invisible by design — the method's published
@@ -401,27 +402,81 @@ object Similarity {
   def semanticDedupPairs(vectors: DataFrame, centroids: Seq[Seq[Double]],
       minCosine: Double, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxClusterRows: Long = 100000): DataFrame = {
-    val indexed = ivfIndex(vectors, centroids, vecCol)
+      maxClusterRows: Long = 100000, maxSplitDepth: Int = 3): DataFrame = {
+    val indexed = semanticAssign(vectors, centroids, idCol, vecCol,
+        maxClusterRows, maxSplitDepth)
       .withColumn("__n", norm(col(vecCol)))
-    val biggest = indexed.groupBy("ivf_list").count()
-      .agg(coalesce(max("count"), lit(0L))).head.getLong(0)
-    require(biggest <= maxClusterRows,
-      s"semanticDedupPairs: largest cluster has $biggest rows " +
-        s"(> $maxClusterRows) — per-cluster work is quadratic; train more " +
-        "centroids (larger k) so clusters stay bounded, or raise " +
-        "maxClusterRows deliberately")
-    val a = indexed.select(col("ivf_list"), col(idCol).as("id_a"),
+    val a = indexed.select(col("cluster"), col(idCol).as("id_a"),
       col(vecCol).as("__va"), col("__n").as("__na"))
-    val b = indexed.select(col("ivf_list"), col(idCol).as("id_b"),
+    val b = indexed.select(col("cluster"), col(idCol).as("id_b"),
       col(vecCol).as("__vb"), col("__n").as("__nb"))
-    a.join(b, Seq("ivf_list"))
+    a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
         cosineWithNorms(col("__va"), col("__vb"), col("__na"), col("__nb")))
       .filter(col("cos") >= minCosine)
-      .select(col("id_a"), col("id_b"), col("ivf_list").as("cluster"),
-        col("cos"))
+      .select(col("id_a"), col("id_b"), col("cluster"), col("cos"))
+  }
+
+  /** Nearest-centroid assignment with automatic SPLITTING of oversized
+    * clusters: after the argmin assign, any cluster larger than
+    * `maxClusterRows` is re-clustered by a fresh [[trainCentroids]] run
+    * over just that cluster's rows, recursively, up to `maxSplitDepth`
+    * levels; a cluster still oversized at the floor fails fast exactly as
+    * the pre-split guard did (all-identical vectors, for example, cannot
+    * be split by any k). Per-cluster work everywhere downstream stays
+    * bounded by `maxClusterRows` — the skewed-corpus failure mode of flat
+    * SemDeDup becomes a local, deterministic re-cluster instead of an
+    * operator intervention.
+    *
+    * Cluster ids: a corpus that never trips the guard keeps the raw
+    * centroid indices (so existing oracle replays are unchanged); split
+    * products are numbered from `centroids.size` upward in deterministic
+    * (parent-ascending, depth-first) order.
+    *
+    * Scale: sizes are one tiny groupBy-count collect per level (≤ k
+    * rows); each split re-scans only the offending cluster's rows — the
+    * compliant majority of the corpus is assigned in a single pass. */
+  def semanticAssign(vectors: DataFrame, centroids: Seq[Seq[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxClusterRows: Long = 100000, maxSplitDepth: Int = 3): DataFrame = {
+    var nextId = centroids.size
+    def go(df: DataFrame, cents: Seq[Seq[Double]], depth: Int,
+        keepIds: Boolean): DataFrame = {
+      val indexed = ivfIndex(df, cents, vecCol)
+      val sizes = indexed.groupBy("ivf_list").count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toMap
+      val oversized = sizes.keys.filter(i => sizes(i) > maxClusterRows).toSeq.sorted
+      if (oversized.isEmpty && keepIds)
+        return indexed.withColumnRenamed("ivf_list", "cluster")
+      require(oversized.isEmpty || depth > 0,
+        s"semanticAssign: cluster of ${oversized.map(sizes).max} rows still " +
+          s"exceeds $maxClusterRows at the recursion floor — the rows are " +
+          "too concentrated to split (raise maxClusterRows or maxSplitDepth " +
+          "deliberately, or train more top-level centroids)")
+      val compliant = sizes.keys.toSeq.sorted.filterNot(oversized.contains)
+      val alloc: Map[Int, Int] = compliant.map { i =>
+        i -> (if (keepIds) i else { val n = nextId; nextId += 1; n })
+      }.toMap
+      val kept =
+        if (alloc.isEmpty) Nil
+        else {
+          val base = if (oversized.isEmpty) indexed
+            else indexed.filter(!col("ivf_list").isin(oversized: _*))
+          Seq(base
+            .withColumn("cluster", element_at(typedLit(alloc), col("ivf_list")))
+            .drop("ivf_list"))
+        }
+      val splits = oversized.map { i =>
+        val sub = indexed.filter(col("ivf_list") === i).drop("ivf_list")
+        val subK = math.max(2, math.min(64,
+          math.ceil(sizes(i) * 2.0 / maxClusterRows).toInt))
+        val subCents = trainCentroids(sub, subK, iters = 2, idCol, vecCol)
+        go(sub, subCents, depth - 1, keepIds = false)
+      }
+      (kept ++ splits).reduce(_.unionByName(_))
+    }
+    go(vectors, centroids, maxSplitDepth, keepIds = true)
   }
 
   /** SemDeDup survivors: [[semanticDedupPairs]] → connected components →
@@ -433,9 +488,9 @@ object Similarity {
   def semanticDedup(vectors: DataFrame, centroids: Seq[Seq[Double]],
       minCosine: Double, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxClusterRows: Long = 100000): DataFrame = {
+      maxClusterRows: Long = 100000, maxSplitDepth: Int = 3): DataFrame = {
     val pairs = semanticDedupPairs(vectors, centroids, minCosine,
-      idCol, vecCol, maxClusterRows)
+      idCol, vecCol, maxClusterRows, maxSplitDepth)
     graft.operators.Dedup.assignComponentsOrSelf(vectors, col(idCol),
         pairs.select("id_a", "id_b"))
       .filter(col("id") === col("label"))

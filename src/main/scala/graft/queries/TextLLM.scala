@@ -172,6 +172,25 @@ object TextLLM {
       .kept.select(col("id").as("doc_id")).orderBy("doc_id")
   }
 
+  /** State compaction end to end: a dedup state bootstrapped from a RAW
+    * corpus (verbatim copy families injected) is compacted to one row per
+    * distinct signature — the surviving ids are the min id of each
+    * signature family, independently replayed by the oracle's signature
+    * CTE. Md5Minhash so every hash has a DuckDB mirror. */
+  def dStateCompaction(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 100)
+    val raw = d
+      .unionByName(d.filter(col("doc_id") < 40).select(
+        (col("doc_id") + 1000).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") < 15).select(
+        (col("doc_id") + 2000).as("doc_id"), col("text")))
+    val st = Dedup.corpusState(raw, col("doc_id"), col("text"),
+      family = Dedup.Md5Minhash)
+    Dedup.compactState(st)
+      .select(col("id").as("doc_id")).orderBy("doc_id")
+  }
+
   /** The deduplicated corpus: one survivor (min doc_id) per duplicate
     * cluster with the number of docs it absorbed. */
   def dClusterSurvivors(s: SparkSession, dir: String): DataFrame =
@@ -726,6 +745,7 @@ object TextLLM {
     "d_dup_clusters" -> (dDupClusters _),
     "d_cluster_survivors" -> (dClusterSurvivors _),
     "d_incremental_dedup" -> (dIncrementalDedup _),
+    "d_state_compaction" -> (dStateCompaction _),
     "m_binary_meta" -> (mBinaryMeta _),
     "m_warc_roundtrip" -> (mWarcRoundtrip _),
     "s_ann_brute_top5" -> (sAnnBruteTop5 _),
@@ -1109,6 +1129,21 @@ object TextLLM {
         |  FROM documents)
         |SELECT source, sampled_rank, doc_id FROM r
         |WHERE sampled_rank <= 25 ORDER BY 1, 2""".stripMargin,
+    // compactState mirror: same raw-corpus construction, signature via
+    // the shared minhash CTEs, survivors = min doc_id per identical
+    // signature list.
+    "d_state_compaction" ->
+      (s"""WITH dd AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+          |  UNION ALL
+          |  SELECT doc_id + 1000, text FROM documents WHERE doc_id < 40
+          |  UNION ALL
+          |  SELECT doc_id + 2000, text FROM documents WHERE doc_id < 15),
+          |""".stripMargin + minhashSqlCtes("dd") +
+        """
+          |SELECT doc_id FROM (
+          |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY sig) AS k FROM sig)
+          |WHERE doc_id = k ORDER BY 1""".stripMargin),
     // Full dedupCorpus mirror (Md5Minhash): exact survivors by text →
     // portable minhash-LSH pairs → recursive-CTE min-label connected
     // components → drop non-canonical members. Matches Dedup.dedupCorpus

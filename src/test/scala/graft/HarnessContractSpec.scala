@@ -39,12 +39,21 @@ class HarnessContractSpec extends AnyFunSuite {
     assert(mapper.readTree(line).get("errors").size <= 3)
   }
 
-  test("bench details payload is valid JSON with medians and raw reps") {
+  test("bench details payload is valid JSON with medians, raw reps, calibration") {
     val results = SparkEntry.headline.map(n => n -> Seq(3.0, 1.0, 2.0)).toSeq
-    val js = Bench.renderDetails(results, 3, Seq("q" -> "boom \"quoted\""), "/sf")
+    val js = Bench.renderDetails(results, 3, Seq("q" -> "boom \"quoted\""), "/sf",
+      calibration = Seq(0.11, 0.12))
     val node = mapper.readTree(js)
     assert(node.get("queries_median").get(SparkEntry.headline.head).asDouble == 2.0)
     assert(node.get("reps_sec").get(SparkEntry.headline.head).size == 3)
+    assert(node.get("calibration_sec").size == 2)
+  }
+
+  test("calibration spin returns a plausible positive wall time") {
+    val t = Bench.calibrate(iters = 10000000L)
+    assert(t > 0.0 && t < 10.0)
+    val line = Bench.render(realisticMins, 40.0, 3, Nil, "/sf", calMedian = t)
+    assert(mapper.readTree(line).get("cal").asDouble > 0.0)
   }
 
   test("every oracle query name is a legal filename stem for dual-key sidecars") {

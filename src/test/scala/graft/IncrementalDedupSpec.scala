@@ -100,6 +100,37 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch === Set(1L, 3L, 4L, 11L, 13L))
   }
 
+  test("compactState: identical keep-decisions at a fraction of state rows") {
+    // state bootstrapped from a RAW corpus: 12 distinct texts, the first 8
+    // duplicated verbatim once and the first 4 twice more — 28 rows total
+    val base = (1L to 12L).map(i => (i, mkText(i.toInt)))
+    val raw = df((base ++
+      base.take(8).map { case (i, t) => (i + 100, t) } ++
+      base.take(4).map { case (i, t) => (i + 200, t) } ++
+      base.take(4).map { case (i, t) => (i + 300, t) }): _*)
+    val rawState = Dedup.corpusState(raw, col("doc_id"), col("text")).cache()
+    val compacted = Dedup.compactState(rawState).cache()
+    val (nRaw, nCompact) = (rawState.count(), compacted.count())
+    assert(nRaw === 28 && nCompact === 12,
+      "each verbatim family must collapse to one row")
+    // a batch exercising every decision path: fresh, exact-of-state (incl.
+    // exact of a COMPACTED-AWAY id's text), near-of-state, in-batch pair
+    val batch = df(
+      (400L, mkText(400)),              // fresh → kept
+      (401L, mkText(1)),                // exact dup of compacted family → dropped
+      (402L, mkText(8)),                // exact dup of a duplicated text → dropped
+      (403L, mkText(5) + " tail"),      // near dup of state → dropped
+      (404L, mkText(404)), (405L, mkText(404)), // in-batch exact pair → 404
+      (406L, mkText(406)))              // fresh → kept
+    val viaRaw = Dedup.incrementalDedup(batch, col("doc_id"), col("text"), rawState)
+    val viaCompact = Dedup.incrementalDedup(batch, col("doc_id"), col("text"), compacted)
+    assert(keptIds(viaRaw) === keptIds(viaCompact),
+      "compaction must not change any keep-decision")
+    assert(keptIds(viaCompact) === Set(400L, 404L, 406L))
+    // compacting a compacted state is a no-op (idempotent maintenance)
+    assert(Dedup.compactState(compacted).count() === nCompact)
+  }
+
   test("estimatedJaccard: 1.0 on equal, 0.0 on disjoint, fraction between") {
     import spark.implicits._
     val r = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 9L, 9L))).toDF("a", "b")

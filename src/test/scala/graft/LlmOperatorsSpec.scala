@@ -694,11 +694,51 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(kept == expectKept)
 
-    // quadratic-cluster guard names the fix (more centroids)
+    // with splitting disabled the quadratic-cluster guard still fails fast
     val e = intercept[IllegalArgumentException] {
-      Similarity.semanticDedupPairs(df, centroids, theta, maxClusterRows = 10)
+      Similarity.semanticDedupPairs(df, centroids, theta, maxClusterRows = 10,
+        maxSplitDepth = 0)
     }
-    assert(e.getMessage.contains("larger k"))
+    assert(e.getMessage.contains("recursion floor"))
+  }
+
+  test("SemDeDup auto-split: skewed corpus succeeds, pairs = brute within final clusters") {
+    val rng = new scala.util.Random(31)
+    // 90% of rows in one tight blob: flat k=2 assignment puts ~108 rows in
+    // one cluster — over maxClusterRows=40, the pre-split fail-fast case
+    val rows = (0L until 120L).map { i =>
+      val base = if (i % 10 == 0) Array.fill(8)(-6.0) else Array.fill(8)(6.0)
+      (i, base.map(x => (x + rng.nextGaussian()).toFloat).toSeq)
+    }
+    val df = vecsDf(rows: _*)
+    val centroids = Similarity.trainCentroids(df, k = 2, iters = 3)
+    val maxRows = 40L
+    val assigned = Similarity.semanticAssign(df, centroids,
+        maxClusterRows = maxRows)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned.size == 120, "splitting must not drop or duplicate rows")
+    val clusterSizes = assigned.values.groupBy(identity).map { case (c, v) => c -> v.size }
+    assert(clusterSizes.values.max <= maxRows, "every final cluster bounded")
+    assert(clusterSizes.size > 2, "the oversized cluster must have split")
+    // the auto-split contract: pairs = unrestricted brute force MINUS
+    // pairs crossing FINAL (post-split) cluster boundaries
+    val theta = 0.9
+    val pairs = Similarity.semanticDedupPairs(df, centroids, theta,
+        maxClusterRows = maxRows)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.cosineNearDupPairs(df, theta, maxRows = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == brute.filter { case (a, b) => assigned(a) == assigned(b) })
+    assert(pairs.nonEmpty, "fixture produced no near-dup pairs")
+    // identical vectors cannot be split by any k — the floor still fails
+    // fast instead of recursing forever
+    val same = vecsDf((0L until 50L).map(i => (i, Seq.fill(8)(1.0f))): _*)
+    val c1 = Similarity.trainCentroids(same, k = 2, iters = 0)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticAssign(same, c1, maxClusterRows = 10)
+    }
+    assert(e.getMessage.contains("recursion floor"))
   }
 
   test("PQ: codes in range, ADC stays near true cosine, blob structure survives") {
