@@ -119,6 +119,39 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Encode a REAL JPEG (DCT + quantization + Huffman via the JDK's
+    * ImageIO writer) from a pixel function, at an explicit quality.
+    * JPEG is lossy in general — decoded pixels are codec arithmetic, not
+    * the input — EXCEPT for constant-gray images: r=g=b=v maps to a
+    * constant Y plane (the RGB→YCbCr weights sum to exactly 1) with both
+    * chroma planes pinned at 128, every 8×8 block is DC-only, and the DC
+    * coefficient survives quantization round-trip, so the decode returns
+    * v exactly (verified exhaustively for all 256 gray levels at
+    * quality ≥ 0.9). That class is what makes a JPEG decode path
+    * oracle-checkable with exact integer arithmetic. */
+  def encodeJpeg(width: Int, height: Int, rgb: (Int, Int) => Int,
+      quality: Float = 1.0f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** One decoded animation frame reduced to exact integer pixel sums —
     * the video analog of [[ImageStats]]. */
   final case class FrameStats(frameIdx: Int, width: Int, height: Int,

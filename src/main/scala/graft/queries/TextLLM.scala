@@ -638,6 +638,34 @@ object TextLLM {
       .orderBy("media_id")
   }
 
+  /** JPEG decode through the real lossy codec, oracle-exact: per id a
+    * constant-gray w×h JPEG (the one image class ImageIO round-trips
+    * bit-exactly — see [[Multimodal.encodeJpeg]]) is ENCODED (DCT +
+    * quantization + Huffman) then DECODED back to pixel sums. The magic
+    * bytes pin that a real JPEG container went through; the sums formula
+    * (w·h·v per channel) is replayed by the oracle in integer SQL. */
+  def mJpegPixelStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = docs(s, dir).filter(col("doc_id") < 20)
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (3 + id % 6).toInt
+        val h = (2 + id % 5).toInt
+        val v = ((id * 37 + 11) % 256).toInt
+        val jpg = Multimodal.encodeJpeg(w, h,
+          (_, _) => (v << 16) | (v << 8) | v)
+        require(jpg.length > 2 &&
+          (jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8,
+          s"not a JPEG payload for id $id")
+        val st = Multimodal.decodeImageStats(jpg).getOrElse(
+          sys.error(s"JPEG round-trip failed for id $id"))
+        (id, st.width, st.height, st.sumR, st.sumG, st.sumB)
+      }
+    }.toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+      .orderBy("media_id")
+  }
+
   /** Real-resize round trip: synthesize a deterministic `w×h` PNG per id
     * (w, h vary by id), downscale it with [[Multimodal.resizeImage]]
     * (nearest-neighbor, floor integer index math) to fit maxDim = 3, and
@@ -768,6 +796,7 @@ object TextLLM {
     "a_quantile_profile" -> (aQuantileProfile _),
     "m_frame_features" -> (mFrameFeatures _),
     "m_png_pixel_stats" -> (mPngPixelStats _),
+    "m_jpeg_pixel_stats" -> (mJpegPixelStats _),
     "m_resize_pixel_stats" -> (mResizePixelStats _),
     "m_gif_frame_stats" -> (mGifFrameStats _),
   )
@@ -1452,6 +1481,17 @@ object TextLLM {
         |  CAST(SUM((media_id * 17 + x * 5 + y * 3) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((media_id * 7 + x * 11 + y * 19) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+    // JPEG mirror: constant-gray payloads are the exactly-round-tripping
+    // class (see Multimodal.encodeJpeg), so the decoded sums are the pure
+    // integer formula w·h·v per channel.
+    "m_jpeg_pixel_stats" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(3 + doc_id % 6 AS INTEGER) AS width,
+        |  CAST(2 + doc_id % 5 AS INTEGER) AS height,
+        |  CAST((3 + doc_id % 6) * (2 + doc_id % 5) * ((doc_id * 37 + 11) % 256) AS BIGINT) AS sum_r,
+        |  CAST((3 + doc_id % 6) * (2 + doc_id % 5) * ((doc_id * 37 + 11) % 256) AS BIGINT) AS sum_g,
+        |  CAST((3 + doc_id % 6) * (2 + doc_id % 5) * ((doc_id * 37 + 11) % 256) AS BIGINT) AS sum_b
+        |FROM documents WHERE doc_id < 20 ORDER BY 1""".stripMargin,
     // Full resize mirror: fitDims' integer-ceil formula, then the
     // nearest-neighbor floor index math (sx = x*w // ow), then the same
     // pixel formula as m_png_pixel_stats — all exact integer arithmetic,

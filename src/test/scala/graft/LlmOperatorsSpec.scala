@@ -845,6 +845,27 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out1.forall(_.feature.length == Multimodal.FeatureDim))
   }
 
+  test("ImageIO codec: JPEG constant-gray round-trips exactly; non-constant decodes lossily") {
+    // the oracle-able class: every gray level, assorted non-8-multiple dims
+    for (v <- Seq(0, 1, 17, 128, 200, 254, 255)) {
+      val (w, h) = (3 + v % 6, 2 + v % 5)
+      val jpg = Multimodal.encodeJpeg(w, h, (_, _) => (v << 16) | (v << 8) | v)
+      assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8, "JPEG magic")
+      val st = Multimodal.decodeImageStats(jpg).get
+      assert(st == Multimodal.ImageStats(w, h,
+        w.toLong * h * v, w.toLong * h * v, w.toLong * h * v),
+        s"gray $v must survive the lossy codec bit-exactly")
+    }
+    // a non-constant image goes through the same real codec: dimensions
+    // exact, pixels approximate (it IS lossy — that's the point)
+    val jpg = Multimodal.encodeJpeg(8, 8, (x, y) => ((x * 32) << 16) | ((y * 32) << 8) | 128)
+    val st = Multimodal.decodeImageStats(jpg).get
+    assert(st.width == 8 && st.height == 8)
+    val exactR = (0 until 8).map(_ * 32L).sum * 8
+    assert(math.abs(st.sumR - exactR) < exactR / 5 && st.sumR != exactR,
+      "lossy decode should be near but not exactly the source sums")
+  }
+
   test("ImageIO codec: PNG round-trip returns actual pixels; garbage falls back to stub") {
     // known 2×2 image: exact channel sums survive the lossless round trip
     val colors = Map((0, 0) -> 0x102030, (1, 0) -> 0x405060,
