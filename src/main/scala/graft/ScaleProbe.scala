@@ -186,6 +186,37 @@ object ScaleProbe {
         maxClusterRows = nDocs.toLong).count()
     }
 
+    // ---- round-9 additions: SemDeDup auto-split, state compaction ----
+
+    timed("semdedup_autosplit_skewed") { // recursive sub-k-means on an
+      // adversarially skewed corpus: ~95% of vectors in one tight blob,
+      // so flat k=2 assignment funnels them into one cluster; the
+      // auto-split re-clusters until every final cluster is bounded
+      val bound = math.max(1000L, nDocs / 16L)
+      val skew = spark.range(nDocs.toLong).map { i =>
+        val r = new scala.util.Random(i)
+        val c = if (i % 20 == 0) -5.0 else 5.0
+        (i, Seq.fill(16)((c + r.nextGaussian()).toFloat))
+      }.toDF("vec_id", "embedding")
+      val cents = Similarity.trainCentroids(skew, k = 2, iters = 1)
+      val assigned = Similarity.semanticAssign(skew, cents,
+        maxClusterRows = bound, maxSplitDepth = 4)
+      val maxSz = assigned.groupBy("cluster").count()
+        .agg(max("count")).head.getLong(0)
+      require(maxSz <= bound, s"auto-split left a cluster of $maxSz rows")
+      assigned.count()
+    }
+
+    timed("state_compaction_2x_dups") { // one window-min exchange on the
+      // signature of a dedup state whose rows are duplicated 2× —
+      // collapses back to nDocs rows, decisions provably unchanged
+      val dup = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + nDocs).as("doc_id"),
+          col("text")))
+      val st = Dedup.corpusState(dup, col("doc_id"), col("text"))
+      Dedup.compactState(st).count()
+    }
+
     // ---- round-8 additions: range join, WARC container, Z-order ----
 
     timed("range_join_2M_x_1k") { // optimizer-rewritten BroadcastRangeJoin:
