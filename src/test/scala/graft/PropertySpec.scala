@@ -277,4 +277,70 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("semanticAssign: lossless partition, bounded clusters, deterministic (random skews)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    for (seed <- Seq(3, 7, 19)) {
+      val rng = new Random(seed)
+      val n = 120 + rng.nextInt(120)
+      val dim = 4 + rng.nextInt(5)
+      // 1–3 blobs with random (often extreme) weights — the skew shapes
+      // flat assignment funnels into one oversized cluster
+      val nBlobs = 1 + rng.nextInt(3)
+      val centers = Seq.fill(nBlobs)(Seq.fill(dim)(rng.nextGaussian() * 6))
+      val rows = (0L until n.toLong).map { i =>
+        val c = centers(if (rng.nextInt(10) < 8) 0 else rng.nextInt(nBlobs))
+        (i, c.map(x => (x + rng.nextGaussian()).toFloat))
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val cents = Similarity.trainCentroids(df, k = 2, iters = 1)
+      val bound = math.max(20L, n / 3L)
+      def assign() = Similarity.semanticAssign(df, cents,
+          maxClusterRows = bound, maxSplitDepth = 5)
+        .select(col("vec_id"), col("cluster")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val a = assign()
+      assert(a.keySet == rows.map(_._1).toSet,
+        s"seed $seed: splitting lost or duplicated rows")
+      val sizes = a.values.groupBy(identity).map(_._2.size)
+      assert(sizes.forall(_ <= bound),
+        s"seed $seed: final cluster over bound ${sizes.max} > $bound")
+      assert(assign() == a, s"seed $seed: assignment not deterministic")
+    }
+  }
+
+  test("compactState never changes incrementalDedup keep-decisions (random dup corpora)") {
+    import spark.implicits._
+    def text(rng: Random, id: Int): String =
+      (0 until 25).map(i => s"t${id}w${(i * 11 + id) % 17}n$i").mkString(" ")
+    for (seed <- Seq(5, 13)) {
+      val rng = new Random(seed)
+      val nDistinct = 20 + rng.nextInt(20)
+      val texts = (0 until nDistinct).map(i => text(rng, i + seed * 1000))
+      // raw corpus: each text appears 1–3 times under distinct ids
+      val raw = texts.zipWithIndex.flatMap { case (t, i) =>
+        (0 until 1 + rng.nextInt(3)).map(c => ((c * 10000 + i).toLong, t))
+      }
+      val rawState = Dedup.corpusState(raw.toDF("doc_id", "text"),
+        col("doc_id"), col("text")).cache()
+      val compacted = Dedup.compactState(rawState).cache()
+      assert(compacted.count() == nDistinct,
+        s"seed $seed: compaction must keep one row per distinct text")
+      // batch: fresh texts + exact state copies + near copies + in-batch dup
+      val fresh = (0 until 5).map(i => text(rng, 90000 + i + seed))
+      val batch = (
+        fresh.zipWithIndex.map { case (t, i) => ((500 + i).toLong, t) } ++
+        Seq((600L, texts(rng.nextInt(nDistinct))),
+            (601L, texts(rng.nextInt(nDistinct)) + " tail"),
+            (602L, fresh.head))
+      ).toDF("doc_id", "text")
+      def kept(state: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalDedup(batch, col("doc_id"), col("text"), state)
+          .kept.collect().map(_.getLong(0)).toSet
+      val (kr, kc) = (kept(rawState), kept(compacted))
+      assert(kr == kc, s"seed $seed: decisions diverged — raw $kr vs compact $kc")
+      rawState.unpersist(); compacted.unpersist(): Unit
+    }
+  }
 }
