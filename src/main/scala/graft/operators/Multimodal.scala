@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One media item: opaque payload bytes + typed metadata. The payload
@@ -150,6 +150,62 @@ object Multimodal {
       writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
     } finally { writer.dispose(); ios.close() }
     bos.toByteArray
+  }
+
+  /** Perceptual difference hash (dHash) of an image payload: decode with
+    * the real codec, sample down to a 9×8 grid with the same exact floor
+    * index math as [[resizeImage]] (`sx = tx·w / 9`, `sy = ty·h / 8` —
+    * integer division), integer-luminance each sample
+    * (`(299·r + 587·g + 114·b) / 1000`), then one bit per horizontally
+    * adjacent pair (`gray(x+1, y) > gray(x, y)`), 64 bits row-major.
+    *
+    * Near-identical images — re-encodes, small edits, brightness shifts —
+    * land within a few bits of each other, so the EXISTING 64-bit band
+    * machinery ([[graft.operators.Dedup.simhashCandidatesFromSigs]] +
+    * [[graft.operators.Dedup.hamming64]]) turns image near-duplicate
+    * detection into the same bucket-join shape as text simhash: no
+    * all-pairs anywhere, candidates ∝ true near-dups. Every step is
+    * integer-exact, so over lossless payloads the hash is replayable in
+    * SQL from the pixel formula alone. None for undecodable payloads. */
+  def dHash64(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      val w = im.getWidth; val h = im.getHeight
+      def gray(tx: Int, ty: Int): Int = {
+        val p = im.getRGB(tx * w / 9, ty * h / 8)
+        (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+          (p & 0xff) * 114) / 1000
+      }
+      var hash = 0L
+      var bit = 0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (gray(x + 1, y) > gray(x, y)) hash |= 1L << bit
+          bit += 1
+          x += 1
+        }
+        y += 1
+      }
+      hash
+    }
+  }
+
+  /** Column face of [[dHash64]]: `(id, simhash)` per decodable payload —
+    * named to feed [[graft.operators.Dedup.simhashCandidatesFromSigs]]
+    * directly. Narrow mapPartitions (codec work is not Column-expressible);
+    * undecodable payloads drop out, mirroring zero-token docs in the text
+    * simhash. */
+  def imageDHashes(df: DataFrame, idCol: Column, payloadCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(idCol.cast("long").as("id"), payloadCol.as("p"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => dHash64(p).map(id -> _) })
+      .toDF("id", "simhash")
   }
 
   /** One decoded animation frame reduced to exact integer pixel sums —

@@ -666,6 +666,46 @@ object TextLLM {
       .orderBy("media_id")
   }
 
+  /** Image near-dup detection end to end through the REAL codec: 9×8 PNGs
+    * from the m_png pixel formula (base images for doc_id < 40, verbatim
+    * twins at +1000 for doc_id < 12, one-pixel-edited near twins at +2000
+    * for doc_id < 6) are encoded, decoded, perceptually hashed
+    * ([[Multimodal.dHash64]]), banded through the SAME 64-bit machinery as
+    * text simhash, and Hamming-verified. The twins differ by ≤ 2 bits, so
+    * 4 bands guarantee a candidate (pigeonhole). The oracle replays pixel
+    * formula → integer luminance → comparison bits → hash (HUGEINT
+    * assembly, wrapped to signed 64) → bands → Hamming in pure SQL — a
+    * match proves the real decode → hash → band → verify chain. */
+  def mDhashNearDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = docs(s, dir).filter(col("doc_id") < 40)
+      .select(col("doc_id")).as[Long]
+    val images = ids.mapPartitions { it =>
+      it.flatMap { id =>
+        def png(bump: Boolean): Array[Byte] =
+          Multimodal.encodePng(9, 8, (x, y) => {
+            val r0 = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            val r = if (bump && x == 4 && y == 3) (r0 + 16) % 256 else r0
+            val g = ((id * 17 + x * 5 + y * 3) % 256).toInt
+            val b = ((id * 7 + x * 11 + y * 19) % 256).toInt
+            (r << 16) | (g << 8) | b
+          })
+        Seq(id -> png(bump = false)) ++
+          (if (id < 12) Seq((id + 1000) -> png(bump = false)) else Nil) ++
+          (if (id < 6) Seq((id + 2000) -> png(bump = true)) else Nil)
+      }
+    }.toDF("id", "payload")
+    val sigs = Multimodal.imageDHashes(images, col("id"), col("payload"))
+    val cand = Dedup.simhashCandidatesFromSigs(sigs, bands = 4)
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("simhash").as("ha")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("simhash").as("hb")), "id_b")
+      .withColumn("hamming", Dedup.hamming64(col("ha"), col("hb")))
+      .filter(col("hamming") <= 6)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Real-resize round trip: synthesize a deterministic `w×h` PNG per id
     * (w, h vary by id), downscale it with [[Multimodal.resizeImage]]
     * (nearest-neighbor, floor integer index math) to fit maxDim = 3, and
@@ -797,6 +837,7 @@ object TextLLM {
     "m_frame_features" -> (mFrameFeatures _),
     "m_png_pixel_stats" -> (mPngPixelStats _),
     "m_jpeg_pixel_stats" -> (mJpegPixelStats _),
+    "m_dhash_neardups" -> (mDhashNearDups _),
     "m_resize_pixel_stats" -> (mResizePixelStats _),
     "m_gif_frame_stats" -> (mGifFrameStats _),
   )
@@ -1481,6 +1522,54 @@ object TextLLM {
         |  CAST(SUM((media_id * 17 + x * 5 + y * 3) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((media_id * 7 + x * 11 + y * 19) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+    // dHash mirror: pixel formula → integer luminance → comparison bits →
+    // HUGEINT hash assembly wrapped to signed 64 → 16-bit bands → Hamming.
+    // Every arithmetic step integer-exact; bit 63 forces the HUGEINT
+    // detour (BIGINT << 63 overflows in DuckDB).
+    "m_dhash_neardups" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS id, doc_id AS src, FALSE AS bump
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 1000, doc_id, FALSE FROM documents WHERE doc_id < 12
+        |  UNION ALL
+        |  SELECT doc_id + 2000, doc_id, TRUE FROM documents WHERE doc_id < 6),
+        |px AS (SELECT id,
+        |    x, y,
+        |    CASE WHEN bump AND x = 4 AND y = 3
+        |         THEN ((src * 31 + x * 7 + y * 13) % 256 + 16) % 256
+        |         ELSE (src * 31 + x * 7 + y * 13) % 256 END AS r,
+        |    (src * 17 + x * 5 + y * 3) % 256 AS g,
+        |    (src * 7 + x * 11 + y * 19) % 256 AS b
+        |  FROM imgs CROSS JOIN range(9) xs(x) CROSS JOIN range(8) ys(y)),
+        |gr AS (SELECT id, x, y,
+        |    (r * 299 + g * 587 + b * 114) // 1000 AS gray FROM px),
+        |bits AS (SELECT g1.id, g1.y * 8 + g1.x AS idx,
+        |    CASE WHEN g2.gray > g1.gray THEN 1 ELSE 0 END AS bit
+        |  FROM gr g1 JOIN gr g2
+        |    ON g2.id = g1.id AND g2.y = g1.y AND g2.x = g1.x + 1
+        |  WHERE g1.x < 8),
+        |hh AS (SELECT id, SUM(CAST(bit AS HUGEINT) *
+        |      (CAST(1 AS HUGEINT) << CAST(idx AS INTEGER))) AS h
+        |  FROM bits GROUP BY 1),
+        |sig AS (SELECT id, CAST(h - CASE
+        |      WHEN h >= (CAST(1 AS HUGEINT) << 63)
+        |      THEN (CAST(1 AS HUGEINT) << 64) ELSE CAST(0 AS HUGEINT) END
+        |    AS BIGINT) AS simhash FROM hh),
+        |bk AS (SELECT id, b,
+        |    (simhash >> CAST(b * 16 AS INTEGER)) & 65535 AS bucket
+        |  FROM sig CROSS JOIN range(4) rb(b)),
+        |capped AS (SELECT id, b, bucket FROM (
+        |    SELECT id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n
+        |    FROM bk) WHERE n <= 200),
+        |cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+        |  FROM capped a JOIN capped c
+        |    ON a.b = c.b AND a.bucket = c.bucket AND a.id < c.id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+        |FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+        |ORDER BY 1, 2""".stripMargin,
     // JPEG mirror: constant-gray payloads are the exactly-round-tripping
     // class (see Multimodal.encodeJpeg), so the decoded sums are the pure
     // integer formula w·h·v per channel.

@@ -845,6 +845,42 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out1.forall(_.feature.length == Multimodal.FeatureDim))
   }
 
+  test("dHash: exact twin 0 bits, one-pixel edit <= 2 bits, scale-invariant, banded pairs") {
+    def rgb(id: Long)(x: Int, y: Int): Int = {
+      val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+      val g = ((id * 17 + x * 5 + y * 3) % 256).toInt
+      val b = ((id * 7 + x * 11 + y * 19) % 256).toInt
+      (r << 16) | (g << 8) | b
+    }
+    val base = Multimodal.encodePng(9, 8, rgb(5))
+    val h = Multimodal.dHash64(base).get
+    // identical payload → identical hash
+    assert(Multimodal.dHash64(Multimodal.encodePng(9, 8, rgb(5))).get == h)
+    // one edited pixel changes only the two comparisons that touch it
+    val edited = Multimodal.encodePng(9, 8, (x, y) =>
+      if (x == 4 && y == 3) rgb(5)(x, y) ^ 0x800000 else rgb(5)(x, y))
+    val he = Multimodal.dHash64(edited).get
+    assert(java.lang.Long.bitCount(h ^ he) <= 2)
+    // pixel-doubling to 18x16 samples back to the same grid (floor math)
+    val doubled = Multimodal.encodePng(18, 16, (x, y) => rgb(5)(x / 2, y / 2))
+    assert(Multimodal.dHash64(doubled).get == h, "dHash must be scale-invariant")
+    assert(Multimodal.dHash64("not an image".getBytes("UTF-8")).isEmpty)
+    // the banded pipeline surfaces exactly the planted twins
+    import spark.implicits._
+    val images = (0L until 30L).flatMap { id =>
+      Seq(id -> Multimodal.encodePng(9, 8, rgb(id))) ++
+        (if (id < 8) Seq((id + 100) -> Multimodal.encodePng(9, 8, rgb(id))) else Nil)
+    }.toDF("id", "payload")
+    val sigs = Multimodal.imageDHashes(images, col("id"), col("payload"))
+    val pairs = Dedup.simhashCandidatesFromSigs(sigs, bands = 4)
+      .join(sigs.select(col("id").as("id_a"), col("simhash").as("ha")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("simhash").as("hb")), "id_b")
+      .filter(Dedup.hamming64(col("ha"), col("hb")) === 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 8L).map(i => (i, i + 100)).toSet.subsetOf(pairs),
+      s"planted twins missing from $pairs")
+  }
+
   test("ImageIO codec: JPEG constant-gray round-trips exactly; non-constant decodes lossily") {
     // the oracle-able class: every gray level, assorted non-8-multiple dims
     for (v <- Seq(0, 1, 17, 128, 200, 254, 255)) {
