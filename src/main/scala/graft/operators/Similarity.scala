@@ -343,6 +343,64 @@ object Similarity {
       .select(col(queryId), col("rank"), col(baseId).as("nid"), col("cos"))
   }
 
+  /** IVF-PQ composed search (Jégou et al., TPAMI 2011 §V — the FAISS
+    * `IndexIVFPQ` shape): the coarse quantizer restricts each query to
+    * its `nProbe` nearest inverted lists, and PQ asymmetric-distance
+    * scores ONLY those lists' codes. Per-query work drops from
+    * |base| × m lookups ([[pqTopK]]'s full scan) to
+    * ≈ |base| × nProbe / k_coarse × m — at 100 TB the only tenable ANN
+    * plan: the base is bucketed once (`ivfIndex` + [[pqEncode]], ideally
+    * written partitioned by `ivf_list`), full-precision vectors are never
+    * reopened, and each query's probe set prunes everything else at the
+    * join. `indexedEncoded` must carry `ivf_list` + `codeCol`/`normCol`
+    * (compose `pqEncode(ivfIndex(base, centroids), codebooks)`).
+    *
+    * The probed-lists ranking is [[ivfTopK]]'s expression verbatim and
+    * the ADC table/sum is [[pqTopK]]'s verbatim (fixed left-to-right
+    * subspace tree), so results equal pqTopK restricted to probed lists —
+    * deterministic and engine-mirrorable (asserted in LlmOperatorsSpec).
+    * Output: (qid, rank, nid, cos). */
+  def ivfPqTopK(indexedEncoded: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      nProbe: Int = 2, baseId: String = "vec_id", codeCol: String = "pq_code",
+      normCol: String = "pq_norm",
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val m = codebooks.size
+    val subDim = codebooks.head.head.size
+    val probeDists = array(centroids.map { c =>
+      val norm2 = c.map(x => x * x).sum
+      dot(col(queryVec), typedLit(c)) * -2 + norm2
+    }: _*)
+    val lut = array(codebooks.zipWithIndex.map { case (cb, s) =>
+      array(cb.map(c => dot(slice(col(queryVec), s * subDim + 1, subDim),
+        typedLit(c))): _*)
+    }: _*)
+    // one broadcast row per (query, probed list): the m×k ADC table and
+    // query norm are staged once and ride the broadcast to every executor
+    val probes = queries
+      .withColumn("__lists",
+        slice(array_sort(zip_with(probeDists,
+          sequence(lit(0), lit(centroids.size - 1)),
+          (d, i) => struct(d.as("d"), i.as("i")))), 1, nProbe))
+      .withColumn("ivf_list", explode(col("__lists.i")))
+      .withColumn("ivf_list", col("ivf_list").cast("int"))
+      .drop("__lists")
+      .withColumn("__lut", lut)
+      .withColumn("__qnorm", norm(col(queryVec)))
+    val adc = (0 until m).map { s =>
+      element_at(element_at(col("__lut"), s + 1), col(codeCol).getItem(s) + 1)
+    }.reduce(_ + _)
+    val d = col("__qnorm") * col(normCol)
+    // equi-join on ivf_list: each base code meets exactly the queries
+    // probing its list (assignment is unique, so no (qid, nid) dups)
+    val scored = indexedEncoded.join(broadcast(probes), Seq("ivf_list"))
+      .filter(col(queryId) =!= col(baseId))
+      .withColumn("cos", when(d === 0, 0.0).otherwise(adc / d))
+    val w = Window.partitionBy(queryId).orderBy(col("cos").desc, col(baseId).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(baseId).as("nid"), col("cos"))
+  }
+
   /** Fail-fast bound for all-pairs (O(n²)) verification tails: counts at
     * most `maxRows + 1` input rows (limit-pushed, so the scan early-exits)
     * and refuses to proceed past the cap. An UNBOUNDED all-pairs call on a

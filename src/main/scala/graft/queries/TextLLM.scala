@@ -327,6 +327,25 @@ object TextLLM {
       .orderBy("qid", "rank")
   }
 
+  /** IVF-PQ composed: coarse probing prunes lists, ADC scores codes —
+    * the FAISS IndexIVFPQ plan at corpus scale. Deterministic seeds for
+    * BOTH quantizers (s_ann_ivf_top3 + s_ann_pq_top3 conventions), so
+    * the oracle replays probe → encode → ADC → rank end to end. */
+  def sAnnIvfPqTop3(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val centroids = Similarity.trainCentroids(base, k = 8, iters = 0)
+    val codebooks = Similarity.trainPqCodebooks(base, dim = 64, m = 8,
+      k = 8, iters = 0)
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val index = Similarity.pqEncode(
+      Similarity.ivfIndex(base, centroids), codebooks)
+    Similarity.ivfPqTopK(index, queries, k = 3, centroids, codebooks,
+        nProbe = 3)
+      .select("qid", "rank", "nid")
+      .orderBy("qid", "rank")
+  }
+
   /** Int8 quantization of the embedding table (the 100 TB storage path):
     * per-vector scale + exact integer digests of the quantized values —
     * deterministic IEEE arithmetic, mirrored exactly in the oracle. */
@@ -831,6 +850,7 @@ object TextLLM {
     "s_ann_lsh_top3" -> (sAnnLshTop3 _),
     "s_ann_ivf_top3" -> (sAnnIvfTop3 _),
     "s_ann_pq_top3" -> (sAnnPqTop3 _),
+    "s_ann_ivfpq_top3" -> (sAnnIvfPqTop3 _),
     "d_embedding_neardups" -> (dEmbeddingNearDups _),
     "d_semantic_dedup" -> (dSemanticDedup _),
     "a_quantile_profile" -> (aQuantileProfile _),
@@ -1793,6 +1813,59 @@ object TextLLM {
         |cs AS (SELECT s.qid, s.nid,
         |    CASE WHEN q.qn * b.nrm = 0 THEN 0 ELSE s.adc / (q.qn * b.nrm) END AS c
         |  FROM scored s JOIN q ON q.qid = s.qid JOIN bn b ON b.vec_id = s.nid),
+        |ranked AS (SELECT qid, nid, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY c DESC, nid) AS INTEGER) AS rank
+        |  FROM cs)
+        |SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // IVF-PQ mirror: the s_ann_ivf_top3 assign/probe CTEs (coarse
+    // quantizer over the 8 lowest-vec_id embeddings, first-min ties,
+    // nProbe=3) composed with the s_ann_pq_top3 enc/ADC CTEs — candidates
+    // are exactly the probed lists' members, each scored by the
+    // subspace-ordered table sum, cosine = adc / (||q||·||x||).
+    "s_ann_ivfpq_top3" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci,
+        |    e AS ce FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+        |cn AS (SELECT ci, ce, list_inner_product(ce, ce) AS n2 FROM c),
+        |dist AS (SELECT v.vec_id, cn.ci,
+        |    -2 * list_inner_product(v.e, cn.ce) + cn.n2 AS d
+        |  FROM v CROSS JOIN cn),
+        |assign AS (SELECT vec_id, ci AS ivf_list FROM (
+        |    SELECT vec_id, ci, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY d, ci) AS rn FROM dist)
+        |  WHERE rn = 1),
+        |probe AS (SELECT vec_id AS qid, ci AS ivf_list FROM (
+        |    SELECT vec_id, ci, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY d, ci) AS rn
+        |    FROM dist WHERE vec_id < 5)
+        |  WHERE rn <= 3),
+        |sub AS (SELECT ss.s, c.ci, c.ce[ss.s*8+1 : ss.s*8+8] AS ce
+        |  FROM c CROSS JOIN
+        |    (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS s) ss),
+        |subn AS (SELECT s, ci, ce, list_inner_product(ce, ce) AS n2 FROM sub),
+        |enc AS (SELECT vec_id, s, ci AS code FROM (
+        |    SELECT v.vec_id, sn.s, sn.ci, ROW_NUMBER() OVER (
+        |      PARTITION BY v.vec_id, sn.s
+        |      ORDER BY -2 * list_inner_product(v.e[sn.s*8+1 : sn.s*8+8], sn.ce)
+        |        + sn.n2, sn.ci) AS rn
+        |    FROM v CROSS JOIN subn sn) WHERE rn = 1),
+        |bn AS (SELECT vec_id, sqrt(list_inner_product(e, e)) AS nrm FROM v),
+        |q AS (SELECT vec_id AS qid, e AS qe,
+        |    sqrt(list_inner_product(e, e)) AS qn FROM v WHERE vec_id < 5),
+        |cand AS (SELECT p.qid, a.vec_id AS nid
+        |  FROM probe p JOIN assign a ON a.ivf_list = p.ivf_list
+        |    AND a.vec_id <> p.qid),
+        |contrib AS (SELECT cd.qid, cd.nid, enc.s,
+        |    list_inner_product(q.qe[enc.s*8+1 : enc.s*8+8], sn.ce) AS a
+        |  FROM cand cd
+        |  JOIN q ON q.qid = cd.qid
+        |  JOIN enc ON enc.vec_id = cd.nid
+        |  JOIN subn sn ON sn.s = enc.s AND sn.ci = enc.code),
+        |scored AS (SELECT c2.qid, c2.nid, list_sum(list(c2.a ORDER BY c2.s)) AS adc
+        |  FROM contrib c2 GROUP BY c2.qid, c2.nid),
+        |cs AS (SELECT s2.qid, s2.nid,
+        |    CASE WHEN q.qn * b.nrm = 0 THEN 0 ELSE s2.adc / (q.qn * b.nrm) END AS c
+        |  FROM scored s2 JOIN q ON q.qid = s2.qid JOIN bn b ON b.vec_id = s2.nid),
         |ranked AS (SELECT qid, nid, CAST(ROW_NUMBER() OVER (
         |    PARTITION BY qid ORDER BY c DESC, nid) AS INTEGER) AS rank
         |  FROM cs)

@@ -775,6 +775,38 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IVF-PQ: probe-all equals the full PQ scan bit for bit; nProbe=1 stays in-blob") {
+    val rng = new scala.util.Random(17)
+    val centers = Seq(Array.fill(16)(5.0), Array.fill(16)(-5.0),
+      Array.tabulate(16)(i => if (i % 2 == 0) 5.0 else -5.0))
+    val rows = (0L until 300L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 0.3).toFloat).toSeq)
+    }
+    val df = vecsDf(rows: _*)
+    val centroids = Similarity.trainCentroids(df, k = 3, iters = 5)
+    val cb = Similarity.trainPqCodebooks(df, dim = 16, m = 4, k = 8, iters = 5)
+    val enc = Similarity.pqEncode(Similarity.ivfIndex(df, centroids), cb)
+    val q = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def toMap(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("nid"), r.getAs[Double]("cos"))).toMap
+    // probing every list = no pruning: same candidates, same ADC
+    // arithmetic, so identical output to the full pqTopK scan (incl. cos)
+    val full = toMap(Similarity.pqTopK(enc.drop("ivf_list"), q, k = 5, cb)
+      .collect())
+    val probeAll = toMap(Similarity.ivfPqTopK(enc, q, k = 5, centroids, cb,
+      nProbe = 3).collect())
+    assert(probeAll == full, "probe-all IVF-PQ diverged from the full PQ scan")
+    // one probe on separated blobs: pruning keeps only same-blob neighbors
+    val one = Similarity.ivfPqTopK(enc, q, k = 5, centroids, cb, nProbe = 1)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+    assert(one.length == 15)
+    assert(one.forall { case (qid, nid) => qid % 3 == nid % 3 },
+      s"cross-blob neighbor after nProbe=1 pruning: ${one.mkString(",")}")
+  }
+
   // ----------------------------------------------------------- multimodal
 
   test("WAV codec: PCM round-trip, chunk walking, and garbage rejection") {
