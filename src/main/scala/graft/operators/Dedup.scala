@@ -644,4 +644,47 @@ object Dedup {
     a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
   }
+
+  /** Directed CONTAINMENT near-dups: C(A→B) = |Sh(A)∩Sh(B)| / |Sh(A)| —
+    * Broder's asymmetric companion to resemblance ("On the resemblance
+    * and containment of documents", SEQUENCES 1997). It catches a
+    * document contained in another — a quoted article, a rehost wrapped
+    * in boilerplate — where symmetric Jaccard is structurally blind:
+    * J(A,B) ≤ |Sh(A)|/|Sh(B)|, so a 10× larger container caps Jaccard at
+    * 0.1 no matter how perfectly A is embedded.
+    *
+    * Candidates come from [[rareShingleCandidates]]: a contained doc
+    * shares ALL its shingles with its container — in particular its
+    * rarest — so every true pair surfaces as long as the contained doc
+    * has ≥1 shingle of document frequency ≤ maxDf (guaranteed when the
+    * corpus holds fewer than maxDf copies of it). The exact tail joins
+    * posting lists for CANDIDATE docs only (semi-join pruned), counts
+    * the intersection per pair, and divides by each side's shingle
+    * count — integer counts and one IEEE division, so the registered
+    * query is oracle-exact. No all-pairs form anywhere; shuffled rows
+    * are (id, shingle) postings of candidate docs, never full text.
+    *
+    * Output: (id_a, id_b, inter, n_a, n_b, c_a_in_b, c_b_in_a) for
+    * candidate pairs with max(c_a_in_b, c_b_in_a) ≥ minContainment. */
+  def containmentPairs(df: DataFrame, idCol: Column, textCol: Column,
+      shingleK: Int = 3, minContainment: Double = 0.9,
+      maxDf: Int = 20): DataFrame = {
+    val posting = shinglePosting(df, idCol, textCol, shingleK)
+    val cands = rareShingleCandidates(df, idCol, textCol, shingleK, maxDf)
+    val ids = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    val p = posting.join(ids, Seq("id"), "left_semi")
+    val sizes = p.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(p.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(p.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("c_a_in_b", col("inter").cast("double") / col("n_a"))
+      .withColumn("c_b_in_a", col("inter").cast("double") / col("n_b"))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= minContainment)
+      .select("id_a", "id_b", "inter", "n_a", "n_b", "c_a_in_b", "c_b_in_a")
+  }
 }

@@ -428,6 +428,26 @@ object TextLLM {
   // twins stay because a stage-level mismatch localizes a regression the
   // end-to-end compare can only flag.
 
+  /** Containment near-dups over an inline doc-in-doc fixture: each
+    * container (id+2M) is doc i's text concatenated with doc (i+1)%30's,
+    * so the contained doc keeps containment 1.0 while Jaccard dilutes to
+    * ~0.5 — exactly the asymmetry [[Dedup.containmentPairs]] exists for.
+    * The oracle recomputes tokenize → shingle → intersect → divide over
+    * ALL pairs; matching proves the rare-shingle candidate pass loses no
+    * qualifying pair on top of the arithmetic being exact. */
+  def dContainmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("doc_id") < 30)
+      .select("doc_id", "text")
+    val a = base.select(col("doc_id").as("id_a"), col("text").as("ta"))
+    val b = base.select(col("doc_id").as("id_b"), col("text").as("tb"))
+    val containers = a.join(b, col("id_b") === (col("id_a") + 1) % 30)
+      .select((col("id_a") + 2000000).as("doc_id"),
+        concat(col("ta"), lit(" "), col("tb")).as("text"))
+    Dedup.containmentPairs(base.unionByName(containers), col("doc_id"),
+        col("text"), shingleK = 3, minContainment = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Exact 3-word-shingle Jaccard over a fixed bounded candidate set
     * (docs < 30 plus their injected near-dup twins) — the verification
     * tail of [[Dedup.minhashNearDups]], DuckDB-checked end to end. */
@@ -821,6 +841,7 @@ object TextLLM {
     "t_fingerprint_md5" -> (tFingerprintMd5 _),
     "t_rolling_fingerprint" -> (tRollingFingerprint _),
     "d_shingle_jaccard_twin" -> (dShingleJaccardTwin _),
+    "d_containment_pairs" -> (dContainmentPairs _),
     "t_repetition_stats" -> (tRepetitionStats _),
     "t_pii_redaction" -> (tPiiRedaction _),
     "t_chunking" -> (tChunking _),
@@ -1092,6 +1113,39 @@ object TextLLM {
         |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
         |  COUNT(*) AS n, MIN(doc_id) AS first_doc
         |FROM documents GROUP BY 1 ORDER BY 1 LIMIT 50""".stripMargin,
+    // Containment mirror: ALL-pairs exact recompute (tokenize → 3-shingle
+    // → list_intersect → divide) over the doc-in-doc fixture; the Spark
+    // side only ever examines rare-shingle candidates, so a match also
+    // certifies zero candidate-pass false negatives at this threshold.
+    "d_containment_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT a.doc_id + 2000000, a.text || ' ' || b.text
+        |  FROM documents a JOIN documents b ON b.doc_id = (a.doc_id + 1) % 30
+        |  WHERE a.doc_id < 30),
+        |t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM d),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> array_to_string(toks[i:i+2], ' ')))
+        |    END AS sh
+        |  FROM t),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+        |    CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, inter, n_a, n_b,
+        |  CAST(inter AS DOUBLE) / n_a AS c_a_in_b,
+        |  CAST(inter AS DOUBLE) / n_b AS c_b_in_a
+        |FROM pairs
+        |WHERE greatest(CAST(inter AS DOUBLE) / n_a,
+        |    CAST(inter AS DOUBLE) / n_b) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "d_shingle_jaccard_twin" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents

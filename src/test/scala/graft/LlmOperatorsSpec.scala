@@ -242,6 +242,29 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j == 2.0 / 6.0)
   }
 
+  test("containment: doc-in-doc scores 1.0 where Jaccard dilutes; unrelated stay apart") {
+    val small = "alpha bravo charlie delta echo foxtrot"
+    val filler = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+    val df = docsDf(
+      1L -> small,                         // 4 distinct 3-shingles
+      2L -> (small + " " + filler),        // contains doc 1 verbatim
+      3L -> "zulu yankee xray whiskey victor uniform sierra")
+    val rows = Dedup.containmentPairs(df, col("doc_id"), col("text"),
+        shingleK = 3, minContainment = 0.9, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(rows.keySet == Set((1L, 2L)), s"pairs: ${rows.keySet}")
+    val (inter, nA, nB, cAinB, cBinA) = rows((1L, 2L))
+    assert(inter == 4L && nA == 4L && cAinB == 1.0,
+      s"doc 1's 4 shingles all inside doc 2: $inter/$nA/$cAinB")
+    assert(nB == 23L && cBinA == 4.0 / 23.0)
+    // the symmetric measure would have rejected this pair at any
+    // threshold containment accepts: J = 4/23 < 0.9 ≤ C(A→B)
+    assert(inter.toDouble / (nA + nB - inter) < 0.2)
+  }
+
   test("minhash near-dups: finds perturbed copies, not unrelated docs") {
     val base = (0L until 40L).map(i =>
       (i, s"alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima token$i"))
