@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -399,6 +399,85 @@ object Similarity {
     val w = Window.partitionBy(queryId).orderBy(col("cos").desc, col(baseId).asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col(queryId), col("rank"), col(baseId).as("nid"), col("cos"))
+  }
+
+  // ------------------------------------------- persisted IVF-PQ index
+
+  /** A persisted ANN index: PQ codes partitioned by inverted list, plus
+    * the two quantizers that built them. */
+  final case class IvfPqIndex(data: DataFrame, centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]])
+
+  /** Persist an IVF-PQ index: the encoded base (`pqEncode(ivfIndex(...))`
+    * output) lands as parquet PARTITIONED BY `ivf_list` — one directory
+    * per inverted list — and both quantizers ride along as parquet under
+    * `_quantizers/` (underscore-prefixed, so every parquet reader of the
+    * index rows skips it). This layout IS the serving story at 100 TB:
+    * a probe only opens its `nProbe` list directories — static partition
+    * pruning when the probed lists are known (the [[probedLists]] +
+    * filter path), dynamic partition pruning when they arrive as a
+    * broadcast join side — so per-query I/O is nProbe/k of the index
+    * regardless of corpus size, and the full-precision vectors are never
+    * stored at all (codes + norms only).
+    *
+    * Quantizers round-trip as exploded (idx, pos, value) rows — parquet
+    * doubles are bit-exact, no hand-rolled JSON float parsing. */
+  def writeIvfPqIndex(indexedEncoded: DataFrame, centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], path: String,
+      codeCol: String = "pq_code", normCol: String = "pq_norm",
+      baseId: String = "vec_id"): Unit = {
+    val spark = indexedEncoded.sparkSession
+    import spark.implicits._
+    indexedEncoded.select(col(baseId), col(codeCol), col(normCol),
+        col("ivf_list"))
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    centroids.zipWithIndex
+      .flatMap { case (c, i) => c.zipWithIndex.map { case (v, p) => (i, p, v) } }
+      .toDF("ci", "pos", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_quantizers/centroids")
+    codebooks.zipWithIndex
+      .flatMap { case (cb, s) => cb.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (v, p) => (s, i, p, v) } } }
+      .toDF("s", "ci", "pos", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_quantizers/codebooks")
+  }
+
+  /** Reload a [[writeIvfPqIndex]] layout. The returned `data` keeps
+    * `ivf_list` as a PARTITION column: a subsequent
+    * `filter(col("ivf_list").isin(...))` prunes at the file listing —
+    * unprobed lists are never opened (plan-asserted in spec). */
+  def readIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex = {
+    val data = spark.read.parquet(path)
+    val cents = spark.read.parquet(s"$path/_quantizers/centroids")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    val cbs = spark.read.parquet(s"$path/_quantizers/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.groupBy(_._2).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._3).map(_._4).toSeq))
+    IvfPqIndex(data, cents, cbs)
+  }
+
+  /** The inverted lists a query set will probe (nProbe nearest per query,
+    * deduplicated) — the [[ivfPqTopK]] probe ranking verbatim, collected
+    * so a caller can PRE-FILTER a partitioned index
+    * (`index.data.filter(col("ivf_list").isin(probedLists(...): _*))`)
+    * and let static partition pruning skip every other list's files.
+    * Driver traffic: ≤ nProbe × |queries| ints. */
+  def probedLists(queries: DataFrame, centroids: Seq[Seq[Double]],
+      nProbe: Int, queryVec: String = "qvec"): Seq[Int] = {
+    val probeDists = array(centroids.map { c =>
+      val norm2 = c.map(x => x * x).sum
+      dot(col(queryVec), typedLit(c)) * -2 + norm2
+    }: _*)
+    queries
+      .select(explode(slice(array_sort(zip_with(probeDists,
+        sequence(lit(0), lit(centroids.size - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))), 1, nProbe)).as("p"))
+      .select(col("p.i").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
   }
 
   /** Fail-fast bound for all-pairs (O(n²)) verification tails: counts at

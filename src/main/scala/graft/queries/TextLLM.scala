@@ -346,6 +346,32 @@ object TextLLM {
       .orderBy("qid", "rank")
   }
 
+  /** Persisted IVF-PQ index roundtrip: build → write parquet partitioned
+    * by ivf_list (quantizers in a `_quantizers/` sidecar) → reload →
+    * require the quantizers bit-exact → aggregate reloaded codes per
+    * list. The oracle recomputes assignment + encoding from the raw
+    * table, so a match proves the on-disk layout preserved every code
+    * and the partition column itself. */
+  def sIvfPqIndexRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val centroids = Similarity.trainCentroids(base, k = 8, iters = 0)
+    val cb = Similarity.trainPqCodebooks(base, dim = 64, m = 8, k = 8,
+      iters = 0)
+    val enc = Similarity.pqEncode(Similarity.ivfIndex(base, centroids), cb)
+    val out = s"/tmp/graft_ivfpq_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Similarity.writeIvfPqIndex(enc, centroids, cb, out)
+    val idx = Similarity.readIvfPqIndex(s, out)
+    require(idx.centroids == centroids && idx.codebooks == cb,
+      "quantizer sidecar did not round-trip bit-exact")
+    idx.data
+      .withColumn("code_sum", expr(
+        "aggregate(pq_code, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))"))
+      .groupBy(col("ivf_list").cast("int").as("ivf_list"))
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sum_vec_id"),
+        sum(col("code_sum")).as("code_sum"))
+      .orderBy("ivf_list")
+  }
+
   /** Int8 quantization of the embedding table (the 100 TB storage path):
     * per-vector scale + exact integer digests of the quantized values —
     * deterministic IEEE arithmetic, mirrored exactly in the oracle. */
@@ -872,6 +898,7 @@ object TextLLM {
     "s_ann_ivf_top3" -> (sAnnIvfTop3 _),
     "s_ann_pq_top3" -> (sAnnPqTop3 _),
     "s_ann_ivfpq_top3" -> (sAnnIvfPqTop3 _),
+    "s_ivfpq_index_roundtrip" -> (sIvfPqIndexRoundtrip _),
     "d_embedding_neardups" -> (dEmbeddingNearDups _),
     "d_semantic_dedup" -> (dSemanticDedup _),
     "a_quantile_profile" -> (aQuantileProfile _),
@@ -1871,6 +1898,39 @@ object TextLLM {
         |    PARTITION BY qid ORDER BY c DESC, nid) AS INTEGER) AS rank
         |  FROM cs)
         |SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // Index-roundtrip mirror: recompute assignment (IVF argmin) and PQ
+    // codes from the raw table and aggregate per list — the Spark side
+    // aggregates the RELOADED parquet index, so equality certifies the
+    // partitioned layout end to end.
+    "s_ivfpq_index_roundtrip" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci,
+        |    e AS ce FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+        |cn AS (SELECT ci, ce, list_inner_product(ce, ce) AS n2 FROM c),
+        |dist AS (SELECT v.vec_id, cn.ci,
+        |    -2 * list_inner_product(v.e, cn.ce) + cn.n2 AS d
+        |  FROM v CROSS JOIN cn),
+        |assign AS (SELECT vec_id, ci AS ivf_list FROM (
+        |    SELECT vec_id, ci, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY d, ci) AS rn FROM dist)
+        |  WHERE rn = 1),
+        |sub AS (SELECT ss.s, c.ci, c.ce[ss.s*8+1 : ss.s*8+8] AS ce
+        |  FROM c CROSS JOIN
+        |    (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS s) ss),
+        |subn AS (SELECT s, ci, ce, list_inner_product(ce, ce) AS n2 FROM sub),
+        |enc AS (SELECT vec_id, s, ci AS code FROM (
+        |    SELECT v.vec_id, sn.s, sn.ci, ROW_NUMBER() OVER (
+        |      PARTITION BY v.vec_id, sn.s
+        |      ORDER BY -2 * list_inner_product(v.e[sn.s*8+1 : sn.s*8+8], sn.ce)
+        |        + sn.n2, sn.ci) AS rn
+        |    FROM v CROSS JOIN subn sn) WHERE rn = 1),
+        |cs AS (SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum
+        |  FROM enc GROUP BY 1)
+        |SELECT a.ivf_list, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(a.vec_id) AS BIGINT) AS sum_vec_id,
+        |  CAST(SUM(cs.code_sum) AS BIGINT) AS code_sum
+        |FROM assign a JOIN cs USING (vec_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // IVF-PQ mirror: the s_ann_ivf_top3 assign/probe CTEs (coarse
     // quantizer over the 8 lowest-vec_id embeddings, first-min ties,
     // nProbe=3) composed with the s_ann_pq_top3 enc/ADC CTEs — candidates

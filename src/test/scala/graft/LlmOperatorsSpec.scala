@@ -830,6 +830,48 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cross-blob neighbor after nProbe=1 pruning: ${one.mkString(",")}")
   }
 
+  test("IVF-PQ index: quantizers round-trip bit-exact; probes prune partitions on disk") {
+    val rng = new scala.util.Random(19)
+    val centers = Seq(Array.fill(16)(5.0), Array.fill(16)(-5.0),
+      Array.tabulate(16)(i => if (i % 2 == 0) 5.0 else -5.0))
+    val rows = (0L until 300L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 0.3).toFloat).toSeq)
+    }
+    val df = vecsDf(rows: _*)
+    val centroids = Similarity.trainCentroids(df, k = 3, iters = 5)
+    val cb = Similarity.trainPqCodebooks(df, dim = 16, m = 4, k = 8, iters = 2)
+    val enc = Similarity.pqEncode(Similarity.ivfIndex(df, centroids), cb)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
+    Similarity.writeIvfPqIndex(enc, centroids, cb, path)
+    val idx = Similarity.readIvfPqIndex(spark, path)
+    assert(idx.centroids == centroids, "centroid round-trip not bit-exact")
+    assert(idx.codebooks == cb, "codebook round-trip not bit-exact")
+    assert(idx.data.count() == 300)
+
+    val q = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val lists = Similarity.probedLists(q, idx.centroids, nProbe = 1)
+    assert(lists.nonEmpty && lists.size <= 3)
+    val pruned = idx.data.filter(col("ivf_list").isin(lists: _*))
+    // static partition pruning: unprobed lists' files are never opened
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in pruned plan"))
+    assert(scan.selectedPartitions.partitionCount == lists.size,
+      s"expected ${lists.size} of 3 list dirs read, " +
+        s"got ${scan.selectedPartitions.partitionCount}")
+    // and the pruned on-disk path returns exactly the in-memory results
+    def toMap(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("nid"), r.getAs[Double]("cos"))).toMap
+    val mem = toMap(Similarity.ivfPqTopK(enc, q, k = 5, centroids, cb,
+      nProbe = 1).collect())
+    val disk = toMap(Similarity.ivfPqTopK(pruned, q, k = 5, idx.centroids,
+      idx.codebooks, nProbe = 1).collect())
+    assert(disk == mem, "on-disk pruned search diverged from in-memory")
+  }
+
   // ----------------------------------------------------------- multimodal
 
   test("WAV codec: PCM round-trip, chunk walking, and garbage rejection") {
