@@ -122,4 +122,63 @@ object Search {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as("doc_id"), col("score"))
   }
+
+  /** Sparse TF-IDF cosine top-k: rank corpus documents against QUERY
+    * DOCUMENTS (whole docs as queries, not term bags) by cosine over
+    * their TF-IDF vectors — "more like this" similarity without dense
+    * embeddings. The sparse form never materializes a vector: dots are a
+    * posting-list equi-join on `term` summed per (query, doc) pair, so
+    * only term-SHARING pairs are ever scored and per-query cost is
+    * bounded by the postings of the query's own terms — the same scale
+    * shape as [[bm25TopK]], no all-pairs form anywhere.
+    *
+    * `maxDf` caps posting fanout for corpus-common terms (a stop word
+    * joins every document pair; its idf ≈ ln(1) ≈ 0 contributes nothing,
+    * so dropping df_t > maxDf terms is the standard cost/quality dial at
+    * corpus scale — default keeps everything, exact).
+    *
+    * Both dot and norm sums fold in SORTED TERM ORDER (array_sort over
+    * collected (term, product) pairs, then a left-to-right `aggregate`)
+    * — bit-deterministic under any partitioning, and replayable in SQL
+    * as `list_sum(list(v ORDER BY term))`. With `logIdf = false` the
+    * weight is `tf × N/df_t` (single IEEE ops, no transcendentals), so
+    * the registered query is oracle-exact INCLUDING the cosines;
+    * `logIdf = true` (default) is the textbook `tf × ln(N/df_t)`,
+    * golden-tested like [[tfIdf]] (`ln` is not portably bit-identical).
+    *
+    * Output: (qid, rank, doc_id, cos), rank 1..k by (cos desc, id). */
+  def tfIdfCosineTopK(df: DataFrame, idCol: Column, textCol: Column,
+      queryIds: DataFrame, k: Int, logIdf: Boolean = true,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(k > 0, "k must be positive")
+    val idx = invertedIndex(df, idCol, textCol)
+    val dft = idx.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val stats = df.select(count(lit(1)).as("n_docs"))
+    val idf = if (logIdf) log(col("n_docs").cast("double") / col("df_t"))
+      else col("n_docs").cast("double") / col("df_t")
+    val vecs = idx.join(dft, "term").crossJoin(broadcast(stats))
+      .filter(col("df_t") <= maxDf)
+      .withColumn("w", col("tf") * idf)
+      .select("id", "term", "w")
+    def sortedSum(paired: Column): Column =
+      aggregate(array_sort(paired), lit(0.0d), (a, x) => a + x.getField("v"))
+    val norms = vecs.groupBy("id").agg(sqrt(sortedSum(collect_list(
+      struct(col("term"), (col("w") * col("w")).as("v"))))).as("nrm"))
+    val qv = vecs.join(queryIds.select(col("id")), Seq("id"), "left_semi")
+      .select(col("id").as("qid"), col("term"), col("w").as("qw"))
+    val dots = qv.join(vecs, Seq("term"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy("qid", "id")
+      .agg(sortedSum(collect_list(
+        struct(col("term"), (col("qw") * col("w")).as("v")))).as("dot"))
+    dots
+      .join(norms.select(col("id").as("qid"), col("nrm").as("qn")), Seq("qid"))
+      .join(norms.select(col("id"), col("nrm").as("bn")), Seq("id"))
+      .withColumn("cos", when(col("qn") * col("bn") === 0, 0.0)
+        .otherwise(col("dot") / (col("qn") * col("bn"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("doc_id"), col("cos"))
+  }
 }

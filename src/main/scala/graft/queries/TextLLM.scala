@@ -106,6 +106,19 @@ object TextLLM {
         3L -> Seq("customer", "spark")),
       k = 5, k1 = 1.5, b = 0.75, logIdf = false)
 
+  /** "More like this": whole documents as queries, ranked by sparse
+    * TF-IDF cosine. Ratio idf (`tf × N/df_t`) + sorted-term-order sums
+    * make every float replayable, so the oracle matches cos bit for
+    * bit — see [[graft.operators.Search.tfIdfCosineTopK]]. */
+  def tTfidfCosineTop3(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir).filter(col("doc_id") < 200)
+    val queryIds = corpus.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("id"))
+    graft.operators.Search.tfIdfCosineTopK(corpus, col("doc_id"),
+        col("text"), queryIds, k = 3, logIdf = false)
+      .orderBy("qid", "rank")
+  }
+
   def tFingerprintMd5(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .groupBy(md5(TA.normalized(col("text")).cast("binary")).as("fp"))
@@ -864,6 +877,7 @@ object TextLLM {
     "t_quality_stopwords" -> (tQualityStopwords _),
     "t_langid_confusion" -> (tLangidConfusion _),
     "t_bm25_top5" -> (tBm25Top5 _),
+    "t_tfidf_cosine_top3" -> (tTfidfCosineTop3 _),
     "t_fingerprint_md5" -> (tFingerprintMd5 _),
     "t_rolling_fingerprint" -> (tRollingFingerprint _),
     "d_shingle_jaccard_twin" -> (dShingleJaccardTwin _),
@@ -1135,6 +1149,40 @@ object TextLLM {
         |SELECT CAST(qid AS BIGINT) AS qid, rank, doc_id, score
         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
+    // Sparse TF-IDF cosine mirror: ratio idf = single IEEE ops; both
+    // engines fold dot/norm sums in sorted term order (Spark array_sort +
+    // aggregate == list_sum(list(v ORDER BY term))), so cos matches bit
+    // for bit.
+    "t_tfidf_cosine_top3" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> length(t) > 0) AS toks FROM d),
+        |idx AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+        |tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM idx GROUP BY 1, 2),
+        |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t
+        |  FROM tf GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n_docs FROM d),
+        |vecs AS (SELECT tf.doc_id AS id, tf.term,
+        |    tf.tf * (CAST(n_docs AS DOUBLE) / df_t) AS w
+        |  FROM tf JOIN dft USING (term), stats),
+        |norms AS (SELECT id, sqrt(list_sum(list(w * w ORDER BY term))) AS nrm
+        |  FROM vecs GROUP BY 1),
+        |qv AS (SELECT id AS qid, term, w AS qw FROM vecs WHERE id < 5),
+        |dots AS (SELECT qv.qid, v.id,
+        |    list_sum(list(qv.qw * v.w ORDER BY qv.term)) AS dot
+        |  FROM qv JOIN vecs v USING (term) WHERE v.id <> qv.qid
+        |  GROUP BY 1, 2),
+        |cs AS (SELECT d2.qid, d2.id,
+        |    CASE WHEN qn.nrm * bn.nrm = 0 THEN 0
+        |         ELSE d2.dot / (qn.nrm * bn.nrm) END AS cos
+        |  FROM dots d2 JOIN norms qn ON qn.id = d2.qid
+        |  JOIN norms bn ON bn.id = d2.id),
+        |r AS (SELECT qid, id, cos, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, id) AS INT) AS rank FROM cs)
+        |SELECT qid, rank, id AS doc_id, cos
+        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "t_fingerprint_md5" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,

@@ -108,4 +108,40 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length == 1, "k=1 must cap each query's rows")
     assert(out.head.getDouble(3) > 0)
   }
+
+  test("tf-idf cosine: naive replay agrees; twin docs hit cos 1; disjoint absent") {
+    val df = docsDf(
+      1L -> "cat dog fish cat",
+      2L -> "cat dog fish cat",        // term-distribution twin of 1
+      3L -> "dog fish bird",
+      4L -> "zebra yak")               // shares no term with doc 1
+    val qids = df.filter(col("doc_id") === 1L)
+      .select(col("doc_id").as("id"))
+    val got = Search.tfIdfCosineTopK(df, col("doc_id"), col("text"),
+        qids, k = 4, logIdf = false)
+      .collect().map(r => (r.getLong(2), r.getInt(1), r.getDouble(3)))
+    // naive in-memory replay: w = tf * N/df over the same tokenization
+    val texts = Map(1L -> "cat dog fish cat", 2L -> "cat dog fish cat",
+      3L -> "dog fish bird", 4L -> "zebra yak")
+    val n = texts.size.toDouble
+    val tf = texts.map { case (id, t) =>
+      id -> tokenize(t).groupBy(identity).map { case (w, xs) => w -> xs.size } }
+    val dfT = tf.values.flatMap(_.keys).groupBy(identity).map { case (w, xs) => w -> xs.size }
+    val vec = tf.map { case (id, m) =>
+      id -> m.map { case (w, f) => w -> f * (n / dfT(w)) } }
+    def cosine(a: Map[String, Double], b: Map[String, Double]): Double = {
+      val shared = a.keySet.intersect(b.keySet).toSeq.sorted
+      val dot = shared.map(w => a(w) * b(w)).sum
+      dot / (math.sqrt(a.values.map(x => x * x).sum) *
+        math.sqrt(b.values.map(x => x * x).sum))
+    }
+    val expect = Seq(2L, 3L).map(id => id -> cosine(vec(1L), vec(id))).toMap
+    assert(got.length == 2, s"doc 4 shares no term, must be absent: ${got.toSeq}")
+    got.foreach { case (id, _, cos) =>
+      assert(math.abs(cos - expect(id)) < 1e-12, s"doc $id: $cos vs ${expect(id)}") }
+    // the twin ranks first at cos ≈ 1 (identical distribution; the
+    // dot/norm rounding keeps it a few ulps shy of exactly 1.0)
+    val top = got.find(_._2 == 1).get
+    assert(top._1 == 2L && top._3 > 1.0 - 1e-12, s"twin not top: $top")
+  }
 }
