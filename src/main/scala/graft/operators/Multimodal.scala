@@ -328,7 +328,11 @@ object Multimodal {
     * every raw sample regardless of channel count. Returns None for
     * anything that is not a well-formed PCM-16 WAV — callers fall back to
     * the stub, same policy as [[decodeFrameImageIO]]. */
-  def decodeWavStats(payload: Array[Byte]): Option[WavStats] = {
+  /** Shared RIFF chunk walk behind [[decodeWavStats]] and
+    * [[audioDHash64]]: locates the PCM-16 sample span. Returns
+    * (sampleRate, dataAt, dataLen); None for anything not a well-formed
+    * PCM-16 WAV. */
+  private def wavPcm16(payload: Array[Byte]): Option[(Int, Int, Int)] = {
     if (payload == null || payload.length < 12) return None
     val bb = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -356,7 +360,17 @@ object Multimodal {
       }
       pos += 8 + len + (len & 1) // RIFF chunks are word-aligned
     }
-    if (!fmtOk || dataAt < 0 || dataLen % 2 != 0) return None
+    if (!fmtOk || dataAt < 0 || dataLen % 2 != 0) None
+    else Some((sampleRate, dataAt, dataLen))
+  }
+
+  def decodeWavStats(payload: Array[Byte]): Option[WavStats] = {
+    val (sampleRate, dataAt, dataLen) = wavPcm16(payload) match {
+      case Some(t) => t
+      case None => return None
+    }
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var i = 0
     var sum = 0L
     var mn = Int.MaxValue
@@ -371,6 +385,64 @@ object Multimodal {
     val n = dataLen / 2
     if (n == 0) Some(WavStats(sampleRate, 0, 0, 0, 0))
     else Some(WavStats(sampleRate, n.toLong, sum, mn, mx))
+  }
+
+  /** Audio difference hash — the [[dHash64]] analog for sound. Decode
+    * PCM-16 via the real chunk walk, reduce the absolute-amplitude
+    * envelope to 65 windows with the same exact floor index math as
+    * dHash's grid (`window w spans [w·n/65, (w+1)·n/65)`, integer
+    * division), per-window energy = Σ|sample| (long, overflow-free), one
+    * bit per adjacent-window energy INCREASE, 64 bits.
+    *
+    * The delta-of-envelope form makes the hash invariant to exact
+    * uniform volume scaling (ordering of window sums is preserved), and
+    * near-identical audio — re-encodes, small edits, level changes —
+    * lands within a few bits, so the existing 64-bit band machinery
+    * ([[graft.operators.Dedup.simhashCandidatesFromSigs]] +
+    * [[graft.operators.Dedup.hamming64]]) gives audio near-duplicate
+    * detection the same bucket-join shape as text simhash and image
+    * dHash: no all-pairs anywhere. Every step is integer-exact, so over
+    * lossless PCM the hash is replayable in SQL from the sample formula
+    * alone. None for undecodable payloads. */
+  def audioDHash64(payload: Array[Byte]): Option[Long] =
+    wavPcm16(payload).map { case (_, dataAt, dataLen) =>
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = dataLen / 2
+      val e = new Array[Long](65)
+      var w = 0
+      while (w < 65) {
+        var i = (w.toLong * n / 65).toInt
+        val end = ((w + 1).toLong * n / 65).toInt
+        var acc = 0L
+        while (i < end) {
+          acc += math.abs(bb.getShort(dataAt + i * 2).toInt).toLong
+          i += 1
+        }
+        e(w) = acc
+        w += 1
+      }
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        if (e(b + 1) > e(b)) hash |= 1L << b
+        b += 1
+      }
+      hash
+    }
+
+  /** Column face of [[audioDHash64]]: `(id, simhash)` per decodable
+    * payload, named to feed
+    * [[graft.operators.Dedup.simhashCandidatesFromSigs]] directly —
+    * mirrors [[imageDHashes]]. */
+  def audioFingerprints(df: DataFrame, idCol: Column,
+      payloadCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(idCol.cast("long").as("id"), payloadCol.as("p"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => audioDHash64(p).map(id -> _) })
+      .toDF("id", "simhash")
   }
 
   /** REAL codec behind the [[decodeFrame]] signature: decodable payloads

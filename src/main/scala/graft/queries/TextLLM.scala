@@ -784,6 +784,46 @@ object TextLLM {
       .orderBy("id_a", "id_b")
   }
 
+  /** Audio near-duplicate detection end to end: deterministic PCM-16
+    * payloads through the REAL RIFF encode→decode chain, fingerprinted
+    * by [[Multimodal.audioDHash64]] (energy-envelope delta bits), banded
+    * into candidate buckets, and thresholded on Hamming distance — the
+    * audio face of m_dhash_neardups. Volume-doubled twins (id+1000, an
+    * EXACT ×2 on every sample) land at Hamming 0, proving the envelope
+    * delta's volume invariance; locally-bumped twins (id+2000, +300 on
+    * samples 10..19) land within the band threshold. Integer-exact
+    * throughout, so the oracle replays sample formula → windows → bits →
+    * buckets → Hamming in plain SQL. */
+  def mAudioFingerprintNeardups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = docs(s, dir).filter(col("doc_id") < 40)
+      .select(col("doc_id")).as[Long]
+    val audio = ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val n = (130 + id).toInt
+        def wav(mul: Int, bump: Boolean): Array[Byte] = {
+          val samples = Array.tabulate(n) { i =>
+            val base = (((id * 37 + i * 73) % 4001) - 2000).toInt * mul
+            (base + (if (bump && i >= 10 && i < 20) 300 else 0)).toShort
+          }
+          Multimodal.encodeWavPcm16(8000, samples)
+        }
+        Seq(id -> wav(1, bump = false)) ++
+          (if (id < 12) Seq((id + 1000) -> wav(2, bump = false)) else Nil) ++
+          (if (id < 6) Seq((id + 2000) -> wav(1, bump = true)) else Nil)
+      }
+    }.toDF("id", "payload")
+    val sigs = Multimodal.audioFingerprints(audio, col("id"), col("payload"))
+    val cand = Dedup.simhashCandidatesFromSigs(sigs, bands = 4)
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("simhash").as("ha")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("simhash").as("hb")), "id_b")
+      .withColumn("hamming", Dedup.hamming64(col("ha"), col("hb")))
+      .filter(col("hamming") <= 6)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Real-resize round trip: synthesize a deterministic `w×h` PNG per id
     * (w, h vary by id), downscale it with [[Multimodal.resizeImage]]
     * (nearest-neighbor, floor integer index math) to fit maxDim = 3, and
@@ -920,6 +960,7 @@ object TextLLM {
     "m_png_pixel_stats" -> (mPngPixelStats _),
     "m_jpeg_pixel_stats" -> (mJpegPixelStats _),
     "m_dhash_neardups" -> (mDhashNearDups _),
+    "m_audio_fingerprint_neardups" -> (mAudioFingerprintNeardups _),
     "m_resize_pixel_stats" -> (mResizePixelStats _),
     "m_gif_frame_stats" -> (mGifFrameStats _),
   )
@@ -1698,6 +1739,52 @@ object TextLLM {
         |  FROM gr g1 JOIN gr g2
         |    ON g2.id = g1.id AND g2.y = g1.y AND g2.x = g1.x + 1
         |  WHERE g1.x < 8),
+        |hh AS (SELECT id, SUM(CAST(bit AS HUGEINT) *
+        |      (CAST(1 AS HUGEINT) << CAST(idx AS INTEGER))) AS h
+        |  FROM bits GROUP BY 1),
+        |sig AS (SELECT id, CAST(h - CASE
+        |      WHEN h >= (CAST(1 AS HUGEINT) << 63)
+        |      THEN (CAST(1 AS HUGEINT) << 64) ELSE CAST(0 AS HUGEINT) END
+        |    AS BIGINT) AS simhash FROM hh),
+        |bk AS (SELECT id, b,
+        |    (simhash >> CAST(b * 16 AS INTEGER)) & 65535 AS bucket
+        |  FROM sig CROSS JOIN range(4) rb(b)),
+        |capped AS (SELECT id, b, bucket FROM (
+        |    SELECT id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n
+        |    FROM bk) WHERE n <= 200),
+        |cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+        |  FROM capped a JOIN capped c
+        |    ON a.b = c.b AND a.bucket = c.bucket AND a.id < c.id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+        |FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+        |ORDER BY 1, 2""".stripMargin,
+    // Audio fingerprint mirror: replay sample formula → 65 floor-indexed
+    // energy windows → delta bits → HUGEINT pack → band buckets →
+    // Hamming, all integer-exact (same CTE skeleton as m_dhash_neardups).
+    "m_audio_fingerprint_neardups" ->
+      """WITH aud AS (
+        |  SELECT doc_id AS id, doc_id AS src, 1 AS mul, FALSE AS bump
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 1000, doc_id, 2, FALSE FROM documents WHERE doc_id < 12
+        |  UNION ALL
+        |  SELECT doc_id + 2000, doc_id, 1, TRUE FROM documents WHERE doc_id < 6),
+        |sm AS (SELECT a.id, 130 + a.src AS n, i.i,
+        |    ((a.src * 37 + i.i * 73) % 4001 - 2000) * a.mul
+        |      + CASE WHEN a.bump AND i.i >= 10 AND i.i < 20
+        |             THEN 300 ELSE 0 END AS s
+        |  FROM aud a CROSS JOIN range(0, 170) i(i)
+        |  WHERE i.i < 130 + a.src),
+        |e AS (SELECT sm.id, w.w, CAST(SUM(abs(sm.s)) AS BIGINT) AS e
+        |  FROM sm CROSS JOIN range(0, 65) w(w)
+        |  WHERE sm.i >= (w.w * sm.n) // 65 AND sm.i < ((w.w + 1) * sm.n) // 65
+        |  GROUP BY 1, 2),
+        |bits AS (SELECT e1.id, e1.w AS idx,
+        |    CASE WHEN e2.e > e1.e THEN 1 ELSE 0 END AS bit
+        |  FROM e e1 JOIN e e2 ON e2.id = e1.id AND e2.w = e1.w + 1
+        |  WHERE e1.w < 64),
         |hh AS (SELECT id, SUM(CAST(bit AS HUGEINT) *
         |      (CAST(1 AS HUGEINT) << CAST(idx AS INTEGER))) AS h
         |  FROM bits GROUP BY 1),

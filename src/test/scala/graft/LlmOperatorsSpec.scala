@@ -978,6 +978,47 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"planted twins missing from $pairs")
   }
 
+  test("audioDHash: volume-invariant, local edit few bits, garbage rejected, banded pairs") {
+    def samples(id: Long, n: Int): Array[Short] =
+      Array.tabulate(n)(i => (((id * 37 + i * 73) % 4001) - 2000).toShort)
+    val base = Multimodal.encodeWavPcm16(8000, samples(5, 200))
+    val h = Multimodal.audioDHash64(base).get
+    // identical payload → identical hash
+    assert(Multimodal.audioDHash64(
+      Multimodal.encodeWavPcm16(8000, samples(5, 200))).get == h)
+    // EXACT volume doubling preserves every window-sum comparison
+    val doubled = Multimodal.encodeWavPcm16(8000,
+      samples(5, 200).map(s => (s * 2).toShort))
+    assert(Multimodal.audioDHash64(doubled).get == h,
+      "envelope-delta hash must be volume-invariant")
+    // a loud burst over samples 10..19 (windows 3..6 of the 65-window
+    // envelope at n=200) flips SOME of comparison bits 2..6 and nothing
+    // outside them
+    val edited = samples(5, 200)
+    (10 until 20).foreach(i => edited(i) = 32000.toShort)
+    val he = Multimodal.audioDHash64(
+      Multimodal.encodeWavPcm16(8000, edited)).get
+    assert((h ^ he) != 0, "a 16x amplitude burst must disturb the envelope")
+    assert(((h ^ he) & ~0x7cL) == 0,
+      f"edit leaked outside windows 3..6: diff ${h ^ he}%x")
+    assert(Multimodal.audioDHash64("not audio".getBytes("UTF-8")).isEmpty)
+    // the banded pipeline surfaces the planted volume twins at Hamming 0
+    import spark.implicits._
+    val audio = (0L until 30L).flatMap { id =>
+      Seq(id -> Multimodal.encodeWavPcm16(8000, samples(id, 200))) ++
+        (if (id < 8) Seq((id + 100) -> Multimodal.encodeWavPcm16(8000,
+          samples(id, 200).map(s => (s * 2).toShort))) else Nil)
+    }.toDF("id", "payload")
+    val sigs = Multimodal.audioFingerprints(audio, col("id"), col("payload"))
+    val pairs = Dedup.simhashCandidatesFromSigs(sigs, bands = 4)
+      .join(sigs.select(col("id").as("id_a"), col("simhash").as("ha")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("simhash").as("hb")), "id_b")
+      .filter(Dedup.hamming64(col("ha"), col("hb")) === 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 8L).map(i => (i, i + 100)).toSet.subsetOf(pairs),
+      s"planted volume twins missing from $pairs")
+  }
+
   test("ImageIO codec: JPEG constant-gray round-trips exactly; non-constant decodes lossily") {
     // the oracle-able class: every gray level, assorted non-8-multiple dims
     for (v <- Seq(0, 1, 17, 128, 200, 254, 255)) {
