@@ -217,6 +217,49 @@ object ScaleProbe {
       Dedup.compactState(st).count()
     }
 
+    // ---- round-9 additions: IVF-PQ, containment, TF-IDF cosine,
+    // audio fingerprints ----
+
+    var pqCb: Seq[Seq[Seq[Double]]] = Seq.empty
+    var ivfPqEnc: org.apache.spark.sql.DataFrame = null
+    timed("ivfpq_encode_full") { // coarse argmin + 8 subspace argmins per
+      // row in one scan, zero shuffle; at rest each vector is 16 code
+      // bytes + norm instead of 512 vector bytes
+      pqCb = Similarity.trainPqCodebooks(vecs, dim = 64, m = 8, k = 16,
+        iters = 0)
+      ivfPqEnc = Similarity.pqEncode(
+        Similarity.ivfIndex(vecs, semCentroids), pqCb).cache()
+      ivfPqEnc.count()
+    }
+    timed("ivfpq_search_16q_nprobe4") { // candidates ≈ 4/64 of the codes
+      // per query, each scored by 8 table lookups — full vectors are
+      // never reopened (the FAISS IndexIVFPQ cost model)
+      Similarity.ivfPqTopK(ivfPqEnc, queries, k = 10, semCentroids, pqCb,
+        nProbe = 4).count()
+    }
+    timed("containment_tail_twins") { // rare-shingle candidates + exact
+      // posting-join tail; the corpus's tail-append twins sit at
+      // containment ≈ 1 and must all surface
+      Dedup.containmentPairs(docs, col("doc_id"), col("text"),
+        shingleK = 3, minContainment = 0.9, maxDf = 20).count()
+    }
+    timed("tfidf_cosine_16q") { // sparse dots: one posting join on term
+      // summed per (query, doc) pair — cost tracks the 16 query docs'
+      // postings, never corpus²
+      Search.tfIdfCosineTopK(docs, col("doc_id"), col("text"),
+        docs.filter(col("doc_id") < 16).select(col("doc_id").as("id")),
+        k = 10).count()
+    }
+    timed("audio_fingerprint_hashes") { // real RIFF encode → chunk walk →
+      // 65-window envelope hash per row, narrow mapPartitions throughput
+      val audio = spark.range(nDocs.toLong).map { i =>
+        val samples = Array.tabulate(400)(j =>
+          (((i * 37 + j * 73) % 4001) - 2000).toShort)
+        (i, Multimodal.encodeWavPcm16(8000, samples))
+      }.toDF("id", "payload")
+      Multimodal.audioFingerprints(audio, col("id"), col("payload")).count()
+    }
+
     // ---- round-8 additions: range join, WARC container, Z-order ----
 
     timed("range_join_2M_x_1k") { // optimizer-rewritten BroadcastRangeJoin:

@@ -33,6 +33,7 @@ object SparkEntry {
     "t_boilerplate_lines", "a_exact_moments",
     "j_bloom_prefilter_join",
     "d_minhash_neardups", "s_ann_brute_top5", "s_ann_lsh_top3",
+    "s_ann_ivfpq_top3",
     "m_binary_meta", "c7_weekly_counts", "j_asof_prior_view",
     "c_session_stats")
   // d_incremental_dedup is deliberately NOT headline: its id-bounded

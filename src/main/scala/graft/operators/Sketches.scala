@@ -35,4 +35,59 @@ object Sketches {
   /** Point estimate of a sketch column. */
   def estimate(sketchCol: Column): Column =
     hll_sketch_estimate(sketchCol).cast("bigint")
+
+  // ------------------------------------------- Count-Min (frequencies)
+
+  /** One CMS hash: `h_j(x) = md5(j || ':' || x)` first 15 hex digits mod
+    * `width` — the [[graft.operators.Dedup.md5Hash60]] decode shape, so
+    * both the sketch build and point estimates replay exactly in any
+    * engine with md5 (the registered query's DuckDB oracle does). */
+  private def cmsBucket(row: Column, key: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat_ws(":", row, key).cast("binary")), 1, 15),
+      16, 10).cast("long"), lit(width.toLong))
+
+  /** Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) of a
+    * key column: `depth × width` counters as (row, bucket, cnt) rows —
+    * the FREQUENCY analog of the HLL block above. Build is one narrow
+    * explode over `depth` hash rows + one groupBy of at most
+    * `depth × width` groups, regardless of key cardinality: at 100 TB
+    * the token/URL/domain frequency question never shuffles the key
+    * universe, only d·w counters. Per-partition / per-day sketches merge
+    * by counter-wise ADDITION (plain `sum` after a union — associative,
+    * order-free), so sketches pre-aggregate across time like the HLL
+    * rollup. Estimates ([[cmsEstimate]]) are upward-biased ONLY:
+    * min over d counters ≥ true count, within εN with probability
+    * 1−δ at width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉.
+    *
+    * Unlike [[distinctSketch]] (implementation-defined HLL bytes), the
+    * md5 hash family is engine-portable, so CMS gets a full DuckDB
+    * oracle (t_cms_token_counts). */
+  def countMin(df: DataFrame, keyCol: Column, depth: Int = 4,
+      width: Int = 1024): DataFrame =
+    df.select(keyCol.cast("string").as("k"))
+      .select(col("k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .withColumn("bucket", cmsBucket(col("row"), col("k"), width))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Merge CMS sketches built with identical (depth, width, family):
+    * counter-wise addition. */
+  def mergeCountMin(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_.unionByName(_))
+      .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates for a set of probe keys against a [[countMin]]
+    * sketch: min over the depth counters (0 when a bucket row is absent
+    * — an empty counter). Output: (k, est). The probe side is tiny by
+    * contract (heavy-hitter candidates, watchlists); the sketch join is
+    * on (row, bucket) — at most depth × |probes| sketch rows move. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: Column,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val pr = probes.select(keyCol.cast("string").as("k")).distinct()
+      .select(col("k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .withColumn("bucket", cmsBucket(col("row"), col("k"), width))
+    pr.join(sketch, Seq("row", "bucket"), "left")
+      .groupBy("k").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

@@ -119,6 +119,25 @@ object TextLLM {
       .orderBy("qid", "rank")
   }
 
+  /** Count-Min frequency estimates for the corpus's true top-10 tokens,
+    * next to their exact counts: every estimate must be ≥ exact (CMS
+    * error is one-sided) and both engines replay the d×w counter build
+    * under the portable md5 family — the full sketch, not a summary, is
+    * effectively verified because every probe walks d counters. */
+  def tCmsTokenCounts(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(
+      explode(TA.wsTokens(lower(col("text")))).as("k"))
+    val exact = toks.groupBy("k").agg(count(lit(1)).as("n_exact"))
+    val top = exact.orderBy(col("n_exact").desc, col("k")).limit(10)
+    val sketch = graft.operators.Sketches.countMin(toks, col("k"),
+      depth = 4, width = 512)
+    graft.operators.Sketches.cmsEstimate(sketch, top, col("k"),
+        depth = 4, width = 512)
+      .join(top, Seq("k"))
+      .select(col("k").as("token"), col("n_exact"), col("est").as("n_est"))
+      .orderBy("token")
+  }
+
   def tFingerprintMd5(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .groupBy(md5(TA.normalized(col("text")).cast("binary")).as("fp"))
@@ -918,6 +937,7 @@ object TextLLM {
     "t_langid_confusion" -> (tLangidConfusion _),
     "t_bm25_top5" -> (tBm25Top5 _),
     "t_tfidf_cosine_top3" -> (tTfidfCosineTop3 _),
+    "t_cms_token_counts" -> (tCmsTokenCounts _),
     "t_fingerprint_md5" -> (tFingerprintMd5 _),
     "t_rolling_fingerprint" -> (tRollingFingerprint _),
     "d_shingle_jaccard_twin" -> (dShingleJaccardTwin _),
@@ -1224,6 +1244,30 @@ object TextLLM {
         |    PARTITION BY qid ORDER BY cos DESC, id) AS INT) AS rank FROM cs)
         |SELECT qid, rank, id AS doc_id, cos
         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // Count-Min mirror: same md5(j || ':' || k) mod 512 family, counter
+    // build and 4-row min both replayed; estimates are deterministic so
+    // the row hashes must agree exactly.
+    "t_cms_token_counts" ->
+      (s"""WITH toks AS (SELECT list_filter(string_split_regex(trim(lower(text)),
+         |      '\\s+'), t -> length(t) > 0) AS toks FROM documents),
+         |tk AS (SELECT unnest(toks) AS k FROM toks),
+         |ex AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM tk GROUP BY 1),
+         |top AS (SELECT k, n_exact FROM ex ORDER BY n_exact DESC, k LIMIT 10),
+         |bu AS (SELECT k, rw, ${hex15ToLong(1)} % 512 AS bucket FROM
+         |  (SELECT tk.k, r.rw, md5(CAST(r.rw AS VARCHAR) || ':' || tk.k) AS hx
+         |   FROM tk CROSS JOIN range(4) r(rw))),
+         |cms AS (SELECT rw, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM bu GROUP BY 1, 2),
+         |pb AS (SELECT k, rw, ${hex15ToLong(1)} % 512 AS bucket FROM
+         |  (SELECT top.k, r.rw, md5(CAST(r.rw AS VARCHAR) || ':' || top.k) AS hx
+         |   FROM top CROSS JOIN range(4) r(rw))),
+         |est AS (SELECT pb.k, MIN(COALESCE(cms.cnt, 0)) AS n_est
+         |  FROM pb LEFT JOIN cms ON cms.rw = pb.rw AND cms.bucket = pb.bucket
+         |  GROUP BY 1)
+         |SELECT top.k AS token, top.n_exact, est.n_est
+         |FROM top JOIN est ON est.k = top.k
+         |ORDER BY token""".stripMargin),
     "t_fingerprint_md5" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,

@@ -54,4 +54,47 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"estimate $e vs exact $exact out of bound")
     }
   }
+
+  test("count-min: one-sided error, exact at generous width, partial merge == whole") {
+    import spark.implicits._
+    // zipf-ish: key i appears 200/i times
+    val rows = (1 to 40).flatMap(i => Seq.fill(200 / i)(s"key$i"))
+    val df = rows.toDF("k")
+    val exact = rows.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val probes = exact.keys.toSeq.toDF("k")
+
+    // generous width → no collisions among 40 keys → estimates EXACT
+    val wide = Sketches.countMin(df, col("k"), depth = 4, width = 4096)
+    val wideEst = Sketches.cmsEstimate(wide, probes, col("k"),
+        depth = 4, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wideEst == exact, s"wide sketch should be collision-free")
+
+    // tiny width → collisions inflate SOME estimate, but NEVER deflate
+    val tiny = Sketches.countMin(df, col("k"), depth = 2, width = 8)
+    val tinyEst = Sketches.cmsEstimate(tiny, probes, col("k"),
+        depth = 2, width = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(tinyEst(k) >= n, s"CMS must never undercount: $k ${tinyEst(k)} < $n")
+    }
+    assert(exact.exists { case (k, n) => tinyEst(k) > n },
+      "40 keys in 8 buckets must collide somewhere")
+
+    // split the corpus arbitrarily; merged partial sketches == whole
+    val (a, b) = rows.splitAt(137)
+    val merged = Sketches.mergeCountMin(
+      Sketches.countMin(a.toDF("k"), col("k"), depth = 4, width = 4096),
+      Sketches.countMin(b.toDF("k"), col("k"), depth = 4, width = 4096))
+    val mergedRows = merged.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val wholeRows = wide.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(mergedRows == wholeRows, "counter-wise merge must equal the whole")
+
+    // an unseen key reads 0 (all its buckets empty at this width)
+    val unseen = Sketches.cmsEstimate(wide, Seq("neverseen").toDF("k"),
+      col("k"), depth = 4, width = 4096).collect()
+    assert(unseen.length == 1 && unseen(0).getLong(1) == 0L)
+  }
 }
