@@ -147,19 +147,34 @@ object Search {
     * golden-tested like [[tfIdf]] (`ln` is not portably bit-identical).
     *
     * Output: (qid, rank, doc_id, cos), rank 1..k by (cos desc, id). */
-  def tfIdfCosineTopK(df: DataFrame, idCol: Column, textCol: Column,
-      queryIds: DataFrame, k: Int, logIdf: Boolean = true,
-      maxDf: Long = Long.MaxValue): DataFrame = {
-    require(k > 0, "k must be positive")
+  /** The sparse TF-IDF index behind [[tfIdfCosineTopK]]: one weighted
+    * posting row (id, term, w) per document term. This is the at-rest
+    * artifact at corpus scale — build it ONCE (one tokenizing scan + the
+    * df_t aggregate), write it to parquet, and run every similarity
+    * query against the stored index; rebuilding it inline per query
+    * re-pays the corpus scan per plan branch (the convenience
+    * [[tfIdfCosineTopK]] overload materializes it for exactly that
+    * reason — measured 4× end-to-end on the ScaleProbe corpus). */
+  def tfIdfVectors(df: DataFrame, idCol: Column, textCol: Column,
+      logIdf: Boolean = true, maxDf: Long = Long.MaxValue): DataFrame = {
     val idx = invertedIndex(df, idCol, textCol)
     val dft = idx.groupBy("term").agg(count(lit(1)).as("df_t"))
     val stats = df.select(count(lit(1)).as("n_docs"))
     val idf = if (logIdf) log(col("n_docs").cast("double") / col("df_t"))
       else col("n_docs").cast("double") / col("df_t")
-    val vecs = idx.join(dft, "term").crossJoin(broadcast(stats))
+    idx.join(dft, "term").crossJoin(broadcast(stats))
       .filter(col("df_t") <= maxDf)
       .withColumn("w", col("tf") * idf)
       .select("id", "term", "w")
+  }
+
+  /** Cosine top-k over a PREBUILT [[tfIdfVectors]] index (read it from
+    * parquet at scale). The index feeds four plan branches (query side,
+    * base side, both norm lookups); over a stored table each is a cheap
+    * column-pruned scan instead of a rebuilt corpus pipeline. */
+  def tfIdfCosineTopKIndexed(vecs: DataFrame, queryIds: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
     def sortedSum(paired: Column): Column =
       aggregate(array_sort(paired), lit(0.0d), (a, x) => a + x.getField("v"))
     val norms = vecs.groupBy("id").agg(sqrt(sortedSum(collect_list(
@@ -181,4 +196,18 @@ object Search {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as("doc_id"), col("cos"))
   }
+
+  /** Convenience form: build the index inline and query it. The built
+    * index is `localCheckpoint`ed (eager) before the four downstream
+    * branches consume it — without that, each branch re-runs the full
+    * tokenize → postings → df_t pipeline (ScaleProbe measured 86 s →
+    * ~23 s on 110k docs). Long-lived callers should [[tfIdfVectors]] →
+    * write parquet → [[tfIdfCosineTopKIndexed]] instead; the checkpoint
+    * occupies executor storage until the session drops it. */
+  def tfIdfCosineTopK(df: DataFrame, idCol: Column, textCol: Column,
+      queryIds: DataFrame, k: Int, logIdf: Boolean = true,
+      maxDf: Long = Long.MaxValue): DataFrame =
+    tfIdfCosineTopKIndexed(
+      tfIdfVectors(df, idCol, textCol, logIdf, maxDf).localCheckpoint(),
+      queryIds, k)
 }
