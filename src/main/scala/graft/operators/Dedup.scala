@@ -678,13 +678,19 @@ object Dedup {
     // naive form at 279 s vs ~30 s on 110k docs; both are sized by the
     // near-dup population, not the corpus, so the storage is small).
     val posting = shinglePosting(df, idCol, textCol, shingleK)
-    // df_t via groupBy + equi-join (not a per-shingle window): AQE can
-    // pick broadcast/skew strategies, and the posting is not re-sorted
-    val dft = posting.groupBy("sh").agg(count(lit(1)).as("__df"))
-    val rare = posting.join(dft.filter(col("__df") <= maxDf), Seq("sh"))
-      .select("id", "sh")
+    // the three corpus-wide phases (df count, rare filter, bucket
+    // self-join) run on 64-bit shingle HASHES — shuffles carry
+    // (long, long) rows instead of ~40-byte shingle strings. A hash
+    // collision can only ADD a false candidate (killed by the exact
+    // string tail below) or, at ~2^-40 per corpus, nudge a merged df
+    // over maxDf; the df_t count itself is groupBy + equi-join (not a
+    // per-shingle sort window) so AQE can pick broadcast/skew strategies
+    val hashed = posting.select(col("id"), xxhash64(col("sh")).as("h"))
+    val dft = hashed.groupBy("h").agg(count(lit(1)).as("__df"))
+    val rare = hashed.join(dft.filter(col("__df") <= maxDf), Seq("h"))
+      .select("id", "h")
     val cands = rare.as("a").join(rare.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
       .localCheckpoint()
     val ids = cands.select(col("id_a").as("id"))

@@ -74,6 +74,21 @@ object Stats {
     * Single-row groups yield null variance/corr (division by zero →
     * null in both engines via explicit guards). */
   def exactMoments(df: DataFrame, groupCols: Seq[Column],
+      x: Column, y: Column): DataFrame =
+    deriveFromMoments(momentPartials(df, groupCols, x, y))
+
+  /** The PARTIAL moment vector per group — (groups..., n, sx, sy, sxx,
+    * syy, sxy), all exact BIGINTs. This row is the at-rest summary-table
+    * artifact for INCREMENTAL rollup maintenance at corpus scale:
+    * aggregate each arriving partition once, store its partials, and
+    * answer any later mean/stddev/corr question by
+    * [[mergeMomentPartials]] + [[momentsFromPartials]] — history is
+    * never rescanned, and because component-wise BIGINT addition is
+    * associative/commutative/exact, the merged rollup equals a
+    * full recompute BIT FOR BIT under any batch slicing (the registered
+    * a_incremental_moments query proves it against an oracle that only
+    * ever sees the whole). */
+  def momentPartials(df: DataFrame, groupCols: Seq[Column],
       x: Column, y: Column): DataFrame = {
     val xb = x.cast("bigint")
     val yb = y.cast("bigint")
@@ -81,12 +96,28 @@ object Stats {
     // saw, or a null x row would enter n while Σx skipped it and every
     // derived moment would be silently wrong
     val complete = df.filter(xb.isNotNull && yb.isNotNull)
-    deriveFromMoments(complete.groupBy(groupCols: _*).agg(
+    complete.groupBy(groupCols: _*).agg(
       count(lit(1)).as("n"),
       sum(xb).as("sx"), sum(yb).as("sy"),
       sum(xb * xb).as("sxx"), sum(yb * yb).as("syy"),
-      sum(xb * yb).as("sxy")))
+      sum(xb * yb).as("sxy"))
   }
+
+  /** Merge partial-moment tables built by [[momentPartials]] with the
+    * same grouping: component-wise addition per group. A group absent
+    * from one side contributes its other side's partials unchanged. */
+  def mergeMomentPartials(partials: Seq[DataFrame],
+      groupCols: Seq[String]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+        sum("sxx").as("sxx"), sum("syy").as("syy"), sum("sxy").as("sxy"))
+
+  /** Finalize a partials table into the [[exactMoments]] output schema —
+    * the same fixed float tail, so incremental and one-shot answers are
+    * bit-identical. */
+  def momentsFromPartials(partials: DataFrame): DataFrame =
+    deriveFromMoments(partials)
 
   /** The fixed float tail shared by [[exactMoments]] and
     * [[momentsAggregator]]: input must carry BIGINT columns

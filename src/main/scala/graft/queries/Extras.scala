@@ -218,6 +218,27 @@ object Extras {
         Seq(col("l_returnflag")), col("l_quantity"), col("l_linenumber"))
       .orderBy("l_returnflag")
 
+  /** Incremental rollup maintenance
+    * ([[graft.operators.Stats.momentPartials]]): lineitem arrives as two
+    * disjoint "batches" (split on l_orderkey parity), each reduced ONCE
+    * to per-flag BIGINT moment partials — the stored summary-table rows;
+    * the partials merge component-wise and finalize through the same
+    * fixed float tail. The oracle only ever sees the WHOLE table
+    * (identical SQL to a_exact_moments), so a bit-exact match proves
+    * merged-incremental == full recompute under any batch slicing —
+    * history never rescanned. */
+  def aIncrementalMoments(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val batches = Seq(li.filter(col("l_orderkey") % 2 === 0),
+      li.filter(col("l_orderkey") % 2 === 1))
+    val partials = batches.map(b => graft.operators.Stats.momentPartials(
+      b, Seq(col("l_returnflag")), col("l_quantity"), col("l_linenumber")))
+    graft.operators.Stats.momentsFromPartials(
+        graft.operators.Stats.mergeMomentPartials(partials,
+          Seq("l_returnflag")))
+      .orderBy("l_returnflag")
+  }
+
   /** Large×large band join ([[Regions.bandJoin]]): event pairs with
     * values within 0.05 — the neighbor-bucket equi-join rewrite of a
     * theta join neither side of which could broadcast at scale. The
@@ -354,6 +375,7 @@ object Extras {
     "u_intersect" -> (uIntersect _),
     "a_median_price" -> (aMedianPrice _),
     "a_exact_moments" -> (aExactMoments _),
+    "a_incremental_moments" -> (aIncrementalMoments _),
     "a_tpch_q1" -> (aTpchQ1 _),
     "j_band_pairs" -> (jBandPairs _),
     "a_exact_moments_udaf" -> (aExactMomentsUdaf _),
@@ -492,6 +514,7 @@ object Extras {
     // sqrt is correctly rounded in both engines) → scores hash
     // bit-for-bit. DuckDB's HUGEINT sums cast back to BIGINT.
     "a_exact_moments" -> exactMomentsSql,
+    "a_incremental_moments" -> exactMomentsSql,
     // the typed-Aggregator twin is bit-identical by construction, so it
     // shares the oracle verbatim — the UDAF path is what is under test
     "a_exact_moments_udaf" -> exactMomentsSql,

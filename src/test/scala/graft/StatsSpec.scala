@@ -120,4 +120,30 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c = Stats.exactMoments(const, Seq(col("g")), col("x"), col("y")).collect()(0)
     assert(c.getDouble(4) == 0.0 && c.isNullAt(6))
   }
+
+  test("incremental rollup: merged batch partials == one-shot, bit for bit, any slicing") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 3000).map(i =>
+      (s"g${i % 5}", rng.nextInt(1000), rng.nextInt(100), i))
+    val df = rows.toDF("g", "x", "y", "i")
+    val whole = Stats.exactMoments(df, Seq(col("g")), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+
+    // three arbitrary, uneven batch slicings — including one where some
+    // groups are entirely absent from a batch
+    val slicings = Seq(
+      Seq(col("i") % 2 === 0, col("i") % 2 === 1),
+      Seq(col("i") < 100, col("i") >= 100),
+      Seq(col("g") === "g0", col("g") =!= "g0"))
+    slicings.foreach { preds =>
+      val partials = preds.map(p =>
+        Stats.momentPartials(df.filter(p), Seq(col("g")), col("x"), col("y")))
+      val merged = Stats.momentsFromPartials(
+          Stats.mergeMomentPartials(partials, Seq("g")))
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(merged == whole,
+        s"incremental != one-shot under slicing $preds")
+    }
+  }
 }
