@@ -32,4 +32,37 @@ object Skew {
       aggs.keys.toSeq.map(n => sum(col(n)).as(n))
     partial.groupBy("key").agg(finalAggs.head, finalAggs.tail: _*)
   }
+
+  /** Salted equi-join for a SKEWED probe side — the manual fix when
+    * AQE's runtime skew split can't apply (known-hot keys, a build side
+    * that must shuffle anyway, or a sort-merge join whose one hot key
+    * funnels a corpus partition through one task). Probe rows take a
+    * salt in [0, salts); build rows REPLICATE once per salt; the join
+    * key widens to (key, salt), spreading every hot key over `salts`
+    * reducers at the cost of salts× build-side shuffle volume — the
+    * standard trade when the build side is the small-but-unbroadcastable
+    * one. Output equals the unsalted join EXACTLY (each probe row meets
+    * precisely its salt's full build replica; differential-tested in
+    * LlmOperatorsSpec and oracle-checked by j_skew_salted_join against
+    * the plain join).
+    *
+    * Join types where build replication is sound: inner, left/left_outer
+    * (null-extension per probe row unchanged), left_semi, left_anti.
+    * Right/full would duplicate unmatched build rows — rejected. */
+  def saltedJoin(probe: DataFrame, probeKey: Column, build: DataFrame,
+      buildKey: Column, salts: Int, joinType: String = "inner"): DataFrame = {
+    val jt = joinType.toLowerCase.replace("outer", "").stripSuffix("_")
+    require(Set("inner", "left", "left_semi", "left_anti", "leftsemi",
+      "leftanti").contains(jt),
+      s"saltedJoin: build-side replication is unsound for '$joinType' " +
+        "(unmatched build rows would appear once per salt)")
+    require(salts > 0, "salts must be positive")
+    val p = probe.withColumn("__psalt",
+      pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
+    val b = build.withColumn("__bsalt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    p.join(b, probeKey === buildKey && col("__psalt") === col("__bsalt"),
+        joinType)
+      .drop("__psalt", "__bsalt")
+  }
 }

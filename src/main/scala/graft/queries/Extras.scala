@@ -145,6 +145,20 @@ object Extras {
       .groupBy("nationkey").agg(count(lit(1)).as("n_surviving"))
       .orderBy("nationkey")
 
+  /** Skew — salted JOIN ([[graft.operators.Skew.saltedJoin]]): probe
+    * rows salted, build side replicated per salt, join key widened to
+    * (key, salt) so a hot key spreads over 8 reducers. The oracle runs
+    * the PLAIN join — a match proves replication changes nothing
+    * (quantities are int-valued doubles, so the sums are exact in any
+    * grouping). */
+  def jSkewSaltedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedJoin(
+        t(s, dir, "lineitem"), col("l_orderkey"),
+        t(s, dir, "orders"), col("o_orderkey"), salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+
   /** Skew — two-phase salted aggregation must be value-identical to the
     * plain GROUP BY the oracle runs (quantities are int-valued doubles,
     * so partial sums are exact in any grouping). */
@@ -384,6 +398,7 @@ object Extras {
     "c6_monthly_counts" -> (c6MonthlyCounts _),
     "json_props_agg" -> (jsonPropsAgg _),
     "skew_salted_agg" -> (skewSaltedAgg _),
+    "j_skew_salted_join" -> (jSkewSaltedJoin _),
     "f2_filter_pipeline" -> (f2FilterPipeline _),
     "f3_exclusion_counts" -> (f3ExclusionCounts _),
     "a9_pivot_api" -> (a9PivotApi _),
@@ -568,6 +583,11 @@ object Extras {
         |  CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum,
         |  CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS k_max
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j_skew_salted_join" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "skew_salted_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -127,6 +127,36 @@ object StreamingTimeSeries {
       .select(col(groupCol),
         graft.operators.Sketches.estimate(col("sketch")).as("n_distinct"))
 
+  /** Streaming incremental-rollup maintenance — the ingestion face of
+    * [[graft.operators.Stats.momentPartials]]: each micro-batch reduces
+    * ONCE to exact BIGINT moment partials appended to the summary table;
+    * any later reader answers mean/stddev/corr questions over the whole
+    * stream by merging the partial rows ([[mergedMoments]]) — history is
+    * never rescanned, and because the partials are exact integers the
+    * merged answer is bit-identical to a batch recompute over all data
+    * (StreamingSpec pins it). */
+  def startMomentPartialsQuery(events: DataFrame, groupCol: String,
+      xCol: String, yCol: String, targetDir: String,
+      checkpointDir: String) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Stats
+          .momentPartials(batch.toDF(), Seq(col(groupCol)), col(xCol), col(yCol))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(targetDir)
+      }
+      .start()
+
+  /** Finalized whole-stream statistics from the partial rows stored by
+    * [[startMomentPartialsQuery]]. */
+  def mergedMoments(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.momentsFromPartials(
+      graft.operators.Stats.mergeMomentPartials(
+        Seq(spark.read.parquet(targetDir).drop("batch_id")), Seq(groupCol)))
+
   /** Streaming exact dedup — the ingestion-time face of the batch dedup
     * block: arriving documents are keyed by (xxhash64, sha2) of their
     * content and deduplicated statefully; the event-time watermark bounds

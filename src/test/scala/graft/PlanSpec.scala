@@ -204,6 +204,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted == plain)
   }
 
+  test("salted join equals plain join for every sound join type; unsound rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    // 90% of probe rows hit ONE key; build has unmatched keys both ways
+    val probe = (1 to 1000).map(i =>
+      (if (i <= 900) 1L else (i % 50).toLong, i)).toDF("pk", "pv")
+    val build = (0L to 30L).map(k => (k, s"b$k")).toDF("bk", "bv")
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+      val salted = rows(operators.Skew.saltedJoin(
+        probe, c("pk"), build, c("bk"), salts = 8, joinType = jt))
+      val plain = rows(probe.join(build, c("pk") === c("bk"), jt))
+      assert(salted == plain, s"salted $jt diverged from plain join")
+    }
+    intercept[IllegalArgumentException] {
+      operators.Skew.saltedJoin(probe, c("pk"), build, c("bk"), 8, "full")
+    }
+    intercept[IllegalArgumentException] {
+      operators.Skew.saltedJoin(probe, c("pk"), build, c("bk"), 8, "right")
+    }
+  }
+
   test("BM25 broadcasts query terms and stats — no SMJ, no cartesian") {
     val p = plan(queries.TextLLM.tBm25Top5(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"query-term join not broadcast:\n$p")

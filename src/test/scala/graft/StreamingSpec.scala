@@ -198,6 +198,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming moment partials: merged batches == one-shot batch stats, bit for bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("moments_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("moments_ckpt").toString
+    val rng = new scala.util.Random(31)
+    val all = (0 until 900).map(i =>
+      (s"g${i % 3}", rng.nextInt(500).toLong, rng.nextInt(50).toLong))
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamingTimeSeries.startMomentPartialsQuery(
+      input.toDF().toDF("g", "x", "y"), "g", "x", "y", s"$dir/data", ckpt)
+    try {
+      // three uneven micro-batches
+      input.addData(all.take(100): _*); q.processAllAvailable()
+      input.addData(all.slice(100, 700): _*); q.processAllAvailable()
+      input.addData(all.drop(700): _*); q.processAllAvailable()
+      val streamed = StreamingTimeSeries.mergedMoments(spark, s"$dir/data", "g")
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val batch = graft.operators.Stats.exactMoments(
+          all.toDF("g", "x", "y"), Seq(col("g")), col("x"), col("y"))
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(streamed == batch,
+        "stream-maintained rollup diverged from one-shot batch stats")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
