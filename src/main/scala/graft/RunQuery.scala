@@ -18,9 +18,11 @@ object RunQuery {
         SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
     val spark = GraftSession.local("graft-runquery")
     val rows = fn(spark, sfDir).limit(maxRows + 1).collect()
-    rows.take(maxRows).foreach(r => println("ROW:" + r.mkString(",")))
-    if (rows.length > maxRows) println(s"... (truncated at $maxRows)")
-    println(s"COUNT:${rows.length}")
+    val shown = rows.take(maxRows)
+    shown.foreach(r => println("ROW:" + r.mkString(",")))
+    println(s"COUNT:${shown.length}" +
+      (if (rows.length > maxRows) s" (truncated at $maxRows; more exist)"
+       else ""))
     spark.stop()
   }
 }

@@ -322,14 +322,10 @@ object Multimodal {
     bb.array()
   }
 
-  /** Decode a RIFF/WAVE payload by real chunk walking (arbitrary chunk
-    * order, unknown chunks skipped by their declared length, word-aligned
-    * per the RIFF spec). Only 16-bit PCM is accepted; the stats run over
-    * every raw sample regardless of channel count. Returns None for
-    * anything that is not a well-formed PCM-16 WAV — callers fall back to
-    * the stub, same policy as [[decodeFrameImageIO]]. */
   /** Shared RIFF chunk walk behind [[decodeWavStats]] and
-    * [[audioDHash64]]: locates the PCM-16 sample span. Returns
+    * [[audioDHash64]]: real chunk walking (arbitrary chunk order,
+    * unknown chunks skipped by their declared length, word-aligned per
+    * the RIFF spec), locating the PCM-16 sample span. Returns
     * (sampleRate, dataAt, dataLen); None for anything not a well-formed
     * PCM-16 WAV. */
   private def wavPcm16(payload: Array[Byte]): Option[(Int, Int, Int)] = {
@@ -364,6 +360,10 @@ object Multimodal {
     else Some((sampleRate, dataAt, dataLen))
   }
 
+  /** Exact integer stats over a RIFF/WAVE payload's raw PCM-16 samples
+    * (via [[wavPcm16]]'s chunk walk, regardless of channel count).
+    * Returns None for anything not a well-formed PCM-16 WAV — callers
+    * fall back to the stub, same policy as [[decodeFrameImageIO]]. */
   def decodeWavStats(payload: Array[Byte]): Option[WavStats] = {
     val (sampleRate, dataAt, dataLen) = wavPcm16(payload) match {
       case Some(t) => t

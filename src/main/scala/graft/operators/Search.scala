@@ -123,30 +123,6 @@ object Search {
       .select(col("qid"), col("rank"), col("id").as("doc_id"), col("score"))
   }
 
-  /** Sparse TF-IDF cosine top-k: rank corpus documents against QUERY
-    * DOCUMENTS (whole docs as queries, not term bags) by cosine over
-    * their TF-IDF vectors — "more like this" similarity without dense
-    * embeddings. The sparse form never materializes a vector: dots are a
-    * posting-list equi-join on `term` summed per (query, doc) pair, so
-    * only term-SHARING pairs are ever scored and per-query cost is
-    * bounded by the postings of the query's own terms — the same scale
-    * shape as [[bm25TopK]], no all-pairs form anywhere.
-    *
-    * `maxDf` caps posting fanout for corpus-common terms (a stop word
-    * joins every document pair; its idf ≈ ln(1) ≈ 0 contributes nothing,
-    * so dropping df_t > maxDf terms is the standard cost/quality dial at
-    * corpus scale — default keeps everything, exact).
-    *
-    * Both dot and norm sums fold in SORTED TERM ORDER (array_sort over
-    * collected (term, product) pairs, then a left-to-right `aggregate`)
-    * — bit-deterministic under any partitioning, and replayable in SQL
-    * as `list_sum(list(v ORDER BY term))`. With `logIdf = false` the
-    * weight is `tf × N/df_t` (single IEEE ops, no transcendentals), so
-    * the registered query is oracle-exact INCLUDING the cosines;
-    * `logIdf = true` (default) is the textbook `tf × ln(N/df_t)`,
-    * golden-tested like [[tfIdf]] (`ln` is not portably bit-identical).
-    *
-    * Output: (qid, rank, doc_id, cos), rank 1..k by (cos desc, id). */
   /** The sparse TF-IDF index behind [[tfIdfCosineTopK]]: one weighted
     * posting row (id, term, w) per document term. This is the at-rest
     * artifact at corpus scale — build it ONCE (one tokenizing scan + the
@@ -154,7 +130,16 @@ object Search {
     * query against the stored index; rebuilding it inline per query
     * re-pays the corpus scan per plan branch (the convenience
     * [[tfIdfCosineTopK]] overload materializes it for exactly that
-    * reason — measured 4× end-to-end on the ScaleProbe corpus). */
+    * reason — measured 4× end-to-end on the ScaleProbe corpus).
+    *
+    * `maxDf` caps posting fanout for corpus-common terms (a stop word
+    * joins every document pair; its idf ≈ ln(1) ≈ 0 contributes nothing,
+    * so dropping df_t > maxDf is the standard cost/quality dial —
+    * default keeps everything, exact). `logIdf = false` weights by
+    * `tf × N/df_t` (single IEEE ops, no transcendentals — the
+    * oracle-exact face); `true` (default) is the textbook
+    * `tf × ln(N/df_t)`, golden-tested like [[tfIdf]] (`ln` is not
+    * portably bit-identical). */
   def tfIdfVectors(df: DataFrame, idCol: Column, textCol: Column,
       logIdf: Boolean = true, maxDf: Long = Long.MaxValue): DataFrame = {
     val idx = invertedIndex(df, idCol, textCol)
@@ -168,10 +153,27 @@ object Search {
       .select("id", "term", "w")
   }
 
-  /** Cosine top-k over a PREBUILT [[tfIdfVectors]] index (read it from
-    * parquet at scale). The index feeds four plan branches (query side,
-    * base side, both norm lookups); over a stored table each is a cheap
-    * column-pruned scan instead of a rebuilt corpus pipeline. */
+  /** Sparse TF-IDF cosine top-k over a PREBUILT [[tfIdfVectors]] index
+    * (read it from parquet at scale): rank corpus documents against
+    * QUERY DOCUMENTS (whole docs as queries, not term bags) — "more
+    * like this" similarity without dense embeddings. No vector ever
+    * materializes: dots are a posting-list equi-join on `term` summed
+    * per (query, doc) pair, so only term-SHARING pairs are scored and
+    * per-query cost is bounded by the query's own postings — the same
+    * scale shape as [[bm25TopK]], no all-pairs form anywhere.
+    *
+    * Both dot and norm sums fold in SORTED TERM ORDER (array_sort over
+    * collected (term, product) pairs, then a left-to-right `aggregate`)
+    * — bit-deterministic under any partitioning, and replayable in SQL
+    * as `list_sum(list(v ORDER BY term))`; with ratio-idf weights
+    * (see [[tfIdfVectors]]) the registered query is oracle-exact
+    * INCLUDING the cosines.
+    *
+    * The index feeds four plan branches (query side, base side, both
+    * norm lookups); over a stored table each is a cheap column-pruned
+    * scan instead of a rebuilt corpus pipeline.
+    *
+    * Output: (qid, rank, doc_id, cos), rank 1..k by (cos desc, id). */
   def tfIdfCosineTopKIndexed(vecs: DataFrame, queryIds: DataFrame,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")

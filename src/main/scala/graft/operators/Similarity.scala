@@ -205,6 +205,41 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame =
     base.withColumn("ivf_list", nearestCentroid(col(vecCol), centroids))
 
+  /** The coarse-probe ranking expression — ONE definition shared
+    * verbatim by [[ivfTopK]], [[ivfPqTopK]] and [[probedLists]], because
+    * the DuckDB oracle mirrors replay it and any per-call-site drift
+    * (e.g. a tie-break tweak) would silently desynchronize the others:
+    * per query, rank lists by (−2·q·c + ‖c‖², index) and keep the
+    * `nProbe` best, as an array of (d, i) structs. */
+  private def probeListsExpr(centroids: Seq[Seq[Double]],
+      queryVec: String, nProbe: Int): Column = {
+    val probeDists = array(centroids.map { c =>
+      val norm2 = c.map(x => x * x).sum
+      dot(col(queryVec), typedLit(c)) * -2 + norm2
+    }: _*)
+    slice(array_sort(zip_with(probeDists,
+      sequence(lit(0), lit(centroids.size - 1)),
+      (d, i) => struct(d.as("d"), i.as("i")))), 1, nProbe)
+  }
+
+  /** The per-query ADC lookup table (m × k subspace dot products) —
+    * shared verbatim by [[pqTopK]] and [[ivfPqTopK]]. */
+  private def adcLut(codebooks: Seq[Seq[Seq[Double]]],
+      queryVec: String): Column = {
+    val subDim = codebooks.head.head.size
+    array(codebooks.zipWithIndex.map { case (cb, s) =>
+      array(cb.map(c => dot(slice(col(queryVec), s * subDim + 1, subDim),
+        typedLit(c))): _*)
+    }: _*)
+  }
+
+  /** The ADC table-sum over a staged `__lut` — the FIXED left-to-right
+    * subspace tree both oracle mirrors replay. */
+  private def adcSum(m: Int, codeCol: String): Column =
+    (0 until m).map { s =>
+      element_at(element_at(col("__lut"), s + 1), col(codeCol).getItem(s) + 1)
+    }.reduce(_ + _)
+
   /** IVF top-k: each query probes its `nProbe` nearest inverted lists; only
     * vectors in those lists are scored. Candidate volume per query ≈
     * |base| × nProbe / k — the classic recall/cost dial. */
@@ -212,15 +247,8 @@ object Similarity {
       centroids: Seq[Seq[Double]], nProbe: Int = 2,
       baseId: String = "vec_id", baseVec: String = "embedding",
       queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
-    val probeDists = array(centroids.map { c =>
-      val norm2 = c.map(x => x * x).sum
-      dot(col(queryVec), typedLit(c)) * -2 + norm2
-    }: _*)
     val probes = queries
-      .withColumn("__lists",
-        slice(array_sort(zip_with(probeDists,
-          sequence(lit(0), lit(centroids.size - 1)),
-          (d, i) => struct(d.as("d"), i.as("i")))), 1, nProbe))
+      .withColumn("__lists", probeListsExpr(centroids, queryVec, nProbe))
       .withColumn("ivf_list", explode(col("__lists.i")))
       .withColumn("ivf_list", col("ivf_list").cast("int"))
       .drop("__lists")
@@ -322,18 +350,10 @@ object Similarity {
       baseId: String = "vec_id", codeCol: String = "pq_code",
       normCol: String = "pq_norm",
       queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
-    val m = codebooks.size
-    val subDim = codebooks.head.head.size
-    val lut = array(codebooks.zipWithIndex.map { case (cb, s) =>
-      array(cb.map(c => dot(slice(col(queryVec), s * subDim + 1, subDim),
-        typedLit(c))): _*)
-    }: _*)
     val q = queries
-      .withColumn("__lut", lut)
+      .withColumn("__lut", adcLut(codebooks, queryVec))
       .withColumn("__qnorm", norm(col(queryVec)))
-    val adc = (0 until m).map { s =>
-      element_at(element_at(col("__lut"), s + 1), col(codeCol).getItem(s) + 1)
-    }.reduce(_ + _)
+    val adc = adcSum(codebooks.size, codeCol)
     val d = col("__qnorm") * col(normCol)
     val scored = encoded.crossJoin(broadcast(q))
       .filter(col(queryId) =!= col(baseId))
@@ -365,31 +385,16 @@ object Similarity {
       nProbe: Int = 2, baseId: String = "vec_id", codeCol: String = "pq_code",
       normCol: String = "pq_norm",
       queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
-    val m = codebooks.size
-    val subDim = codebooks.head.head.size
-    val probeDists = array(centroids.map { c =>
-      val norm2 = c.map(x => x * x).sum
-      dot(col(queryVec), typedLit(c)) * -2 + norm2
-    }: _*)
-    val lut = array(codebooks.zipWithIndex.map { case (cb, s) =>
-      array(cb.map(c => dot(slice(col(queryVec), s * subDim + 1, subDim),
-        typedLit(c))): _*)
-    }: _*)
     // one broadcast row per (query, probed list): the m×k ADC table and
     // query norm are staged once and ride the broadcast to every executor
     val probes = queries
-      .withColumn("__lists",
-        slice(array_sort(zip_with(probeDists,
-          sequence(lit(0), lit(centroids.size - 1)),
-          (d, i) => struct(d.as("d"), i.as("i")))), 1, nProbe))
+      .withColumn("__lists", probeListsExpr(centroids, queryVec, nProbe))
       .withColumn("ivf_list", explode(col("__lists.i")))
       .withColumn("ivf_list", col("ivf_list").cast("int"))
       .drop("__lists")
-      .withColumn("__lut", lut)
+      .withColumn("__lut", adcLut(codebooks, queryVec))
       .withColumn("__qnorm", norm(col(queryVec)))
-    val adc = (0 until m).map { s =>
-      element_at(element_at(col("__lut"), s + 1), col(codeCol).getItem(s) + 1)
-    }.reduce(_ + _)
+    val adc = adcSum(codebooks.size, codeCol)
     val d = col("__qnorm") * col(normCol)
     // equi-join on ivf_list: each base code meets exactly the queries
     // probing its list (assignment is unique, so no (qid, nid) dups)
@@ -468,14 +473,8 @@ object Similarity {
     * Driver traffic: ≤ nProbe × |queries| ints. */
   def probedLists(queries: DataFrame, centroids: Seq[Seq[Double]],
       nProbe: Int, queryVec: String = "qvec"): Seq[Int] = {
-    val probeDists = array(centroids.map { c =>
-      val norm2 = c.map(x => x * x).sum
-      dot(col(queryVec), typedLit(c)) * -2 + norm2
-    }: _*)
     queries
-      .select(explode(slice(array_sort(zip_with(probeDists,
-        sequence(lit(0), lit(centroids.size - 1)),
-        (d, i) => struct(d.as("d"), i.as("i")))), 1, nProbe)).as("p"))
+      .select(explode(probeListsExpr(centroids, queryVec, nProbe)).as("p"))
       .select(col("p.i").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
   }

@@ -62,8 +62,8 @@ object Sketches {
     * Unlike [[distinctSketch]] (implementation-defined HLL bytes), the
     * md5 hash family is engine-portable, so CMS gets a full DuckDB
     * oracle (t_cms_token_counts). */
-  def countMin(df: DataFrame, keyCol: Column, depth: Int = 4,
-      width: Int = 1024): DataFrame =
+  private[operators] def countMin(df: DataFrame, keyCol: Column,
+      depth: Int = 4, width: Int = 1024): DataFrame =
     df.select(keyCol.cast("string").as("k"))
       .select(col("k"),
         explode(sequence(lit(0), lit(depth - 1))).as("row"))
@@ -72,7 +72,7 @@ object Sketches {
 
   /** Merge CMS sketches built with identical (depth, width, family):
     * counter-wise addition. */
-  def mergeCountMin(sketches: DataFrame*): DataFrame =
+  private[operators] def mergeCountMin(sketches: DataFrame*): DataFrame =
     sketches.reduce(_.unionByName(_))
       .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt"))
 
@@ -81,8 +81,8 @@ object Sketches {
     * — an empty counter). Output: (k, est). The probe side is tiny by
     * contract (heavy-hitter candidates, watchlists); the sketch join is
     * on (row, bucket) — at most depth × |probes| sketch rows move. */
-  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: Column,
-      depth: Int = 4, width: Int = 1024): DataFrame = {
+  private[operators] def cmsEstimate(sketch: DataFrame, probes: DataFrame,
+      keyCol: Column, depth: Int = 4, width: Int = 1024): DataFrame = {
     val pr = probes.select(keyCol.cast("string").as("k")).distinct()
       .select(col("k"),
         explode(sequence(lit(0), lit(depth - 1))).as("row"))
@@ -90,4 +90,29 @@ object Sketches {
     pr.join(sketch, Seq("row", "bucket"), "left")
       .groupBy("k").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** A built Count-Min sketch BOUND to its (depth, width): estimating
+    * with different parameters than the build recomputes buckets that
+    * the counters never saw — the left join finds nothing, min() reads
+    * 0, and the one-sided never-undercount guarantee silently inverts.
+    * Binding the parameters to the counters makes that mistake
+    * unrepresentable: merges require equality, estimates reuse the
+    * build's own values. This is the public CMS face; the raw
+    * DataFrame helpers above are operator-internal. */
+  final case class CmsSketch(counters: DataFrame, depth: Int, width: Int) {
+    def merge(other: CmsSketch): CmsSketch = {
+      require(depth == other.depth && width == other.width,
+        s"CMS merge with mismatched parameters: depth=$depth/width=$width" +
+          s" vs depth=${other.depth}/width=${other.width}")
+      CmsSketch(mergeCountMin(counters, other.counters), depth, width)
+    }
+    /** (k, est) per distinct probe key; est ≥ true count always. */
+    def estimate(probes: DataFrame, keyCol: Column): DataFrame =
+      cmsEstimate(counters, probes, keyCol, depth, width)
+  }
+
+  /** Build a [[CmsSketch]] over a key column. */
+  def countMinSketch(df: DataFrame, keyCol: Column, depth: Int = 4,
+      width: Int = 1024): CmsSketch =
+    CmsSketch(countMin(df, keyCol, depth, width), depth, width)
 }

@@ -129,10 +129,9 @@ object TextLLM {
       explode(TA.wsTokens(lower(col("text")))).as("k"))
     val exact = toks.groupBy("k").agg(count(lit(1)).as("n_exact"))
     val top = exact.orderBy(col("n_exact").desc, col("k")).limit(10)
-    val sketch = graft.operators.Sketches.countMin(toks, col("k"),
+    val sketch = graft.operators.Sketches.countMinSketch(toks, col("k"),
       depth = 4, width = 512)
-    graft.operators.Sketches.cmsEstimate(sketch, top, col("k"),
-        depth = 4, width = 512)
+    sketch.estimate(top, col("k"))
       .join(top, Seq("k"))
       .select(col("k").as("token"), col("n_exact"), col("est").as("n_est"))
       .orderBy("token")
@@ -390,7 +389,11 @@ object TextLLM {
     val cb = Similarity.trainPqCodebooks(base, dim = 64, m = 8, k = 8,
       iters = 0)
     val enc = Similarity.pqEncode(Similarity.ivfIndex(base, centroids), cb)
-    val out = s"/tmp/graft_ivfpq_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // per-RUN temp dir: a fixed path shared across concurrent sessions
+    // (Verify + Bench on the same sfDir) would let one run's
+    // mode("overwrite") delete files mid-read under the other
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_").toString + "/idx"
     Similarity.writeIvfPqIndex(enc, centroids, cb, out)
     val idx = Similarity.readIvfPqIndex(s, out)
     require(idx.centroids == centroids && idx.codebooks == cb,

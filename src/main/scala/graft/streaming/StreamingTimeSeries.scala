@@ -150,12 +150,23 @@ object StreamingTimeSeries {
       .start()
 
   /** Finalized whole-stream statistics from the partial rows stored by
-    * [[startMomentPartialsQuery]]. */
+    * [[startMomentPartialsQuery]].
+    *
+    * foreachBatch is AT-LEAST-ONCE: a crash between the parquet append
+    * and the offset commit replays the batch on restart, appending a
+    * second (identical — the partials are deterministic exact integers)
+    * row per group under the SAME batch_id. Unlike the HLL sink (union
+    * is idempotent) a SUM would double-count, so the reader keeps one
+    * row per (group, batch_id) before merging — replays collapse, while
+    * distinct batches that happen to produce equal partials survive
+    * (their batch_ids differ). */
   def mergedMoments(spark: org.apache.spark.sql.SparkSession,
       targetDir: String, groupCol: String): DataFrame =
     graft.operators.Stats.momentsFromPartials(
       graft.operators.Stats.mergeMomentPartials(
-        Seq(spark.read.parquet(targetDir).drop("batch_id")), Seq(groupCol)))
+        Seq(spark.read.parquet(targetDir)
+          .dropDuplicates(groupCol, "batch_id").drop("batch_id")),
+        Seq(groupCol)))
 
   /** Streaming exact dedup — the ingestion-time face of the batch dedup
     * block: arriving documents are keyed by (xxhash64, sha2) of their

@@ -64,16 +64,14 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val probes = exact.keys.toSeq.toDF("k")
 
     // generous width → no collisions among 40 keys → estimates EXACT
-    val wide = Sketches.countMin(df, col("k"), depth = 4, width = 4096)
-    val wideEst = Sketches.cmsEstimate(wide, probes, col("k"),
-        depth = 4, width = 4096)
+    val wide = Sketches.countMinSketch(df, col("k"), depth = 4, width = 4096)
+    val wideEst = wide.estimate(probes, col("k"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(wideEst == exact, s"wide sketch should be collision-free")
 
     // tiny width → collisions inflate SOME estimate, but NEVER deflate
-    val tiny = Sketches.countMin(df, col("k"), depth = 2, width = 8)
-    val tinyEst = Sketches.cmsEstimate(tiny, probes, col("k"),
-        depth = 2, width = 8)
+    val tiny = Sketches.countMinSketch(df, col("k"), depth = 2, width = 8)
+    val tinyEst = tiny.estimate(probes, col("k"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, n) =>
       assert(tinyEst(k) >= n, s"CMS must never undercount: $k ${tinyEst(k)} < $n")
@@ -83,18 +81,19 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // split the corpus arbitrarily; merged partial sketches == whole
     val (a, b) = rows.splitAt(137)
-    val merged = Sketches.mergeCountMin(
-      Sketches.countMin(a.toDF("k"), col("k"), depth = 4, width = 4096),
-      Sketches.countMin(b.toDF("k"), col("k"), depth = 4, width = 4096))
-    val mergedRows = merged.collect()
+    val merged = Sketches.countMinSketch(a.toDF("k"), col("k"), 4, 4096)
+      .merge(Sketches.countMinSketch(b.toDF("k"), col("k"), 4, 4096))
+    val mergedRows = merged.counters.collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val wholeRows = wide.collect()
+    val wholeRows = wide.counters.collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(mergedRows == wholeRows, "counter-wise merge must equal the whole")
 
+    // mismatched build parameters cannot meet: merge refuses
+    intercept[IllegalArgumentException] { wide.merge(tiny) }
+
     // an unseen key reads 0 (all its buckets empty at this width)
-    val unseen = Sketches.cmsEstimate(wide, Seq("neverseen").toDF("k"),
-      col("k"), depth = 4, width = 4096).collect()
+    val unseen = wide.estimate(Seq("neverseen").toDF("k"), col("k")).collect()
     assert(unseen.length == 1 && unseen(0).getLong(1) == 0L)
   }
 }

@@ -221,6 +221,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
       assert(streamed == batch,
         "stream-maintained rollup diverged from one-shot batch stats")
+      // simulate foreachBatch's at-least-once replay: re-append batch 1's
+      // partial rows verbatim (same batch_id); the reader must collapse
+      // the duplicate, not double-count it
+      val b1 = spark.read.parquet(s"$dir/data").filter(col("batch_id") === 1L)
+      b1.write.mode("append").parquet(s"$dir/data")
+      val afterReplay = StreamingTimeSeries.mergedMoments(spark, s"$dir/data", "g")
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(afterReplay == batch,
+        "a replayed micro-batch double-counted into the rollup")
     } finally q.stop()
   }
 
