@@ -253,6 +253,46 @@ object TextAnalysis {
   def urlDomain(url: Column): Column =
     regexp_extract(url, "https?://([A-Za-z0-9.-]+)", 1)
 
+  /** Canonical URL for crawl dedup — the same page fetched as
+    * `HTTP://Site.com:80/a?utm_source=x&b=2&a=1#frag` and
+    * `http://site.com/a?a=1&b=2` must collide BEFORE content dedup ever
+    * runs (URL-level dedup is the cheapest pass in a crawl pipeline:
+    * pure string normalization at scan speed, no shuffle). Rules, each a
+    * deterministic pure-string step mirrored exactly by the DuckDB
+    * oracle:
+    *  1. drop the fragment (`#...` — client-side only);
+    *  2. lowercase scheme + authority (host names are case-insensitive;
+    *     paths are NOT touched);
+    *  3. strip default ports (`:80` for http, `:443` for https);
+    *  4. drop tracking parameters (`utm_*`, `gclid`, `fbclid`, `ref`)
+    *     and empty params;
+    *  5. sort surviving query params (order never changes server
+    *     semantics for idempotent GETs — the standard crawl assumption);
+    *  6. normalize an empty path to `/` and strip one trailing slash
+    *     from non-root paths.
+    * Codegen'd except the param filter/sort HOFs (bounded by the query
+    * string, not the document). */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val authRaw = regexp_extract(noFrag,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val rest = noFrag.substr(length(authRaw) + 1, length(noFrag))
+    val auth = regexp_replace(
+      regexp_replace(lower(authRaw), "^(http://.*):80$", "$1"),
+      "^(https://.*):443$", "$1")
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p =>
+      length(p) > 0 && !p.rlike("^(utm_[A-Za-z]+|gclid|fbclid|ref)="))
+    val sortedQ = array_join(array_sort(params), "&")
+    val pathNorm = when(path === "", lit("/"))
+      .when(path =!= "/" && path.substr(length(path), lit(1)) === "/",
+        path.substr(lit(1), length(path) - 1))
+      .otherwise(path)
+    concat(auth, pathNorm,
+      when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
+
   /** Canonical form for fingerprinting: lowercase, punctuation stripped,
     * whitespace collapsed. */
   def normalized(text: Column): Column =

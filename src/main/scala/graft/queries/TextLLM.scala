@@ -137,6 +137,25 @@ object TextLLM {
       .orderBy("token")
   }
 
+  /** URL canonicalization over five synthetic shapes per doc — mixed
+    * case, default ports, tracking params, fragments, trailing slashes,
+    * bare hosts — every rule of [[TA.canonicalUrl]] exercised and the
+    * oracle replays each string step exactly. */
+  def tUrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("source"))
+    val urls = base.select(col("doc_id"), explode(array(
+      concat(lit("HTTPS://WWW."), upper(col("source")),
+        lit(".COM:443/Path/A?utm_campaign=x&z=1&a=2#sec")),
+      concat(lit("http://"), col("source"), lit(".com:80/a/")),
+      concat(lit("http://"), col("source"), lit(".com/?fbclid=abc&ref=tw")),
+      concat(lit("https://"), col("source"), lit(".com/path?b=2&a=1&gclid=g")),
+      concat(lit("http://"), col("source"), lit(".com")))).as("url"))
+    urls.select(col("doc_id"), col("url"),
+        TA.canonicalUrl(col("url")).as("canon"))
+      .orderBy("doc_id", "url")
+  }
+
   def tFingerprintMd5(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .groupBy(md5(TA.normalized(col("text")).cast("binary")).as("fp"))
@@ -941,6 +960,7 @@ object TextLLM {
     "t_bm25_top5" -> (tBm25Top5 _),
     "t_tfidf_cosine_top3" -> (tTfidfCosineTop3 _),
     "t_cms_token_counts" -> (tCmsTokenCounts _),
+    "t_url_canonical" -> (tUrlCanonical _),
     "t_fingerprint_md5" -> (tFingerprintMd5 _),
     "t_rolling_fingerprint" -> (tRollingFingerprint _),
     "d_shingle_jaccard_twin" -> (dShingleJaccardTwin _),
@@ -1247,6 +1267,35 @@ object TextLLM {
         |    PARTITION BY qid ORDER BY cos DESC, id) AS INT) AS rank FROM cs)
         |SELECT qid, rank, id AS doc_id, cos
         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // URL-canonicalization mirror: the same six string rules, each a
+    // regexp/split/sort step both engines define identically.
+    "t_url_canonical" ->
+      """WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id < 40),
+        |u AS (SELECT doc_id, unnest([
+        |    'HTTPS://WWW.' || upper(source) || '.COM:443/Path/A?utm_campaign=x&z=1&a=2#sec',
+        |    'http://' || source || '.com:80/a/',
+        |    'http://' || source || '.com/?fbclid=abc&ref=tw',
+        |    'https://' || source || '.com/path?b=2&a=1&gclid=g',
+        |    'http://' || source || '.com']) AS url FROM d),
+        |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |s2 AS (SELECT *, regexp_extract(nofrag,
+        |    '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS authraw FROM s1),
+        |s3 AS (SELECT *, substr(nofrag, length(authraw) + 1) AS rest,
+        |    regexp_replace(regexp_replace(lower(authraw),
+        |      '^(http://.*):80$', '\1'), '^(https://.*):443$', '\1') AS auth
+        |  FROM s2),
+        |s4 AS (SELECT *, regexp_extract(rest, '^([^?]*)', 1) AS path,
+        |    regexp_extract(rest, '\?(.*)$', 1) AS query FROM s3),
+        |s5 AS (SELECT *, array_to_string(list_sort(list_filter(
+        |      string_split(query, '&'), p -> length(p) > 0 AND NOT
+        |      regexp_matches(p, '^(utm_[A-Za-z]+|gclid|fbclid|ref)='))), '&') AS sq,
+        |    CASE WHEN path = '' THEN '/'
+        |         WHEN path <> '/' AND substr(path, length(path), 1) = '/'
+        |           THEN substr(path, 1, length(path) - 1)
+        |         ELSE path END AS pathnorm FROM s4)
+        |SELECT doc_id, url, auth || pathnorm ||
+        |  CASE WHEN sq <> '' THEN '?' || sq ELSE '' END AS canon
+        |FROM s5 ORDER BY doc_id, url""".stripMargin,
     // Count-Min mirror: same md5(j || ':' || k) mod 512 family, counter
     // build and 4-row min both replayed; estimates are deterministic so
     // the row hashes must agree exactly.

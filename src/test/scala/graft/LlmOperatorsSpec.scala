@@ -452,6 +452,31 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(twice == 0L)
   }
 
+  test("canonicalUrl: hand-pinned rules, variant collision, idempotence") {
+    import spark.implicits._
+    val cases = Seq(
+      // authority lowercased, path case KEPT, default port + fragment +
+      // tracking gone, params sorted
+      "HTTPS://WWW.Site.COM:443/Path/A?utm_source=x&b=2&a=1#frag" ->
+        "https://www.site.com/Path/A?a=1&b=2",
+      "http://site.com:80/a/" -> "http://site.com/a",
+      "http://site.com" -> "http://site.com/",
+      "http://site.com/?fbclid=z&ref=tw" -> "http://site.com/",
+      "https://site.com:8443/x?gclid=1&q=2" -> "https://site.com:8443/x?q=2",
+      "http://site.com/a?z=1&a=2&utm_campaign=c" -> "http://site.com/a?a=2&z=1")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), TA.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"$in -> ${got(in)}, want $want") }
+    // canonical form is a fixed point
+    val twice = cases.map(_._2).toDF("url")
+      .select(col("url"), TA.canonicalUrl(col("url")).as("c"))
+      .collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"not idempotent: ${r.getString(0)} -> ${r.getString(1)}"))
+  }
+
   test("redactPii replaces emails and phone shapes; counts match") {
     import graft.operators.TextAnalysis
     val df = docsDf((1L, "mail a.user+tag@sub.example.org or call +1 (555) 010-1234 today"))
