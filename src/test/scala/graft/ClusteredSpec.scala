@@ -99,4 +99,40 @@ class ClusteredSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() === 100)
     assert(back.filter(col("x").isNull).count() === 10)
   }
+
+  test("Layout.clusteringReport: sorted layout near depth 1, random layout near n_files") {
+    import spark.implicits._
+    val df = (1 to 40000).map(i => (i, i * 31 % 40000)).toDF("a", "b")
+
+    // range-partitioned on a: per-file a-intervals are disjoint → the
+    // report must say every a-lookup opens ~1 file, while b (random
+    // w.r.t. a) spans everything
+    val sortedDir = java.nio.file.Files.createTempDirectory("layout_s").toString
+    df.repartitionByRange(8, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(sortedDir)
+    val rep = sinks.Layout.clusteringReport(spark, sortedDir, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(4))).toMap
+    val (nA, depthA) = rep("a")
+    assert(nA >= 8 && depthA <= 2.0,
+      s"disjoint ranges must report depth ~1, got $depthA over $nA files")
+    val (nB, depthB) = rep("b")
+    assert(depthB >= nB * 0.9,
+      s"random column must report depth ~n_files, got $depthB of $nB")
+
+    // round-robin layout: every file spans the whole a-domain too
+    val randDir = java.nio.file.Files.createTempDirectory("layout_r").toString
+    df.repartition(8).write.mode("overwrite").parquet(randDir)
+    val rand = sinks.Layout.clusteringReport(spark, randDir, Seq("a"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(4))).toMap
+    val (nR, depthR) = rand("a")
+    assert(depthR >= nR * 0.9,
+      s"unclustered layout must report depth ~n_files, got $depthR of $nR")
+
+    // bounds sanity: min/max in the report span the true domain
+    val full = sinks.Layout.clusteringReport(spark, sortedDir, Seq("a"))
+      .collect()(0)
+    assert(full.getDouble(2) == 1.0 && full.getDouble(3) == 40000.0)
+  }
 }
