@@ -32,6 +32,61 @@ object Curation {
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** NEAR-duplicate (paraphrase-level) contamination:
+    * [[contaminationHits]] catches verbatim k-gram overlap, but a
+    * lightly reworded eval item — a substituted word every sentence, a
+    * re-punctuated passage — shares no exact 13-gram with its source
+    * while still leaking the benchmark. MinHash-LSH across the two
+    * corpora finds it: both sides are tagged into one frame (train ids
+    * prefixed `t:`, bench rows get internal `e:` ids that never surface)
+    * and run through the hardened [[Dedup.minhashNearDups]] pipeline —
+    * banded signatures, mega-bucket cap, exact shingle-Jaccard
+    * verification — then only CROSS-corpus pairs survive. Cost is the
+    * near-dup discipline, not all-pairs: shuffles carry signatures and
+    * 16-byte band keys, candidates ∝ true near-dups, and the bench side
+    * is vanishingly small next to the corpus.
+    *
+    * Output: one row per flagged train document —
+    * (id = trainId as string, n_hits, max_jaccard). Deterministic: the
+    * internal bench ids never affect which train ids surface. */
+  def fuzzyContaminationHits(train: DataFrame, trainId: Column,
+      trainText: Column, bench: DataFrame, benchText: Column,
+      shingleK: Int = 3, numHashes: Int = 24, bands: Int = 8,
+      minJaccard: Double = 0.5,
+      family: Dedup.MinhashFamily = Dedup.XxMinhash): DataFrame = {
+    val t = train.select(
+      concat(lit("t:"), trainId.cast("string")).as("doc_id"),
+      trainText.as("text"))
+    val e = bench.select(
+      concat(lit("e:"), monotonically_increasing_id().cast("string"))
+        .as("doc_id"),
+      benchText.as("text"))
+    val pairs = Dedup.minhashNearDups(t.unionByName(e), col("doc_id"),
+      col("text"), shingleK, numHashes, bands, minJaccard, family)
+    pairs
+      .filter(substring(col("id_a"), 1, 2) =!= substring(col("id_b"), 1, 2))
+      .select(when(substring(col("id_a"), 1, 2) === "t:", col("id_a"))
+        .otherwise(col("id_b")).as("tid"), col("jaccard"))
+      .select(expr("substring(tid, 3)").as("id"), col("jaccard"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hits"), max(col("jaccard")).as("max_jaccard"))
+  }
+
+  /** Drop every training document flagged by [[fuzzyContaminationHits]]
+    * — same anti-join shape (and non-broadcast rationale) as
+    * [[decontaminate]]. */
+  def fuzzyDecontaminate(train: DataFrame, trainId: Column,
+      trainText: Column, bench: DataFrame, benchText: Column,
+      shingleK: Int = 3, numHashes: Int = 24, bands: Int = 8,
+      minJaccard: Double = 0.5,
+      family: Dedup.MinhashFamily = Dedup.XxMinhash): DataFrame = {
+    val flagged = fuzzyContaminationHits(train, trainId, trainText,
+        bench, benchText, shingleK, numHashes, bands, minJaccard, family)
+      .select(col("id").as("__fuzzy_contaminated_id"))
+    train.join(flagged,
+      trainId.cast("string") === col("__fuzzy_contaminated_id"), "left_anti")
+  }
+
   /** Drop every training document flagged by [[contaminationHits]]: anti
     * join on 8-byte id keys. Deliberately NOT broadcast-hinted — the
     * flagged set is bounded by how contaminated the CORPUS is, not by the

@@ -647,6 +647,25 @@ object TextLLM {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy (paraphrase-level) decontamination under the portable
+    * Md5Minhash family: the bench side is each doc<15 with every 'batch'
+    * token substituted — zero shared 8-grams with its source around each
+    * edit, but minhash Jaccard stays high, exactly the leak the exact
+    * checker misses. The oracle replays the full banded pipeline over a
+    * numeric-id union (internal id representation differs; flagged TRAIN
+    * ids, hit counts, and exact-Jaccard maxima are representation-
+    * independent, which is what the match proves). */
+  def tFuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = d.filter(col("doc_id") < 15)
+      .select(expr("replace(text, 'batch', 'shifted')").as("text"))
+    Curation.fuzzyContaminationHits(d, col("doc_id"), col("text"),
+        bench, col("text"), family = Dedup.Md5Minhash)
+      .select(col("id").cast("long").as("doc_id"), col("n_hits"),
+        col("max_jaccard"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style LM quality scoring against a reference subset (every
     * 10th doc): exact integer transition counters + one division — the
     * engine-portable face of NgramLm (perplexity itself is transcendental
@@ -984,6 +1003,7 @@ object TextLLM {
     "d_minhash_neardups" -> (dMinhashNearDups _),
     "d_dedup_corpus" -> (dDedupCorpus _),
     "t_decontaminate" -> (tDecontaminate _),
+    "t_fuzzy_decontaminate" -> (tFuzzyDecontaminate _),
     "t_lm_transitions" -> (tLmTransitions _),
     "t_mixture_sample" -> (tMixtureSample _),
     "t_stratified_sample" -> (tStratifiedSample _),
@@ -1384,6 +1404,32 @@ object TextLLM {
     // Full MinHash-LSH mirror under the Md5Minhash family (one md5 per
     // shingle + Kirsch–Mitzenmacher seeded minima — see minhashSqlCtes)
     // ending in the exact-Jaccard verification join.
+    // Fuzzy-decontamination mirror: the SAME banded Md5Minhash pipeline
+    // over a numeric-id union (bench rows at +5,000,000), pairs filtered
+    // to cross-corpus, flagged train ids aggregated. The Spark side uses
+    // string-tagged internal ids — equality proves the flags are
+    // id-representation-independent.
+    "t_fuzzy_decontaminate" ->
+      (s"""WITH dd AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 5000000, replace(text, 'batch', 'shifted')
+          |  FROM documents WHERE doc_id < 15),
+          |""".stripMargin + minhashSqlCtes("dd") +
+        """,
+          |verified AS (SELECT id_a, id_b,
+          |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+          |      AS jaccard
+          |  FROM cand JOIN sh sa ON sa.doc_id = id_a
+          |  JOIN sh sb ON sb.doc_id = id_b),
+          |hits AS (SELECT CASE WHEN id_a < 5000000 THEN id_a ELSE id_b END
+          |      AS doc_id, jaccard
+          |  FROM verified
+          |  WHERE jaccard >= 0.5 AND ((id_a < 5000000) <> (id_b < 5000000)))
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+          |  MAX(jaccard) AS max_jaccard
+          |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin),
     "d_minhash_neardups" ->
       (s"""WITH d AS (
           |  SELECT doc_id, text FROM documents

@@ -1159,6 +1159,31 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("fuzzy decontamination catches a paraphrase the exact k-gram check misses") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val train = docsDf(
+      1L -> base,
+      2L -> "uniform victor whiskey xray yankee zulu one two three four five six")
+    // paraphrase: one word swapped mid-passage — kills every 8-gram
+    // through that position, keeps shingle Jaccard high
+    val bench = docsDf(100L -> base.replace("india", "CHANGED"))
+      .select(col("text"))
+    // the exact checker at the published window sees nothing
+    val exact = Curation.contaminationHits(train, col("doc_id"), col("text"),
+      bench, col("text"), k = 13).collect()
+    assert(exact.isEmpty, s"13-gram check should miss the paraphrase")
+    // the fuzzy checker flags doc 1 and only doc 1
+    val fuzzy = Curation.fuzzyContaminationHits(train, col("doc_id"),
+        col("text"), bench, col("text"), minJaccard = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(fuzzy.keySet == Set("1"), s"flagged: ${fuzzy.keySet}")
+    assert(fuzzy("1") > 0.5 && fuzzy("1") < 1.0)
+    val kept = Curation.fuzzyDecontaminate(train, col("doc_id"), col("text"),
+      bench, col("text")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
   test("mixture sampling: deterministic, exact at rates 0 and 1, near target between") {
     import spark.implicits._
     val df = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
