@@ -473,6 +473,20 @@ object Dedup {
       .join(connectedComponents(pairs), Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
 
+  /** QUALITY-aware survivor per duplicate cluster: production pipelines
+    * keep the BEST member of each near-dup family (longest, highest
+    * quality score, freshest crawl), not the smallest id — min-id is a
+    * determinism convention, not a data decision. One partitioned window
+    * over the (id, label) assignment joined with the caller's score;
+    * (score desc, id asc) keeps selection total and deterministic.
+    * `assigned` is [[assignComponentsOrSelf]]'s output (or any frame
+    * with the id/label columns plus the score). */
+  def bestPerCluster(assigned: DataFrame, scoreCol: Column,
+      labelCol: String = "label", idCol: String = "id"): DataFrame =
+    assigned.withColumn("__rk", row_number().over(
+        Window.partitionBy(labelCol).orderBy(scoreCol.desc, col(idCol).asc)))
+      .filter(col("__rk") === 1).drop("__rk")
+
   /** The full corpus-dedup flow (the standard LLM-data pipeline shape):
     * exact dedup first (hash groupBy), then MinHash-LSH near-dups among
     * the exact survivors, connected components over the pair graph, and

@@ -193,6 +193,21 @@ object TextLLM {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware survivor selection over the same duplicate clusters:
+    * keep the LONGEST member (n_chars desc, doc_id tie-break) instead of
+    * min-id — the production rule. The oracle recomputes clusters via
+    * its independent recursive-CTE walk and arg-maxes per cluster. */
+  def dClusterBest(s: SparkSession, dir: String): DataFrame = {
+    val assigned = dDupClusters(s, dir)
+      .join(docs(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .select(col("doc_id").as("id"), col("cluster").as("label"),
+        col("n_chars"))
+    Dedup.bestPerCluster(assigned, col("n_chars"))
+      .select(col("label").as("cluster"), col("id").as("best_doc"),
+        col("n_chars"))
+      .orderBy("cluster")
+  }
+
   /** Incremental dedup, one snapshot step oracle'd END TO END on the
     * portable Md5Minhash family: docs < 30 are the retained corpus
     * (participating only as [[Dedup.corpusState]] — hashes + signatures,
@@ -994,6 +1009,7 @@ object TextLLM {
     "d_token_jaccard_pairs" -> (dTokenJaccardPairs _),
     "d_dup_clusters" -> (dDupClusters _),
     "d_cluster_survivors" -> (dClusterSurvivors _),
+    "d_cluster_best" -> (dClusterBest _),
     "d_incremental_dedup" -> (dIncrementalDedup _),
     "d_state_compaction" -> (dStateCompaction _),
     "m_binary_meta" -> (mBinaryMeta _),
@@ -1707,6 +1723,30 @@ object TextLLM {
         |  SELECT e.b, walk.r FROM walk JOIN e ON e.a = walk.node)
         |SELECT node AS doc_id, MIN(r) AS cluster FROM walk
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Best-per-cluster mirror: same exact-Jaccard pair graph and
+    // recursive-CTE components as d_cluster_survivors, survivor =
+    // arg-max by (n_chars DESC, doc_id) per cluster.
+    "d_cluster_best" ->
+      """WITH RECURSIVE s AS (SELECT doc_id,
+        |    list_distinct(string_split_regex(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 60),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (length(a.toks) + length(b.toks) - length(list_intersect(a.toks, b.toks))) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |walk(node, r) AS (
+        |  SELECT doc_id, doc_id FROM s
+        |  UNION
+        |  SELECT e.b, walk.r FROM walk JOIN e ON e.a = walk.node),
+        |cc AS (SELECT node, MIN(r) AS cluster FROM walk GROUP BY 1),
+        |scored AS (SELECT cc.cluster, cc.node, d.n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY cc.cluster
+        |      ORDER BY d.n_chars DESC, cc.node) AS rk
+        |  FROM cc JOIN documents d ON d.doc_id = cc.node)
+        |SELECT cluster, node AS best_doc, n_chars
+        |FROM scored WHERE rk = 1 ORDER BY cluster""".stripMargin,
     "d_cluster_survivors" ->
       """WITH RECURSIVE s AS (SELECT doc_id,
         |    list_distinct(string_split_regex(trim(regexp_replace(regexp_replace(

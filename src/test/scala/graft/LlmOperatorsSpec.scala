@@ -289,6 +289,18 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
+  test("bestPerCluster keeps the arg-max by (score desc, id); singletons survive") {
+    import spark.implicits._
+    val assigned = Seq(
+      (1L, 1L, 10.0), (2L, 1L, 30.0), (3L, 1L, 30.0), // tie at 30 → id 2
+      (4L, 4L, 5.0),                                  // singleton
+      (5L, 5L, 1.0), (6L, 5L, 2.0)
+    ).toDF("id", "label", "q")
+    val best = Dedup.bestPerCluster(assigned, col("q"))
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(best == Map(1L -> 2L, 4L -> 4L, 5L -> 6L))
+  }
+
   test("connected components: chains collapse to one min-labeled cluster") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
