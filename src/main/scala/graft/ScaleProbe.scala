@@ -250,6 +250,14 @@ object ScaleProbe {
         docs.filter(col("doc_id") < 16).select(col("doc_id").as("id")),
         k = 10).count()
     }
+    timed("fuzzy_decontaminate_1k_bench") { // cross-corpus minhash: the
+      // corpus pays the signature pipeline once; the 1k paraphrased
+      // bench rows ride the same banded bucket join — no all-pairs
+      val bench = docs.filter(col("doc_id") < 1000)
+        .select(regexp_replace(col("text"), "w1", "shifted").as("text"))
+      Curation.fuzzyContaminationHits(docs, col("doc_id"), col("text"),
+        bench, col("text"), minJaccard = 0.5).count()
+    }
     timed("audio_fingerprint_hashes") { // real RIFF encode → chunk walk →
       // 65-window envelope hash per row, narrow mapPartitions throughput
       val audio = spark.range(nDocs.toLong).map { i =>

@@ -29,7 +29,8 @@ object SparkEntry {
     "t_token_stats", "t_bpe_encode", "t_langid_confusion", "t_bm25_top5",
     "t_fingerprint_md5",
     "t_repetition_stats", "t_pii_redaction", "t_chunking", "t_hash_split",
-    "t_decontaminate", "t_lm_transitions", "t_mixture_sample",
+    "t_decontaminate", "t_fuzzy_decontaminate", "t_lm_transitions",
+    "t_mixture_sample",
     "t_boilerplate_lines", "a_exact_moments",
     "j_bloom_prefilter_join",
     "d_minhash_neardups", "s_ann_brute_top5", "s_ann_lsh_top3",

@@ -343,4 +343,102 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       rawState.unpersist(); compacted.unpersist(): Unit
     }
   }
+
+  test("canonicalUrl is idempotent and authority-case-insensitive (random URLs)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val r = new Random(61)
+    val schemes = Seq("http", "HTTP", "https", "HTTPS")
+    val hosts = Seq("Site.com", "a.b.co", "WWW.X.ORG", "h-1.net")
+    val ports = Seq("", ":80", ":443", ":8080")
+    val paths = Seq("", "/", "/A/b", "/x/", "/p.html")
+    val queries = Seq("", "?a=1", "?b=2&a=1", "?utm_source=t&a=1", "?ref=x")
+    val frags = Seq("", "#f", "#Sec2")
+    val urls = (0 until 300).map { _ =>
+      schemes(r.nextInt(4)) + "://" + hosts(r.nextInt(4)) +
+        ports(r.nextInt(4)) + paths(r.nextInt(5)) +
+        queries(r.nextInt(5)) + frags(r.nextInt(3))
+    }
+    val once = urls.toDF("u")
+      .select(col("u"), TextAnalysis.canonicalUrl(col("u")).as("c1"))
+      .withColumn("c2", TextAnalysis.canonicalUrl(col("c1")))
+      .collect()
+    once.foreach { row =>
+      assert(row.getString(1) == row.getString(2),
+        s"not idempotent: ${row.getString(0)} -> ${row.getString(1)} -> ${row.getString(2)}")
+      // canonical form never keeps fragments, tracking params, or
+      // uppercase authority
+      val c = row.getString(1)
+      assert(!c.contains("#") && !c.contains("utm_") && !c.contains("ref="))
+      val auth = c.takeWhile(_ != '/') // scheme://... up to first path slash? keep simple:
+      assert(c.take(c.indexOf("://") + 3) == c.take(c.indexOf("://") + 3).toLowerCase)
+    }
+    // same page under different authority casing collides
+    val pairs = (0 until 100).map { i =>
+      val h = hosts(i % 4); val tail = paths(i % 5) + queries(i % 5)
+      (s"http://${h.toUpperCase}$tail", s"http://${h.toLowerCase}$tail")
+    }
+    val collided = pairs.toDF("a", "b")
+      .select(TextAnalysis.canonicalUrl(col("a")).as("ca"),
+        TextAnalysis.canonicalUrl(col("b")).as("cb"))
+      .collect()
+    collided.foreach(r2 => assert(r2.getString(0) == r2.getString(1)))
+  }
+
+  test("count-min never undercounts under random corpora, widths, and splits") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    for (seed <- 1 to 3) {
+      val r = new Random(seed)
+      val keys = (0 until 2000).map(_ => s"k${r.nextInt(1 + r.nextInt(200))}")
+      val exact = keys.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      val depth = 1 + r.nextInt(4)
+      val width = 4 + r.nextInt(64)
+      val cms = Sketches.countMinSketch(keys.toDF("k"), col("k"), depth, width)
+      val est = cms.estimate(exact.keys.toSeq.toDF("k"), col("k"))
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      exact.foreach { case (k, n) =>
+        assert(est(k) >= n, s"seed $seed d=$depth w=$width: $k ${est(k)} < $n") }
+      // arbitrary split merges to the identical counter table
+      val cut = r.nextInt(keys.size)
+      val merged = Sketches.countMinSketch(keys.take(cut).toDF("k"), col("k"), depth, width)
+        .merge(Sketches.countMinSketch(keys.drop(cut).toDF("k"), col("k"), depth, width))
+      val a = merged.counters.collect()
+        .map(x => (x.getInt(0), x.getLong(1)) -> x.getLong(2)).toMap
+      val b = cms.counters.collect()
+        .map(x => (x.getInt(0), x.getLong(1)) -> x.getLong(2)).toMap
+      assert(a == b, s"seed $seed: split-merge diverged from whole")
+    }
+  }
+
+  test("containmentPairs equals brute-force containment (random corpora with plants)") {
+    import spark.implicits._
+    for (seed <- 1 to 2) {
+      val r = new Random(seed)
+      def words(n: Int) = Seq.fill(n)(s"w${r.nextInt(60)}").mkString(" ")
+      val base = (0L until 30L).map(i => (i, words(8 + r.nextInt(30))))
+      // plant containers: doc i's text embedded in filler
+      val planted = base.take(8).map { case (i, t) =>
+        (i + 1000L, words(5) + " " + t + " " + words(5)) }
+      val corpus = base ++ planted
+      val got = Dedup.containmentPairs(corpus.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), shingleK = 3, minContainment = 0.9,
+          maxDf = 40)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      // brute force over normalized shingle sets
+      def shingles(t: String): Set[String] = {
+        val toks = t.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
+          .trim.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.size < 3) Set(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sh = corpus.map { case (i, t) => i -> shingles(t) }.toMap
+      val want = (for {
+        a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+        inter = sh(a).intersect(sh(b)).size.toDouble
+        if inter / sh(a).size >= 0.9 || inter / sh(b).size >= 0.9
+      } yield (a, b)).toSet
+      assert(got == want, s"seed $seed: got ${got.size}, want ${want.size}")
+    }
+  }
 }
