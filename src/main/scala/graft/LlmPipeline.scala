@@ -23,11 +23,16 @@ object LlmPipeline {
     * written:
     * `(doc_id, chunk_idx, chunk_text, n_chunk_tokens, quality, lang, split)`.
     *
-    * Optional stages: `benchmark` (+`benchmarkText`) drops documents
-    * sharing any `decontamK`-gram with the eval corpus BEFORE dedup (a
-    * contaminated doc must not survive as its cluster's representative);
-    * `mixtureRates` applies per-`mixtureDomainCol` keep rates AFTER dedup
-    * (sampling first would make survivor selection depend on the
+    * Optional stages: `urlCol` first collapses crawl-level URL
+    * duplicates (min id per [[TextAnalysis.canonicalUrl]] form — the
+    * cheapest dedup pass, before any text machinery runs); `benchmark`
+    * (+`benchmarkText`) drops documents sharing any `decontamK`-gram
+    * with the eval corpus BEFORE dedup (a contaminated doc must not
+    * survive as its cluster's representative), and with
+    * `fuzzyDecontam = true` additionally drops paraphrase-level leaks
+    * (MinHash Jaccard ≥ `fuzzyMinJaccard` against the benchmark);
+    * `mixtureRates` applies per-`mixtureDomainCol` keep rates AFTER
+    * dedup (sampling first would make survivor selection depend on the
     * mixture, coupling two decisions that should be independent). */
   def curate(docs: DataFrame, idCol: Column, textCol: Column, outDir: String,
       maxTokens: Int = 512, overlap: Int = 64, minQuality: Double = 0.6,
@@ -35,11 +40,22 @@ object LlmPipeline {
       splits: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
       benchmark: Option[DataFrame] = None, benchmarkText: Column = col("text"),
       decontamK: Int = 13,
+      fuzzyDecontam: Boolean = false, fuzzyMinJaccard: Double = 0.5,
       mixtureRates: Map[String, Double] = Map.empty,
-      mixtureDomainCol: Column = col("source"))
+      mixtureDomainCol: Column = col("source"),
+      urlCol: Option[Column] = None)
       : DataFrame = {
+    // 0. crawl-level URL dedup (optional): min id per canonical URL —
+    //    a window over string keys, no text machinery touched yet
+    val deduped = urlCol.fold(docs) { u =>
+      docs.withColumn("__curl", TextAnalysis.canonicalUrl(u))
+        .withColumn("__umin", min(idCol).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__curl"))))
+        .filter(idCol === col("__umin"))
+        .drop("__curl", "__umin")
+    }
     // 1. score + gate (scan-speed expressions, no shuffle)
-    val scored0 = docs
+    val scored0 = deduped
       .withColumn("__id", idCol)
       .withColumn("__text", textCol)
       .withColumn("quality", TextAnalysis.qualityScore(textCol))
@@ -48,10 +64,14 @@ object LlmPipeline {
       .filter(col("quality") >= minQuality)
     // 1b. benchmark decontamination (broadcast eval grams, no corpus
     //     shuffle) — before dedup, so contaminated docs can't become
-    //     cluster representatives
-    val scored = benchmark.fold(scored0)(b =>
+    //     cluster representatives; the fuzzy pass catches paraphrased
+    //     leaks the exact k-gram check is blind to
+    val exactClean = benchmark.fold(scored0)(b =>
       Curation.decontaminate(scored0, col("__id"), col("__text"),
         b, benchmarkText, decontamK))
+    val scored = benchmark.filter(_ => fuzzyDecontam).fold(exactClean)(b =>
+      Curation.fuzzyDecontaminate(exactClean, col("__id"), col("__text"),
+        b, benchmarkText, minJaccard = fuzzyMinJaccard))
     // 2. exact + near dedup → survivor ids (hash shuffles only), then a
     //    semi join keeps the surviving documents' full rows
     val survivors0 = Dedup.dedupCorpus(scored, col("__id"), col("__text"),

@@ -401,6 +401,50 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2.select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("LlmPipeline.curate: URL dedup and fuzzy decontamination stages compose") {
+    // every 3-token window holds a group-unique token, so shingles are
+    // distinct across groups and an edit kills exactly its own windows
+    val good = (1 to 12).map(i =>
+      s"word$i x$i the and y$i of to z$i").mkString(" ")
+    val other = (1 to 40).map(i => s"u$i the of and to").mkString(" ")
+    // docs 1 and 2 are the same page fetched under variant URLs; doc 5
+    // is a distinct page
+    val df = docsDf((1L, good), (2L, good + " extra tail here now"), (5L, other))
+      .withColumn("url",
+        when(col("doc_id") === 1L, "HTTP://Site.com:80/a?utm_source=x")
+          .when(col("doc_id") === 2L, "http://site.com/a")
+          .otherwise("http://other.com/b"))
+    val out1 = LlmPipeline.curate(df, col("doc_id"), col("text"),
+      "/tmp/graft_llm_curate_url", maxTokens = 64, overlap = 8,
+      minQuality = 0.2, minJaccard = 0.99, urlCol = Some(col("url")))
+    // URL dedup keeps min id (1) of the variant pair BEFORE text dedup
+    // (jaccard 0.99 would not have merged 1 and 2 textually)
+    assert(out1.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 5L))
+
+    // fuzzy decontamination: bench is a PARAPHRASE of doc 1 — every
+    // EVEN-numbered wordN swapped (one edit per 16 tokens): the longest
+    // unchanged token run is 15 < 20, so no 20-gram survives, while
+    // shingle Jaccard stays ≈ 0.7 (well inside the banded-recall zone)
+    val bench = docsDf((100L,
+      good.replaceAll("word(2|4|6|8|10|12)\\b", "swapped$1")))
+    val exactOnly = LlmPipeline.curate(df, col("doc_id"), col("text"),
+      "/tmp/graft_llm_curate_fz1", maxTokens = 64, overlap = 8,
+      minQuality = 0.2, minJaccard = 0.5, benchmark = Some(bench),
+      decontamK = 20)
+    assert(exactOnly.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet.contains(1L),
+      "paraphrase must slip past the exact check (the premise)")
+    val fuzzy = LlmPipeline.curate(df, col("doc_id"), col("text"),
+      "/tmp/graft_llm_curate_fz2", maxTokens = 64, overlap = 8,
+      minQuality = 0.2, minJaccard = 0.5, benchmark = Some(bench),
+      decontamK = 20, fuzzyDecontam = true, fuzzyMinJaccard = 0.4)
+    val keptIds = fuzzy.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(!keptIds.contains(1L) && keptIds.contains(5L),
+      s"fuzzy stage must drop the paraphrased leak: kept $keptIds")
+  }
+
   test("LlmPipeline.curateSnapshot: state carries across snapshots, appends accumulate") {
     import spark.implicits._
     def good(seed: Int) =
