@@ -45,14 +45,18 @@ object LlmPipeline {
       mixtureDomainCol: Column = col("source"),
       urlCol: Option[Column] = None)
       : DataFrame = {
-    // 0. crawl-level URL dedup (optional): min id per canonical URL —
-    //    a window over string keys, no text machinery touched yet
+    // 0. crawl-level URL dedup (optional): min id per canonical URL.
+    //    Survivors come from a PROJECTED (url, id) aggregate semi-joined
+    //    back — the dedupCorpus pattern — so only url/id pairs shuffle,
+    //    never document text. Null-URL rows (mixed non-crawl sources)
+    //    are NOT a dedup group: they all pass through untouched.
     val deduped = urlCol.fold(docs) { u =>
-      docs.withColumn("__curl", TextAnalysis.canonicalUrl(u))
-        .withColumn("__umin", min(idCol).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("__curl"))))
-        .filter(idCol === col("__umin"))
-        .drop("__curl", "__umin")
+      val survivors = docs.filter(u.isNotNull)
+        .select(TextAnalysis.canonicalUrl(u).as("__curl"), idCol.as("__uid"))
+        .groupBy("__curl").agg(min(col("__uid")).as("__uid"))
+        .select("__uid")
+      docs.join(survivors, idCol === col("__uid"), "left_semi")
+        .unionByName(docs.filter(u.isNull))
     }
     // 1. score + gate (scan-speed expressions, no shuffle)
     val scored0 = deduped

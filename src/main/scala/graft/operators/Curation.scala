@@ -46,9 +46,16 @@ object Curation {
     * 16-byte band keys, candidates ∝ true near-dups, and the bench side
     * is vanishingly small next to the corpus.
     *
+    * The benchmark participates as a SET of texts (duplicate eval rows
+    * count once): bench ids are `e:md5(text)` — fully deterministic, so
+    * the two plan subtrees that re-evaluate the union (candidate side,
+    * verification side) always agree on ids; a generated id
+    * (`monotonically_increasing_id`) could be re-assigned differently on
+    * recomputation and silently pair the wrong texts.
+    *
     * Output: one row per flagged train document —
-    * (id = trainId as string, n_hits, max_jaccard). Deterministic: the
-    * internal bench ids never affect which train ids surface. */
+    * (id = trainId as string, n_hits = distinct contaminating eval
+    * texts, max_jaccard). */
   def fuzzyContaminationHits(train: DataFrame, trainId: Column,
       trainText: Column, bench: DataFrame, benchText: Column,
       shingleK: Int = 3, numHashes: Int = 24, bands: Int = 8,
@@ -57,10 +64,9 @@ object Curation {
     val t = train.select(
       concat(lit("t:"), trainId.cast("string")).as("doc_id"),
       trainText.as("text"))
-    val e = bench.select(
-      concat(lit("e:"), monotonically_increasing_id().cast("string"))
-        .as("doc_id"),
-      benchText.as("text"))
+    val e = bench.select(benchText.as("text")).distinct()
+      .select(concat(lit("e:"), md5(col("text").cast("binary")))
+        .as("doc_id"), col("text"))
     val pairs = Dedup.minhashNearDups(t.unionByName(e), col("doc_id"),
       col("text"), shingleK, numHashes, bands, minJaccard, family)
     pairs

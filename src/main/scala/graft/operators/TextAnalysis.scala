@@ -268,8 +268,9 @@ object TextAnalysis {
     *     and empty params;
     *  5. sort surviving query params (order never changes server
     *     semantics for idempotent GETs — the standard crawl assumption);
-    *  6. normalize an empty path to `/` and strip one trailing slash
-    *     from non-root paths.
+    *  6. normalize an empty path to `/` and strip ALL trailing slashes
+    *     from non-root paths (one pass — `/a`, `/a/`, `/a//` all land
+    *     on `/a`, keeping the canonical form a true fixed point).
     * Codegen'd except the param filter/sort HOFs (bounded by the query
     * string, not the document). */
   def canonicalUrl(url: Column): Column = {
@@ -285,10 +286,8 @@ object TextAnalysis {
     val params = filter(split(query, "&"), p =>
       length(p) > 0 && !p.rlike("^(utm_[A-Za-z]+|gclid|fbclid|ref)="))
     val sortedQ = array_join(array_sort(params), "&")
-    val pathNorm = when(path === "", lit("/"))
-      .when(path =!= "/" && path.substr(length(path), lit(1)) === "/",
-        path.substr(lit(1), length(path) - 1))
-      .otherwise(path)
+    val stripped = regexp_replace(path, "/+$", "")
+    val pathNorm = when(stripped === "", lit("/")).otherwise(stripped)
     concat(auth, pathNorm,
       when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
   }

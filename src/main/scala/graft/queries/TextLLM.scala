@@ -1325,10 +1325,8 @@ object TextLLM {
         |s5 AS (SELECT *, array_to_string(list_sort(list_filter(
         |      string_split(query, '&'), p -> length(p) > 0 AND NOT
         |      regexp_matches(p, '^(utm_[A-Za-z]+|gclid|fbclid|ref)='))), '&') AS sq,
-        |    CASE WHEN path = '' THEN '/'
-        |         WHEN path <> '/' AND substr(path, length(path), 1) = '/'
-        |           THEN substr(path, 1, length(path) - 1)
-        |         ELSE path END AS pathnorm FROM s4)
+        |    CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(path, '/+$', '') END AS pathnorm FROM s4)
         |SELECT doc_id, url, auth || pathnorm ||
         |  CASE WHEN sq <> '' THEN '?' || sq ELSE '' END AS canon
         |FROM s5 ORDER BY doc_id, url""".stripMargin,

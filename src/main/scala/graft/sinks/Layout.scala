@@ -24,13 +24,22 @@ object Layout {
   final case class FileColumnStats(file: String, column: String,
       min: Double, max: Double)
 
-  private def numeric(s: Statistics[_]): Option[(Double, Double)] = s match {
-    case i: IntStatistics => Some((i.getMin.toDouble, i.getMax.toDouble))
-    case l: LongStatistics => Some((l.getMin.toDouble, l.getMax.toDouble))
-    case f: FloatStatistics => Some((f.getMin.toDouble, f.getMax.toDouble))
-    case d: DoubleStatistics => Some((d.getMin, d.getMax))
-    case _ => None // binary/boolean columns: no numeric interval
-  }
+  /** Typed stats → a double interval. Guarded on `hasNonNullValue`: an
+    * all-null or stats-less chunk carries UNINITIALIZED min/max (0, 0)
+    * that would inject a phantom [0, 0] interval and silently skew the
+    * report. Precision caveat: long min/max are exact only to ±2^53 in
+    * the double interval — for 64-bit hash-keyed columns the reported
+    * boundaries round (overlap counts can coarsen at ulp distance);
+    * values from real id/timestamp/measure domains are exact. */
+  private def numeric(s: Statistics[_]): Option[(Double, Double)] =
+    if (s == null || !s.hasNonNullValue) None
+    else s match {
+      case i: IntStatistics => Some((i.getMin.toDouble, i.getMax.toDouble))
+      case l: LongStatistics => Some((l.getMin.toDouble, l.getMax.toDouble))
+      case f: FloatStatistics => Some((f.getMin.toDouble, f.getMax.toDouble))
+      case d: DoubleStatistics => Some((d.getMin, d.getMax))
+      case _ => None // binary/boolean columns: no numeric interval
+    }
 
   /** Per-(file, column) min/max intervals read from footers only.
     * Columns without numeric stats (strings, missing stats) are

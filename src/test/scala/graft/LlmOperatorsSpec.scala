@@ -516,6 +516,8 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "HTTPS://WWW.Site.COM:443/Path/A?utm_source=x&b=2&a=1#frag" ->
         "https://www.site.com/Path/A?a=1&b=2",
       "http://site.com:80/a/" -> "http://site.com/a",
+      "http://site.com/a//" -> "http://site.com/a",
+      "http://site.com//" -> "http://site.com/",
       "http://site.com" -> "http://site.com/",
       "http://site.com/?fbclid=z&ref=tw" -> "http://site.com/",
       "https://site.com:8443/x?gclid=1&q=2" -> "https://site.com:8443/x?q=2",

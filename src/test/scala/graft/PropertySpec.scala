@@ -351,7 +351,7 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     val schemes = Seq("http", "HTTP", "https", "HTTPS")
     val hosts = Seq("Site.com", "a.b.co", "WWW.X.ORG", "h-1.net")
     val ports = Seq("", ":80", ":443", ":8080")
-    val paths = Seq("", "/", "/A/b", "/x/", "/p.html")
+    val paths = Seq("", "/", "/A/b", "/x/", "/p.html", "/d//", "//")
     val queries = Seq("", "?a=1", "?b=2&a=1", "?utm_source=t&a=1", "?ref=x")
     val frags = Seq("", "#f", "#Sec2")
     val urls = (0 until 300).map { _ =>
@@ -367,11 +367,13 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(row.getString(1) == row.getString(2),
         s"not idempotent: ${row.getString(0)} -> ${row.getString(1)} -> ${row.getString(2)}")
       // canonical form never keeps fragments, tracking params, or
-      // uppercase authority
+      // uppercase authority (scheme://host[:port] = everything before
+      // the first path slash after the scheme separator)
       val c = row.getString(1)
       assert(!c.contains("#") && !c.contains("utm_") && !c.contains("ref="))
-      val auth = c.takeWhile(_ != '/') // scheme://... up to first path slash? keep simple:
-      assert(c.take(c.indexOf("://") + 3) == c.take(c.indexOf("://") + 3).toLowerCase)
+      val pathStart = c.indexOf('/', c.indexOf("://") + 3)
+      val auth = if (pathStart < 0) c else c.take(pathStart)
+      assert(auth == auth.toLowerCase, s"authority not lowercased: $c")
     }
     // same page under different authority casing collides
     val pairs = (0 until 100).map { i =>
