@@ -136,6 +136,21 @@ object Extras {
       .orderBy("o_orderkey")
   }
 
+  /** A6-family completion — explicit GROUPING SETS (the third face next
+    * to a6's rollup and cube): an arbitrary combination list
+    * ((flag, status), (flag), ()) in ONE Expand pass, not three scans
+    * unioned. Null dimension values mark aggregated-out levels, exactly
+    * as both engines define the operator. */
+  def a6GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** U-family completion: EXCEPT ALL keeps multiplicity (a nationkey
     * appearing 5× among customers and 2× among suppliers survives 3×) —
     * the bag-semantics counterpart of u_intersect's set semantics. */
@@ -389,6 +404,7 @@ object Extras {
     "u_intersect" -> (uIntersect _),
     "a_median_price" -> (aMedianPrice _),
     "a_exact_moments" -> (aExactMoments _),
+    "a6_grouping_sets" -> (a6GroupingSets _),
     "a_incremental_moments" -> (aIncrementalMoments _),
     "a_tpch_q1" -> (aTpchQ1 _),
     "j_band_pairs" -> (jBandPairs _),
@@ -528,6 +544,12 @@ object Extras {
     // identical final float tree (each CAST/÷/×/sqrt a single IEEE op —
     // sqrt is correctly rounded in both engines) → scores hash
     // bit-for-bit. DuckDB's HUGEINT sums cast back to BIGINT.
+    "a6_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "a_exact_moments" -> exactMomentsSql,
     "a_incremental_moments" -> exactMomentsSql,
     // the typed-Aggregator twin is bit-identical by construction, so it
