@@ -13,7 +13,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.TextLLM.queries ++
-      graft.queries.Extras.queries
+      graft.queries.Extras.queries ++ graft.queries.GraphInfra.queries
 
   /** Headline subset Bench times (Verify still runs every query):
     * representative of each operator family, excluding the iterative
@@ -36,7 +36,7 @@ object SparkEntry {
     "d_minhash_neardups", "s_ann_brute_top5", "s_ann_lsh_top3",
     "s_ann_ivfpq_top3",
     "m_binary_meta", "c7_weekly_counts", "j_asof_prior_view",
-    "c_session_stats")
+    "c_session_stats", "g_pagerank_hosts", "l_snapshot_diff")
   // d_incremental_dedup is deliberately NOT headline: its id-bounded
   // fixture is constant-size at every SF, so the bench would time ~5.6s
   // of iterative-job scheduling overhead (the CC loop's per-round
@@ -47,5 +47,5 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.TextLLM.oracle ++
-      graft.queries.Extras.oracle
+      graft.queries.Extras.oracle ++ graft.queries.GraphInfra.oracle
 }

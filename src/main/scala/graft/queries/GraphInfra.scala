@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Graph, SnapshotDiff}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-centrality and table-maintenance wave: link-graph PageRank /
+  * triangles / degrees over a host graph derived deterministically from
+  * `documents`, and a keyed snapshot diff over `orders`.
+  *
+  * The host graph is synthesized with pure BIGINT arithmetic (Knuth
+  * multiplicative hashing on `doc_id`) so Spark and DuckDB derive the
+  * IDENTICAL edge list from the same parquet — no float, no engine hash:
+  * `src = doc_id % 40`, `dst ∈ {(doc_id*2654435761) % 40,
+  * (doc_id*40503 + 7) % 40}`, self-loops dropped, distinct. 40 "hosts"
+  * keeps the fixture graph dense enough to have triangles and rank
+  * spread at every SF.
+  */
+object GraphInfra {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** The deterministic host link graph (see object doc). */
+  def hostEdges(docs: DataFrame): DataFrame =
+    docs.select((col("doc_id") % 40).as("src"),
+        ((col("doc_id") * lit(2654435761L)) % 40).as("dst"))
+      .union(docs.select((col("doc_id") % 40).as("src"),
+        ((col("doc_id") * lit(40503L) + lit(7L)) % 40).as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+
+  /** SQL mirror of [[hostEdges]] as a CTE body. */
+  private val edgesCte =
+    """edges AS (
+      |  SELECT src, dst FROM (
+      |    SELECT doc_id % 40 AS src, (doc_id * 2654435761) % 40 AS dst
+      |    FROM documents
+      |    UNION
+      |    SELECT doc_id % 40, (doc_id * 40503 + 7) % 40 FROM documents
+      |  ) AS e WHERE src <> dst)""".stripMargin
+
+  /** Fixed-point PageRank (4 iterations) over the host graph — the
+    * crawl-quality prior. Integer ranks ⇒ bit-exact across engines. */
+  def gPagerankHosts(s: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(hostEdges(t(s, dir, "documents")), iterations = 4)
+      .orderBy("node")
+
+  /** DuckDB mirror: the same recurrence unrolled as chained CTEs.
+    * `//` is DuckDB integer floor division = Spark `div` on the
+    * all-positive BIGINTs involved. */
+  private def pagerankSql(iterations: Int): String = {
+    val header =
+      s"""WITH $edgesCte,
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, d.outdeg
+         |       FROM edges e JOIN deg d USING (src)),
+         |r0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn) AS rank
+         |       FROM nodes)""".stripMargin
+    val steps = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT nd.node,
+         |    (SELECT (15 * (1000000000000 // n)) // 100 FROM nn)
+         |      + (85 * COALESCE(s.s, 0)) // 100 AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst, SUM(r.rank // e.outdeg) AS s
+         |    FROM ed e JOIN r${i - 1} r ON r.node = e.src
+         |    GROUP BY e.dst) AS s ON s.dst = nd.node)""".stripMargin
+    }
+    // DuckDB SUM(BIGINT) widens to HUGEINT — cast the final rank back to
+    // BIGINT so the schema matches Spark's long (values fit: < 9e13).
+    (header +: steps).mkString(",\n") +
+      s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$iterations ORDER BY node"
+  }
+
+  /** Triangle count over the host graph (oriented u<v two-join plan). */
+  def gTriangleCount(s: SparkSession, dir: String): DataFrame =
+    Graph.triangleCount(hostEdges(t(s, dir, "documents")))
+
+  /** Top hosts by total degree — the hub profile of the link graph. */
+  def gDegreeStats(s: SparkSession, dir: String): DataFrame =
+    Graph.degrees(hostEdges(t(s, dir, "documents")))
+      .orderBy(col("total_deg").desc, col("node")).limit(10)
+
+  /** Snapshot diff over two derived `orders` snapshots: the old snapshot
+    * drops keys ≡0 (mod 7), the new drops keys ≡0 (mod 5) and bumps
+    * `o_totalprice` by 1.0 for keys ≡0 (mod 11) — so the diff exercises
+    * all four statuses. Output is the per-status row count plus a key
+    * checksum. */
+  def lSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val oldSnap = orders.where(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+    val newSnap = orders.where(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        (col("o_totalprice") +
+          when(col("o_orderkey") % 11 === 0, lit(1.0)).otherwise(lit(0.0)))
+          .as("v"))
+    SnapshotDiff.rowStatus(oldSnap, newSnap, Seq("k"), Seq("v"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
+      .orderBy("status")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_pagerank_hosts" -> (gPagerankHosts _),
+    "g_triangle_count" -> (gTriangleCount _),
+    "g_degree_stats" -> (gDegreeStats _),
+    "l_snapshot_diff" -> (lSnapshotDiff _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "g_pagerank_hosts" -> pagerankSql(4),
+    "g_triangle_count" ->
+      s"""WITH $edgesCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |        FROM edges)
+         |SELECT COUNT(*) AS n_triangles
+         |FROM und e1
+         |JOIN und e2 ON e2.u = e1.v
+         |JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+    "g_degree_stats" ->
+      s"""WITH $edgesCte,
+         |outd AS (SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY 1),
+         |ind AS (SELECT dst AS node, COUNT(*) AS in_deg FROM edges GROUP BY 1)
+         |SELECT COALESCE(o.node, i.node) AS node,
+         |  COALESCE(o.out_deg, 0) AS out_deg,
+         |  COALESCE(i.in_deg, 0) AS in_deg,
+         |  COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0) AS total_deg
+         |FROM outd o FULL JOIN ind i ON i.node = o.node
+         |ORDER BY total_deg DESC, node LIMIT 10""".stripMargin,
+    "l_snapshot_diff" ->
+      """WITH oldsnap AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |newsnap AS (
+        |  SELECT o_orderkey AS k,
+        |    o_totalprice + CASE WHEN o_orderkey % 11 = 0
+        |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS v
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |d AS (
+        |  SELECT COALESCE(o.k, n.k) AS k,
+        |    CASE WHEN o.k IS NULL THEN 'added'
+        |         WHEN n.k IS NULL THEN 'removed'
+        |         WHEN o.v IS DISTINCT FROM n.v THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM oldsnap o FULL JOIN newsnap n ON o.k = n.k)
+        |SELECT status, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

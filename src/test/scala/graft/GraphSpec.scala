@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.{Graph, SnapshotDiff}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local("graph-spec")
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def edgesDf(rows: (Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("src", "dst")
+  }
+
+  /** Independent single-threaded model of the exact integer recurrence
+    * pageRank declares — a differential oracle with no Spark in it. */
+  private def modelPageRank(edges: Seq[(Long, Long)], iterations: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val base = Graph.Scale / n
+    val teleport = (15L * base) / 100L
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var rank = nodes.map(_ -> base).toMap
+    for (_ <- 1 to iterations) {
+      val contribs = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => rank(s) / outdeg(s) }.sum
+      }
+      rank = nodes.map(v => v -> (teleport + 85L * contribs.getOrElse(v, 0L) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("pageRank matches the independent integer model, bit for bit") {
+    // A hub (0), a cycle (1→2→3→1), a dangling sink (4), an isolated
+    // source feeding the hub (5→0).
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 0L))
+    val got = Graph.pageRank(edgesDf(edges: _*), iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === modelPageRank(edges, 4))
+    // rank mass: every node got at least the teleport floor
+    val teleport = (15L * (Graph.Scale / 6L)) / 100L
+    assert(got.values.forall(_ >= teleport))
+    // the cycle members fed by the hub outrank the dangling sink's feed
+    assert(got(2L) > got(4L))
+  }
+
+  test("pageRank is deterministic across partitioning") {
+    val edges = (0L until 60L).map(i => (i % 12, (i * 7 + 3) % 12)).filter(e => e._1 != e._2)
+    val a = Graph.pageRank(edgesDf(edges: _*).repartition(1), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = Graph.pageRank(edgesDf(edges: _*).repartition(13), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a === b)
+  }
+
+  test("orient canonicalizes, dedups, and drops self-loops") {
+    val und = Graph.orient(edgesDf((1L, 2L), (2L, 1L), (3L, 3L), (2L, 5L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(und === Seq((1L, 2L), (2L, 5L)))
+  }
+
+  test("triangleCount: K4 has 4 triangles; direction and duplication don't matter") {
+    // K4 with edges given in mixed directions, one duplicated
+    val k4 = edgesDf((0L, 1L), (1L, 0L), (2L, 0L), (0L, 3L),
+      (1L, 2L), (3L, 1L), (2L, 3L))
+    assert(Graph.triangleCount(k4).collect().head.getLong(0) === 4L)
+    // adding a pendant edge adds no triangle
+    val k4p = edgesDf((0L, 1L), (1L, 0L), (2L, 0L), (0L, 3L),
+      (1L, 2L), (3L, 1L), (2L, 3L), (3L, 9L))
+    assert(Graph.triangleCount(k4p).collect().head.getLong(0) === 4L)
+    // triangle-free graph counts zero
+    assert(Graph.triangleCount(edgesDf((0L, 1L), (1L, 2L), (2L, 3L)))
+      .collect().head.getLong(0) === 0L)
+  }
+
+  test("degrees covers source-only and sink-only nodes with zero fill") {
+    val d = Graph.degrees(edgesDf((1L, 2L), (1L, 3L), (2L, 3L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(d === Seq((1L, 2L, 0L, 2L), (2L, 1L, 1L, 2L), (3L, 0L, 2L, 2L)))
+  }
+
+  private def snap(rows: (Long, java.lang.Double, String)*) = {
+    import spark.implicits._
+    rows.map { case (k, v, s) => (k, Option(v).map(_.doubleValue), s) }
+      .toDF("k", "v", "tag")
+  }
+
+  test("snapshot diff classifies all four statuses, null-safe") {
+    val old = snap((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, null, "a"), (4L, 4.0, "a"))
+    val neu = snap((1L, 1.0, "a"), (2L, 9.0, "a"), (3L, null, "a"), (5L, 5.0, "a"))
+    val got = SnapshotDiff.rowStatus(old, neu, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", // null <=> null: not a change
+      4L -> "removed", 5L -> "added"))
+    // null → value counts as changed
+    val g2 = SnapshotDiff.rowStatus(snap((7L, null, "a")), snap((7L, 1.0, "a")),
+      Seq("k"), Seq("v")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(g2 === Map(7L -> "changed"))
+  }
+
+  test("snapshot diff ignores columns outside the compare set") {
+    val old = snap((1L, 1.0, "x"))
+    val neu = snap((1L, 1.0, "y"))
+    val got = SnapshotDiff.rowStatus(old, neu, Seq("k"), Seq("v"))
+      .collect().map(r => r.getString(1))
+    assert(got === Array("unchanged"))
+  }
+
+  test("digest variant agrees with the column-compare variant") {
+    val old = snap((1L, 1.0, "a"), (2L, 2.0, "b"), (3L, 3.0, "c"), (4L, null, "d"))
+    val neu = snap((1L, 1.0, "a"), (2L, 2.5, "b"), (3L, 3.0, "zz"), (4L, null, "d"))
+    val cols = SnapshotDiff.rowStatus(old, neu, Seq("k"), Seq("v", "tag"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dig = SnapshotDiff.rowStatusDigest(old, neu, Seq("k"), Seq("v", "tag"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dig === cols)
+    assert(cols(2L) === "changed" && cols(3L) === "changed" && cols(1L) === "unchanged")
+  }
+
+  test("registered graph queries run and have stable shapes on testdata") {
+    val dir = "/root/testdata/sf0.001"
+    val pr = graft.queries.GraphInfra.gPagerankHosts(spark, dir).collect()
+    assert(pr.nonEmpty && pr.length <= 40)
+    // total fixed-point mass stays within [teleport floor, Scale]
+    val total = pr.map(_.getLong(1)).sum
+    assert(total > 0L && total <= Graph.Scale)
+    val tri = graft.queries.GraphInfra.gTriangleCount(spark, dir).collect()
+    assert(tri.head.getLong(0) >= 0L)
+    val diff = graft.queries.GraphInfra.lSnapshotDiff(spark, dir).collect()
+    val statuses = diff.map(_.getString(0)).toSet
+    assert(statuses.contains("unchanged") && statuses.subsetOf(
+      Set("added", "removed", "changed", "unchanged")))
+  }
+}
