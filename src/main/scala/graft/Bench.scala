@@ -54,14 +54,22 @@ object Bench {
       m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val total = mins.map(_._2).sum
     val qs = obj(mins.map { case (k, v) => k -> fmt(v) })
-    // errors are capped hard: one failing query must not blow the line
-    // past the tail window and take the whole bench signal down with it
-    val es = obj(errors.take(3).map { case (k, v) => k -> jstr(v.take(60)) })
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""stat":"min_of_warm_reps","total_median":${fmt(totalMedian)},""" +
-      s""""cal":${fmt(calMedian)},""" +
-      s""""scope":"headline","n_queries":${mins.size},"reps":$reps,""" +
-      s""""queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
+    def line(es: String) =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""stat":"min_of_warm_reps","total_median":${fmt(totalMedian)},""" +
+        s""""cal":${fmt(calMedian)},""" +
+        s""""scope":"headline","n_queries":${mins.size},"reps":$reps,""" +
+        s""""queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
+    // errors are capped ADAPTIVELY: the queries map grows with the
+    // headline set, so a fixed error budget would eventually blow the
+    // line past the driver's ~2000-char tail window and take the whole
+    // bench signal down with it. Full messages live in the details file;
+    // here we shrink count/length until the line fits.
+    val budget = 1800
+    val attempts = Seq((3, 60), (3, 40), (2, 40), (1, 40), (1, 20), (0, 0))
+    attempts.iterator.map { case (n, len) =>
+      line(obj(errors.take(n).map { case (k, v) => k -> jstr(v.take(len)) }))
+    }.find(_.length <= budget).getOrElse(line("{}"))
   }
 
   /** Verbose payload for the details file (not stdout): per-query medians

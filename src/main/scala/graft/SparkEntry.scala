@@ -13,7 +13,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.TextLLM.queries ++
-      graft.queries.Extras.queries ++ graft.queries.GraphInfra.queries
+      graft.queries.Extras.queries ++ graft.queries.GraphInfra.queries ++
+      graft.queries.Tpch.queries
 
   /** Headline subset Bench times (Verify still runs every query):
     * representative of each operator family, excluding the iterative
@@ -36,7 +37,10 @@ object SparkEntry {
     "d_minhash_neardups", "s_ann_brute_top5", "s_ann_lsh_top3",
     "s_ann_ivfpq_top3",
     "m_binary_meta", "c7_weekly_counts", "j_asof_prior_view",
-    "c_session_stats", "g_pagerank_hosts", "l_snapshot_diff")
+    "c_session_stats", "g_pagerank_hosts", "l_snapshot_diff",
+    "h3_shipping_priority", "h5_local_supplier_volume",
+    "h6_forecast_revenue", "h10_returned_items", "h14_promotion_effect",
+    "h18_large_volume_customer")
   // d_incremental_dedup is deliberately NOT headline: its id-bounded
   // fixture is constant-size at every SF, so the bench would time ~5.6s
   // of iterative-job scheduling overhead (the CC loop's per-round
@@ -47,5 +51,6 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.TextLLM.oracle ++
-      graft.queries.Extras.oracle ++ graft.queries.GraphInfra.oracle
+      graft.queries.Extras.oracle ++ graft.queries.GraphInfra.oracle ++
+      graft.queries.Tpch.oracle
 }
