@@ -333,6 +333,61 @@ object ScaleProbe {
         targetBytes = 16L << 20).size.toLong
     }
 
+    // ---- round-9 additions: link graph, snapshot diff, agg-then-join ----
+
+    // Pseudo-random host graph: 4M directed edges over 100k nodes
+    // (xxhash64 endpoint mixing — polynomial fixtures mod N are secretly
+    // 1-dimensional and triangle-free), PLUS a 50k-in-edge hub at the
+    // max node id. The hub is the adversarial shape for triangle
+    // counting; oriented (u<v) expansion gives the hub a FORWARD degree
+    // of zero, so its 50k-edge adjacency never expands.
+    val edges = spark.range(4000000).select(
+        pmod(xxhash64(col("id")), lit(100000L)).as("src"),
+        pmod(xxhash64(col("id") + 7000000L), lit(100000L)).as("dst"))
+      .union(spark.range(50000).select(
+        pmod(xxhash64(col("id") + 9000000L), lit(99999L)).as("src"),
+        lit(99999L).as("dst")))
+      .where(col("src") =!= col("dst")).cache()
+    timed("graph_edges_materialize") { edges.count() }
+    timed("pagerank_4M_edges_k4") { // 4 unrolled join+agg rounds, 16-byte
+      // shuffle rows; integer arithmetic end to end
+      Graph.pageRank(edges, iterations = 4).count()
+    }
+    timed("triangles_4M_edges") { // oriented two-join: hub expansion is
+      // bounded by FORWARD degree, so the id-0 hub never goes quadratic
+      Graph.triangleCount(edges).collect()(0).getLong(0)
+    }
+    edges.unpersist()
+
+    // Snapshot diff at 4M keys with ~1% churn, digest form: the exchange
+    // carries key + 8-byte digest, never the 120-token payload.
+    val snapOld = spark.range(4000000).select(col("id").as("k"),
+      concat(lit("payload_"), col("id") % 97).as("a"),
+      (col("id") % 1013L).as("b")).cache()
+    val snapNew = spark.range(40000, 4040000).select(col("id").as("k"),
+      concat(lit("payload_"),
+        when(col("id") % 100 === 0, (col("id") % 97) + 1)
+          .otherwise(col("id") % 97)).as("a"),
+      (col("id") % 1013L).as("b")).cache()
+    timed("snapshot_sides_materialize") { snapOld.count() + snapNew.count() }
+    timed("snapshot_diff_digest_4M") {
+      SnapshotDiff.rowStatusDigest(snapOld, snapNew, Seq("k"), Seq("a", "b"))
+        .groupBy("status").count().count()
+    }
+    snapOld.unpersist(); snapNew.unpersist()
+
+    timed("q18_agg_before_join_6M") { // the TPC-H Q18 shape at 100×: the
+      // HAVING filter collapses 6M fact rows to a handful of keys BEFORE
+      // any join — the anti-pattern (join first) would shuffle all 6M
+      val fact = spark.range(6000000).select(
+        (col("id") % 1500000L).as("okey"), (col("id") % 50 + 1).as("qty"))
+      val dim = spark.range(1500000).select(col("id").as("okey"),
+        concat(lit("c"), col("id") % 100000L).as("cust"))
+      fact.groupBy("okey").agg(sum(col("qty")).as("sum_qty"))
+        .filter(col("sum_qty") > 180)
+        .join(dim, Seq("okey")).count()
+    }
+
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Graph, SnapshotDiff}
+import graft.operators.{Graph, Merge, SnapshotDiff}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -106,7 +106,34 @@ object GraphInfra {
       .orderBy("status")
   }
 
+  /** Keyed MERGE (CDC apply) over a derived `orders` snapshot: the base
+    * drops keys ≡0 (mod 7); the change set inserts half the missing keys
+    * back (I), bumps keys ≡3 (mod 10) by 5.0 (U), and deletes keys ≡6
+    * (mod 10) (D). Output is the full merged table — every surviving
+    * row's identity and value is oracle-checked, not a checksum. */
+  def lMergeApply(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val base = orders.where(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+    val inserts = orders
+      .where(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("k"), lit("I").as("op"),
+        col("o_totalprice").as("v"))
+    val updates = orders
+      .where(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey").as("k"), lit("U").as("op"),
+        (col("o_totalprice") + lit(5.0)).as("v"))
+    val deletes = orders
+      .where(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 10 === 6)
+      .select(col("o_orderkey").as("k"), lit("D").as("op"),
+        lit(null).cast("double").as("v"))
+    Merge.applyChanges(base,
+        inserts.unionByName(updates).unionByName(deletes), Seq("k"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l_merge_apply" -> (lMergeApply _),
     "g_pagerank_hosts" -> (gPagerankHosts _),
     "g_triangle_count" -> (gTriangleCount _),
     "g_degree_stats" -> (gDegreeStats _),
@@ -114,6 +141,24 @@ object GraphInfra {
   )
 
   val oracle: Map[String, String] = Map(
+    "l_merge_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |chg AS (
+        |  SELECT o_orderkey AS k, 'I' AS op, o_totalprice AS v
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', o_totalprice + 5.0
+        |  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', NULL
+        |  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 10 = 6)
+        |SELECT k, v FROM (
+        |  SELECT k, v FROM base WHERE k NOT IN (SELECT k FROM chg)
+        |  UNION ALL
+        |  SELECT k, v FROM chg WHERE op <> 'D') AS m
+        |ORDER BY k""".stripMargin,
     "g_pagerank_hosts" -> pagerankSql(4),
     "g_triangle_count" ->
       s"""WITH $edgesCte,

@@ -173,7 +173,49 @@ object Tpch {
       .limit(100)
   }
 
+  /** Q4 order-priority checking (adapted: no commit/receipt dates — the
+    * EXISTS probes for a LATE shipment, l_shipdate more than 30 days
+    * after o_orderdate). The point of Q4 is the EXISTS → left-semi plan:
+    * lineitem is only ever probed, never widened into the output, and
+    * the extra non-equi conjunct rides the semi join's condition. */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-10-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q19 discounted-revenue (adapted to the available part attributes) —
+    * the disjunctive-predicate join: ONE equi-join on partkey with an
+    * OR-of-ANDs residual over both sides' columns. The planner test is
+    * that the equality conjunct is extracted into a hash join and the
+    * disjunction stays a post-join filter — a naive planner degrades
+    * this to a nested-loop over the full cross space. */
+  def q19DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), revenueTerm.as("rev"))
+    val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 35)))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h4_order_priority" -> (q4OrderPriority _),
+    "h19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
     "h3_shipping_priority" -> (q3ShippingPriority _),
     "h5_local_supplier_volume" -> (q5LocalSupplierVolume _),
     "h6_forecast_revenue" -> (q6ForecastRevenue _),
@@ -182,6 +224,26 @@ object Tpch {
     "h18_large_volume_customer" -> (q18LargeVolumeCustomer _))
 
   val oracle: Map[String, String] = Map(
+    "h4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "h19_disjunctive_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#15' AND p_size BETWEEN 10 AND 30
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#22' AND p_size BETWEEN 20 AND 50
+        |    AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
     "h3_shipping_priority" ->
       """SELECT l_orderkey,
         |  CAST(o_orderdate AS DATE) AS o_orderdate,
