@@ -395,7 +395,24 @@ object Extras {
         col("valid_to"), col("value"))
       .orderBy("user_id", "valid_from", "event_id")
 
+  /** Exact interpolated percentiles per group — Spark's `percentile` and
+    * DuckDB's `quantile_cont` share the definition (index = p·(n−1),
+    * linear interpolation between floor/ceil neighbors), and on
+    * integer-valued doubles the interpolation arithmetic is the same two
+    * float ops in both engines, so the result hashes exactly. The scale
+    * story: exact percentile sorts WITHIN each group only (partial
+    * buffers merge), never globally. */
+  def aPercentileFamily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90"),
+        min(col("l_quantity")).as("qmin"),
+        max(col("l_quantity")).as("qmax"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_percentile_family" -> (aPercentileFamily _),
     "c_scd2_intervals" -> (cScd2Intervals _),
     "c_session_stats" -> (cSessionStats _),
     "j_asof_prior_view" -> (jAsofPriorView _),
@@ -454,6 +471,13 @@ object Extras {
         |FROM m ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a_percentile_family" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  min(l_quantity) AS qmin,
+        |  max(l_quantity) AS qmax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // SCD2 mirror: lead() over (ts, event_id) — event_id breaks ts ties
     // identically in both engines
     "c_scd2_intervals" ->
