@@ -213,7 +213,170 @@ object Tpch {
       .agg(sum(col("rev")).cast("double").as("revenue"))
   }
 
+  /** Q7 volume shipping (adapted) — the two-sided nation-pair
+    * disjunction: revenue flowing between NATION_3 and NATION_7 in
+    * either direction, by supplier nation / customer nation / ship
+    * year. Both nation dimensions broadcast; the disjunctive pair
+    * predicate evaluates after both are attached. */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"), revenueTerm.as("rev"))
+    li.join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .filter(
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q8 national market share (adapted): NATION_5's share of ASIA's
+    * STANDARD-part import revenue per order year. Share = decimal-exact
+    * conditional sum over decimal-exact total, ONE double division per
+    * output row. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val asiaNationKeys = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNation = t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        revenueTerm.as("rev"))
+    li.join(broadcast(t(s, dir, "part")
+          .filter(col("p_type") === "STANDARD").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNationKeys), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .groupBy("o_year")
+      .agg((sum(when(col("supp_nation") === "NATION_5", col("rev"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+        sum(col("rev")).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q13 customer order-count distribution (adapted filter:
+    * non-URGENT orders) — the left-outer + double-aggregate skew
+    * classic: every customer survives (zero-order customers count 0),
+    * then the counts themselves are histogrammed. */
+  def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    t(s, dir, "customer").select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q15 top supplier — the scalar-subquery-max pattern: quarterly
+    * revenue per supplier, keep the supplier(s) AT the maximum. The
+    * comparison runs on the EXACT decimal sums (never the double
+    * projection), and the max arrives as a broadcast one-row join, not
+    * a partition-less window. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(revenueTerm).as("rev_dec"))
+    val maxRev = rev.agg(max(col("rev_dec")).as("max_rev"))
+    rev.join(broadcast(maxRev), col("rev_dec") === col("max_rev"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q17 small-quantity-order revenue (adapted to p_brand only) — the
+    * correlated-average pattern: lineitems whose quantity is below 20%
+    * of their part's average. The threshold comparison is rewritten
+    * multiplication-through so it stays EXACT decimal arithmetic in
+    * both engines: `qty < 0.2 * (sum/cnt)` ⟺ `5 * qty * cnt < sum`
+    * (all positive) — no float division inside a predicate, which is
+    * where cross-engine last-ulp drift would flip boundary rows. */
+  def q17SmallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), dec("l_quantity").as("qty"),
+        dec("l_extendedprice").as("price"))
+    val brandParts = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#5").select("p_partkey")
+    val perPart = li.join(broadcast(brandParts),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey")
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(col("l_partkey").as("agg_partkey"), col("sum_qty"), col("cnt"))
+    li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("agg_partkey"))
+      .filter(lit(5).cast("decimal(18,2)") * col("qty") * col("cnt") <
+        col("sum_qty"))
+      .agg((sum(col("price")).cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** Q22 global sales opportunity (adapted: nation stands in for the
+    * phone prefix) — anti join + scalar-average pattern: rich customers
+    * (balance above the positive-balance average) with no orders since
+    * 2000, counted per nation. The "above average" comparison is again
+    * multiplication-through exact decimal: `bal * cnt > sum`. */
+  def q22GlobalSales(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        dec("c_acctbal").as("bal"))
+    val avgSide = cust.filter(col("bal") > lit(0).cast("decimal(18,2)"))
+      .agg(sum(col("bal")).as("sum_bal"), count(lit(1)).as("cnt_bal"))
+    val rich = cust.join(broadcast(avgSide),
+      col("bal") * col("cnt_bal") > col("sum_bal"))
+    val noOrders = rich.join(
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey"),
+      col("c_custkey") === col("o_custkey"), "left_anti")
+    noOrders
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal")).cast("double").as("totacctbal"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h7_volume_shipping" -> (q7VolumeShipping _),
+    "h8_market_share" -> (q8MarketShare _),
+    "h13_customer_distribution" -> (q13CustomerDistribution _),
+    "h15_top_supplier" -> (q15TopSupplier _),
+    "h17_small_quantity_revenue" -> (q17SmallQuantityRevenue _),
+    "h22_global_sales" -> (q22GlobalSales _),
     "h4_order_priority" -> (q4OrderPriority _),
     "h19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
     "h3_shipping_priority" -> (q3ShippingPriority _),
@@ -224,6 +387,101 @@ object Tpch {
     "h18_large_volume_customer" -> (q18LargeVolumeCustomer _))
 
   val oracle: Map[String, String] = Map(
+    "h7_volume_shipping" ->
+      """SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((n2.n_name = 'NATION_3' AND n1.n_name = 'NATION_7')
+        |    OR (n2.n_name = 'NATION_7' AND n1.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "h8_market_share" ->
+      """WITH flat AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      AS rev,
+        |    ns.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+        |FROM flat GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "h13_customer_distribution" ->
+      """WITH counts AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
+        |             WHERE o_orderpriority <> '1-URGENT') o
+        |    ON c_custkey = o.o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM counts GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "h15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "h17_small_quantity_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  FROM lineitem
+        |  WHERE l_partkey IN
+        |    (SELECT p_partkey FROM part WHERE p_brand = 'Brand#5')),
+        |agg AS (
+        |  SELECT l_partkey AS agg_partkey, SUM(qty) AS sum_qty,
+        |    COUNT(*) AS cnt
+        |  FROM li GROUP BY l_partkey)
+        |SELECT CAST(SUM(price) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM li JOIN agg ON l_partkey = agg_partkey
+        |WHERE 5 * qty * cnt < sum_qty""".stripMargin,
+    "h22_global_sales" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer),
+        |avgside AS (
+        |  SELECT SUM(bal) AS sum_bal, COUNT(*) AS cnt_bal
+        |  FROM cust WHERE bal > CAST(0 AS DECIMAL(18,2)))
+        |SELECT n_name, COUNT(*) AS numcust,
+        |  CAST(SUM(bal) AS DOUBLE) AS totacctbal
+        |FROM cust CROSS JOIN avgside
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE bal * cnt_bal > sum_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "h4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders

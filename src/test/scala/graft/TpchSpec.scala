@@ -65,6 +65,51 @@ class TpchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v > 0.0 && v < 100.0, s"promo pct out of range: $v")
   }
 
+  test("Q7: nation-pair disjunction yields both directions, years as int") {
+    val rows = queries.Tpch.q7VolumeShipping(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.subsetOf(Set(("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))))
+  }
+
+  test("Q8: market share is a fraction in [0, 1] per year") {
+    val rows = queries.Tpch.q8MarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r => val v = r.getDouble(1); v >= 0.0 && v <= 1.0 })
+  }
+
+  test("Q13: left outer keeps zero-order customers; distribution sums to |customer|") {
+    val df = queries.Tpch.q13CustomerDistribution(spark, sf)
+    val total = df.agg(org.apache.spark.sql.functions.sum("custdist"))
+      .collect()(0).getLong(0)
+    val nCust = Tables(spark, sf, "customer").count()
+    assert(total == nCust, s"distribution covers $total of $nCust customers")
+  }
+
+  test("Q15: max-revenue suppliers found via broadcast one-row join, no window") {
+    val df = queries.Tpch.q15TopSupplier(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Window"), s"Q15 must not use a window:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+  }
+
+  test("Q17: threshold math stays decimal — no double division in the predicate") {
+    val df = queries.Tpch.q17SmallQuantityRevenue(spark, sf)
+    // analyzed plan must not divide inside the filter (the predicate is
+    // the multiplied-through decimal comparison)
+    val analyzed = df.queryExecution.analyzed.toString
+    val filterLines = analyzed.linesIterator.filter(_.contains("Filter")).mkString
+    assert(!filterLines.contains("/"), s"division leaked into the filter: $filterLines")
+    assert(df.collect().length == 1)
+  }
+
+  test("Q22: anti join selects a nonempty rich-and-dormant cohort") {
+    val rows = queries.Tpch.q22GlobalSales(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture cutoff selects nobody — weak test")
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
   test("Q18: quantity sum aggregates BEFORE the joins (agg below both joins)") {
     val df = queries.Tpch.q18LargeVolumeCustomer(spark, sf)
     val p = plan(df)
