@@ -353,8 +353,10 @@ object ScaleProbe {
       // shuffle rows; integer arithmetic end to end
       Graph.pageRank(edges, iterations = 4).count()
     }
-    timed("triangles_4M_edges") { // oriented two-join: hub expansion is
-      // bounded by FORWARD degree, so the id-0 hub never goes quadratic
+    timed("triangles_4M_edges") { // oriented two-join: expansion is
+      // bounded by FORWARD degree, and the hub sits at the MAX node id,
+      // so its forward degree is 0 and its 50k-edge adjacency never
+      // expands (an id-0 hub would be the adversarial placement)
       Graph.triangleCount(edges).collect()(0).getLong(0)
     }
     edges.unpersist()

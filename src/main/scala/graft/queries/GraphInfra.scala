@@ -9,37 +9,54 @@ import org.apache.spark.sql.functions._
   * triangles / degrees over a host graph derived deterministically from
   * `documents`, and a keyed snapshot diff over `orders`.
   *
-  * The host graph is synthesized with pure BIGINT arithmetic (Knuth
-  * multiplicative hashing on `doc_id`) so Spark and DuckDB derive the
-  * IDENTICAL edge list from the same parquet — no float, no engine hash:
-  * `src = doc_id % 40`, `dst ∈ {(doc_id*2654435761) % 40,
-  * (doc_id*40503 + 7) % 40}`, self-loops dropped, distinct. 40 "hosts"
-  * keeps the fixture graph dense enough to have triangles and rank
-  * spread at every SF.
+  * The host graph derives BOTH endpoints of each edge from salted md5
+  * digests of `doc_id` (the repo's standard engine-portable hash
+  * family), so Spark and DuckDB compute the IDENTICAL pseudo-random
+  * edge list from the same parquet: two directed edges per document
+  * over 60 "hosts", self-loops dropped, distinct. md5 mixing matters —
+  * the first cut used multiplicative hashing mod 40, and any such
+  * affine map yields a degree-1 permutation graph (2654435761 ≡ 1
+  * mod 40 even made the first generator pure self-loops): zero
+  * triangles, perfectly uniform PageRank, an oracle check that
+  * validated nothing. Pseudo-random fixtures need real hashing — the
+  * same lesson ScaleProbe's graph stage records.
   */
 object GraphInfra {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** First 4 md5-hex digits of `doc_id` + salt as a BIGINT in [0, m). */
+  private def md5Mod(c: org.apache.spark.sql.Column, salt: String, m: Int) =
+    conv(substring(md5(concat(c.cast("string"), lit(salt))), 1, 4), 16, 10)
+      .cast("long") % m
+
   /** The deterministic host link graph (see object doc). */
   def hostEdges(docs: DataFrame): DataFrame =
-    docs.select((col("doc_id") % 40).as("src"),
-        ((col("doc_id") * lit(2654435761L)) % 40).as("dst"))
-      .union(docs.select((col("doc_id") % 40).as("src"),
-        ((col("doc_id") * lit(40503L) + lit(7L)) % 40).as("dst")))
+    docs.select(md5Mod(col("doc_id"), "a", 60).as("src"),
+        md5Mod(col("doc_id"), "b", 60).as("dst"))
+      .union(docs.select(md5Mod(col("doc_id"), "c", 60).as("src"),
+        md5Mod(col("doc_id"), "d", 60).as("dst")))
       .where(col("src") =!= col("dst"))
       .distinct()
 
+  /** DuckDB mirror of [[md5Mod]]: shift-sum parse of the same 4 hex
+    * digits (integer all the way — matches `conv(…, 16, 10)`). */
+  private def md5ModSql(salt: String, m: Int): String =
+    "(CAST(list_sum(list_transform(range(1, 5), j -> " +
+      "CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) " +
+      s"|| '$salt'), CAST(j AS INTEGER), 1)) - 1 AS BIGINT) " +
+      s"<< (4 * (4 - CAST(j AS INTEGER))))) AS BIGINT) % $m)"
+
   /** SQL mirror of [[hostEdges]] as a CTE body. */
   private val edgesCte =
-    """edges AS (
-      |  SELECT src, dst FROM (
-      |    SELECT doc_id % 40 AS src, (doc_id * 2654435761) % 40 AS dst
-      |    FROM documents
-      |    UNION
-      |    SELECT doc_id % 40, (doc_id * 40503 + 7) % 40 FROM documents
-      |  ) AS e WHERE src <> dst)""".stripMargin
+    s"""edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT ${md5ModSql("a", 60)} AS src, ${md5ModSql("b", 60)} AS dst
+       |    FROM documents
+       |    UNION
+       |    SELECT ${md5ModSql("c", 60)}, ${md5ModSql("d", 60)} FROM documents
+       |  ) AS e WHERE src <> dst)""".stripMargin
 
   /** Fixed-point PageRank (4 iterations) over the host graph — the
     * crawl-quality prior. Integer ranks ⇒ bit-exact across engines. */
@@ -127,8 +144,12 @@ object GraphInfra {
       .where(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 10 === 6)
       .select(col("o_orderkey").as("k"), lit("D").as("op"),
         lit(null).cast("double").as("v"))
+    // broadcastChanges=false: this fixture's change set is ~19% of the
+    // base (a bulk backfill, not a trickle) — exactly the regime the
+    // operator's contract routes through the shuffled anti join.
     Merge.applyChanges(base,
-        inserts.unionByName(updates).unionByName(deletes), Seq("k"))
+        inserts.unionByName(updates).unionByName(deletes), Seq("k"),
+        broadcastChanges = false)
       .orderBy("k")
   }
 

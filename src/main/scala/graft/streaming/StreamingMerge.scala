@@ -37,12 +37,19 @@ import graft.operators.Merge
 object StreamingMerge {
 
   /** Last-wins compaction of a raw change batch: one row per key — the
-    * one with the highest `seqCol` (ties broken by preferring the delete
-    * so a same-sequence I+D degenerates deterministically). */
+    * one with the highest `seqCol`. Equal-sequence ties resolve by a
+    * TOTAL deterministic order (delete first, then op, then a hash of
+    * the whole row): a proper CDC feed has unique sequence numbers per
+    * key, but if a producer violates that, the winner must still be the
+    * same row on every run — replay idempotence (the class contract)
+    * dies the moment a tie is left to shuffle order. */
   def compactChanges(raw: DataFrame, keys: Seq[String], opCol: String,
                      seqCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(seqCol).desc, when(col(opCol) === "D", 0).otherwise(1))
+      .orderBy(col(seqCol).desc,
+        when(col(opCol) === "D", 0).otherwise(1),
+        col(opCol),
+        xxhash64(raw.columns.sorted.map(col): _*))
     raw.withColumn("graft_rn", row_number().over(w))
       .where(col("graft_rn") === 1)
       .drop("graft_rn", seqCol)

@@ -128,12 +128,18 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("registered graph queries run and have stable shapes on testdata") {
     val dir = "/root/testdata/sf0.001"
     val pr = graft.queries.GraphInfra.gPagerankHosts(spark, dir).collect()
-    assert(pr.nonEmpty && pr.length <= 40)
+    assert(pr.nonEmpty && pr.length <= 60)
     // total fixed-point mass stays within [teleport floor, Scale]
     val total = pr.map(_.getLong(1)).sum
     assert(total > 0L && total <= Graph.Scale)
+    // the md5-mixed fixture must actually spread rank — a uniform rank
+    // vector means the graph degenerated to a permutation again (the
+    // affine-fixture bug this fixture replaced)
+    assert(pr.map(_.getLong(1)).distinct.length > 1,
+      "PageRank is uniform — host graph is degenerate")
     val tri = graft.queries.GraphInfra.gTriangleCount(spark, dir).collect()
-    assert(tri.head.getLong(0) >= 0L)
+    assert(tri.head.getLong(0) > 0L,
+      "zero triangles — host graph is degenerate")
     val diff = graft.queries.GraphInfra.lSnapshotDiff(spark, dir).collect()
     val statuses = diff.map(_.getString(0)).toSet
     assert(statuses.contains("unchanged") && statuses.subsetOf(
