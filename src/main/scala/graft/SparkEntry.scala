@@ -42,7 +42,7 @@ object SparkEntry {
     "h6_forecast_revenue", "h10_returned_items", "h14_promotion_effect",
     "h18_large_volume_customer", "h4_order_priority",
     "h19_disjunctive_revenue", "l_merge_apply",
-    "h8_market_share", "h13_customer_distribution")
+    "h8_market_share", "h13_customer_distribution", "l_quality_report")
   // d_incremental_dedup is deliberately NOT headline: its id-bounded
   // fixture is constant-size at every SF, so the bench would time ~5.6s
   // of iterative-job scheduling overhead (the CC loop's per-round

@@ -54,12 +54,23 @@ object Graph {
     * Dangling-node mass leaks (no redistribution) — deliberate, so the
     * recurrence stays a pure integer fold both engines agree on.
     */
-  def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
+  def pageRank(edges: DataFrame, iterations: Int,
+               materialize: Boolean = true): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // The K iterations unroll into ONE plan in which the loop-invariant
+    // relations appear at every level — without a lineage cut, the edge
+    // derivation (often a join/parse pipeline upstream) re-executes K
+    // times inside the final job. localCheckpoint materializes each
+    // invariant once and truncates its lineage; blocks are freed by the
+    // ContextCleaner when the result frame is collected and dropped.
+    // `materialize = false` opts out for single-iteration or
+    // plan-inspection uses.
+    def cut(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint() else df
+    val nodes = cut(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     // Scalar cardinality for the teleport term. The node set is the graph
     // dimension (hosts, not documents) — counting it is a tiny aggregate,
     // not a data-sized collect.
@@ -69,8 +80,8 @@ object Graph {
     val teleport = (15L * base) / 100L
     // Fold outdeg into the edge relation once so each iteration joins two
     // relations, not three.
-    val withDeg = e.join(
-      e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+    val withDeg = cut(e.join(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src")))
     var rank = nodes.withColumn("rank", lit(base))
     for (_ <- 1 to iterations) {
       val contribs = withDeg.join(rank, withDeg("src") === rank("node"))

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraints over a table, verified in ONE
+  * aggregation pass — the ingestion-gate primitive (the Deequ shape) a
+  * lake pipeline runs before promoting a snapshot.
+  *
+  * The reference trusts its inputs (`/root/reference/Sequence_Filter.py`
+  * validates per-row and silently drops); at 100 TB you want the
+  * violation COUNTS first — promote/quarantine is a policy decision on
+  * the report, and re-scanning the table once per constraint is the
+  * anti-pattern. Every row-level constraint here compiles to a
+  * conditional-sum expression inside a single `agg(...)`, so checking
+  * ten constraints costs the same one scan as checking one; uniqueness
+  * rides the same pass as `count - count_distinct` (exact, not a
+  * sketch — a promotion gate should not approximate).
+  *
+  * Output is long-form: `(seq, rule, violations, total, passed)` — one
+  * row per constraint, stable order, engine-portable arithmetic
+  * (counts only), so the whole report is DuckDB-oracle-able.
+  */
+object Quality {
+
+  sealed trait Constraint {
+    /** Stable report key. */
+    def label: String
+    /** Violation counter: a column summing to the violation count. */
+    private[Quality] def violations: Column
+  }
+
+  /** Column must be non-null. */
+  final case class NotNull(colName: String) extends Constraint {
+    val label = s"not_null($colName)"
+    private[Quality] def violations =
+      sum(when(col(colName).isNull, 1L).otherwise(0L))
+  }
+
+  /** Column must fall in `[lo, hi]` (nulls are NOT violations here —
+    * compose with [[NotNull]] to forbid them; one concern per row). */
+  final case class InRange(colName: String, lo: Double, hi: Double)
+      extends Constraint {
+    val label = s"in_range($colName,$lo,$hi)"
+    private[Quality] def violations =
+      sum(when(col(colName).isNotNull &&
+        !col(colName).between(lo, hi), 1L).otherwise(0L))
+  }
+
+  /** Column values must come from the allowed set (nulls exempt). */
+  final case class InSet(colName: String, allowed: Seq[String])
+      extends Constraint {
+    val label = s"in_set($colName)"
+    private[Quality] def violations =
+      sum(when(col(colName).isNotNull &&
+        !col(colName).isin(allowed: _*), 1L).otherwise(0L))
+  }
+
+  /** String column must match the (Java/RE2-common subset) regex. */
+  final case class Matches(colName: String, regex: String) extends Constraint {
+    val label = s"matches($colName)"
+    private[Quality] def violations =
+      sum(when(col(colName).isNotNull &&
+        !col(colName).rlike(regex), 1L).otherwise(0L))
+  }
+
+  /** The column tuple must be unique across the table. Violations =
+    * rows beyond the first per duplicated tuple (count − distinct). */
+  final case class Unique(cols: Seq[String]) extends Constraint {
+    val label = s"unique(${cols.mkString(",")})"
+    private[Quality] def violations =
+      (count(lit(1)) - count_distinct(struct(cols.map(col): _*))).cast("long")
+  }
+
+  /** One-pass constraint report. Row order follows the constraint list
+    * (a `seq` ordinal is carried so the order is deterministic under
+    * any engine's sort). */
+  def report(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "no constraints to check")
+    val aggs = count(lit(1)).as("graft_total") +:
+      constraints.zipWithIndex.map { case (c, i) =>
+        c.violations.as(s"graft_v$i") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // long form: array-of-structs + explode (binds Column expressions
+    // directly — `stack` would need SQL-text splicing)
+    val entries = array(constraints.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("seq"), lit(c.label).as("rule"),
+        coalesce(col(s"graft_v$i"), lit(0L)).as("violations"))
+    }: _*)
+    one.select(col("graft_total"), explode(entries).as("e"))
+      .select(col("e.seq").as("seq"), col("e.rule").as("rule"),
+        col("e.violations").as("violations"),
+        col("graft_total").as("total"),
+        (col("e.violations") === 0L).as("passed"))
+      .orderBy("seq")
+  }
+
+  /** Hard gate: throws if any constraint fails, returns `df` untouched
+    * otherwise — the promote-or-abort form. */
+  def enforce(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    val failed = report(df, constraints).filter(!col("passed"))
+      .select("rule", "violations").collect()
+    if (failed.nonEmpty)
+      sys.error("quality gate failed: " + failed.map(r =>
+        s"${r.getString(0)} (${r.getLong(1)} violations)").mkString("; "))
+    df
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Graph, Merge, SnapshotDiff}
+import graft.operators.{Graph, Merge, Quality, SnapshotDiff}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -153,8 +153,23 @@ object GraphInfra {
       .orderBy("k")
   }
 
+  /** One-pass data-quality report over `orders` — six constraints of
+    * five kinds in a single aggregation job, a deliberate MIX of passing
+    * and failing rules (the testdata has 'P' statuses, totalprice
+    * outliers, and heavily duplicated custkeys) so the oracle validates
+    * real violation counts, not a vacuous all-zeros report. */
+  def lQualityReport(s: SparkSession, dir: String): DataFrame =
+    Quality.report(t(s, dir, "orders"), Seq(
+      Quality.NotNull("o_custkey"),
+      Quality.InRange("o_totalprice", 0.0, 300000.0),
+      Quality.InSet("o_orderstatus", Seq("F", "O")),
+      Quality.Matches("o_orderpriority", "^[1-5]-"),
+      Quality.Unique(Seq("o_orderkey")),
+      Quality.Unique(Seq("o_custkey"))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l_merge_apply" -> (lMergeApply _),
+    "l_quality_report" -> (lQualityReport _),
     "g_pagerank_hosts" -> (gPagerankHosts _),
     "g_triangle_count" -> (gTriangleCount _),
     "g_degree_stats" -> (gDegreeStats _),
@@ -162,6 +177,34 @@ object GraphInfra {
   )
 
   val oracle: Map[String, String] = Map(
+    "l_quality_report" ->
+      """WITH a AS (SELECT COUNT(*) AS total,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v0,
+        |  CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+        |    AND o_totalprice NOT BETWEEN 0 AND 300000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v1,
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+        |    AND o_orderstatus NOT IN ('F', 'O') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v2,
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+        |    AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |  COUNT(*) - COUNT(DISTINCT o_orderkey) AS v4,
+        |  COUNT(*) - COUNT(DISTINCT o_custkey) AS v5
+        |  FROM orders)
+        |SELECT seq, rule, violations, total,
+        |  violations = 0 AS passed
+        |FROM (
+        |  SELECT 0 AS seq, 'not_null(o_custkey)' AS rule,
+        |    v0 AS violations, total FROM a
+        |  UNION ALL SELECT 1, 'in_range(o_totalprice,0.0,300000.0)',
+        |    v1, total FROM a
+        |  UNION ALL SELECT 2, 'in_set(o_orderstatus)', v2, total FROM a
+        |  UNION ALL SELECT 3, 'matches(o_orderpriority)', v3, total FROM a
+        |  UNION ALL SELECT 4, 'unique(o_orderkey)', v4, total FROM a
+        |  UNION ALL SELECT 5, 'unique(o_custkey)', v5, total FROM a) r
+        |ORDER BY seq""".stripMargin,
     "l_merge_apply" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_totalprice AS v
