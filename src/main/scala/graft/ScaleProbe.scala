@@ -378,6 +378,32 @@ object ScaleProbe {
     }
     snapOld.unpersist(); snapNew.unpersist()
 
+    timed("merge_cdc_4M_base_400k_changes") { // keyed MERGE at the CDC
+      // trickle ratio (10%): ONE anti join vs the change keys + union;
+      // the 4M-row base never shuffles on a non-key
+      val base = spark.range(4000000).select(col("id").as("k"),
+        (col("id") % 1013L).as("v"))
+      val changes = spark.range(400000).select(
+        (col("id") * 10L).as("k"),
+        when(col("id") % 5 === 0, "D").otherwise("U").as("op"),
+        (col("id") % 7L).as("v"))
+      operators.Merge.applyChanges(base, changes, Seq("k")).count()
+    }
+
+    timed("quality_6_constraints_one_pass") { // six rules, ONE scan of a
+      // 4M-row table — the report cost must not scale with rule count
+      val tbl = spark.range(4000000).select(col("id").as("k"),
+        (col("id") % 97L).cast("double").as("v"),
+        concat(lit("S"), (col("id") % 3L)).as("status"))
+      operators.Quality.report(tbl, Seq(
+        operators.Quality.NotNull("k"),
+        operators.Quality.InRange("v", 0.0, 90.0),
+        operators.Quality.InSet("status", Seq("S0", "S1", "S2")),
+        operators.Quality.Matches("status", "^S"),
+        operators.Quality.Unique(Seq("k")),
+        operators.Quality.Unique(Seq("k", "status")))).count()
+    }
+
     timed("q18_agg_before_join_6M") { // the TPC-H Q18 shape at 100×: the
       // HAVING filter collapses 6M fact rows to a handful of keys BEFORE
       // any join — the anti-pattern (join first) would shuffle all 6M

@@ -82,6 +82,49 @@ object StreamingMerge {
     spark.read.parquet(versionDir(targetDir, latest))
   }
 
+  /** All snapshot versions present, ascending. */
+  def versions(spark: SparkSession, targetDir: String): Seq[Long] = {
+    val path = new Path(targetDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
+        n.drop(1).toLong }
+      .sorted
+  }
+
+  /** Time travel: the snapshot as of an exact stored version. Hard error
+    * on a missing version — silently reading a neighbor would hand the
+    * caller the wrong history. */
+  def snapshotAt(spark: SparkSession, targetDir: String,
+                 version: Long): DataFrame = {
+    require(versions(spark, targetDir).contains(version),
+      s"snapshot version $version not present under $targetDir " +
+        s"(have: ${versions(spark, targetDir).mkString(", ")})")
+    spark.read.parquet(versionDir(targetDir, version))
+  }
+
+  /** Retention: delete all but the newest `keep` versions (at least one
+    * always survives). Returns the versions deleted. Each version is a
+    * FULL snapshot — older versions are pure storage, not lineage — so
+    * retention is a plain recursive delete per pruned directory, safe to
+    * run concurrently with readers of newer versions. */
+  def pruneVersions(spark: SparkSession, targetDir: String,
+                    keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least the latest version")
+    val all = versions(spark, targetDir)
+    val doomed = all.dropRight(keep)
+    val path = new Path(targetDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    doomed.foreach { v =>
+      if (!fs.delete(new Path(versionDir(targetDir, v)), true))
+        sys.error(s"failed to delete snapshot version $v under $targetDir")
+    }
+    doomed
+  }
+
   /** Start the maintenance query over a streaming change feed. `changes`
     * must carry `keys ++ (opCol, seqCol) ++ payload`; the snapshot holds
     * `keys ++ payload`. */

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.VariantCaller
-import graft.operators.{Dedup, Filters, TimeSeries}
+import graft.operators.{Dedup, Filters, Merge, Quality, TimeSeries}
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -441,6 +441,63 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         if inter / sh(a).size >= 0.9 || inter / sh(b).size >= 0.9
       } yield (a, b)).toSet
       assert(got == want, s"seed $seed: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("CDC fold differential: applyChanges over random batches == Map model") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val r = new Random(100 + seed)
+      var model = Map.empty[Long, (String, Double)]
+      var snapshot = Seq.empty[(Long, String, Double)].toDF("k", "name", "v")
+      for (_ <- 0 until 4) {
+        // random compacted batch: one op per key
+        val keys = r.shuffle((0L until 40L).toList).take(10 + r.nextInt(10))
+        val batch = keys.map { k =>
+          val roll = r.nextInt(3)
+          val op = if (roll == 0) "D" else if (roll == 1) "I" else "U"
+          (k, op, s"n${r.nextInt(99)}", r.nextInt(1000).toDouble)
+        }
+        model = batch.foldLeft(model) {
+          case (m, (k, "D", _, _)) => m - k
+          case (m, (k, _, n, v)) => m + (k -> (n, v))
+        }
+        snapshot = Merge.applyChanges(snapshot,
+          batch.toDF("k", "op", "name", "v"), Seq("k"),
+          broadcastChanges = r.nextBoolean())
+        val got = snapshot.collect()
+          .map(x => x.getLong(0) -> (x.getString(1), x.getDouble(2))).toMap
+        assert(got == model, s"seed $seed diverged from the Map model")
+      }
+    }
+  }
+
+  test("quality report differential: violation counts == hand counts (random dirt)") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val r = new Random(200 + seed)
+      val rows = (0 until 300).map { i =>
+        val id: java.lang.Long = if (r.nextInt(10) == 0) null
+          else java.lang.Long.valueOf(r.nextInt(120).toLong)
+        val status = if (r.nextInt(12) == 0) null
+          else Seq("ok", "warn", "junk")(r.nextInt(3))
+        val v = r.nextInt(200).toDouble
+        (id, status, v)
+      }
+      val df = rows.toDF("id", "status", "v")
+      val m = Quality.report(df, Seq(
+          Quality.NotNull("id"),
+          Quality.InRange("v", 10.0, 150.0),
+          Quality.InSet("status", Seq("ok", "warn")),
+          Quality.Unique(Seq("id"))))
+        .collect().map(x => x.getString(1) -> x.getLong(2)).toMap
+      assert(m("not_null(id)") == rows.count(_._1 == null))
+      assert(m("in_range(v,10.0,150.0)") ==
+        rows.count(x => x._3 < 10.0 || x._3 > 150.0))
+      assert(m("in_set(status)") == rows.count(x =>
+        x._2 != null && x._2 == "junk"))
+      val nonNullDistinct = rows.map(_._1).distinct.size
+      assert(m("unique(id)") == rows.size - nonNullDistinct)
     }
   }
 }

@@ -90,6 +90,30 @@ class StreamingMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(afterFirst == Map(1L -> ("a2", 11.0), 2L -> ("b", 20.0)))
   }
 
+  test("time travel reads exact versions; retention keeps the newest N") {
+    import spark.implicits._
+    val dir = "/tmp/graft_stream_merge_travel"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    def write(id: Long, rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("k", "name", "v").write.parquet(f"$dir/v$id%012d")
+    write(0, Seq((1L, "a", 1.0)))
+    write(1, Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    write(2, Seq((2L, "b", 2.0)))
+    assert(StreamingMerge.versions(spark, dir) == Seq(0L, 1L, 2L))
+    assert(StreamingMerge.snapshotAt(spark, dir, 1).count() == 2)
+    intercept[IllegalArgumentException] {
+      StreamingMerge.snapshotAt(spark, dir, 7)
+    }
+    val pruned = StreamingMerge.pruneVersions(spark, dir, keep = 2)
+    assert(pruned == Seq(0L))
+    assert(StreamingMerge.versions(spark, dir) == Seq(1L, 2L))
+    // latest unaffected; prune below 1 refuses
+    assert(StreamingMerge.latestSnapshot(spark, dir).count() == 1)
+    intercept[IllegalArgumentException] {
+      StreamingMerge.pruneVersions(spark, dir, keep = 0)
+    }
+  }
+
   test("compactChanges ties at equal seq prefer the delete deterministically") {
     import spark.implicits._
     val raw = Seq((5L, 9L, "I", "z", 1.0), (5L, 9L, "D", "z", 1.0))
