@@ -57,18 +57,25 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int,
                materialize: Boolean = true): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
     // The K iterations unroll into ONE plan in which the loop-invariant
     // relations appear at every level — without a lineage cut, the edge
     // derivation (often a join/parse pipeline upstream) re-executes K
     // times inside the final job. localCheckpoint materializes each
-    // invariant once and truncates its lineage; blocks are freed by the
-    // ContextCleaner when the result frame is collected and dropped.
-    // `materialize = false` opts out for single-iteration or
-    // plan-inspection uses.
+    // invariant once and truncates its lineage: the EDGE relation first
+    // (so nodes/withDeg below derive from the materialized 16-byte rows,
+    // not the upstream pipeline), then the two derived relations that
+    // each iteration joins. Blocks are freed by the ContextCleaner when
+    // the result frame is dropped. Caveat, deliberate: localCheckpoint
+    // blocks are executor-local and unreplicated — an executor loss
+    // mid-computation fails the job instead of recomputing (rerun it);
+    // that trade buys not re-executing the edge pipeline K times, the
+    // standard iterative-algorithm bargain. `materialize = false` opts
+    // out (single-iteration or plan-inspection uses — the dumped plan
+    // then shows the real scans instead of checkpointed RDDs).
     def cut(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint() else df
+    val e = cut(edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src").isNotNull && col("dst").isNotNull))
     val nodes = cut(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
     // Scalar cardinality for the teleport term. The node set is the graph

@@ -65,11 +65,18 @@ object Quality {
   }
 
   /** The column tuple must be unique across the table. Violations =
-    * rows beyond the first per duplicated tuple (count − distinct). */
+    * rows beyond the first per duplicated tuple, over rows whose key is
+    * FULLY non-null — null keys are exempt (SQL `COUNT(DISTINCT …)`
+    * skips them; compose with [[NotNull]] to forbid them). A
+    * struct-based count would silently count the all-null group as one
+    * distinct value and diverge from every SQL engine's semantics. */
   final case class Unique(cols: Seq[String]) extends Constraint {
     val label = s"unique(${cols.mkString(",")})"
-    private[Quality] def violations =
-      (count(lit(1)) - count_distinct(struct(cols.map(col): _*))).cast("long")
+    private[Quality] def violations = {
+      val nonNull = cols.map(col(_).isNotNull).reduce(_ && _)
+      (sum(when(nonNull, 1L).otherwise(0L)) -
+        count_distinct(col(cols.head), cols.tail.map(col): _*)).cast("long")
+    }
   }
 
   /** One-pass constraint report. Row order follows the constraint list

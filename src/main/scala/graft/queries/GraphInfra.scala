@@ -190,8 +190,10 @@ object GraphInfra {
         |  CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
         |    AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
         |    THEN 1 ELSE 0 END) AS BIGINT) AS v3,
-        |  COUNT(*) - COUNT(DISTINCT o_orderkey) AS v4,
-        |  COUNT(*) - COUNT(DISTINCT o_custkey) AS v5
+        |  CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) - COUNT(DISTINCT o_orderkey) AS v4,
+        |  CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) - COUNT(DISTINCT o_custkey) AS v5
         |  FROM orders)
         |SELECT seq, rule, violations, total,
         |  violations = 0 AS passed

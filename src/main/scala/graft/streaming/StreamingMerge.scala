@@ -61,18 +61,8 @@ object StreamingMerge {
   /** Latest snapshot version strictly below `beforeId` (None ⇒ no
     * predecessor — the batch starts from an empty base). */
   def versionBefore(spark: SparkSession, targetDir: String,
-                    beforeId: Long): Option[Long] = {
-    val path = new Path(targetDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) None
-    else fs.listStatus(path).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
-        n.drop(1).toLong }
-      .filter(_ < beforeId)
-      .maxOption
-  }
+                    beforeId: Long): Option[Long] =
+    versions(spark, targetDir).filter(_ < beforeId).maxOption
 
   /** Current snapshot: the highest version present (empty-schema error if
     * none — callers gate on the query having processed a batch). */
@@ -82,7 +72,8 @@ object StreamingMerge {
     spark.read.parquet(versionDir(targetDir, latest))
   }
 
-  /** All snapshot versions present, ascending. */
+  /** All snapshot versions present, ascending (the single listing/parse
+    * path — everything else derives from it). */
   def versions(spark: SparkSession, targetDir: String): Seq[Long] = {
     val path = new Path(targetDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -90,7 +81,8 @@ object StreamingMerge {
     else fs.listStatus(path).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
+      .collect { case n if n.length > 1 && n.startsWith("v") &&
+          n.drop(1).forall(_.isDigit) =>
         n.drop(1).toLong }
       .sorted
   }
@@ -106,14 +98,20 @@ object StreamingMerge {
     spark.read.parquet(versionDir(targetDir, version))
   }
 
-  /** Retention: delete all but the newest `keep` versions (at least one
-    * always survives). Returns the versions deleted. Each version is a
-    * FULL snapshot — older versions are pure storage, not lineage — so
-    * retention is a plain recursive delete per pruned directory, safe to
-    * run concurrently with readers of newer versions. */
+  /** Retention: delete all but the newest `keep` versions. Returns the
+    * versions deleted. Each version is a FULL snapshot — older versions
+    * are pure storage, not lineage — BUT the crash-replay protocol reads
+    * the version STRICTLY BELOW the replayed batch id, so the latest
+    * version's PREDECESSOR must survive retention: if the newest write's
+    * checkpoint has not committed yet and its predecessor is pruned, the
+    * replay would fall back to an empty base and silently truncate the
+    * snapshot. Hence `keep >= 2` is enforced — the latest version plus
+    * its replay base. With that invariant held, pruning is safe to run
+    * concurrently with both readers and the writer's recovery. */
   def pruneVersions(spark: SparkSession, targetDir: String,
                     keep: Int): Seq[Long] = {
-    require(keep >= 1, "must keep at least the latest version")
+    require(keep >= 2,
+      "must keep the latest version AND its predecessor (the crash-replay base)")
     val all = versions(spark, targetDir)
     val doomed = all.dropRight(keep)
     val path = new Path(targetDir)

@@ -496,8 +496,10 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         rows.count(x => x._3 < 10.0 || x._3 > 150.0))
       assert(m("in_set(status)") == rows.count(x =>
         x._2 != null && x._2 == "junk"))
-      val nonNullDistinct = rows.map(_._1).distinct.size
-      assert(m("unique(id)") == rows.size - nonNullDistinct)
+      // SQL semantics: null keys are exempt from uniqueness (Quality
+      // mirrors COUNT(DISTINCT), which skips nulls)
+      val nonNullIds = rows.map(_._1).filter(_ != null)
+      assert(m("unique(id)") == nonNullIds.size - nonNullIds.distinct.size)
     }
   }
 }

@@ -107,10 +107,11 @@ class StreamingMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pruned = StreamingMerge.pruneVersions(spark, dir, keep = 2)
     assert(pruned == Seq(0L))
     assert(StreamingMerge.versions(spark, dir) == Seq(1L, 2L))
-    // latest unaffected; prune below 1 refuses
+    // latest unaffected; keep=1 refuses — the latest version's
+    // predecessor is the crash-replay base and must survive retention
     assert(StreamingMerge.latestSnapshot(spark, dir).count() == 1)
     intercept[IllegalArgumentException] {
-      StreamingMerge.pruneVersions(spark, dir, keep = 0)
+      StreamingMerge.pruneVersions(spark, dir, keep = 1)
     }
   }
 
