@@ -39,6 +39,19 @@ class HarnessContractSpec extends AnyFunSuite {
     assert(mapper.readTree(line).get("errors").size <= 3)
   }
 
+  test("an oversized headline set degrades to a parseable truncated line") {
+    // 200 fictional queries — far past the tail window even error-free
+    val mins = (1 to 200).map(i => f"q_fictional_query_number_$i%03d" -> 1.2345)
+    val line = Bench.render(mins, 250.0, 3, Nil, "/sf")
+    assert(line.length <= TailWindow - SbtTrailer,
+      s"fallback line still oversized: ${line.length}")
+    val node = mapper.readTree(line)
+    assert(node.get("scope").asText == "headline_truncated")
+    assert(node.get("n_queries").asInt == 200)
+    assert(node.get("value").asDouble > 0.0)
+    assert(node.get("queries").size == 0)
+  }
+
   test("bench details payload is valid JSON with medians, raw reps, calibration") {
     val results = SparkEntry.headline.map(n => n -> Seq(3.0, 1.0, 2.0)).toSeq
     val js = Bench.renderDetails(results, 3, Seq("q" -> "boom \"quoted\""), "/sf",
