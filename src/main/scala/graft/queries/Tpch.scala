@@ -370,7 +370,89 @@ object Tpch {
       .orderBy("n_name")
   }
 
+  /** Q21-SHAPE waiting supplier (adapted: no commit/receipt dates — the
+    * "late" predicate becomes `l_discount > l_tax`, pure available-column
+    * logic). The point is the DOUBLE-CORRELATED quantifier pair on the
+    * SAME fact table, the one join pattern the registry did not yet
+    * exercise: for each late lineitem l1, EXISTS another supplier's
+    * lineitem in the same order (left-SEMI on orderkey with a suppkey
+    * INEQUALITY residual) AND NOT EXISTS another supplier's LATE lineitem
+    * in the same order (left-ANTI, same condition plus the late filter).
+    *
+    * Plan shape (TpchSpec-pinned): both quantifiers compile to shuffled
+    * hash semi/anti joins on l_orderkey carrying `l_suppkey <>` as the
+    * join residual — never a cartesian. The probe side is cut FIRST by
+    * the broadcast nation-filtered supplier dim and the status semi join,
+    * so the expensive pair probes only the surviving sliver. (A
+    * per-order aggregate — distinct-supplier count ≥ 2 ∧ distinct-LATE-
+    * supplier count = 1 — could replace both quantifiers with one
+    * shuffle; the semi+anti form is kept deliberately as the canonical
+    * relational shape, and because the aggregate variant loses the
+    * short-circuit when the order blows past two suppliers early.) */
+  def q21ShapeWaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_discount", "l_tax")
+    val late = li.filter(col("l_discount") > col("l_tax"))
+      .select("l_orderkey", "l_suppkey")
+    val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
+      col("l_suppkey").as("l2_suppkey"))
+    val l3 = late.select(col("l_orderkey").as("l3_orderkey"),
+      col("l_suppkey").as("l3_suppkey"))
+    val fOrders = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val suppNation = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    late
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(l2, col("l_orderkey") === col("l2_orderkey") &&
+        col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("l3_orderkey") &&
+        col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** Q16-SHAPE parts/supplier relationship count (adapted: no partsupp —
+    * lineitem IS the part↔supplier association; no s_comment — negative
+    * account balance stands in for the complaint filter). The pattern
+    * under test: NOT IN (subquery) over a non-nullable key — compiled as
+    * a left-ANTI join, which is only equivalent to NOT IN because
+    * s_suppkey is non-nullable (a NULL in the subquery would make NOT IN
+    * return no rows; the anti join would not) — feeding a
+    * COUNT(DISTINCT) aggregate over a composite group.
+    *
+    * Scale: both the complaint list (handful of suppliers) and the
+    * triple-filtered part dim broadcast; lineitem is probed narrow
+    * (2 columns) and the only shuffle is the distinct-count aggregate on
+    * (p_brand, p_size) — Spark expands count_distinct into a two-level
+    * aggregate with map-side partials, so the key universe never
+    * converges on one node. */
+  def q16ShapeSupplierCount(s: SparkSession, dir: String): DataFrame = {
+    val complaints = t(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val p = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#5" &&
+        !col("p_type").startsWith("PROMO") &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select("p_partkey", "p_brand", "p_size")
+    t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(complaints),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h21_shape_waiting_supplier" -> (q21ShapeWaitingSupplier _),
+    "h16_shape_supplier_count" -> (q16ShapeSupplierCount _),
     "h7_volume_shipping" -> (q7VolumeShipping _),
     "h8_market_share" -> (q8MarketShare _),
     "h13_customer_distribution" -> (q13CustomerDistribution _),
@@ -387,6 +469,32 @@ object Tpch {
     "h18_large_volume_customer" -> (q18LargeVolumeCustomer _))
 
   val oracle: Map[String, String] = Map(
+    "h21_shape_waiting_supplier" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND l1.l_discount > l1.l_tax
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_discount > l3.l_tax)
+        |  AND n_name = 'NATION_3'
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "h16_shape_supplier_count" ->
+      """SELECT p_brand, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
     "h7_volume_shipping" ->
       """SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,

@@ -110,6 +110,35 @@ class TpchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getLong(1) > 0))
   }
 
+  test("Q21-shape: double-correlated quantifiers compile to semi + anti, no cartesian") {
+    val df = queries.Tpch.q21ShapeWaitingSupplier(spark, sf)
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"quantifier degraded to a loop join:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val waits = rows.map(_.getLong(1))
+    assert(waits.sameElements(waits.sortBy(-_)), "not numwait-descending")
+  }
+
+  test("Q16-shape: NOT IN is an anti join; both dims broadcast; distinct-count partials") {
+    val df = queries.Tpch.q16ShapeSupplierCount(spark, sf)
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), s"NOT IN did not become an anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q16-shape:\n$p")
+    // count_distinct must expand to the two-level aggregate (partials
+    // before the shuffle): more than one HashAggregate in the plan
+    assert(p.split("HashAggregate").length > 2,
+      s"distinct count did not expand to partial aggregates:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+
   test("Q18: quantity sum aggregates BEFORE the joins (agg below both joins)") {
     val df = queries.Tpch.q18LargeVolumeCustomer(spark, sf)
     val p = plan(df)
