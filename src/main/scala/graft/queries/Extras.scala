@@ -411,7 +411,28 @@ object Extras {
         max(col("l_quantity")).as("qmax"))
       .orderBy("l_returnflag")
 
+  /** Mergeable log-bucket quantile sketch
+    * ([[graft.operators.Sketches.quantileSketch]]) — the 100 TB
+    * replacement for [[aPercentileFamily]]'s exact per-group sort:
+    * price percentiles per return flag from TWO disjoint "daily
+    * batches" (l_orderkey parity), each reduced once to ≤900·decades
+    * bucket counters, merged by addition, quantiles read off the merged
+    * cumulative histogram. The DuckDB oracle computes the same digit
+    * buckets over the WHOLE table in one pass, so a bit-exact match
+    * proves merge-of-partials == whole AND that the string-digit bucket
+    * function is engine-portable (a float-log bucket would not be). */
+  def aQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val li = t(s, dir, "lineitem")
+    val Seq(b0, b1) = Seq(0, 1).map(p =>
+      Sketches.quantileSketch(li.filter(col("l_orderkey") % 2 === p),
+        Seq(col("l_returnflag")), col("l_extendedprice"), scale = 2))
+    b0.merge(b1).quantiles(Seq(0.5, 0.9, 0.99))
+      .orderBy("l_returnflag", "q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_quantile_sketch" -> (aQuantileSketch _),
     "a_percentile_family" -> (aPercentileFamily _),
     "c_scd2_intervals" -> (cScd2Intervals _),
     "c_session_stats" -> (cSessionStats _),
@@ -471,6 +492,35 @@ object Extras {
         |FROM m ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Digit-string log buckets mirrored op-for-op; q is CAST AS DOUBLE
+    // because a bare 0.9 literal is DECIMAL in DuckDB and decimal-exact
+    // 0.9*N lands on the other side of an integer than IEEE-double
+    // 0.9*N — the rank would differ at exact-multiple group sizes
+    "a_quantile_sketch" ->
+      """WITH v AS (SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS vint
+        |  FROM lineitem),
+        |b AS (SELECT l_returnflag,
+        |    (length(CAST(vint AS VARCHAR)) - 1) * 900
+        |      + CAST(substring(rpad(CAST(vint AS VARCHAR), 3, '0'), 1, 3)
+        |          AS INTEGER) - 100 AS bucket,
+        |    CAST(concat(substring(rpad(CAST(vint AS VARCHAR), 3, '0'), 1, 3),
+        |      repeat('0', length(CAST(vint AS VARCHAR)) - 1))
+        |      AS DECIMAL(38,0)) AS lb,
+        |    COUNT(*) AS cnt
+        |  FROM v WHERE vint >= 0 GROUP BY 1, 2, 3),
+        |c AS (SELECT l_returnflag, bucket, lb, cnt,
+        |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket)
+        |      AS cum,
+        |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS total
+        |  FROM b)
+        |SELECT l_returnflag, q,
+        |  CAST(MIN(lb) AS DOUBLE) / 10000.0 AS quantile_est
+        |FROM c CROSS JOIN
+        |  (SELECT CAST(UNNEST([0.5, 0.9, 0.99]) AS DOUBLE) AS q) qs
+        |WHERE cum >= CEIL(q * total)
+        |GROUP BY l_returnflag, q ORDER BY l_returnflag, q""".stripMargin,
     "a_percentile_family" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS p50,

@@ -96,4 +96,58 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val unseen = wide.estimate(Seq("neverseen").toDF("k"), col("k")).collect()
     assert(unseen.length == 1 && unseen(0).getLong(1) == 0L)
   }
+
+  test("quantile sketch: merge == whole, ≤1% relative error, exact under 1000 units") {
+    import spark.implicits._
+    // two groups with different shapes: a linear ramp and a heavy tail
+    val rows = (1 to 5000).map(i => ("ramp", i * 1.37)) ++
+      (1 to 5000).map(i => ("tail", math.pow(1.002, i) * 3.0))
+    val df = rows.toDF("g", "v")
+
+    val whole = Sketches.quantileSketch(df, Seq(col("g")), col("v"))
+    // arbitrary disjoint split: merged partials must equal the whole,
+    // bucket row for bucket row (addition is the merge — order-free)
+    val (a, b) = rows.splitAt(3791)
+    val merged = Sketches.quantileSketch(a.toDF("g", "v"), Seq(col("g")), col("v"))
+      .merge(Sketches.quantileSketch(b.toDF("g", "v"), Seq(col("g")), col("v")))
+    def bucketMap(s: Sketches.QuantileSketch) = s.buckets.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(bucketMap(merged) == bucketMap(whole),
+      "merged partial sketches must equal the whole sketch exactly")
+
+    // estimates vs the true rank-⌈qN⌉ element: the estimate is the
+    // bucket's lower bound, so est ≤ exact < est·1.01 (m ≥ 100), and
+    // for values under 1000 scaled units buckets are singletons → exact
+    val qs = Seq(0.5, 0.9, 0.99)
+    val est = whole.quantiles(qs).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val byGroup = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for (g <- Seq("ramp", "tail"); q <- qs) {
+      val vs = byGroup(g)
+      val exact = vs(math.ceil(q * vs.size).toInt - 1)
+      val e = est((g, q))
+      assert(e <= exact + 1e-9, s"$g q=$q: estimate $e above true $exact")
+      assert(exact < e * 1.01 + 1e-9,
+        s"$g q=$q: estimate $e more than 1% below true $exact")
+    }
+
+    // sub-1000 scaled units (< 10.00 at scale=2): singleton buckets, so
+    // the estimate IS the exact order statistic
+    val small = (1 to 999).map(i => ("s", i / 100.0)).toDF("g", "v")
+    val smallEst = Sketches.quantileSketch(small, Seq(col("g")), col("v"))
+      .quantiles(Seq(0.5)).collect()(0).getDouble(2)
+    assert(smallEst == 5.00, s"singleton-bucket median should be exact: $smallEst")
+
+    // mismatched fixed-point scales cannot merge
+    intercept[IllegalArgumentException] {
+      whole.merge(Sketches.quantileSketch(df, Seq(col("g")), col("v"), scale = 3))
+    }
+
+    // negative values are outside the domain and excluded at build
+    val signed = Seq(("n", -5.0), ("n", 1.0), ("n", 2.0), ("n", 3.0))
+      .toDF("g", "v")
+    val negTotal = Sketches.quantileSketch(signed, Seq(col("g")), col("v"))
+      .buckets.agg(sum("cnt")).collect()(0).getLong(0)
+    assert(negTotal == 3L, "negative values must not enter the histogram")
+  }
 }
