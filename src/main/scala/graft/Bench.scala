@@ -24,6 +24,16 @@ package graft
   */
 object Bench {
 
+  /** The driver retains only the last ~this many characters of stdout
+    * and parses the JSON line out of that tail. Single source of truth —
+    * HarnessContractSpec derives its bound from these same constants, so
+    * a driver-window change is a one-place edit. */
+  val TailWindow = 2000
+  /** Headroom for sbt's own "[success] Total time: ..." trailer. */
+  val SbtTrailer = 200
+  /** Length budget for the rendered bench line. */
+  val LineBudget: Int = TailWindow - SbtTrailer
+
   /** Fixed CPU-bound spin (single thread, dependent xorshift ops — not
     * eliminable, no allocation): its wall time scales directly with host
     * contention, so a loaded driver host is machine-readable as elevated
@@ -65,7 +75,7 @@ object Bench {
     // line past the driver's ~2000-char tail window and take the whole
     // bench signal down with it. Full messages live in the details file;
     // here we shrink count/length until the line fits.
-    val budget = 1800
+    val budget = LineBudget
     val attempts = Seq((3, 60), (3, 40), (2, 40), (1, 40), (1, 20), (0, 0))
     attempts.iterator.map { case (n, len) =>
       line(obj(errors.take(n).map { case (k, v) => k -> jstr(v.take(len)) }))

@@ -38,7 +38,10 @@ object PlanDump {
     "h6_forecast_revenue" -> "TPC-H Q6 — no join node; date/discount/quantity predicates pushed to the parquet scan",
     "h18_large_volume_customer" -> "TPC-H Q18 — HashAggregate on l_orderkey BELOW both joins: the HAVING filter collapses the fact table before anything widens",
     "h4_order_priority" -> "TPC-H Q4 — EXISTS as a left-semi hash join; the late-shipment non-equi conjunct rides the join condition",
-    "h19_disjunctive_revenue" -> "TPC-H Q19 — equi-conjunct extracted into the hash join, OR-of-ANDs residual as a post-join filter, no nested loop")
+    "h19_disjunctive_revenue" -> "TPC-H Q19 — equi-conjunct extracted into the hash join, OR-of-ANDs residual as a post-join filter, no nested loop",
+    "h21_shape_waiting_supplier" -> "TPC-H Q21 shape — double-correlated EXISTS/NOT-EXISTS as shuffled hash LEFT-SEMI + LEFT-ANTI on l_orderkey with the suppkey inequality as join residual; probe side cut first by the broadcast nation dim",
+    "h16_shape_supplier_count" -> "TPC-H Q16 shape — NOT IN over a non-nullable key as a broadcast LEFT-ANTI, feeding a two-level (partial) count-distinct aggregate",
+    "a_quantile_sketch" -> "mergeable quantile sketch — two batch sketches (≤900·decades bucket rows each) union + re-aggregate; the cumulative window runs over bucket counters, never raw values")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-plan-dump")

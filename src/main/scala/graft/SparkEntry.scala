@@ -42,7 +42,9 @@ object SparkEntry {
     "h6_forecast_revenue", "h10_returned_items", "h14_promotion_effect",
     "h18_large_volume_customer", "h4_order_priority",
     "h19_disjunctive_revenue", "l_merge_apply",
-    "h8_market_share", "h13_customer_distribution", "l_quality_report")
+    "h8_market_share", "h13_customer_distribution", "l_quality_report",
+    "h21_shape_waiting_supplier", "h16_shape_supplier_count",
+    "a_quantile_sketch")
   // d_incremental_dedup is deliberately NOT headline: its id-bounded
   // fixture is constant-size at every SF, so the bench would time ~5.6s
   // of iterative-job scheduling overhead (the CC loop's per-round

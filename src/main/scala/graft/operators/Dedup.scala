@@ -528,6 +528,36 @@ object Dedup {
       .join(minhashSignatures(df, idCol, textCol, shingleK, numHashes, family),
         "id")
 
+  /** Anti join with a Bloom short-circuit for the common no-hit path:
+    * left rows whose `hashKey` misses a Bloom filter built over `right`'s
+    * keys are PROVABLY absent from the right side (no false negatives)
+    * and bypass the join entirely; only the Bloom-hit sliver — true dups
+    * plus ~fpp false positives — pays the exact anti join. Semantically
+    * identical to the plain left-anti by the no-false-negative guarantee
+    * (IncrementalDedupSpec proves keep-decision equality on a dup-laden
+    * fixture).
+    *
+    * The 100 TB shape this exists for: the dedup state is mostly COLD —
+    * years of history a fresh crawl batch almost never hits. The plain
+    * anti join shuffles or probes that whole state every batch; with the
+    * front-filter, the cold state is scanned ONCE to build the bitmap
+    * (an artifact reusable across every batch until the state version
+    * changes — rebuild on append/compaction, not per batch), and the
+    * typical batch row touches no state at all. The bitmap collect is
+    * driver-safe at ANY state size: positions are deduplicated in Spark,
+    * so at most `numBits` ints come back — an oversubscribed bitmap
+    * degrades to pass-everything (correct, just unhelpful), never to a
+    * driver OOM. */
+  def bloomGuardedAntiJoin(left: DataFrame, right: DataFrame,
+      hashKey: String, exactKeys: Seq[String],
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val bits = Bloom.buildBits(right, col(hashKey), numBits, numHashes)
+    val hit = Bloom.mightContain(col(hashKey), bits, numBits, numHashes)
+    left.filter(!hit).unionByName(
+      left.filter(hit)
+        .join(right.select(exactKeys.map(col): _*), exactKeys, "left_anti"))
+  }
+
   /** Maintenance pass over a [[corpusState]]: drop every row whose MinHash
     * signature is byte-identical to a lower-id row's. The dropped rows are
     * REPRESENTATIONALLY redundant — an identical signature occupies exactly
@@ -592,7 +622,8 @@ object Dedup {
   def incrementalDedup(batch: DataFrame, idCol: Column, textCol: Column,
       state: DataFrame, shingleK: Int = 3, numHashes: Int = 24,
       bands: Int = 8, minJaccard: Double = 0.7, maxBucket: Int = 200,
-      family: MinhashFamily = XxMinhash): IncrementalResult = {
+      family: MinhashFamily = XxMinhash,
+      stateBloomBits: Option[Int] = None): IncrementalResult = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     val hashed = batch.select(idCol.as("id"), textCol.as("text"),
@@ -602,9 +633,15 @@ object Dedup {
     val exactKept = hashed
       .withColumn("__keep", min(col("id")).over(Window.partitionBy("h64", "h256")))
       .filter(col("id") === col("__keep")).drop("__keep")
-    // 2. exact vs state
-    val afterExact = exactKept.join(state.select("h64", "h256"),
-      Seq("h64", "h256"), "left_anti")
+    // 2. exact vs state — optionally behind a Bloom front-filter
+    // ([[bloomGuardedAntiJoin]]): when `stateBloomBits` is set, the
+    // common no-hit batch row never joins the (cold, large) state at all
+    val stateKeys = state.select("h64", "h256")
+    val afterExact = stateBloomBits match {
+      case Some(bits) => bloomGuardedAntiJoin(exactKept, stateKeys,
+        "h64", Seq("h64", "h256"), bits)
+      case None => exactKept.join(stateKeys, Seq("h64", "h256"), "left_anti")
+    }
     // 3. near within the batch
     val sigs = minhashSignatures(afterExact, col("id"), col("text"),
       shingleK, numHashes, family)

@@ -72,8 +72,11 @@ object Graph {
     // standard iterative-algorithm bargain. `materialize = false` opts
     // out (single-iteration or plan-inspection uses — the dumped plan
     // then shows the real scans instead of checkpointed RDDs).
+    // eager = false: the cut happens when the FIRST ACTION runs, not at
+    // DataFrame construction — merely building the query (plan dumps,
+    // schema inspection, registry iteration) must not launch Spark jobs.
     def cut(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint() else df
+      if (materialize) df.localCheckpoint(eager = false) else df
     val e = cut(edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src").isNotNull && col("dst").isNotNull))
     val nodes = cut(e.select(col("src").as("node"))

@@ -44,9 +44,20 @@ object Merge {
                    opCol: String = "op",
                    broadcastChanges: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "applyChanges needs at least one key column")
-    val touched = hint(changes.select(keys.map(col): _*), broadcastChanges)
+    // Fail fast on a malformed feed instead of corrupting the snapshot
+    // silently: without this, a NULL op acts as a delete (its key is
+    // anti-joined out, then `=!= "D"` drops the row via three-valued
+    // logic) and any unexpected op string (a lowercase 'd') upserts.
+    // The guard is a per-row expression in the existing pass — no extra
+    // scan, no extra action.
+    val vetted = changes.withColumn(opCol,
+      when(col(opCol).isin("I", "U", "D"), col(opCol)).otherwise(
+        raise_error(concat(lit("applyChanges: invalid op '"),
+          coalesce(col(opCol).cast("string"), lit("NULL")),
+          lit("' — expected I, U, or D")))))
+    val touched = hint(vetted.select(keys.map(col): _*), broadcastChanges)
     val survivors = base.join(touched, keys, "left_anti")
-    val upserts = changes.filter(col(opCol) =!= "D")
+    val upserts = vetted.filter(col(opCol) =!= "D")
       .select(base.columns.map(col): _*)
     survivors.unionByName(upserts)
   }

@@ -92,9 +92,12 @@ object StreamingMerge {
     * caller the wrong history. */
   def snapshotAt(spark: SparkSession, targetDir: String,
                  version: Long): DataFrame = {
-    require(versions(spark, targetDir).contains(version),
+    // list once — each versions() call is a full remote listing on an
+    // object store, and the error message would otherwise list again
+    val have = versions(spark, targetDir)
+    require(have.contains(version),
       s"snapshot version $version not present under $targetDir " +
-        s"(have: ${versions(spark, targetDir).mkString(", ")})")
+        s"(have: ${have.mkString(", ")})")
     spark.read.parquet(versionDir(targetDir, version))
   }
 

@@ -14,8 +14,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class HarnessContractSpec extends AnyFunSuite {
   private val mapper = new ObjectMapper()
-  private val TailWindow = 2000
-  private val SbtTrailer = 200 // headroom for "[success] ..." + newline
+  // single source of truth lives next to the renderer it constrains
+  private val TailWindow = Bench.TailWindow
+  private val SbtTrailer = Bench.SbtTrailer
 
   private def realisticMins: Seq[(String, Double)] =
     SparkEntry.headline.map(n => n -> 1.2345).toSeq

@@ -131,6 +131,47 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.compactState(compacted).count() === nCompact)
   }
 
+  test("bloom front-filter: identical keep-decisions; no-hit rows bypass the state join") {
+    // a batch mixing true state hits (exact + near), a would-be false
+    // positive candidate space (small bitmap), and mostly fresh rows —
+    // the regime the Bloom guard exists for
+    val batch = df(
+      (50L, mkText(50)), (51L, mkText(51)), (52L, mkText(52)), // fresh
+      (53L, mkText(1)),                     // exact dup of state → dropped
+      (54L, mkText(2) + " tail"),           // near dup of state → dropped
+      (55L, mkText(55)), (56L, mkText(55))) // in-batch exact pair → 55
+    val plain = Dedup.incrementalDedup(batch, col("doc_id"), col("text"), state0)
+    val guarded = Dedup.incrementalDedup(batch, col("doc_id"), col("text"),
+      state0, stateBloomBits = Some(1 << 16))
+    assert(keptIds(guarded) === keptIds(plain),
+      "Bloom guard must not change any keep-decision")
+    assert(keptIds(guarded) === Set(50L, 51L, 52L, 55L))
+
+    // the short-circuit is in the PLAN: the guarded exact-vs-state stage
+    // is a union whose first branch filters on the bitmap arithmetic and
+    // contains NO join — no-hit rows never touch the state relation
+    val stage2 = Dedup.bloomGuardedAntiJoin(
+      batch.select(xxhash64(col("text")).as("h64"),
+        sha2(col("text").cast("binary"), 256).as("h256")),
+      state0.select("h64", "h256"), "h64", Seq("h64", "h256"),
+      numBits = 1 << 16)
+    val p = stage2.queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toVector
+    val ui = lines.indexWhere(_.contains("Union"))
+    assert(ui >= 0, s"no union in the guarded plan:\n$p")
+    val ai = lines.indexWhere(_.contains("LeftAnti"), ui)
+    assert(ai > ui, s"no anti join in the guarded plan:\n$p")
+    val bypass = lines.slice(ui + 1, ai).mkString("\n")
+    assert(!bypass.contains("Join"),
+      s"bypass branch must not join the state:\n$bypass")
+
+    // a saturated-beyond-useful bitmap stays CORRECT (degrades to the
+    // plain join's decisions, never drops a fresh row)
+    val tiny = Dedup.incrementalDedup(batch, col("doc_id"), col("text"),
+      state0, stateBloomBits = Some(64))
+    assert(keptIds(tiny) === keptIds(plain))
+  }
+
   test("estimatedJaccard: 1.0 on equal, 0.0 on disjoint, fraction between") {
     import spark.implicits._
     val r = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 9L, 9L))).toDF("a", "b")

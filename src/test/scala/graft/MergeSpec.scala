@@ -45,6 +45,22 @@ class MergeSpec extends AnyFunSuite with BeforeAndAfterAll {
       9L -> ("i", 90.0)))
   }
 
+  test("applyChanges rejects malformed ops instead of corrupting silently") {
+    // NULL op would otherwise act as a delete (anti-joined out, then
+    // dropped by =!= 'D' three-valued logic); lowercase 'd' would upsert
+    for (badOp <- Seq(null.asInstanceOf[String], "d", "X")) {
+      val changes = Seq((2L, badOp, "b2", 21.0)).toDF("k", "op", "name", "v")
+      val e = intercept[Exception] {
+        Merge.applyChanges(base, changes, Seq("k")).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("invalid op")),
+        s"op=$badOp should fail the guard, got: $e")
+    }
+  }
+
   test("applyChanges is idempotent: replaying the same change set is a no-op") {
     val changes = Seq((2L, "U", "b2", 21.0), (3L, "D", "x", 0.0),
       (9L, "I", "i", 90.0)).toDF("k", "op", "name", "v")
