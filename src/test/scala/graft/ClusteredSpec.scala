@@ -79,7 +79,9 @@ class ClusteredSpec extends AnyFunSuite with BeforeAndAfterAll {
     val zdir = "/tmp/clustered_spec_z" // written above
     val q = spark.read.parquet(zdir)
       .filter(col("x") < 100 && col("y") < 100)
-    val n = q.count()
+    // execute this exact queryExecution — count() plans a separate one
+    // whose metrics this scan node would never see
+    val n = q.queryExecution.toRdd.count()
     val scan = q.queryExecution.executedPlan.collect {
       case s: FileSourceScanExec => s
     }.head
@@ -87,6 +89,84 @@ class ClusteredSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n > 0)
     assert(scanned < 40000 / 2,
       s"scan returned $scanned of 40000 rows — footer stats not skipping")
+  }
+
+  test("bench-scale lineitem: z-order serves a two-column band from a fraction of the files a single sort needs") {
+    // The end-to-end proof-of-benefit at sf0.1: the same table written
+    // z-ordered on (l_partkey, l_suppkey) vs range-sorted on l_partkey
+    // alone, probed by a band predicate selective on BOTH columns. The
+    // sorted layout prunes the partkey dimension only — every file's
+    // suppkey interval spans the domain — while the z-order prunes both,
+    // so the servable-file count (footer intervals overlapping the
+    // predicate box, the listing-level skipping measure) must be a
+    // multiple smaller. Scan-level confirmation via numOutputRows: the
+    // pushed band filter skips row groups the same way.
+    val nFiles = 64
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val total = li.count()
+    val Array(pMax, sMax) = li.agg(max("l_partkey"), max("l_suppkey"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long].toDouble).toArray
+    // LONG literals: a double band would cast the bigint column and the
+    // cast blocks parquet predicate pushdown — no row-group skipping
+    val (pBand, sBand) = ((pMax / 4).toLong, (sMax / 4).toLong) // ~1/16 of 2-D space
+
+    val zdir = "/tmp/clustered_spec_li_z"
+    val ldir = "/tmp/clustered_spec_li_sorted"
+    sinks.Clustered.writeZOrdered(li, zdir, Seq("l_partkey", "l_suppkey"),
+      nFiles = nFiles)
+    li.repartitionByRange(nFiles, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(ldir)
+
+    // listing-level measure: files whose footer box overlaps the predicate
+    def servableFiles(dir: String): Int = {
+      val byFile = sinks.Layout
+        .fileColumnStats(spark, dir, Seq("l_partkey", "l_suppkey"))
+        .groupBy(_.file)
+      byFile.count { case (_, ss) =>
+        ss.forall(s => s.column match {
+          case "l_partkey" => s.min < pBand
+          case "l_suppkey" => s.min < sBand
+        })
+      }
+    }
+    val (zFiles, lFiles) = (servableFiles(zdir), servableFiles(ldir))
+    info(s"servable files: z-order $zFiles/$nFiles vs sorted $lFiles/$nFiles")
+    assert(zFiles * 2 <= lFiles,
+      s"z-order must serve the 2-D band from far fewer files: $zFiles vs $lFiles")
+
+    // scan-level measure: rows surviving row-group skipping + pushed filter
+    def scannedRows(dir: String): Long = {
+      val q = spark.read.parquet(dir)
+        .filter(col("l_partkey") < pBand && col("l_suppkey") < sBand)
+      // execute THIS queryExecution (count() would plan a separate one
+      // whose metrics the assertion below would never see)
+      q.queryExecution.toRdd.count()
+      q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+    }
+    val (zRows, lRows) = (scannedRows(zdir), scannedRows(ldir))
+    info(s"scan rows after skipping: z-order $zRows vs sorted $lRows of $total")
+    assert(zRows <= lRows,
+      s"z-order scan must not read more than the sorted scan: $zRows vs $lRows")
+    assert(zRows < total / 4,
+      s"z-order scan read $zRows of $total — no effective skipping")
+
+    // clusteringReport tells the same story from footers alone: the
+    // sorted layout's suppkey overlap depth is ~n_files (no skipping
+    // possible), the z-order's is a small multiple of perfectly disjoint
+    val depth = (dir: String) => sinks.Layout
+      .clusteringReport(spark, dir, Seq("l_partkey", "l_suppkey"))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val (zd, ld) = (depth(zdir), depth(ldir))
+    info(f"overlap depth: z partkey=${zd("l_partkey")}%.1f suppkey=${zd("l_suppkey")}%.1f; " +
+      f"sorted partkey=${ld("l_partkey")}%.1f suppkey=${ld("l_suppkey")}%.1f")
+    assert(ld("l_suppkey") > nFiles * 0.9,
+      "sorted layout must report no suppkey clustering")
+    assert(zd("l_suppkey") < nFiles * 0.5,
+      "z-order must report real suppkey clustering")
   }
 
   test("null and constant clustering columns don't break the curve") {
