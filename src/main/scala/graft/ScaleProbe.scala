@@ -237,6 +237,58 @@ object ScaleProbe {
       Similarity.ivfPqTopK(ivfPqEnc, queries, k = 10, semCentroids, pqCb,
         nProbe = 4).count()
     }
+
+    // ---- round-10 additions: on-disk index probe pruning, JPEG decode ----
+
+    val ivfIdxDir = "/tmp/graft_scale_ivfpq_index"
+    timed("ivfpq_index_write_partitioned") { // one directory per inverted
+      // list; the quantizers ride under _quantizers (skipped by readers)
+      Similarity.writeIvfPqIndex(ivfPqEnc, semCentroids, pqCb, ivfIdxDir)
+      nDocs.toLong
+    }
+    val ivfIdx = Similarity.readIvfPqIndex(spark, ivfIdxDir)
+    val probedL = Similarity.probedLists(queries, ivfIdx.centroids, nProbe = 4)
+    timed("ivfpq_ondisk_pruned_search_16q") { // probedLists → isin filter →
+      // static partition pruning at the LISTING: only the probed lists'
+      // directories are ever opened, per-query I/O ∝ nProbe/k of the index
+      Similarity.ivfPqTopK(
+        ivfIdx.data.filter(col("ivf_list").isin(probedL: _*)),
+        queries, k = 10, ivfIdx.centroids, ivfIdx.codebooks,
+        nProbe = 4).count()
+    }
+    locally { // measured pruning ratio: files under probed list dirs vs
+      // all — for the 16-query BATCH (whose probed union approaches the
+      // list universe as queries diversify) and for ONE query (the
+      // serving-path number: nProbe/k of the directories)
+      def dataFiles(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) {
+          if (f.getName.startsWith("_")) Seq.empty
+          else f.listFiles().toSeq.flatMap(dataFiles)
+        } else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      val all = dataFiles(new java.io.File(ivfIdxDir))
+      def opened(lists: Seq[Int]): Int = {
+        val dirs = lists.map(l => s"ivf_list=$l").toSet
+        all.count(f => dirs.contains(f.getParentFile.getName))
+      }
+      val one = Similarity.probedLists(queries.limit(1), ivfIdx.centroids,
+        nProbe = 4)
+      println(s"""{"stage":"ivfpq_probe_pruning_files","rows":${opened(probedL).toLong},"sec":0.00,"total_files":${all.size},"one_query_files":${opened(one)},"batch_lists":${probedL.size},"one_query_lists":${one.size}}""")
+    }
+
+    val jpegs = spark.range(nDocs.toLong).map { i =>
+      (i, Multimodal.encodeJpeg(24, 24, (x, y) => {
+        val v = ((x * 31 + y * 17 + i * 7) % 256).toInt
+        (v << 16) | (v << 8) | v
+      }))
+    }.toDF("id", "payload").cache()
+    timed("jpeg_encode_materialize") { jpegs.count() }
+    timed("jpeg_decode_dhash_full") { // ImageIO decode → 9×8 gray
+      // downsample → 64-bit dHash per row, narrow mapPartitions: the
+      // multimodal decode path at corpus scale (24×24 thumbs — the cost
+      // is per-row decoder overhead, the thumbnail-pass regime)
+      Multimodal.imageDHashes(jpegs, col("id"), col("payload")).count()
+    }
+    jpegs.unpersist()
     timed("containment_tail_twins") { // rare-shingle candidates + exact
       // posting-join tail; the corpus's tail-append twins sit at
       // containment ≈ 1 and must all surface

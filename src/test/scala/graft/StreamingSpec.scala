@@ -343,6 +343,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming quantile-sketch partials: per-batch appends == whole-corpus sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the summary-table pattern the sketch's mergeability exists for: each
+    // micro-batch reduces to its own bucket partials, appended to a
+    // summary table; quantiles are answered from a re-aggregation of the
+    // partials — history is never rescanned, and the result must equal
+    // the sketch built from the whole corpus in one pass
+    val dir = "/tmp/graft_stream_qsketch"
+    val f = new java.io.File(dir)
+    if (f.exists()) java.nio.file.Files.walk(f.toPath)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    val batch1 = (1 to 700).map(i => ("a", i * 1.13)) ++
+      (1 to 300).map(i => ("b", i * 7.7))
+    val batch2 = (701 to 1000).map(i => ("a", i * 1.13)) ++
+      (301 to 900).map(i => ("b", i * 7.7))
+    val input = MemoryStream[(String, Double)]
+    val q = input.toDF().toDF("g", "v").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Sketches
+          .quantileSketch(df, Seq(col("g")), col("v")).buckets
+          .write.mode("append").parquet(dir)
+      }
+      .start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val fromPartials = graft.operators.Sketches.QuantileSketch(
+      spark.read.parquet(dir).groupBy("g", "bucket", "lb")
+        .agg(sum("cnt").as("cnt")),
+      scale = 2, groupCols = Seq("g"))
+    val whole = graft.operators.Sketches.quantileSketch(
+      (batch1 ++ batch2).toDF("g", "v"), Seq(col("g")), col("v"))
+    def bm(s: graft.operators.Sketches.QuantileSketch) = s.buckets.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(bm(fromPartials) == bm(whole),
+      "appended per-batch partials must re-aggregate to the whole sketch")
+    def qs(s: graft.operators.Sketches.QuantileSketch) =
+      s.quantiles(Seq(0.5, 0.9, 0.99)).collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(qs(fromPartials) == qs(whole))
+  }
+
   test("batch sessionize: gaps split sessions exactly at the timeout") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
