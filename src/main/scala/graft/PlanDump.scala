@@ -41,7 +41,11 @@ object PlanDump {
     "h19_disjunctive_revenue" -> "TPC-H Q19 — equi-conjunct extracted into the hash join, OR-of-ANDs residual as a post-join filter, no nested loop",
     "h21_shape_waiting_supplier" -> "TPC-H Q21 shape — double-correlated EXISTS/NOT-EXISTS as shuffled hash LEFT-SEMI + LEFT-ANTI on l_orderkey with the suppkey inequality as join residual; probe side cut first by the broadcast nation dim",
     "h16_shape_supplier_count" -> "TPC-H Q16 shape — NOT IN over a non-nullable key as a broadcast LEFT-ANTI, feeding a two-level (partial) count-distinct aggregate",
-    "a_quantile_sketch" -> "mergeable quantile sketch — two batch sketches (≤900·decades bucket rows each) union + re-aggregate; the cumulative window runs over bucket counters, never raw values")
+    "a_quantile_sketch" -> "mergeable quantile sketch — two batch sketches (≤900·decades bucket rows each) union + re-aggregate; the cumulative window runs over bucket counters, never raw values",
+    "h2_shape_min_cost_supplier" -> "TPC-H Q2 shape — correlated scalar MIN decorrelated to a per-part aggregate equi-joined back on (partkey, exact-decimal cost); region supplier dim broadcast; one lineitem-sized shuffle (the catalog aggregate)",
+    "h11_shape_important_stock" -> "TPC-H Q11 shape — global-threshold HAVING as a 1-row broadcast nested-loop filter join over exact BIGINT cents; the per-part aggregate is the only real shuffle",
+    "h20_shape_concentrated_supplier" -> "TPC-H Q20 shape — aggregate-vs-correlated-aggregate decorrelated to two pair-grained aggregates equi-joined on the pair key, feeding a LEFT-SEMI into the broadcast-nation supplier dim",
+    "d_duplicate_spans" -> "substring-span dedup — shingle-hash frequency count (md5 keys, map-side partials) + semi join back + per-document gaps-and-islands window; no global sort, text never shuffles")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */

@@ -21,22 +21,20 @@ object SparkEntry {
     * composite demos whose cost is job-scheduling overhead at bench SF. */
   val headline: Seq[String] = Seq(
     "a1_sum_by_flag_status", "j1_orders_customer_segment",
-    "j3_broadcast_star_join", "j6_size_band_when_chain", "j6_range_join_exec",
-    "j9_semi_topk_filter", "o4_topk_parts", "w1_top3_per_nation",
+    "j3_broadcast_star_join", "j6_range_join_exec",
+    "j9_semi_topk_filter", "w1_top3_per_nation",
     "w3_share_normalization", "a5_dense_weekly", "a6_rollup_worldwide",
-    "a8_first_order_per_customer", "a11_combo_frequencies",
+    "a11_combo_frequencies",
     "a14_histogram_quantity", "a2_exact_dedup_docs", "a9_pivot_by_flag",
     "a10_explode_positions", "skew_salted_agg",
     "t_token_stats", "t_bpe_encode", "t_langid_confusion", "t_bm25_top5",
-    "t_fingerprint_md5",
-    "t_repetition_stats", "t_pii_redaction", "t_chunking", "t_hash_split",
+    "t_repetition_stats", "t_pii_redaction", "t_hash_split",
     "t_decontaminate", "t_fuzzy_decontaminate", "t_lm_transitions",
-    "t_mixture_sample",
     "t_boilerplate_lines", "a_exact_moments",
     "j_bloom_prefilter_join",
-    "d_minhash_neardups", "s_ann_brute_top5", "s_ann_lsh_top3",
+    "d_minhash_neardups", "s_ann_brute_top5",
     "s_ann_ivfpq_top3",
-    "m_binary_meta", "c7_weekly_counts", "j_asof_prior_view",
+    "j_asof_prior_view",
     "c_session_stats", "g_pagerank_hosts", "l_snapshot_diff",
     "h3_shipping_priority", "h5_local_supplier_volume",
     "h6_forecast_revenue", "h10_returned_items", "h14_promotion_effect",
@@ -44,7 +42,20 @@ object SparkEntry {
     "h19_disjunctive_revenue", "l_merge_apply",
     "h8_market_share", "h13_customer_distribution", "l_quality_report",
     "h21_shape_waiting_supplier", "h16_shape_supplier_count",
-    "a_quantile_sketch")
+    "a_quantile_sketch",
+    "h2_shape_min_cost_supplier", "h11_shape_important_stock",
+    "h20_shape_concentrated_supplier", "d_duplicate_spans")
+  // Trimmed from headline in round 10 so the stdout line keeps its
+  // per-query map inside the driver's ~1800-char tail (63 names would
+  // overflow into the truncated fallback): j6_size_band_when_chain
+  // (j6_range_join_exec times the same semantics via the Catalyst
+  // extension), c7_weekly_counts (a5_dense_weekly), o4_topk_parts /
+  // a8_first_order_per_customer (w1 covers top-k-per-group),
+  // s_ann_lsh_top3 (bracketed by brute + ivfpq), t_fingerprint_md5
+  // (a2 family), t_chunking / t_mixture_sample (scan-speed column ops),
+  // m_binary_meta (metadata-only). All remain in Verify's correctness
+  // gate; every r9-flagged regression query stays headline for
+  // round-over-round tracking. HarnessContractSpec enforces the budget.
   // d_incremental_dedup is deliberately NOT headline: its id-bounded
   // fixture is constant-size at every SF, so the bench would time ~5.6s
   // of iterative-job scheduling overhead (the CC loop's per-round

@@ -760,4 +760,56 @@ object Dedup {
       .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= minContainment)
       .select("id_a", "id_b", "inter", "n_a", "n_b", "c_a_in_b", "c_b_in_a")
   }
+
+  // ------------------------------------------------- duplicated substrings
+
+  /** Maximal duplicated token-span detection — the SUBSTRING-level
+    * complement of document near-dup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022: repeated spans past a
+    * length threshold are memorization fuel even when the containing
+    * documents differ). That paper builds one corpus-wide suffix array —
+    * which needs the corpus in a single address space; this is the
+    * distributed equivalent over fixed-width shingles: a token span of
+    * length ≥ minShingles + w − 1 repeated anywhere in the corpus is
+    * exactly a run of ≥ minShingles consecutive w-shingles whose corpus
+    * frequency is ≥ 2, so detection reduces to (1) a shingle frequency
+    * count and (2) per-document gaps-and-islands over duplicated
+    * positions. (Granularity is w tokens: spans are maximal to within
+    * one shingle, the standard trade for distributing the problem.)
+    * This is the span-LOCALIZATION step that
+    * [[TextAnalysis.duplicateWindows]] (hash + counts only) points to
+    * with "join back on the hash to locate spans".
+    *
+    * Scale: the corpus-wide shuffle keys are md5 digests (hex, for
+    * engine-portable oracling — swap [[md5Hash60]]'s xxhash64 in when
+    * portability is not needed) with map-side partial counts; the
+    * islands window partitions BY DOCUMENT, so no global sort exists.
+    * Shuffled rows are (id, pos, hash) — never text.
+    *
+    * Output: one maximal duplicated span per row — (id, span_start,
+    * span_end, n_shingles) in 0-based token coordinates; span length in
+    * tokens = span_end − span_start + 1 = n_shingles + w − 1. */
+  def duplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
+      w: Int = 5, minShingles: Int = 3): DataFrame = {
+    require(w >= 1 && minShingles >= 1, "w and minShingles must be >= 1")
+    val tk = filter(split(lower(textCol), "\\s+"), x => x =!= lit(""))
+    val toks = df.select(idCol.as("id"), tk.as("tk"))
+    val shingleArr = when(size(col("tk")) < w,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col("tk")) - w),
+        i => md5(array_join(slice(col("tk"), i + lit(1), lit(w)), " "))))
+    val sh = toks.select(col("id"),
+      posexplode(shingleArr).as(Seq("pos", "h")))
+    val dup = sh.groupBy("h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("h")
+    val hits = sh.join(dup, Seq("h"), "left_semi")
+    val rn = row_number().over(Window.partitionBy("id").orderBy("pos"))
+    hits.withColumn("__grp", col("pos") - rn)
+      .groupBy("id", "__grp")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(w - 1)).as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .filter(col("n_shingles") >= minShingles)
+      .select("id", "span_start", "span_end", "n_shingles")
+  }
 }

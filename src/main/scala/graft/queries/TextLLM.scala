@@ -543,6 +543,18 @@ object TextLLM {
       .orderBy("id_a", "id_b")
   }
 
+  /** Maximal duplicated token spans across the whole corpus
+    * ([[Dedup.duplicateSpans]]): runs of ≥ 3 consecutive duplicated
+    * 5-shingles, reported in token coordinates. The distributed stand-in
+    * for suffix-array substring dedup — the oracle recomputes shingle
+    * frequencies and the gaps-and-islands grouping in full SQL. */
+  def dDuplicateSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(docs(s, dir), col("doc_id"), col("text"),
+        w = 5, minShingles = 3)
+      .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+        col("n_shingles"))
+      .orderBy("doc_id", "span_start")
+
   /** Exact 3-word-shingle Jaccard over a fixed bounded candidate set
     * (docs < 30 plus their injected near-dup twins) — the verification
     * tail of [[Dedup.minhashNearDups]], DuckDB-checked end to end. */
@@ -999,6 +1011,7 @@ object TextLLM {
     "t_rolling_fingerprint" -> (tRollingFingerprint _),
     "d_shingle_jaccard_twin" -> (dShingleJaccardTwin _),
     "d_containment_pairs" -> (dContainmentPairs _),
+    "d_duplicate_spans" -> (dDuplicateSpans _),
     "t_repetition_stats" -> (tRepetitionStats _),
     "t_pii_redaction" -> (tPiiRedaction _),
     "t_chunking" -> (tChunking _),
@@ -1392,6 +1405,29 @@ object TextLLM {
         |WHERE greatest(CAST(inter AS DOUBLE) / n_a,
         |    CAST(inter AS DOUBLE) / n_b) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    // Duplicate-span mirror: full recompute — tokenize, hash every
+    // 5-shingle, count corpus frequencies, then the same gaps-and-islands
+    // (pos − row_number) grouping per document.
+    "d_duplicate_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+        |    md5(array_to_string(tk[u.i + 1 : u.i + 5], ' ')) AS h
+        |  FROM toks, UNNEST(range(0, greatest(len(tk) - 4, 0))) AS u(i)),
+        |dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+        |hits AS (
+        |  SELECT doc_id, pos,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |  FROM sh WHERE h IN (SELECT h FROM dup))
+        |SELECT doc_id, MIN(pos) AS span_start,
+        |  MAX(pos) + 4 AS span_end, COUNT(*) AS n_shingles
+        |FROM hits GROUP BY doc_id, pos - rn
+        |HAVING COUNT(*) >= 3
+        |ORDER BY doc_id, span_start""".stripMargin,
     "d_shingle_jaccard_twin" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents

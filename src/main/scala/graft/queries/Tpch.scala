@@ -450,7 +450,150 @@ object Tpch {
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
   }
 
+  /** Q2-SHAPE minimum-cost supplier (adapted: no partsupp — the
+    * part↔supplier catalog is DERIVED from lineitem, with
+    * MIN(l_extendedprice) per (part, supplier) standing in for
+    * ps_supplycost). The pattern under test is TPC-H's only CORRELATED
+    * SCALAR subquery inside a join predicate: keep a catalog row only
+    * if its cost equals (SELECT MIN(cost) over the same REGION's
+    * suppliers for THIS part).
+    *
+    * Spark-first decorrelation: the scalar subquery becomes a per-part
+    * MIN over the region-restricted catalog, equi-joined back on
+    * (partkey, cost) — the groupBy-join-back Catalyst itself produces
+    * when it decorrelates a scalar aggregate. The cost is exact
+    * DECIMAL(18,2), so the equality join is bit-safe (never join on a
+    * computed float).
+    *
+    * Scale: the only lineitem-sized shuffle is the catalog aggregate on
+    * (partkey, suppkey) — map-side partials collapse it to |catalog|
+    * before the exchange. The region supplier dim broadcasts; the
+    * per-part minima relation is |parts|-sized and joins on partkey
+    * (AQE is free to broadcast it at low SF). */
+  def q2ShapeMinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val catalog = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(dec("l_extendedprice")).as("supplycost"))
+    val regionSupp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")
+              .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val sized = t(s, dir, "part")
+      .filter(col("p_size") === 23).select("p_partkey")
+    val regional = catalog
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+    val minc = regional.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("supplycost")).as("min_cost"))
+    regional
+      .join(broadcast(sized), col("l_partkey") === col("p_partkey"))
+      .join(minc, col("l_partkey") === col("m_partkey") &&
+        col("supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"),
+        col("supplycost").cast("double").as("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q11-SHAPE important stock (adapted: no partsupp — per-part "stock
+    * value" is SUM(extendedprice × quantity) over ONE nation's
+    * suppliers' lineitems). The pattern under test: HAVING against an
+    * UNCORRELATED scalar subquery — a group survives only if its value
+    * exceeds a fixed fraction of the whole filtered table's total.
+    * TPC-H's only global-threshold aggregate; not expressible as a
+    * window without materializing every group twice.
+    *
+    * Value is EXACT INTEGER money: cents = round(price×100) as BIGINT,
+    * times the integral quantity — so the threshold comparison
+    * `value × 10000 > total` is exact 64-bit arithmetic in both
+    * engines (no decimal-width or float-division divergence; round()
+    * is half-away-from-zero on positives in both).
+    *
+    * Scale: one shuffle (the per-part aggregate, map-side partials);
+    * the scalar total is a 1-row aggregate broadcast into a
+    * nested-loop filter join — the canonical way to compare every
+    * group against a global without collecting either side. */
+  def q11ShapeImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val flat = t(s, dir, "lineitem")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          col("l_quantity").cast("long")).as("v"))
+    val perPart = flat.groupBy("l_partkey")
+      .agg(sum(col("v")).as("stock_value"))
+    val total = flat.agg(sum(col("v")).as("grand_total"))
+    perPart.join(broadcast(total),
+        col("stock_value") * lit(10000L) > col("grand_total"))
+      .select(col("l_partkey"), col("stock_value"))
+      .orderBy(col("stock_value").desc, col("l_partkey"))
+  }
+
+  /** Q20-SHAPE concentrated recent supplier (adapted: no partsupp /
+    * availqty — the outer attribute is the pair's quantity shipped in
+    * 1997, and the correlated aggregate is the pair's ALL-TIME shipped
+    * quantity; "availqty > ½ recent shipments" becomes "1997 shipments
+    * are more than ½ of all-time shipments"). The pattern under test is
+    * Q20's TRIPLE NESTING: a semi join (s_suppkey IN …) whose subquery
+    * itself compares an aggregate against a CORRELATED aggregate over a
+    * second lineitem scan — aggregate-vs-correlated-aggregate, the one
+    * subquery composition Q2/Q11/Q16/Q21 shapes don't cover.
+    *
+    * The fraction is chosen time-relative, not corpus-relative, so the
+    * query stays non-degenerate at EVERY scale factor (a dominance
+    * share like Q20's original availqty ratio thins to zero as rows per
+    * pair grow; a temporal share does not). Quantities are integral
+    * doubles — sums and the ×2 comparison are exact.
+    *
+    * Scale: two pair-grained aggregates over lineitem (both collapse
+    * map-side), equi-joined on the pair key — the decorrelated form of
+    * the inner scalar. The recent side carries its date filter and the
+    * broadcast part-name dim to the scan; suppliers see only a
+    * broadcast-sized distinct-suppkey semi side. */
+  def q20ShapeConcentratedSupplier(s: SparkSession, dir: String): DataFrame = {
+    val smallParts = t(s, dir, "part")
+      .filter(col("p_name").startsWith("small")).select("p_partkey")
+    val li = t(s, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    val recent = li
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity")).as("recent_qty"))
+    val allTime = li
+      .groupBy(col("l_partkey").as("a_partkey"),
+        col("l_suppkey").as("a_suppkey"))
+      .agg(sum(col("l_quantity")).as("all_qty"))
+    val concentrated = recent
+      .join(allTime, col("l_partkey") === col("a_partkey") &&
+        col("l_suppkey") === col("a_suppkey"))
+      .filter(col("recent_qty") * 2 > col("all_qty"))
+      .select("l_suppkey")
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name").isin("NATION_3", "NATION_8", "NATION_15"))
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(concentrated, col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy("s_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h2_shape_min_cost_supplier" -> (q2ShapeMinCostSupplier _),
+    "h11_shape_important_stock" -> (q11ShapeImportantStock _),
+    "h20_shape_concentrated_supplier" -> (q20ShapeConcentratedSupplier _),
     "h21_shape_waiting_supplier" -> (q21ShapeWaitingSupplier _),
     "h16_shape_supplier_count" -> (q16ShapeSupplierCount _),
     "h7_volume_shipping" -> (q7VolumeShipping _),
@@ -469,6 +612,59 @@ object Tpch {
     "h18_large_volume_customer" -> (q18LargeVolumeCustomer _))
 
   val oracle: Map[String, String] = Map(
+    "h2_shape_min_cost_supplier" ->
+      """WITH catalog AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey,
+        |  CAST(supplycost AS DOUBLE) AS supplycost
+        |FROM catalog c
+        |JOIN supplier ON c.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN part ON c.l_partkey = p_partkey
+        |WHERE r_name = 'EUROPE' AND p_size = 23
+        |  AND supplycost = (
+        |    SELECT MIN(c2.supplycost)
+        |    FROM catalog c2
+        |    JOIN supplier s2 ON c2.l_suppkey = s2.s_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE r2.r_name = 'EUROPE' AND c2.l_partkey = c.l_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "h11_shape_important_stock" ->
+      """WITH flat AS (
+        |  SELECT l_partkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3')
+        |SELECT l_partkey, SUM(v) AS stock_value
+        |FROM flat GROUP BY l_partkey
+        |HAVING SUM(v) * 10000 > (SELECT SUM(v) FROM flat)
+        |ORDER BY stock_value DESC, l_partkey""".stripMargin,
+    "h20_shape_concentrated_supplier" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_15')
+        |  AND s_suppkey IN (
+        |    SELECT pq.l_suppkey FROM (
+        |      SELECT l_partkey, l_suppkey,
+        |        SUM(l_quantity) AS recent_qty
+        |      FROM lineitem JOIN part ON l_partkey = p_partkey
+        |      WHERE p_name LIKE 'small%'
+        |        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |      GROUP BY 1, 2) pq
+        |    WHERE pq.recent_qty * 2 > (
+        |      SELECT SUM(l2.l_quantity) FROM lineitem l2
+        |      WHERE l2.l_partkey = pq.l_partkey
+        |        AND l2.l_suppkey = pq.l_suppkey))
+        |ORDER BY s_name""".stripMargin,
     "h21_shape_waiting_supplier" ->
       """SELECT s_name, COUNT(*) AS numwait
         |FROM lineitem l1

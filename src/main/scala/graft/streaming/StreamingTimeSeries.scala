@@ -168,6 +168,46 @@ object StreamingTimeSeries {
           .dropDuplicates(groupCol, "batch_id").drop("batch_id")),
         Seq(groupCol)))
 
+  /** Streaming quantile maintenance — the ingestion face of
+    * [[graft.operators.Sketches.quantileSketch]]: each micro-batch
+    * reduces to at most `groups × 900 × decades` bucket-counter rows
+    * appended to the summary table; raw values never accumulate
+    * anywhere. Bucket-counter addition is associative and commutative,
+    * so batch boundaries and arrival order cannot change the merged
+    * histogram — but unlike HLL union it is NOT idempotent, so
+    * [[mergedQuantiles]] applies the same replay guard as the moment
+    * sink: one row per (group, bucket, batch_id) before summing. */
+  def startQuantileSketchQuery(events: DataFrame, groupCol: String,
+      valueCol: String, targetDir: String, checkpointDir: String,
+      scale: Int = 2) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Sketches
+          .quantileSketch(batch.toDF(), Seq(col(groupCol)), col(valueCol),
+            scale)
+          .buckets
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(targetDir)
+      }
+      .start()
+
+  /** Whole-stream quantile estimates from the bucket partials stored by
+    * [[startQuantileSketchQuery]] — per-bucket addition across batches,
+    * then the sketch's cumulative-count readout. Equals the batch sketch
+    * of the union (StreamingSpec pins the equality). */
+  def mergedQuantiles(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String, qs: Seq[Double],
+      scale: Int = 2): DataFrame = {
+    val merged = spark.read.parquet(targetDir)
+      .dropDuplicates(groupCol, "bucket", "batch_id").drop("batch_id")
+      .groupBy(col(groupCol), col("bucket"), col("lb"))
+      .agg(sum(col("cnt")).as("cnt"))
+    graft.operators.Sketches.QuantileSketch(merged, scale, Seq(groupCol))
+      .quantiles(qs)
+  }
+
   /** Streaming exact dedup — the ingestion-time face of the batch dedup
     * block: arriving documents are keyed by (xxhash64, sha2) of their
     * content and deduplicated statefully; the event-time watermark bounds

@@ -489,6 +489,35 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sorted.toSeq == Seq((1L, 3L), (2L, 2L)))
   }
 
+  test("duplicateSpans merges consecutive duplicated shingles into maximal spans") {
+    // docs 1 and 2 share an 8-token run; with w=3 that is 6 consecutive
+    // duplicated shingles → ONE maximal span each, in token coordinates.
+    val run = (1 to 8).map(i => s"s$i").mkString(" ")
+    val df = docsDf(
+      (1L, s"a1 a2 $run a3"),      // run at token positions 2..9
+      (2L, s"$run b1 b2 b3"),      // run at token positions 0..7
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8"))  // unique — no spans
+    val got = Dedup.duplicateSpans(df, col("doc_id"), col("text"),
+        w = 3, minShingles = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2, 9, 6L), (2L, 0, 7, 6L)),
+      s"expected one maximal span per sharing doc, got ${got.toSeq}")
+    // below-threshold runs are dropped: with minShingles=7 nothing survives
+    assert(Dedup.duplicateSpans(df, col("doc_id"), col("text"),
+      w = 3, minShingles = 7).count() == 0)
+    // a gap splits the island: doc 5 repeats doc 4's prefix AND suffix
+    // but not the middle → two spans for each doc
+    val df2 = docsDf(
+      (4L, "p1 p2 p3 p4 mid1 mid2 q1 q2 q3 q4"),
+      (5L, "p1 p2 p3 p4 other1 other2 q1 q2 q3 q4"))
+    val spans2 = Dedup.duplicateSpans(df2, col("doc_id"), col("text"),
+        w = 3, minShingles = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spans2.length == 4, s"expected 2 spans × 2 docs, got ${spans2.toSeq}")
+    assert(spans2.count(_._2 == 0) == 2, "both prefixes start at token 0")
+  }
+
   test("hashSplit: deterministic, exhaustive, proportional to weights") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -233,6 +233,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming quantile sketch: merged batches == one-shot batch sketch; replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("qsketch_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("qsketch_ckpt").toString
+    val rng = new scala.util.Random(47)
+    // values spanning several decades so bucket layout is exercised
+    val all = (0 until 900).map(i =>
+      (s"g${i % 3}", math.abs(rng.nextLong() % 500000L).toDouble / 100.0))
+    val input = MemoryStream[(String, Double)]
+    val qs = Seq(0.5, 0.9, 0.99)
+    val q = StreamingTimeSeries.startQuantileSketchQuery(
+      input.toDF().toDF("g", "v"), "g", "v", s"$dir/data", ckpt)
+    try {
+      input.addData(all.take(250): _*); q.processAllAvailable()
+      input.addData(all.slice(250, 600): _*); q.processAllAvailable()
+      input.addData(all.drop(600): _*); q.processAllAvailable()
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect()
+          .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      val streamed = toMap(
+        StreamingTimeSeries.mergedQuantiles(spark, s"$dir/data", "g", qs))
+      val batch = toMap(graft.operators.Sketches
+        .quantileSketch(all.toDF("g", "v"), Seq(col("g")), col("v"))
+        .quantiles(qs))
+      assert(streamed == batch,
+        "stream-maintained quantiles diverged from the one-shot batch sketch")
+      // at-least-once replay: re-append batch 1's bucket rows verbatim —
+      // counter addition is not idempotent, so the reader must collapse
+      // them by (group, bucket, batch_id), not double-count
+      val b1 = spark.read.parquet(s"$dir/data").filter(col("batch_id") === 1L)
+      b1.write.mode("append").parquet(s"$dir/data")
+      val afterReplay = toMap(
+        StreamingTimeSeries.mergedQuantiles(spark, s"$dir/data", "g", qs))
+      assert(afterReplay == batch,
+        "a replayed micro-batch double-counted into the quantile histogram")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

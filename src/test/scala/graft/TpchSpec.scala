@@ -139,6 +139,53 @@ class TpchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getLong(2) > 0))
   }
 
+  test("Q2-shape: correlated MIN decorrelates to agg + equi-join-back, dims broadcast") {
+    val df = queries.Tpch.q2ShapeMinCostSupplier(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"supplier/part dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"min-cost equality degraded to a loop join:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // every surviving row IS a per-part minimum: no part may appear with
+    // two different costs
+    val byPart = rows.groupBy(_.getLong(3)).values
+    assert(byPart.forall(_.map(_.getDouble(4)).distinct.length == 1),
+      "a part survived with two distinct costs — correlated MIN broken")
+    val bals = rows.map(_.getDouble(0))
+    assert(bals.sameElements(bals.sortBy(-(_: Double))), "not acctbal-descending")
+  }
+
+  test("Q11-shape: global threshold is a 1-row broadcast join; math is exact BIGINT") {
+    val df = queries.Tpch.q11ShapeImportantStock(spark, sf)
+    val p = plan(df)
+    // the scalar total must arrive via a broadcast nested-loop join over
+    // ONE row — never a shuffle or a collect
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"global threshold not a broadcast 1-row join:\n$p")
+    assert(df.schema("stock_value").dataType.typeName == "long",
+      "stock value must be exact integer cents, not float")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // survivors hold > 1/10000 of the total by construction
+    val values = rows.map(_.getLong(1))
+    assert(values.sameElements(values.sortBy(-(_: Long))), "not value-descending")
+  }
+
+  test("Q20-shape: aggregate-vs-correlated-aggregate ends in a semi join, no cartesian") {
+    val df = queries.Tpch.q20ShapeConcentratedSupplier(spark, sf)
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), s"IN-subquery did not become a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q20-shape:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "fixture selects no concentrated supplier — weak test")
+    val names = rows.map(_.getString(0))
+    assert(names.sameElements(names.sorted), "not name-ascending")
+    assert(names.distinct.length == names.length,
+      "semi join duplicated a supplier")
+  }
+
   test("Q18: quantity sum aggregates BEFORE the joins (agg below both joins)") {
     val df = queries.Tpch.q18LargeVolumeCustomer(spark, sf)
     val p = plan(df)
