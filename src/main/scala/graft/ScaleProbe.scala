@@ -93,6 +93,13 @@ object ScaleProbe {
     timed("dup_windows_16tok") { // ~11M exploded windows, 16-byte digests
       TextAnalysis.duplicateWindows(docs, col("doc_id"), col("text"), k = 16).count()
     }
+    timed("duplicate_spans_w5") { // frequency pass + islands window: the
+      // twins make every shingle of a twinned doc corpus-duplicated, so
+      // the islands merge ~116 hits/doc into ONE maximal span each —
+      // output rows ≈ 2 × twinned docs, however large the corpus
+      Dedup.duplicateSpans(docs, col("doc_id"), col("text"),
+        w = 5, minShingles = 3).count()
+    }
     timed("curate_end_to_end") { // gate → dedup → chunk → split → parquet
       LlmPipeline.curate(docs, col("doc_id"), col("text"),
         "/tmp/graft_scale_curated", maxTokens = 64, overlap = 8,
