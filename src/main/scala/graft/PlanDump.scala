@@ -45,7 +45,9 @@ object PlanDump {
     "h2_shape_min_cost_supplier" -> "TPC-H Q2 shape — correlated scalar MIN decorrelated to a per-part aggregate equi-joined back on (partkey, exact-decimal cost); region supplier dim broadcast; one lineitem-sized shuffle (the catalog aggregate)",
     "h11_shape_important_stock" -> "TPC-H Q11 shape — global-threshold HAVING as a 1-row broadcast nested-loop filter join over exact BIGINT cents; the per-part aggregate is the only real shuffle",
     "h20_shape_concentrated_supplier" -> "TPC-H Q20 shape — aggregate-vs-correlated-aggregate decorrelated to two pair-grained aggregates equi-joined on the pair key, feeding a LEFT-SEMI into the broadcast-nation supplier dim",
-    "d_duplicate_spans" -> "substring-span dedup — shingle-hash frequency count (md5 keys, map-side partials) + semi join back + per-document gaps-and-islands window; no global sort, text never shuffles")
+    "d_duplicate_spans" -> "substring-span dedup — shingle-hash frequency count (md5 keys, map-side partials) + semi join back + per-document gaps-and-islands window; no global sort, text never shuffles",
+    "h9_shape_product_profit" -> "TPC-H Q9 shape — widest join tree (fact ⋈ derived catalog ⋈ 3 broadcast dims ⋈ orders) into a SIGNED exact-decimal profit sum",
+    "h12_shape_shipping_modes" -> "TPC-H Q12 shape — two complementary CASE sums in ONE aggregate pass (partial+final only), fact⋈orders on the orderkey shuffle")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */

@@ -44,7 +44,8 @@ object SparkEntry {
     "h21_shape_waiting_supplier", "h16_shape_supplier_count",
     "a_quantile_sketch",
     "h2_shape_min_cost_supplier", "h11_shape_important_stock",
-    "h20_shape_concentrated_supplier", "d_duplicate_spans")
+    "h20_shape_concentrated_supplier", "d_duplicate_spans",
+    "h9_shape_product_profit", "h12_shape_shipping_modes")
   // Trimmed from headline in round 10 so the stdout line keeps its
   // per-query map inside the driver's ~1800-char tail (63 names would
   // overflow into the truncated fallback): j6_size_band_when_chain

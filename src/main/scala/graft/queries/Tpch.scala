@@ -590,7 +590,74 @@ object Tpch {
       .orderBy("s_name")
   }
 
+  /** Q9-SHAPE product-type profit (adapted: no partsupp — supply cost
+    * per (part, supplier) is the same lineitem-derived MIN-price catalog
+    * as Q2-shape; the part filter matches a name substring like the
+    * original's '%green%'). The pattern under test: TPC-H's widest join
+    * tree (fact ⋈ derived catalog ⋈ part ⋈ supplier ⋈ nation ⋈ orders)
+    * feeding a SIGNED aggregate — profit = revenue − cost×qty goes
+    * negative, so the query proves exact decimal SUBTRACTION and the
+    * signed-sum path that Q1-style all-positive aggregates never touch.
+    *
+    * Scale: part/supplier/nation broadcast; the catalog joins the fact
+    * on (partkey, suppkey) AFTER the broadcast part filter prunes both
+    * sides; orders arrives last on the orderkey shuffle. Profit terms
+    * stay DECIMAL through the sum, one double cast at the end. */
+  def q9ShapeProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val catalog = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("c_partkey"),
+        col("l_suppkey").as("c_suppkey"))
+      .agg(min(dec("l_extendedprice")).as("supplycost"))
+    val rodParts = t(s, dir, "part")
+      .filter(col("p_name").contains("rod")).select("p_partkey")
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        revenueTerm.as("rev"), dec("l_quantity").as("qty"))
+    li.join(broadcast(rodParts), col("l_partkey") === col("p_partkey"))
+      .join(catalog, col("l_partkey") === col("c_partkey") &&
+        col("l_suppkey") === col("c_suppkey"))
+      .join(broadcast(t(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("int").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("n_name", "o_year")
+      .agg(sum(col("rev") - col("supplycost") * col("qty"))
+        .cast("double").as("sum_profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  /** Q12-SHAPE shipping modes (adapted: no l_shipmode/receiptdate —
+    * l_returnflag stands in for the mode and l_shipdate for the receipt
+    * year). The pattern: a fact⋈orders join feeding a TWO-ARM
+    * conditional count — the same CASE expression summed twice with
+    * complementary predicates, which must compile into ONE aggregate
+    * pass (two sum buffers), not two scans. */
+  def q12ShapeShippingModes(s: SparkSession, dir: String): DataFrame = {
+    val hi = Seq("1-URGENT", "2-HIGH")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag")
+    li.join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin(hi: _*), 1).otherwise(0))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin(hi: _*), 1).otherwise(0))
+          .as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h9_shape_product_profit" -> (q9ShapeProductProfit _),
+    "h12_shape_shipping_modes" -> (q12ShapeShippingModes _),
     "h2_shape_min_cost_supplier" -> (q2ShapeMinCostSupplier _),
     "h11_shape_important_stock" -> (q11ShapeImportantStock _),
     "h20_shape_concentrated_supplier" -> (q20ShapeConcentratedSupplier _),
@@ -612,6 +679,34 @@ object Tpch {
     "h18_large_volume_customer" -> (q18LargeVolumeCustomer _))
 
   val oracle: Map[String, String] = Map(
+    "h9_shape_product_profit" ->
+      """WITH catalog AS (
+        |  SELECT l_partkey AS c_partkey, l_suppkey AS c_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      - supplycost * CAST(l_quantity AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN catalog ON l_partkey = c_partkey AND l_suppkey = c_suppkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%rod%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "h12_shape_shipping_modes" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "h2_shape_min_cost_supplier" ->
       """WITH catalog AS (
         |  SELECT l_partkey, l_suppkey,

@@ -186,6 +186,35 @@ class TpchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "semi join duplicated a supplier")
   }
 
+  test("Q9-shape: widest join tree resolves broadcast-side, profit is signed decimal") {
+    val df = queries.Tpch.q9ShapeProductProfit(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q9-shape:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the derived supply cost dwarfs revenue at qty up to 50 — profits
+    // MUST go negative, proving the signed decimal subtraction path
+    assert(rows.exists(_.getDouble(2) < 0), "no negative profit — fixture weak")
+    // per nation, years are descending as ordered
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val ys = g.map(_.getInt(1))
+      assert(ys.sameElements(ys.sortBy(-(_: Int)))) }
+  }
+
+  test("Q12-shape: both conditional counts ride ONE aggregate pass") {
+    val df = queries.Tpch.q12ShapeShippingModes(spark, sf)
+    val p = plan(df)
+    // partial + final HashAggregate and nothing more: the two CASE sums
+    // must not induce a second scan or a join of two aggregates
+    assert(p.split("HashAggregate").length == 3,
+      s"expected exactly 2 HashAggregate nodes (partial+final):\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    assert(rows.forall(r => r.getLong(1) + r.getLong(2) > 0))
+  }
+
   test("Q18: quantity sum aggregates BEFORE the joins (agg below both joins)") {
     val df = queries.Tpch.q18LargeVolumeCustomer(spark, sf)
     val p = plan(df)
