@@ -465,6 +465,37 @@ object Similarity {
     IvfPqIndex(data, cents, cbs)
   }
 
+  /** Append new vectors to a persisted [[writeIvfPqIndex]] layout WITHOUT
+    * a rebuild — the serving-time ingestion path: the stored quantizers
+    * are FROZEN, arrivals are assigned to the existing inverted lists
+    * and encoded with the existing codebooks, and the codes land as new
+    * parquet files inside their list directories (partition-append;
+    * probe-time pruning is untouched because pruning keys on the
+    * directory, never the file set). This is the standard IVF append
+    * discipline: the result is EXACTLY the index that a full re-encode
+    * of the union under the same quantizers would produce (spec-pinned
+    * equality), so appends are cheap and exact w.r.t. the frozen
+    * quantizers, while distribution DRIFT degrades recall gradually —
+    * schedule a quantizer re-train + [[writeIvfPqIndex]] rebuild when
+    * drift metrics (e.g. rising mean distance-to-centroid on arrivals)
+    * cross a threshold. Never retrain in place: codes encoded under two
+    * codebook generations are not comparable.
+    *
+    * Returns the number of vectors appended. The only driver traffic is
+    * the quantizer reload (k·dim + m·k·subDim doubles). */
+  def appendToIvfPqIndex(spark: SparkSession, path: String,
+      newVectors: DataFrame, baseId: String = "vec_id",
+      vecCol: String = "embedding"): Long = {
+    val idx = readIvfPqIndex(spark, path)
+    val enc = pqEncode(ivfIndex(newVectors, idx.centroids, vecCol),
+      idx.codebooks, vecCol)
+    val out = enc.select(col(baseId), col("pq_code"), col("pq_norm"),
+      col("ivf_list"))
+    val n = newVectors.count()
+    out.write.mode("append").partitionBy("ivf_list").parquet(path)
+    n
+  }
+
   /** The inverted lists a query set will probe (nProbe nearest per query,
     * deduplicated) — the [[ivfPqTopK]] probe ranking verbatim, collected
     * so a caller can PRE-FILTER a partitioned index

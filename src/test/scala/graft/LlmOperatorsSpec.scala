@@ -984,6 +984,60 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(disk == mem, "on-disk pruned search diverged from in-memory")
   }
 
+  test("IVF-PQ append: frozen-quantizer ingestion equals a union re-encode; pruning intact") {
+    val rng = new scala.util.Random(23)
+    val centers = Seq(Array.fill(16)(5.0), Array.fill(16)(-5.0),
+      Array.tabulate(16)(i => if (i % 2 == 0) 5.0 else -5.0))
+    def mk(ids: Range) = vecsDf(ids.map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.3).toFloat).toSeq)
+    }: _*)
+    val first = mk(0 until 200)
+    val arrivals = mk(200 until 300)
+    val centroids = Similarity.trainCentroids(first, k = 3, iters = 5)
+    val cb = Similarity.trainPqCodebooks(first, dim = 16, m = 4, k = 8,
+      iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_app")
+      .toString + "/idx"
+    Similarity.writeIvfPqIndex(
+      Similarity.pqEncode(Similarity.ivfIndex(first, centroids), cb),
+      centroids, cb, path)
+    val appended = Similarity.appendToIvfPqIndex(spark, path, arrivals)
+    assert(appended == 100)
+    val idx = Similarity.readIvfPqIndex(spark, path)
+    assert(idx.data.count() == 300, "append lost or duplicated rows")
+    // quantizers untouched by the append
+    assert(idx.centroids == centroids && idx.codebooks == cb)
+    // the appended index IS the union re-encoded under the same frozen
+    // quantizers — row-for-row (codes, norms, list assignment)
+    val union = Similarity.pqEncode(
+        Similarity.ivfIndex(first.unionByName(arrivals), centroids), cb)
+      .select("vec_id", "pq_code", "pq_norm", "ivf_list")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("pq_code"), col("pq_norm"),
+        col("ivf_list").cast("int"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(rows(idx.data) == rows(union),
+      "appended index diverged from the union re-encode")
+    // probe pruning still keys on list directories after the append:
+    // arrivals landed INSIDE existing dirs, not as new partitions
+    val q = arrivals.filter(col("vec_id") < 203)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val lists = Similarity.probedLists(q, idx.centroids, nProbe = 1)
+    val pruned = idx.data.filter(col("ivf_list").isin(lists: _*))
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in pruned plan"))
+    assert(scan.selectedPartitions.partitionCount == lists.size)
+    // and an appended vector is findable as its own nearest neighbor
+    val top = Similarity.ivfPqTopK(pruned, q, k = 1, idx.centroids,
+      idx.codebooks, nProbe = 1).collect()
+    assert(top.forall(r => r.getAs[Long]("nid") % 3 == r.getAs[Long]("qid") % 3),
+      "appended vectors not served from their blob's list")
+  }
+
   // ----------------------------------------------------------- multimodal
 
   test("WAV codec: PCM round-trip, chunk walking, and garbage rejection") {
