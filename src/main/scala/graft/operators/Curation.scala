@@ -200,6 +200,62 @@ object Curation {
       .filter(col("sampled_rank") <= n)
   }
 
+  /** Deterministic weight-biased sampling without replacement: the `n`
+    * rows per stratum with the smallest priority `u / w`, where
+    * `u ∈ (0, 1]` derives from the first 15 md5 hex digits of the id and
+    * `w` is the row's weight — heavier rows draw stochastically smaller
+    * priorities, so inclusion probability rises monotonically with
+    * weight while staying a pure function of (id, weight): reproducible
+    * across runs, engines, retries, and partitionings, like
+    * [[mixtureSample]]. One partitioned window per stratum — no RNG
+    * state, no shuffle beyond the window's own exchange.
+    *
+    * `u/w` is a single correctly-rounded IEEE division of an exact
+    * 60-bit integer and the caller's weight, so the DuckDB oracle
+    * (c_weighted_sample) replays it bit-for-bit. For inclusion
+    * probabilities EXACTLY proportional to weight (Efraimidis–Spirtes
+    * A-ES), use [[weightedSampleAES]] — its `log(u)/w` key needs libm,
+    * whose last-ulp rounding is not engine-portable, which is why the
+    * portable `u/w` face is the registered one. Rows with weight ≤ 0 or
+    * null are excluded (they cannot be drawn). */
+  def weightedPrioritySample(df: DataFrame, idCol: Column,
+      strataCol: Column, weightCol: Column, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (conv(substring(md5(idCol.cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long") + 1).cast("double") / lit(1152921504606846976.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(col("__priority"), idCol)
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("__priority", u / weightCol.cast("double"))
+      .withColumn("sampled_rank", row_number().over(w))
+      .filter(col("sampled_rank") <= n)
+      .drop("__priority")
+  }
+
+  /** Efraimidis–Spirtes A-ES weighted sampling without replacement
+    * (IPL 2006): per stratum, the `n` rows with the LARGEST key
+    * `u^(1/w)` — equivalently the smallest `-ln(u)/w`, the form used
+    * here — drawn with probability exactly proportional to weight at
+    * each draw. Same deterministic md5-uniform as
+    * [[weightedPrioritySample]]; the libm `log` keeps this face out of
+    * the SQL-oracle registry (CurationSpec pins its statistics
+    * instead). */
+  def weightedSampleAES(df: DataFrame, idCol: Column,
+      strataCol: Column, weightCol: Column, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (conv(substring(md5(idCol.cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long") + 1).cast("double") / lit(1152921504606846976.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(col("__key"), idCol)
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("__key", -log(u) / weightCol.cast("double"))
+      .withColumn("sampled_rank", row_number().over(w))
+      .filter(col("sampled_rank") <= n)
+      .drop("__key")
+  }
+
   /** Greedy sequence packing: assign id-ordered documents to training
     * bins of at most `budget` tokens (a document larger than the budget
     * gets a bin of its own). A GLOBAL greedy pack is a serial scan by

@@ -218,4 +218,77 @@ object Sketches {
         .agg(count(lit(1)).as("cnt")),
       scale, names)
   }
+
+  // ------------------------------------------- frequent items (exact)
+
+  /** Per-partition Misra-Gries candidate keys (the classic "frequent"
+    * summary, Misra & Gries 1982): at most `slots` live counters per
+    * partition; a decrement step cancels `slots + 1` distinct
+    * occurrences at once, so across ALL partitions total cancelled mass
+    * ≤ N and any key with global count > N/(slots+1) survives in at
+    * least one partition's summary. Union of summaries = candidate
+    * superset, built with ZERO shuffle (narrow mapPartitions, ≤ slots
+    * rows emitted per partition). Null keys are skipped — a null is not
+    * a countable item ([[graft.operators.Bpe.tokenizeBpe]] contract). */
+  private[graft] def mgCandidates(df: DataFrame, keyCol: Column,
+      slots: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(keyCol.cast("string").as("k")).as[String]
+      .mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { k =>
+          if (k != null) {
+            counts.get(k) match {
+              case Some(c) => counts(k) = c + 1
+              case None if counts.size < slots => counts(k) = 1L
+              case None => // decrement all; drop zeros (one MG step)
+                counts.keys.toArray.foreach { key =>
+                  val c = counts(key)
+                  if (c == 1L) counts.remove(key) else counts(key) = c - 1
+                }
+            }
+          }
+        }
+        counts.keysIterator
+      }.toDF("k").distinct()
+  }
+
+  /** EXACT heavy hitters at relative frequency ≥ `minShare`, computed
+    * without ever shuffling the key universe — the 100 TB answer to
+    * "which tokens/URLs/domains exceed x% of the corpus". A plain
+    * `GROUP BY key HAVING count ≥ sN` shuffles one row per distinct key
+    * per partition (the whole vocabulary); this is the canonical
+    * sketch-then-verify shape instead:
+    *
+    *  1. candidate pass — zero-shuffle per-partition Misra-Gries with
+    *     `slots = ⌈2/minShare⌉` counters (the factor 2 halves the
+    *     guarantee bound, absorbing the inequality being strict), so the
+    *     candidate union provably contains every true heavy hitter;
+    *  2. verify pass — one exact count restricted to the (tiny,
+    *     broadcast) candidate set plus one `count(*)`, so the only
+    *     aggregation that shuffles carries ≤ slots × partitions keys.
+    *
+    * The result is EXACT — (key, n, share) for every key with
+    * n ≥ ⌈minShare · N⌉ — which is why the registered query
+    * (t_heavy_hitters) can be oracle-checked against a plain
+    * GROUP-BY/HAVING in DuckDB: a match certifies zero candidate-pass
+    * false negatives end to end, the same certification style as
+    * d_containment_pairs. `share` is the single IEEE division n/N of
+    * exact longs (engine-portable). */
+  def frequentItems(df: DataFrame, keyCol: Column,
+      minShare: Double): DataFrame = {
+    require(minShare > 0 && minShare <= 1,
+      s"minShare must be in (0, 1], got $minShare")
+    val slots = math.max(1, math.ceil(2.0 / minShare).toInt)
+    val keys = df.select(keyCol.cast("string").as("k")).filter(col("k").isNotNull)
+    val cand = mgCandidates(keys, col("k"), slots)
+    val total = keys.agg(count(lit(1)).as("n_total"))
+    keys.join(broadcast(cand), Seq("k"), "left_semi")
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") >= ceil(lit(minShare) * col("n_total")))
+      .select(col("k").as("key"), col("n"),
+        (col("n").cast("double") / col("n_total").cast("double")).as("share"))
+  }
 }

@@ -23,6 +23,15 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(wsTokens(text))
 
+  /** Adjacent-token bigrams as `"x y"` strings (n−1 per n-token array;
+    * 0- and 1-token arrays → empty). Pure slice/zip_with — the collocation
+    * and heavy-hitter queries explode this at scan speed. */
+  def bigrams(tokens: Column): Column = {
+    val n = greatest(size(tokens) - 1, lit(0))
+    zip_with(slice(tokens, lit(1), n), slice(tokens, lit(2), n),
+      (a, b) => concat_ws(" ", a, b))
+  }
+
   /** Count of tokens drawn from `vocab` (used for stopword ratios and the
     * language votes below). */
   def vocabHits(tokens: Column, vocab: Seq[String]): Column =

@@ -137,6 +137,56 @@ object TextLLM {
       .orderBy("token")
   }
 
+  /** EXACT token-bigram heavy hitters at share ≥ 0.15% via
+    * [[graft.operators.Sketches.frequentItems]] — zero-shuffle
+    * Misra-Gries candidate pass + one exact verify count restricted to
+    * the broadcast candidates. The oracle is the PLAIN GROUP-BY/HAVING:
+    * a hash match certifies the candidate pass produced zero false
+    * negatives end to end (same certification style as
+    * d_containment_pairs). `share` = single IEEE division of exact
+    * longs. */
+  def tHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val bg = docs(s, dir).select(
+      explode(TA.bigrams(TA.wsTokens(lower(col("text"))))).as("k"))
+    graft.operators.Sketches.frequentItems(bg, col("k"), minShare = 0.0015)
+      .select(col("key").as("bigram"), col("n"), col("share"))
+      .orderBy("bigram")
+  }
+
+  /** Collocation mining: pointwise-mutual-information–style lift of
+    * adjacent token pairs, `lift = p(xy) / (p(x)·p(y))` with
+    * `p(xy) = n_xy/N_bigrams`, `p(x) = n_x/N_tokens`. Two exploded
+    * aggregations (bigrams, unigrams) + two shuffle joins keyed on
+    * token — the standard phrase-mining shape; every count is exact and
+    * the lift is one division of products that stay below 2^53, so the
+    * doubles are bit-portable to the DuckDB oracle. */
+  def tPmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(
+      TA.wsTokens(lower(col("text"))).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("n_x"))
+    val bg = toks.select(explode(TA.bigrams(col("toks"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_xy"))
+      .withColumn("x", split(col("bigram"), " ").getItem(0))
+      .withColumn("y", split(col("bigram"), " ").getItem(1))
+    val nUni = toks.select(explode(col("toks")).as("x"))
+      .agg(count(lit(1)).as("n_uni"))
+    val nBig = toks.select(explode(TA.bigrams(col("toks"))).as("b"))
+      .agg(count(lit(1)).as("n_big"))
+    bg.join(uni, Seq("x"))
+      .join(uni.select(col("x").as("y"), col("n_x").as("n_y")), Seq("y"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBig))
+      .filter(col("n_xy") >= 5)
+      .withColumn("lift",
+        (col("n_xy").cast("double") * col("n_uni").cast("double") *
+          col("n_uni").cast("double")) /
+          (col("n_big").cast("double") * col("n_x").cast("double") *
+            col("n_y").cast("double")))
+      .select(col("bigram"), col("n_xy"), col("n_x"), col("n_y"), col("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(20)
+  }
+
   /** URL canonicalization over five synthetic shapes per doc — mixed
     * case, default ports, tracking params, fragments, trailing slashes,
     * bare hosts — every rule of [[TA.canonicalUrl]] exercised and the
@@ -744,6 +794,18 @@ object TextLLM {
       .select("source", "sampled_rank", "doc_id")
       .orderBy("source", "sampled_rank")
 
+  /** Weight-biased sampling without replacement: 5 docs per language,
+    * priority `u/n_chars` with the deterministic md5-uniform — longer
+    * documents are proportionally likelier to be drawn. The oracle
+    * replays the identical divisions (exact 60-bit integer → double,
+    * two correctly-rounded IEEE steps), so the double priorities agree
+    * bit-for-bit across engines. */
+  def tWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Curation.weightedPrioritySample(docs(s, dir), col("doc_id"),
+      col("lang"), col("n_chars"), n = 5)
+      .select("lang", "sampled_rank", "doc_id", "n_chars")
+      .orderBy("lang", "sampled_rank")
+
   /** Greedy sequence packing over the first 200 docs with the exact
     * single-partition (global) contract — the oracle replays the same
     * greedy scan as a recursive CTE. The partition-parallel form is the
@@ -1006,6 +1068,8 @@ object TextLLM {
     "t_bm25_top5" -> (tBm25Top5 _),
     "t_tfidf_cosine_top3" -> (tTfidfCosineTop3 _),
     "t_cms_token_counts" -> (tCmsTokenCounts _),
+    "t_heavy_hitters" -> (tHeavyHitters _),
+    "t_pmi_bigrams" -> (tPmiBigrams _),
     "t_url_canonical" -> (tUrlCanonical _),
     "t_fingerprint_md5" -> (tFingerprintMd5 _),
     "t_rolling_fingerprint" -> (tRollingFingerprint _),
@@ -1036,6 +1100,7 @@ object TextLLM {
     "t_lm_transitions" -> (tLmTransitions _),
     "t_mixture_sample" -> (tMixtureSample _),
     "t_stratified_sample" -> (tStratifiedSample _),
+    "t_weighted_sample" -> (tWeightedSample _),
     "t_boilerplate_lines" -> (tBoilerplateLines _),
     "t_seq_packing" -> (tSeqPacking _),
     "t_url_domains" -> (tUrlDomains _),
@@ -1367,6 +1432,48 @@ object TextLLM {
          |SELECT top.k AS token, top.n_exact, est.n_est
          |FROM top JOIN est ON est.k = top.k
          |ORDER BY token""".stripMargin),
+    // Heavy-hitters mirror: the PLAIN exact GROUP-BY/HAVING — deliberately
+    // ignorant of the Misra-Gries candidate pass, so a hash match
+    // certifies the candidate union had zero false negatives end to end.
+    // CAST(0.0015 AS DOUBLE) forces the same IEEE product both engines
+    // (DuckDB's bare 0.0015 would be DECIMAL and could ceil differently
+    // at an exact-integer boundary).
+    "t_heavy_hitters" ->
+      """WITH toks AS (SELECT list_filter(string_split_regex(trim(lower(text)),
+        |      '\s+'), t -> length(t) > 0) AS toks FROM documents),
+        |bg AS (SELECT toks[i] || ' ' || toks[i+1] AS k FROM toks
+        |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks))) AS i) r),
+        |ex AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM bg)
+        |SELECT ex.k AS bigram, ex.n,
+        |  CAST(ex.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
+        |FROM ex, tot t
+        |WHERE ex.n >= CEIL(CAST(0.0015 AS DOUBLE) * t.n_total)
+        |ORDER BY bigram""".stripMargin,
+    // PMI/lift mirror: every count exact; the lift products stay below
+    // 2^53 so each double intermediate is an exact integer and the one
+    // division is correctly rounded identically in both engines.
+    "t_pmi_bigrams" ->
+      """WITH toks AS (SELECT list_filter(string_split_regex(trim(lower(text)),
+        |      '\s+'), t -> length(t) > 0) AS toks FROM documents),
+        |tk AS (SELECT unnest(toks) AS x FROM toks),
+        |uni AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_x FROM tk GROUP BY 1),
+        |bgr AS (SELECT toks[i] AS x, toks[i+1] AS y,
+        |    toks[i] || ' ' || toks[i+1] AS bigram FROM toks
+        |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks))) AS i) r),
+        |bg AS (SELECT bigram, x, y, CAST(COUNT(*) AS BIGINT) AS n_xy
+        |  FROM bgr GROUP BY 1, 2, 3),
+        |tots AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_uni FROM tk),
+        |totb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM bgr)
+        |SELECT bg.bigram, bg.n_xy, ux.n_x, uy.n_x AS n_y,
+        |  (CAST(bg.n_xy AS DOUBLE) * CAST(t1.n_uni AS DOUBLE)
+        |     * CAST(t1.n_uni AS DOUBLE))
+        |  / (CAST(t2.n_big AS DOUBLE) * CAST(ux.n_x AS DOUBLE)
+        |     * CAST(uy.n_x AS DOUBLE)) AS lift
+        |FROM bg JOIN uni ux ON ux.x = bg.x JOIN uni uy ON uy.x = bg.y,
+        |  tots t1, totb t2
+        |WHERE bg.n_xy >= 5
+        |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
     "t_fingerprint_md5" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
@@ -1581,6 +1688,23 @@ object TextLLM {
         |  FROM documents)
         |SELECT source, sampled_rank, doc_id FROM r
         |WHERE sampled_rank <= 25 ORDER BY 1, 2""".stripMargin,
+    // Weighted-sample mirror: u = (hex15(md5(id)) + 1) / 2^60 then
+    // priority = u / n_chars — the same two correctly-rounded IEEE
+    // divisions as Curation.weightedPrioritySample, so the double
+    // priorities (and hence the per-stratum top-5) agree bit-for-bit.
+    "t_weighted_sample" ->
+      (s"""WITH h AS (SELECT lang, doc_id, n_chars,
+          |    md5(CAST(doc_id AS VARCHAR)) AS hx
+          |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+          |p AS (SELECT lang, doc_id, n_chars,
+          |    (CAST(${hex15ToLong(1)} + 1 AS DOUBLE)
+          |       / CAST(1152921504606846976 AS DOUBLE))
+          |      / CAST(n_chars AS DOUBLE) AS pri FROM h),
+          |r AS (SELECT lang, doc_id, n_chars, CAST(ROW_NUMBER() OVER (
+          |    PARTITION BY lang ORDER BY pri, doc_id) AS INT) AS sampled_rank
+          |  FROM p)
+          |SELECT lang, sampled_rank, doc_id, n_chars FROM r
+          |WHERE sampled_rank <= 5 ORDER BY 1, 2""".stripMargin),
     // compactState mirror: same raw-corpus construction, signature via
     // the shared minhash CTEs, survivors = min doc_id per identical
     // signature list.

@@ -1388,6 +1388,50 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(tiny).size == 10)
   }
 
+  test("weighted sampling: deterministic, exact n, inclusion rises with weight") {
+    import spark.implicits._
+    // two interleaved weight classes in one stratum: heavy rows weigh 20×
+    val df = (0L until 4000L)
+      .map(i => (i, "s", if (i % 2 == 0) 200.0 else 10.0))
+      .toDF("doc_id", "stratum", "w")
+    def run(d: org.apache.spark.sql.DataFrame,
+        f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column,
+            org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+            Int) => org.apache.spark.sql.DataFrame) =
+      f(d, col("doc_id"), col("stratum"), col("w"), 200)
+        .collect().map(r => (r.getLong(0), r.getInt(3))).toSeq.sortBy(_._2)
+    for (face <- Seq(Curation.weightedPrioritySample _,
+        Curation.weightedSampleAES _)) {
+      val out = run(df, face)
+      assert(out.size == 200, "exact n per stratum")
+      assert(out.map(_._2) == (1 to 200), "ranks contiguous 1..n")
+      // physical layout irrelevant — priority is a pure function of (id, w)
+      assert(run(df.repartition(13), face) == out)
+      // heavy rows (even ids) must dominate the sample: with a 20× weight
+      // ratio both keys give P(heavy) ≈ 20/21 per draw; 200 draws at even
+      // a loose bound should exceed 150
+      val heavy = out.count(_._1 % 2 == 0)
+      assert(heavy > 150, s"weight bias too weak: $heavy/200 heavy rows")
+    }
+    // weight ≤ 0 / null rows can never be drawn
+    val edge = Seq((1L, "s", 5.0), (2L, "s", 0.0), (3L, "s", -1.0))
+      .toDF("doc_id", "stratum", "w")
+      .unionByName(Seq((4L, "s")).toDF("doc_id", "stratum")
+        .withColumn("w", lit(null).cast("double")))
+    val kept = Curation.weightedPrioritySample(edge, col("doc_id"),
+      col("stratum"), col("w"), 10).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L))
+  }
+
+  test("bigrams: n−1 adjacent pairs; empty and single-token arrays are empty") {
+    import spark.implicits._
+    val out = Seq("a b c d", "solo", "", "x  y")
+      .toDF("text")
+      .select(TA.bigrams(TA.wsTokens(col("text"))).as("bg"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(out == Seq(Seq("a b", "b c", "c d"), Seq(), Seq(), Seq("x y")))
+  }
+
   test("sequence packing: greedy walk, budget respected, oversized isolated") {
     import spark.implicits._
     val df = Seq((1L, 100), (2L, 100), (3L, 100), (4L, 300), (5L, 10), (6L, 250))

@@ -150,4 +150,55 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .buckets.agg(sum("cnt")).collect()(0).getLong(0)
     assert(negTotal == 3L, "negative values must not enter the histogram")
   }
+
+  test("frequentItems: EXACT heavy hitters under any partitioning (fuzzed Zipf)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 4) {
+      // Zipf-ish: key k drawn with weight ~ 1/(k+1); plus nulls to
+      // exercise the skip contract
+      val vocab = 200
+      val rows = (0 until 30000).map { _ =>
+        val r = rnd.nextDouble()
+        val k = math.min(vocab - 1, (math.pow(vocab.toDouble, r) - 1).toInt)
+        if (rnd.nextInt(100) == 0) null else s"k$k"
+      }
+      val parts = Seq(1, 7, 32)(trial % 3)
+      val df = rows.toDF("k").repartition(parts)
+      val minShare = Seq(0.01, 0.02, 0.005, 0.001)(trial)
+      val got = Sketches.frequentItems(df, col("k"), minShare)
+        .orderBy("key").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      // exact reference computed driver-side
+      val nonNull = rows.filter(_ != null)
+      val n = nonNull.size.toLong
+      val thresh = math.ceil(minShare * n).toLong
+      val want = nonNull.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= thresh).toSeq.sortBy(_._1)
+      assert(got == want,
+        s"trial $trial (parts=$parts, minShare=$minShare): $got vs $want")
+    }
+  }
+
+  test("frequentItems: MG candidate union is bounded and has no false negatives") {
+    import spark.implicits._
+    // adversarial for MG: one true heavy hitter drowned in a sea of
+    // near-unique keys that constantly trigger decrement rounds
+    val rows = (0 until 20000).map { i =>
+      if (i % 10 == 0) "HH" else s"u$i"
+    }
+    val minShare = 0.05 // HH share = 10%
+    val slots = math.ceil(2.0 / minShare).toInt
+    val df = rows.toDF("k").repartition(8)
+    val cands = Sketches.frequentItems(df, col("k"), minShare)
+      .collect().map(_.getString(0))
+    assert(cands.toSeq == Seq("HH"))
+    // the zero-shuffle candidate pass itself stays within slots × parts
+    val candDf = Sketches.mgCandidates(df, col("k"), slots)
+    val nCands = candDf.count()
+    assert(nCands <= slots.toLong * 8,
+      s"candidate union must stay within slots × partitions: $nCands")
+    assert(candDf.filter(col("k") === "HH").count() == 1,
+      "true heavy hitter must survive the per-partition MG summaries")
+  }
 }
