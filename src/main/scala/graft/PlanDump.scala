@@ -47,7 +47,10 @@ object PlanDump {
     "h20_shape_concentrated_supplier" -> "TPC-H Q20 shape — aggregate-vs-correlated-aggregate decorrelated to two pair-grained aggregates equi-joined on the pair key, feeding a LEFT-SEMI into the broadcast-nation supplier dim",
     "d_duplicate_spans" -> "substring-span dedup — shingle-hash frequency count (md5 keys, map-side partials) + semi join back + per-document gaps-and-islands window; no global sort, text never shuffles",
     "h9_shape_product_profit" -> "TPC-H Q9 shape — widest join tree (fact ⋈ derived catalog ⋈ 3 broadcast dims ⋈ orders) into a SIGNED exact-decimal profit sum",
-    "h12_shape_shipping_modes" -> "TPC-H Q12 shape — two complementary CASE sums in ONE aggregate pass (partial+final only), fact⋈orders on the orderkey shuffle")
+    "h12_shape_shipping_modes" -> "TPC-H Q12 shape — two complementary CASE sums in ONE aggregate pass (partial+final only), fact⋈orders on the orderkey shuffle",
+    "t_heavy_hitters" -> "exact heavy hitters — zero-shuffle per-partition Misra-Gries candidates (mapPartitions, ≤slots rows out), ONE exact count restricted to the broadcast candidate semi-join; the key universe never shuffles",
+    "d_jaccard_prefix_pairs" -> "prefix-filter Jaccard join — per-doc array_sort realizes the global df order locally (no rank window), candidates equi-join ONLY prefix postings with the length filter in the join condition, exact verify is narrow array_intersect on candidate pairs",
+    "c_funnel_steps" -> "ordered funnel — ONE exchange on user, k stacked window-mins over the same partitioning (no per-step self-joins), single-row summary exploded to steps")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */

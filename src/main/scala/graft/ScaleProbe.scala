@@ -130,6 +130,36 @@ object ScaleProbe {
         col("doc_id")).count()
     }
 
+    timed("frequent_items_bigrams") { // zero-shuffle MG candidates over
+      // ~13M exploded bigrams (5k-word vocab → constant decrement churn,
+      // the MG worst case), then ONE exact verify count of the broadcast
+      // candidate union — the key universe never shuffles
+      Sketches.frequentItems(
+        docs.select(explode(TextAnalysis.bigrams(
+          TextAnalysis.wsTokens(col("text")))).as("k")),
+        col("k"), minShare = 0.0001).count()
+    }
+    timed("weighted_sample_50_per_stratum") { // one partitioned window;
+      // priority is a pure scan-level column of (id, weight)
+      Curation.weightedPrioritySample(
+        docs.withColumn("w", length(col("text")).cast("double")),
+        col("doc_id"), (col("doc_id") % 16).cast("string"), col("w"),
+        n = 50).count()
+    }
+    timed("pmi_bigram_lift") { // two exploded aggs + two token-keyed
+      // joins; products stay exact in doubles
+      val toks = docs.select(TextAnalysis.wsTokens(col("text")).as("toks"))
+      val uni = toks.select(explode(col("toks")).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("n_x"))
+      toks.select(explode(TextAnalysis.bigrams(col("toks"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n_xy"))
+        .withColumn("x", split(col("bigram"), " ").getItem(0))
+        .withColumn("y", split(col("bigram"), " ").getItem(1))
+        .join(uni, Seq("x"))
+        .join(uni.select(col("x").as("y"), col("n_x").as("n_y")), Seq("y"))
+        .filter(col("n_xy") >= 25).count()
+    }
+
     var bpeMerges: Seq[(String, String)] = Seq.empty
     timed("bpe_train_200_merges") { // ONE histogram pass + driver loop
       bpeMerges = Bpe.trainBpe(docs, col("text"), numMerges = 200,

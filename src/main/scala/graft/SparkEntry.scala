@@ -25,7 +25,7 @@ object SparkEntry {
     "j9_semi_topk_filter", "w1_top3_per_nation",
     "w3_share_normalization", "a5_dense_weekly", "a6_rollup_worldwide",
     "a11_combo_frequencies",
-    "a14_histogram_quantity", "a2_exact_dedup_docs", "a9_pivot_by_flag",
+    "t_heavy_hitters", "a2_exact_dedup_docs", "a9_pivot_by_flag",
     "a10_explode_positions", "skew_salted_agg",
     "t_token_stats", "t_bpe_encode", "t_langid_confusion", "t_bm25_top5",
     "t_repetition_stats", "t_pii_redaction", "t_hash_split",
@@ -48,7 +48,10 @@ object SparkEntry {
     "h9_shape_product_profit", "h12_shape_shipping_modes")
   // Trimmed from headline in round 10 so the stdout line keeps its
   // per-query map inside the driver's ~1800-char tail (63 names would
-  // overflow into the truncated fallback): j6_size_band_when_chain
+  // overflow into the truncated fallback): a14_histogram_quantity
+  // (when-chain binning, timed by the a1/a5 agg family — its slot went
+  // to t_heavy_hitters, the only mapPartitions-candidate + verify-count
+  // shape in the registry), j6_size_band_when_chain
   // (j6_range_join_exec times the same semantics via the Catalyst
   // extension), c7_weekly_counts (a5_dense_weekly), o4_topk_parts /
   // a8_first_order_per_customer (w1 covers top-k-per-group),

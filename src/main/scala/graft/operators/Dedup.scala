@@ -761,6 +761,103 @@ object Dedup {
       .select("id_a", "id_b", "inter", "n_a", "n_b", "c_a_in_b", "c_b_in_a")
   }
 
+  /** EXACT token-set Jaccard similarity self-join via prefix filtering
+    * (the AllPairs / PPJoin family: Bayardo, Ma & Srikant, "Scaling up
+    * all pairs similarity search", WWW 2007) — the exact complement of
+    * [[minhashNearDups]]: MinHash trades a few percent recall for a
+    * fixed-size signature; this path is guaranteed-complete at its
+    * threshold, at the cost of shuffling (rare-token) postings instead
+    * of signatures. Both end in the same verified-pairs shape.
+    *
+    * The filter theorem: order every document's DISTINCT tokens by the
+    * global (document-frequency ASC, token ASC) total order, and take
+    * each side's first `n − ⌈t·n⌉ + 1` tokens as its prefix. Two sets
+    * with `J ≥ t` overlap in `≥ ⌈t/(1+t)·(n_a+n_b)⌉` tokens, which is
+    * strictly more than the tokens either side can have OUTSIDE the
+    * other's prefix — so every qualifying pair shares ≥1 PREFIX token
+    * and surfaces in the prefix-posting equi-join. No false negatives,
+    * by construction; false positives die in the exact verify.
+    *
+    * Scale shape: one distinct + one df count + one collect per doc id
+    * (the sorted (df, token) array), then the candidate join runs ONLY
+    * on prefix postings — the globally RAREST slice of each document,
+    * so posting lists are short precisely where the join fans out. The
+    * per-doc sort is `array_sort` INSIDE the row (no global rank
+    * window — the [[Ranks]] partition-less-window ban holds). Length
+    * filter `t·max(n_a,n_b) ≤ min(n_a,n_b)` prunes inside the join
+    * condition. The exact tail is `array_intersect` on the (bounded)
+    * candidate pairs — narrow, codegen'd, no further shuffle.
+    *
+    * A prefix token whose posting list exceeds `maxPosting` hard-errors
+    * (fail-fast naming the lever, the [[graft.operators.Similarity]]
+    * requireBounded convention) rather than silently dropping
+    * candidates — dropping would break the completeness guarantee that
+    * distinguishes this operator. Empty token sets never pair (Jaccard
+    * undefined); `minJaccard` ∈ (0, 1].
+    *
+    * Output: (id_a, id_b, inter, uni, n_a, n_b, jaccard) for all pairs
+    * with `jaccard ≥ minJaccard`; `jaccard` is one IEEE division of
+    * exact counts, so the registered query is oracle-exact against an
+    * ALL-PAIRS DuckDB recompute — a match certifies zero candidate
+    * false negatives end to end (the [[containmentPairs]] style). */
+  def jaccardJoinPrefix(df: DataFrame, idCol: Column, textCol: Column,
+      minJaccard: Double, maxPosting: Int = 10000): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val tok = df.select(idCol.as("id"),
+        explode(TextAnalysis.wsTokens(textCol)).as("tk")).distinct()
+    val dft = tok.groupBy("tk").agg(count(lit(1)).as("df"))
+    // per-doc sorted (df, tk) array: the global total order realized
+    // locally — structs sort lexicographically, (df ASC, tk ASC)
+    val docs = tok.join(dft, Seq("tk"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tk"))))
+        .as("sorted"))
+      .withColumn("n", size(col("sorted")))
+      .withColumn("plen",
+        (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int"))
+    val rawPrefix = docs.select(col("id"), col("n"),
+      explode(slice(col("sorted"), lit(1), col("plen"))).as("p"))
+      .select(col("id"), col("n"), col("p.tk").as("tk"))
+    // completeness guard: an over-long prefix posting is a data smell
+    // (a supposedly-rare token everywhere) — fail fast AT RUN TIME via a
+    // per-row raise_error in the plan (the [[Merge.applyChanges]] vetting
+    // pattern: no eager action at construction, no silent capping — a
+    // cap would break the no-false-negative guarantee)
+    val pcount = rawPrefix.groupBy("tk").agg(count(lit(1)).as("__pc"))
+    val prefix = rawPrefix.join(pcount, Seq("tk"))
+      // assert_true survives column pruning because it lives in a FILTER
+      // the rows must pass, not a projected-away column
+      .filter(assert_true(col("__pc") <= maxPosting, concat(
+        lit("jaccardJoinPrefix: prefix posting for token '"), col("tk"),
+        lit(s"' exceeds maxPosting=$maxPosting — raise maxPosting or " +
+          "pre-filter stopwords"))).isNull)
+      .select("id", "n", "tk")
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.tk") === col("b.tk") && col("a.id") < col("b.id") &&
+          // length filter: J ≥ t forces t·max ≤ min
+          col("a.n") >= ceil(lit(minJaccard) * col("b.n")) &&
+          col("b.n") >= ceil(lit(minJaccard) * col("a.n")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val sets = docs.select(col("id"),
+      transform(col("sorted"), s => s.getField("tk")).as("toks"),
+      col("n"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("toks").as("toks_b"),
+        col("n").as("n_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("bigint"))
+      .withColumn("uni", (col("n_a") + col("n_b")).cast("bigint") - col("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        col("n_a").cast("bigint").as("n_a"),
+        col("n_b").cast("bigint").as("n_b"), col("jaccard"))
+  }
+
   // ------------------------------------------------- duplicated substrings
 
   /** Maximal duplicated token-span detection — the SUBSTRING-level

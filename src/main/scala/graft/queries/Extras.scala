@@ -385,6 +385,15 @@ object Extras {
         valueCol = col("value"))
       .orderBy("user_id", "session_idx")
 
+  /** Ordered funnel view → click → purchase over the events stream:
+    * users counted at each step only if it happened at-or-after their
+    * previous step's earliest completion. One exchange on user_id, k
+    * stacked window-mins — no per-step self-joins. */
+  def cFunnelSteps(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessions.funnelSummary(t(s, dir, "events"),
+      col("user_id"), col("ts"), col("event_type"),
+      Seq("view", "click", "purchase"))
+
   /** SCD2 intervalization of the events stream: every event becomes a
     * half-open validity interval per user, tie-broken by event_id. */
   def cScd2Intervals(s: SparkSession, dir: String): DataFrame =
@@ -436,6 +445,7 @@ object Extras {
     "a_percentile_family" -> (aPercentileFamily _),
     "c_scd2_intervals" -> (cScd2Intervals _),
     "c_session_stats" -> (cSessionStats _),
+    "c_funnel_steps" -> (cFunnelSteps _),
     "j_asof_prior_view" -> (jAsofPriorView _),
     "j_bloom_prefilter_join" -> (jBloomPrefilterJoin _),
     "j_anti_join" -> (jAntiJoin _),
@@ -541,6 +551,32 @@ object Extras {
     // sessionization mirror: identical lag + running-sum windows; gap in
     // exact integer microseconds; value total decimal-summed then one
     // double conversion (a float SUM would be order-dependent)
+    // Funnel mirror: the same k stacked window-mins (CASE without ELSE
+    // → NULL; `ts >= NULL` propagates NULL, so a user who never reached
+    // step i−1 can never reach step i), then exact counts and one IEEE
+    // division each for conversion.
+    "c_funnel_steps" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+        |    event_type FROM events),
+        |s0 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t0 FROM e),
+        |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t0
+        |      THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM s0),
+        |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t1
+        |      THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |u AS (SELECT user_id, MIN(t0) AS t0, MIN(t1) AS t1, MIN(t2) AS t2
+        |  FROM s2 GROUP BY 1),
+        |c AS (SELECT CAST(COUNT(t0) AS BIGINT) AS c0,
+        |    CAST(COUNT(t1) AS BIGINT) AS c1,
+        |    CAST(COUNT(t2) AS BIGINT) AS c2 FROM u)
+        |SELECT step_idx, step, users,
+        |  CAST(users AS DOUBLE) / CAST(c0 AS DOUBLE) AS conversion
+        |FROM c CROSS JOIN LATERAL (
+        |  SELECT * FROM (VALUES (0, 'view', c0), (1, 'click', c1),
+        |    (2, 'purchase', c2)) v(step_idx, step, users))
+        |ORDER BY step_idx""".stripMargin,
     "c_session_stats" ->
       """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
         |    value FROM events),

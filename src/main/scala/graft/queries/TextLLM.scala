@@ -593,6 +593,23 @@ object TextLLM {
       .orderBy("id_a", "id_b")
   }
 
+  /** EXACT Jaccard similarity self-join via prefix filtering
+    * ([[Dedup.jaccardJoinPrefix]], the AllPairs/PPJoin shape) on a
+    * bounded fixture: 60 docs plus a one-token-perturbed twin of the
+    * first 20. The oracle recomputes ALL pairs — a match certifies the
+    * prefix-filter candidate pass had zero false negatives at this
+    * threshold (the d_containment_pairs certification style). */
+  def dJaccardPrefixPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("doc_id") < 60)
+      .select("doc_id", "text")
+    val twins = base.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        concat(col("text"), lit(" zq")).as("text"))
+    Dedup.jaccardJoinPrefix(base.unionByName(twins), col("doc_id"),
+        lower(col("text")), minJaccard = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Maximal duplicated token spans across the whole corpus
     * ([[Dedup.duplicateSpans]]): runs of ≥ 3 consecutive duplicated
     * 5-shingles, reported in token coordinates. The distributed stand-in
@@ -1075,6 +1092,7 @@ object TextLLM {
     "t_rolling_fingerprint" -> (tRollingFingerprint _),
     "d_shingle_jaccard_twin" -> (dShingleJaccardTwin _),
     "d_containment_pairs" -> (dContainmentPairs _),
+    "d_jaccard_prefix_pairs" -> (dJaccardPrefixPairs _),
     "d_duplicate_spans" -> (dDuplicateSpans _),
     "t_repetition_stats" -> (tRepetitionStats _),
     "t_pii_redaction" -> (tPiiRedaction _),
@@ -1511,6 +1529,29 @@ object TextLLM {
         |FROM pairs
         |WHERE greatest(CAST(inter AS DOUBLE) / n_a,
         |    CAST(inter AS DOUBLE) / n_b) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Prefix-filter Jaccard mirror: ALL-PAIRS recompute over the same
+    // fixture — deliberately ignorant of the prefix-filter candidate
+    // pass, so a hash match certifies zero candidate false negatives.
+    "d_jaccard_prefix_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 60
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text || ' zq' FROM documents
+        |  WHERE doc_id < 20),
+        |t AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(
+        |    trim(lower(text)), '\s+'), x -> length(x) > 0)) AS toks FROM d),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+        |    CAST(len(a.toks) AS BIGINT) AS n_a,
+        |    CAST(len(b.toks) AS BIGINT) AS n_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, inter, n_a + n_b - inter AS uni, n_a, n_b,
+        |  CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE)
+        |    AS jaccard
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE)
+        |  >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
     // Duplicate-span mirror: full recompute — tokenize, hash every
     // 5-shingle, count corpus frequencies, then the same gaps-and-islands

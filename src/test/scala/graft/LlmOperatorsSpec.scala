@@ -1388,6 +1388,58 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(tiny).size == 10)
   }
 
+  test("jaccardJoinPrefix: differential vs brute force on fuzzed corpora; no cartesian") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    for (trial <- 0 until 3) {
+      // small vocab forces heavy overlap — the worst case for candidate
+      // pruning, the easy case for accidental false negatives
+      val vocab = 12 + trial * 8
+      val corpus = (0 until 80).map { i =>
+        val n = 3 + rnd.nextInt(10)
+        (i.toLong, Seq.fill(n)(s"v${rnd.nextInt(vocab)}").mkString(" "))
+      }
+      val t = Seq(0.5, 0.7, 0.9)(trial)
+      val df = corpus.toDF("doc_id", "text").repartition(1 + trial * 5)
+      val got = graft.operators.Dedup.jaccardJoinPrefix(df, col("doc_id"),
+          col("text"), minJaccard = t)
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // brute-force truth on the driver
+      val sets = corpus.map { case (id, tx) =>
+        id -> tx.split("\\s+").filter(_.nonEmpty).toSet }
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= t
+      } yield (ia, ib) -> j).toMap
+      assert(got == want, s"trial $trial t=$t: ${got.size} vs ${want.size}")
+    }
+    // plan must stay an equi-join on prefix tokens — no cartesian
+    val plan = graft.operators.Dedup.jaccardJoinPrefix(
+      Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "prefix join must not plan a cartesian product")
+  }
+
+  test("jaccardJoinPrefix: hot prefix posting fails fast instead of capping") {
+    import spark.implicits._
+    // every doc is the same single token → that token is in every prefix
+    val df = (0 until 50).map(i => (i.toLong, "same")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.operators.Dedup.jaccardJoinPrefix(df, col("doc_id"),
+        col("text"), 0.9, maxPosting = 10).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxPosting")),
+      s"expected the maxPosting guard, got: $e")
+  }
+
   test("weighted sampling: deterministic, exact n, inclusion rises with weight") {
     import spark.implicits._
     // two interleaved weight classes in one stratum: heavy rows weigh 20×
