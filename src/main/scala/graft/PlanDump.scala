@@ -50,7 +50,9 @@ object PlanDump {
     "h12_shape_shipping_modes" -> "TPC-H Q12 shape — two complementary CASE sums in ONE aggregate pass (partial+final only), fact⋈orders on the orderkey shuffle",
     "t_heavy_hitters" -> "exact heavy hitters — zero-shuffle per-partition Misra-Gries candidates (mapPartitions, ≤slots rows out), ONE exact count restricted to the broadcast candidate semi-join; the key universe never shuffles",
     "d_jaccard_prefix_pairs" -> "prefix-filter Jaccard join — per-doc array_sort realizes the global df order locally (no rank window), candidates equi-join ONLY prefix postings with the length filter in the join condition, exact verify is narrow array_intersect on candidate pairs",
-    "c_funnel_steps" -> "ordered funnel — ONE exchange on user, k stacked window-mins over the same partitioning (no per-step self-joins), single-row summary exploded to steps")
+    "c_funnel_steps" -> "ordered funnel — ONE exchange on user, k stacked window-mins over the same partitioning (no per-step self-joins), single-row summary exploded to steps",
+    "w_rolling_3d" -> "rolling time-range metrics — RANGE frame on integer microseconds over one user exchange; count and exact-decimal sum share the frame",
+    "j_interval_overlap" -> "interval overlap join — grid-cell explode + EQUI-join (no theta/nested loop), canonical-cell filter makes emission exactly-once without a distinct")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */

@@ -160,6 +160,36 @@ object ScaleProbe {
         .filter(col("n_xy") >= 25).count()
     }
 
+    timed("jaccard_prefix_join_zipf") { // prefix filtering lives on df
+      // skew: a Zipf-ish vocab (density ∝ u·u toward 0) gives every doc
+      // genuinely rare tokens, so prefix postings stay short exactly
+      // where the self-join fans out. Every 10th doc gets a one-token
+      // perturbed twin — the pairs the join must find.
+      val zdocs = spark.range(nDocs / 2).flatMap { i =>
+        val id = i.toLong
+        val r = new scala.util.Random(id)
+        def tok() = { val u = r.nextDouble() * r.nextDouble()
+          s"z${(5000 * u).toInt}" }
+        val words = Seq.fill(60)(tok()).mkString(" ")
+        if (id % 10 == 0) Seq((id, words), (id + nDocs, words + " ztail"))
+        else Seq((id, words))
+      }.toDF("doc_id", "text")
+      Dedup.jaccardJoinPrefix(zdocs, col("doc_id"), col("text"),
+        minJaccard = 0.8).count()
+    }
+    timed("funnel_3step_10M_events") { // ONE exchange on user, 3 stacked
+      // window-mins — no per-step self-joins of the event table
+      val types = Seq("view", "click", "purchase", "error", "signup")
+      val ev = spark.range(10000000L).select(
+        (col("id") % 150000).as("user_id"),
+        timestamp_micros(lit(1600000000000000L) + col("id") * 1000000L)
+          .as("ts"),
+        element_at(typedLit(types), (col("id") % 5 + 1).cast("int"))
+          .as("event_type"))
+      Sessions.funnelSummary(ev, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase")).count()
+    }
+
     var bpeMerges: Seq[(String, String)] = Seq.empty
     timed("bpe_train_200_merges") { // ONE histogram pass + driver loop
       bpeMerges = Bpe.trainBpe(docs, col("text"), numMerges = 200,

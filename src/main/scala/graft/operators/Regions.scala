@@ -86,4 +86,50 @@ object Regions {
       .filter(abs(leftVal - rightVal) <= delta)
       .drop("__band")
   }
+
+  /** Interval OVERLAP join, large × large — pairs whose closed intervals
+    * `[s, e]` intersect (touching endpoints count). The genomic /
+    * temporal-validity classic; the naive form is a theta join
+    * (|L|×|R| nested loop). Here both sides explode onto a grid of
+    * cells of width `grid` and EQUI-join on the cell id — the
+    * [[bandJoin]] move generalized to intervals — so the shuffle is
+    * `rows × cells-per-interval` and the join fans out only inside
+    * cells where intervals actually coexist.
+    *
+    * Each overlapping pair would meet in EVERY shared cell; instead of
+    * a distinct, the pair is emitted only from its canonical cell — the
+    * one containing `max(s_l, s_r)`, the overlap's start, which both
+    * intervals cover by definition. Exactly-once emission, no dedup
+    * shuffle.
+    *
+    * Contract (assert_true'd in-plan, the fail-fast convention):
+    * coordinates non-negative with `e ≥ s`, and every interval spans at
+    * most `maxCells` grid cells — an interval longer than
+    * `maxCells × grid` needs a coarser grid, and silently clipping it
+    * would silently lose pairs. Coordinates stay below 2^53 so the
+    * double floor-division that both engines replay is exact at cell
+    * boundaries. Output: all left columns then all right columns
+    * (caller guarantees distinct names, as in [[bandJoin]]). */
+  def intervalOverlapJoin(left: DataFrame, ls: Column, le: Column,
+      right: DataFrame, rs: Column, re: Column, grid: Long,
+      maxCells: Int = 1024): DataFrame = {
+    require(grid > 0, "grid must be positive")
+    def cellOf(c: Column): Column =
+      floor(c.cast("double") / lit(grid.toDouble)).cast("long")
+    def cells(s: Column, e: Column, side: String): Column = {
+      val lo = cellOf(s); val hi = cellOf(e)
+      when(assert_true(s >= 0 && e >= s &&
+          hi - lo + 1 <= maxCells, concat(
+        lit(s"intervalOverlapJoin($side): need 0 <= s <= e and span <= " +
+          s"maxCells=$maxCells grid cells of $grid; got [s="), s.cast("string"),
+        lit(", e="), e.cast("string"), lit("]"))).isNull,
+        sequence(lo, hi))
+    }
+    val l = left.withColumn("__cell", explode(cells(ls, le, "left")))
+    val r = right.withColumn("__cell", explode(cells(rs, re, "right")))
+    l.join(r, Seq("__cell"))
+      .filter(ls <= re && rs <= le &&
+        col("__cell") === cellOf(greatest(ls, rs)))
+      .drop("__cell")
+  }
 }

@@ -283,6 +283,31 @@ object Extras {
       .orderBy("id_a", "id_b")
   }
 
+  /** Interval overlap join ([[Regions.intervalOverlapJoin]]) on
+    * lineitem-derived closed intervals `[partkey, partkey + quantity]`:
+    * the grid-cell equi-join with canonical-cell exactly-once emission,
+    * oracled against the naive THETA join — a match proves the grid
+    * decomposition finds every overlapping pair exactly once. Overlap
+    * length is exact integer arithmetic. */
+  def jIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = li.filter(col("l_orderkey") % 97 === 0)
+      .select(col("l_orderkey").as("id_a"), col("l_linenumber").as("ln_a"),
+        col("l_partkey").as("s_a"),
+        (col("l_partkey") + col("l_quantity").cast("long")).as("e_a"))
+    val b = li.filter(col("l_orderkey") % 89 === 1)
+      .select(col("l_orderkey").as("id_b"), col("l_linenumber").as("ln_b"),
+        col("l_partkey").as("s_b"),
+        (col("l_partkey") + col("l_quantity").cast("long")).as("e_b"))
+    Regions.intervalOverlapJoin(a, col("s_a"), col("e_a"),
+        b, col("s_b"), col("e_b"), grid = 16)
+      .withColumn("overlap_len",
+        least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
+      .select("id_a", "ln_a", "id_b", "ln_b", "s_a", "e_a", "s_b", "e_b",
+        "overlap_len")
+      .orderBy("id_a", "ln_a", "id_b", "ln_b")
+  }
+
   /** The literal TPC-H Q1 pricing-summary report — the canonical scan →
     * filter → wide aggregate. Money math is DECIMAL end to end (per-row
     * products exact, sums exact integers in scaled space, ONE final
@@ -385,6 +410,28 @@ object Extras {
         valueCol = col("value"))
       .orderBy("user_id", "session_idx")
 
+  /** Rolling 3-day per-user event metrics — the RANGE-frame window face
+    * (W1–W3 cover rank/rows frames; this is the time-interval frame):
+    * for every event, how many events and how much value the user
+    * produced in the trailing 3 days INCLUDING the current instant.
+    * The frame key is integer microseconds (`unix_micros`), so both
+    * engines resolve identical inclusive bounds and peer sets; the sum
+    * is exact decimal with one final double cast. One exchange on
+    * user_id; the range frame is evaluated over the same sort. */
+  def wRolling3d(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("__us"))
+      .rangeBetween(-259200000000L, 0L)
+    t(s, dir, "events")
+      .withColumn("__us", unix_micros(col("ts")))
+      .withColumn("n_3d", count(lit(1)).over(w))
+      .withColumn("sum_3d",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("n_3d"),
+        col("sum_3d"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   /** Ordered funnel view → click → purchase over the events stream:
     * users counted at each step only if it happened at-or-after their
     * previous step's earliest completion. One exchange on user_id, k
@@ -446,6 +493,8 @@ object Extras {
     "c_scd2_intervals" -> (cScd2Intervals _),
     "c_session_stats" -> (cSessionStats _),
     "c_funnel_steps" -> (cFunnelSteps _),
+    "w_rolling_3d" -> (wRolling3d _),
+    "j_interval_overlap" -> (jIntervalOverlap _),
     "j_asof_prior_view" -> (jAsofPriorView _),
     "j_bloom_prefilter_join" -> (jBloomPrefilterJoin _),
     "j_anti_join" -> (jAntiJoin _),
@@ -551,6 +600,21 @@ object Extras {
     // sessionization mirror: identical lag + running-sum windows; gap in
     // exact integer microseconds; value total decimal-summed then one
     // double conversion (a float SUM would be order-dependent)
+    // Rolling-window mirror: identical integer-microsecond RANGE frame
+    // (inclusive 3-day trailing bound, peers included), exact decimal
+    // sum, one final double cast.
+    "w_rolling_3d" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    date_trunc('microseconds', ts) AS ts, value,
+        |    epoch_us(ts) AS us FROM events)
+        |SELECT user_id, event_id, ts,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_3d,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS sum_3d
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     // Funnel mirror: the same k stacked window-mins (CASE without ELSE
     // → NULL; `ts >= NULL` propagates NULL, so a user who never reached
     // step i−1 can never reach step i), then exact counts and one IEEE
@@ -667,6 +731,22 @@ object Extras {
     "a_exact_moments_udaf" -> exactMomentsSql,
     // Naive theta replay — the bucket rewrite must find exactly these
     // pairs; values pass through unchanged so doubles hash bit-for-bit.
+    // Interval-overlap mirror: the NAIVE theta join — deliberately
+    // ignorant of the grid decomposition, so a match proves every
+    // overlapping pair is found exactly once.
+    "j_interval_overlap" ->
+      """WITH a AS (SELECT l_orderkey AS id_a, l_linenumber AS ln_a,
+        |    l_partkey AS s_a,
+        |    l_partkey + CAST(l_quantity AS BIGINT) AS e_a
+        |  FROM lineitem WHERE l_orderkey % 97 = 0),
+        |b AS (SELECT l_orderkey AS id_b, l_linenumber AS ln_b,
+        |    l_partkey AS s_b,
+        |    l_partkey + CAST(l_quantity AS BIGINT) AS e_b
+        |  FROM lineitem WHERE l_orderkey % 89 = 1)
+        |SELECT id_a, ln_a, id_b, ln_b, s_a, e_a, s_b, e_b,
+        |  least(e_a, e_b) - greatest(s_a, s_b) AS overlap_len
+        |FROM a JOIN b ON s_a <= e_b AND s_b <= e_a
+        |ORDER BY id_a, ln_a, id_b, ln_b""".stripMargin,
     "j_band_pairs" ->
       """WITH e AS (SELECT event_id, value FROM events WHERE event_id < 400)
         |SELECT a.event_id AS id_a, b.event_id AS id_b,

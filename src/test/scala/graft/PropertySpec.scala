@@ -502,4 +502,61 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(m("unique(id)") == nonNullIds.size - nonNullIds.distinct.size)
     }
   }
+
+  test("funnel invariants: counts non-increasing, conversions in [0,1], times ordered") {
+    import spark.implicits._
+    val rng = new Random(606)
+    val types = Seq("view", "click", "purchase", "error")
+    for (_ <- 0 until 3) {
+      val rows = (0 until 3000).map { i =>
+        ((rng.nextInt(80)).toLong,
+          new java.sql.Timestamp(1600000000000L + rng.nextInt(1000000) * 1000L),
+          types(rng.nextInt(types.size)))
+      }
+      val ev = rows.toDF("user_id", "ts", "event_type")
+      val steps = Seq("view", "click", "purchase")
+      val sum = graft.operators.Sessions.funnelSummary(ev, col("user_id"),
+          col("ts"), col("event_type"), steps)
+        .collect().map(r => (r.getLong(2), r.getDouble(3)))
+      assert(sum.map(_._1).sliding(2).forall(p => p(0) >= p(1)),
+        s"step counts must be non-increasing: ${sum.toSeq}")
+      assert(sum.forall { case (_, c) => c >= 0.0 && c <= 1.0 })
+      // per-user step times are non-decreasing where present, and a null
+      // step forces every later step null
+      val times = graft.operators.Sessions.funnelStepTimes(ev,
+          col("user_id"), col("ts"), col("event_type"), steps)
+        .collect().map(r => (0 to 2).map(i => Option(r.getTimestamp(i + 1))))
+      times.foreach { ts =>
+        val present = ts.flatten
+        assert(present.sliding(2).forall(p =>
+          p.size < 2 || !p(1).before(p(0))), s"unordered step times: $ts")
+        val firstNull = ts.indexWhere(_.isEmpty)
+        if (firstNull >= 0)
+          assert(ts.drop(firstNull).forall(_.isEmpty),
+            s"null step must null every later step: $ts")
+      }
+    }
+  }
+
+  test("weighted sampling is coordinated: dropping non-sampled rows never changes it") {
+    import spark.implicits._
+    val rng = new Random(707)
+    val rows = (0L until 2000L)
+      .map(i => (i, s"s${i % 4}", 1.0 + rng.nextInt(50)))
+    val df = rows.toDF("id", "stratum", "w")
+    val sample = graft.operators.Curation.weightedPrioritySample(df,
+        col("id"), col("stratum"), col("w"), n = 30)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // priorities are pure per-row functions and selection is bottom-k, so
+    // removing rows OUTSIDE the sample cannot change the sample — the
+    // composability that lets a distributed bottom-k (or a pre-filtered
+    // re-run) agree with the global answer
+    val survivors = rows.filter(r =>
+      sample.contains(r._1) || rng.nextInt(3) > 0)
+    val again = graft.operators.Curation.weightedPrioritySample(
+        survivors.toDF("id", "stratum", "w"),
+        col("id"), col("stratum"), col("w"), n = 30)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == sample)
+  }
 }

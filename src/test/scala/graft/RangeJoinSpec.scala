@@ -215,4 +215,45 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(je.select("eid", "era").collect().map(r => (r.getLong(0), r.getString(1))).toSet
       === Set((1L, "jan"), (2L, "feb")))
   }
+
+  test("intervalOverlapJoin: differential vs naive theta, exactly-once, any grid") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val la = Seq.tabulate(150) { i =>
+      val s = rnd.nextInt(2000).toLong; (i.toLong, s, s + rnd.nextInt(60)) }
+    val lb = Seq.tabulate(170) { i =>
+      val s = rnd.nextInt(2000).toLong; (i.toLong, s, s + rnd.nextInt(60)) }
+    val want = (for {
+      (ia, sa, ea) <- la; (ib, sb, eb) <- lb
+      if sa <= eb && sb <= ea
+    } yield (ia, ib)).toSeq.sorted
+    for (grid <- Seq(1L, 7L, 64L, 4096L)) {
+      val got = graft.operators.Regions.intervalOverlapJoin(
+          la.toDF("id_a", "s_a", "e_a"), col("s_a"), col("e_a"),
+          lb.toDF("id_b", "s_b", "e_b"), col("s_b"), col("e_b"), grid)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // sorted SEQ compare (not Set): duplicates from multi-cell pairs
+      // would be a canonical-cell bug even when the pair set is right
+      assert(got == want, s"grid=$grid: ${got.size} vs ${want.size} pairs")
+    }
+    // touching endpoints overlap (closed intervals)
+    val touch = graft.operators.Regions.intervalOverlapJoin(
+        Seq((1L, 0L, 10L)).toDF("id_a", "s_a", "e_a"), col("s_a"), col("e_a"),
+        Seq((2L, 10L, 20L)).toDF("id_b", "s_b", "e_b"), col("s_b"), col("e_b"),
+        grid = 8)
+      .count()
+    assert(touch == 1L)
+    // span > maxCells × grid fails fast instead of silently clipping
+    val e = intercept[Exception] {
+      graft.operators.Regions.intervalOverlapJoin(
+        Seq((1L, 0L, 100000L)).toDF("id_a", "s_a", "e_a"),
+        col("s_a"), col("e_a"),
+        Seq((2L, 5L, 6L)).toDF("id_b", "s_b", "e_b"), col("s_b"), col("e_b"),
+        grid = 4, maxCells = 16).collect()
+    }
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("maxCells")))
+  }
 }
