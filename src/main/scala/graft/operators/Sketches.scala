@@ -221,24 +221,29 @@ object Sketches {
 
   // ------------------------------------------- frequent items (exact)
 
-  /** Per-partition Misra-Gries candidate keys (the classic "frequent"
-    * summary, Misra & Gries 1982): at most `slots` live counters per
+  /** Per-partition Misra-Gries summaries (the classic "frequent"
+    * algorithm, Misra & Gries 1982): at most `slots` live counters per
     * partition; a decrement step cancels `slots + 1` distinct
     * occurrences at once, so across ALL partitions total cancelled mass
     * ≤ N and any key with global count > N/(slots+1) survives in at
-    * least one partition's summary. Union of summaries = candidate
-    * superset, built with ZERO shuffle (narrow mapPartitions, ≤ slots
-    * rows emitted per partition). Null keys are skipped — a null is not
-    * a countable item ([[graft.operators.Bpe.tokenizeBpe]] contract). */
-  private[graft] def mgCandidates(df: DataFrame, keyCol: Column,
+    * least one partition's summary. Built with ZERO shuffle (narrow
+    * mapPartitions, ≤ slots + 1 rows emitted per partition): survivor
+    * keys as (k, 0) plus ONE (null, n_p) row carrying the partition's
+    * non-null row count, so [[frequentItems]] gets candidates AND the
+    * corpus total from a single scan. Null keys are skipped — a null is
+    * not a countable item ([[graft.operators.Bpe.tokenizeBpe]]
+    * contract). */
+  private[graft] def mgSummaries(df: DataFrame, keyCol: Column,
       slots: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(keyCol.cast("string").as("k")).as[String]
       .mapPartitions { it =>
         val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        var n = 0L
         it.foreach { k =>
           if (k != null) {
+            n += 1
             counts.get(k) match {
               case Some(c) => counts(k) = c + 1
               case None if counts.size < slots => counts(k) = 1L
@@ -250,9 +255,17 @@ object Sketches {
             }
           }
         }
-        counts.keysIterator
-      }.toDF("k").distinct()
+        counts.keysIterator.map(k => (k, 0L)) ++ Iterator((null: String, n))
+      }.toDF("k", "np")
   }
+
+  /** Candidate keys only — the distinct union of [[mgSummaries]]
+    * survivors (test seam; frequentItems consumes the summaries
+    * directly so the total rides the same scan). */
+  private[graft] def mgCandidates(df: DataFrame, keyCol: Column,
+      slots: Int): DataFrame =
+    mgSummaries(df, keyCol, slots)
+      .filter(col("k").isNotNull).select("k").distinct()
 
   /** EXACT heavy hitters at relative frequency ≥ `minShare`, computed
     * without ever shuffling the key universe — the 100 TB answer to
@@ -264,10 +277,13 @@ object Sketches {
     *  1. candidate pass — zero-shuffle per-partition Misra-Gries with
     *     `slots = ⌈2/minShare⌉` counters (the factor 2 halves the
     *     guarantee bound, absorbing the inequality being strict), so the
-    *     candidate union provably contains every true heavy hitter;
+    *     candidate union provably contains every true heavy hitter; the
+    *     corpus total N rides the SAME scan as per-partition (null, n_p)
+    *     summary rows — the whole operator reads the keys exactly twice
+    *     (summaries + verify), and only the verify aggregation shuffles,
+    *     carrying ≤ slots × partitions keys;
     *  2. verify pass — one exact count restricted to the (tiny,
-    *     broadcast) candidate set plus one `count(*)`, so the only
-    *     aggregation that shuffles carries ≤ slots × partitions keys.
+    *     broadcast) candidate set.
     *
     * The result is EXACT — (key, n, share) for every key with
     * n ≥ ⌈minShare · N⌉ — which is why the registered query
@@ -282,8 +298,13 @@ object Sketches {
       s"minShare must be in (0, 1], got $minShare")
     val slots = math.max(1, math.ceil(2.0 / minShare).toInt)
     val keys = df.select(keyCol.cast("string").as("k")).filter(col("k").isNotNull)
-    val cand = mgCandidates(keys, col("k"), slots)
-    val total = keys.agg(count(lit(1)).as("n_total"))
+    // ≤ (slots + 1) × partitions rows; lazy localCheckpoint (no job at
+    // construction — the Graph.pageRank lesson) so the candidate branch
+    // and the total branch don't each replay the corpus scan
+    val summaries = mgSummaries(keys, col("k"), slots)
+      .localCheckpoint(eager = false)
+    val cand = summaries.filter(col("k").isNotNull).select("k").distinct()
+    val total = summaries.agg(sum(col("np")).as("n_total"))
     keys.join(broadcast(cand), Seq("k"), "left_semi")
       .groupBy("k").agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))
