@@ -296,6 +296,14 @@ object Sketches {
       minShare: Double): DataFrame = {
     require(minShare > 0 && minShare <= 1,
       s"minShare must be in (0, 1], got $minShare")
+    // candidate memory and broadcast scale as 1/minShare × partitions:
+    // below this floor the "heavy hitter" framing itself has broken down
+    // (2e6 counters per partition) — reach for the Count-Min sketch +
+    // a threshold probe instead of an exact answer
+    require(minShare >= 1e-6,
+      s"minShare=$minShare needs ${math.ceil(2.0 / minShare).toLong} MG " +
+        "counters per partition; below 1e-6 use countMinSketch (approximate, " +
+        "fixed size) rather than exact frequent items")
     val slots = math.max(1, math.ceil(2.0 / minShare).toInt)
     val keys = df.select(keyCol.cast("string").as("k")).filter(col("k").isNotNull)
     // ≤ (slots + 1) × partitions rows; lazy localCheckpoint (no job at
