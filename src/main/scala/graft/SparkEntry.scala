@@ -45,7 +45,8 @@ object SparkEntry {
     "a_quantile_sketch",
     "h2_shape_min_cost_supplier", "h11_shape_important_stock",
     "h20_shape_concentrated_supplier", "d_duplicate_spans",
-    "h9_shape_product_profit", "h12_shape_shipping_modes")
+    "h9_shape_product_profit", "h12_shape_shipping_modes",
+    "w_topk_agg_orders")
   // Trimmed from headline in round 10 so the stdout line keeps its
   // per-query map inside the driver's ~1800-char tail (63 names would
   // overflow into the truncated fallback): a14_histogram_quantity

@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Scale-safe global ordering primitives.
@@ -57,4 +57,140 @@ object Ranks {
       .withColumn(outCol, col("__off") + col("__lrk"))
       .drop("__pid", "__lrk", "__off")
   }
+
+  /** Bounded top-k per group without the window-rank shuffle.
+    *
+    * `row_number().over(Window.partitionBy(g).orderBy(o))` + `rn <= k`
+    * moves EVERY row of every group through the exchange before any row
+    * can be discarded — at 100 TB that is a full-table shuffle to keep
+    * three rows per nation. [[topKPerGroup]] instead aggregates with
+    * [[BoundedTopK]], a typed `Aggregator` whose buffer is a sorted pair
+    * of primitive arrays CAPPED AT K. Because `Aggregator` supports
+    * partial merge, the map side combines first: at most k rows per group
+    * PER INPUT PARTITION cross the wire, and each of those is 16 bytes of
+    * (ord, tie) — the payload selection happens before the exchange, not
+    * after it. Once a partition's buffer for a hot group is full, the
+    * common case per row is a single compare against the current k-th
+    * entry and an O(1) reject; only an improving row pays the O(k)
+    * insertion copy.
+    *
+    * `tie` must be a unique per-row key (it makes the order total, same
+    * contract as [[globalRowNumber]]) and is also the natural payload id:
+    * callers needing more columns join the (≤ |groups|·k row) result back
+    * on it — that join is the scale-correct shape, not widening the
+    * aggregation buffer.
+    *
+    * `asc = true` ranks ascending (smallest first). Negation uses
+    * `0.0 - x` so a zero ordinate round-trips to `+0.0`, keeping the
+    * emitted `ordName` column bit-identical to the input value.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], ord: Column,
+      tie: Column, k: Int, rankCol: String = "rank",
+      ordName: String = "ord", tieName: String = "tie",
+      asc: Boolean = false): DataFrame = {
+    val agg = udaf(new BoundedTopK(k), Encoders.product[TopKRow])
+    val ordIn = if (asc) lit(0.0) - ord.cast("double") else ord.cast("double")
+    val ordOut = if (asc) lit(0.0) - col("col.o") else col("col.o")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg(ordIn, tie.cast("long")).as("__top"))
+      .select(groupCols.map(col) :+
+        posexplode(zip_with(col("__top.ords"), col("__top.ties"),
+          (o, t) => struct(o.as("o"), t.as("t")))): _*)
+      .select(groupCols.map(col) ++ Seq(
+        (col("pos") + 1).cast("int").as(rankCol),
+        ordOut.as(ordName), col("col.t").as(tieName)): _*)
+  }
+
+  /** Deterministic per-group sample of up to `n` rows: rank by an
+    * md5-derived 52-bit priority (uniform, seedless, engine-portable —
+    * the same md5 family the dedup/sketch oracles mirror in SQL) and keep
+    * the n smallest. Equivalent to a per-group reservoir sample but
+    * reproducible across engines, partitionings, and reruns; shuffles
+    * ≤ n·partitions rows per group, never the table. */
+  def samplePerGroup(df: DataFrame, groupCols: Seq[String], idCol: Column,
+      n: Int, rankCol: String = "rank", priName: String = "pri",
+      idName: String = "id"): DataFrame =
+    topKPerGroup(df,
+      groupCols,
+      conv(substring(md5(idCol.cast("string").cast("binary")), 1, 13), 16, 10)
+        .cast("double"),
+      idCol, n, rankCol, priName, idName, asc = true)
+}
+
+/** One (ordinate, tiebreak) candidate row for [[Ranks.topKPerGroup]]. */
+case class TopKRow(ord: Double, tie: Long)
+
+/** Buffer/result of [[BoundedTopK]]: parallel primitive arrays sorted
+  * best-first (`ord` descending, `tie` ascending), length ≤ k. Primitive
+  * arrays keep the partial-aggregation serde at 16 bytes/entry with no
+  * per-element object boxing. */
+case class TopKBuf(ords: Array[Double], ties: Array[Long])
+
+/** Mergeable bounded top-k: the `Aggregator` behind
+  * [[Ranks.topKPerGroup]]. All three operations preserve the sorted-
+  * capped invariant, so `finish` is the identity and merge order cannot
+  * change the result (the (ord, tie) order is total). */
+class BoundedTopK(k: Int)
+    extends Aggregator[TopKRow, TopKBuf, TopKBuf] with Serializable {
+  require(k >= 1, s"topKPerGroup needs k >= 1, got $k")
+  require(k <= 100000,
+    s"topKPerGroup keeps k entries per group in the aggregation buffer; " +
+      s"k=$k would make the buffer the bottleneck — use a sort for that")
+
+  private def better(o1: Double, t1: Long, o2: Double, t2: Long): Boolean =
+    o1 > o2 || (o1 == o2 && t1 < t2)
+
+  def zero: TopKBuf = TopKBuf(Array.emptyDoubleArray, Array.emptyLongArray)
+
+  def reduce(b: TopKBuf, a: TopKRow): TopKBuf = {
+    val n = b.ords.length
+    if (n == k && !better(a.ord, a.tie, b.ords(n - 1), b.ties(n - 1))) b
+    else {
+      // binary search for the insertion point in the best-first order
+      var lo = 0
+      var hi = n
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (better(b.ords(m), b.ties(m), a.ord, a.tie)) lo = m + 1 else hi = m
+      }
+      val outN = math.min(n + 1, k)
+      val os = new Array[Double](outN)
+      val ts = new Array[Long](outN)
+      System.arraycopy(b.ords, 0, os, 0, lo)
+      System.arraycopy(b.ties, 0, ts, 0, lo)
+      os(lo) = a.ord
+      ts(lo) = a.tie
+      val rest = outN - lo - 1
+      if (rest > 0) {
+        System.arraycopy(b.ords, lo, os, lo + 1, rest)
+        System.arraycopy(b.ties, lo, ts, lo + 1, rest)
+      }
+      TopKBuf(os, ts)
+    }
+  }
+
+  def merge(x: TopKBuf, y: TopKBuf): TopKBuf = {
+    if (y.ords.isEmpty) x
+    else if (x.ords.isEmpty) y
+    else {
+      val n = math.min(x.ords.length + y.ords.length, k)
+      val os = new Array[Double](n)
+      val ts = new Array[Long](n)
+      var i = 0
+      var j = 0
+      var o = 0
+      while (o < n) {
+        val takeX = j >= y.ords.length || (i < x.ords.length &&
+          better(x.ords(i), x.ties(i), y.ords(j), y.ties(j)))
+        if (takeX) { os(o) = x.ords(i); ts(o) = x.ties(i); i += 1 }
+        else { os(o) = y.ords(j); ts(o) = y.ties(j); j += 1 }
+        o += 1
+      }
+      TopKBuf(os, ts)
+    }
+  }
+
+  def finish(b: TopKBuf): TopKBuf = b
+  def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
 }

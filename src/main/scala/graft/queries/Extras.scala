@@ -487,7 +487,33 @@ object Extras {
       .orderBy("l_returnflag", "q")
   }
 
+  /** Bounded top-k per group via [[graft.operators.Ranks.topKPerGroup]]'s
+    * capped typed Aggregator — the scale replacement for the
+    * `w1_top3_per_nation` window-rank shape: the exchange carries at most
+    * k (ord, tie) pairs per group per input partition instead of every
+    * row. The oracle is the window-rank definition itself, so a match
+    * proves the aggregator selects the identical rows AND ranks. */
+  def wTopkAggOrders(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranks.topKPerGroup(
+        t(s, dir, "orders"), Seq("o_custkey"),
+        col("o_totalprice"), col("o_orderkey"), k = 2,
+        rankCol = "rn", ordName = "o_totalprice", tieName = "o_orderkey")
+      .orderBy("o_custkey", "rn")
+
+  /** Deterministic per-group sampling
+    * ([[graft.operators.Ranks.samplePerGroup]]): 3 documents per lang by
+    * smallest md5-derived 52-bit priority — a reservoir sample that is
+    * reproducible across engines/partitionings (no RNG state), mirrored
+    * in DuckDB by the same hex-digit fold the sketch oracles use. */
+  def cSamplePerGroup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranks.samplePerGroup(
+        t(s, dir, "documents"), Seq("lang"), col("doc_id"), n = 3,
+        rankCol = "rn", priName = "pri", idName = "doc_id")
+      .orderBy("lang", "rn")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w_topk_agg_orders" -> (wTopkAggOrders _),
+    "c_sample_per_group" -> (cSamplePerGroup _),
     "a_quantile_sketch" -> (aQuantileSketch _),
     "a_percentile_family" -> (aPercentileFamily _),
     "c_scd2_intervals" -> (cScd2Intervals _),
@@ -551,6 +577,27 @@ object Extras {
         |FROM m ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "w_topk_agg_orders" ->
+      """SELECT o_custkey, rn, o_totalprice, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    // pri mirrors Spark's conv(substring(md5(id),1,13),16,10): fold the
+    // first 13 hex digits into a 52-bit integer (exact as DOUBLE)
+    "c_sample_per_group" ->
+      """WITH p AS (SELECT lang, doc_id,
+        |    CAST(list_sum(list_transform(range(1, 14), j ->
+        |      CAST(strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), CAST(j AS INTEGER), 1))
+        |        - 1 AS BIGINT) << (4 * (13 - CAST(j AS INTEGER)))))
+        |      AS BIGINT) AS pri
+        |  FROM documents)
+        |SELECT lang, rn, CAST(pri AS DOUBLE) AS pri, doc_id FROM (
+        |  SELECT lang, doc_id, pri,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY pri ASC, doc_id ASC) AS INTEGER) AS rn
+        |  FROM p) WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
     // Digit-string log buckets mirrored op-for-op; q is CAST AS DOUBLE
     // because a bare 0.9 literal is DECIMAL in DuckDB and decimal-exact
     // 0.9*N lands on the other side of an integer than IEEE-double

@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.{BoundedTopK, Ranks, TopKBuf, TopKRow}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark = GraftSession.local("topk-spec")
+  override def afterAll(): Unit = spark.stop()
+
+  private def sortedCapped(b: TopKBuf, k: Int): Unit = {
+    assert(b.ords.length == b.ties.length)
+    assert(b.ords.length <= k)
+    for (i <- 1 until b.ords.length)
+      assert(b.ords(i - 1) > b.ords(i) ||
+        (b.ords(i - 1) == b.ords(i) && b.ties(i - 1) < b.ties(i)))
+  }
+
+  test("BoundedTopK buffer: capped, sorted, merge == trim(sorted union)") {
+    val rnd = new Random(7)
+    for (k <- Seq(1, 3, 8)) {
+      val agg = new BoundedTopK(k)
+      // many duplicate ords to exercise the tie path; tie keys disjoint
+      // between the buffers (as in real use: a row has one partition)
+      def randRows(n: Int, tieBase: Long) =
+        Seq.fill(n)(TopKRow(rnd.nextInt(5).toDouble,
+          tieBase + rnd.nextInt(1000).toLong)).distinct
+      val a = randRows(40, 0L)
+      val b = randRows(25, 10000L)
+      val bufA = a.foldLeft(agg.zero)(agg.reduce)
+      val bufB = b.foldLeft(agg.zero)(agg.reduce)
+      sortedCapped(bufA, k); sortedCapped(bufB, k)
+      val merged = agg.merge(bufA, bufB)
+      sortedCapped(merged, k)
+      def expectTop(rows: Seq[TopKRow]) = rows
+        .sortBy(r => (-r.ord, r.tie)).take(k)
+        .map(r => (r.ord, r.tie))
+      assert(bufA.ords.zip(bufA.ties).toSeq == expectTop(a))
+      // merge must equal the top-k of the union of the SURVIVORS — and
+      // since each buffer already holds its source's true top-k, that is
+      // the true top-k of the concatenated input
+      assert(merged.ords.zip(merged.ties).toSeq == expectTop(a ++ b))
+    }
+  }
+
+  test("topKPerGroup == window rank, including groups smaller than k") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    // group 0 has 1 row (< k); values collide across and within groups
+    val rows = (1L to 800L).map(i =>
+      (if (i == 1) 0L else 1L + rnd.nextInt(20).toLong,
+        rnd.nextInt(9).toDouble, i))
+    val df = rows.toDF("g", "v", "id").repartition(13)
+    val got = Ranks.topKPerGroup(df, Seq("g"), col("v"), col("id"), k = 3,
+        rankCol = "rn", ordName = "v", tieName = "id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val want = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+      .filter(col("rn") <= 3)
+      .select(col("g"), col("rn").cast("int"), col("v"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(got == want)
+    // partitioning invariance (merge order cannot change a total order)
+    val again = Ranks.topKPerGroup(df.repartition(3), Seq("g"), col("v"),
+        col("id"), k = 3, rankCol = "rn", ordName = "v", tieName = "id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(again == got)
+  }
+
+  test("asc mode ranks smallest-first and round-trips ord exactly") {
+    import spark.implicits._
+    val df = Seq((1L, 0.0, 10L), (1L, 2.5, 11L), (1L, 0.0, 12L),
+      (1L, -3.5, 13L)).toDF("g", "v", "id")
+    val got = Ranks.topKPerGroup(df, Seq("g"), col("v"), col("id"), k = 3,
+        rankCol = "rn", ordName = "v", tieName = "id", asc = true)
+      .orderBy("rn")
+      .collect().map(r => (r.getInt(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, -3.5, 13L), (2, 0.0, 10L), (3, 0.0, 12L)))
+    // 0.0 came back as +0.0, not -0.0 (the 0.0 - x negation contract)
+    assert(got(1)._2.compareTo(0.0) == 0)
+  }
+
+  test("plan: partial-merge aggregation, no WindowExec, no full-row shuffle") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i % 5, i.toDouble, i)).toDF("g", "v", "id")
+    val plan = Ranks.topKPerGroup(df, Seq("g"), col("v"), col("id"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window rank leaked into the plan:\n$plan")
+    // typed Aggregator partial merge: an ObjectHashAggregate pair with a
+    // merge-mode final stage (the map side combines before the exchange)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("merge_boundedtopk") || plan.contains("BoundedTopK"),
+      plan)
+  }
+
+  test("samplePerGroup: deterministic, n per group, invariant to layout") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (s"g${i % 4}", i)).toDF("lang", "doc_id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Ranks.samplePerGroup(d, Seq("lang"), col("doc_id"), n = 5,
+          idName = "doc_id")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(3)))
+        .toSet
+    val out = run(df)
+    assert(out.size == 20) // 4 groups × 5
+    assert(run(df.repartition(17)) == out)
+    assert(run(df.coalesce(1)) == out)
+    // priorities are ascending within a group
+    val pri = Ranks.samplePerGroup(df, Seq("lang"), col("doc_id"), n = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+    for ((_, rows) <- pri) {
+      val ordered = rows.sortBy(_._2).map(_._3)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+    }
+  }
+}
