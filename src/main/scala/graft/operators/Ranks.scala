@@ -87,8 +87,8 @@ object Ranks {
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], ord: Column,
       tie: Column, k: Int, rankCol: String = "rank",
       ordName: String = "ord", tieName: String = "tie",
-      asc: Boolean = false): DataFrame = {
-    val agg = udaf(new BoundedTopK(k), Encoders.product[TopKRow])
+      asc: Boolean = false, distinctTies: Boolean = false): DataFrame = {
+    val agg = udaf(new BoundedTopK(k, distinctTies), Encoders.product[TopKRow])
     val ordIn = if (asc) lit(0.0) - ord.cast("double") else ord.cast("double")
     val ordOut = if (asc) lit(0.0) - col("col.o") else col("col.o")
     df.groupBy(groupCols.map(col): _*)
@@ -129,8 +129,14 @@ case class TopKBuf(ords: Array[Double], ties: Array[Long])
 /** Mergeable bounded top-k: the `Aggregator` behind
   * [[Ranks.topKPerGroup]]. All three operations preserve the sorted-
   * capped invariant, so `finish` is the identity and merge order cannot
-  * change the result (the (ord, tie) order is total). */
-class BoundedTopK(k: Int)
+  * change the result (the (ord, tie) order is total).
+  *
+  * `distinct = true` additionally dedupes EXACT (ord, tie) pairs on
+  * insert and merge — the contract sketch-style callers need (KMV keeps
+  * the k smallest DISTINCT hashes; a value seen on two partitions must
+  * occupy one slot, not two). With unique ties (the topKPerGroup
+  * contract) the flag is a no-op. */
+class BoundedTopK(k: Int, distinct: Boolean = false)
     extends Aggregator[TopKRow, TopKBuf, TopKBuf] with Serializable {
   require(k >= 1, s"topKPerGroup needs k >= 1, got $k")
   require(k <= 100000,
@@ -153,6 +159,8 @@ class BoundedTopK(k: Int)
         val m = (lo + hi) >>> 1
         if (better(b.ords(m), b.ties(m), a.ord, a.tie)) lo = m + 1 else hi = m
       }
+      if (distinct && lo < n && b.ords(lo) == a.ord && b.ties(lo) == a.tie)
+        return b
       val outN = math.min(n + 1, k)
       val os = new Array[Double](outN)
       val ts = new Array[Long](outN)
@@ -173,20 +181,24 @@ class BoundedTopK(k: Int)
     if (y.ords.isEmpty) x
     else if (x.ords.isEmpty) y
     else {
-      val n = math.min(x.ords.length + y.ords.length, k)
-      val os = new Array[Double](n)
-      val ts = new Array[Long](n)
+      val cap = math.min(x.ords.length + y.ords.length, k)
+      val os = new Array[Double](cap)
+      val ts = new Array[Long](cap)
       var i = 0
       var j = 0
       var o = 0
-      while (o < n) {
-        val takeX = j >= y.ords.length || (i < x.ords.length &&
-          better(x.ords(i), x.ties(i), y.ords(j), y.ties(j)))
-        if (takeX) { os(o) = x.ords(i); ts(o) = x.ties(i); i += 1 }
-        else { os(o) = y.ords(j); ts(o) = y.ties(j); j += 1 }
+      while (o < cap && (i < x.ords.length || j < y.ords.length)) {
+        if (j >= y.ords.length) { os(o) = x.ords(i); ts(o) = x.ties(i); i += 1 }
+        else if (i >= x.ords.length) { os(o) = y.ords(j); ts(o) = y.ties(j); j += 1 }
+        else if (distinct && x.ords(i) == y.ords(j) && x.ties(i) == y.ties(j)) {
+          os(o) = x.ords(i); ts(o) = x.ties(i); i += 1; j += 1
+        } else if (better(x.ords(i), x.ties(i), y.ords(j), y.ties(j))) {
+          os(o) = x.ords(i); ts(o) = x.ties(i); i += 1
+        } else { os(o) = y.ords(j); ts(o) = y.ties(j); j += 1 }
         o += 1
       }
-      TopKBuf(os, ts)
+      if (o == cap) TopKBuf(os, ts)
+      else TopKBuf(java.util.Arrays.copyOf(os, o), java.util.Arrays.copyOf(ts, o))
     }
   }
 

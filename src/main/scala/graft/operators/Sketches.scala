@@ -116,6 +116,74 @@ object Sketches {
       width: Int = 1024): CmsSketch =
     CmsSketch(countMin(df, keyCol, depth, width), depth, width)
 
+  // ------------------------------------------- KMV distinct counting
+
+  /** K-minimum-values distinct-count sketch — the ENGINE-PORTABLE
+    * cardinality sketch the HLL row above cannot be: both the state (the
+    * k smallest distinct md5-derived 52-bit hashes per group) and the
+    * estimator (`(k−1) · 2^52 / h_k`, one IEEE division) are exactly
+    * expressible in ANSI SQL, so unlike HLL the whole pipeline is
+    * oracle-checkable bit-for-bit. Same scale shape as HLL: the state is
+    * ≤ k longs per group (mergeable by union → re-min), built by
+    * [[graft.operators.Ranks.topKPerGroup]]'s capped partial-merge
+    * aggregator, so the key universe never shuffles — each input
+    * partition contributes at most k hashes per group to the exchange.
+    * Relative error ≈ 1/√(k−2) (~13% at the default k = 64; grow k for
+    * tighter bounds — the state stays trivially small).
+    *
+    * `mins` carries the group columns plus `h`; below k distinct hashes
+    * the estimate is the EXACT count (every hash is present). Hash
+    * collisions at 52 bits undercount by ~n²/2^53 — negligible below
+    * billions of distinct values per group, and faithfully mirrored by
+    * an oracle using the same hash. */
+  final case class KmvSketch(mins: DataFrame, k: Int) {
+    private def groups: Seq[String] = mins.columns.filterNot(_ == "h").toSeq
+
+    def merge(other: KmvSketch): KmvSketch = {
+      require(k == other.k,
+        s"KMV merge with mismatched k: $k vs ${other.k}")
+      KmvSketch(rebuildMins(mins.unionByName(other.mins), groups, k), k)
+    }
+
+    /** (groupCols..., est_distinct: double) — exact below k. */
+    def estimate: DataFrame = {
+      val g = groups
+      // (k-1)·2^52 precomputed in exact integer-double arithmetic; the
+      // single runtime division is IEEE-identical across engines
+      val scale = (k - 1).toDouble * 4503599627370496.0
+      mins.groupBy(g.map(col): _*)
+        .agg(count(lit(1)).as("__n"), max(col("h")).as("__hk"))
+        .select(g.map(col) :+
+          when(col("__n") < k, col("__n").cast("double"))
+            .otherwise(lit(scale) / col("__hk").cast("double"))
+            .as("est_distinct"): _*)
+    }
+  }
+
+  /** The portable 52-bit hash shared by build and merge: 13 md5 hex
+    * digits folded to a long — exactly representable as DOUBLE, so the
+    * estimator's division is portable too. */
+  private def kmvHash(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("long")
+
+  private def rebuildMins(hashed: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame =
+    Ranks.topKPerGroup(hashed, groupCols, col("h").cast("double"), col("h"),
+        k, rankCol = "__rn", ordName = "__ord", tieName = "h",
+        asc = true, distinctTies = true)
+      .select(groupCols.map(col) :+ col("h"): _*)
+
+  /** Build a [[KmvSketch]] of `c` per group. `k ≤ 2048` keeps
+    * `(k−1)·2^52` exact as a double. */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], c: Column,
+      k: Int = 64): KmvSketch = {
+    require(k >= 2 && k <= 2048, s"kmvSketch needs 2 <= k <= 2048, got $k")
+    KmvSketch(rebuildMins(
+      df.select(groupCols.map(col) :+ kmvHash(c).as("h"): _*),
+      groupCols, k), k)
+  }
+
   // ------------------------------------------- log-bucket quantiles
 
   /** Decimal-log bucket decomposition of a non-negative scaled-integer

@@ -511,7 +511,27 @@ object Extras {
         rankCol = "rn", priName = "pri", idName = "doc_id")
       .orderBy("lang", "rn")
 
+  /** KMV distinct-count sketch ([[graft.operators.Sketches.kmvSketch]])
+    * — the oracle-checkable cardinality sketch: distinct parts per
+    * return flag estimated from TWO disjoint "daily batch" sketches
+    * (l_orderkey parity) merged by union → re-min, next to the exact
+    * count. The DuckDB oracle replays hash → k-distinct-min → the one
+    * IEEE division over the WHOLE table, so a bit-exact match proves
+    * merge-of-partials == whole AND estimator portability. */
+  def aKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val li = t(s, dir, "lineitem")
+    val Seq(b0, b1) = Seq(0, 1).map(p =>
+      Sketches.kmvSketch(li.filter(col("l_orderkey") % 2 === p),
+        Seq("l_returnflag"), col("l_partkey"), k = 64))
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+    b0.merge(b1).estimate.join(exact, Seq("l_returnflag"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_kmv_distinct" -> (aKmvDistinct _),
     "w_topk_agg_orders" -> (wTopkAggOrders _),
     "c_sample_per_group" -> (cSamplePerGroup _),
     "a_quantile_sketch" -> (aQuantileSketch _),
@@ -577,6 +597,30 @@ object Extras {
         |FROM m ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // 283726776524341248.0 = (k-1)·2^52 for k=64 — exact as DOUBLE, so
+    // the estimator is the single division both engines compute alike
+    "a_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+        |    CAST(list_sum(list_transform(range(1, 14), j ->
+        |      CAST(strpos('0123456789abcdef',
+        |          substr(md5(CAST(l_partkey AS VARCHAR)), CAST(j AS INTEGER), 1))
+        |        - 1 AS BIGINT) << (4 * (13 - CAST(j AS INTEGER)))))
+        |      AS BIGINT) AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |  FROM h),
+        |s AS (SELECT l_returnflag, COUNT(*) AS n, MAX(h) AS hk
+        |  FROM r WHERE rn <= 64 GROUP BY 1)
+        |SELECT s.l_returnflag,
+        |  CASE WHEN s.n < 64 THEN CAST(s.n AS DOUBLE)
+        |       ELSE 283726776524341248.0 / CAST(s.hk AS DOUBLE)
+        |  END AS est_distinct,
+        |  e.n_exact
+        |FROM s JOIN (SELECT l_returnflag,
+        |    COUNT(DISTINCT l_partkey) AS n_exact
+        |  FROM lineitem GROUP BY 1) e USING (l_returnflag)
+        |ORDER BY 1""".stripMargin,
     "w_topk_agg_orders" ->
       """SELECT o_custkey, rn, o_totalprice, o_orderkey FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -201,4 +201,38 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(candDf.filter(col("k") === "HH").count() == 1,
       "true heavy hitter must survive the per-partition MG summaries")
   }
+
+  test("KMV: exact below k; merged partials equal the whole; layout-proof") {
+    import spark.implicits._
+    // group "small" has 40 distinct values (< k=64) → exact path;
+    // group "big" has 5000 (> k) → estimation path; heavy duplication
+    // everywhere so the distinct-hash dedup is actually exercised
+    val rows =
+      (for (i <- 0 until 40; _ <- 0 until 5) yield ("small", i.toLong)) ++
+      (for (i <- 0 until 5000; _ <- 0 until 2) yield ("big", i.toLong))
+    val df = rows.toDF("g", "v")
+
+    val whole = Sketches.kmvSketch(df, Seq("g"), col("v"), k = 64)
+    val est = whole.estimate.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est("small") == 40.0, "below k the KMV estimate is exact")
+    assert(math.abs(est("big") - 5000.0) / 5000.0 < 0.40,
+      s"KMV k=64 estimate off by more than 3σ: ${est("big")}")
+
+    // merge of disjoint halves == whole, down to identical min-hash state
+    val Seq(b0, b1) = Seq(0, 1).map(p =>
+      Sketches.kmvSketch(df.filter(col("v") % 2 === p), Seq("g"), col("v"),
+        k = 64))
+    def state(s: Sketches.KmvSketch) = s.mins.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(state(b0.merge(b1)) == state(whole))
+    // overlapping halves too: dedup must keep one slot per value
+    val Seq(o0, o1) = Seq(0, 3500).map(lo =>
+      Sketches.kmvSketch(df.filter(col("v") >= lo), Seq("g"), col("v"),
+        k = 64))
+    assert(state(o1.merge(o0)) == state(whole))
+    // layout independence
+    assert(state(Sketches.kmvSketch(df.repartition(17), Seq("g"), col("v"),
+      k = 64)) == state(whole))
+  }
 }
