@@ -52,7 +52,12 @@ object PlanDump {
     "d_jaccard_prefix_pairs" -> "prefix-filter Jaccard join — per-doc array_sort realizes the global df order locally (no rank window), candidates equi-join ONLY prefix postings with the length filter in the join condition, exact verify is narrow array_intersect on candidate pairs",
     "c_funnel_steps" -> "ordered funnel — ONE exchange on user, k stacked window-mins over the same partitioning (no per-step self-joins), single-row summary exploded to steps",
     "w_rolling_3d" -> "rolling time-range metrics — RANGE frame on integer microseconds over one user exchange; count and exact-decimal sum share the frame",
-    "j_interval_overlap" -> "interval overlap join — grid-cell explode + EQUI-join (no theta/nested loop), canonical-cell filter makes emission exactly-once without a distinct")
+    "j_interval_overlap" -> "interval overlap join — grid-cell explode + EQUI-join (no theta/nested loop), canonical-cell filter makes emission exactly-once without a distinct",
+    "w_topk_agg_orders" -> "bounded top-k per group — partial-merge ObjectHashAggregate over a k-capped typed buffer (≤ k 16-byte entries per group per partition cross the exchange), posexplode of the final buffers; NO WindowExec, no full-row shuffle",
+    "a_kmv_distinct" -> "KMV distinct sketch — hash projection at the scan, the same capped aggregator (distinct mode) keeps k min-hashes per group, estimator is one codegen division; COUNT(DISTINCT)'s key-universe exchange never appears for the sketch side",
+    "a_group_ols" -> "per-group OLS — ONE HashAggregate pass of exact BIGINT moments (partial+final), fixed float tail projected on top; no second scan, no join",
+    "t_winsorize_chars" -> "winsorization — percentile bounds aggregate (within-group sort only) broadcast back onto the scan, codegen least/greatest clip, summary aggregate on top",
+    "s_hard_negatives" -> "hard-negative mining — broadcast queries cross the base scan with the label-inequality pair filter BEFORE scoring, rank-limit window cuts to k per partition")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */

@@ -535,6 +535,91 @@ object ScaleProbe {
         .join(dim, Seq("okey")).count()
     }
 
+    // ---- bounded top-k / KMV vs the window-rank shape (round 10) ----
+    // Wall-clock alone understates the difference at local[32]: the
+    // exchange is an in-memory copy here, so also record SHUFFLE BYTES
+    // WRITTEN — the quantity that becomes the network bottleneck on a
+    // real cluster — via stage metrics.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val shuffleListener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    def timedShuffled[T](stage: String)(f: => Long): Unit = {
+      spark.sparkContext.addSparkListener(shuffleListener)
+      shuffleBytes.set(0)
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let the async listener bus drain
+      spark.sparkContext.removeSparkListener(shuffleListener)
+      println(f"""{"stage":"$stage","rows":$rows,"sec":$sec%.2f,"shuffle_mb":${shuffleBytes.get / 1048576.0}%.1f}""")
+    }
+    // HONEST baseline first: Spark 4 already plans a PARTIAL
+    // WindowGroupLimit below the exchange for row_number + rn<=k, so for
+    // NARROW rows the window shape ships the same ~groups×k×partitions
+    // rows the aggregator does (measured: 1.2 MB both at 1k groups).
+    // The aggregator's batch edge is PAYLOAD: the window must shuffle
+    // whole rows (its output needs them), while topKPerGroup ships
+    // 16-byte (ord, tie) pairs and joins the ≤ groups×k winners back —
+    // the wide-payload pair below measures exactly that. Its other
+    // edges are structural: mergeable state (the streaming face), the
+    // distinct mode (KMV), and no per-partition sort.
+    def topkInput(groups: Long) = spark.range(10000000).select(
+      (col("id") % groups).as("g"),
+      (col("id") * 2654435761L % 1000003L).cast("double").as("v"),
+      col("id"))
+    for (groups <- Seq(1000L, 100000L)) {
+      timedShuffled(s"topk_window_10M_${groups / 1000}kgroups") {
+        // narrow rows: WindowGroupLimit caps both sides of the exchange
+        import org.apache.spark.sql.expressions.Window
+        topkInput(groups).withColumn("rn", row_number().over(
+            Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+          .filter(col("rn") <= 3).count()
+      }
+      timedShuffled(s"topk_agg_10M_${groups / 1000}kgroups") {
+        // capped aggregator: ≤ 3 entries per group per input partition
+        Ranks.topKPerGroup(topkInput(groups), Seq("g"), col("v"),
+          col("id"), k = 3).count()
+      }
+    }
+    val widePayload = topkInput(1000L)
+      .withColumn("payload", concat(lit("x"), repeat(lit("p"), 400),
+        col("id"))) // ~400 B/row: the "document" riding along
+    timedShuffled("topk_window_wide_10M_1kgroups") { // the window's
+      // group-limit keeps row COUNT down but every surviving row crosses
+      // WITH its payload — and the pre-limit only helps rows it can drop
+      import org.apache.spark.sql.expressions.Window
+      widePayload.withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+        .filter(col("rn") <= 3).select(sum(length(col("payload")))).count()
+    }
+    timedShuffled("topk_agg_wide_10M_1kgroups") { // aggregator never
+      // ships payload: 16-byte pairs shuffle, the 3k winners join back
+      val winners = Ranks.topKPerGroup(widePayload, Seq("g"), col("v"),
+        col("id"), k = 3, tieName = "id")
+      widePayload.join(broadcast(winners.select("id", "rank")), Seq("id"))
+        .select(sum(length(col("payload")))).count()
+    }
+    // COUNT(DISTINCT) vs KMV: the distinct value must NOT be provably
+    // unique (Spark's distinct-key tracking rewrites count(distinct) of
+    // a unique column to a plain count and the exchange vanishes —
+    // measured, and a good reason to keep fixtures adversarial)
+    def kmvInput = spark.range(10000000).select(
+      (col("id") % 8L).as("g8"),
+      (col("id") * 2654435761L % 3000000L).as("v"))
+    timedShuffled("distinct_exact_10M_8groups") { // the shape KMV
+      // replaces: every distinct (g, value) crosses the exchange
+      kmvInput.groupBy("g8").agg(countDistinct(col("v"))).count()
+    }
+    timedShuffled("kmv_distinct_10M_8groups") { // same data: exchange
+      // carries 64 hashes per group per partition, values never shuffle
+      Sketches.kmvSketch(kmvInput, Seq("g8"), col("v"), k = 64)
+        .estimate.count()
+    }
+
     spark.stop()
   }
 }

@@ -47,6 +47,8 @@ object SparkEntry {
     "h20_shape_concentrated_supplier", "d_duplicate_spans",
     "h9_shape_product_profit", "h12_shape_shipping_modes",
     "w_topk_agg_orders")
+  // a_kmv_distinct stays out of headline: one more name would overflow
+  // the driver's ~1800-char stdout tail (HarnessContractSpec enforces)
   // Trimmed from headline in round 10 so the stdout line keeps its
   // per-query map inside the driver's ~1800-char tail (63 names would
   // overflow into the truncated fallback): a14_histogram_quantity

@@ -55,11 +55,35 @@ object Similarity {
     * query survive each map task. */
   def bruteForceTopK(base: DataFrame, queries: DataFrame, k: Int,
       baseId: String = "vec_id", baseVec: String = "embedding",
-      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame =
+    scoredTopK(base, queries, k, col(queryId) =!= col(baseId),
+      baseId, baseVec, queryId, queryVec)
+
+  /** Hard-negative mining for contrastive training: for each query, the
+    * k most similar base vectors with a DIFFERENT label — the pairs that
+    * teach an embedding model the most, per the standard in-batch /
+    * mined-negatives recipe. Same broadcast-score-rank shape as
+    * [[bruteForceTopK]] (queries broadcast, base never shuffles, rank
+    * limit cuts to k per partition before the per-query window); the
+    * label inequality is part of the pair filter, so excluded positives
+    * never reach the scorer. For corpus-scale mining swap the base scan
+    * for [[ivfTopK]]'s probed candidates — the filter composes
+    * unchanged. */
+  def hardNegatives(base: DataFrame, queries: DataFrame, k: Int,
+      baseId: String = "vec_id", baseVec: String = "embedding",
+      baseLabel: String = "label", queryId: String = "qid",
+      queryVec: String = "qvec", queryLabel: String = "qlabel"): DataFrame =
+    scoredTopK(base, queries, k,
+      col(queryId) =!= col(baseId) && col(queryLabel) =!= col(baseLabel),
+      baseId, baseVec, queryId, queryVec)
+
+  private def scoredTopK(base: DataFrame, queries: DataFrame, k: Int,
+      pairFilter: Column, baseId: String, baseVec: String,
+      queryId: String, queryVec: String): DataFrame = {
     val baseN = base.withColumn("__bnorm", norm(col(baseVec)))
     val queryN = queries.withColumn("__qnorm", norm(col(queryVec)))
     val scored = baseN.crossJoin(broadcast(queryN))
-      .filter(col(queryId) =!= col(baseId))
+      .filter(pairFilter)
       .withColumn("cos", cosineWithNorms(col(queryVec), col(baseVec),
         col("__qnorm"), col("__bnorm")))
     val w = Window.partitionBy(queryId).orderBy(col("cos").desc, col(baseId).asc)

@@ -184,6 +184,16 @@ object Sketches {
       groupCols, k), k)
   }
 
+  /** Reconstruct a [[KmvSketch]] from a union of stored min tables
+    * (the streaming / at-rest readout face): re-min to the k smallest
+    * distinct hashes per group. Because the distinct-merge collapses
+    * identical hashes, appending the SAME min table twice (an
+    * at-least-once replay) cannot change the result — the readout is
+    * replay-idempotent by construction, no batch-id guard needed. */
+  def kmvFromMins(mins: DataFrame, k: Int): KmvSketch =
+    KmvSketch(rebuildMins(mins,
+      mins.columns.filterNot(_ == "h").toSeq, k), k)
+
   // ------------------------------------------- log-bucket quantiles
 
   /** Decimal-log bucket decomposition of a non-negative scaled-integer

@@ -144,6 +144,108 @@ object Stats {
       .withColumnRenamed("sx", "sum_x")
   }
 
+  /** Per-group ordinary-least-squares fit `y ≈ slope·x + intercept`
+    * from the same exact integer moments as [[exactMoments]] — the
+    * per-group trend primitive (rate of change per segment, drift per
+    * source) that stays ONE aggregation pass at any scale:
+    *
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+    *   r²        = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+    *
+    * Numerators and denominators are exact BIGINTs (same integer-input
+    * contract and pairwise null deletion as [[exactMoments]]); each
+    * emitted value is a fixed two-operand float expression over their
+    * casts, so results are bit-identical across engines, partitionings,
+    * and reruns. The r² square is taken AFTER the casts because the
+    * BIGINT square could overflow where the double cannot. Degenerate
+    * groups (constant x, or constant y for r²) yield nulls via explicit
+    * zero-denominator guards. Output: groups... + (n, slope, intercept,
+    * r2). */
+  def groupOls(df: DataFrame, groupCols: Seq[Column],
+      x: Column, y: Column): DataFrame = {
+    val p = momentPartials(df, groupCols, x, y)
+    val n = col("n")
+    val sNum = n * col("sxy") - col("sx") * col("sy") // exact BIGINT
+    val sDenX = n * col("sxx") - col("sx") * col("sx")
+    val sDenY = n * col("syy") - col("sy") * col("sy")
+    val iNum = col("sy") * col("sxx") - col("sx") * col("sxy")
+    p.withColumn("slope",
+        when(sDenX =!= 0, sNum.cast("double") / sDenX.cast("double")))
+      .withColumn("intercept",
+        when(sDenX =!= 0, iNum.cast("double") / sDenX.cast("double")))
+      .withColumn("r2",
+        when(sDenX =!= 0 && sDenY =!= 0,
+          (sNum.cast("double") * sNum.cast("double")) /
+            (sDenX.cast("double") * sDenY.cast("double"))))
+      .drop("sx", "sy", "sxx", "syy", "sxy")
+  }
+
+  /** Per-group winsorization — the standard outlier treatment before
+    * training-statistics or quality scoring: clip `c` into its own
+    * group's `[p(lo), p(hi)]` band. One exact-percentile aggregation
+    * over the groups (partial buffers merge; values sort within groups
+    * only, never globally), then the tiny bounds table joins back —
+    * broadcast by default since group counts are small (languages,
+    * sources); pass `broadcastBounds = false` when grouping by a
+    * high-cardinality key so the join can shuffle both sides instead of
+    * shipping an oversized build side to every task. The clip itself is
+    * a codegen `least/greatest` over the scan — no second pass over the
+    * data beyond the join. Output: the input rows + `outCol` (DOUBLE,
+    * the clipped value; null inputs stay null and do not enter the
+    * percentile). */
+  def winsorize(df: DataFrame, groupCols: Seq[String], c: Column,
+      lo: Double, hi: Double, outCol: String,
+      broadcastBounds: Boolean = true): DataFrame = {
+    require(0.0 <= lo && lo <= hi && hi <= 1.0,
+      s"winsorize needs 0 <= lo <= hi <= 1, got [$lo, $hi]")
+    val bounds = df.filter(c.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(percentile(c, lit(lo)).as("__lo"),
+        percentile(c, lit(hi)).as("__hi"))
+    val b = if (broadcastBounds) broadcast(bounds) else bounds
+    // least/greatest IGNORE nulls (they return the extreme of the
+    // non-null operands), so an unguarded clip would turn a null input
+    // into the lower bound — guard explicitly to keep nulls null
+    df.join(b, groupCols, "left")
+      .withColumn(outCol, when(c.isNotNull,
+        least(greatest(c.cast("double"), col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
+
+  /** 2×2 chi-square independence test over two boolean conditions — the
+    * statistical face of the A12 contingency table: one aggregation pass
+    * counts the four cells exactly (BIGINT), then
+    *
+    *   χ² = n · (ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * with `ad − bc` computed exactly in BIGINT (|cells| ≤ 2^31 keeps the
+    * products exact) and everything after its double cast — the square
+    * and the margin products can overflow BIGINT at corpus scale, and in
+    * IEEE arithmetic the fixed operand order makes the result identical
+    * across engines anyway. Output: one row (a, b, c, d, n, chi2);
+    * degenerate margins (a zero row or column) yield null chi2. */
+  def chiSquare2x2(df: DataFrame, condA: Column, condB: Column): DataFrame = {
+    val cell = (x: Column, y: Column) =>
+      sum(when(x && y, 1L).otherwise(0L))
+    df.agg(
+        cell(condA, condB).as("a"), cell(condA, !condB).as("b"),
+        cell(!condA, condB).as("c"), cell(!condA, !condB).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        (col("a") + col("b") + col("c") + col("d")).as("n"),
+        {
+          val det = (col("a") * col("d") - col("b") * col("c"))
+            .cast("double")
+          val den = (col("a") + col("b")).cast("double") *
+            (col("c") + col("d")).cast("double") *
+            (col("a") + col("c")).cast("double") *
+            (col("b") + col("d")).cast("double")
+          when(den =!= 0.0,
+            (col("a") + col("b") + col("c") + col("d")).cast("double") *
+              (det * det) / den).as("chi2")
+        })
+  }
+
   /** Exact integer moment vector — the typed Aggregator's buffer AND
     * output. Component-wise addition is associative and commutative, so
     * ANY partial-aggregation tree (map-side combine, AQE coalesced

@@ -530,7 +530,44 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  /** Per-group OLS trend ([[graft.operators.Stats.groupOls]]): quantity
+    * vs linenumber per return flag — integer-moment numerators and
+    * denominators, fixed float tail, so slope/intercept/r² hash exactly
+    * against the oracle's replay of the same algebra. */
+  def aGroupOls(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.groupOls(t(s, dir, "lineitem"),
+        Seq(col("l_returnflag")), col("l_quantity"), col("l_linenumber"))
+      .orderBy("l_returnflag")
+
+  /** Per-group winsorization ([[graft.operators.Stats.winsorize]]):
+    * document lengths clipped to each lang's [p05, p95]; the summary
+    * keeps the checkable surface integer-or-selection-valued (clip
+    * bounds via min/max, raised/lowered counts) so every column hashes
+    * exactly — Spark `percentile` ≡ DuckDB `quantile_cont`. */
+  def tWinsorizeChars(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.winsorize(t(s, dir, "documents"), Seq("lang"),
+        col("n_chars").cast("double"), 0.05, 0.95, "clipped")
+      .groupBy("lang").agg(
+        min(col("clipped")).as("clip_min"),
+        max(col("clipped")).as("clip_max"),
+        sum(when(col("clipped") > col("n_chars"), 1L).otherwise(0L))
+          .as("n_raised"),
+        sum(when(col("clipped") < col("n_chars"), 1L).otherwise(0L))
+          .as("n_lowered"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+
+  /** χ² independence test ([[graft.operators.Stats.chiSquare2x2]]) on
+    * the A12 contingency pair — exact BIGINT cells, det in BIGINT, all
+    * later arithmetic in fixed-order doubles so chi2 hashes exactly. */
+  def aChiSquare(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.chiSquare2x2(t(s, dir, "lineitem"),
+      col("l_returnflag") === "R", col("l_linestatus") === "F")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_chi_square" -> (aChiSquare _),
+    "t_winsorize_chars" -> (tWinsorizeChars _),
+    "a_group_ols" -> (aGroupOls _),
     "a_kmv_distinct" -> (aKmvDistinct _),
     "w_topk_agg_orders" -> (wTopkAggOrders _),
     "c_sample_per_group" -> (cSamplePerGroup _),
@@ -597,6 +634,63 @@ object Extras {
         |FROM m ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a_chi_square" ->
+      """WITH m AS (SELECT
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus <> 'F'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(SUM(CASE WHEN l_returnflag <> 'R' AND l_linestatus = 'F'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(SUM(CASE WHEN l_returnflag <> 'R' AND l_linestatus <> 'F'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM lineitem)
+        |SELECT a, b, c, d, a + b + c + d AS n,
+        |  CASE WHEN CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+        |      * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE) <> 0 THEN
+        |    CAST(a + b + c + d AS DOUBLE)
+        |      * (CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE))
+        |      / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+        |         * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+        |  END AS chi2
+        |FROM m""".stripMargin,
+    "t_winsorize_chars" ->
+      """WITH b AS (SELECT lang,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS lo,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS hi
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |w AS (SELECT d.lang, CAST(d.n_chars AS DOUBLE) AS v,
+        |    LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b.lo), b.hi) AS c
+        |  FROM documents d JOIN b USING (lang))
+        |SELECT lang, MIN(c) AS clip_min, MAX(c) AS clip_max,
+        |  CAST(SUM(CASE WHEN c > v THEN 1 ELSE 0 END) AS BIGINT) AS n_raised,
+        |  CAST(SUM(CASE WHEN c < v THEN 1 ELSE 0 END) AS BIGINT) AS n_lowered,
+        |  COUNT(*) AS n
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_group_ols" ->
+      """WITH m AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS BIGINT) AS sxx,
+        |    CAST(SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT))
+        |      AS BIGINT) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT))
+        |      AS BIGINT) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) END AS intercept,
+        |  CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+        |    (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+        |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |         * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+        |FROM m ORDER BY 1""".stripMargin,
     // 283726776524341248.0 = (k-1)·2^52 for k=64 — exact as DOUBLE, so
     // the estimator is the single division both engines compute alike
     "a_kmv_distinct" ->

@@ -361,6 +361,20 @@ object TextLLM {
       .orderBy("qid", "rank")
   }
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): per query, the
+    * 3 most similar vectors with a DIFFERENT label — the contrastive-
+    * training pair miner. Output (qid, rank, nid) only, like the other
+    * ANN oracles: ranks are label-aware and tie-broken by nid. */
+  def sHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val queries = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    Similarity.hardNegatives(base, queries, 3)
+      .select("qid", "rank", "nid")
+      .orderBy("qid", "rank")
+  }
+
   // -------------------------- hash pipelines (oracle'd via md5 families)
 
   def dMinhashNearDups(s: SparkSession, dir: String): DataFrame =
@@ -1110,6 +1124,7 @@ object TextLLM {
     "m_binary_meta" -> (mBinaryMeta _),
     "m_warc_roundtrip" -> (mWarcRoundtrip _),
     "s_ann_brute_top5" -> (sAnnBruteTop5 _),
+    "s_hard_negatives" -> (sHardNegatives _),
     "s_quantize_int8" -> (sQuantizeInt8 _),
     "d_minhash_neardups" -> (dMinhashNearDups _),
     "d_dedup_corpus" -> (dDedupCorpus _),
@@ -2316,6 +2331,18 @@ object TextLLM {
         |    PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
         |  FROM scored)
         |SELECT qid, rank, nid FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "s_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+        |    label AS qlabel
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (SELECT qid, b.vec_id AS nid,
+        |    list_cosine_similarity(qe, CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM q CROSS JOIN embeddings b
+        |  WHERE b.vec_id <> qid AND b.label <> qlabel),
+        |ranked AS (SELECT qid, nid, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     // Full LSH mirror: plane (i,d) = md5("plane:i:d") first-15-hex-digit
     // decode (BIGINT shift-sum; every 16^k is a power of two so the
     // power() casts are exact) scaled to [-1,1) by h/2^59-1 — identical

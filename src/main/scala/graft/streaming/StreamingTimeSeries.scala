@@ -208,6 +208,69 @@ object StreamingTimeSeries {
       .quantiles(qs)
   }
 
+  /** Streaming top-k maintenance — the ingestion face of
+    * [[graft.operators.Ranks.topKPerGroup]]: each micro-batch reduces to
+    * at most k (ord, tie) rows per group (16 bytes each) appended to the
+    * summary table; the raw stream never accumulates. The merged readout
+    * re-top-ks with `distinctTies = true`: ties are unique row ids, so
+    * identical (ord, tie) pairs can only come from an at-least-once
+    * replay of the same batch — the distinct-merge IS the replay guard,
+    * collapsing them into one slot with no batch-id bookkeeping. */
+  def startTopKQuery(events: DataFrame, groupCol: String, ordCol: String,
+      tieCol: String, k: Int, targetDir: String, checkpointDir: String) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Ranks
+          .topKPerGroup(batch.toDF(), Seq(groupCol), col(ordCol),
+            col(tieCol), k, ordName = "ord", tieName = "tie")
+          .select(col(groupCol), col("ord"), col("tie"))
+          .write.mode("append").parquet(targetDir)
+      }
+      .start()
+
+  /** Whole-stream top-k from the per-batch candidates stored by
+    * [[startTopKQuery]]. Equals the batch [[graft.operators.Ranks
+    * .topKPerGroup]] of the union (StreamingSpec pins the equality):
+    * a group's true top-k over the whole stream survives in the union
+    * of per-batch top-ks because membership in the whole-stream top-k
+    * implies membership in the owning batch's top-k. */
+  def mergedTopK(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String, k: Int,
+      rankCol: String = "rank", ordName: String = "ord",
+      tieName: String = "tie"): DataFrame =
+    graft.operators.Ranks.topKPerGroup(
+      spark.read.parquet(targetDir), Seq(groupCol), col("ord"), col("tie"),
+      k, rankCol, ordName, tieName, distinctTies = true)
+
+  /** Streaming distinct-count maintenance via KMV — like
+    * [[startDistinctSketchQuery]] but with the ENGINE-PORTABLE sketch:
+    * ≤ k hash rows per group per batch, merged by
+    * [[graft.operators.Sketches.kmvFromMins]] (distinct re-min), which
+    * makes at-least-once replays idempotent without a batch-id guard —
+    * a replayed batch contributes hashes that are already present. */
+  def startKmvSketchQuery(events: DataFrame, groupCol: String,
+      valueCol: String, targetDir: String, checkpointDir: String,
+      k: Int = 64) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Sketches
+          .kmvSketch(batch.toDF(), Seq(groupCol), col(valueCol), k)
+          .mins
+          .write.mode("append").parquet(targetDir)
+      }
+      .start()
+
+  /** Whole-stream distinct estimates from the min tables stored by
+    * [[startKmvSketchQuery]] — equals the batch sketch of the union. */
+  def mergedKmvDistinct(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, k: Int = 64): DataFrame =
+    graft.operators.Sketches
+      .kmvFromMins(spark.read.parquet(targetDir), k).estimate
+
   /** Streaming exact dedup — the ingestion-time face of the batch dedup
     * block: arriving documents are keyed by (xxhash64, sha2) of their
     * content and deduplicated statefully; the event-time watermark bounds

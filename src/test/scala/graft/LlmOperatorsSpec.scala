@@ -711,6 +711,36 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("hard negatives: only other-label neighbors, ranked like brute force") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val df = vecsDf((0L until 60L).map(i =>
+        (i, Seq.fill(8)(rng.nextGaussian().toFloat))): _*)
+      .withColumn("label", (col("vec_id") % 3).cast("int"))
+    val q = df.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val labels = df.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val negs = Similarity.hardNegatives(df, q, 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("nid")))
+    assert(negs.length == 4 * 5)
+    // every mined negative has a different label than its query
+    negs.foreach { case (qid, _, nid) =>
+      assert(labels(nid) != labels(qid), s"same-label pair ($qid, $nid)")
+    }
+    // per query: exactly the top-5 other-label rows of the full ranking
+    val all = Similarity.bruteForceTopK(df, q.drop("qlabel"), 60)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+    for (qid <- 0L until 4L) {
+      val expect = all.filter(_._1 == qid).map(_._2)
+        .filter(nid => labels(nid) != labels(qid)).take(5).toSeq
+      val got = negs.filter(_._1 == qid).sortBy(_._2).map(_._3).toSeq
+      assert(got == expect, s"qid=$qid: $got != $expect")
+    }
+  }
+
   test("LSH top-k candidates are a subset scored identically to brute force") {
     val rng = new scala.util.Random(7)
     val df = vecsDf((0L until 100L).map(i =>

@@ -146,4 +146,101 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"incremental != one-shot under slicing $preds")
     }
   }
+
+  test("groupOls: matches a naive fit; degenerate groups yield nulls; bit-stable") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 600L).map { i =>
+      val g = s"g${i % 3}"
+      val x = rnd.nextInt(50).toLong
+      // y correlates with x plus noise so slope/r2 are non-trivial
+      (g, x, 3 * x + rnd.nextInt(20).toLong)
+    } ++ Seq(("vert", 7L, 1L), ("vert", 7L, 5L), // constant x → null fit
+      ("one", 4L, 9L)) // single row → null fit
+    val df = rows.toDF("g", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.groupOls(d, Seq(col("g")), col("x"), col("y"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+            Option(r.get(4))))).toMap
+    val out = run(df)
+    assert(out("vert")._2.isEmpty && out("vert")._3.isEmpty)
+    assert(out("one")._2.isEmpty)
+    // naive per-group least squares in the driver
+    for (g <- Seq("g0", "g1", "g2")) {
+      val pts = rows.filter(_._1 == g).map(t => (t._2.toDouble, t._3.toDouble))
+      val n = pts.length.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy * sxx - sx * sxy) / (n * sxx - sx * sx)
+      val r2 = math.pow(n * sxy - sx * sy, 2) /
+        ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(out(g)._2.get.asInstanceOf[Double] - slope) < 1e-9)
+      assert(math.abs(out(g)._3.get.asInstanceOf[Double] - intercept) < 1e-9)
+      assert(math.abs(out(g)._4.get.asInstanceOf[Double] - r2) < 1e-9)
+    }
+    // integer moments + fixed float tail ⇒ identical under any layout
+    assert(run(df.repartition(11)) == out)
+    assert(run(df.coalesce(1)) == out)
+  }
+
+  test("chiSquare2x2: hand-computed cells and statistic; degenerate margin → null") {
+    import spark.implicits._
+    // classic textbook 2×2: a=10 b=20 c=30 d=40
+    val rows = Seq.fill(10)(("x", "y")) ++ Seq.fill(20)(("x", "n")) ++
+      Seq.fill(30)(("z", "y")) ++ Seq.fill(40)(("z", "n"))
+    val df = rows.toDF("u", "v")
+    val r = Stats.chiSquare2x2(df, col("u") === "x", col("v") === "y")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((10L, 20L, 30L, 40L, 100L)))
+    // chi2 = 100·(400−600)² / (30·70·40·60) = 100·40000/5040000
+    assert(math.abs(r.getDouble(5) - 100.0 * 40000.0 / 5040000.0) < 1e-12)
+    // perfectly proportional table → chi2 exactly 0
+    val ind = Seq.fill(10)(("x", "y")) ++ Seq.fill(20)(("x", "n")) ++
+      Seq.fill(20)(("z", "y")) ++ Seq.fill(40)(("z", "n"))
+    assert(Stats.chiSquare2x2(ind.toDF("u", "v"), col("u") === "x",
+      col("v") === "y").collect()(0).getDouble(5) == 0.0)
+    // empty column margin (no v=y at all) → null statistic
+    val degen = Seq.fill(5)(("x", "n")) ++ Seq.fill(5)(("z", "n"))
+    assert(Stats.chiSquare2x2(degen.toDF("u", "v"), col("u") === "x",
+      col("v") === "y").collect()(0).isNullAt(5))
+  }
+
+  test("winsorize: clips into each group's own band; nulls pass through") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 400).map(i =>
+      (s"g${i % 3}", Some(rnd.nextInt(1000).toDouble))) ++
+      Seq(("g0", None), ("allnull", None))
+    val df = rows.toDF("g", "v")
+    val out = Stats.winsorize(df, Seq("g"), col("v"), 0.10, 0.90, "c")
+    val bounds = df.filter(col("v").isNotNull).groupBy("g")
+      .agg(percentile(col("v"), lit(0.10)).as("lo"),
+        percentile(col("v"), lit(0.90)).as("hi"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val got = out.collect()
+    assert(got.length == rows.length, "winsorize must not drop or dup rows")
+    for (r <- got; if !r.isNullAt(1)) {
+      val (lo, hi) = bounds(r.getString(0))
+      val v = r.getDouble(1); val c = r.getDouble(2)
+      assert(c >= lo && c <= hi)
+      assert(c == math.min(math.max(v, lo), hi),
+        s"clip mismatch: v=$v band=[$lo,$hi] got $c")
+    }
+    // null input → null output; all-null group survives the left join
+    assert(got.filter(_.isNullAt(1)).forall(_.isNullAt(2)))
+    assert(got.exists(r => r.getString(0) == "allnull"))
+    // non-broadcast path is semantically identical
+    val shuffled = Stats.winsorize(df, Seq("g"), col("v"), 0.10, 0.90, "c",
+        broadcastBounds = false)
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+    assert(shuffled.sortBy(_.toString).toSeq ==
+      got.map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+        .sortBy(_.toString).toSeq)
+  }
 }

@@ -272,6 +272,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming top-k + KMV: merged batches == one-shot batch; replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("topk_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("topk_ckpt").toString
+    val kdir = java.nio.file.Files.createTempDirectory("kmv_sink").toString
+    val kckpt = java.nio.file.Files.createTempDirectory("kmv_ckpt").toString
+    val rng = new scala.util.Random(53)
+    // duplicate values across batches so the KMV distinct path matters
+    val all = (0 until 900).map(i =>
+      (s"g${i % 3}", rng.nextInt(200).toDouble, i.toLong))
+    val input = MemoryStream[(String, Double, Long)]
+    val kin = MemoryStream[(String, Double, Long)]
+    val q = StreamingTimeSeries.startTopKQuery(
+      input.toDF().toDF("g", "v", "id"), "g", "v", "id", 5, s"$dir/data", ckpt)
+    val kq = StreamingTimeSeries.startKmvSketchQuery(
+      kin.toDF().toDF("g", "v", "id"), "g", "v", s"$kdir/data", kckpt, k = 32)
+    try {
+      Seq(all.take(300), all.slice(300, 700), all.drop(700)).foreach { b =>
+        input.addData(b: _*); kin.addData(b: _*)
+        q.processAllAvailable(); kq.processAllAvailable()
+      }
+      def topkMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getDouble(2), r.getLong(3)))).toMap
+      val streamed = topkMap(
+        StreamingTimeSeries.mergedTopK(spark, s"$dir/data", "g", 5))
+      val batch = topkMap(graft.operators.Ranks.topKPerGroup(
+        all.toDF("g", "v", "id"), Seq("g"), col("v"), col("id"), 5))
+      assert(streamed == batch,
+        "stream-maintained top-k diverged from the one-shot batch top-k")
+      def kmvMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val kStreamed = kmvMap(
+        StreamingTimeSeries.mergedKmvDistinct(spark, s"$kdir/data", k = 32))
+      val kBatch = kmvMap(graft.operators.Sketches
+        .kmvSketch(all.toDF("g", "v", "id"), Seq("g"), col("v"), k = 32)
+        .estimate)
+      assert(kStreamed == kBatch,
+        "stream-maintained KMV diverged from the one-shot batch sketch")
+      // at-least-once replay: re-append EVERYTHING verbatim — both
+      // readouts must be idempotent via distinct-merge, with no
+      // batch-id bookkeeping at all
+      spark.read.parquet(s"$dir/data").write.mode("append")
+        .parquet(s"$dir/data")
+      spark.read.parquet(s"$kdir/data").write.mode("append")
+        .parquet(s"$kdir/data")
+      assert(topkMap(StreamingTimeSeries.mergedTopK(
+        spark, s"$dir/data", "g", 5)) == batch,
+        "replayed top-k candidates changed the readout")
+      assert(kmvMap(StreamingTimeSeries.mergedKmvDistinct(
+        spark, s"$kdir/data", k = 32)) == kBatch,
+        "replayed KMV mins changed the estimate")
+    } finally { q.stop(); kq.stop() }
+  }
+
   test("stream-stream interval join matches the batch join on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

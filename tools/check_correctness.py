@@ -12,7 +12,7 @@ import json, math, os, subprocess, sys
 
 SFDIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
     else "/root/testdata/sf0.01"
-OUT = "/tmp/verify_out"
+OUT = "/tmp/verify_out_" + os.path.basename(SFDIR.rstrip("/"))  # per-SF dir: concurrent gates must not clobber each other
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
