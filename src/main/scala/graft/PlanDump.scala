@@ -57,7 +57,8 @@ object PlanDump {
     "a_kmv_distinct" -> "KMV distinct sketch — hash projection at the scan, the same capped aggregator (distinct mode) keeps k min-hashes per group, estimator is one codegen division; COUNT(DISTINCT)'s key-universe exchange never appears for the sketch side",
     "a_group_ols" -> "per-group OLS — ONE HashAggregate pass of exact BIGINT moments (partial+final), fixed float tail projected on top; no second scan, no join",
     "t_winsorize_chars" -> "winsorization — percentile bounds aggregate (within-group sort only) broadcast back onto the scan, codegen least/greatest clip, summary aggregate on top",
-    "s_hard_negatives" -> "hard-negative mining — broadcast queries cross the base scan with the label-inequality pair filter BEFORE scoring, rank-limit window cuts to k per partition")
+    "s_hard_negatives" -> "hard-negative mining — broadcast queries cross the base scan with the label-inequality pair filter BEFORE scoring, rank-limit window cuts to k per partition",
+    "a_gini_quantity" -> "per-group Gini — PARTITIONED rank window (parallel per group) feeding one exact-BIGINT aggregate; the within-group sort is the statistic's inherent cost, no global sort")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */

@@ -540,22 +540,27 @@ object ScaleProbe {
     // exchange is an in-memory copy here, so also record SHUFFLE BYTES
     // WRITTEN — the quantity that becomes the network bottleneck on a
     // real cluster — via stage metrics.
+    // One always-registered listener + before/after snapshots: a
+    // register-per-stage listener MISSES metrics (stage-completed events
+    // for fast AQE jobs can land on the async bus after the action
+    // returns — measured as a false 0.0 MB on the count-distinct stage)
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
-    val shuffleListener = new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        shuffleBytes.addAndGet(
-          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    }
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
     def timedShuffled[T](stage: String)(f: => Long): Unit = {
-      spark.sparkContext.addSparkListener(shuffleListener)
-      shuffleBytes.set(0)
+      Thread.sleep(800) // drain any previous stage's stragglers
+      val before = shuffleBytes.get()
       val t0 = System.nanoTime()
       val rows = f
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // let the async listener bus drain
-      spark.sparkContext.removeSparkListener(shuffleListener)
-      println(f"""{"stage":"$stage","rows":$rows,"sec":$sec%.2f,"shuffle_mb":${shuffleBytes.get / 1048576.0}%.1f}""")
+      Thread.sleep(1500) // let the async listener bus drain this job
+      val mb = (shuffleBytes.get() - before) / 1048576.0
+      println(f"""{"stage":"$stage","rows":$rows,"sec":$sec%.2f,"shuffle_mb":$mb%.1f}""")
     }
     // HONEST baseline first: Spark 4 already plans a PARTIAL
     // WindowGroupLimit below the exchange for row_number + rn<=k, so for
@@ -567,6 +572,16 @@ object ScaleProbe {
     // the wide-payload pair below measures exactly that. Its other
     // edges are structural: mergeable state (the streaming face), the
     // distinct mode (KMV), and no per-partition sort.
+    // Fixture honesty, learned the hard way (each measured): (a) the
+    // action is toRdd.count(), because DataFrame.count() lets column
+    // pruning DELETE unused aggregate functions (count of groups does
+    // not need count(distinct) — its exchange vanished); (b) payloads
+    // are md5-derived, because shuffle files are LZ4'd and a repeated
+    // character compresses 100:1 (40 MB of 'p's measured as 1.2 MB);
+    // (c) distinct values must not be PROVABLY unique (distinct-key
+    // tracking rewrites count(distinct unique_col) to count).
+    def exec(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     def topkInput(groups: Long) = spark.range(10000000).select(
       (col("id") % groups).as("g"),
       (col("id") * 2654435761L % 1000003L).cast("double").as("v"),
@@ -575,49 +590,52 @@ object ScaleProbe {
       timedShuffled(s"topk_window_10M_${groups / 1000}kgroups") {
         // narrow rows: WindowGroupLimit caps both sides of the exchange
         import org.apache.spark.sql.expressions.Window
-        topkInput(groups).withColumn("rn", row_number().over(
+        exec(topkInput(groups).withColumn("rn", row_number().over(
             Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
-          .filter(col("rn") <= 3).count()
+          .filter(col("rn") <= 3))
       }
       timedShuffled(s"topk_agg_10M_${groups / 1000}kgroups") {
         // capped aggregator: ≤ 3 entries per group per input partition
-        Ranks.topKPerGroup(topkInput(groups), Seq("g"), col("v"),
-          col("id"), k = 3).count()
+        exec(Ranks.topKPerGroup(topkInput(groups), Seq("g"), col("v"),
+          col("id"), k = 3))
       }
     }
-    val widePayload = topkInput(1000L)
-      .withColumn("payload", concat(lit("x"), repeat(lit("p"), 400),
-        col("id"))) // ~400 B/row: the "document" riding along
+    val widePayload = topkInput(1000L).withColumn("payload",
+      concat(md5(col("id").cast("string").cast("binary")),
+        md5((col("id") + 1).cast("string").cast("binary")),
+        md5((col("id") + 2).cast("string").cast("binary")),
+        md5((col("id") + 3).cast("string").cast("binary")),
+        md5((col("id") + 4).cast("string").cast("binary")),
+        md5((col("id") + 5).cast("string").cast("binary")),
+        md5((col("id") + 6).cast("string").cast("binary")),
+        md5((col("id") + 7).cast("string").cast("binary"))),
+      ) // 256 hex chars/row of hash output — does not LZ4 away
     timedShuffled("topk_window_wide_10M_1kgroups") { // the window's
-      // group-limit keeps row COUNT down but every surviving row crosses
-      // WITH its payload — and the pre-limit only helps rows it can drop
+      // group-limit caps row COUNT, but every surviving row crosses the
+      // exchange WITH its payload (the output needs the winners' bytes)
       import org.apache.spark.sql.expressions.Window
-      widePayload.withColumn("rn", row_number().over(
+      exec(widePayload.withColumn("rn", row_number().over(
           Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
-        .filter(col("rn") <= 3).select(sum(length(col("payload")))).count()
+        .filter(col("rn") <= 3).select("g", "rn", "payload"))
     }
     timedShuffled("topk_agg_wide_10M_1kgroups") { // aggregator never
       // ships payload: 16-byte pairs shuffle, the 3k winners join back
       val winners = Ranks.topKPerGroup(widePayload, Seq("g"), col("v"),
         col("id"), k = 3, tieName = "id")
-      widePayload.join(broadcast(winners.select("id", "rank")), Seq("id"))
-        .select(sum(length(col("payload")))).count()
+      exec(widePayload.join(broadcast(winners.select("id", "rank")),
+        Seq("id")).select("g", "rank", "payload"))
     }
-    // COUNT(DISTINCT) vs KMV: the distinct value must NOT be provably
-    // unique (Spark's distinct-key tracking rewrites count(distinct) of
-    // a unique column to a plain count and the exchange vanishes —
-    // measured, and a good reason to keep fixtures adversarial)
     def kmvInput = spark.range(10000000).select(
       (col("id") % 8L).as("g8"),
       (col("id") * 2654435761L % 3000000L).as("v"))
     timedShuffled("distinct_exact_10M_8groups") { // the shape KMV
       // replaces: every distinct (g, value) crosses the exchange
-      kmvInput.groupBy("g8").agg(countDistinct(col("v"))).count()
+      exec(kmvInput.groupBy("g8").agg(countDistinct(col("v"))))
     }
     timedShuffled("kmv_distinct_10M_8groups") { // same data: exchange
       // carries 64 hashes per group per partition, values never shuffle
-      Sketches.kmvSketch(kmvInput, Seq("g8"), col("v"), k = 64)
-        .estimate.count()
+      exec(Sketches.kmvSketch(kmvInput, Seq("g8"), col("v"), k = 64)
+        .estimate)
     }
 
     spark.stop()

@@ -213,6 +213,41 @@ object Stats {
       .drop("__lo", "__hi")
   }
 
+  /** Per-group Gini coefficient — the concentration/inequality metric
+    * (how skewed is data volume across sources, token mass across
+    * documents): with values sorted ascending within each group,
+    *
+    *   G = Σᵢ (2i − n − 1)·xᵢ / (n · Σ xᵢ)     (i = 1..n)
+    *
+    * `x` must be integer-valued and non-negative (cast to BIGINT like
+    * [[exactMoments]]; negatives make G meaningless and are rejected by
+    * a runtime guard on the aggregated min). The numerator and
+    * denominator are exact BIGINTs — the within-group rank `i` comes
+    * from a PARTITIONED window (parallel across groups; the sort is the
+    * inherent cost of the statistic) — so the single closing division is
+    * bit-portable. Single-row or all-zero groups yield G = null (zero
+    * denominator). Output: groups... + (n, sum_x, gini). */
+  def gini(df: DataFrame, groupCols: Seq[String], x: Column): DataFrame = {
+    val xb = x.cast("bigint")
+    val withRank = df.filter(xb.isNotNull)
+      .select(groupCols.map(col) :+ xb.as("__x"): _*)
+      .withColumn("__i", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)
+          .orderBy(col("__x").asc)).cast("bigint"))
+    withRank.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("sum_x"),
+        sum(col("__i") * col("__x")).as("__six"),
+        min(col("__x")).as("__minx"))
+      .select(groupCols.map(col) ++ Seq(col("n"), col("sum_x"),
+        when(col("__minx") < 0, raise_error(
+          lit("gini requires non-negative values")).cast("double"))
+          .when(col("n") * col("sum_x") =!= 0,
+            (lit(2L) * col("__six") - (col("n") + 1L) * col("sum_x"))
+              .cast("double") / (col("n") * col("sum_x")).cast("double"))
+          .as("gini")): _*)
+  }
+
   /** 2×2 chi-square independence test over two boolean conditions — the
     * statistical face of the A12 contingency table: one aggregation pass
     * counts the four cells exactly (BIGINT), then

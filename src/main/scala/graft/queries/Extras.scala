@@ -564,7 +564,16 @@ object Extras {
     graft.operators.Stats.chiSquare2x2(t(s, dir, "lineitem"),
       col("l_returnflag") === "R", col("l_linestatus") === "F")
 
+  /** Per-group Gini concentration ([[graft.operators.Stats.gini]]) of
+    * order quantities — exact BIGINT rank-weighted sums, one portable
+    * closing division. */
+  def aGiniQuantity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.gini(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), col("l_quantity"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_gini_quantity" -> (aGiniQuantity _),
     "a_chi_square" -> (aChiSquare _),
     "t_winsorize_chars" -> (tWinsorizeChars _),
     "a_group_ols" -> (aGroupOls _),
@@ -634,6 +643,21 @@ object Extras {
         |FROM m ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // DuckDB SUM(BIGINT) is HUGEINT — exact, and the one double cast at
+    // the end sees the same integer Spark's BIGINT path produced
+    "a_gini_quantity" ->
+      """WITH r AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS i
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(x) AS sum_x, SUM(i * x) AS six
+        |  FROM r GROUP BY 1)
+        |SELECT l_returnflag, n, CAST(sum_x AS BIGINT) AS sum_x,
+        |  CASE WHEN n * sum_x <> 0 THEN
+        |    CAST(2 * six - (n + 1) * sum_x AS DOUBLE)
+        |      / CAST(n * sum_x AS DOUBLE) END AS gini
+        |FROM m ORDER BY 1""".stripMargin,
     "a_chi_square" ->
       """WITH m AS (SELECT
         |  CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F'

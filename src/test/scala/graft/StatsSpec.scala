@@ -210,6 +210,32 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("v") === "y").collect()(0).isNullAt(5))
   }
 
+  test("gini: textbook values, tie-invariant, layout-stable") {
+    import spark.implicits._
+    // perfect equality → 0; maximal concentration (one owner) → (n-1)/n
+    val eq = Seq.fill(10)(("e", 5L)).toDF("g", "x")
+    val conc = (Seq.fill(9)(("c", 0L)) :+ (("c", 100L))).toDF("g", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.gini(d, Seq("g"), col("x")).collect()
+        .map(r => r.getString(0) -> Option(r.get(3))).toMap
+    assert(run(eq)("e").get == 0.0)
+    assert(run(conc)("c").get == 0.9)
+    // hand-computed mixed case: x = 1,2,3,4 → G = (2·30 − 5·10)/(4·10)
+    val mixed = Seq(("m", 3L), ("m", 1L), ("m", 4L), ("m", 2L))
+      .toDF("g", "x")
+    assert(run(mixed)("m").get == 0.25)
+    // ties: rank assignment among equals is arbitrary but Σi·x is not —
+    // identical result under shuffled layouts
+    val rnd = new scala.util.Random(41)
+    val tied = (1 to 500).map(_ => ("t", rnd.nextInt(5).toLong))
+      .toDF("g", "x")
+    val base = run(tied)
+    assert(run(tied.repartition(13)) == base)
+    assert(run(tied.coalesce(1)) == base)
+    // all-zero group → null, not NaN
+    assert(run(Seq(("z", 0L), ("z", 0L)).toDF("g", "x"))("z").isEmpty)
+  }
+
   test("winsorize: clips into each group's own band; nulls pass through") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
