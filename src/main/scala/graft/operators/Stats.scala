@@ -163,8 +163,15 @@ object Stats {
     * zero-denominator guards. Output: groups... + (n, slope, intercept,
     * r2). */
   def groupOls(df: DataFrame, groupCols: Seq[Column],
-      x: Column, y: Column): DataFrame = {
-    val p = momentPartials(df, groupCols, x, y)
+      x: Column, y: Column): DataFrame =
+    olsFromPartials(momentPartials(df, groupCols, x, y))
+
+  /** Finalize an OLS fit from a (possibly [[mergeMomentPartials]]-merged)
+    * moment-partials table — the incremental face: store per-batch
+    * partials once, answer trend questions later without rescanning
+    * history, bit-identical to a one-shot [[groupOls]] because the
+    * integer merge is exact and the float tail is fixed. */
+  def olsFromPartials(p: DataFrame): DataFrame = {
     val n = col("n")
     val sNum = n * col("sxy") - col("sx") * col("sy") // exact BIGINT
     val sDenX = n * col("sxx") - col("sx") * col("sx")

@@ -163,10 +163,24 @@ object StreamingTimeSeries {
   def mergedMoments(spark: org.apache.spark.sql.SparkSession,
       targetDir: String, groupCol: String): DataFrame =
     graft.operators.Stats.momentsFromPartials(
-      graft.operators.Stats.mergeMomentPartials(
-        Seq(spark.read.parquet(targetDir)
-          .dropDuplicates(groupCol, "batch_id").drop("batch_id")),
-        Seq(groupCol)))
+      mergedPartials(spark, targetDir, groupCol))
+
+  /** Whole-stream per-group OLS trend from the SAME stored partials —
+    * [[graft.operators.Stats.olsFromPartials]] over the replay-guarded
+    * merge, bit-identical to a batch [[graft.operators.Stats.groupOls]]
+    * over all data. One summary table answers both the moment questions
+    * and the trend questions; no re-ingestion, ever. */
+  def mergedOls(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.olsFromPartials(
+      mergedPartials(spark, targetDir, groupCol))
+
+  private def mergedPartials(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.mergeMomentPartials(
+      Seq(spark.read.parquet(targetDir)
+        .dropDuplicates(groupCol, "batch_id").drop("batch_id")),
+      Seq(groupCol))
 
   /** Streaming quantile maintenance — the ingestion face of
     * [[graft.operators.Sketches.quantileSketch]]: each micro-batch

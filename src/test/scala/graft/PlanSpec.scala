@@ -150,6 +150,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"branches: got $materialized materialized / $reused reused of ${stages.size}")
   }
 
+  test("groupOls is ONE aggregation pass: a single exchange, no join, no window") {
+    val p = plan(queries.Extras.aGroupOls(spark, sf))
+    assert("Exchange".r.findAllIn(p.replace("AQEShuffleRead", "")).size <= 2,
+      s"OLS should shuffle once (plus the final sort):\n$p") // agg + orderBy
+    assert(!p.contains("Join"), s"OLS must not join:\n$p")
+    assert(!p.contains("Window"), s"OLS must not window:\n$p")
+  }
+
+  test("KMV estimate contains no COUNT(DISTINCT)-style expand or value exchange") {
+    val p = plan(queries.Extras.aKmvDistinct(spark, sf))
+    // the sketch side aggregates hashes via the capped buffer; only the
+    // deliberate exact-count comparison side may plan count(distinct)
+    assert(p.contains("ObjectHashAggregate"), s"capped aggregator missing:\n$p")
+    assert(!p.contains("Window"), s"KMV must not window:\n$p")
+  }
+
+  test("winsorize broadcasts the bounds back — no shuffle join on the data side") {
+    val p = plan(queries.Extras.tWinsorizeChars(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"bounds join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bounds join degraded to SMJ:\n$p")
+  }
+
   test("no registered query plans a partition-less window (single-task trap)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

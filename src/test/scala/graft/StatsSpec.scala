@@ -185,6 +185,15 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // integer moments + fixed float tail ⇒ identical under any layout
     assert(run(df.repartition(11)) == out)
     assert(run(df.coalesce(1)) == out)
+    // incremental face: merged batch partials finalize bit-identically
+    val partials = Seq(col("x") % 2 === 0, col("x") % 2 === 1).map(p =>
+      Stats.momentPartials(df.filter(p), Seq(col("g")), col("x"), col("y")))
+    val inc = Stats.olsFromPartials(
+        Stats.mergeMomentPartials(partials, Seq("g")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4))))).toMap
+    assert(inc == out, "incremental OLS != one-shot OLS")
   }
 
   test("chiSquare2x2: hand-computed cells and statistic; degenerate margin → null") {

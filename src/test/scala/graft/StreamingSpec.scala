@@ -230,6 +230,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
       assert(afterReplay == batch,
         "a replayed micro-batch double-counted into the rollup")
+      // the SAME summary table answers trend questions: streaming OLS
+      // readout == one-shot batch groupOls, bit for bit (replay included)
+      val olsStreamed = StreamingTimeSeries.mergedOls(spark, s"$dir/data", "g")
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val olsBatch = graft.operators.Stats.groupOls(
+          all.toDF("g", "x", "y"), Seq(col("g")), col("x"), col("y"))
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(olsStreamed == olsBatch,
+        "stream-maintained OLS diverged from one-shot batch groupOls")
     } finally q.stop()
   }
 
