@@ -255,6 +255,48 @@ object Stats {
           .as("gini")): _*)
   }
 
+  /** Per-group Welch's t statistic — the A/B comparison primitive (did
+    * the new filter change mean document quality per language? does
+    * cohort A's metric differ from B's?): for the two cohorts selected
+    * by the boolean `cohort` column,
+    *
+    *   t = (x̄₁ − x̄₂) / √(s₁²/n₁ + s₂²/n₂)
+    *
+    * computed from exact BIGINT conditional moments in ONE aggregation
+    * pass (no per-cohort scans, no join) with the same integer-input
+    * contract as [[exactMoments]]. The float tail is a fixed operand
+    * order over exact-integer casts, so t hashes exactly across engines.
+    * Rows with null x or null cohort are dropped first. Groups where
+    * either cohort has < 2 rows, or both sample variances are zero,
+    * yield null t. Output: groups... + (n1, n2, mean1, mean2, t). */
+  def welchT(df: DataFrame, groupCols: Seq[Column], x: Column,
+      cohort: Column): DataFrame = {
+    val xb = x.cast("bigint")
+    val complete = df.filter(xb.isNotNull && cohort.isNotNull)
+    def side(c: Column, tag: String) = Seq(
+      sum(when(c, 1L).otherwise(0L)).as(s"n$tag"),
+      sum(when(c, xb).otherwise(0L)).as(s"sx$tag"),
+      sum(when(c, xb * xb).otherwise(0L)).as(s"sxx$tag"))
+    val agg = complete.groupBy(groupCols: _*)
+      .agg((side(cohort, "1") ++ side(!cohort, "2")).head,
+        (side(cohort, "1") ++ side(!cohort, "2")).tail: _*)
+    def mean(t: String) = col(s"sx$t").cast("double") / col(s"n$t")
+    // s²/n = (n·sxx − sx²) / (n·(n−1)) / n — numerator exact BIGINT
+    def varOverN(t: String) = {
+      val num = col(s"n$t") * col(s"sxx$t") - col(s"sx$t") * col(s"sx$t")
+      num.cast("double") /
+        (col(s"n$t") * (col(s"n$t") - 1L)).cast("double") / col(s"n$t")
+    }
+    agg
+      .withColumn("mean1", mean("1"))
+      .withColumn("mean2", mean("2"))
+      .withColumn("t",
+        when(col("n1") > 1 && col("n2") > 1 &&
+            (varOverN("1") + varOverN("2")) > 0.0,
+          (mean("1") - mean("2")) / sqrt(varOverN("1") + varOverN("2"))))
+      .drop("sx1", "sxx1", "sx2", "sxx2")
+  }
+
   /** 2×2 chi-square independence test over two boolean conditions — the
     * statistical face of the A12 contingency table: one aggregation pass
     * counts the four cells exactly (BIGINT), then

@@ -572,7 +572,17 @@ object Extras {
         Seq("l_returnflag"), col("l_quantity"))
       .orderBy("l_returnflag")
 
+  /** Welch's t per group ([[graft.operators.Stats.welchT]]): quantity
+    * compared between finished and open line items, per return flag —
+    * one conditional-moment pass, fixed float tail, exact hash match. */
+  def aWelchT(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.welchT(t(s, dir, "lineitem"),
+        Seq(col("l_returnflag")), col("l_quantity"),
+        col("l_linestatus") === "F")
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_welch_t" -> (aWelchT _),
     "a_gini_quantity" -> (aGiniQuantity _),
     "a_chi_square" -> (aChiSquare _),
     "t_winsorize_chars" -> (tWinsorizeChars _),
@@ -643,6 +653,38 @@ object Extras {
         |FROM m ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a_welch_t" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n1,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sx1,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS sxx1,
+        |  CAST(SUM(CASE WHEN l_linestatus <> 'F' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n2,
+        |  CAST(SUM(CASE WHEN l_linestatus <> 'F'
+        |    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sx2,
+        |  CAST(SUM(CASE WHEN l_linestatus <> 'F'
+        |    THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS sxx2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n1, n2,
+        |  CAST(sx1 AS DOUBLE) / n1 AS mean1,
+        |  CAST(sx2 AS DOUBLE) / n2 AS mean2,
+        |  CASE WHEN n1 > 1 AND n2 > 1 AND
+        |    (CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
+        |       / CAST(n1 * (n1 - 1) AS DOUBLE) / n1
+        |     + CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE)
+        |       / CAST(n2 * (n2 - 1) AS DOUBLE) / n2) > 0 THEN
+        |    (CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2)
+        |      / sqrt(CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
+        |               / CAST(n1 * (n1 - 1) AS DOUBLE) / n1
+        |             + CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE)
+        |               / CAST(n2 * (n2 - 1) AS DOUBLE) / n2)
+        |  END AS t
+        |FROM m ORDER BY 1""".stripMargin,
     // DuckDB SUM(BIGINT) is HUGEINT — exact, and the one double cast at
     // the end sees the same integer Spark's BIGINT path produced
     "a_gini_quantity" ->

@@ -219,6 +219,43 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("v") === "y").collect()(0).isNullAt(5))
   }
 
+  test("welchT: matches a naive two-sample computation; degenerate cohorts → null") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val rows = (1 to 500).map { i =>
+      val a = i % 2 == 0
+      // cohort A shifted up by ~3 so t is decidedly nonzero
+      ("g" + (i % 3), a, (rnd.nextInt(20) + (if (a) 3 else 0)).toLong)
+    }
+    val df = rows.toDF("g", "cohort", "x")
+    val out = Stats.welchT(df, Seq(col("g")), col("x"), col("cohort"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          Option(r.get(5))))).toMap
+    for ((g, (n1, n2, m1, m2, tOpt)) <- out) {
+      val as = rows.filter(r => r._1 == g && r._2).map(_._3.toDouble)
+      val bs = rows.filter(r => r._1 == g && !r._2).map(_._3.toDouble)
+      assert(n1 == as.length && n2 == bs.length)
+      def mv(xs: Seq[Double]) = {
+        val m = xs.sum / xs.length
+        (m, xs.map(v => (v - m) * (v - m)).sum / (xs.length - 1))
+      }
+      val (ma, va) = mv(as); val (mb, vb) = mv(bs)
+      assert(math.abs(m1 - ma) < 1e-9 && math.abs(m2 - mb) < 1e-9)
+      val tRef = (ma - mb) / math.sqrt(va / as.length + vb / bs.length)
+      assert(math.abs(tOpt.get.asInstanceOf[Double] - tRef) < 1e-9, s"$g")
+    }
+    // single-row cohort → null t; zero-variance both sides → null t
+    val tiny = Seq(("t", true, 5L), ("t", false, 1L), ("t", false, 2L))
+      .toDF("g", "cohort", "x")
+    assert(Stats.welchT(tiny, Seq(col("g")), col("x"), col("cohort"))
+      .collect()(0).isNullAt(5))
+    val flat = Seq(("f", true, 4L), ("f", true, 4L), ("f", false, 4L),
+      ("f", false, 4L)).toDF("g", "cohort", "x")
+    assert(Stats.welchT(flat, Seq(col("g")), col("x"), col("cohort"))
+      .collect()(0).isNullAt(5))
+  }
+
   test("gini: textbook values, tie-invariant, layout-stable") {
     import spark.implicits._
     // perfect equality → 0; maximal concentration (one owner) → (n-1)/n
