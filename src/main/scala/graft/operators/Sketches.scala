@@ -184,6 +184,35 @@ object Sketches {
       groupCols, k), k)
   }
 
+  /** Jaccard resemblance between two keyed sets estimated from their
+    * KMV sketches (Broder's minwise estimator on the k-min union): the
+    * k smallest distinct hashes of A∪B are a uniform sample of the
+    * union, so the fraction of them present in BOTH sketches estimates
+    * |A∩B| / |A∪B|. Per group: ≤ 3k hash rows total are touched —
+    * cross-corpus vocabulary overlap, shared-url mass, near-duplicate
+    * source detection at any corpus size without the key universe ever
+    * shuffling. Deterministic given the md5 hash family, so fully
+    * oracle-checkable. Output: groups... + (n_mins, jaccard_est), where
+    * n_mins = |union k-min sample| (= |A∪B| exactly when below k, and
+    * then the estimate is exact too). */
+  def kmvJaccard(a: KmvSketch, b: KmvSketch): DataFrame = {
+    require(a.k == b.k,
+      s"kmvJaccard with mismatched k: ${a.k} vs ${b.k}")
+    val groups = a.mins.columns.filterNot(_ == "h").toSeq
+    val union = kmvFromMins(a.mins.unionByName(b.mins), a.k).mins
+    val inA = a.mins.withColumn("__inA", lit(1))
+    val inB = b.mins.withColumn("__inB", lit(1))
+    union
+      .join(inA, groups :+ "h", "left")
+      .join(inB, groups :+ "h", "left")
+      .groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n_mins"),
+        sum(when(col("__inA") === 1 && col("__inB") === 1, 1L)
+          .otherwise(0L)).as("__both"))
+      .select(groups.map(col) ++ Seq(col("n_mins"),
+        (col("__both").cast("double") / col("n_mins")).as("jaccard_est")): _*)
+  }
+
   /** Reconstruct a [[KmvSketch]] from a union of stored min tables
     * (the streaming / at-rest readout face): re-min to the k smallest
     * distinct hashes per group. Because the distinct-merge collapses

@@ -581,7 +581,23 @@ object Extras {
         col("l_linestatus") === "F")
       .orderBy("l_returnflag")
 
+  /** KMV resemblance ([[graft.operators.Sketches.kmvJaccard]]): how
+    * much do the part sets of finished vs open line items overlap, per
+    * return flag — Broder's minwise estimator on the k-min union,
+    * deterministic under the md5 family so the oracle replays hash →
+    * per-cohort k-min → union k-min → membership fraction exactly. */
+  def aKmvJaccard(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val li = t(s, dir, "lineitem")
+    val Seq(sa, sb) = Seq(col("l_linestatus") === "F",
+      col("l_linestatus") =!= "F").map(p =>
+      Sketches.kmvSketch(li.filter(p), Seq("l_returnflag"),
+        col("l_partkey"), k = 64))
+    Sketches.kmvJaccard(sa, sb).orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_kmv_jaccard" -> (aKmvJaccard _),
     "a_welch_t" -> (aWelchT _),
     "a_gini_quantity" -> (aGiniQuantity _),
     "a_chi_square" -> (aChiSquare _),
@@ -653,6 +669,39 @@ object Extras {
         |FROM m ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a_kmv_jaccard" ->
+      """WITH hs AS (SELECT DISTINCT l_returnflag,
+        |    l_linestatus = 'F' AS ca,
+        |    CAST(list_sum(list_transform(range(1, 14), j ->
+        |      CAST(strpos('0123456789abcdef',
+        |          substr(md5(CAST(l_partkey AS VARCHAR)), CAST(j AS INTEGER), 1))
+        |        - 1 AS BIGINT) << (4 * (13 - CAST(j AS INTEGER)))))
+        |      AS BIGINT) AS h
+        |  FROM lineitem),
+        |am AS (SELECT l_returnflag, h FROM (
+        |    SELECT l_returnflag, h, ROW_NUMBER() OVER (
+        |      PARTITION BY l_returnflag ORDER BY h) AS rn
+        |    FROM (SELECT DISTINCT l_returnflag, h FROM hs WHERE ca))
+        |  WHERE rn <= 64),
+        |bm AS (SELECT l_returnflag, h FROM (
+        |    SELECT l_returnflag, h, ROW_NUMBER() OVER (
+        |      PARTITION BY l_returnflag ORDER BY h) AS rn
+        |    FROM (SELECT DISTINCT l_returnflag, h FROM hs WHERE NOT ca))
+        |  WHERE rn <= 64),
+        |un AS (SELECT l_returnflag, h FROM (
+        |    SELECT l_returnflag, h, ROW_NUMBER() OVER (
+        |      PARTITION BY l_returnflag ORDER BY h) AS rn
+        |    FROM (SELECT DISTINCT l_returnflag, h FROM (
+        |      SELECT l_returnflag, h FROM am
+        |      UNION ALL SELECT l_returnflag, h FROM bm)))
+        |  WHERE rn <= 64)
+        |SELECT u.l_returnflag, COUNT(*) AS n_mins,
+        |  CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS jaccard_est
+        |FROM un u
+        |LEFT JOIN am a ON a.l_returnflag = u.l_returnflag AND a.h = u.h
+        |LEFT JOIN bm b ON b.l_returnflag = u.l_returnflag AND b.h = u.h
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a_welch_t" ->
       """WITH m AS (SELECT l_returnflag,
         |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)

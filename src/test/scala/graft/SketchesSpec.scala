@@ -235,4 +235,22 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state(Sketches.kmvSketch(df.repartition(17), Seq("g"), col("v"),
       k = 64)) == state(whole))
   }
+
+  test("kmvJaccard: exact below k, within 3σ above, extremes exact") {
+    import spark.implicits._
+    def sk(lo: Long, hi: Long, k: Int) = Sketches.kmvSketch(
+      (lo until hi).map(v => ("g", v)).toDF("g", "v"), Seq("g"), col("v"), k)
+    def est(a: Sketches.KmvSketch, b: Sketches.KmvSketch): Double =
+      Sketches.kmvJaccard(a, b).collect()(0).getDouble(2)
+    // small sets (|A∪B| < k): the union sample IS the union — exact
+    // J([0,30) vs [10,40)) = |{10..29}| / 40 = 20/40
+    assert(est(sk(0, 30, 64), sk(10, 40, 64)) == 0.5)
+    // identical sets → exactly 1; disjoint sets → exactly 0 (any size)
+    assert(est(sk(0, 5000, 64), sk(0, 5000, 64)) == 1.0)
+    assert(est(sk(0, 5000, 64), sk(5000, 10000, 64)) == 0.0)
+    // large overlapping sets: J = 5k/15k = 1/3, k=256 → σ ≈ √(J(1−J)/k)
+    // ≈ 0.029; assert within 3σ
+    val j = est(sk(0, 10000, 256), sk(5000, 15000, 256))
+    assert(math.abs(j - 1.0 / 3.0) < 0.09, s"estimate $j too far from 1/3")
+  }
 }
