@@ -58,7 +58,9 @@ object PlanDump {
     "a_group_ols" -> "per-group OLS — ONE HashAggregate pass of exact BIGINT moments (partial+final), fixed float tail projected on top; no second scan, no join",
     "t_winsorize_chars" -> "winsorization — percentile bounds aggregate (within-group sort only) broadcast back onto the scan, codegen least/greatest clip, summary aggregate on top",
     "s_hard_negatives" -> "hard-negative mining — broadcast queries cross the base scan with the label-inequality pair filter BEFORE scoring, rank-limit window cuts to k per partition",
-    "a_gini_quantity" -> "per-group Gini — PARTITIONED rank window (parallel per group) feeding one exact-BIGINT aggregate; the within-group sort is the statistic's inherent cost, no global sort")
+    "a_gini_quantity" -> "per-group Gini — PARTITIONED rank window (parallel per group) feeding one exact-BIGINT aggregate; the within-group sort is the statistic's inherent cost, no global sort",
+    "a_welch_t" -> "Welch's t — both cohorts' conditional moments in ONE HashAggregate pass (partial+final), no per-cohort scans, no join; the t expression is a pure projection on top",
+    "a_kmv_jaccard" -> "KMV resemblance — two k-min sketch builds + the union re-min + two membership joins, all over ≤ 3k hash rows per group; the part table is scanned twice and never shuffles its key universe")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */
