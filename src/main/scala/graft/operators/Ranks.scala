@@ -83,6 +83,14 @@ object Ranks {
     * `asc = true` ranks ascending (smallest first). Negation uses
     * `0.0 - x` so a zero ordinate round-trips to `+0.0`, keeping the
     * emitted `ordName` column bit-identical to the input value.
+    *
+    * NaN ordinates are a total-order participant, not a landmine: the
+    * buffer compares via `java.lang.Double.compare`, which ranks NaN
+    * above every finite value — the same order Spark's descending sort
+    * uses — and treats -0.0 as +0.0. Under `asc = true` the negation
+    * maps NaN to NaN, so NaN still ranks FIRST (Spark's ascending sort
+    * would rank it last); filter NaN upstream if an ascending caller
+    * can see one.
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], ord: Column,
       tie: Column, k: Int, rankCol: String = "rank",
@@ -143,12 +151,26 @@ class BoundedTopK(k: Int, distinct: Boolean = false)
     s"topKPerGroup keeps k entries per group in the aggregation buffer; " +
       s"k=$k would make the buffer the bottleneck — use a sort for that")
 
-  private def better(o1: Double, t1: Long, o2: Double, t2: Long): Boolean =
-    o1 > o2 || (o1 == o2 && t1 < t2)
+  // Total order via Double.compare so NaN can't break the sorted
+  // invariant (plain > / == are both false against NaN, which would
+  // let a NaN row slip to position 0 on a non-full buffer and make the
+  // result partitioning-dependent). Double.compare ranks NaN above
+  // every value — exactly Spark's sort order — and -0.0 is normalized
+  // to +0.0 on insert so the two zeros stay tie-broken by `tie`, also
+  // matching Spark's sort, where -0.0 and 0.0 compare equal.
+  private def better(o1: Double, t1: Long, o2: Double, t2: Long): Boolean = {
+    val c = java.lang.Double.compare(o1, o2)
+    c > 0 || (c == 0 && t1 < t2)
+  }
+
+  private def same(o1: Double, t1: Long, o2: Double, t2: Long): Boolean =
+    java.lang.Double.compare(o1, o2) == 0 && t1 == t2
 
   def zero: TopKBuf = TopKBuf(Array.emptyDoubleArray, Array.emptyLongArray)
 
-  def reduce(b: TopKBuf, a: TopKRow): TopKBuf = {
+  def reduce(b0: TopKBuf, a0: TopKRow): TopKBuf = {
+    val a = if (a0.ord == 0.0) TopKRow(0.0, a0.tie) else a0 // -0.0 → +0.0
+    val b = b0
     val n = b.ords.length
     if (n == k && !better(a.ord, a.tie, b.ords(n - 1), b.ties(n - 1))) b
     else {
@@ -159,7 +181,7 @@ class BoundedTopK(k: Int, distinct: Boolean = false)
         val m = (lo + hi) >>> 1
         if (better(b.ords(m), b.ties(m), a.ord, a.tie)) lo = m + 1 else hi = m
       }
-      if (distinct && lo < n && b.ords(lo) == a.ord && b.ties(lo) == a.tie)
+      if (distinct && lo < n && same(b.ords(lo), b.ties(lo), a.ord, a.tie))
         return b
       val outN = math.min(n + 1, k)
       val os = new Array[Double](outN)
@@ -190,7 +212,7 @@ class BoundedTopK(k: Int, distinct: Boolean = false)
       while (o < cap && (i < x.ords.length || j < y.ords.length)) {
         if (j >= y.ords.length) { os(o) = x.ords(i); ts(o) = x.ties(i); i += 1 }
         else if (i >= x.ords.length) { os(o) = y.ords(j); ts(o) = y.ties(j); j += 1 }
-        else if (distinct && x.ords(i) == y.ords(j) && x.ties(i) == y.ties(j)) {
+        else if (distinct && same(x.ords(i), x.ties(i), y.ords(j), y.ties(j))) {
           os(o) = x.ords(i); ts(o) = x.ties(i); i += 1; j += 1
         } else if (better(x.ords(i), x.ties(i), y.ords(j), y.ties(j))) {
           os(o) = x.ords(i); ts(o) = x.ties(i); i += 1

@@ -175,12 +175,16 @@ object Sketches {
       .select(groupCols.map(col) :+ col("h"): _*)
 
   /** Build a [[KmvSketch]] of `c` per group. `k ≤ 2048` keeps
-    * `(k−1)·2^52` exact as a double. */
+    * `(k−1)·2^52` exact as a double. Nulls in `c` are ignored —
+    * matching `COUNT(DISTINCT c)`, the exact shape KMV replaces
+    * (unfiltered, a null would hash to a null that violates the
+    * non-nullable top-k buffer encoder downstream). */
   def kmvSketch(df: DataFrame, groupCols: Seq[String], c: Column,
       k: Int = 64): KmvSketch = {
     require(k >= 2 && k <= 2048, s"kmvSketch needs 2 <= k <= 2048, got $k")
     KmvSketch(rebuildMins(
-      df.select(groupCols.map(col) :+ kmvHash(c).as("h"): _*),
+      df.where(c.isNotNull)
+        .select(groupCols.map(col) :+ kmvHash(c).as("h"): _*),
       groupCols, k), k)
   }
 

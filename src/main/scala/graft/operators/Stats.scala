@@ -232,8 +232,10 @@ object Stats {
     * denominator are exact BIGINTs — the within-group rank `i` comes
     * from a PARTITIONED window (parallel across groups; the sort is the
     * inherent cost of the statistic) — so the single closing division is
-    * bit-portable. Single-row or all-zero groups yield G = null (zero
-    * denominator). Output: groups... + (n, sum_x, gini). */
+    * bit-portable. All-zero groups yield G = null (zero denominator); a
+    * single positive-valued row yields G = 0.0 (no concentration is
+    * measurable in one observation). Output: groups... + (n, sum_x,
+    * gini). */
   def gini(df: DataFrame, groupCols: Seq[String], x: Column): DataFrame = {
     val xb = x.cast("bigint")
     val withRank = df.filter(xb.isNotNull)
@@ -268,7 +270,9 @@ object Stats {
     * order over exact-integer casts, so t hashes exactly across engines.
     * Rows with null x or null cohort are dropped first. Groups where
     * either cohort has < 2 rows, or both sample variances are zero,
-    * yield null t. Output: groups... + (n1, n2, mean1, mean2, t). */
+    * yield null t; an empty cohort also yields a null mean (not the
+    * 0/0 NaN the raw division would emit). Output: groups... + (n1,
+    * n2, mean1, mean2, t). */
   def welchT(df: DataFrame, groupCols: Seq[Column], x: Column,
       cohort: Column): DataFrame = {
     val xb = x.cast("bigint")
@@ -288,8 +292,8 @@ object Stats {
         (col(s"n$t") * (col(s"n$t") - 1L)).cast("double") / col(s"n$t")
     }
     agg
-      .withColumn("mean1", mean("1"))
-      .withColumn("mean2", mean("2"))
+      .withColumn("mean1", when(col("n1") > 0, mean("1")))
+      .withColumn("mean2", when(col("n2") > 0, mean("2")))
       .withColumn("t",
         when(col("n1") > 1 && col("n2") > 1 &&
             (varOverN("1") + varOverN("2")) > 0.0,
@@ -304,9 +308,11 @@ object Stats {
     *   χ² = n · (ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
     *
     * with `ad − bc` computed exactly in BIGINT (|cells| ≤ 2^31 keeps the
-    * products exact) and everything after its double cast — the square
-    * and the margin products can overflow BIGINT at corpus scale, and in
-    * IEEE arithmetic the fixed operand order makes the result identical
+    * products exact — ENFORCED by a runtime `raise_error` guard, since a
+    * silent non-ANSI wrap would emit a wrong χ² with no symptom) and
+    * everything after its double cast — the square and the margin
+    * products can overflow BIGINT at corpus scale, and in IEEE
+    * arithmetic the fixed operand order makes the result identical
     * across engines anyway. Output: one row (a, b, c, d, n, chi2);
     * degenerate margins (a zero row or column) yield null chi2. */
   def chiSquare2x2(df: DataFrame, condA: Column, condB: Column): DataFrame = {
@@ -324,9 +330,13 @@ object Stats {
             (col("c") + col("d")).cast("double") *
             (col("a") + col("c")).cast("double") *
             (col("b") + col("d")).cast("double")
-          when(den =!= 0.0,
-            (col("a") + col("b") + col("c") + col("d")).cast("double") *
-              (det * det) / den).as("chi2")
+          when(greatest(col("a"), col("b"), col("c"), col("d")) >
+              lit(2147483648L),
+            raise_error(lit("chiSquare2x2: a cell exceeds 2^31 — " +
+              "ad−bc would overflow BIGINT")).cast("double"))
+            .when(den =!= 0.0,
+              (col("a") + col("b") + col("c") + col("d")).cast("double") *
+                (det * det) / den).as("chi2")
         })
   }
 

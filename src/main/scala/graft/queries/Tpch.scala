@@ -738,7 +738,7 @@ object Tpch {
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  WHERE n_name = 'NATION_3')
-        |SELECT l_partkey, SUM(v) AS stock_value
+        |SELECT l_partkey, CAST(SUM(v) AS BIGINT) AS stock_value
         |FROM flat GROUP BY l_partkey
         |HAVING SUM(v) * 10000 > (SELECT SUM(v) FROM flat)
         |ORDER BY stock_value DESC, l_partkey""".stripMargin,

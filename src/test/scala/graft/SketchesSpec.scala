@@ -234,6 +234,15 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // layout independence
     assert(state(Sketches.kmvSketch(df.repartition(17), Seq("g"), col("v"),
       k = 64)) == state(whole))
+    // nulls are ignored, matching COUNT(DISTINCT): a sketch over the
+    // data with nulls interleaved equals the null-free sketch (and does
+    // not crash the non-nullable buffer encoder)
+    val withNulls = df.select(col("g"),
+      when(col("v") >= 0, col("v")).as("v"))
+      .unionByName(Seq(("small", null.asInstanceOf[java.lang.Long]),
+        ("big", null.asInstanceOf[java.lang.Long])).toDF("g", "v"))
+    assert(state(Sketches.kmvSketch(withNulls, Seq("g"), col("v"), k = 64))
+      == state(whole))
   }
 
   test("kmvJaccard: exact below k, within 3σ above, extremes exact") {

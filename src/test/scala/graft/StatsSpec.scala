@@ -254,6 +254,16 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("f", false, 4L)).toDF("g", "cohort", "x")
     assert(Stats.welchT(flat, Seq(col("g")), col("x"), col("cohort"))
       .collect()(0).isNullAt(5))
+    // a group whose rows all fall in ONE cohort: the other side's mean
+    // must be null (guarded), not the NaN a raw 0/0 division would emit
+    val oneSided = Seq(("o", true, 4L), ("o", true, 7L))
+      .toDF("g", "cohort", "x")
+    val os = Stats.welchT(oneSided, Seq(col("g")), col("x"), col("cohort"))
+      .collect()(0)
+    assert(os.getLong(1) == 2L && os.getLong(2) == 0L)
+    assert(os.getDouble(3) == 5.5)
+    assert(os.isNullAt(4), "empty cohort's mean leaked as NaN")
+    assert(os.isNullAt(5))
   }
 
   test("gini: textbook values, tie-invariant, layout-stable") {

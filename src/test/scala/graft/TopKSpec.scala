@@ -88,6 +88,47 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1)._2.compareTo(0.0) == 0)
   }
 
+  test("NaN ordinates keep a total order: rank first (Spark desc-sort), " +
+      "layout-invariant; -0.0 ties with +0.0 on the tiebreak") {
+    val k = 3
+    val agg = new BoundedTopK(k)
+    // NaN arriving into a non-full buffer, a full buffer, and via merge
+    // must all land at position 0 (Double.compare ranks NaN above all)
+    val rows = Seq(TopKRow(1.0, 1L), TopKRow(Double.NaN, 2L),
+      TopKRow(5.0, 3L), TopKRow(3.0, 4L), TopKRow(9.0, 5L))
+    for (perm <- rows.permutations.take(30)) {
+      val buf = perm.foldLeft(agg.zero)(agg.reduce)
+      sortedCappedTotal(buf, k)
+      assert(buf.ords(0).isNaN && buf.ties(0) == 2L,
+        s"NaN not ranked first for order $perm")
+      assert(buf.ords.zip(buf.ties).drop(1).toSeq == Seq((9.0, 5L), (5.0, 3L)))
+    }
+    val left = Seq(TopKRow(1.0, 1L), TopKRow(9.0, 5L))
+      .foldLeft(agg.zero)(agg.reduce)
+    val right = Seq(TopKRow(Double.NaN, 2L), TopKRow(5.0, 3L))
+      .foldLeft(agg.zero)(agg.reduce)
+    val m = agg.merge(left, right)
+    assert(m.ords(0).isNaN && m.ties(0) == 2L)
+    // -0.0 normalizes to +0.0 (Spark sorts the zeros equal): the pair
+    // is tie-broken by the tiebreak key, not by the sign bit
+    val zeros = Seq(TopKRow(-0.0, 7L), TopKRow(0.0, 6L), TopKRow(-1.0, 8L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(zeros.ords.zip(zeros.ties).toSeq ==
+      Seq((0.0, 6L), (0.0, 7L), (-1.0, 8L)))
+    assert(java.lang.Double.doubleToRawLongBits(zeros.ords(1)) == 0L,
+      "-0.0 survived normalization")
+  }
+
+  /** sortedCapped's invariant check restated under Double.compare so a
+    * NaN-bearing buffer can be validated (plain > is NaN-blind). */
+  private def sortedCappedTotal(b: TopKBuf, k: Int): Unit = {
+    assert(b.ords.length == b.ties.length && b.ords.length <= k)
+    for (i <- 1 until b.ords.length) {
+      val c = java.lang.Double.compare(b.ords(i - 1), b.ords(i))
+      assert(c > 0 || (c == 0 && b.ties(i - 1) < b.ties(i)))
+    }
+  }
+
   test("plan: partial-merge aggregation, no WindowExec, no full-row shuffle") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i % 5, i.toDouble, i)).toDF("g", "v", "id")
