@@ -92,11 +92,35 @@ object Bench {
     }
   }
 
+  /** Per-query JVM/executor counters sampled around each rep sweep —
+    * the diagnostics VERDICT r10 asked for after nine untouched queries
+    * "regressed" 3–4.7×: if that cluster reappears, the details file now
+    * says whether GC time spiked (heap pressure from neighboring
+    * queries), storage memory was full (cache eviction), or neither
+    * (host contention ⇒ trust `cal`, not the wall time).
+    *
+    * @param gcDeltaMs  JVM GC time accumulated DURING this query's reps
+    * @param heapUsedMb JVM heap in use when the sweep started
+    * @param storageUsedMb block-manager storage memory in use at start
+    */
+  final case class QueryCounters(gcDeltaMs: Long, heapUsedMb: Long,
+      storageUsedMb: Long)
+
+  /** Cumulative JVM garbage-collection milliseconds (all collectors). */
+  def gcMillis(): Long = {
+    val it = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.iterator()
+    var sum = 0L
+    while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) sum += t }
+    sum
+  }
+
   /** Verbose payload for the details file (not stdout): per-query medians
     * and every raw rep, so an outlier run is diagnosable post-hoc. */
   def renderDetails(results: Seq[(String, Seq[Double])], reps: Int,
       errors: Seq[(String, String)], sfDir: String,
-      calibration: Seq[Double] = Nil): String = {
+      calibration: Seq[Double] = Nil,
+      counters: Seq[(String, QueryCounters)] = Nil): String = {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.4f", d)
@@ -109,9 +133,13 @@ object Bench {
       k -> ts.map(fmt).mkString("[", ",", "]") })
     val es = obj(errors.map { case (k, v) => k -> jstr(v) })
     val cal = calibration.map(fmt).mkString("[", ",", "]")
+    val ctr = obj(counters.map { case (k, c) =>
+      k -> (s"""{"gc_ms":${c.gcDeltaMs},"heap_mb":${c.heapUsedMb},""" +
+        s""""storage_mb":${c.storageUsedMb}}""")
+    })
     s"""{"metric":"bench_details","reps":$reps,"queries_median":$qmed,""" +
-      s""""reps_sec":$raw,"calibration_sec":$cal,"errors":$es,""" +
-      s""""sf":${jstr(sfDir)}}"""
+      s""""reps_sec":$raw,"calibration_sec":$cal,"counters":$ctr,""" +
+      s""""errors":$es,"sf":${jstr(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -131,8 +159,15 @@ object Bench {
     // every query's rep sweep — elevated samples pinpoint WHEN the host
     // was loaded, not just that it was
     val calibration = scala.collection.mutable.ArrayBuffer(calibrate())
+    val counters = scala.collection.mutable.ArrayBuffer[(String, QueryCounters)]()
     val results = headline.toSeq.sortBy(_._1).map { case (name, fn) =>
       calibration += calibrate()
+      val gc0 = gcMillis()
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) >> 20
+      // local[*]: one block manager; storage used = max − remaining
+      val storageMb = spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, rem) => max - rem }.sum >> 20
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         // collect() forces full materialization of every output row;
@@ -143,6 +178,7 @@ object Bench {
           None
         }
       }
+      counters += name -> QueryCounters(gcMillis() - gc0, heapMb, storageMb)
       name -> times
     }
     val mins = results.map { case (k, ts) =>
@@ -151,7 +187,8 @@ object Bench {
       if (ts.isEmpty) 0.0 else ts.sorted.apply(ts.size / 2) }.sum
     val calMedian = calibration.sorted.apply(calibration.size / 2)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailsPath),
-      renderDetails(results, reps, errors.toSeq, sfDir, calibration.toSeq)): Unit
+      renderDetails(results, reps, errors.toSeq, sfDir, calibration.toSeq,
+        counters.toSeq)): Unit
     catch { case e: Throwable =>
       System.err.println(s"[bench] details write failed: ${e.getMessage}")
     }

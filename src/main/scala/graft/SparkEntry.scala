@@ -63,6 +63,20 @@ object SparkEntry {
   // m_binary_meta (metadata-only). All remain in Verify's correctness
   // gate; every r9-flagged regression query stays headline for
   // round-over-round tracking. HarnessContractSpec enforces the budget.
+  /** Queries flagged as bench regressions in the latest VERDICT. A
+    * flagged query may NOT be rotated out of [[headline]] until a later
+    * verdict clears it — rotation is exactly how round 10 lost
+    * round-over-round comparability when its regression cluster appeared.
+    * HarnessContractSpec enforces `benchPinned ⊆ headline`; update this
+    * list (only) from each round's VERDICT.md. Current entries: the nine
+    * queries VERDICT r10 marked `weak` (3.0–4.7× vs r9, zero code diff —
+    * per-query GC/heap/storage counters in the bench details file exist
+    * to adjudicate them). */
+  val benchPinned: Seq[String] = Seq(
+    "t_langid_confusion", "t_lm_transitions", "w3_share_normalization",
+    "w1_top3_per_nation", "t_pii_redaction", "t_repetition_stats",
+    "h6_forecast_revenue", "t_token_stats", "h5_local_supplier_volume")
+
   // d_incremental_dedup is deliberately NOT headline: its id-bounded
   // fixture is constant-size at every SF, so the bench would time ~5.6s
   // of iterative-job scheduling overhead (the CC loop's per-round

@@ -56,11 +56,34 @@ class HarnessContractSpec extends AnyFunSuite {
   test("bench details payload is valid JSON with medians, raw reps, calibration") {
     val results = SparkEntry.headline.map(n => n -> Seq(3.0, 1.0, 2.0)).toSeq
     val js = Bench.renderDetails(results, 3, Seq("q" -> "boom \"quoted\""), "/sf",
-      calibration = Seq(0.11, 0.12))
+      calibration = Seq(0.11, 0.12),
+      counters = Seq("q1" -> Bench.QueryCounters(120L, 512L, 64L)))
     val node = mapper.readTree(js)
     assert(node.get("queries_median").get(SparkEntry.headline.head).asDouble == 2.0)
     assert(node.get("reps_sec").get(SparkEntry.headline.head).size == 3)
     assert(node.get("calibration_sec").size == 2)
+    val c = node.get("counters").get("q1")
+    assert(c.get("gc_ms").asLong == 120L)
+    assert(c.get("heap_mb").asLong == 512L)
+    assert(c.get("storage_mb").asLong == 64L)
+  }
+
+  test("gcMillis is monotone non-negative and cheap to sample") {
+    val a = Bench.gcMillis()
+    assert(a >= 0L)
+    assert(Bench.gcMillis() >= a)
+  }
+
+  test("VERDICT-flagged regression queries cannot be rotated out of headline") {
+    // round-over-round comparability: a query the judge marked `weak` on
+    // performance must keep producing a BENCH_r{N} number until a later
+    // verdict clears it (then it may be removed from benchPinned first)
+    val missing = SparkEntry.benchPinned.filterNot(SparkEntry.headline.contains)
+    assert(missing.isEmpty,
+      s"benchPinned queries rotated out of headline: ${missing.mkString(", ")}")
+    val unknown = SparkEntry.benchPinned.filterNot(SparkEntry.queries.contains)
+    assert(unknown.isEmpty,
+      s"benchPinned names not in the registry: ${unknown.mkString(", ")}")
   }
 
   test("calibration spin returns a plausible positive wall time") {
