@@ -109,6 +109,28 @@ object Ranks {
         ordOut.as(ordName), col("col.t").as(tieName)): _*)
   }
 
+  /** Global (group-less) bounded top-k — [[topKPerGroup]] with zero
+    * grouping columns, kept as a named operator because its scale story
+    * differs from `orderBy(o).limit(k)` in a way worth choosing
+    * deliberately. Spark plans the latter as TakeOrderedAndProject:
+    * per-partition bounded heaps (good — no global sort), but the DRIVER
+    * then merges the per-partition candidates, pulling k·P rows WITH
+    * their full payload; at 100k partitions and a 1 KB payload that is
+    * gigabytes of driver heap for a k-row answer. Here the per-partition
+    * partials are 16-byte (ord, tie) pairs merged by a single one-row
+    * aggregate on an EXECUTOR, so the driver never sees more than the
+    * final k pairs — callers fetch payload for the k winners by joining
+    * back on `tie` (the [[topKPerGroup]] payload contract).
+    *
+    * Use `orderBy.limit` when partitions are few or the payload is
+    * narrow; use this when P·k·payload would crush the driver. */
+  def globalTopK(df: DataFrame, ord: Column, tie: Column, k: Int,
+      rankCol: String = "rank", ordName: String = "ord",
+      tieName: String = "tie", asc: Boolean = false,
+      distinctTies: Boolean = false): DataFrame =
+    topKPerGroup(df, Nil, ord, tie, k, rankCol, ordName, tieName, asc,
+      distinctTies)
+
   /** Deterministic per-group sample of up to `n` rows: rank by an
     * md5-derived 52-bit priority (uniform, seedless, engine-portable —
     * the same md5 family the dedup/sketch oracles mirror in SQL) and keep

@@ -190,6 +190,55 @@ object Similarity {
     call_function("graft_centroid_argmin", vec,
       typedLit(centroids.map(_.toSeq)))
 
+  /** The seed rows for [[trainCentroids]]: the k smallest-id vectors.
+    *
+    * For integral id columns this avoids `orderBy(id).limit(k)`'s
+    * TakeOrderedAndProject, whose driver-side merge pulls k candidates
+    * PER PARTITION with their full embedding payload (k·P·dim floats of
+    * driver heap at cluster scale). Instead [[Ranks.globalTopK]] reduces
+    * 16-byte (id, id) pairs to the k winning ids on an executor, and a
+    * second scan fetches just those k embeddings via a broadcast semi
+    * join. A long id cast to double stays monotone (nearest rounding)
+    * and the exact long tie-break restores any precision lost past 2^53,
+    * so the winner set is exactly `ORDER BY id LIMIT k`.
+    *
+    * Non-integral ids (string doc keys) keep the TakeOrdered path — no
+    * double-orderable surrogate preserves their sort order exactly, and
+    * such callers are small/bounded by construction. */
+  def seedRows(vectors: DataFrame, k: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val integral = vectors.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!integral) vectors.orderBy(col(idCol)).limit(k).select(col(vecCol))
+    else {
+      val winners = graft.operators.Ranks.globalTopK(
+        vectors.select(col(idCol)),
+        ord = col(idCol).cast("double"), tie = col(idCol), k = k,
+        asc = true)
+      // no Sort node: the ≤ k fetched rows are ordered driver-side in
+      // collectSeeds, so the whole seed plan is scan → 16-byte global
+      // aggregate → broadcast-semi fetch
+      vectors.join(broadcast(winners.select(col("tie").as("__seed_id"))),
+          col(idCol) === col("__seed_id"))
+        .select(col(idCol).cast("long").as("__seed_id"), col(vecCol))
+    }
+  }
+
+  /** Collect [[seedRows]] to the driver in ascending-id order. */
+  private def collectSeeds(vectors: DataFrame, k: Int, idCol: String,
+      vecCol: String)(toD: Any => Double): Seq[Seq[Double]] = {
+    val rows = seedRows(vectors, k, idCol, vecCol)
+    if (rows.columns.length == 1)
+      rows.collect().map(_.getSeq[Any](0).map(toD).toSeq).toSeq
+    else
+      rows.collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Any](1).map(toD).toSeq).toSeq
+  }
+
   /** Lloyd's k-means over the vector column, centroids collected to the
     * driver each round (k × dim doubles — tiny). Deterministic: seeds from
     * the first k rows by id; empty clusters keep their previous centroid.
@@ -203,9 +252,8 @@ object Similarity {
       case d: java.lang.Double => d
       case n: Number => n.doubleValue()
     }
-    var centroids: Seq[Seq[Double]] = vectors.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Any](0).map(toD).toSeq).toSeq
+    var centroids: Seq[Seq[Double]] =
+      collectSeeds(vectors, k, idCol, vecCol)(toD)
     for (_ <- 0 until iters) {
       val assigned = vectors.withColumn("__c", nearestCentroid(col(vecCol), centroids))
       val sums = assigned

@@ -142,6 +142,51 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan)
   }
 
+  test("globalTopK == orderBy.limit, layout-proof, executor-side merge plan") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    val rows = (1L to 1000L).map(i => (rnd.nextInt(40).toDouble, i))
+    val df = rows.toDF("v", "id").repartition(17)
+    val expectDesc = rows.sortBy(r => (-r._1, r._2)).take(7)
+    val got = Ranks.globalTopK(df, col("v"), col("id"), k = 7,
+        ordName = "v", tieName = "id")
+      .orderBy("rank").collect().map(r => (r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == expectDesc)
+    val expectAsc = rows.sortBy(identity).take(7)
+    val gotAsc = Ranks.globalTopK(df.coalesce(3), col("v"), col("id"), k = 7,
+        ordName = "v", tieName = "id", asc = true)
+      .orderBy("rank").collect().map(r => (r.getDouble(1), r.getLong(2))).toSeq
+    assert(gotAsc == expectAsc)
+    // the merge is a 1-row executor-side aggregate, not a driver
+    // TakeOrdered pulling per-partition candidates with payload
+    val plan = Ranks.globalTopK(df, col("v"), col("id"), k = 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrdered"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("trainCentroids seed path: no Sort, no TakeOrdered, broadcast fetch") {
+    import spark.implicits._
+    val vecs = (0L until 300L).map(i =>
+      (i, Seq.fill(4)(((i % 7) + 0.5).toFloat))).toDF("vec_id", "embedding")
+      .repartition(11)
+    val seed = graft.operators.Similarity.seedRows(vecs, 5, "vec_id", "embedding")
+    val plan = seed.queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrdered"), s"driver-merge seed leaked:\n$plan")
+    assert(!plan.contains("Sort"), s"sort in seed path:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // and the seed set itself is exactly the k smallest ids' vectors
+    val got = seed.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L until 5L).toSeq)
+    // string-id callers keep the bounded TakeOrdered path
+    val svecs = vecs.withColumn("vec_id", concat(lit("d"), col("vec_id")))
+    val splan = graft.operators.Similarity
+      .seedRows(svecs, 5, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(splan.contains("TakeOrdered"), splan)
+  }
+
   test("samplePerGroup: deterministic, n per group, invariant to layout") {
     import spark.implicits._
     val df = (1L to 500L).map(i => (s"g${i % 4}", i)).toDF("lang", "doc_id")
