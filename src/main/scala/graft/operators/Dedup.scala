@@ -802,6 +802,42 @@ object Dedup {
     * false negatives end to end (the [[containmentPairs]] style). */
   def jaccardJoinPrefix(df: DataFrame, idCol: Column, textCol: Column,
       minJaccard: Double, maxPosting: Int = 10000): DataFrame = {
+    val (docs, cands) = jaccardPrefixStages(df, idCol, textCol,
+      minJaccard, maxPosting)
+    val sets = docs.select(col("id"),
+      transform(col("sorted"), s => s.getField("tk")).as("toks"),
+      col("n"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("toks").as("toks_b"),
+        col("n").as("n_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("bigint"))
+      .withColumn("uni", (col("n_a") + col("n_b")).cast("bigint") - col("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        col("n_a").cast("bigint").as("n_a"),
+        col("n_b").cast("bigint").as("n_b"), col("jaccard"))
+  }
+
+  /** The candidate-pair stage of [[jaccardJoinPrefix]], exposed so the
+    * scale probe can measure candidate volume directly (the quantity
+    * whose growth rate decides whether the operator survives a corpus
+    * scale-up). Returns (id_a, id_b) with zero false negatives at
+    * `minJaccard` — exactly the pairs the exact verify then scores. */
+  def jaccardPrefixCandidates(df: DataFrame, idCol: Column,
+      textCol: Column, minJaccard: Double,
+      maxPosting: Int = 10000): DataFrame =
+    jaccardPrefixStages(df, idCol, textCol, minJaccard, maxPosting)._2
+
+  /** Shared body of [[jaccardJoinPrefix]] / [[jaccardPrefixCandidates]]:
+    * (per-doc sorted (df, tk) arrays, candidate pairs). */
+  private def jaccardPrefixStages(df: DataFrame, idCol: Column,
+      textCol: Column, minJaccard: Double,
+      maxPosting: Int): (DataFrame, DataFrame) = {
     require(minJaccard > 0 && minJaccard <= 1,
       s"minJaccard must be in (0, 1], got $minJaccard")
     val tok = df.select(idCol.as("id"),
@@ -839,23 +875,7 @@ object Dedup {
           col("a.n") >= ceil(lit(minJaccard) * col("b.n")) &&
           col("b.n") >= ceil(lit(minJaccard) * col("a.n")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    val sets = docs.select(col("id"),
-      transform(col("sorted"), s => s.getField("tk")).as("toks"),
-      col("n"))
-    cands
-      .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a"),
-        col("n").as("n_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("toks").as("toks_b"),
-        col("n").as("n_b")), Seq("id_b"))
-      .withColumn("inter",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("bigint"))
-      .withColumn("uni", (col("n_a") + col("n_b")).cast("bigint") - col("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / col("uni").cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
-        col("n_a").cast("bigint").as("n_a"),
-        col("n_b").cast("bigint").as("n_b"), col("jaccard"))
+    (docs, cands)
   }
 
   // ------------------------------------------------- duplicated substrings
@@ -908,5 +928,66 @@ object Dedup {
         count(lit(1)).as("n_shingles"))
       .filter(col("n_shingles") >= minShingles)
       .select("id", "span_start", "span_end", "n_shingles")
+  }
+
+  /** Maximal duplicated spans PER DOCUMENT PAIR — the alignment face of
+    * [[duplicateSpans]]: that operator says "this span of this document
+    * is duplicated somewhere"; this one says between WHICH two documents
+    * and at WHICH positions in each, per maximal run. Exactly the Lee et
+    * al. exact-substring target at pair granularity: a common token run
+    * of length L ≥ w appears as L − w + 1 consecutive matching
+    * w-shingles on ONE DIAGONAL (pos_a − pos_b constant), so maximal
+    * common substrings reduce to gaps-and-islands over matching shingle
+    * positions per (pair, diagonal) — no suffix array, no corpus in one
+    * address space. The longest common substring of a pair is its max
+    * `span_len` row (LlmOperatorsSpec proves this against a quadratic DP
+    * LCS on fuzzed docs).
+    *
+    * Scale: the only corpus-wide shuffle is the equi-join of (id, pos,
+    * digest) rows on the digest — never text. The join IS quadratic in a
+    * digest's posting size, so a `maxPosting` fail-fast guards the hot
+    * tail exactly like [[jaccardJoinPrefix]] (a silent cap would break
+    * the no-false-negative contract; boilerplate shingles that trip it
+    * should be stripped upstream, e.g. [[TextAnalysis]] boilerplate
+    * removal). The islands window partitions by (pair, diagonal) — tiny
+    * partitions, no global sort.
+    *
+    * Output: (id_a, id_b, start_a, start_b, n_shingles, span_len) — one
+    * maximal common run per row, 0-based token coordinates, id_a < id_b,
+    * span_len = n_shingles + w − 1 tokens. */
+  def maxDupSpans(df: DataFrame, idCol: Column, textCol: Column,
+      w: Int = 5, minShingles: Int = 3, maxPosting: Int = 1000): DataFrame = {
+    require(w >= 1 && minShingles >= 1, "w and minShingles must be >= 1")
+    val tk = filter(split(lower(textCol), "\\s+"), x => x =!= lit(""))
+    val toks = df.select(idCol.as("id"), tk.as("tk"))
+    val shingleArr = when(size(col("tk")) < w,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col("tk")) - w),
+        i => md5(array_join(slice(col("tk"), i + lit(1), lit(w)), " "))))
+    val sh = toks.select(col("id"),
+      posexplode(shingleArr).as(Seq("pos", "h")))
+    // posting-size fail-fast BEFORE the self-join (quadratic in posting)
+    val pcount = sh.groupBy("h").agg(count(lit(1)).as("__pc"))
+      .filter(col("__pc") >= 2)
+    val hot = sh.join(pcount, Seq("h"))
+      .filter(assert_true(col("__pc") <= maxPosting,
+        lit(s"maxDupSpans: a shingle digest occurs more than " +
+          s"maxPosting=$maxPosting times — strip boilerplate upstream or " +
+          "raise maxPosting")).isNull)
+      .select("id", "pos", "h")
+    val pairs = hot.as("a").join(hot.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+    val win = Window.partitionBy(col("id_a"), col("id_b"),
+      col("pos_a") - col("pos_b")).orderBy("pos_a")
+    pairs.withColumn("__grp", col("pos_a") - row_number().over(win))
+      .groupBy(col("id_a"), col("id_b"), col("pos_a") - col("pos_b"),
+        col("__grp"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        count(lit(1)).as("n_shingles"))
+      .filter(col("n_shingles") >= minShingles)
+      .withColumn("span_len", col("n_shingles") + lit(w - 1))
+      .select("id_a", "id_b", "start_a", "start_b", "n_shingles", "span_len")
   }
 }

@@ -274,6 +274,18 @@ object Stats {
     * 0/0 NaN the raw division would emit). Output: groups... + (n1,
     * n2, mean1, mean2, t). */
   def welchT(df: DataFrame, groupCols: Seq[Column], x: Column,
+      cohort: Column): DataFrame =
+    welchFromPartials(welchPartials(df, groupCols, x, cohort))
+
+  /** The PARTIAL per-cohort conditional moments behind [[welchT]] —
+    * (groups..., n1, sx1, sxx1, n2, sx2, sxx2), all exact BIGINTs, in
+    * ONE aggregation pass. Like [[momentPartials]] this row is the
+    * at-rest incremental artifact: aggregate each arriving batch once,
+    * [[mergeWelchPartials]] the stored rows, and [[welchFromPartials]]
+    * answers the test later without rescanning history — bit-identical
+    * to a one-shot [[welchT]] under any batch slicing, because BIGINT
+    * addition is exact/associative and the float tail is fixed. */
+  def welchPartials(df: DataFrame, groupCols: Seq[Column], x: Column,
       cohort: Column): DataFrame = {
     val xb = x.cast("bigint")
     val complete = df.filter(xb.isNotNull && cohort.isNotNull)
@@ -281,9 +293,26 @@ object Stats {
       sum(when(c, 1L).otherwise(0L)).as(s"n$tag"),
       sum(when(c, xb).otherwise(0L)).as(s"sx$tag"),
       sum(when(c, xb * xb).otherwise(0L)).as(s"sxx$tag"))
-    val agg = complete.groupBy(groupCols: _*)
+    complete.groupBy(groupCols: _*)
       .agg((side(cohort, "1") ++ side(!cohort, "2")).head,
         (side(cohort, "1") ++ side(!cohort, "2")).tail: _*)
+  }
+
+  /** Merge [[welchPartials]] tables with the same grouping: component-
+    * wise BIGINT addition per group (a group absent from one batch
+    * contributes the other's partials unchanged). */
+  def mergeWelchPartials(partials: Seq[DataFrame],
+      groupCols: Seq[String]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum("n1").as("n1"), sum("sx1").as("sx1"), sum("sxx1").as("sxx1"),
+        sum("n2").as("n2"), sum("sx2").as("sx2"), sum("sxx2").as("sxx2"))
+
+  /** Finalize a (possibly merged) [[welchPartials]] table into the
+    * [[welchT]] output schema — the ONE fixed float tail both faces
+    * share, which is what makes incremental and one-shot answers hash
+    * identically. */
+  def welchFromPartials(agg: DataFrame): DataFrame = {
     def mean(t: String) = col(s"sx$t").cast("double") / col(s"n$t")
     // s²/n = (n·sxx − sx²) / (n·(n−1)) / n — numerator exact BIGINT
     def varOverN(t: String) = {

@@ -581,6 +581,25 @@ object Extras {
         col("l_linestatus") === "F")
       .orderBy("l_returnflag")
 
+  /** Incremental Welch's t ([[graft.operators.Stats.welchPartials]] →
+    * merge → finalize): the corpus sliced into three disjoint batches by
+    * orderkey mod, each aggregated once to its per-cohort BIGINT
+    * conditional moments, merged, and finalized. The oracle only ever
+    * sees the WHOLE table — hash-matching it proves batch slicing is
+    * invisible (exact integer merge + the same fixed float tail as
+    * a_welch_t). */
+  def aWelchPartials(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    val li = t(s, dir, "lineitem")
+    val batches = (0 to 2).map(i =>
+      Stats.welchPartials(li.filter(pmod(col("l_orderkey"), lit(3)) === i),
+        Seq(col("l_returnflag")), col("l_quantity"),
+        col("l_linestatus") === "F"))
+    Stats.welchFromPartials(
+        Stats.mergeWelchPartials(batches, Seq("l_returnflag")))
+      .orderBy("l_returnflag")
+  }
+
   /** KMV resemblance ([[graft.operators.Sketches.kmvJaccard]]): how
     * much do the part sets of finished vs open line items overlap, per
     * return flag — Broder's minwise estimator on the k-min union,
@@ -599,6 +618,7 @@ object Extras {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_kmv_jaccard" -> (aKmvJaccard _),
     "a_welch_t" -> (aWelchT _),
+    "a_welch_partials" -> (aWelchPartials _),
     "a_gini_quantity" -> (aGiniQuantity _),
     "a_chi_square" -> (aChiSquare _),
     "t_winsorize_chars" -> (tWinsorizeChars _),
@@ -668,6 +688,39 @@ object Extras {
         |       sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS corr_xy
         |FROM m ORDER BY 1""".stripMargin
 
+  private val welchSql: String =
+    """WITH m AS (SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n1,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sx1,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS sxx1,
+        |  CAST(SUM(CASE WHEN l_linestatus <> 'F' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n2,
+        |  CAST(SUM(CASE WHEN l_linestatus <> 'F'
+        |    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sx2,
+        |  CAST(SUM(CASE WHEN l_linestatus <> 'F'
+        |    THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS sxx2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n1, n2,
+        |  CAST(sx1 AS DOUBLE) / n1 AS mean1,
+        |  CAST(sx2 AS DOUBLE) / n2 AS mean2,
+        |  CASE WHEN n1 > 1 AND n2 > 1 AND
+        |    (CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
+        |       / CAST(n1 * (n1 - 1) AS DOUBLE) / n1
+        |     + CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE)
+        |       / CAST(n2 * (n2 - 1) AS DOUBLE) / n2) > 0 THEN
+        |    (CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2)
+        |      / sqrt(CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
+        |               / CAST(n1 * (n1 - 1) AS DOUBLE) / n1
+        |             + CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE)
+        |               / CAST(n2 * (n2 - 1) AS DOUBLE) / n2)
+        |  END AS t
+        |FROM m ORDER BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "a_kmv_jaccard" ->
       """WITH hs AS (SELECT DISTINCT l_returnflag,
@@ -702,38 +755,10 @@ object Extras {
         |LEFT JOIN am a ON a.l_returnflag = u.l_returnflag AND a.h = u.h
         |LEFT JOIN bm b ON b.l_returnflag = u.l_returnflag AND b.h = u.h
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "a_welch_t" ->
-      """WITH m AS (SELECT l_returnflag,
-        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n1,
-        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
-        |    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sx1,
-        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
-        |    THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
-        |    ELSE 0 END) AS BIGINT) AS sxx1,
-        |  CAST(SUM(CASE WHEN l_linestatus <> 'F' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n2,
-        |  CAST(SUM(CASE WHEN l_linestatus <> 'F'
-        |    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sx2,
-        |  CAST(SUM(CASE WHEN l_linestatus <> 'F'
-        |    THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
-        |    ELSE 0 END) AS BIGINT) AS sxx2
-        |  FROM lineitem GROUP BY 1)
-        |SELECT l_returnflag, n1, n2,
-        |  CAST(sx1 AS DOUBLE) / n1 AS mean1,
-        |  CAST(sx2 AS DOUBLE) / n2 AS mean2,
-        |  CASE WHEN n1 > 1 AND n2 > 1 AND
-        |    (CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
-        |       / CAST(n1 * (n1 - 1) AS DOUBLE) / n1
-        |     + CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE)
-        |       / CAST(n2 * (n2 - 1) AS DOUBLE) / n2) > 0 THEN
-        |    (CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2)
-        |      / sqrt(CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
-        |               / CAST(n1 * (n1 - 1) AS DOUBLE) / n1
-        |             + CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE)
-        |               / CAST(n2 * (n2 - 1) AS DOUBLE) / n2)
-        |  END AS t
-        |FROM m ORDER BY 1""".stripMargin,
+    // the a_welch_partials oracle is the SAME whole-table SQL: the point
+    // of the incremental face is that batch slicing is invisible
+    "a_welch_partials" -> welchSql,
+    "a_welch_t" -> welchSql,
     // DuckDB SUM(BIGINT) is HUGEINT — exact, and the one double cast at
     // the end sees the same integer Spark's BIGINT path produced
     "a_gini_quantity" ->

@@ -636,6 +636,18 @@ object TextLLM {
         col("n_shingles"))
       .orderBy("doc_id", "span_start")
 
+  /** Maximal duplicated spans per document pair ([[Dedup.maxDupSpans]]):
+    * the alignment face of d_duplicate_spans — WHICH two documents share
+    * each maximal run of ≥ 3 consecutive matching 5-shingles, and at
+    * which token positions in each. The oracle replays the digest
+    * self-join and the per-(pair, diagonal) gaps-and-islands coalescing
+    * in full SQL — a hash match certifies every maximal span, both
+    * endpoints, exactly. */
+  def dMaxDupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.maxDupSpans(docs(s, dir), col("doc_id"), col("text"),
+        w = 5, minShingles = 3)
+      .orderBy("id_a", "id_b", "start_a", "start_b")
+
   /** Exact 3-word-shingle Jaccard over a fixed bounded candidate set
     * (docs < 30 plus their injected near-dup twins) — the verification
     * tail of [[Dedup.minhashNearDups]], DuckDB-checked end to end. */
@@ -1108,6 +1120,7 @@ object TextLLM {
     "d_containment_pairs" -> (dContainmentPairs _),
     "d_jaccard_prefix_pairs" -> (dJaccardPrefixPairs _),
     "d_duplicate_spans" -> (dDuplicateSpans _),
+    "d_max_dup_spans" -> (dMaxDupSpans _),
     "t_repetition_stats" -> (tRepetitionStats _),
     "t_pii_redaction" -> (tPiiRedaction _),
     "t_chunking" -> (tChunking _),
@@ -1571,6 +1584,31 @@ object TextLLM {
     // Duplicate-span mirror: full recompute — tokenize, hash every
     // 5-shingle, count corpus frequencies, then the same gaps-and-islands
     // (pos − row_number) grouping per document.
+    "d_max_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+        |    md5(array_to_string(tk[u.i + 1 : u.i + 5], ' ')) AS h
+        |  FROM toks, UNNEST(range(0, greatest(len(tk) - 4, 0))) AS u(i)),
+        |dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+        |hot AS (SELECT doc_id, pos, h FROM sh
+        |  WHERE h IN (SELECT h FROM dup)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.pos AS pos_a, b.pos AS pos_b
+        |  FROM hot a JOIN hot b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |g AS (SELECT id_a, id_b, pos_a, pos_b,
+        |    pos_a - ROW_NUMBER() OVER (
+        |      PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp
+        |  FROM p)
+        |SELECT id_a, id_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+        |  COUNT(*) AS n_shingles, COUNT(*) + 4 AS span_len
+        |FROM g GROUP BY id_a, id_b, pos_a - pos_b, grp
+        |HAVING COUNT(*) >= 3
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
     "d_duplicate_spans" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -518,6 +518,73 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spans2.count(_._2 == 0) == 2, "both prefixes start at token 0")
   }
 
+  test("maxDupSpans: per-pair max span == quadratic DP LCS on fuzzed docs") {
+    val w = 3; val minSh = 2
+    val minLen = w + minSh - 1 // shortest detectable common substring
+    val rnd = new scala.util.Random(91)
+    // fuzzed corpus: random token sequences over a small vocab (natural
+    // short overlaps arise), plus substrings planted across specific
+    // pairs so long matches exist too
+    val vocab = (0 until 40).map(i => s"v$i")
+    def randToks(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val plant = (1 to 9).map(i => s"p$i")
+    val docs0 = (0L until 14L).map { id =>
+      val base = randToks(12 + rnd.nextInt(20))
+      val toks =
+        if (id % 3 == 0) { // plant a shared run at a random offset
+          val cut = rnd.nextInt(base.length)
+          base.take(cut) ++ plant.take(4 + (id % 5).toInt) ++ base.drop(cut)
+        } else base
+      id -> toks
+    }
+    val df = docsDf(docs0.map { case (id, t) => (id, t.mkString(" ")) }: _*)
+    val got = Dedup.maxDupSpans(df, col("doc_id"), col("text"),
+        w = w, minShingles = minSh)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getInt(3), r.getLong(5))))
+    // 1. every reported span is a REAL common run at the reported
+    //    coordinates in both documents
+    val byId = docs0.toMap
+    for (((a, b), (sa, sb, len)) <- got) {
+      val ta = byId(a).slice(sa, sa + len.toInt)
+      val tb = byId(b).slice(sb, sb + len.toInt)
+      assert(ta == tb && ta.length == len.toInt,
+        s"span ($a,$b,$sa,$sb,$len) is not a common run")
+    }
+    // 2. per pair, the max reported span length equals the DP longest
+    //    common substring whenever that is detectable (>= minLen), and
+    //    no pair with LCS < minLen is reported at all
+    def lcs(x: Seq[String], y: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](x.length + 1, y.length + 1)
+      var best = 0
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        if (x(i - 1) == y(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          best = math.max(best, dp(i)(j))
+        }
+      best
+    }
+    val gotMax = got.groupBy(_._1).view.mapValues(_.map(_._2._3).max).toMap
+    var checkedDetectable = 0
+    for (a <- 0L until 14L; b <- (a + 1) until 14L) {
+      val l = lcs(byId(a), byId(b))
+      if (l >= minLen) {
+        assert(gotMax.get((a, b)).contains(l.toLong),
+          s"pair ($a,$b): LCS=$l but operator max=${gotMax.get((a, b))}")
+        checkedDetectable += 1
+      } else assert(!gotMax.contains((a, b)),
+        s"pair ($a,$b): LCS=$l < $minLen yet a span was reported")
+    }
+    assert(checkedDetectable >= 5, "fixture too weak — no detectable pairs")
+    // 3. layout-invariance
+    val re = Dedup.maxDupSpans(df.repartition(7), col("doc_id"),
+        col("text"), w = w, minShingles = minSh)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getInt(3), r.getLong(5)))).toSet
+    assert(re == got.toSet)
+  }
+
   test("hashSplit: deterministic, exhaustive, proportional to weights") {
     import spark.implicits._
     import graft.operators.TextAnalysis

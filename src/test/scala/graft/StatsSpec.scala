@@ -266,6 +266,31 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(os.isNullAt(5))
   }
 
+  test("welch partials: merged batches == one-shot, bit for bit, any slicing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 600).map { i =>
+      ("g" + (i % 4), i % 2 == 0, (rnd.nextInt(25) + (if (i % 2 == 0) 2 else 0)).toLong, i)
+    }
+    val df = rows.toDF("g", "cohort", "x", "id")
+    val oneShot = Stats.welchT(df, Seq(col("g")), col("x"), col("cohort"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    // three different slicings, including one with an empty batch and
+    // one whose batches don't all contain every group
+    val slicings = Seq(
+      Seq(col("id") % 2 === 0, col("id") % 2 === 1),
+      Seq(col("id") < 3, col("id") >= 3 && col("id") < 590, col("id") >= 590),
+      Seq(col("id") < 0, col("id") >= 0))
+    for (slices <- slicings) {
+      val partials = slices.map(p => Stats.welchPartials(df.filter(p),
+        Seq(col("g")), col("x"), col("cohort")))
+      val merged = Stats.welchFromPartials(
+          Stats.mergeWelchPartials(partials, Seq("g")))
+        .collect().map(r => r.getString(0) -> r.toSeq).toMap
+      assert(merged == oneShot) // Row equality is bitwise per field
+    }
+  }
+
   test("gini: textbook values, tie-invariant, layout-stable") {
     import spark.implicits._
     // perfect equality → 0; maximal concentration (one owner) → (n-1)/n
