@@ -182,6 +182,42 @@ object StreamingTimeSeries {
         .dropDuplicates(groupCol, "batch_id").drop("batch_id")),
       Seq(groupCol))
 
+  /** Streaming Welch maintenance — the ingestion face of
+    * [[graft.operators.Stats.welchPartials]]: each micro-batch reduces
+    * once to its per-cohort BIGINT conditional moments (6 integers per
+    * group) appended to the summary table. `cohortExpr` is a SQL boolean
+    * expression over the batch columns naming cohort 1. Same at-least-
+    * once posture as the moment sink: partials are deterministic, so a
+    * replayed batch appends an identical row under the same batch_id and
+    * the reader's (group, batch_id) dedup collapses it. */
+  def startWelchPartialsQuery(events: DataFrame, groupCol: String,
+      xCol: String, cohortExpr: String, targetDir: String,
+      checkpointDir: String) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Stats
+          .welchPartials(batch.toDF(), Seq(col(groupCol)), col(xCol),
+            expr(cohortExpr))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(targetDir)
+      }
+      .start()
+
+  /** Whole-stream Welch's t from the partials stored by
+    * [[startWelchPartialsQuery]] — replay-guarded merge, then the SAME
+    * fixed float tail as the batch operator, so the streaming answer is
+    * bit-identical to [[graft.operators.Stats.welchT]] over all data
+    * (StreamingSpec pins the equality). */
+  def mergedWelch(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.welchFromPartials(
+      graft.operators.Stats.mergeWelchPartials(
+        Seq(spark.read.parquet(targetDir)
+          .dropDuplicates(groupCol, "batch_id").drop("batch_id")),
+        Seq(groupCol)))
+
   /** Streaming quantile maintenance — the ingestion face of
     * [[graft.operators.Sketches.quantileSketch]]: each micro-batch
     * reduces to at most `groups × 900 × decades` bucket-counter rows

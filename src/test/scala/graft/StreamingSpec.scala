@@ -242,6 +242,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming welch partials: merged batches == one-shot welchT, bit for bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("welch_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("welch_ckpt").toString
+    val rng = new scala.util.Random(53)
+    val all = (0 until 800).map { i =>
+      val coh = i % 2 == 0
+      (s"g${i % 3}", (rng.nextInt(40) + (if (coh) 5 else 0)).toLong,
+        if (coh) "A" else "B")
+    }
+    val input = MemoryStream[(String, Long, String)]
+    val q = StreamingTimeSeries.startWelchPartialsQuery(
+      input.toDF().toDF("g", "x", "cohort"), "g", "x", "cohort = 'A'",
+      s"$dir/data", ckpt)
+    try {
+      input.addData(all.take(90): _*); q.processAllAvailable()
+      input.addData(all.slice(90, 650): _*); q.processAllAvailable()
+      input.addData(all.drop(650): _*); q.processAllAvailable()
+      val streamed = StreamingTimeSeries.mergedWelch(spark, s"$dir/data", "g")
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val batch = graft.operators.Stats.welchT(
+          all.toDF("g", "x", "cohort"), Seq(col("g")), col("x"),
+          col("cohort") === "A")
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(streamed == batch,
+        "stream-maintained Welch diverged from one-shot batch welchT")
+      // at-least-once replay of batch 1 must collapse, not double-count
+      val b1 = spark.read.parquet(s"$dir/data").filter(col("batch_id") === 1L)
+      b1.write.mode("append").parquet(s"$dir/data")
+      val afterReplay = StreamingTimeSeries.mergedWelch(spark, s"$dir/data", "g")
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(afterReplay == batch,
+        "a replayed micro-batch double-counted into the Welch partials")
+    } finally q.stop()
+  }
+
   test("streaming quantile sketch: merged batches == one-shot batch sketch; replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
