@@ -930,6 +930,69 @@ object Dedup {
       .select("id", "span_start", "span_end", "n_shingles")
   }
 
+  /** Duplicated-span REMOVAL — the rewrite step Lee et al. apply after
+    * detection: every duplicated span keeps exactly ONE canonical
+    * occurrence in the corpus; all others are excised from their
+    * documents. Canonical = the lexicographically smallest (id, pos)
+    * occurrence PER SHINGLE DIGEST (the library's min-id survivor
+    * convention at span granularity — deterministic, layout- and
+    * engine-independent). Non-canonical occurrences that form runs of
+    * ≥ `minShingles` consecutive shingles (the same threshold as
+    * [[duplicateSpans]]) have their covered tokens cut; shorter
+    * incidental overlaps are left alone, matching the detection
+    * contract.
+    *
+    * Scale shape: canonical election is a groupBy-min on the digest (no
+    * window over a hot hash), islands partition by document, and the
+    * REWRITE never shuffles text — the tiny (id, spans) table joins back
+    * to the corpus and a codegen'd index-aware `filter` drops covered
+    * tokens in the scan. Only (id, pos, digest) rows ever cross an
+    * exchange.
+    *
+    * Output: (id, n_tokens, n_removed, clean_text) for EVERY input
+    * document (unaffected docs pass through with n_removed = 0);
+    * clean_text is the surviving tokens of the lowercased/whitespace
+    * tokenization joined by single spaces — the same normalization the
+    * detection pass reads, so downstream passes see consistent text. */
+  def removeDupSpans(df: DataFrame, idCol: Column, textCol: Column,
+      w: Int = 5, minShingles: Int = 3): DataFrame = {
+    require(w >= 1 && minShingles >= 1, "w and minShingles must be >= 1")
+    val tk = filter(split(lower(textCol), "\\s+"), x => x =!= lit(""))
+    val toks = df.select(idCol.as("id"), tk.as("tk"))
+    val shingleArr = when(size(col("tk")) < w,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col("tk")) - w),
+        i => md5(array_join(slice(col("tk"), i + lit(1), lit(w)), " "))))
+    val sh = toks.select(col("id"),
+      posexplode(shingleArr).as(Seq("pos", "h")))
+    // canonical occurrence per duplicated digest: min (id, pos) struct
+    val can = sh.groupBy("h")
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("id"), col("pos"))).as("can"))
+      .filter(col("__c") >= 2)
+      .select(col("h"), col("can.id").as("can_id"), col("can.pos").as("can_pos"))
+    val removable = sh.join(can, Seq("h"))
+      .filter(!(col("id") === col("can_id") && col("pos") === col("can_pos")))
+      .select("id", "pos")
+    val rn = row_number().over(Window.partitionBy("id").orderBy("pos"))
+    val spans = removable.withColumn("__grp", col("pos") - rn)
+      .groupBy("id", "__grp")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(w - 1)).as("e"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= minShingles)
+      .groupBy("id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("rm"))
+    toks.join(spans, Seq("id"), "left")
+      .withColumn("rm", coalesce(col("rm"),
+        array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("clean", filter(col("tk"), (x, i) =>
+        !exists(col("rm"), sp =>
+          i >= sp.getField("s") && i <= sp.getField("e"))))
+      .select(col("id"), size(col("tk")).cast("bigint").as("n_tokens"),
+        (size(col("tk")) - size(col("clean"))).cast("bigint").as("n_removed"),
+        array_join(col("clean"), " ").as("clean_text"))
+  }
+
   /** Maximal duplicated spans PER DOCUMENT PAIR — the alignment face of
     * [[duplicateSpans]]: that operator says "this span of this document
     * is duplicated somewhere"; this one says between WHICH two documents

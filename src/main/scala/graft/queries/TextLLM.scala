@@ -636,6 +636,19 @@ object TextLLM {
         col("n_shingles"))
       .orderBy("doc_id", "span_start")
 
+  /** Duplicated-span removal ([[Dedup.removeDupSpans]]): the corpus
+    * after excising every non-canonical occurrence of a duplicated
+    * ≥ 3-shingle run (canonical = global min (doc, pos) per digest).
+    * The oracle rebuilds the election, the islands, and the token-level
+    * excision in full SQL — matching clean_text strings certify the
+    * rewrite byte for byte (24 affected docs, 1254 tokens at sf0.01). */
+  def dRemoveDupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDupSpans(docs(s, dir), col("doc_id"), col("text"),
+        w = 5, minShingles = 3)
+      .orderBy("id")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+        col("clean_text"))
+
   /** Maximal duplicated spans per document pair ([[Dedup.maxDupSpans]]):
     * the alignment face of d_duplicate_spans — WHICH two documents share
     * each maximal run of ≥ 3 consecutive matching 5-shingles, and at
@@ -1121,6 +1134,7 @@ object TextLLM {
     "d_jaccard_prefix_pairs" -> (dJaccardPrefixPairs _),
     "d_duplicate_spans" -> (dDuplicateSpans _),
     "d_max_dup_spans" -> (dMaxDupSpans _),
+    "d_remove_dup_spans" -> (dRemoveDupSpans _),
     "t_repetition_stats" -> (tRepetitionStats _),
     "t_pii_redaction" -> (tPiiRedaction _),
     "t_chunking" -> (tChunking _),
@@ -1584,6 +1598,42 @@ object TextLLM {
     // Duplicate-span mirror: full recompute — tokenize, hash every
     // 5-shingle, count corpus frequencies, then the same gaps-and-islands
     // (pos − row_number) grouping per document.
+    "d_remove_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+        |    md5(array_to_string(tk[u.i + 1 : u.i + 5], ' ')) AS h
+        |  FROM toks, UNNEST(range(0, greatest(len(tk) - 4, 0))) AS u(i)),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+        |    COUNT(*) OVER (PARTITION BY h) AS c
+        |  FROM sh),
+        |removable AS (
+        |  SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM marked WHERE c >= 2 AND rn > 1),
+        |spans AS (
+        |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+        |  FROM removable GROUP BY doc_id, grp HAVING COUNT(*) >= 3),
+        |posx AS (
+        |  SELECT doc_id, CAST(u.i AS INTEGER) AS pos, tk[u.i + 1] AS tok
+        |  FROM toks, UNNEST(range(0, len(tk))) AS u(i)),
+        |kept AS (
+        |  SELECT p.doc_id, p.pos, p.tok FROM posx p
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = p.doc_id AND p.pos BETWEEN s.s AND s.e))
+        |SELECT t.doc_id, len(t.tk) AS n_tokens,
+        |  len(t.tk) - COUNT(k.pos) AS n_removed,
+        |  COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text
+        |FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
+        |GROUP BY t.doc_id, len(t.tk)
+        |ORDER BY t.doc_id""".stripMargin,
     "d_max_dup_spans" ->
       """WITH toks AS (
         |  SELECT doc_id,

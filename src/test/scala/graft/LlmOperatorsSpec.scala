@@ -518,6 +518,47 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spans2.count(_._2 == 0) == 2, "both prefixes start at token 0")
   }
 
+  test("removeDupSpans: one canonical occurrence survives, others are excised") {
+    // docs 1, 2, 3 share an 8-token run; doc 1 (min id) is canonical and
+    // keeps it, docs 2 and 3 lose exactly those tokens
+    val run = (1 to 8).map(i => s"s$i").mkString(" ")
+    val df = docsDf(
+      (1L, s"a1 a2 $run a3"),
+      (2L, s"$run b1 b2 b3"),
+      (3L, s"c1 $run c2"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8")) // untouched
+    val got = Dedup.removeDupSpans(df, col("doc_id"), col("text"),
+        w = 3, minShingles = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((11L, 0L, s"a1 a2 $run a3")))
+    assert(got(2L) == ((11L, 8L, "b1 b2 b3")))
+    assert(got(3L) == ((10L, 8L, "c1 c2")))
+    assert(got(4L) == ((8L, 0L, "u1 u2 u3 u4 u5 u6 u7 u8")))
+    // within-doc repeat: the first occurrence is canonical
+    val rep = docsDf((7L, s"$run x1 x2 $run"))
+    val gotRep = Dedup.removeDupSpans(rep, col("doc_id"), col("text"),
+      w = 3, minShingles = 2).collect()(0)
+    assert(gotRep.getLong(2) == 8L &&
+      gotRep.getString(3) == s"$run x1 x2")
+    // token conservation + layout invariance on the fuzzed corpus
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 30).map(i => s"v$i")
+    val fuzz = docsDf((0L until 20L).map { id =>
+      (id, Seq.fill(15 + rnd.nextInt(15))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }: _*)
+    def run2(d: org.apache.spark.sql.DataFrame) =
+      Dedup.removeDupSpans(d, col("doc_id"), col("text"),
+          w = 3, minShingles = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+    val a = run2(fuzz)
+    assert(a == run2(fuzz.repartition(7)))
+    for ((_, nTok, nRem, clean) <- a)
+      assert(clean.split(" ").filter(_.nonEmpty).length == nTok - nRem)
+  }
+
   test("maxDupSpans: per-pair max span == quadratic DP LCS on fuzzed docs") {
     val w = 3; val minSh = 2
     val minLen = w + minSh - 1 // shortest detectable common substring
