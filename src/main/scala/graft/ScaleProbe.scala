@@ -639,27 +639,38 @@ object ScaleProbe {
     }
 
     // Prefix-filter Jaccard join candidate growth: the operator's scale
-    // risk is the posting self-join (quadratic per posting list), so
-    // measure CANDIDATE COUNT and shuffle bytes at 1× and 4× corpus on
-    // Zipf-token docs (realistic skew: common tokens everywhere, but
-    // prefixes keep only each doc's rarest slice). Sub-quadratic growth
-    // = candidates scale ≪ 16× when docs scale 4×.
-    def zipfCorpus(n: Long) = {
+    // risk is the posting self-join — candidate volume is
+    // Σ_token C(posting, 2), so it stays sub-quadratic in corpus size
+    // ONLY while posting lengths stay bounded. Measure both regimes at
+    // 1× and 4× corpus on Zipf-token docs:
+    //  - FIXED vocabulary (adversarial: every token's df grows with the
+    //    corpus, postings lengthen, candidates go quadratic — the
+    //    hazard maxPosting exists to fail fast on);
+    //  - OPEN vocabulary (realistic: Heaps' law, vocab grows with the
+    //    corpus, per-token df — hence postings — stays flat, candidates
+    //    grow ~linearly).
+    def zipfCorpus(n: Long, vocab: Long) = {
       import spark.implicits._
       spark.range(n).flatMap { i =>
         val id = i.toLong
         val r = new scala.util.Random(id)
         def tok() = { val u = r.nextDouble() * r.nextDouble()
-          s"z${(50000 * u).toInt}" }
+          s"z${(vocab * u).toInt}" }
         val words = Seq.fill(60)(tok()).mkString(" ")
         if (id % 10 == 0) Seq((id, words), (id + 10000000L, words + " ztail"))
         else Seq((id, words))
       }.toDF("doc_id", "text")
     }
     for (n <- Seq(50000L, 200000L)) {
-      timedShuffled(s"jaccard_prefix_cands_${n / 1000}kdocs") {
-        exec(Dedup.jaccardPrefixCandidates(zipfCorpus(n), col("doc_id"),
-          col("text"), minJaccard = 0.8, maxPosting = 100000))
+      timedShuffled(s"jaccard_prefix_cands_fixedvocab_${n / 1000}kdocs") {
+        exec(Dedup.jaccardPrefixCandidates(zipfCorpus(n, 50000L),
+          col("doc_id"), col("text"), minJaccard = 0.8,
+          maxPosting = 100000))
+      }
+      timedShuffled(s"jaccard_prefix_cands_openvocab_${n / 1000}kdocs") {
+        exec(Dedup.jaccardPrefixCandidates(zipfCorpus(n, n),
+          col("doc_id"), col("text"), minJaccard = 0.8,
+          maxPosting = 100000))
       }
     }
 
