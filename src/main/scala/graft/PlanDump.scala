@@ -60,13 +60,53 @@ object PlanDump {
     "s_hard_negatives" -> "hard-negative mining — broadcast queries cross the base scan with the label-inequality pair filter BEFORE scoring, rank-limit window cuts to k per partition",
     "a_gini_quantity" -> "per-group Gini — PARTITIONED rank window (parallel per group) feeding one exact-BIGINT aggregate; the within-group sort is the statistic's inherent cost, no global sort",
     "a_welch_t" -> "Welch's t — both cohorts' conditional moments in ONE HashAggregate pass (partial+final), no per-cohort scans, no join; the t expression is a pure projection on top",
-    "a_kmv_jaccard" -> "KMV resemblance — two k-min sketch builds + the union re-min + two membership joins, all over ≤ 3k hash rows per group; the part table is scanned twice and never shuffles its key universe")
+    "a_kmv_jaccard" -> "KMV resemblance — two k-min sketch builds + the union re-min + two membership joins, all over ≤ 3k hash rows per group; the part table is scanned twice and never shuffles its key universe",
+    "a_welch_partials" -> "incremental Welch — three batch-sliced conditional-moment aggregates union + component-wise BIGINT re-sum; the fixed float tail sits on the merged partials, so the plan proves batch slicing adds one cheap re-aggregate, not a rescan",
+    "d_max_dup_spans" -> "pairwise max duplicated spans — digest-posting self-join (md5 keys, posting fail-fast BEFORE the join), then gaps-and-islands windowed per (pair, diagonal): tiny partitions, no global sort, text never shuffles",
+    "d_remove_dup_spans" -> "duplicated-span removal — canonical election as groupBy-min on the digest (no hot-hash window), per-doc islands, and a broadcast-able (id, spans) join back; the excision is an index-aware array filter IN THE SCAN — the corpus text never crosses an exchange")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */
   val epilogue: String =
     """
       |# Analysis notes (measured)
+      |
+      |## Bench round-over-round adjudication (r10 "nine-query regression")
+      |
+      |VERDICT r10 flagged nine queries that slowed 3.0–4.7× in BENCH_r10
+      |with zero code change (`t_langid_confusion t_lm_transitions
+      |w3_share_normalization w1_top3_per_nation t_pii_redaction
+      |t_repetition_stats h6_forecast_revenue t_token_stats
+      |h5_local_supplier_volume`). Round-11 replay at the same SF (sf0.1,
+      |identical calibration 0.286 vs the r10 driver run's 0.285 — i.e.
+      |the SAME host-contention regime the calibration metric can see)
+      |with the new per-query counters:
+      |
+      |```json
+      |{"replay": "r11 local sf0.1", "cal": 0.286, "total_sec": 34.134,
+      | "nine": {"t_langid_confusion": {"r9": 0.52, "r10": 2.42, "r11": 0.43, "gc_ms": 0},
+      |  "t_lm_transitions": {"r9": 1.12, "r10": 5.15, "r11": 0.88, "gc_ms": 24},
+      |  "w3_share_normalization": {"r9": 0.26, "r10": 1.19, "r11": 0.24, "gc_ms": 13},
+      |  "w1_top3_per_nation": {"r9": 0.20, "r10": 0.90, "r11": 0.21, "gc_ms": 0},
+      |  "t_pii_redaction": {"r9": 0.20, "r10": 0.88, "r11": 0.17, "gc_ms": 0},
+      |  "t_repetition_stats": {"r9": 0.34, "r10": 1.43, "r11": 0.35, "gc_ms": 13},
+      |  "h6_forecast_revenue": {"r9": 0.20, "r10": 0.81, "r11": 0.15, "gc_ms": 0},
+      |  "t_token_stats": {"r9": 0.30, "r10": 1.11, "r11": 0.24, "gc_ms": 12},
+      |  "h5_local_supplier_volume": {"r9": 1.01, "r10": 3.04, "r11": 0.68, "gc_ms": 34}}}
+      |```
+      |
+      |Every one of the nine replays AT OR BELOW its r9 time; GC during
+      |each sweep is ≤ 34 ms, heap ≤ 2.3 GB of 128 GB, storage memory
+      |≤ 30 MB — no GC pressure, no cache eviction. The r10 numbers were a
+      |driver-host run-level artifact that the single whole-run `cal`
+      |median could not see (contention localized to part of the run
+      |averages away). The fix is structural, not forensic: BENCH details
+      |now carry per-query `counters.{gc_ms, heap_mb, storage_mb}` and the
+      |interleaved `calibration_sec` samples already pinpoint WHEN the
+      |host was loaded, so any future cluster like this is attributable
+      |from the artifact alone. The nine stay pinned in the headline
+      |(`SparkEntry.benchPinned`, enforced by HarnessContractSpec) until a
+      |verdict clears them.
       |
       |## j_bloom_prefilter_join — the round-9 bench regression, pinned
       |
