@@ -182,6 +182,41 @@ object StreamingTimeSeries {
         .dropDuplicates(groupCol, "batch_id").drop("batch_id")),
       Seq(groupCol))
 
+  /** Streaming Count-Min maintenance — the ingestion face of
+    * [[graft.operators.Sketches.countMinSketch]]: each micro-batch
+    * reduces to ≤ depth × width counter rows appended to the summary
+    * table; the key universe never accumulates anywhere. Counter
+    * addition is associative/commutative but NOT idempotent, so
+    * [[mergedCms]] applies the (row, bucket, batch_id) replay guard
+    * before summing — the moment-sink posture, not the KMV one. */
+  def startCmsQuery(events: DataFrame, keyCol: String, targetDir: String,
+      checkpointDir: String, depth: Int = 4, width: Int = 1024) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Sketches
+          .countMinSketch(batch.toDF(), col(keyCol), depth, width)
+          .counters
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(targetDir)
+      }
+      .start()
+
+  /** Whole-stream CMS from the per-batch counters stored by
+    * [[startCmsQuery]] — replay-guarded counter-wise addition, returned
+    * as a bound [[graft.operators.Sketches.CmsSketch]] so estimates
+    * reuse the build's own (depth, width). Equals the batch sketch of
+    * the union (StreamingSpec pins the equality, replay included). */
+  def mergedCms(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, depth: Int = 4,
+      width: Int = 1024): graft.operators.Sketches.CmsSketch =
+    graft.operators.Sketches.CmsSketch(
+      spark.read.parquet(targetDir)
+        .dropDuplicates("row", "bucket", "batch_id").drop("batch_id")
+        .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt")),
+      depth, width)
+
   /** Streaming Welch maintenance — the ingestion face of
     * [[graft.operators.Stats.welchPartials]]: each micro-batch reduces
     * once to its per-cohort BIGINT conditional moments (6 integers per

@@ -242,6 +242,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming CMS: merged counters == one-shot batch sketch; replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cms_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cms_ckpt").toString
+    val rng = new scala.util.Random(67)
+    // Zipf-ish keys so some counters collide and others stay empty
+    val all = (0 until 1200).map(_ => s"k${rng.nextInt(rng.nextInt(200) + 1)}")
+    val input = MemoryStream[String]
+    val q = StreamingTimeSeries.startCmsQuery(
+      input.toDF().toDF("k"), "k", s"$dir/data", ckpt, depth = 4, width = 64)
+    try {
+      input.addData(all.take(100): _*); q.processAllAvailable()
+      input.addData(all.slice(100, 900): _*); q.processAllAvailable()
+      input.addData(all.drop(900): _*); q.processAllAvailable()
+      val probes = all.distinct.toDF("k")
+      def est(s: graft.operators.Sketches.CmsSketch) =
+        s.estimate(probes, col("k"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val streamed = est(StreamingTimeSeries.mergedCms(spark, s"$dir/data",
+        depth = 4, width = 64))
+      val batch = est(graft.operators.Sketches.countMinSketch(
+        all.toDF("k"), col("k"), depth = 4, width = 64))
+      assert(streamed == batch,
+        "stream-maintained CMS diverged from the one-shot batch sketch")
+      // upward-biased only: every estimate >= the true count
+      val truth = all.groupBy(identity).view.mapValues(_.size.toLong)
+      assert(truth.forall { case (k, n) => streamed(k) >= n })
+      // at-least-once replay of batch 1 must collapse, not double-count
+      val b1 = spark.read.parquet(s"$dir/data").filter(col("batch_id") === 1L)
+      b1.write.mode("append").parquet(s"$dir/data")
+      val afterReplay = est(StreamingTimeSeries.mergedCms(spark,
+        s"$dir/data", depth = 4, width = 64))
+      assert(afterReplay == batch,
+        "a replayed micro-batch double-counted into the CMS counters")
+    } finally q.stop()
+  }
+
   test("streaming welch partials: merged batches == one-shot welchT, bit for bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
