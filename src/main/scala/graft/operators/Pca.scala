@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Principal-component analysis over an embedding column — the standard
+  * dimensionality-reduction / decorrelation step before ANN indexing at
+  * corpus scale (the rotation OPQ applies before product quantization,
+  * the whitening SemDeDup-style pipelines run before cosine thresholds).
+  *
+  * Scale shape: the ONLY distributed work is one aggregation pass that
+  * reduces the corpus to a d(d+3)/2-double summary (count, per-dimension
+  * sums, upper-triangle co-moment sums) through a mergeable typed
+  * `Aggregator` — partial buffers combine map-side, so at 100 TB the
+  * exchange carries one ~d²/2 buffer per partition and nothing else; the
+  * eigen-decomposition runs on the DRIVER over the d×d matrix (d ≤ 512
+  * enforced — embeddings, not feature explosions), and projection is a
+  * broadcast-literal [[Similarity.dot]] per component, codegen'd at scan
+  * speed with no shuffle and no UDF.
+  *
+  * Float sums are order-dependent in the last bits (unlike the exact
+  * integer moments in [[Stats]]), so PCA results are reproducible to
+  * ~1e-12 relative — not bit-identical — across partitionings; this
+  * operator therefore stays OUT of the oracle registry (the HLL
+  * convention: no engine-portable oracle exists) and is spec-pinned by
+  * differentials instead (PcaSpec: covariance vs naive, eigenpairs vs
+  * A·v = λ·v, variance ordering, reconstruction-error monotonicity).
+  */
+object Pca {
+
+  /** One input vector for the covariance aggregator. */
+  final case class VecIn(v: Array[Double])
+
+  /** Covariance buffer: `n`, per-dim sums `s` (length d), upper-triangle
+    * co-moment sums `p` (length d(d+1)/2, row-major: (i,j≥i) at
+    * i·d − i(i−1)/2 + (j−i)). */
+  final case class CovBuf(n: Long, s: Array[Double], p: Array[Double])
+
+  /** Corpus summary from one aggregation pass: row count, mean vector,
+    * and the SAMPLE covariance matrix (n−1 denominator). */
+  final case class CovarianceModel(n: Long, mean: Array[Double],
+      cov: Array[Array[Double]])
+
+  /** Fitted rotation: top-k eigenpairs of the covariance (eigenvalues
+    * descending, components row-wise, each unit-norm) plus the mean for
+    * centering. */
+  final case class PcaModel(mean: Array[Double], eigenvalues: Array[Double],
+      components: Array[Array[Double]])
+
+  private class CovAgg(dim: Int)
+      extends Aggregator[VecIn, CovBuf, CovBuf] with Serializable {
+    private val tri = dim * (dim + 1) / 2
+    def zero: CovBuf = CovBuf(0L, new Array[Double](dim), new Array[Double](tri))
+    def reduce(b: CovBuf, a: VecIn): CovBuf = {
+      val v = a.v
+      require(v.length == dim,
+        s"covariance: vector of length ${v.length}, expected $dim")
+      // buffers are owned by this aggregator instance between serde
+      // points, so in-place accumulation is safe (the BoundedTopK
+      // convention) and avoids a tri-sized allocation per row
+      var i = 0; var o = 0
+      while (i < dim) {
+        b.s(i) += v(i)
+        var j = i
+        while (j < dim) { b.p(o) += v(i) * v(j); j += 1; o += 1 }
+        i += 1
+      }
+      CovBuf(b.n + 1, b.s, b.p)
+    }
+    def merge(x: CovBuf, y: CovBuf): CovBuf = {
+      if (x.n == 0L) return y
+      if (y.n == 0L) return x
+      var i = 0
+      while (i < dim) { x.s(i) += y.s(i); i += 1 }
+      var o = 0
+      while (o < tri) { x.p(o) += y.p(o); o += 1 }
+      CovBuf(x.n + y.n, x.s, x.p)
+    }
+    def finish(r: CovBuf): CovBuf = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[CovBuf] =
+      Encoders.product[CovBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[CovBuf] =
+      Encoders.product[CovBuf]
+  }
+
+  /** One-pass mean + sample covariance of `vecCol` (array of
+    * float/double, fixed length `dim`). Null vectors are dropped;
+    * a wrong-length vector hard-errors (silent truncation would skew
+    * every co-moment). Needs n ≥ 2. */
+  def covariance(df: DataFrame, vecCol: Column, dim: Int): CovarianceModel = {
+    require(dim >= 1 && dim <= 512,
+      s"covariance supports 1 <= dim <= 512 embeddings, got $dim " +
+        "(the d x d summary must stay driver-sized)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = udaf(new CovAgg(dim), Encoders.product[VecIn])
+    val row = df.filter(vecCol.isNotNull)
+      .select(agg(vecCol.cast("array<double>")).as("b"))
+      .select(col("b.n"), col("b.s"), col("b.p"))
+      .as[(Long, Array[Double], Array[Double])]
+      .head()
+    val (n, s, p) = row
+    require(n >= 2, s"covariance needs at least 2 vectors, got $n")
+    val mean = s.map(_ / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var i = 0; var o = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        // sample covariance: (Σ x_i x_j − n·m_i·m_j) / (n − 1)
+        val c = (p(o) - n * mean(i) * mean(j)) / (n - 1)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; o += 1
+      }
+      i += 1
+    }
+    CovarianceModel(n, mean, cov)
+  }
+
+  /** Cyclic Jacobi eigen-decomposition of the symmetric covariance —
+    * driver-side, deterministic (fixed sweep order, fixed iteration
+    * budget, convergence on off-diagonal norm). Returns the top `k`
+    * eigenpairs by eigenvalue. */
+  def principalComponents(model: CovarianceModel, k: Int): PcaModel = {
+    val d = model.cov.length
+    require(k >= 1 && k <= d, s"need 1 <= k <= $d, got $k")
+    val a = Array.tabulate(d, d)((i, j) => model.cov(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offNorm(a)
+    val tol = 1e-14 * math.max(1.0, frobNorm(a))
+    while (off > tol && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > tol / (d * d)) rotate(a, v, p, q)
+          q += 1
+        }
+        p += 1
+      }
+      off = offNorm(a); sweep += 1
+    }
+    // eigenvalues on the diagonal, vectors in v's COLUMNS; sort desc
+    // with index tiebreak so equal eigenvalues order deterministically
+    val order = (0 until d).sortBy(i => (-a(i)(i), i)).take(k)
+    PcaModel(model.mean,
+      order.map(i => a(i)(i)).toArray,
+      order.map(i => Array.tabulate(d)(r => v(r)(i))).toArray)
+  }
+
+  private def offNorm(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    for (i <- a.indices; j <- a.indices if i != j) s += a(i)(j) * a(i)(j)
+    math.sqrt(s)
+  }
+
+  private def frobNorm(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    for (i <- a.indices; j <- a.indices) s += a(i)(j) * a(i)(j)
+    math.sqrt(s)
+  }
+
+  /** One Jacobi rotation zeroing a(p)(q), updating A and the
+    * accumulated eigenvector matrix in place. */
+  private def rotate(a: Array[Array[Double]], v: Array[Array[Double]],
+      p: Int, q: Int): Unit = {
+    val d = a.length
+    val apq = a(p)(q)
+    if (apq == 0.0) return
+    val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+    val t = math.signum(theta) match {
+      case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+      case sg => sg / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+    }
+    val c = 1.0 / math.sqrt(t * t + 1.0)
+    val s = t * c
+    var i = 0
+    while (i < d) {
+      val aip = a(i)(p); val aiq = a(i)(q)
+      a(i)(p) = c * aip - s * aiq
+      a(i)(q) = s * aip + c * aiq
+      i += 1
+    }
+    i = 0
+    while (i < d) {
+      val api = a(p)(i); val aqi = a(q)(i)
+      a(p)(i) = c * api - s * aqi
+      a(q)(i) = s * api + c * aqi
+      val vip = v(i)(p); val viq = v(i)(q)
+      v(i)(p) = c * vip - s * viq
+      v(i)(q) = s * vip + c * viq
+      i += 1
+    }
+  }
+
+  /** Project a vector column onto the model's components (centered):
+    * `out_j = (x − mean) · comp_j = x · comp_j − mean · comp_j`, with the
+    * constant offset folded on the driver — k broadcast-literal
+    * [[Similarity.dot]]s per row, codegen'd, no shuffle. Output:
+    * array<double> of length k. */
+  def project(vec: Column, model: PcaModel): Column =
+    array(model.components.map { comp =>
+      val offset = comp.zip(model.mean).map { case (c, m) => c * m }.sum
+      Similarity.dot(vec, typedLit(comp.toSeq)) - lit(offset)
+    }: _*)
+}

@@ -1,0 +1,154 @@
+package graft
+
+import graft.operators.Pca
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class PcaSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark = GraftSession.local("pca-spec")
+  override def afterAll(): Unit = spark.stop()
+
+  private def naiveCov(rows: Seq[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = rows.length; val d = rows.head.length
+    val mean = Array.tabulate(d)(i => rows.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      rows.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / (n - 1))
+    (mean, cov)
+  }
+
+  test("covariance: one-pass aggregator matches the naive two-pass, any layout") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(400)(Array.fill(6)(rnd.nextGaussian() * 3 + 1))
+    val (em, ec) = naiveCov(rows)
+    for (parts <- Seq(1, 7)) {
+      val df = rows.map(r => Tuple1(r)).toDF("embedding").repartition(parts)
+      val got = Pca.covariance(df, col("embedding"), 6)
+      assert(got.n == 400)
+      for (i <- 0 until 6) assert(math.abs(got.mean(i) - em(i)) < 1e-9)
+      for (i <- 0 until 6; j <- 0 until 6)
+        assert(math.abs(got.cov(i)(j) - ec(i)(j)) < 1e-9, s"cov($i)($j)")
+    }
+    // float input vectors go through the same path
+    val fdf = rows.map(r => Tuple1(r.map(_.toFloat))).toDF("embedding")
+    val gf = Pca.covariance(fdf, col("embedding"), 6)
+    for (i <- 0 until 6) assert(math.abs(gf.mean(i) - em(i)) < 1e-4)
+  }
+
+  test("principalComponents: eigenpairs satisfy A*v = lambda*v, orthonormal, descending") {
+    val rnd = new scala.util.Random(23)
+    val d = 8
+    // synthesize a symmetric PSD matrix via B^T B
+    val b = Array.fill(d, d)(rnd.nextGaussian())
+    val a = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(k => b(k)(i) * b(k)(j)).sum)
+    val model = Pca.principalComponents(
+      Pca.CovarianceModel(2L, new Array[Double](d), a), d)
+    val ev = model.eigenvalues; val comps = model.components
+    // descending order
+    for (i <- 1 until d) assert(ev(i - 1) >= ev(i) - 1e-9)
+    // trace preserved
+    val trace = (0 until d).map(i => a(i)(i)).sum
+    assert(math.abs(ev.sum - trace) < 1e-8 * math.max(1.0, math.abs(trace)))
+    for (k <- 0 until d) {
+      val v = comps(k)
+      // unit norm
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+      // A v = lambda v
+      for (i <- 0 until d) {
+        val av = (0 until d).map(j => a(i)(j) * v(j)).sum
+        assert(math.abs(av - ev(k) * v(i)) < 1e-7, s"eigenpair $k row $i")
+      }
+      // orthogonality
+      for (l <- k + 1 until d) {
+        val dot = v.zip(comps(l)).map { case (x, y) => x * y }.sum
+        assert(math.abs(dot) < 1e-8, s"components $k,$l not orthogonal")
+      }
+    }
+  }
+
+  test("known 2x2: eigenvalues of [[2,1],[1,2]] are 3 and 1") {
+    val a = Array(Array(2.0, 1.0), Array(1.0, 2.0))
+    val m = Pca.principalComponents(
+      Pca.CovarianceModel(2L, Array(0.0, 0.0), a), 2)
+    assert(math.abs(m.eigenvalues(0) - 3.0) < 1e-12)
+    assert(math.abs(m.eigenvalues(1) - 1.0) < 1e-12)
+    // leading component is (1,1)/sqrt(2) up to sign
+    val v = m.components(0)
+    assert(math.abs(math.abs(v(0)) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(v(0) - v(1)) < 1e-12)
+  }
+
+  test("project: variance concentrates on leading components; reconstruction improves with k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val d = 10
+    // anisotropic cloud: variance 25, 9, 1, 1, ... along rotated axes
+    val rows = Seq.fill(600) {
+      val z = Array.tabulate(d)(i =>
+        rnd.nextGaussian() * (if (i == 0) 5.0 else if (i == 1) 3.0 else 1.0))
+      // fixed rotation mixing dims 0/1 into 0..3 so PCA has work to do
+      val x = z.clone()
+      x(2) = z(2) + 0.5 * z(0); x(3) = z(3) - 0.5 * z(1)
+      x
+    }
+    val df = rows.map(r => Tuple1(r)).toDF("embedding")
+    val model = Pca.principalComponents(
+      Pca.covariance(df, col("embedding"), d), d)
+    val proj = df.select(Pca.project(col("embedding"), model).as("p"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    // per-component sample variance is descending (components are the
+    // covariance eigenvectors, so this is the defining property)
+    val n = proj.length
+    val vars = (0 until d).map { j =>
+      val m = proj.map(_(j)).sum / n
+      proj.map(p => (p(j) - m) * (p(j) - m)).sum / (n - 1)
+    }
+    for (j <- 1 until d) assert(vars(j - 1) >= vars(j) - 1e-6,
+      s"projected variance not descending at $j: ${vars.toList}")
+    // projected variances equal the eigenvalues (within float tolerance)
+    for (j <- 0 until d)
+      assert(math.abs(vars(j) - model.eigenvalues(j)) < 1e-6 *
+        math.max(1.0, model.eigenvalues(j)))
+    // reconstruction error decreases as k grows, ~0 at k = d
+    def reconErr(k: Int): Double = {
+      val mk = Pca.PcaModel(model.mean, model.eigenvalues.take(k),
+        model.components.take(k))
+      rows.zip(proj).map { case (x, p) =>
+        val rec = Array.tabulate(d)(i => model.mean(i) +
+          (0 until k).map(c => p(c) * mk.components(c)(i)).sum)
+        math.sqrt(x.zip(rec).map { case (a2, b2) =>
+          (a2 - b2) * (a2 - b2) }.sum)
+      }.sum / rows.length
+    }
+    val errs = Seq(1, 2, 4, d).map(reconErr)
+    for (i <- 1 until errs.length) assert(errs(i) <= errs(i - 1) + 1e-9)
+    assert(errs.last < 1e-9, s"full-rank reconstruction not exact: ${errs.last}")
+  }
+
+  test("project plan: no shuffle, no UDF - broadcast-literal dots at scan speed") {
+    import spark.implicits._
+    val df = Seq.fill(50)(Tuple1(Array.fill(4)(1.0))).toDF("embedding")
+    val model = Pca.PcaModel(Array.fill(4)(0.0), Array(1.0, 1.0),
+      Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0)))
+    val plan = df.select(Pca.project(col("embedding"), model).as("p"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection shuffled:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLUDF"), plan)
+  }
+
+  test("guards: wrong-length vector and undersized input fail fast") {
+    import spark.implicits._
+    val bad = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(1.0, 2.0, 3.0)))
+      .toDF("embedding")
+    val e = intercept[Exception] {
+      Pca.covariance(bad, col("embedding"), 2)
+    }
+    assert(e.getMessage != null)
+    val one = Seq(Tuple1(Array(1.0, 2.0))).toDF("embedding")
+    val e2 = intercept[Exception] { Pca.covariance(one, col("embedding"), 2) }
+    assert(e2.getMessage.contains("at least 2"))
+  }
+}
