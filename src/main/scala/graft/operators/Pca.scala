@@ -205,4 +205,40 @@ object Pca {
       val offset = comp.zip(model.mean).map { case (c, m) => c * m }.sum
       Similarity.dot(vec, typedLit(comp.toSeq)) - lit(offset)
     }: _*)
+
+  /** PCA whitening: [[project]] with each component scaled by
+    * 1/√eigenvalue, so the output has identity covariance — the
+    * decorrelation step before cosine-threshold dedup or PQ codebook
+    * training. Components with eigenvalue ≤ `minEigenvalue` are REJECTED
+    * (a near-null direction would blow up to noise amplified by 1/√λ —
+    * truncate k below them instead). */
+  def whiten(vec: Column, model: PcaModel,
+      minEigenvalue: Double = 1e-9): Column = {
+    require(model.eigenvalues.forall(_ > minEigenvalue),
+      s"whiten: an eigenvalue <= $minEigenvalue would amplify noise by >" +
+        f" ${1 / math.sqrt(minEigenvalue)}%.0f - truncate k above the " +
+        "near-null directions")
+    array(model.components.zip(model.eigenvalues).map { case (comp, ev) =>
+      val offset = comp.zip(model.mean).map { case (c, m) => c * m }.sum
+      (Similarity.dot(vec, typedLit(comp.toSeq)) - lit(offset)) /
+        lit(math.sqrt(ev))
+    }: _*)
+  }
+
+  /** Squared Mahalanobis distance of each vector from the corpus
+    * distribution — the embedding-space outlier score for curation
+    * (flag vectors far from the fitted mass before they pollute
+    * dedup/ANN stats). With the full-rank eigendecomposition,
+    * (x−m)ᵀ Σ⁻¹ (x−m) = Σ_j ((x−m)·v_j)² / λ_j — i.e. the sum of
+    * squared WHITENED coordinates, so the score is the same k
+    * broadcast-literal dots as [[project]], codegen'd at scan speed.
+    * Fit with k = d for the true distance; a truncated model scores
+    * distance within the retained subspace (standard practice when
+    * trailing eigenvalues are noise). Same `minEigenvalue` rejection as
+    * [[whiten]]. */
+  def mahalanobisSq(vec: Column, model: PcaModel,
+      minEigenvalue: Double = 1e-9): Column = {
+    val w = whiten(vec, model, minEigenvalue)
+    aggregate(transform(w, x => x * x), lit(0.0), (acc, x) => acc + x)
+  }
 }

@@ -128,6 +128,71 @@ class PcaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(errs.last < 1e-9, s"full-rank reconstruction not exact: ${errs.last}")
   }
 
+  test("whiten: identity covariance out; near-null eigenvalue rejected") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val d = 5
+    val rows = Seq.fill(800)(Array.tabulate(d)(i =>
+      rnd.nextGaussian() * (i + 1) + (if (i > 0) 0.3 * i else 0.0)))
+    val df = rows.map(r => Tuple1(r)).toDF("embedding")
+    val model = Pca.principalComponents(
+      Pca.covariance(df, col("embedding"), d), d)
+    val w = df.select(Pca.whiten(col("embedding"), model).as("w"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = w.length
+    for (i <- 0 until d; j <- i until d) {
+      val mi = w.map(_(i)).sum / n; val mj = w.map(_(j)).sum / n
+      val c = w.map(p => (p(i) - mi) * (p(j) - mj)).sum / (n - 1)
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(c - expect) < 1e-6, s"whitened cov($i)($j) = $c")
+    }
+    // a degenerate direction (constant coordinate) must be rejected
+    val flat = Seq.fill(50)(Tuple1(Array(1.0, rnd.nextGaussian())))
+      .toDF("embedding")
+    val fm = Pca.principalComponents(
+      Pca.covariance(flat, col("embedding"), 2), 2)
+    val e = intercept[IllegalArgumentException] {
+      flat.select(Pca.whiten(col("embedding"), fm)).collect()
+    }
+    assert(e.getMessage.contains("truncate k"))
+    // truncating k above the null direction works
+    val fm1 = Pca.PcaModel(fm.mean, fm.eigenvalues.take(1),
+      fm.components.take(1))
+    assert(flat.select(Pca.whiten(col("embedding"), fm1)).count() == 50)
+  }
+
+  test("mahalanobisSq: equals the explicit inverse-covariance form; outliers rank last") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    // 2-D correlated cloud + two planted far outliers
+    val cloud = Seq.fill(500) {
+      val a = rnd.nextGaussian(); val b = rnd.nextGaussian()
+      Array(a * 2.0, a * 1.0 + b * 0.5)
+    }
+    val outliers = Seq(Array(30.0, -30.0), Array(-25.0, 28.0))
+    val all = cloud ++ outliers
+    val df = all.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "embedding")
+    val model = Pca.principalComponents(
+      Pca.covariance(df, col("embedding"), 2), 2)
+    val got = df.select(col("id"),
+        Pca.mahalanobisSq(col("embedding"), model).as("m2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // explicit check: invert the 2x2 covariance by hand
+    val cm = Pca.covariance(df, col("embedding"), 2)
+    val det = cm.cov(0)(0) * cm.cov(1)(1) - cm.cov(0)(1) * cm.cov(1)(0)
+    for ((v, i) <- all.zipWithIndex) {
+      val dx = v(0) - cm.mean(0); val dy = v(1) - cm.mean(1)
+      val expect = (cm.cov(1)(1) * dx * dx - 2 * cm.cov(0)(1) * dx * dy +
+        cm.cov(0)(0) * dy * dy) / det
+      assert(math.abs(got(i.toLong) - expect) <
+        1e-7 * math.max(1.0, expect), s"row $i")
+    }
+    // the two planted outliers carry the two largest scores
+    val top2 = got.toSeq.sortBy(-_._2).take(2).map(_._1).toSet
+    assert(top2 == Set(500L, 501L), s"outliers not ranked last: $top2")
+  }
+
   test("project plan: no shuffle, no UDF - broadcast-literal dots at scan speed") {
     import spark.implicits._
     val df = Seq.fill(50)(Tuple1(Array.fill(4)(1.0))).toDF("embedding")
