@@ -225,6 +225,48 @@ object Pca {
     }: _*)
   }
 
+  /** Exact-integer covariance in LONG FORM — the ORACLE-CHECKABLE face
+    * of [[covariance]], the same move [[graft.operators.Sketches]] makes
+    * with KMV vs HLL: float covariance sums are merge-order-dependent in
+    * their last bits, so instead quantize each coordinate to
+    * `floor(x · quant)` (floor over doubles is IEEE-exact and
+    * engine-portable) and aggregate EXACT BIGINT co-moments; the one
+    * closing division is a fixed float expression, so every output
+    * value hashes identically across engines, partitionings, and
+    * reruns — the registered query has a full DuckDB mirror.
+    *
+    * Scale shape: each row fans out to its d(d+1)/2 upper-triangle
+    * products through two chained generators, but the hash aggregate
+    * combines map-side, so only d² partial rows per partition cross the
+    * exchange — the corpus itself never shuffles. Overflow bound: with
+    * |x·quant| ≤ B, `n · ΣxᵢxⱼB²`-style terms must stay under 2⁶³ —
+    * n·B⁴ < 2⁶³, e.g. B = 500 allows n up to ~1.4e8 rows; widen to
+    * DECIMAL(38,0) beyond (the [[Stats]] convention).
+    *
+    * Output: (i, j, n, cov_num, cov) for j ≥ i, where
+    * cov_num = n·Σxy − Σx·Σy (exact BIGINT, in quant² units) and
+    * cov = cov_num / (n·(n−1)) as one IEEE division. */
+  def exactCovarianceLongForm(df: DataFrame, vecCol: Column,
+      quant: Double = 100.0): DataFrame = {
+    val q = df.filter(vecCol.isNotNull)
+      .select(transform(vecCol.cast("array<double>"),
+        x => floor(x * lit(quant)).cast("bigint")).as("v"))
+    val left = q.select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+    val pairs = left.select(col("i"), col("xi"),
+        posexplode(slice(col("v"), col("i") + 1, size(col("v"))))
+          .as(Seq("dj", "xj")))
+      .select(col("i"), (col("i") + col("dj")).as("j"),
+        col("xi"), col("xj"))
+    pairs.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"),
+        sum(col("xj")).as("sy"), sum(col("xi") * col("xj")).as("sxy"))
+      .withColumn("cov_num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("cov",
+        when(col("n") > 1, col("cov_num").cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")))
+      .select("i", "j", "n", "cov_num", "cov")
+  }
+
   /** Squared Mahalanobis distance of each vector from the corpus
     * distribution — the embedding-space outlier score for curation
     * (flag vectors far from the fitted mass before they pollute

@@ -537,6 +537,17 @@ object TextLLM {
       .select(col("lang"), col("prob"), col("value").as("len_q"))
       .orderBy("lang", "prob")
 
+  /** Exact-integer covariance of the embedding corpus in long form
+    * ([[graft.operators.Pca.exactCovarianceLongForm]]): floor-quantized
+    * BIGINT co-moments with one fixed closing division — the
+    * oracle-checkable face of the PCA family (float covariance sums
+    * cannot hash across engines; these do, all 2080 upper-triangle
+    * entries). */
+  def sEmbeddingCovariance(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.exactCovarianceLongForm(emb(s, dir),
+        col("embedding"), quant = 100.0)
+      .orderBy("i", "j")
+
   /** SemDeDup end to end over the FULL embeddings table: deterministic
     * seed centroids (k lowest vec_ids verbatim, as s_ann_ivf_top3), pairs
     * only within clusters, CC survivors. Per-cluster counts — assignment,
@@ -1153,6 +1164,7 @@ object TextLLM {
     "s_ann_brute_top5" -> (sAnnBruteTop5 _),
     "s_hard_negatives" -> (sHardNegatives _),
     "s_quantize_int8" -> (sQuantizeInt8 _),
+    "s_embedding_covariance" -> (sEmbeddingCovariance _),
     "d_minhash_neardups" -> (dMinhashNearDups _),
     "d_dedup_corpus" -> (dDedupCorpus _),
     "t_decontaminate" -> (tDecontaminate _),
@@ -2397,6 +2409,23 @@ object TextLLM {
     // Same arithmetic, element for element: floats cast to double
     // exactly, one IEEE division, round-half-away-from-zero in both
     // engines, integer sums exact.
+    "s_embedding_covariance" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id, CAST(u.i AS INTEGER) AS i, v[u.i + 1] AS x
+        |  FROM q, UNNEST(range(0, len(v))) AS u(i))
+        |SELECT a.i, b.i AS j, COUNT(*) AS n,
+        |  CAST(COUNT(*) * SUM(a.x * b.x) - SUM(a.x) * SUM(b.x)
+        |    AS BIGINT) AS cov_num,
+        |  CASE WHEN COUNT(*) > 1 THEN
+        |    CAST(CAST(COUNT(*) * SUM(a.x * b.x) - SUM(a.x) * SUM(b.x)
+        |      AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) * (COUNT(*) - 1) AS DOUBLE) END AS cov
+        |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s_quantize_int8" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |    FROM embeddings WHERE vec_id < 100),
