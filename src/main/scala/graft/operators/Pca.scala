@@ -257,6 +257,9 @@ object Pca {
           .as(Seq("dj", "xj")))
       .select(col("i"), (col("i") + col("dj")).as("j"),
         col("xi"), col("xj"))
+      // pairwise deletion (the momentPartials rule): a null element must
+      // not enter n while the sums skip it, or cov is silently wrong
+      .filter(col("xi").isNotNull && col("xj").isNotNull)
     pairs.groupBy("i", "j")
       .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"),
         sum(col("xj")).as("sy"), sum(col("xi") * col("xj")).as("sxy"))

@@ -204,6 +204,44 @@ class PcaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLUDF"), plan)
   }
 
+  test("exactCovarianceLongForm: matches naive on quantized values; nulls pairwise-deleted") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val rows = Seq.fill(120)(Array.fill(4)(rnd.nextGaussian()))
+    val df = rows.map(r => Tuple1(r.map(_.toFloat))).toDF("embedding")
+    val got = graft.operators.Pca
+      .exactCovarianceLongForm(df, col("embedding"), quant = 100.0)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.size == 10) // 4*5/2 upper-triangle pairs
+    val qrows = rows.map(_.map(x =>
+      math.floor(x.toFloat.toDouble * 100.0).toLong))
+    for (i <- 0 until 4; j <- i until 4) {
+      val n = qrows.length.toLong
+      val sx = qrows.map(_(i)).sum; val sy = qrows.map(_(j)).sum
+      val sxy = qrows.map(r => r(i) * r(j)).sum
+      val num = n * sxy - sx * sy
+      assert(got((i, j))._1 == n && got((i, j))._2 == num, s"($i,$j)")
+      assert(got((i, j))._3 == num.toDouble / (n * (n - 1)).toDouble)
+    }
+    // layout invariance is exact (integer sums)
+    val re = graft.operators.Pca
+      .exactCovarianceLongForm(df.repartition(7), col("embedding"), 100.0)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(re == got)
+    // a null element drops its pairs from n AND the sums together
+    val withNull = (rows.map(r => r.map(x => x: java.lang.Double)) :+
+      Array[java.lang.Double](null, 1.0, 2.0, 3.0)).map(Tuple1(_))
+      .toDF("embedding")
+    val gn = graft.operators.Pca
+      .exactCovarianceLongForm(withNull, col("embedding"), 100.0)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(gn((0, 0)) == 120L && gn((0, 1)) == 120L,
+      "null-element pairs leaked into n")
+    assert(gn((1, 1)) == 121L && gn((1, 2)) == 121L)
+  }
+
   test("guards: wrong-length vector and undersized input fail fast") {
     import spark.implicits._
     val bad = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(1.0, 2.0, 3.0)))
