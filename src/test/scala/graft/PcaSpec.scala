@@ -242,6 +242,43 @@ class PcaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gn((1, 1)) == 121L && gn((1, 2)) == 121L)
   }
 
+  test("PCA -> ANN: top-5 recall in the 8-dim reduced space >= 0.8 vs full 32-dim") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(71)
+    val d = 32
+    // structured corpus: 8 latent directions carry the signal, the rest
+    // is small isotropic noise — the regime PCA reduction targets
+    val basis = Array.fill(8, d)(rnd.nextGaussian())
+    def vec() = {
+      val coef = Array.fill(8)(rnd.nextGaussian() * 3)
+      Array.tabulate(d)(i =>
+        (0 until 8).map(k => coef(k) * basis(k)(i)).sum +
+          rnd.nextGaussian() * 0.1)
+    }
+    val all = (0L until 300L).map(i => (i, vec()))
+    val base = all.map { case (i, v) => (i, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val queries = all.take(20).map { case (i, v) =>
+      (i + 1000L, v.map(_.toFloat)) }.toDF("qid", "qvec")
+    val fullTop = Similarity.bruteForceTopK(base, queries, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val model = Pca.principalComponents(
+      Pca.covariance(base, col("embedding"), d), 8)
+    val baseR = base.select(col("vec_id"),
+      Pca.project(col("embedding"), model).as("embedding"))
+    val queriesR = queries.select(col("qid"),
+      Pca.project(col("qvec"), model).as("qvec"))
+    val redTop = Similarity.bruteForceTopK(baseR, queriesR, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = fullTop.keys.toSeq.map { q =>
+      (fullTop(q) & redTop(q)).size.toDouble / fullTop(q).size
+    }.sum / fullTop.size
+    assert(recall >= 0.8, f"PCA-reduced recall@5 = $recall%.2f")
+  }
+
   test("guards: wrong-length vector and undersized input fail fast") {
     import spark.implicits._
     val bad = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(1.0, 2.0, 3.0)))
