@@ -674,6 +674,20 @@ object ScaleProbe {
       }
     }
 
+    // PCA covariance pass: the exchange must carry ONE d(d+3)/2-double
+    // buffer per partition (the mergeable typed Aggregator), never the
+    // vectors — 1M×64 floats reduce to 32 ~17 KB partial buffers.
+    {
+      import spark.implicits._
+      val vecs = spark.range(1000000L).map { i =>
+        val r = new scala.util.Random(i)
+        Tuple1(Array.fill(64)(r.nextGaussian()))
+      }.toDF("embedding")
+      timedShuffled("pca_covariance_1M_64d") {
+        graft.operators.Pca.covariance(vecs, col("embedding"), 64).n
+      }
+    }
+
     spark.stop()
   }
 }

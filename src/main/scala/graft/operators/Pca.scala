@@ -88,20 +88,57 @@ object Pca {
     * float/double, fixed length `dim`). Null vectors are dropped;
     * a wrong-length vector hard-errors (silent truncation would skew
     * every co-moment). Needs n ≥ 2. */
-  def covariance(df: DataFrame, vecCol: Column, dim: Int): CovarianceModel = {
+  def covariance(df: DataFrame, vecCol: Column, dim: Int): CovarianceModel =
+    covarianceFromPartials(covariancePartials(df, vecCol, dim), dim)
+
+  /** The PARTIAL summary behind [[covariance]]: ONE row (n, s, p) per
+    * call — the at-rest artifact for incremental refits (store one row
+    * per arriving batch, [[covarianceFromPartials]] the union later;
+    * the streaming face is
+    * [[graft.streaming.StreamingTimeSeries.startCovarianceQuery]]). */
+  def covariancePartials(df: DataFrame, vecCol: Column,
+      dim: Int): DataFrame = {
     require(dim >= 1 && dim <= 512,
       s"covariance supports 1 <= dim <= 512 embeddings, got $dim " +
         "(the d x d summary must stay driver-sized)")
-    val spark = df.sparkSession
-    import spark.implicits._
     val agg = udaf(new CovAgg(dim), Encoders.product[VecIn])
-    val row = df.filter(vecCol.isNotNull)
+    df.filter(vecCol.isNotNull)
       .select(agg(vecCol.cast("array<double>")).as("b"))
-      .select(col("b.n"), col("b.s"), col("b.p"))
+      .select(col("b.n").as("n"), col("b.s").as("s"), col("b.p").as("p"))
+  }
+
+  /** Finalize a table of [[covariancePartials]] rows into a
+    * [[CovarianceModel]]. The driver fold runs in a DETERMINISTIC order
+    * (rows sorted by (n, s) before summing) so a given set of stored
+    * partials always reads back the same model — float addition makes
+    * the merged model ~1e-12-relative equal to a one-shot fit, not
+    * bit-identical (a single-partial table IS bit-identical, which is
+    * what [[covariance]] routes through). */
+  def covarianceFromPartials(partials: DataFrame,
+      dim: Int): CovarianceModel = {
+    val spark = partials.sparkSession
+    import spark.implicits._
+    val tri = dim * (dim + 1) / 2
+    val rows = partials.select(col("n"), col("s"), col("p"))
       .as[(Long, Array[Double], Array[Double])]
-      .head()
-    val (n, s, p) = row
+      .collect()
+      .filter(_._1 > 0)
+      .sortBy { case (n0, s0, _) => (n0, s0.toSeq) }(
+        Ordering.Tuple2(Ordering.Long, Ordering.Implicits.seqOrdering))
+    require(rows.nonEmpty, "covariance: no partial rows")
+    rows.foreach { case (_, s0, p0) =>
+      require(s0.length == dim && p0.length == tri,
+        s"covariance partials for dim ${s0.length}, expected $dim") }
+    val n = rows.map(_._1).sum
     require(n >= 2, s"covariance needs at least 2 vectors, got $n")
+    val s = new Array[Double](dim)
+    val p = new Array[Double](tri)
+    rows.foreach { case (_, s0, p0) =>
+      var i = 0
+      while (i < dim) { s(i) += s0(i); i += 1 }
+      var o = 0
+      while (o < tri) { p(o) += p0(o); o += 1 }
+    }
     val mean = s.map(_ / n)
     val cov = Array.ofDim[Double](dim, dim)
     var i = 0; var o = 0

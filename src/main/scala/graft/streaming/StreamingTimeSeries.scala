@@ -182,6 +182,38 @@ object StreamingTimeSeries {
         .dropDuplicates(groupCol, "batch_id").drop("batch_id")),
       Seq(groupCol))
 
+  /** Streaming covariance maintenance — the ingestion face of
+    * [[graft.operators.Pca.covariance]]: each micro-batch reduces to ONE
+    * (n, sums, co-moment sums) row (d(d+3)/2 doubles) appended to the
+    * summary table; a PCA/whitening/outlier model refit reads the merged
+    * summary, never the history. Double sums are deterministic PER BATCH
+    * (a batch's partials always merge to the same values) so the
+    * batch_id replay guard applies, but cross-batch merge order is
+    * float-order-dependent in the last bits — the readout matches a
+    * one-shot batch fit to ~1e-12 relative, not bit-for-bit (the
+    * documented [[graft.operators.Pca]] contract, unlike the exact
+    * integer moment sinks above). */
+  def startCovarianceQuery(events: DataFrame, vecCol: String, dim: Int,
+      targetDir: String, checkpointDir: String) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Pca.covariancePartials(batch.toDF(), col(vecCol), dim)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(targetDir)
+      }
+      .start()
+
+  /** Whole-stream covariance model from the partials stored by
+    * [[startCovarianceQuery]] — replay-guarded on batch_id, then the
+    * same finalization as the batch operator. */
+  def mergedCovariance(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, dim: Int): graft.operators.Pca.CovarianceModel =
+    graft.operators.Pca.covarianceFromPartials(
+      spark.read.parquet(targetDir)
+        .dropDuplicates("batch_id").drop("batch_id"), dim)
+
   /** Streaming Count-Min maintenance — the ingestion face of
     * [[graft.operators.Sketches.countMinSketch]]: each micro-batch
     * reduces to ≤ depth × width counter rows appended to the summary

@@ -242,6 +242,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming covariance partials: merged model ~== one-shot fit; replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cov_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cov_ckpt").toString
+    val rnd = new scala.util.Random(79)
+    val d = 6
+    val all = (0 until 700).map(_ => Array.fill(d)(rnd.nextGaussian() * 2 + 1))
+    val input = MemoryStream[Array[Double]]
+    val q = StreamingTimeSeries.startCovarianceQuery(
+      input.toDF().toDF("embedding"), "embedding", d, s"$dir/data", ckpt)
+    try {
+      input.addData(all.take(80): _*); q.processAllAvailable()
+      input.addData(all.slice(80, 500): _*); q.processAllAvailable()
+      input.addData(all.drop(500): _*); q.processAllAvailable()
+      val streamed = StreamingTimeSeries.mergedCovariance(spark,
+        s"$dir/data", d)
+      val batch = graft.operators.Pca.covariance(
+        all.map(Tuple1(_)).toDF("embedding"), col("embedding"), d)
+      assert(streamed.n == batch.n)
+      for (i <- 0 until d) {
+        assert(math.abs(streamed.mean(i) - batch.mean(i)) < 1e-10)
+        for (j <- 0 until d)
+          assert(math.abs(streamed.cov(i)(j) - batch.cov(i)(j)) < 1e-10)
+      }
+      // at-least-once replay of batch 1 must collapse via the id guard
+      val b1 = spark.read.parquet(s"$dir/data").filter(col("batch_id") === 1L)
+      b1.write.mode("append").parquet(s"$dir/data")
+      val afterReplay = StreamingTimeSeries.mergedCovariance(spark,
+        s"$dir/data", d)
+      assert(afterReplay.n == batch.n,
+        "a replayed micro-batch double-counted into the covariance")
+      // deterministic readout: two reads of the same table are identical
+      val again = StreamingTimeSeries.mergedCovariance(spark, s"$dir/data", d)
+      for (i <- 0 until d; j <- 0 until d)
+        assert(again.cov(i)(j) == afterReplay.cov(i)(j))
+    } finally q.stop()
+  }
+
   test("streaming CMS: merged counters == one-shot batch sketch; replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
