@@ -330,6 +330,66 @@ object Stats {
       .drop("sx1", "sxx1", "sx2", "sxx2")
   }
 
+  /** Population Stability Index between two cohorts of `x` per group —
+    * the standard training-data DRIFT metric (is this week's corpus
+    * distributed like last week's? did a source shift under the
+    * model?): with fixed bin edges,
+    *
+    *   PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+    *
+    * where p/q are the cohorts' bin proportions, floored at `eps` (the
+    * standard zero-bin treatment; rule of thumb: < 0.1 stable, > 0.25
+    * shifted). Edges must be FIXED (caller-chosen, e.g. from a
+    * reference-period [[quantileProfile]]) — that is what makes the
+    * metric comparable across runs AND engine-portable: bin counts are
+    * exact BIGINTs from one aggregation pass (a when-chain bin index,
+    * the A14 histogram shape), and the float tail is a fixed expression
+    * over their casts, so the registered query hashes exactly against
+    * DuckDB. Rows with null x or cohort are dropped; a group with an
+    * EMPTY cohort yields null psi (no distribution to compare).
+    * `x < edges.head` lands in bin 0, `x ≥ edges.last` in bin
+    * `edges.size`; output: groups... + (n1, n2, psi). */
+  def psi(df: DataFrame, groupCols: Seq[Column], x: Column, cohort: Column,
+      edges: Seq[Double], eps: Double = 1e-6): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
+      "psi needs non-empty, strictly ascending bin edges")
+    require(eps > 0 && eps < 1, s"psi needs 0 < eps < 1, got $eps")
+    val complete = df.filter(x.isNotNull && cohort.isNotNull)
+    // bin = number of edges <= x: a fixed sum of comparisons, portable
+    val bin = edges.map(e => when(x >= lit(e), 1).otherwise(0))
+      .reduce(_ + _)
+    val binned = complete.groupBy(groupCols :+ bin.as("__bin"): _*)
+      .agg(sum(when(cohort, 1L).otherwise(0L)).as("__n1"),
+        sum(when(!cohort, 1L).otherwise(0L)).as("__n2"))
+    val names = binned.columns.dropRight(3).toSeq // group col names
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(names.map(col): _*)
+    // the tot=0 branch (empty cohort) still evaluates under ANSI mode
+    // even though such groups end as null psi — guard the division
+    val prop = (n: Column, tot: Column) =>
+      greatest(when(tot > 0, n.cast("double") / tot.cast("double"))
+        .otherwise(lit(0.0)), lit(eps))
+    val withTot = binned
+      .withColumn("__t1", sum(col("__n1")).over(w))
+      .withColumn("__t2", sum(col("__n2")).over(w))
+    val p = prop(col("__n1"), col("__t1"))
+    val q = prop(col("__n2"), col("__t2"))
+    withTot
+      .withColumn("__c", (p - q) * log(p / q))
+      .groupBy(names.map(col): _*)
+      .agg(sum(col("__n1")).as("n1"), sum(col("__n2")).as("n2"),
+        // bin contributions fold in FIXED bin order (sorted list +
+        // left-to-right aggregate), not a plan-ordered float SUM — the
+        // same order-pinning that keeps every Stats float portable
+        sort_array(collect_list(struct(col("__bin"), col("__c"))))
+          .as("__cs"))
+      .withColumn("psi",
+        when(col("n1") > 0 && col("n2") > 0,
+          aggregate(col("__cs"), lit(0.0),
+            (acc, s) => acc + s.getField("__c"))))
+      .drop("__cs")
+  }
+
   /** 2×2 chi-square independence test over two boolean conditions — the
     * statistical face of the A12 contingency table: one aggregation pass
     * counts the four cells exactly (BIGINT), then

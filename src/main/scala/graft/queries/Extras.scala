@@ -581,6 +581,18 @@ object Extras {
         col("l_linestatus") === "F")
       .orderBy("l_returnflag")
 
+  /** Distribution drift ([[graft.operators.Stats.psi]]): PSI of document
+    * length between even- and odd-id documents per lang, over fixed
+    * 50/150/250/350 edges — exact BIGINT bin counts, fixed-order
+    * contribution fold, so psi hashes exactly (the DuckDB mirror
+    * replays the when-chain bins, the eps floor, and a list_reduce in
+    * the same bin order). */
+  def aPsiDrift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.psi(t(s, dir, "documents"), Seq(col("lang")),
+        col("n_chars"), pmod(col("doc_id"), lit(2)) === 0,
+        edges = Seq(50.0, 150.0, 250.0, 350.0))
+      .orderBy("lang")
+
   /** Incremental Welch's t ([[graft.operators.Stats.welchPartials]] →
     * merge → finalize): the corpus sliced into three disjoint batches by
     * orderkey mod, each aggregated once to its per-cohort BIGINT
@@ -619,6 +631,7 @@ object Extras {
     "a_kmv_jaccard" -> (aKmvJaccard _),
     "a_welch_t" -> (aWelchT _),
     "a_welch_partials" -> (aWelchPartials _),
+    "a_psi_drift" -> (aPsiDrift _),
     "a_gini_quantity" -> (aGiniQuantity _),
     "a_chi_square" -> (aChiSquare _),
     "t_winsorize_chars" -> (tWinsorizeChars _),
@@ -757,6 +770,41 @@ object Extras {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the a_welch_partials oracle is the SAME whole-table SQL: the point
     // of the incremental face is that batch slicing is invisible
+    "a_psi_drift" ->
+      """WITH c AS (
+        |  SELECT lang, n_chars, doc_id % 2 = 0 AS coh,
+        |    (CASE WHEN n_chars >= 50 THEN 1 ELSE 0 END +
+        |     CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END +
+        |     CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END +
+        |     CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END) AS bin
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT lang, bin,
+        |    CAST(SUM(CASE WHEN coh THEN 1 ELSE 0 END) AS BIGINT) AS bn1,
+        |    CAST(SUM(CASE WHEN NOT coh THEN 1 ELSE 0 END) AS BIGINT) AS bn2
+        |  FROM c GROUP BY 1, 2),
+        |t AS (SELECT lang, bin, bn1, bn2,
+        |    SUM(bn1) OVER (PARTITION BY lang) AS t1,
+        |    SUM(bn2) OVER (PARTITION BY lang) AS t2 FROM b),
+        |x AS (SELECT lang, bin, bn1, bn2, t1, t2,
+        |    (greatest(CASE WHEN t1 > 0
+        |        THEN CAST(bn1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+        |        ELSE 0 END, 1e-6)
+        |     - greatest(CASE WHEN t2 > 0
+        |        THEN CAST(bn2 AS DOUBLE) / CAST(t2 AS DOUBLE)
+        |        ELSE 0 END, 1e-6))
+        |    * ln(greatest(CASE WHEN t1 > 0
+        |        THEN CAST(bn1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+        |        ELSE 0 END, 1e-6)
+        |      / greatest(CASE WHEN t2 > 0
+        |        THEN CAST(bn2 AS DOUBLE) / CAST(t2 AS DOUBLE)
+        |        ELSE 0 END, 1e-6)) AS contrib
+        |  FROM t)
+        |SELECT lang, CAST(MAX(t1) AS BIGINT) AS n1,
+        |  CAST(MAX(t2) AS BIGINT) AS n2,
+        |  CASE WHEN MAX(t1) > 0 AND MAX(t2) > 0 THEN
+        |    0.0 + list_reduce(list(contrib ORDER BY bin),
+        |      (a, b) -> a + b) END AS psi
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "a_welch_partials" -> welchSql,
     "a_welch_t" -> welchSql,
     // DuckDB SUM(BIGINT) is HUGEINT — exact, and the one double cast at

@@ -291,6 +291,47 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("psi: hand-computed drift, ~0 for identical cohorts, null for empty, layout-exact") {
+    import spark.implicits._
+    // hand fixture: cohort A = {1,1,2,2}, B = {1,3,3,3}; edges (2,3) give
+    // bins {<2, [2,3), >=3}: pA = (.5,.5,0->eps), pB = (.25,0->eps,.75)
+    val rows = Seq(("g", true, 1L), ("g", true, 1L), ("g", true, 2L),
+      ("g", true, 2L), ("g", false, 1L), ("g", false, 3L),
+      ("g", false, 3L), ("g", false, 3L))
+    val df = rows.toDF("g", "coh", "x")
+    val eps = 1e-6
+    def contrib(p: Double, q: Double) = {
+      val pp = math.max(p, eps); val qq = math.max(q, eps)
+      (pp - qq) * math.log(pp / qq)
+    }
+    val expect = contrib(0.5, 0.25) + contrib(0.5, 0.0) + contrib(0.0, 0.75)
+    val got = Stats.psi(df, Seq(col("g")), col("x"), col("coh"),
+      edges = Seq(2.0, 3.0))
+    val r = got.collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+    assert(math.abs(r.getDouble(3) - expect) < 1e-12, s"psi ${r.getDouble(3)}")
+    // identical cohorts: psi == 0 exactly (every contribution is +0.0)
+    val same = (1 to 200).flatMap(i =>
+      Seq(("s", true, (i % 7).toLong), ("s", false, (i % 7).toLong)))
+      .toDF("g", "coh", "x")
+    assert(Stats.psi(same, Seq(col("g")), col("x"), col("coh"),
+      Seq(2.0, 4.0, 6.0)).collect()(0).getDouble(3) == 0.0)
+    // empty cohort -> null psi
+    val oneSided = Seq(("o", true, 1L), ("o", true, 5L)).toDF("g", "coh", "x")
+    assert(Stats.psi(oneSided, Seq(col("g")), col("x"), col("coh"),
+      Seq(3.0)).collect()(0).isNullAt(3))
+    // layout invariance is EXACT (fixed-order fold, not a float SUM)
+    val rnd = new scala.util.Random(83)
+    val fuzz = (1 to 2000).map(i =>
+      ("f" + i % 3, i % 2 == 0, rnd.nextInt(100).toLong)).toDF("g", "coh", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.psi(d, Seq(col("g")), col("x"), col("coh"),
+        Seq(10.0, 30.0, 50.0, 70.0, 90.0))
+        .collect().map(r0 => r0.getString(0) -> r0.getDouble(3)).toMap
+    assert(run(fuzz) == run(fuzz.repartition(13)))
+    assert(run(fuzz) == run(fuzz.coalesce(1)))
+  }
+
   test("gini: textbook values, tie-invariant, layout-stable") {
     import spark.implicits._
     // perfect equality → 0; maximal concentration (one owner) → (n-1)/n
