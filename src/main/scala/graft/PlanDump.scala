@@ -63,7 +63,9 @@ object PlanDump {
     "a_kmv_jaccard" -> "KMV resemblance — two k-min sketch builds + the union re-min + two membership joins, all over ≤ 3k hash rows per group; the part table is scanned twice and never shuffles its key universe",
     "a_welch_partials" -> "incremental Welch — three batch-sliced conditional-moment aggregates union + component-wise BIGINT re-sum; the fixed float tail sits on the merged partials, so the plan proves batch slicing adds one cheap re-aggregate, not a rescan",
     "d_max_dup_spans" -> "pairwise max duplicated spans — digest-posting self-join (md5 keys, posting fail-fast BEFORE the join), then gaps-and-islands windowed per (pair, diagonal): tiny partitions, no global sort, text never shuffles",
-    "d_remove_dup_spans" -> "duplicated-span removal — canonical election as groupBy-min on the digest (no hot-hash window), per-doc islands, and a broadcast-able (id, spans) join back; the excision is an index-aware array filter IN THE SCAN — the corpus text never crosses an exchange")
+    "d_remove_dup_spans" -> "duplicated-span removal — canonical election as groupBy-min on the digest (no hot-hash window), per-doc islands, and a broadcast-able (id, spans) join back; the excision is an index-aware array filter IN THE SCAN — the corpus text never crosses an exchange",
+    "s_embedding_covariance" -> "exact-integer covariance — two chained generators fan each row to its upper-triangle products, the hash aggregate combines map-side so only d² partial rows per partition cross the exchange; the closing division is one projected expression",
+    "a_psi_drift" -> "PSI drift — one when-chain binning aggregate (exact BIGINT counts), a groups×bins window for totals, and a FIXED-ORDER sorted-list fold for the float tail — no plan-ordered float summation anywhere")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */
