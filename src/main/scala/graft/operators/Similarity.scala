@@ -212,7 +212,15 @@ object Similarity {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
-    if (!integral) vectors.orderBy(col(idCol)).limit(k).select(col(vecCol))
+    // At few partitions TakeOrdered's driver merge is bounded (k·P rows)
+    // and ONE job beats the aggregate+fetch pair — PQ training calls
+    // this once per subspace, so per-call job overhead is measurable
+    // (bench: 8 subspaces cost +1.1 s through the two-job path at
+    // sf0.1). The k·P·payload driver hazard the aggregator path exists
+    // for only appears at cluster-scale partition counts.
+    val fewPartitions = vectors.rdd.getNumPartitions <= 64
+    if (!integral || fewPartitions)
+      vectors.orderBy(col(idCol)).limit(k).select(col(vecCol))
     else {
       val winners = graft.operators.Ranks.globalTopK(
         vectors.select(col(idCol)),

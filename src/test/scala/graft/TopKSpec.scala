@@ -170,7 +170,7 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val vecs = (0L until 300L).map(i =>
       (i, Seq.fill(4)(((i % 7) + 0.5).toFloat))).toDF("vec_id", "embedding")
-      .repartition(11)
+      .repartition(80) // above the few-partitions cutoff: aggregator path
     val seed = graft.operators.Similarity.seedRows(vecs, 5, "vec_id", "embedding")
     val plan = seed.queryExecution.executedPlan.toString
     assert(!plan.contains("TakeOrdered"), s"driver-merge seed leaked:\n$plan")
@@ -185,6 +185,12 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
       .seedRows(svecs, 5, "vec_id", "embedding")
       .queryExecution.executedPlan.toString
     assert(splan.contains("TakeOrdered"), splan)
+    // few-partitions callers (per-subspace PQ training at bench scale)
+    // keep the single-job TakeOrdered path too
+    val fplan = graft.operators.Similarity
+      .seedRows(vecs.coalesce(8), 5, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(fplan.contains("TakeOrdered"), fplan)
   }
 
   test("samplePerGroup: deterministic, n per group, invariant to layout") {
