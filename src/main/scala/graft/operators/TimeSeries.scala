@@ -57,6 +57,78 @@ object TimeSeries {
       .withColumn("freq", coalesce(col("freq"), lit(0L)))
   }
 
+  /** Classical additive seasonal decomposition of a DENSE per-group
+    * series: `value = trend + seasonal + remainder` — the moving-average
+    * decomposition (the textbook pre-STL method), chosen over Loess
+    * because every step is expressible as exact-integer arithmetic plus
+    * a FIXED float tail, i.e. engine-portable and oracle-checkable (the
+    * [[graft.operators.Stats]] philosophy; STL's iterated weighted
+    * regressions are not):
+    *
+    *  - trend: centered moving average over `period` rows (odd period;
+    *    the exact BIGINT window sum divides once). Edge rows without a
+    *    full window get null trend — the classical convention.
+    *  - seasonal: per season position (row index mod period), the mean
+    *    of `period·v − Σwindow` (an EXACT BIGINT detrended numerator —
+    *    deferring the division keeps the sum exact), divided once,
+    *    then centered by the fixed-order mean of the ≤ period seasonal
+    *    values (sorted-list fold, not a plan-ordered float SUM) so the
+    *    seasonal component sums to ~0 over one cycle.
+    *  - remainder: `v − trend − seasonal`, fixed operand order.
+    *
+    * Scale: the trend/position windows partition BY GROUP (no global
+    * sort); the seasonal table is |groups| × period rows equi-joined
+    * back. The series must be dense per group ([[denseWeekly]]) —
+    * gaps would silently misalign season positions, so positions come
+    * from the row number, not the date.
+    *
+    * `v` must be integer-valued (cast to BIGINT). Output: every input
+    * column + (value, trend, seasonal, remainder). */
+  def decompose(df: DataFrame, groupCols: Seq[String], tCol: Column,
+      v: Column, period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"decompose needs an odd period >= 3 (centered window), got $period")
+    val h = period / 2
+    val vb = v.cast("bigint")
+    val wSeq = Window.partitionBy(groupCols.map(col): _*).orderBy(tCol)
+    val w = wSeq.rowsBetween(-h, h)
+    val base = df
+      .withColumn("__value", vb)
+      .withColumn("__season",
+        pmod(row_number().over(wSeq) - 1, lit(period)))
+      .withColumn("__cnt", count(col("__value")).over(w))
+      .withColumn("__tsum", sum(col("__value")).over(w))
+      .withColumn("trend", when(col("__cnt") === period,
+        col("__tsum").cast("double") / lit(period.toDouble)))
+      .withColumn("__det_num", when(col("__cnt") === period,
+        col("__value") * period - col("__tsum"))) // p·v − Σ, exact BIGINT
+    val gcols = groupCols.map(col)
+    val sRaw = base.filter(col("__det_num").isNotNull)
+      .groupBy(gcols :+ col("__season"): _*)
+      .agg(sum(col("__det_num")).as("__s_num"),
+        count(lit(1)).as("__s_cnt"))
+      .withColumn("__s_raw", col("__s_num").cast("double") /
+        (col("__s_cnt") * period).cast("double"))
+    val centers = sRaw
+      .groupBy(gcols: _*)
+      .agg(sort_array(collect_list(struct(col("__season"), col("__s_raw"))))
+        .as("__cs"), count(lit(1)).as("__ns"))
+      .withColumn("__c",
+        aggregate(col("__cs"), lit(0.0),
+          (acc, s) => acc + s.getField("__s_raw")) /
+          col("__ns").cast("double"))
+      .select(gcols :+ col("__c"): _*)
+    val seasonal = sRaw.join(centers, groupCols)
+      .withColumn("seasonal", col("__s_raw") - col("__c"))
+      .select(gcols ++ Seq(col("__season"), col("seasonal")): _*)
+    base.join(seasonal, groupCols :+ "__season", "left")
+      .withColumn("remainder",
+        when(col("trend").isNotNull && col("seasonal").isNotNull,
+          col("__value").cast("double") - col("trend") - col("seasonal")))
+      .drop("__season", "__cnt", "__tsum", "__det_num")
+      .withColumnRenamed("__value", "value")
+  }
+
   /** A6 — per-region AND global totals in ONE shuffle via `rollup` instead
     * of the reference's repeat-per-continent loop (`Time_Series.py:323,
     * 868–897`). The null-region row is the `Worldwide` total.

@@ -13,6 +13,45 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("decompose: exact recovery of a planted trend+season; edges null; layout-exact") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // v_t = (10 + 2t) + s_{t mod 3}, s = (3, -1, -2): the 3-row centered
+    // MA removes the season exactly on interior rows, so trend, seasonal,
+    // and remainder are recovered EXACTLY (integer arithmetic end to end)
+    val season = Seq(3L, -1L, -2L)
+    val rows = for (g <- Seq("a", "b"); t <- 0 until 12) yield
+      (g, t, 10L + 2L * t + season(t % 3) + (if (g == "b") 100L else 0L))
+    val df = rows.toDF("g", "t", "v")
+    val out = TimeSeries.decompose(df, Seq("g"), col("t"), col("v"), 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))).toMap
+    for (g <- Seq("a", "b"); t <- 0 until 12) {
+      val (tr, se, re) = out((g, t))
+      if (t == 0 || t == 11) assert(tr.isEmpty && re.isEmpty,
+        s"edge row ($g,$t) must have null trend/remainder")
+      else {
+        val base = if (g == "b") 110.0 else 10.0
+        assert(tr.contains(base + 2.0 * t), s"trend ($g,$t) = $tr")
+        assert(re.contains(0.0), s"remainder ($g,$t) = $re")
+      }
+      // seasonal is defined for every position with a full-window peer
+      assert(se.contains(season(t % 3).toDouble), s"seasonal ($g,$t) = $se")
+    }
+    // bitwise layout invariance (exact ints + fixed-order folds)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.decompose(d, Seq("g"), col("t"), col("v"), 3)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.toSeq.drop(3)))
+        .toSet
+    assert(run(df.repartition(7)) == run(df.coalesce(1)))
+    // a non-zero-sum season is centered: seasonal sums to ~0 per cycle
+    val rows2 = (0 until 15).map(t => ("c", t, 20L + season(t % 3) + 5L))
+    val out2 = TimeSeries.decompose(rows2.toDF("g", "t", "v"), Seq("g"),
+        col("t"), col("v"), 3)
+      .select("seasonal").distinct().collect().map(_.getDouble(0))
+    assert(math.abs(out2.sum) < 1e-12, s"seasonal not centered: ${out2.toList}")
+  }
+
   test("raw-variants TSV round-trip: '-' sentinels become typed nulls (S6)") {
     import spark.implicits._
     val raw = VariantCalling_fixtureEvents()
