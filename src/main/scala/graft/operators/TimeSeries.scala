@@ -129,6 +129,29 @@ object TimeSeries {
       .withColumnRenamed("__value", "value")
   }
 
+  /** Seasonal-aware anomaly flags over a dense per-group series —
+    * [[decompose]]'s remainder tested against a per-group robust
+    * threshold: a week is anomalous when its remainder deviates more
+    * than `k` × MAD (median absolute deviation) from that group's own
+    * remainder distribution. MAD, not stddev, so one gross outlier
+    * cannot mask itself by inflating the threshold. Engine-portable end
+    * to end: the decomposition is exact-arithmetic ([[decompose]]) and
+    * MAD uses Spark `percentile` ≡ DuckDB `quantile_cont` (the
+    * winsorize-proven pair). Edge rows (null remainder) get null flags.
+    * Output: [[decompose]]'s columns + (mad, is_anomaly). */
+  def anomalies(df: DataFrame, groupCols: Seq[String], tCol: Column,
+      v: Column, period: Int, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"anomalies needs k > 0, got $k")
+    val dec = decompose(df, groupCols, tCol, v, period)
+    val mads = dec.filter(col("remainder").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(percentile(abs(col("remainder")), lit(0.5)).as("mad"))
+    dec.join(mads, groupCols, "left")
+      .withColumn("is_anomaly",
+        when(col("remainder").isNotNull && col("mad").isNotNull,
+          abs(col("remainder")) > lit(k) * col("mad")))
+  }
+
   /** A6 — per-region AND global totals in ONE shuffle via `rollup` instead
     * of the reference's repeat-per-continent loop (`Time_Series.py:323,
     * 868–897`). The null-region row is the `Worldwide` total.

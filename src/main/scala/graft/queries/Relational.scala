@@ -414,6 +414,7 @@ object Relational {
     "c8_week_labels" -> (c8WeekLabels _),
     "a5_dense_weekly" -> (a5DenseWeekly _),
     "c_seasonal_decompose" -> (cSeasonalDecompose _),
+    "c_ts_anomalies" -> (cTsAnomalies _),
     "a11_combo_frequencies" -> (a11ComboFrequencies _),
     "o1_natural_sort_sources" -> (o1NaturalSortSources _),
     "c14_percent_formatting" -> (c14PercentFormatting _),
@@ -438,6 +439,22 @@ object Relational {
         Seq("key"), col("week_start"), col("freq"), 5)
       .select(col("key"), col("week_start"), col("value"), col("trend"),
         col("seasonal"), col("remainder"))
+      .orderBy("key", "week_start")
+  }
+
+  /** Seasonal-aware weekly anomalies ([[TimeSeries.anomalies]]): the
+    * decomposition remainder tested against 2 x per-key MAD. Exact
+    * decomposition + the winsorize-proven percentile pair keep every
+    * column (including the boolean flags) hash-identical to the
+    * oracle's full replay. */
+  def cTsAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val f = TimeSeries.weeklyFrequency(
+      t(s, dir, "events"), to_date(col("ts")), col("event_type"))
+    TimeSeries.anomalies(
+        TimeSeries.denseWeekly(f).select("key", "week_start", "freq"),
+        Seq("key"), col("week_start"), col("freq"), 5, k = 2.0)
+      .select(col("key"), col("week_start"), col("value"),
+        col("remainder"), col("mad"), col("is_anomaly"))
       .orderBy("key", "week_start")
   }
 
@@ -573,6 +590,53 @@ object Relational {
         |    strftime(week_start + 6, '%m/%d/%Y')) AS label,
         |  freq
         |FROM f ORDER BY week_start""".stripMargin,
+    "c_ts_anomalies" ->
+      ("""WITH f AS (SELECT event_type AS key,
+        |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+        |    COUNT(*) AS freq FROM events GROUP BY 1, 2),
+        |w AS (SELECT CAST(UNNEST(generate_series(
+        |    (SELECT MIN(week_start) FROM f), (SELECT MAX(week_start) FROM f),
+        |    INTERVAL 7 DAY)) AS DATE) AS week_start),
+        |k AS (SELECT DISTINCT key FROM f),
+        |d AS (SELECT k.key, w.week_start, COALESCE(f.freq, 0) AS freq
+        |  FROM k CROSS JOIN w
+        |  LEFT JOIN f ON f.key = k.key AND f.week_start = w.week_start),
+        |b AS (SELECT key, week_start, freq,
+        |    (ROW_NUMBER() OVER (PARTITION BY key ORDER BY week_start) - 1) % 5
+        |      AS season,
+        |    COUNT(*) OVER (PARTITION BY key ORDER BY week_start
+        |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS cnt,
+        |    CAST(SUM(freq) OVER (PARTITION BY key ORDER BY week_start
+        |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS tsum
+        |  FROM d),
+        |tt AS (SELECT *,
+        |    CASE WHEN cnt = 5 THEN CAST(tsum AS DOUBLE) / 5 END AS trend,
+        |    CASE WHEN cnt = 5 THEN freq * 5 - tsum END AS det_num FROM b),
+        |sr AS (SELECT key, season, CAST(SUM(det_num) AS BIGINT) AS s_num,
+        |    COUNT(*) AS s_cnt
+        |  FROM tt WHERE det_num IS NOT NULL GROUP BY 1, 2),
+        |sr2 AS (SELECT key, season,
+        |    CAST(s_num AS DOUBLE) / CAST(s_cnt * 5 AS DOUBLE) AS s_raw
+        |  FROM sr),
+        |cen AS (SELECT key,
+        |    list_reduce(list(s_raw ORDER BY season), (a, b) -> a + b)
+        |      / COUNT(*) AS c
+        |  FROM sr2 GROUP BY 1),
+        |sea AS (SELECT sr2.key, sr2.season, s_raw - c AS seasonal
+        |  FROM sr2 JOIN cen ON sr2.key = cen.key),
+        |dd AS (SELECT tt.key, tt.week_start, CAST(tt.freq AS BIGINT) AS value,
+        |  tt.trend, sea.seasonal,
+        |  CASE WHEN tt.trend IS NOT NULL AND sea.seasonal IS NOT NULL
+        |    THEN CAST(tt.freq AS DOUBLE) - tt.trend - sea.seasonal
+        |  END AS remainder
+        |FROM tt LEFT JOIN sea ON sea.key = tt.key AND sea.season = tt.season),
+        |m AS (SELECT key, quantile_cont(abs(remainder), 0.5) AS mad
+        |  FROM dd WHERE remainder IS NOT NULL GROUP BY 1)
+        |SELECT dd.key, dd.week_start, dd.value, dd.remainder, m.mad,
+        |  CASE WHEN dd.remainder IS NOT NULL AND m.mad IS NOT NULL
+        |    THEN abs(dd.remainder) > 2.0 * m.mad END AS is_anomaly
+        |FROM dd LEFT JOIN m ON m.key = dd.key
+        |ORDER BY 1, 2""").stripMargin,
     "c_seasonal_decompose" ->
       """WITH f AS (SELECT event_type AS key,
         |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,

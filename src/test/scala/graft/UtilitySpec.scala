@@ -13,6 +13,27 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("anomalies: a planted spike is flagged, its well-behaved peers are not") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val season = Seq(3L, -1L, -2L)
+    // clean seasonal series with one gross spike at t = 7
+    val rows = (0 until 15).map(t =>
+      ("a", t, 50L + season(t % 3) + (if (t == 7) 40L else 0L)))
+    val df = rows.toDF("g", "t", "v")
+    val out = TimeSeries.anomalies(df, Seq("g"), col("t"), col("v"),
+        period = 3, k = 3.0)
+      .collect().map(r => r.getInt(1) ->
+        ((Option(r.get(7)).map(_.asInstanceOf[Double]),
+          if (r.isNullAt(8)) None else Some(r.getBoolean(8))))).toMap
+    assert(out(7)._2.contains(true), s"spike not flagged: ${out(7)}")
+    // interior, non-spike-window rows are not flagged
+    for (t <- Seq(2, 3, 4, 11, 12, 13))
+      assert(out(t)._2.contains(false), s"false positive at $t: ${out(t)}")
+    // edge rows have null remainder, hence null flag
+    assert(out(0)._2.isEmpty && out(14)._2.isEmpty)
+  }
+
   test("decompose: exact recovery of a planted trend+season; edges null; layout-exact") {
     import spark.implicits._
     import graft.operators.TimeSeries
