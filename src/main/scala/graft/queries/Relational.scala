@@ -415,6 +415,7 @@ object Relational {
     "a5_dense_weekly" -> (a5DenseWeekly _),
     "c_seasonal_decompose" -> (cSeasonalDecompose _),
     "c_ts_anomalies" -> (cTsAnomalies _),
+    "c_growth_advantage" -> (cGrowthAdvantage _),
     "a11_combo_frequencies" -> (a11ComboFrequencies _),
     "o1_natural_sort_sources" -> (o1NaturalSortSources _),
     "c14_percent_formatting" -> (c14PercentFormatting _),
@@ -456,6 +457,33 @@ object Relational {
       .select(col("key"), col("week_start"), col("value"),
         col("remainder"), col("mad"), col("is_anomaly"))
       .orderBy("key", "week_start")
+  }
+
+  /** Per-key growth advantage — the logistic-growth analysis run on
+    * variant share data: weekly share p -> logit ln(p/(1-p)), quantized
+    * to exact micro-logits (floor x 1e6, the Pca.exactCovariance
+    * quantization move), then [[graft.operators.Stats.groupOls]] per
+    * key over integer week indices. slope = growth advantage in
+    * micro-logits/week, exact-moment algebra, fixed float tail — every
+    * column hashes against the oracle replay. Weeks where a key is
+    * absent or is the entire total drop out (logit undefined). */
+  def cGrowthAdvantage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = TimeSeries.weeklyFrequency(
+      t(s, dir, "events"), to_date(col("ts")), col("event_type"))
+    val withTotal = f.withColumn("__tot",
+      sum(col("freq")).over(Window.partitionBy(col("week_start"))))
+    val p = col("freq").cast("double") / col("__tot").cast("double")
+    val shares = withTotal
+      .filter(col("freq") > 0 && col("freq") < col("__tot"))
+      .withColumn("__y",
+        floor(log(p / (lit(1.0) - p)) * lit(1000000.0)).cast("bigint"))
+      .withColumn("__x", (datediff(col("week_start"),
+        min(col("week_start")).over(Window.partitionBy(col("key")))) / 7)
+        .cast("bigint"))
+    graft.operators.Stats.groupOls(shares, Seq(col("key")),
+        col("__x"), col("__y"))
+      .orderBy("key")
   }
 
   val oracle: Map[String, String] = Map(
@@ -590,6 +618,37 @@ object Relational {
         |    strftime(week_start + 6, '%m/%d/%Y')) AS label,
         |  freq
         |FROM f ORDER BY week_start""".stripMargin,
+    "c_growth_advantage" ->
+      """WITH f AS (SELECT event_type AS key,
+        |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+        |    COUNT(*) AS freq FROM events GROUP BY 1, 2),
+        |tot AS (SELECT key, week_start, freq,
+        |    SUM(freq) OVER (PARTITION BY week_start) AS tot FROM f),
+        |sh AS (SELECT key,
+        |    CAST(FLOOR(ln((CAST(freq AS DOUBLE) / CAST(tot AS DOUBLE))
+        |        / (1.0 - CAST(freq AS DOUBLE) / CAST(tot AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS y,
+        |    CAST((week_start - MIN(week_start) OVER (PARTITION BY key)) / 7
+        |      AS BIGINT) AS x
+        |  FROM tot WHERE freq > 0 AND freq < tot),
+        |m AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM sh GROUP BY 1)
+        |SELECT key, n,
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) END AS intercept,
+        |  CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+        |    (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+        |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |         * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+        |FROM m ORDER BY 1""".stripMargin,
     "c_ts_anomalies" ->
       ("""WITH f AS (SELECT event_type AS key,
         |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
