@@ -65,7 +65,9 @@ object PlanDump {
     "d_max_dup_spans" -> "pairwise max duplicated spans — digest-posting self-join (md5 keys, posting fail-fast BEFORE the join), then gaps-and-islands windowed per (pair, diagonal): tiny partitions, no global sort, text never shuffles",
     "d_remove_dup_spans" -> "duplicated-span removal — canonical election as groupBy-min on the digest (no hot-hash window), per-doc islands, and a broadcast-able (id, spans) join back; the excision is an index-aware array filter IN THE SCAN — the corpus text never crosses an exchange",
     "s_embedding_covariance" -> "exact-integer covariance — two chained generators fan each row to its upper-triangle products, the hash aggregate combines map-side so only d² partial rows per partition cross the exchange; the closing division is one projected expression",
-    "a_psi_drift" -> "PSI drift — one when-chain binning aggregate (exact BIGINT counts), a groups×bins window for totals, and a FIXED-ORDER sorted-list fold for the float tail — no plan-ordered float summation anywhere")
+    "a_psi_drift" -> "PSI drift — one when-chain binning aggregate (exact BIGINT counts), a groups×bins window for totals, and a FIXED-ORDER sorted-list fold for the float tail — no plan-ordered float summation anywhere",
+    "c_seasonal_decompose" -> "seasonal decomposition — per-group centered-window sums (no global sort), a |groups|×period seasonal aggregate joined back, every float from exact integers via fixed-order ops",
+    "c_growth_advantage" -> "growth-advantage fit — week-total window + per-key min window + ONE exact-moment aggregate; the logit is a scan-side expression, quantized before any aggregation so the OLS algebra stays integer-exact")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */
