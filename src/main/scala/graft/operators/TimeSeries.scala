@@ -152,6 +152,40 @@ object TimeSeries {
           abs(col("remainder")) > lit(k) * col("mad")))
   }
 
+  /** Exponentially-weighted moving average level per group —
+    * `l_t = α·v_t + (1−α)·l_{t−1}`, seeded `l_0 = v_0`: the classic
+    * smoothing/short-horizon-forecast recurrence. A linear recurrence
+    * cannot run as a distributed aggregate (it is order-dependent by
+    * definition), so the contract is the practical one for grouped
+    * series: each group's series is SHORT (weeks/months — [[decompose]]'s
+    * regime) while groups are many, and the fold runs inside the row
+    * over the group's sorted (t, v) array — one groupBy, deterministic
+    * left-to-right order, so the result is layout-exact AND
+    * engine-portable (DuckDB's `list_reduce` seeds from the first
+    * element, exactly this recurrence). `maxLen` fail-fasts a group too
+    * long to collect into one row. Prefer a DYADIC α (0.25, 0.5…): then
+    * 1−α is exact and cross-engine results match bitwise even though α
+    * enters every term. Output: groups... + (n, level) — the final
+    * smoothed level, which is also the one-step-ahead forecast. */
+  def ewma(df: DataFrame, groupCols: Seq[String], tCol: Column, v: Column,
+      alpha: Double, maxLen: Int = 100000): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"ewma needs 0 < alpha <= 1, got $alpha")
+    val beta = 1.0 - alpha
+    df.filter(v.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(tCol.as("t"),
+        v.cast("double").as("v")))).as("__s"))
+      .filter(assert_true(size(col("__s")) <= maxLen,
+        lit(s"ewma: a group exceeds maxLen=$maxLen rows — a series that " +
+          "long should be windowed or decimated first")).isNull)
+      .withColumn("n", size(col("__s")).cast("bigint"))
+      .withColumn("level", aggregate(
+        slice(col("__s"), lit(2), greatest(size(col("__s")) - 1, lit(0))),
+        element_at(col("__s"), 1).getField("v"),
+        (acc, s) => lit(alpha) * s.getField("v") + lit(beta) * acc))
+      .drop("__s")
+  }
+
   /** A6 — per-region AND global totals in ONE shuffle via `rollup` instead
     * of the reference's repeat-per-continent loop (`Time_Series.py:323,
     * 868–897`). The null-region row is the `Worldwide` total.

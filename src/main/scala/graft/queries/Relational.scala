@@ -416,6 +416,7 @@ object Relational {
     "c_seasonal_decompose" -> (cSeasonalDecompose _),
     "c_ts_anomalies" -> (cTsAnomalies _),
     "c_growth_advantage" -> (cGrowthAdvantage _),
+    "c_ewma_level" -> (cEwmaLevel _),
     "a11_combo_frequencies" -> (a11ComboFrequencies _),
     "o1_natural_sort_sources" -> (o1NaturalSortSources _),
     "c14_percent_formatting" -> (c14PercentFormatting _),
@@ -483,6 +484,17 @@ object Relational {
         .cast("bigint"))
     graft.operators.Stats.groupOls(shares, Seq(col("key")),
         col("__x"), col("__y"))
+      .orderBy("key")
+  }
+
+  /** EWMA smoothing level ([[TimeSeries.ewma]]) of the weekly event
+    * series, dyadic alpha = 0.25 so 1 - alpha is exact and the in-row
+    * fold matches DuckDB's list_reduce bitwise. */
+  def cEwmaLevel(s: SparkSession, dir: String): DataFrame = {
+    val f = TimeSeries.weeklyFrequency(
+      t(s, dir, "events"), to_date(col("ts")), col("event_type"))
+    TimeSeries.ewma(f, Seq("key"), col("week_start"), col("freq"),
+        alpha = 0.25)
       .orderBy("key")
   }
 
@@ -618,6 +630,14 @@ object Relational {
         |    strftime(week_start + 6, '%m/%d/%Y')) AS label,
         |  freq
         |FROM f ORDER BY week_start""".stripMargin,
+    "c_ewma_level" ->
+      """WITH f AS (SELECT event_type AS key,
+        |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+        |    COUNT(*) AS freq FROM events GROUP BY 1, 2)
+        |SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |  list_reduce(list(CAST(freq AS DOUBLE) ORDER BY week_start),
+        |    (acc, x) -> 0.25 * x + 0.75 * acc) AS level
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "c_growth_advantage" ->
       """WITH f AS (SELECT event_type AS key,
         |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,

@@ -13,6 +13,39 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("ewma: matches the naive recurrence bitwise; layout-exact; maxLen fail-fast") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val rnd = new scala.util.Random(97)
+    val rows = for (g <- Seq("a", "b"); t <- 0 until 40) yield
+      (g, t, rnd.nextInt(1000).toLong)
+    val df = rows.toDF("g", "t", "v")
+    val alpha = 0.25
+    def naive(vs: Seq[Long]): Double =
+      vs.tail.foldLeft(vs.head.toDouble)((l, x) => alpha * x + 0.75 * l)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.ewma(d, Seq("g"), col("t"), col("v"), alpha)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+    val got = run(df)
+    for (g <- Seq("a", "b")) {
+      val vs = rows.filter(_._1 == g).sortBy(_._2).map(_._3)
+      assert(got(g)._1 == 40L)
+      assert(got(g)._2 == naive(vs), s"group $g") // bitwise
+    }
+    assert(run(df.repartition(11)) == got)
+    // a single-row group's level is its value
+    val one = Seq(("x", 1, 7L)).toDF("g", "t", "v")
+    assert(run(one)("x") == ((1L, 7.0)))
+    // maxLen guard fails fast instead of collecting an unbounded series
+    val e = intercept[Exception] {
+      TimeSeries.ewma(df, Seq("g"), col("t"), col("v"), alpha, maxLen = 10)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxLen") ||
+      e.getCause != null && e.getCause.getMessage.contains("maxLen"))
+  }
+
   test("anomalies: a planted spike is flagged, its well-behaved peers are not") {
     import spark.implicits._
     import graft.operators.TimeSeries
