@@ -330,6 +330,52 @@ object Stats {
       .drop("sx1", "sxx1", "sx2", "sxx2")
   }
 
+  /** Theil–Sen robust slope per group — the median of all pairwise
+    * slopes `(y_j − y_i)/(x_j − x_i)`: the standard outlier-robust
+    * complement to [[groupOls]] (one wild week cannot drag the trend,
+    * breakdown point ~29%). Pairwise medians are O(n²) per group and
+    * order statistics don't merge, so the contract is the grouped
+    * short-series one ([[graft.operators.TimeSeries.ewma]]'s): the
+    * group's sorted (x, y) array folds IN-ROW — pair generation,
+    * null-x-gap filtering, sort, and the explicit odd/even median are
+    * all deterministic array expressions, making the result layout-
+    * exact and engine-portable (the oracle replays the same pair order
+    * and the same `(a+b)/2` midpoint — NOT `quantile_cont`, whose
+    * `a + (b−a)·f` interpolation differs in float). `maxLen` fail-fasts
+    * groups whose n² pair array would not fit a row. Pairs with equal
+    * x contribute nothing (vertical slope undefined). Output:
+    * groups... + (n, n_pairs, slope); slope null when no valid pair. */
+  def theilSen(df: DataFrame, groupCols: Seq[Column], x: Column, y: Column,
+      maxLen: Int = 1000): DataFrame = {
+    val arr = sort_array(collect_list(struct(x.cast("double").as("x"),
+      y.cast("double").as("y"))))
+    val slopes = sort_array(filter(flatten(
+      transform(col("__a"), (p, i) =>
+        transform(slice(col("__a"), i + lit(2), size(col("__a"))),
+          q => when(q.getField("x") =!= p.getField("x"),
+            (q.getField("y") - p.getField("y")) /
+              (q.getField("x") - p.getField("x")))))),
+      s => s.isNotNull))
+    df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(groupCols: _*)
+      .agg(arr.as("__a"))
+      .filter(assert_true(size(col("__a")) <= maxLen,
+        lit(s"theilSen: a group exceeds maxLen=$maxLen rows — its n^2 " +
+          "pair array would dominate the row; sample or window first"))
+        .isNull)
+      .withColumn("n", size(col("__a")).cast("bigint"))
+      .withColumn("__s", slopes)
+      .withColumn("n_pairs", size(col("__s")).cast("bigint"))
+      .withColumn("slope", when(col("n_pairs") > 0,
+        when(pmod(col("n_pairs"), lit(2)) === 1,
+          element_at(col("__s"), ((col("n_pairs") + 1) / 2).cast("int")))
+          .otherwise((element_at(col("__s"),
+              (col("n_pairs") / 2).cast("int")) +
+            element_at(col("__s"),
+              (col("n_pairs") / 2 + 1).cast("int"))) / 2)))
+      .drop("__a", "__s")
+  }
+
   /** Population Stability Index between two cohorts of `x` per group —
     * the standard training-data DRIFT metric (is this week's corpus
     * distributed like last week's? did a source shift under the

@@ -417,6 +417,7 @@ object Relational {
     "c_ts_anomalies" -> (cTsAnomalies _),
     "c_growth_advantage" -> (cGrowthAdvantage _),
     "c_ewma_level" -> (cEwmaLevel _),
+    "c_theil_sen_trend" -> (cTheilSenTrend _),
     "a11_combo_frequencies" -> (a11ComboFrequencies _),
     "o1_natural_sort_sources" -> (o1NaturalSortSources _),
     "c14_percent_formatting" -> (c14PercentFormatting _),
@@ -495,6 +496,22 @@ object Relational {
       t(s, dir, "events"), to_date(col("ts")), col("event_type"))
     TimeSeries.ewma(f, Seq("key"), col("week_start"), col("freq"),
         alpha = 0.25)
+      .orderBy("key")
+  }
+
+  /** Theil-Sen robust weekly trend ([[graft.operators.Stats.theilSen]]):
+    * median pairwise slope of freq vs integer week index per event type
+    * - the outlier-robust twin of the OLS trend, bitwise-portable via
+    * in-row pair generation and the explicit odd/even median. */
+  def cTheilSenTrend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = TimeSeries.weeklyFrequency(
+      t(s, dir, "events"), to_date(col("ts")), col("event_type"))
+    val indexed = f.withColumn("__x", (datediff(col("week_start"),
+      min(col("week_start")).over(Window.partitionBy(col("key")))) / 7)
+      .cast("bigint"))
+    graft.operators.Stats.theilSen(indexed, Seq(col("key")),
+        col("__x"), col("freq"))
       .orderBy("key")
   }
 
@@ -630,6 +647,33 @@ object Relational {
         |    strftime(week_start + 6, '%m/%d/%Y')) AS label,
         |  freq
         |FROM f ORDER BY week_start""".stripMargin,
+    "c_theil_sen_trend" ->
+      """WITH f AS (SELECT event_type AS key,
+        |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+        |    COUNT(*) AS freq FROM events GROUP BY 1, 2),
+        |pt0 AS (SELECT key,
+        |    CAST((week_start - MIN(week_start) OVER (PARTITION BY key)) / 7
+        |      AS DOUBLE) AS x,
+        |    CAST(freq AS DOUBLE) AS y FROM f),
+        |pr AS (SELECT a.key, (b.y - a.y) / (b.x - a.x) AS sl
+        |  FROM pt0 a JOIN pt0 b ON a.key = b.key
+        |    AND (b.x > a.x OR (b.x = a.x AND b.y > a.y))
+        |  WHERE b.x <> a.x),
+        |r AS (SELECT key, sl,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY sl) AS rn,
+        |    COUNT(*) OVER (PARTITION BY key) AS c FROM pr),
+        |sel AS (SELECT key, c AS n_pairs,
+        |    SUM(CASE WHEN c % 2 = 1 AND rn = (c + 1) / 2 THEN sl END) AS m_odd,
+        |    SUM(CASE WHEN c % 2 = 0 AND rn IN (c / 2, c / 2 + 1) THEN sl END)
+        |      / 2 AS m_even
+        |  FROM r GROUP BY key, c),
+        |np AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pt0 GROUP BY 1)
+        |SELECT np.key, np.n, COALESCE(CAST(sel.n_pairs AS BIGINT), 0)
+        |    AS n_pairs,
+        |  CASE WHEN sel.n_pairs % 2 = 1 THEN m_odd ELSE m_even END AS slope
+        |FROM np LEFT JOIN sel ON sel.key = np.key
+        |ORDER BY 1""".stripMargin,
     "c_ewma_level" ->
       """WITH f AS (SELECT event_type AS key,
         |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,

@@ -291,6 +291,46 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("theilSen: median pairwise slope, robust to one outlier, layout-exact") {
+    import spark.implicits._
+    // perfect line y = 3x + 1: every pairwise slope is 3
+    val line = (0 until 10).map(i => ("l", i.toLong, 3L * i + 1))
+    // same line with one wild outlier: the MEDIAN slope stays 3 (OLS would not)
+    val dirty = line.map { case (_, x0, y0) => ("d", x0, y0) } :+ (("d", 10L, 1000L))
+    val df = (line ++ dirty).toDF("g", "x", "y")
+    val got = Stats.theilSen(df, Seq(col("g")), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(got("l") == ((10L, 45L, Some(3.0))))
+    assert(got("d")._3.contains(3.0), s"outlier dragged the slope: ${got("d")}")
+    // naive differential on fuzzed data
+    val rnd = new scala.util.Random(101)
+    val fuzz = (0 until 30).map(i => ("f", i.toLong, rnd.nextInt(100).toLong))
+    val fdf = fuzz.toDF("g", "x", "y")
+    val pairs = for (i <- fuzz.indices; j <- i + 1 until fuzz.size
+        if fuzz(j)._2 != fuzz(i)._2)
+      yield (fuzz(j)._3 - fuzz(i)._3).toDouble / (fuzz(j)._2 - fuzz(i)._2)
+    val ss = pairs.sorted
+    val expect = if (ss.size % 2 == 1) ss(ss.size / 2)
+      else (ss(ss.size / 2 - 1) + ss(ss.size / 2)) / 2
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.theilSen(d, Seq(col("g")), col("x"), col("y"))
+        .collect()(0).getDouble(3)
+    assert(run(fdf) == expect) // bitwise
+    assert(run(fdf.repartition(7)) == expect)
+    // all-equal x -> no valid pair -> null slope
+    val vert = Seq(("v", 1L, 1L), ("v", 1L, 5L)).toDF("g", "x", "y")
+    val vr = Stats.theilSen(vert, Seq(col("g")), col("x"), col("y")).collect()(0)
+    assert(vr.getLong(2) == 0L && vr.isNullAt(3))
+    // maxLen fail-fast
+    val e = intercept[Exception] {
+      Stats.theilSen(fdf, Seq(col("g")), col("x"), col("y"), maxLen = 5)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxLen") ||
+      (e.getCause != null && e.getCause.getMessage.contains("maxLen")))
+  }
+
   test("psi: hand-computed drift, ~0 for identical cohorts, null for empty, layout-exact") {
     import spark.implicits._
     // hand fixture: cohort A = {1,1,2,2}, B = {1,3,3,3}; edges (2,3) give
