@@ -906,17 +906,29 @@ object Dedup {
     * Output: one maximal duplicated span per row — (id, span_start,
     * span_end, n_shingles) in 0-based token coordinates; span length in
     * tokens = span_end − span_start + 1 = n_shingles + w − 1. */
-  def duplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
-      w: Int = 5, minShingles: Int = 3): DataFrame = {
-    require(w >= 1 && minShingles >= 1, "w and minShingles must be >= 1")
+  /** The whitespace/lowercase tokenization every span operator reads —
+    * ONE definition so [[duplicateSpans]], [[removeDupSpans]], and
+    * [[maxDupSpans]] (and their oracles) can never desynchronize. */
+  private def spanTokens(df: DataFrame, idCol: Column,
+      textCol: Column): DataFrame = {
     val tk = filter(split(lower(textCol), "\\s+"), x => x =!= lit(""))
-    val toks = df.select(idCol.as("id"), tk.as("tk"))
+    df.select(idCol.as("id"), tk.as("tk"))
+  }
+
+  /** (id, pos, h) md5 digests of all w-shingles over [[spanTokens]] —
+    * the shared front half of the three span operators. */
+  private def shingleHits(toks: DataFrame, w: Int): DataFrame = {
     val shingleArr = when(size(col("tk")) < w,
         array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(col("tk")) - w),
         i => md5(array_join(slice(col("tk"), i + lit(1), lit(w)), " "))))
-    val sh = toks.select(col("id"),
-      posexplode(shingleArr).as(Seq("pos", "h")))
+    toks.select(col("id"), posexplode(shingleArr).as(Seq("pos", "h")))
+  }
+
+  def duplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
+      w: Int = 5, minShingles: Int = 3): DataFrame = {
+    require(w >= 1 && minShingles >= 1, "w and minShingles must be >= 1")
+    val sh = shingleHits(spanTokens(df, idCol, textCol), w)
     val dup = sh.groupBy("h").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2).select("h")
     val hits = sh.join(dup, Seq("h"), "left_semi")
@@ -940,7 +952,12 @@ object Dedup {
     * ≥ `minShingles` consecutive shingles (the same threshold as
     * [[duplicateSpans]]) have their covered tokens cut; shorter
     * incidental overlaps are left alone, matching the detection
-    * contract.
+    * contract. Tokens inside ANY canonical occurrence's window are
+    * protected from excision — without this, a removable run adjacent
+    * to the canonical copy of a different digest would clip that copy
+    * and the digest's content could vanish corpus-wide; the cost is
+    * that a removable span overlapping a canonical window is excised
+    * only outside it (a fragment survives).
     *
     * Scale shape: canonical election is a groupBy-min on the digest (no
     * window over a hot hash), islands partition by document, and the
@@ -957,14 +974,8 @@ object Dedup {
   def removeDupSpans(df: DataFrame, idCol: Column, textCol: Column,
       w: Int = 5, minShingles: Int = 3): DataFrame = {
     require(w >= 1 && minShingles >= 1, "w and minShingles must be >= 1")
-    val tk = filter(split(lower(textCol), "\\s+"), x => x =!= lit(""))
-    val toks = df.select(idCol.as("id"), tk.as("tk"))
-    val shingleArr = when(size(col("tk")) < w,
-        array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(col("tk")) - w),
-        i => md5(array_join(slice(col("tk"), i + lit(1), lit(w)), " "))))
-    val sh = toks.select(col("id"),
-      posexplode(shingleArr).as(Seq("pos", "h")))
+    val toks = spanTokens(df, idCol, textCol)
+    val sh = shingleHits(toks, w)
     // canonical occurrence per duplicated digest: min (id, pos) struct
     val can = sh.groupBy("h")
       .agg(count(lit(1)).as("__c"),
@@ -982,12 +993,29 @@ object Dedup {
       .filter(col("n") >= minShingles)
       .groupBy("id")
       .agg(collect_list(struct(col("s"), col("e"))).as("rm"))
+    // tokens inside a CANONICAL occurrence's window are PROTECTED: a
+    // removable run adjacent to a canonical shingle of a DIFFERENT
+    // digest would otherwise clip the one copy the contract promises to
+    // keep (its other occurrences are excised elsewhere as
+    // non-canonical, so the content would survive nowhere). Protection
+    // wins over removal token-by-token; a removable span overlapping a
+    // canonical window is excised only outside it.
+    val protSpans = can.select(col("can_id").as("id"), col("can_pos").as("pos"))
+      .withColumn("__grp", col("pos") - rn)
+      .groupBy("id", "__grp")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(w - 1)).as("e"))
+      .groupBy("id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("keep"))
+    val emptySpans = array().cast("array<struct<s:int,e:int>>")
     toks.join(spans, Seq("id"), "left")
-      .withColumn("rm", coalesce(col("rm"),
-        array().cast("array<struct<s:int,e:int>>")))
+      .join(protSpans, Seq("id"), "left")
+      .withColumn("rm", coalesce(col("rm"), emptySpans))
+      .withColumn("keep", coalesce(col("keep"), emptySpans))
       .withColumn("clean", filter(col("tk"), (x, i) =>
-        !exists(col("rm"), sp =>
-          i >= sp.getField("s") && i <= sp.getField("e"))))
+        !(exists(col("rm"), sp =>
+            i >= sp.getField("s") && i <= sp.getField("e")) &&
+          !exists(col("keep"), sp =>
+            i >= sp.getField("s") && i <= sp.getField("e")))))
       .select(col("id"), size(col("tk")).cast("bigint").as("n_tokens"),
         (size(col("tk")) - size(col("clean"))).cast("bigint").as("n_removed"),
         array_join(col("clean"), " ").as("clean_text"))
@@ -1021,14 +1049,7 @@ object Dedup {
   def maxDupSpans(df: DataFrame, idCol: Column, textCol: Column,
       w: Int = 5, minShingles: Int = 3, maxPosting: Int = 1000): DataFrame = {
     require(w >= 1 && minShingles >= 1, "w and minShingles must be >= 1")
-    val tk = filter(split(lower(textCol), "\\s+"), x => x =!= lit(""))
-    val toks = df.select(idCol.as("id"), tk.as("tk"))
-    val shingleArr = when(size(col("tk")) < w,
-        array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(col("tk")) - w),
-        i => md5(array_join(slice(col("tk"), i + lit(1), lit(w)), " "))))
-    val sh = toks.select(col("id"),
-      posexplode(shingleArr).as(Seq("pos", "h")))
+    val sh = shingleHits(spanTokens(df, idCol, textCol), w)
     // posting-size fail-fast BEFORE the self-join (quadratic in posting)
     val pcount = sh.groupBy("h").agg(count(lit(1)).as("__pc"))
       .filter(col("__pc") >= 2)

@@ -81,16 +81,19 @@ object Ranks {
     * aggregation buffer.
     *
     * `asc = true` ranks ascending (smallest first). Negation uses
-    * `0.0 - x` so a zero ordinate round-trips to `+0.0`, keeping the
-    * emitted `ordName` column bit-identical to the input value.
+    * `0.0 - x` so a zero ordinate round-trips to `+0.0`. The emitted
+    * `ordName` column is bit-identical to the input value with ONE
+    * exception: a `-0.0` input is emitted as `+0.0` (the buffer
+    * normalizes the sign bit on insert — see [[BoundedTopK]]); the two
+    * compare equal everywhere numeric, so only a raw-bit consumer can
+    * tell.
     *
     * NaN ordinates are a total-order participant, not a landmine: the
     * buffer compares via `java.lang.Double.compare`, which ranks NaN
     * above every finite value — the same order Spark's descending sort
-    * uses — and treats -0.0 as +0.0. Under `asc = true` the negation
-    * maps NaN to NaN, so NaN still ranks FIRST (Spark's ascending sort
-    * would rank it last); filter NaN upstream if an ascending caller
-    * can see one.
+    * uses. Under `asc = true` the negation maps NaN to NaN, so NaN
+    * still ranks FIRST (Spark's ascending sort would rank it last);
+    * filter NaN upstream if an ascending caller can see one.
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], ord: Column,
       tie: Column, k: Int, rankCol: String = "rank",
@@ -177,9 +180,10 @@ class BoundedTopK(k: Int, distinct: Boolean = false)
   // invariant (plain > / == are both false against NaN, which would
   // let a NaN row slip to position 0 on a non-full buffer and make the
   // result partitioning-dependent). Double.compare ranks NaN above
-  // every value — exactly Spark's sort order — and -0.0 is normalized
-  // to +0.0 on insert so the two zeros stay tie-broken by `tie`, also
-  // matching Spark's sort, where -0.0 and 0.0 compare equal.
+  // every value — exactly Spark's sort order — but orders -0.0 BELOW
+  // +0.0 where Spark's sort treats the zeros as equal; normalizing
+  // -0.0 to +0.0 on insert closes that gap, so the zeros are
+  // tie-broken by `tie` exactly as a Spark sort would.
   private def better(o1: Double, t1: Long, o2: Double, t2: Long): Boolean = {
     val c = java.lang.Double.compare(o1, o2)
     c > 0 || (c == 0 && t1 < t2)

@@ -131,25 +131,32 @@ object TimeSeries {
 
   /** Seasonal-aware anomaly flags over a dense per-group series —
     * [[decompose]]'s remainder tested against a per-group robust
-    * threshold: a week is anomalous when its remainder deviates more
-    * than `k` × MAD (median absolute deviation) from that group's own
-    * remainder distribution. MAD, not stddev, so one gross outlier
-    * cannot mask itself by inflating the threshold. Engine-portable end
-    * to end: the decomposition is exact-arithmetic ([[decompose]]) and
-    * MAD uses Spark `percentile` ≡ DuckDB `quantile_cont` (the
-    * winsorize-proven pair). Edge rows (null remainder) get null flags.
-    * Output: [[decompose]]'s columns + (mad, is_anomaly). */
+    * threshold: a week is anomalous when its remainder deviates from
+    * the group's MEDIAN remainder by more than `k` × MAD (the median
+    * absolute deviation about that median — the textbook definition, so
+    * a systematically-offset decomposition fit cannot inflate the
+    * threshold the way a from-zero deviation would). MAD, not stddev,
+    * so one gross outlier cannot mask itself either. Engine-portable
+    * end to end: the decomposition is exact-arithmetic ([[decompose]])
+    * and both medians use Spark `percentile` ≡ DuckDB `quantile_cont`
+    * (the winsorize-proven pair). Edge rows (null remainder) get null
+    * flags. Output: [[decompose]]'s columns + (med, mad, is_anomaly). */
   def anomalies(df: DataFrame, groupCols: Seq[String], tCol: Column,
       v: Column, period: Int, k: Double = 3.0): DataFrame = {
     require(k > 0, s"anomalies needs k > 0, got $k")
     val dec = decompose(df, groupCols, tCol, v, period)
-    val mads = dec.filter(col("remainder").isNotNull)
+    val meds = dec.filter(col("remainder").isNotNull)
       .groupBy(groupCols.map(col): _*)
-      .agg(percentile(abs(col("remainder")), lit(0.5)).as("mad"))
-    dec.join(mads, groupCols, "left")
+      .agg(percentile(col("remainder"), lit(0.5)).as("med"))
+    val withMed = dec.join(meds, groupCols, "left")
+    val mads = withMed.filter(col("remainder").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(percentile(abs(col("remainder") - col("med")), lit(0.5))
+        .as("mad"))
+    withMed.join(mads, groupCols, "left")
       .withColumn("is_anomaly",
         when(col("remainder").isNotNull && col("mad").isNotNull,
-          abs(col("remainder")) > lit(k) * col("mad")))
+          abs(col("remainder") - col("med")) > lit(k) * col("mad")))
   }
 
   /** Exponentially-weighted moving average level per group —

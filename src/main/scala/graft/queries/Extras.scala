@@ -719,8 +719,8 @@ object Extras {
         |    ELSE 0 END) AS BIGINT) AS sxx2
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n1, n2,
-        |  CAST(sx1 AS DOUBLE) / n1 AS mean1,
-        |  CAST(sx2 AS DOUBLE) / n2 AS mean2,
+        |  CASE WHEN n1 > 0 THEN CAST(sx1 AS DOUBLE) / n1 END AS mean1,
+        |  CASE WHEN n2 > 0 THEN CAST(sx2 AS DOUBLE) / n2 END AS mean2,
         |  CASE WHEN n1 > 1 AND n2 > 1 AND
         |    (CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
         |       / CAST(n1 * (n1 - 1) AS DOUBLE) / n1

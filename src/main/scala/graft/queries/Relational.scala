@@ -457,7 +457,7 @@ object Relational {
         TimeSeries.denseWeekly(f).select("key", "week_start", "freq"),
         Seq("key"), col("week_start"), col("freq"), 5, k = 2.0)
       .select(col("key"), col("week_start"), col("value"),
-        col("remainder"), col("mad"), col("is_anomaly"))
+        col("remainder"), col("med"), col("mad"), col("is_anomaly"))
       .orderBy("key", "week_start")
   }
 
@@ -753,12 +753,18 @@ object Relational {
         |    THEN CAST(tt.freq AS DOUBLE) - tt.trend - sea.seasonal
         |  END AS remainder
         |FROM tt LEFT JOIN sea ON sea.key = tt.key AND sea.season = tt.season),
-        |m AS (SELECT key, quantile_cont(abs(remainder), 0.5) AS mad
-        |  FROM dd WHERE remainder IS NOT NULL GROUP BY 1)
-        |SELECT dd.key, dd.week_start, dd.value, dd.remainder, m.mad,
-        |  CASE WHEN dd.remainder IS NOT NULL AND m.mad IS NOT NULL
-        |    THEN abs(dd.remainder) > 2.0 * m.mad END AS is_anomaly
+        |m AS (SELECT key, quantile_cont(remainder, 0.5) AS med
+        |  FROM dd WHERE remainder IS NOT NULL GROUP BY 1),
+        |m2 AS (SELECT dd.key,
+        |    quantile_cont(abs(dd.remainder - m.med), 0.5) AS mad
+        |  FROM dd JOIN m ON m.key = dd.key
+        |  WHERE dd.remainder IS NOT NULL GROUP BY 1)
+        |SELECT dd.key, dd.week_start, dd.value, dd.remainder, m.med,
+        |  m2.mad,
+        |  CASE WHEN dd.remainder IS NOT NULL AND m2.mad IS NOT NULL
+        |    THEN abs(dd.remainder - m.med) > 2.0 * m2.mad END AS is_anomaly
         |FROM dd LEFT JOIN m ON m.key = dd.key
+        |LEFT JOIN m2 ON m2.key = dd.key
         |ORDER BY 1, 2""").stripMargin,
     "c_seasonal_decompose" ->
       """WITH f AS (SELECT event_type AS key,

@@ -1633,13 +1633,23 @@ object TextLLM {
         |spans AS (
         |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
         |  FROM removable GROUP BY doc_id, grp HAVING COUNT(*) >= 3),
+        |prot AS (
+        |  SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM marked WHERE c >= 2 AND rn = 1),
+        |pspans AS (
+        |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+        |  FROM prot GROUP BY doc_id, grp),
         |posx AS (
         |  SELECT doc_id, CAST(u.i AS INTEGER) AS pos, tk[u.i + 1] AS tok
         |  FROM toks, UNNEST(range(0, len(tk))) AS u(i)),
         |kept AS (
         |  SELECT p.doc_id, p.pos, p.tok FROM posx p
-        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
-        |    WHERE s.doc_id = p.doc_id AND p.pos BETWEEN s.s AND s.e))
+        |  WHERE NOT (EXISTS (SELECT 1 FROM spans s
+        |      WHERE s.doc_id = p.doc_id AND p.pos BETWEEN s.s AND s.e)
+        |    AND NOT EXISTS (SELECT 1 FROM pspans q
+        |      WHERE q.doc_id = p.doc_id AND p.pos BETWEEN q.s AND q.e)))
         |SELECT t.doc_id, len(t.tk) AS n_tokens,
         |  len(t.tk) - COUNT(k.pos) AS n_removed,
         |  COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text
@@ -2425,6 +2435,7 @@ object TextLLM {
         |      AS BIGINT) AS DOUBLE)
         |    / CAST(COUNT(*) * (COUNT(*) - 1) AS DOUBLE) END AS cov
         |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |WHERE a.x IS NOT NULL AND b.x IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s_quantize_int8" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

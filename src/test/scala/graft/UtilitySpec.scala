@@ -50,21 +50,27 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     import graft.operators.TimeSeries
     val season = Seq(3L, -1L, -2L)
-    // clean seasonal series with one gross spike at t = 7
-    val rows = (0 until 15).map(t =>
-      ("a", t, 50L + season(t % 3) + (if (t == 7) 40L else 0L)))
+    // seasonal series with small deterministic noise (a noise-free
+    // series has MAD = 0, where ANY deviation legitimately flags), long
+    // enough that the one gross spike at t = 13 cannot contaminate the
+    // median/MAD thresholds
+    val rows = (0 until 30).map(t =>
+      ("a", t, 50L + season(t % 3) + (t * 7 % 5) - 2 +
+        (if (t == 13) 100L else 0L)))
     val df = rows.toDF("g", "t", "v")
     val out = TimeSeries.anomalies(df, Seq("g"), col("t"), col("v"),
-        period = 3, k = 3.0)
+        period = 3, k = 6.0)
       .collect().map(r => r.getInt(1) ->
-        ((Option(r.get(7)).map(_.asInstanceOf[Double]),
-          if (r.isNullAt(8)) None else Some(r.getBoolean(8))))).toMap
-    assert(out(7)._2.contains(true), s"spike not flagged: ${out(7)}")
-    // interior, non-spike-window rows are not flagged
-    for (t <- Seq(2, 3, 4, 11, 12, 13))
-      assert(out(t)._2.contains(false), s"false positive at $t: ${out(t)}")
+        ((Option(r.get(8)).map(_.asInstanceOf[Double]),
+          if (r.isNullAt(9)) None else Some(r.getBoolean(9))))).toMap
+    assert(out(13)._2.contains(true), s"spike not flagged: ${out(13)}")
+    // flags may extend to the spike's MA window (its trend is polluted
+    // there — correct detection), but nowhere else
+    val flagged = out.collect { case (t, (_, Some(true))) => t }.toSet
+    assert(flagged.contains(13) && flagged.subsetOf(Set(12, 13, 14)),
+      s"false positives outside the spike window: $flagged")
     // edge rows have null remainder, hence null flag
-    assert(out(0)._2.isEmpty && out(14)._2.isEmpty)
+    assert(out(0)._2.isEmpty && out(29)._2.isEmpty)
   }
 
   test("decompose: exact recovery of a planted trend+season; edges null; layout-exact") {
