@@ -559,6 +559,55 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(clean.split(" ").filter(_.nonEmpty).length == nTok - nRem)
   }
 
+  test("removeDupSpans: every duplicated digest's canonical window survives intact (fuzzed)") {
+    // the protection contract: for EVERY digest duplicated in the
+    // original corpus, the canonical occurrence's w tokens survive
+    // CONSECUTIVELY in the cleaned canonical document — adjacent
+    // removable runs of other digests may no longer clip them
+    val w = 3; val minSh = 2
+    val rnd = new scala.util.Random(113)
+    val vocab = (0 until 25).map(i => s"v$i")
+    val plants = Seq((1 to 6).map(i => s"p$i"), (1 to 5).map(i => s"q$i"))
+    val docs0 = (0L until 16L).map { id =>
+      val base = scala.collection.mutable.ArrayBuffer(
+        Seq.fill(10 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))): _*)
+      // plant shared runs at random offsets in most docs so canonical
+      // and removable runs collide and abut in many layouts
+      for (pl <- plants if rnd.nextBoolean()) {
+        val cut = rnd.nextInt(base.length)
+        base.insertAll(cut, pl)
+      }
+      id -> base.toSeq
+    }
+    val df = docsDf(docs0.map { case (id, t) => (id, t.mkString(" ")) }: _*)
+    val cleaned = Dedup.removeDupSpans(df, col("doc_id"), col("text"),
+        w = w, minShingles = minSh)
+      .collect().map(r => r.getLong(0) ->
+        r.getString(3).split(" ").filter(_.nonEmpty).toSeq).toMap
+    // recompute digests + canonical election in the test
+    val byId = docs0.toMap
+    val occ = for ((id, toks) <- docs0; i <- 0 to toks.length - w)
+      yield (toks.slice(i, i + w), id, i)
+    val dupDigests = occ.groupBy(_._1).filter(_._2.size >= 2)
+    assert(dupDigests.nonEmpty, "fixture planted no duplicated digests")
+    var checked = 0
+    for ((window, occs) <- dupDigests) {
+      val (_, cid, cpos) = occs.minBy(o => (o._2, o._3))
+      val cleanToks = cleaned(cid)
+      assert(cleanToks.containsSlice(window),
+        s"canonical window $window of doc $cid (pos $cpos) was clipped; " +
+          s"clean doc: ${cleanToks.mkString(" ")}")
+      checked += 1
+    }
+    assert(checked >= 10, s"fixture too weak: only $checked duplicated digests")
+    // and the rewrite still removes something, i.e. protection did not
+    // degenerate into keep-everything
+    val removedTotal = Dedup.removeDupSpans(df, col("doc_id"), col("text"),
+        w = w, minShingles = minSh)
+      .agg(sum(col("n_removed"))).collect()(0).getLong(0)
+    assert(removedTotal > 0, "no tokens removed at all")
+  }
+
   test("maxDupSpans: per-pair max span == quadratic DP LCS on fuzzed docs") {
     val w = 3; val minSh = 2
     val minLen = w + minSh - 1 // shortest detectable common substring
