@@ -397,9 +397,52 @@ object Stats {
     * `edges.size`; output: groups... + (n1, n2, psi). */
   def psi(df: DataFrame, groupCols: Seq[Column], x: Column, cohort: Column,
       edges: Seq[Double], eps: Double = 1e-6): DataFrame = {
-    require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
-      "psi needs non-empty, strictly ascending bin edges")
     require(eps > 0 && eps < 1, s"psi needs 0 < eps < 1, got $eps")
+    // the tot=0 branch (empty cohort) still evaluates under ANSI mode
+    // even though such groups end as null psi — guard the division
+    val prop = (n: Column, tot: Column) =>
+      greatest(when(tot > 0, n.cast("double") / tot.cast("double"))
+        .otherwise(lit(0.0)), lit(eps))
+    divergence(df, groupCols, x, cohort, edges, "psi") { (n1, t1, n2, t2) =>
+      val p = prop(n1, t1); val q = prop(n2, t2)
+      (p - q) * log(p / q)
+    }
+  }
+
+  /** Jensen–Shannon divergence between two cohorts of `x` per group —
+    * [[psi]]'s SYMMETRIC, bounded sibling (JS ∈ [0, ln 2]; 0 iff the
+    * binned distributions coincide): with m = (p+q)/2,
+    *
+    *   JS = ½ Σ_bins [ p·ln(p/m) + q·ln(q/m) ]
+    *
+    * Unlike PSI no epsilon floor is needed — a zero-probability bin's
+    * term is exactly 0 (handled by an explicit guard, not a floor), so
+    * JS is the better choice when many bins are empty on one side and
+    * PSI's eps would dominate. Same portability construction as [[psi]]:
+    * exact BIGINT bin counts in one pass, fixed-order contribution fold.
+    * Output: groups... + (n1, n2, js). */
+  def jsDivergence(df: DataFrame, groupCols: Seq[Column], x: Column,
+      cohort: Column, edges: Seq[Double]): DataFrame =
+    divergence(df, groupCols, x, cohort, edges, "js") { (n1, t1, n2, t2) =>
+      val p = when(t1 > 0, n1.cast("double") / t1.cast("double"))
+        .otherwise(lit(0.0))
+      val q = when(t2 > 0, n2.cast("double") / t2.cast("double"))
+        .otherwise(lit(0.0))
+      val m = (p + q) / 2
+      val pTerm = when(p > 0, p * log(p / m)).otherwise(lit(0.0))
+      val qTerm = when(q > 0, q * log(q / m)).otherwise(lit(0.0))
+      (pTerm + qTerm) / 2
+    }
+
+  /** Shared body of [[psi]] / [[jsDivergence]]: fixed-edge binning,
+    * exact counts, per-group totals, and the FIXED-bin-order
+    * contribution fold; `term(n1, t1, n2, t2)` is the per-bin
+    * divergence contribution. */
+  private def divergence(df: DataFrame, groupCols: Seq[Column], x: Column,
+      cohort: Column, edges: Seq[Double], outCol: String)(
+      term: (Column, Column, Column, Column) => Column): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
+      s"$outCol needs non-empty, strictly ascending bin edges")
     val complete = df.filter(x.isNotNull && cohort.isNotNull)
     // bin = number of edges <= x: a fixed sum of comparisons, portable
     val bin = edges.map(e => when(x >= lit(e), 1).otherwise(0))
@@ -410,18 +453,12 @@ object Stats {
     val names = binned.columns.dropRight(3).toSeq // group col names
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(names.map(col): _*)
-    // the tot=0 branch (empty cohort) still evaluates under ANSI mode
-    // even though such groups end as null psi — guard the division
-    val prop = (n: Column, tot: Column) =>
-      greatest(when(tot > 0, n.cast("double") / tot.cast("double"))
-        .otherwise(lit(0.0)), lit(eps))
     val withTot = binned
       .withColumn("__t1", sum(col("__n1")).over(w))
       .withColumn("__t2", sum(col("__n2")).over(w))
-    val p = prop(col("__n1"), col("__t1"))
-    val q = prop(col("__n2"), col("__t2"))
     withTot
-      .withColumn("__c", (p - q) * log(p / q))
+      .withColumn("__c",
+        term(col("__n1"), col("__t1"), col("__n2"), col("__t2")))
       .groupBy(names.map(col): _*)
       .agg(sum(col("__n1")).as("n1"), sum(col("__n2")).as("n2"),
         // bin contributions fold in FIXED bin order (sorted list +
@@ -429,7 +466,7 @@ object Stats {
         // same order-pinning that keeps every Stats float portable
         sort_array(collect_list(struct(col("__bin"), col("__c"))))
           .as("__cs"))
-      .withColumn("psi",
+      .withColumn(outCol,
         when(col("n1") > 0 && col("n2") > 0,
           aggregate(col("__cs"), lit(0.0),
             (acc, s) => acc + s.getField("__c"))))

@@ -591,6 +591,24 @@ object Extras {
     graft.operators.Stats.psi(t(s, dir, "documents"), Seq(col("lang")),
         col("n_chars"), pmod(col("doc_id"), lit(2)) === 0,
         edges = Seq(50.0, 150.0, 250.0, 350.0))
+      .withColumn("psi", round(col("psi"), 12)) // see aJsDivergence
+      .orderBy("lang")
+
+  /** Jensen-Shannon drift ([[graft.operators.Stats.jsDivergence]]):
+    * the symmetric bounded sibling of a_psi_drift over the same fixed
+    * edges and cohorts - no eps floor, zero-probability bins contribute
+    * exactly 0. Same exact-count + fixed-order-fold construction, so
+    * js hashes exactly. */
+  def aJsDivergence(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.jsDivergence(t(s, dir, "documents"),
+        Seq(col("lang")), col("n_chars"),
+        pmod(col("doc_id"), lit(2)) === 0,
+        edges = Seq(50.0, 150.0, 250.0, 350.0))
+      // ln() is correctly rounded on neither JVM nor libm: the engines
+      // can differ in the last ulp (observed on one group at sf0.01),
+      // so the REGISTERED faces of the ln-based divergences compare at
+      // 12 decimals — far beyond any analytical use of the statistic
+      .withColumn("js", round(col("js"), 12))
       .orderBy("lang")
 
   /** Incremental Welch's t ([[graft.operators.Stats.welchPartials]] →
@@ -632,6 +650,7 @@ object Extras {
     "a_welch_t" -> (aWelchT _),
     "a_welch_partials" -> (aWelchPartials _),
     "a_psi_drift" -> (aPsiDrift _),
+    "a_js_divergence" -> (aJsDivergence _),
     "a_gini_quantity" -> (aGiniQuantity _),
     "a_chi_square" -> (aChiSquare _),
     "t_winsorize_chars" -> (tWinsorizeChars _),
@@ -770,6 +789,38 @@ object Extras {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the a_welch_partials oracle is the SAME whole-table SQL: the point
     // of the incremental face is that batch slicing is invisible
+    "a_js_divergence" ->
+      """WITH c AS (
+        |  SELECT lang, n_chars, doc_id % 2 = 0 AS coh,
+        |    (CASE WHEN n_chars >= 50 THEN 1 ELSE 0 END +
+        |     CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END +
+        |     CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END +
+        |     CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END) AS bin
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT lang, bin,
+        |    CAST(SUM(CASE WHEN coh THEN 1 ELSE 0 END) AS BIGINT) AS bn1,
+        |    CAST(SUM(CASE WHEN NOT coh THEN 1 ELSE 0 END) AS BIGINT) AS bn2
+        |  FROM c GROUP BY 1, 2),
+        |t AS (SELECT lang, bin, bn1, bn2,
+        |    SUM(bn1) OVER (PARTITION BY lang) AS t1,
+        |    SUM(bn2) OVER (PARTITION BY lang) AS t2 FROM b),
+        |x AS (SELECT lang, bin, t1, t2,
+        |    CASE WHEN t1 > 0 THEN CAST(bn1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+        |      ELSE 0 END AS p,
+        |    CASE WHEN t2 > 0 THEN CAST(bn2 AS DOUBLE) / CAST(t2 AS DOUBLE)
+        |      ELSE 0 END AS q
+        |  FROM t),
+        |y AS (SELECT lang, bin, t1, t2,
+        |    ((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END)
+        |     + (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END))
+        |      / 2 AS contrib
+        |  FROM x)
+        |SELECT lang, CAST(MAX(t1) AS BIGINT) AS n1,
+        |  CAST(MAX(t2) AS BIGINT) AS n2,
+        |  CASE WHEN MAX(t1) > 0 AND MAX(t2) > 0 THEN
+        |    ROUND(0.0 + list_reduce(list(contrib ORDER BY bin),
+        |      (a, b) -> a + b), 12) END AS js
+        |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
     "a_psi_drift" ->
       """WITH c AS (
         |  SELECT lang, n_chars, doc_id % 2 = 0 AS coh,
@@ -802,8 +853,8 @@ object Extras {
         |SELECT lang, CAST(MAX(t1) AS BIGINT) AS n1,
         |  CAST(MAX(t2) AS BIGINT) AS n2,
         |  CASE WHEN MAX(t1) > 0 AND MAX(t2) > 0 THEN
-        |    0.0 + list_reduce(list(contrib ORDER BY bin),
-        |      (a, b) -> a + b) END AS psi
+        |    ROUND(0.0 + list_reduce(list(contrib ORDER BY bin),
+        |      (a, b) -> a + b), 12) END AS psi
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "a_welch_partials" -> welchSql,
     "a_welch_t" -> welchSql,

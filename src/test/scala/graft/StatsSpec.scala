@@ -372,6 +372,48 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(fuzz) == run(fuzz.coalesce(1)))
   }
 
+  test("jsDivergence: hand-computed, 0 for identical, ln2 for disjoint, null for empty") {
+    import spark.implicits._
+    // cohort A = {1,1,2,2}, B = {1,3,3,3}, edges (2,3): pA=(.5,.5,0), pB=(.25,0,.75)
+    val rows = Seq(("g", true, 1L), ("g", true, 1L), ("g", true, 2L),
+      ("g", true, 2L), ("g", false, 1L), ("g", false, 3L),
+      ("g", false, 3L), ("g", false, 3L))
+    def term(p: Double, q: Double) = {
+      val m = (p + q) / 2
+      (if (p > 0) p * math.log(p / m) else 0.0) +
+        (if (q > 0) q * math.log(q / m) else 0.0)
+    }
+    val expect = (term(0.5, 0.25) + term(0.5, 0.0) + term(0.0, 0.75)) / 2
+    val r = Stats.jsDivergence(rows.toDF("g", "coh", "x"), Seq(col("g")),
+      col("x"), col("coh"), Seq(2.0, 3.0)).collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+    assert(math.abs(r.getDouble(3) - expect) < 1e-15)
+    assert(r.getDouble(3) <= math.log(2.0) + 1e-15)
+    // identical cohorts -> exactly 0
+    val same = (1 to 100).flatMap(i =>
+      Seq(("s", true, (i % 5).toLong), ("s", false, (i % 5).toLong)))
+    assert(Stats.jsDivergence(same.toDF("g", "coh", "x"), Seq(col("g")),
+      col("x"), col("coh"), Seq(2.0, 4.0)).collect()(0).getDouble(3) == 0.0)
+    // fully disjoint -> exactly ln 2
+    val disj = Seq(("d", true, 1L), ("d", true, 1L), ("d", false, 9L))
+    assert(Stats.jsDivergence(disj.toDF("g", "coh", "x"), Seq(col("g")),
+      col("x"), col("coh"), Seq(5.0)).collect()(0).getDouble(3) ==
+      math.log(2.0))
+    // empty cohort -> null
+    val one = Seq(("o", true, 1L), ("o", true, 2L))
+    assert(Stats.jsDivergence(one.toDF("g", "coh", "x"), Seq(col("g")),
+      col("x"), col("coh"), Seq(3.0)).collect()(0).isNullAt(3))
+    // bitwise layout invariance
+    val rnd = new scala.util.Random(131)
+    val fuzz = (1 to 2000).map(i =>
+      ("f" + i % 3, i % 2 == 0, rnd.nextInt(100).toLong)).toDF("g", "coh", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.jsDivergence(d, Seq(col("g")), col("x"), col("coh"),
+        Seq(20.0, 40.0, 60.0, 80.0))
+        .collect().map(r0 => r0.getString(0) -> r0.getDouble(3)).toMap
+    assert(run(fuzz) == run(fuzz.repartition(13)))
+  }
+
   test("gini: textbook values, tie-invariant, layout-stable") {
     import spark.implicits._
     // perfect equality → 0; maximal concentration (one owner) → (n-1)/n
