@@ -68,14 +68,18 @@ object SparkEntry {
     * verdict clears it — rotation is exactly how round 10 lost
     * round-over-round comparability when its regression cluster appeared.
     * HarnessContractSpec enforces `benchPinned ⊆ headline`; update this
-    * list (only) from each round's VERDICT.md. Current entries: the nine
-    * queries VERDICT r10 marked `weak` (3.0–4.7× vs r9, zero code diff —
-    * per-query GC/heap/storage counters in the bench details file exist
-    * to adjudicate them). */
+    * list (only) from each round's VERDICT.md. Current entries: the
+    * twelve queries VERDICT r11 marked `weak` (2.1–18.9× vs r10, zero
+    * code diff, adjudicated as a sustained host-contention window — the
+    * round-robin rep sweeps in Bench exist to prove it). The nine r10
+    * entries rotated out per the verdict: all replayed at-or-below their
+    * r9 times in BENCH_r11. */
   val benchPinned: Seq[String] = Seq(
-    "t_langid_confusion", "t_lm_transitions", "w3_share_normalization",
-    "w1_top3_per_nation", "t_pii_redaction", "t_repetition_stats",
-    "h6_forecast_revenue", "t_token_stats", "h5_local_supplier_volume")
+    "skew_salted_agg", "j3_broadcast_star_join",
+    "j1_orders_customer_segment", "t_bm25_top5",
+    "h9_shape_product_profit", "j6_range_join_exec",
+    "j9_semi_topk_filter", "h8_market_share", "h6_forecast_revenue",
+    "l_merge_apply", "s_ann_ivfpq_top3", "h4_order_priority")
 
   // d_incremental_dedup is deliberately NOT headline: its id-bounded
   // fixture is constant-size at every SF, so the bench would time ~5.6s

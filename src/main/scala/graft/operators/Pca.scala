@@ -276,9 +276,16 @@ object Pca {
     * products through two chained generators, but the hash aggregate
     * combines map-side, so only d² partial rows per partition cross the
     * exchange — the corpus itself never shuffles. Overflow bound: with
-    * |x·quant| ≤ B, `n · ΣxᵢxⱼB²`-style terms must stay under 2⁶³ —
-    * n·B⁴ < 2⁶³, e.g. B = 500 allows n up to ~1.4e8 rows; widen to
-    * DECIMAL(38,0) beyond (the [[Stats]] convention).
+    * |x·quant| ≤ B, the dominant terms are n·Σxy and Σx·Σy, each bounded
+    * by n²·B², so their difference needs 2·n²·B² < 2⁶³ — guaranteed by
+    * n·B < 2³¹ (n ≲ 2.1e9/B; e.g. B = 500 allows n up to ~4.3e6 rows
+    * per dimension pair). A runtime guard (same move as chiSquare2x2 /
+    * gini) aggregates the exact max |x·quant| and RAISES when n·B
+    * reaches 2³¹, because Spark's non-ANSI BIGINT sum wraps silently —
+    * the exact hazard this oracle-checkable face exists to rule out.
+    * Beyond the bound, widen to DECIMAL(38,0) (the [[Stats]]
+    * convention). n (count) and max are themselves overflow-free, so
+    * the guard stays sound even when the sums have already wrapped.
     *
     * Output: (i, j, n, cov_num, cov) for j ≥ i, where
     * cov_num = n·Σxy − Σx·Σy (exact BIGINT, in quant² units) and
@@ -299,8 +306,24 @@ object Pca {
       .filter(col("xi").isNotNull && col("xj").isNotNull)
     pairs.groupBy("i", "j")
       .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"),
-        sum(col("xj")).as("sy"), sum(col("xi") * col("xj")).as("sxy"))
-      .withColumn("cov_num", col("n") * col("sxy") - col("sx") * col("sy"))
+        sum(col("xj")).as("sy"), sum(col("xi") * col("xj")).as("sxy"),
+        max(greatest(abs(col("xi")), abs(col("xj")))).as("__maxabs"))
+      // overflow guard: count and max are exact, so this fires whenever
+      // the 2·n²·B² < 2⁶³ bound is violated — even if the wrapped sums
+      // above already happened, the row errors instead of lying
+      .withColumn("cov_num",
+        // the guard product is compared in DOUBLE so the comparison
+        // itself cannot wrap (n·maxabs near 2³¹ is well inside the 2⁵³
+        // exact-integer range; far beyond it, precision loss only ever
+        // lands on the raising side)
+        when(col("n").cast("double") * col("__maxabs").cast("double") >=
+            lit((1L << 31).toDouble),
+          raise_error(concat(lit("exactCovarianceLongForm: n*max|x*quant| "),
+            (col("n").cast("double") * col("__maxabs").cast("double"))
+              .cast("string"),
+            lit(" >= 2^31 - BIGINT co-moments may wrap; lower quant or " +
+              "widen to DECIMAL(38,0)"))).cast("bigint"))
+          .otherwise(col("n") * col("sxy") - col("sx") * col("sy")))
       .withColumn("cov",
         when(col("n") > 1, col("cov_num").cast("double") /
           (col("n") * (col("n") - 1)).cast("double")))

@@ -293,9 +293,8 @@ object Stats {
       sum(when(c, 1L).otherwise(0L)).as(s"n$tag"),
       sum(when(c, xb).otherwise(0L)).as(s"sx$tag"),
       sum(when(c, xb * xb).otherwise(0L)).as(s"sxx$tag"))
-    complete.groupBy(groupCols: _*)
-      .agg((side(cohort, "1") ++ side(!cohort, "2")).head,
-        (side(cohort, "1") ++ side(!cohort, "2")).tail: _*)
+    val sides = side(cohort, "1") ++ side(!cohort, "2")
+    complete.groupBy(groupCols: _*).agg(sides.head, sides.tail: _*)
   }
 
   /** Merge [[welchPartials]] tables with the same grouping: component-

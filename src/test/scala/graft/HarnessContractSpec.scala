@@ -68,6 +68,23 @@ class HarnessContractSpec extends AnyFunSuite {
     assert(c.get("storage_mb").asLong == 64L)
   }
 
+  test("details payload carries per-rep calibration and the retry list") {
+    val js = Bench.renderDetails(Seq("q1" -> Seq(1.0)), 3, Nil, "/sf",
+      calByQuery = Seq("q1" -> Seq(0.1, 0.45, 0.12)), retried = Seq("q1"))
+    val node = mapper.readTree(js)
+    assert(node.get("cal_by_query").get("q1").size == 3)
+    assert(node.get("retried").get(0).asText == "q1")
+  }
+
+  test("deferred retry triggers only when every probe read contended") {
+    // all three probes above 1.5× idle ⇒ no clean rep exists ⇒ retry
+    assert(Bench.needsRetry(Seq(0.5, 0.6, 0.7), idleMedian = 0.3))
+    // one clean probe ⇒ that rep's min is trustworthy ⇒ no retry
+    assert(!Bench.needsRetry(Seq(0.5, 0.31, 0.7), idleMedian = 0.3))
+    // errored-out query (no reps) must not retry-loop
+    assert(!Bench.needsRetry(Nil, idleMedian = 0.3))
+  }
+
   test("gcMillis is monotone non-negative and cheap to sample") {
     val a = Bench.gcMillis()
     assert(a >= 0L)

@@ -242,6 +242,27 @@ class PcaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gn((1, 1)) == 121L && gn((1, 2)) == 121L)
   }
 
+  test("exactCovarianceLongForm: raises past the n*B < 2^31 overflow bound") {
+    import spark.implicits._
+    // |x*quant| = 3e8, n = 10 => n*B = 3e9 > 2^31: the BIGINT co-moments
+    // could wrap, so the row must ERROR, not emit a silently-wrong cov
+    val big = Seq.fill(10)(Tuple1(Array(3e6, 1.0))).toDF("embedding")
+    val e = intercept[Exception] {
+      graft.operators.Pca
+        .exactCovarianceLongForm(big, col("embedding"), quant = 100.0)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("exactCovarianceLongForm")), e.getMessage)
+    // just inside the bound: no error, exact values
+    val ok = Seq.fill(10)(Tuple1(Array(3e6, 1.0))).toDF("embedding")
+    val got = graft.operators.Pca
+      .exactCovarianceLongForm(ok, col("embedding"), quant = 0.001)
+      .collect()
+    assert(got.nonEmpty)
+  }
+
   test("PCA -> ANN: top-5 recall in the 8-dim reduced space >= 0.8 vs full 32-dim") {
     import spark.implicits._
     import graft.operators.Similarity
