@@ -193,6 +193,130 @@ object TimeSeries {
       .drop("__s")
   }
 
+  /** Level-shift changepoint detection per group — BINARY SEGMENTATION
+    * over the group's sorted series: repeatedly split the segment whose
+    * best split most reduces the total within-segment sum of squared
+    * errors, up to `maxChanges` splits. [[decompose]]/[[anomalies]] find
+    * SEASONAL deviations; this finds the week the LEVEL moved — the
+    * question GISAID-shaped variant data and corpus-drift monitoring
+    * actually ask.
+    *
+    * Portability contract (the [[ewma]]/[[graft.operators.Stats.theilSen]]
+    * one): prefix sums P = Σv and Q = Σv² are EXACT BIGINTs computed by
+    * one per-group window (no float accumulation anywhere), and the SSE
+    * of a segment (a, b] is the fixed float expression
+    *
+    *   cost(a,b) = (Q_b − Q_a) − (P_b − P_a)²/(b − a)
+    *
+    * so split gains — cost(parent) − cost(left) − cost(right) — are
+    * bit-identical across engines/layouts. Candidate scans fold IN-ROW
+    * left-to-right with strict `>` (first argmax wins), segments scan in
+    * ascending order with strict `>`, and a split is accepted only when
+    * its gain exceeds `minGain` — all decisions replayable by the DuckDB
+    * mirror's identical fixed-order folds. Each side of a split must
+    * keep ≥ `minSegment` rows.
+    *
+    * Scale: one window + one groupBy; the segmentation itself is
+    * O(maxChanges · n) of codegen'd array expressions per group row —
+    * the grouped short-series regime ([[ewma]]'s), `maxLen` fail-fasted.
+    * `t` must be unique within a group (dense weekly series): duplicate
+    * timestamps would make the window's running sums order-ambiguous.
+    * BIGINT bound: n·max(v²) < 2⁶³ (v is count data; guard-raised like
+    * [[graft.operators.Pca.exactCovarianceLongForm]]).
+    *
+    * Output: one row per FINAL segment — groups... + (seg, start_t,
+    * end_t, n_rows, mean, sse); `start_t` of seg ≥ 1 is a detected
+    * changepoint. */
+  def changepoints(df: DataFrame, groupCols: Seq[String], tCol: Column,
+      v: Column, maxChanges: Int, minSegment: Int = 2,
+      minGain: Double = 0.0, maxLen: Int = 10000): DataFrame = {
+    require(maxChanges >= 1 && maxChanges <= 16,
+      s"changepoints needs 1 <= maxChanges <= 16, got $maxChanges")
+    require(minSegment >= 1, s"minSegment must be >= 1, got $minSegment")
+    val vb = v.cast("bigint")
+    val gcols = groupCols.map(col)
+    // the window orders by the RENAMED __t so the running sums and the
+    // sort_array below provably use the same ordering
+    val w = Window.partitionBy(gcols: _*).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.filter(v.isNotNull)
+      .select(gcols ++ Seq(tCol.as("__t"), vb.as("__v")): _*)
+      .withColumn("__ps", sum(col("__v")).over(w))
+      .withColumn("__qs", sum(col("__v") * col("__v")).over(w))
+      .groupBy(gcols: _*)
+      .agg(sort_array(collect_list(struct(col("__t").as("t"),
+          col("__v").as("v"), col("__ps").as("ps"), col("__qs").as("qs"))))
+          .as("__s"),
+        max(abs(col("__v"))).as("__maxv"), count(lit(1)).as("__n"))
+      .filter(assert_true(size(col("__s")) <= maxLen,
+        lit(s"changepoints: a group exceeds maxLen=$maxLen rows — window " +
+          "or decimate the series first")).isNull)
+      .filter(assert_true(col("__n").cast("double") *
+          col("__maxv").cast("double") * col("__maxv").cast("double") <
+          lit(math.pow(2, 63)),
+        lit("changepoints: n*max(v^2) >= 2^63 — BIGINT prefix sums may " +
+          "wrap; rescale v")).isNull)
+    // exact prefix lookups with the P_0 = Q_0 = 0 convention
+    def pAt(i: Column) =
+      when(i === 0, lit(0L)).otherwise(element_at(col("__s"), i).getField("ps"))
+    def qAt(i: Column) =
+      when(i === 0, lit(0L)).otherwise(element_at(col("__s"), i).getField("qs"))
+    def cost(a: Column, b: Column): Column = {
+      val s = (pAt(b) - pAt(a)).cast("double")
+      (qAt(b) - qAt(a)).cast("double") - s * s / (b - a).cast("double")
+    }
+    val sentinel = struct(lit(-1.0).as("gain"), lit(-1).as("k"))
+    // best split of one segment (a, b]: fixed-order scan, strict > so the
+    // FIRST maximal k wins — the tie-break the oracle mirror replays
+    def segBest(a: Column, b: Column): Column = aggregate(
+      when(a + minSegment <= b - minSegment,
+        sequence(a + lit(minSegment), b - lit(minSegment)))
+        .otherwise(array().cast("array<int>")),
+      sentinel,
+      (acc, k) => {
+        val g = cost(a, b) - cost(a, k) - cost(k, b)
+        when(g > acc.getField("gain"), struct(g.as("gain"), k.as("k")))
+          .otherwise(acc)
+      })
+    // one binary-segmentation round: add the globally best boundary, or
+    // leave bounds unchanged when no split clears minGain (later rounds
+    // then re-derive the same no-op — the loop is idempotent past
+    // convergence, which keeps the expression purely functional)
+    def step(bounds: Column): Column = {
+      val segs = transform(sequence(lit(1), size(bounds) - 1),
+        i => struct(element_at(bounds, i).as("a"),
+          element_at(bounds, i + 1).as("b")))
+      val best = aggregate(segs, sentinel, (acc, s) => {
+        val sb = segBest(s.getField("a"), s.getField("b"))
+        when(sb.getField("gain") > acc.getField("gain"), sb).otherwise(acc)
+      })
+      when(best.getField("gain") > minGain,
+        array_sort(array_append(bounds, best.getField("k"))))
+        .otherwise(bounds)
+    }
+    val seeded = base.withColumn("__b",
+      array(lit(0), size(col("__s"))))
+    val segmented = (1 to maxChanges).foldLeft(seeded) { (d, i) =>
+      d.withColumn("__b", step(col("__b")))
+    }
+    segmented
+      .select(gcols ++ Seq(col("__s"),
+        posexplode(transform(sequence(lit(1), size(col("__b")) - 1),
+          i => struct(element_at(col("__b"), i).as("a"),
+            element_at(col("__b"), i + 1).as("b"))))): _*)
+      .withColumnRenamed("pos", "seg")
+      .withColumn("__a", col("col").getField("a"))
+      .withColumn("__z", col("col").getField("b"))
+      .select(gcols ++ Seq(
+        col("seg"),
+        element_at(col("__s"), col("__a") + 1).getField("t").as("start_t"),
+        element_at(col("__s"), col("__z")).getField("t").as("end_t"),
+        (col("__z") - col("__a")).cast("bigint").as("n_rows"),
+        ((pAt(col("__z")) - pAt(col("__a"))).cast("double") /
+          (col("__z") - col("__a")).cast("double")).as("mean"),
+        cost(col("__a"), col("__z")).as("sse")): _*)
+  }
+
   /** A6 — per-region AND global totals in ONE shuffle via `rollup` instead
     * of the reference's repeat-per-continent loop (`Time_Series.py:323,
     * 868–897`). The null-region row is the `Worldwide` total.

@@ -418,6 +418,7 @@ object Relational {
     "c_growth_advantage" -> (cGrowthAdvantage _),
     "c_ewma_level" -> (cEwmaLevel _),
     "c_theil_sen_trend" -> (cTheilSenTrend _),
+    "c_changepoints" -> (cChangepoints _),
     "a11_combo_frequencies" -> (a11ComboFrequencies _),
     "o1_natural_sort_sources" -> (o1NaturalSortSources _),
     "c14_percent_formatting" -> (c14PercentFormatting _),
@@ -488,6 +489,18 @@ object Relational {
       .orderBy("key")
   }
 
+  /** Level-shift changepoints ([[TimeSeries.changepoints]]) of the weekly
+    * event series: binary segmentation on exact BIGINT prefix sums, up to
+    * 3 splits — every segment boundary, mean and SSE hashes against the
+    * oracle's recursive-CTE replay of the same fixed-order folds. */
+  def cChangepoints(s: SparkSession, dir: String): DataFrame = {
+    val f = TimeSeries.weeklyFrequency(
+      t(s, dir, "events"), to_date(col("ts")), col("event_type"))
+    TimeSeries.changepoints(f, Seq("key"), col("week_start"), col("freq"),
+        maxChanges = 3)
+      .orderBy("key", "seg")
+  }
+
   /** EWMA smoothing level ([[TimeSeries.ewma]]) of the weekly event
     * series, dyadic alpha = 0.25 so 1 - alpha is exact and the in-row
     * fold matches DuckDB's list_reduce bitwise. */
@@ -515,7 +528,82 @@ object Relational {
       .orderBy("key")
   }
 
+  /** c_changepoints mirror — a recursive CTE runs the SAME binary
+    * segmentation as [[TimeSeries.changepoints]]: exact BIGINT prefix
+    * sums from one window, then maxChanges=3 rounds each adding the
+    * globally-best split boundary via the identical fixed-order
+    * list folds (strict `>`, sentinel-seeded `list_reduce`, candidates
+    * ascending), so every gain comparison replays bit-for-bit. The SQL
+    * is assembled from the cost/gain building blocks to keep the two
+    * engines' expressions visibly identical. */
+  private val changepointsOracle: String = {
+    def pat(i: String) =
+      s"(CASE WHEN ($i) = 0 THEN 0 ELSE pl[CAST($i AS INTEGER)] END)"
+    def qat(i: String) =
+      s"(CASE WHEN ($i) = 0 THEN 0 ELSE ql[CAST($i AS INTEGER)] END)"
+    def cost(a: String, b: String) =
+      s"(CAST(${qat(b)} - ${qat(a)} AS DOUBLE) - " +
+        s"CAST(${pat(b)} - ${pat(a)} AS DOUBLE) * " +
+        s"CAST(${pat(b)} - ${pat(a)} AS DOUBLE) / CAST(($b) - ($a) AS DOUBLE))"
+    val A = "bounds[CAST(i AS INTEGER)]"
+    val B = "bounds[CAST(i AS INTEGER)+1]"
+    val gain = s"(${cost(A, B)} - ${cost(A, "k")} - ${cost("k", B)})"
+    val segbest =
+      "list_reduce(list_prepend(struct_pack(gain := -1.0, kk := CAST(-1 AS BIGINT)), " +
+        s"list_transform(range(($A) + 2, ($B) - 1), " +
+        s"k -> struct_pack(gain := $gain, kk := k))), " +
+        "(a2, x2) -> CASE WHEN struct_extract(x2,'gain') > " +
+        "struct_extract(a2,'gain') THEN x2 ELSE a2 END)"
+    s"""WITH RECURSIVE
+      |f AS (SELECT event_type AS key,
+      |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+      |    COUNT(*) AS freq FROM events GROUP BY 1, 2),
+      |p AS (SELECT key, week_start,
+      |    CAST(SUM(freq) OVER (PARTITION BY key ORDER BY week_start
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ps,
+      |    CAST(SUM(freq * freq) OVER (PARTITION BY key ORDER BY week_start
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS qs
+      |  FROM f),
+      |s AS (SELECT key,
+      |    list(week_start ORDER BY week_start) AS tl,
+      |    list(ps ORDER BY week_start) AS pl,
+      |    list(qs ORDER BY week_start) AS ql,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1),
+      |it AS (
+      |  SELECT key, 0 AS depth, [CAST(0 AS BIGINT), n] AS bounds FROM s
+      |  UNION ALL
+      |  SELECT key, depth + 1,
+      |    CASE WHEN struct_extract(best, 'gain') > 0.0
+      |      THEN list_sort(list_append(bounds, struct_extract(best, 'kk')))
+      |      ELSE bounds END AS bounds
+      |  FROM (
+      |    SELECT it.key AS key, it.depth AS depth, it.bounds AS bounds,
+      |      s.pl AS pl, s.ql AS ql,
+      |      list_reduce(list_prepend(struct_pack(gain := -1.0, kk := CAST(-1 AS BIGINT)),
+      |        list_transform(range(1, CAST(len(it.bounds) AS BIGINT)),
+      |          i -> $segbest)),
+      |        (acc, x) -> CASE WHEN struct_extract(x,'gain') >
+      |          struct_extract(acc,'gain') THEN x ELSE acc END) AS best
+      |    FROM it JOIN s ON s.key = it.key WHERE it.depth < 3) q
+      |),
+      |fin AS (SELECT key, bounds FROM it WHERE depth = 3),
+      |segs AS (SELECT fin.key AS key, s.tl AS tl, s.pl AS pl, s.ql AS ql,
+      |    UNNEST(list_transform(range(1, CAST(len(bounds) AS BIGINT)),
+      |      i -> struct_pack(seg := i - 1, a := bounds[CAST(i AS INTEGER)],
+      |        b := bounds[CAST(i AS INTEGER)+1]))) AS sg
+      |  FROM fin JOIN s ON s.key = fin.key)
+      |SELECT key, CAST(struct_extract(sg,'seg') AS INTEGER) AS seg,
+      |  tl[CAST(struct_extract(sg,'a') AS INTEGER) + 1] AS start_t,
+      |  tl[CAST(struct_extract(sg,'b') AS INTEGER)] AS end_t,
+      |  struct_extract(sg,'b') - struct_extract(sg,'a') AS n_rows,
+      |  CAST(${pat("struct_extract(sg,'b')")} - ${pat("struct_extract(sg,'a')")} AS DOUBLE)
+      |    / CAST(struct_extract(sg,'b') - struct_extract(sg,'a') AS DOUBLE) AS mean,
+      |  ${cost("struct_extract(sg,'a')", "struct_extract(sg,'b')")} AS sse
+      |FROM segs ORDER BY key, seg""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "c_changepoints" -> changepointsOracle,
     "a1_sum_by_flag_status" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

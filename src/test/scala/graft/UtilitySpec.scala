@@ -46,6 +46,95 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getCause != null && e.getCause.getMessage.contains("maxLen"))
   }
 
+  test("changepoints: single split matches brute-force SSE argmax on fuzzed series") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val minSeg = 2
+    def cost(vs: Seq[Long], a: Int, b: Int): Double = {
+      // the operator's exact expression: prefix BIGINTs, one float tail
+      val p = vs.scanLeft(0L)(_ + _); val q = vs.scanLeft(0L)((s, x) => s + x * x)
+      val d = (p(b) - p(a)).toDouble
+      (q(b) - q(a)).toDouble - d * d / (b - a).toDouble
+    }
+    def bruteBestSplit(vs: Seq[Long]): Option[(Int, Double)] = {
+      val n = vs.length
+      val cands = (minSeg to n - minSeg).map(k =>
+        k -> (cost(vs, 0, n) - cost(vs, 0, k) - cost(vs, k, n)))
+      // first strict max — the operator's tie-break
+      cands.foldLeft(Option.empty[(Int, Double)]) {
+        case (acc, (k, g)) if acc.forall(g > _._2) => Some(k -> g)
+        case (acc, _) => acc
+      }.filter(_._2 > 0.0)
+    }
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 8) {
+      val n = 6 + rnd.nextInt(30)
+      // half the trials have a planted shift, half are pure noise
+      val vs: Seq[Long] = if (trial % 2 == 0) {
+        val cut = 2 + rnd.nextInt(n - 4)
+        Seq.tabulate(n)(i => (if (i < cut) 50 else 200) + rnd.nextInt(10).toLong)
+      } else Seq.fill(n)(100 + rnd.nextInt(8).toLong)
+      val df = vs.zipWithIndex.map { case (v, i) => ("g", i, v) }.toDF("g", "t", "v")
+      val segs = TimeSeries.changepoints(df, Seq("g"), col("t"), col("v"),
+        maxChanges = 1).orderBy("seg").collect()
+      bruteBestSplit(vs) match {
+        case Some((k, _)) =>
+          assert(segs.length == 2, s"trial $trial: expected a split")
+          assert(segs(1).getAs[Int]("start_t") == k,
+            s"trial $trial: split at ${segs(1).getAs[Int]("start_t")}, brute says $k")
+          // segment SSEs replay the exact expression
+          assert(segs(0).getAs[Double]("sse") == cost(vs, 0, k))
+          assert(segs(1).getAs[Double]("sse") == cost(vs, k, vs.length))
+        case None =>
+          assert(segs.length == 1, s"trial $trial: split on no-gain series")
+      }
+    }
+  }
+
+  test("changepoints: recovers two planted level shifts; respects maxChanges and minSegment") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val vs = Seq.fill(6)(10L) ++ Seq.fill(6)(80L) ++ Seq.fill(6)(30L)
+    val df = vs.zipWithIndex.map { case (v, i) => ("g", i, v) }.toDF("g", "t", "v")
+    val segs = TimeSeries.changepoints(df, Seq("g"), col("t"), col("v"),
+      maxChanges = 4).orderBy("seg").collect()
+    // exact shifts at t=6 and t=12; clean plateaus leave zero further gain
+    assert(segs.map(_.getAs[Int]("start_t")).toSeq == Seq(0, 6, 12))
+    assert(segs.map(_.getAs[Double]("mean")).toSeq == Seq(10.0, 80.0, 30.0))
+    assert(segs.forall(_.getAs[Double]("sse") == 0.0))
+    // maxChanges=1 stops after the strongest shift
+    val one = TimeSeries.changepoints(df, Seq("g"), col("t"), col("v"),
+      maxChanges = 1).collect()
+    assert(one.length == 2)
+    // a 3-row series cannot split with minSegment=2
+    val tiny = Seq(("g", 0, 1L), ("g", 1, 100L), ("g", 2, 1L)).toDF("g", "t", "v")
+    assert(TimeSeries.changepoints(tiny, Seq("g"), col("t"), col("v"), 2)
+      .collect().length == 1)
+    // layout invariance: same bounds from any partitioning
+    val re = TimeSeries.changepoints(df.repartition(7), Seq("g"), col("t"),
+      col("v"), 4).orderBy("seg").collect()
+    assert(re.map(_.toSeq).toSeq == segs.map(_.toSeq).toSeq)
+  }
+
+  test("changepoints: maxLen fail-fast fires; minGain suppresses noise splits") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 50).map(i => ("g", i, 100 + rnd.nextInt(3).toLong))
+      .toDF("g", "t", "v")
+    val e = intercept[Exception] {
+      TimeSeries.changepoints(df, Seq("g"), col("t"), col("v"), 2,
+        maxLen = 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("maxLen")), e.getMessage)
+    // a high minGain keeps the pure-noise series whole
+    val segs = TimeSeries.changepoints(df, Seq("g"), col("t"), col("v"), 3,
+      minGain = 1000.0).collect()
+    assert(segs.length == 1)
+  }
+
   test("anomalies: a planted spike is flagged, its well-behaved peers are not") {
     import spark.implicits._
     import graft.operators.TimeSeries
