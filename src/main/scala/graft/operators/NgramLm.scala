@@ -91,6 +91,52 @@ object NgramLm {
         col("n_known").cast("double") / col("n_trans"))
   }
 
+  /** ENGINE-PORTABLE per-document LM scoring — the oracle-checkable face
+    * of [[perplexity]] (the [[graft.operators.TimeSeries.ewma]] contract):
+    * the same add-α smoothed bigram negative log-probs, but summed by a
+    * FIXED-ORDER in-row fold over the document's transitions in token
+    * order instead of a plan-ordered float `avg`, so the mean NLL — and
+    * `exp` of it, the perplexity — is bit-reproducible across engines,
+    * partitionings and reruns (each −ln P is a fixed scalar expression
+    * of exact BIGINT model counts; only the SUM ORDER ever differed).
+    * ln/exp are correctly rounded on neither engine, so REGISTERED faces
+    * compare rounded (the jsDivergence convention). Lower = more
+    * reference-like — the CCNet keep/bucket signal.
+    *
+    * Scale: model + denominators broadcast; only (id, pos, two counts)
+    * reach the one aggregation — the corpus text never shuffles, and the
+    * per-doc collected list is bounded by the document's own token count.
+    * Output: (id, n_trans, nll, ppl); docs with <2 tokens emit no row. */
+  def logProbStats(docs: DataFrame, idCol: Column, textCol: Column,
+      ref: DataFrame, refTextCol: Column, alpha: Double = 0.5,
+      maxBigrams: Int = 250000): DataFrame = {
+    val lm = bigramCounts(ref, refTextCol, maxBigrams)
+    val pc = prevCounts(lm)
+    val v = lm.select(countDistinct(col("w2")).as("v")).head().getLong(0) + 1
+    val p = (coalesce(col("c2"), lit(0L)).cast("double") + lit(alpha)) /
+      (coalesce(col("c1"), lit(0L)).cast("double") + lit(alpha * v))
+    tokenized(docs, idCol, textCol)
+      .select(col("id"),
+        posexplode(bigramsFromTokens(col("toks"))).as(Seq("pos", "bg")))
+      .select(col("id"), col("pos"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(broadcast(lm), Seq("w1", "w2"), "left")
+      .join(broadcast(pc), Seq("w1"), "left")
+      .select(col("id"), col("pos"), (-log(p)).as("__nll"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("__nll"))))
+        .as("__s"))
+      .withColumn("n_trans", size(col("__s")).cast("bigint"))
+      // 0.0 + x₁ = x₁ exactly in IEEE, so this zero-seeded fold equals
+      // the oracle's first-element-seeded list_reduce bit-for-bit
+      .withColumn("nll",
+        aggregate(col("__s"), lit(0.0),
+          (acc, x) => acc + x.getField("__nll")) /
+          col("n_trans").cast("double"))
+      .withColumn("ppl", exp(col("nll")))
+      .select("id", "n_trans", "nll", "ppl")
+  }
+
   /** Classic add-α smoothed bigram perplexity per document:
     * exp(mean(-ln P(w2|w1))) with P = (c2+α)/(c1+α·V), V = retained
     * distinct-successor vocabulary + 1 (the unseen event). Unknown

@@ -822,6 +822,22 @@ object TextLLM {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style LM perplexity per document ([[graft.operators.NgramLm
+    * .logProbStats]]): mean −ln P(w2|w1) under the same every-10th-doc
+    * reference model as t_lm_transitions, summed by the fixed-order
+    * in-row fold so the only cross-engine hazard left is ln/exp's last
+    * ulp — hence the rounded registered face (the jsDivergence
+    * convention; nll at 12 decimals, the exp-amplified ppl at 9). */
+  def tLmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.NgramLm.logProbStats(d, col("doc_id"), col("text"),
+        d.filter(col("doc_id") % 10 === 0), col("text"))
+      .withColumnRenamed("id", "doc_id")
+      .withColumn("nll", round(col("nll"), 12))
+      .withColumn("ppl", round(col("ppl"), 9))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic target-mixture sampling: per-source keep rates applied
     * by md5-threshold — counts are exact across engines AND runs. */
   def tMixtureSample(s: SparkSession, dir: String): DataFrame =
@@ -1170,6 +1186,7 @@ object TextLLM {
     "t_decontaminate" -> (tDecontaminate _),
     "t_fuzzy_decontaminate" -> (tFuzzyDecontaminate _),
     "t_lm_transitions" -> (tLmTransitions _),
+    "t_lm_perplexity" -> (tLmPerplexity _),
     "t_mixture_sample" -> (tMixtureSample _),
     "t_stratified_sample" -> (tStratifiedSample _),
     "t_weighted_sample" -> (tWeightedSample _),
@@ -1327,6 +1344,35 @@ object TextLLM {
         |  CAST(SUM(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |    / COUNT(*) AS known_frac
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same tokenize/model CTEs as t_lm_transitions, plus position-ordered
+    // transitions; the fold is first-element-seeded list_reduce, equal to
+    // Spark's zero-seeded fold because 0.0 + x = x exactly in IEEE
+    "t_lm_perplexity" ->
+      """WITH nrm AS (SELECT doc_id, list_filter(string_split_regex(trim(
+        |      regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')), '\s+'), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |tr AS (SELECT doc_id, t.pos AS pos, t.w1 AS w1, t.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> struct_pack(pos := i - 1, w1 := toks[i], w2 := toks[i+1]))) AS t
+        |    FROM nrm WHERE len(toks) >= 2)),
+        |lm AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM tr
+        |  WHERE doc_id % 10 = 0 GROUP BY 1, 2
+        |  ORDER BY c2 DESC, w1, w2 LIMIT 250000),
+        |pc AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+        |vv AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) + 1 AS v FROM lm),
+        |j AS (SELECT tr.doc_id, tr.pos,
+        |    -ln((CAST(COALESCE(lm.c2, 0) AS DOUBLE) + 0.5) /
+        |        (CAST(COALESCE(pc.c1, 0) AS DOUBLE)
+        |         + 0.5 * CAST(vv.v AS DOUBLE))) AS nll
+        |  FROM tr LEFT JOIN lm ON lm.w1 = tr.w1 AND lm.w2 = tr.w2
+        |  LEFT JOIN pc ON pc.w1 = tr.w1 CROSS JOIN vv),
+        |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+        |    (0.0 + list_reduce(list(nll ORDER BY pos), (a, b) -> a + b))
+        |      / COUNT(*) AS m
+        |  FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_trans, ROUND(m, 12) AS nll, ROUND(exp(m), 9) AS ppl
+        |FROM g ORDER BY doc_id""".stripMargin,
     // replace-chain BPE over the ‹symbol›-wrapped text, innermost replace
     // = rank-0 merge; token count = symbol count minus space symbols
     // (each '‹ ›' is 3 codepoints); md5 over the same UTF-8 bytes

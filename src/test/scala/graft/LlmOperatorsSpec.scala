@@ -138,6 +138,44 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"${out(10L)} vs naive $expected")
   }
 
+  test("NgramLm.logProbStats: bitwise naive replay; garbled ranks worse; layout-exact") {
+    import graft.operators.NgramLm
+    val refText = "the cat sat on the mat and the dog sat on the rug"
+    val ref = docsDf((0L, refText), (1L, refText), (2L, refText))
+    val scored = docsDf(
+      (10L, "the cat sat on the rug"),
+      (11L, "rug mat dog cat the on"),   // same words, garbled order
+      (12L, "zq xv qp wm nb vc"))        // fully out-of-vocabulary
+    def run(df: org.apache.spark.sql.DataFrame) =
+      NgramLm.logProbStats(df, col("doc_id"), col("text"), ref, col("text"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val out = run(scored)
+    // the CCNet signal: clean in-domain text scores better than garbled
+    assert(out(10L)._3 < out(11L)._3,
+      s"ranking broken: ${out.view.mapValues(_._3).toMap}")
+    // fully-OOV contexts back off to the uniform event: ppl = V exactly
+    // (every transition has c1 = c2 = 0 → P = 0.5/(0.5·V) = 1/V)
+    val vocab = 9.0 // 8 retained successors + 1 unseen event
+    assert(math.abs(out(12L)._3 - vocab) < 1e-9, s"OOV ppl ${out(12L)._3}")
+    assert(out(10L)._3 < out(12L)._3, "clean text must beat OOV babble")
+    // BITWISE naive replay of doc 10 — fixed-order left fold, same exprs
+    val lm = NgramLm.bigramCounts(ref, col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pc = lm.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = lm.keySet.map(_._2).size + 1
+    val toks = "the cat sat on the rug".split(" ")
+    val nlls = toks.sliding(2).map { case Array(w1, w2) =>
+      -math.log((lm.getOrElse((w1, w2), 0L).toDouble + 0.5) /
+        (pc.getOrElse(w1, 0L).toDouble + 0.5 * v))
+    }.toSeq
+    val mean = nlls.foldLeft(0.0)(_ + _) / nlls.size
+    assert(out(10L) == ((nlls.size.toLong, mean, math.exp(mean))),
+      s"${out(10L)} vs naive ($mean, ${math.exp(mean)})")
+    // layout invariance is bitwise: the fold order is pinned by pos
+    assert(run(scored.repartition(7)) == out)
+  }
+
   test("NgramLm: model is broadcast — the scored corpus never shuffles text") {
     import graft.operators.NgramLm
     val ref = docsDf((0L, "a b a b c"))
