@@ -433,6 +433,66 @@ object Stats {
       (pTerm + qTerm) / 2
     }
 
+  /** Two-sample Kolmogorov–Smirnov statistic per group — the
+    * DISTRIBUTION-FREE member of the drift toolkit ([[psi]] is
+    * fixed-bin, [[jsDivergence]] information-theoretic; KS needs no
+    * edges at all): D = max over x of |F₁(x) − F₂(x)|, the largest gap
+    * between the two cohorts' empirical CDFs.
+    *
+    * ENTIRELY exact until one closing division: per distinct x the
+    * cohort counts are BIGINTs, cumulative counts come from one
+    * per-group ordered window, and the cross-multiplied gap numerator
+    *
+    *   d_num = max |cum₁·n₂ − cum₂·n₁|       (exact BIGINT)
+    *
+    * divides once by n₁·n₂ — so unlike the ln-based divergences, every
+    * output column (including `ks`) hashes bit-for-bit with no rounding.
+    * Ties are handled by aggregating per DISTINCT x first, so both ECDFs
+    * are evaluated after absorbing all tied points — the textbook
+    * definition. Rows with null x or cohort are dropped; a group with an
+    * empty cohort yields null ks. Overflow: needs n₁·n₂ < 2⁶³ (both
+    * cohorts < ~3e9 rows) — guard-raised, not silently wrapped.
+    *
+    * Scale: one count aggregation + one window + one max aggregation,
+    * all partitioned by group; only (group, x, two counts) rows shuffle.
+    * Output: groups... + (n1, n2, d_num, ks). */
+  def ksStatistic(df: DataFrame, groupCols: Seq[Column], x: Column,
+      cohort: Column): DataFrame = {
+    val complete = df.filter(x.isNotNull && cohort.isNotNull)
+    val counted = complete.groupBy(groupCols :+ x.as("__x"): _*)
+      .agg(sum(when(cohort, 1L).otherwise(0L)).as("__c1"),
+        sum(when(!cohort, 1L).otherwise(0L)).as("__c2"))
+    val names = counted.columns.dropRight(3).toSeq
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(names.map(col): _*).orderBy(col("__x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(names.map(col): _*)
+    counted
+      .withColumn("__cum1", sum(col("__c1")).over(wOrd))
+      .withColumn("__cum2", sum(col("__c2")).over(wOrd))
+      .withColumn("__n1", sum(col("__c1")).over(wAll))
+      .withColumn("__n2", sum(col("__c2")).over(wAll))
+      .groupBy(names.map(col): _*)
+      .agg(first(col("__n1")).as("n1"), first(col("__n2")).as("n2"),
+        max(abs(col("__cum1") * col("__n2") - col("__cum2") * col("__n1")))
+          .as("d_num"))
+      // |cum·n| ≤ n1·n2, so one guard on the product bounds every term;
+      // compared in DOUBLE so the comparison itself cannot wrap
+      .withColumn("d_num",
+        when(col("n1").cast("double") * col("n2").cast("double") >=
+            lit(math.pow(2, 63)),
+          raise_error(lit("ksStatistic: n1*n2 >= 2^63 - BIGINT gap " +
+            "numerators may wrap; pre-aggregate or sample the cohorts"))
+            .cast("bigint"))
+          .otherwise(col("d_num")))
+      .withColumn("ks",
+        when(col("n1") > 0 && col("n2") > 0,
+          col("d_num").cast("double") /
+            (col("n1") * col("n2")).cast("double")))
+  }
+
   /** Shared body of [[psi]] / [[jsDivergence]]: fixed-edge binning,
     * exact counts, per-group totals, and the FIXED-bin-order
     * contribution fold; `term(n1, t1, n2, t2)` is the per-bin

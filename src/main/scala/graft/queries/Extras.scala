@@ -611,6 +611,17 @@ object Extras {
       .withColumn("js", round(col("js"), 12))
       .orderBy("lang")
 
+  /** Distribution-free drift ([[graft.operators.Stats.ksStatistic]]):
+    * two-sample KS of document length between even- and odd-id documents
+    * per lang — the binless complement of a_psi_drift/a_js_divergence.
+    * Exact BIGINT gap numerators and ONE closing division, so every
+    * column including `ks` hashes exactly with no rounding. */
+  def aKsDrift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.ksStatistic(t(s, dir, "documents"),
+        Seq(col("lang")), col("n_chars"),
+        pmod(col("doc_id"), lit(2)) === 0)
+      .orderBy("lang")
+
   /** Incremental Welch's t ([[graft.operators.Stats.welchPartials]] →
     * merge → finalize): the corpus sliced into three disjoint batches by
     * orderkey mod, each aggregated once to its per-cohort BIGINT
@@ -651,6 +662,7 @@ object Extras {
     "a_welch_partials" -> (aWelchPartials _),
     "a_psi_drift" -> (aPsiDrift _),
     "a_js_divergence" -> (aJsDivergence _),
+    "a_ks_drift" -> (aKsDrift _),
     "a_gini_quantity" -> (aGiniQuantity _),
     "a_chi_square" -> (aChiSquare _),
     "t_winsorize_chars" -> (tWinsorizeChars _),
@@ -821,6 +833,27 @@ object Extras {
         |    ROUND(0.0 + list_reduce(list(contrib ORDER BY bin),
         |      (a, b) -> a + b), 12) END AS js
         |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_ks_drift" ->
+      """WITH c AS (SELECT lang, n_chars, doc_id % 2 = 0 AS coh
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |d AS (SELECT lang, n_chars AS x,
+        |    CAST(SUM(CASE WHEN coh THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN NOT coh THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM c GROUP BY 1, 2),
+        |w AS (SELECT lang,
+        |    CAST(SUM(c1) OVER (PARTITION BY lang ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+        |    CAST(SUM(c2) OVER (PARTITION BY lang ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2,
+        |    CAST(SUM(c1) OVER (PARTITION BY lang) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) OVER (PARTITION BY lang) AS BIGINT) AS n2
+        |  FROM d)
+        |SELECT lang, n1, n2,
+        |  CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+        |      / CAST(n1 * n2 AS DOUBLE) END AS ks
+        |FROM w GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "a_psi_drift" ->
       """WITH c AS (
         |  SELECT lang, n_chars, doc_id % 2 = 0 AS coh,

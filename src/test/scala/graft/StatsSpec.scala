@@ -414,6 +414,56 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(fuzz) == run(fuzz.repartition(13)))
   }
 
+  test("ksStatistic: naive ECDF differential, ties absorbed, identical -> 0, empty -> null") {
+    import spark.implicits._
+    // naive two-sample KS over the same exact integer arithmetic
+    def naive(a: Seq[Long], b: Seq[Long]): (Long, Double) = {
+      val xs = (a ++ b).distinct.sorted
+      val dnum = xs.map(x =>
+        math.abs(a.count(_ <= x).toLong * b.size - b.count(_ <= x).toLong * a.size))
+        .max
+      (dnum, dnum.toDouble / (a.size.toLong * b.size).toDouble)
+    }
+    // hand fixture: A={1,2,3,4}, B={3,4,5,6} → D = 2/4 at x=2
+    val a0 = Seq(1L, 2L, 3L, 4L); val b0 = Seq(3L, 4L, 5L, 6L)
+    val rows = a0.map(("g", true, _)) ++ b0.map(("g", false, _))
+    val r = Stats.ksStatistic(rows.toDF("g", "coh", "x"), Seq(col("g")),
+      col("x"), col("coh")).collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+    assert((r.getLong(3), r.getDouble(4)) == naive(a0, b0))
+    assert(r.getDouble(4) == 0.5)
+    // ties absorbed per distinct value: A={1,1,2}, B={1,2,2} → D = 1/3
+    val at = Seq(1L, 1L, 2L); val bt = Seq(1L, 2L, 2L)
+    val rt = Stats.ksStatistic(
+      (at.map(("t", true, _)) ++ bt.map(("t", false, _))).toDF("g", "coh", "x"),
+      Seq(col("g")), col("x"), col("coh")).collect()(0)
+    assert((rt.getLong(3), rt.getDouble(4)) == naive(at, bt))
+    // identical cohorts → exactly 0
+    val same = (1 to 50).flatMap(i => Seq(("s", true, (i % 7).toLong),
+      ("s", false, (i % 7).toLong)))
+    assert(Stats.ksStatistic(same.toDF("g", "coh", "x"), Seq(col("g")),
+      col("x"), col("coh")).collect()(0).getDouble(4) == 0.0)
+    // disjoint cohorts → exactly 1
+    val disj = Seq(("d", true, 1L), ("d", true, 2L), ("d", false, 9L))
+    assert(Stats.ksStatistic(disj.toDF("g", "coh", "x"), Seq(col("g")),
+      col("x"), col("coh")).collect()(0).getDouble(4) == 1.0)
+    // empty cohort → null ks (and d_num = n1·n2 gap never divides)
+    val one = Seq(("o", true, 1L), ("o", true, 2L))
+    assert(Stats.ksStatistic(one.toDF("g", "coh", "x"), Seq(col("g")),
+      col("x"), col("coh")).collect()(0).isNullAt(4))
+    // fuzzed differential + bitwise layout invariance
+    val rnd = new scala.util.Random(67)
+    val fa = Seq.fill(300)(rnd.nextInt(40).toLong)
+    val fb = Seq.fill(200)((rnd.nextInt(40) + rnd.nextInt(10)).toLong)
+    val fuzz = (fa.map(("f", true, _)) ++ fb.map(("f", false, _)))
+      .toDF("g", "coh", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.ksStatistic(d, Seq(col("g")), col("x"), col("coh"))
+        .collect().map(r0 => (r0.getLong(3), r0.getDouble(4))).head
+    assert(run(fuzz) == naive(fa, fb))
+    assert(run(fuzz.repartition(13)) == run(fuzz))
+  }
+
   test("gini: textbook values, tie-invariant, layout-stable") {
     import spark.implicits._
     // perfect equality → 0; maximal concentration (one owner) → (n-1)/n
