@@ -330,6 +330,65 @@ object Pca {
       .select("i", "j", "n", "cov_num", "cov")
   }
 
+  /** OPQ-lite: PQ codebooks trained in the WHITENED space — the move
+    * that makes the r11 PCA machinery load-bearing for the ANN path.
+    * Plain PQ splits the raw vector into m contiguous subspaces and
+    * gives each the same k-entry budget; under a skewed covariance the
+    * high-variance (correlated) directions dominate a few subspaces and
+    * the fixed budget quantizes them coarsely while low-variance
+    * subspaces waste entries — exactly the imbalance OPQ's learned
+    * rotation corrects (Ge et al., CVPR 2013). [[whiten]] is the
+    * closed-form lite version: decorrelate AND equalize variance, so
+    * every subspace carries the same unit-scale mass and the m×k budget
+    * spreads evenly. Scoring runs in the whitened space too — whitened
+    * cosine is itself a better retrieval metric on anisotropic
+    * embeddings (the BERT-whitening observation, Su et al. 2021), and
+    * ADC fidelity against it is what the balanced codebooks buy.
+    *
+    * Returns (model, codebooks) for [[whitenedPqEncode]] /
+    * [[whitenedPqTopK]]. `kDims` truncates the rotation below near-null
+    * directions (must leave eigenvalues > minEigenvalue for [[whiten]];
+    * truncation is also how dim % m is satisfied post-rotation). Scale
+    * shape unchanged from the parts: one covariance pass + per-subspace
+    * k-means; whitening itself is codegen'd literal dots. */
+  def whitenedPqTrain(base: DataFrame, dim: Int, m: Int, k: Int,
+      kDims: Int = 0, iters: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      minEigenvalue: Double = 1e-9): (PcaModel, Seq[Seq[Seq[Double]]]) = {
+    val kd = if (kDims > 0) kDims else dim
+    require(kd % m == 0, s"kDims $kd not divisible into $m subspaces")
+    val model = principalComponents(covariance(base, col(vecCol), dim), kd)
+    val whitened = base.select(col(idCol),
+      whiten(col(vecCol), model, minEigenvalue).as(vecCol))
+    (model, Similarity.trainPqCodebooks(whitened, kd, m, k, iters,
+      idCol, vecCol))
+  }
+
+  /** PQ-encode the base in the whitened space: m code bytes + the
+    * whitened norm per vector — the at-rest artifact, same 100 TB
+    * compression story as [[Similarity.pqEncode]]. */
+  def whitenedPqEncode(base: DataFrame, model: PcaModel,
+      codebooks: Seq[Seq[Seq[Double]]], idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      minEigenvalue: Double = 1e-9): DataFrame =
+    Similarity.pqEncode(
+      base.withColumn(vecCol, whiten(col(vecCol), model, minEigenvalue)),
+      codebooks, vecCol = vecCol)
+
+  /** ADC top-k over [[whitenedPqEncode]]d codes: queries are whitened by
+    * the same model, then scored by [[Similarity.pqTopK]] — whitened
+    * cosine via m table lookups per row, never reopening full vectors. */
+  def whitenedPqTopK(encoded: DataFrame, queries: DataFrame, k: Int,
+      model: PcaModel, codebooks: Seq[Seq[Seq[Double]]],
+      baseId: String = "vec_id", queryId: String = "qid",
+      queryVec: String = "qvec",
+      minEigenvalue: Double = 1e-9): DataFrame =
+    Similarity.pqTopK(encoded,
+      queries.withColumn(queryVec, whiten(col(queryVec), model,
+        minEigenvalue)),
+      k, codebooks, baseId = baseId, queryId = queryId,
+      queryVec = queryVec)
+
   /** Squared Mahalanobis distance of each vector from the corpus
     * distribution — the embedding-space outlier score for curation
     * (flag vectors far from the fitted mass before they pollute

@@ -300,6 +300,53 @@ class PcaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, f"PCA-reduced recall@5 = $recall%.2f")
   }
 
+  test("whitened PQ: ADC fidelity beats plain PQ on a skewed-covariance corpus") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(83)
+    val d = 16; val m = 4; val cb = 16; val topk = 5
+    // skewed-covariance corpus: points live in an 8-dim latent subspace
+    // with strongly unequal scales, mixed across all 16 raw coordinates,
+    // plus isotropic noise — plain PQ's contiguous raw subspaces then
+    // straddle wildly different variance scales AND spend budget on
+    // pure-noise directions, the imbalance OPQ corrects
+    val latents = Array.fill(8, d)(rnd.nextGaussian())
+    val scales = Array(8.0, 6.0, 5.0, 4.0, 3.0, 2.5, 2.0, 1.5)
+    def point() = {
+      val c = Array.tabulate(8)(j => rnd.nextGaussian() * scales(j))
+      Array.tabulate(d)(i =>
+        (0 until 8).map(j => c(j) * latents(j)(i)).sum +
+          rnd.nextGaussian() * 0.2)
+    }
+    val pts = Array.fill(400)(point())
+    val base = (0L until 400L).map(i => (i, pts(i.toInt)))
+      .toDF("vec_id", "embedding")
+    // queries are PLANTED NEAR-DUPLICATES of base points — the SemDeDup/
+    // curation task: does the twin surface in the approximate top-5?
+    val twinOf = (0 until 25).map(q => q -> q * 7).toMap
+    val queries = (0 until 25).map { q =>
+      (2000L + q, pts(twinOf(q)).map(_ + rnd.nextGaussian() * 0.1))
+    }.toDF("qid", "qvec")
+    def twinRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      (0 until 25).count(q =>
+        got(2000L + q).contains(twinOf(q).toLong)).toDouble / 25
+    }
+    // plain PQ on the raw vectors
+    val rawBooks = Similarity.trainPqCodebooks(base, d, m, cb)
+    val rawRecall = twinRecall(Similarity.pqTopK(
+      Similarity.pqEncode(base, rawBooks), queries, topk, rawBooks))
+    // whitened PQ truncated to the 8-dim signal subspace: the m x cb
+    // budget spends entirely on equalized signal directions
+    val (model, wBooks) = Pca.whitenedPqTrain(base, d, m, cb, kDims = 8)
+    val wRecall = twinRecall(Pca.whitenedPqTopK(
+      Pca.whitenedPqEncode(base, model, wBooks), queries, topk, model, wBooks))
+    assert(wRecall >= rawRecall,
+      f"whitened-PQ twin recall $wRecall%.3f < plain-PQ $rawRecall%.3f")
+    assert(wRecall >= 0.8, f"whitened-PQ twin recall only $wRecall%.3f")
+  }
+
   test("guards: wrong-length vector and undersized input fail fast") {
     import spark.implicits._
     val bad = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(1.0, 2.0, 3.0)))
