@@ -325,6 +325,61 @@ object StreamingTimeSeries {
       .quantiles(qs)
   }
 
+  /** Streaming seasonal-decomposition maintenance — the ingestion face
+    * of [[TimeSeries.decompose]]/[[TimeSeries.anomalies]]. A row's
+    * detrended numerator needs the ±h neighboring WEEKS' final counts
+    * and its season position needs the row index from the series start,
+    * so per-batch seasonal partials are mathematically impossible (a
+    * batch cannot know windows that straddle its boundary). The correct
+    * mergeable granularity one level down IS exact: each micro-batch
+    * reduces to its per-(key, week) BIGINT count deltas — associative,
+    * replay-guarded by batch_id — and [[mergedSeasonal]] merges them
+    * into the identical weekly table a batch scan would produce, then
+    * runs the SAME deterministic decompose finalization over that
+    * summary. The summary is bounded by keys × weeks (the raw stream
+    * never accumulates), the finalization cost is independent of stream
+    * length, and because the merged counts are exactly equal the
+    * decomposition is bit-for-bit the one-shot batch answer
+    * (StreamingSpec pins it, replay included). */
+  def startSeasonalPartialsQuery(events: DataFrame, tsCol: String,
+      keyCol: String, targetDir: String, checkpointDir: String) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        TimeSeries.weeklyFrequency(batch.toDF(), to_date(col(tsCol)),
+            col(keyCol))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(targetDir)
+      }
+      .start()
+
+  /** The merged dense weekly table behind [[mergedSeasonal]] /
+    * [[mergedAnomalies]] — replay-guarded exact counts, densified with
+    * the batch [[TimeSeries.denseWeekly]]. */
+  def mergedWeeklyTable(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String): DataFrame =
+    TimeSeries.denseWeekly(
+        spark.read.parquet(targetDir)
+          .dropDuplicates("key", "week_start", "batch_id").drop("batch_id")
+          .groupBy("key", "week_start").agg(sum(col("freq")).as("freq")))
+      .select("key", "week_start", "freq")
+
+  /** Whole-stream seasonal decomposition from the weekly partials stored
+    * by [[startSeasonalPartialsQuery]] — bit-identical to a one-shot
+    * [[TimeSeries.decompose]] over all events. */
+  def mergedSeasonal(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, period: Int): DataFrame =
+    TimeSeries.decompose(mergedWeeklyTable(spark, targetDir), Seq("key"),
+      col("week_start"), col("freq"), period)
+
+  /** Whole-stream seasonal-aware anomaly flags from the same stored
+    * partials — bit-identical to the one-shot [[TimeSeries.anomalies]]. */
+  def mergedAnomalies(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, period: Int, k: Double = 3.0): DataFrame =
+    TimeSeries.anomalies(mergedWeeklyTable(spark, targetDir), Seq("key"),
+      col("week_start"), col("freq"), period, k)
+
   /** Streaming top-k maintenance — the ingestion face of
     * [[graft.operators.Ranks.topKPerGroup]]: each micro-batch reduces to
     * at most k (ord, tie) rows per group (16 bytes each) appended to the

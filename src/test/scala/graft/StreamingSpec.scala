@@ -242,6 +242,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming seasonal partials: merged decompose == one-shot batch, bit for bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("seasonal_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("seasonal_ckpt").toString
+    val rng = new scala.util.Random(41)
+    // ~16 weeks × 2 keys of events with a weekly-varying rate; batch
+    // slicing is by arrival, NOT by week, so micro-batch boundaries cut
+    // straight through the centered trend windows
+    val base = java.time.LocalDateTime.of(2021, 1, 3, 8, 0)
+    val all = for {
+      w <- 0 until 16; k <- Seq("a", "b")
+      n = 3 + ((w * 7 + k.hashCode.abs) % 5)
+      i <- 0 until n
+    } yield (java.sql.Timestamp.valueOf(
+      base.plusDays(w * 7 + rng.nextInt(7)).plusMinutes(i.toLong)), k)
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingTimeSeries.startSeasonalPartialsQuery(
+      input.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      s"$dir/data", ckpt)
+    try {
+      input.addData(all.take(30): _*); q.processAllAvailable()
+      input.addData(all.slice(30, 90): _*); q.processAllAvailable()
+      input.addData(all.drop(90): _*); q.processAllAvailable()
+      def toKey(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+          r.toSeq.drop(2)).toMap
+      val streamed = toKey(StreamingTimeSeries.mergedSeasonal(
+        spark, s"$dir/data", period = 5))
+      val batchWeekly = graft.operators.TimeSeries.denseWeekly(
+        graft.operators.TimeSeries.weeklyFrequency(
+          all.toDF("ts", "event_type"), to_date(col("ts")),
+          col("event_type"))).select("key", "week_start", "freq")
+      val batch = toKey(graft.operators.TimeSeries.decompose(
+        batchWeekly, Seq("key"), col("week_start"), col("freq"), 5))
+      assert(streamed == batch,
+        "stream-maintained decompose diverged from the one-shot batch")
+      // at-least-once replay: re-append batch 1's weekly deltas verbatim
+      // (same batch_id); the reader's dedup must collapse them
+      val b1 = spark.read.parquet(s"$dir/data").filter(col("batch_id") === 1L)
+      b1.write.mode("append").parquet(s"$dir/data")
+      assert(toKey(StreamingTimeSeries.mergedSeasonal(
+        spark, s"$dir/data", 5)) == batch,
+        "a replayed micro-batch double-counted into the decomposition")
+      // the SAME partials answer the anomaly question, bit for bit
+      val anomStream = toKey(StreamingTimeSeries.mergedAnomalies(
+        spark, s"$dir/data", 5, k = 2.0))
+      val anomBatch = toKey(graft.operators.TimeSeries.anomalies(
+        batchWeekly, Seq("key"), col("week_start"), col("freq"), 5, 2.0))
+      assert(anomStream == anomBatch)
+    } finally q.stop()
+  }
+
   test("streaming covariance partials: merged model ~== one-shot fit; replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
