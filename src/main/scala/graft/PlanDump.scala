@@ -67,7 +67,10 @@ object PlanDump {
     "s_embedding_covariance" -> "exact-integer covariance — two chained generators fan each row to its upper-triangle products, the hash aggregate combines map-side so only d² partial rows per partition cross the exchange; the closing division is one projected expression",
     "a_psi_drift" -> "PSI drift — one when-chain binning aggregate (exact BIGINT counts), a groups×bins window for totals, and a FIXED-ORDER sorted-list fold for the float tail — no plan-ordered float summation anywhere",
     "c_seasonal_decompose" -> "seasonal decomposition — per-group centered-window sums (no global sort), a |groups|×period seasonal aggregate joined back, every float from exact integers via fixed-order ops",
-    "c_growth_advantage" -> "growth-advantage fit — week-total window + per-key min window + ONE exact-moment aggregate; the logit is a scan-side expression, quantized before any aggregation so the OLS algebra stays integer-exact")
+    "c_growth_advantage" -> "growth-advantage fit — week-total window + per-key min window + ONE exact-moment aggregate; the logit is a scan-side expression, quantized before any aggregation so the OLS algebra stays integer-exact",
+    "c_changepoints" -> "changepoint segmentation — prefix sums ride the per-key window exchange, the collect-list aggregate REUSES that partitioning (no third data shuffle), and all maxChanges segmentation rounds are in-row array expressions; the explode emits |segments| rows per group",
+    "t_lm_perplexity" -> "LM perplexity — broadcast model joins onto posexploded transitions (text never shuffles; only id/pos/counts reach the aggregation), the per-doc NLL fold is an in-row sorted-list aggregate",
+    "a_ks_drift" -> "KS drift — one distinct-value counting aggregate, cumulative + total windows over the SAME group partitioning, and one max aggregate; the division is a single projected expression over exact BIGINTs")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */

@@ -493,6 +493,77 @@ object Stats {
             (col("n1") * col("n2")).cast("double")))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) test per group — the
+    * NONPARAMETRIC complement to [[welchT]]: did cohort 1's values shift
+    * relative to cohort 2's, judged by ranks instead of means, so heavy
+    * tails and outliers cannot fake or mask a shift. Pairs with
+    * [[ksStatistic]] (KS asks "any distributional difference", U asks
+    * "a location shift in which direction").
+    *
+    * Exact-rank construction: per distinct x the tie block spanning
+    * pooled ranks (a..b) has midrank (a+b)/2 — kept as the DOUBLED
+    * midrank a+b = 2·cum − t + 1, an exact BIGINT from one per-group
+    * ordered window. The doubled rank-sum R₁ₓ₂ = Σ c₁·(2·cum − t + 1)
+    * and the tie-correction term Σ(t³ − t) are exact BIGINT aggregates,
+    * so u1 = (R₁ₓ₂ − n₁(n₁+1))/2 is one exact halving and
+    *
+    *   z = (u1 − n₁n₂/2) / √( n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1))) )
+    *
+    * is a fixed algebraic float tail — no transcendentals (IEEE √ is
+    * correctly rounded on both engines), so EVERY output column hashes
+    * bit-for-bit with no rounding. Empty cohorts or all-tied groups
+    * (σ = 0) yield null z. Overflow guards: n₁·n₂ and n·max(t)² must
+    * stay under 2⁶³ — raised, not wrapped.
+    *
+    * Scale: one distinct-value aggregation + one ordered window + one
+    * final aggregation, all partitioned by group; only (group, x, two
+    * counts) rows shuffle. Output: groups... + (n1, n2, r1_x2, u1, z). */
+  def mannWhitneyU(df: DataFrame, groupCols: Seq[Column], x: Column,
+      cohort: Column): DataFrame = {
+    val complete = df.filter(x.isNotNull && cohort.isNotNull)
+    val counted = complete.groupBy(groupCols :+ x.as("__x"): _*)
+      .agg(sum(when(cohort, 1L).otherwise(0L)).as("__c1"),
+        sum(when(!cohort, 1L).otherwise(0L)).as("__c2"))
+      .withColumn("__t", col("__c1") + col("__c2"))
+    val names = counted.columns.dropRight(4).toSeq
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(names.map(col): _*).orderBy(col("__x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val agg = counted
+      .withColumn("__cum", sum(col("__t")).over(wOrd))
+      .groupBy(names.map(col): _*)
+      .agg(sum(col("__c1")).as("n1"), sum(col("__c2")).as("n2"),
+        sum(col("__c1") * (lit(2L) * col("__cum") - col("__t") + 1L))
+          .as("r1_x2"),
+        sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ties"),
+        max(col("__t")).as("__maxt"))
+    val n = col("n1") + col("n2")
+    val n1n2 = col("n1").cast("double") * col("n2").cast("double")
+    val guard = when(
+      n1n2 >= lit(math.pow(2, 63)) ||
+        n.cast("double") * col("__maxt").cast("double") *
+        col("__maxt").cast("double") >= lit(math.pow(2, 63)),
+      raise_error(lit("mannWhitneyU: n1*n2 or n*max(ties)^2 >= 2^63 - " +
+        "BIGINT rank sums may wrap; pre-aggregate or sample"))
+        .cast("bigint"))
+    agg
+      .withColumn("r1_x2", coalesce(guard, col("r1_x2")))
+      .withColumn("u1",
+        (col("r1_x2") - col("n1") * (col("n1") + 1L)).cast("double") /
+          lit(2.0))
+      .withColumn("z", {
+        val mu = n1n2 / lit(2.0)
+        val varU = n1n2 / lit(12.0) *
+          ((n + 1L).cast("double") -
+            col("__ties").cast("double") /
+              (n * (n - 1L)).cast("double"))
+        when(col("n1") > 0 && col("n2") > 0 && varU > 0.0,
+          (col("u1") - mu) / sqrt(varU))
+      })
+      .drop("__ties", "__maxt")
+  }
+
   /** Shared body of [[psi]] / [[jsDivergence]]: fixed-edge binning,
     * exact counts, per-group totals, and the FIXED-bin-order
     * contribution fold; `term(n1, t1, n2, t2)` is the per-bin

@@ -622,6 +622,17 @@ object Extras {
         pmod(col("doc_id"), lit(2)) === 0)
       .orderBy("lang")
 
+  /** Nonparametric location-shift test ([[graft.operators.Stats
+    * .mannWhitneyU]]): rank-sum U of document length between even- and
+    * odd-id documents per lang — exact doubled-midrank BIGINTs, one
+    * halving, and an algebraic z (IEEE sqrt is correctly rounded), so
+    * every column hashes exactly with no rounding. */
+  def aRankSum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.mannWhitneyU(t(s, dir, "documents"),
+        Seq(col("lang")), col("n_chars"),
+        pmod(col("doc_id"), lit(2)) === 0)
+      .orderBy("lang")
+
   /** Incremental Welch's t ([[graft.operators.Stats.welchPartials]] →
     * merge → finalize): the corpus sliced into three disjoint batches by
     * orderkey mod, each aggregated once to its per-cohort BIGINT
@@ -663,6 +674,7 @@ object Extras {
     "a_psi_drift" -> (aPsiDrift _),
     "a_js_divergence" -> (aJsDivergence _),
     "a_ks_drift" -> (aKsDrift _),
+    "a_rank_sum" -> (aRankSum _),
     "a_gini_quantity" -> (aGiniQuantity _),
     "a_chi_square" -> (aChiSquare _),
     "t_winsorize_chars" -> (tWinsorizeChars _),
@@ -833,6 +845,35 @@ object Extras {
         |    ROUND(0.0 + list_reduce(list(contrib ORDER BY bin),
         |      (a, b) -> a + b), 12) END AS js
         |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_rank_sum" ->
+      """WITH c AS (SELECT lang, n_chars, doc_id % 2 = 0 AS coh
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |d AS (SELECT lang, n_chars AS x,
+        |    CAST(SUM(CASE WHEN coh THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN NOT coh THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM c GROUP BY 1, 2),
+        |w AS (SELECT lang, c1, c2, t,
+        |    CAST(SUM(t) OVER (PARTITION BY lang ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d),
+        |a AS (SELECT lang, CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2,
+        |    CAST(SUM(c1 * (2 * cum - t + 1)) AS BIGINT) AS r1_x2,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+        |  FROM w GROUP BY 1),
+        |u AS (SELECT lang, n1, n2, r1_x2,
+        |    CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+        |    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) AS n1n2,
+        |    n1 + n2 AS n, ties FROM a)
+        |SELECT lang, n1, n2, r1_x2, u1,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND
+        |      n1n2 / 12.0 * (CAST(n + 1 AS DOUBLE)
+        |        - CAST(ties AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) > 0
+        |    THEN (u1 - n1n2 / 2.0)
+        |      / sqrt(n1n2 / 12.0 * (CAST(n + 1 AS DOUBLE)
+        |        - CAST(ties AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)))
+        |  END AS z
+        |FROM u ORDER BY 1""".stripMargin,
     "a_ks_drift" ->
       """WITH c AS (SELECT lang, n_chars, doc_id % 2 = 0 AS coh
         |  FROM documents WHERE n_chars IS NOT NULL),

@@ -380,6 +380,20 @@ object StreamingTimeSeries {
     TimeSeries.anomalies(mergedWeeklyTable(spark, targetDir), Seq("key"),
       col("week_start"), col("freq"), period, k)
 
+  /** Whole-stream level-shift changepoints from the SAME stored weekly
+    * partials — [[TimeSeries.changepoints]] over the replay-guarded
+    * merged counts, bit-identical to the one-shot batch segmentation
+    * (the segmentation is deterministic in the weekly table, and the
+    * merged weekly table is exactly equal). One summary table now
+    * answers decomposition, anomaly AND changepoint questions without
+    * re-ingesting anything. */
+  def mergedChangepoints(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, maxChanges: Int, minSegment: Int = 2,
+      minGain: Double = 0.0): DataFrame =
+    TimeSeries.changepoints(mergedWeeklyTable(spark, targetDir),
+      Seq("key"), col("week_start"), col("freq"), maxChanges, minSegment,
+      minGain)
+
   /** Streaming top-k maintenance — the ingestion face of
     * [[graft.operators.Ranks.topKPerGroup]]: each micro-batch reduces to
     * at most k (ord, tie) rows per group (16 bytes each) appended to the

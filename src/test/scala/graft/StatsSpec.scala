@@ -464,6 +464,69 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(fuzz.repartition(13)) == run(fuzz))
   }
 
+  test("mannWhitneyU: naive midrank differential, ties corrected, shift direction, nulls") {
+    import spark.implicits._
+    def naive(a: Seq[Long], b: Seq[Long]): (Long, Double, Double) = {
+      val pooled = (a.map((_, 1)) ++ b.map((_, 2))).sortBy(_._1)
+      // doubled midranks per tie block
+      val r2 = scala.collection.mutable.Map[Long, Long]()
+      var i = 0
+      while (i < pooled.size) {
+        val v = pooled(i)._1
+        val j = pooled.indexWhere(_._1 != v, i) match {
+          case -1 => pooled.size; case x => x }
+        r2(v) = (i + 1).toLong + j.toLong // first rank + last rank
+        i = j
+      }
+      val r1x2 = a.map(r2).sum
+      val u1 = (r1x2 - a.size.toLong * (a.size + 1)).toDouble / 2.0
+      val n = (a.size + b.size).toLong
+      val ties = (a ++ b).groupBy(identity).values
+        .map(g => g.size.toLong).map(t => t * t * t - t).sum
+      val n1n2 = a.size.toDouble * b.size.toDouble
+      val varU = n1n2 / 12.0 *
+        ((n + 1).toDouble - ties.toDouble / (n * (n - 1)).toDouble)
+      (r1x2, u1, (u1 - n1n2 / 2.0) / math.sqrt(varU))
+    }
+    def run(a: Seq[Long], b: Seq[Long]): (Long, Long, Long, Double, Double) = {
+      val df = (a.map(("g", true, _)) ++ b.map(("g", false, _)))
+        .toDF("g", "coh", "x")
+      val r = Stats.mannWhitneyU(df, Seq(col("g")), col("x"), col("coh"))
+        .collect()(0)
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))
+    }
+    // textbook no-tie fixture: A={1,2,3}, B={4,5,6} → U1 = 0, max shift
+    val lo = run(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))
+    assert(lo._4 == 0.0 && lo._5 < -1.9, s"$lo")
+    // reversed cohorts: U1 = n1*n2 = 9, positive z of the same magnitude
+    val hi = run(Seq(4L, 5L, 6L), Seq(1L, 2L, 3L))
+    assert(hi._4 == 9.0 && hi._5 == -lo._5)
+    // fuzzed differential with heavy ties, bitwise
+    val rnd = new scala.util.Random(19)
+    val fa = Seq.fill(250)(rnd.nextInt(12).toLong)
+    val fb = Seq.fill(180)((rnd.nextInt(12) + 2).toLong)
+    val got = run(fa, fb)
+    val want = naive(fa, fb)
+    assert((got._3, got._4, got._5) == want, s"$got vs $want")
+    assert(got._5 < 0, "down-shifted cohort 1 must give negative z")
+    // layout invariance is bitwise
+    val df = (fa.map(("g", true, _)) ++ fb.map(("g", false, _)))
+      .toDF("g", "coh", "x")
+    val a1 = Stats.mannWhitneyU(df, Seq(col("g")), col("x"), col("coh"))
+      .collect()(0).toSeq
+    val a2 = Stats.mannWhitneyU(df.repartition(13), Seq(col("g")),
+      col("x"), col("coh")).collect()(0).toSeq
+    assert(a1 == a2)
+    // empty cohort and all-tied group → null z
+    val one = Seq(("o", true, 1L), ("o", true, 2L)).toDF("g", "coh", "x")
+    assert(Stats.mannWhitneyU(one, Seq(col("g")), col("x"), col("coh"))
+      .collect()(0).isNullAt(5))
+    val tied = Seq(("t", true, 5L), ("t", false, 5L), ("t", true, 5L))
+      .toDF("g", "coh", "x")
+    assert(Stats.mannWhitneyU(tied, Seq(col("g")), col("x"), col("coh"))
+      .collect()(0).isNullAt(5))
+  }
+
   test("gini: textbook values, tie-invariant, layout-stable") {
     import spark.implicits._
     // perfect equality → 0; maximal concentration (one owner) → (n-1)/n

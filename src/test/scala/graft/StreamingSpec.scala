@@ -292,6 +292,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val anomBatch = toKey(graft.operators.TimeSeries.anomalies(
         batchWeekly, Seq("key"), col("week_start"), col("freq"), 5, 2.0))
       assert(anomStream == anomBatch)
+      // ...and the changepoint question, from the same summary table
+      def cpKey(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getInt(1)) ->
+          r.toSeq.drop(2)).toMap
+      val cpStream = cpKey(StreamingTimeSeries.mergedChangepoints(
+        spark, s"$dir/data", maxChanges = 2))
+      val cpBatch = cpKey(graft.operators.TimeSeries.changepoints(
+        batchWeekly, Seq("key"), col("week_start"), col("freq"), 2))
+      assert(cpStream == cpBatch)
     } finally q.stop()
   }
 
