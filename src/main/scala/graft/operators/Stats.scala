@@ -493,6 +493,58 @@ object Stats {
             (col("n1") * col("n2")).cast("double")))
   }
 
+  /** Lagged cross-correlation between two per-group series — the
+    * lead–lag question time-series analysis actually asks ("do clicks
+    * this week predict purchases next week?", "does variant share lead
+    * case counts?"): for each lag ℓ in [0, maxLag], the Pearson
+    * correlation between x_t and y_{t+ℓ} within each group.
+    *
+    * Construction: the x side fans out to its (t+ℓ) probe rows (one
+    * explode, `maxLag+1` rows per input row), equi-joins the y side on
+    * (group, t+ℓ) — ONE shuffle join, no window, no per-lag rescan —
+    * and each (group, lag) cell aggregates exact BIGINT co-moments in
+    * one pass. The closing
+    *
+    *   r = (n·Σxy − Σx·Σy) / √((n·Σxx − (Σx)²) · (n·Σyy − (Σy)²))
+    *
+    * is a fixed algebraic float tail (IEEE √ is correctly rounded), so
+    * every column hashes bit-for-bit with no rounding — the
+    * [[mannWhitneyU]]/[[ksStatistic]] portability class. `t` must be an
+    * integer series index (the weekly convention: datediff/7). Cells
+    * with n < 2 or a zero variance on either side yield null r. Same
+    * n·B² < 2⁶³ integer-magnitude contract as [[groupOls]].
+    *
+    * Output: groups... + (lag, n, r), one row per present lag. */
+  def crossCorr(df: DataFrame, groupCols: Seq[Column], t: Column,
+      x: Column, y: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 1000,
+      s"crossCorr needs 0 <= maxLag <= 1000, got $maxLag")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select((groupCols :+ t.cast("bigint").as("__t")) ++
+        Seq(x.cast("bigint").as("__x"), y.cast("bigint").as("__y")): _*)
+    val names = base.columns.dropRight(3).toSeq
+    val gcols = names.map(col)
+    val probes = base.select(gcols ++ Seq(col("__t"), col("__x")): _*)
+      .withColumn("lag", explode(sequence(lit(0L), lit(maxLag.toLong))))
+      .withColumn("__tj", col("__t") + col("lag"))
+    val ys = base.select(gcols ++ Seq(col("__t").as("__tj"), col("__y")): _*)
+    probes.join(ys, names :+ "__tj")
+      .groupBy(gcols :+ col("lag"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .withColumn("r", {
+        val vx = col("n") * col("__sxx") - col("__sx") * col("__sx")
+        val vy = col("n") * col("__syy") - col("__sy") * col("__sy")
+        val num = col("n") * col("__sxy") - col("__sx") * col("__sy")
+        when(col("n") > 1 && vx > 0 && vy > 0,
+          num.cast("double") / sqrt(vx.cast("double") * vy.cast("double")))
+      })
+      .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) test per group — the
     * NONPARAMETRIC complement to [[welchT]]: did cohort 1's values shift
     * relative to cohort 2's, judged by ranks instead of means, so heavy

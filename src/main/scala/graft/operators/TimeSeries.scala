@@ -317,6 +317,71 @@ object TimeSeries {
         cost(col("__a"), col("__z")).as("sse")): _*)
   }
 
+  /** One-sided upper CUSUM drift detector per group — the SEQUENTIAL
+    * complement to [[changepoints]] (binary segmentation looks back over
+    * a closed series; CUSUM is the classic control-chart scheme that
+    * raises the alarm AS the level drifts): with reference
+    * K = floor(median(v)) + slack,
+    *
+    *   s₀ = 0;  s_t = max(0, s_{t−1} + (v_t − K));  alarm when s_t > h
+    *
+    * Portability: ENTIRELY exact integer arithmetic — v is BIGINT, the
+    * reference is a floored percentile (the winsorize-proven
+    * `percentile` ≡ `quantile_cont` pair, floor over doubles is
+    * IEEE-exact), and the recurrence folds IN-ROW over the group's
+    * sorted series ([[ewma]]'s contract), so there is no float anywhere
+    * and every column hashes bit-for-bit. No reset after an alarm (the
+    * cumulative-evidence form); `slack` is the classic k allowance, `h`
+    * the decision interval, both integer by construction.
+    *
+    * Scale: one groupBy + an O(n) in-row fold; `maxLen` fail-fasted.
+    * Output: groups... + (n, ref, s_final, n_alarms, first_alarm_t). */
+  def cusum(df: DataFrame, groupCols: Seq[String], tCol: Column, v: Column,
+      slack: Long, threshold: Long, maxLen: Int = 100000): DataFrame = {
+    require(threshold > 0, s"cusum needs threshold > 0, got $threshold")
+    val vb = v.cast("bigint")
+    val gcols = groupCols.map(col)
+    val base = df.filter(v.isNotNull)
+      .groupBy(gcols: _*)
+      .agg(sort_array(collect_list(struct(tCol.as("t"), vb.as("v"))))
+          .as("__s"),
+        floor(percentile(vb, lit(0.5))).cast("bigint").as("ref"))
+      .filter(assert_true(size(col("__s")) <= maxLen,
+        lit(s"cusum: a group exceeds maxLen=$maxLen rows — window or " +
+          "decimate the series first")).isNull)
+    // one in-row left fold carries (s, n_alarms, first_alarm) together;
+    // the oracle does NOT replay this shape (DuckDB 1.0 mis-evaluates
+    // struct accumulators in list_reduce — see the cusumOracle note) but
+    // integer exactness means any evaluation shape agrees bit-for-bit
+    // t must be DATE (the weekly-series contract) so the fold-state
+    // struct's null seeds type consistently on both engines
+    val seeded = base.withColumn("__f",
+      aggregate(
+        transform(col("__s"), x => struct(
+          x.getField("t").cast("date").as("t"),
+          x.getField("v").as("v"), lit(0L).as("s"), lit(0L).as("na"),
+          lit(null).cast("date").as("ft"))),
+        struct(lit(null).cast("date").as("t"), lit(0L).as("v"),
+          lit(0L).as("s"), lit(0L).as("na"),
+          lit(null).cast("date").as("ft")),
+        (acc, x) => {
+          val sNew = greatest(
+            acc.getField("s") + x.getField("v") -
+              (col("ref") + lit(slack)), lit(0L))
+          struct(x.getField("t").as("t"), x.getField("v").as("v"),
+            sNew.as("s"),
+            (acc.getField("na") +
+              when(sNew > threshold, 1L).otherwise(0L)).as("na"),
+            coalesce(acc.getField("ft"),
+              when(sNew > threshold, x.getField("t"))).as("ft"))
+        }))
+    seeded.select(gcols ++ Seq(
+      size(col("__s")).cast("bigint").as("n"), col("ref"),
+      col("__f").getField("s").as("s_final"),
+      col("__f").getField("na").as("n_alarms"),
+      col("__f").getField("ft").as("first_alarm_t")): _*)
+  }
+
   /** A6 — per-region AND global totals in ONE shuffle via `rollup` instead
     * of the reference's repeat-per-continent loop (`Time_Series.py:323,
     * 868–897`). The null-region row is the `Worldwide` total.

@@ -419,6 +419,8 @@ object Relational {
     "c_ewma_level" -> (cEwmaLevel _),
     "c_theil_sen_trend" -> (cTheilSenTrend _),
     "c_changepoints" -> (cChangepoints _),
+    "c_cusum_alarms" -> (cCusumAlarms _),
+    "c_cross_corr" -> (cCrossCorr _),
     "a11_combo_frequencies" -> (a11ComboFrequencies _),
     "o1_natural_sort_sources" -> (o1NaturalSortSources _),
     "c14_percent_formatting" -> (c14PercentFormatting _),
@@ -499,6 +501,39 @@ object Relational {
     TimeSeries.changepoints(f, Seq("key"), col("week_start"), col("freq"),
         maxChanges = 3)
       .orderBy("key", "seg")
+  }
+
+  /** Sequential CUSUM drift alarms ([[TimeSeries.cusum]]) on the weekly
+    * event series, slack 2 / threshold 20 against the floored per-key
+    * median: pure integer recurrence folded in-row, so every column
+    * (including alarm dates) hashes with no float anywhere. */
+  def cCusumAlarms(s: SparkSession, dir: String): DataFrame = {
+    val f = TimeSeries.weeklyFrequency(
+      t(s, dir, "events"), to_date(col("ts")), col("event_type"))
+    TimeSeries.cusum(f, Seq("key"), col("week_start"), col("freq"),
+        slack = 2L, threshold = 20L)
+      .orderBy("key")
+  }
+
+  /** Lead–lag cross-correlation ([[graft.operators.Stats.crossCorr]]):
+    * does the weekly click series predict the weekly purchase series
+    * 0–2 weeks ahead? Exact BIGINT co-moments per lag, one algebraic
+    * float tail — every column hashes with no rounding. */
+  def cCrossCorr(s: SparkSession, dir: String): DataFrame = {
+    val f = TimeSeries.weeklyFrequency(
+      t(s, dir, "events"), to_date(col("ts")), col("event_type"))
+    val xw = f.filter(col("key") === "click")
+      .select(col("week_start"), col("freq").as("x"))
+    val yw = f.filter(col("key") === "purchase")
+      .select(col("week_start"), col("freq").as("y"))
+    val j = xw.join(yw, "week_start")
+    val w0 = j.groupBy().agg(min(col("week_start")).as("__w0"))
+    val idx = j.crossJoin(broadcast(w0))
+      .withColumn("__i",
+        (datediff(col("week_start"), col("__w0")) / 7).cast("bigint"))
+    graft.operators.Stats.crossCorr(idx, Seq(), col("__i"), col("x"),
+        col("y"), maxLag = 2)
+      .orderBy("lag")
   }
 
   /** EWMA smoothing level ([[TimeSeries.ewma]]) of the weekly event
@@ -602,8 +637,72 @@ object Relational {
       |FROM segs ORDER BY key, seg""".stripMargin
   }
 
+  /** c_cusum_alarms mirror. NOT a same-shape fold replay: DuckDB 1.0's
+    * `list_reduce` evaluates a struct accumulator whose fields
+    * cross-reference inconsistently (observed: the na field read a
+    * partially-updated acc — an engine bug the fixture exposed), so the
+    * mirror instead materializes the CUSUM trace as per-prefix scalar
+    * folds (O(weeks²), fine at series length) and counts alarms off the
+    * trace. Safe BECAUSE the operator is pure integer arithmetic:
+    * exactness makes any evaluation shape produce identical values —
+    * the float-tail queries don't have that freedom, this one does. */
+  private val cusumOracle: String =
+    """WITH f AS (SELECT event_type AS key,
+      |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+      |    CAST(COUNT(*) AS BIGINT) AS freq FROM events GROUP BY 1, 2),
+      |s AS (SELECT key,
+      |    list(week_start ORDER BY week_start) AS tl,
+      |    list(freq ORDER BY week_start) AS vs,
+      |    CAST(FLOOR(quantile_cont(freq, 0.5)) AS BIGINT) AS ref,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM f GROUP BY 1),
+      |tr AS (SELECT key, n, ref, tl,
+      |    list_transform(range(1, n + 1), k ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_slice(vs, 1, CAST(k AS INTEGER))),
+      |        (acc, x) -> greatest(acc + x - (ref + 2),
+      |          CAST(0 AS BIGINT)))) AS trace
+      |  FROM s),
+      |al AS (SELECT key, n, ref, tl, trace,
+      |    list_filter(range(1, n + 1),
+      |      k -> trace[CAST(k AS INTEGER)] > 20) AS hits
+      |  FROM tr)
+      |SELECT key, n, ref, trace[CAST(n AS INTEGER)] AS s_final,
+      |  CAST(len(hits) AS BIGINT) AS n_alarms,
+      |  CASE WHEN len(hits) > 0 THEN tl[CAST(hits[1] AS INTEGER)] END
+      |    AS first_alarm_t
+      |FROM al ORDER BY key""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "c_changepoints" -> changepointsOracle,
+    "c_cusum_alarms" -> cusumOracle,
+    "c_cross_corr" ->
+      """WITH f AS (SELECT event_type AS key,
+        |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+        |    COUNT(*) AS freq FROM events GROUP BY 1, 2),
+        |x AS (SELECT week_start, freq AS x FROM f WHERE key = 'click'),
+        |y AS (SELECT week_start, freq AS y FROM f WHERE key = 'purchase'),
+        |j AS (SELECT x.week_start, x.x, y.y
+        |  FROM x JOIN y ON y.week_start = x.week_start),
+        |i AS (SELECT CAST((week_start - (SELECT MIN(week_start) FROM j)) / 7
+        |      AS BIGINT) AS t,
+        |    CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y FROM j),
+        |l AS (SELECT CAST(UNNEST(range(0, 3)) AS BIGINT) AS lag),
+        |p AS (SELECT l.lag, i.t + l.lag AS tj, i.x FROM i CROSS JOIN l),
+        |q AS (SELECT p.lag, p.x, i2.y FROM p JOIN i i2 ON i2.t = p.tj),
+        |m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM q GROUP BY 1)
+        |SELECT lag, n,
+        |  CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+        |      AND n * syy - sy * sy > 0 THEN
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |             * CAST(n * syy - sy * sy AS DOUBLE)) END AS r
+        |FROM m ORDER BY lag""".stripMargin,
     "a1_sum_by_flag_status" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -394,6 +394,16 @@ object StreamingTimeSeries {
       Seq("key"), col("week_start"), col("freq"), maxChanges, minSegment,
       minGain)
 
+  /** Whole-stream CUSUM drift alarms from the same stored weekly
+    * partials — [[TimeSeries.cusum]] over the replay-guarded merged
+    * DENSE weekly table (zero-filled gaps count as data: a week with no
+    * events is evidence the level did NOT drift up), bit-identical to
+    * the batch operator on the same dense series. */
+  def mergedCusum(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, slack: Long, threshold: Long): DataFrame =
+    TimeSeries.cusum(mergedWeeklyTable(spark, targetDir), Seq("key"),
+      col("week_start"), col("freq"), slack, threshold)
+
   /** Streaming top-k maintenance — the ingestion face of
     * [[graft.operators.Ranks.topKPerGroup]]: each micro-batch reduces to
     * at most k (ord, tie) rows per group (16 bytes each) appended to the

@@ -464,6 +464,50 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(fuzz.repartition(13)) == run(fuzz))
   }
 
+  test("crossCorr: perfect shifted copy peaks at its lag; naive differential; nulls") {
+    import spark.implicits._
+    // y is x shifted 2 steps later (y_{t+2} = x_t) → r = 1.0 EXACTLY at
+    // lag 2 (integer algebra: identical co-moment sets)
+    val rnd = new scala.util.Random(47)
+    val xs = Seq.fill(40)(rnd.nextInt(100).toLong)
+    val rows = xs.indices.map { t =>
+      val y = if (t >= 2) xs(t - 2) else rnd.nextInt(100).toLong
+      ("g", t.toLong, xs(t), y)
+    }
+    val df = rows.toDF("g", "t", "x", "y")
+    val out = Stats.crossCorr(df, Seq(col("g")), col("t"), col("x"),
+        col("y"), maxLag = 3)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(2L)._2 == 1.0, s"shifted copy should peak at lag 2: $out")
+    assert(out.filterNot(_._1 == 2L).values.forall(_._2 < 0.7),
+      s"non-matching lags suspiciously high: $out")
+    // naive differential at every lag
+    def naive(lag: Int): (Long, Double) = {
+      val pairs = rows.flatMap { case (_, t, x0, _) =>
+        rows.find(_._2 == t + lag).map(r2 => (x0, r2._4)) }
+      val n = pairs.size.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      (n, (n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble))
+    }
+    (0 to 3).foreach { l =>
+      assert(out(l.toLong) == naive(l), s"lag $l: ${out(l.toLong)} vs ${naive(l)}")
+    }
+    // constant y → zero variance → null r
+    val const = (0 until 10).map(t => ("c", t.toLong, t.toLong, 5L))
+      .toDF("g", "t", "x", "y")
+    assert(Stats.crossCorr(const, Seq(col("g")), col("t"), col("x"),
+      col("y"), 1).collect().forall(_.isNullAt(3)))
+    // layout invariance is bitwise
+    val again = Stats.crossCorr(df.repartition(11), Seq(col("g")), col("t"),
+        col("x"), col("y"), 3)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(again == out)
+  }
+
   test("mannWhitneyU: naive midrank differential, ties corrected, shift direction, nulls") {
     import spark.implicits._
     def naive(a: Seq[Long], b: Seq[Long]): (Long, Double, Double) = {

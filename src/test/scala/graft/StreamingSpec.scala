@@ -301,6 +301,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val cpBatch = cpKey(graft.operators.TimeSeries.changepoints(
         batchWeekly, Seq("key"), col("week_start"), col("freq"), 2))
       assert(cpStream == cpBatch)
+      // ...and the CUSUM question
+      def cuKey(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val cuStream = cuKey(StreamingTimeSeries.mergedCusum(
+        spark, s"$dir/data", slack = 1L, threshold = 10L))
+      val cuBatch = cuKey(graft.operators.TimeSeries.cusum(
+        batchWeekly, Seq("key"), col("week_start"), col("freq"), 1L, 10L))
+      assert(cuStream == cuBatch)
     } finally q.stop()
   }
 

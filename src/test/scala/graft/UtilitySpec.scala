@@ -135,6 +135,62 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(segs.length == 1)
   }
 
+  test("cusum: naive recurrence differential; planted drift alarms; stationary stays quiet") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    def naive(vs: Seq[Long], slack: Long, h: Long): (Long, Long, Option[Int]) = {
+      val ref = {
+        val sorted = vs.sorted.map(_.toDouble)
+        val n = sorted.size
+        val q = if (n % 2 == 1) sorted(n / 2)
+          else (sorted(n / 2 - 1) + sorted(n / 2)) / 2
+        math.floor(q).toLong
+      }
+      var s = 0L; var na = 0L; var first: Option[Int] = None
+      vs.zipWithIndex.foreach { case (v, i) =>
+        s = math.max(0L, s + v - (ref + slack))
+        if (s > h) { na += 1; if (first.isEmpty) first = Some(i) }
+      }
+      (s, na, first)
+    }
+    def run(vs: Seq[Long], slack: Long, h: Long) = {
+      val df = vs.zipWithIndex.map { case (v, i) =>
+        ("g", java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 3)
+          .plusWeeks(i)), v) }.toDF("g", "t", "v")
+      val r = TimeSeries.cusum(df, Seq("g"), col("t"), col("v"), slack, h)
+        .collect()(0)
+      val epoch0 = java.time.LocalDate.of(2021, 1, 3).toEpochDay
+      (r.getLong(3), r.getLong(4),
+        Option(r.getDate(5)).map(d => (d.toLocalDate.toEpochDay - epoch0) / 7))
+    }
+    // planted drift: stationary around 100, then a sustained +10 shift
+    val drift = Seq.fill(10)(100L) ++ Seq.fill(8)(110L)
+    val got = run(drift, slack = 2L, h = 20L)
+    val want = naive(drift, 2L, 20L)
+    assert((got._1, got._2) == ((want._1, want._2)), s"$got vs $want")
+    assert(got._2 > 0, "a sustained shift must alarm")
+    // stationary noise never alarms at the same threshold
+    val rnd = new scala.util.Random(23)
+    val flat = Seq.fill(30)(100L + rnd.nextInt(5))
+    assert(run(flat, 2L, 20L)._2 == 0L)
+    // fuzzed differential (values AND alarm index)
+    for (_ <- 0 until 5) {
+      val vs = Seq.fill(20 + rnd.nextInt(20))(50L + rnd.nextInt(30))
+      val g = run(vs, 1L, 15L); val w = naive(vs, 1L, 15L)
+      assert(g._1 == w._1 && g._2 == w._2, s"$g vs $w on $vs")
+      assert(g._3.map(_.toInt) == w._3.map(identity), s"first alarm $g vs $w")
+    }
+    // layout invariance is exact (integers end to end)
+    val df = drift.zipWithIndex.map { case (v, i) =>
+      ("g", java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 3)
+        .plusWeeks(i)), v) }.toDF("g", "t", "v")
+    val a1 = TimeSeries.cusum(df, Seq("g"), col("t"), col("v"), 2L, 20L)
+      .collect()(0).toSeq
+    val a2 = TimeSeries.cusum(df.repartition(7), Seq("g"), col("t"),
+      col("v"), 2L, 20L).collect()(0).toSeq
+    assert(a1 == a2)
+  }
+
   test("anomalies: a planted spike is flagged, its well-behaved peers are not") {
     import spark.implicits._
     import graft.operators.TimeSeries
