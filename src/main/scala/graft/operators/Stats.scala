@@ -395,14 +395,19 @@ object Stats {
     * `x < edges.head` lands in bin 0, `x ≥ edges.last` in bin
     * `edges.size`; output: groups... + (n1, n2, psi). */
   def psi(df: DataFrame, groupCols: Seq[Column], x: Column, cohort: Column,
-      edges: Seq[Double], eps: Double = 1e-6): DataFrame = {
+      edges: Seq[Double], eps: Double = 1e-6): DataFrame =
+    psiFromBinCounts(binCounts(df, groupCols, x, cohort, edges), eps)
+
+  /** Finalize a (possibly merged) [[binCounts]] table into the [[psi]]
+    * output schema — the streaming-readout face. */
+  def psiFromBinCounts(binned: DataFrame, eps: Double = 1e-6): DataFrame = {
     require(eps > 0 && eps < 1, s"psi needs 0 < eps < 1, got $eps")
     // the tot=0 branch (empty cohort) still evaluates under ANSI mode
     // even though such groups end as null psi — guard the division
     val prop = (n: Column, tot: Column) =>
       greatest(when(tot > 0, n.cast("double") / tot.cast("double"))
         .otherwise(lit(0.0)), lit(eps))
-    divergence(df, groupCols, x, cohort, edges, "psi") { (n1, t1, n2, t2) =>
+    divergenceFromCounts(binned, "psi") { (n1, t1, n2, t2) =>
       val p = prop(n1, t1); val q = prop(n2, t2)
       (p - q) * log(p / q)
     }
@@ -422,7 +427,12 @@ object Stats {
     * Output: groups... + (n1, n2, js). */
   def jsDivergence(df: DataFrame, groupCols: Seq[Column], x: Column,
       cohort: Column, edges: Seq[Double]): DataFrame =
-    divergence(df, groupCols, x, cohort, edges, "js") { (n1, t1, n2, t2) =>
+    jsFromBinCounts(binCounts(df, groupCols, x, cohort, edges))
+
+  /** Finalize a (possibly merged) [[binCounts]] table into the
+    * [[jsDivergence]] output schema — the streaming-readout face. */
+  def jsFromBinCounts(binned: DataFrame): DataFrame =
+    divergenceFromCounts(binned, "js") { (n1, t1, n2, t2) =>
       val p = when(t1 > 0, n1.cast("double") / t1.cast("double"))
         .otherwise(lit(0.0))
       val q = when(t2 > 0, n2.cast("double") / t2.cast("double"))
@@ -457,11 +467,34 @@ object Stats {
     * all partitioned by group; only (group, x, two counts) rows shuffle.
     * Output: groups... + (n1, n2, d_num, ks). */
   def ksStatistic(df: DataFrame, groupCols: Seq[Column], x: Column,
-      cohort: Column): DataFrame = {
-    val complete = df.filter(x.isNotNull && cohort.isNotNull)
-    val counted = complete.groupBy(groupCols :+ x.as("__x"): _*)
+      cohort: Column): DataFrame =
+    ksFromValueCounts(valueCounts(df, groupCols, x, cohort))
+
+  /** The shared PARTIAL behind [[ksStatistic]] and [[mannWhitneyU]]:
+    * exact per-(group, distinct x) cohort counts — the at-rest
+    * incremental artifact (the [[welchPartials]] convention). Counts are
+    * associative BIGINTs, so batch-sliced partials re-summed per
+    * (group, x) are EXACTLY the one-shot table, and both rank readouts
+    * stay bit-identical under any slicing. State is bounded by distinct
+    * x per group — quantize an unbounded x first. */
+  def valueCounts(df: DataFrame, groupCols: Seq[Column], x: Column,
+      cohort: Column): DataFrame =
+    df.filter(x.isNotNull && cohort.isNotNull)
+      .groupBy(groupCols :+ x.as("__x"): _*)
       .agg(sum(when(cohort, 1L).otherwise(0L)).as("__c1"),
         sum(when(!cohort, 1L).otherwise(0L)).as("__c2"))
+
+  /** Merge [[valueCounts]] tables: component-wise BIGINT re-sum per
+    * (group, x). */
+  def mergeValueCounts(partials: Seq[DataFrame],
+      groupNames: Seq[String]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy((groupNames :+ "__x").map(col): _*)
+      .agg(sum(col("__c1")).as("__c1"), sum(col("__c2")).as("__c2"))
+
+  /** Finalize a (possibly merged) [[valueCounts]] table into the
+    * [[ksStatistic]] output schema. */
+  def ksFromValueCounts(counted: DataFrame): DataFrame = {
     val names = counted.columns.dropRight(3).toSeq
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(names.map(col): _*).orderBy(col("__x"))
@@ -571,12 +604,13 @@ object Stats {
     * final aggregation, all partitioned by group; only (group, x, two
     * counts) rows shuffle. Output: groups... + (n1, n2, r1_x2, u1, z). */
   def mannWhitneyU(df: DataFrame, groupCols: Seq[Column], x: Column,
-      cohort: Column): DataFrame = {
-    val complete = df.filter(x.isNotNull && cohort.isNotNull)
-    val counted = complete.groupBy(groupCols :+ x.as("__x"): _*)
-      .agg(sum(when(cohort, 1L).otherwise(0L)).as("__c1"),
-        sum(when(!cohort, 1L).otherwise(0L)).as("__c2"))
-      .withColumn("__t", col("__c1") + col("__c2"))
+      cohort: Column): DataFrame =
+    mannWhitneyFromValueCounts(valueCounts(df, groupCols, x, cohort))
+
+  /** Finalize a (possibly merged) [[valueCounts]] table into the
+    * [[mannWhitneyU]] output schema. */
+  def mannWhitneyFromValueCounts(valueCounted: DataFrame): DataFrame = {
+    val counted = valueCounted.withColumn("__t", col("__c1") + col("__c2"))
     val names = counted.columns.dropRight(4).toSeq
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(names.map(col): _*).orderBy(col("__x"))
@@ -620,18 +654,35 @@ object Stats {
     * exact counts, per-group totals, and the FIXED-bin-order
     * contribution fold; `term(n1, t1, n2, t2)` is the per-bin
     * divergence contribution. */
-  private def divergence(df: DataFrame, groupCols: Seq[Column], x: Column,
-      cohort: Column, edges: Seq[Double], outCol: String)(
-      term: (Column, Column, Column, Column) => Column): DataFrame = {
+  /** The PARTIAL behind [[psi]] / [[jsDivergence]]: exact per-(group,
+    * bin) cohort counts over FIXED edges — the at-rest incremental
+    * artifact ([[valueCounts]]' sibling). Bin counts are associative
+    * BIGINTs, so batch-sliced partials re-summed per (group, bin) are
+    * EXACTLY the one-shot table and both divergence readouts stay
+    * bit-identical under any slicing. State is groups × (edges+1) rows. */
+  def binCounts(df: DataFrame, groupCols: Seq[Column], x: Column,
+      cohort: Column, edges: Seq[Double]): DataFrame = {
     require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
-      s"$outCol needs non-empty, strictly ascending bin edges")
+      "binCounts needs non-empty, strictly ascending bin edges")
     val complete = df.filter(x.isNotNull && cohort.isNotNull)
     // bin = number of edges <= x: a fixed sum of comparisons, portable
     val bin = edges.map(e => when(x >= lit(e), 1).otherwise(0))
       .reduce(_ + _)
-    val binned = complete.groupBy(groupCols :+ bin.as("__bin"): _*)
+    complete.groupBy(groupCols :+ bin.as("__bin"): _*)
       .agg(sum(when(cohort, 1L).otherwise(0L)).as("__n1"),
         sum(when(!cohort, 1L).otherwise(0L)).as("__n2"))
+  }
+
+  /** Merge [[binCounts]] tables: component-wise BIGINT re-sum per
+    * (group, bin). */
+  def mergeBinCounts(partials: Seq[DataFrame],
+      groupNames: Seq[String]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy((groupNames :+ "__bin").map(col): _*)
+      .agg(sum(col("__n1")).as("__n1"), sum(col("__n2")).as("__n2"))
+
+  private def divergenceFromCounts(binned: DataFrame, outCol: String)(
+      term: (Column, Column, Column, Column) => Column): DataFrame = {
     val names = binned.columns.dropRight(3).toSeq // group col names
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(names.map(col): _*)

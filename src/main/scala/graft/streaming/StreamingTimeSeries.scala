@@ -467,6 +467,78 @@ object StreamingTimeSeries {
     graft.operators.Sketches
       .kmvFromMins(spark.read.parquet(targetDir), k).estimate
 
+  /** Streaming drift-metric maintenance — the ingestion face of the
+    * WHOLE drift toolkit ([[graft.operators.Stats]]: PSI, JS, KS,
+    * Mann–Whitney U): each micro-batch reduces ONCE to its exact
+    * per-(group, bin) and per-(group, distinct value) cohort-count
+    * deltas, appended with the batch_id replay guard. Because the
+    * partials are associative BIGINTs, the merged tables are EXACTLY
+    * what a batch scan of the whole stream would count, so every
+    * readout — [[mergedPsi]], [[mergedJs]], [[mergedKs]],
+    * [[mergedMannWhitney]] — is bit-identical to its batch twin
+    * (StreamingSpec pins all four). Bin state is groups × (edges+1)
+    * rows; value state is bounded by distinct x per group (quantize an
+    * unbounded x first — the operator doc's contract). `cohortExpr` is
+    * a SQL boolean naming cohort 1. */
+  def startDriftCountsQuery(events: DataFrame, groupCol: String,
+      xCol: String, cohortExpr: String, edges: Seq[Double],
+      targetDir: String, checkpointDir: String) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        graft.operators.Stats
+          .binCounts(b, Seq(col(groupCol)), col(xCol), expr(cohortExpr),
+            edges)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$targetDir/bins")
+        graft.operators.Stats
+          .valueCounts(b, Seq(col(groupCol)), col(xCol), expr(cohortExpr))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$targetDir/values")
+      }
+      .start()
+
+  private def mergedBins(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.mergeBinCounts(
+      Seq(spark.read.parquet(s"$targetDir/bins")
+        .dropDuplicates(groupCol, "__bin", "batch_id").drop("batch_id")),
+      Seq(groupCol))
+
+  private def mergedValues(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.mergeValueCounts(
+      Seq(spark.read.parquet(s"$targetDir/values")
+        .dropDuplicates(groupCol, "__x", "batch_id").drop("batch_id")),
+      Seq(groupCol))
+
+  /** Whole-stream PSI from the stored bin partials — bit-identical to
+    * the batch [[graft.operators.Stats.psi]] over all data. */
+  def mergedPsi(spark: org.apache.spark.sql.SparkSession, targetDir: String,
+      groupCol: String, eps: Double = 1e-6): DataFrame =
+    graft.operators.Stats.psiFromBinCounts(
+      mergedBins(spark, targetDir, groupCol), eps)
+
+  /** Whole-stream Jensen–Shannon divergence from the same partials. */
+  def mergedJs(spark: org.apache.spark.sql.SparkSession, targetDir: String,
+      groupCol: String): DataFrame =
+    graft.operators.Stats.jsFromBinCounts(
+      mergedBins(spark, targetDir, groupCol))
+
+  /** Whole-stream KS statistic from the stored value partials. */
+  def mergedKs(spark: org.apache.spark.sql.SparkSession, targetDir: String,
+      groupCol: String): DataFrame =
+    graft.operators.Stats.ksFromValueCounts(
+      mergedValues(spark, targetDir, groupCol))
+
+  /** Whole-stream Mann–Whitney U from the same value partials. */
+  def mergedMannWhitney(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.mannWhitneyFromValueCounts(
+      mergedValues(spark, targetDir, groupCol))
+
   /** Streaming exact dedup — the ingestion-time face of the batch dedup
     * block: arriving documents are keyed by (xxhash64, sha2) of their
     * content and deduplicated statefully; the event-time watermark bounds

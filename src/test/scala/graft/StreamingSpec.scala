@@ -312,6 +312,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming drift counts: all four merged metrics == one-shot batch, bit for bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("drift_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("drift_ckpt").toString
+    val rng = new scala.util.Random(59)
+    val edges = Seq(20.0, 40.0, 60.0)
+    // two groups, cohorts with a real shift in one of them
+    val all = (0 until 800).map { i =>
+      val g = s"g${i % 2}"
+      val coh = i % 3 == 0
+      val x = (rng.nextInt(60) + (if (coh && g == "g1") 15 else 0)).toLong
+      (g, x, coh)
+    }
+    val input = MemoryStream[(String, Long, Boolean)]
+    val q = StreamingTimeSeries.startDriftCountsQuery(
+      input.toDF().toDF("g", "x", "coh"), "g", "x", "coh", edges,
+      dir, ckpt)
+    try {
+      input.addData(all.take(100): _*); q.processAllAvailable()
+      input.addData(all.slice(100, 600): _*); q.processAllAvailable()
+      input.addData(all.drop(600): _*); q.processAllAvailable()
+      val batchDf = all.toDF("g", "x", "coh")
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      import graft.operators.Stats
+      assert(m(StreamingTimeSeries.mergedPsi(spark, dir, "g")) ==
+        m(Stats.psi(batchDf, Seq(col("g")), col("x"), col("coh"), edges)))
+      assert(m(StreamingTimeSeries.mergedJs(spark, dir, "g")) ==
+        m(Stats.jsDivergence(batchDf, Seq(col("g")), col("x"), col("coh"),
+          edges)))
+      assert(m(StreamingTimeSeries.mergedKs(spark, dir, "g")) ==
+        m(Stats.ksStatistic(batchDf, Seq(col("g")), col("x"), col("coh"))))
+      assert(m(StreamingTimeSeries.mergedMannWhitney(spark, dir, "g")) ==
+        m(Stats.mannWhitneyU(batchDf, Seq(col("g")), col("x"), col("coh"))))
+      // at-least-once replay: re-append batch 1's partials verbatim in
+      // BOTH stores; every readout must collapse the duplicates
+      Seq("bins", "values").foreach { sub =>
+        spark.read.parquet(s"$dir/$sub").filter(col("batch_id") === 1L)
+          .write.mode("append").parquet(s"$dir/$sub")
+      }
+      assert(m(StreamingTimeSeries.mergedKs(spark, dir, "g")) ==
+        m(Stats.ksStatistic(batchDf, Seq(col("g")), col("x"), col("coh"))),
+        "a replayed micro-batch double-counted into the KS readout")
+      assert(m(StreamingTimeSeries.mergedPsi(spark, dir, "g")) ==
+        m(Stats.psi(batchDf, Seq(col("g")), col("x"), col("coh"), edges)))
+    } finally q.stop()
+  }
+
   test("streaming covariance partials: merged model ~== one-shot fit; replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
