@@ -208,13 +208,14 @@ object TimeSeries {
     *
     *   cost(a,b) = (Q_b − Q_a) − (P_b − P_a)²/(b − a)
     *
-    * so split gains — cost(parent) − cost(left) − cost(right) — are
-    * bit-identical across engines/layouts. Candidate scans fold IN-ROW
-    * left-to-right with strict `>` (first argmax wins), segments scan in
-    * ascending order with strict `>`, and a split is accepted only when
-    * its gain exceeds `minGain` — all decisions replayable by the DuckDB
-    * mirror's identical fixed-order folds. Each side of a split must
-    * keep ≥ `minSegment` rows.
+    * so split scores are bit-identical across engines/layouts. The
+    * candidate scan picks argmin of cost(a,k) + cost(k,b) (strict `<`,
+    * first minimum wins — equivalent to max gain, evaluated in this
+    * exact association), the gain cost(a,b) − minSum is computed once
+    * per segment, segments scan in ascending order with strict `>`, and
+    * a split is accepted only when its gain exceeds `minGain` — all
+    * decisions replayable by the DuckDB mirror's identical fixed-order
+    * folds. Each side of a split must keep ≥ `minSegment` rows.
     *
     * Scale: one window + one groupBy; the segmentation itself is
     * O(maxChanges · n) of codegen'd array expressions per group row —
@@ -265,40 +266,19 @@ object TimeSeries {
       val s = (pAt(b) - pAt(a)).cast("double")
       (qAt(b) - qAt(a)).cast("double") - s * s / (b - a).cast("double")
     }
-    val sentinel = struct(lit(-1.0).as("gain"), lit(-1).as("k"))
-    // best split of one segment (a, b]: fixed-order scan, strict > so the
-    // FIRST maximal k wins — the tie-break the oracle mirror replays
-    def segBest(a: Column, b: Column): Column = aggregate(
-      when(a + minSegment <= b - minSegment,
-        sequence(a + lit(minSegment), b - lit(minSegment)))
-        .otherwise(array().cast("array<int>")),
-      sentinel,
-      (acc, k) => {
-        val g = cost(a, b) - cost(a, k) - cost(k, b)
-        when(g > acc.getField("gain"), struct(g.as("gain"), k.as("k")))
-          .otherwise(acc)
-      })
-    // one binary-segmentation round: add the globally best boundary, or
-    // leave bounds unchanged when no split clears minGain (later rounds
-    // then re-derive the same no-op — the loop is idempotent past
-    // convergence, which keeps the expression purely functional)
-    def step(bounds: Column): Column = {
-      val segs = transform(sequence(lit(1), size(bounds) - 1),
-        i => struct(element_at(bounds, i).as("a"),
-          element_at(bounds, i + 1).as("b")))
-      val best = aggregate(segs, sentinel, (acc, s) => {
-        val sb = segBest(s.getField("a"), s.getField("b"))
-        when(sb.getField("gain") > acc.getField("gain"), sb).otherwise(acc)
-      })
-      when(best.getField("gain") > minGain,
-        array_sort(array_append(bounds, best.getField("k"))))
-        .otherwise(bounds)
-    }
-    val seeded = base.withColumn("__b",
-      array(lit(0), size(col("__s"))))
-    val segmented = (1 to maxChanges).foldLeft(seeded) { (d, i) =>
-      d.withColumn("__b", step(col("__b")))
-    }
+    // the segmentation loop runs in the NATIVE graft_binseg kernel
+    // ([[graft.plans.BinSeg]]): Catalyst HOF formulations of the same
+    // loop are interpreted — per-candidate lambda dispatch plus a struct
+    // allocation per score — and measured 72 s (naive element_at form) /
+    // 44.6 s (hot-loop-tuned form) on the 200k-group × 52-week probe
+    // where the kernel runs the identical arithmetic in ~3 s (SCALE.md).
+    // Same candidate argmin / gain association / tie-breaks as the
+    // DuckDB oracle replays.
+    val segmented = base.withColumn("__b",
+      call_function("graft_binseg",
+        transform(col("__s"), x => x.getField("ps")),
+        transform(col("__s"), x => x.getField("qs")),
+        lit(maxChanges), lit(minSegment), lit(minGain)))
     segmented
       .select(gcols ++ Seq(col("__s"),
         posexplode(transform(sequence(lit(1), size(col("__b")) - 1),

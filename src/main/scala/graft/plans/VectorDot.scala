@@ -114,6 +114,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CentroidArgmin].getName, "graft_centroid_argmin"),
       (children: Seq[Expression]) => CentroidArgmin(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_binseg"),
+      new ExpressionInfo(classOf[BinSeg].getName, "graft_binseg"),
+      (children: Seq[Expression]) => BinSeg(children)))
+    ext.injectFunction((
       FunctionIdentifier("variant_events"),
       new ExpressionInfo(classOf[VariantEventsGenerator].getName, "variant_events"),
       (children: Seq[Expression]) => VariantEventsGenerator(children)))

@@ -582,13 +582,20 @@ object Relational {
         s"CAST(${pat(b)} - ${pat(a)} AS DOUBLE) / CAST(($b) - ($a) AS DOUBLE))"
     val A = "bounds[CAST(i AS INTEGER)]"
     val B = "bounds[CAST(i AS INTEGER)+1]"
-    val gain = s"(${cost(A, B)} - ${cost(A, "k")} - ${cost("k", B)})"
-    val segbest =
-      "list_reduce(list_prepend(struct_pack(gain := -1.0, kk := CAST(-1 AS BIGINT)), " +
+    // argmin of cost(a,k)+cost(k,b) with strict <, then ONE gain
+    // computation — the exact association the Spark hot loop uses (it
+    // differs from cost−cost−cost in the last ulp, so shapes must match)
+    val sum = s"(${cost(A, "k")} + ${cost("k", B)})"
+    val minsum =
+      "list_reduce(list_prepend(struct_pack(sum := 1e308, kk := CAST(-1 AS BIGINT)), " +
         s"list_transform(range(($A) + 2, ($B) - 1), " +
-        s"k -> struct_pack(gain := $gain, kk := k))), " +
-        "(a2, x2) -> CASE WHEN struct_extract(x2,'gain') > " +
-        "struct_extract(a2,'gain') THEN x2 ELSE a2 END)"
+        s"k -> struct_pack(sum := $sum, kk := k))), " +
+        "(a2, x2) -> CASE WHEN struct_extract(x2,'sum') < " +
+        "struct_extract(a2,'sum') THEN x2 ELSE a2 END)"
+    val segbest =
+      s"struct_pack(gain := CASE WHEN struct_extract($minsum,'kk') >= 0 " +
+        s"THEN ${cost(A, B)} - struct_extract($minsum,'sum') ELSE -1.0 END, " +
+        s"kk := struct_extract($minsum,'kk'))"
     s"""WITH RECURSIVE
       |f AS (SELECT event_type AS key,
       |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,

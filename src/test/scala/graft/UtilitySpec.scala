@@ -58,13 +58,15 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     def bruteBestSplit(vs: Seq[Long]): Option[(Int, Double)] = {
       val n = vs.length
+      // the operator's shape: first strict MIN of cost(a,k)+cost(k,b),
+      // then one gain computation — replicated association and all
       val cands = (minSeg to n - minSeg).map(k =>
-        k -> (cost(vs, 0, n) - cost(vs, 0, k) - cost(vs, k, n)))
-      // first strict max — the operator's tie-break
+        k -> (cost(vs, 0, k) + cost(vs, k, n)))
       cands.foldLeft(Option.empty[(Int, Double)]) {
-        case (acc, (k, g)) if acc.forall(g > _._2) => Some(k -> g)
+        case (acc, (k, s)) if acc.forall(s < _._2) => Some(k -> s)
         case (acc, _) => acc
-      }.filter(_._2 > 0.0)
+      }.map { case (k, s) => k -> (cost(vs, 0, n) - s) }
+        .filter(_._2 > 0.0)
     }
     val rnd = new scala.util.Random(31)
     for (trial <- 0 until 8) {
