@@ -361,6 +361,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming IVF-PQ appends: grown index == batch re-encode of the union; replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    import graft.streaming.StreamingAnn
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_ckpt").toString
+    val rnd = new scala.util.Random(73)
+    val d = 8
+    def vec(c: Int) = Array.tabulate(d)(i =>
+      (if (i % 4 == c % 4) 4.0 else 0.5) + rnd.nextGaussian() * 0.2)
+    val seed = (0L until 60L).map(i => (i, vec(i.toInt)))
+    val arriving = (100L until 160L).map(i => (i, vec(i.toInt)))
+    val seedDf = seed.toDF("vec_id", "embedding")
+    // frozen quantizers trained on the seed corpus only
+    val cents = Similarity.trainCentroids(seedDf, k = 4, iters = 3)
+    val cbs = Similarity.trainPqCodebooks(seedDf, d, m = 2, k = 4, iters = 3)
+    Similarity.writeIvfPqIndex(
+      Similarity.pqEncode(Similarity.ivfIndex(seedDf, cents), cbs),
+      cents, cbs, s"$dir/idx")
+    // stream the arrivals in two uneven micro-batches
+    val input = MemoryStream[(Long, Array[Double])]
+    val q = StreamingAnn.startIvfPqAppendQuery(
+      input.toDF().toDF("vec_id", "embedding"), s"$dir/idx", ckpt)
+    try {
+      input.addData(arriving.take(20): _*); q.processAllAvailable()
+      input.addData(arriving.drop(20): _*); q.processAllAvailable()
+      val queries = (0 until 10).map(i => (5000L + i, vec(i)))
+        .toDF("qid", "qvec")
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      val grown = m(StreamingAnn.searchGrownIndex(spark, s"$dir/idx",
+        queries, k = 5, nProbe = 2))
+      // batch reference: re-encode the UNION under the same frozen
+      // quantizers and search it directly
+      val unionDf = (seed ++ arriving).toDF("vec_id", "embedding")
+      val ref = m(Similarity.ivfPqTopK(
+        Similarity.pqEncode(Similarity.ivfIndex(unionDf, cents), cbs),
+        queries, k = 5, cents, cbs, nProbe = 2))
+      assert(grown == ref,
+        "incrementally-grown index diverged from the batch re-encode")
+      // at-least-once replay: re-deliver a batch verbatim; the
+      // deterministic-encode dedup must collapse it
+      Similarity.appendToIvfPqIndex(spark, s"$dir/idx",
+        arriving.take(20).toDF("vec_id", "embedding")): Unit
+      assert(m(StreamingAnn.searchGrownIndex(spark, s"$dir/idx",
+        queries, 5, 2)) == ref,
+        "a replayed append changed search results")
+    } finally q.stop()
+  }
+
   test("streaming covariance partials: merged model ~== one-shot fit; replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
