@@ -526,6 +526,60 @@ object Stats {
             (col("n1") * col("n2")).cast("double")))
   }
 
+  /** Isotonic regression (Pool Adjacent Violators) per group — the
+    * CALIBRATION step for quality classifiers (FineWeb/DCLM-style
+    * pipelines train a scorer, then need P(good | score) to pick a keep
+    * threshold; raw scores are rarely calibrated): fit the best
+    * monotone non-decreasing map from score to empirical label
+    * probability.
+    *
+    * Exactness: scores pre-aggregate per DISTINCT value (exact BIGINT
+    * label sums and counts), the PAV merge runs in the native
+    * `graft_pav` kernel ([[graft.plans.Pav]]) comparing pool means by
+    * cross-multiplication — no division inside the algorithm — and the
+    * fit is UNIQUE and confluent in exact arithmetic, so the DuckDB
+    * oracle replays it with a different merge order (first-violator
+    * recursion) and matches bit-for-bit: pool sums/counts are exact
+    * BIGINTs and `calibrated` is ONE closing division. Bound: group
+    * totals N need N² < 2⁶³. `label` must be integer-valued (0/1 for
+    * probabilities; any monotone-target integer works). `maxLen`
+    * fail-fasts too many DISTINCT scores per group — bin a continuous
+    * score first (the registered query's move).
+    *
+    * Scale: one distinct-score aggregation + one per-group collect of
+    * (score, sum, cnt) triples — the grouped short-array regime. Output:
+    * one row per distinct score — groups... + (score, n, pos_sum,
+    * pool_sum, pool_cnt, calibrated), calibrated non-decreasing in
+    * score within each group. */
+  def isotonicFit(df: DataFrame, groupCols: Seq[Column], score: Column,
+      label: Column, maxLen: Int = 100000): DataFrame = {
+    val lb = label.cast("bigint")
+    val counted = df.filter(score.isNotNull && lb.isNotNull)
+      .groupBy(groupCols :+ score.as("score"): _*)
+      .agg(sum(lb).as("pos_sum"), count(lit(1)).as("n"))
+    val names = counted.columns.dropRight(3).toSeq
+    counted
+      .groupBy(names.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("score"), col("pos_sum"),
+        col("n")))).as("__s"))
+      .filter(assert_true(size(col("__s")) <= maxLen,
+        lit(s"isotonicFit: a group exceeds maxLen=$maxLen distinct " +
+          "scores — bin the score first")).isNull)
+      .withColumn("__p", call_function("graft_pav",
+        transform(col("__s"), x => x.getField("pos_sum")),
+        transform(col("__s"), x => x.getField("n"))))
+      .select(names.map(col) :+
+        posexplode(arrays_zip(col("__s"), col("__p"))): _*)
+      .select(names.map(col) ++ Seq(
+        col("col.__s.score").as("score"),
+        col("col.__s.n").as("n"),
+        col("col.__s.pos_sum").as("pos_sum"),
+        col("col.__p.pool_sum").as("pool_sum"),
+        col("col.__p.pool_cnt").as("pool_cnt"),
+        (col("col.__p.pool_sum").cast("double") /
+          col("col.__p.pool_cnt").cast("double")).as("calibrated")): _*)
+  }
+
   /** Lagged cross-correlation between two per-group series — the
     * lead–lag question time-series analysis actually asks ("do clicks
     * this week predict purchases next week?", "does variant share lead

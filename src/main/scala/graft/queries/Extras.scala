@@ -633,6 +633,18 @@ object Extras {
         pmod(col("doc_id"), lit(2)) === 0)
       .orderBy("lang")
 
+  /** Quality-score calibration ([[graft.operators.Stats.isotonicFit]]):
+    * the monotone fit of P(lang = 'en' | binned length) per source —
+    * the PAV step a classifier-threshold pipeline runs. Pool sums and
+    * counts are exact BIGINTs (cross-multiplied merges, native
+    * graft_pav kernel) and the unique confluent fit lets the oracle
+    * replay PAV with a different merge order and still hash exactly. */
+  def tIsotonicCalibration(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.isotonicFit(t(s, dir, "documents"),
+        Seq(col("source")), floor(col("n_chars") / 50).cast("bigint"),
+        (col("lang") === "en").cast("int"))
+      .orderBy("source", "score")
+
   /** Incremental Welch's t ([[graft.operators.Stats.welchPartials]] →
     * merge → finalize): the corpus sliced into three disjoint batches by
     * orderkey mod, each aggregated once to its per-cohort BIGINT
@@ -675,6 +687,7 @@ object Extras {
     "a_js_divergence" -> (aJsDivergence _),
     "a_ks_drift" -> (aKsDrift _),
     "a_rank_sum" -> (aRankSum _),
+    "t_isotonic_calibration" -> (tIsotonicCalibration _),
     "a_gini_quantity" -> (aGiniQuantity _),
     "a_chi_square" -> (aChiSquare _),
     "t_winsorize_chars" -> (tWinsorizeChars _),
@@ -845,6 +858,66 @@ object Extras {
         |    ROUND(0.0 + list_reduce(list(contrib ORDER BY bin),
         |      (a, b) -> a + b), 12) END AS js
         |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
+    // PAV replayed by FIRST-VIOLATOR recursion — a different merge order
+    // than the kernel's stack, safe because the exact-arithmetic fit is
+    // unique and confluent (documented at Stats.isotonicFit)
+    "t_isotonic_calibration" ->
+      """WITH RECURSIVE
+        |c AS (SELECT source, CAST(FLOOR(n_chars / 50) AS BIGINT) AS score,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos_sum,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT source,
+        |    list(pos_sum ORDER BY score) AS ps,
+        |    list(n ORDER BY score) AS pc,
+        |    list_transform(list(n ORDER BY score), x -> CAST(1 AS BIGINT)) AS sp
+        |  FROM c GROUP BY 1),
+        |it AS (
+        |  SELECT source, 0 AS depth, ps, pc, sp FROM s
+        |  UNION ALL
+        |  SELECT source, depth + 1,
+        |    list_slice(ps, 1, v - 1) || [ps[v] + ps[v + 1]] || list_slice(ps, v + 2, len(ps)),
+        |    list_slice(pc, 1, v - 1) || [pc[v] + pc[v + 1]] || list_slice(pc, v + 2, len(pc)),
+        |    list_slice(sp, 1, v - 1) || [sp[v] + sp[v + 1]] || list_slice(sp, v + 2, len(sp))
+        |  FROM (
+        |    SELECT source, depth, ps, pc, sp,
+        |      CAST(list_filter(range(1, CAST(len(ps) AS BIGINT)),
+        |        j -> ps[CAST(j AS INTEGER)] * pc[CAST(j AS INTEGER) + 1] >=
+        |             ps[CAST(j AS INTEGER) + 1] * pc[CAST(j AS INTEGER)])[1]
+        |        AS INTEGER) AS v
+        |    FROM it) q
+        |  WHERE v IS NOT NULL
+        |),
+        |fin AS (SELECT source, ps, pc, sp,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY depth DESC) AS rn
+        |  FROM it QUALIFY rn = 1),
+        |pools AS (SELECT source AS psrc,
+        |    UNNEST(list_transform(range(1, CAST(len(ps) AS BIGINT) + 1),
+        |      i -> struct_pack(ord := i, pool_sum := ps[CAST(i AS INTEGER)],
+        |        pool_cnt := pc[CAST(i AS INTEGER)],
+        |        span := sp[CAST(i AS INTEGER)]))) AS pl
+        |  FROM fin),
+        |pr AS (SELECT psrc, struct_extract(pl,'pool_sum') AS pool_sum,
+        |    struct_extract(pl,'pool_cnt') AS pool_cnt,
+        |    CAST(SUM(struct_extract(pl,'span')) OVER (PARTITION BY psrc
+        |      ORDER BY struct_extract(pl,'ord') ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS hi,
+        |    CAST(struct_extract(pl,'span') AS BIGINT) AS span
+        |  FROM pools),
+        |px AS (SELECT psrc, pool_sum, pool_cnt, hi - span + 1 AS lo, hi
+        |  FROM pr),
+        |idx AS (SELECT source, score, pos_sum, n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY score)
+        |      AS BIGINT) AS pos
+        |  FROM c)
+        |SELECT idx.source AS source, idx.score AS score, idx.n AS n,
+        |  idx.pos_sum AS pos_sum, px.pool_sum AS pool_sum,
+        |  px.pool_cnt AS pool_cnt,
+        |  CAST(px.pool_sum AS DOUBLE) / CAST(px.pool_cnt AS DOUBLE)
+        |    AS calibrated
+        |FROM idx JOIN px ON px.psrc = idx.source
+        |  AND idx.pos BETWEEN px.lo AND px.hi
+        |ORDER BY source, score""".stripMargin,
     "a_rank_sum" ->
       """WITH c AS (SELECT lang, n_chars, doc_id % 2 = 0 AS coh
         |  FROM documents WHERE n_chars IS NOT NULL),

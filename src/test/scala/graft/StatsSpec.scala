@@ -464,6 +464,71 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(fuzz.repartition(13)) == run(fuzz))
   }
 
+  test("isotonicFit: first-violator naive differential; monotone; pools exact; layout-exact") {
+    import spark.implicits._
+    // naive PAV by FIRST-violator iteration — a different merge order
+    // than the kernel's stack; exact confluence says results must match
+    def naive(sums: Seq[Long], cnts: Seq[Long]): Seq[(Long, Long)] = {
+      var pools = sums.zip(cnts).map { case (s, c) => (s, c, 1) }.toVector
+      var changed = true
+      while (changed) {
+        val i = pools.indices.dropRight(1).find(j =>
+          pools(j)._1 * pools(j + 1)._2 >= pools(j + 1)._1 * pools(j)._2)
+        i match {
+          case Some(j) =>
+            val m = (pools(j)._1 + pools(j + 1)._1,
+              pools(j)._2 + pools(j + 1)._2, pools(j)._3 + pools(j + 1)._3)
+            pools = (pools.take(j) :+ m) ++ pools.drop(j + 2)
+          case None => changed = false
+        }
+      }
+      pools.flatMap { case (s, c, span) => Seq.fill(span)((s, c)) }
+    }
+    val rnd = new scala.util.Random(29)
+    for (trial <- 0 until 6) {
+      val nScores = 5 + rnd.nextInt(20)
+      // noisy monotone-ish label rates over binned scores
+      val rows = (0 until nScores).flatMap { b =>
+        val cnt = 5 + rnd.nextInt(20)
+        val pos = rnd.nextInt(cnt + 1)
+        (0 until cnt).map(i => ("g", b.toLong, if (i < pos) 1L else 0L))
+      }
+      val df = rows.toDF("g", "score", "label")
+      val out = Stats.isotonicFit(df, Seq(col("g")), col("score"),
+          col("label"))
+        .orderBy("score").collect()
+      val sums = out.map(_.getAs[Long]("pos_sum")).toSeq
+      val cnts = out.map(_.getAs[Long]("n")).toSeq
+      val want = naive(sums, cnts)
+      val got = out.map(r =>
+        (r.getAs[Long]("pool_sum"), r.getAs[Long]("pool_cnt"))).toSeq
+      assert(got == want, s"trial $trial: $got vs $want")
+      // fitted values are non-decreasing in score
+      val cal = out.map(_.getAs[Double]("calibrated")).toSeq
+      assert(cal.sliding(2).forall(p => p.size < 2 || p(0) <= p(1)),
+        s"trial $trial: not monotone: $cal")
+      // pools conserve mass
+      assert(cnts.sum == rows.size && sums.sum == rows.count(_._3 == 1L))
+    }
+    // a cleanly increasing signal is already isotonic: pools = positions
+    val clean = (0 until 5).flatMap(b =>
+      (0 until 10).map(i => ("c", b.toLong, if (i < b * 2) 1L else 0L)))
+    val co = Stats.isotonicFit(clean.toDF("g", "score", "label"),
+        Seq(col("g")), col("score"), col("label"))
+      .orderBy("score").collect()
+    assert(co.map(_.getAs[Double]("calibrated")).toSeq ==
+      Seq(0.0, 0.2, 0.4, 0.6, 0.8))
+    // layout invariance is exact
+    val fz = (0 until 500).map(i =>
+      ("z", (i % 13).toLong, (i % 3 == 0, i % 7 < 3) match {
+        case (true, _) => 1L; case (_, true) => 1L; case _ => 0L }))
+      .toDF("g", "score", "label")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.isotonicFit(d, Seq(col("g")), col("score"), col("label"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+    assert(run(fz.repartition(11)).toSeq == run(fz).toSeq)
+  }
+
   test("crossCorr: perfect shifted copy peaks at its lag; naive differential; nulls") {
     import spark.implicits._
     // y is x shifted 2 steps later (y_{t+2} = x_t) → r = 1.0 EXACTLY at
