@@ -580,6 +580,23 @@ object Stats {
           col("col.__p.pool_cnt").cast("double")).as("calibrated")): _*)
   }
 
+  /** Apply an [[isotonicFit]] table to NEW scores — the serving half of
+    * calibration: each row gets the fitted probability of the largest
+    * fit score ≤ its own (the step-function semantics of an isotonic
+    * fit; scores below every fit knot get null — out of the calibrated
+    * range, the caller's policy decision). Exactly [[AsOf.asofJoin]] on
+    * (group, score): one union-tag + one window, no join node, so
+    * calibrating a 100 TB corpus costs one shuffle on the group key.
+    * `fit` must be an [[isotonicFit]] output with the same group column
+    * names; attaches (calibrated, pool_sum, pool_cnt). */
+  def applyCalibration(scored: DataFrame, fit: DataFrame,
+      groupNames: Seq[String], scoreCol: String): DataFrame =
+    AsOf.asofJoin(scored,
+      fit.select((groupNames :+ "score").map(col) :+
+        col("calibrated") :+ col("pool_sum") :+ col("pool_cnt"): _*),
+      groupNames, scoreCol, "score",
+      Seq("calibrated", "pool_sum", "pool_cnt"))
+
   /** Lagged cross-correlation between two per-group series — the
     * lead–lag question time-series analysis actually asks ("do clicks
     * this week predict purchases next week?", "does variant share lead

@@ -529,6 +529,31 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(fz.repartition(11)).toSeq == run(fz).toSeq)
   }
 
+  test("applyCalibration: step-function semantics; below-range null; no join node") {
+    import spark.implicits._
+    val train = (0 until 4).flatMap(b =>
+      (0 until 10).map(i => ("g", (b * 10).toLong, if (i < b * 3) 1L else 0L)))
+      .toDF("g", "score", "label")
+    val fit = Stats.isotonicFit(train, Seq(col("g")), col("score"),
+      col("label"))
+    val fresh = Seq(("g", -5L), ("g", 0L), ("g", 14L), ("g", 30L),
+      ("g", 99L)).toDF("g", "s")
+    val out = Stats.applyCalibration(fresh, fit, Seq("g"), "s")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val knots = fit.orderBy("score").collect()
+      .map(r => r.getLong(1) -> r.getDouble(6)).toMap
+    assert(out(-5L).isEmpty, "below the first knot must be uncalibrated")
+    assert(out(0L).contains(knots(0L)))
+    assert(out(14L).contains(knots(10L)), "14 maps to the 10-knot step")
+    assert(out(30L).contains(knots(30L)))
+    assert(out(99L).contains(knots(30L)), "beyond the last knot holds flat")
+    // the as-of machinery: no join node in the plan
+    val plan = Stats.applyCalibration(fresh, fit, Seq("g"), "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"calibration planned a join:\n$plan")
+  }
+
   test("crossCorr: perfect shifted copy peaks at its lag; naive differential; nulls") {
     import spark.implicits._
     // y is x shifted 2 steps later (y_{t+2} = x_t) → r = 1.0 EXACTLY at
