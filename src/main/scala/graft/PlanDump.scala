@@ -73,7 +73,9 @@ object PlanDump {
     "a_ks_drift" -> "KS drift — one distinct-value counting aggregate, cumulative + total windows over the SAME group partitioning, and one max aggregate; the division is a single projected expression over exact BIGINTs",
     "a_rank_sum" -> "Mann-Whitney U — the KS pipeline shape (distinct-value counts, one ordered window) with doubled-midrank BIGINT arithmetic and the algebraic z projected on top; no extra exchange vs KS",
     "c_cusum_alarms" -> "CUSUM alarms — ONE groupBy carries both the sorted series and the floored-percentile reference; the recurrence is an in-row fold, zero joins, zero windows",
-    "c_cross_corr" -> "lead-lag cross-correlation — maxLag+1 probe rows per input row (one explode), ONE equi-join on (group, t+lag), one co-moment aggregate; no per-lag rescan, no window")
+    "c_cross_corr" -> "lead-lag cross-correlation — maxLag+1 probe rows per input row (one explode), ONE equi-join on (group, t+lag), one co-moment aggregate; no per-lag rescan, no window",
+    "t_isotonic_calibration" -> "isotonic calibration — one distinct-score aggregate, one per-group collect, the PAV merge in the native graft_pav kernel (in-row), posexplode back to long form; two group-key exchanges total",
+    "c_optimal_changepoints" -> "optimal penalized segmentation — same two-exchange series pipeline as c_changepoints, the exact DP in the native graft_segdp kernel (in-row), segments exploded from the boundary array")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */

@@ -234,13 +234,60 @@ object TimeSeries {
     require(maxChanges >= 1 && maxChanges <= 16,
       s"changepoints needs 1 <= maxChanges <= 16, got $maxChanges")
     require(minSegment >= 1, s"minSegment must be >= 1, got $minSegment")
+    // the segmentation loop runs in the NATIVE graft_binseg kernel
+    // ([[graft.plans.BinSeg]]): Catalyst HOF formulations of the same
+    // loop are interpreted — per-candidate lambda dispatch plus a struct
+    // allocation per score — and measured 72 s (naive element_at form) /
+    // 44.6 s (hot-loop-tuned form) on the 200k-group × 52-week probe
+    // where the kernel runs the identical arithmetic in ~3 s (SCALE.md).
+    // Same candidate argmin / gain association / tie-breaks as the
+    // DuckDB oracle replays.
+    segmentsFromBounds(
+      segSeries(df, groupCols, tCol, v, maxLen, "changepoints")
+        .withColumn("__b", call_function("graft_binseg",
+          transform(col("__s"), x => x.getField("ps")),
+          transform(col("__s"), x => x.getField("qs")),
+          lit(maxChanges), lit(minSegment), lit(minGain))),
+      groupCols)
+  }
+
+  /** OPTIMAL penalized segmentation per group — [[changepoints]]' exact
+    * sibling: minimize Σ segment-SSE + `penalty` · #segments by dynamic
+    * programming (the native `graft_segdp` kernel,
+    * [[graft.plans.SegDp]]) instead of greedy binary splitting, so the
+    * number of segments is DATA-DRIVEN by the penalty (the classic
+    * BIC-style objective) and the partition is provably optimal, not
+    * just greedy. Same portability contract, series pipeline, guards
+    * and output schema as [[changepoints]]; the DP scans predecessors
+    * ascending with strict `<` in the exact association the oracle
+    * replays. O(n²) per group — the grouped short-series regime (the
+    * deliberate no-pruning note is at the kernel). */
+  def optimalChangepoints(df: DataFrame, groupCols: Seq[String],
+      tCol: Column, v: Column, penalty: Double, minSegment: Int = 2,
+      maxLen: Int = 10000): DataFrame = {
+    require(penalty >= 0, s"penalty must be >= 0, got $penalty")
+    require(minSegment >= 1, s"minSegment must be >= 1, got $minSegment")
+    segmentsFromBounds(
+      segSeries(df, groupCols, tCol, v, maxLen, "optimalChangepoints")
+        .withColumn("__b", call_function("graft_segdp",
+          transform(col("__s"), x => x.getField("ps")),
+          transform(col("__s"), x => x.getField("qs")),
+          lit(penalty), lit(minSegment))),
+      groupCols)
+  }
+
+  /** Shared series prelude for the segmentation family: per-group sorted
+    * (t, v, ps, qs) arrays with exact BIGINT prefix sums from one
+    * window, maxLen + overflow guards. */
+  private def segSeries(df: DataFrame, groupCols: Seq[String], tCol: Column,
+      v: Column, maxLen: Int, what: String): DataFrame = {
     val vb = v.cast("bigint")
     val gcols = groupCols.map(col)
     // the window orders by the RENAMED __t so the running sums and the
     // sort_array below provably use the same ordering
     val w = Window.partitionBy(gcols: _*).orderBy(col("__t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val base = df.filter(v.isNotNull)
+    df.filter(v.isNotNull)
       .select(gcols ++ Seq(tCol.as("__t"), vb.as("__v")): _*)
       .withColumn("__ps", sum(col("__v")).over(w))
       .withColumn("__qs", sum(col("__v") * col("__v")).over(w))
@@ -250,13 +297,20 @@ object TimeSeries {
           .as("__s"),
         max(abs(col("__v"))).as("__maxv"), count(lit(1)).as("__n"))
       .filter(assert_true(size(col("__s")) <= maxLen,
-        lit(s"changepoints: a group exceeds maxLen=$maxLen rows — window " +
+        lit(s"$what: a group exceeds maxLen=$maxLen rows — window " +
           "or decimate the series first")).isNull)
       .filter(assert_true(col("__n").cast("double") *
           col("__maxv").cast("double") * col("__maxv").cast("double") <
           lit(math.pow(2, 63)),
-        lit("changepoints: n*max(v^2) >= 2^63 — BIGINT prefix sums may " +
+        lit(s"$what: n*max(v^2) >= 2^63 — BIGINT prefix sums may " +
           "wrap; rescale v")).isNull)
+  }
+
+  /** Shared segmentation postlude: explode a boundary array against the
+    * series into the long (seg, start_t, end_t, n_rows, mean, sse) form. */
+  private def segmentsFromBounds(segmented: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val gcols = groupCols.map(col)
     // exact prefix lookups with the P_0 = Q_0 = 0 convention
     def pAt(i: Column) =
       when(i === 0, lit(0L)).otherwise(element_at(col("__s"), i).getField("ps"))
@@ -266,19 +320,6 @@ object TimeSeries {
       val s = (pAt(b) - pAt(a)).cast("double")
       (qAt(b) - qAt(a)).cast("double") - s * s / (b - a).cast("double")
     }
-    // the segmentation loop runs in the NATIVE graft_binseg kernel
-    // ([[graft.plans.BinSeg]]): Catalyst HOF formulations of the same
-    // loop are interpreted — per-candidate lambda dispatch plus a struct
-    // allocation per score — and measured 72 s (naive element_at form) /
-    // 44.6 s (hot-loop-tuned form) on the 200k-group × 52-week probe
-    // where the kernel runs the identical arithmetic in ~3 s (SCALE.md).
-    // Same candidate argmin / gain association / tie-breaks as the
-    // DuckDB oracle replays.
-    val segmented = base.withColumn("__b",
-      call_function("graft_binseg",
-        transform(col("__s"), x => x.getField("ps")),
-        transform(col("__s"), x => x.getField("qs")),
-        lit(maxChanges), lit(minSegment), lit(minGain)))
     segmented
       .select(gcols ++ Seq(col("__s"),
         posexplode(transform(sequence(lit(1), size(col("__b")) - 1),

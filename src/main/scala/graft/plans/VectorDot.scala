@@ -118,6 +118,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BinSeg].getName, "graft_binseg"),
       (children: Seq[Expression]) => BinSeg(children)))
     ext.injectFunction((
+      FunctionIdentifier("graft_segdp"),
+      new ExpressionInfo(classOf[SegDp].getName, "graft_segdp"),
+      (children: Seq[Expression]) => SegDp(children)))
+    ext.injectFunction((
       FunctionIdentifier("graft_pav"),
       new ExpressionInfo(classOf[Pav].getName, "graft_pav"),
       (children: Seq[Expression]) => Pav(children)))

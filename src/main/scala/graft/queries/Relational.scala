@@ -421,6 +421,7 @@ object Relational {
     "c_changepoints" -> (cChangepoints _),
     "c_cusum_alarms" -> (cCusumAlarms _),
     "c_cross_corr" -> (cCrossCorr _),
+    "c_optimal_changepoints" -> (cOptimalChangepoints _),
     "a11_combo_frequencies" -> (a11ComboFrequencies _),
     "o1_natural_sort_sources" -> (o1NaturalSortSources _),
     "c14_percent_formatting" -> (c14PercentFormatting _),
@@ -500,6 +501,19 @@ object Relational {
       t(s, dir, "events"), to_date(col("ts")), col("event_type"))
     TimeSeries.changepoints(f, Seq("key"), col("week_start"), col("freq"),
         maxChanges = 3)
+      .orderBy("key", "seg")
+  }
+
+  /** Optimal penalized segmentation ([[TimeSeries.optimalChangepoints]])
+    * of the weekly event series, penalty 2000: the exact DP objective
+    * (Σ SSE + penalty·segments) via the graft_segdp kernel, replayed by
+    * the oracle's recursive-CTE dynamic program + backtrack — every
+    * boundary, mean and SSE hashes bit-for-bit. */
+  def cOptimalChangepoints(s: SparkSession, dir: String): DataFrame = {
+    val f = TimeSeries.weeklyFrequency(
+      t(s, dir, "events"), to_date(col("ts")), col("event_type"))
+    TimeSeries.optimalChangepoints(f, Seq("key"), col("week_start"),
+        col("freq"), penalty = 2000.0)
       .orderBy("key", "seg")
   }
 
@@ -680,9 +694,85 @@ object Relational {
       |    AS first_alarm_t
       |FROM al ORDER BY key""".stripMargin
 
+  /** c_optimal_changepoints mirror — the graft_segdp dynamic program as
+    * a recursive CTE (one iteration per prefix position, candidates via
+    * a sentinel-seeded strict-< fold in the kernel's exact association
+    * `(F(s) + cost) + penalty`), a second recursion walking the
+    * backpointers, then the same segment expansion as c_changepoints. */
+  private val optimalChangepointsOracle: String = {
+    def pat(i: String) =
+      s"(CASE WHEN ($i) = 0 THEN 0 ELSE pl[CAST($i AS INTEGER)] END)"
+    def qat(i: String) =
+      s"(CASE WHEN ($i) = 0 THEN 0 ELSE ql[CAST($i AS INTEGER)] END)"
+    def cost(a: String, b: String) =
+      s"(CAST(${qat(b)} - ${qat(a)} AS DOUBLE) - " +
+        s"CAST(${pat(b)} - ${pat(a)} AS DOUBLE) * " +
+        s"CAST(${pat(b)} - ${pat(a)} AS DOUBLE) / CAST(($b) - ($a) AS DOUBLE))"
+    val pen = "2000.0"; val ms = 2
+    val cand = s"((f[CAST(s2 AS INTEGER) + 1] + ${cost("s2", "t + 1")}) + $pen)"
+    val best =
+      "list_reduce(list_prepend(struct_pack(val := 1e308, ss := CAST(-1 AS BIGINT)), " +
+        s"list_transform(range(0, t + 1 - $ms + 1), " +
+        s"s2 -> struct_pack(val := $cand, ss := s2))), " +
+        "(a2, x2) -> CASE WHEN struct_extract(x2,'val') < " +
+        "struct_extract(a2,'val') THEN x2 ELSE a2 END)"
+    s"""WITH RECURSIVE
+      |fq AS (SELECT event_type AS key,
+      |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+      |    COUNT(*) AS freq FROM events GROUP BY 1, 2),
+      |p AS (SELECT key, week_start,
+      |    CAST(SUM(freq) OVER (PARTITION BY key ORDER BY week_start
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ps,
+      |    CAST(SUM(freq * freq) OVER (PARTITION BY key ORDER BY week_start
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS qs
+      |  FROM fq),
+      |s AS (SELECT key, list(week_start ORDER BY week_start) AS tl,
+      |    list(ps ORDER BY week_start) AS pl, list(qs ORDER BY week_start) AS ql,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1),
+      |it AS (
+      |  SELECT key, CAST(0 AS BIGINT) AS t, [CAST(-$pen AS DOUBLE)] AS f,
+      |    CAST([] AS BIGINT[]) AS cp FROM s
+      |  UNION ALL
+      |  SELECT q.key, t + 1,
+      |    CASE WHEN t + 1 < $ms THEN f || [CAST('infinity' AS DOUBLE)]
+      |      ELSE f || [struct_extract(b, 'val')] END,
+      |    CASE WHEN t + 1 < $ms THEN cp || [CAST(0 AS BIGINT)]
+      |      ELSE cp || [struct_extract(b, 'ss')] END
+      |  FROM (
+      |    SELECT it.key AS key, it.t AS t, it.f AS f, it.cp AS cp,
+      |      s.pl AS pl, s.ql AS ql, s.n AS n, $best AS b
+      |    FROM it JOIN s ON s.key = it.key WHERE it.t < s.n) q
+      |),
+      |fin AS (SELECT it.key AS key, cp FROM it
+      |  JOIN s ON s.key = it.key WHERE it.t = s.n),
+      |bt AS (
+      |  SELECT key, CAST(len(cp) AS BIGINT) AS cur,
+      |    [CAST(len(cp) AS BIGINT)] AS bounds, cp FROM fin
+      |  UNION ALL
+      |  SELECT key, cp[CAST(cur AS INTEGER)],
+      |    list_prepend(cp[CAST(cur AS INTEGER)], bounds), cp
+      |  FROM bt WHERE cur > 0
+      |),
+      |fb AS (SELECT key, bounds FROM bt WHERE cur = 0),
+      |segs AS (SELECT fb.key AS key, s.tl AS tl, s.pl AS pl, s.ql AS ql,
+      |    UNNEST(list_transform(range(1, CAST(len(bounds) AS BIGINT)),
+      |      i -> struct_pack(seg := i - 1, a := bounds[CAST(i AS INTEGER)],
+      |        b := bounds[CAST(i AS INTEGER)+1]))) AS sg
+      |  FROM fb JOIN s ON s.key = fb.key)
+      |SELECT key, CAST(struct_extract(sg,'seg') AS INTEGER) AS seg,
+      |  tl[CAST(struct_extract(sg,'a') AS INTEGER) + 1] AS start_t,
+      |  tl[CAST(struct_extract(sg,'b') AS INTEGER)] AS end_t,
+      |  struct_extract(sg,'b') - struct_extract(sg,'a') AS n_rows,
+      |  CAST(${pat("struct_extract(sg,'b')")} - ${pat("struct_extract(sg,'a')")} AS DOUBLE)
+      |    / CAST(struct_extract(sg,'b') - struct_extract(sg,'a') AS DOUBLE) AS mean,
+      |  ${cost("struct_extract(sg,'a')", "struct_extract(sg,'b')")} AS sse
+      |FROM segs ORDER BY key, seg""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "c_changepoints" -> changepointsOracle,
     "c_cusum_alarms" -> cusumOracle,
+    "c_optimal_changepoints" -> optimalChangepointsOracle,
     "c_cross_corr" ->
       """WITH f AS (SELECT event_type AS key,
         |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,

@@ -137,6 +137,79 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(segs.length == 1)
   }
 
+  test("optimalChangepoints: exhaustive-DP differential; penalty sweep; beats greedy; layout-exact") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val minSeg = 2
+    def cost(vs: Seq[Long], a: Int, b: Int): Double = {
+      val p = vs.scanLeft(0L)(_ + _); val q = vs.scanLeft(0L)((s, x) => s + x * x)
+      val d = (p(b) - p(a)).toDouble
+      (q(b) - q(a)).toDouble - d * d / (b - a).toDouble
+    }
+    def objective(vs: Seq[Long], bounds: Seq[Int], pen: Double): Double =
+      bounds.sliding(2).map { case Seq(a, b) => cost(vs, a, b) + pen }.sum
+    // brute force: enumerate EVERY valid segmentation of a short series
+    def bruteBest(vs: Seq[Long], pen: Double): Double = {
+      val n = vs.length
+      // boundary tails from `start`: every segment >= minSeg, last = n
+      def go(start: Int): Seq[Seq[Int]] =
+        if (start == n) Seq(Seq())
+        else (start + minSeg to n).filter(e => e == n || n - e >= minSeg)
+          .flatMap(e => go(e).map(e +: _))
+      go(0).map(bs => objective(vs, 0 +: bs, pen)).min
+    }
+    def run(vs: Seq[Long], pen: Double): Seq[Int] = {
+      val df = vs.zipWithIndex.map { case (v, i) => ("g", i, v) }
+        .toDF("g", "t", "v")
+      TimeSeries.optimalChangepoints(df, Seq("g"), col("t"), col("v"), pen)
+        .orderBy("seg").collect().map(_.getAs[Int]("start_t")).toSeq :+ vs.length
+    }
+    val rnd = new scala.util.Random(37)
+    for (trial <- 0 until 6) {
+      val n = 6 + rnd.nextInt(7) // small enough for full enumeration
+      val vs = Seq.tabulate(n)(i =>
+        (if (i < n / 2) 20 else 60) + rnd.nextInt(15).toLong)
+      val pen = Seq(0.0, 50.0, 1e6)(trial % 3)
+      val got = run(vs, pen)
+      val gotObj = objective(vs, got, pen)
+      val bestObj = bruteBest(vs, pen)
+      assert(gotObj <= bestObj + 1e-9,
+        s"trial $trial: DP objective $gotObj worse than brute $bestObj")
+      // ...and never better than the true optimum (sanity)
+      assert(gotObj >= bestObj - 1e-9)
+    }
+    // penalty sweep: 0 → maximal fragmentation (noisy values make every
+    // split strictly reduce SSE; exact-tie plateaus would correctly stay
+    // whole under the strict-< tie-break); huge → one segment
+    val vs = Seq.fill(4)(10L) ++ Seq.fill(4)(90L) ++ Seq.fill(4)(40L)
+    assert(run(vs, 1e9) == Seq(0, 12))
+    val noisy = Seq.tabulate(12)(i => vs(i) + (i % 3).toLong)
+    val shattered = run(noisy, 0.0)
+    assert(shattered.size >= 6, s"penalty 0 should fragment: $shattered")
+    // moderate penalty recovers exactly the two planted shifts
+    assert(run(vs, 100.0) == Seq(0, 4, 8, 12))
+    // optimal never loses to greedy at the same effective granularity
+    for (_ <- 0 until 4) {
+      val f = Seq.fill(20)(30L + rnd.nextInt(40))
+      val pen = 200.0
+      val df = f.zipWithIndex.map { case (v, i) => ("g", i, v) }
+        .toDF("g", "t", "v")
+      val greedy = TimeSeries.changepoints(df, Seq("g"), col("t"), col("v"),
+          maxChanges = 3).orderBy("seg").collect()
+        .map(_.getAs[Int]("start_t")).toSeq :+ f.length
+      assert(objective(f, run(f, pen), pen) <=
+        objective(f, greedy, pen) + 1e-9)
+    }
+    // layout invariance is exact
+    val df = vs.zipWithIndex.map { case (v, i) => ("g", i, v) }
+      .toDF("g", "t", "v")
+    val a1 = TimeSeries.optimalChangepoints(df, Seq("g"), col("t"),
+      col("v"), 100.0).orderBy("seg").collect().map(_.toSeq).toSeq
+    val a2 = TimeSeries.optimalChangepoints(df.repartition(7), Seq("g"),
+      col("t"), col("v"), 100.0).orderBy("seg").collect().map(_.toSeq).toSeq
+    assert(a1 == a2)
+  }
+
   test("cusum: naive recurrence differential; planted drift alarms; stationary stays quiet") {
     import spark.implicits._
     import graft.operators.TimeSeries
