@@ -254,9 +254,18 @@ object Bench {
       calibration.toSeq, counters,
       calByQuery = ordered.map { case (n, _) => n -> calByQuery(n).toSeq },
       retried = suspect.map(_._1))
-    // write the details BOTH to the driver-side path and into the repo, so
-    // adjudicating a flagged round never depends on /tmp surviving it
-    Seq(detailsPath, "BENCH_DETAILS_latest.json").foreach { p =>
+    // write the details BOTH to the driver-side path and into the repo,
+    // so adjudicating a flagged round never depends on /tmp surviving
+    // it. The repo copy anchors on build.sbt in the CWD (sbt runs from
+    // the repo root) — if launched from elsewhere, it falls back to the
+    // CWD and SAYS SO with the absolute path, rather than silently
+    // scattering the adjudication artifact
+    val repoCopy = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS_REPO",
+      "BENCH_DETAILS_latest.json")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")))
+      System.err.println("[bench] cwd is not the repo root; details repo " +
+        s"copy lands at ${java.nio.file.Paths.get(repoCopy).toAbsolutePath}")
+    Seq(detailsPath, repoCopy).foreach { p =>
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), details): Unit
       catch { case e: Throwable =>
         System.err.println(s"[bench] details write to $p failed: ${e.getMessage}")

@@ -697,12 +697,15 @@ object Stats {
         max(col("__t")).as("__maxt"))
     val n = col("n1") + col("n2")
     val n1n2 = col("n1").cast("double") * col("n2").cast("double")
+    // n < 2^31 bounds EVERY doubled-rank quantity: r1_x2 <= 2n·n1 < 2n²,
+    // n1(n1+1) < n², n1·n2 <= n²/4 — all under 2^63. The ties term
+    // needs its own n·max(t)² bound (max(t) can approach n).
     val guard = when(
-      n1n2 >= lit(math.pow(2, 63)) ||
+      n.cast("double") >= lit(math.pow(2, 31)) ||
         n.cast("double") * col("__maxt").cast("double") *
         col("__maxt").cast("double") >= lit(math.pow(2, 63)),
-      raise_error(lit("mannWhitneyU: n1*n2 or n*max(ties)^2 >= 2^63 - " +
-        "BIGINT rank sums may wrap; pre-aggregate or sample"))
+      raise_error(lit("mannWhitneyU: n >= 2^31 or n*max(ties)^2 >= 2^63 " +
+        "- BIGINT rank sums may wrap; pre-aggregate or sample"))
         .cast("bigint"))
     agg
       .withColumn("r1_x2", coalesce(guard, col("r1_x2")))

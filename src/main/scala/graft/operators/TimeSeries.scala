@@ -234,6 +234,10 @@ object TimeSeries {
     require(maxChanges >= 1 && maxChanges <= 16,
       s"changepoints needs 1 <= maxChanges <= 16, got $maxChanges")
     require(minSegment >= 1, s"minSegment must be >= 1, got $minSegment")
+    // gains are mathematically >= 0, and the kernel's no-candidate
+    // sentinel lives at -1.0 — a negative minGain could only ever admit
+    // the sentinel, so reject it here (belt to the kernel's braces)
+    require(minGain >= 0.0, s"minGain must be >= 0, got $minGain")
     // the segmentation loop runs in the NATIVE graft_binseg kernel
     // ([[graft.plans.BinSeg]]): Catalyst HOF formulations of the same
     // loop are interpreted — per-candidate lambda dispatch plus a struct

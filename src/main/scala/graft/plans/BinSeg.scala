@@ -220,10 +220,15 @@ object BinSeg {
         if (gain > bestGain) { bestGain = gain; bestK = mk }
         si += 1
       }
-      if (bestGain > minGain) {
+      // bestK >= 0 guards the sentinel against a caller minGain below
+      // -1.0; and once a round accepts no split, bounds are unchanged so
+      // every later round would recompute the identical scan — stop
+      if (bestK >= 0 && bestGain > minGain) {
         bounds = (bounds :+ bestK).sorted
+        round += 1
+      } else {
+        round = maxChanges
       }
-      round += 1
     }
     bounds
   }

@@ -58,6 +58,22 @@ case class Pav(children: Seq[Expression])
     if (ca.numElements() != n) return null
     val sums = Array.tabulate(n)(sa.getLong)
     val cnts = Array.tabulate(n)(ca.getLong)
+    // overflow guard (the sibling kernels' raise discipline — JVM Long
+    // wraps silently even under ANSI): every cross-product is bounded by
+    // totalSum · totalCount, and the totals themselves accumulate via
+    // addExact so they cannot wrap unnoticed either
+    var totS = 0L; var totC = 0L
+    var gi = 0
+    while (gi < n) {
+      totS = Math.addExact(totS, sums(gi))
+      totC = Math.addExact(totC, cnts(gi))
+      gi += 1
+    }
+    if (totS.toDouble * totC.toDouble >= math.pow(2, 63))
+      throw new IllegalArgumentException(
+        s"graft_pav: totalSum*totalCount = ${totS.toDouble * totC.toDouble} " +
+          ">= 2^63 - cross-multiplied pool comparisons may wrap; " +
+          "pre-aggregate or sample the group")
     val (ps, pc) = Pav.fit(sums, cnts)
     new GenericArrayData(Array.tabulate[Any](n)(i =>
       InternalRow(ps(i), pc(i))))

@@ -642,7 +642,9 @@ object Extras {
   def tIsotonicCalibration(s: SparkSession, dir: String): DataFrame =
     graft.operators.Stats.isotonicFit(t(s, dir, "documents"),
         Seq(col("source")), floor(col("n_chars") / 50).cast("bigint"),
-        (col("lang") === "en").cast("int"))
+        // coalesce: a null lang must count as label 0 (like the oracle's
+        // CASE WHEN), not silently drop the row
+        coalesce((col("lang") === "en").cast("int"), lit(0)))
       .orderBy("source", "score")
 
   /** Incremental Welch's t ([[graft.operators.Stats.welchPartials]] →

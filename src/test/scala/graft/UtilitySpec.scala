@@ -135,6 +135,12 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val segs = TimeSeries.changepoints(df, Seq("g"), col("t"), col("v"), 3,
       minGain = 1000.0).collect()
     assert(segs.length == 1)
+    // a negative minGain could only ever admit the kernel's -1 sentinel
+    val neg = intercept[IllegalArgumentException] {
+      TimeSeries.changepoints(df, Seq("g"), col("t"), col("v"), 2,
+        minGain = Double.NegativeInfinity)
+    }
+    assert(neg.getMessage.contains("minGain"))
   }
 
   test("optimalChangepoints: exhaustive-DP differential; penalty sweep; beats greedy; layout-exact") {
