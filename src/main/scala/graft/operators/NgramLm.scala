@@ -52,9 +52,28 @@ object NgramLm {
     * bound: 250k rows ≈ a few MB. */
   def bigramCounts(ref: DataFrame, textCol: Column,
       maxBigrams: Int = 250000): DataFrame =
+    capBigrams(bigramCountsRaw(ref, textCol), maxBigrams)
+
+  /** UNCAPPED bigram counts — the mergeable partial behind
+    * [[bigramCounts]]: counts are associative BIGINTs, so per-batch raw
+    * tables re-summed per (w1, w2) equal the one-shot raw table exactly,
+    * and because [[capBigrams]] is a deterministic function of the
+    * merged counts, a cap-AFTER-merge model is bit-identical to the
+    * batch-trained model under any corpus slicing (the streaming-LM
+    * maintenance contract; the at-rest table is vocabulary², so compact
+    * it by dropping singleton tails if it outgrows its store). */
+  def bigramCountsRaw(ref: DataFrame, textCol: Column): DataFrame =
     transitions(ref, lit(0L), textCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      .orderBy(col("c2").desc, col("w1").asc, col("w2").asc)
+
+  /** Merge [[bigramCountsRaw]] tables: per-(w1, w2) BIGINT re-sum. */
+  def mergeBigramCounts(partials: Seq[DataFrame]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy("w1", "w2").agg(sum(col("c2")).as("c2"))
+
+  /** The deterministic retention cap ([[bigramCounts]]' second half). */
+  def capBigrams(counts: DataFrame, maxBigrams: Int = 250000): DataFrame =
+    counts.orderBy(col("c2").desc, col("w1").asc, col("w2").asc)
       .limit(maxBigrams)
 
   /** First-token totals WITHIN the retained bigram table (the

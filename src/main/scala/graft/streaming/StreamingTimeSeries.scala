@@ -539,6 +539,40 @@ object StreamingTimeSeries {
     graft.operators.Stats.mannWhitneyFromValueCounts(
       mergedValues(spark, targetDir, groupCol))
 
+  /** Streaming reference-LM maintenance — the ingestion face of
+    * [[graft.operators.NgramLm]]: each micro-batch of reference
+    * documents reduces once to its exact (w1, w2, count) bigram deltas
+    * (batch_id replay guard). Because counts are associative BIGINTs
+    * and the retention cap is a deterministic function of the merged
+    * counts, [[mergedLmModel]]'s cap-after-merge model is bit-identical
+    * to a batch [[graft.operators.NgramLm.bigramCounts]] over the whole
+    * stream — so the CCNet filter's reference model stays current at
+    * ingestion without ever rescanning the reference corpus
+    * (StreamingSpec pins model equality across uneven batches and
+    * replays; the scoring faces consume the model via the same
+    * bigramCounts output schema). */
+  def startLmCountsQuery(docs: DataFrame, textCol: String,
+      targetDir: String, checkpointDir: String) =
+    docs
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.NgramLm.bigramCountsRaw(batch.toDF(), col(textCol))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(targetDir)
+      }
+      .start()
+
+  /** The capped whole-stream LM from the stored bigram deltas —
+    * bit-identical to the batch-trained model. */
+  def mergedLmModel(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, maxBigrams: Int = 250000): DataFrame =
+    graft.operators.NgramLm.capBigrams(
+      graft.operators.NgramLm.mergeBigramCounts(
+        Seq(spark.read.parquet(targetDir)
+          .dropDuplicates("w1", "w2", "batch_id").drop("batch_id"))),
+      maxBigrams)
+
   /** Streaming exact dedup — the ingestion-time face of the batch dedup
     * block: arriving documents are keyed by (xxhash64, sha2) of their
     * content and deduplicated statefully; the event-time watermark bounds

@@ -361,6 +361,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming LM counts: cap-after-merge model == batch-trained, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.NgramLm
+    val dir = java.nio.file.Files.createTempDirectory("lm_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lm_ckpt").toString
+    val words = Seq("the", "cat", "sat", "on", "mat", "dog", "ran", "far")
+    val rnd = new scala.util.Random(43)
+    val refDocs = (0L until 120L).map(i =>
+      (i, Seq.fill(12)(words(rnd.nextInt(words.size))).mkString(" ")))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingTimeSeries.startLmCountsQuery(
+      input.toDF().toDF("doc_id", "text"), "text", s"$dir/data", ckpt)
+    try {
+      input.addData(refDocs.take(25): _*); q.processAllAvailable()
+      input.addData(refDocs.slice(25, 90): _*); q.processAllAvailable()
+      input.addData(refDocs.drop(90): _*); q.processAllAvailable()
+      // CAP SMALLER than the vocabulary so the retention boundary is
+      // actually exercised by the merge
+      val cap = 20
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val streamed = toMap(StreamingTimeSeries.mergedLmModel(
+        spark, s"$dir/data", cap))
+      val batchRef = refDocs.toDF("doc_id", "text")
+      val batch = toMap(NgramLm.bigramCounts(batchRef, col("text"), cap))
+      assert(streamed == batch,
+        "stream-maintained LM diverged from the batch-trained model")
+      // replay guard: re-append batch 1's deltas verbatim
+      val b1 = spark.read.parquet(s"$dir/data").filter(col("batch_id") === 1L)
+      b1.write.mode("append").parquet(s"$dir/data")
+      assert(toMap(StreamingTimeSeries.mergedLmModel(spark, s"$dir/data",
+        cap)) == batch, "a replayed micro-batch double-counted the LM")
+    } finally q.stop()
+  }
+
   test("streaming IVF-PQ appends: grown index == batch re-encode of the union; replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
