@@ -59,7 +59,16 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Local-iteration filter ONLY (the driver never sets it): a
+    // comma-separated query-name list restricts the dump so a new
+    // operator's oracle can be gated in seconds instead of a full
+    // registry sweep. Unset → identical behavior to every prior round.
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         // Spark-native single-part DIRECTORY at <name>.parquet/ (see doc
         // comment). A previous run may have left a plain FILE at the same

@@ -1074,4 +1074,76 @@ object Dedup {
       .withColumn("span_len", col("n_shingles") + lit(w - 1))
       .select("id_a", "id_b", "start_a", "start_b", "n_shingles", "span_len")
   }
+
+  // ------------------------------------------------- edit-distance join
+
+  /** SymSpell-style edit-distance-1 join over SHORT string fields
+    * (titles, names, URLs — near-dup record linkage where shingle
+    * methods have nothing to shingle). Deletion-neighborhood candidate
+    * generation: two strings at Levenshtein distance ≤ 1 always share a
+    * member of their deletion-1 neighborhoods {s} ∪ {s minus one char}
+    * (equal → s itself; substitution → delete the differing position
+    * from both; insertion → delete the inserted character), so an
+    * equi-join on the 8-byte xxhash64 of each variant finds every
+    * qualifying pair with NO all-pairs product; exact `levenshtein`
+    * verification then removes hash-collision and distance-2 false
+    * positives (two deletions of different strings can coincide).
+    *
+    * Exact duplicates are collapsed FIRST (distinct strings, min-id
+    * representative): an m-way exact-dup group would otherwise put m
+    * copies into every one of its L+1 buckets — m² candidates for pairs
+    * [[exactClusters]] already owns. Distinct inputs also mean every
+    * surviving pair has dist exactly 1.
+    *
+    * Scale shape: the candidate shuffle carries (variant-hash, id) — 16
+    * bytes a row, ≤ L+1 rows per distinct string; full strings
+    * re-attach via two narrow id equi-joins after the pair set is
+    * distinct. `maxLen` fail-fasts on long strings (the neighborhood is
+    * L+1 keys — shingle/MinHash methods own whole documents), and
+    * oversized variant buckets fail fast like [[maxDupSpans]]' postings
+    * (> maxBucket distinct strings within distance 2 of one hub string
+    * means the OUTPUT itself is going quadratic — clean the hub field
+    * upstream rather than silently losing recall).
+    *
+    * Output: (id_a, id_b, s_a, s_b, dist), id_a < id_b over
+    * representative ids, dist = 1. */
+  def editDistanceJoin(df: DataFrame, idCol: Column, strCol: Column,
+      maxLen: Int = 256, maxBucket: Int = 1000): DataFrame = {
+    require(maxLen >= 1 && maxBucket >= 2, "maxLen >= 1, maxBucket >= 2")
+    val reps = df
+      .select(idCol.as("id"),
+        when(length(strCol) > maxLen, raise_error(concat(
+            lit(s"editDistanceJoin: string longer than maxLen=$maxLen " +
+              "(this operator is for short fields; use shingle/MinHash " +
+              "dedup for documents), id="), idCol.cast("string"))))
+          .otherwise(strCol).as("s"))
+      .groupBy("s").agg(min(col("id")).as("id"))
+    // i = 0 keeps the string itself; i = 1..L deletes character i.
+    // distinct() collapses repeated variants (deleting any char of an
+    // identical-character run yields the same string).
+    val vh = reps.select(col("id"),
+        explode(transform(sequence(lit(0), length(col("s"))),
+          i => xxhash64(concat(
+            col("s").substr(lit(1), greatest(i - lit(1), lit(0))),
+            col("s").substr(i + lit(1), length(col("s")) - i))))).as("vh"))
+      .distinct()
+    val guarded = vh
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("vh")))
+      .filter(assert_true(col("__bn") <= maxBucket,
+        lit(s"editDistanceJoin: a deletion variant is shared by more " +
+          s"than maxBucket=$maxBucket distinct strings — the output is " +
+          "quadratic around a hub string; clean the field upstream or " +
+          "raise maxBucket")).isNull)
+      .drop("__bn")
+    val pairs = guarded.as("a").join(guarded.as("b"),
+        col("a.vh") === col("b.vh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(reps.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(reps.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= 1)
+      .select("id_a", "id_b", "s_a", "s_b", "dist")
+  }
 }

@@ -212,4 +212,46 @@ object Search {
     tfIdfCosineTopKIndexed(
       tfIdfVectors(df, idCol, textCol, logIdf, maxDf).localCheckpoint(),
       queryIds, k)
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) — the
+    * standard hybrid-retrieval merge: given N ranked lists over the same
+    * (qid, doc_id) space, score(q, d) = Σ over the lists containing d of
+    * 1/(kConst + rank_i), re-rank by the fused score. RANK arithmetic
+    * only — the input systems' scores never mix, which is the point of
+    * RRF: a BM25 scale and a cosine scale need no calibration to fuse.
+    *
+    * Each input must carry (qid, rank, doc_id) with at most one row per
+    * (qid, doc_id) — i.e. be a ranked list, like [[bm25TopK]] /
+    * [[tfIdfCosineTopKIndexed]] / `Similarity.bruteForceTopK` output.
+    * Contributions are single IEEE divisions of exact ints folded in
+    * LIST-INDEX order (sorted struct fold, plan-independent) →
+    * bit-deterministic for any N; for N = 2 a two-addend sum is
+    * order-independent outright, which is what the registered hybrid
+    * face's SQL mirror relies on.
+    *
+    * Scale shape: inputs are top-k lists — |Q|·k rows each — so the
+    * fusion is one narrow (qid, doc_id) aggregate plus a per-qid window
+    * over ≤ N·k candidates; corpus size never appears.
+    *
+    * Output: (qid, rank, doc_id, rrf, n_lists), rank 1..k by
+    * (rrf desc, doc_id). */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, kConst: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(k > 0 && kConst >= 0, "k must be > 0 and kConst >= 0")
+    val tagged = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col("qid"), col("doc_id"), col("rank"), lit(i).as("src")) }
+    def sortedSum(paired: Column): Column =
+      aggregate(array_sort(paired), lit(0.0d), (a, x) => a + x.getField("v"))
+    tagged.reduce(_.unionByName(_))
+      .withColumn("contrib",
+        lit(1.0d) / (lit(kConst).cast("double") + col("rank").cast("double")))
+      .groupBy("qid", "doc_id")
+      .agg(sortedSum(collect_list(
+          struct(col("src"), col("contrib").as("v")))).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "rrf", "n_lists")
+  }
 }

@@ -119,6 +119,32 @@ object TextLLM {
       .orderBy("qid", "rank")
   }
 
+  /** Hybrid retrieval: sparse TF-IDF cosine + dense embedding cosine
+    * over the same 200-doc universe (doc_id == vec_id in the testdata),
+    * fused by reciprocal rank ([[graft.operators.Search.rrfFuse]],
+    * kConst = 60, top-10 in, top-5 out). Rank arithmetic only, so
+    * although neither input's cosine SCALE is engine-portable, the
+    * fused score is: each 1/(60+rank) term is a single IEEE division
+    * of exact ints and a two-addend sum is order-independent — the
+    * oracle replays both ranked lists (the t_tfidf_cosine_top3 and
+    * s_ann_brute_top5 mirrors at k=10 over the shared universe) and
+    * the fusion, and `rrf` hashes exactly. */
+  def tRrfHybrid(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir).filter(col("doc_id") < 200)
+    val queryIds = corpus.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("id"))
+    val sparse = graft.operators.Search.tfIdfCosineTopK(corpus,
+        col("doc_id"), col("text"), queryIds, k = 10, logIdf = false)
+      .select("qid", "rank", "doc_id")
+    val base = emb(s, dir).filter(col("vec_id") < 200)
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val dense = Similarity.bruteForceTopK(base, queries, 10)
+      .select(col("qid"), col("rank"), col("nid").as("doc_id"))
+    graft.operators.Search.rrfFuse(Seq(sparse, dense), k = 5)
+      .orderBy("qid", "rank")
+  }
+
   /** Count-Min frequency estimates for the corpus's true top-10 tokens,
     * next to their exact counts: every estimate must be ≥ exact (CMS
     * error is one-sided) and both engines replay the d×w counter build
@@ -672,6 +698,29 @@ object TextLLM {
         w = 5, minShingles = 3)
       .orderBy("id_a", "id_b", "start_a", "start_b")
 
+  /** SymSpell edit-distance-1 join ([[Dedup.editDistanceJoin]]) over
+    * part names plus planted single-edit variants (substitution at char
+    * 3, prefix insertion, prefix deletion — the three Levenshtein edit
+    * kinds, built with the same substr arithmetic the oracle replays).
+    * The oracle is ALL-PAIRS `levenshtein` over the same fixture —
+    * deliberately ignorant of the deletion-neighborhood candidate pass,
+    * so a hash match certifies zero candidate false negatives. */
+  def dEdit1Pairs(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "part").filter(col("p_partkey") <= 300)
+      .select(col("p_partkey").as("id"), col("p_name").as("s"))
+    val sub = base.select((col("id") + 1000000).as("id"),
+      concat(col("s").substr(1, 2), lit("q"),
+        col("s").substr(lit(4), length(col("s")))).as("s"))
+    val ins = base.select((col("id") + 2000000).as("id"),
+      concat(lit("q"), col("s")).as("s"))
+    val del = base.select((col("id") + 3000000).as("id"),
+      col("s").substr(lit(2), length(col("s"))).as("s"))
+    Dedup.editDistanceJoin(
+        base.unionByName(sub).unionByName(ins).unionByName(del),
+        col("id"), col("s"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Exact 3-word-shingle Jaccard over a fixed bounded candidate set
     * (docs < 30 plus their injected near-dup twins) — the verification
     * tail of [[Dedup.minhashNearDups]], DuckDB-checked end to end. */
@@ -1150,6 +1199,7 @@ object TextLLM {
     "t_langid_confusion" -> (tLangidConfusion _),
     "t_bm25_top5" -> (tBm25Top5 _),
     "t_tfidf_cosine_top3" -> (tTfidfCosineTop3 _),
+    "t_rrf_hybrid" -> (tRrfHybrid _),
     "t_cms_token_counts" -> (tCmsTokenCounts _),
     "t_heavy_hitters" -> (tHeavyHitters _),
     "t_pmi_bigrams" -> (tPmiBigrams _),
@@ -1162,6 +1212,7 @@ object TextLLM {
     "d_duplicate_spans" -> (dDuplicateSpans _),
     "d_max_dup_spans" -> (dMaxDupSpans _),
     "d_remove_dup_spans" -> (dRemoveDupSpans _),
+    "d_edit1_pairs" -> (dEdit1Pairs _),
     "t_repetition_stats" -> (tRepetitionStats _),
     "t_pii_redaction" -> (tPiiRedaction _),
     "t_chunking" -> (tChunking _),
@@ -1499,6 +1550,61 @@ object TextLLM {
         |    PARTITION BY qid ORDER BY cos DESC, id) AS INT) AS rank FROM cs)
         |SELECT qid, rank, id AS doc_id, cos
         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // RRF hybrid mirror: replay BOTH ranked lists (the tfidf-cosine and
+    // brute-cosine mirrors at k=10 over the shared <200 universe), then
+    // the fusion. The input cosine SCALES are not portable but their
+    // RANKS are (same float dots, same tie-breaks), and the fused score
+    // is rank arithmetic: 1/(60+rank) single divisions, two-addend sum —
+    // rrf hashes exactly.
+    "t_rrf_hybrid" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> length(t) > 0) AS toks FROM d),
+        |idx AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+        |tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM idx GROUP BY 1, 2),
+        |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t
+        |  FROM tf GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n_docs FROM d),
+        |vecs AS (SELECT tf.doc_id AS id, tf.term,
+        |    tf.tf * (CAST(n_docs AS DOUBLE) / df_t) AS w
+        |  FROM tf JOIN dft USING (term), stats),
+        |norms AS (SELECT id, sqrt(list_sum(list(w * w ORDER BY term))) AS nrm
+        |  FROM vecs GROUP BY 1),
+        |qv AS (SELECT id AS qid, term, w AS qw FROM vecs WHERE id < 5),
+        |dots AS (SELECT qv.qid, v.id,
+        |    list_sum(list(qv.qw * v.w ORDER BY qv.term)) AS dot
+        |  FROM qv JOIN vecs v USING (term) WHERE v.id <> qv.qid
+        |  GROUP BY 1, 2),
+        |cs AS (SELECT d2.qid, d2.id,
+        |    CASE WHEN qn.nrm * bn.nrm = 0 THEN 0
+        |         ELSE d2.dot / (qn.nrm * bn.nrm) END AS cos
+        |  FROM dots d2 JOIN norms qn ON qn.id = d2.qid
+        |  JOIN norms bn ON bn.id = d2.id),
+        |sp AS (SELECT qid, id AS doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM cs
+        |  QUALIFY rank <= 10),
+        |eq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (SELECT qid, b.vec_id AS nid,
+        |    list_cosine_similarity(qe, CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM eq CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 200) b
+        |  WHERE b.vec_id <> qid),
+        |dn AS (SELECT qid, nid AS doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM scored
+        |  QUALIFY rank <= 10),
+        |u AS (SELECT qid, doc_id, rank FROM sp
+        |  UNION ALL SELECT qid, doc_id, rank FROM dn),
+        |f AS (SELECT qid, doc_id,
+        |    SUM(CAST(1 AS DOUBLE) / (60 + rank)) AS rrf,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lists
+        |  FROM u GROUP BY 1, 2),
+        |fr AS (SELECT qid, doc_id, rrf, n_lists, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY rrf DESC, doc_id) AS INT) AS rank
+        |  FROM f)
+        |SELECT qid, rank, doc_id, rrf, n_lists
+        |FROM fr WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // URL-canonicalization mirror: the same six string rules, each a
     // regexp/split/sort step both engines define identically.
     "t_url_canonical" ->
@@ -1652,6 +1758,31 @@ object TextLLM {
         |FROM pairs
         |WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE)
         |  >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Edit-distance-1 mirror: ALL-PAIRS levenshtein over the same
+    // fixture (base part names + planted substitution/insertion/deletion
+    // variants, same substr arithmetic) after the same distinct-string
+    // min-id collapse — deliberately ignorant of the deletion-
+    // neighborhood candidate pass, so a hash match certifies zero
+    // candidate false negatives at this fixture.
+    "d_edit1_pairs" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS id, p_name AS s FROM part
+        |  WHERE p_partkey <= 300),
+        |d AS (
+        |  SELECT id, s FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000,
+        |    substr(s, 1, 2) || 'q' || substr(s, 4) FROM base
+        |  UNION ALL
+        |  SELECT id + 2000000, 'q' || s FROM base
+        |  UNION ALL
+        |  SELECT id + 3000000, substr(s, 2) FROM base),
+        |r AS (SELECT s, min(id) AS id FROM d GROUP BY s)
+        |SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b,
+        |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |FROM r a JOIN r b ON a.id < b.id
+        |WHERE levenshtein(a.s, b.s) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
     // Duplicate-span mirror: full recompute — tokenize, hash every
     // 5-shingle, count corpus frequencies, then the same gaps-and-islands

@@ -1665,6 +1665,77 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the maxPosting guard, got: $e")
   }
 
+  test("editDistanceJoin: differential vs all-pairs levenshtein on fuzzed strings") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(909)
+    for (trial <- 0 until 3) {
+      // 2-letter alphabet, short strings → dense natural dist-1 pairs
+      val strs = (0 until 120).map { i =>
+        val n = 1 + rnd.nextInt(6)
+        (i.toLong, Seq.fill(n)(('a' + rnd.nextInt(2)).toChar).mkString)
+      }
+      val df = strs.toDF("id", "s").repartition(1 + trial * 7)
+      val got = Dedup.editDistanceJoin(df, col("id"), col("s"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getInt(4))).toSet
+      // brute-force truth: same distinct-string min-id collapse
+      val reps = strs.groupBy(_._2).map { case (s, xs) =>
+        (xs.map(_._1).min, s) }.toSeq
+      val want = (for {
+        (ia, sa) <- reps; (ib, sb) <- reps
+        if ia < ib && lev(sa, sb) == 1
+      } yield (ia, ib, sa, sb, 1)).toSet
+      assert(got == want, s"trial $trial: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("editDistanceJoin: edit kinds, exact-dup collapse, guards, no cartesian") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "kitten"), (11L, "kitten"),        // exact dups collapse
+      (12L, "sitten"),                          // substitution of 10
+      (13L, "kittens"),                         // insertion at end
+      (14L, "itten"),                           // deletion at front
+      (15L, "ikttne"),                          // jumbled: dist > 1
+      (16L, "banana")).toDF("id", "s")
+    val got = Dedup.editDistanceJoin(df, col("id"), col("s"))
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // rep of the kitten group is min id 10; 11 never appears
+    assert(got == Set((10L, 12L, 1), (10L, 13L, 1), (10L, 14L, 1),
+      (12L, 14L, 1)), s"got $got") // sitten↔itten: drop the 's', one edit
+    // maxLen fail-fast
+    val long = Seq((1L, "x" * 40)).toDF("id", "s")
+    val e1 = intercept[Exception] {
+      Dedup.editDistanceJoin(long, col("id"), col("s"), maxLen = 10).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e1).exists(_.contains("maxLen")), s"got: $e1")
+    // hub bucket fail-fast: "aX" all share deletion variant "a"
+    val hub = (0 until 30).map(i => (i.toLong, "a" + ('a' + i % 26).toChar))
+      .toDF("id", "s")
+    val e2 = intercept[Exception] {
+      Dedup.editDistanceJoin(hub, col("id"), col("s"), maxBucket = 5).collect()
+    }
+    assert(messages(e2).exists(_.contains("maxBucket")), s"got: $e2")
+    // candidate generation must stay an equi-join — no cartesian
+    val plan = Dedup.editDistanceJoin(df, col("id"), col("s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "edit-distance join must not plan a cartesian product")
+  }
+
   test("weighted sampling: deterministic, exact n, inclusion rises with weight") {
     import spark.implicits._
     // two interleaved weight classes in one stratum: heavy rows weigh 20×

@@ -144,4 +144,40 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val top = got.find(_._2 == 1).get
     assert(top._1 == 2L && top._3 > 1.0 - 1e-12, s"twin not top: $top")
   }
+
+  test("rrfFuse: hand-computed fusion; consensus beats single-list; layout-exact") {
+    import spark.implicits._
+    def ranked(rows: (Long, Int, Long)*) =
+      rows.toDF("qid", "rank", "doc_id")
+    // q1: doc 10 is rank 2 in BOTH lists; docs 11/12 are rank 1 in one
+    // list each and absent from the other — consensus must win under RRF
+    val a = ranked((1L, 1, 11L), (1L, 2, 10L), (1L, 3, 13L))
+    val b = ranked((1L, 1, 12L), (1L, 2, 10L), (1L, 3, 14L))
+    val got = Search.rrfFuse(Seq(a, b), k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    val byDoc = got.map(x => x._3 -> x).toMap
+    assert(byDoc(10L)._2 == 1 && byDoc(10L)._5 == 2L, s"consensus lost: $got")
+    assert(byDoc(10L)._4 == 1.0 / 62 + 1.0 / 62)
+    assert(byDoc(11L)._4 == 1.0 / 61 && byDoc(11L)._5 == 1L)
+    // rank-1-in-one (1/61) beats rank-3-in-one (1/63); doc_id tie-break
+    // orders the two rank-1 singles
+    assert(got.filter(_._1 == 1L).map(_._3).toSeq == Seq(10L, 11L, 12L, 13L, 14L))
+    // k cuts the fused list, per qid
+    val cut = Search.rrfFuse(Seq(a, b), k = 2).collect()
+    assert(cut.length == 2 && cut.map(_.getLong(2)).toSet == Set(10L, 11L))
+    // bit-exact under repartitioned inputs (fixed-order fold)
+    val got2 = Search.rrfFuse(Seq(a.repartition(7), b.repartition(3)), k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    assert(got2.sortBy(x => (x._1, x._2)) == got.sortBy(x => (x._1, x._2)).toSeq)
+    // multi-query: fusion never crosses qids
+    val c = ranked((1L, 1, 20L), (2L, 1, 30L))
+    val d = ranked((2L, 1, 30L), (2L, 2, 20L))
+    val multi = Search.rrfFuse(Seq(c, d), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    assert(multi == Set((1L, 20L, 1L), (2L, 30L, 2L), (2L, 20L, 1L)))
+  }
 }

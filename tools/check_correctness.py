@@ -7,20 +7,28 @@ oracle_sql.json entry in DuckDB over the same parquet tables and compares
 of check the driver applies. Exit 0 iff every query matches.
 
 Usage: python3 tools/check_correctness.py [sfdir] [--skip-verify]
+           [--only=name1,name2]   # restrict to specific queries (fast gate)
 """
 import json, math, os, subprocess, sys
 
 SFDIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
     else "/root/testdata/sf0.01"
+ONLY = None
+for _a in sys.argv[1:]:
+    if _a.startswith("--only="):
+        ONLY = {s.strip() for s in _a[len("--only="):].split(",") if s.strip()}
 OUT = "/tmp/verify_out_" + os.path.basename(SFDIR.rstrip("/"))  # per-SF dir: concurrent gates must not clobber each other
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
 def run_verify():
+    env = dict(os.environ)
+    if ONLY:
+        env["GRAFT_VERIFY_ONLY"] = ",".join(sorted(ONLY))
     r = subprocess.run(
         ["sbt", "-batch", f"runMain graft.Verify {SFDIR} {OUT}"],
-        capture_output=True, text=True, cwd="/root/repo")
+        capture_output=True, text=True, cwd="/root/repo", env=env)
     if r.returncode != 0:
         print(r.stdout[-4000:], r.stderr[-2000:])
         sys.exit(f"Verify main failed rc={r.returncode}")
@@ -68,6 +76,8 @@ def main():
     # bare names so each query is checked once.
     oracle = {k[:-len(".parquet")] if k.endswith(".parquet") else k: v
               for k, v in oracle.items()}
+    if ONLY:
+        oracle = {k: v for k, v in oracle.items() if k in ONLY}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
