@@ -1146,4 +1146,68 @@ object Dedup {
       .filter(col("dist") <= 1)
       .select("id_a", "id_b", "s_a", "s_b", "dist")
   }
+
+  /** Jaro–Winkler similarity join over SHORT string fields — the
+    * classical record-linkage matcher (Winkler 1990, built for Census
+    * name fields) for typos that are SUBSTITUTION/TRANSPOSITION-shaped
+    * rather than bounded-edit-count ([[editDistanceJoin]]'s regime) or
+    * token-overlap-shaped ([[jaccardJoinPrefix]]'s).
+    *
+    * Scoring is the native `graft_jaro`/`graft_jaro_winkler` Catalyst
+    * expressions ([[graft.plans.JaroKernel]]) — codegen'd byte-level
+    * kernels pinned bit-for-bit to DuckDB's, so the oracle certifies
+    * the scorer's float output exactly.
+    *
+    * Candidates come from equality on `blockKey(s)` (default: first
+    * byte + octet-length bucket of width 4). HONEST LIMIT, stated
+    * rather than hidden: unlike Jaccard (prefix filter) or edit
+    * distance ≤ 1 (deletion neighborhoods), Jaro–Winkler admits NO
+    * cheap complete candidate filter at a threshold — a transposed
+    * FIRST byte ("dwayne"/"wdayne") scores 0.95 but lands in different
+    * default blocks. Blocking keys are the standard practice this trade
+    * has always run on; recall is governed by the key choice (callers
+    * with a known error model pass their own), and the registered
+    * oracle replays the SAME blocking so what the hash certifies is the
+    * scorer + join semantics, not blocking completeness.
+    *
+    * Exact duplicates collapse first (min-id representative), as in
+    * [[editDistanceJoin]]. Oversized blocks fail fast: candidates grow
+    * as Σ|block|², so a degenerate key (everything in one block) must
+    * raise, not silently run the corpus cartesian.
+    *
+    * Output: (id_a, id_b, s_a, s_b, jaro, jw), id_a < id_b over
+    * representative ids, jw ≥ threshold. */
+  def jaroWinklerJoin(df: DataFrame, idCol: Column, strCol: Column,
+      threshold: Double, blockKey: Column => Column = s =>
+        concat(substring(s, 1, 1),
+          floor(octet_length(s) / lit(4)).cast("string")),
+      maxLen: Int = 256, maxBlock: Int = 10000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    require(maxLen >= 1 && maxBlock >= 2, "maxLen >= 1, maxBlock >= 2")
+    val reps = df
+      .select(idCol.as("id"),
+        when(length(strCol) > maxLen, raise_error(concat(
+            lit(s"jaroWinklerJoin: string longer than maxLen=$maxLen " +
+              "(this operator is for short fields; use shingle/MinHash " +
+              "dedup for documents), id="), idCol.cast("string"))))
+          .otherwise(strCol).as("s"))
+      .groupBy("s").agg(min(col("id")).as("id"))
+      .withColumn("bk", blockKey(col("s")))
+    val guarded = reps
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("bk")))
+      .filter(assert_true(col("__bn") <= maxBlock,
+        lit(s"jaroWinklerJoin: a block holds more than maxBlock=" +
+          s"$maxBlock distinct strings — candidates grow as |block|**2; " +
+          "pick a finer blockKey or raise maxBlock")).isNull)
+      .drop("__bn")
+    guarded.as("a").join(guarded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .withColumn("jaro", call_function("graft_jaro", col("s_a"), col("s_b")))
+      .withColumn("jw",
+        call_function("graft_jaro_winkler", col("s_a"), col("s_b")))
+      .filter(col("jw") >= threshold)
+      .select("id_a", "id_b", "s_a", "s_b", "jaro", "jw")
+  }
 }

@@ -156,6 +156,40 @@ object NgramLm {
       .select("id", "n_trans", "nll", "ppl")
   }
 
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): within
+    * each language, rank documents by LM score ([[logProbStats]]' mean
+    * NLL — lower = more reference-like) and cut into `nBuckets` equal
+    * tiles; CCNet trains on "head", treats "tail" as suspect. The split
+    * is RANK arithmetic (ntile over (nll, id) — id breaks ties
+    * deterministically), so although nll is transcendental the bucket
+    * assignment is engine-portable as long as the nll ORDER matches,
+    * which the bit-exact fixed-order fold guarantees.
+    *
+    * Scale shape: [[logProbStats]]' broadcast scoring plus one window
+    * per language partition — the per-language ntile is the same
+    * sort-once shape CCNet runs at CommonCrawl scale. Docs with no
+    * scorable transition (< 2 tokens) are absent, as in [[logProbStats]].
+    *
+    * Output: (id, lang, n_trans, bucket_i, bucket), bucket ∈
+    * head/middle/tail (bucket_i = 1 / interior / nBuckets). */
+  def ccnetBuckets(docs: DataFrame, idCol: Column, textCol: Column,
+      langCol: Column, ref: DataFrame, refTextCol: Column,
+      alpha: Double = 0.5, maxBigrams: Int = 250000,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"ccnetBuckets needs nBuckets >= 2, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val scored =
+      logProbStats(docs, idCol, textCol, ref, refTextCol, alpha, maxBigrams)
+    scored.join(docs.select(idCol.as("id"), langCol.as("lang")), "id")
+      .withColumn("bucket_i", ntile(nBuckets).over(
+        Window.partitionBy("lang").orderBy(col("nll"), col("id"))))
+      .withColumn("bucket",
+        when(col("bucket_i") === 1, "head")
+          .when(col("bucket_i") === nBuckets, "tail")
+          .otherwise("middle"))
+      .select("id", "lang", "n_trans", "bucket_i", "bucket")
+  }
+
   /** Classic add-α smoothed bigram perplexity per document:
     * exp(mean(-ln P(w2|w1))) with P = (c2+α)/(c1+α·V), V = retained
     * distinct-successor vocabulary + 1 (the unseen event). Unknown

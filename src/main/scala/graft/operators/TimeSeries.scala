@@ -193,6 +193,68 @@ object TimeSeries {
       .drop("__s")
   }
 
+  /** Holt's linear-trend exponential smoothing per group — [[ewma]]'s
+    * two-state sibling (Holt 1957): a LEVEL and a TREND evolve together,
+    *
+    *   l_t = α·v_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = γ·(l_t − l_{t−1}) + (1−γ)·b_{t−1}
+    *
+    * initialized l₁ = v₁, b₁ = v₂ − v₁ (b₁ = 0 for a 1-row series), and
+    * the h-step forecast is l_n + h·b_n — the level-plus-slope forecast
+    * EWMA structurally cannot make (it lags any trending series by
+    * design; this is the standard next rung before full Holt–Winters).
+    *
+    * Portability contract ([[ewma]]'s): ONE in-row fold over the sorted
+    * (t, v) structs in exactly the operation order written above, each
+    * step two FMA-free double expressions, so the result is
+    * bit-reproducible across engines/layouts — the DuckDB mirror replays
+    * the same recursion as a recursive CTE. Callers should pick α and γ
+    * with exactly-representable complements (0.25, 0.125, …) so the
+    * (1−α) literals are engine-identical. The fold's b-step reuses the
+    * l-step's expression tree textually; both evaluations are the same
+    * deterministic double, so the mirror may compute l_t once and reuse
+    * it.
+    *
+    * Same scale shape as [[ewma]]: one shuffle to group, O(n) per group,
+    * `maxLen` fail-fast names the limit instead of degrading. */
+  def holt(df: DataFrame, groupCols: Seq[String], tCol: Column, v: Column,
+      alpha: Double, gamma: Double, horizon: Int = 1,
+      maxLen: Int = 100000): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"holt needs 0 < alpha <= 1, got $alpha")
+    require(gamma > 0 && gamma <= 1, s"holt needs 0 < gamma <= 1, got $gamma")
+    require(horizon >= 1, s"holt needs horizon >= 1, got $horizon")
+    val beta = 1.0 - alpha
+    val delta = 1.0 - gamma
+    def lStep(acc: Column, x: Column): Column =
+      lit(alpha) * x.getField("v") +
+        lit(beta) * (acc.getField("l") + acc.getField("b"))
+    df.filter(v.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(tCol.as("t"),
+        v.cast("double").as("v")))).as("__s"))
+      .filter(assert_true(size(col("__s")) <= maxLen,
+        lit(s"holt: a group exceeds maxLen=$maxLen rows — a series that " +
+          "long should be windowed or decimated first")).isNull)
+      .withColumn("n", size(col("__s")).cast("bigint"))
+      .withColumn("__f", aggregate(
+        slice(col("__s"), lit(2), greatest(size(col("__s")) - 1, lit(0))),
+        struct(
+          element_at(col("__s"), 1).getField("v").as("l"),
+          // get() is 0-based and null-safe: a 1-row series has no second
+          // element (ANSI element_at would raise), so b1 falls back to 0
+          coalesce(get(col("__s"), lit(1)).getField("v") -
+            element_at(col("__s"), 1).getField("v"), lit(0.0)).as("b")),
+        (acc, x) => struct(
+          lStep(acc, x).as("l"),
+          (lit(gamma) * (lStep(acc, x) - acc.getField("l")) +
+            lit(delta) * acc.getField("b")).as("b"))))
+      .withColumn("level", col("__f").getField("l"))
+      .withColumn("trend", col("__f").getField("b"))
+      .withColumn("forecast",
+        col("level") + lit(horizon.toDouble) * col("trend"))
+      .drop("__s", "__f")
+  }
+
   /** Level-shift changepoint detection per group — BINARY SEGMENTATION
     * over the group's sorted series: repeatedly split the segment whose
     * best split most reduces the total within-segment sum of squared

@@ -126,6 +126,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Pav].getName, "graft_pav"),
       (children: Seq[Expression]) => Pav(children)))
     ext.injectFunction((
+      FunctionIdentifier("graft_jaro"),
+      new ExpressionInfo(classOf[JaroSimilarity].getName, "graft_jaro"),
+      (children: Seq[Expression]) => JaroSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName,
+        "graft_jaro_winkler"),
+      (children: Seq[Expression]) =>
+        JaroWinklerSimilarity(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("variant_events"),
       new ExpressionInfo(classOf[VariantEventsGenerator].getName, "variant_events"),
       (children: Seq[Expression]) => VariantEventsGenerator(children)))

@@ -417,6 +417,7 @@ object Relational {
     "c_ts_anomalies" -> (cTsAnomalies _),
     "c_growth_advantage" -> (cGrowthAdvantage _),
     "c_ewma_level" -> (cEwmaLevel _),
+    "c_holt_forecast" -> (cHoltForecast _),
     "c_theil_sen_trend" -> (cTheilSenTrend _),
     "c_changepoints" -> (cChangepoints _),
     "c_cusum_alarms" -> (cCusumAlarms _),
@@ -558,6 +559,20 @@ object Relational {
       t(s, dir, "events"), to_date(col("ts")), col("event_type"))
     TimeSeries.ewma(f, Seq("key"), col("week_start"), col("freq"),
         alpha = 0.25)
+      .orderBy("key")
+  }
+
+  /** Holt linear-trend smoothing over the weekly event series
+    * ([[TimeSeries.holt]]): level + trend state, 4-week-ahead forecast.
+    * α = 0.25 and γ = 0.125 are dyadic so the (1−α)/(1−γ) literals are
+    * engine-exact; the DuckDB mirror replays the recursion as a
+    * recursive CTE in the same operation order, so level/trend/forecast
+    * hash bit-for-bit, float columns included. */
+  def cHoltForecast(s: SparkSession, dir: String): DataFrame = {
+    val f = TimeSeries.weeklyFrequency(
+      t(s, dir, "events"), to_date(col("ts")), col("event_type"))
+    TimeSeries.holt(f, Seq("key"), col("week_start"), col("freq"),
+        alpha = 0.25, gamma = 0.125, horizon = 4)
       .orderBy("key")
   }
 
@@ -966,6 +981,32 @@ object Relational {
         |  list_reduce(list(CAST(freq AS DOUBLE) ORDER BY week_start),
         |    (acc, x) -> 0.25 * x + 0.75 * acc) AS level
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Holt mirror: the level/trend recursion replayed as a recursive CTE
+    // in the operator's exact operation order. l_t is computed once and
+    // reused in the b_t step — in the operator the b-step's copy of the
+    // l-expression evaluates to the same deterministic double, so the
+    // single-evaluation shape is bit-identical. 0.25/0.75/0.125/0.875
+    // are dyadic, hence engine-exact literals.
+    "c_holt_forecast" ->
+      """WITH RECURSIVE f AS (SELECT event_type AS key,
+        |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+        |    COUNT(*) AS freq FROM events GROUP BY 1, 2),
+        |s AS (SELECT key,
+        |    list(CAST(freq AS DOUBLE) ORDER BY week_start) AS vs,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1),
+        |it AS (
+        |  SELECT key, n, vs, CAST(1 AS BIGINT) AS i, vs[1] AS l,
+        |    CASE WHEN n >= 2 THEN vs[2] - vs[1] ELSE 0.0 END AS b
+        |  FROM s
+        |  UNION ALL
+        |  SELECT key, n, vs, i + 1, lp,
+        |    0.125 * (lp - l) + 0.875 * b
+        |  FROM (SELECT key, n, vs, i, l, b,
+        |      0.25 * vs[CAST(i + 1 AS INTEGER)] + 0.75 * (l + b) AS lp
+        |    FROM it WHERE i < n) q
+        |)
+        |SELECT key, n, l AS level, b AS trend, l + 4.0 * b AS forecast
+        |FROM it WHERE i = n ORDER BY key""".stripMargin,
     "c_growth_advantage" ->
       """WITH f AS (SELECT event_type AS key,
         |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,

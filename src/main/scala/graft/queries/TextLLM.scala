@@ -721,6 +721,30 @@ object TextLLM {
       .orderBy("id_a", "id_b")
   }
 
+  /** Jaro–Winkler blocked join ([[Dedup.jaroWinklerJoin]]) over part
+    * names plus planted transposition (chars 4↔5) and substitution
+    * (char 5 → 'q') typos — the error shapes Winkler's matcher was
+    * built for. Scoring is the native `graft_jaro`/`graft_jaro_winkler`
+    * codegen kernels; the oracle replays the same fixture, the same
+    * (first byte, ⌊octet_length/4⌋) blocking, and scores with DuckDB's
+    * OWN jaro_similarity/jaro_winkler_similarity — so a hash match
+    * certifies the kernels are bit-identical to DuckDB's across every
+    * candidate pair, float columns included. */
+  def dJaroWinklerPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "part").filter(col("p_partkey") <= 200)
+      .select(col("p_partkey").as("id"), col("p_name").as("s"))
+    val swap = base.select((col("id") + 1000000).as("id"),
+      concat(col("s").substr(1, 3), col("s").substr(5, 1),
+        col("s").substr(4, 1),
+        col("s").substr(lit(6), length(col("s")))).as("s"))
+    val sub = base.select((col("id") + 2000000).as("id"),
+      concat(col("s").substr(1, 4), lit("q"),
+        col("s").substr(lit(6), length(col("s")))).as("s"))
+    Dedup.jaroWinklerJoin(base.unionByName(swap).unionByName(sub),
+        col("id"), col("s"), threshold = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Exact 3-word-shingle Jaccard over a fixed bounded candidate set
     * (docs < 30 plus their injected near-dup twins) — the verification
     * tail of [[Dedup.minhashNearDups]], DuckDB-checked end to end. */
@@ -884,6 +908,19 @@ object TextLLM {
       .withColumnRenamed("id", "doc_id")
       .withColumn("nll", round(col("nll"), 12))
       .withColumn("ppl", round(col("ppl"), 9))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet head/middle/tail terciles per language
+    * ([[graft.operators.NgramLm.ccnetBuckets]]) under the same
+    * every-10th-doc reference model as t_lm_perplexity. The bucket is
+    * rank arithmetic over the bit-exact nll order, so the oracle's
+    * NTILE replay hashes exactly with no float column at all. */
+  def tCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.NgramLm.ccnetBuckets(d, col("doc_id"), col("text"),
+        col("lang"), d.filter(col("doc_id") % 10 === 0), col("text"))
+      .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
   }
 
@@ -1213,6 +1250,7 @@ object TextLLM {
     "d_max_dup_spans" -> (dMaxDupSpans _),
     "d_remove_dup_spans" -> (dRemoveDupSpans _),
     "d_edit1_pairs" -> (dEdit1Pairs _),
+    "d_jaro_winkler_pairs" -> (dJaroWinklerPairs _),
     "t_repetition_stats" -> (tRepetitionStats _),
     "t_pii_redaction" -> (tPiiRedaction _),
     "t_chunking" -> (tChunking _),
@@ -1238,6 +1276,7 @@ object TextLLM {
     "t_fuzzy_decontaminate" -> (tFuzzyDecontaminate _),
     "t_lm_transitions" -> (tLmTransitions _),
     "t_lm_perplexity" -> (tLmPerplexity _),
+    "t_ccnet_buckets" -> (tCcnetBuckets _),
     "t_mixture_sample" -> (tMixtureSample _),
     "t_stratified_sample" -> (tStratifiedSample _),
     "t_weighted_sample" -> (tWeightedSample _),
@@ -1424,6 +1463,41 @@ object TextLLM {
         |  FROM j GROUP BY doc_id)
         |SELECT doc_id, n_trans, ROUND(m, 12) AS nll, ROUND(exp(m), 9) AS ppl
         |FROM g ORDER BY doc_id""".stripMargin,
+    // CCNet-buckets mirror: the t_lm_perplexity pipeline (unrounded m)
+    // + per-language NTILE over (m, doc_id) — rank arithmetic over the
+    // bit-exact nll order, so no float column reaches the hash.
+    "t_ccnet_buckets" ->
+      """WITH nrm AS (SELECT doc_id, list_filter(string_split_regex(trim(
+        |      regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')), '\s+'), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |tr AS (SELECT doc_id, t.pos AS pos, t.w1 AS w1, t.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> struct_pack(pos := i - 1, w1 := toks[i], w2 := toks[i+1]))) AS t
+        |    FROM nrm WHERE len(toks) >= 2)),
+        |lm AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM tr
+        |  WHERE doc_id % 10 = 0 GROUP BY 1, 2
+        |  ORDER BY c2 DESC, w1, w2 LIMIT 250000),
+        |pc AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+        |vv AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) + 1 AS v FROM lm),
+        |j AS (SELECT tr.doc_id, tr.pos,
+        |    -ln((CAST(COALESCE(lm.c2, 0) AS DOUBLE) + 0.5) /
+        |        (CAST(COALESCE(pc.c1, 0) AS DOUBLE)
+        |         + 0.5 * CAST(vv.v AS DOUBLE))) AS nll
+        |  FROM tr LEFT JOIN lm ON lm.w1 = tr.w1 AND lm.w2 = tr.w2
+        |  LEFT JOIN pc ON pc.w1 = tr.w1 CROSS JOIN vv),
+        |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+        |    (0.0 + list_reduce(list(nll ORDER BY pos), (a, b) -> a + b))
+        |      / COUNT(*) AS m
+        |  FROM j GROUP BY doc_id),
+        |b AS (SELECT g.doc_id, d.lang, g.n_trans,
+        |    CAST(NTILE(3) OVER (PARTITION BY d.lang ORDER BY g.m, g.doc_id)
+        |      AS INTEGER) AS bucket_i
+        |  FROM g JOIN documents d ON d.doc_id = g.doc_id)
+        |SELECT doc_id, lang, n_trans, bucket_i,
+        |  CASE WHEN bucket_i = 1 THEN 'head' WHEN bucket_i = 3 THEN 'tail'
+        |       ELSE 'middle' END AS bucket
+        |FROM b ORDER BY doc_id""".stripMargin,
     // replace-chain BPE over the ‹symbol›-wrapped text, innermost replace
     // = rank-0 merge; token count = symbol count minus space symbols
     // (each '‹ ›' is 3 codepoints); md5 over the same UTF-8 bytes
@@ -1783,6 +1857,36 @@ object TextLLM {
         |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
         |FROM r a JOIN r b ON a.id < b.id
         |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Jaro-Winkler mirror: same fixture, same (first byte, floored
+    // octet-length bucket) blocking, scored with DuckDB's OWN
+    // jaro_similarity / jaro_winkler_similarity — a hash match
+    // certifies the native graft_jaro(_winkler) kernels bit-identical
+    // to DuckDB's on every candidate pair, float columns included.
+    "d_jaro_winkler_pairs" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS id, p_name AS s FROM part
+        |  WHERE p_partkey <= 200),
+        |d AS (
+        |  SELECT id, s FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000,
+        |    substr(s, 1, 3) || substr(s, 5, 1) || substr(s, 4, 1) ||
+        |      substr(s, 6) FROM base
+        |  UNION ALL
+        |  SELECT id + 2000000,
+        |    substr(s, 1, 4) || 'q' || substr(s, 6) FROM base),
+        |r AS (SELECT s, min(id) AS id FROM d GROUP BY s),
+        |blk AS (SELECT id, s,
+        |    substr(s, 1, 1) ||
+        |      CAST(CAST(floor(strlen(s) / 4) AS BIGINT) AS VARCHAR)
+        |      AS bk
+        |  FROM r)
+        |SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b,
+        |  jaro_similarity(a.s, b.s) AS jaro,
+        |  jaro_winkler_similarity(a.s, b.s) AS jw
+        |FROM blk a JOIN blk b ON a.bk = b.bk AND a.id < b.id
+        |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
     // Duplicate-span mirror: full recompute — tokenize, hash every
     // 5-shingle, count corpus frequencies, then the same gaps-and-islands

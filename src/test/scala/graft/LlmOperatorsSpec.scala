@@ -176,6 +176,44 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(scored.repartition(7)) == out)
   }
 
+  test("NgramLm.ccnetBuckets: per-language terciles put clean in head, babble in tail") {
+    import spark.implicits._
+    import graft.operators.NgramLm
+    val refText = "the cat sat on the mat and the dog sat on the rug"
+    val ref = docsDf((0L, refText), (1L, refText))
+    // six docs per language, from verbatim-in-domain to fully OOV
+    def six(base: Long, lang: String) = Seq(
+      (base + 0, "the cat sat on the mat", lang),
+      (base + 1, "the dog sat on the rug", lang),
+      (base + 2, "the cat sat on the rug and the dog", lang),
+      (base + 3, "dog the mat cat on sat", lang),   // garbled order
+      (base + 4, "rug on the zq xv mat", lang),     // half OOV
+      (base + 5, "zq xv qp wm nb vc", lang))        // full OOV
+    val docs = (six(10L, "en") ++ six(20L, "de"))
+      .toDF("doc_id", "text", "lang")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      NgramLm.ccnetBuckets(d, col("doc_id"), col("text"), col("lang"),
+          ref, col("text"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1),
+          r.getInt(3), r.getString(4)))).toMap
+    val out = run(docs)
+    assert(out.size == 12)
+    for (base <- Seq(10L, 20L)) {
+      // 6 docs over 3 tiles → 2 per tile, ordered by nll. Note the
+      // garbled doc (+3) scores WORSE than full-OOV babble (+5): an
+      // unseen transition after a frequent word costs ln(c1+αV)/α more
+      // than the uniform backoff 1/V — add-α smoothing's signature.
+      assert(Seq(0, 1, 2, 3, 4, 5).map(i => out(base + i)._2) ==
+        Seq(1, 1, 2, 3, 2, 3), s"tiles for $base: $out")
+      assert(out(base)._3 == "head" && out(base + 5)._3 == "tail")
+      assert(out(base + 2)._3 == "middle" && out(base + 3)._3 == "tail")
+    }
+    // languages are independent partitions
+    assert(out(10L)._1 == "en" && out(20L)._1 == "de")
+    // rank arithmetic is layout-exact
+    assert(run(docs.repartition(7)) == out)
+  }
+
   test("NgramLm: model is broadcast — the scored corpus never shuffles text") {
     import graft.operators.NgramLm
     val ref = docsDf((0L, "a b a b c"))
@@ -1734,6 +1772,62 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       "edit-distance join must not plan a cartesian product")
+  }
+
+  test("jaro-winkler: kernel pinned to DuckDB, join finds typo shapes, guards") {
+    import spark.implicits._
+    import graft.plans.JaroKernel
+    def jw(a: String, b: String) =
+      JaroKernel.jaroWinkler(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    def jr(a: String, b: String) =
+      JaroKernel.jaro(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    // exact doubles probed from DuckDB 1.0's jaro(_winkler)_similarity —
+    // the full contract: classic pairs, byte (not codepoint) semantics,
+    // empty-string zero, window-0 transposition, boost threshold + cap
+    assert(jr("MARTHA", "MARHTA") == 0.9444444444444445)
+    assert(jw("MARTHA", "MARHTA") == 0.9611111111111111)
+    assert(jw("DIXON", "DICKSONX") == 0.8133333333333332)
+    assert(jr("aéb", "aeb") == 0.7222222222222222) // 4 bytes vs 3 bytes
+    assert(jw("aéb", "aeb") == 0.75)
+    assert(jr("日本語", "日本誤") == 0.9259259259259259)
+    assert(jw("日本語", "日本誤") == 0.9555555555555556)
+    assert(jr("", "") == 0.0 && jw("a", "") == 0.0) // DuckDB, not classical
+    assert(jr("ab", "ba") == 0.0)    // window 0: same-position only
+    assert(jw("abcd", "abZZZZZZZZZZZZZZ") == 0.5416666666666666) // no boost ≤ 0.7
+    assert(jw("prefixmatchlong", "prefixmatchlongg") == 0.9874999999999999)
+    // codegen path == kernel (the DataFrame route runs doGenCode)
+    val pairs = Seq(("MARTHA", "MARHTA"), ("aéb", "aeb"), ("", ""),
+      ("DWAYNE", "DUANE")).toDF("a", "b")
+    val viaDf = pairs.select(
+        call_function("graft_jaro_winkler", col("a"), col("b"))).as[Double]
+      .collect().toSeq
+    assert(viaDf == Seq(0.9611111111111111, 0.75, 0.0, 0.8400000000000001))
+    // join: transposition and substitution typos surface; min-id collapse;
+    // unrelated strings stay apart
+    val df = Seq(
+      (10L, "martha stewart"), (11L, "martha stewart"), // exact dups
+      (12L, "marhta stewart"),                           // transposition
+      (13L, "martha stewnrt"),                           // substitution
+      (14L, "zygomorphic")).toDF("id", "s")
+    val got = Dedup.jaroWinklerJoin(df, col("id"), col("s"), 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 12L), (10L, 13L), (12L, 13L)), s"got $got")
+    // block-size fail-fast
+    val hub = (0 until 40).map(i => (i.toLong, f"aaa$i%02d")).toDF("id", "s")
+    val e = intercept[Exception] {
+      Dedup.jaroWinklerJoin(hub, col("id"), col("s"), 0.9, maxBlock = 5)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxBlock")), s"got: $e")
+    // candidate generation must stay an equi-join on the block key
+    val plan = Dedup.jaroWinklerJoin(df, col("id"), col("s"), 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "jaro-winkler join must not plan a cartesian product")
   }
 
   test("weighted sampling: deterministic, exact n, inclusion rises with weight") {

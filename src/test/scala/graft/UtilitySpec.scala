@@ -46,6 +46,56 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getCause != null && e.getCause.getMessage.contains("maxLen"))
   }
 
+  test("holt: matches the naive level/trend recurrence bitwise; tracks a trend ewma lags") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val rnd = new scala.util.Random(41)
+    val rows = for (g <- Seq("a", "b"); t <- 0 until 40) yield
+      (g, t, rnd.nextInt(1000).toLong)
+    val df = rows.toDF("g", "t", "v")
+    val (alpha, gamma, h) = (0.25, 0.125, 4)
+    def naive(vs: Seq[Long]): (Double, Double) = {
+      val v = vs.map(_.toDouble)
+      val init = (v.head, if (v.size >= 2) v(1) - v.head else 0.0)
+      v.drop(1).foldLeft(init) { case ((l, b), x) =>
+        val lp = alpha * x + 0.75 * (l + b)
+        (lp, gamma * (lp - l) + 0.875 * b)
+      }
+    }
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.holt(d, Seq("g"), col("t"), col("v"), alpha, gamma, h)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+    val got = run(df)
+    for (g <- Seq("a", "b")) {
+      val vs = rows.filter(_._1 == g).sortBy(_._2).map(_._3)
+      val (l, b) = naive(vs)
+      assert(got(g) == ((40L, l, b, l + h * b)), s"group $g") // bitwise
+    }
+    assert(run(df.repartition(11)) == got, "layout-exact")
+    // single-row group: level = value, zero trend
+    val one = Seq(("x", 1, 7L)).toDF("g", "t", "v")
+    assert(run(one)("x") == ((1L, 7.0, 0.0, 7.0)))
+    // on a pure linear ramp Holt's h-step forecast is (near-)exact while
+    // ewma lags by construction — the reason the operator exists
+    val ramp = (0 until 30).map(t => ("r", t, (100 + 10 * t).toLong))
+      .toDF("g", "t", "v")
+    val (_, lvl, trd, fc) = run(ramp)("r")
+    assert(math.abs(fc - (100 + 10 * 33)) < 1e-6, s"holt forecast $fc")
+    assert(math.abs(trd - 10.0) < 1e-6, s"holt trend $trd")
+    val ew = TimeSeries.ewma(ramp, Seq("g"), col("t"), col("v"), alpha)
+      .collect().head.getDouble(2)
+    assert(lvl - ew > 20.0, s"ewma should lag the ramp (ewma=$ew holt=$lvl)")
+    // maxLen guard
+    val e = intercept[Exception] {
+      TimeSeries.holt(df, Seq("g"), col("t"), col("v"), alpha, gamma,
+        h, maxLen = 10).collect()
+    }
+    assert(e.getMessage.contains("maxLen") ||
+      e.getCause != null && e.getCause.getMessage.contains("maxLen"))
+  }
+
   test("changepoints: single split matches brute-force SSE argmax on fuzzed series") {
     import spark.implicits._
     import graft.operators.TimeSeries
