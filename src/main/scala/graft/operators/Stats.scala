@@ -375,6 +375,69 @@ object Stats {
       .drop("__a", "__s")
   }
 
+  /** Mann–Kendall trend test per group — the SIGNIFICANCE half of the
+    * nonparametric trend pair ([[theilSen]] estimates the slope; this
+    * says whether a monotone trend exists at all, outlier-robustly and
+    * with no linearity assumption):
+    *
+    *   S = Σ_{i<j in time order} sgn(v_j − v_i)            (exact int)
+    *   Var(S) = [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)] / 18
+    *   z = (S ∓ 1) / √Var(S)   (continuity-corrected, 0 when S = 0)
+    *
+    * Portability: S sums ±1 comparison indicators (no float op until
+    * the final divisions), the tie term comes from an order-free exact
+    * per-(group, value) count aggregation, and Var/z/tau are fixed
+    * float expressions over BIGINT casts — IEEE √ is correctly rounded,
+    * so every output column hashes cross-engine. tau here is Kendall's
+    * tau-a = 2S/(n(n−1)) (pairs tied in v count against the trend, the
+    * MK convention).
+    *
+    * Same scale shape as [[theilSen]]: grouped SHORT series (the n²
+    * pair array is in-row), `maxLen` fail-fast names the limit. The
+    * BIGINT bound n(n−1)(2n+5) < 2⁶³ holds for any n ≤ maxLen ≤ ~10⁶.
+    *
+    * Output: groups... + (n, s, tau, z); z is null for n < 2 or when
+    * every pair is tied (Var = 0). */
+  def mannKendall(df: DataFrame, groupCols: Seq[Column], t: Column,
+      v: Column, maxLen: Int = 1000): DataFrame = {
+    val names = groupCols.map(_.toString)
+    val complete = df.filter(t.isNotNull && v.isNotNull)
+    val sRow = complete
+      .groupBy(groupCols: _*)
+      .agg(sort_array(collect_list(struct(t.as("t"),
+        v.cast("double").as("v")))).as("__a"))
+      .filter(assert_true(size(col("__a")) <= maxLen,
+        lit(s"mannKendall: a group exceeds maxLen=$maxLen rows — its " +
+          "n^2 pair array would dominate the row; sample or window " +
+          "first")).isNull)
+      .withColumn("n", size(col("__a")).cast("bigint"))
+      .withColumn("s", aggregate(flatten(
+        transform(col("__a"), (p, i) =>
+          transform(slice(col("__a"), i + lit(2), size(col("__a"))),
+            q => when(q.getField("v") > p.getField("v"), 1L)
+              .when(q.getField("v") < p.getField("v"), -1L)
+              .otherwise(0L)))),
+        lit(0L), (acc, x) => acc + x))
+      .drop("__a")
+    val ties = complete
+      .groupBy(groupCols :+ v.cast("double").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(names.map(col): _*)
+      .agg(sum(col("__c") * (col("__c") - 1L) *
+        (lit(2L) * col("__c") + 5L)).as("__tie"))
+    val varS = (col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) -
+      col("__tie")).cast("double") / lit(18.0)
+    sRow.join(ties, names)
+      .withColumn("tau", when(col("n") >= 2,
+        lit(2.0) * col("s").cast("double") /
+          (col("n") * (col("n") - 1L)).cast("double")))
+      .withColumn("z", when(col("n") >= 2 && varS > 0.0,
+        when(col("s") > 0, (col("s") - 1L).cast("double") / sqrt(varS))
+          .when(col("s") < 0, (col("s") + 1L).cast("double") / sqrt(varS))
+          .otherwise(lit(0.0))))
+      .drop("__tie")
+  }
+
   /** Population Stability Index between two cohorts of `x` per group —
     * the standard training-data DRIFT metric (is this week's corpus
     * distributed like last week's? did a source shift under the
@@ -723,6 +786,29 @@ object Stats {
       })
       .drop("__ties", "__maxt")
   }
+
+  /** ROC AUC per group — the EVALUATION half of the quality-classifier
+    * pipeline ([[isotonicFit]]/applyCalibration being the calibration
+    * half): the probability a random positive outranks a random
+    * negative under `score`. Not computed by sweeping thresholds: AUC
+    * is EXACTLY the normalized Mann–Whitney statistic, AUC = U₁/(n₁·n₂)
+    * with midrank tie handling — so this reuses [[mannWhitneyU]]'s
+    * exact doubled-midrank BIGINT machinery verbatim and adds ONE
+    * division. Rank arithmetic end to end: u1 is an exact half-integer
+    * and the division is the only float op, so the value hashes
+    * cross-engine. Ties at a score value contribute ½ per pair (the
+    * standard trapezoidal convention). Null auc when a group lacks
+    * either class.
+    *
+    * Output: groups... + (n_pos, n_neg, auc). */
+  def auc(df: DataFrame, groupCols: Seq[Column], score: Column,
+      label: Column): DataFrame =
+    mannWhitneyU(df, groupCols, score, label)
+      .withColumn("auc", when(col("n1") > 0 && col("n2") > 0,
+        col("u1") / (col("n1").cast("double") * col("n2").cast("double"))))
+      .withColumnRenamed("n1", "n_pos")
+      .withColumnRenamed("n2", "n_neg")
+      .drop("r1_x2", "u1", "z")
 
   /** Shared body of [[psi]] / [[jsDivergence]]: fixed-edge binning,
     * exact counts, per-group totals, and the FIXED-bin-order

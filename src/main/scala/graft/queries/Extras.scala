@@ -633,6 +633,18 @@ object Extras {
         pmod(col("doc_id"), lit(2)) === 0)
       .orderBy("lang")
 
+  /** ROC AUC of document length as a predictor of lang = 'en' per
+    * source ([[graft.operators.Stats.auc]]) — the evaluation face of
+    * the same classifier-shaped fixture t_isotonic_calibration
+    * calibrates. Rank arithmetic end to end (AUC = U/(n₁n₂) over the
+    * exact doubled-midrank BIGINTs), so the float column is one
+    * division and hashes exactly. */
+  def aAucLength(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.auc(t(s, dir, "documents"),
+        Seq(col("source")), col("n_chars"),
+        coalesce(col("lang") === "en", lit(false)))
+      .orderBy("source")
+
   /** Quality-score calibration ([[graft.operators.Stats.isotonicFit]]):
     * the monotone fit of P(lang = 'en' | binned length) per source —
     * the PAV step a classifier-threshold pipeline runs. Pool sums and
@@ -689,6 +701,7 @@ object Extras {
     "a_js_divergence" -> (aJsDivergence _),
     "a_ks_drift" -> (aKsDrift _),
     "a_rank_sum" -> (aRankSum _),
+    "a_auc_length" -> (aAucLength _),
     "t_isotonic_calibration" -> (tIsotonicCalibration _),
     "a_gini_quantity" -> (aGiniQuantity _),
     "a_chi_square" -> (aChiSquare _),
@@ -949,6 +962,31 @@ object Extras {
         |        - CAST(ties AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)))
         |  END AS z
         |FROM u ORDER BY 1""".stripMargin,
+    // AUC mirror: the a_rank_sum pipeline re-grouped by source with
+    // label = lang-is-en, finalized as U1/(n1*n2) — one division over
+    // exact BIGINT-derived halves, midrank ties included.
+    "a_auc_length" ->
+      """WITH c AS (SELECT source, n_chars,
+        |    COALESCE(lang = 'en', FALSE) AS coh
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |d AS (SELECT source, n_chars AS x,
+        |    CAST(SUM(CASE WHEN coh THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN NOT coh THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM c GROUP BY 1, 2),
+        |w AS (SELECT source, c1, c2, t,
+        |    CAST(SUM(t) OVER (PARTITION BY source ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d),
+        |a AS (SELECT source, CAST(SUM(c1) AS BIGINT) AS n_pos,
+        |    CAST(SUM(c2) AS BIGINT) AS n_neg,
+        |    CAST(SUM(c1 * (2 * cum - t + 1)) AS BIGINT) AS r1_x2
+        |  FROM w GROUP BY 1)
+        |SELECT source, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    (CAST(r1_x2 - n_pos * (n_pos + 1) AS DOUBLE) / 2.0)
+        |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |  END AS auc
+        |FROM a ORDER BY 1""".stripMargin,
     "a_ks_drift" ->
       """WITH c AS (SELECT lang, n_chars, doc_id % 2 = 0 AS coh
         |  FROM documents WHERE n_chars IS NOT NULL),

@@ -418,6 +418,7 @@ object Relational {
     "c_growth_advantage" -> (cGrowthAdvantage _),
     "c_ewma_level" -> (cEwmaLevel _),
     "c_holt_forecast" -> (cHoltForecast _),
+    "c_mann_kendall" -> (cMannKendall _),
     "c_theil_sen_trend" -> (cTheilSenTrend _),
     "c_changepoints" -> (cChangepoints _),
     "c_cusum_alarms" -> (cCusumAlarms _),
@@ -573,6 +574,20 @@ object Relational {
       t(s, dir, "events"), to_date(col("ts")), col("event_type"))
     TimeSeries.holt(f, Seq("key"), col("week_start"), col("freq"),
         alpha = 0.25, gamma = 0.125, horizon = 4)
+      .orderBy("key")
+  }
+
+  /** Mann–Kendall trend test over the weekly event series
+    * ([[graft.operators.Stats.mannKendall]]) — the significance half of
+    * the nonparametric trend pair whose slope half is
+    * c_theil_sen_trend. S sums exact ±1 comparisons, the tie term is an
+    * exact count aggregate, and tau/z are fixed float expressions over
+    * BIGINT casts, so every column hashes cross-engine. */
+  def cMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val f = TimeSeries.weeklyFrequency(
+      t(s, dir, "events"), to_date(col("ts")), col("event_type"))
+    graft.operators.Stats.mannKendall(f, Seq(col("key")),
+        col("week_start"), col("freq"))
       .orderBy("key")
   }
 
@@ -1007,6 +1022,44 @@ object Relational {
         |)
         |SELECT key, n, l AS level, b AS trend, l + 4.0 * b AS forecast
         |FROM it WHERE i = n ORDER BY key""".stripMargin,
+    // Mann-Kendall mirror: S from list-comprehension pair comparisons
+    // (exact ints, order-free), ties from an exact per-(key, value)
+    // count aggregate, tau/z as the same fixed float expressions.
+    "c_mann_kendall" ->
+      """WITH f AS (SELECT event_type AS key,
+        |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+        |    COUNT(*) AS freq FROM events GROUP BY 1, 2),
+        |sv AS (SELECT key,
+        |    list(CAST(freq AS DOUBLE) ORDER BY week_start) AS vs,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1),
+        |sc AS (SELECT key, n,
+        |    CAST(COALESCE(list_sum(flatten(
+        |      list_transform(range(1, n),
+        |        i -> list_transform(range(i + 1, n + 1), j ->
+        |          CASE WHEN vs[CAST(j AS INTEGER)] > vs[CAST(i AS INTEGER)]
+        |                 THEN 1
+        |               WHEN vs[CAST(j AS INTEGER)] < vs[CAST(i AS INTEGER)]
+        |                 THEN -1
+        |               ELSE 0 END)))), 0) AS BIGINT) AS s
+        |  FROM sv),
+        |tie AS (SELECT key,
+        |    CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie
+        |  FROM (SELECT key, CAST(freq AS DOUBLE) AS v,
+        |      CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |m AS (SELECT sc.key AS key, sc.n AS n, sc.s AS s,
+        |    CAST(sc.n * (sc.n - 1) * (2 * sc.n + 5) - tie.tie AS DOUBLE)
+        |      / 18.0 AS var_s
+        |  FROM sc JOIN tie ON tie.key = sc.key)
+        |SELECT key, n, s,
+        |  CASE WHEN n >= 2 THEN 2.0 * CAST(s AS DOUBLE)
+        |    / CAST(n * (n - 1) AS DOUBLE) END AS tau,
+        |  CASE WHEN n >= 2 AND var_s > 0.0 THEN
+        |    CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+        |         WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+        |         ELSE 0.0 END
+        |  END AS z
+        |FROM m ORDER BY key""".stripMargin,
     "c_growth_advantage" ->
       """WITH f AS (SELECT event_type AS key,
         |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,

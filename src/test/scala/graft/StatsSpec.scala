@@ -661,6 +661,89 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).isNullAt(5))
   }
 
+  test("mannKendall: naive differential with ties; planted trend; constant; guards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    // heavy ties on purpose: values drawn from a small alphabet
+    val rows = for (g <- Seq("a", "b"); t <- 0 until 30) yield
+      (g, t, rnd.nextInt(8).toLong)
+    val df = rows.toDF("g", "t", "v")
+    def naive(vs: Seq[Long]): (Long, Option[Double], Option[Double]) = {
+      val n = vs.size
+      val s = (for (i <- 0 until n; j <- i + 1 until n)
+        yield java.lang.Long.compare(vs(j), vs(i)).sign.toLong).sum
+      val tie = vs.groupBy(identity).values
+        .map(r => r.size.toLong).map(c => c * (c - 1) * (2 * c + 5)).sum
+      val varS = (n.toLong * (n - 1) * (2L * n + 5) - tie).toDouble / 18.0
+      val tau = 2.0 * s.toDouble / (n.toLong * (n - 1)).toDouble
+      val z = if (varS > 0.0)
+        Some(if (s > 0) (s - 1).toDouble / math.sqrt(varS)
+        else if (s < 0) (s + 1).toDouble / math.sqrt(varS) else 0.0)
+      else None
+      (s, Some(tau), z)
+    }
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.mannKendall(d, Seq(col("g")), col("t"), col("v"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    val out = run(df)
+    for (g <- Seq("a", "b")) {
+      val vs = rows.filter(_._1 == g).sortBy(_._2).map(_._3)
+      val (s, tau, z) = naive(vs)
+      assert(out(g) == ((30L, s, tau, z)), s"group $g: ${out(g)} vs naive")
+    }
+    assert(run(df.repartition(7)) == out, "layout-exact")
+    // strictly increasing: tau = 1 exactly, z strongly positive
+    val up = (0 until 20).map(t => ("u", t, t.toLong * 3)).toDF("g", "t", "v")
+    val (un, us, utau, uz) = { val r = run(up)("u"); (r._1, r._2, r._3, r._4) }
+    assert(un == 20L && us == 190L && utau.contains(1.0))
+    assert(uz.exists(_ > 5.0), s"monotone z $uz")
+    // constant series: every pair tied, Var = 0 -> z null, tau 0
+    val const = (0 until 10).map(t => ("c", t, 4L)).toDF("g", "t", "v")
+    val c = run(const)("c")
+    assert(c._2 == 0L && c._3.contains(0.0) && c._4.isEmpty)
+    // maxLen guard
+    val e = intercept[Exception] {
+      Stats.mannKendall(df, Seq(col("g")), col("t"), col("v"), maxLen = 10)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxLen") ||
+      e.getCause != null && e.getCause.getMessage.contains("maxLen"))
+  }
+
+  test("auc: hand cases, midrank ties, naive pair differential, one-class null") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Double, Boolean)]) =
+      Stats.auc(rows.toDF("g", "score", "label"), Seq(col("g")),
+          col("score"), col("label"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    // perfect separation, inverted, and a pure tie
+    val hand = run(Seq(
+      ("p", 3.0, true), ("p", 4.0, true), ("p", 1.0, false), ("p", 2.0, false),
+      ("r", 1.0, true), ("r", 5.0, false),
+      ("t", 2.0, true), ("t", 2.0, false)))
+    assert(hand("p") == ((2L, 2L, Some(1.0))))
+    assert(hand("r") == ((1L, 1L, Some(0.0))))
+    assert(hand("t") == ((1L, 1L, Some(0.5)))) // tie pair counts 1/2
+    // naive differential on fuzzed scores with ties
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 300).map(i =>
+      ("f", rnd.nextInt(20).toDouble, rnd.nextBoolean()))
+    val naive = {
+      val pos = rows.filter(_._3).map(_._2)
+      val neg = rows.filterNot(_._3).map(_._2)
+      val wins = (for (p <- pos; q <- neg) yield
+        if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+      wins / (pos.size.toDouble * neg.size.toDouble)
+    }
+    val f = run(rows)("f")
+    assert(f._3.exists(a => math.abs(a - naive) < 1e-12), s"$f vs $naive")
+    // a group with no negatives has no ranking to score
+    assert(run(Seq(("x", 1.0, true), ("x", 2.0, true)))("x")._3.isEmpty)
+  }
+
   test("gini: textbook values, tie-invariant, layout-stable") {
     import spark.implicits._
     // perfect equality → 0; maximal concentration (one owner) → (n-1)/n
