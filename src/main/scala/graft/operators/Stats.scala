@@ -438,6 +438,165 @@ object Stats {
       .drop("__tie")
   }
 
+  /** Distributed logistic-regression training — the TRAINABLE quality
+    * classifier the curation block's heuristics feed (fastText-style
+    * keep/drop filters, CCNet's "looks like the reference corpus"
+    * signal as a supervised model): fit σ(w·x) by Newton–Raphson, each
+    * iteration ONE narrow aggregation over the corpus.
+    *
+    * Portability design (the c_growth_advantage micro-logit move,
+    * generalized): per-row gradient and Hessian contributions are
+    * QUANTIZED — floor(contrib · quantScale) as BIGINT — so the
+    * per-iteration sums are exact integers, immune to float-sum
+    * plan/layout order; the Newton update then runs on the driver over
+    * the d+1 ≤ 9 dequantized sums in a FIXED expression order (Cramer
+    * cofactors for d ≤ 2, which is what the registered oracle face
+    * replays; deterministic Gaussian elimination beyond). Result: the
+    * fitted weights are bit-reproducible across engines and layouts,
+    * up to the documented exp last-ulp-at-a-floor-boundary hazard all
+    * the quantized transcendental faces share.
+    *
+    * Scale shape: `iters` jobs, each one aggregation emitting
+    * (d+1)(d+4)/2 BIGINTs — no per-row state, no shuffle of features,
+    * model never leaves the driver (d ≤ 8). Overflow is guarded
+    * POST-HOC but soundly: count and max|x| come back exact in the
+    * same row, and n·maxAbs²·quantScale/4 < 2⁶² proves no h-sum could
+    * have wrapped (g-sums are smaller). Rows with a null label or
+    * feature are dropped.
+    *
+    * Newton from w = 0 (p = ½ exactly), update w += (H + ridge·I)⁻¹ g
+    * with H = Σ p(1−p)·x xᵀ, g = Σ (y−p)·x, x₀ = 1 the intercept.
+    *
+    * Output: ONE row — (n, w0, w1, ..., wd). */
+  def logisticFit(df: DataFrame, features: Seq[Column], label: Column,
+      iters: Int = 3, ridge: Double = 0.0, quantScale: Double = 1e6,
+      maxAbsFeature: Double = 1000.0): DataFrame = {
+    val d = features.size
+    require(d >= 1 && d <= 8, s"logisticFit supports 1..8 features, got $d")
+    require(iters >= 1 && iters <= 20, s"iters in 1..20, got $iters")
+    require(quantScale >= 1e3 && quantScale <= 1e12,
+      s"quantScale in [1e3, 1e12], got $quantScale")
+    val k = d + 1
+    val xs: Seq[Column] = lit(1.0) +: features.map(_.cast("double"))
+    val y = when(label, lit(1.0)).otherwise(lit(0.0))
+    val base = df.filter(label.isNotNull &&
+      features.map(_.isNotNull).reduce(_ && _))
+    val w = Array.fill(k)(0.0)
+    var n = 0L
+    for (_ <- 1 to iters) {
+      val z = xs.zip(w.toSeq).map { case (x, wi) => x * lit(wi) }
+        .reduce(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val gCols = (0 until k).map(j =>
+        sum(floor(((y - p) * xs(j)) * lit(quantScale))).as(s"g$j"))
+      val hCols = for (j <- 0 until k; l <- j until k) yield
+        sum(floor((((p * (lit(1.0) - p)) * xs(j)) * xs(l)) *
+          lit(quantScale))).as(s"h${j}_$l")
+      val checks = Seq(count(lit(1)).as("n"),
+        max(greatest((features.map(f => abs(f.cast("double"))) :+
+          lit(0.0)): _*)).as("maxabs"))
+      val all = gCols ++ hCols ++ checks
+      val row = base.agg(all.head, all.tail: _*).head()
+      n = row.getAs[Long]("n")
+      require(n > 0, "logisticFit: no complete rows to fit on")
+      val maxAbs = row.getAs[Double]("maxabs")
+      require(maxAbs <= maxAbsFeature,
+        s"logisticFit: |feature| = $maxAbs exceeds maxAbsFeature=" +
+          s"$maxAbsFeature — normalize features first")
+      // sound post-hoc wrap guard: n and max|x| are exact, and this
+      // bound dominates every per-row |quantized contribution|
+      require(n.toDouble * math.max(maxAbs, 1.0) * math.max(maxAbs, 1.0) *
+        quantScale / 4.0 < math.pow(2, 62) &&
+        n.toDouble * math.max(maxAbs, 1.0) * quantScale < math.pow(2, 62),
+        "logisticFit: n*maxAbs^2*quantScale may wrap BIGINT sums — " +
+          "lower quantScale or normalize features")
+      val g = Array.tabulate(k)(j =>
+        row.getAs[Long](s"g$j").toDouble / quantScale)
+      val a = Array.tabulate(k, k) { (j, l) =>
+        val (lo, hi) = if (j <= l) (j, l) else (l, j)
+        val v = row.getAs[Long](s"h${lo}_$hi").toDouble / quantScale
+        if (j == l) v + ridge else v
+      }
+      val dw = solveFixed(a, g)
+      var j = 0
+      while (j < k) { w(j) = w(j) + dw(j); j += 1 }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+        (0 until k).map(j => org.apache.spark.sql.types.StructField(
+          s"w$j", org.apache.spark.sql.types.DoubleType, nullable = false)))
+    df.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row.fromSeq(n +: w.toSeq)), schema)
+  }
+
+  /** Fixed-order small linear solve for [[logisticFit]]: explicit
+    * Cramer cofactors for k ≤ 3 (the exact expression trees the SQL
+    * oracle replays), deterministic no-pivot-choice-ambiguity Gaussian
+    * elimination with partial pivoting for k ≤ 9. Raises on a singular
+    * system (det = 0 / zero pivot) — ridge it instead. */
+  private[graft] def solveFixed(a: Array[Array[Double]],
+      g: Array[Double]): Array[Double] = a.length match {
+    case 1 =>
+      require(a(0)(0) != 0.0, "logisticFit: singular 1x1 Hessian")
+      Array(g(0) / a(0)(0))
+    case 2 =>
+      val det = a(0)(0) * a(1)(1) - a(0)(1) * a(1)(0)
+      require(det != 0.0, "logisticFit: singular 2x2 Hessian")
+      Array((g(0) * a(1)(1) - a(0)(1) * g(1)) / det,
+        (a(0)(0) * g(1) - g(0) * a(1)(0)) / det)
+    case 3 =>
+      val det = a(0)(0) * (a(1)(1) * a(2)(2) - a(1)(2) * a(2)(1)) -
+        a(0)(1) * (a(1)(0) * a(2)(2) - a(1)(2) * a(2)(0)) +
+        a(0)(2) * (a(1)(0) * a(2)(1) - a(1)(1) * a(2)(0))
+      require(det != 0.0, "logisticFit: singular 3x3 Hessian")
+      val d0 = g(0) * (a(1)(1) * a(2)(2) - a(1)(2) * a(2)(1)) -
+        a(0)(1) * (g(1) * a(2)(2) - a(1)(2) * g(2)) +
+        a(0)(2) * (g(1) * a(2)(1) - a(1)(1) * g(2))
+      val d1 = a(0)(0) * (g(1) * a(2)(2) - a(1)(2) * g(2)) -
+        g(0) * (a(1)(0) * a(2)(2) - a(1)(2) * a(2)(0)) +
+        a(0)(2) * (a(1)(0) * g(2) - g(1) * a(2)(0))
+      val d2 = a(0)(0) * (a(1)(1) * g(2) - g(1) * a(2)(1)) -
+        a(0)(1) * (a(1)(0) * g(2) - g(1) * a(2)(0)) +
+        g(0) * (a(1)(0) * a(2)(1) - a(1)(1) * a(2)(0))
+      Array(d0 / det, d1 / det, d2 / det)
+    case k =>
+      // dense elimination, deterministic: pivot = first row with the
+      // strictly largest |value| (ties to the lowest index)
+      val m = Array.tabulate(k)(i => a(i).clone() :+ g(i))
+      for (c <- 0 until k) {
+        var piv = c
+        for (r <- c + 1 until k)
+          if (math.abs(m(r)(c)) > math.abs(m(piv)(c))) piv = r
+        require(m(piv)(c) != 0.0, "logisticFit: singular Hessian")
+        val tmp = m(c); m(c) = m(piv); m(piv) = tmp
+        for (r <- c + 1 until k) {
+          val f = m(r)(c) / m(c)(c)
+          for (cc <- c until k + 1) m(r)(cc) = m(r)(cc) - f * m(c)(cc)
+        }
+      }
+      val x = new Array[Double](k)
+      for (r <- k - 1 to 0 by -1) {
+        var s = m(r)(k)
+        for (cc <- r + 1 until k) s -= m(r)(cc) * x(cc)
+        x(r) = s / m(r)(r)
+      }
+      x
+  }
+
+  /** Serve a [[logisticFit]] model: σ(w·x) as a pure column expression
+    * (fixed-order dot, no join, no UDF) — broadcast-free because the
+    * weights are plan-time literals. */
+  def logisticScore(features: Seq[Column], weights: Seq[Double]): Column = {
+    require(weights.size == features.size + 1,
+      "weights must be (intercept +: per-feature)")
+    val xs = lit(1.0) +: features.map(_.cast("double"))
+    val z = xs.zip(weights).map { case (x, wi) => x * lit(wi) }
+      .reduce(_ + _)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   /** Population Stability Index between two cohorts of `x` per group —
     * the standard training-data DRIFT metric (is this week's corpus
     * distributed like last week's? did a source shift under the

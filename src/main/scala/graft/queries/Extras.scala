@@ -645,6 +645,23 @@ object Extras {
         coalesce(col("lang") === "en", lit(false)))
       .orderBy("source")
 
+  /** Trainable quality classifier ([[graft.operators.Stats
+    * .logisticFit]]): 3 Newton iterations of logistic regression
+    * predicting lang = 'en' from scaled length and English-stopword
+    * hits — the supervised successor of the heuristic langid vote.
+    * Per-iteration gradient/Hessian sums are exact quantized BIGINTs
+    * (the micro-logit move), the 3×3 Cramer solve is a fixed
+    * expression tree, so the fitted weights hash bit-for-bit; the
+    * mirror unrolls the same three iterations as chained CTEs. */
+  def aLogisticFit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    graft.operators.Stats.logisticFit(t(s, dir, "documents"),
+      Seq(col("n_chars").cast("double") / lit(100.0),
+        TA.vocabHits(TA.wsTokens(lower(col("text"))), TA.EnStop)
+          .cast("double") / lit(10.0)),
+      coalesce(col("lang") === "en", lit(false)))
+  }
+
   /** Quality-score calibration ([[graft.operators.Stats.isotonicFit]]):
     * the monotone fit of P(lang = 'en' | binned length) per source —
     * the PAV step a classifier-threshold pipeline runs. Pool sums and
@@ -702,6 +719,7 @@ object Extras {
     "a_ks_drift" -> (aKsDrift _),
     "a_rank_sum" -> (aRankSum _),
     "a_auc_length" -> (aAucLength _),
+    "a_logistic_fit" -> (aLogisticFit _),
     "t_isotonic_calibration" -> (tIsotonicCalibration _),
     "a_gini_quantity" -> (aGiniQuantity _),
     "a_chi_square" -> (aChiSquare _),
@@ -804,6 +822,72 @@ object Extras {
         |               / CAST(n2 * (n2 - 1) AS DOUBLE) / n2)
         |  END AS t
         |FROM m ORDER BY 1""".stripMargin
+
+  /** a_logistic_fit mirror: the three Newton iterations UNROLLED as
+    * chained CTEs (no recursive aggregation over a recursive reference
+    * — engines restrict that), each one computing the same quantized
+    * BIGINT gradient/Hessian sums and the same fixed-order 3×3 Cramer
+    * solve as `Stats.logisticFit`/`solveFixed`. Multiplications by the
+    * intercept's 1.0 are dropped on both sides (IEEE-exact no-ops). */
+  private val logisticFitOracle: String = {
+    val S = "1000000.0"
+    // one Newton iteration: quantized sums under w_{i-1}, then the
+    // dequantized symmetric solve, producing w_i
+    def iter(i: Int): String = {
+      val prev = s"w${i - 1}"
+      s"""a$i AS (SELECT
+         |    SUM(CAST(floor((y - p) * $S) AS BIGINT)) AS q_g0,
+         |    SUM(CAST(floor(((y - p) * x1) * $S) AS BIGINT)) AS q_g1,
+         |    SUM(CAST(floor(((y - p) * x2) * $S) AS BIGINT)) AS q_g2,
+         |    SUM(CAST(floor((p * (1.0 - p)) * $S) AS BIGINT)) AS q_h00,
+         |    SUM(CAST(floor(((p * (1.0 - p)) * x1) * $S) AS BIGINT)) AS q_h01,
+         |    SUM(CAST(floor(((p * (1.0 - p)) * x2) * $S) AS BIGINT)) AS q_h02,
+         |    SUM(CAST(floor((((p * (1.0 - p)) * x1) * x1) * $S) AS BIGINT)) AS q_h11,
+         |    SUM(CAST(floor((((p * (1.0 - p)) * x1) * x2) * $S) AS BIGINT)) AS q_h12,
+         |    SUM(CAST(floor((((p * (1.0 - p)) * x2) * x2) * $S) AS BIGINT)) AS q_h22
+         |  FROM (SELECT y, x1, x2,
+         |      1.0 / (1.0 + exp(-((1.0 * b0 + x1 * b1) + x2 * b2))) AS p
+         |    FROM dat CROSS JOIN $prev) q),
+         |s$i AS (SELECT b0, b1, b2,
+         |    CAST(q_g0 AS DOUBLE) / $S AS g0,
+         |    CAST(q_g1 AS DOUBLE) / $S AS g1,
+         |    CAST(q_g2 AS DOUBLE) / $S AS g2,
+         |    CAST(q_h00 AS DOUBLE) / $S AS a00,
+         |    CAST(q_h01 AS DOUBLE) / $S AS a01,
+         |    CAST(q_h02 AS DOUBLE) / $S AS a02,
+         |    CAST(q_h11 AS DOUBLE) / $S AS a11,
+         |    CAST(q_h12 AS DOUBLE) / $S AS a12,
+         |    CAST(q_h22 AS DOUBLE) / $S AS a22
+         |  FROM a$i CROSS JOIN $prev),
+         |d$i AS (SELECT b0, b1, b2, g0, g1, g2,
+         |    a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02)
+         |      + a02 * (a01 * a12 - a11 * a02) AS det,
+         |    g0 * (a11 * a22 - a12 * a12) - a01 * (g1 * a22 - a12 * g2)
+         |      + a02 * (g1 * a12 - a11 * g2) AS dt0,
+         |    a00 * (g1 * a22 - a12 * g2) - g0 * (a01 * a22 - a12 * a02)
+         |      + a02 * (a01 * g2 - g1 * a02) AS dt1,
+         |    a00 * (a11 * g2 - g1 * a12) - a01 * (a01 * g2 - g1 * a02)
+         |      + g0 * (a01 * a12 - a11 * a02) AS dt2
+         |  FROM s$i),
+         |w$i AS (SELECT b0 + dt0 / det AS b0, b1 + dt1 / det AS b1,
+         |    b2 + dt2 / det AS b2 FROM d$i)""".stripMargin
+    }
+    s"""WITH dat AS (SELECT
+       |    CASE WHEN COALESCE(lang = 'en', FALSE) THEN 1.0 ELSE 0.0 END AS y,
+       |    CAST(n_chars AS DOUBLE) / 100.0 AS x1,
+       |    CAST(length(list_filter(
+       |        string_split_regex(trim(lower(text)), '\\s+'),
+       |        x -> list_contains(
+       |          ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that'], x)))
+       |      AS DOUBLE) / 10.0 AS x2
+       |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+       |w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dat) AS n,
+       |  b0 AS w0, b1 AS w1, b2 AS w2 FROM w3""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "a_kmv_jaccard" ->
@@ -987,6 +1071,7 @@ object Extras {
         |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
         |  END AS auc
         |FROM a ORDER BY 1""".stripMargin,
+    "a_logistic_fit" -> logisticFitOracle,
     "a_ks_drift" ->
       """WITH c AS (SELECT lang, n_chars, doc_id % 2 = 0 AS coh
         |  FROM documents WHERE n_chars IS NOT NULL),

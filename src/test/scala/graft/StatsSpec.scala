@@ -744,6 +744,85 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(Seq(("x", 1.0, true), ("x", 2.0, true)))("x")._3.isEmpty)
   }
 
+  test("logisticFit: naive quantized differential; separation learned; guards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // y depends on x1 with noise; x2 is irrelevant
+    val rows = (0 until 400).map { _ =>
+      val x1 = rnd.nextDouble() * 4 - 2
+      val x2 = rnd.nextDouble() * 4 - 2
+      val y = x1 + rnd.nextGaussian() * 0.5 > 0
+      (x1, x2, y)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.logisticFit(d, Seq(col("x1"), col("x2")), col("y"))
+        .collect().head match { case r =>
+          (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) }
+    val (n, w0, w1, w2) = run(df)
+    assert(n == 400L)
+    // NAIVE replay: same quantization, same fold order, same cofactor
+    // solve — must match bitwise
+    def naive(iters: Int): Array[Double] = {
+      val S = 1e6
+      val w = Array(0.0, 0.0, 0.0)
+      for (_ <- 1 to iters) {
+        val g = Array(0L, 0L, 0L)
+        val h = Array.ofDim[Long](3, 3)
+        for ((x1v, x2v, yv) <- rows) {
+          val xs = Array(1.0, x1v, x2v)
+          val z = ((1.0 * w(0)) + (x1v * w(1))) + (x2v * w(2))
+          val p = 1.0 / (1.0 + math.exp(-z))
+          val y = if (yv) 1.0 else 0.0
+          for (j <- 0 until 3)
+            g(j) += math.floor(((y - p) * xs(j)) * S).toLong
+          for (j <- 0 until 3; l <- j until 3)
+            h(j)(l) += math.floor((((p * (1.0 - p)) * xs(j)) * xs(l)) * S)
+              .toLong
+        }
+        val gd = g.map(_.toDouble / S)
+        val a = Array.tabulate(3, 3) { (j, l) =>
+          val (lo, hi) = if (j <= l) (j, l) else (l, j)
+          h(lo)(hi).toDouble / S
+        }
+        val dw = Stats.solveFixed(a, gd)
+        for (j <- 0 until 3) w(j) = w(j) + dw(j)
+      }
+      w
+    }
+    val expect = naive(3)
+    assert((w0, w1, w2) == ((expect(0), expect(1), expect(2))),
+      s"($w0,$w1,$w2) vs naive ${expect.toSeq}")
+    // the signal was learned: strong positive x1 weight, x2 near zero,
+    // and the fitted scores separate the classes (AUC via Stats.auc)
+    assert(w1 > 1.0 && math.abs(w2) < w1 / 2, s"w1=$w1 w2=$w2")
+    val scored = df.withColumn("s",
+      Stats.logisticScore(Seq(col("x1"), col("x2")), Seq(w0, w1, w2)))
+    val aucV = Stats.auc(scored, Seq(lit("all")), col("s"), col("y"))
+      .collect().head.getDouble(3)
+    assert(aucV > 0.9, s"fitted AUC $aucV")
+    // layout invariance is bitwise (quantized sums are exact)
+    assert(run(df.repartition(13)) == ((n, w0, w1, w2)))
+    // duplicate feature -> exactly singular Hessian -> raise; ridge fixes
+    val e = intercept[Exception] {
+      Stats.logisticFit(df, Seq(col("x1"), col("x1")), col("y")).collect()
+    }
+    assert(e.getMessage.contains("singular"), s"got: $e")
+    Stats.logisticFit(df, Seq(col("x1"), col("x1")), col("y"),
+      ridge = 1e-3).collect() // must not throw
+    // un-normalized features fail fast
+    val big = df.withColumn("x1", col("x1") * 10000)
+    val e2 = intercept[Exception] {
+      Stats.logisticFit(big, Seq(col("x1"), col("x2")), col("y")).collect()
+    }
+    assert(e2.getMessage.contains("maxAbsFeature"), s"got: $e2")
+    // elimination path (d = 3) learns the same signal
+    val df3 = df.withColumn("x3", col("x2") * 0.5 + lit(1.0))
+    val r3 = Stats.logisticFit(df3,
+      Seq(col("x1"), col("x2"), col("x3")), col("y")).collect().head
+    assert(r3.getDouble(2) > 1.0, s"d=3 w1 ${r3.getDouble(2)}")
+  }
+
   test("gini: textbook values, tie-invariant, layout-stable") {
     import spark.implicits._
     // perfect equality → 0; maximal concentration (one owner) → (n-1)/n
