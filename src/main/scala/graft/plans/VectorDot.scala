@@ -136,6 +136,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         JaroWinklerSimilarity(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfd"),
+      new ExpressionInfo(classOf[NfdNormalize].getName, "graft_nfd"),
+      (children: Seq[Expression]) => NfdNormalize(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("variant_events"),
       new ExpressionInfo(classOf[VariantEventsGenerator].getName, "variant_events"),
       (children: Seq[Expression]) => VariantEventsGenerator(children)))

@@ -419,6 +419,7 @@ object Relational {
     "c_ewma_level" -> (cEwmaLevel _),
     "c_holt_forecast" -> (cHoltForecast _),
     "c_mann_kendall" -> (cMannKendall _),
+    "c_assoc_rules" -> (cAssocRules _),
     "c_theil_sen_trend" -> (cTheilSenTrend _),
     "c_changepoints" -> (cChangepoints _),
     "c_cusum_alarms" -> (cCusumAlarms _),
@@ -576,6 +577,16 @@ object Relational {
         alpha = 0.25, gamma = 0.125, horizon = 4)
       .orderBy("key")
   }
+
+  /** Association rules over per-user event-type baskets
+    * ([[graft.operators.Assoc.associationRules]]): which event types
+    * co-occur in the same user's history beyond chance —
+    * support/confidence/lift as ratios of exact BIGINT counts, so
+    * every float column hashes exactly. */
+  def cAssocRules(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Assoc.associationRules(t(s, dir, "events"),
+        col("user_id"), col("event_type"))
+      .orderBy("antecedent", "consequent")
 
   /** Mann–Kendall trend test over the weekly event series
     * ([[graft.operators.Stats.mannKendall]]) — the significance half of
@@ -800,6 +811,35 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    // Association-rules mirror: the same dedup -> self-join -> count
+    // pipeline; every metric a fixed ratio of exact BIGINTs.
+    "c_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT user_id AS bk, event_type AS it
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_baskets
+        |  FROM bi),
+        |itn AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n_it
+        |  FROM bi GROUP BY 1),
+        |pn AS (SELECT l.it AS it_a, r.it AS it_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+        |  GROUP BY 1, 2),
+        |d AS (SELECT it_a AS antecedent, it_b AS consequent, n_both
+        |  FROM pn
+        |  UNION ALL
+        |  SELECT it_b, it_a, n_both FROM pn)
+        |SELECT d.antecedent, d.consequent, a.n_it AS n_ante,
+        |  c.n_it AS n_cons, d.n_both, nb.n_baskets,
+        |  CAST(d.n_both AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE)
+        |    AS support,
+        |  CAST(d.n_both AS DOUBLE) / CAST(a.n_it AS DOUBLE)
+        |    AS confidence,
+        |  (CAST(d.n_both AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE))
+        |    / (CAST(a.n_it AS DOUBLE) * CAST(c.n_it AS DOUBLE)) AS lift
+        |FROM d JOIN itn a ON a.it = d.antecedent
+        |JOIN itn c ON c.it = d.consequent
+        |CROSS JOIN nb ORDER BY antecedent, consequent""".stripMargin,
     "c_changepoints" -> changepointsOracle,
     "c_cusum_alarms" -> cusumOracle,
     "c_optimal_changepoints" -> optimalChangepointsOracle,

@@ -924,6 +924,34 @@ object TextLLM {
       .orderBy("doc_id")
   }
 
+  /** Unicode NFC normalization (`graft_nfc`,
+    * [[graft.plans.NfcKernel]]) over part names with injected canonical
+    * hazards: a decomposed café, a cedilla+acute needing canonical
+    * REORDERING before composition, a precomposed Å (must pass
+    * through), a dot-above/dot-below reorder-and-recompose, and Hangul
+    * jamo composition. The oracle runs DuckDB's own `nfc_normalize` on
+    * the same construction — a hash match certifies the JDK and
+    * utf8proc agree byte-for-byte on UAX #15 across the fixture,
+    * normalized text and octet counts included. */
+  def tUnicodeNfc(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "part").filter(col("p_partkey") <= 150)
+      .select(col("p_partkey").as("id"), col("p_name").as("s0"))
+    base.select(col("id"),
+        // explicit escapes -- composed/decomposed forms must be exact:
+        // decomposed cafe+acute; e+cedilla+acute (already in canonical
+        // ccc order, composes to U+0229 + kept acute); precomposed
+        // U+00C5; U+1E0B (d with dot above, precomposed) + combining
+        // dot below U+0323 (decompose, reorder below<above, recompose
+        // to U+1E0D + U+0307); Hangul jamo U+1100 U+1161 (-> U+AC00)
+        concat(col("s0"), lit(" café "), lit("ȩ́"),
+          lit(" Å ḍ̇ 가")).as("raw"))
+      .withColumn("n_raw", octet_length(col("raw")))
+      .withColumn("nfc", call_function("graft_nfc", col("raw")))
+      .withColumn("n_nfc", octet_length(col("nfc")))
+      .select("id", "n_raw", "nfc", "n_nfc")
+      .orderBy("id")
+  }
+
   /** Deterministic target-mixture sampling: per-source keep rates applied
     * by md5-threshold — counts are exact across engines AND runs. */
   def tMixtureSample(s: SparkSession, dir: String): DataFrame =
@@ -1277,6 +1305,7 @@ object TextLLM {
     "t_lm_transitions" -> (tLmTransitions _),
     "t_lm_perplexity" -> (tLmPerplexity _),
     "t_ccnet_buckets" -> (tCcnetBuckets _),
+    "t_unicode_nfc" -> (tUnicodeNfc _),
     "t_mixture_sample" -> (tMixtureSample _),
     "t_stratified_sample" -> (tStratifiedSample _),
     "t_weighted_sample" -> (tWeightedSample _),
@@ -1498,6 +1527,22 @@ object TextLLM {
         |  CASE WHEN bucket_i = 1 THEN 'head' WHEN bucket_i = 3 THEN 'tail'
         |       ELSE 'middle' END AS bucket
         |FROM b ORDER BY doc_id""".stripMargin,
+    // NFC mirror: identical codepoint construction via chr()
+    // (encoding-proof), normalized by DuckDB's OWN nfc_normalize — a
+    // hash match certifies JDK Normalizer == utf8proc on composition,
+    // canonical reordering, pass-through, and Hangul for this fixture.
+    "t_unicode_nfc" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS id,
+        |    p_name || ' cafe' || chr(769) || ' ' ||
+        |      'e' || chr(807) || chr(769) ||
+        |      ' ' || chr(197) || ' ' || chr(7691) || chr(803) || ' ' ||
+        |      chr(4352) || chr(4449) AS raw
+        |  FROM part WHERE p_partkey <= 150)
+        |SELECT id, CAST(strlen(raw) AS INTEGER) AS n_raw,
+        |  nfc_normalize(raw) AS nfc,
+        |  CAST(strlen(nfc_normalize(raw)) AS INTEGER) AS n_nfc
+        |FROM base ORDER BY id""".stripMargin,
     // replace-chain BPE over the ‹symbol›-wrapped text, innermost replace
     // = rank-0 merge; token count = symbol count minus space symbols
     // (each '‹ ›' is 3 codepoints); md5 over the same UTF-8 bytes

@@ -227,6 +227,31 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ------------------------------------------------------------- text ops
 
+  test("graft_nfc/graft_nfd: composition, reordering, Hangul, no K-folding") {
+    import spark.implicits._
+    def nfc(s: String) = Seq(Tuple1(s)).toDF("s")
+      .select(call_function("graft_nfc", col("s"))).as[String].collect().head
+    def nfd(s: String) = Seq(Tuple1(s)).toDF("s")
+      .select(call_function("graft_nfd", col("s"))).as[String].collect().head
+    // decomposed cafe + combining acute composes to the 4-cp form
+    assert(nfc("café") == "café")
+    // canonical reordering: acute-then-cedilla input must reorder
+    // (cedilla ccc 202 < acute ccc 230) before composing with the base
+    assert(nfc("ȩ́") == nfc("ȩ́"))
+    assert(nfc("ȩ́") == "ȩ́")
+    // precomposed passes through; NFD undoes it; round-trip restores
+    assert(nfc("Å") == "Å" && nfd("Å") == "Å")
+    assert(nfc(nfd("ḍ̇")) == "ḍ̇")
+    // Hangul jamo compose to the syllable
+    assert(nfc("가") == "가")
+    // canonical-only: the ffi ligature is COMPATIBILITY equivalent,
+    // NFC must not fold it
+    assert(nfc("ﬃ") == "ﬃ")
+    // ASCII is untouched; empty survives; idempotence
+    assert(nfc("plain ascii!") == "plain ascii!" && nfc("") == "")
+    assert(nfc(nfc("café")) == "café")
+  }
+
   test("token counting and normalization") {
     val df = docsDf((1L, "  The quick, brown fox!  "), (2L, ""))
     val out = df.select(TA.tokenCount(col("text")).as("n"),

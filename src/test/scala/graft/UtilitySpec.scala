@@ -388,6 +388,46 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out2.sum) < 1e-12, s"seasonal not centered: ${out2.toList}")
   }
 
+  test("associationRules: hand-computed support/confidence/lift; dedup; guards") {
+    import spark.implicits._
+    import graft.operators.Assoc
+    // baskets: 1:{a,b,c} 2:{a,b} 3:{a} — with a duplicate (1, a) row
+    // that must not inflate counts
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (3L, "a")).toDF("bk", "it")
+    val out = Assoc.associationRules(df, col("bk"), col("it"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8)))).toMap
+    assert(out.size == 6) // 3 co-occurring pairs x 2 directions
+    // a->b: n_a=3, n_b=2, n_ab=2, N=3
+    assert(out(("a", "b")) ==
+      ((3L, 2L, 2L, 3L, 2.0 / 3.0, 2.0 / 3.0, 2.0 * 3.0 / (3.0 * 2.0))))
+    // b->a is certain: confidence 1, same lift
+    assert(out(("b", "a"))._6 == 1.0 && out(("b", "a"))._7 == 1.0)
+    // c only co-occurs inside basket 1
+    assert(out(("c", "a")) == ((1L, 3L, 1L, 3L, 1.0 / 3.0, 1.0, 1.0)))
+    assert(out(("c", "b"))._7 == 1.5, "c,b together more than chance")
+    // minPairCount prunes
+    assert(Assoc.associationRules(df, col("bk"), col("it"),
+      minPairCount = 2).count() == 2)
+    // hub-basket fail-fast
+    val hub = (0 until 50).map(i => (1L, s"i$i")).toDF("bk", "it")
+    val e = intercept[Exception] {
+      Assoc.associationRules(hub, col("bk"), col("it"),
+        maxBasketItems = 10).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxBasketItems")), s"got: $e")
+    // candidates stay an equi-join on the basket key
+    val plan = Assoc.associationRules(df, col("bk"), col("it"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "association join must not plan a cartesian product")
+  }
+
   test("raw-variants TSV round-trip: '-' sentinels become typed nulls (S6)") {
     import spark.implicits._
     val raw = VariantCalling_fixtureEvents()
