@@ -112,4 +112,54 @@ object Quality {
         s"${r.getString(0)} (${r.getLong(1)} violations)").mkString("; "))
     df
   }
+
+  /** Benford's-law expected first-digit probabilities log₁₀(1 + 1/d),
+    * d = 1..9, as FIXED double literals (computed once here, embedded
+    * identically in the SQL mirror) — so no engine's log implementation
+    * ever runs inside the registered query. */
+  val BenfordP: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Benford first-digit conformance per group — the classic
+    * fabricated-or-degenerate-numbers screen (Benford 1938; auditing
+    * standard since Nigrini): natural multi-magnitude quantities put
+    * ~30.1% of first digits at 1, a uniform or synthetic column does
+    * not, so a high χ² flags generated/defaulted/truncated data the
+    * null-and-range checks above cannot see.
+    *
+    * Exactness discipline: the first digit comes from the DECIMAL/INT
+    * string prefix of floor(x) — no log10 bucketing, no float anywhere
+    * until the final χ² fold; digit counts are exact BIGINTs, expected
+    * probabilities are the [[BenfordP]] literals, and
+    * χ² = Σ_d (n_d − n·p_d)²/(n·p_d) folds in fixed digit order — so
+    * the statistic hashes cross-engine. Rows with null or < 1 values
+    * are dropped (Benford is about positive magnitudes ≥ 1; fractional
+    * leading zeros have no first digit in this convention).
+    *
+    * One aggregation pass; output: groups... + (n, d1..d9, chi2). */
+  def benford(df: DataFrame, groupCols: Seq[Column], x: Column): DataFrame = {
+    // via BIGINT so the string form is bare digits on every engine
+    // (a DECIMAL's VARCHAR cast may carry trailing ".000")
+    val digit = substring(floor(x).cast("bigint").cast("string"), 1, 1)
+    val aggs = count(lit(1)).as("n") +:
+      (1 to 9).map(d =>
+        sum(when(digit === lit(d.toString), 1L).otherwise(0L))
+          .as(s"d$d"))
+    val counted = df.filter(x.isNotNull && x >= 1)
+      .groupBy(groupCols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+    // the 9 terms fold through an explicit HOF, NOT a bare `+` chain:
+    // Catalyst rebalances long associative chains for codegen depth,
+    // which silently reassociates the float sum (measured: the 9-term
+    // chain came back as a balanced tree, one ulp off the oracle's
+    // left fold) — a lambda is opaque to that rewrite, and the
+    // 0.0-seeded left fold equals list_reduce's first-element seed
+    // exactly (0.0 + t₁ = t₁ in IEEE)
+    val terms = (1 to 9).map { d =>
+      val e = col("n").cast("double") * lit(BenfordP(d - 1))
+      ((col(s"d$d").cast("double") - e) *
+        (col(s"d$d").cast("double") - e)) / e
+    }
+    val chi2 = aggregate(array(terms: _*), lit(0.0), (a, x) => a + x)
+    counted.withColumn("chi2", when(col("n") > 0, chi2))
+  }
 }

@@ -420,6 +420,7 @@ object Relational {
     "c_holt_forecast" -> (cHoltForecast _),
     "c_mann_kendall" -> (cMannKendall _),
     "c_assoc_rules" -> (cAssocRules _),
+    "a_benford_prices" -> (aBenfordPrices _),
     "c_theil_sen_trend" -> (cTheilSenTrend _),
     "c_changepoints" -> (cChangepoints _),
     "c_cusum_alarms" -> (cCusumAlarms _),
@@ -587,6 +588,16 @@ object Relational {
     graft.operators.Assoc.associationRules(t(s, dir, "events"),
         col("user_id"), col("event_type"))
       .orderBy("antecedent", "consequent")
+
+  /** Benford first-digit conformance of order totals per priority
+    * ([[graft.operators.Quality.benford]]): exact digit counts via the
+    * BIGINT string prefix, χ² against the [[graft.operators.Quality
+    * .BenfordP]] literals in fixed digit order — fully hash-checkable
+    * (no log evaluated in either engine). */
+  def aBenfordPrices(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.benford(t(s, dir, "orders"),
+        Seq(col("o_orderpriority")), col("o_totalprice"))
+      .orderBy("o_orderpriority")
 
   /** Mann–Kendall trend test over the weekly event series
     * ([[graft.operators.Stats.mannKendall]]) — the significance half of
@@ -810,7 +821,43 @@ object Relational {
       |FROM segs ORDER BY key, seg""".stripMargin
   }
 
+  /** a_benford_prices mirror: exact digit counts, χ² over the SAME
+    * BenfordP double literals (interpolated below, so neither engine
+    * evaluates a log), fixed digit-order fold. */
+  private val benfordOracle: String = {
+    val digit =
+      "substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)"
+    val counts = (1 to 9).map(d =>
+      s"    CAST(SUM(CASE WHEN $digit = '$d' THEN 1 ELSE 0 END) " +
+        s"AS BIGINT) AS d$d").mkString(",\n|")
+    // list_reduce's first-element seed == the operator's 0.0-seeded
+    // fold (0.0 + t1 = t1 exactly); a bare + chain would be exposed to
+    // either engine's reassociation
+    // CAST each constant to DOUBLE FROM A STRING: a bare 17-digit
+    // literal is typed DECIMAL (decimal arithmetic, term 3 measured 5
+    // ulps off), and CAST(DECIMAL AS DOUBLE) double-rounds because the
+    // 17-digit mantissa exceeds 2^53 — only the string parse is the
+    // correctly-rounded nearest double, i.e. the exact lit() Spark uses
+    val chi2 = (1 to 9).map { d =>
+      val p = s"CAST('${graft.operators.Quality.BenfordP(d - 1)}' AS DOUBLE)"
+      s"((CAST(d$d AS DOUBLE) - CAST(n AS DOUBLE) * $p) * " +
+        s"(CAST(d$d AS DOUBLE) - CAST(n AS DOUBLE) * $p)) / " +
+        s"(CAST(n AS DOUBLE) * $p)"
+    }.mkString("list_reduce([\n|    ", ",\n|    ", "\n|    ], (a, b) -> a + b)")
+    s"""WITH c AS (SELECT o_orderpriority,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |$counts
+       |  FROM orders
+       |  WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
+       |  GROUP BY 1)
+       |SELECT o_orderpriority, n, d1, d2, d3, d4, d5, d6, d7, d8, d9,
+       |  CASE WHEN n > 0 THEN $chi2
+       |  END AS chi2
+       |FROM c ORDER BY o_orderpriority""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "a_benford_prices" -> benfordOracle,
     // Association-rules mirror: the same dedup -> self-join -> count
     // pipeline; every metric a fixed ratio of exact BIGINTs.
     "c_assoc_rules" ->

@@ -64,4 +64,28 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val through = Quality.enforce(dirty, Seq(InRange("v", 0.0, 1000.0)))
     assert(through.count() == 5)
   }
+
+  test("benford: exact digit counts; geometric data conforms, uniform does not") {
+    import org.apache.spark.sql.functions._
+    // hand case: digits 1,1,1,2,3,9; 0.5 and null drop
+    val hand = Seq[java.lang.Double](10.0, 11.5, 19.0, 2.0, 3.9, 999.0,
+      0.5, null).map(Tuple2("g", _)).toDF("g", "x")
+    val h = Quality.benford(hand, Seq(col("g")), col("x")).collect().head
+    assert(h.getLong(1) == 6L, "n excludes <1 and null")
+    assert((1 to 9).map(d => h.getLong(1 + d)) ==
+      Seq(3L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 1L), s"counts ${h.toSeq}")
+    // multi-magnitude geometric growth is the Benford-generating shape;
+    // a uniform 5-digit column concentrates first digits near flat
+    val rnd = new scala.util.Random(7)
+    val geo = (0 until 3000).map(_ =>
+      ("geo", math.pow(10.0, rnd.nextDouble() * 5 + 0.1)))
+    val uni = (0 until 3000).map(_ =>
+      ("uni", 10000.0 + rnd.nextInt(90000).toDouble))
+    val out = Quality.benford((geo ++ uni).toDF("g", "x"),
+        Seq(col("g")), col("x"))
+      .collect().map(r => r.getString(0) -> r.getDouble(11)).toMap
+    assert(out("geo") < 30.0, s"geometric chi2 ${out("geo")}")
+    assert(out("uni") > 500.0, s"uniform chi2 ${out("uni")}")
+    assert(out("uni") > out("geo") * 10)
+  }
 }
