@@ -64,6 +64,9 @@ object PlanDump {
     "a_welch_partials" -> "incremental Welch — three batch-sliced conditional-moment aggregates union + component-wise BIGINT re-sum; the fixed float tail sits on the merged partials, so the plan proves batch slicing adds one cheap re-aggregate, not a rescan",
     "d_max_dup_spans" -> "pairwise max duplicated spans — digest-posting self-join (md5 keys, posting fail-fast BEFORE the join), then gaps-and-islands windowed per (pair, diagonal): tiny partitions, no global sort, text never shuffles",
     "d_remove_dup_spans" -> "duplicated-span removal — canonical election as groupBy-min on the digest (no hot-hash window), per-doc islands, and a broadcast-able (id, spans) join back; the excision is an index-aware array filter IN THE SCAN — the corpus text never crosses an exchange",
+    "d_jaro_winkler_pairs" -> "jaro-winkler join — block-key equi-self-join (no cartesian), native codegen'd graft_jaro_winkler scorer inside the join stage; the block-size guard is one count window over (key, id) rows",
+    "c_assoc_rules" -> "association rules — distinct (basket, item) agg, basket-key equi-self-join for pairs, two broadcast-able count joins + a 1-row broadcast total; every metric a projection",
+    "d_edit1_pairs" -> "edit-distance-1 join — deletion-variant hash postings equi-join (16-byte rows), exact levenshtein verify AFTER the candidate distinct; strings re-attach by two narrow id joins",
     "s_embedding_covariance" -> "exact-integer covariance — two chained generators fan each row to its upper-triangle products, the hash aggregate combines map-side so only d² partial rows per partition cross the exchange; the closing division is one projected expression",
     "a_psi_drift" -> "PSI drift — one when-chain binning aggregate (exact BIGINT counts), a groups×bins window for totals, and a FIXED-ORDER sorted-list fold for the float tail — no plan-ordered float summation anywhere",
     "c_seasonal_decompose" -> "seasonal decomposition — per-group centered-window sums (no global sort), a |groups|×period seasonal aggregate joined back, every float from exact integers via fixed-order ops",

@@ -573,6 +573,53 @@ object StreamingTimeSeries {
           .dropDuplicates("w1", "w2", "batch_id").drop("batch_id"))),
       maxBigrams)
 
+  /** Streaming association-rule maintenance — the ingestion face of
+    * [[graft.operators.Assoc.associationRules]]. Basket-pair facts are
+    * DISTINCT (basket, item) sightings, which are NOT additive across
+    * micro-batches (the same user clicking again must not double-count
+    * into support), so this sink is the INCREMENTAL-DEDUP shape, not
+    * the partial-sum shape: each micro-batch's distinct pairs
+    * anti-join the state table and only unseen pairs append. That
+    * makes the sink IDEMPOTENT BY CONSTRUCTION under foreachBatch's
+    * at-least-once replay — a replayed batch finds all its pairs
+    * already in state and appends nothing — so no batch_id guard is
+    * needed (the KMV/HLL posture, achieved via anti-join instead of
+    * union semantics). State is the distinct pair set: exactly the
+    * input [[graft.operators.Assoc.associationRules]] deduplicates to
+    * anyway, so the readout is definitionally == the batch run over
+    * the whole history. */
+  def startBasketPairsQuery(events: DataFrame, basketCol: String,
+      itemCol: String, targetDir: String, checkpointDir: String) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch.toDF()
+          .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+          .select(col(basketCol).as("bk"), col(itemCol).as("it"))
+          .distinct()
+        val seen =
+          try spark.read.parquet(targetDir)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              fresh.schema)
+          }
+        fresh.join(seen, Seq("bk", "it"), "left_anti")
+          .write.mode("append").parquet(targetDir)
+      }
+      .start()
+
+  /** Whole-stream association rules from the pair state maintained by
+    * [[startBasketPairsQuery]] — the state IS the deduplicated input,
+    * so this is bit-identical to the batch operator over all history. */
+  def mergedAssociationRules(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, minPairCount: Long = 1,
+      maxBasketItems: Int = 1000): DataFrame =
+    graft.operators.Assoc.associationRules(spark.read.parquet(targetDir),
+      col("bk"), col("it"), minPairCount, maxBasketItems)
+
   /** Streaming exact dedup — the ingestion-time face of the batch dedup
     * block: arriving documents are keyed by (xxhash64, sha2) of their
     * content and deduplicated statefully; the event-time watermark bounds

@@ -198,6 +198,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming basket pairs: merged rules == batch rules; replay appends nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("assoc_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("assoc_ckpt").toString
+    val rng = new scala.util.Random(43)
+    // heavy cross-batch repetition: the same (user, event) re-arrives
+    val all = (0 until 600).map(_ =>
+      (rng.nextInt(40).toLong, s"e${rng.nextInt(6)}"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingTimeSeries.startBasketPairsQuery(
+      input.toDF().toDF("u", "e"), "u", "e", s"$dir/data", ckpt)
+    try {
+      input.addData(all.take(50): _*); q.processAllAvailable()
+      input.addData(all.slice(50, 400): _*); q.processAllAvailable()
+      input.addData(all.drop(400): _*); q.processAllAvailable()
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2))
+          .toMap
+      val streamed = canon(
+        StreamingTimeSeries.mergedAssociationRules(spark, s"$dir/data"))
+      val batch = canon(graft.operators.Assoc.associationRules(
+        all.toDF("u", "e"), col("u"), col("e")))
+      assert(streamed == batch,
+        "stream-maintained rules diverged from the one-shot batch run")
+      // state holds exactly the distinct pairs — no replay bloat possible,
+      // and re-processing an already-seen slice appends nothing
+      val stateBefore = spark.read.parquet(s"$dir/data").count()
+      assert(stateBefore == all.map(t => (t._1, t._2)).distinct.size.toLong)
+      input.addData(all.take(50): _*); q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/data").count() == stateBefore,
+        "re-delivered pairs must anti-join away")
+      assert(canon(StreamingTimeSeries.mergedAssociationRules(
+        spark, s"$dir/data")) == batch)
+    } finally q.stop()
+  }
+
   test("streaming moment partials: merged batches == one-shot batch stats, bit for bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
