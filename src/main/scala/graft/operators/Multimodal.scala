@@ -208,6 +208,75 @@ object Multimodal {
       .toDF("id", "simhash")
   }
 
+  /** Fixed-point DCT-II basis for [[pHash64]]: T(u)(x) =
+    * rint(cos(π(2x+1)u/64)·2¹⁴) for u < 8, x < 32. `rint` (half-even)
+    * is symmetric, so the odd-u rows cancel pairwise exactly —
+    * uniform-brightness shifts move only the (near-zero) even-u sums.
+    * These INTEGERS are the single source of truth for both engines:
+    * the SQL mirror interpolates them literally, so no cosine is ever
+    * evaluated inside a registered query. */
+  val DctT: Array[Array[Long]] = Array.tabulate(8, 32)((u, x) =>
+    math.rint(math.cos(math.Pi * (2 * x + 1) * u / 64.0) * 16384.0).toLong)
+
+  /** Perceptual DCT hash (pHash) — the frequency-domain complement of
+    * [[dHash64]]: dHash bits are LOCAL horizontal gradients (robust to
+    * global shifts, flipped by local edits near sampled pixels); pHash
+    * thresholds the 63 lowest-frequency DCT coefficients of the whole
+    * 32×32 luma plane against their exact median, so scattered
+    * single-pixel noise perturbs every coefficient a little and
+    * usually no bit at all — the classic re-encode/watermark/noise
+    * detector (pHash.org's algorithm, integer-exact here).
+    *
+    * Pipeline: real-codec decode → 32×32 nearest sample (the
+    * [[dHash64]] floor index math) → integer luma → exact BIGINT DCT
+    * via [[DctT]] (|F| ≤ 1024·255·2²⁸ < 2⁴⁷, no overflow) → the 63
+    * AC coefficients of the top-left 8×8 block threshold against
+    * their 32nd-smallest (exact order statistic) → 63 bits, row-major
+    * (v·8+u−1). Every step replayable in SQL from a pixel formula.
+    * None for undecodable payloads. */
+  def pHash64(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      val w = im.getWidth; val h = im.getHeight
+      val gray = Array.tabulate(32, 32) { (x, y) =>
+        val p = im.getRGB(x * w / 32, y * h / 32)
+        ((((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+          (p & 0xff) * 114) / 1000).toLong
+      }
+      // separable exact DCT: G(u)(y) = Σ_x T(u)(x)·gray(x)(y), then
+      // F(u)(v) = Σ_y T(v)(y)·G(u)(y) — integer sums, any association
+      val g2 = Array.tabulate(8, 32) { (u, y) =>
+        var s = 0L; var x = 0
+        while (x < 32) { s += DctT(u)(x) * gray(x)(y); x += 1 }; s
+      }
+      val f = Array.tabulate(8, 8) { (u, v) =>
+        var s = 0L; var y = 0
+        while (y < 32) { s += DctT(v)(y) * g2(u)(y); y += 1 }; s
+      }
+      val ac = (for (v <- 0 until 8; u <- 0 until 8; if u != 0 || v != 0)
+        yield f(u)(v)).toArray
+      val med = ac.sorted.apply(31) // 32nd smallest of 63
+      var hash = 0L
+      for (v <- 0 until 8; u <- 0 until 8; if u != 0 || v != 0)
+        if (f(u)(v) > med) hash |= 1L << (v * 8 + u - 1)
+      hash
+    }
+  }
+
+  /** Column face of [[pHash64]] — same (id, simhash) shape as
+    * [[imageDHashes]] so the banded candidate machinery applies
+    * unchanged. */
+  def imagePHashes(df: DataFrame, idCol: Column, payloadCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(idCol.cast("long").as("id"), payloadCol.as("p"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => pHash64(p).map(id -> _) })
+      .toDF("id", "simhash")
+  }
+
   /** One decoded animation frame reduced to exact integer pixel sums —
     * the video analog of [[ImageStats]]. */
   final case class FrameStats(frameIdx: Int, width: Int, height: Int,

@@ -1130,6 +1130,51 @@ object TextLLM {
       .orderBy("id_a", "id_b")
   }
 
+  /** pHash (DCT) image near-duplicate detection — the frequency-domain
+    * sibling of m_dhash_neardups over REAL 32×32 PNGs: exact-pixel
+    * re-encodes (id+1000) land at Hamming 0, scattered-pixel noise
+    * (id+2000, ~10 bumped pixels) stays within the threshold because
+    * median-thresholded global frequencies absorb local noise, and a
+    * uniform +24 brightness shift (id+3000) is near-invariant because
+    * the odd-u basis rows of [[graft.operators.Multimodal.DctT]] sum to
+    * exactly zero. Integer-exact end to end (fixed-point DCT), so the
+    * oracle replays pixels → luma → BIGINT DCT (the same interpolated
+    * table) → median threshold → bits → bands → Hamming in plain SQL. */
+  def mPhashNearDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = docs(s, dir).filter(col("doc_id") < 40)
+      .select(col("doc_id")).as[Long]
+    val images = ids.mapPartitions { it =>
+      it.flatMap { id =>
+        def png(noise: Boolean, bright: Int): Array[Byte] =
+          Multimodal.encodePng(32, 32, (x, y) => {
+            val r0 = ((id * 31 + x * 7 + y * 13) % 200).toInt
+            val r1 = if (noise && (x * 7 + y * 11) % 97 == 0)
+              (r0 + 50) % 200 else r0
+            val g = ((id * 17 + x * 5 + y * 3) % 200).toInt
+            val b = ((id * 7 + x * 11 + y * 19) % 200).toInt
+            ((r1 + bright) << 16) | ((g + bright) << 8) | (b + bright)
+          })
+        Seq(id -> png(noise = false, bright = 0)) ++
+          (if (id < 12) Seq((id + 1000) -> png(noise = false, bright = 0))
+           else Nil) ++
+          (if (id < 6) Seq((id + 2000) -> png(noise = true, bright = 0))
+           else Nil) ++
+          (if (id < 6) Seq((id + 3000) -> png(noise = false, bright = 24))
+           else Nil)
+      }
+    }.toDF("id", "payload")
+    val sigs = Multimodal.imagePHashes(images, col("id"), col("payload"))
+    val cand = Dedup.simhashCandidatesFromSigs(sigs, bands = 4)
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("simhash").as("ha")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("simhash").as("hb")), "id_b")
+      .withColumn("hamming", Dedup.hamming64(col("ha"), col("hb")))
+      .filter(col("hamming") <= 8)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Audio near-duplicate detection end to end: deterministic PCM-16
     * payloads through the REAL RIFF encode→decode chain, fingerprinted
     * by [[Multimodal.audioDHash64]] (energy-envelope delta bits), banded
@@ -1325,6 +1370,7 @@ object TextLLM {
     "m_png_pixel_stats" -> (mPngPixelStats _),
     "m_jpeg_pixel_stats" -> (mJpegPixelStats _),
     "m_dhash_neardups" -> (mDhashNearDups _),
+    "m_phash_neardups" -> (mPhashNearDups _),
     "m_audio_fingerprint_neardups" -> (mAudioFingerprintNeardups _),
     "m_resize_pixel_stats" -> (mResizePixelStats _),
     "m_gif_frame_stats" -> (mGifFrameStats _),
@@ -1415,6 +1461,65 @@ object TextLLM {
        |SELECT id_a, id_b,
        |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
        |FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 8
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** m_phash_neardups mirror — built programmatically so the
+    * fixed-point DCT table is interpolated from
+    * [[graft.operators.Multimodal.DctT]], the single source of truth
+    * for both engines. */
+  private val phashOracle: String = {
+    val ttRows = (for (u <- 0 until 8; x <- 0 until 32) yield
+      s"($u, $x, ${graft.operators.Multimodal.DctT(u)(x)})").mkString(", ")
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS id, doc_id AS src, FALSE AS noise, 0 AS bright
+       |  FROM documents WHERE doc_id < 40
+       |  UNION ALL
+       |  SELECT doc_id + 1000, doc_id, FALSE, 0 FROM documents
+       |  WHERE doc_id < 12
+       |  UNION ALL
+       |  SELECT doc_id + 2000, doc_id, TRUE, 0 FROM documents
+       |  WHERE doc_id < 6
+       |  UNION ALL
+       |  SELECT doc_id + 3000, doc_id, FALSE, 24 FROM documents
+       |  WHERE doc_id < 6),
+       |tt AS (SELECT * FROM (VALUES $ttRows) v(u, x, c)),
+       |px AS (SELECT id, x, y,
+       |    CASE WHEN noise AND (x * 7 + y * 11) % 97 = 0
+       |         THEN ((src * 31 + x * 7 + y * 13) % 200 + 50) % 200
+       |         ELSE (src * 31 + x * 7 + y * 13) % 200 END + bright AS r,
+       |    (src * 17 + x * 5 + y * 3) % 200 + bright AS g,
+       |    (src * 7 + x * 11 + y * 19) % 200 + bright AS b
+       |  FROM imgs CROSS JOIN range(32) xs(x) CROSS JOIN range(32) ys(y)),
+       |gr AS (SELECT id, x, y,
+       |    (r * 299 + g * 587 + b * 114) // 1000 AS gray FROM px),
+       |f AS (SELECT gr.id, tu.u AS u, tv.u AS v,
+       |    CAST(SUM(CAST(gr.gray AS BIGINT) * tu.c * tv.c) AS BIGINT) AS f
+       |  FROM gr JOIN tt tu ON tu.x = gr.x JOIN tt tv ON tv.x = gr.y
+       |  GROUP BY 1, 2, 3),
+       |ac AS (SELECT id, u, v, f FROM f WHERE NOT (u = 0 AND v = 0)),
+       |med AS (SELECT id, f AS med FROM (
+       |    SELECT id, f, ROW_NUMBER() OVER (PARTITION BY id ORDER BY f)
+       |      AS rn FROM ac) WHERE rn = 32),
+       |sig AS (SELECT ac.id,
+       |    CAST(SUM(CASE WHEN ac.f > med.med
+       |      THEN (CAST(1 AS BIGINT) <<
+       |        CAST(ac.v * 8 + ac.u - 1 AS INTEGER))
+       |      ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM ac JOIN med ON med.id = ac.id GROUP BY 1),
+       |bk AS (SELECT id, b,
+       |    (simhash >> CAST(b * 16 AS INTEGER)) & 65535 AS bucket
+       |  FROM sig CROSS JOIN range(4) rb(b)),
+       |capped AS (SELECT id, b, bucket FROM (
+       |    SELECT id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n
+       |    FROM bk) WHERE n <= 200),
+       |cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+       |  FROM capped a JOIN capped c
+       |    ON a.b = c.b AND a.bucket = c.bucket AND a.id < c.id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+       |FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 8
        |ORDER BY 1, 2""".stripMargin
   }
@@ -2592,6 +2697,11 @@ object TextLLM {
         |FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
         |ORDER BY 1, 2""".stripMargin,
+    // pHash mirror: pixels → luma → exact BIGINT DCT via the SAME
+    // interpolated fixed-point table (no cosine evaluated here) →
+    // 32nd-smallest median threshold → 63-bit pack (no HUGEINT dance:
+    // bit 62 max keeps the sum positive) → bands → Hamming.
+    "m_phash_neardups" -> phashOracle,
     // Audio fingerprint mirror: replay sample formula → 65 floor-indexed
     // energy windows → delta bits → HUGEINT pack → band buckets →
     // Hamming, all integer-exact (same CTE skeleton as m_dhash_neardups).

@@ -1432,6 +1432,48 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"planted twins missing from $pairs")
   }
 
+  test("pHash: DCT table exact, noise-robust where dHash is not, brightness-invariant") {
+    def rgb(id: Long)(x: Int, y: Int): Int = {
+      val r = ((id * 31 + x * 7 + y * 13) % 200).toInt
+      val g = ((id * 17 + x * 5 + y * 3) % 200).toInt
+      val b = ((id * 7 + x * 11 + y * 19) % 200).toInt
+      (r << 16) | (g << 8) | b
+    }
+    // the fixed-point basis: odd-u rows cancel pairwise EXACTLY (the
+    // brightness-invariance mechanism), DC row is all 2^14
+    for (u <- 1 until 8 by 2; x <- 0 until 16)
+      assert(Multimodal.DctT(u)(x) == -Multimodal.DctT(u)(31 - x),
+        s"odd-u row $u not antisymmetric at $x")
+    assert(Multimodal.DctT(0).forall(_ == 16384L))
+    val base = Multimodal.encodePng(32, 32, rgb(5))
+    val h = Multimodal.pHash64(base).get
+    // identical payload and pixel-doubled (64x64) payload hash the same
+    assert(Multimodal.pHash64(Multimodal.encodePng(32, 32, rgb(5))).get == h)
+    val doubled = Multimodal.encodePng(64, 64, (x, y) => rgb(5)(x / 2, y / 2))
+    assert(Multimodal.pHash64(doubled).get == h, "pHash must be scale-invariant")
+    // ~10 scattered bumped pixels: pHash barely moves (median-thresholded
+    // global frequencies), while dHash flips more bits on the same edit
+    def noisy(w: Int, h0: Int) = Multimodal.encodePng(w, h0, (x, y) =>
+      if ((x * 7 + y * 11) % 97 == 0) {
+        val p = rgb(5)(x, y)
+        (((((p >> 16) & 0xff) + 50) % 200) << 16) | (p & 0xffff)
+      } else rgb(5)(x, y))
+    val hp = Multimodal.pHash64(noisy(32, 32)).get
+    assert(java.lang.Long.bitCount(h ^ hp) <= 4,
+      s"pHash noise bits ${java.lang.Long.bitCount(h ^ hp)}")
+    // brightness shift: +24 on every channel leaves the hash within a bit
+    val bright = Multimodal.encodePng(32, 32, (x, y) => {
+      val p = rgb(5)(x, y)
+      (((p >> 16) + 24) << 16) | ((((p >> 8) & 0xff) + 24) << 8) |
+        ((p & 0xff) + 24)
+    })
+    val hb = Multimodal.pHash64(bright).get
+    assert(java.lang.Long.bitCount(h ^ hb) <= 1,
+      s"brightness bits ${java.lang.Long.bitCount(h ^ hb)}")
+    // bit 63 never set (63-bit hash) and garbage is rejected
+    assert(h >= 0 && Multimodal.pHash64("nope".getBytes("UTF-8")).isEmpty)
+  }
+
   test("audioDHash: volume-invariant, local edit few bits, garbage rejected, banded pairs") {
     def samples(id: Long, n: Int): Array[Short] =
       Array.tabulate(n)(i => (((id * 37 + i * 73) % 4001) - 2000).toShort)
