@@ -597,6 +597,78 @@ object Stats {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
+  /** Per-(group, bin) reliability table — the raw material of a
+    * calibration curve for a probability score in [0, 1]: equal-width
+    * bins (floor(score·nBins), top edge closed), exact counts and
+    * positives, and the score mass as a QUANTIZED exact BIGINT
+    * (floor(score·quantScale), the micro-logit move — a plain float sum
+    * would be plan-ordered). conf = mean predicted probability, acc =
+    * observed positive rate; a calibrated scorer has conf ≈ acc in
+    * every bin. One aggregation pass; rows with null score/label drop.
+    *
+    * Output: groups... + (bin, n, n_pos, conf, acc). */
+  def reliabilityTable(df: DataFrame, groupCols: Seq[Column], score: Column,
+      label: Column, nBins: Int = 10,
+      quantScale: Double = 1e9): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins in 2..1000, got $nBins")
+    val complete = df.filter(score.isNotNull && label.isNotNull)
+      .filter(assert_true(score >= 0.0 && score <= 1.0,
+        lit("reliabilityTable: score outside [0, 1] — calibrate " +
+          "probabilities, not raw margins")).isNull)
+    val bin = least(floor(score * lit(nBins)).cast("int"), lit(nBins - 1))
+    complete
+      .groupBy(groupCols :+ bin.as("bin"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(label, 1L).otherwise(0L)).as("n_pos"),
+        sum(floor(score * lit(quantScale)).cast("long")).as("__sq"))
+      .withColumn("conf", (col("__sq").cast("double") / lit(quantScale)) /
+        col("n").cast("double"))
+      .withColumn("acc", col("n_pos").cast("double") / col("n").cast("double"))
+      .drop("__sq")
+  }
+
+  /** Calibration-quality summary per group: Brier score and Expected
+    * Calibration Error — the CALIBRATION half of classifier evaluation
+    * ([[auc]] is the ranking half; [[isotonicFit]]/applyCalibration the
+    * repair): Brier = mean (score − y)², ECE = Σ_bins (n_b/N)·|acc_b −
+    * conf_b| over [[reliabilityTable]]'s bins.
+    *
+    * Portability: both per-row squared errors and per-bin score masses
+    * accumulate as floor-quantized exact BIGINTs, the ECE bin fold runs
+    * in fixed ascending-bin order in-row, and every float op after the
+    * exact sums is a fixed expression — so both metrics hash
+    * cross-engine (up to the shared quantized-transcendental-input
+    * convention when the score itself is a σ/exp output).
+    *
+    * Output: groups... + (n, brier, ece). */
+  def calibrationError(df: DataFrame, groupCols: Seq[Column], score: Column,
+      label: Column, nBins: Int = 10,
+      quantScale: Double = 1e9): DataFrame = {
+    val names = groupCols.map(_.toString)
+    val complete = df.filter(score.isNotNull && label.isNotNull)
+    val y = when(label, lit(1.0)).otherwise(lit(0.0))
+    val brier = complete
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(floor(((score - y) * (score - y)) * lit(quantScale))
+          .cast("long")).as("__bq"))
+      .withColumn("brier", (col("__bq").cast("double") / lit(quantScale)) /
+        col("n").cast("double"))
+      .drop("__bq")
+    val ece = reliabilityTable(df, groupCols, score, label, nBins, quantScale)
+      .groupBy(names.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("bin"),
+        col("n").as("nb"), (col("n").cast("double") *
+          abs(col("acc") - col("conf"))).as("term")))).as("__t"))
+      .withColumn("ece", aggregate(col("__t"), lit(0.0),
+        (a, x) => a + x.getField("term")) /
+        aggregate(col("__t"), lit(0L),
+          (a, x) => a + x.getField("nb")).cast("double"))
+      .drop("__t")
+    brier.join(ece, names).select(
+      (names.map(col) :+ col("n") :+ col("brier") :+ col("ece")): _*)
+  }
+
   /** Population Stability Index between two cohorts of `x` per group —
     * the standard training-data DRIFT metric (is this week's corpus
     * distributed like last week's? did a source shift under the

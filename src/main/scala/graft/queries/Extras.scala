@@ -645,6 +645,32 @@ object Extras {
         coalesce(col("lang") === "en", lit(false)))
       .orderBy("source")
 
+  /** Deterministic pseudo-probability for the calibration faces: a
+    * fixed integer formula over doc_id divided once — both engines
+    * compute the identical double, so the quantized-score machinery is
+    * tested without a transcendental in the fixture. */
+  private def pseudoScore = (col("doc_id") * 37 % 1000).cast("double") /
+    lit(1000.0)
+
+  /** Calibration curve bins ([[graft.operators.Stats.reliabilityTable]])
+    * of the pseudo-score against lang = 'en' per source — exact counts,
+    * quantized score mass, conf/acc single divisions. */
+  def aReliabilityBins(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.reliabilityTable(t(s, dir, "documents"),
+        Seq(col("source")), pseudoScore,
+        coalesce(col("lang") === "en", lit(false)))
+      .orderBy("source", "bin")
+
+  /** Brier + ECE per source ([[graft.operators.Stats.calibrationError]])
+    * — the calibration half of classifier evaluation next to
+    * a_auc_length's ranking half; quantized exact sums, fixed-order
+    * bin fold. */
+  def aCalibrationError(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.calibrationError(t(s, dir, "documents"),
+        Seq(col("source")), pseudoScore,
+        coalesce(col("lang") === "en", lit(false)))
+      .orderBy("source")
+
   /** Trainable quality classifier ([[graft.operators.Stats
     * .logisticFit]]): 3 Newton iterations of logistic regression
     * predicting lang = 'en' from scaled length and English-stopword
@@ -720,6 +746,8 @@ object Extras {
     "a_rank_sum" -> (aRankSum _),
     "a_auc_length" -> (aAucLength _),
     "a_logistic_fit" -> (aLogisticFit _),
+    "a_reliability_bins" -> (aReliabilityBins _),
+    "a_calibration_error" -> (aCalibrationError _),
     "t_isotonic_calibration" -> (tIsotonicCalibration _),
     "a_gini_quantity" -> (aGiniQuantity _),
     "a_chi_square" -> (aChiSquare _),
@@ -1072,6 +1100,56 @@ object Extras {
         |  END AS auc
         |FROM a ORDER BY 1""".stripMargin,
     "a_logistic_fit" -> logisticFitOracle,
+    // reliability mirror: same fixed pseudo-score, exact bin counts,
+    // quantized score mass, single-division conf/acc
+    "a_reliability_bins" ->
+      """WITH c AS (SELECT source,
+        |    CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0 AS s,
+        |    COALESCE(lang = 'en', FALSE) AS y
+        |  FROM documents),
+        |b AS (SELECT source,
+        |    LEAST(CAST(floor(s * 10) AS INTEGER), 9) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CAST(floor(s * 1.0E9) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM c GROUP BY 1, 2)
+        |SELECT source, bin, n, n_pos,
+        |  (CAST(sq AS DOUBLE) / 1.0E9) / CAST(n AS DOUBLE) AS conf,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc
+        |FROM b ORDER BY source, bin""".stripMargin,
+    // calibration-error mirror: quantized Brier sum + the fixed
+    // ascending-bin ECE fold (0.0-seed == first-element-seed)
+    "a_calibration_error" ->
+      """WITH c AS (SELECT source,
+        |    CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0 AS s,
+        |    COALESCE(lang = 'en', FALSE) AS y
+        |  FROM documents),
+        |br AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(floor(
+        |      ((s - CASE WHEN y THEN 1.0 ELSE 0.0 END)
+        |        * (s - CASE WHEN y THEN 1.0 ELSE 0.0 END)) * 1.0E9)
+        |      AS BIGINT)) AS BIGINT) AS bq
+        |  FROM c GROUP BY 1),
+        |b AS (SELECT source,
+        |    LEAST(CAST(floor(s * 10) AS INTEGER), 9) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CAST(floor(s * 1.0E9) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM c GROUP BY 1, 2),
+        |e AS (SELECT source,
+        |    (0.0 + list_reduce(list(
+        |        CAST(nb AS DOUBLE) * abs(
+        |          CAST(n_pos AS DOUBLE) / CAST(nb AS DOUBLE)
+        |          - (CAST(sq AS DOUBLE) / 1.0E9) / CAST(nb AS DOUBLE))
+        |        ORDER BY bin), (a, x) -> a + x))
+        |      / CAST(list_reduce(list(nb ORDER BY bin),
+        |          (a, x) -> a + x) AS DOUBLE) AS ece
+        |  FROM b GROUP BY 1)
+        |SELECT br.source AS source, br.n AS n,
+        |  (CAST(br.bq AS DOUBLE) / 1.0E9) / CAST(br.n AS DOUBLE) AS brier,
+        |  e.ece AS ece
+        |FROM br JOIN e ON e.source = br.source
+        |ORDER BY source""".stripMargin,
     "a_ks_drift" ->
       """WITH c AS (SELECT lang, n_chars, doc_id % 2 = 0 AS coh
         |  FROM documents WHERE n_chars IS NOT NULL),

@@ -823,6 +823,47 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r3.getDouble(2) > 1.0, s"d=3 w1 ${r3.getDouble(2)}")
   }
 
+  test("calibration: reliability bins, Brier and ECE hand cases, guards") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Double, Boolean)]) =
+      Stats.calibrationError(rows.toDF("g", "s", "y"), Seq(col("g")),
+          col("s"), col("y"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // perfectly calibrated, perfectly confident: both metrics exactly 0
+    val perfect = run(Seq(("p", 0.0, false), ("p", 1.0, true)))
+    assert(perfect("p") == ((2L, 0.0, 0.0)))
+    // hand case: scores .1 (y=0) and .9 (y=1) in separate bins
+    val (n, brier, ece) = run(Seq(("h", 0.1, false), ("h", 0.9, true)))("h")
+    assert(n == 2L)
+    assert(math.abs(brier - 0.01) < 1e-8, s"brier $brier")
+    assert(math.abs(ece - 0.1) < 1e-8, s"ece $ece")
+    // a maximally MIScalibrated scorer: confident and always wrong
+    val bad = run(Seq(("b", 0.95, false), ("b", 0.05, true)))("b")
+    assert(bad._2 > 0.9 && bad._3 > 0.9, s"miscalibration not loud: $bad")
+    // reliability table: bins, counts, conf vs acc
+    val rel = Stats.reliabilityTable(
+        Seq(("g", 0.12, false), ("g", 0.18, true), ("g", 0.95, true))
+          .toDF("g", "s", "y"), Seq(col("g")), col("s"), col("y"))
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(rel.keySet == Set(1, 9))
+    assert(rel(1)._1 == 2L && rel(1)._2 == 1L && rel(1)._4 == 0.5)
+    assert(math.abs(rel(1)._3 - 0.15) < 1e-8)
+    // score = 1.0 lands in the top bin (closed upper edge)
+    val top = Stats.reliabilityTable(Seq(("g", 1.0, true)).toDF("g", "s", "y"),
+      Seq(col("g")), col("s"), col("y")).collect().head
+    assert(top.getInt(1) == 9)
+    // out-of-range scores fail fast
+    val e = intercept[Exception] {
+      Stats.reliabilityTable(Seq(("g", 1.5, true)).toDF("g", "s", "y"),
+        Seq(col("g")), col("s"), col("y")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("[0, 1]")), s"got $e")
+  }
+
   test("gini: textbook values, tie-invariant, layout-stable") {
     import spark.implicits._
     // perfect equality → 0; maximal concentration (one owner) → (n-1)/n
