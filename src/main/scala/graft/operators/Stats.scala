@@ -597,6 +597,82 @@ object Stats {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
+  /** Per-class precision/recall/F1 from (truth, prediction) pairs —
+    * the labeling-QA face (how good is the langid guesser / the quality
+    * classifier / an annotator, per class): one confusion-matrix
+    * aggregation, then three narrow re-aggs full-joined per (group,
+    * class) so classes that appear only as truth (never predicted) or
+    * only as prediction (hallucinated) still get a row with the honest
+    * zero. Metrics are single divisions of exact BIGINTs — F1 uses the
+    * count identity 2·tp/(n_true + n_pred) (= 2PR/(P+R)) so it is ONE
+    * division, not a nested float expression. Null truth/pred rows
+    * drop.
+    *
+    * Output: groups... + (class, n_true, n_pred, tp, precision,
+    * recall, f1); metrics null where their denominator is 0. */
+  def classificationReport(df: DataFrame, groupCols: Seq[Column],
+      truth: Column, pred: Column): DataFrame = {
+    val names = groupCols.map(_.toString)
+    val complete = df.filter(truth.isNotNull && pred.isNotNull)
+    val cm = complete
+      .groupBy(groupCols :+ truth.as("__t") :+ pred.as("__p"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val tCounts = cm
+      .groupBy(names.map(col) :+ col("__t").as("class"): _*)
+      .agg(sum("__n").as("n_true"))
+    val pCounts = cm
+      .groupBy(names.map(col) :+ col("__p").as("class"): _*)
+      .agg(sum("__n").as("n_pred"))
+    val tp = cm.filter(col("__t") === col("__p"))
+      .select(names.map(col) :+ col("__t").as("class") :+
+        col("__n").as("tp"): _*)
+    tCounts.join(pCounts, names :+ "class", "full")
+      .join(tp, names :+ "class", "left")
+      .na.fill(0L, Seq("n_true", "n_pred", "tp"))
+      .withColumn("precision", when(col("n_pred") > 0,
+        col("tp").cast("double") / col("n_pred").cast("double")))
+      .withColumn("recall", when(col("n_true") > 0,
+        col("tp").cast("double") / col("n_true").cast("double")))
+      .withColumn("f1", when(col("n_true") + col("n_pred") > 0,
+        lit(2.0) * col("tp").cast("double") /
+          (col("n_true") + col("n_pred")).cast("double")))
+  }
+
+  /** Cohen's κ chance-corrected agreement per group — the standard
+    * inter-rater / model-vs-truth agreement statistic behind every
+    * labeling-quality audit. FULLY exact: with a = agreements, N =
+    * rows, p = Σ_class n₁(c)·n₂(c) (exact BIGINT products),
+    *
+    *   κ = (a/N − p/N²) / (1 − p/N²) = (a·N − p) / (N² − p)
+    *
+    * — ONE division of two exact BIGINTs, no float accumulates
+    * anywhere. κ is null when N² = p (a degenerate single-class
+    * marginal has no chance correction). BIGINT bound: N² < 2⁶³
+    * (N < ~3·10⁹ rows per group — pre-aggregate beyond).
+    *
+    * Output: groups... + (n, n_agree, kappa). */
+  def cohenKappa(df: DataFrame, groupCols: Seq[Column], r1: Column,
+      r2: Column): DataFrame = {
+    val names = groupCols.map(_.toString)
+    val complete = df.filter(r1.isNotNull && r2.isNotNull)
+    val agree = complete.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(r1 === r2, 1L).otherwise(0L)).as("n_agree"))
+    val c1 = complete.groupBy(groupCols :+ r1.as("__c"): _*)
+      .agg(count(lit(1)).as("__n1"))
+    val c2 = complete.groupBy(groupCols :+ r2.as("__c"): _*)
+      .agg(count(lit(1)).as("__n2"))
+    val pe = c1.join(c2, names :+ "__c")
+      .groupBy(names.map(col): _*)
+      .agg(sum(col("__n1") * col("__n2")).as("__pe"))
+    agree.join(pe, names, "left")
+      .na.fill(0L, Seq("__pe"))
+      .withColumn("kappa", when(col("n") * col("n") =!= col("__pe"),
+        (col("n") * col("n_agree") - col("__pe")).cast("double") /
+          (col("n") * col("n") - col("__pe")).cast("double")))
+      .drop("__pe")
+  }
+
   /** Per-(group, bin) reliability table — the raw material of a
     * calibration curve for a probability score in [0, 1]: equal-width
     * bins (floor(score·nBins), top edge closed), exact counts and

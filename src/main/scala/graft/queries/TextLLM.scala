@@ -96,6 +96,31 @@ object TextLLM {
       .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
       .orderBy("lang", "guess")
 
+  /** Per-class langid quality report ([[graft.operators.Stats
+    * .classificationReport]]): precision/recall/F1 of the stopword-vote
+    * guesser against the labeled lang, per source — the labeling-QA
+    * face built on the t_langid_confusion machinery; every metric a
+    * single division of exact counts. */
+  def aLangidReport(s: SparkSession, dir: String): DataFrame = {
+    val d = TA.withLanguageGuess(docs(s, dir),
+      TA.wsTokens(lower(col("text"))))
+    graft.operators.Stats.classificationReport(d, Seq(col("source")),
+        col("lang"), col("guess"))
+      .orderBy("source", "class")
+  }
+
+  /** Cohen's κ of the langid guesser vs labels per source
+    * ([[graft.operators.Stats.cohenKappa]]) — chance-corrected
+    * agreement as ONE division of exact BIGINTs
+    * ((a·N − p)/(N² − p)). */
+  def aLangidKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = TA.withLanguageGuess(docs(s, dir),
+      TA.wsTokens(lower(col("text"))))
+    graft.operators.Stats.cohenKappa(d, Seq(col("source")),
+        col("lang"), col("guess"))
+      .orderBy("source")
+  }
+
   /** BM25 keyword search, the oracle face: ratio idf (no `ln`), exactly
     * representable k1=1.5 / b=0.75, two-term queries (2-addend IEEE sums
     * are order-independent) — every score replays bit-for-bit in DuckDB.
@@ -1307,6 +1332,8 @@ object TextLLM {
     "t_bpe_encode" -> (tBpeEncode _),
     "t_quality_stopwords" -> (tQualityStopwords _),
     "t_langid_confusion" -> (tLangidConfusion _),
+    "a_langid_report" -> (aLangidReport _),
+    "a_langid_kappa" -> (aLangidKappa _),
     "t_bm25_top5" -> (tBm25Top5 _),
     "t_tfidf_cosine_top3" -> (tTfidfCosineTop3 _),
     "t_rrf_hybrid" -> (tRrfHybrid _),
@@ -1706,6 +1733,95 @@ object TextLLM {
          |       ELSE 'und' END AS guess,
          |  COUNT(*) AS n
          |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    // Classification-report mirror: same vote/tie-break guess as
+    // t_langid_confusion, then confusion counts re-agged per (source,
+    // class) with the FULL join keeping truth-only and predicted-only
+    // classes; metrics single divisions ("precision" quoted — reserved
+    // via DOUBLE PRECISION).
+    "a_langid_report" -> {
+      def hits(stops: Seq[String]) =
+        s"length(list_filter(string_split_regex(trim(lower(text)), '\\s+'), " +
+          s"x -> list_contains(${stops.map(w => s"'$w'").mkString("[", ", ", "]")}, x)))"
+      s"""WITH v0 AS (SELECT source, lang,
+         |    ${hits(TA.EnStop)} AS ve, ${hits(TA.DeStop)} AS vd,
+         |    ${hits(TA.EsStop)} AS vs, ${hits(TA.FrStop)} AS vf
+         |  FROM documents),
+         |v AS (SELECT source, lang,
+         |  CASE WHEN ve > 0 AND ve >= vd AND ve >= vs AND ve >= vf THEN 'en'
+         |       WHEN vd > 0 AND vd >= ve AND vd >= vs AND vd >= vf THEN 'de'
+         |       WHEN vs > 0 AND vs >= ve AND vs >= vd AND vs >= vf THEN 'es'
+         |       WHEN vf > 0 AND vf >= ve AND vf >= vd AND vf >= vs THEN 'fr'
+         |       ELSE 'und' END AS guess
+         |  FROM v0),
+         |c AS (SELECT source, lang AS t, guess AS p FROM v
+         |  WHERE lang IS NOT NULL AND guess IS NOT NULL),
+         |cm AS (SELECT source, t, p, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM c GROUP BY 1, 2, 3),
+         |tc AS (SELECT source, t AS class, CAST(SUM(n) AS BIGINT) AS n_true
+         |  FROM cm GROUP BY 1, 2),
+         |pc AS (SELECT source, p AS class, CAST(SUM(n) AS BIGINT) AS n_pred
+         |  FROM cm GROUP BY 1, 2),
+         |tpx AS (SELECT source, t AS class, n AS tp FROM cm WHERE t = p),
+         |j AS (SELECT COALESCE(tc.source, pc.source) AS source,
+         |    COALESCE(tc.class, pc.class) AS class,
+         |    COALESCE(tc.n_true, 0) AS n_true,
+         |    COALESCE(pc.n_pred, 0) AS n_pred
+         |  FROM tc FULL JOIN pc
+         |    ON pc.source = tc.source AND pc.class = tc.class)
+         |SELECT j.source AS source, j.class AS class, j.n_true, j.n_pred,
+         |  COALESCE(tpx.tp, 0) AS tp,
+         |  CASE WHEN j.n_pred > 0 THEN
+         |    CAST(COALESCE(tpx.tp, 0) AS DOUBLE) / CAST(j.n_pred AS DOUBLE)
+         |  END AS "precision",
+         |  CASE WHEN j.n_true > 0 THEN
+         |    CAST(COALESCE(tpx.tp, 0) AS DOUBLE) / CAST(j.n_true AS DOUBLE)
+         |  END AS recall,
+         |  CASE WHEN j.n_true + j.n_pred > 0 THEN
+         |    2.0 * CAST(COALESCE(tpx.tp, 0) AS DOUBLE)
+         |      / CAST(j.n_true + j.n_pred AS DOUBLE)
+         |  END AS f1
+         |FROM j LEFT JOIN tpx
+         |  ON tpx.source = j.source AND tpx.class = j.class
+         |ORDER BY source, class""".stripMargin
+    },
+    // Cohen's-kappa mirror: κ = (a·N − p)/(N² − p) over exact counts.
+    "a_langid_kappa" -> {
+      def hits(stops: Seq[String]) =
+        s"length(list_filter(string_split_regex(trim(lower(text)), '\\s+'), " +
+          s"x -> list_contains(${stops.map(w => s"'$w'").mkString("[", ", ", "]")}, x)))"
+      s"""WITH v0 AS (SELECT source, lang,
+         |    ${hits(TA.EnStop)} AS ve, ${hits(TA.DeStop)} AS vd,
+         |    ${hits(TA.EsStop)} AS vs, ${hits(TA.FrStop)} AS vf
+         |  FROM documents),
+         |v AS (SELECT source, lang,
+         |  CASE WHEN ve > 0 AND ve >= vd AND ve >= vs AND ve >= vf THEN 'en'
+         |       WHEN vd > 0 AND vd >= ve AND vd >= vs AND vd >= vf THEN 'de'
+         |       WHEN vs > 0 AND vs >= ve AND vs >= vd AND vs >= vf THEN 'es'
+         |       WHEN vf > 0 AND vf >= ve AND vf >= vd AND vf >= vs THEN 'fr'
+         |       ELSE 'und' END AS guess
+         |  FROM v0),
+         |c AS (SELECT source, lang AS a, guess AS b FROM v
+         |  WHERE lang IS NOT NULL AND guess IS NOT NULL),
+         |ag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_agree
+         |  FROM c GROUP BY 1),
+         |c1 AS (SELECT source, a AS cl, CAST(COUNT(*) AS BIGINT) AS n1
+         |  FROM c GROUP BY 1, 2),
+         |c2 AS (SELECT source, b AS cl, CAST(COUNT(*) AS BIGINT) AS n2
+         |  FROM c GROUP BY 1, 2),
+         |pe AS (SELECT c1.source AS source,
+         |    CAST(SUM(n1 * n2) AS BIGINT) AS pe
+         |  FROM c1 JOIN c2 ON c2.source = c1.source AND c2.cl = c1.cl
+         |  GROUP BY 1)
+         |SELECT ag.source AS source, ag.n AS n, ag.n_agree AS n_agree,
+         |  CASE WHEN ag.n * ag.n <> COALESCE(pe.pe, 0) THEN
+         |    CAST(ag.n * ag.n_agree - COALESCE(pe.pe, 0) AS DOUBLE)
+         |      / CAST(ag.n * ag.n - COALESCE(pe.pe, 0) AS DOUBLE)
+         |  END AS kappa
+         |FROM ag LEFT JOIN pe ON pe.source = ag.source
+         |ORDER BY source""".stripMargin
     },
     // Exact BM25 mirror: same tokenization, same expression tree shape —
     // ratio idf ((N−df+0.5)/(df+0.5)), k1=1.5/b=0.75 (exactly

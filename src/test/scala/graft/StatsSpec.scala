@@ -864,6 +864,47 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e).exists(_.contains("[0, 1]")), s"got $e")
   }
 
+  test("classificationReport: hand confusion incl. truth-only and hallucinated classes") {
+    import spark.implicits._
+    val df = Seq(("g", "a", "a"), ("g", "a", "b"), ("g", "b", "b"),
+      ("g", "b", "b"), ("g", "c", "d")).toDF("g", "t", "p")
+    val out = Stats.classificationReport(df, Seq(col("g")), col("t"), col("p"))
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Double]),
+        Option(r.get(6)).map(_.asInstanceOf[Double]),
+        Option(r.get(7)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.keySet == Set("a", "b", "c", "d"))
+    assert(out("a") == ((2L, 1L, 1L, Some(1.0), Some(0.5),
+      Some(2.0 * 1 / 3))))
+    assert(out("b") == ((2L, 3L, 2L, Some(2.0 / 3), Some(1.0),
+      Some(2.0 * 2 / 5))))
+    // truth-only class: precision undefined (never predicted), recall 0
+    assert(out("c") == ((1L, 0L, 0L, None, Some(0.0), Some(0.0))))
+    // hallucinated class: recall undefined (never true), precision 0
+    assert(out("d") == ((0L, 1L, 0L, Some(0.0), None, Some(0.0))))
+  }
+
+  test("cohenKappa: perfect 1, independence 0, degenerate null, exact hand value") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String, String)]) =
+      Stats.cohenKappa(rows.toDF("g", "a", "b"), Seq(col("g")),
+          col("a"), col("b"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(run(Seq(("p", "x", "x"), ("p", "y", "y")))("p") ==
+      ((2L, 2L, Some(1.0))))
+    // balanced independence: agreement exactly at chance -> kappa 0
+    assert(run(Seq(("i", "a", "a"), ("i", "a", "b"), ("i", "b", "a"),
+      ("i", "b", "b")))("i") == ((4L, 2L, Some(0.0))))
+    // both raters constant: N^2 = pe, no chance correction possible
+    assert(run(Seq(("d", "x", "x"), ("d", "x", "x")))("d")._3.isEmpty)
+    // textbook 2-class case: a=30+25=55, N=70, pe=40*35+30*35=2450
+    // kappa = (55*70-2450)/(4900-2450) = 1400/2450
+    val rows = Seq.fill(30)(("k", "y", "y")) ++ Seq.fill(10)(("k", "y", "n")) ++
+      Seq.fill(5)(("k", "n", "y")) ++ Seq.fill(25)(("k", "n", "n"))
+    assert(run(rows)("k") == ((70L, 55L, Some(1400.0 / 2450.0))))
+  }
+
   test("gini: textbook values, tie-invariant, layout-stable") {
     import spark.implicits._
     // perfect equality → 0; maximal concentration (one owner) → (n-1)/n
