@@ -685,23 +685,56 @@ object Stats {
     * Output: groups... + (bin, n, n_pos, conf, acc). */
   def reliabilityTable(df: DataFrame, groupCols: Seq[Column], score: Column,
       label: Column, nBins: Int = 10,
+      quantScale: Double = 1e9): DataFrame =
+    reliabilityFromPartials(
+      calibrationPartials(df, groupCols, score, label, nBins, quantScale),
+      quantScale)
+
+  /** The mergeable PARTIAL behind [[reliabilityTable]] /
+    * [[calibrationError]] — per-(group, bin) exact BIGINTs: count,
+    * positives, quantized score mass `sq`, quantized squared-error mass
+    * `bq`. All four are associative sums, so batch-sliced partials
+    * re-summed per (group, bin) are EXACTLY the one-shot table and both
+    * readouts stay bit-identical under any slicing — the
+    * moments/binCounts at-rest-artifact pattern; state is groups × bins
+    * rows. */
+  def calibrationPartials(df: DataFrame, groupCols: Seq[Column],
+      score: Column, label: Column, nBins: Int = 10,
       quantScale: Double = 1e9): DataFrame = {
     require(nBins >= 2 && nBins <= 1000, s"nBins in 2..1000, got $nBins")
     val complete = df.filter(score.isNotNull && label.isNotNull)
       .filter(assert_true(score >= 0.0 && score <= 1.0,
         lit("reliabilityTable: score outside [0, 1] — calibrate " +
           "probabilities, not raw margins")).isNull)
+    val y = when(label, lit(1.0)).otherwise(lit(0.0))
     val bin = least(floor(score * lit(nBins)).cast("int"), lit(nBins - 1))
     complete
       .groupBy(groupCols :+ bin.as("bin"): _*)
       .agg(count(lit(1)).as("n"),
         sum(when(label, 1L).otherwise(0L)).as("n_pos"),
-        sum(floor(score * lit(quantScale)).cast("long")).as("__sq"))
-      .withColumn("conf", (col("__sq").cast("double") / lit(quantScale)) /
+        sum(floor(score * lit(quantScale)).cast("long")).as("sq"),
+        sum(floor(((score - y) * (score - y)) * lit(quantScale))
+          .cast("long")).as("bq"))
+  }
+
+  /** Component-wise exact re-sum of [[calibrationPartials]] tables per
+    * (group, bin) — the streaming-merge face. */
+  def mergeCalibrationPartials(partials: Seq[DataFrame],
+      groupNames: Seq[String]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy((groupNames :+ "bin").map(col): _*)
+      .agg(sum("n").as("n"), sum("n_pos").as("n_pos"),
+        sum("sq").as("sq"), sum("bq").as("bq"))
+
+  /** Finalize (possibly merged) [[calibrationPartials]] into the
+    * [[reliabilityTable]] output schema. */
+  def reliabilityFromPartials(partials: DataFrame,
+      quantScale: Double = 1e9): DataFrame =
+    partials
+      .withColumn("conf", (col("sq").cast("double") / lit(quantScale)) /
         col("n").cast("double"))
       .withColumn("acc", col("n_pos").cast("double") / col("n").cast("double"))
-      .drop("__sq")
-  }
+      .drop("sq", "bq")
 
   /** Calibration-quality summary per group: Brier score and Expected
     * Calibration Error — the CALIBRATION half of classifier evaluation
@@ -719,20 +752,26 @@ object Stats {
     * Output: groups... + (n, brier, ece). */
   def calibrationError(df: DataFrame, groupCols: Seq[Column], score: Column,
       label: Column, nBins: Int = 10,
-      quantScale: Double = 1e9): DataFrame = {
-    val names = groupCols.map(_.toString)
-    val complete = df.filter(score.isNotNull && label.isNotNull)
-    val y = when(label, lit(1.0)).otherwise(lit(0.0))
-    val brier = complete
-      .groupBy(groupCols: _*)
-      .agg(count(lit(1)).as("n"),
-        sum(floor(((score - y) * (score - y)) * lit(quantScale))
-          .cast("long")).as("__bq"))
+      quantScale: Double = 1e9): DataFrame =
+    calibrationErrorFromPartials(
+      calibrationPartials(df, groupCols, score, label, nBins, quantScale),
+      groupCols.map(_.toString), quantScale)
+
+  /** Finalize (possibly merged) [[calibrationPartials]] into the
+    * [[calibrationError]] output schema — the quantized group-level
+    * Brier sum is the exact sum of its bin slices, so this equals the
+    * one-shot batch computation bit-for-bit. */
+  def calibrationErrorFromPartials(partials: DataFrame,
+      groupNames: Seq[String], quantScale: Double = 1e9): DataFrame = {
+    val rel = reliabilityFromPartials(partials, quantScale)
+    val brier = partials
+      .groupBy(groupNames.map(col): _*)
+      .agg(sum("n").as("n"), sum("bq").as("__bq"))
       .withColumn("brier", (col("__bq").cast("double") / lit(quantScale)) /
         col("n").cast("double"))
       .drop("__bq")
-    val ece = reliabilityTable(df, groupCols, score, label, nBins, quantScale)
-      .groupBy(names.map(col): _*)
+    val ece = rel
+      .groupBy(groupNames.map(col): _*)
       .agg(sort_array(collect_list(struct(col("bin"),
         col("n").as("nb"), (col("n").cast("double") *
           abs(col("acc") - col("conf"))).as("term")))).as("__t"))
@@ -741,8 +780,8 @@ object Stats {
         aggregate(col("__t"), lit(0L),
           (a, x) => a + x.getField("nb")).cast("double"))
       .drop("__t")
-    brier.join(ece, names).select(
-      (names.map(col) :+ col("n") :+ col("brier") :+ col("ece")): _*)
+    brier.join(ece, groupNames).select(
+      (groupNames.map(col) :+ col("n") :+ col("brier") :+ col("ece")): _*)
   }
 
   /** Population Stability Index between two cohorts of `x` per group —

@@ -573,6 +573,54 @@ object StreamingTimeSeries {
           .dropDuplicates("w1", "w2", "batch_id").drop("batch_id"))),
       maxBigrams)
 
+  /** Streaming calibration maintenance — the ingestion face of
+    * [[graft.operators.Stats.reliabilityTable]] /
+    * [[graft.operators.Stats.calibrationError]]: each micro-batch
+    * reduces to ≤ groups × bins rows of exact BIGINT partials (count,
+    * positives, quantized score/squared-error mass) appended with the
+    * batch_id replay guard (the moments-sink posture — partials are
+    * deterministic per batch, sums would double-count). A model's
+    * live calibration dashboard reads the merged summary, never the
+    * score history. */
+  def startCalibrationPartialsQuery(scored: DataFrame, groupCol: String,
+      scoreCol: String, labelCol: String, targetDir: String,
+      checkpointDir: String, nBins: Int = 10, quantScale: Double = 1e9) =
+    scored
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Stats.calibrationPartials(batch.toDF(),
+            Seq(col(groupCol)), col(scoreCol), col(labelCol), nBins,
+            quantScale)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(targetDir)
+      }
+      .start()
+
+  /** Whole-stream reliability table from the stored partials —
+    * replay-guarded merge, bit-identical to the one-shot batch table. */
+  def mergedReliability(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String,
+      quantScale: Double = 1e9): DataFrame =
+    graft.operators.Stats.reliabilityFromPartials(
+      mergedCalibrationPartials(spark, targetDir, groupCol), quantScale)
+
+  /** Whole-stream Brier + ECE from the SAME stored partials. */
+  def mergedCalibrationError(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String,
+      quantScale: Double = 1e9): DataFrame =
+    graft.operators.Stats.calibrationErrorFromPartials(
+      mergedCalibrationPartials(spark, targetDir, groupCol),
+      Seq(groupCol), quantScale)
+
+  private def mergedCalibrationPartials(
+      spark: org.apache.spark.sql.SparkSession, targetDir: String,
+      groupCol: String): DataFrame =
+    graft.operators.Stats.mergeCalibrationPartials(
+      Seq(spark.read.parquet(targetDir)
+        .dropDuplicates(groupCol, "bin", "batch_id").drop("batch_id")),
+      Seq(groupCol))
+
   /** Streaming association-rule maintenance — the ingestion face of
     * [[graft.operators.Assoc.associationRules]]. Basket-pair facts are
     * DISTINCT (basket, item) sightings, which are NOT additive across

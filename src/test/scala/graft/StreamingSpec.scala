@@ -198,6 +198,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming calibration partials: merged == one-shot batch, bit for bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("calib_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("calib_ckpt").toString
+    val rng = new scala.util.Random(53)
+    val all = (0 until 900).map { _ =>
+      val s = rng.nextInt(1000).toDouble / 1000.0
+      (s"m${rng.nextInt(3)}", s, rng.nextDouble() < s) // roughly calibrated
+    }
+    val input = MemoryStream[(String, Double, Boolean)]
+    val q = StreamingTimeSeries.startCalibrationPartialsQuery(
+      input.toDF().toDF("m", "s", "y"), "m", "s", "y", s"$dir/data", ckpt)
+    try {
+      input.addData(all.take(100): _*); q.processAllAvailable()
+      input.addData(all.slice(100, 700): _*); q.processAllAvailable()
+      input.addData(all.drop(700): _*); q.processAllAvailable()
+      def canonE(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val streamedE = canonE(
+        StreamingTimeSeries.mergedCalibrationError(spark, s"$dir/data", "m"))
+      val batchE = canonE(graft.operators.Stats.calibrationError(
+        all.toDF("m", "s", "y"), Seq(col("m")), col("s"), col("y")))
+      assert(streamedE == batchE, "streamed Brier/ECE diverged from batch")
+      def canonR(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getString(0), r.getInt(1)) -> r.toSeq.drop(2))
+          .toMap
+      val streamedR = canonR(
+        StreamingTimeSeries.mergedReliability(spark, s"$dir/data", "m"))
+      val batchR = canonR(graft.operators.Stats.reliabilityTable(
+        all.toDF("m", "s", "y"), Seq(col("m")), col("s"), col("y")))
+      assert(streamedR == batchR, "streamed reliability diverged from batch")
+      // at-least-once replay: re-append batch 1's partial rows verbatim;
+      // the (group, bin, batch_id) guard must collapse them
+      val b1 = spark.read.parquet(s"$dir/data").filter(col("batch_id") === 1L)
+      b1.write.mode("append").parquet(s"$dir/data")
+      assert(canonE(StreamingTimeSeries.mergedCalibrationError(
+        spark, s"$dir/data", "m")) == batchE,
+        "a replayed micro-batch double-counted into the calibration")
+    } finally q.stop()
+  }
+
   test("streaming basket pairs: merged rules == batch rules; replay appends nothing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
