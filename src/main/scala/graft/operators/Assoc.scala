@@ -30,6 +30,13 @@ object Assoc {
 
   /** Directed association rules over co-occurring item pairs.
     *
+    * The deduplicated (basket, item) set feeds three consumers (guard +
+    * pair join, item totals, basket total) — three scans of the dedup
+    * aggregate, which Catalyst cannot share across actions of one plan
+    * tree. At corpus scale, materialize it first (localCheckpoint or a
+    * staging table) and the three passes read columnar parquet instead
+    * of re-deduplicating; at fixture scale the re-computation is noise.
+    *
     * Output: (antecedent, consequent, n_ante, n_cons, n_both,
     * n_baskets, support, confidence, lift) — two rows per unordered
     * co-occurring pair (one per direction), pairs with

@@ -395,6 +395,11 @@ object Stats {
     * Same scale shape as [[theilSen]]: grouped SHORT series (the n²
     * pair array is in-row), `maxLen` fail-fast names the limit. The
     * BIGINT bound n(n−1)(2n+5) < 2⁶³ holds for any n ≤ maxLen ≤ ~10⁶.
+    * `t` must be UNIQUE within a group (the [[graft.operators
+    * .TimeSeries.changepoints]] contract): S signs pairs by time
+    * order, so duplicate timestamps would make it order-ambiguous —
+    * the (t, v) sort pins Spark's answer but an engine sorting by t
+    * alone could legitimately differ.
     *
     * Output: groups... + (n, s, tau, z); z is null for n < 2 or when
     * every pair is tied (Var = 0). */
@@ -611,23 +616,46 @@ object Stats {
     * Output: groups... + (class, n_true, n_pred, tp, precision,
     * recall, f1); metrics null where their denominator is 0. */
   def classificationReport(df: DataFrame, groupCols: Seq[Column],
-      truth: Column, pred: Column): DataFrame = {
-    val names = groupCols.map(_.toString)
-    val complete = df.filter(truth.isNotNull && pred.isNotNull)
-    val cm = complete
-      .groupBy(groupCols :+ truth.as("__t") :+ pred.as("__p"): _*)
-      .agg(count(lit(1)).as("__n"))
+      truth: Column, pred: Column): DataFrame =
+    classificationReportFromCounts(
+      confusionCounts(df, groupCols, truth, pred),
+      groupCols.map(_.toString))
+
+  /** The mergeable PARTIAL behind [[classificationReport]] /
+    * [[cohenKappa]] — per-(group, truth, pred) exact counts, the
+    * at-rest confusion matrix: associative BIGINTs, so batch-sliced
+    * partials re-summed are exactly the one-shot matrix and both
+    * readouts stay bit-identical under any slicing. */
+  def confusionCounts(df: DataFrame, groupCols: Seq[Column], truth: Column,
+      pred: Column): DataFrame =
+    df.filter(truth.isNotNull && pred.isNotNull)
+      .groupBy(groupCols :+ truth.as("truth") :+ pred.as("pred"): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Component-wise exact re-sum of [[confusionCounts]] tables. */
+  def mergeConfusionCounts(partials: Seq[DataFrame],
+      groupNames: Seq[String]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy((groupNames :+ "truth" :+ "pred").map(col): _*)
+      .agg(sum("n").as("n"))
+
+  /** Finalize a (possibly merged) [[confusionCounts]] table into the
+    * [[classificationReport]] output schema. */
+  def classificationReportFromCounts(counts: DataFrame,
+      groupNames: Seq[String]): DataFrame = {
+    val cm = counts.select((groupNames.map(col) :+ col("truth").as("__t") :+
+      col("pred").as("__p") :+ col("n").as("__n")): _*)
     val tCounts = cm
-      .groupBy(names.map(col) :+ col("__t").as("class"): _*)
+      .groupBy(groupNames.map(col) :+ col("__t").as("class"): _*)
       .agg(sum("__n").as("n_true"))
     val pCounts = cm
-      .groupBy(names.map(col) :+ col("__p").as("class"): _*)
+      .groupBy(groupNames.map(col) :+ col("__p").as("class"): _*)
       .agg(sum("__n").as("n_pred"))
     val tp = cm.filter(col("__t") === col("__p"))
-      .select(names.map(col) :+ col("__t").as("class") :+
+      .select(groupNames.map(col) :+ col("__t").as("class") :+
         col("__n").as("tp"): _*)
-    tCounts.join(pCounts, names :+ "class", "full")
-      .join(tp, names :+ "class", "left")
+    tCounts.join(pCounts, groupNames :+ "class", "full")
+      .join(tp, groupNames :+ "class", "left")
       .na.fill(0L, Seq("n_true", "n_pred", "tp"))
       .withColumn("precision", when(col("n_pred") > 0,
         col("tp").cast("double") / col("n_pred").cast("double")))
@@ -636,6 +664,29 @@ object Stats {
       .withColumn("f1", when(col("n_true") + col("n_pred") > 0,
         lit(2.0) * col("tp").cast("double") /
           (col("n_true") + col("n_pred")).cast("double")))
+  }
+
+  /** Finalize a (possibly merged) [[confusionCounts]] table into the
+    * [[cohenKappa]] output schema — same exact one-division κ. */
+  def cohenKappaFromCounts(counts: DataFrame,
+      groupNames: Seq[String]): DataFrame = {
+    val agree = counts.groupBy(groupNames.map(col): _*)
+      .agg(sum("n").as("n"),
+        sum(when(col("truth") === col("pred"), col("n")).otherwise(0L))
+          .as("n_agree"))
+    val c1 = counts.groupBy(groupNames.map(col) :+ col("truth").as("__c"): _*)
+      .agg(sum("n").as("__n1"))
+    val c2 = counts.groupBy(groupNames.map(col) :+ col("pred").as("__c"): _*)
+      .agg(sum("n").as("__n2"))
+    val pe = c1.join(c2, groupNames :+ "__c")
+      .groupBy(groupNames.map(col): _*)
+      .agg(sum(col("__n1") * col("__n2")).as("__pe"))
+    agree.join(pe, groupNames, "left")
+      .na.fill(0L, Seq("__pe"))
+      .withColumn("kappa", when(col("n") * col("n") =!= col("__pe"),
+        (col("n") * col("n_agree") - col("__pe")).cast("double") /
+          (col("n") * col("n") - col("__pe")).cast("double")))
+      .drop("__pe")
   }
 
   /** Cohen's κ chance-corrected agreement per group — the standard
@@ -652,26 +703,9 @@ object Stats {
     *
     * Output: groups... + (n, n_agree, kappa). */
   def cohenKappa(df: DataFrame, groupCols: Seq[Column], r1: Column,
-      r2: Column): DataFrame = {
-    val names = groupCols.map(_.toString)
-    val complete = df.filter(r1.isNotNull && r2.isNotNull)
-    val agree = complete.groupBy(groupCols: _*)
-      .agg(count(lit(1)).as("n"),
-        sum(when(r1 === r2, 1L).otherwise(0L)).as("n_agree"))
-    val c1 = complete.groupBy(groupCols :+ r1.as("__c"): _*)
-      .agg(count(lit(1)).as("__n1"))
-    val c2 = complete.groupBy(groupCols :+ r2.as("__c"): _*)
-      .agg(count(lit(1)).as("__n2"))
-    val pe = c1.join(c2, names :+ "__c")
-      .groupBy(names.map(col): _*)
-      .agg(sum(col("__n1") * col("__n2")).as("__pe"))
-    agree.join(pe, names, "left")
-      .na.fill(0L, Seq("__pe"))
-      .withColumn("kappa", when(col("n") * col("n") =!= col("__pe"),
-        (col("n") * col("n_agree") - col("__pe")).cast("double") /
-          (col("n") * col("n") - col("__pe")).cast("double")))
-      .drop("__pe")
-  }
+      r2: Column): DataFrame =
+    cohenKappaFromCounts(confusionCounts(df, groupCols, r1, r2),
+      groupCols.map(_.toString))
 
   /** Per-(group, bin) reliability table — the raw material of a
     * calibration curve for a probability score in [0, 1]: equal-width

@@ -621,6 +621,48 @@ object StreamingTimeSeries {
         .dropDuplicates(groupCol, "bin", "batch_id").drop("batch_id")),
       Seq(groupCol))
 
+  /** Streaming labeling-QA maintenance — the ingestion face of
+    * [[graft.operators.Stats.classificationReport]] /
+    * [[graft.operators.Stats.cohenKappa]]: each micro-batch reduces to
+    * its (group, truth, pred) confusion counts (exact associative
+    * BIGINTs) appended with the batch_id replay guard; per-class
+    * P/R/F1 and κ finalize over the merged matrix, bit-identical to
+    * the one-shot batch run. An annotation-quality dashboard never
+    * rescans prediction history. */
+  def startConfusionCountsQuery(preds: DataFrame, groupCol: String,
+      truthCol: String, predCol: String, targetDir: String,
+      checkpointDir: String) =
+    preds
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Stats.confusionCounts(batch.toDF(),
+            Seq(col(groupCol)), col(truthCol), col(predCol))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(targetDir)
+      }
+      .start()
+
+  /** Whole-stream per-class P/R/F1 from the stored confusion counts. */
+  def mergedClassificationReport(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.classificationReportFromCounts(
+      mergedConfusion(spark, targetDir, groupCol), Seq(groupCol))
+
+  /** Whole-stream Cohen's κ from the SAME stored confusion counts. */
+  def mergedKappa(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.cohenKappaFromCounts(
+      mergedConfusion(spark, targetDir, groupCol), Seq(groupCol))
+
+  private def mergedConfusion(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.mergeConfusionCounts(
+      Seq(spark.read.parquet(targetDir)
+        .dropDuplicates(groupCol, "truth", "pred", "batch_id")
+        .drop("batch_id")),
+      Seq(groupCol))
+
   /** Streaming association-rule maintenance — the ingestion face of
     * [[graft.operators.Assoc.associationRules]]. Basket-pair facts are
     * DISTINCT (basket, item) sightings, which are NOT additive across
@@ -635,7 +677,10 @@ object StreamingTimeSeries {
     * union semantics). State is the distinct pair set: exactly the
     * input [[graft.operators.Assoc.associationRules]] deduplicates to
     * anyway, so the readout is definitionally == the batch run over
-    * the whole history. */
+    * the whole history. The state dir accumulates one small file per
+    * pair-bearing batch — compact it on the same cadence as the dedup
+    * state (the d_state_compaction machinery: rewrite + swap, readers
+    * see either layout identically). */
   def startBasketPairsQuery(events: DataFrame, basketCol: String,
       itemCol: String, targetDir: String, checkpointDir: String) =
     events

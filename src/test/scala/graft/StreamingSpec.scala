@@ -198,6 +198,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming confusion counts: merged P/R/F1 and kappa == batch, bit for bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("conf_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("conf_ckpt").toString
+    val rng = new scala.util.Random(71)
+    val labels = Seq("en", "de", "es")
+    val all = (0 until 600).map { _ =>
+      val t = labels(rng.nextInt(3))
+      val p = if (rng.nextInt(10) < 7) t else labels(rng.nextInt(3))
+      (s"a${rng.nextInt(2)}", t, p)
+    }
+    val input = MemoryStream[(String, String, String)]
+    val q = StreamingTimeSeries.startConfusionCountsQuery(
+      input.toDF().toDF("g", "t", "p"), "g", "t", "p", s"$dir/data", ckpt)
+    try {
+      input.addData(all.take(80): _*); q.processAllAvailable()
+      input.addData(all.slice(80, 450): _*); q.processAllAvailable()
+      input.addData(all.drop(450): _*); q.processAllAvailable()
+      def canonR(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getString(0), r.getString(1)) ->
+          r.toSeq.drop(2)).toMap
+      val streamedR = canonR(StreamingTimeSeries
+        .mergedClassificationReport(spark, s"$dir/data", "g"))
+      val batchR = canonR(graft.operators.Stats.classificationReport(
+        all.toDF("g", "t", "p"), Seq(col("g")), col("t"), col("p")))
+      assert(streamedR == batchR, "streamed P/R/F1 diverged from batch")
+      def canonK(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val streamedK = canonK(
+        StreamingTimeSeries.mergedKappa(spark, s"$dir/data", "g"))
+      val batchK = canonK(graft.operators.Stats.cohenKappa(
+        all.toDF("g", "t", "p"), Seq(col("g")), col("t"), col("p")))
+      assert(streamedK == batchK, "streamed kappa diverged from batch")
+      // replayed micro-batch collapses under the batch_id guard
+      val b1 = spark.read.parquet(s"$dir/data").filter(col("batch_id") === 1L)
+      b1.write.mode("append").parquet(s"$dir/data")
+      assert(canonK(StreamingTimeSeries.mergedKappa(
+        spark, s"$dir/data", "g")) == batchK,
+        "a replayed micro-batch double-counted into kappa")
+    } finally q.stop()
+  }
+
   test("streaming calibration partials: merged == one-shot batch, bit for bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
