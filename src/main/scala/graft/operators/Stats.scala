@@ -621,6 +621,38 @@ object Stats {
       confusionCounts(df, groupCols, truth, pred),
       groupCols.map(_.toString))
 
+  /** Matthews correlation coefficient per group — the single-number
+    * binary-classification summary that stays honest under class
+    * imbalance (accuracy and F1 both inflate on a 99:1 corpus; MCC is
+    * the ±1-bounded correlation of the 2×2 confusion matrix):
+    *
+    *   MCC = (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+    *
+    * One aggregation pass for the four exact cells; the numerator is
+    * exact BIGINT arithmetic (|tp·tn| ≤ N²/4 < 2⁶³ for N < ~6·10⁹) and
+    * the denominator casts each margin to double BEFORE multiplying
+    * (the product can reach N⁴), in fixed left-to-right order — one √,
+    * one division, both correctly rounded, so the value hashes
+    * cross-engine. Null when any margin is 0 (MCC undefined). */
+  def mccBinary(df: DataFrame, groupCols: Seq[Column], truth: Column,
+      pred: Column): DataFrame = {
+    val complete = df.filter(truth.isNotNull && pred.isNotNull)
+    val cell = (t: Boolean, p: Boolean) =>
+      sum(when(truth === lit(t) && pred === lit(p), 1L).otherwise(0L))
+    val agg = complete.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"), cell(true, true).as("tp"),
+        cell(false, false).as("tn"), cell(true, false).as("fn"),
+        cell(false, true).as("fp"))
+    val m1 = (col("tp") + col("fp")).cast("double")
+    val m2 = (col("tp") + col("fn")).cast("double")
+    val m3 = (col("tn") + col("fp")).cast("double")
+    val m4 = (col("tn") + col("fn")).cast("double")
+    agg.withColumn("mcc",
+      when(m1 > 0.0 && m2 > 0.0 && m3 > 0.0 && m4 > 0.0,
+        (col("tp") * col("tn") - col("fp") * col("fn")).cast("double") /
+          sqrt(m1 * m2 * m3 * m4)))
+  }
+
   /** The mergeable PARTIAL behind [[classificationReport]] /
     * [[cohenKappa]] — per-(group, truth, pred) exact counts, the
     * at-rest confusion matrix: associative BIGINTs, so batch-sliced

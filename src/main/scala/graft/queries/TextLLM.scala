@@ -121,6 +121,17 @@ object TextLLM {
       .orderBy("source")
   }
 
+  /** MCC of "is it English?" per source ([[graft.operators.Stats
+    * .mccBinary]]): the imbalance-honest binary summary of the langid
+    * guesser — exact 2×2 cells, one √, one division. */
+  def aLangidMcc(s: SparkSession, dir: String): DataFrame = {
+    val d = TA.withLanguageGuess(docs(s, dir),
+      TA.wsTokens(lower(col("text"))))
+    graft.operators.Stats.mccBinary(d, Seq(col("source")),
+        col("lang") === "en", col("guess") === "en")
+      .orderBy("source")
+  }
+
   /** BM25 keyword search, the oracle face: ratio idf (no `ln`), exactly
     * representable k1=1.5 / b=0.75, two-term queries (2-addend IEEE sums
     * are order-independent) — every score replays bit-for-bit in DuckDB.
@@ -1334,6 +1345,7 @@ object TextLLM {
     "t_langid_confusion" -> (tLangidConfusion _),
     "a_langid_report" -> (aLangidReport _),
     "a_langid_kappa" -> (aLangidKappa _),
+    "a_langid_mcc" -> (aLangidMcc _),
     "t_bm25_top5" -> (tBm25Top5 _),
     "t_tfidf_cosine_top3" -> (tTfidfCosineTop3 _),
     "t_rrf_hybrid" -> (tRrfHybrid _),
@@ -1822,6 +1834,46 @@ object TextLLM {
          |  END AS kappa
          |FROM ag LEFT JOIN pe ON pe.source = ag.source
          |ORDER BY source""".stripMargin
+    },
+    // MCC mirror: exact 2x2 cells, numerator exact BIGINT, denominator
+    // margins cast to double BEFORE multiplying (product can reach N^4),
+    // fixed left-to-right order.
+    "a_langid_mcc" -> {
+      def hits(stops: Seq[String]) =
+        s"length(list_filter(string_split_regex(trim(lower(text)), '\\s+'), " +
+          s"x -> list_contains(${stops.map(w => s"'$w'").mkString("[", ", ", "]")}, x)))"
+      s"""WITH v0 AS (SELECT source, lang,
+         |    ${hits(TA.EnStop)} AS ve, ${hits(TA.DeStop)} AS vd,
+         |    ${hits(TA.EsStop)} AS vs, ${hits(TA.FrStop)} AS vf
+         |  FROM documents),
+         |v AS (SELECT source, lang,
+         |  CASE WHEN ve > 0 AND ve >= vd AND ve >= vs AND ve >= vf THEN 'en'
+         |       WHEN vd > 0 AND vd >= ve AND vd >= vs AND vd >= vf THEN 'de'
+         |       WHEN vs > 0 AND vs >= ve AND vs >= vd AND vs >= vf THEN 'es'
+         |       WHEN vf > 0 AND vf >= ve AND vf >= vd AND vf >= vs THEN 'fr'
+         |       ELSE 'und' END AS guess
+         |  FROM v0),
+         |c AS (SELECT source, lang = 'en' AS t, guess = 'en' AS p FROM v
+         |  WHERE lang IS NOT NULL),
+         |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tn,
+         |    CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fp
+         |  FROM c GROUP BY 1)
+         |SELECT source, n, tp, tn, fn, fp,
+         |  CASE WHEN CAST(tp + fp AS DOUBLE) > 0.0
+         |        AND CAST(tp + fn AS DOUBLE) > 0.0
+         |        AND CAST(tn + fp AS DOUBLE) > 0.0
+         |        AND CAST(tn + fn AS DOUBLE) > 0.0 THEN
+         |    CAST(tp * tn - fp * fn AS DOUBLE) /
+         |      sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+         |        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))
+         |  END AS mcc
+         |FROM a ORDER BY source""".stripMargin
     },
     // Exact BM25 mirror: same tokenization, same expression tree shape —
     // ratio idf ((N−df+0.5)/(df+0.5)), k1=1.5/b=0.75 (exactly

@@ -905,6 +905,30 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(rows)("k") == ((70L, 55L, Some(1400.0 / 2450.0))))
   }
 
+  test("mccBinary: perfect 1, inverted -1, chance 0, degenerate null, hand value") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Boolean, Boolean)]) =
+      Stats.mccBinary(rows.toDF("g", "t", "p"), Seq(col("g")),
+          col("t"), col("p"))
+        .collect().map(r => r.getString(0) ->
+          Option(r.get(6)).map(_.asInstanceOf[Double])).toMap
+    assert(run(Seq(("a", true, true), ("a", false, false)))("a") ==
+      Some(1.0))
+    assert(run(Seq(("b", true, false), ("b", false, true)))("b") ==
+      Some(-1.0))
+    // independence at balanced marginals -> exactly 0
+    assert(run(Seq(("c", true, true), ("c", true, false),
+      ("c", false, true), ("c", false, false)))("c") == Some(0.0))
+    // one class absent -> undefined
+    assert(run(Seq(("d", true, true), ("d", true, true)))("d").isEmpty)
+    // hand case: tp=4 tn=2 fp=1 fn=3 -> (8-3)/sqrt(5*7*3*5)
+    val rows = Seq.fill(4)(("h", true, true)) ++
+      Seq.fill(2)(("h", false, false)) ++ Seq.fill(1)(("h", false, true)) ++
+      Seq.fill(3)(("h", true, false))
+    val got = run(rows)("h").get
+    assert(math.abs(got - 5.0 / math.sqrt(525.0)) < 1e-15, s"mcc $got")
+  }
+
   test("gini: textbook values, tie-invariant, layout-stable") {
     import spark.implicits._
     // perfect equality → 0; maximal concentration (one owner) → (n-1)/n
