@@ -698,6 +698,28 @@ object Stats {
           (col("n_true") + col("n_pred")).cast("double")))
   }
 
+  /** Finalize a (possibly merged) BOOLEAN-labeled [[confusionCounts]]
+    * table into the [[mccBinary]] output schema — cells re-summed from
+    * the matrix (exact, associative), then the same fixed float tail. */
+  def mccFromCounts(counts: DataFrame,
+      groupNames: Seq[String]): DataFrame = {
+    val cell = (t: Boolean, p: Boolean) =>
+      sum(when(col("truth") === lit(t) && col("pred") === lit(p),
+        col("n")).otherwise(0L))
+    val agg = counts.groupBy(groupNames.map(col): _*)
+      .agg(sum("n").as("n"), cell(true, true).as("tp"),
+        cell(false, false).as("tn"), cell(true, false).as("fn"),
+        cell(false, true).as("fp"))
+    val m1 = (col("tp") + col("fp")).cast("double")
+    val m2 = (col("tp") + col("fn")).cast("double")
+    val m3 = (col("tn") + col("fp")).cast("double")
+    val m4 = (col("tn") + col("fn")).cast("double")
+    agg.withColumn("mcc",
+      when(m1 > 0.0 && m2 > 0.0 && m3 > 0.0 && m4 > 0.0,
+        (col("tp") * col("tn") - col("fp") * col("fn")).cast("double") /
+          sqrt(m1 * m2 * m3 * m4)))
+  }
+
   /** Finalize a (possibly merged) [[confusionCounts]] table into the
     * [[cohenKappa]] output schema — same exact one-division κ. */
   def cohenKappaFromCounts(counts: DataFrame,

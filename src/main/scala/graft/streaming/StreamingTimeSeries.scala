@@ -655,6 +655,13 @@ object StreamingTimeSeries {
     graft.operators.Stats.cohenKappaFromCounts(
       mergedConfusion(spark, targetDir, groupCol), Seq(groupCol))
 
+  /** Whole-stream MCC from the SAME stored counts (boolean-labeled
+    * stream — [[graft.operators.Stats.mccFromCounts]]). */
+  def mergedMcc(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.mccFromCounts(
+      mergedConfusion(spark, targetDir, groupCol), Seq(groupCol))
+
   private def mergedConfusion(spark: org.apache.spark.sql.SparkSession,
       targetDir: String, groupCol: String): DataFrame =
     graft.operators.Stats.mergeConfusionCounts(

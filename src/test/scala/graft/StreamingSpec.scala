@@ -238,6 +238,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(canonK(StreamingTimeSeries.mergedKappa(
         spark, s"$dir/data", "g")) == batchK,
         "a replayed micro-batch double-counted into kappa")
+      // a boolean-labeled stream through the same sink also serves MCC
+      val bdir = java.nio.file.Files.createTempDirectory("mcc_sink").toString
+      val bckpt = java.nio.file.Files.createTempDirectory("mcc_ckpt").toString
+      val ball = all.map { case (g, t, p) => (g, t == "en", p == "en") }
+      val binput = MemoryStream[(String, Boolean, Boolean)]
+      val bq = StreamingTimeSeries.startConfusionCountsQuery(
+        binput.toDF().toDF("g", "t", "p"), "g", "t", "p", s"$bdir/data",
+        bckpt)
+      try {
+        binput.addData(ball.take(200): _*); bq.processAllAvailable()
+        binput.addData(ball.drop(200): _*); bq.processAllAvailable()
+        val streamedM = canonK(
+          StreamingTimeSeries.mergedMcc(spark, s"$bdir/data", "g"))
+        val batchM = canonK(graft.operators.Stats.mccBinary(
+          ball.toDF("g", "t", "p"), Seq(col("g")), col("t"), col("p")))
+        assert(streamedM == batchM, "streamed MCC diverged from batch")
+      } finally bq.stop()
     } finally q.stop()
   }
 
