@@ -67,6 +67,9 @@ object PlanDump {
     "d_jaro_winkler_pairs" -> "jaro-winkler join — block-key equi-self-join (no cartesian), native codegen'd graft_jaro_winkler scorer inside the join stage; the block-size guard is one count window over (key, id) rows",
     "c_assoc_rules" -> "association rules — distinct (basket, item) agg, basket-key equi-self-join for pairs, two broadcast-able count joins + a 1-row broadcast total; every metric a projection",
     "d_edit1_pairs" -> "edit-distance-1 join — deletion-variant hash postings equi-join (16-byte rows), exact levenshtein verify AFTER the candidate distinct; strings re-attach by two narrow id joins",
+    "m_phash_neardups" -> "pHash near-dups — mapPartitions codec decode to 63-bit signatures, then the shared band-bucket equi-join; payloads never cross an exchange, only (id, simhash)",
+    "a_langid_report" -> "per-class P/R/F1 — ONE confusion aggregation, three narrow re-aggs full-joined per (source, class); metrics are projections over exact counts",
+    "a_calibration_error" -> "Brier + ECE — one (group, bin) partial aggregation (exact quantized BIGINTs), group re-agg + in-row fixed-bin fold; no second scan of scores",
     "s_embedding_covariance" -> "exact-integer covariance — two chained generators fan each row to its upper-triangle products, the hash aggregate combines map-side so only d² partial rows per partition cross the exchange; the closing division is one projected expression",
     "a_psi_drift" -> "PSI drift — one when-chain binning aggregate (exact BIGINT counts), a groups×bins window for totals, and a FIXED-ORDER sorted-list fold for the float tail — no plan-ordered float summation anywhere",
     "c_seasonal_decompose" -> "seasonal decomposition — per-group centered-window sums (no global sort), a |groups|×period seasonal aggregate joined back, every float from exact integers via fixed-order ops",
