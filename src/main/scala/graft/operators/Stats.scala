@@ -1244,6 +1244,241 @@ object Stats {
       .withColumnRenamed("n2", "n_neg")
       .drop("r1_x2", "u1", "z")
 
+  /** Spearman rank correlation per group — the monotone-association
+    * complement to [[crossCorr]]'s linear Pearson: does y tend to
+    * increase with x at all, judged on ranks, so any monotone transform
+    * of either variable leaves the statistic unchanged and outliers get
+    * rank-bounded influence. With x = time it doubles as a trend test
+    * (the rank-correlation sibling of [[mannKendall]], at one window
+    * pass instead of an S-count).
+    *
+    * Exact-rank construction: each row's DOUBLED midrank is
+    * `rank() + countLE` where `rank()` is the tie-block min rank
+    * (1 + rows strictly below) and `countLE` is the RANGE-frame count of
+    * rows at-or-below — both from the SAME sort, so one WindowExec per
+    * variable. Doubled midranks per group always sum to n(n+1) exactly,
+    * so the CENTERED doubled rank d = dmr − (n+1) sums to zero and
+    * Spearman needs no n·Σ cross-moment widening:
+    *
+    *   rho = Σ dx·dy / √(Σ dx² · Σ dy²)
+    *
+    * with every sum an exact BIGINT (order-independent) and a fixed
+    * algebraic float tail (one multiply, one correctly-rounded √, one
+    * divide) — EVERY output column hashes bit-for-bit cross-engine, no
+    * rounding, no transcendentals. |d| ≤ n−1 bounds each sum by n³, so
+    * the guard raises (not wraps) at n ≥ 2²¹ rows per group; beyond
+    * that, pre-aggregate or widen the three sums to DECIMAL(38,0).
+    * Groups with n < 2 or a zero-variance side yield null rho.
+    *
+    * Scale: one hash partition by group feeds all three window passes
+    * (sort by x, sort by y, whole-partition n — Catalyst reuses the one
+    * Exchange), then one partial-agg shuffle of 4 BIGINTs per group.
+    * Ordering ties are BY VALUE (midranks), so the result is
+    * deterministic under any physical row order.
+    *
+    * Output: groups... + (n, num, dx2, dy2, rho). */
+  def spearmanCorr(df: DataFrame, groupCols: Seq[Column], x: Column,
+      y: Column): DataFrame = {
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(groupCols :+ x.as("__x") :+ y.as("__y"): _*)
+    val names = base.columns.dropRight(2).toSeq
+    val g = names.map(col)
+    val W = org.apache.spark.sql.expressions.Window
+    val sx = W.partitionBy(g: _*).orderBy(col("__x"))
+    val sy = W.partitionBy(g: _*).orderBy(col("__y"))
+    val wg = W.partitionBy(g: _*)
+    val le = (s: org.apache.spark.sql.expressions.WindowSpec) =>
+      count(lit(1)).over(s.rangeBetween(W.unboundedPreceding, W.currentRow))
+    val ranked = base
+      .withColumn("__dmrx", rank().over(sx).cast("long") + le(sx))
+      .withColumn("__dmry", rank().over(sy).cast("long") + le(sy))
+      .withColumn("__n", count(lit(1)).over(wg))
+    val dx = col("__dmrx") - (col("__n") + 1L)
+    val dy = col("__dmry") - (col("__n") + 1L)
+    val agg = ranked.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"), sum(dx * dy).as("num"),
+        sum(dx * dx).as("dx2"), sum(dy * dy).as("dy2"))
+    val guard = when(col("n") >= lit(1L << 21),
+      raise_error(lit("spearmanCorr: n >= 2^21 - BIGINT rank moments " +
+        "may wrap; pre-aggregate or widen to DECIMAL(38,0)"))
+        .cast("bigint"))
+    agg
+      .withColumn("num", coalesce(guard, col("num")))
+      .withColumn("rho", when(col("dx2") > 0L && col("dy2") > 0L,
+        col("num").cast("double") /
+          sqrt(col("dx2").cast("double") * col("dy2").cast("double"))))
+  }
+
+  /** Ranked-retrieval evaluation per group — MRR, average precision,
+    * and NDCG@k: the search-quality triad that closes the retrieval
+    * block (BM25 / TF-IDF / ANN / RRF produce rankings; this scores
+    * them against relevance labels). One row per query group.
+    *
+    * Determinism: the ranking is score DESC with `tieBreak` ASC pinning
+    * equal scores — REQUIRED, because every metric reads positions and
+    * a plan-ordered tie would make the result layout-dependent.
+    *
+    * Portability: ranks and cumulative-positive counts are exact
+    * BIGINTs from one ordered window; each AP term is one exact IEEE
+    * division (P@i = cumpos/i at relevant i) folded in FIXED rank
+    * order, then divided once by n_pos — so `mrr` and `ap` hash
+    * bit-for-bit with NO rounding. DCG gains carry log2, so registered
+    * faces round `ndcg` (the ln-ulp convention); IDCG folds the ideal
+    * prefix min(k, n_pos) in the same fixed order.
+    *
+    * Scale: one window sort per group (the candidate list — bounded by
+    * construction in retrieval evaluation) and one aggregation; ONLY
+    * the n_pos relevant rows are collected for the closing folds, and
+    * a group whose positives exceed `maxPos` raises rather than
+    * silently collecting unbounded state.
+    *
+    * Output: groups... + (n, n_pos, mrr, ap, ndcg). */
+  def rankingMetrics(df: DataFrame, groupCols: Seq[Column], score: Column,
+      tieBreak: Column, label: Column, k: Int,
+      maxPos: Int = 100000): DataFrame = {
+    require(k >= 1 && k <= 100000, s"rankingMetrics needs 1 <= k <= 1e5, got $k")
+    val base = df.filter(score.isNotNull && label.isNotNull)
+      .select(groupCols ++ Seq(score.as("__s"), tieBreak.as("__tb"),
+        label.cast("boolean").as("__l")): _*)
+    val names = base.columns.dropRight(3).toSeq
+    val g = names.map(col)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(g: _*).orderBy(col("__s").desc, col("__tb").asc)
+    val ranked = base
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__cp", sum(when(col("__l"), 1L).otherwise(0L))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    val apTerm = col("__cp").cast("double") / col("__r").cast("double")
+    val dcgTerm = when(col("__r") <= k.toLong,
+      lit(1.0) / log2(col("__r").cast("double") + lit(1.0)))
+      .otherwise(lit(0.0))
+    val agg = ranked.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("n_pos"),
+        min(when(col("__l"), col("__r"))).as("__fr"),
+        sort_array(collect_list(when(col("__l"),
+          struct(col("__r"), apTerm.as("__ap"), dcgTerm.as("__dcg")))))
+          .as("__ts"))
+      .withColumn("n_pos", when(col("n_pos") > maxPos.toLong,
+        raise_error(lit(s"rankingMetrics: a group has > $maxPos " +
+          "positives - the closing fold would collect unbounded state; " +
+          "raise maxPos explicitly or pre-filter"))
+          .cast("bigint")).otherwise(col("n_pos")))
+    agg
+      .withColumn("mrr", when(col("__fr").isNotNull,
+        lit(1.0) / col("__fr").cast("double")))
+      .withColumn("ap", when(col("n_pos") > 0L,
+        aggregate(col("__ts"), lit(0.0),
+          (acc, s) => acc + s.getField("__ap")) /
+          col("n_pos").cast("double")))
+      .withColumn("ndcg", when(col("n_pos") > 0L, {
+        val dcg = aggregate(col("__ts"), lit(0.0),
+          (acc, s) => acc + s.getField("__dcg"))
+        val idcg = aggregate(
+          transform(sequence(lit(1L), least(lit(k.toLong), col("n_pos"))),
+            i => lit(1.0) / log2(i.cast("double") + lit(1.0))),
+          lit(0.0), (acc, x) => acc + x)
+        dcg / idcg
+      }))
+      .drop("__fr", "__ts")
+  }
+
+  /** The PARTIAL behind [[contingencyStats]]: exact per-(group, a, b)
+    * cell counts — the at-rest incremental artifact (the [[valueCounts]]
+    * convention). Cell counts are associative BIGINTs, so batch-sliced
+    * partials re-summed per (group, a, b) are EXACTLY the one-shot
+    * table and every readout stays bit-identical under any slicing.
+    * State is bounded by distinct (a, b) pairs per group — quantize
+    * unbounded categories first. */
+  def contingencyCells(df: DataFrame, groupCols: Seq[Column], a: Column,
+      b: Column): DataFrame =
+    df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(groupCols :+ a.as("__a") :+ b.as("__b"): _*)
+      .agg(count(lit(1)).as("__nij"))
+
+  /** Merge [[contingencyCells]] tables: BIGINT re-sum per cell. */
+  def mergeContingencyCells(partials: Seq[DataFrame],
+      groupNames: Seq[String]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy((groupNames ++ Seq("__a", "__b")).map(col): _*)
+      .agg(sum(col("__nij")).as("__nij"))
+
+  /** General r×c categorical-association profile per group — the
+    * feature-selection / leakage-audit face the 2×2 [[chiSquare2x2]]
+    * cannot cover: for two categorical columns, Pearson χ², Cramér's V
+    * (the [0,1] effect size that makes χ² comparable across cell
+    * counts), and mutual information in nats (the information-theoretic
+    * reading of the same table — what langid labels reveal about
+    * source, what a feature reveals about a label).
+    *
+    * Portability: cell and marginal counts are exact BIGINTs; both
+    * statistics reduce to folds over PRESENT cells only via
+    *
+    *   χ² = n · Σ nij²/(ri·cj) − n
+    *   MI = ln n + (Σ nij·ln(nij/(ri·cj))) / n
+    *
+    * (the absent-cell χ² mass Σ Eij telescopes to exactly n because the
+    * margins are complete). Both folds run in FIXED sorted-cell order
+    * (the [[psi]] order-pinning), so χ² and V — built from +,·,/ and
+    * one correctly-rounded √ only — hash bit-for-bit with NO rounding;
+    * `mi` carries ln, so registered faces round it (the ln-ulp
+    * convention, see a_js_divergence). Groups with one row or one
+    * column yield χ² = 0 and null V (no degrees of freedom).
+    *
+    * Scale: one cell aggregation (the only pass over the data), then
+    * marginal windows + the closing fold over the SMALL cells frame —
+    * r·c rows per group. Output: groups... + (n, r_levels, c_levels,
+    * chi2, cramers_v, mi). */
+  def contingencyStats(df: DataFrame, groupCols: Seq[Column], a: Column,
+      b: Column): DataFrame =
+    contingencyFromCells(contingencyCells(df, groupCols, a, b))
+
+  /** Finalize a (possibly merged) [[contingencyCells]] table into the
+    * [[contingencyStats]] output schema — the streaming-readout face. */
+  def contingencyFromCells(cells: DataFrame): DataFrame = {
+    val names = cells.columns.dropRight(3).toSeq
+    val W = org.apache.spark.sql.expressions.Window
+    val wa = W.partitionBy((names :+ "__a").map(col): _*)
+    val wb = W.partitionBy((names :+ "__b").map(col): _*)
+    val wg = W.partitionBy(names.map(col): _*)
+    val withMargins = cells
+      .withColumn("__ri", sum(col("__nij")).over(wa))
+      .withColumn("__cj", sum(col("__nij")).over(wb))
+      .withColumn("__n", sum(col("__nij")).over(wg))
+    val nijD = col("__nij").cast("double")
+    val riD = col("__ri").cast("double")
+    val cjD = col("__cj").cast("double")
+    withMargins
+      .withColumn("__chi_t", nijD * nijD / (riD * cjD))
+      .withColumn("__mi_t", nijD * log(nijD / (riD * cjD)))
+      .groupBy(names.map(col): _*)
+      .agg(sum(col("__nij")).as("n"),
+        count_distinct(col("__a")).as("r_levels"),
+        count_distinct(col("__b")).as("c_levels"),
+        // cell contributions fold in FIXED (a, b) order — the same
+        // order-pinning that keeps every Stats float engine-portable
+        sort_array(collect_list(struct(col("__a"), col("__b"),
+          col("__chi_t"), col("__mi_t")))).as("__cs"))
+      .withColumn("chi2", {
+        val nD = col("n").cast("double")
+        nD * aggregate(col("__cs"), lit(0.0),
+          (acc, s) => acc + s.getField("__chi_t")) - nD
+      })
+      .withColumn("cramers_v", {
+        val dof = least(col("r_levels"), col("c_levels")) - 1L
+        when(dof > 0L,
+          sqrt(greatest(col("chi2"), lit(0.0)) /
+            (col("n").cast("double") * dof.cast("double"))))
+      })
+      .withColumn("mi",
+        when(col("n") > 0L,
+          log(col("n").cast("double")) +
+            aggregate(col("__cs"), lit(0.0),
+              (acc, s) => acc + s.getField("__mi_t")) /
+              col("n").cast("double")))
+      .drop("__cs")
+  }
+
   /** Shared body of [[psi]] / [[jsDivergence]]: fixed-edge binning,
     * exact counts, per-group totals, and the FIXED-bin-order
     * contribution fold; `term(n1, t1, n2, t2)` is the per-bin

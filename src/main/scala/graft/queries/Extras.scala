@@ -633,6 +633,32 @@ object Extras {
         pmod(col("doc_id"), lit(2)) === 0)
       .orderBy("lang")
 
+  /** Monotone value-over-time trend per event type ([[graft.operators
+    * .Stats.spearmanCorr]]): Spearman rank correlation between event
+    * time and value — the rank-correlation sibling of c_mann_kendall
+    * (any monotone transform of either side leaves rho unchanged).
+    * Centered doubled-midrank BIGINT sums and one algebraic float tail
+    * (IEEE √ is correctly rounded), so every column including `rho`
+    * hashes exactly with no rounding. */
+  def aSpearmanCorr(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.spearmanCorr(t(s, dir, "events"),
+        Seq(col("event_type")), col("ts"), col("value"))
+      .orderBy("event_type")
+
+  /** Categorical association per source ([[graft.operators.Stats
+    * .contingencyStats]]): χ², Cramér's V, and mutual information
+    * between language and the 100-char length band — the r×c
+    * generalization of a_chi_square's 2×2. χ² and V are fixed-order
+    * +,·,/,√ only and hash with NO rounding; `mi` carries ln, so the
+    * registered face compares it at 12 decimals (the ln-ulp
+    * convention). */
+  def aContingencyProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.contingencyStats(t(s, dir, "documents"),
+        Seq(col("source")), col("lang"),
+        floor(col("n_chars") / 100).cast("bigint"))
+      .withColumn("mi", round(col("mi"), 12))
+      .orderBy("source")
+
   /** ROC AUC of document length as a predictor of lang = 'en' per
     * source ([[graft.operators.Stats.auc]]) — the evaluation face of
     * the same classifier-shaped fixture t_isotonic_calibration
@@ -643,6 +669,19 @@ object Extras {
     graft.operators.Stats.auc(t(s, dir, "documents"),
         Seq(col("source")), col("n_chars"),
         coalesce(col("lang") === "en", lit(false)))
+      .orderBy("source")
+
+  /** Ranked-retrieval evaluation per source ([[graft.operators.Stats
+    * .rankingMetrics]]): MRR / AP / NDCG@10 of the deterministic
+    * pseudo-score ranking against lang = 'en' relevance — the ranking
+    * triad beside a_auc_length's pairwise AUC. Ranks and AP terms are
+    * exact (fixed-order fold of single divisions: no rounding); ndcg
+    * carries log2, compared at 12 decimals (the ln-ulp convention). */
+  def aRankingMetrics(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.rankingMetrics(t(s, dir, "documents"),
+        Seq(col("source")), pseudoScore, col("doc_id"),
+        coalesce(col("lang") === "en", lit(false)), k = 10)
+      .withColumn("ndcg", round(col("ndcg"), 12))
       .orderBy("source")
 
   /** Deterministic pseudo-probability for the calibration faces: a
@@ -744,6 +783,9 @@ object Extras {
     "a_js_divergence" -> (aJsDivergence _),
     "a_ks_drift" -> (aKsDrift _),
     "a_rank_sum" -> (aRankSum _),
+    "a_spearman_corr" -> (aSpearmanCorr _),
+    "a_contingency_profile" -> (aContingencyProfile _),
+    "a_ranking_metrics" -> (aRankingMetrics _),
     "a_auc_length" -> (aAucLength _),
     "a_logistic_fit" -> (aLogisticFit _),
     "a_reliability_bins" -> (aReliabilityBins _),
@@ -1074,6 +1116,115 @@ object Extras {
         |        - CAST(ties AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)))
         |  END AS z
         |FROM u ORDER BY 1""".stripMargin,
+    // Ranking mirror: same deterministic (score DESC, doc_id) order,
+    // exact rank/cum-positive windows, relevant-only lists folded in
+    // rank order. mrr/ap unrounded; ndcg at 12 decimals (log2 ulps).
+    "a_ranking_metrics" ->
+      """WITH c AS (SELECT source, doc_id,
+        |    CAST(doc_id * 37 % 1000 AS DOUBLE) / 1000.0 AS score,
+        |    COALESCE(lang = 'en', FALSE) AS l
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, l,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS rnk,
+        |    SUM(CASE WHEN l THEN 1 ELSE 0 END) OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cp
+        |  FROM c),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    MIN(CASE WHEN l THEN rnk END) AS fr,
+        |    list(CAST(cp AS DOUBLE) / CAST(rnk AS DOUBLE) ORDER BY rnk)
+        |      FILTER (WHERE l) AS aps,
+        |    list(CASE WHEN rnk <= 10
+        |        THEN 1.0 / log2(CAST(rnk AS DOUBLE) + 1.0)
+        |        ELSE 0.0 END ORDER BY rnk)
+        |      FILTER (WHERE l) AS dcgs
+        |  FROM r GROUP BY 1)
+        |SELECT source, n, n_pos,
+        |  CASE WHEN fr IS NOT NULL
+        |    THEN 1.0 / CAST(fr AS DOUBLE) END AS mrr,
+        |  CASE WHEN n_pos > 0
+        |    THEN (0.0 + list_reduce(aps, (a, b) -> a + b))
+        |      / CAST(n_pos AS DOUBLE) END AS ap,
+        |  CASE WHEN n_pos > 0 THEN ROUND(
+        |    (0.0 + list_reduce(dcgs, (a, b) -> a + b))
+        |    / (0.0 + list_reduce(list_transform(
+        |        range(1, CAST(LEAST(10, n_pos) AS INTEGER) + 1),
+        |        i -> 1.0 / log2(CAST(i AS DOUBLE) + 1.0)),
+        |      (a, b) -> a + b)), 12) END AS ndcg
+        |FROM g ORDER BY 1""".stripMargin,
+    // Contingency mirror: same present-cell-only algebra (χ² and MI
+    // telescoped so absent cells never materialize), marginal window
+    // sums, and the fixed (a, b)-order list fold. χ²/V unrounded; mi
+    // at 12 decimals (ln ulps).
+    "a_contingency_profile" ->
+      """WITH c AS (SELECT source, lang AS a,
+        |    CAST(FLOOR(n_chars / 100) AS BIGINT) AS b
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |cells AS (SELECT source, a, b, CAST(COUNT(*) AS BIGINT) AS nij
+        |  FROM c GROUP BY 1, 2, 3),
+        |m AS (SELECT source, a, b, nij,
+        |    SUM(nij) OVER (PARTITION BY source, a) AS ri,
+        |    SUM(nij) OVER (PARTITION BY source, b) AS cj,
+        |    SUM(nij) OVER (PARTITION BY source) AS nn FROM cells),
+        |x AS (SELECT source, a, b, nn,
+        |    CAST(nij AS DOUBLE) * CAST(nij AS DOUBLE)
+        |      / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)) AS chi_t,
+        |    CAST(nij AS DOUBLE) * ln(CAST(nij AS DOUBLE)
+        |      / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE))) AS mi_t
+        |  FROM m),
+        |g AS (SELECT source, CAST(MAX(nn) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT a) AS BIGINT) AS r_levels,
+        |    CAST(COUNT(DISTINCT b) AS BIGINT) AS c_levels,
+        |    CAST(MAX(nn) AS DOUBLE)
+        |      * (0.0 + list_reduce(list(chi_t ORDER BY a, b),
+        |          (x, y) -> x + y))
+        |      - CAST(MAX(nn) AS DOUBLE) AS chi2,
+        |    0.0 + list_reduce(list(mi_t ORDER BY a, b),
+        |      (x, y) -> x + y) AS mi_f
+        |  FROM x GROUP BY 1)
+        |SELECT source, n, r_levels, c_levels, chi2,
+        |  CASE WHEN LEAST(r_levels, c_levels) - 1 > 0
+        |    THEN sqrt(GREATEST(chi2, 0.0) / (CAST(n AS DOUBLE)
+        |      * CAST(LEAST(r_levels, c_levels) - 1 AS DOUBLE)))
+        |  END AS cramers_v,
+        |  ROUND(ln(CAST(n AS DOUBLE)) + mi_f / CAST(n AS DOUBLE), 12)
+        |    AS mi
+        |FROM g ORDER BY 1""".stripMargin,
+    // Spearman mirror: identical doubled-midrank construction — RANK()
+    // (tie-block min rank) + tie-inclusive RANGE-frame count from the
+    // same sort, centered by (n+1), three exact BIGINT sums, one
+    // algebraic float tail. No rounding anywhere.
+    "a_spearman_corr" ->
+      """WITH c AS (SELECT event_type, ts, value FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT event_type,
+        |    CAST(RANK() OVER (PARTITION BY event_type ORDER BY ts)
+        |      AS BIGINT)
+        |    + COUNT(*) OVER (PARTITION BY event_type ORDER BY ts
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS dmrx,
+        |    CAST(RANK() OVER (PARTITION BY event_type ORDER BY value)
+        |      AS BIGINT)
+        |    + COUNT(*) OVER (PARTITION BY event_type ORDER BY value
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS dmry,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nw
+        |  FROM c),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM((dmrx - (nw + 1)) * (dmry - (nw + 1))) AS BIGINT)
+        |      AS num,
+        |    CAST(SUM((dmrx - (nw + 1)) * (dmrx - (nw + 1))) AS BIGINT)
+        |      AS dx2,
+        |    CAST(SUM((dmry - (nw + 1)) * (dmry - (nw + 1))) AS BIGINT)
+        |      AS dy2
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n, num, dx2, dy2,
+        |  CASE WHEN dx2 > 0 AND dy2 > 0
+        |    THEN CAST(num AS DOUBLE)
+        |      / sqrt(CAST(dx2 AS DOUBLE) * CAST(dy2 AS DOUBLE))
+        |  END AS rho
+        |FROM a ORDER BY 1""".stripMargin,
     // AUC mirror: the a_rank_sum pipeline re-grouped by source with
     // label = lang-is-en, finalized as U1/(n1*n2) — one division over
     // exact BIGINT-derived halves, midrank ties included.

@@ -988,4 +988,185 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       got.map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
         .sortBy(_.toString).toSeq)
   }
+
+  test("spearmanCorr: monotone extremes, naive midrank differential, ties, nulls") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Long)]) =
+      Stats.spearmanCorr(rows.toDF("g", "x", "y"), Seq(col("g")),
+          col("x"), col("y"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))).toMap
+    // any monotone increasing y(x) → rho = 1 exactly; decreasing → -1
+    val up = (1L to 20L).map(i => ("g", i, i * i))
+    assert(run(up)("g")._5 == 1.0)
+    val dn = (1L to 20L).map(i => ("g", i, 100L - 3L * i))
+    assert(run(dn)("g")._5 == -1.0)
+    // fuzzed differential vs a naive midrank Spearman — bitwise: the
+    // same centered doubled-midrank integer sums and float tail
+    def naive(xs: Seq[Long], ys: Seq[Long]): Double = {
+      def dmr(v: Seq[Long]): Seq[Long] = {
+        val sorted = v.sorted
+        v.map { x =>
+          val lt = sorted.count(_ < x).toLong
+          val le = sorted.count(_ <= x).toLong
+          lt + 1 + le // min rank + tie-inclusive count = doubled midrank
+        }
+      }
+      val n = xs.size.toLong
+      val dx = dmr(xs).map(_ - (n + 1))
+      val dy = dmr(ys).map(_ - (n + 1))
+      val num = dx.zip(dy).map { case (a, b) => a * b }.sum
+      val dx2 = dx.map(a => a * a).sum
+      val dy2 = dy.map(a => a * a).sum
+      num.toDouble / math.sqrt(dx2.toDouble * dy2.toDouble)
+    }
+    val rnd = new scala.util.Random(23)
+    val fx = Seq.fill(300)(rnd.nextInt(15).toLong) // heavy ties
+    val fy = fx.zip(Seq.fill(300)(rnd.nextInt(15).toLong))
+      .map { case (a, b) => a + b } // correlated, tied
+    val rows = fx.zip(fy).map { case (a, b) => ("g", a, b) }
+    val got = run(rows)("g")
+    assert(got._5 == naive(fx, fy), s"$got vs ${naive(fx, fy)}")
+    assert(got._5 > 0.3, "positively-coupled fixture must read positive")
+    // layout invariance is bitwise (integer sums, fixed float tail)
+    assert(run(rows.reverse) == run(rows))
+    assert(Stats.spearmanCorr(rows.toDF("g", "x", "y").repartition(13),
+        Seq(col("g")), col("x"), col("y"))
+      .collect().map(_.toSeq).toSet ==
+      Stats.spearmanCorr(rows.toDF("g", "x", "y"), Seq(col("g")),
+          col("x"), col("y"))
+        .collect().map(_.toSeq).toSet)
+    // constant side → zero variance → null rho; n = 1 → null rho;
+    // null x or y rows are dropped before ranking
+    val edge = Seq(("flat", 1L, 7L), ("flat", 2L, 7L), ("flat", 3L, 7L),
+      ("one", 5L, 5L))
+    assert(run(edge)("flat")._5.isNaN && run(edge)("one")._5.isNaN)
+    val withNulls = Seq(("g", Some(1L), Some(1L)), ("g", None, Some(2L)),
+      ("g", Some(3L), None), ("g", Some(4L), Some(4L)))
+      .toDF("g", "x", "y")
+    val wn = Stats.spearmanCorr(withNulls, Seq(col("g")), col("x"), col("y"))
+      .collect()(0)
+    assert(wn.getLong(1) == 2L) // only the two complete rows rank
+  }
+
+  test("contingencyStats: 2x2 differential vs chiSquare2x2, extremes, merged partials") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String, Long)]) =
+      Stats.contingencyStats(rows.toDF("g", "a", "b"), Seq(col("g")),
+          col("a"), col("b"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+            if (r.isNullAt(5)) Double.NaN else r.getDouble(5),
+            r.getDouble(6)))).toMap
+    // 2x2 differential: the general r×c χ² must agree with the closed
+    //2×2 determinant formula (different expression trees → tolerance)
+    val rnd = new scala.util.Random(31)
+    val two = Seq.fill(400)(("g",
+      if (rnd.nextBoolean()) "x" else "y",
+      if (rnd.nextInt(3) == 0) 0L else 1L))
+    val got = run(two)("g")
+    val chi22 = Stats.chiSquare2x2(two.toDF("g", "a", "b"),
+        col("a") === "x", col("b") === 0L)
+      .collect()(0).getAs[Double]("chi2")
+    assert(math.abs(got._4 - chi22) < 1e-9, s"${got._4} vs $chi22")
+    // perfect association on a k×k diagonal: χ² = n(k−1) and V = 1.0
+    // exactly (the fold telescopes to integers)
+    val diag = (1 to 90).map(i => ("g", s"c${i % 3}", (i % 3).toLong))
+    val d = run(diag)("g")
+    assert(d._4 == 90.0 * 2 && d._5 == 1.0, s"$d")
+    // independence on a complete uniform grid: χ² = 0, MI = 0 (exact:
+    // every cell term is nij²/(ri·cj) = 1/(k·k) summed k² times)
+    val indep = for (i <- 1 to 5; j <- 1 to 4; _ <- 1 to 3)
+      yield ("g", s"r$i", j.toLong)
+    val ind = run(indep)("g")
+    assert(math.abs(ind._4) < 1e-9 && math.abs(ind._6) < 1e-12, s"$ind")
+    // single-column group: no dof → χ² = 0, null V
+    val flat = Seq(("g", "only", 1L), ("g", "only", 2L), ("g", "only", 2L))
+    val f = run(flat)("g")
+    assert(f._2 == 1L && f._4 == 0.0 && f._5.isNaN)
+    // MI differential vs a naive sorted-order fold — bitwise
+    def naiveMi(rows: Seq[(String, Long)]): Double = {
+      val n = rows.size.toLong
+      val cells = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      val ri = rows.groupBy(_._1).view.mapValues(_.size.toLong)
+      val cj = rows.groupBy(_._2).view.mapValues(_.size.toLong)
+      val fold = cells.toSeq.sortBy(_._1).foldLeft(0.0) {
+        case (acc, ((a, b), nij)) =>
+          acc + nij.toDouble * math.log(nij.toDouble /
+            (ri(a).toDouble * cj(b).toDouble))
+      }
+      math.log(n.toDouble) + fold / n.toDouble
+    }
+    val fuzz = Seq.fill(500)((s"k${rnd.nextInt(4)}", rnd.nextInt(6).toLong))
+    val fz = run(fuzz.map { case (a, b) => ("g", a, b) })("g")
+    assert(fz._6 == naiveMi(fuzz), s"${fz._6} vs ${naiveMi(fuzz)}")
+    assert(fz._6 >= -1e-12, "MI is nonnegative")
+    // batch-sliced partials re-merged == one-shot, bitwise
+    val df = fuzz.map { case (a, b) => ("g", a, b) }.toDF("g", "a", "b")
+    val (h, t2) = fuzz.map { case (a, b) => ("g", a, b) }.splitAt(200)
+    val m = Stats.contingencyFromCells(Stats.mergeContingencyCells(
+      Seq(Stats.contingencyCells(h.toDF("g", "a", "b"), Seq(col("g")),
+        col("a"), col("b")),
+        Stats.contingencyCells(t2.toDF("g", "a", "b"), Seq(col("g")),
+          col("a"), col("b"))), Seq("g")))
+      .collect()(0).toSeq
+    val whole = Stats.contingencyStats(df, Seq(col("g")), col("a"), col("b"))
+      .collect()(0).toSeq
+    assert(m == whole)
+  }
+
+  test("rankingMetrics: textbook lists, tie determinism, no-positive group, layout") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Double, Long, Boolean)], k: Int = 10) =
+      Stats.rankingMetrics(rows.toDF("g", "s", "id", "l"), Seq(col("g")),
+          col("s"), col("id"), col("l"), k)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
+            if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+            if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))).toMap
+    // perfect ranking: positives at ranks 1..3 of 6 → mrr=1, ap=1, ndcg=1
+    val perfect = Seq(("g", 0.9, 1L, true), ("g", 0.8, 2L, true),
+      ("g", 0.7, 3L, true), ("g", 0.3, 4L, false), ("g", 0.2, 5L, false),
+      ("g", 0.1, 6L, false))
+    val p = run(perfect)("g")
+    assert(p == ((6L, 3L, 1.0, 1.0, 1.0)), s"$p")
+    // textbook AP: positives at ranks 1, 3, 5 →
+    // AP = (1/1 + 2/3 + 3/5)/3; MRR = 1
+    val mixed = Seq(("g", 0.9, 1L, true), ("g", 0.8, 2L, false),
+      ("g", 0.7, 3L, true), ("g", 0.6, 4L, false), ("g", 0.5, 5L, true))
+    val m2 = run(mixed)("g")
+    assert(m2._3 == 1.0 && m2._4 == (1.0 + 2.0 / 3.0 + 3.0 / 5.0) / 3.0)
+    // NDCG hand check: rel at 1,3 of k=3, one more positive below k →
+    // DCG = 1/log2(2) + 1/log2(4); IDCG = 1/log2(2) + 1/log2(3) + 1/log2(4)
+    val nd = Seq(("g", 0.9, 1L, true), ("g", 0.8, 2L, false),
+      ("g", 0.7, 3L, true), ("g", 0.6, 4L, true))
+    val n3 = run(nd, k = 3)("g")
+    val want = (1.0 + 1.0 / (math.log(4) / math.log(2))) /
+      (1.0 + 1.0 / (math.log(3) / math.log(2)) +
+        1.0 / (math.log(4) / math.log(2)))
+    assert(math.abs(n3._5 - want) < 1e-12, s"${n3._5} vs $want")
+    // tied scores: the id tiebreak pins the order — id 2 (positive)
+    // ranks AFTER id 1 (negative) at equal score, so mrr = 1/2
+    val tied = Seq(("g", 0.5, 1L, false), ("g", 0.5, 2L, true))
+    assert(run(tied)("g")._3 == 0.5)
+    // no positives → null mrr/ap/ndcg, counts still real
+    val none = run(Seq(("g", 0.9, 1L, false), ("g", 0.1, 2L, false)))("g")
+    assert(none._1 == 2L && none._2 == 0L &&
+      none._3.isNaN && none._4.isNaN && none._5.isNaN)
+    // layout invariance is bitwise
+    val rnd = new scala.util.Random(41)
+    val fuzz = (1L to 300L).map(i =>
+      (s"q${i % 4}", rnd.nextInt(50) / 50.0, i, rnd.nextInt(4) == 0))
+    val a1 = run(fuzz)
+    val a2 = Stats.rankingMetrics(
+        fuzz.reverse.toDF("g", "s", "id", "l").repartition(9),
+        Seq(col("g")), col("s"), col("id"), col("l"), 10)
+      .collect().map(_.toSeq).toSet
+    assert(a2 == Stats.rankingMetrics(fuzz.toDF("g", "s", "id", "l"),
+      Seq(col("g")), col("s"), col("id"), col("l"), 10)
+      .collect().map(_.toSeq).toSet)
+    assert(a1.keySet == Set("q0", "q1", "q2", "q3"))
+  }
 }
