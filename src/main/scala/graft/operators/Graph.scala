@@ -128,6 +128,97 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient over the UNDIRECTED graph —
+    * the community-density profile next to the global [[triangleCount]]:
+    * lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the fraction of v's
+    * neighbor pairs that are themselves connected (hub pages with
+    * interlinked neighborhoods vs. pure star spam — a standard crawl
+    * -graph quality signal).
+    *
+    * Construction: the same oriented (u<v) two-join wedge closure as
+    * [[triangleCount]] — each triangle a<b<c materializes once — then
+    * one explode over its three corners counts per-node triangles
+    * exactly; undirected degree comes from one aggregation over both
+    * edge endpoints. lcc is exact BIGINTs plus ONE division (2·t and
+    * d·(d−1) stay integer), so every column hashes bit-for-bit
+    * cross-engine. Nodes with deg < 2 yield null lcc (no neighbor
+    * pair to close).
+    *
+    * Scale: orientation bounds each node's wedge expansion by its
+    * FORWARD degree (the power-law hub mitigation [[triangleCount]]
+    * documents); the corner explode adds 3 rows per triangle, grouped
+    * immediately. Output: (node, degree, n_triangles, lcc). */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = orient(edges)
+    val e1 = und.as("e1")
+    val e2 = und.as("e2")
+    val e3 = und.as("e3")
+    val triangles = e1.join(e2, col("e2.u") === col("e1.v"))
+      .join(e3, col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val perNode = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("lcc", when(col("degree") >= 2L,
+        (lit(2L) * col("n_triangles")).cast("double") /
+          (col("degree") * (col("degree") - 1L)).cast("double")))
+  }
+
+  /** Adamic–Adar link prediction over the UNDIRECTED graph: for every
+    * non-adjacent pair (u < v) sharing at least one neighbor,
+    * AA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg z) — common neighbors,
+    * discounted by how promiscuous each one is. The classic
+    * missing-link / related-host score for crawl frontier expansion
+    * and near-duplicate-site discovery.
+    *
+    * Construction: symmetric adjacency from the oriented edges, wedges
+    * z→(u,v) via ONE self-join on the center z (u < v dedups each
+    * pair), existing edges removed by an anti-join against the
+    * oriented edge list. Common-neighbor counts are exact BIGINTs;
+    * each 1/ln(deg z) term is discounted once per wedge and folds in
+    * FIXED center order (the Stats order-pinning), so `score` is
+    * deterministic; ln means registered faces compare it rounded (the
+    * ln-ulp convention). Centers of degree 1 cannot form wedges;
+    * deg = 1 ⇒ ln 1 = 0 can therefore never divide.
+    *
+    * Scale: the wedge fan-out is Σ_z deg(z)², quadratic in hub degree
+    * — a `maxDegree` fail-fast raises rather than letting one hub go
+    * quadratic silently (salt-or-sample decisions belong to the
+    * caller, same contract as Dedup's maxPosting). Output:
+    * (u, v, common_neighbors, score). */
+  def adamicAdar(edges: DataFrame, maxDegree: Int = 10000): DataFrame = {
+    val und = orient(edges)
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .withColumn("deg", when(col("deg") > maxDegree.toLong,
+        raise_error(lit(s"adamicAdar: a node exceeds maxDegree=" +
+          s"$maxDegree - the wedge fan-out is quadratic in hub degree; " +
+          "raise maxDegree explicitly or pre-filter hubs"))
+          .cast("bigint")).otherwise(col("deg")))
+    val adj = und.select(col("u").as("z"), col("v").as("n"))
+      .union(und.select(col("v").as("z"), col("u").as("n")))
+    val centered = adj.join(deg.withColumnRenamed("node", "z"), "z")
+    val a1 = centered.select(col("z"), col("n").as("u"), col("deg"))
+    val a2 = centered.select(col("z"), col("n").as("v"))
+    val wedges = a1.join(a2, "z").where(col("u") < col("v"))
+    val candidates = wedges.join(und, Seq("u", "v"), "left_anti")
+    candidates
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common_neighbors"),
+        sort_array(collect_list(struct(col("z"),
+          (lit(1.0) / log(col("deg").cast("double"))).as("__t"))))
+          .as("__ts"))
+      .withColumn("score", aggregate(col("__ts"), lit(0.0),
+        (acc, s) => acc + s.getField("__t")))
+      .drop("__ts")
+  }
+
   /** Per-node degree profile over the directed edge list: out-degree,
     * in-degree, and total, one row per node appearing anywhere. */
   def degrees(edges: DataFrame): DataFrame = {

@@ -103,6 +103,22 @@ object GraphInfra {
     Graph.degrees(hostEdges(t(s, dir, "documents")))
       .orderBy(col("total_deg").desc, col("node")).limit(10)
 
+  /** Per-node local clustering coefficient over the host graph —
+    * exact triangle corners + degrees, ONE division: every column
+    * including `lcc` hashes with no rounding. */
+  def gClusteringCoeff(s: SparkSession, dir: String): DataFrame =
+    Graph.clusteringCoefficient(hostEdges(t(s, dir, "documents")))
+      .orderBy("node")
+
+  /** Adamic–Adar link prediction over the host graph: top 20
+    * non-adjacent pairs by common-neighbor score. Counts are exact;
+    * `score` carries ln, so the face compares it at 12 decimals (the
+    * ln-ulp convention) and orders by the rounded value. */
+  def gAdamicAdar(s: SparkSession, dir: String): DataFrame =
+    Graph.adamicAdar(hostEdges(t(s, dir, "documents")))
+      .withColumn("score", round(col("score"), 12))
+      .orderBy(col("score").desc, col("u"), col("v")).limit(20)
+
   /** Snapshot diff over two derived `orders` snapshots: the old snapshot
     * drops keys ≡0 (mod 7), the new drops keys ≡0 (mod 5) and bumps
     * `o_totalprice` by 1.0 for keys ≡0 (mod 11) — so the diff exercises
@@ -173,6 +189,8 @@ object GraphInfra {
     "g_pagerank_hosts" -> (gPagerankHosts _),
     "g_triangle_count" -> (gTriangleCount _),
     "g_degree_stats" -> (gDegreeStats _),
+    "g_clustering_coeff" -> (gClusteringCoeff _),
+    "g_adamic_adar" -> (gAdamicAdar _),
     "l_snapshot_diff" -> (lSnapshotDiff _),
   )
 
@@ -244,6 +262,58 @@ object GraphInfra {
          |  COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0) AS total_deg
          |FROM outd o FULL JOIN ind i ON i.node = o.node
          |ORDER BY total_deg DESC, node LIMIT 10""".stripMargin,
+    // LCC mirror: same oriented wedge closure, corner explode via
+    // UNION ALL, undirected degrees; lcc is exact BIGINTs + one
+    // division — unrounded.
+    "g_clustering_coeff" ->
+      s"""WITH $edgesCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS u,
+         |        greatest(src, dst) AS v FROM edges),
+         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM und e1
+         |  JOIN und e2 ON e2.u = e1.v
+         |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |corners AS (SELECT a AS node FROM tri
+         |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+         |tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |  FROM corners GROUP BY 1),
+         |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+         |  FROM (SELECT u AS node FROM und
+         |        UNION ALL SELECT v FROM und) AS e GROUP BY 1)
+         |SELECT d.node, d.degree,
+         |  COALESCE(t.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN d.degree >= 2
+         |    THEN CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+         |      / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+         |  END AS lcc
+         |FROM dg d LEFT JOIN tc t ON t.node = d.node
+         |ORDER BY d.node""".stripMargin,
+    // Adamic–Adar mirror: symmetric adjacency, center self-join,
+    // anti-join against existing edges, fixed center-order fold;
+    // score at 12 decimals (ln ulps).
+    "g_adamic_adar" ->
+      s"""WITH $edgesCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS u,
+         |        greatest(src, dst) AS v FROM edges),
+         |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM (SELECT u AS node FROM und
+         |        UNION ALL SELECT v FROM und) AS e GROUP BY 1),
+         |adj AS (SELECT u AS z, v AS n FROM und
+         |        UNION ALL SELECT v AS z, u AS n FROM und),
+         |w AS (SELECT a1.z AS z, a1.n AS u, a2.n AS v, d.deg AS deg
+         |  FROM adj a1 JOIN adj a2 ON a2.z = a1.z
+         |  JOIN dg d ON d.node = a1.z
+         |  WHERE a1.n < a2.n),
+         |cand AS (SELECT w.z, w.u, w.v, w.deg FROM w
+         |  LEFT JOIN und e ON e.u = w.u AND e.v = w.v
+         |  WHERE e.u IS NULL),
+         |g AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         |    ROUND(0.0 + list_reduce(
+         |      list(1.0 / ln(CAST(deg AS DOUBLE)) ORDER BY z),
+         |      (a, b) -> a + b), 12) AS score
+         |  FROM cand GROUP BY 1, 2)
+         |SELECT u, v, common_neighbors, score FROM g
+         |ORDER BY score DESC, u, v LIMIT 20""".stripMargin,
     "l_snapshot_diff" ->
       """WITH oldsnap AS (
         |  SELECT o_orderkey AS k, o_totalprice AS v

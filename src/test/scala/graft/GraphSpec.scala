@@ -79,6 +79,56 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) === 0L)
   }
 
+  test("clusteringCoefficient: K4 is all 1.0; pendant and path nodes read right") {
+    // K4 plus a pendant node 9 hanging off 3
+    val g = edgesDf((0L, 1L), (1L, 0L), (2L, 0L), (0L, 3L),
+      (1L, 2L), (3L, 1L), (2L, 3L), (3L, 9L))
+    val lcc = Graph.clusteringCoefficient(g)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    // inside K4 every node closes 3 triangles; 0/1/2 have deg 3 →
+    // lcc = 2·3/(3·2) = 1; node 3 has deg 4 (pendant) → 2·3/(4·3) = 0.5
+    assert(lcc(0L) == ((3L, 3L, 1.0)) && lcc(1L) == ((3L, 3L, 1.0)) &&
+      lcc(2L) == ((3L, 3L, 1.0)))
+    assert(lcc(3L) == ((4L, 3L, 0.5)))
+    // the pendant has deg 1 → null lcc, zero triangles
+    assert(lcc(9L)._1 == 1L && lcc(9L)._2 == 0L && lcc(9L)._3.isNaN)
+    // open path: middle node deg 2 but no closure → lcc 0.0 exactly
+    val path = Graph.clusteringCoefficient(edgesDf((1L, 2L), (2L, 3L)))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(path(2L) == 0.0 && path(1L).isNaN)
+  }
+
+  test("adamicAdar: hand wedge, existing edges excluded, hub fail-fast") {
+    // 1-3, 2-3, 1-4, 2-4: pair (1,2) shares centers {3,4}, both deg 2
+    // → AA = 2/ln 2; pair (3,4) shares {1,2} the same way. No edge
+    // between 1-2 or 3-4, so both pairs are candidates.
+    val g = edgesDf((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    val aa = Graph.adamicAdar(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val twoOverLn2 = (1.0 / math.log(2.0)) + (1.0 / math.log(2.0))
+    assert(aa((1L, 2L)) == ((2L, twoOverLn2)))
+    assert(aa((3L, 4L)) == ((2L, twoOverLn2)))
+    assert(aa.size == 2)
+    // connect 1-2: the pair leaves the candidate set
+    val g2 = edgesDf((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (1L, 2L))
+    val aa2 = Graph.adamicAdar(g2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!aa2.contains((1L, 2L)))
+    // triangle: every pair adjacent → no candidates at all
+    assert(Graph.adamicAdar(edgesDf((1L, 2L), (2L, 3L), (1L, 3L)))
+      .collect().isEmpty)
+    // hub over maxDegree raises instead of going quadratic silently
+    val hub = edgesDf((0L to 5L).map(i => (100L, i)): _*)
+    val err = intercept[Exception] {
+      Graph.adamicAdar(hub, maxDegree = 4).collect()
+    }
+    assert(err.getMessage != null && err.getMessage.contains("maxDegree"))
+  }
+
   test("degrees covers source-only and sink-only nodes with zero fill") {
     val d = Graph.degrees(edgesDf((1L, 2L), (1L, 3L), (2L, 3L)))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
