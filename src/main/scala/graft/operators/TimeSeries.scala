@@ -469,6 +469,49 @@ object TimeSeries {
       col("__f").getField("ft").as("first_alarm_t")): _*)
   }
 
+  /** Cohort retention matrix — the engagement reading of the weekly
+    * family: users are cohorted by their FIRST active week
+    * ([[weekStart]] Sunday alignment, the repo-wide convention) and
+    * each (cohort, offset) cell counts how many of them were active
+    * `offset` weeks later. The classic triangle any
+    * corpus-contribution or usage dataset gets asked for.
+    *
+    * Portability: activity first collapses to DISTINCT (user, week) —
+    * exact — so every cell is an exact BIGINT count; `retention` is
+    * ONE division by the cohort's own offset-0 size (which always
+    * exists: the first week is active by construction), so every
+    * column hashes bit-for-bit cross-engine.
+    *
+    * Scale: one distinct aggregation over (user, week) — the only pass
+    * over the raw events; a per-user window (min week) rides the same
+    * hash partitioning; the cell aggregation and per-cohort size
+    * window then run on ≤ |users|·|weeks| already-deduped rows. No
+    * driver-side anything; skewed "eternal" users cost one row per
+    * week, not per event.
+    *
+    * Output: (cohort_week, offset_weeks, n_active, cohort_size,
+    * retention). */
+  def retentionCohorts(df: DataFrame, user: Column,
+      dateCol: Column): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val uw = df.filter(user.isNotNull && dateCol.isNotNull)
+      .select(user.as("__u"), weekStart(dateCol).as("__w"))
+      .distinct()
+    val cohorted = uw.withColumn("__cw",
+      min(col("__w")).over(W.partitionBy(col("__u"))))
+    val counts = cohorted
+      .groupBy(col("__cw").as("cohort_week"),
+        (datediff(col("__w"), col("__cw")) / 7).cast("bigint")
+          .as("offset_weeks"))
+      .agg(count(lit(1)).as("n_active"))
+    counts
+      .withColumn("cohort_size",
+        max(when(col("offset_weeks") === 0L, col("n_active")))
+          .over(W.partitionBy(col("cohort_week"))))
+      .withColumn("retention",
+        col("n_active").cast("double") / col("cohort_size").cast("double"))
+  }
+
   /** A6 — per-region AND global totals in ONE shuffle via `rollup` instead
     * of the reference's repeat-per-continent loop (`Time_Series.py:323,
     * 868–897`). The null-region row is the `Worldwide` total.

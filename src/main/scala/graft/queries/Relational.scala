@@ -423,6 +423,7 @@ object Relational {
     "a_benford_prices" -> (aBenfordPrices _),
     "c_theil_sen_trend" -> (cTheilSenTrend _),
     "c_changepoints" -> (cChangepoints _),
+    "c_retention_cohorts" -> (cRetentionCohorts _),
     "c_cusum_alarms" -> (cCusumAlarms _),
     "c_cross_corr" -> (cCrossCorr _),
     "c_optimal_changepoints" -> (cOptimalChangepoints _),
@@ -525,6 +526,15 @@ object Relational {
     * event series, slack 2 / threshold 20 against the floored per-key
     * median: pure integer recurrence folded in-row, so every column
     * (including alarm dates) hashes with no float anywhere. */
+  /** Weekly cohort retention ([[TimeSeries.retentionCohorts]]): users
+    * cohorted by first active week, counted at each later offset —
+    * exact distinct-activity BIGINTs and ONE closing division, so
+    * every column including `retention` hashes with no rounding. */
+  def cRetentionCohorts(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.retentionCohorts(t(s, dir, "events"), col("user_id"),
+        to_date(col("ts")))
+      .orderBy("cohort_week", "offset_weeks")
+
   def cCusumAlarms(s: SparkSession, dir: String): DataFrame = {
     val f = TimeSeries.weeklyFrequency(
       t(s, dir, "events"), to_date(col("ts")), col("event_type"))
@@ -889,6 +899,26 @@ object Relational {
         |CROSS JOIN nb ORDER BY antecedent, consequent""".stripMargin,
     "c_changepoints" -> changepointsOracle,
     "c_cusum_alarms" -> cusumOracle,
+    // Retention mirror: same Sunday week alignment as a5, distinct
+    // (user, week) activity, min-week cohort window, and the
+    // offset-0 size window; retention is the one float division.
+    "c_retention_cohorts" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u,
+        |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE))
+        |      AS INTEGER) AS w
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT u, w, MIN(w) OVER (PARTITION BY u) AS cw FROM uw),
+        |cell AS (SELECT cw AS cohort_week,
+        |    CAST((w - cw) // 7 AS BIGINT) AS offset_weeks,
+        |    CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM c GROUP BY 1, 2)
+        |SELECT cohort_week, offset_weeks, n_active,
+        |  CAST(MAX(CASE WHEN offset_weeks = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort_week) AS BIGINT) AS cohort_size,
+        |  CAST(n_active AS DOUBLE)
+        |    / CAST(MAX(CASE WHEN offset_weeks = 0 THEN n_active END)
+        |        OVER (PARTITION BY cohort_week) AS DOUBLE) AS retention
+        |FROM cell ORDER BY 1, 2""".stripMargin,
     "c_optimal_changepoints" -> optimalChangepointsOracle,
     "c_cross_corr" ->
       """WITH f AS (SELECT event_type AS key,

@@ -539,6 +539,43 @@ object StreamingTimeSeries {
     graft.operators.Stats.mannWhitneyFromValueCounts(
       mergedValues(spark, targetDir, groupCol))
 
+  /** Streaming categorical-association maintenance — the ingestion face
+    * of [[graft.operators.Stats.contingencyStats]]: each micro-batch
+    * reduces once to its exact per-(group, a, b) cell-count deltas
+    * ([[graft.operators.Stats.contingencyCells]], batch_id replay
+    * guard). Cell counts are associative BIGINTs, so
+    * [[mergedContingency]]'s re-sum + shared finalize is bit-identical
+    * to the one-shot batch profile over all data — χ²/V/MI dashboards
+    * (label × feature drift, langid × source skew) stay current at
+    * ingestion without rescanning history. State is the distinct-cell
+    * grid per group, not the event history. */
+  def startContingencyCellsQuery(events: DataFrame, groupCol: String,
+      aCol: String, bCol: String, targetDir: String,
+      checkpointDir: String) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Stats
+          .contingencyCells(batch.toDF(), Seq(col(groupCol)), col(aCol),
+            col(bCol))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$targetDir/cells")
+      }
+      .start()
+
+  /** Whole-stream χ²/Cramér's V/MI from the stored cell partials —
+    * bit-identical to the batch
+    * [[graft.operators.Stats.contingencyStats]] over all data. */
+  def mergedContingency(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.contingencyFromCells(
+      graft.operators.Stats.mergeContingencyCells(
+        Seq(spark.read.parquet(s"$targetDir/cells")
+          .dropDuplicates(groupCol, "__a", "__b", "batch_id")
+          .drop("batch_id")),
+        Seq(groupCol)))
+
   /** Streaming reference-LM maintenance — the ingestion face of
     * [[graft.operators.NgramLm]]: each micro-batch of reference
     * documents reduces once to its exact (w1, w2, count) bigram deltas

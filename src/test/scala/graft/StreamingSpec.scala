@@ -500,6 +500,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming contingency cells: merged chi2/V/MI == one-shot batch, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cont_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cont_ckpt").toString
+    val rng = new scala.util.Random(61)
+    // two groups with different association strengths; b coupled to a
+    // in g1 so the metrics are non-trivial
+    val all = (0 until 700).map { i =>
+      val g = s"g${i % 2}"
+      val a = s"a${rng.nextInt(4)}"
+      val b = if (g == "g1" && rng.nextInt(3) > 0) a.hashCode.toLong % 4
+        else rng.nextInt(4).toLong
+      (g, a, b)
+    }
+    val input = MemoryStream[(String, String, Long)]
+    val q = StreamingTimeSeries.startContingencyCellsQuery(
+      input.toDF().toDF("g", "a", "b"), "g", "a", "b", dir, ckpt)
+    try {
+      input.addData(all.take(90): _*); q.processAllAvailable()
+      input.addData(all.slice(90, 500): _*); q.processAllAvailable()
+      input.addData(all.drop(500): _*); q.processAllAvailable()
+      val batchDf = all.toDF("g", "a", "b")
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      import graft.operators.Stats
+      val want = m(Stats.contingencyStats(batchDf, Seq(col("g")),
+        col("a"), col("b")))
+      assert(m(StreamingTimeSeries.mergedContingency(spark, dir, "g")) ==
+        want)
+      // at-least-once replay: re-append batch 1's cell deltas verbatim;
+      // the readout must collapse the duplicates
+      spark.read.parquet(s"$dir/cells").filter(col("batch_id") === 1L)
+        .write.mode("append").parquet(s"$dir/cells")
+      assert(m(StreamingTimeSeries.mergedContingency(spark, dir, "g")) ==
+        want, "a replayed micro-batch double-counted into the profile")
+    } finally q.stop()
+  }
+
   test("streaming LM counts: cap-after-merge model == batch-trained, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -515,6 +515,41 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("2020.12.20", "2020.12.27", "2021.01.03"))
   }
 
+  test("retentionCohorts: hand-built triangle, dedup within week, exact shares") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // Sundays: 2024-01-07, -14, -21. u1,u2,u3 start week 1 (u3 twice in
+    // week 1 — must dedup); u1,u2 return week 2; u1 returns week 3.
+    // u4 starts week 2 and returns week 3.
+    val rows = Seq(
+      ("u1", "2024-01-07"), ("u2", "2024-01-09"), ("u3", "2024-01-10"),
+      ("u3", "2024-01-12"), ("u1", "2024-01-15"), ("u2", "2024-01-20"),
+      ("u1", "2024-01-23"), ("u4", "2024-01-16"), ("u4", "2024-01-24"))
+      .map { case (u, dt) => (u, d(dt)) }
+    val out = TimeSeries.retentionCohorts(rows.toDF("u", "dt"),
+        col("u"), col("dt"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("2024-01-07", 0L)) == ((3L, 3L, 1.0)))
+    assert(out(("2024-01-07", 1L)) == ((2L, 3L, 2.0 / 3.0)))
+    assert(out(("2024-01-07", 2L)) == ((1L, 3L, 1.0 / 3.0)))
+    assert(out(("2024-01-14", 0L)) == ((1L, 1L, 1.0)))
+    assert(out(("2024-01-14", 1L)) == ((1L, 1L, 1.0)))
+    assert(out.size == 5)
+    // null users/dates drop; layout invariance is bitwise (exact counts
+    // + one division)
+    val withNull = (rows.map { case (u, dt) => (Option(u), Option(dt)) } :+
+      ((None: Option[String], Option(d("2024-01-08"))))).toDF("u", "dt")
+    val a1 = TimeSeries.retentionCohorts(withNull, col("u"), col("dt"))
+      .collect().map(_.toSeq).toSet
+    val a2 = TimeSeries.retentionCohorts(
+        rows.reverse.toDF("u", "dt").repartition(7), col("u"), col("dt"))
+      .collect().map(_.toSeq).toSet
+    assert(a1 == a2)
+  }
+
   test("multimodal describe + resizeMeta keep payload opaque (metadata only)") {
     import spark.implicits._
     val items = Multimodal.fromDocuments(spark,
