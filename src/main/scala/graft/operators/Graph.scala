@@ -233,4 +233,96 @@ object Graph {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
       .withColumn("total_deg", col("out_deg") + col("in_deg"))
   }
+
+  /** BFS hop layers from a seed set over the UNDIRECTED graph: each
+    * reachable node's hop distance from the nearest seed, up to
+    * `maxDepth` hops — the crawl-frontier / site-neighborhood question
+    * (how far is every host from the trusted seed list), and the
+    * bounded-depth reachability primitive behind "within k clicks"
+    * audits.
+    *
+    * Construction: `maxDepth` unrolled frontier rounds (the
+    * [[pageRank]] shape — bounded joins, no driver-side convergence
+    * actions): round d joins the layer-(d−1) frontier to the symmetric
+    * adjacency and anti-joins everything already reached, so each node
+    * is labeled EXACTLY once with its minimum hop count — BFS
+    * semantics by construction, deterministic under any execution
+    * order, every column an exact BIGINT (bit-portable, no floats at
+    * all). Nodes farther than `maxDepth` (or unreachable) are absent.
+    *
+    * Scale: each round shuffles (frontier ⋈ adjacency) — frontier
+    * rows are 8-byte node ids, adjacency 16-byte pairs; the reached
+    * set grows monotonically and is localCheckpoint-cut each round so
+    * round d's plan doesn't re-derive rounds 1..d−1. maxDepth is a
+    * small constant by contract (diameter probes, not transitive
+    * closure). Output: (node, hops). */
+  def bfsLayers(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
+      materialize: Boolean = true): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 16,
+      s"bfsLayers needs 1 <= maxDepth <= 16, got $maxDepth")
+    def cut(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(eager = false) else df
+    val und = cut(orient(edges))
+    val adj = cut(und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b"))))
+    // seeds restricted to nodes that exist in the graph, layer 0
+    val nodes = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node"))).distinct()
+    var reached = cut(seeds.select(col("node").cast("long"))
+      .distinct().join(nodes, Seq("node"), "left_semi")
+      .withColumn("hops", lit(0L)))
+    var frontier = reached.select("node")
+    for (d <- 1 to maxDepth) {
+      val next = cut(frontier.join(adj, frontier("node") === adj("a"))
+        .select(col("b").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti"))
+      reached = cut(reached.unionByName(
+        next.withColumn("hops", lit(d.toLong))))
+      frontier = next
+    }
+    reached
+  }
+
+  /** Bounded k-core peel over the UNDIRECTED graph: `rounds`
+    * iterations of "drop every node with degree < k", returning the
+    * surviving nodes with their residual degrees — the dense-core
+    * extraction that separates genuinely interlinked host communities
+    * from pendant chains and star spam (a pendant tree peels away
+    * entirely; a clique never loses a node).
+    *
+    * Semantics are EXACTLY `rounds` peels — deterministic and
+    * engine-mirrorable as an unrolled CTE chain. Peeling is idempotent
+    * at the fixpoint, so any `rounds` ≥ the graph's peel depth yields
+    * the true k-core; a too-small `rounds` returns the intermediate
+    * (still well-defined) peel state rather than guessing. The
+    * survivors' `degree` column makes under-peeling VISIBLE: the
+    * result is the true k-core iff every residual degree ≥ k.
+    *
+    * Scale: each round is one aggregation over the surviving edge set
+    * plus two semi joins (16-byte edge rows), localCheckpoint-cut so
+    * round r doesn't replay rounds 1..r−1; `rounds` is a small
+    * constant by contract (real-graph peel depths are shallow; raise
+    * it when the degree column says so). Exact BIGINTs throughout.
+    * Output: (node, degree) of the surviving subgraph. */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int,
+      materialize: Boolean = true): DataFrame = {
+    require(k >= 1, s"kcorePeel needs k >= 1, got $k")
+    require(rounds >= 1 && rounds <= 16,
+      s"kcorePeel needs 1 <= rounds <= 16, got $rounds")
+    def cut(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(eager = false) else df
+    var e = cut(orient(edges))
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val keep = deg.filter(col("degree") >= k.toLong).select("node")
+      e = cut(e
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi"))
+    }
+    e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+  }
 }

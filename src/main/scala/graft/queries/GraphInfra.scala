@@ -119,6 +119,102 @@ object GraphInfra {
       .withColumn("score", round(col("score"), 12))
       .orderBy(col("score").desc, col("u"), col("v")).limit(20)
 
+  /** The host graph plus fixed pendant 2-chains (h)—(100+h)—(160+h)
+    * for every h in [0, 60): the chains peel away under any k ≥ 2 and
+    * sit 1–2 hops beyond their host, so k-core and BFS faces exercise
+    * multi-round behavior at EVERY scale factor (the dense md5 host
+    * core alone saturates — every host survives and everything is one
+    * hop away). Chain ids live above 99, disjoint from host ids. */
+  def chainedHostEdges(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val chains = (0L until 60L).flatMap(h =>
+      Seq((h, 100L + h), (100L + h, 160L + h))).toDF("src", "dst")
+    hostEdges(docs).unionByName(chains)
+  }
+
+  /** SQL mirror of [[chainedHostEdges]] as a CTE body (rides
+    * [[edgesCte]]). */
+  private val chainedCte =
+    s"""$edgesCte,
+       |chained AS (
+       |  SELECT src, dst FROM edges
+       |  UNION ALL
+       |  SELECT h AS src, 100 + h AS dst
+       |  FROM (SELECT CAST(UNNEST(range(0, 60)) AS BIGINT) AS h) AS c1
+       |  UNION ALL
+       |  SELECT 100 + h, 160 + h
+       |  FROM (SELECT CAST(UNNEST(range(0, 60)) AS BIGINT) AS h) AS c2)"""
+      .stripMargin
+
+  /** Bounded k-core peel (k = 2, 4 rounds) over the chained host
+    * graph: every pendant chain peels away in two rounds, the dense
+    * md5 core survives — exact BIGINT degrees, bit-portable. */
+  def gKcore(s: SparkSession, dir: String): DataFrame =
+    Graph.kcorePeel(chainedHostEdges(t(s, dir, "documents")), k = 2,
+      rounds = 4).orderBy("node")
+
+  /** DuckDB mirror: the same peel unrolled as chained CTEs over the
+    * same oriented edge set. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val header =
+      s"""WITH $chainedCte,
+         |e0 AS (SELECT DISTINCT least(src, dst) AS u,
+         |       greatest(src, dst) AS v FROM chained WHERE src <> dst)"""
+        .stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""k$r AS (SELECT node FROM (
+         |    SELECT node, COUNT(*) AS degree FROM (
+         |      SELECT u AS node FROM e${r - 1}
+         |      UNION ALL SELECT v FROM e${r - 1}) AS d GROUP BY 1) AS g
+         |  WHERE degree >= $k),
+         |e$r AS (SELECT u, v FROM e${r - 1}
+         |  WHERE u IN (SELECT node FROM k$r)
+         |    AND v IN (SELECT node FROM k$r))""".stripMargin
+    }
+    (header +: steps).mkString(",\n") +
+      s"""
+         |SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+         |  SELECT u AS node FROM e$rounds
+         |  UNION ALL SELECT v FROM e$rounds) AS d
+         |GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
+  /** BFS hop layers (seeds = hosts 0/1/2, 3 hops) over the chained
+    * host graph: the dense core lands at hop 1, pendant chains at
+    * 2–3. Exact BIGINT hops, min-distance by construction. */
+  def gBfsLayers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Graph.bfsLayers(chainedHostEdges(t(s, dir, "documents")),
+      Seq(0L, 1L, 2L).toDF("node"), maxDepth = 3).orderBy("node")
+  }
+
+  /** DuckDB mirror: unrolled frontier rounds with an anti-join against
+    * the reached set — min hop count by construction, like Spark. */
+  private def bfsSql(maxDepth: Int): String = {
+    val header =
+      s"""WITH $chainedCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS u,
+         |        greatest(src, dst) AS v FROM chained WHERE src <> dst),
+         |adj AS (SELECT u AS a, v AS b FROM und
+         |        UNION ALL SELECT v, u FROM und),
+         |f0 AS (SELECT DISTINCT node FROM (VALUES (CAST(0 AS BIGINT)),
+         |         (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) AS s(node)
+         |       WHERE node IN (SELECT u FROM und UNION SELECT v FROM und)),
+         |r0 AS (SELECT node, CAST(0 AS BIGINT) AS hops FROM f0)"""
+        .stripMargin
+    val steps = (1 to maxDepth).map { d =>
+      s"""f$d AS (SELECT DISTINCT adj.b AS node
+         |  FROM adj JOIN f${d - 1} ON adj.a = f${d - 1}.node
+         |  WHERE adj.b NOT IN (SELECT node FROM r${d - 1})),
+         |r$d AS (SELECT node, hops FROM r${d - 1}
+         |  UNION ALL SELECT node, CAST($d AS BIGINT) FROM f$d)"""
+        .stripMargin
+    }
+    (header +: steps).mkString(",\n") +
+      s"\nSELECT node, hops FROM r$maxDepth ORDER BY node"
+  }
+
   /** Snapshot diff over two derived `orders` snapshots: the old snapshot
     * drops keys ≡0 (mod 7), the new drops keys ≡0 (mod 5) and bumps
     * `o_totalprice` by 1.0 for keys ≡0 (mod 11) — so the diff exercises
@@ -191,6 +287,8 @@ object GraphInfra {
     "g_degree_stats" -> (gDegreeStats _),
     "g_clustering_coeff" -> (gClusteringCoeff _),
     "g_adamic_adar" -> (gAdamicAdar _),
+    "g_kcore" -> (gKcore _),
+    "g_bfs_layers" -> (gBfsLayers _),
     "l_snapshot_diff" -> (lSnapshotDiff _),
   )
 
@@ -314,6 +412,8 @@ object GraphInfra {
          |  FROM cand GROUP BY 1, 2)
          |SELECT u, v, common_neighbors, score FROM g
          |ORDER BY score DESC, u, v LIMIT 20""".stripMargin,
+    "g_kcore" -> kcoreSql(k = 2, rounds = 4),
+    "g_bfs_layers" -> bfsSql(maxDepth = 3),
     "l_snapshot_diff" ->
       """WITH oldsnap AS (
         |  SELECT o_orderkey AS k, o_totalprice AS v

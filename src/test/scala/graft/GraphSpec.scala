@@ -129,6 +129,51 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage != null && err.getMessage.contains("maxDegree"))
   }
 
+  test("bfsLayers: min-hop labels, seed restriction, depth cutoff") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a shortcut 1-4: node 4 must read hop 2 (via
+    // the shortcut), NOT 3 (via the path) — the min-hop guarantee
+    val g = edgesDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+    val out = Graph.bfsLayers(g, Seq(1L).toDF("node"), maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+    // depth cutoff: maxDepth 1 keeps only the seed and its neighbors
+    val shallow = Graph.bfsLayers(g, Seq(1L).toDF("node"), maxDepth = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shallow == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+    // seeds not present in the graph contribute nothing; disconnected
+    // components stay unreached
+    val two = edgesDf((1L, 2L), (8L, 9L))
+    val r = Graph.bfsLayers(two, Seq(1L, 77L).toDF("node"), maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r == Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("kcorePeel: pendant chain peels, clique survives, bounded rounds visible") {
+    import spark.implicits._
+    // K4 on 0-3 with a pendant chain 3-10-11
+    val g = edgesDf((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 10L), (10L, 11L))
+    val core = Graph.kcorePeel(g, k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain gone in two rounds; K4 intact with residual degree 3
+    assert(core == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // k above the clique's connectivity empties the graph
+    assert(Graph.kcorePeel(g, k = 4, rounds = 4).collect().isEmpty)
+    // bounded rounds: one round only strips the outermost layer —
+    // node 11 goes (deg 1), node 10 survives round 1 with its (now
+    // residual-1) edge to 3, visible as degree < k in the output
+    val partial = Graph.kcorePeel(g, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial(10L) == 1L && !partial.contains(11L))
+    // layout invariance is bitwise (exact counts only)
+    val shuffled = Graph.kcorePeel(
+      edgesDf((2L, 3L), (10L, 11L), (1L, 3L), (0L, 1L), (3L, 10L),
+        (0L, 2L), (1L, 2L), (0L, 3L)).repartition(5), k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == core)
+  }
+
   test("degrees covers source-only and sink-only nodes with zero fill") {
     val d = Graph.degrees(edgesDf((1L, 2L), (1L, 3L), (2L, 3L)))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
