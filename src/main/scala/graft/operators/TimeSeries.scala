@@ -159,6 +159,76 @@ object TimeSeries {
           abs(col("remainder") - col("med")) > lit(k) * col("mad")))
   }
 
+  /** Autocorrelation function per group, lags 1..`maxLag` — the
+    * periodicity detector of the time-series family ([[decompose]]
+    * ASSUMES a known season length; ACF is how you find it, and how a
+    * corpus-drift dashboard distinguishes weekly rhythm from genuine
+    * momentum):
+    *
+    *   r_k = Σ_{t=1}^{n−k} (x_t−x̄)(x_{t+k}−x̄) / Σ_t (x_t−x̄)²
+    *
+    * Portability: the float mean never materializes — both sums scale
+    * by n² (the exact-moments move), so with INTEGER series values
+    * (counts — cast to long) every deviation `n·x_i − S`, every lag
+    * numerator `num_k = Σ (n·x_i−S)(n·x_{i+k}−S)` and the shared
+    * denominator are exact BIGINTs, and `r` is ONE division — every
+    * column hashes bit-for-bit cross-engine. A double-based guard
+    * raises (not wraps) when n·(n·max|x−x̄|)² approaches 2⁶³.
+    *
+    * Same contract as [[ewma]]: grouped SHORT series sorted in-row
+    * (`maxLen` fail-fast), one groupBy over the data, then a lag
+    * explode over the SMALL per-group rows — maxLag rows per group,
+    * numerators via one zip_with each. Lags ≥ n are not emitted (no
+    * overlapping pairs); constant series yield null r (zero variance).
+    *
+    * Output: groups... + (lag, n, num, den, r). */
+  def acf(df: DataFrame, groupCols: Seq[String], tCol: Column, v: Column,
+      maxLag: Int, maxLen: Int = 100000): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 10000,
+      s"acf needs 1 <= maxLag <= 1e4, got $maxLag")
+    val grouped = df.filter(v.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(tCol.as("t"),
+        v.cast("long").as("v")))).as("__s"))
+      .filter(assert_true(size(col("__s")) <= maxLen,
+        lit(s"acf: a group exceeds maxLen=$maxLen rows — a series that " +
+          "long should be windowed or decimated first")).isNull)
+      .withColumn("n", size(col("__s")).cast("bigint"))
+      .withColumn("__sum", aggregate(col("__s"), lit(0L),
+        (acc, s) => acc + s.getField("v")))
+      // exact scaled deviations n·x − S; the guard is float-only (a
+      // conservative margin below 2⁶³), the data path stays BIGINT
+      .withColumn("__d", transform(col("__s"),
+        s => col("n") * s.getField("v") - col("__sum")))
+      .withColumn("__maxd", coalesce(array_max(transform(col("__d"),
+        d => abs(d))), lit(0L)))
+      .filter(assert_true(col("n").cast("double") *
+          pow(col("__maxd").cast("double"), 2.0) < lit(8.5e18),
+        lit("acf: n·(n·max|x − mean|)² approaches 2^63 — the exact " +
+          "BIGINT moments would wrap; rescale or pre-aggregate the " +
+          "series")).isNull)
+      .withColumn("den", aggregate(transform(col("__d"), d => d * d),
+        lit(0L), (acc, x) => acc + x))
+    grouped
+      // n = 1 has no lag with overlap — and Spark's sequence(1, 0)
+      // would DESCEND, emitting phantom lags, so the filter is load-
+      // bearing, not cosmetic
+      .filter(col("n") >= 2L)
+      .select(groupCols.map(col) ++ Seq(col("n"), col("den"),
+        explode(sequence(lit(1L),
+          least(lit(maxLag.toLong), col("n") - 1L))).as("lag"),
+        col("__d")): _*)
+      .withColumn("num", aggregate(zip_with(
+        slice(col("__d"), lit(1), (col("n") - col("lag")).cast("int")),
+        slice(col("__d"), (col("lag") + 1L).cast("int"),
+          (col("n") - col("lag")).cast("int")),
+        (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      .withColumn("r", when(col("den") > 0L,
+        col("num").cast("double") / col("den").cast("double")))
+      .select(groupCols.map(col) ++ Seq(col("lag"), col("n"), col("num"),
+        col("den"), col("r")): _*)
+  }
+
   /** Exponentially-weighted moving average level per group —
     * `l_t = α·v_t + (1−α)·l_{t−1}`, seeded `l_0 = v_0`: the classic
     * smoothing/short-horizon-forecast recurrence. A linear recurrence

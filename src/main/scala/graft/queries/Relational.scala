@@ -417,6 +417,7 @@ object Relational {
     "c_ts_anomalies" -> (cTsAnomalies _),
     "c_growth_advantage" -> (cGrowthAdvantage _),
     "c_ewma_level" -> (cEwmaLevel _),
+    "c_acf" -> (cAcf _),
     "c_holt_forecast" -> (cHoltForecast _),
     "c_mann_kendall" -> (cMannKendall _),
     "c_assoc_rules" -> (cAssocRules _),
@@ -573,6 +574,17 @@ object Relational {
     TimeSeries.ewma(f, Seq("key"), col("week_start"), col("freq"),
         alpha = 0.25)
       .orderBy("key")
+  }
+
+  /** Autocorrelation (lags 1–4) of the weekly event series
+    * ([[TimeSeries.acf]]): exact n²-scaled BIGINT moments, ONE
+    * division — every column including `r` hashes with no rounding. */
+  def cAcf(s: SparkSession, dir: String): DataFrame = {
+    val f = TimeSeries.weeklyFrequency(
+      t(s, dir, "events"), to_date(col("ts")), col("event_type"))
+    TimeSeries.acf(f, Seq("key"), col("week_start"), col("freq"),
+        maxLag = 4)
+      .orderBy("key", "lag")
   }
 
   /** Holt linear-trend smoothing over the weekly event series
@@ -1113,6 +1125,39 @@ object Relational {
         |  list_reduce(list(CAST(freq AS DOUBLE) ORDER BY week_start),
         |    (acc, x) -> 0.25 * x + 0.75 * acc) AS level
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ACF mirror: the same n²-scaled exact-BIGINT deviations and lag
+    // numerators over the sorted weekly list; r is the identical single
+    // division of exact integers, so it hashes unrounded.
+    "c_acf" ->
+      """WITH f AS (SELECT event_type AS key,
+        |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+        |    COUNT(*) AS freq FROM events GROUP BY 1, 2),
+        |s AS (SELECT key,
+        |    list(CAST(freq AS BIGINT) ORDER BY week_start) AS vs,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(freq) AS BIGINT) AS sm FROM f GROUP BY 1),
+        |d AS (SELECT key, n,
+        |    list_transform(vs, x -> n * x - sm) AS dv FROM s
+        |  WHERE n >= 2),
+        |l AS (SELECT key, n, dv,
+        |    CAST(UNNEST(range(1, CAST(least(4, n - 1) AS INTEGER) + 1))
+        |      AS BIGINT) AS lag FROM d)
+        |SELECT key, lag, n,
+        |  CAST(list_sum(list_transform(
+        |    range(1, CAST(n - lag AS INTEGER) + 1),
+        |    i -> dv[CAST(i AS INTEGER)] *
+        |         dv[CAST(i + lag AS INTEGER)])) AS BIGINT) AS num,
+        |  CAST(list_sum(list_transform(dv, x -> x * x)) AS BIGINT) AS den,
+        |  CASE WHEN CAST(list_sum(list_transform(dv, x -> x * x))
+        |      AS BIGINT) > 0
+        |    THEN CAST(CAST(list_sum(list_transform(
+        |        range(1, CAST(n - lag AS INTEGER) + 1),
+        |        i -> dv[CAST(i AS INTEGER)] *
+        |             dv[CAST(i + lag AS INTEGER)])) AS BIGINT) AS DOUBLE)
+        |      / CAST(CAST(list_sum(list_transform(dv, x -> x * x))
+        |          AS BIGINT) AS DOUBLE)
+        |  END AS r
+        |FROM l ORDER BY key, lag""".stripMargin,
     // Holt mirror: the level/trend recursion replayed as a recursive CTE
     // in the operator's exact operation order. l_t is computed once and
     // reused in the b_t step — in the operator the b-step's copy of the

@@ -46,6 +46,59 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getCause != null && e.getCause.getMessage.contains("maxLen"))
   }
 
+  test("acf: naive differential bitwise; period detection; edge cases") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val rnd = new scala.util.Random(31)
+    val rows = for (g <- Seq("a", "b"); t <- 0 until 30) yield
+      (g, t, rnd.nextInt(500).toLong)
+    val df = rows.toDF("g", "t", "v")
+    // independent exact-integer model of the same scaled moments
+    def naive(vs: Seq[Long], k: Int): (Long, Long) = {
+      val n = vs.size.toLong; val s = vs.sum
+      val d = vs.map(x => n * x - s)
+      (d.dropRight(k).zip(d.drop(k)).map { case (a, b) => a * b }.sum,
+        d.map(x => x * x).sum)
+    }
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.acf(d, Seq("g"), col("t"), col("v"), maxLag = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4),
+            if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))).toMap
+    val got = run(df)
+    for (g <- Seq("a", "b"); k <- 1 to 5) {
+      val vs = rows.filter(_._1 == g).sortBy(_._2).map(_._3)
+      val (num, den) = naive(vs, k)
+      assert(got((g, k.toLong)) ==
+        ((30L, num, den, num.toDouble / den.toDouble)), s"$g lag $k")
+    }
+    assert(run(df.repartition(13)) == got) // bitwise layout invariance
+    // a period-3 sawtooth: r_3 = (n−3)/n = 0.9 exactly (27 of 30
+    // overlap terms, each a squared deviation), r_1 negative
+    val saw = (0 until 30).map(t => ("s", t, (t % 3).toLong)).toDF("g", "t", "v")
+    val sacf = run(saw)
+    assert(sacf(("s", 3L))._4 == 16200.0 / 18000.0)
+    assert(sacf(("s", 1L))._4 < 0.0)
+    // constant series: zero variance -> null r, exact zero num/den
+    val const = (0 until 8).map(t => ("c", t, 5L)).toDF("g", "t", "v")
+    val cacf = run(const)
+    assert(cacf(("c", 1L))._2 == 0L && cacf(("c", 1L))._3 == 0L &&
+      cacf(("c", 1L))._4.isNaN)
+    // n = 1 emits nothing (no overlapping pair, and no phantom
+    // descending-sequence lags); short series cap lags at n - 1
+    assert(run(Seq(("x", 0, 3L)).toDF("g", "t", "v")).isEmpty)
+    val short = run(Seq(("y", 0, 1L), ("y", 1, 9L), ("y", 2, 4L))
+      .toDF("g", "t", "v"))
+    assert(short.keys.map(_._2).toSet == Set(1L, 2L))
+    // maxLen guard fails fast
+    val e = intercept[Exception] {
+      TimeSeries.acf(df, Seq("g"), col("t"), col("v"), maxLag = 2,
+        maxLen = 10).collect()
+    }
+    assert(e.getMessage.contains("maxLen") ||
+      e.getCause != null && e.getCause.getMessage.contains("maxLen"))
+  }
+
   test("holt: matches the naive level/trend recurrence bitwise; tracks a trend ewma lags") {
     import spark.implicits._
     import graft.operators.TimeSeries
