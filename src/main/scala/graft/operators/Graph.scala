@@ -105,6 +105,63 @@ object Graph {
     rank
   }
 
+  /** Personalized PageRank: [[pageRank]]'s recurrence with the teleport
+    * mass restricted to a SEED set — the related-host / crawl-frontier
+    * expansion score (rank concentrates around the seeds instead of
+    * spreading globally), and the standard "more like these" primitive
+    * over a link graph.
+    *
+    * Same fixed-point integer contract as [[pageRank]] (bit-portable,
+    * mirrored literally by the oracle): `base = Scale div |seeds∩graph|`,
+    * seeds start at `base` and everyone else at 0; each iteration
+    * `rank'(v) = [v ∈ seeds]·(15·base) div 100
+    *             + (85 · Σ_{u→v} rank(u) div outdeg(u)) div 100`.
+    * Dangling mass leaks, as in [[pageRank]]. Directed edges, like
+    * [[pageRank]] (personalization is usually asked of the directed
+    * crawl graph); orient upstream for the undirected reading.
+    *
+    * Scale: identical per-iteration plan to [[pageRank]] — one 16-byte
+    * shuffle join + one aggregation per round, localCheckpoint-cut
+    * loop invariants; the seed membership rides the node relation as a
+    * 0/teleport literal column, no extra join in the loop. Output:
+    * (node, rank) — nodes the seeds never reach hold rank 0. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int, materialize: Boolean = true): DataFrame = {
+    require(iterations >= 1,
+      "personalizedPageRank needs at least one iteration")
+    def cut(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(eager = false) else df
+    val e = cut(edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src").isNotNull && col("dst").isNotNull))
+    val inGraph = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seedNodes = cut(seeds.select(col("node").cast("long"))
+      .distinct().join(inGraph, Seq("node"), "left_semi"))
+    val nSeeds = seedNodes.count()
+    require(nSeeds > 0, "personalizedPageRank: no seed appears in the graph")
+    val base = Scale / nSeeds
+    val teleport = (15L * base) / 100L
+    // Teleport folded into the node relation ONCE — the loop below
+    // never touches the seed set again.
+    val nodes = cut(inGraph.join(
+        seedNodes.withColumn("__t", lit(teleport)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__t"), lit(0L)).as("teleport")))
+    val withDeg = cut(e.join(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src")))
+    var rank = nodes.select(col("node"),
+      when(col("teleport") > 0L, lit(base)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = withDeg.join(rank, withDeg("src") === rank("node"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      rank = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"),
+          (col("teleport") +
+            expr("85 * coalesce(s, 0L) div 100")).as("rank"))
+    }
+    rank
+  }
+
   /** Canonical undirected edge list: distinct `(u, v)` with `u < v`,
     * self-loops dropped. The orientation is what makes triangle counting
     * hub-safe and once-per-triangle. */

@@ -94,6 +94,50 @@ object GraphInfra {
       s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$iterations ORDER BY node"
   }
 
+  /** Personalized PageRank (seeds = hosts 0/1/2, 4 iterations) over
+    * the host graph — the "more like these" expansion score. Integer
+    * ranks ⇒ bit-exact across engines; unreached nodes hold 0. */
+  def gPprHosts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Graph.personalizedPageRank(hostEdges(t(s, dir, "documents")),
+      Seq(0L, 1L, 2L).toDF("node"), iterations = 4).orderBy("node")
+  }
+
+  /** DuckDB mirror of [[gPprHosts]]: the seed-teleport recurrence
+    * unrolled as chained CTEs (the [[pagerankSql]] shape). */
+  private def pprSql(iterations: Int): String = {
+    val header =
+      s"""WITH $edgesCte,
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges),
+         |seeds AS (SELECT DISTINCT node FROM (VALUES (CAST(0 AS BIGINT)),
+         |            (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) AS s(node)
+         |          WHERE node IN (SELECT node FROM nodes)),
+         |ns AS (SELECT COUNT(*) AS k FROM seeds),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, d.outdeg
+         |       FROM edges e JOIN deg d USING (src)),
+         |r0 AS (SELECT node,
+         |         CASE WHEN node IN (SELECT node FROM seeds)
+         |           THEN (SELECT 1000000000000 // k FROM ns)
+         |           ELSE 0 END AS rank
+         |       FROM nodes)""".stripMargin
+    val steps = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT nd.node,
+         |    (CASE WHEN nd.node IN (SELECT node FROM seeds)
+         |       THEN (SELECT (15 * (1000000000000 // k)) // 100 FROM ns)
+         |       ELSE 0 END)
+         |      + (85 * COALESCE(s.s, 0)) // 100 AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst, SUM(r.rank // e.outdeg) AS s
+         |    FROM ed e JOIN r${i - 1} r ON r.node = e.src
+         |    GROUP BY e.dst) AS s ON s.dst = nd.node)""".stripMargin
+    }
+    (header +: steps).mkString(",\n") +
+      s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$iterations ORDER BY node"
+  }
+
   /** Triangle count over the host graph (oriented u<v two-join plan). */
   def gTriangleCount(s: SparkSession, dir: String): DataFrame =
     Graph.triangleCount(hostEdges(t(s, dir, "documents")))
@@ -288,6 +332,7 @@ object GraphInfra {
     "g_clustering_coeff" -> (gClusteringCoeff _),
     "g_adamic_adar" -> (gAdamicAdar _),
     "g_kcore" -> (gKcore _),
+    "g_ppr_hosts" -> (gPprHosts _),
     "g_bfs_layers" -> (gBfsLayers _),
     "l_snapshot_diff" -> (lSnapshotDiff _),
   )
@@ -413,6 +458,7 @@ object GraphInfra {
          |SELECT u, v, common_neighbors, score FROM g
          |ORDER BY score DESC, u, v LIMIT 20""".stripMargin,
     "g_kcore" -> kcoreSql(k = 2, rounds = 4),
+    "g_ppr_hosts" -> pprSql(iterations = 4),
     "g_bfs_layers" -> bfsSql(maxDepth = 3),
     "l_snapshot_diff" ->
       """WITH oldsnap AS (

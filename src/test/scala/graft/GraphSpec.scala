@@ -50,6 +50,47 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) > got(4L))
   }
 
+  /** Independent model of the personalized recurrence: teleport only
+    * at seeds, non-seeds start at 0. */
+  private def modelPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iterations: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val inGraph = seeds.intersect(nodes.toSet)
+    val base = Graph.Scale / inGraph.size
+    val teleport = (15L * base) / 100L
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var rank = nodes.map(v => v -> (if (inGraph(v)) base else 0L)).toMap
+    for (_ <- 1 to iterations) {
+      val contribs = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => rank(s) / outdeg(s) }.sum
+      }
+      rank = nodes.map(v => v ->
+        ((if (inGraph(v)) teleport else 0L) +
+          85L * contribs.getOrElse(v, 0L) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("personalizedPageRank: independent model bit-for-bit; mass stays near seeds") {
+    import spark.implicits._
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 0L))
+    val got = Graph.personalizedPageRank(edgesDf(edges: _*),
+        Seq(0L, 77L).toDF("node"), iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 77 is not in the graph — the model must divide mass by 1 seed
+    assert(got === modelPpr(edges, Set(0L, 77L), 4))
+    // seed holds teleport mass; node 5 (upstream of the seed, never
+    // reached) holds exactly 0; downstream nodes hold positive rank
+    assert(got(0L) > 0L && got(5L) == 0L && got(1L) > 0L && got(2L) > 0L)
+    // all-absent seeds are a contract violation, not a silent zero
+    val e = intercept[Exception] {
+      Graph.personalizedPageRank(edgesDf(edges: _*),
+        Seq(99L).toDF("node"), iterations = 2).collect()
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
   test("pageRank is deterministic across partitioning") {
     val edges = (0L until 60L).map(i => (i % 12, (i * 7 + 3) % 12)).filter(e => e._1 != e._2)
     val a = Graph.pageRank(edgesDf(edges: _*).repartition(1), 3)
