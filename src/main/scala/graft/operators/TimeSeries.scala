@@ -562,11 +562,18 @@ object TimeSeries {
     * Output: (cohort_week, offset_weeks, n_active, cohort_size,
     * retention). */
   def retentionCohorts(df: DataFrame, user: Column,
-      dateCol: Column): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val uw = df.filter(user.isNotNull && dateCol.isNotNull)
+      dateCol: Column): DataFrame =
+    retentionFromUserWeeks(df.filter(user.isNotNull && dateCol.isNotNull)
       .select(user.as("__u"), weekStart(dateCol).as("__w"))
-      .distinct()
+      .distinct())
+
+  /** The readout half of [[retentionCohorts]], from an already-distinct
+    * (`__u`, `__w`) activity grid — the streaming-maintenance seam:
+    * distinct (user, week) pairs are idempotent FACTS (re-observing one
+    * changes nothing), so batch-sliced grids dedup-merged across any
+    * slicing give exactly the one-shot matrix. */
+  def retentionFromUserWeeks(uw: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val cohorted = uw.withColumn("__cw",
       min(col("__w")).over(W.partitionBy(col("__u"))))
     val counts = cohorted

@@ -576,6 +576,40 @@ object StreamingTimeSeries {
           .drop("batch_id")),
         Seq(groupCol)))
 
+  /** Streaming cohort-retention maintenance — the ingestion face of
+    * [[graft.operators.TimeSeries.retentionCohorts]]: each micro-batch
+    * reduces to its DISTINCT (user, week) activity pairs before
+    * anything is stored. A pair is an idempotent FACT — re-observing
+    * it (later batch, at-least-once replay) changes nothing — so
+    * [[mergedRetention]] needs no batch_id bookkeeping: one
+    * dropDuplicates over the stored grid collapses both cross-batch
+    * repeats and replays, and the shared readout is bit-identical to
+    * the one-shot batch matrix. State is the user × week grid (one row
+    * per active-week, never per event). */
+  def startUserWeeksQuery(events: DataFrame, userCol: String,
+      dateCol: String, targetDir: String, checkpointDir: String) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF()
+          .filter(col(userCol).isNotNull && col(dateCol).isNotNull)
+          .select(col(userCol).as("__u"),
+            graft.operators.TimeSeries.weekStart(col(dateCol)).as("__w"))
+          .distinct()
+          .write.mode("append").parquet(s"$targetDir/user_weeks")
+      }
+      .start()
+
+  /** Whole-stream retention matrix from the stored activity grid —
+    * bit-identical to the batch
+    * [[graft.operators.TimeSeries.retentionCohorts]] over all data. */
+  def mergedRetention(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String): DataFrame =
+    graft.operators.TimeSeries.retentionFromUserWeeks(
+      spark.read.parquet(s"$targetDir/user_weeks")
+        .dropDuplicates("__u", "__w"))
+
   /** Streaming reference-LM maintenance — the ingestion face of
     * [[graft.operators.NgramLm]]: each micro-batch of reference
     * documents reduces once to its exact (w1, w2, count) bigram deltas

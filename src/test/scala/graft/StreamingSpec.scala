@@ -539,6 +539,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming retention grid: merged matrix == one-shot batch, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ret_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ret_ckpt").toString
+    val rng = new scala.util.Random(83)
+    // 40 users active over 6 weeks with decaying probability; the same
+    // (user, week) pair recurs across batches so cross-batch dedup is
+    // actually exercised
+    val all = (0 until 600).map { i =>
+      val u = s"u${rng.nextInt(40)}"
+      val w = rng.nextInt(6)
+      (u, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 7)
+        .plusDays(7L * w + rng.nextInt(7))))
+    }
+    val input = MemoryStream[(String, java.sql.Date)]
+    val q = StreamingTimeSeries.startUserWeeksQuery(
+      input.toDF().toDF("u", "dt"), "u", "dt", dir, ckpt)
+    try {
+      input.addData(all.take(70): _*); q.processAllAvailable()
+      input.addData(all.slice(70, 420): _*); q.processAllAvailable()
+      input.addData(all.drop(420): _*); q.processAllAvailable()
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getDate(0).toString, r.getLong(1)) ->
+          r.toSeq.drop(2)).toMap
+      import graft.operators.TimeSeries
+      val want = m(TimeSeries.retentionCohorts(all.toDF("u", "dt"),
+        col("u"), col("dt")))
+      assert(m(StreamingTimeSeries.mergedRetention(spark, dir)) == want)
+      // at-least-once replay: re-append the whole grid verbatim — the
+      // idempotent-fact dedup must collapse it with no batch_id help
+      val grid = spark.read.parquet(s"$dir/user_weeks")
+      grid.write.mode("append").parquet(s"$dir/user_weeks")
+      assert(m(StreamingTimeSeries.mergedRetention(spark, dir)) == want,
+        "a replayed activity grid double-counted into the matrix")
+    } finally q.stop()
+  }
+
   test("streaming LM counts: cap-after-merge model == batch-trained, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
