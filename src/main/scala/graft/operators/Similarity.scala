@@ -285,6 +285,102 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame =
     base.withColumn("ivf_list", nearestCentroid(col(vecCol), centroids))
 
+  /** Per-cluster scatter over an assignment — the quality half of the
+    * clustering block ([[trainCentroids]] fits, [[ivfIndex]] assigns,
+    * this JUDGES): for every non-empty cluster, its size and the mean
+    * point-to-centroid Euclidean distance `s` (the Davies–Bouldin
+    * scatter term — how tight the cluster is, the number that says
+    * whether an IVF layout or a SemDeDup threshold is actually
+    * separating anything).
+    *
+    * Portability: each point's distance is one FIXED index-order
+    * zip-fold + correctly-rounded √ (bit-identical cross-engine), then
+    * floor-quantized at `quantScale` to a BIGINT whose per-cluster SUM
+    * is exact and order-free (the calibrationPartials micro-logit
+    * move) — `s` is the quantized mean, a fixed two-op float tail, so
+    * every output column hashes with NO rounding. A double-based guard
+    * raises before n·quantScale·maxDist can wrap the BIGINT sum.
+    *
+    * Scale: ONE aggregation over the assigned points (the centroid
+    * table rides in as a broadcast literal join, k ≤ 4096 rows); the
+    * output is k rows. Output: (listCol, n, qdist, s). */
+  def clusterQuality(assigned: DataFrame, centroids: Seq[Seq[Double]],
+      vecCol: String = "embedding", listCol: String = "ivf_list",
+      quantScale: Double = 1e9): DataFrame = {
+    require(centroids.nonEmpty && centroids.size <= 4096,
+      s"clusterQuality needs 1 <= k <= 4096 centroids, got ${centroids.size}")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cents = broadcast(centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF(listCol, "__ce"))
+    val d2 = aggregate(zip_with(col(vecCol), col("__ce"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, t) => acc + t)
+    assigned.join(cents, listCol)
+      .withColumn("__qd", floor(sqrt(d2) * lit(quantScale)).cast("long"))
+      .groupBy(listCol)
+      .agg(count(lit(1)).as("n"), sum(col("__qd")).as("qdist"),
+        max(col("__qd")).as("__mq"))
+      .filter(assert_true(col("n").cast("double") *
+          col("__mq").cast("double") < lit(8.5e18),
+        lit("clusterQuality: n·quantScale·maxDist approaches 2^63 — " +
+          "the exact quantized sum would wrap; lower quantScale"))
+        .isNull)
+      .withColumn("s",
+        col("qdist").cast("double") /
+          (col("n").cast("double") * lit(quantScale)))
+      .drop("__mq")
+  }
+
+  /** Davies–Bouldin index over a [[clusterQuality]] table: for each
+    * non-empty cluster the worst similarity ratio
+    * `max_{j≠i} (s_i + s_j) / d_ij` (scatter vs centroid separation),
+    * averaged over clusters — LOWER is better-separated; the single
+    * number that compares two IVF layouts or two k choices.
+    *
+    * `d_ij` is computed on the DRIVER from the centroid literals in
+    * fixed index order (k² doubles — constants, not data) and joined
+    * in; identical-centroid pairs (d = 0, a degenerate layout) are
+    * excluded and surface via `n_degenerate_pairs` instead of an
+    * infinity. The closing mean folds the k per-cluster ratios in
+    * FIXED cluster order (the Stats order-pinning). Everything after
+    * [[clusterQuality]]'s one data pass runs on ≤ k² rows. Output:
+    * one row (k_clusters, n_degenerate_pairs, db). */
+  def daviesBouldin(quality: DataFrame, centroids: Seq[Seq[Double]],
+      listCol: String = "ivf_list"): DataFrame = {
+    val spark = quality.sparkSession
+    import spark.implicits._
+    def dist(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0
+      var k = 0
+      while (k < a.size) {
+        val t = a(k) - b(k); acc += t * t; k += 1
+      }
+      math.sqrt(acc)
+    }
+    val pairs = broadcast((for {
+      i <- centroids.indices; j <- centroids.indices if i != j
+    } yield (i, j, dist(centroids(i), centroids(j))))
+      .toDF("__i", "__j", "__d"))
+    val qi = quality.select(col(listCol).as("__i"), col("s").as("__si"))
+    val qj = quality.select(col(listCol).as("__j"), col("s").as("__sj"))
+    val ratios = pairs.join(qi, "__i").join(qj, "__j")
+    val perCluster = ratios
+      .groupBy(col("__i"))
+      .agg(max(when(col("__d") > 0.0,
+          (col("__si") + col("__sj")) / col("__d"))).as("__r"),
+        sum(when(col("__d") === 0.0, 1L).otherwise(0L)).as("__deg"))
+    perCluster
+      .agg(count(lit(1)).as("k_clusters"),
+        sum(col("__deg")).as("n_degenerate_pairs"),
+        sort_array(collect_list(struct(col("__i"), col("__r")))).as("__rs"))
+      .withColumn("db",
+        aggregate(filter(col("__rs"), s => s.getField("__r").isNotNull),
+          lit(0.0), (acc, s) => acc + s.getField("__r")) /
+          col("k_clusters").cast("double"))
+      .drop("__rs")
+  }
+
   /** The coarse-probe ranking expression — ONE definition shared
     * verbatim by [[ivfTopK]], [[ivfPqTopK]] and [[probedLists]], because
     * the DuckDB oracle mirrors replay it and any per-call-site drift

@@ -486,6 +486,28 @@ object TextLLM {
       .orderBy("qid", "rank")
   }
 
+  /** Per-cluster scatter of the deterministic IVF layout (k = 8 seed
+    * centroids, the s_ann_ivf_top3 convention): exact quantized
+    * distance sums, fixed-fold mean — every column hashes unrounded. */
+  def sClusterQuality(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val centroids = Similarity.trainCentroids(base, k = 8, iters = 0)
+    Similarity.clusterQuality(Similarity.ivfIndex(base, centroids),
+        centroids)
+      .orderBy("ivf_list")
+  }
+
+  /** Davies–Bouldin index of the same layout — scatter vs centroid
+    * separation, the one-number layout comparator. The oracle replays
+    * the driver's fixed index-order d_ij fold in SQL. */
+  def sDaviesBouldin(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val centroids = Similarity.trainCentroids(base, k = 8, iters = 0)
+    Similarity.daviesBouldin(
+      Similarity.clusterQuality(Similarity.ivfIndex(base, centroids),
+        centroids), centroids)
+  }
+
   def sAnnIvfTop3(s: SparkSession, dir: String): DataFrame = {
     val base = emb(s, dir)
     // deterministic centroids: the k lowest-vec_id embeddings verbatim
@@ -1399,6 +1421,8 @@ object TextLLM {
     "d_simhash_neardups" -> (dSimhashNearDups _),
     "s_ann_lsh_top3" -> (sAnnLshTop3 _),
     "s_ann_ivf_top3" -> (sAnnIvfTop3 _),
+    "s_cluster_quality" -> (sClusterQuality _),
+    "s_davies_bouldin" -> (sDaviesBouldin _),
     "s_ann_pq_top3" -> (sAnnPqTop3 _),
     "s_ann_ivfpq_top3" -> (sAnnIvfPqTop3 _),
     "s_ivfpq_index_roundtrip" -> (sIvfPqIndexRoundtrip _),
@@ -3109,6 +3133,77 @@ object TextLLM {
     // IVF mirror: centroids are the 8 lowest-vec_id embeddings verbatim;
     // assignment/probing rank by (-2·v·c + ||c||², centroid index) with
     // first-min tie-breaking, exactly Similarity.nearestCentroid.
+    // Cluster-scatter mirror: the s_ann_ivf assignment CTEs, then each
+    // point's own-centroid distance as the SAME fixed index-order
+    // zip-fold + sqrt, floor-quantized at 1e9 — sums exact BIGINT, the
+    // mean the identical two-op float tail. No rounding anywhere.
+    "s_cluster_quality" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci,
+        |    e AS ce FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+        |cn AS (SELECT ci, ce, list_inner_product(ce, ce) AS n2 FROM c),
+        |dist AS (SELECT v.vec_id, v.e, cn.ci,
+        |    -2 * list_inner_product(v.e, cn.ce) + cn.n2 AS d
+        |  FROM v CROSS JOIN cn),
+        |assign AS (SELECT vec_id, e, ci AS ivf_list FROM (
+        |    SELECT vec_id, e, ci, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY d, ci) AS rn FROM dist)
+        |  WHERE rn = 1),
+        |qd AS (SELECT a.ivf_list,
+        |    CAST(FLOOR(sqrt(list_reduce(list_transform(range(1, 65),
+        |        k -> (a.e[CAST(k AS INTEGER)] - c.ce[CAST(k AS INTEGER)])
+        |           * (a.e[CAST(k AS INTEGER)] - c.ce[CAST(k AS INTEGER)])),
+        |      (x, y) -> x + y)) * 1000000000.0) AS BIGINT) AS q
+        |  FROM assign a JOIN c ON c.ci = a.ivf_list)
+        |SELECT ivf_list, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS qdist,
+        |  CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * 1000000000.0) AS s
+        |FROM qd GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Davies–Bouldin mirror: per-cluster s as above, centroid d_ij as
+    // the same fixed index-order fold the DRIVER ran, worst-ratio max
+    // per cluster, closing fold in fixed cluster order.
+    "s_davies_bouldin" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci,
+        |    e AS ce FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+        |cn AS (SELECT ci, ce, list_inner_product(ce, ce) AS n2 FROM c),
+        |dist AS (SELECT v.vec_id, v.e, cn.ci,
+        |    -2 * list_inner_product(v.e, cn.ce) + cn.n2 AS d
+        |  FROM v CROSS JOIN cn),
+        |assign AS (SELECT vec_id, e, ci AS ivf_list FROM (
+        |    SELECT vec_id, e, ci, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY d, ci) AS rn FROM dist)
+        |  WHERE rn = 1),
+        |qd AS (SELECT a.ivf_list,
+        |    CAST(FLOOR(sqrt(list_reduce(list_transform(range(1, 65),
+        |        k -> (a.e[CAST(k AS INTEGER)] - c.ce[CAST(k AS INTEGER)])
+        |           * (a.e[CAST(k AS INTEGER)] - c.ce[CAST(k AS INTEGER)])),
+        |      (x, y) -> x + y)) * 1000000000.0) AS BIGINT) AS q
+        |  FROM assign a JOIN c ON c.ci = a.ivf_list),
+        |q AS (SELECT ivf_list AS ci,
+        |    CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+        |      / (CAST(COUNT(*) AS DOUBLE) * 1000000000.0) AS s
+        |  FROM qd GROUP BY 1),
+        |dij AS (SELECT ca.ci AS i, cb.ci AS j,
+        |    sqrt(list_reduce(list_transform(range(1, 65),
+        |        k -> (ca.ce[CAST(k AS INTEGER)] - cb.ce[CAST(k AS INTEGER)])
+        |           * (ca.ce[CAST(k AS INTEGER)] - cb.ce[CAST(k AS INTEGER)])),
+        |      (x, y) -> x + y)) AS d
+        |  FROM c ca JOIN c cb ON ca.ci <> cb.ci),
+        |ratio AS (SELECT d.i,
+        |    MAX(CASE WHEN d.d > 0 THEN (qa.s + qb.s) / d.d END) AS r,
+        |    SUM(CASE WHEN d.d = 0 THEN 1 ELSE 0 END) AS deg
+        |  FROM dij d JOIN q qa ON qa.ci = d.i JOIN q qb ON qb.ci = d.j
+        |  GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS k_clusters,
+        |  CAST(SUM(deg) AS BIGINT) AS n_degenerate_pairs,
+        |  CASE WHEN len(list_filter(list(r ORDER BY i),
+        |      x -> x IS NOT NULL)) = 0 THEN 0.0
+        |    ELSE 0.0 + list_reduce(list_filter(list(r ORDER BY i),
+        |      x -> x IS NOT NULL), (a, b) -> a + b) END
+        |    / CAST(COUNT(*) AS DOUBLE) AS db
+        |FROM ratio""".stripMargin,
     "s_ann_ivf_top3" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci,

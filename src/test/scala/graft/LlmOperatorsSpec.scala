@@ -1050,6 +1050,56 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf == brute)
   }
 
+  test("cluster quality: naive scatter bitwise; DB index ranks tight blobs above a smeared layout") {
+    val rng = new scala.util.Random(19)
+    val centers = Seq(Array.fill(8)(5.0), Array.fill(8)(-5.0),
+      Array.tabulate(8)(i => if (i % 2 == 0) 5.0 else -5.0))
+    def mk(noise: Double) = (0L until 300L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * noise).toFloat).toSeq)
+    }
+    val tightRows = mk(0.3)
+    val tight = vecsDf(tightRows: _*)
+    val cents = Similarity.trainCentroids(tight, k = 3, iters = 5)
+    val quality = Similarity.clusterQuality(
+      Similarity.ivfIndex(tight, cents), cents)
+    val got = quality.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // independent single-threaded replay of assignment + quantized sums
+    def d(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).foldLeft(0.0) { case (acc, (x, c)) =>
+        acc + (x - c) * (x - c) })
+    val naive = tightRows.groupBy { case (_, v) =>
+      cents.indices.minBy(ci => (d(v.map(_.toDouble), cents(ci)), ci))
+    }.map { case (ci, rows) =>
+      val qs = rows.map { case (_, v) =>
+        math.floor(d(v.map(_.toDouble), cents(ci)) * 1e9).toLong }
+      ci -> ((rows.size.toLong, qs.sum, qs.sum.toDouble / (rows.size * 1e9)))
+    }
+    assert(got == naive)
+    // Davies-Bouldin: one row, no degenerate pairs, and the tight
+    // layout beats the same data clustered with a SMEARED (wrong)
+    // assignment - judged by the index both times
+    val dbTight = Similarity.daviesBouldin(quality, cents)
+      .collect().head
+    assert(dbTight.getLong(0) == 3L && dbTight.getLong(1) == 0L)
+    val smeared = mk(3.5)
+    val dfS = vecsDf(smeared: _*)
+    val dbLoose = Similarity.daviesBouldin(
+      Similarity.clusterQuality(Similarity.ivfIndex(dfS, cents), cents),
+      cents).collect().head
+    assert(dbTight.getDouble(2) < dbLoose.getDouble(2),
+      s"tight ${dbTight.getDouble(2)} should beat loose ${dbLoose.getDouble(2)}")
+    // layout invariance is bitwise (quantized BIGINT sums + fixed folds)
+    val re = Similarity.clusterQuality(
+        Similarity.ivfIndex(tight.repartition(7), cents), cents)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(re == got)
+  }
+
   test("centroid argmin: native loop == composed array-of-dots form, bit for bit") {
     val rng = new scala.util.Random(29)
     val k = 64 // past the codegen budget of the composed form — the case
