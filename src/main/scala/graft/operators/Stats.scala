@@ -1383,6 +1383,42 @@ object Stats {
       .drop("__fr", "__ts")
   }
 
+  /** Wilson score interval per group — the uncertainty companion every
+    * proportion readout in the QA block lacks ([[classificationReport]]
+    * and the calibration tables report point rates; this says how much
+    * a rate from n rows can be trusted, and unlike the naive ±z√(pq/n)
+    * it stays inside [0,1] and behaves at k = 0 / k = n — exactly the
+    * small-strata regime annotator audits live in):
+    *
+    *   center = (p̂ + z²/2n) / (1 + z²/n)
+    *   half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+    *
+    * Portability: k and n are exact BIGINTs; p̂, center, and half are
+    * FIXED float expressions over their casts (one correctly-rounded √,
+    * no transcendentals), so every output column hashes bit-for-bit
+    * when the mirror replays the same op order. z is a caller literal
+    * (1.96 parses to the identical double in any engine). One
+    * aggregation, no window. Output: groups... + (n, k, p, lo, hi). */
+  def wilsonInterval(df: DataFrame, groupCols: Seq[Column],
+      success: Column, z: Double = 1.96): DataFrame = {
+    require(z > 0 && z <= 10, s"wilsonInterval needs 0 < z <= 10, got $z")
+    val z2 = z * z
+    val agg = df.filter(success.isNotNull)
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(success.cast("boolean"), 1L).otherwise(0L)).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val denom = lit(1.0) + lit(z2) / nD
+    val center = (p + lit(z2) / (lit(2.0) * nD)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      lit(z2) / (lit(4.0) * (nD * nD)))) / denom
+    agg
+      .withColumn("p", p)
+      .withColumn("lo", greatest(lit(0.0), center - half))
+      .withColumn("hi", least(lit(1.0), center + half))
+  }
+
   /** The PARTIAL behind [[contingencyStats]]: exact per-(group, a, b)
     * cell counts — the at-rest incremental artifact (the [[valueCounts]]
     * convention). Cell counts are associative BIGINTs, so batch-sliced

@@ -645,6 +645,14 @@ object Extras {
         Seq(col("event_type")), col("ts"), col("value"))
       .orderBy("event_type")
 
+  /** Wilson 95% score interval for the lang = 'en' rate per source
+    * ([[graft.operators.Stats.wilsonInterval]]): exact counts, fixed
+    * float tail with one √ — every column hashes unrounded. */
+  def aWilsonCi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.wilsonInterval(t(s, dir, "documents"),
+        Seq(col("source")), col("lang") === "en")
+      .orderBy("source")
+
   /** Categorical association per source ([[graft.operators.Stats
     * .contingencyStats]]): χ², Cramér's V, and mutual information
     * between language and the 100-char length band — the r×c
@@ -784,6 +792,7 @@ object Extras {
     "a_ks_drift" -> (aKsDrift _),
     "a_rank_sum" -> (aRankSum _),
     "a_spearman_corr" -> (aSpearmanCorr _),
+    "a_wilson_ci" -> (aWilsonCi _),
     "a_contingency_profile" -> (aContingencyProfile _),
     "a_ranking_metrics" -> (aRankingMetrics _),
     "a_auc_length" -> (aAucLength _),
@@ -1191,6 +1200,37 @@ object Extras {
         |  ROUND(ln(CAST(n AS DOUBLE)) + mi_f / CAST(n AS DOUBLE), 12)
         |    AS mi
         |FROM g ORDER BY 1""".stripMargin,
+    // Wilson mirror: the identical op order — center/half over exact
+    // counts, one sqrt, clamp — so p/lo/hi hash unrounded. 3.8416… is
+    // the double value of 1.96*1.96 (the driver-computed z² literal).
+    "a_wilson_ci" ->
+      """WITH a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS k
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1)
+        |SELECT source, n, k,
+        |  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |  GREATEST(0.0,
+        |    ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |        + 3.8415999999999997 / (2.0 * CAST(n AS DOUBLE)))
+        |      / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)))
+        |    - ((1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / CAST(n AS DOUBLE)
+        |        + 3.8415999999999997
+        |          / (4.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))))
+        |      / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)))) AS lo,
+        |  LEAST(1.0,
+        |    ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |        + 3.8415999999999997 / (2.0 * CAST(n AS DOUBLE)))
+        |      / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)))
+        |    + ((1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / CAST(n AS DOUBLE)
+        |        + 3.8415999999999997
+        |          / (4.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))))
+        |      / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)))) AS hi
+        |FROM a ORDER BY 1""".stripMargin,
     // Spearman mirror: identical doubled-midrank construction — RANK()
     // (tie-block min rank) + tie-inclusive RANGE-frame count from the
     // same sort, centered by (n+1), three exact BIGINT sums, one

@@ -380,6 +380,21 @@ object StreamingTimeSeries {
     TimeSeries.anomalies(mergedWeeklyTable(spark, targetDir), Seq("key"),
       col("week_start"), col("freq"), period, k)
 
+  /** Whole-stream autocorrelation from the SAME stored weekly partials
+    * — [[TimeSeries.acf]] over the replay-guarded merged counts,
+    * bit-identical to the one-shot batch ACF (the scaled BIGINT
+    * moments are a deterministic function of the weekly table, and
+    * the merged weekly table is exactly equal). The live periodicity
+    * dashboard rides the summary the decompose/anomaly/changepoint
+    * faces already maintain — no new state. */
+  def mergedAcf(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, maxLag: Int): DataFrame =
+    TimeSeries.acf(
+      spark.read.parquet(targetDir)
+        .dropDuplicates("key", "week_start", "batch_id").drop("batch_id")
+        .groupBy("key", "week_start").agg(sum(col("freq")).as("freq")),
+      Seq("key"), col("week_start"), col("freq"), maxLag)
+
   /** Whole-stream level-shift changepoints from the SAME stored weekly
     * partials — [[TimeSeries.changepoints]] over the replay-guarded
     * merged counts, bit-identical to the one-shot batch segmentation

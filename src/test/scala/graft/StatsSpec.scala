@@ -989,6 +989,43 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .sortBy(_.toString).toSeq)
   }
 
+  test("wilsonInterval: textbook values, boundary behavior, layout invariance") {
+    import spark.implicits._
+    // 85 successes of 100 (z = 1.96): the classic worked example
+    val rows = (0 until 100).map(i => ("g", i < 85)) ++
+      (0 until 20).map(i => ("zero", false)) ++
+      (0 until 20).map(i => ("all", true))
+    val df = rows.toDF("g", "ok")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.wilsonInterval(d, Seq(col("g")), col("ok"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5)))).toMap
+    val got = run(df)
+    // independent replay of the closed form
+    def wilson(k: Long, n: Long): (Double, Double) = {
+      val z = 1.96; val z2 = z * z; val nD = n.toDouble
+      val p = k.toDouble / nD
+      val denom = 1.0 + z2 / nD
+      val c = (p + z2 / (2.0 * nD)) / denom
+      val h = (z * math.sqrt(p * (1.0 - p) / nD +
+        z2 / (4.0 * (nD * nD)))) / denom
+      (math.max(0.0, c - h), math.min(1.0, c + h))
+    }
+    val (lo, hi) = wilson(85, 100)
+    assert(got("g") == ((100L, 85L, 0.85, lo, hi)))
+    // the interval actually brackets sensibly: ~[0.766, 0.905]
+    assert(lo > 0.76 && lo < 0.77 && hi > 0.90 && hi < 0.91)
+    // k = 0: lo clamps to exactly 0 but hi stays away from it (the
+    // rule-of-three behavior the naive interval gets wrong)
+    val z0 = got("zero")
+    assert(z0._3 == 0.0 && z0._4 == 0.0 && z0._5 > 0.1)
+    // k = n mirrors
+    val a = got("all")
+    assert(a._3 == 1.0 && a._5 == 1.0 && a._4 < 0.9)
+    assert(run(df.repartition(7)) == got) // bitwise layout invariance
+  }
+
   test("spearmanCorr: monotone extremes, naive midrank differential, ties, nulls") {
     import spark.implicits._
     def run(rows: Seq[(String, Long, Long)]) =

@@ -448,6 +448,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val cuBatch = cuKey(graft.operators.TimeSeries.cusum(
         batchWeekly, Seq("key"), col("week_start"), col("freq"), 1L, 10L))
       assert(cuStream == cuBatch)
+      // ...and the periodicity question (ACF rides the SPARSE weekly
+      // table, like the batch c_acf face)
+      def acKey(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+          r.toSeq.drop(2)).toMap
+      val acStream = acKey(StreamingTimeSeries.mergedAcf(
+        spark, s"$dir/data", maxLag = 4))
+      val acBatch = acKey(graft.operators.TimeSeries.acf(
+        graft.operators.TimeSeries.weeklyFrequency(
+          all.toDF("ts", "event_type"), to_date(col("ts")),
+          col("event_type")),
+        Seq("key"), col("week_start"), col("freq"), 4))
+      assert(acStream == acBatch)
     } finally q.stop()
   }
 
