@@ -229,6 +229,99 @@ object TimeSeries {
         col("den"), col("r")): _*)
   }
 
+  /** Partial autocorrelation per group via Durbin–Levinson, lags
+    * 1..`maxLag` — [[acf]]'s disambiguator: ACF at lag k mixes direct
+    * dependence with everything propagated through shorter lags; PACF
+    * is the correlation at lag k with lags 1..k−1 regressed out, the
+    * standard AR-order diagnostic (an AR(p) series cuts off sharply
+    * after lag p where its ACF only decays).
+    *
+    * Construction: the lag correlations r₁..r_L are [[acf]]'s exact
+    * BIGINT-moment ratios (bit-identical to the acf face), then the
+    * Levinson recursion runs as ONE in-row fold in FIXED k order, each
+    * step two fixed-order inner products over ≤ L doubles — pure
+    * +,·,/ IEEE arithmetic, so `pacf` hashes bit-for-bit when the
+    * mirror replays the same op order (no rounding). A degenerate
+    * step (reflection denominator exactly 0 — a perfectly predictable
+    * series) yields null from that lag on rather than an
+    * engine-dependent infinity; zero-variance groups emit nothing.
+    *
+    * Scale: the same one-groupBy data pass as [[acf]]; the recursion
+    * touches only the L-element per-group arrays. Output: groups... +
+    * (lag, n, pacf). */
+  def pacf(df: DataFrame, groupCols: Seq[String], tCol: Column, v: Column,
+      maxLag: Int, maxLen: Int = 100000): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 1000,
+      s"pacf needs 1 <= maxLag <= 1000, got $maxLag")
+    val grouped = df.filter(v.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(tCol.as("t"),
+        v.cast("long").as("v")))).as("__s"))
+      .filter(assert_true(size(col("__s")) <= maxLen,
+        lit(s"pacf: a group exceeds maxLen=$maxLen rows — a series " +
+          "that long should be windowed or decimated first")).isNull)
+      .withColumn("n", size(col("__s")).cast("bigint"))
+      .withColumn("__sum", aggregate(col("__s"), lit(0L),
+        (acc, s) => acc + s.getField("v")))
+      .withColumn("__d", transform(col("__s"),
+        s => col("n") * s.getField("v") - col("__sum")))
+      .withColumn("__maxd", coalesce(array_max(transform(col("__d"),
+        d => abs(d))), lit(0L)))
+      .filter(assert_true(col("n").cast("double") *
+          pow(col("__maxd").cast("double"), 2.0) < lit(8.5e18),
+        lit("pacf: n·(n·max|x − mean|)² approaches 2^63 — the exact " +
+          "BIGINT moments would wrap; rescale or pre-aggregate the " +
+          "series")).isNull)
+      .withColumn("den", aggregate(transform(col("__d"), d => d * d),
+        lit(0L), (acc, x) => acc + x))
+      .filter(col("n") >= 2L && col("den") > 0L)
+      .withColumn("__L", least(lit(maxLag.toLong), col("n") - 1L))
+      // r_k exactly as acf computes it: exact BIGINT num, one division
+      // the den > 0 filter above already drops zero-variance groups,
+      // but ANSI divide-by-zero still fires if the optimizer evaluates
+      // this projection alongside the filter — the when() is required,
+      // not belt-and-braces
+      .withColumn("__rs", transform(sequence(lit(1L), col("__L")), k =>
+        when(col("den") > 0L, aggregate(zip_with(
+            slice(col("__d"), lit(1), (col("n") - k).cast("int")),
+            slice(col("__d"), (k + 1L).cast("int"),
+              (col("n") - k).cast("int")),
+            (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+          .cast("double") / col("den").cast("double"))))
+    val rs = col("__rs")
+    val base = struct(
+      array(element_at(rs, 1)).as("phi"),
+      array(element_at(rs, 1)).as("pacf"))
+    // fold k = 2..L (filter, not sequence(2, L): sequence DESCENDS
+    // when L < 2, which would fabricate steps for 2-point series)
+    val folded = aggregate(
+      filter(sequence(lit(1L), col("__L")), k => k >= 2L), base,
+      (acc, k) => {
+        val prev = acc.getField("phi")
+        val num = element_at(rs, k.cast("int")) -
+          aggregate(sequence(lit(1L), k - 1L), lit(0.0), (s, j) =>
+            s + element_at(prev, j.cast("int")) *
+              element_at(rs, (k - j).cast("int")))
+        val denk = lit(1.0) -
+          aggregate(sequence(lit(1L), k - 1L), lit(0.0), (s, j) =>
+            s + element_at(prev, j.cast("int")) *
+              element_at(rs, j.cast("int")))
+        val pk = when(denk =!= 0.0, num / denk)
+        struct(
+          concat(transform(prev, (p, j0) =>
+            p - pk * element_at(prev, (k - 1L - j0).cast("int"))),
+            array(pk)).as("phi"),
+          concat(acc.getField("pacf"), array(pk)).as("pacf"))
+      })
+    grouped
+      .withColumn("__pacf", folded.getField("pacf"))
+      .select(groupCols.map(col) ++ Seq(col("n"),
+        posexplode(col("__pacf")).as(Seq("__pos", "pacf"))): _*)
+      .withColumn("lag", (col("__pos") + 1).cast("bigint"))
+      .select(groupCols.map(col) ++
+        Seq(col("lag"), col("n"), col("pacf")): _*)
+  }
+
   /** Exponentially-weighted moving average level per group —
     * `l_t = α·v_t + (1−α)·l_{t−1}`, seeded `l_0 = v_0`: the classic
     * smoothing/short-horizon-forecast recurrence. A linear recurrence

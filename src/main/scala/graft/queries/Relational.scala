@@ -418,6 +418,7 @@ object Relational {
     "c_growth_advantage" -> (cGrowthAdvantage _),
     "c_ewma_level" -> (cEwmaLevel _),
     "c_acf" -> (cAcf _),
+    "c_pacf" -> (cPacf _),
     "c_holt_forecast" -> (cHoltForecast _),
     "c_mann_kendall" -> (cMannKendall _),
     "c_assoc_rules" -> (cAssocRules _),
@@ -583,6 +584,18 @@ object Relational {
     val f = TimeSeries.weeklyFrequency(
       t(s, dir, "events"), to_date(col("ts")), col("event_type"))
     TimeSeries.acf(f, Seq("key"), col("week_start"), col("freq"),
+        maxLag = 4)
+      .orderBy("key", "lag")
+  }
+
+  /** Partial autocorrelation (lags 1–4) of the weekly event series
+    * ([[TimeSeries.pacf]]): exact acf ratios, then the Durbin–Levinson
+    * fold in fixed op order — pure +,·,/ so `pacf` hashes with no
+    * rounding; the mirror replays the recursion as a recursive CTE. */
+  def cPacf(s: SparkSession, dir: String): DataFrame = {
+    val f = TimeSeries.weeklyFrequency(
+      t(s, dir, "events"), to_date(col("ts")), col("event_type"))
+    TimeSeries.pacf(f, Seq("key"), col("week_start"), col("freq"),
         maxLag = 4)
       .orderBy("key", "lag")
   }
@@ -1158,6 +1171,66 @@ object Relational {
         |          AS BIGINT) AS DOUBLE)
         |  END AS r
         |FROM l ORDER BY key, lag""".stripMargin,
+    // PACF mirror: the exact acf ratios, then Durbin-Levinson replayed
+    // as a recursive CTE in the operator's op order (list_reduce seeds
+    // from the first term; 0.0 + t == t, so the folds match bitwise).
+    "c_pacf" ->
+      """WITH RECURSIVE f AS (SELECT event_type AS key,
+        |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+        |    COUNT(*) AS freq FROM events GROUP BY 1, 2),
+        |s AS (SELECT key,
+        |    list(CAST(freq AS BIGINT) ORDER BY week_start) AS vs,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(freq) AS BIGINT) AS sm FROM f GROUP BY 1),
+        |d AS (SELECT key, n,
+        |    list_transform(vs, x -> n * x - sm) AS dv FROM s
+        |  WHERE n >= 2),
+        |dn AS (SELECT key, n, dv,
+        |    CAST(list_sum(list_transform(dv, x -> x * x)) AS BIGINT)
+        |      AS den
+        |  FROM d),
+        |r AS (SELECT key, n,
+        |    list_transform(range(1, CAST(least(4, n - 1) AS INTEGER) + 1),
+        |      k -> CAST(CAST(list_sum(list_transform(
+        |            range(1, CAST(n - k AS INTEGER) + 1),
+        |            i -> dv[CAST(i AS INTEGER)] *
+        |                 dv[CAST(i + k AS INTEGER)])) AS BIGINT) AS DOUBLE)
+        |        / CAST(den AS DOUBLE)) AS rs
+        |  FROM dn WHERE den > 0),
+        |it AS (
+        |  SELECT key, n, rs, CAST(1 AS BIGINT) AS k,
+        |    [rs[1]] AS phi, [rs[1]] AS pacf
+        |  FROM r
+        |  UNION ALL
+        |  SELECT key, n, rs, k + 1,
+        |    list_append(list_transform(phi, (p, j) ->
+        |      p - pk * phi[CAST(k + 1 - j AS INTEGER)]), pk),
+        |    list_append(pacf, pk)
+        |  FROM (
+        |    SELECT key, n, rs, k, phi, pacf,
+        |      CASE WHEN (1.0 - list_reduce(list_transform(
+        |            range(1, CAST(k AS INTEGER) + 1),
+        |            j -> phi[CAST(j AS INTEGER)] * rs[CAST(j AS INTEGER)]),
+        |          (a, b) -> a + b)) = 0.0 THEN NULL
+        |        ELSE (rs[CAST(k + 1 AS INTEGER)]
+        |            - list_reduce(list_transform(
+        |                range(1, CAST(k AS INTEGER) + 1),
+        |                j -> phi[CAST(j AS INTEGER)]
+        |                   * rs[CAST(k + 1 - j AS INTEGER)]),
+        |              (a, b) -> a + b))
+        |          / (1.0 - list_reduce(list_transform(
+        |                range(1, CAST(k AS INTEGER) + 1),
+        |                j -> phi[CAST(j AS INTEGER)]
+        |                   * rs[CAST(j AS INTEGER)]),
+        |              (a, b) -> a + b))
+        |      END AS pk
+        |    FROM it WHERE k < len(rs)) AS q
+        |)
+        |SELECT key, CAST(u.i AS BIGINT) AS lag, n,
+        |  pacf[CAST(u.i AS INTEGER)] AS pacf
+        |FROM it, UNNEST(range(1, len(pacf) + 1)) AS u(i)
+        |WHERE k = len(rs)
+        |ORDER BY key, lag""".stripMargin,
     // Holt mirror: the level/trend recursion replayed as a recursive CTE
     // in the operator's exact operation order. l_t is computed once and
     // reused in the b_t step — in the operator the b-step's copy of the

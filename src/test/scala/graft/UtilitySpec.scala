@@ -99,6 +99,62 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getCause != null && e.getCause.getMessage.contains("maxLen"))
   }
 
+  test("pacf: naive Durbin-Levinson differential bitwise; AR diagnostics; edge cases") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val rnd = new scala.util.Random(53)
+    val rows = for (g <- Seq("a", "b"); t <- 0 until 40) yield
+      (g, t, rnd.nextInt(400).toLong)
+    val df = rows.toDF("g", "t", "v")
+    // independent replay: exact scaled-BIGINT acf ratios, then DL in
+    // the same op order
+    def naive(vs: Seq[Long], maxL: Int): Seq[Double] = {
+      val n = vs.size.toLong; val s = vs.sum
+      val d = vs.map(x => n * x - s)
+      val den = d.map(x => x * x).sum
+      val L = math.min(maxL.toLong, n - 1).toInt
+      val rs = (1 to L).map(k => d.dropRight(k).zip(d.drop(k))
+        .map { case (a, b) => a * b }.sum.toDouble / den.toDouble)
+      var phi = Vector(rs(0)); var out = Vector(rs(0))
+      for (k <- 2 to L) {
+        val num = rs(k - 1) - (1 until k).foldLeft(0.0)((acc, j) =>
+          acc + phi(j - 1) * rs(k - j - 1))
+        val dk = 1.0 - (1 until k).foldLeft(0.0)((acc, j) =>
+          acc + phi(j - 1) * rs(j - 1))
+        val pk = num / dk
+        phi = (1 until k).map(j => phi(j - 1) - pk * phi(k - j - 1))
+          .toVector :+ pk
+        out = out :+ pk
+      }
+      out
+    }
+    def run(d: org.apache.spark.sql.DataFrame, maxLag: Int = 6) =
+      TimeSeries.pacf(d, Seq("g"), col("t"), col("v"), maxLag)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), if (r.isNullAt(3)) Double.NaN else r.getDouble(3))))
+        .toMap
+    val got = run(df)
+    for (g <- Seq("a", "b")) {
+      val vs = rows.filter(_._1 == g).sortBy(_._2).map(_._3)
+      val want = naive(vs, 6)
+      for (k <- 1 to 6)
+        assert(got((g, k.toLong)) == ((40L, want(k - 1))), s"$g lag $k")
+    }
+    assert(run(df.repartition(9)) == got) // bitwise layout invariance
+    // pacf(1) must equal acf r1 exactly (same ratio, same arithmetic)
+    val r1 = TimeSeries.acf(df, Seq("g"), col("t"), col("v"), 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(got(("a", 1L))._2 == r1("a") && got(("b", 1L))._2 == r1("b"))
+    // constant series (zero variance) emits nothing; n=1 emits nothing
+    assert(run((0 until 6).map(t => ("c", t, 3L)).toDF("g", "t", "v"))
+      .isEmpty)
+    assert(run(Seq(("x", 0, 5L)).toDF("g", "t", "v")).isEmpty)
+    // 2-point series: exactly one lag, equal to r1 (the filter-not-
+    // sequence guard against descending sequence(2, 1))
+    val two = run(Seq(("y", 0, 1L), ("y", 1, 4L)).toDF("g", "t", "v"))
+    assert(two.keySet == Set(("y", 1L)))
+  }
+
   test("holt: matches the naive level/trend recurrence bitwise; tracks a trend ewma lags") {
     import spark.implicits._
     import graft.operators.TimeSeries
