@@ -81,7 +81,17 @@ object PlanDump {
     "c_cusum_alarms" -> "CUSUM alarms — ONE groupBy carries both the sorted series and the floored-percentile reference; the recurrence is an in-row fold, zero joins, zero windows",
     "c_cross_corr" -> "lead-lag cross-correlation — maxLag+1 probe rows per input row (one explode), ONE equi-join on (group, t+lag), one co-moment aggregate; no per-lag rescan, no window",
     "t_isotonic_calibration" -> "isotonic calibration — one distinct-score aggregate, one per-group collect, the PAV merge in the native graft_pav kernel (in-row), posexplode back to long form; two group-key exchanges total",
-    "c_optimal_changepoints" -> "optimal penalized segmentation — same two-exchange series pipeline as c_changepoints, the exact DP in the native graft_segdp kernel (in-row), segments exploded from the boundary array")
+    "c_optimal_changepoints" -> "optimal penalized segmentation — same two-exchange series pipeline as c_changepoints, the exact DP in the native graft_segdp kernel (in-row), segments exploded from the boundary array",
+    "a_spearman_corr" -> "Spearman rho — ONE hash exchange on the group key feeds both rank sorts and the whole-partition count (three WindowExecs, zero extra exchanges), then one 4-BIGINT partial aggregate; the rho expression is a projection",
+    "a_ranking_metrics" -> "MRR/AP/NDCG — one (score DESC, tie) window sort per group carries rank AND cumulative positives, one aggregate collects ONLY the n_pos relevant rows; all three metrics are in-row folds over that bounded list",
+    "a_contingency_profile" -> "r×c contingency — ONE cell-count aggregation is the only data pass; marginal windows and the fixed-order chi2/MI folds run on the r·c-row cells frame",
+    "c_retention_cohorts" -> "cohort retention — distinct (user, week) is the one event-table pass (map-side combine shrinks events to the grid BEFORE any wide exchange); the user window, cells aggregate, and cohort-size window then re-exchange only the |users|×|weeks| grid",
+    "c_acf" -> "autocorrelation — one groupBy collects each series in-row (exact scaled-BIGINT deviations), the lag explode emits maxLag rows per GROUP (not per event); num/den are in-row folds, r a single projected division",
+    "c_pacf" -> "partial autocorrelation — the same one-exchange series collect as c_acf; the entire Durbin-Levinson recursion is ONE in-row fold expression, so the plan has zero joins and zero windows",
+    "g_bfs_layers" -> "BFS layers — maxDepth unrolled frontier⋈adjacency joins over localCheckpoint-cut 8/16-byte relations with anti-join dedup; no driver-side convergence actions",
+    "g_kcore" -> "k-core peel — per round ONE degree aggregate + two semi joins on the surviving 16-byte edge set, localCheckpoint-cut so round r never replays rounds 1..r-1",
+    "s_cluster_quality" -> "cluster scatter — the centroid table is a BROADCAST literal join onto the assigned scan, per-point distance a codegen'd zip-fold, then ONE quantized-BIGINT aggregate; k output rows",
+    "s_davies_bouldin" -> "Davies-Bouldin — everything after the one clusterQuality data pass runs on ≤ k² rows: driver-constant d_ij broadcast-joined, a max per cluster, one fixed-order closing fold")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */
