@@ -478,6 +478,25 @@ object ScaleProbe {
       // expands (an id-0 hub would be the adversarial placement)
       Graph.triangleCount(edges).collect()(0).getLong(0)
     }
+    timed("ppr_4M_edges_k4_3seeds") { // personalized teleport: identical
+      // per-round plan to pagerank (the seed membership is a folded
+      // 0/teleport column, not a per-round join) — the probe asserts
+      // the personalization costs nothing extra per iteration
+      Graph.personalizedPageRank(edges,
+        spark.range(3).select(col("id").as("node")), iterations = 4).count()
+    }
+    timed("kcore_peel_4M_edges_k40_r4") { // 4 peel rounds at k=40 (avg
+      // undirected degree ~80 here): each round one degree aggregate +
+      // two semi joins over the SURVIVING 16-byte edge set — cost per
+      // round shrinks as the periphery peels
+      Graph.kcorePeel(edges, k = 40, rounds = 4).count()
+    }
+    timed("bfs_layers_4M_edges_d3") { // 3 frontier rounds from 3 seeds
+      // on a ~100k-node near-expander: the frontier saturates by hop 2,
+      // so the probe exercises the worst (densest) frontier join shape
+      Graph.bfsLayers(edges,
+        spark.range(3).select(col("id").as("node")), maxDepth = 3).count()
+    }
     edges.unpersist()
 
     // Snapshot diff at 4M keys with ~1% churn, digest form: the exchange
