@@ -418,6 +418,87 @@ object TimeSeries {
       .drop("__s", "__f")
   }
 
+  /** Holt–Winters ADDITIVE seasonal smoothing per group — the member of
+    * the forecasting pair that [[holt]] structurally cannot be: level +
+    * trend + a rolling seasonal profile, so the h-step forecast carries
+    * the seasonal shape instead of a straight line ([[decompose]] reads
+    * the season retrospectively; this tracks it forward):
+    *
+    *   l_t = α(v_t − s_{t−p}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = γ(l_t − l_{t−1}) + (1−γ)b_{t−1}
+    *   s_t = δ(v_t − l_t) + (1−δ)s_{t−p}
+    *
+    * Seeding (documented, mirrored literally): l_p = mean of the first
+    * period, b_p = 0, s_i = v_i − l_p for the first period; the
+    * recursion starts at t = p+1. Groups shorter than one period emit
+    * nothing.
+    *
+    * Portability: the [[ewma]]/[[holt]] contract — grouped SHORT
+    * series folded IN-ROW over the sorted (t, v) array (struct
+    * accumulator carrying (l, b, seasonal array, t), `maxLen`
+    * fail-fast); fixed op order, and with DYADIC α/γ/δ every (1−·)
+    * literal is engine-exact, so level/trend/forecast hash bit-for-bit
+    * against a recursive-CTE replay. Forecast = l + h·b + the
+    * (n+h)'th seasonal slot of the final profile.
+    *
+    * Output: groups... + (n, level, trend, forecast). */
+  def holtWinters(df: DataFrame, groupCols: Seq[String], tCol: Column,
+      v: Column, period: Int, alpha: Double = 0.25, gamma: Double = 0.125,
+      delta: Double = 0.25, horizon: Int = 1, maxLen: Int = 100000)
+      : DataFrame = {
+    require(period >= 2 && period <= 1000,
+      s"holtWinters needs 2 <= period <= 1000, got $period")
+    require(alpha > 0 && alpha <= 1, s"bad alpha $alpha")
+    require(gamma > 0 && gamma <= 1, s"bad gamma $gamma")
+    require(delta > 0 && delta <= 1, s"bad delta $delta")
+    require(horizon >= 1, s"holtWinters needs horizon >= 1, got $horizon")
+    val p = period
+    val grouped = df.filter(v.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(tCol.as("t"),
+        v.cast("double").as("v")))).as("__s"))
+      .filter(assert_true(size(col("__s")) <= maxLen,
+        lit(s"holtWinters: a group exceeds maxLen=$maxLen rows — a " +
+          "series that long should be windowed or decimated first"))
+        .isNull)
+      .withColumn("n", size(col("__s")).cast("bigint"))
+      .filter(col("n") >= p.toLong)
+    val head = slice(col("__s"), 1, p)
+    val lInit = aggregate(head, lit(0.0),
+      (acc, x) => acc + x.getField("v")) / lit(p.toDouble)
+    val sInit = transform(head, x => x.getField("v") - lInit)
+    val base = struct(lInit.as("l"), lit(0.0).as("b"), sInit.as("s"),
+      lit(p.toLong).as("t"))
+    val folded = aggregate(
+      slice(col("__s"), lit(p + 1), greatest(size(col("__s")) - p, lit(0))),
+      base,
+      (acc, x) => {
+        val vt = x.getField("v")
+        val l = acc.getField("l"); val b = acc.getField("b")
+        val s = acc.getField("s")
+        val pos = (pmod(acc.getField("t"), lit(p.toLong)) + 1L).cast("int")
+        val lNew = lit(alpha) * (vt - element_at(s, pos)) +
+          lit(1.0 - alpha) * (l + b)
+        val bNew = lit(gamma) * (lNew - l) + lit(1.0 - gamma) * b
+        struct(
+          lNew.as("l"), bNew.as("b"),
+          transform(s, (sv, j0) => when(j0 + 1 === pos,
+            lit(delta) * (vt - lNew) + lit(1.0 - delta) * sv)
+            .otherwise(sv)).as("s"),
+          (acc.getField("t") + 1L).as("t"))
+      })
+    grouped
+      .withColumn("__f", folded)
+      .withColumn("level", col("__f").getField("l"))
+      .withColumn("trend", col("__f").getField("b"))
+      .withColumn("forecast", col("level") +
+        lit(horizon.toDouble) * col("trend") +
+        element_at(col("__f").getField("s"),
+          (pmod(col("n") + horizon.toLong - 1L, lit(p.toLong)) + 1L)
+            .cast("int")))
+      .drop("__s", "__f")
+  }
+
   /** Level-shift changepoint detection per group — BINARY SEGMENTATION
     * over the group's sorted series: repeatedly split the segment whose
     * best split most reduces the total within-segment sum of squared

@@ -419,6 +419,7 @@ object Relational {
     "c_ewma_level" -> (cEwmaLevel _),
     "c_acf" -> (cAcf _),
     "c_pacf" -> (cPacf _),
+    "c_holt_winters" -> (cHoltWinters _),
     "c_holt_forecast" -> (cHoltForecast _),
     "c_mann_kendall" -> (cMannKendall _),
     "c_assoc_rules" -> (cAssocRules _),
@@ -586,6 +587,21 @@ object Relational {
     TimeSeries.acf(f, Seq("key"), col("week_start"), col("freq"),
         maxLag = 4)
       .orderBy("key", "lag")
+  }
+
+  /** Holt–Winters additive seasonal smoothing over the weekly event
+    * series ([[TimeSeries.holtWinters]], period 2 — the testdata
+    * events span only 5 weeks, so period 2 is what leaves recursion
+    * steps after the one-period seed — 4-week-ahead forecast). Dyadic
+    * α/γ/δ keep every (1−·) literal engine-exact; the mirror replays
+    * seed + recursion as a recursive CTE, so level/trend/forecast hash
+    * bit-for-bit. */
+  def cHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    val f = TimeSeries.weeklyFrequency(
+      t(s, dir, "events"), to_date(col("ts")), col("event_type"))
+    TimeSeries.holtWinters(f, Seq("key"), col("week_start"), col("freq"),
+        period = 2, horizon = 4)
+      .orderBy("key")
   }
 
   /** Partial autocorrelation (lags 1–4) of the weekly event series
@@ -1171,6 +1187,43 @@ object Relational {
         |          AS BIGINT) AS DOUBLE)
         |  END AS r
         |FROM l ORDER BY key, lag""".stripMargin,
+    // Holt-Winters mirror: seed (period mean, b=0, v-mean seasonals) +
+    // the three-equation recursion replayed as a recursive CTE with a
+    // list seasonal state; lp computed once and reused like the Holt
+    // mirror; all smoothing literals dyadic, hence engine-exact.
+    "c_holt_winters" ->
+      """WITH RECURSIVE f AS (SELECT event_type AS key,
+        |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+        |    COUNT(*) AS freq FROM events GROUP BY 1, 2),
+        |s AS (SELECT key,
+        |    list(CAST(freq AS DOUBLE) ORDER BY week_start) AS vs,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1),
+        |i AS (SELECT key, vs, n,
+        |    list_reduce(list_transform(range(1, 3),
+        |      j -> vs[CAST(j AS INTEGER)]), (a, b) -> a + b) / 2.0 AS l0
+        |  FROM s WHERE n >= 2),
+        |it AS (
+        |  SELECT key, vs, n, CAST(2 AS BIGINT) AS t, l0 AS l,
+        |    CAST(0 AS DOUBLE) AS b,
+        |    list_transform(range(1, 3),
+        |      j -> vs[CAST(j AS INTEGER)] - l0) AS sl
+        |  FROM i
+        |  UNION ALL
+        |  SELECT key, vs, n, t + 1, lp,
+        |    0.125 * (lp - l) + 0.875 * b,
+        |    list_transform(sl, (sv, j) -> CASE WHEN j = pos
+        |      THEN 0.25 * (vs[CAST(t + 1 AS INTEGER)] - lp) + 0.75 * sv
+        |      ELSE sv END)
+        |  FROM (SELECT key, vs, n, t, l, b, sl,
+        |      CAST(t % 2 + 1 AS INTEGER) AS pos,
+        |      0.25 * (vs[CAST(t + 1 AS INTEGER)]
+        |          - sl[CAST(t % 2 + 1 AS INTEGER)])
+        |        + 0.75 * (l + b) AS lp
+        |    FROM it WHERE t < n) AS q
+        |)
+        |SELECT key, n, l AS level, b AS trend,
+        |  l + 4.0 * b + sl[CAST((n + 4 - 1) % 2 + 1 AS INTEGER)] AS forecast
+        |FROM it WHERE t = n ORDER BY key""".stripMargin,
     // PACF mirror: the exact acf ratios, then Durbin-Levinson replayed
     // as a recursive CTE in the operator's op order (list_reduce seeds
     // from the first term; 0.0 + t == t, so the folds match bitwise).

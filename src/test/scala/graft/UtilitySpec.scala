@@ -99,6 +99,63 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getCause != null && e.getCause.getMessage.contains("maxLen"))
   }
 
+  test("holtWinters: naive recurrence bitwise; carries the season holt flattens; edges") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val p = 4
+    def naive(vs: Seq[Double], h: Int): (Double, Double, Double) = {
+      val (a, g, d) = (0.25, 0.125, 0.25)
+      val lInit = vs.take(p).foldLeft(0.0)(_ + _) / p
+      var l = lInit; var b = 0.0
+      val s = scala.collection.mutable.ArrayBuffer(
+        vs.take(p).map(_ - lInit): _*)
+      for (t <- p until vs.size) {
+        val pos = t % p
+        val vt = vs(t)
+        val lNew = a * (vt - s(pos)) + (1 - a) * (l + b)
+        val bNew = g * (lNew - l) + (1 - g) * b
+        s(pos) = d * (vt - lNew) + (1 - d) * s(pos)
+        l = lNew; b = bNew
+      }
+      val posF = (vs.size + h - 1) % p
+      (l, b, l + h * b + s(posF))
+    }
+    val rnd = new scala.util.Random(67)
+    val rows = for (g <- Seq("a", "b"); t <- 0 until 24) yield
+      (g, t, (50 + 10 * (t % p) + rnd.nextInt(5)).toDouble)
+    val df = rows.toDF("g", "t", "v")
+    def run(d: org.apache.spark.sql.DataFrame, h: Int = 2) =
+      TimeSeries.holtWinters(d, Seq("g"), col("t"), col("v"), p,
+          horizon = h)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+    val got = run(df)
+    for (g <- Seq("a", "b")) {
+      val vs = rows.filter(_._1 == g).sortBy(_._2).map(_._3)
+      val (l, b, f) = naive(vs, 2)
+      assert(got(g) == ((24L, l, b, f)), s"group $g")
+    }
+    assert(run(df.repartition(11)) == got) // bitwise layout invariance
+    // on a pure seasonal sawtooth the HW forecast lands on the next
+    // seasonal value while holt's straight line misses it
+    val saw = (0 until 24).map(t => ("s", t, (10 * (t % p)).toDouble))
+    val hwF = run(saw.toDF("g", "t", "v"), h = 1)("s")._4
+    val truth = 10.0 * (24 % p)
+    val holtF = TimeSeries.holt(saw.toDF("g", "t", "v"), Seq("g"),
+        col("t"), col("v"), alpha = 0.25, gamma = 0.125)
+      .collect().head.getDouble(4)
+    assert(math.abs(hwF - truth) < 3.0, s"hw $hwF vs $truth")
+    assert(math.abs(hwF - truth) < math.abs(holtF - truth))
+    // exactly one period: init state only (b = 0, level = period mean)
+    val one = run((0 until p).map(t => ("o", t, (t + 1).toDouble))
+      .toDF("g", "t", "v"), h = 1)
+    assert(one("o")._1 == p.toLong && one("o")._2 == 2.5 && one("o")._3 == 0.0)
+    // shorter than a period: nothing
+    assert(run(Seq(("x", 0, 1.0), ("x", 1, 2.0)).toDF("g", "t", "v"))
+      .isEmpty)
+  }
+
   test("pacf: naive Durbin-Levinson differential bitwise; AR diagnostics; edge cases") {
     import spark.implicits._
     import graft.operators.TimeSeries
