@@ -389,11 +389,43 @@ object StreamingTimeSeries {
     * faces already maintain — no new state. */
   def mergedAcf(spark: org.apache.spark.sql.SparkSession,
       targetDir: String, maxLag: Int): DataFrame =
-    TimeSeries.acf(
-      spark.read.parquet(targetDir)
-        .dropDuplicates("key", "week_start", "batch_id").drop("batch_id")
-        .groupBy("key", "week_start").agg(sum(col("freq")).as("freq")),
-      Seq("key"), col("week_start"), col("freq"), maxLag)
+    TimeSeries.acf(mergedSparseWeekly(spark, targetDir), Seq("key"),
+      col("week_start"), col("freq"), maxLag)
+
+  /** Whole-stream EWMA / Holt / Holt–Winters smoothing from the SAME
+    * stored weekly partials — the full forecasting ladder (level only /
+    * level+trend / level+trend+season) served from the one summary
+    * table, each bit-identical to its one-shot batch twin (the folds
+    * are deterministic in the weekly table, and the merged weekly
+    * table is exactly equal). Sparse weekly counts, like the batch
+    * c_ewma_level / c_holt_forecast / c_holt_winters faces. */
+  def mergedEwma(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, alpha: Double): DataFrame =
+    TimeSeries.ewma(mergedSparseWeekly(spark, targetDir), Seq("key"),
+      col("week_start"), col("freq"), alpha)
+
+  /** See [[mergedEwma]]. */
+  def mergedHolt(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, alpha: Double, gamma: Double,
+      horizon: Int = 1): DataFrame =
+    TimeSeries.holt(mergedSparseWeekly(spark, targetDir), Seq("key"),
+      col("week_start"), col("freq"), alpha, gamma, horizon)
+
+  /** See [[mergedEwma]]. */
+  def mergedHoltWinters(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, period: Int, horizon: Int = 1): DataFrame =
+    TimeSeries.holtWinters(mergedSparseWeekly(spark, targetDir),
+      Seq("key"), col("week_start"), col("freq"), period,
+      horizon = horizon)
+
+  /** The replay-guarded SPARSE merged weekly table (no zero-fill —
+    * the smoothing recursions consume observed weeks only, like their
+    * batch faces). */
+  private def mergedSparseWeekly(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String): DataFrame =
+    spark.read.parquet(targetDir)
+      .dropDuplicates("key", "week_start", "batch_id").drop("batch_id")
+      .groupBy("key", "week_start").agg(sum(col("freq")).as("freq"))
 
   /** Whole-stream level-shift changepoints from the SAME stored weekly
     * partials — [[TimeSeries.changepoints]] over the replay-guarded

@@ -455,12 +455,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
           r.toSeq.drop(2)).toMap
       val acStream = acKey(StreamingTimeSeries.mergedAcf(
         spark, s"$dir/data", maxLag = 4))
+      val sparseWeekly = graft.operators.TimeSeries.weeklyFrequency(
+        all.toDF("ts", "event_type"), to_date(col("ts")),
+        col("event_type"))
       val acBatch = acKey(graft.operators.TimeSeries.acf(
-        graft.operators.TimeSeries.weeklyFrequency(
-          all.toDF("ts", "event_type"), to_date(col("ts")),
-          col("event_type")),
-        Seq("key"), col("week_start"), col("freq"), 4))
+        sparseWeekly, Seq("key"), col("week_start"), col("freq"), 4))
       assert(acStream == acBatch)
+      // ...and the whole forecasting ladder, from the same summary
+      def fKey(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(fKey(StreamingTimeSeries.mergedEwma(spark, s"$dir/data",
+          alpha = 0.25)) ==
+        fKey(graft.operators.TimeSeries.ewma(sparseWeekly, Seq("key"),
+          col("week_start"), col("freq"), 0.25)))
+      assert(fKey(StreamingTimeSeries.mergedHolt(spark, s"$dir/data",
+          alpha = 0.25, gamma = 0.125, horizon = 2)) ==
+        fKey(graft.operators.TimeSeries.holt(sparseWeekly, Seq("key"),
+          col("week_start"), col("freq"), 0.25, 0.125, 2)))
+      assert(fKey(StreamingTimeSeries.mergedHoltWinters(spark,
+          s"$dir/data", period = 5, horizon = 2)) ==
+        fKey(graft.operators.TimeSeries.holtWinters(sparseWeekly,
+          Seq("key"), col("week_start"), col("freq"), 5, horizon = 2)))
     } finally q.stop()
   }
 
