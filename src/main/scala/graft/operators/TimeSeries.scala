@@ -499,6 +499,120 @@ object TimeSeries {
       .drop("__s", "__f")
   }
 
+  /** Fixed-holdout forecast backtest per group — the EVALUATION face of
+    * the forecasting ladder: which of naive / seasonal-naive / [[ewma]]
+    * / [[holt]] / [[holtWinters]] to trust is an empirical question,
+    * answered by holding out the last `horizon` points, fitting each
+    * method on the prefix (each method's OWN seeding/recursion,
+    * replicated exactly), and scoring symmetric MAPE
+    * (2·|f−a|/(|f|+|a|), 0 when both are 0) over the holdout.
+    *
+    * Portability: all five forecasts and the sMAPE folds are fixed-
+    * order float expressions over the in-row sorted series ([[ewma]]'s
+    * contract, `maxLen` fail-fast) — pure +,·,/,abs, dyadic smoothing
+    * constants — so every smape hashes bit-for-bit against a mirror
+    * replaying the same op order. Groups whose training prefix is
+    * shorter than max(period, 2) emit nothing.
+    *
+    * One groupBy over the data; everything else is in-row. Output:
+    * groups... + (method, n, smape), five rows per group. */
+  def backtest(df: DataFrame, groupCols: Seq[String], tCol: Column,
+      v: Column, period: Int, horizon: Int, alpha: Double = 0.25,
+      gamma: Double = 0.125, delta: Double = 0.25,
+      maxLen: Int = 100000): DataFrame = {
+    require(period >= 2 && period <= 1000, s"bad period $period")
+    require(horizon >= 1 && horizon <= 1000, s"bad horizon $horizon")
+    val p = period
+    val h = horizon
+    val grouped = df.filter(v.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(tCol.as("t"),
+        v.cast("double").as("v")))).as("__s"))
+      .filter(assert_true(size(col("__s")) <= maxLen,
+        lit(s"backtest: a group exceeds maxLen=$maxLen rows — a series " +
+          "that long should be windowed or decimated first")).isNull)
+      .withColumn("n", size(col("__s")).cast("bigint"))
+      .withColumn("__m", (col("n") - h.toLong).cast("int"))
+      .filter(col("__m") >= math.max(p, 2))
+      .withColumn("__tr", slice(col("__s"), lit(1), col("__m")))
+    val tr = col("__tr")
+    val m = col("__m")
+    def vAt(i: Column) = element_at(tr, i.cast("int")).getField("v")
+    val actuals = transform(sequence(lit(1), lit(h)),
+      i => element_at(col("__s"), (m + i).cast("int")).getField("v"))
+    // naive: last training value, flat
+    val fNaive = transform(sequence(lit(1), lit(h)), _ => vAt(m))
+    // seasonal naive: the value one period back in the same slot
+    val fSnaive = transform(sequence(lit(1), lit(h)), i =>
+      vAt(m - p + pmod(i - 1, lit(p)) + 1))
+    // ewma: the [[ewma]] fold on the prefix, flat forecast
+    val ewmaLevel = aggregate(
+      slice(tr, lit(2), greatest(size(tr) - 1, lit(0))),
+      element_at(tr, 1).getField("v"),
+      (acc, s) => lit(alpha) * s.getField("v") + lit(1.0 - alpha) * acc)
+    val fEwma = transform(sequence(lit(1), lit(h)), _ => ewmaLevel)
+    // holt: the [[holt]] seed + fold on the prefix, l + i·b
+    val lStep = (acc: Column, x: Column) =>
+      lit(alpha) * x.getField("v") +
+        lit(1.0 - alpha) * (acc.getField("l") + acc.getField("b"))
+    val holtF = aggregate(
+      slice(tr, lit(2), greatest(size(tr) - 1, lit(0))),
+      struct(
+        element_at(tr, 1).getField("v").as("l"),
+        coalesce(get(tr, lit(1)).getField("v") -
+          element_at(tr, 1).getField("v"), lit(0.0)).as("b")),
+      (acc, x) => struct(
+        lStep(acc, x).as("l"),
+        (lit(gamma) * (lStep(acc, x) - acc.getField("l")) +
+          lit(1.0 - gamma) * acc.getField("b")).as("b")))
+    val fHolt = transform(sequence(lit(1), lit(h)), i =>
+      holtF.getField("l") + i.cast("double") * holtF.getField("b"))
+    // holt-winters: the [[holtWinters]] seed + fold on the prefix
+    val head = slice(tr, 1, p)
+    val lInit = aggregate(head, lit(0.0),
+      (acc, x) => acc + x.getField("v")) / lit(p.toDouble)
+    val hwF = aggregate(
+      slice(tr, lit(p + 1), greatest(size(tr) - p, lit(0))),
+      struct(lInit.as("l"), lit(0.0).as("b"),
+        transform(head, x => x.getField("v") - lInit).as("s"),
+        lit(p.toLong).as("t")),
+      (acc, x) => {
+        val vt = x.getField("v")
+        val l = acc.getField("l"); val b = acc.getField("b")
+        val s = acc.getField("s")
+        val pos = (pmod(acc.getField("t"), lit(p.toLong)) + 1L).cast("int")
+        val lNew = lit(alpha) * (vt - element_at(s, pos)) +
+          lit(1.0 - alpha) * (l + b)
+        struct(
+          lNew.as("l"),
+          (lit(gamma) * (lNew - l) + lit(1.0 - gamma) * b).as("b"),
+          transform(s, (sv, j0) => when(j0 + 1 === pos,
+            lit(delta) * (vt - lNew) + lit(1.0 - delta) * sv)
+            .otherwise(sv)).as("s"),
+          (acc.getField("t") + 1L).as("t"))
+      })
+    val fHw = transform(sequence(lit(1), lit(h)), i =>
+      hwF.getField("l") + i.cast("double") * hwF.getField("b") +
+        element_at(hwF.getField("s"),
+          (pmod(m.cast("bigint") + i.cast("bigint") - 1L,
+            lit(p.toLong)) + 1L).cast("int")))
+    def smape(f: Column) = aggregate(zip_with(f, col("__a"),
+      (fc, a) => when(abs(fc) + abs(a) === 0.0, lit(0.0))
+        .otherwise(lit(2.0) * abs(fc - a) / (abs(fc) + abs(a)))),
+      lit(0.0), (acc, x) => acc + x) / lit(h.toDouble)
+    grouped
+      .withColumn("__a", actuals)
+      .withColumn("__e", explode(array(
+        struct(lit("naive").as("method"), smape(fNaive).as("smape")),
+        struct(lit("snaive").as("method"), smape(fSnaive).as("smape")),
+        struct(lit("ewma").as("method"), smape(fEwma).as("smape")),
+        struct(lit("holt").as("method"), smape(fHolt).as("smape")),
+        struct(lit("holt_winters").as("method"), smape(fHw).as("smape")))))
+      .select(groupCols.map(col) ++ Seq(
+        col("__e").getField("method").as("method"), col("n"),
+        col("__e").getField("smape").as("smape")): _*)
+  }
+
   /** Level-shift changepoint detection per group — BINARY SEGMENTATION
     * over the group's sorted series: repeatedly split the segment whose
     * best split most reduces the total within-segment sum of squared

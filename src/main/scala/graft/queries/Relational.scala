@@ -420,6 +420,7 @@ object Relational {
     "c_acf" -> (cAcf _),
     "c_pacf" -> (cPacf _),
     "c_holt_winters" -> (cHoltWinters _),
+    "c_backtest" -> (cBacktest _),
     "c_holt_forecast" -> (cHoltForecast _),
     "c_mann_kendall" -> (cMannKendall _),
     "c_assoc_rules" -> (cAssocRules _),
@@ -602,6 +603,18 @@ object Relational {
     TimeSeries.holtWinters(f, Seq("key"), col("week_start"), col("freq"),
         period = 2, horizon = 4)
       .orderBy("key")
+  }
+
+  /** Forecast backtest over the weekly event series
+    * ([[TimeSeries.backtest]], period 2, 2-week holdout): five methods
+    * scored by sMAPE on the held-out weeks, every fold fixed-order —
+    * all smape values hash unrounded. */
+  def cBacktest(s: SparkSession, dir: String): DataFrame = {
+    val f = TimeSeries.weeklyFrequency(
+      t(s, dir, "events"), to_date(col("ts")), col("event_type"))
+    TimeSeries.backtest(f, Seq("key"), col("week_start"), col("freq"),
+        period = 2, horizon = 2)
+      .orderBy("key", "method")
   }
 
   /** Partial autocorrelation (lags 1–4) of the weekly event series
@@ -1187,6 +1200,89 @@ object Relational {
         |          AS BIGINT) AS DOUBLE)
         |  END AS r
         |FROM l ORDER BY key, lag""".stripMargin,
+    // Backtest mirror: the five forecasters replayed over the TRAINING
+    // prefix (holt and holt-winters as recursive CTEs, the others as
+    // list folds), then the same fixed-order sMAPE fold per method.
+    "c_backtest" ->
+      """WITH RECURSIVE f AS (SELECT event_type AS key,
+        |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+        |    COUNT(*) AS freq FROM events GROUP BY 1, 2),
+        |s AS (SELECT key,
+        |    list(CAST(freq AS DOUBLE) ORDER BY week_start) AS vs,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1),
+        |base AS (SELECT key, vs, n, CAST(n - 2 AS INTEGER) AS m,
+        |    vs[1 : CAST(n - 2 AS INTEGER)] AS tr,
+        |    list_transform(range(1, 3),
+        |      i -> vs[CAST(n - 2 + i AS INTEGER)]) AS act
+        |  FROM s WHERE n - 2 >= 2),
+        |hit AS (
+        |  SELECT key, m, tr, CAST(1 AS BIGINT) AS i, tr[1] AS l,
+        |    CASE WHEN m >= 2 THEN tr[2] - tr[1]
+        |      ELSE CAST(0 AS DOUBLE) END AS b
+        |  FROM base
+        |  UNION ALL
+        |  SELECT key, m, tr, i + 1, lp, 0.125 * (lp - l) + 0.875 * b
+        |  FROM (SELECT key, m, tr, i, l, b,
+        |      0.25 * tr[CAST(i + 1 AS INTEGER)] + 0.75 * (l + b) AS lp
+        |    FROM hit WHERE i < m) AS hq),
+        |hfin AS (SELECT key, l, b FROM hit WHERE i = m),
+        |hwseed AS (SELECT key, m, tr,
+        |    list_reduce(list_transform(range(1, 3),
+        |      j -> tr[CAST(j AS INTEGER)]), (a, b) -> a + b) / 2.0 AS l0
+        |  FROM base),
+        |hwi AS (
+        |  SELECT key, m, tr, CAST(2 AS BIGINT) AS t, l0 AS l,
+        |    CAST(0 AS DOUBLE) AS b,
+        |    list_transform(range(1, 3),
+        |      j -> tr[CAST(j AS INTEGER)] - l0) AS sl
+        |  FROM hwseed
+        |  UNION ALL
+        |  SELECT key, m, tr, t + 1, lp,
+        |    0.125 * (lp - l) + 0.875 * b,
+        |    list_transform(sl, (sv, j) -> CASE WHEN j = pos
+        |      THEN 0.25 * (tr[CAST(t + 1 AS INTEGER)] - lp) + 0.75 * sv
+        |      ELSE sv END)
+        |  FROM (SELECT key, m, tr, t, l, b, sl,
+        |      CAST(t % 2 + 1 AS INTEGER) AS pos,
+        |      0.25 * (tr[CAST(t + 1 AS INTEGER)]
+        |          - sl[CAST(t % 2 + 1 AS INTEGER)])
+        |        + 0.75 * (l + b) AS lp
+        |    FROM hwi WHERE t < m) AS wq),
+        |hwfin AS (SELECT key, l, b, sl FROM hwi WHERE t = m),
+        |fc AS (
+        |  SELECT key, n, 'naive' AS method,
+        |    list_transform(range(1, 3), i -> tr[m]) AS fl, act FROM base
+        |  UNION ALL
+        |  SELECT key, n, 'snaive',
+        |    list_transform(range(1, 3),
+        |      i -> tr[CAST(m - 2 + (i - 1) % 2 + 1 AS INTEGER)]), act
+        |  FROM base
+        |  UNION ALL
+        |  SELECT key, n, 'ewma',
+        |    list_transform(range(1, 3),
+        |      i -> list_reduce(tr, (a, x) -> 0.25 * x + 0.75 * a)), act
+        |  FROM base
+        |  UNION ALL
+        |  SELECT base.key, n, 'holt',
+        |    list_transform(range(1, 3),
+        |      i -> hfin.l + CAST(i AS DOUBLE) * hfin.b), act
+        |  FROM base JOIN hfin ON hfin.key = base.key
+        |  UNION ALL
+        |  SELECT base.key, n, 'holt_winters',
+        |    list_transform(range(1, 3),
+        |      i -> hwfin.l + CAST(i AS DOUBLE) * hwfin.b
+        |        + hwfin.sl[CAST((m + i - 1) % 2 + 1 AS INTEGER)]), act
+        |  FROM base JOIN hwfin ON hwfin.key = base.key)
+        |SELECT key, method, n,
+        |  list_reduce(list_transform(range(1, 3), i ->
+        |    CASE WHEN abs(fl[CAST(i AS INTEGER)])
+        |        + abs(act[CAST(i AS INTEGER)]) = 0 THEN 0.0
+        |      ELSE 2.0 * abs(fl[CAST(i AS INTEGER)]
+        |          - act[CAST(i AS INTEGER)])
+        |        / (abs(fl[CAST(i AS INTEGER)])
+        |          + abs(act[CAST(i AS INTEGER)])) END),
+        |    (a, b) -> a + b) / 2.0 AS smape
+        |FROM fc ORDER BY key, method""".stripMargin,
     // Holt-Winters mirror: seed (period mean, b=0, v-mean seasonals) +
     // the three-equation recursion replayed as a recursive CTE with a
     // list seasonal state; lp computed once and reused like the Holt

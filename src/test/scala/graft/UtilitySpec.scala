@@ -99,6 +99,46 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getCause != null && e.getCause.getMessage.contains("maxLen"))
   }
 
+  test("backtest: hand sMAPE values; the right method wins its regime; edges") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    def run(rows: Seq[(String, Int, Double)], p: Int = 2, h: Int = 2) =
+      TimeSeries.backtest(rows.toDF("g", "t", "v"), Seq("g"), col("t"),
+          col("v"), period = p, horizon = h)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    // constant series: every method forecasts it exactly -> all 0
+    val const = run((0 until 10).map(t => ("c", t, 7.0)))
+    assert(const.size == 5 && const.values.forall(_ == ((10L, 0.0))))
+    // pure period-2 sawtooth: snaive nails it (smape 0), naive cannot
+    val saw = (0 until 12).map(t => ("s", t, if (t % 2 == 0) 10.0 else 20.0))
+    val sw = run(saw)
+    assert(sw(("s", "snaive"))._2 == 0.0)
+    assert(sw(("s", "naive"))._2 > 0.3)
+    assert(sw(("s", "holt_winters"))._2 < sw(("s", "ewma"))._2)
+    // pure linear ramp: holt nails it, flat methods lag
+    val ramp = (0 until 12).map(t => ("r", t, 10.0 + 3.0 * t))
+    val rw = run(ramp)
+    assert(rw(("r", "holt"))._2 < 1e-12)
+    assert(rw(("r", "naive"))._2 > rw(("r", "holt"))._2)
+    // hand sMAPE: naive on a 4-point series, h=2, forecast = v2 = 5
+    // actuals 10, 0 -> terms 2|5-10|/15 = 2/3 and 2|5-0|/5 = 2 -> 4/3
+    val hand = run(Seq(("h", 0, 3.0), ("h", 1, 5.0), ("h", 2, 10.0),
+      ("h", 3, 0.0)), p = 2, h = 2)
+    assert(hand(("h", "naive"))._2 == (2.0 / 3.0 + 2.0) / 2.0)
+    // training prefix shorter than the period emits nothing
+    assert(run(Seq(("x", 0, 1.0), ("x", 1, 2.0), ("x", 2, 3.0)),
+      p = 2, h = 2).isEmpty)
+    // layout invariance is bitwise
+    val a1 = run(saw ++ ramp)
+    val a2 = TimeSeries.backtest(
+        (saw ++ ramp).reverse.toDF("g", "t", "v").repartition(7),
+        Seq("g"), col("t"), col("v"), 2, 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(a1 == a2)
+  }
+
   test("holtWinters: naive recurrence bitwise; carries the season holt flattens; edges") {
     import spark.implicits._
     import graft.operators.TimeSeries
