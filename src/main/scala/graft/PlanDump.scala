@@ -91,7 +91,8 @@ object PlanDump {
     "g_bfs_layers" -> "BFS layers — maxDepth unrolled frontier⋈adjacency joins over localCheckpoint-cut 8/16-byte relations with anti-join dedup; no driver-side convergence actions",
     "g_kcore" -> "k-core peel — per round ONE degree aggregate + two semi joins on the surviving 16-byte edge set, localCheckpoint-cut so round r never replays rounds 1..r-1",
     "s_cluster_quality" -> "cluster scatter — the centroid table is a BROADCAST literal join onto the assigned scan, per-point distance a codegen'd zip-fold, then ONE quantized-BIGINT aggregate; k output rows",
-    "s_davies_bouldin" -> "Davies-Bouldin — everything after the one clusterQuality data pass runs on ≤ k² rows: driver-constant d_ij broadcast-joined, a max per cluster, one fixed-order closing fold")
+    "s_davies_bouldin" -> "Davies-Bouldin — everything after the one clusterQuality data pass runs on ≤ k² rows: driver-constant d_ij broadcast-joined, a max per cluster, one fixed-order closing fold",
+    "c_backtest" -> "forecast backtest — ONE series collect per group; all five forecasters, their recursions, and the sMAPE folds are in-row expressions over the collected array, so five methods cost one exchange, not five scans")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */
