@@ -159,6 +159,45 @@ object TimeSeries {
           abs(col("remainder") - col("med")) > lit(k) * col("mad")))
   }
 
+  /** Shared series prelude for the smoothing/correlation family: each
+    * group's sorted (t, v) array in one row (`__s`, v cast to
+    * `castTo`), length `n`, maxLen fail-fast — the [[ewma]] contract
+    * every in-row-fold operator shares ([[segSeries]] is the
+    * prefix-sum sibling for the segmentation family). */
+  private def sortedSeries(df: DataFrame, groupCols: Seq[String],
+      tCol: Column, v: Column, castTo: String, what: String,
+      maxLen: Int): DataFrame =
+    df.filter(v.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(tCol.as("t"),
+        v.cast(castTo).as("v")))).as("__s"))
+      .filter(assert_true(size(col("__s")) <= maxLen,
+        lit(s"$what: a group exceeds maxLen=$maxLen rows — a series " +
+          "that long should be windowed or decimated first")).isNull)
+      .withColumn("n", size(col("__s")).cast("bigint"))
+
+  /** [[sortedSeries]] (long cast) plus the exact n²-scaled deviation
+    * machinery [[acf]] and [[pacf]] share: `__d` = n·x − S per element
+    * (exact BIGINTs — the float mean never materializes), `den` =
+    * Σ __d², and the float-only overflow guard that raises before
+    * n·(n·max|x − x̄|)² can wrap. */
+  private def scaledDevSeries(df: DataFrame, groupCols: Seq[String],
+      tCol: Column, v: Column, what: String, maxLen: Int): DataFrame =
+    sortedSeries(df, groupCols, tCol, v, "long", what, maxLen)
+      .withColumn("__sum", aggregate(col("__s"), lit(0L),
+        (acc, s) => acc + s.getField("v")))
+      .withColumn("__d", transform(col("__s"),
+        s => col("n") * s.getField("v") - col("__sum")))
+      .withColumn("__maxd", coalesce(array_max(transform(col("__d"),
+        d => abs(d))), lit(0L)))
+      .filter(assert_true(col("n").cast("double") *
+          pow(col("__maxd").cast("double"), 2.0) < lit(8.5e18),
+        lit(s"$what: n·(n·max|x − mean|)² approaches 2^63 — the exact " +
+          "BIGINT moments would wrap; rescale or pre-aggregate the " +
+          "series")).isNull)
+      .withColumn("den", aggregate(transform(col("__d"), d => d * d),
+        lit(0L), (acc, x) => acc + x))
+
   /** Autocorrelation function per group, lags 1..`maxLag` — the
     * periodicity detector of the time-series family ([[decompose]]
     * ASSUMES a known season length; ACF is how you find it, and how a
@@ -186,30 +225,7 @@ object TimeSeries {
       maxLag: Int, maxLen: Int = 100000): DataFrame = {
     require(maxLag >= 1 && maxLag <= 10000,
       s"acf needs 1 <= maxLag <= 1e4, got $maxLag")
-    val grouped = df.filter(v.isNotNull)
-      .groupBy(groupCols.map(col): _*)
-      .agg(sort_array(collect_list(struct(tCol.as("t"),
-        v.cast("long").as("v")))).as("__s"))
-      .filter(assert_true(size(col("__s")) <= maxLen,
-        lit(s"acf: a group exceeds maxLen=$maxLen rows — a series that " +
-          "long should be windowed or decimated first")).isNull)
-      .withColumn("n", size(col("__s")).cast("bigint"))
-      .withColumn("__sum", aggregate(col("__s"), lit(0L),
-        (acc, s) => acc + s.getField("v")))
-      // exact scaled deviations n·x − S; the guard is float-only (a
-      // conservative margin below 2⁶³), the data path stays BIGINT
-      .withColumn("__d", transform(col("__s"),
-        s => col("n") * s.getField("v") - col("__sum")))
-      .withColumn("__maxd", coalesce(array_max(transform(col("__d"),
-        d => abs(d))), lit(0L)))
-      .filter(assert_true(col("n").cast("double") *
-          pow(col("__maxd").cast("double"), 2.0) < lit(8.5e18),
-        lit("acf: n·(n·max|x − mean|)² approaches 2^63 — the exact " +
-          "BIGINT moments would wrap; rescale or pre-aggregate the " +
-          "series")).isNull)
-      .withColumn("den", aggregate(transform(col("__d"), d => d * d),
-        lit(0L), (acc, x) => acc + x))
-    grouped
+    scaledDevSeries(df, groupCols, tCol, v, "acf", maxLen)
       // n = 1 has no lag with overlap — and Spark's sequence(1, 0)
       // would DESCEND, emitting phantom lags, so the filter is load-
       // bearing, not cosmetic
@@ -253,27 +269,7 @@ object TimeSeries {
       maxLag: Int, maxLen: Int = 100000): DataFrame = {
     require(maxLag >= 1 && maxLag <= 1000,
       s"pacf needs 1 <= maxLag <= 1000, got $maxLag")
-    val grouped = df.filter(v.isNotNull)
-      .groupBy(groupCols.map(col): _*)
-      .agg(sort_array(collect_list(struct(tCol.as("t"),
-        v.cast("long").as("v")))).as("__s"))
-      .filter(assert_true(size(col("__s")) <= maxLen,
-        lit(s"pacf: a group exceeds maxLen=$maxLen rows — a series " +
-          "that long should be windowed or decimated first")).isNull)
-      .withColumn("n", size(col("__s")).cast("bigint"))
-      .withColumn("__sum", aggregate(col("__s"), lit(0L),
-        (acc, s) => acc + s.getField("v")))
-      .withColumn("__d", transform(col("__s"),
-        s => col("n") * s.getField("v") - col("__sum")))
-      .withColumn("__maxd", coalesce(array_max(transform(col("__d"),
-        d => abs(d))), lit(0L)))
-      .filter(assert_true(col("n").cast("double") *
-          pow(col("__maxd").cast("double"), 2.0) < lit(8.5e18),
-        lit("pacf: n·(n·max|x − mean|)² approaches 2^63 — the exact " +
-          "BIGINT moments would wrap; rescale or pre-aggregate the " +
-          "series")).isNull)
-      .withColumn("den", aggregate(transform(col("__d"), d => d * d),
-        lit(0L), (acc, x) => acc + x))
+    val grouped = scaledDevSeries(df, groupCols, tCol, v, "pacf", maxLen)
       .filter(col("n") >= 2L && col("den") > 0L)
       .withColumn("__L", least(lit(maxLag.toLong), col("n") - 1L))
       // r_k exactly as acf computes it: exact BIGINT num, one division
@@ -341,14 +337,7 @@ object TimeSeries {
       alpha: Double, maxLen: Int = 100000): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"ewma needs 0 < alpha <= 1, got $alpha")
     val beta = 1.0 - alpha
-    df.filter(v.isNotNull)
-      .groupBy(groupCols.map(col): _*)
-      .agg(sort_array(collect_list(struct(tCol.as("t"),
-        v.cast("double").as("v")))).as("__s"))
-      .filter(assert_true(size(col("__s")) <= maxLen,
-        lit(s"ewma: a group exceeds maxLen=$maxLen rows — a series that " +
-          "long should be windowed or decimated first")).isNull)
-      .withColumn("n", size(col("__s")).cast("bigint"))
+    sortedSeries(df, groupCols, tCol, v, "double", "ewma", maxLen)
       .withColumn("level", aggregate(
         slice(col("__s"), lit(2), greatest(size(col("__s")) - 1, lit(0))),
         element_at(col("__s"), 1).getField("v"),
@@ -391,14 +380,7 @@ object TimeSeries {
     def lStep(acc: Column, x: Column): Column =
       lit(alpha) * x.getField("v") +
         lit(beta) * (acc.getField("l") + acc.getField("b"))
-    df.filter(v.isNotNull)
-      .groupBy(groupCols.map(col): _*)
-      .agg(sort_array(collect_list(struct(tCol.as("t"),
-        v.cast("double").as("v")))).as("__s"))
-      .filter(assert_true(size(col("__s")) <= maxLen,
-        lit(s"holt: a group exceeds maxLen=$maxLen rows — a series that " +
-          "long should be windowed or decimated first")).isNull)
-      .withColumn("n", size(col("__s")).cast("bigint"))
+    sortedSeries(df, groupCols, tCol, v, "double", "holt", maxLen)
       .withColumn("__f", aggregate(
         slice(col("__s"), lit(2), greatest(size(col("__s")) - 1, lit(0))),
         struct(
@@ -453,16 +435,9 @@ object TimeSeries {
     require(delta > 0 && delta <= 1, s"bad delta $delta")
     require(horizon >= 1, s"holtWinters needs horizon >= 1, got $horizon")
     val p = period
-    val grouped = df.filter(v.isNotNull)
-      .groupBy(groupCols.map(col): _*)
-      .agg(sort_array(collect_list(struct(tCol.as("t"),
-        v.cast("double").as("v")))).as("__s"))
-      .filter(assert_true(size(col("__s")) <= maxLen,
-        lit(s"holtWinters: a group exceeds maxLen=$maxLen rows — a " +
-          "series that long should be windowed or decimated first"))
-        .isNull)
-      .withColumn("n", size(col("__s")).cast("bigint"))
-      .filter(col("n") >= p.toLong)
+    val grouped =
+      sortedSeries(df, groupCols, tCol, v, "double", "holtWinters", maxLen)
+        .filter(col("n") >= p.toLong)
     val head = slice(col("__s"), 1, p)
     val lInit = aggregate(head, lit(0.0),
       (acc, x) => acc + x.getField("v")) / lit(p.toDouble)
@@ -524,15 +499,9 @@ object TimeSeries {
     require(horizon >= 1 && horizon <= 1000, s"bad horizon $horizon")
     val p = period
     val h = horizon
-    val grouped = df.filter(v.isNotNull)
-      .groupBy(groupCols.map(col): _*)
-      .agg(sort_array(collect_list(struct(tCol.as("t"),
-        v.cast("double").as("v")))).as("__s"))
-      .filter(assert_true(size(col("__s")) <= maxLen,
-        lit(s"backtest: a group exceeds maxLen=$maxLen rows — a series " +
-          "that long should be windowed or decimated first")).isNull)
-      .withColumn("n", size(col("__s")).cast("bigint"))
-      .withColumn("__m", (col("n") - h.toLong).cast("int"))
+    val grouped =
+      sortedSeries(df, groupCols, tCol, v, "double", "backtest", maxLen)
+        .withColumn("__m", (col("n") - h.toLong).cast("int"))
       .filter(col("__m") >= math.max(p, 2))
       .withColumn("__tr", slice(col("__s"), lit(1), col("__m")))
     val tr = col("__tr")
