@@ -1383,6 +1383,109 @@ object Stats {
       .drop("__fr", "__ts")
   }
 
+  /** The PARTIAL behind [[kruskalWallis]]: exact per-(group, level, x)
+    * counts — the k-cohort generalization of [[valueCounts]], and like
+    * it an associative at-rest summary: batch-sliced partials re-summed
+    * per (group, level, x) are exactly the one-shot table. */
+  def levelValueCounts(df: DataFrame, groupCols: Seq[Column],
+      level: Column, x: Column): DataFrame =
+    df.filter(x.isNotNull && level.isNotNull)
+      .groupBy(groupCols :+ level.as("__l") :+ x.as("__x"): _*)
+      .agg(count(lit(1)).as("__c"))
+
+  /** Merge [[levelValueCounts]] tables: BIGINT re-sum per cell. */
+  def mergeLevelValueCounts(partials: Seq[DataFrame],
+      groupNames: Seq[String]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy((groupNames ++ Seq("__l", "__x")).map(col): _*)
+      .agg(sum(col("__c")).as("__c"))
+
+  /** Kruskal–Wallis H test per group — the k-sample generalization of
+    * [[mannWhitneyU]] (two cohorts ask "which way did it shift"; k
+    * levels ask "do these strata differ AT ALL" — value by source,
+    * latency by event type — without assuming normality):
+    *
+    *   H = 3/(N(N+1)) · Σ_g R2_g²/n_g − 3(N+1)      (doubled ranks)
+    *   H_adj = H / (1 − Σ(t³−t)/(N³−N))              (tie correction)
+    *
+    * Portability: the same doubled-midrank machinery as
+    * [[mannWhitneyU]] — per-(level, x) contributions c·(2·cum − t + 1)
+    * are exact BIGINTs from one RANGE window over the pooled counts;
+    * R2²/n terms convert to double ONCE per level and fold in FIXED
+    * level order; N³ stays in double (it would wrap BIGINT at
+    * N ≥ 2²¹). The [[mannWhitneyU]] overflow guards apply (N < 2³¹,
+    * N·max(t)² < 2⁶³, raise not wrap); `maxLevels` fail-fasts a
+    * factor with unbounded cardinality. Groups with all values tied
+    * yield null h_adj (zero tie-corrected variance).
+    *
+    * Scale: one cell aggregation over the data (map-side combined),
+    * one RANGE window + two small aggregates over the distinct-value
+    * frame. Output: groups... + (n, k_levels, h, h_adj). */
+  def kruskalWallis(df: DataFrame, groupCols: Seq[Column], level: Column,
+      x: Column, maxLevels: Int = 1000): DataFrame =
+    kruskalWallisFromLevelCounts(
+      levelValueCounts(df, groupCols, level, x), maxLevels)
+
+  /** Finalize a (possibly merged) [[levelValueCounts]] table — the
+    * streaming-readout face. */
+  def kruskalWallisFromLevelCounts(cells: DataFrame,
+      maxLevels: Int = 1000): DataFrame = {
+    val names = cells.columns.dropRight(3).toSeq
+    val g = names.map(col)
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.partitionBy(g: _*).orderBy(col("__x"))
+      .rangeBetween(W.unboundedPreceding, W.currentRow)
+    val wTie = W.partitionBy((names :+ "__x").map(col): _*)
+    val ranked = cells
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__t", sum(col("__c")).over(wTie))
+    val perLevel = ranked
+      .groupBy(g :+ col("__l"): _*)
+      .agg(sum(col("__c") * (lit(2L) * col("__cum") - col("__t") + 1L))
+        .as("__r2"), sum(col("__c")).as("__nl"))
+    val tieFrame = ranked
+      .groupBy(g :+ col("__x"): _*)
+      .agg(first(col("__t")).as("__tv"))
+      .groupBy(g: _*)
+      .agg(sum(col("__tv")).as("n"),
+        sum(col("__tv") * col("__tv") * col("__tv") - col("__tv"))
+          .as("__ties"),
+        max(col("__tv")).as("__maxt"))
+    val byGroup = perLevel
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("k_levels"),
+        sort_array(collect_list(struct(col("__l"), col("__r2"),
+          col("__nl")))).as("__ls"))
+      .filter(assert_true(col("k_levels") <= maxLevels.toLong,
+        lit(s"kruskalWallis: a group exceeds maxLevels=$maxLevels — " +
+          "quantize or bucket the factor first")).isNull)
+      .join(tieFrame, names)
+    val nD = col("n").cast("double")
+    val guard = when(
+      nD >= lit(math.pow(2, 31)) ||
+        nD * col("__maxt").cast("double") * col("__maxt").cast("double")
+          >= lit(math.pow(2, 63)),
+      raise_error(lit("kruskalWallis: n >= 2^31 or n*max(ties)^2 >= " +
+        "2^63 - BIGINT rank sums may wrap; pre-aggregate or sample"))
+        .cast("bigint"))
+    byGroup
+      .withColumn("n", coalesce(guard, col("n")))
+      .withColumn("__hs", aggregate(col("__ls"), lit(0.0), (acc, s) =>
+        acc + s.getField("__r2").cast("double") *
+          s.getField("__r2").cast("double") /
+          s.getField("__nl").cast("double")))
+      .withColumn("h", when(col("n") > 1L,
+        lit(3.0) / (nD * (nD + lit(1.0))) * col("__hs") -
+          lit(3.0) * (nD + lit(1.0))))
+      .withColumn("h_adj", {
+        val c = lit(1.0) -
+          col("__ties").cast("double") / (nD * nD * nD - nD)
+        when(col("n") > 1L && c > 0.0, col("h") / c)
+      })
+      .select(g ++ Seq(col("n"), col("k_levels"), col("h"),
+        col("h_adj")): _*)
+  }
+
   /** Wilson score interval per group — the uncertainty companion every
     * proportion readout in the QA block lacks ([[classificationReport]]
     * and the calibration tables report point rates; this says how much

@@ -653,6 +653,17 @@ object Extras {
         Seq(col("source")), col("lang") === "en")
       .orderBy("source")
 
+  /** Kruskal–Wallis H across event types per user stratum
+    * ([[graft.operators.Stats.kruskalWallis]]): does `value`'s
+    * distribution differ across the k = 5 event types — the k-sample
+    * generalization of a_rank_sum. Exact doubled-midrank BIGINTs,
+    * fixed level-order fold; h and h_adj hash unrounded. */
+  def aKruskalWallis(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.kruskalWallis(t(s, dir, "events"),
+        Seq(pmod(col("user_id"), lit(4)).as("grp")), col("event_type"),
+        col("value"))
+      .orderBy("grp")
+
   /** Categorical association per source ([[graft.operators.Stats
     * .contingencyStats]]): χ², Cramér's V, and mutual information
     * between language and the 100-char length band — the r×c
@@ -793,6 +804,7 @@ object Extras {
     "a_rank_sum" -> (aRankSum _),
     "a_spearman_corr" -> (aSpearmanCorr _),
     "a_wilson_ci" -> (aWilsonCi _),
+    "a_kruskal_wallis" -> (aKruskalWallis _),
     "a_contingency_profile" -> (aContingencyProfile _),
     "a_ranking_metrics" -> (aRankingMetrics _),
     "a_auc_length" -> (aAucLength _),
@@ -1200,6 +1212,50 @@ object Extras {
         |  ROUND(ln(CAST(n AS DOUBLE)) + mi_f / CAST(n AS DOUBLE), 12)
         |    AS mi
         |FROM g ORDER BY 1""".stripMargin,
+    // Kruskal-Wallis mirror: the same pooled RANGE-window doubled
+    // midranks, exact per-level rank sums, fixed level-order fold for
+    // the R2²/n terms, N³ in double; h/h_adj hash unrounded.
+    "a_kruskal_wallis" ->
+      """WITH cells AS (SELECT user_id % 4 AS grp, event_type AS l,
+        |    value AS x, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |rk AS (SELECT grp, l, x, c,
+        |    SUM(c) OVER (PARTITION BY grp ORDER BY x
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY grp, x) AS t
+        |  FROM cells),
+        |pl AS (SELECT grp, l,
+        |    CAST(SUM(c * (2 * cum - t + 1)) AS BIGINT) AS r2,
+        |    CAST(SUM(c) AS BIGINT) AS nl
+        |  FROM rk GROUP BY 1, 2),
+        |tf AS (SELECT grp, CAST(SUM(t) AS BIGINT) AS n,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+        |  FROM (SELECT grp, x, SUM(c) AS t FROM cells GROUP BY 1, 2)
+        |    AS tx GROUP BY 1),
+        |hv AS (SELECT pl.grp,
+        |    CAST(COUNT(*) AS BIGINT) AS k_levels,
+        |    0.0 + list_reduce(list(
+        |      CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+        |        / CAST(nl AS DOUBLE) ORDER BY l),
+        |      (a, b) -> a + b) AS hs
+        |  FROM pl GROUP BY 1)
+        |SELECT hv.grp, tf.n, hv.k_levels,
+        |  CASE WHEN tf.n > 1 THEN
+        |    3.0 / (CAST(tf.n AS DOUBLE) * (CAST(tf.n AS DOUBLE) + 1.0))
+        |      * hv.hs - 3.0 * (CAST(tf.n AS DOUBLE) + 1.0) END AS h,
+        |  CASE WHEN tf.n > 1 AND 1.0 - CAST(tf.ties AS DOUBLE)
+        |      / (CAST(tf.n AS DOUBLE) * CAST(tf.n AS DOUBLE)
+        |        * CAST(tf.n AS DOUBLE) - CAST(tf.n AS DOUBLE)) > 0.0
+        |    THEN (3.0 / (CAST(tf.n AS DOUBLE)
+        |        * (CAST(tf.n AS DOUBLE) + 1.0)) * hv.hs
+        |        - 3.0 * (CAST(tf.n AS DOUBLE) + 1.0))
+        |      / (1.0 - CAST(tf.ties AS DOUBLE)
+        |        / (CAST(tf.n AS DOUBLE) * CAST(tf.n AS DOUBLE)
+        |          * CAST(tf.n AS DOUBLE) - CAST(tf.n AS DOUBLE)))
+        |  END AS h_adj
+        |FROM hv JOIN tf ON tf.grp = hv.grp
+        |ORDER BY hv.grp""".stripMargin,
     // Wilson mirror: the identical op order — center/half over exact
     // counts, one sqrt, clamp — so p/lo/hi hash unrounded. 3.8416… is
     // the double value of 1.96*1.96 (the driver-computed z² literal).

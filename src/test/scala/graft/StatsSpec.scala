@@ -989,6 +989,78 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .sortBy(_.toString).toSeq)
   }
 
+  test("kruskalWallis: naive midrank differential bitwise; separation; ties; guards") {
+    import spark.implicits._
+    // independent replay: doubled midrank = minRank + maxRank, fixed
+    // level-order fold
+    def naive(vals: Seq[(String, Double)]): (Long, Long, Double, Double) = {
+      val n = vals.size
+      val sorted = vals.map(_._2).sorted
+      val byV = sorted.zipWithIndex.groupBy(_._1).map { case (v, l) =>
+        v -> (l.map(_._2 + 1).min + l.map(_._2 + 1).max).toLong }
+      val byLevel = vals.groupBy(_._1)
+      val hs = byLevel.toSeq.sortBy(_._1).foldLeft(0.0) {
+        case (acc, (_, vs)) =>
+          val r2 = vs.map(x => byV(x._2)).sum
+          acc + r2.toDouble * r2.toDouble / vs.size.toDouble
+      }
+      val nD = n.toDouble
+      val h = 3.0 / (nD * (nD + 1.0)) * hs - 3.0 * (nD + 1.0)
+      val ties = sorted.groupBy(identity).values
+        .map { g => val t = g.size.toLong; t * t * t - t }.sum
+      val c = 1.0 - ties.toDouble / (nD * nD * nD - nD)
+      (n.toLong, byLevel.size.toLong, h, if (c > 0) h / c else Double.NaN)
+    }
+    val rnd = new scala.util.Random(71)
+    // heavy ties: integer values in a narrow range, 3 levels, 2 groups
+    val rows = for (g <- Seq("u", "w"); i <- 0 until 120) yield
+      (g, s"lv${i % 3}", (rnd.nextInt(12) + (if (i % 3 == 0) 3 else 0)).toDouble)
+    val df = rows.toDF("g", "l", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.kruskalWallis(d, Seq(col("g")), col("l"), col("x"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3),
+            if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    val got = run(df)
+    for (g <- Seq("u", "w")) {
+      val want = naive(rows.filter(_._1 == g).map(t => (t._2, t._3)))
+      val gg = got(g)
+      assert((gg._1, gg._2, gg._3) == ((want._1, want._2, want._3)), s"$g")
+      assert(gg._4 == want._4 || (gg._4.isNaN && want._4.isNaN), s"$g adj")
+    }
+    assert(run(df.repartition(9)) == got) // bitwise layout invariance
+    // perfectly separated levels -> H near its k-1-scaled max; mixed
+    // identical levels -> H exactly 0 (all midranks equal across levels)
+    val sep = ((0 until 20).map(i => ("s", "a", i.toDouble)) ++
+      (0 until 20).map(i => ("s", "b", 100.0 + i))).toDF("g", "l", "x")
+    assert(run(sep)("s")._3 > 25.0)
+    val same = ((0 until 20).map(i => ("e", "a", (i % 4).toDouble)) ++
+      (0 until 20).map(i => ("e", "b", (i % 4).toDouble))).toDF("g", "l", "x")
+    val e = run(same)("e")
+    assert(math.abs(e._3) < 1e-9 && math.abs(e._4) < 1e-9)
+    // all values tied: tie correction degenerates -> null h_adj
+    val tied = (0 until 12).map(i => ("t", s"lv${i % 3}", 5.0)).toDF("g", "l", "x")
+    assert(run(tied)("t")._4.isNaN)
+    // unbounded factor fails fast
+    val wide = (0 until 50).map(i => ("v", s"l$i", i.toDouble)).toDF("g", "l", "x")
+    val err = intercept[Exception] {
+      Stats.kruskalWallis(wide, Seq(col("g")), col("l"), col("x"),
+        maxLevels = 10).collect()
+    }
+    assert(err.getMessage.contains("maxLevels"))
+    // merged partials == one-shot, bitwise (the streaming contract)
+    val (h1, h2) = rows.zipWithIndex.partition(_._2 % 2 == 0)
+    val parts = Seq(h1, h2)
+      .map(half => half.map(_._1).toDF("g", "l", "x"))
+      .map(p => Stats.levelValueCounts(p, Seq(col("g")), col("l"), col("x")))
+    val merged = Stats.kruskalWallisFromLevelCounts(
+        Stats.mergeLevelValueCounts(parts, Seq("g")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    assert(merged == got)
+  }
+
   test("wilsonInterval: textbook values, boundary behavior, layout invariance") {
     import spark.implicits._
     // 85 successes of 100 (z = 1.96): the classic worked example
