@@ -162,6 +162,67 @@ object Graph {
     rank
   }
 
+  /** HITS scale: 1e9, NOT [[Scale]] — the rescale step multiplies a
+    * raw score (≤ total mass) by the scale before the floor-div, so
+    * the intermediate is bounded by HitsScale² = 1e18 < 2⁶³; Scale²
+    * = 1e24 would wrap. */
+  val HitsScale: Long = 1000000000L
+
+  /** HITS hubs & authorities over the DIRECTED graph (Kleinberg) — the
+    * centrality [[pageRank]] cannot express: PageRank scores a page by
+    * what points AT it; HITS separates being a good DIRECTORY (hub:
+    * points at good authorities) from being good CONTENT (authority:
+    * pointed at by good hubs) — the classic crawl-frontier split
+    * between link farms, hubs, and destination pages.
+    *
+    * Fixed-point integer contract (mirrored literally by the oracle):
+    * hubs start at `HitsScale div N`; each iteration
+    *   auth_raw(v) = Σ_{u→v} hub(u);
+    *   auth(v) = auth_raw(v) · HitsScale div (Σ auth_raw)   (L1 rescale)
+    * then symmetrically hub from auth. The L1 normalization is an
+    * integer floor-div against a 1-row total that rides the plan as a
+    * broadcast cross join — NO per-round driver action, the
+    * [[pageRank]] loop discipline. All quantities bounded:
+    * raw ≤ HitsScale, raw·HitsScale ≤ 1e18 < 2⁶³.
+    *
+    * Scale: per iteration two join+agg rounds over 16-byte edge rows
+    * plus two 1-row total broadcasts; loop invariants
+    * localCheckpoint-cut. Output: (node, hub, auth) — nodes outside
+    * every edge direction hold 0 on that side. */
+  def hits(edges: DataFrame, iterations: Int,
+      materialize: Boolean = true): DataFrame = {
+    require(iterations >= 1, "hits needs at least one iteration")
+    def cut(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(eager = false) else df
+    val e = cut(edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src").isNotNull && col("dst").isNotNull).distinct())
+    val nodes = cut(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "hits on an empty graph")
+    var hub = nodes.withColumn("hub", lit(HitsScale / n))
+    var auth: DataFrame = null
+    // one rescaled propagation step: scores flow across `edges` from
+    // `from` onto `to`, then L1-rescale to HitsScale total mass
+    def step(scores: DataFrame, scoreCol: String, from: String,
+        to: String, outCol: String): DataFrame = {
+      val raw = e.join(scores, e(from) === scores("node"))
+        .groupBy(col(to).as("node"))
+        .agg(sum(col(scoreCol)).as("__raw"))
+      val tot = raw.agg(sum(col("__raw")).as("__tot"))
+      cut(nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"coalesce(__raw, 0L) * ${HitsScale}L div __tot")
+            .as(outCol)))
+    }
+    for (_ <- 1 to iterations) {
+      auth = step(hub, "hub", "src", "dst", "auth")
+      hub = step(auth, "auth", "dst", "src", "hub")
+    }
+    hub.join(auth, Seq("node"))
+  }
+
   /** Canonical undirected edge list: distinct `(u, v)` with `u < v`,
     * self-loops dropped. The orientation is what makes triangle counting
     * hub-safe and once-per-triangle. */

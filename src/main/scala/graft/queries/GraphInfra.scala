@@ -138,6 +138,49 @@ object GraphInfra {
       s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$iterations ORDER BY node"
   }
 
+  /** HITS hubs & authorities (3 iterations) over the host graph — the
+    * directory-vs-content split PageRank can't express. Integer L1
+    * rescale ⇒ bit-exact across engines. */
+  def gHitsHosts(s: SparkSession, dir: String): DataFrame =
+    Graph.hits(hostEdges(t(s, dir, "documents")), iterations = 3)
+      .orderBy("node")
+
+  /** DuckDB mirror of [[gHitsHosts]]: the propagate + integer-L1-
+    * rescale rounds unrolled as chained CTEs (the [[pagerankSql]]
+    * shape; scalar subqueries play the broadcast totals). */
+  private def hitsSql(iterations: Int): String = {
+    val header =
+      s"""WITH $edgesCte,
+         |de AS (SELECT DISTINCT src, dst FROM edges),
+         |nodes AS (SELECT src AS node FROM de
+         |          UNION SELECT dst FROM de),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |h0 AS (SELECT node,
+         |    (SELECT 1000000000 // n FROM nn) AS hub FROM nodes)"""
+        .stripMargin
+    val steps = (1 to iterations).map { i =>
+      s"""ar$i AS (SELECT de.dst AS node, SUM(h.hub) AS raw
+         |  FROM de JOIN h${i - 1} h ON h.node = de.src GROUP BY 1),
+         |a$i AS (SELECT nd.node,
+         |    COALESCE(r.raw, 0) * 1000000000
+         |      // (SELECT SUM(raw) FROM ar$i) AS auth
+         |  FROM nodes nd LEFT JOIN ar$i r ON r.node = nd.node),
+         |hr$i AS (SELECT de.src AS node, SUM(a.auth) AS raw
+         |  FROM de JOIN a$i a ON a.node = de.dst GROUP BY 1),
+         |h$i AS (SELECT nd.node,
+         |    COALESCE(r.raw, 0) * 1000000000
+         |      // (SELECT SUM(raw) FROM hr$i) AS hub
+         |  FROM nodes nd LEFT JOIN hr$i r ON r.node = nd.node)"""
+        .stripMargin
+    }
+    (header +: steps).mkString(",\n") +
+      s"""
+         |SELECT h.node, CAST(h.hub AS BIGINT) AS hub,
+         |  CAST(a.auth AS BIGINT) AS auth
+         |FROM h$iterations h JOIN a$iterations a ON a.node = h.node
+         |ORDER BY h.node""".stripMargin
+  }
+
   /** Triangle count over the host graph (oriented u<v two-join plan). */
   def gTriangleCount(s: SparkSession, dir: String): DataFrame =
     Graph.triangleCount(hostEdges(t(s, dir, "documents")))
@@ -333,6 +376,7 @@ object GraphInfra {
     "g_adamic_adar" -> (gAdamicAdar _),
     "g_kcore" -> (gKcore _),
     "g_ppr_hosts" -> (gPprHosts _),
+    "g_hits_hosts" -> (gHitsHosts _),
     "g_bfs_layers" -> (gBfsLayers _),
     "l_snapshot_diff" -> (lSnapshotDiff _),
   )
@@ -459,6 +503,7 @@ object GraphInfra {
          |ORDER BY score DESC, u, v LIMIT 20""".stripMargin,
     "g_kcore" -> kcoreSql(k = 2, rounds = 4),
     "g_ppr_hosts" -> pprSql(iterations = 4),
+    "g_hits_hosts" -> hitsSql(iterations = 3),
     "g_bfs_layers" -> bfsSql(maxDepth = 3),
     "l_snapshot_diff" ->
       """WITH oldsnap AS (

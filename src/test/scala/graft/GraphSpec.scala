@@ -91,6 +91,47 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("seed"))
   }
 
+  /** Independent model of hits' integer propagate + L1-rescale. */
+  private def modelHits(edges: Seq[(Long, Long)], iterations: Int)
+      : Map[Long, (Long, Long)] = {
+    val de = edges.distinct
+    val nodes = (de.map(_._1) ++ de.map(_._2)).distinct.sorted
+    val s = Graph.HitsScale
+    var hub = nodes.map(_ -> (s / nodes.size)).toMap
+    var auth = nodes.map(_ -> 0L).toMap
+    def step(in: Map[Long, Long], along: Seq[(Long, Long)]): Map[Long, Long] = {
+      val raw = along.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => in(e._1)).sum }
+      val tot = raw.values.sum
+      nodes.map(v => v -> raw.getOrElse(v, 0L) * s / tot).toMap
+    }
+    for (_ <- 1 to iterations) {
+      auth = step(hub, de)
+      hub = step(auth, de.map(e => (e._2, e._1)))
+    }
+    nodes.map(v => v -> ((hub(v), auth(v)))).toMap
+  }
+
+  test("hits: independent integer model bit-for-bit; hub/authority split") {
+    // 0 and 1 are directories pointing at content pages 2, 3, 4;
+    // 4 also points back at directory 0
+    val edges = Seq((0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L), (1L, 3L),
+      (4L, 0L))
+    val got = Graph.hits(edgesDf(edges: _*), iterations = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === modelHits(edges, 3))
+    // the split: 0 is the best hub and a weak authority; 2/3 are pure
+    // authorities (no out-edges -> hub exactly 0)
+    assert(got(0L)._1 > got(2L)._1 && got(2L)._1 == 0L && got(3L)._1 == 0L)
+    assert(got(2L)._2 > got(0L)._2 && got(2L)._2 > 0L)
+    // duplicate edges collapse (the distinct contract)
+    val dup = Graph.hits(edgesDf((edges ++ edges): _*), iterations = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(dup === got)
+  }
+
   test("pageRank is deterministic across partitioning") {
     val edges = (0L until 60L).map(i => (i % 12, (i * 7 + 3) % 12)).filter(e => e._1 != e._2)
     val a = Graph.pageRank(edgesDf(edges: _*).repartition(1), 3)
