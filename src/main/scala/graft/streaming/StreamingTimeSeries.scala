@@ -586,6 +586,39 @@ object StreamingTimeSeries {
     graft.operators.Stats.mannWhitneyFromValueCounts(
       mergedValues(spark, targetDir, groupCol))
 
+  /** Streaming k-sample maintenance — the ingestion face of
+    * [[graft.operators.Stats.kruskalWallis]]: each micro-batch reduces
+    * to its exact per-(group, level, x) count deltas
+    * ([[graft.operators.Stats.levelValueCounts]], batch_id replay
+    * guard); the merged cells finalize to H/H_adj bit-identical to the
+    * one-shot batch test. State is the distinct (level, x) grid per
+    * group, never event history. */
+  def startLevelCountsQuery(events: DataFrame, groupCol: String,
+      levelCol: String, xCol: String, targetDir: String,
+      checkpointDir: String) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Stats
+          .levelValueCounts(batch.toDF(), Seq(col(groupCol)),
+            col(levelCol), col(xCol))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$targetDir/level_values")
+      }
+      .start()
+
+  /** Whole-stream Kruskal–Wallis from the stored level-count partials
+    * — bit-identical to the batch test over all data. */
+  def mergedKruskalWallis(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.kruskalWallisFromLevelCounts(
+      graft.operators.Stats.mergeLevelValueCounts(
+        Seq(spark.read.parquet(s"$targetDir/level_values")
+          .dropDuplicates(groupCol, "__l", "__x", "batch_id")
+          .drop("batch_id")),
+        Seq(groupCol)))
+
   /** Streaming categorical-association maintenance — the ingestion face
     * of [[graft.operators.Stats.contingencyStats]]: each micro-batch
     * reduces once to its exact per-(group, a, b) cell-count deltas

@@ -528,6 +528,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming level counts: merged Kruskal-Wallis == one-shot batch, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("kw_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("kw_ckpt").toString
+    val rng = new scala.util.Random(89)
+    // 2 groups × 3 levels with a shifted level in g1, heavy ties
+    val all = (0 until 600).map { i =>
+      val g = s"g${i % 2}"
+      val l = s"lv${i % 3}"
+      val x = (rng.nextInt(10) + (if (g == "g1" && l == "lv0") 4 else 0))
+        .toDouble
+      (g, l, x)
+    }
+    val input = MemoryStream[(String, String, Double)]
+    val q = StreamingTimeSeries.startLevelCountsQuery(
+      input.toDF().toDF("g", "l", "x"), "g", "l", "x", dir, ckpt)
+    try {
+      input.addData(all.take(80): _*); q.processAllAvailable()
+      input.addData(all.slice(80, 450): _*); q.processAllAvailable()
+      input.addData(all.drop(450): _*); q.processAllAvailable()
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      import graft.operators.Stats
+      val want = m(Stats.kruskalWallis(all.toDF("g", "l", "x"),
+        Seq(col("g")), col("l"), col("x")))
+      assert(m(StreamingTimeSeries.mergedKruskalWallis(spark, dir, "g"))
+        == want)
+      // at-least-once replay collapses
+      spark.read.parquet(s"$dir/level_values")
+        .filter(col("batch_id") === 1L)
+        .write.mode("append").parquet(s"$dir/level_values")
+      assert(m(StreamingTimeSeries.mergedKruskalWallis(spark, dir, "g"))
+        == want, "a replayed micro-batch double-counted into H")
+    } finally q.stop()
+  }
+
   test("streaming contingency cells: merged chi2/V/MI == one-shot batch, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
