@@ -508,6 +508,81 @@ object TextLLM {
         centroids), centroids)
   }
 
+  /** Deterministic labeled record-linkage pairs over `documents`: true
+    * pairs are (doc, its perturbed twin — same lang/source, n_chars+9,
+    * text + token); false pairs are (doc, the NEXT doc's twin). Both
+    * engines construct the identical frame. */
+  private def linkagePairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"))
+    val twin = d.select((col("doc_id") + 1000000L).as("b_id"),
+      concat(col("text"), lit(" appended")).as("b_text"),
+      col("lang").as("b_lang"), col("source").as("b_source"),
+      (col("n_chars") + 9L).as("b_n_chars"))
+    val matches = d.join(twin, col("b_id") === col("doc_id") + 1000000L)
+      .withColumn("is_match", lit(true))
+    val nonMatches = d.join(twin,
+        col("b_id") === col("doc_id") + 1000001L)
+      .withColumn("is_match", lit(false))
+    matches.unionByName(nonMatches)
+      .select(col("doc_id").as("id_a"), col("b_id").as("id_b"),
+        col("is_match"),
+        (col("lang") === col("b_lang")).as("f_lang"),
+        (abs(col("n_chars") - col("b_n_chars")) <= 20L).as("f_len"),
+        (substring(col("text"), 1, 24) === substring(col("b_text"), 1, 24))
+          .as("f_prefix"),
+        (col("source") === col("b_source")).as("f_source"))
+  }
+
+  private val linkageFields = Seq(
+    "lang" -> col("f_lang"), "len" -> col("f_len"),
+    "prefix" -> col("f_prefix"), "source" -> col("f_source"))
+
+  /** SQL mirror of [[linkagePairs]] as a CTE body. */
+  private val linkagePairsCte =
+    """d AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+      |tw AS (SELECT doc_id + 1000000 AS b_id,
+      |    text || ' appended' AS b_text, lang AS b_lang,
+      |    source AS b_source, n_chars + 9 AS b_n_chars FROM d),
+      |pairs AS (
+      |  SELECT d.doc_id AS id_a, tw.b_id AS id_b, TRUE AS is_match,
+      |    d.lang = tw.b_lang AS f_lang,
+      |    abs(d.n_chars - tw.b_n_chars) <= 20 AS f_len,
+      |    substr(d.text, 1, 24) = substr(tw.b_text, 1, 24) AS f_prefix,
+      |    d.source = tw.b_source AS f_source
+      |  FROM d JOIN tw ON tw.b_id = d.doc_id + 1000000
+      |  UNION ALL
+      |  SELECT d.doc_id, tw.b_id, FALSE,
+      |    d.lang = tw.b_lang,
+      |    abs(d.n_chars - tw.b_n_chars) <= 20,
+      |    substr(d.text, 1, 24) = substr(tw.b_text, 1, 24),
+      |    d.source = tw.b_source
+      |  FROM d JOIN tw ON tw.b_id = d.doc_id + 1000001)""".stripMargin
+
+  /** Fellegi–Sunter m/u estimation over the labeled pair fixture
+    * ([[graft.operators.Linkage.trainWeights]]): exact counts, exact
+    * m/u ratios; the ln weights compare at 12 decimals. */
+  def tLinkageWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Linkage.trainWeights(linkagePairs(s, dir),
+        col("is_match"), linkageFields)
+      .withColumn("w_agree", round(col("w_agree"), 12))
+      .withColumn("w_disagree", round(col("w_disagree"), 12))
+      .orderBy("field")
+
+  /** Fellegi–Sunter pair scoring with the trained weights
+    * ([[graft.operators.Linkage.score]]): fixed field-order fold, top
+    * 20 pairs; score at 12 decimals (the ln convention). */
+  def tLinkageScore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = linkagePairs(s, dir)
+    val w = graft.operators.Linkage.trainWeights(pairs, col("is_match"),
+      linkageFields)
+    graft.operators.Linkage.score(pairs,
+        Seq(col("id_a"), col("id_b")), w, linkageFields)
+      .withColumn("link_score", round(col("link_score"), 12))
+      .orderBy(col("link_score").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
   def sAnnIvfTop3(s: SparkSession, dir: String): DataFrame = {
     val base = emb(s, dir)
     // deterministic centroids: the k lowest-vec_id embeddings verbatim
@@ -1423,6 +1498,8 @@ object TextLLM {
     "s_ann_ivf_top3" -> (sAnnIvfTop3 _),
     "s_cluster_quality" -> (sClusterQuality _),
     "s_davies_bouldin" -> (sDaviesBouldin _),
+    "t_linkage_weights" -> (tLinkageWeights _),
+    "t_linkage_score" -> (tLinkageScore _),
     "s_ann_pq_top3" -> (sAnnPqTop3 _),
     "s_ann_ivfpq_top3" -> (sAnnIvfPqTop3 _),
     "s_ivfpq_index_roundtrip" -> (sIvfPqIndexRoundtrip _),
@@ -3133,6 +3210,92 @@ object TextLLM {
     // IVF mirror: centroids are the 8 lowest-vec_id embeddings verbatim;
     // assignment/probing rank by (-2·v·c + ||c||², centroid index) with
     // first-min tie-breaking, exactly Similarity.nearestCentroid.
+    // Fellegi-Sunter mirror: the same twin/next-twin labeled pairs,
+    // per-field exact counts (null agreement excluded per field),
+    // smoothed ratios exact, ln weights at 12dp.
+    "t_linkage_weights" ->
+      s"""WITH $linkagePairsCte,
+         |fl AS (
+         |  SELECT 'lang' AS field, is_match, f_lang AS agree FROM pairs
+         |  UNION ALL SELECT 'len', is_match, f_len FROM pairs
+         |  UNION ALL SELECT 'prefix', is_match, f_prefix FROM pairs
+         |  UNION ALL SELECT 'source', is_match, f_source FROM pairs),
+         |w AS (SELECT field,
+         |    CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_match,
+         |    CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_nonmatch,
+         |    CAST(SUM(CASE WHEN is_match AND agree THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS agree_match,
+         |    CAST(SUM(CASE WHEN NOT is_match AND agree THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS agree_nonmatch
+         |  FROM fl WHERE agree IS NOT NULL GROUP BY 1),
+         |w2 AS (SELECT field, n_match, n_nonmatch, agree_match,
+         |    agree_nonmatch,
+         |    CAST(agree_match + 1 AS DOUBLE)
+         |      / CAST(n_match + 2 AS DOUBLE) AS m,
+         |    CAST(agree_nonmatch + 1 AS DOUBLE)
+         |      / CAST(n_nonmatch + 2 AS DOUBLE) AS u
+         |  FROM w)
+         |SELECT field, n_match, n_nonmatch, agree_match, agree_nonmatch,
+         |  m, u, ROUND(ln(m / u), 12) AS w_agree,
+         |  ROUND(ln((1.0 - m) / (1.0 - u)), 12) AS w_disagree
+         |FROM w2 ORDER BY field""".stripMargin,
+    // Scoring mirror: unrounded weights, fixed field-order sum
+    // (lang + len + prefix + source — the sorted fold), 12dp score.
+    "t_linkage_score" ->
+      s"""WITH $linkagePairsCte,
+         |fl AS (
+         |  SELECT 'lang' AS field, is_match, f_lang AS agree FROM pairs
+         |  UNION ALL SELECT 'len', is_match, f_len FROM pairs
+         |  UNION ALL SELECT 'prefix', is_match, f_prefix FROM pairs
+         |  UNION ALL SELECT 'source', is_match, f_source FROM pairs),
+         |w AS (SELECT field,
+         |    CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_match,
+         |    CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_nonmatch,
+         |    CAST(SUM(CASE WHEN is_match AND agree THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS agree_match,
+         |    CAST(SUM(CASE WHEN NOT is_match AND agree THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS agree_nonmatch
+         |  FROM fl WHERE agree IS NOT NULL GROUP BY 1),
+         |w2 AS (SELECT field,
+         |    CAST(agree_match + 1 AS DOUBLE)
+         |      / CAST(n_match + 2 AS DOUBLE) AS m,
+         |    CAST(agree_nonmatch + 1 AS DOUBLE)
+         |      / CAST(n_nonmatch + 2 AS DOUBLE) AS u
+         |  FROM w),
+         |wp AS (SELECT
+         |    MAX(CASE WHEN field = 'lang' THEN ln(m / u) END) AS wa_lang,
+         |    MAX(CASE WHEN field = 'lang'
+         |      THEN ln((1.0 - m) / (1.0 - u)) END) AS wd_lang,
+         |    MAX(CASE WHEN field = 'len' THEN ln(m / u) END) AS wa_len,
+         |    MAX(CASE WHEN field = 'len'
+         |      THEN ln((1.0 - m) / (1.0 - u)) END) AS wd_len,
+         |    MAX(CASE WHEN field = 'prefix' THEN ln(m / u) END)
+         |      AS wa_prefix,
+         |    MAX(CASE WHEN field = 'prefix'
+         |      THEN ln((1.0 - m) / (1.0 - u)) END) AS wd_prefix,
+         |    MAX(CASE WHEN field = 'source' THEN ln(m / u) END)
+         |      AS wa_source,
+         |    MAX(CASE WHEN field = 'source'
+         |      THEN ln((1.0 - m) / (1.0 - u)) END) AS wd_source
+         |  FROM w2)
+         |SELECT p.id_a, p.id_b, CAST(4 AS BIGINT) AS n_fields,
+         |  ROUND(
+         |    (CASE WHEN p.f_lang IS NULL THEN 0.0
+         |       WHEN p.f_lang THEN wp.wa_lang ELSE wp.wd_lang END)
+         |    + (CASE WHEN p.f_len IS NULL THEN 0.0
+         |       WHEN p.f_len THEN wp.wa_len ELSE wp.wd_len END)
+         |    + (CASE WHEN p.f_prefix IS NULL THEN 0.0
+         |       WHEN p.f_prefix THEN wp.wa_prefix ELSE wp.wd_prefix END)
+         |    + (CASE WHEN p.f_source IS NULL THEN 0.0
+         |       WHEN p.f_source THEN wp.wa_source ELSE wp.wd_source END),
+         |    12) AS link_score
+         |FROM pairs p CROSS JOIN wp
+         |ORDER BY link_score DESC, p.id_a, p.id_b LIMIT 20"""
+        .stripMargin,
     // Cluster-scatter mirror: the s_ann_ivf assignment CTEs, then each
     // point's own-centroid distance as the SAME fixed index-order
     // zip-fold + sqrt, floor-quantized at 1e9 — sums exact BIGINT, the

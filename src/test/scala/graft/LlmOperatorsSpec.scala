@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Bpe, Curation, Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.operators.{Bpe, Curation, Dedup, Linkage, Multimodal, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -1048,6 +1048,62 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getAs[Long]("nid")).toMap
     // same-blob neighbors dominate, so nProbe=1 already matches brute force
     assert(ivf == brute)
+  }
+
+  test("linkage: hand m/u values; true pairs outscore chance pairs; missing fields inert") {
+    import spark.implicits._
+    // labeled pairs with three fields: name agreement is reliable
+    // (m high, u low), city agrees half the time for anyone (weak),
+    // year is sometimes missing
+    val rng = new scala.util.Random(23)
+    val labeled = (0 until 200).map { i =>
+      val isMatch = i % 2 == 0
+      val nameAgree = if (isMatch) rng.nextInt(10) > 0 else rng.nextInt(10) == 0
+      val cityAgree = rng.nextBoolean()
+      val yearAgree: Option[Boolean] =
+        if (i % 7 == 0) None else Some(isMatch || rng.nextInt(4) == 0)
+      (isMatch, nameAgree, cityAgree, yearAgree)
+    }
+    val df = labeled.toDF("is_match", "f_name", "f_city", "f_year")
+    val fields = Seq("name" -> col("f_name"), "city" -> col("f_city"),
+      "year" -> col("f_year"))
+    val w = Linkage.trainWeights(df, col("is_match"), fields)
+    val got = w.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8))))
+      .toMap
+    // independent replay of the smoothed count ratios for `name`
+    val nm = labeled.count(_._1); val nn = labeled.size - nm
+    val am = labeled.count(l => l._1 && l._2)
+    val an = labeled.count(l => !l._1 && l._2)
+    val m = (am + 1).toDouble / (nm + 2).toDouble
+    val u = (an + 1).toDouble / (nn + 2).toDouble
+    assert(got("name") == ((nm.toLong, nn.toLong, am.toLong, an.toLong,
+      m, u, math.log(m / u), math.log((1 - m) / (1 - u)))))
+    // the reliable field dominates: |w| larger than the coin-flip city
+    assert(got("name")._7 > got("city")._7.abs)
+    // year: null rows excluded from that field's counts only
+    val yearRows = labeled.filter(_._4.isDefined)
+    assert(got("year")._1 == yearRows.count(_._1).toLong)
+    assert(got("name")._1 == nm.toLong) // name saw every pair
+    // scoring: an all-agree pair beats an all-disagree pair; a pair
+    // with year missing scores between its agree/disagree variants
+    val pairs = Seq(
+      (1L, 2L, true, true, Some(true)),    // true-ish pair
+      (3L, 4L, false, false, Some(false)), // clear non-match
+      (5L, 6L, true, true, None)           // missing year: no evidence
+    ).toDF("id_a", "id_b", "f_name", "f_city", "f_year")
+    val scored = Linkage.score(pairs, Seq(col("id_a"), col("id_b")),
+        w, fields)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(scored(1L)._1 == 3L)
+    assert(scored(1L)._2 > 0.0 && scored(3L)._2 < 0.0)
+    assert(scored(5L)._2 < scored(1L)._2 && scored(5L)._2 > scored(3L)._2)
+    // the missing field contributes exactly 0: score(5) == name+city
+    // agree weights only
+    val expected5 = got("name")._7 + got("city")._7
+    assert(scored(5L)._2 == expected5)
   }
 
   test("cluster quality: naive scatter bitwise; DB index ranks tight blobs above a smeared layout") {
