@@ -92,7 +92,10 @@ object PlanDump {
     "g_kcore" -> "k-core peel — per round ONE degree aggregate + two semi joins on the surviving 16-byte edge set, localCheckpoint-cut so round r never replays rounds 1..r-1",
     "s_cluster_quality" -> "cluster scatter — the centroid table is a BROADCAST literal join onto the assigned scan, per-point distance a codegen'd zip-fold, then ONE quantized-BIGINT aggregate; k output rows",
     "s_davies_bouldin" -> "Davies-Bouldin — everything after the one clusterQuality data pass runs on ≤ k² rows: driver-constant d_ij broadcast-joined, a max per cluster, one fixed-order closing fold",
-    "c_backtest" -> "forecast backtest — ONE series collect per group; all five forecasters, their recursions, and the sMAPE folds are in-row expressions over the collected array, so five methods cost one exchange, not five scans")
+    "c_backtest" -> "forecast backtest — ONE series collect per group; all five forecasters, their recursions, and the sMAPE folds are in-row expressions over the collected array, so five methods cost one exchange, not five scans",
+    "a_kruskal_wallis" -> "Kruskal-Wallis H — one map-side-combined cell aggregation is the only data pass; the RANGE rank window and both small re-aggregates run on the distinct-(level, value) frame",
+    "g_hits_hosts" -> "HITS — per iteration two join+agg rounds over 16-byte edges; the L1 totals are 1-row broadcast cross joins INSIDE the plan, zero per-round driver actions",
+    "t_linkage_score" -> "F-S linkage scoring — the weights table broadcasts onto the exploded per-field pair stream; one re-group by pair key with the fixed-field-order fold; candidates never collect")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */

@@ -51,10 +51,16 @@ object Linkage {
     * Output: (field, n_match, n_nonmatch, agree_match, agree_nonmatch,
     * m, u, w_agree, w_disagree). */
   def trainWeights(labeled: DataFrame, matchCol: Column,
-      fields: Seq[(String, Column)], smoothing: Int = 1): DataFrame = {
-    require(smoothing >= 1 && smoothing <= 1000,
-      s"Linkage needs 1 <= smoothing <= 1000, got $smoothing")
-    val s = smoothing.toLong
+      fields: Seq[(String, Column)], smoothing: Int = 1): DataFrame =
+    weightsFromCounts(agreementCounts(labeled, matchCol, fields),
+      smoothing)
+
+  /** The PARTIAL behind [[trainWeights]]: per-field exact agreement
+    * counts — four associative BIGINT sums, so batch-sliced partials
+    * re-summed per field are exactly the one-shot table (the at-rest
+    * incremental artifact; state is |fields| rows). */
+  def agreementCounts(labeled: DataFrame, matchCol: Column,
+      fields: Seq[(String, Column)]): DataFrame = {
     val f = col("__f")
     labeled.filter(matchCol.isNotNull)
       .select(matchCol.cast("boolean").as("__m"),
@@ -68,6 +74,24 @@ object Linkage {
           .as("agree_match"),
         sum(when(!col("__m") && f.getField("agree"), 1L).otherwise(0L))
           .as("agree_nonmatch"))
+  }
+
+  /** Merge [[agreementCounts]] tables: component-wise BIGINT re-sum. */
+  def mergeAgreementCounts(partials: Seq[DataFrame]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy(col("field"))
+      .agg(sum(col("n_match")).as("n_match"),
+        sum(col("n_nonmatch")).as("n_nonmatch"),
+        sum(col("agree_match")).as("agree_match"),
+        sum(col("agree_nonmatch")).as("agree_nonmatch"))
+
+  /** Finalize a (possibly merged) [[agreementCounts]] table into the
+    * [[trainWeights]] schema — the streaming-readout face. */
+  def weightsFromCounts(counts: DataFrame, smoothing: Int = 1): DataFrame = {
+    require(smoothing >= 1 && smoothing <= 1000,
+      s"Linkage needs 1 <= smoothing <= 1000, got $smoothing")
+    val s = smoothing.toLong
+    counts
       .withColumn("m", (col("agree_match") + s).cast("double") /
         (col("n_match") + 2L * s).cast("double"))
       .withColumn("u", (col("agree_nonmatch") + s).cast("double") /

@@ -619,6 +619,41 @@ object StreamingTimeSeries {
           .drop("batch_id")),
         Seq(groupCol)))
 
+  /** Streaming record-linkage maintenance — the ingestion face of
+    * [[graft.operators.Linkage.trainWeights]]: each micro-batch of
+    * labeled pairs reduces to its per-field exact agreement-count
+    * deltas ([[graft.operators.Linkage.agreementCounts]], batch_id
+    * replay guard); the four counts are associative BIGINTs, so the
+    * merged table finalizes to m/u/weights bit-identical to one-shot
+    * batch training — the linkage model stays current as review labels
+    * arrive, without rescanning pair history. State is |fields| rows
+    * per batch. `fieldCols` maps field name → agreement column name in
+    * the stream. */
+  def startAgreementCountsQuery(pairs: DataFrame, matchCol: String,
+      fieldCols: Seq[(String, String)], targetDir: String,
+      checkpointDir: String) =
+    pairs
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Linkage
+          .agreementCounts(batch.toDF(), col(matchCol),
+            fieldCols.map { case (n, c) => n -> col(c) })
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$targetDir/agreements")
+      }
+      .start()
+
+  /** Whole-stream linkage weights from the stored agreement partials —
+    * bit-identical to batch [[graft.operators.Linkage.trainWeights]]. */
+  def mergedLinkageWeights(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, smoothing: Int = 1): DataFrame =
+    graft.operators.Linkage.weightsFromCounts(
+      graft.operators.Linkage.mergeAgreementCounts(
+        Seq(spark.read.parquet(s"$targetDir/agreements")
+          .dropDuplicates("field", "batch_id").drop("batch_id"))),
+      smoothing)
+
   /** Streaming categorical-association maintenance — the ingestion face
     * of [[graft.operators.Stats.contingencyStats]]: each micro-batch
     * reduces once to its exact per-(group, a, b) cell-count deltas

@@ -528,6 +528,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming agreement counts: merged linkage weights == batch, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("lk_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lk_ckpt").toString
+    val rng = new scala.util.Random(29)
+    val all = (0 until 400).map { i =>
+      val isMatch = i % 2 == 0
+      (isMatch,
+        if (isMatch) rng.nextInt(8) > 0 else rng.nextInt(8) == 0,
+        rng.nextBoolean())
+    }
+    val fields = Seq("name" -> "f_name", "city" -> "f_city")
+    val input = MemoryStream[(Boolean, Boolean, Boolean)]
+    val q = StreamingTimeSeries.startAgreementCountsQuery(
+      input.toDF().toDF("is_match", "f_name", "f_city"), "is_match",
+      fields, dir, ckpt)
+    try {
+      input.addData(all.take(50): _*); q.processAllAvailable()
+      input.addData(all.slice(50, 300): _*); q.processAllAvailable()
+      input.addData(all.drop(300): _*); q.processAllAvailable()
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      import graft.operators.Linkage
+      val want = m(Linkage.trainWeights(
+        all.toDF("is_match", "f_name", "f_city"), col("is_match"),
+        Seq("name" -> col("f_name"), "city" -> col("f_city"))))
+      assert(m(StreamingTimeSeries.mergedLinkageWeights(spark, dir))
+        == want)
+      // at-least-once replay collapses
+      spark.read.parquet(s"$dir/agreements")
+        .filter(col("batch_id") === 1L)
+        .write.mode("append").parquet(s"$dir/agreements")
+      assert(m(StreamingTimeSeries.mergedLinkageWeights(spark, dir))
+        == want, "a replayed micro-batch double-counted into m/u")
+    } finally q.stop()
+  }
+
   test("streaming level counts: merged Kruskal-Wallis == one-shot batch, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
