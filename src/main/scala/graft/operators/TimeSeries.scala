@@ -400,6 +400,59 @@ object TimeSeries {
       .drop("__s", "__f")
   }
 
+  /** Seasonal and trend STRENGTH per group (Wang–Smyth–Hyndman; the
+    * feasts/tsfeatures convention) — the one-number answers to "is
+    * this series seasonal at all / trending at all" that [[decompose]]
+    * leaves implicit in its columns:
+    *
+    *   F_T = max(0, 1 − Var(R) / Var(T+R))
+    *   F_S = max(0, 1 − Var(R) / Var(S+R))
+    *
+    * computed over the rows where the decomposition is complete
+    * (full centered trend window). Near 1 = the component explains
+    * the series; near 0 = it doesn't.
+    *
+    * Portability: the decomposition columns are [[decompose]]'s
+    * exact-arithmetic floats; each variance is TWO fixed-order in-row
+    * folds (Σx, Σx²) over the group's time-sorted complete rows and a
+    * fixed three-op tail (m = Σx/n; var = Σx²/n − m·m) — so f_trend /
+    * f_seasonal hash bit-for-bit when the mirror replays the same
+    * folds. Groups with zero detrended/deseasonalized variance yield
+    * null on that side. `maxLen` fail-fasts (the [[ewma]] contract).
+    *
+    * Output: groups... + (n_complete, f_trend, f_seasonal). */
+  def strength(df: DataFrame, groupCols: Seq[String], tCol: Column,
+      v: Column, period: Int, maxLen: Int = 100000): DataFrame = {
+    val dec = decompose(df, groupCols, tCol, v, period)
+    val rows = dec.filter(col("remainder").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(tCol.as("t"),
+        col("remainder").as("r"),
+        (col("value").cast("double") - col("trend")).as("sr"),
+        (col("value").cast("double") - col("seasonal")).as("tr"))))
+        .as("__s"))
+      .filter(assert_true(size(col("__s")) <= maxLen,
+        lit(s"strength: a group exceeds maxLen=$maxLen rows — a series " +
+          "that long should be windowed or decimated first")).isNull)
+      .withColumn("n_complete", size(col("__s")).cast("bigint"))
+    val nD = col("n_complete").cast("double")
+    def sumOf(field: String) = aggregate(col("__s"), lit(0.0),
+      (a, s) => a + s.getField(field))
+    def sumSq(field: String) = aggregate(col("__s"), lit(0.0),
+      (a, s) => a + s.getField(field) * s.getField(field))
+    def variance(field: String) = {
+      val m = sumOf(field) / nD
+      sumSq(field) / nD - m * m
+    }
+    rows
+      .withColumn("f_trend", when(variance("tr") > 0.0,
+        greatest(lit(0.0), lit(1.0) - variance("r") / variance("tr"))))
+      .withColumn("f_seasonal", when(variance("sr") > 0.0,
+        greatest(lit(0.0), lit(1.0) - variance("r") / variance("sr"))))
+      .select(groupCols.map(col) ++ Seq(col("n_complete"),
+        col("f_trend"), col("f_seasonal")): _*)
+  }
+
   /** Holt–Winters ADDITIVE seasonal smoothing per group — the member of
     * the forecasting pair that [[holt]] structurally cannot be: level +
     * trend + a rolling seasonal profile, so the h-step forecast carries

@@ -421,6 +421,7 @@ object Relational {
     "c_pacf" -> (cPacf _),
     "c_holt_winters" -> (cHoltWinters _),
     "c_backtest" -> (cBacktest _),
+    "c_ts_strength" -> (cTsStrength _),
     "c_holt_forecast" -> (cHoltForecast _),
     "c_mann_kendall" -> (cMannKendall _),
     "c_assoc_rules" -> (cAssocRules _),
@@ -456,6 +457,20 @@ object Relational {
       .select(col("key"), col("week_start"), col("value"), col("trend"),
         col("seasonal"), col("remainder"))
       .orderBy("key", "week_start")
+  }
+
+  /** Seasonal/trend strength of the dense weekly series
+    * ([[TimeSeries.strength]], period 3 — the 5-week testdata span
+    * leaves 3 complete centered-trend rows per key): exact decompose
+    * columns, two fixed-order variance folds each — f_trend and
+    * f_seasonal hash unrounded. */
+  def cTsStrength(s: SparkSession, dir: String): DataFrame = {
+    val f = TimeSeries.weeklyFrequency(
+      t(s, dir, "events"), to_date(col("ts")), col("event_type"))
+    TimeSeries.strength(
+        TimeSeries.denseWeekly(f).select("key", "week_start", "freq"),
+        Seq("key"), col("week_start"), col("freq"), period = 3)
+      .orderBy("key")
   }
 
   /** Seasonal-aware weekly anomalies ([[TimeSeries.anomalies]]): the
@@ -1528,6 +1543,86 @@ object Relational {
         |FROM dd LEFT JOIN m ON m.key = dd.key
         |LEFT JOIN m2 ON m2.key = dd.key
         |ORDER BY 1, 2""").stripMargin,
+    // Strength mirror: the decompose replay at period 3, then per key
+    // two fixed-order variance folds per component (Σx, Σx² in week
+    // order, var = Σx²/n − (Σx/n)²); f_trend/f_seasonal unrounded.
+    "c_ts_strength" ->
+      """WITH f AS (SELECT event_type AS key,
+        |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+        |    COUNT(*) AS freq FROM events GROUP BY 1, 2),
+        |w AS (SELECT CAST(UNNEST(generate_series(
+        |    (SELECT MIN(week_start) FROM f), (SELECT MAX(week_start) FROM f),
+        |    INTERVAL 7 DAY)) AS DATE) AS week_start),
+        |k AS (SELECT DISTINCT key FROM f),
+        |d AS (SELECT k.key, w.week_start, COALESCE(f.freq, 0) AS freq
+        |  FROM k CROSS JOIN w
+        |  LEFT JOIN f ON f.key = k.key AND f.week_start = w.week_start),
+        |b AS (SELECT key, week_start, freq,
+        |    (ROW_NUMBER() OVER (PARTITION BY key ORDER BY week_start) - 1) % 3
+        |      AS season,
+        |    COUNT(*) OVER (PARTITION BY key ORDER BY week_start
+        |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS cnt,
+        |    CAST(SUM(freq) OVER (PARTITION BY key ORDER BY week_start
+        |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS tsum
+        |  FROM d),
+        |tt AS (SELECT *,
+        |    CASE WHEN cnt = 3 THEN CAST(tsum AS DOUBLE) / 3 END AS trend,
+        |    CASE WHEN cnt = 3 THEN freq * 3 - tsum END AS det_num FROM b),
+        |sr AS (SELECT key, season, CAST(SUM(det_num) AS BIGINT) AS s_num,
+        |    COUNT(*) AS s_cnt
+        |  FROM tt WHERE det_num IS NOT NULL GROUP BY 1, 2),
+        |sr2 AS (SELECT key, season,
+        |    CAST(s_num AS DOUBLE) / CAST(s_cnt * 3 AS DOUBLE) AS s_raw
+        |  FROM sr),
+        |cen AS (SELECT key,
+        |    list_reduce(list(s_raw ORDER BY season), (a, b) -> a + b)
+        |      / COUNT(*) AS c
+        |  FROM sr2 GROUP BY 1),
+        |sea AS (SELECT sr2.key, sr2.season, s_raw - c AS seasonal
+        |  FROM sr2 JOIN cen ON sr2.key = cen.key),
+        |rows AS (SELECT tt.key, tt.week_start AS t,
+        |    CAST(tt.freq AS DOUBLE) - tt.trend - sea.seasonal AS r,
+        |    CAST(tt.freq AS DOUBLE) - tt.trend AS srv,
+        |    CAST(tt.freq AS DOUBLE) - sea.seasonal AS trv
+        |  FROM tt JOIN sea ON sea.key = tt.key AND sea.season = tt.season
+        |  WHERE tt.trend IS NOT NULL AND sea.seasonal IS NOT NULL),
+        |a AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_complete,
+        |    0.0 + list_reduce(list(r ORDER BY t), (x, y) -> x + y) AS s_r,
+        |    0.0 + list_reduce(list(r * r ORDER BY t), (x, y) -> x + y)
+        |      AS q_r,
+        |    0.0 + list_reduce(list(srv ORDER BY t), (x, y) -> x + y)
+        |      AS s_sr,
+        |    0.0 + list_reduce(list(srv * srv ORDER BY t),
+        |      (x, y) -> x + y) AS q_sr,
+        |    0.0 + list_reduce(list(trv ORDER BY t), (x, y) -> x + y)
+        |      AS s_tr,
+        |    0.0 + list_reduce(list(trv * trv ORDER BY t),
+        |      (x, y) -> x + y) AS q_tr
+        |  FROM rows GROUP BY 1)
+        |SELECT key, n_complete,
+        |  CASE WHEN q_tr / CAST(n_complete AS DOUBLE)
+        |      - (s_tr / CAST(n_complete AS DOUBLE))
+        |        * (s_tr / CAST(n_complete AS DOUBLE)) > 0.0
+        |    THEN GREATEST(0.0, 1.0
+        |      - (q_r / CAST(n_complete AS DOUBLE)
+        |          - (s_r / CAST(n_complete AS DOUBLE))
+        |            * (s_r / CAST(n_complete AS DOUBLE)))
+        |        / (q_tr / CAST(n_complete AS DOUBLE)
+        |          - (s_tr / CAST(n_complete AS DOUBLE))
+        |            * (s_tr / CAST(n_complete AS DOUBLE))))
+        |  END AS f_trend,
+        |  CASE WHEN q_sr / CAST(n_complete AS DOUBLE)
+        |      - (s_sr / CAST(n_complete AS DOUBLE))
+        |        * (s_sr / CAST(n_complete AS DOUBLE)) > 0.0
+        |    THEN GREATEST(0.0, 1.0
+        |      - (q_r / CAST(n_complete AS DOUBLE)
+        |          - (s_r / CAST(n_complete AS DOUBLE))
+        |            * (s_r / CAST(n_complete AS DOUBLE)))
+        |        / (q_sr / CAST(n_complete AS DOUBLE)
+        |          - (s_sr / CAST(n_complete AS DOUBLE))
+        |            * (s_sr / CAST(n_complete AS DOUBLE))))
+        |  END AS f_seasonal
+        |FROM a ORDER BY key""".stripMargin,
     "c_seasonal_decompose" ->
       """WITH f AS (SELECT event_type AS key,
         |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,

@@ -99,6 +99,57 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getCause != null && e.getCause.getMessage.contains("maxLen"))
   }
 
+  test("strength: seasonal series reads F_S high, ramp reads F_T high; naive bitwise") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    import java.sql.Date
+    def weeks(n: Int) = (0 until n).map(w =>
+      Date.valueOf(java.time.LocalDate.of(2024, 1, 7).plusDays(7L * w)))
+    // strong period-3 season + noise; strong ramp + noise; pure noise
+    val rnd = new scala.util.Random(43)
+    val rows =
+      weeks(30).zipWithIndex.map { case (d, i) =>
+        ("season", d, (100 + 40 * (i % 3) + rnd.nextInt(4)).toLong) } ++
+      weeks(30).zipWithIndex.map { case (d, i) =>
+        ("ramp", d, (100 + 10 * i + rnd.nextInt(4)).toLong) } ++
+      weeks(30).zipWithIndex.map { case (d, _) =>
+        ("noise", d, (100 + rnd.nextInt(60)).toLong) }
+    val df = rows.toDF("g", "t", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.strength(d, Seq("g"), col("t"), col("v"), period = 3)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1),
+            if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+            if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    val got = run(df)
+    // the seasonal series is overwhelmingly seasonal, and season
+    // dominates whatever trend the noisy MA wiggles into existence
+    assert(got("season")._3 > 0.95 && got("season")._2 < got("season")._3)
+    assert(got("ramp")._2 > 0.95)
+    assert(got("noise")._3 < got("season")._3 &&
+      got("noise")._2 < got("ramp")._2)
+    // independent replay from the decompose columns, same fold order
+    val dec2 = TimeSeries.decompose(df.filter(col("g") === "season"),
+        Seq("g"), col("t"), col("v"), 3)
+      .filter(col("remainder").isNotNull)
+      .select(col("t"), col("remainder"),
+        (col("value").cast("double") - col("trend")).as("sr"),
+        (col("value").cast("double") - col("seasonal")).as("tr"))
+      .collect().map(r => (r.getDate(0).getTime, r.getDouble(1),
+        r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    def varOf(xs: Seq[Double]): Double = {
+      val n = xs.size.toDouble
+      val s = xs.foldLeft(0.0)(_ + _)
+      val s2 = xs.foldLeft(0.0)((a, x) => a + x * x)
+      val m = s / n
+      s2 / n - m * m
+    }
+    val fS = math.max(0.0, 1.0 - varOf(dec2.map(_._2)) / varOf(dec2.map(_._3)))
+    val fT = math.max(0.0, 1.0 - varOf(dec2.map(_._2)) / varOf(dec2.map(_._4)))
+    assert(got("season")._3 == fS && got("season")._2 == fT) // bitwise
+    assert(run(df.repartition(7)) == got) // layout invariance
+  }
+
   test("backtest: hand sMAPE values; the right method wins its regime; edges") {
     import spark.implicits._
     import graft.operators.TimeSeries
