@@ -95,7 +95,8 @@ object PlanDump {
     "c_backtest" -> "forecast backtest — ONE series collect per group; all five forecasters, their recursions, and the sMAPE folds are in-row expressions over the collected array, so five methods cost one exchange, not five scans",
     "a_kruskal_wallis" -> "Kruskal-Wallis H — one map-side-combined cell aggregation is the only data pass; the RANGE rank window and both small re-aggregates run on the distinct-(level, value) frame",
     "g_hits_hosts" -> "HITS — per iteration two join+agg rounds over 16-byte edges; the L1 totals are 1-row broadcast cross joins INSIDE the plan, zero per-round driver actions",
-    "t_linkage_score" -> "F-S linkage scoring — the weights table broadcasts onto the exploded per-field pair stream; one re-group by pair key with the fixed-field-order fold; candidates never collect")
+    "t_linkage_score" -> "F-S linkage scoring — the weights table broadcasts onto the exploded per-field pair stream; one re-group by pair key with the fixed-field-order fold; candidates never collect",
+    "c_ts_strength" -> "seasonal/trend strength — the decompose pipeline (centered windows, one seasonal aggregate) plus ONE per-key collect of the complete rows; all six variance folds are in-row expressions on that array")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */
