@@ -1175,6 +1175,23 @@ object Stats {
       cohort: Column): DataFrame =
     mannWhitneyFromValueCounts(valueCounts(df, groupCols, x, cohort))
 
+  /** Cliff's delta per group — the EFFECT-SIZE companion to
+    * [[mannWhitneyU]]'s significance: δ = P(x₁ > x₂) − P(x₁ < x₂) =
+    * 2·U₁/(n₁·n₂) − 1 in [−1, 1], the magnitude question a z-score at
+    * scale can't answer (at 10⁸ rows EVERYTHING is significant; δ says
+    * whether the shift is big enough to care). Pure derivation from
+    * the exact doubled-midrank machinery — U₁ is exact-BIGINT-backed
+    * and δ adds two fixed float ops, so it hashes unrounded. Output:
+    * [[mannWhitneyU]]'s columns + delta (null when either cohort is
+    * empty). */
+  def cliffsDelta(df: DataFrame, groupCols: Seq[Column], x: Column,
+      cohort: Column): DataFrame =
+    mannWhitneyU(df, groupCols, x, cohort)
+      .withColumn("delta", when(col("n1") > 0L && col("n2") > 0L,
+        lit(2.0) * col("u1") /
+          (col("n1").cast("double") * col("n2").cast("double")) -
+          lit(1.0)))
+
   /** Finalize a (possibly merged) [[valueCounts]] table into the
     * [[mannWhitneyU]] output schema. */
   def mannWhitneyFromValueCounts(valueCounted: DataFrame): DataFrame = {

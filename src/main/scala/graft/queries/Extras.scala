@@ -633,6 +633,16 @@ object Extras {
         pmod(col("doc_id"), lit(2)) === 0)
       .orderBy("lang")
 
+  /** Cliff's delta of length by doc-id parity per lang ([[graft
+    * .operators.Stats.cliffsDelta]]): the effect-size companion to
+    * a_rank_sum's z — 2·U₁/(n₁n₂) − 1 over the same exact midranks;
+    * every column hashes unrounded. */
+  def aCliffsDelta(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.cliffsDelta(t(s, dir, "documents"),
+        Seq(col("lang")), col("n_chars"),
+        pmod(col("doc_id"), lit(2)) === 0)
+      .orderBy("lang")
+
   /** Monotone value-over-time trend per event type ([[graft.operators
     * .Stats.spearmanCorr]]): Spearman rank correlation between event
     * time and value — the rank-correlation sibling of c_mann_kendall
@@ -805,6 +815,7 @@ object Extras {
     "a_spearman_corr" -> (aSpearmanCorr _),
     "a_wilson_ci" -> (aWilsonCi _),
     "a_kruskal_wallis" -> (aKruskalWallis _),
+    "a_cliffs_delta" -> (aCliffsDelta _),
     "a_contingency_profile" -> (aContingencyProfile _),
     "a_ranking_metrics" -> (aRankingMetrics _),
     "a_auc_length" -> (aAucLength _),
@@ -1136,6 +1147,40 @@ object Extras {
         |      / sqrt(n1n2 / 12.0 * (CAST(n + 1 AS DOUBLE)
         |        - CAST(ties AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)))
         |  END AS z
+        |FROM u ORDER BY 1""".stripMargin,
+    // Cliff's delta mirror: the a_rank_sum pipeline plus the two-op
+    // effect-size tail 2·u1/(n1·n2) − 1; delta hashes unrounded.
+    "a_cliffs_delta" ->
+      """WITH c AS (SELECT lang, n_chars, doc_id % 2 = 0 AS coh
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |d AS (SELECT lang, n_chars AS x,
+        |    CAST(SUM(CASE WHEN coh THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN NOT coh THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM c GROUP BY 1, 2),
+        |w AS (SELECT lang, c1, c2, t,
+        |    CAST(SUM(t) OVER (PARTITION BY lang ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d),
+        |a AS (SELECT lang, CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2,
+        |    CAST(SUM(c1 * (2 * cum - t + 1)) AS BIGINT) AS r1_x2,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+        |  FROM w GROUP BY 1),
+        |u AS (SELECT lang, n1, n2, r1_x2,
+        |    CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+        |    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) AS n1n2,
+        |    n1 + n2 AS n, ties FROM a)
+        |SELECT lang, n1, n2, r1_x2, u1,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND
+        |      n1n2 / 12.0 * (CAST(n + 1 AS DOUBLE)
+        |        - CAST(ties AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) > 0
+        |    THEN (u1 - n1n2 / 2.0)
+        |      / sqrt(n1n2 / 12.0 * (CAST(n + 1 AS DOUBLE)
+        |        - CAST(ties AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)))
+        |  END AS z,
+        |  CASE WHEN n1 > 0 AND n2 > 0
+        |    THEN 2.0 * u1 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |      - 1.0 END AS delta
         |FROM u ORDER BY 1""".stripMargin,
     // Ranking mirror: same deterministic (score DESC, doc_id) order,
     // exact rank/cum-positive windows, relevant-only lists folded in

@@ -989,6 +989,32 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .sortBy(_.toString).toSeq)
   }
 
+  test("cliffsDelta: dominance extremes exact, identical cohorts 0, hand value") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Boolean)]) =
+      Stats.cliffsDelta(rows.toDF("g", "x", "coh"), Seq(col("g")),
+          col("x"), col("coh"))
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(6)) Double.NaN else r.getDouble(6))).toMap
+    // cohort-1 strictly above: P(x1 > x2) = 1 -> delta = +1 exactly
+    val dom = (0 until 10).map(i => ("d", 100L + i, true)) ++
+      (0 until 10).map(i => ("d", i.toLong, false))
+    assert(run(dom)("d") == 1.0)
+    // mirrored -> -1 exactly
+    assert(run(dom.map { case (g, x, c) => (g, x, !c) })("d") == -1.0)
+    // identical distributions (all values tied) -> exactly 0
+    val same = (0 until 20).map(i => ("e", 5L, i % 2 == 0))
+    assert(run(same)("e") == 0.0)
+    // hand value: cohort {3, 5} vs {4}: pairs (3<4), (5>4) ->
+    // delta = (1 - 1)/2 = 0; add {6} -> {3,5,6} vs {4}: (2-1)/3
+    val hand = Seq(("h", 3L, true), ("h", 5L, true), ("h", 6L, true),
+      ("h", 4L, false))
+    // (via the operator's own op order: 2·U₁/(n₁n₂) − 1 = 2·2/3 − 1)
+    assert(run(hand)("h") == 2.0 * 2.0 / 3.0 - 1.0)
+    // one empty cohort -> null
+    assert(run((0 until 5).map(i => ("o", i.toLong, true)))("o").isNaN)
+  }
+
   test("kruskalWallis: naive midrank differential bitwise; separation; ties; guards") {
     import spark.implicits._
     // independent replay: doubled midrank = minRank + maxRank, fixed
