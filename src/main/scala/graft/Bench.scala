@@ -145,7 +145,8 @@ object Bench {
       calibration: Seq[Double] = Nil,
       counters: Seq[(String, QueryCounters)] = Nil,
       calByQuery: Seq[(String, Seq[Double])] = Nil,
-      retried: Seq[String] = Nil): String = {
+      retried: Seq[String] = Nil,
+      gcByRep: Seq[(String, Seq[Long])] = Nil): String = {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.4f", d)
@@ -165,9 +166,11 @@ object Bench {
       k -> (s"""{"gc_ms":${c.gcDeltaMs},"heap_mb":${c.heapUsedMb},""" +
         s""""storage_mb":${c.storageUsedMb}}""")
     })
+    val gcR = obj(gcByRep.map { case (k, gs) =>
+      k -> gs.mkString("[", ",", "]") })
     s"""{"metric":"bench_details","reps":$reps,"queries_median":$qmed,""" +
       s""""reps_sec":$raw,"calibration_sec":$cal,"cal_by_query":$calQ,""" +
-      s""""retried":$rt,"counters":$ctr,""" +
+      s""""retried":$rt,"counters":$ctr,"gc_by_rep":$gcR,""" +
       s""""errors":$es,"sf":${jstr(sfDir)}}"""
   }
 
@@ -199,12 +202,15 @@ object Bench {
     val times = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.ArrayBuffer[Double]]()
     val gcDelta = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val gcReps = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Long]]()
     val heapAtStart = scala.collection.mutable.LinkedHashMap[String, Long]()
     val storageAtStart = scala.collection.mutable.LinkedHashMap[String, Long]()
     ordered.foreach { case (name, _) =>
       calByQuery(name) = scala.collection.mutable.ArrayBuffer[Double]()
       times(name) = scala.collection.mutable.ArrayBuffer[Double]()
       gcDelta(name) = 0L
+      gcReps(name) = scala.collection.mutable.ArrayBuffer[Long]()
     }
     def storageMb(): Long = spark.sparkContext.getExecutorMemoryStatus.values
       .map { case (max, rem) => max - rem }.sum >> 20 // one BM in local[*]
@@ -228,7 +234,9 @@ object Bench {
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
       }
-      gcDelta(name) += gcMillis() - gc0
+      val gcd = gcMillis() - gc0
+      gcDelta(name) += gcd
+      gcReps(name) += gcd // per-rep: a slow rep with flat GC ⇒ host, not heap
     }
     (1 to reps).foreach { _ => ordered.foreach { case (name, fn) => runOnce(name, fn) } }
 
@@ -237,8 +245,23 @@ object Bench {
     // so its min still measures the machine — give it one more rep now,
     // after the episode has (usually) passed.
     val idleCal = calibration.sorted.apply(calibration.size / 2)
-    val suspect = ordered.filter { case (name, _) =>
+    val suspectCal = ordered.filter { case (name, _) =>
       needsRetry(calByQuery(name).toSeq, idleCal) }
+    // Spread retry (round 13): BENCH_r12's d_minhash_neardups reps were
+    // [6.7, 4.7, 12.7] — rep1 cold codegen, rep3 inside a contention
+    // episode that also hit ten alphabetically-adjacent queries 2.5–14×,
+    // leaving a contended rep2 as the "min"; its probes [0.32, 0.34,
+    // 0.32] never tripped the all-probes rule. A query whose reps spread
+    // >2× has an untrustworthy min by construction (either its cold rep
+    // dominates — retry harmless — or an episode swallowed its good
+    // reps — retry heals the min), so it gets one extra rep too,
+    // worst-spread first, capped to bound the extra sweep.
+    val suspectSpread = ordered.filter { case (name, _) =>
+      val ts = times(name)
+      ts.size >= 2 && ts.max > 2.0 * ts.min }
+      .sortBy { case (name, _) => -times(name).max / times(name).min }
+      .take(16)
+    val suspect = (suspectCal ++ suspectSpread).distinct
     suspect.foreach { case (name, fn) => runOnce(name, fn) }
 
     val results = ordered.map { case (name, _) => name -> times(name).toSeq }
@@ -253,7 +276,8 @@ object Bench {
     val details = renderDetails(results, reps, errors.toSeq, sfDir,
       calibration.toSeq, counters,
       calByQuery = ordered.map { case (n, _) => n -> calByQuery(n).toSeq },
-      retried = suspect.map(_._1))
+      retried = suspect.map(_._1),
+      gcByRep = ordered.map { case (n, _) => n -> gcReps(n).toSeq })
     // write the details BOTH to the driver-side path and into the repo,
     // so adjudicating a flagged round never depends on /tmp surviving
     // it. The repo copy anchors on build.sbt in the CWD (sbt runs from

@@ -27,6 +27,17 @@ object GraftSession {
       // as a long (ns since epoch) under this flag — Tables truncates to µs.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // Generated-class cache. The default (100 entries) thrashes under
+      // Bench's round-robin sweeps: ~56 other headline queries run
+      // between one query's reps, so every rep re-Janino-compiles its
+      // whole-stage code from scratch — measured at 22 recompiles per
+      // d_minhash_neardups rep (MinhashProfile, round 13), a flat
+      // ~0.3–0.5 s tax per rep that lands on every codegen-heavy query
+      // and shows up as the r12 "mid-pack drift". 4096 entries hold the
+      // full registry's generated classes; they are small (KBs of
+      // bytecode), so the metaspace cost is negligible next to an 8 GB
+      // heap. Static conf — must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

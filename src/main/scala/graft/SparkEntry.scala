@@ -68,18 +68,18 @@ object SparkEntry {
     * verdict clears it — rotation is exactly how round 10 lost
     * round-over-round comparability when its regression cluster appeared.
     * HarnessContractSpec enforces `benchPinned ⊆ headline`; update this
-    * list (only) from each round's VERDICT.md. Current entries: the
-    * twelve queries VERDICT r11 marked `weak` (2.1–18.9× vs r10, zero
-    * code diff, adjudicated as a sustained host-contention window — the
-    * round-robin rep sweeps in Bench exist to prove it). The nine r10
-    * entries rotated out per the verdict: all replayed at-or-below their
-    * r9 times in BENCH_r11. */
+    * list (only) from each round's VERDICT.md. Current entries (r12):
+    * d_minhash_neardups — the one query VERDICT r12 marked `weak`
+    * (adjudicated in round 13: rep1 was cold whole-stage codegen, rep3
+    * sat inside a sweep-3 contention episode that also hit ten
+    * alphabetically-adjacent queries 2.5–14×, so the "min" was a
+    * contended rep2; Bench's spread-retry + the 4096-entry codegen
+    * cache close the hole) — plus g_pagerank_hosts and
+    * d_duplicate_spans as the verdict's watch entries (<2× drift,
+    * plan-unchanged). The twelve r11 entries rotated out per VERDICT
+    * r12: all replayed at their r10 levels in BENCH_r12. */
   val benchPinned: Seq[String] = Seq(
-    "skew_salted_agg", "j3_broadcast_star_join",
-    "j1_orders_customer_segment", "t_bm25_top5",
-    "h9_shape_product_profit", "j6_range_join_exec",
-    "j9_semi_topk_filter", "h8_market_share", "h6_forecast_revenue",
-    "l_merge_apply", "s_ann_ivfpq_top3", "h4_order_priority")
+    "d_minhash_neardups", "g_pagerank_hosts", "d_duplicate_spans")
 
   // d_incremental_dedup is deliberately NOT headline: its id-bounded
   // fixture is constant-size at every SF, so the bench would time ~5.6s

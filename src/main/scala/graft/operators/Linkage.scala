@@ -104,7 +104,13 @@ object Linkage {
   /** Score candidate pairs with a trained weights table: per pair, the
     * FIXED-field-order sum of w_agree / w_disagree (0 when the field's
     * predicate is null — missing data is no evidence). `idCols` is the
-    * pair key (e.g. id_a, id_b). Adds (n_fields, link_score). */
+    * pair key (e.g. id_a, id_b). Adds (n_fields, link_score).
+    *
+    * The weights join is a LEFT join with a raise_error on an unmatched
+    * field: an inner join would silently drop any field absent from the
+    * weights table (e.g. weights trained with a different field set)
+    * from both n_fields and link_score — a field/weights mismatch must
+    * fail fast, not produce silently partial scores. */
   def score(pairs: DataFrame, idCols: Seq[Column], weights: DataFrame,
       fields: Seq[(String, Column)]): DataFrame = {
     val exploded = pairs
@@ -113,9 +119,13 @@ object Linkage {
     val f = col("__f")
     exploded
       .join(broadcast(weights.select(col("field"), col("w_agree"),
-        col("w_disagree"))), f.getField("field") === col("field"))
+        col("w_disagree"))), f.getField("field") === col("field"), "left")
       .withColumn("__c",
-        when(f.getField("agree").isNull, lit(0.0))
+        when(col("field").isNull, raise_error(concat(
+          lit("Linkage.score: field '"), f.getField("field"),
+          lit("' has no row in the weights table — fields and weights " +
+            "were built from different field sets"))).cast("double"))
+          .when(f.getField("agree").isNull, lit(0.0))
           .when(f.getField("agree"), col("w_agree"))
           .otherwise(col("w_disagree")))
       .groupBy(idNames.map(col): _*)
@@ -126,5 +136,106 @@ object Linkage {
       .withColumn("link_score", aggregate(col("__cs"), lit(0.0),
         (acc, c) => acc + c.getField("__c")))
       .drop("__cs")
+  }
+
+  /** UNSUPERVISED m/u estimation by EM over unlabeled candidate pairs
+    * (Winkler 1988's application of Dempster–Laird–Rubin to the
+    * Fellegi–Sunter model) — real-world linkage rarely has the labeled
+    * pairs [[trainWeights]] needs; EM recovers the two latent classes
+    * from the agreement-pattern mixture itself under conditional
+    * independence of fields given match status.
+    *
+    *  - E-step (in-plan, per pair): posterior
+    *    g = λ·Πf P(γ_f|M) / (λ·Πf P(γ_f|M) + (1−λ)·Πf P(γ_f|U)),
+    *    where a field's factor is m (γ=true), 1−m (false), 1 (null — no
+    *    evidence), multiplied in FIXED declared field order.
+    *  - M-step (one aggregation): λ, m_f, u_f re-estimated as
+    *    posterior-weighted agreement ratios with the same add-k
+    *    smoothing as the supervised face.
+    *
+    * Portability (the logisticFit discipline, Stats.scala): posteriors
+    * are quantized to exact BIGINTs in-plan — qg = floor(g·quantScale),
+    * qu = floor((1−g)·quantScale) — so every M-step sum is associative
+    * integer arithmetic, immune to row order; the new parameters are
+    * single IEEE divisions of exact longs. Each iteration consumes ONE
+    * aggregated row on the driver and embeds the new parameters as
+    * literals in the next plan, so a fixed-iteration run replays in SQL
+    * as chained CTEs and the final weights hash bit-for-bit.
+    *
+    * Scale: `iters` sequential jobs, each one map-side-combined
+    * aggregation over the pairs (4 BIGINTs per field + 2 global);
+    * nothing driver-side beyond the (fields × 4)-long parameter row.
+    *
+    * Output: one row per field — (field, m, u, w_agree, w_disagree,
+    * lambda), lambda repeated (it is a model-level scalar). */
+  def emTrainWeights(pairs: DataFrame, fields: Seq[(String, Column)],
+      iters: Int = 3, smoothing: Int = 1, quantScale: Double = 1e6,
+      initM: Double = 0.9, initU: Double = 0.1,
+      initLambda: Double = 0.5): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters in 1..20, got $iters")
+    require(fields.nonEmpty && fields.size <= 16,
+      s"emTrainWeights needs 1 <= fields <= 16, got ${fields.size}")
+    require(quantScale >= 1e3 && quantScale <= 1e9,
+      s"quantScale in [1e3, 1e9], got $quantScale")
+    require(smoothing >= 1 && smoothing <= 1000,
+      s"smoothing in 1..1000, got $smoothing")
+    val q = quantScale
+    val sQ = (smoothing * q).toLong // q ≤ 1e9, s ≤ 1e3 ⇒ exact long
+    val names = fields.map(_._1)
+    var m = names.map(_ => initM).toArray
+    var u = names.map(_ => initU).toArray
+    var lambda = initLambda
+    var nPairs = 0L
+    for (_ <- 1 to iters) {
+      // E-step: fixed-order product of per-field likelihood factors.
+      // reduce is a left fold, matching the SQL mirror's left-assoc
+      // product — term ORDER is part of the float contract.
+      val pm = fields.zip(m.toSeq).map { case ((_, g), mf) =>
+        when(g.isNull, lit(1.0)).when(g, lit(mf)).otherwise(lit(1.0 - mf))
+      }.reduce(_ * _)
+      val pu = fields.zip(u.toSeq).map { case ((_, g), uf) =>
+        when(g.isNull, lit(1.0)).when(g, lit(uf)).otherwise(lit(1.0 - uf))
+      }.reduce(_ * _)
+      val num = lit(lambda) * pm
+      val g = num / (num + lit(1.0 - lambda) * pu)
+      val qg = floor(g * lit(q)).cast("long")
+      val qu = floor((lit(1.0) - g) * lit(q)).cast("long")
+      // M-step: per-field posterior-mass sums, all exact BIGINTs
+      val perField = fields.flatMap { case (n, gCol) => Seq(
+        sum(when(gCol === true, qg).otherwise(0L)).as(s"gm_$n"),
+        sum(when(gCol.isNotNull, qg).otherwise(0L)).as(s"gt_$n"),
+        sum(when(gCol === true, qu).otherwise(0L)).as(s"um_$n"),
+        sum(when(gCol.isNotNull, qu).otherwise(0L)).as(s"ut_$n")) }
+      val aggs = perField ++ Seq(sum(qg).as("g_all"),
+        count(lit(1)).as("n"))
+      val row = pairs.agg(aggs.head, aggs.tail: _*).head()
+      nPairs = row.getAs[Long]("n")
+      require(nPairs > 0, "emTrainWeights: no pairs to fit on")
+      // long→double must stay exact for the divisions to be portable
+      require(nPairs.toDouble * q < math.pow(2, 53),
+        s"emTrainWeights: n·quantScale = ${nPairs * q} risks inexact " +
+          "long→double — lower quantScale")
+      m = names.map(n => (row.getAs[Long](s"gm_$n") + sQ).toDouble /
+        (row.getAs[Long](s"gt_$n") + 2 * sQ).toDouble).toArray
+      u = names.map(n => (row.getAs[Long](s"um_$n") + sQ).toDouble /
+        (row.getAs[Long](s"ut_$n") + 2 * sQ).toDouble).toArray
+      lambda = (row.getAs[Long]("g_all") + sQ).toDouble /
+        (nPairs * q.toLong + 2 * sQ).toDouble
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("field", StringType, nullable = false),
+      StructField("m", DoubleType, nullable = false),
+      StructField("u", DoubleType, nullable = false),
+      StructField("w_agree", DoubleType, nullable = false),
+      StructField("w_disagree", DoubleType, nullable = false),
+      StructField("lambda", DoubleType, nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(names.indices.map { i =>
+        org.apache.spark.sql.Row(names(i), m(i), u(i),
+          math.log(m(i) / u(i)),
+          math.log((1.0 - m(i)) / (1.0 - u(i))), lambda)
+      }: _*)
+    pairs.sparkSession.createDataFrame(rows, schema)
   }
 }

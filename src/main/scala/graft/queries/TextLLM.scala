@@ -583,6 +583,75 @@ object TextLLM {
       .limit(20)
   }
 
+  /** UNSUPERVISED Fellegi–Sunter via EM
+    * ([[graft.operators.Linkage.emTrainWeights]]): the same pair
+    * fixture with the label DROPPED — EM recovers the match/non-match
+    * mixture from the agreement patterns alone. 3 fixed iterations,
+    * BIGINT-quantized posteriors, so the oracle replays every E/M step
+    * as chained CTEs and m/u/lambda hash bit-for-bit (ln weights 12dp). */
+  def tLinkageEm(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Linkage.emTrainWeights(
+        linkagePairs(s, dir).drop("is_match"), linkageFields, iters = 3)
+      .withColumn("w_agree", round(col("w_agree"), 12))
+      .withColumn("w_disagree", round(col("w_disagree"), 12))
+      .orderBy("field")
+
+  /** SQL mirror of the fixed-3-iteration EM: p0 holds the init params;
+    * each iteration is (posterior e_k → quantize q_k → sums a_k → new
+    * params p_k); the final SELECT unpivots p3 into per-field rows.
+    * Every float op mirrors the Scala side exactly — left-assoc factor
+    * products in declared field order, floor-quantized BIGINT sums,
+    * single IEEE divisions of exact longs. */
+  private val linkageEmOracle: String = {
+    val fs = Seq("lang", "len", "prefix", "source")
+    val one = "CAST(1 AS DOUBLE)"
+    val q = "CAST(1000000 AS DOUBLE)"
+    val sQ = 1000000L // smoothing=1 × quantScale
+    def prod(p: String) = fs.map(n =>
+      s"(CASE WHEN f_$n IS NULL THEN $one WHEN f_$n THEN ${p}_$n " +
+        s"ELSE $one - ${p}_$n END)").mkString(" * ")
+    val p0 = s"p0 AS (SELECT " +
+      (fs.map(n => s"CAST(0.9 AS DOUBLE) AS m_$n") ++
+       fs.map(n => s"CAST(0.1 AS DOUBLE) AS u_$n") ++
+       Seq("CAST(0.5 AS DOUBLE) AS lam")).mkString(", ") + ")"
+    def iter(k: Int): String = {
+      val fcols = fs.map(n => s"f_$n").mkString(", ")
+      s"""e$k AS (SELECT $fcols,
+         |    (lam * ${prod("m")})
+         |    / (lam * ${prod("m")} + ($one - lam) * ${prod("u")}) AS g
+         |  FROM pairs CROSS JOIN p${k - 1}),
+         |q$k AS (SELECT $fcols,
+         |    CAST(floor(g * $q) AS BIGINT) AS qg,
+         |    CAST(floor(($one - g) * $q) AS BIGINT) AS qu FROM e$k),
+         |a$k AS (SELECT ${fs.map(n =>
+             s"SUM(CASE WHEN f_$n THEN qg ELSE 0 END) AS gm_$n, " +
+             s"SUM(CASE WHEN f_$n IS NOT NULL THEN qg ELSE 0 END) AS gt_$n, " +
+             s"SUM(CASE WHEN f_$n THEN qu ELSE 0 END) AS um_$n, " +
+             s"SUM(CASE WHEN f_$n IS NOT NULL THEN qu ELSE 0 END) AS ut_$n")
+           .mkString(", ")},
+         |    SUM(qg) AS g_all, COUNT(*) AS n FROM q$k),
+         |p$k AS (SELECT ${fs.map(n =>
+             s"CAST(gm_$n + $sQ AS DOUBLE) / CAST(gt_$n + ${2 * sQ} AS DOUBLE) AS m_$n, " +
+             s"CAST(um_$n + $sQ AS DOUBLE) / CAST(ut_$n + ${2 * sQ} AS DOUBLE) AS u_$n")
+           .mkString(", ")},
+         |    CAST(g_all + $sQ AS DOUBLE)
+         |    / CAST(n * 1000000 + ${2 * sQ} AS DOUBLE) AS lam FROM a$k)""".stripMargin
+    }
+    val unpivot = fs.map(n =>
+      s"SELECT '$n' AS field, m_$n AS m, u_$n AS u, lam FROM p3")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $linkagePairsCte,
+       |$p0,
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT field, m, u, ROUND(ln(m / u), 12) AS w_agree,
+       |  ROUND(ln(($one - m) / ($one - u)), 12) AS w_disagree,
+       |  lam AS lambda
+       |FROM ($unpivot)
+       |ORDER BY field""".stripMargin
+  }
+
   def sAnnIvfTop3(s: SparkSession, dir: String): DataFrame = {
     val base = emb(s, dir)
     // deterministic centroids: the k lowest-vec_id embeddings verbatim
@@ -1500,6 +1569,7 @@ object TextLLM {
     "s_davies_bouldin" -> (sDaviesBouldin _),
     "t_linkage_weights" -> (tLinkageWeights _),
     "t_linkage_score" -> (tLinkageScore _),
+    "t_linkage_em" -> (tLinkageEm _),
     "s_ann_pq_top3" -> (sAnnPqTop3 _),
     "s_ann_ivfpq_top3" -> (sAnnIvfPqTop3 _),
     "s_ivfpq_index_roundtrip" -> (sIvfPqIndexRoundtrip _),
@@ -3296,6 +3366,9 @@ object TextLLM {
          |FROM pairs p CROSS JOIN wp
          |ORDER BY link_score DESC, p.id_a, p.id_b LIMIT 20"""
         .stripMargin,
+    // EM mirror: generated chained-CTE replay of 3 fixed E/M steps —
+    // see linkageEmOracle's doc for the float-op contract.
+    "t_linkage_em" -> linkageEmOracle,
     // Cluster-scatter mirror: the s_ann_ivf assignment CTEs, then each
     // point's own-centroid distance as the SAME fixed index-order
     // zip-fold + sqrt, floor-quantized at 1e9 — sums exact BIGINT, the

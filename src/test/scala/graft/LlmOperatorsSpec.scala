@@ -1106,6 +1106,110 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scored(5L)._2 == expected5)
   }
 
+  test("linkage EM: bit-equal to a naive driver replay; recovers supervised weights unlabeled") {
+    import spark.implicits._
+    // a mixture EM can actually separate: half the pairs are matches
+    // (name agrees 90%, year 80%), half non-matches (10% / 25%); city
+    // is a coin flip for everyone (uninformative); year sometimes null
+    val rng = new scala.util.Random(41)
+    val labeled = (0 until 400).map { i =>
+      val isMatch = i % 2 == 0
+      def agree(pm: Double, pu: Double) =
+        rng.nextDouble() < (if (isMatch) pm else pu)
+      val year: Option[Boolean] =
+        if (i % 9 == 0) None else Some(agree(0.8, 0.25))
+      (isMatch, agree(0.9, 0.1), rng.nextBoolean(), year)
+    }
+    val df = labeled.toDF("is_match", "f_name", "f_city", "f_year")
+    val fields = Seq("name" -> col("f_name"), "city" -> col("f_city"),
+      "year" -> col("f_year"))
+    // 6 iterations: enough for the mixture to converge so the weight
+    // ORDERING asserts below are stable (3, the registered-query count,
+    // already separates the classes but leaves name/year within noise)
+    val em = Linkage.emTrainWeights(df.drop("is_match"), fields, iters = 6)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(5))))
+      .toMap
+
+    // independent single-threaded replay of the quantized EM — same
+    // init, same fixed-order factor products, same floor-quantized
+    // BIGINT sums, so the result must be BIT-equal
+    val q = 1e6; val sQ = 1000000L
+    var m = Map("name" -> 0.9, "city" -> 0.9, "year" -> 0.9)
+    var u = Map("name" -> 0.1, "city" -> 0.1, "year" -> 0.1)
+    var lam = 0.5
+    val names = Seq("name", "city", "year")
+    def gammas(l: (Boolean, Boolean, Boolean, Option[Boolean])) =
+      Map("name" -> Some(l._2), "city" -> Some(l._3), "year" -> l._4)
+    for (_ <- 1 to 6) {
+      val stats = labeled.map { l =>
+        val g = gammas(l)
+        def prodOf(p: Map[String, Double]) = names.foldLeft(1.0) {
+          (acc, n) => acc * (g(n) match {
+            case None => 1.0
+            case Some(true) => p(n)
+            case Some(false) => 1.0 - p(n) }) }
+        val num = lam * prodOf(m)
+        val post = num / (num + (1.0 - lam) * prodOf(u))
+        val qg = math.floor(post * q).toLong
+        val qu = math.floor((1.0 - post) * q).toLong
+        (g, qg, qu)
+      }
+      m = names.map { n =>
+        val gm = stats.collect { case (g, qg, _) if g(n) == Some(true) => qg }.sum
+        val gt = stats.collect { case (g, qg, _) if g(n).isDefined => qg }.sum
+        n -> (gm + sQ).toDouble / (gt + 2 * sQ).toDouble }.toMap
+      u = names.map { n =>
+        val um = stats.collect { case (g, _, qu) if g(n) == Some(true) => qu }.sum
+        val ut = stats.collect { case (g, _, qu) if g(n).isDefined => qu }.sum
+        n -> (um + sQ).toDouble / (ut + 2 * sQ).toDouble }.toMap
+      lam = (stats.map(_._2).sum + sQ).toDouble /
+        (labeled.size * q.toLong + 2 * sQ).toDouble
+    }
+    names.foreach { n =>
+      assert(em(n)._1 == m(n), s"m($n)")
+      assert(em(n)._2 == u(n), s"u($n)")
+      assert(em(n)._4 == lam, s"lambda via $n")
+    }
+
+    // EM found the planted mixture: λ near the true 0.5 prevalence, and
+    // the unsupervised weights agree with the supervised fit in sign
+    // and ranking (name most informative, city near zero)
+    assert(math.abs(lam - 0.5) < 0.1)
+    val sup = Linkage.trainWeights(df, col("is_match"), fields)
+      .collect().map(r => r.getString(0) -> r.getDouble(7)).toMap // w_agree
+    val emW = em.view.mapValues(v => math.log(v._1 / v._2)).toMap
+    names.foreach { n =>
+      assert(math.abs(emW(n) - sup(n)) < 0.5,
+        s"EM w_agree($n)=${emW(n)} vs supervised ${sup(n)}") }
+    // both informative fields carry strong positive evidence; the
+    // coin-flip field is near zero. (No name-vs-year ORDERING assert:
+    // EM's latent boundary legitimately shrinks the strongest field's
+    // weight toward the mixture boundary, so the planted 2.2-vs-1.2 gap
+    // is not preserved — only informative-vs-uninformative is.)
+    assert(emW("name") > 0.8 && emW("year") > 0.8)
+    assert(math.abs(emW("city")) < 0.3)
+    assert(emW("name") > emW("city") && emW("year") > emW("city"))
+  }
+
+  test("linkage score: a field missing from the weights table fails fast") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, true, true))
+      .toDF("id_a", "id_b", "f_name", "f_city")
+    val labeled = Seq((true, true), (false, false))
+      .toDF("is_match", "f_name")
+    // weights trained on name only; scoring asks for name AND city
+    val w = Linkage.trainWeights(labeled, col("is_match"),
+      Seq("name" -> col("f_name")))
+    val ex = intercept[Exception] {
+      Linkage.score(pairs, Seq(col("id_a"), col("id_b")), w,
+        Seq("name" -> col("f_name"), "city" -> col("f_city"))).collect()
+    }
+    assert(ex.getMessage.contains("no row in the weights table") ||
+      Option(ex.getCause).exists(_.getMessage
+        .contains("no row in the weights table")))
+  }
+
   test("cluster quality: naive scatter bitwise; DB index ranks tight blobs above a smeared layout") {
     val rng = new scala.util.Random(19)
     val centers = Seq(Array.fill(8)(5.0), Array.fill(8)(-5.0),
