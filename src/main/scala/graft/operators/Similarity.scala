@@ -342,10 +342,16 @@ object Similarity {
     * fixed index order (k² doubles — constants, not data) and joined
     * in; identical-centroid pairs (d = 0, a degenerate layout) are
     * excluded and surface via `n_degenerate_pairs` instead of an
-    * infinity. The closing mean folds the k per-cluster ratios in
-    * FIXED cluster order (the Stats order-pinning). Everything after
-    * [[clusterQuality]]'s one data pass runs on ≤ k² rows. Output:
-    * one row (k_clusters, n_degenerate_pairs, db). */
+    * infinity. The closing mean folds the per-cluster ratios in FIXED
+    * cluster order (the Stats order-pinning) and divides by the count
+    * of clusters that HAVE a ratio — a cluster whose every centroid
+    * pair is degenerate contributes nothing to either side of the mean
+    * (it is already surfaced via n_degenerate_pairs), so an
+    * all-duplicate-centroid layout cannot bias db low. Everything after
+    * [[clusterQuality]]'s one data pass runs on ≤ k² rows. Output: one
+    * row (k_clusters, n_degenerate_pairs, db); with k = 1 there are no
+    * centroid pairs at all, so k_clusters = 0 and db is null — DB is
+    * undefined for a single cluster. */
   def daviesBouldin(quality: DataFrame, centroids: Seq[Seq[Double]],
       listCol: String = "ivf_list"): DataFrame = {
     val spark = quality.sparkSession
@@ -374,11 +380,14 @@ object Similarity {
       .agg(count(lit(1)).as("k_clusters"),
         sum(col("__deg")).as("n_degenerate_pairs"),
         sort_array(collect_list(struct(col("__i"), col("__r")))).as("__rs"))
+      .withColumn("__valid",
+        filter(col("__rs"), s => s.getField("__r").isNotNull))
       .withColumn("db",
-        aggregate(filter(col("__rs"), s => s.getField("__r").isNotNull),
-          lit(0.0), (acc, s) => acc + s.getField("__r")) /
-          col("k_clusters").cast("double"))
-      .drop("__rs")
+        when(size(col("__valid")) > 0,
+          aggregate(col("__valid"), lit(0.0),
+            (acc, s) => acc + s.getField("__r")) /
+            size(col("__valid")).cast("double")))
+      .drop("__rs", "__valid")
   }
 
   /** The coarse-probe ranking expression — ONE definition shared

@@ -557,11 +557,31 @@ object TimeSeries {
         .withColumn("__m", (col("n") - h.toLong).cast("int"))
       .filter(col("__m") >= math.max(p, 2))
       .withColumn("__tr", slice(col("__s"), lit(1), col("__m")))
-    val tr = col("__tr")
-    val m = col("__m")
+    grouped
+      .withColumn("__e",
+        explode(methodSmapes(col("__s"), col("__tr"), col("__m"), p, h,
+          alpha, gamma, delta)))
+      .select(groupCols.map(col) ++ Seq(
+        col("__e").getField("method").as("method"), col("n"),
+        col("__e").getField("smape").as("smape")): _*)
+  }
+
+  /** The five method names [[backtest]]/[[backtestRolling]] score, in
+    * their fixed output order. */
+  val BacktestMethods: Seq[String] =
+    Seq("naive", "snaive", "ewma", "holt", "holt_winters")
+
+  /** The per-origin scorer behind [[backtest]] and [[backtestRolling]]:
+    * given the full sorted series `s` and a training length `m`, fit
+    * all five methods on `s[1..m]` (each method's own seeding/recursion
+    * replicated exactly) and score sMAPE over the next `h` points —
+    * one array<struct<method, smape>> in [[BacktestMethods]] order, all
+    * folds fixed-order float expressions (the ewma contract). */
+  private def methodSmapes(s: Column, tr: Column, m: Column, p: Int,
+      h: Int, alpha: Double, gamma: Double, delta: Double): Column = {
     def vAt(i: Column) = element_at(tr, i.cast("int")).getField("v")
     val actuals = transform(sequence(lit(1), lit(h)),
-      i => element_at(col("__s"), (m + i).cast("int")).getField("v"))
+      i => element_at(s, (m + i).cast("int")).getField("v"))
     // naive: last training value, flat
     val fNaive = transform(sequence(lit(1), lit(h)), _ => vAt(m))
     // seasonal naive: the value one period back in the same slot
@@ -618,20 +638,67 @@ object TimeSeries {
         element_at(hwF.getField("s"),
           (pmod(m.cast("bigint") + i.cast("bigint") - 1L,
             lit(p.toLong)) + 1L).cast("int")))
-    def smape(f: Column) = aggregate(zip_with(f, col("__a"),
+    def smape(f: Column) = aggregate(zip_with(f, actuals,
       (fc, a) => when(abs(fc) + abs(a) === 0.0, lit(0.0))
         .otherwise(lit(2.0) * abs(fc - a) / (abs(fc) + abs(a)))),
       lit(0.0), (acc, x) => acc + x) / lit(h.toDouble)
+    array(
+      struct(lit("naive").as("method"), smape(fNaive).as("smape")),
+      struct(lit("snaive").as("method"), smape(fSnaive).as("smape")),
+      struct(lit("ewma").as("method"), smape(fEwma).as("smape")),
+      struct(lit("holt").as("method"), smape(fHolt).as("smape")),
+      struct(lit("holt_winters").as("method"), smape(fHw).as("smape")))
+  }
+
+  /** ROLLING-ORIGIN forecast backtest per group — [[backtest]] scores
+    * one prefix/holdout split, which overfits the evaluation to one
+    * window; the standard remedy (Tashman 2000's rolling-origin
+    * evaluation) scores `origins` consecutive cutoffs and averages.
+    * Origin j ∈ [0, origins) trains on `s[1 .. n−h−j]` and scores
+    * sMAPE on the h points after its cutoff; a group enters only when
+    * its OLDEST origin still has max(period, 2) training rows, so
+    * every emitted group averages exactly `origins` windows.
+    *
+    * All origins are scored INSIDE the same row — each training set is
+    * a prefix slice of the already-sorted in-row series, so rolling
+    * costs zero additional exchanges over [[backtest]]; the cross-
+    * origin mean folds in ascending-j order (fixed, mirror-replayable)
+    * and divides by the origin count.
+    *
+    * Output: groups... + (method, n, n_origins, smape), five rows per
+    * group; `smape` is the mean across origins. */
+  def backtestRolling(df: DataFrame, groupCols: Seq[String], tCol: Column,
+      v: Column, period: Int, horizon: Int, origins: Int,
+      alpha: Double = 0.25, gamma: Double = 0.125, delta: Double = 0.25,
+      maxLen: Int = 100000): DataFrame = {
+    require(period >= 2 && period <= 1000, s"bad period $period")
+    require(horizon >= 1 && horizon <= 1000, s"bad horizon $horizon")
+    require(origins >= 1 && origins <= 1000, s"bad origins $origins")
+    val p = period
+    val h = horizon
+    val grouped =
+      sortedSeries(df, groupCols, tCol, v, "double", "backtestRolling",
+        maxLen)
+      .filter(col("n") - h.toLong - (origins - 1).toLong >=
+        math.max(p, 2).toLong)
+    // array[origins] of array[5] of (method, smape): origin j's cutoff
+    // is m = n − h − j (j = 0 is the newest origin)
+    val perOrigin = transform(sequence(lit(0), lit(origins - 1)), j => {
+      val m = (col("n") - h.toLong).cast("int") - j.cast("int")
+      methodSmapes(col("__s"), slice(col("__s"), lit(1), m), m, p, h,
+        alpha, gamma, delta)
+    })
+    val out = array(BacktestMethods.zipWithIndex.map { case (name, i) =>
+      struct(lit(name).as("method"),
+        (aggregate(perOrigin, lit(0.0), (acc, arr) =>
+          acc + element_at(arr, i + 1).getField("smape")) /
+          lit(origins.toDouble)).as("smape"))
+    }: _*)
     grouped
-      .withColumn("__a", actuals)
-      .withColumn("__e", explode(array(
-        struct(lit("naive").as("method"), smape(fNaive).as("smape")),
-        struct(lit("snaive").as("method"), smape(fSnaive).as("smape")),
-        struct(lit("ewma").as("method"), smape(fEwma).as("smape")),
-        struct(lit("holt").as("method"), smape(fHolt).as("smape")),
-        struct(lit("holt_winters").as("method"), smape(fHw).as("smape")))))
+      .withColumn("__e", explode(out))
       .select(groupCols.map(col) ++ Seq(
         col("__e").getField("method").as("method"), col("n"),
+        lit(origins.toLong).as("n_origins"),
         col("__e").getField("smape").as("smape")): _*)
   }
 

@@ -421,6 +421,7 @@ object Relational {
     "c_pacf" -> (cPacf _),
     "c_holt_winters" -> (cHoltWinters _),
     "c_backtest" -> (cBacktest _),
+    "c_backtest_rolling" -> (cBacktestRolling _),
     "c_ts_strength" -> (cTsStrength _),
     "c_holt_forecast" -> (cHoltForecast _),
     "c_mann_kendall" -> (cMannKendall _),
@@ -629,6 +630,20 @@ object Relational {
       t(s, dir, "events"), to_date(col("ts")), col("event_type"))
     TimeSeries.backtest(f, Seq("key"), col("week_start"), col("freq"),
         period = 2, horizon = 2)
+      .orderBy("key", "method")
+  }
+
+  /** Rolling-origin backtest over the weekly event series
+    * ([[TimeSeries.backtestRolling]], period 2, 1-week holdout, 3
+    * origins): the five methods scored at three consecutive cutoffs,
+    * mean sMAPE per method — the evaluation [[cBacktest]]'s single
+    * origin overfits to one window. All folds fixed-order; smape
+    * hashes unrounded. */
+  def cBacktestRolling(s: SparkSession, dir: String): DataFrame = {
+    val f = TimeSeries.weeklyFrequency(
+      t(s, dir, "events"), to_date(col("ts")), col("event_type"))
+    TimeSeries.backtestRolling(f, Seq("key"), col("week_start"),
+        col("freq"), period = 2, horizon = 1, origins = 3)
       .orderBy("key", "method")
   }
 
@@ -1298,6 +1313,97 @@ object Relational {
         |          + abs(act[CAST(i AS INTEGER)])) END),
         |    (a, b) -> a + b) / 2.0 AS smape
         |FROM fc ORDER BY key, method""".stripMargin,
+    // Rolling-origin mirror: the c_backtest replay with the recursions
+    // keyed by (key, origin j); origin j trains on vs[1 : n-1-j]; the
+    // cross-origin mean folds list(smape ORDER BY j) — ascending j,
+    // matching the operator's in-row ascending-origin fold.
+    "c_backtest_rolling" ->
+      """WITH RECURSIVE f AS (SELECT event_type AS key,
+        |    CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS week_start,
+        |    COUNT(*) AS freq FROM events GROUP BY 1, 2),
+        |s AS (SELECT key,
+        |    list(CAST(freq AS DOUBLE) ORDER BY week_start) AS vs,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1),
+        |base AS (SELECT key, o.j, vs, n, CAST(n - 1 - o.j AS INTEGER) AS m,
+        |    vs[1 : CAST(n - 1 - o.j AS INTEGER)] AS tr,
+        |    list_transform(range(1, 2),
+        |      i -> vs[CAST(n - 1 - o.j + i AS INTEGER)]) AS act
+        |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) o
+        |  WHERE n - 1 - 2 >= 2),
+        |hit AS (
+        |  SELECT key, j, m, tr, CAST(1 AS BIGINT) AS i, tr[1] AS l,
+        |    CASE WHEN m >= 2 THEN tr[2] - tr[1]
+        |      ELSE CAST(0 AS DOUBLE) END AS b
+        |  FROM base
+        |  UNION ALL
+        |  SELECT key, j, m, tr, i + 1, lp, 0.125 * (lp - l) + 0.875 * b
+        |  FROM (SELECT key, j, m, tr, i, l, b,
+        |      0.25 * tr[CAST(i + 1 AS INTEGER)] + 0.75 * (l + b) AS lp
+        |    FROM hit WHERE i < m) AS hq),
+        |hfin AS (SELECT key, j, l, b FROM hit WHERE i = m),
+        |hwseed AS (SELECT key, j, m, tr,
+        |    list_reduce(list_transform(range(1, 3),
+        |      q -> tr[CAST(q AS INTEGER)]), (a, b) -> a + b) / 2.0 AS l0
+        |  FROM base),
+        |hwi AS (
+        |  SELECT key, j, m, tr, CAST(2 AS BIGINT) AS t, l0 AS l,
+        |    CAST(0 AS DOUBLE) AS b,
+        |    list_transform(range(1, 3),
+        |      q -> tr[CAST(q AS INTEGER)] - l0) AS sl
+        |  FROM hwseed
+        |  UNION ALL
+        |  SELECT key, j, m, tr, t + 1, lp,
+        |    0.125 * (lp - l) + 0.875 * b,
+        |    list_transform(sl, (sv, q) -> CASE WHEN q = pos
+        |      THEN 0.25 * (tr[CAST(t + 1 AS INTEGER)] - lp) + 0.75 * sv
+        |      ELSE sv END)
+        |  FROM (SELECT key, j, m, tr, t, l, b, sl,
+        |      CAST(t % 2 + 1 AS INTEGER) AS pos,
+        |      0.25 * (tr[CAST(t + 1 AS INTEGER)]
+        |          - sl[CAST(t % 2 + 1 AS INTEGER)])
+        |        + 0.75 * (l + b) AS lp
+        |    FROM hwi WHERE t < m) AS wq),
+        |hwfin AS (SELECT key, j, l, b, sl FROM hwi WHERE t = m),
+        |fc AS (
+        |  SELECT key, j, n, 'naive' AS method,
+        |    list_transform(range(1, 2), i -> tr[m]) AS fl, act FROM base
+        |  UNION ALL
+        |  SELECT key, j, n, 'snaive',
+        |    list_transform(range(1, 2),
+        |      i -> tr[CAST(m - 2 + (i - 1) % 2 + 1 AS INTEGER)]), act
+        |  FROM base
+        |  UNION ALL
+        |  SELECT key, j, n, 'ewma',
+        |    list_transform(range(1, 2),
+        |      i -> list_reduce(tr, (a, x) -> 0.25 * x + 0.75 * a)), act
+        |  FROM base
+        |  UNION ALL
+        |  SELECT base.key, base.j, n, 'holt',
+        |    list_transform(range(1, 2),
+        |      i -> hfin.l + CAST(i AS DOUBLE) * hfin.b), act
+        |  FROM base JOIN hfin ON hfin.key = base.key AND hfin.j = base.j
+        |  UNION ALL
+        |  SELECT base.key, base.j, n, 'holt_winters',
+        |    list_transform(range(1, 2),
+        |      i -> hwfin.l + CAST(i AS DOUBLE) * hwfin.b
+        |        + hwfin.sl[CAST((m + i - 1) % 2 + 1 AS INTEGER)]), act
+        |  FROM base JOIN hwfin ON hwfin.key = base.key
+        |    AND hwfin.j = base.j),
+        |sm AS (SELECT key, j, n, method,
+        |    list_reduce(list_transform(range(1, 2), i ->
+        |      CASE WHEN abs(fl[CAST(i AS INTEGER)])
+        |          + abs(act[CAST(i AS INTEGER)]) = 0 THEN 0.0
+        |        ELSE 2.0 * abs(fl[CAST(i AS INTEGER)]
+        |            - act[CAST(i AS INTEGER)])
+        |          / (abs(fl[CAST(i AS INTEGER)])
+        |            + abs(act[CAST(i AS INTEGER)])) END),
+        |      (a, b) -> a + b) / 1.0 AS smape
+        |  FROM fc)
+        |SELECT key, method, n, CAST(3 AS BIGINT) AS n_origins,
+        |  list_reduce(list(smape ORDER BY j), (a, b) -> a + b)
+        |    / 3.0 AS smape
+        |FROM sm GROUP BY key, method, n
+        |ORDER BY key, method""".stripMargin,
     // Holt-Winters mirror: seed (period mean, b=0, v-mean seasonals) +
     // the three-equation recursion replayed as a recursive CTE with a
     // list seasonal state; lp computed once and reused like the Holt

@@ -3435,10 +3435,11 @@ object TextLLM {
         |SELECT CAST(COUNT(*) AS BIGINT) AS k_clusters,
         |  CAST(SUM(deg) AS BIGINT) AS n_degenerate_pairs,
         |  CASE WHEN len(list_filter(list(r ORDER BY i),
-        |      x -> x IS NOT NULL)) = 0 THEN 0.0
-        |    ELSE 0.0 + list_reduce(list_filter(list(r ORDER BY i),
-        |      x -> x IS NOT NULL), (a, b) -> a + b) END
-        |    / CAST(COUNT(*) AS DOUBLE) AS db
+        |      x -> x IS NOT NULL)) = 0 THEN NULL
+        |    ELSE (0.0 + list_reduce(list_filter(list(r ORDER BY i),
+        |      x -> x IS NOT NULL), (a, b) -> a + b))
+        |    / CAST(len(list_filter(list(r ORDER BY i),
+        |      x -> x IS NOT NULL)) AS DOUBLE) END AS db
         |FROM ratio""".stripMargin,
     "s_ann_ivf_top3" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -1210,6 +1210,33 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .contains("no row in the weights table")))
   }
 
+  test("davies-bouldin: degenerate centroid pairs don't dilute the mean; all-degenerate and k=1 give null") {
+    import spark.implicits._
+    // clusters 0 and 1 share a centroid (degenerate pair); cluster 2 is
+    // apart — db must average over the clusters that HAVE a ratio, not k
+    val quality = Seq((0, 0.5), (1, 0.25), (2, 0.25)).toDF("ivf_list", "s")
+    val dup = Seq(Seq(0.0, 0.0), Seq(0.0, 0.0), Seq(3.0, 4.0)) // d02 = 5
+    val r = Similarity.daviesBouldin(quality, dup).head()
+    assert(r.getAs[Long]("k_clusters") == 3L)
+    assert(r.getAs[Long]("n_degenerate_pairs") == 2L)
+    // every cluster's best valid ratio: c0 vs c2 = (0.5+0.25)/5,
+    // c1 vs c2 = (0.25+0.25)/5, c2 vs c0 = (0.25+0.5)/5
+    val expected = ((0.75 / 5) + (0.5 / 5) + (0.75 / 5)) / 3.0
+    assert(math.abs(r.getAs[Double]("db") - expected) < 1e-12)
+    // all centroids identical: no cluster has any ratio — db undefined
+    val allDup = Similarity.daviesBouldin(
+      Seq((0, 0.5), (1, 0.25)).toDF("ivf_list", "s"),
+      Seq(Seq(1.0), Seq(1.0))).head()
+    assert(allDup.getAs[Long]("k_clusters") == 2L)
+    assert(allDup.getAs[Long]("n_degenerate_pairs") == 2L)
+    assert(allDup.isNullAt(allDup.fieldIndex("db")))
+    // k = 1: no centroid pairs at all — DB is undefined
+    val single = Similarity.daviesBouldin(
+      Seq((0, 0.5)).toDF("ivf_list", "s"), Seq(Seq(1.0))).head()
+    assert(single.getAs[Long]("k_clusters") == 0L)
+    assert(single.isNullAt(single.fieldIndex("db")))
+  }
+
   test("cluster quality: naive scatter bitwise; DB index ranks tight blobs above a smeared layout") {
     val rng = new scala.util.Random(19)
     val centers = Seq(Array.fill(8)(5.0), Array.fill(8)(-5.0),

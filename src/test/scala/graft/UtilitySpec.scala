@@ -190,6 +190,63 @@ class UtilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a1 == a2)
   }
 
+  test("rolling backtest: mean of per-origin single-origin runs bitwise; ranking stable; edges") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    def runRolling(rows: Seq[(String, Int, Double)], k: Int, h: Int = 1) =
+      TimeSeries.backtestRolling(rows.toDF("g", "t", "v"), Seq("g"),
+          col("t"), col("v"), period = 2, horizon = h, origins = k)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val saw = (0 until 12).map(t => ("s", t, if (t % 2 == 0) 10.0 else 20.0))
+    val ramp = (0 until 12).map(t => ("r", t, 10.0 + 3.0 * t))
+    val noisy = Seq(3.0, 5.0, 10.0, 0.0, 7.0, 2.0, 9.0, 1.0)
+      .zipWithIndex.map { case (v, t) => ("h", t, v) }
+    val rolled = runRolling(saw ++ ramp ++ noisy, k = 3)
+
+    // independent replay: origin j == a single-origin backtest on the
+    // series truncated to its last n−j rows; the rolling smape must be
+    // the ascending-j fixed-order mean of those, BITWISE
+    def singleOrigin(rows: Seq[(String, Int, Double)], j: Int) =
+      TimeSeries.backtest(
+          rows.dropRight(j).toDF("g", "t", "v"), Seq("g"), col("t"),
+          col("v"), period = 2, horizon = 1)
+        .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    for (series <- Seq(saw, ramp, noisy)) {
+      val g = series.head._1
+      val per = (0 until 3).map(j => singleOrigin(series, j))
+      for (m <- TimeSeries.BacktestMethods) {
+        val mean = ((0.0 + per(0)(m)) + per(1)(m) + per(2)(m)) / 3.0
+        assert(rolled((g, m))._3 == mean, s"$g/$m")
+        assert(rolled((g, m))._2 == 3L)
+      }
+    }
+    // regime winners survive multi-origin evaluation
+    assert(rolled(("s", "snaive"))._3 == 0.0)
+    assert(rolled(("r", "holt"))._3 < 1e-12)
+    assert(rolled(("s", "naive"))._3 > rolled(("s", "snaive"))._3)
+    assert(rolled(("r", "naive"))._3 > rolled(("r", "holt"))._3)
+    // a group whose OLDEST origin lacks training rows emits nothing
+    // (n=5, h=1, k=3 -> oldest trains on 2 rows: ok at exactly the
+    // boundary; n=4 -> oldest trains on 1 row: excluded)
+    assert(runRolling((0 until 5).map(t => ("b", t, 1.0 * t)), k = 3)
+      .size == 5)
+    assert(runRolling((0 until 4).map(t => ("b", t, 1.0 * t)), k = 3)
+      .isEmpty)
+    // k=1 degenerates to the single-origin backtest exactly
+    val one = runRolling(noisy, k = 1)
+    val base = singleOrigin(noisy, 0)
+    for (m <- TimeSeries.BacktestMethods)
+      assert(one(("h", m))._3 == (0.0 + base(m)) / 1.0, s"k1/$m")
+    // layout invariance is bitwise
+    val rolled2 = TimeSeries.backtestRolling(
+        (saw ++ ramp ++ noisy).reverse.toDF("g", "t", "v").repartition(7),
+        Seq("g"), col("t"), col("v"), 2, 1, 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rolled == rolled2)
+  }
+
   test("holtWinters: naive recurrence bitwise; carries the season holt flattens; edges") {
     import spark.implicits._
     import graft.operators.TimeSeries
