@@ -640,6 +640,221 @@ object Multimodal {
       .withColumn("out_height", ceil(col("height") * scale).cast("int"))
   }
 
+  // ----------------------------------------------------------- EXIF/TIFF
+
+  /** EXIF tag names by (IFD context, tag id) — the standard subset a
+    * training-data pipeline filters/attributes on (camera, timestamps,
+    * dimensions, orientation, GPS presence). Unknown tags are skipped,
+    * not errored: real-world EXIF is full of vendor tags. */
+  private val ExifIfdTags: Map[Int, String] = Map(
+    0x010F -> "Make", 0x0110 -> "Model", 0x0112 -> "Orientation",
+    0x011A -> "XResolution", 0x011B -> "YResolution",
+    0x0132 -> "DateTime", 0x0131 -> "Software",
+    0x829A -> "ExposureTime", 0x829D -> "FNumber",
+    0x8827 -> "ISOSpeedRatings", 0x9003 -> "DateTimeOriginal",
+    0x9004 -> "DateTimeDigitized", 0x920A -> "FocalLength",
+    0xA002 -> "PixelXDimension", 0xA003 -> "PixelYDimension")
+  private val GpsIfdTags: Map[Int, String] = Map(
+    0x0001 -> "GPSLatitudeRef", 0x0003 -> "GPSLongitudeRef",
+    0x0005 -> "GPSAltitudeRef")
+
+  /** Parse the EXIF metadata of a JPEG (APP1 "Exif") or bare TIFF
+    * payload — a pure byte-walk with the same real-codec discipline as
+    * the RIFF/WAVE and PNG paths: byte-order-aware TIFF header, IFD0
+    * entry scan, the Exif and GPS sub-IFDs followed through their
+    * pointer tags (depth-1 — no arbitrary IFD chains), ASCII / SHORT /
+    * LONG / RATIONAL values decoded inline or via the out-of-line data
+    * area. Returns the known tags ([[ExifIfdTags]]/[[GpsIfdTags]]) as
+    * name → rendered string (ASCII NUL-trimmed; integers decimal;
+    * rationals "num/den"; multi-count values space-joined). `None` — an
+    * honest null, never a throw — on anything malformed: no/short
+    * payload, no APP1 Exif segment, bad TIFF magic, out-of-bounds
+    * offsets or counts. Bounds: ≤ 256 entries per IFD, count ≤ 4096. */
+  def exifTags(payload: Array[Byte]): Option[Map[String, String]] = {
+    if (payload == null || payload.length < 8) return None
+    def u8(i: Int): Int = payload(i) & 0xFF
+    // locate the TIFF block: bare TIFF, or JPEG marker walk to APP1
+    val tiffBase: Int =
+      if (u8(0) == 0x49 && u8(1) == 0x49 || u8(0) == 0x4D && u8(1) == 0x4D) 0
+      else if (u8(0) == 0xFF && u8(1) == 0xD8) {
+        var pos = 2
+        var base = -1
+        var guard = 0
+        while (base < 0 && pos + 4 <= payload.length && guard < 64) {
+          guard += 1
+          if (u8(pos) != 0xFF) return None // marker desync ⇒ corrupt
+          val marker = u8(pos + 1)
+          if (marker == 0xD9 || marker == 0xDA) return None // EOI/SOS: no EXIF
+          val len = (u8(pos + 2) << 8) | u8(pos + 3) // includes the 2 len bytes
+          if (len < 2 || pos + 2 + len > payload.length) return None
+          if (marker == 0xE1 && len >= 8 &&
+            new String(payload, pos + 4, 4, "US-ASCII") == "Exif" &&
+            u8(pos + 8) == 0 && u8(pos + 9) == 0) base = pos + 10
+          else pos += 2 + len
+        }
+        if (base < 0) return None
+        base
+      } else return None
+    if (tiffBase + 8 > payload.length) return None
+    val little = u8(tiffBase) == 0x49 && u8(tiffBase + 1) == 0x49
+    val big = u8(tiffBase) == 0x4D && u8(tiffBase + 1) == 0x4D
+    if (!little && !big) return None
+    def u16(i: Int): Int =
+      if (i < tiffBase || i + 2 > payload.length) -1
+      else if (little) u8(i) | (u8(i + 1) << 8)
+      else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (i < tiffBase || i + 4 > payload.length) -1L
+      else if (little) u8(i) | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2) << 8) | u8(i + 3)
+    if (u16(tiffBase + 2) != 42) return None
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    var exifPtr = -1L
+    var gpsPtr = -1L
+    def typeSize(t: Int): Int = t match {
+      case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 => 4
+      case 5 | 10 => 8; case _ => 0
+    }
+    // returns false on a structural violation (the whole parse is voided)
+    def walkIfd(off: Long, names: Map[Int, String]): Boolean = {
+      val at = tiffBase + off.toInt
+      if (off < 0 || off > Int.MaxValue || at + 2 > payload.length) return false
+      val n = u16(at)
+      if (n < 0 || n > 256 || at + 2 + n * 12 + 4 > payload.length) return false
+      var e = 0
+      while (e < n) {
+        val ent = at + 2 + e * 12
+        val tag = u16(ent)
+        val typ = u16(ent + 2)
+        val count = u32(ent + 4)
+        val sz = typeSize(typ)
+        if (sz == 0 || count < 0 || count > 4096) return false
+        val byteLen = sz * count.toInt
+        val valAt =
+          if (byteLen <= 4) ent + 8
+          else {
+            val o = u32(ent + 8)
+            if (o < 0 || o > Int.MaxValue) return false
+            tiffBase + o.toInt
+          }
+        if (valAt < tiffBase || valAt + byteLen > payload.length) return false
+        if (tag == 0x8769 && typ == 4) exifPtr = u32(valAt)
+        else if (tag == 0x8825 && typ == 4) gpsPtr = u32(valAt)
+        else names.get(tag).foreach { name =>
+          val rendered: Option[String] = typ match {
+            case 2 => // ASCII: trim at the first NUL
+              val raw = new String(payload, valAt, byteLen, "US-ASCII")
+              val nul = raw.indexOf('\u0000')
+              Some(if (nul >= 0) raw.substring(0, nul) else raw)
+            case 3 => Some((0 until count.toInt)
+              .map(k => u16(valAt + 2 * k)).mkString(" "))
+            case 4 => Some((0 until count.toInt)
+              .map(k => u32(valAt + 4 * k)).mkString(" "))
+            case 5 => Some((0 until count.toInt).map(k =>
+              s"${u32(valAt + 8 * k)}/${u32(valAt + 8 * k + 4)}")
+              .mkString(" "))
+            case _ => None // unexpected-typed known tag: skip the entry
+          }
+          rendered.foreach(out(name) = _)
+        }
+        e += 1
+      }
+      true
+    }
+    if (!walkIfd(u32(tiffBase + 4), ExifIfdTags)) return None
+    if (exifPtr >= 0 && !walkIfd(exifPtr, ExifIfdTags)) return None
+    if (gpsPtr >= 0 && !walkIfd(gpsPtr, GpsIfdTags)) return None
+    Some(out.toMap)
+  }
+
+  /** Encode a REAL minimal EXIF JPEG — SOI + APP1("Exif\0\0" + TIFF) +
+    * EOI — for fixtures and round-trip tests: IFD0 (Make, Model,
+    * Orientation, XResolution, DateTime) + Exif sub-IFD (ExposureTime,
+    * ISO, PixelXDimension) + optional GPS sub-IFD (GPSLatitudeRef),
+    * with out-of-line ASCII/RATIONAL values in a proper data area and
+    * both byte orders supported. */
+  def encodeExifJpeg(littleEndian: Boolean, make: String, model: String,
+      orientation: Int, dateTime: String, xResolution: (Long, Long),
+      exposure: (Long, Long), iso: Int, pixelX: Long,
+      gpsLatRef: Option[String]): Array[Byte] = {
+    val data = scala.collection.mutable.ArrayBuffer[Byte]()
+    def p16(v: Int): Array[Byte] =
+      if (littleEndian) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      else Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def p32(v: Long): Array[Byte] =
+      if (littleEndian) Array(v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF,
+        (v >> 24) & 0xFF).map(_.toByte)
+      else Array((v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF,
+        v & 0xFF).map(_.toByte)
+    // entry builders return 12-byte entries; out-of-line values append
+    // to `data` and record their offset RELATIVE to the data area start
+    // (fixed up once the IFD sizes are known)
+    final case class Ent(tag: Int, typ: Int, count: Int,
+        inline: Option[Array[Byte]], dataOff: Int)
+    def ascii(tag: Int, s: String): Ent = {
+      val bytes = (s + "\u0000").getBytes("US-ASCII")
+      if (bytes.length <= 4)
+        Ent(tag, 2, bytes.length, Some(bytes.padTo(4, 0.toByte)), -1)
+      else { val off = data.size; data ++= bytes; Ent(tag, 2, bytes.length, None, off) }
+    }
+    def short(tag: Int, v: Int): Ent =
+      Ent(tag, 3, 1, Some(p16(v) ++ Array[Byte](0, 0)), -1)
+    def long(tag: Int, v: Long): Ent = Ent(tag, 4, 1, Some(p32(v)), -1)
+    def rational(tag: Int, num: Long, den: Long): Ent = {
+      val off = data.size; data ++= p32(num); data ++= p32(den)
+      Ent(tag, 5, 1, None, off)
+    }
+    val gps = gpsLatRef.map(r => Seq(ascii(0x0001, r)))
+    val exifEnts = Seq(rational(0x829A, exposure._1, exposure._2),
+      short(0x8827, iso), long(0xA002, pixelX))
+    def ifdSize(n: Int) = 2 + n * 12 + 4
+    val nIfd0 = 5 + 1 + (if (gps.isDefined) 1 else 0) // fields + pointers
+    val ifd0Off = 8L
+    val exifOff = ifd0Off + ifdSize(nIfd0)
+    val gpsOff = exifOff + ifdSize(exifEnts.size)
+    val dataStart = gpsOff + gps.map(g => ifdSize(g.size).toLong).getOrElse(0L)
+    val ifd0Ents = Seq(
+      ascii(0x010F, make), ascii(0x0110, model),
+      short(0x0112, orientation),
+      rational(0x011A, xResolution._1, xResolution._2),
+      ascii(0x0132, dateTime),
+      long(0x8769, exifOff)) ++
+      gps.map(_ => long(0x8825, gpsOff)).toSeq
+    def renderIfd(ents: Seq[Ent]): Array[Byte] = {
+      val sorted = ents.sortBy(_.tag)
+      p16(sorted.size) ++ sorted.flatMap(e =>
+        p16(e.tag) ++ p16(e.typ) ++ p32(e.count.toLong) ++
+          e.inline.getOrElse(p32(dataStart + e.dataOff))) ++ p32(0L)
+    }
+    val tiff =
+      (if (littleEndian) Array[Byte](0x49, 0x49) ++ p16(42)
+       else Array[Byte](0x4D, 0x4D) ++ p16(42)) ++
+        p32(ifd0Off) ++ renderIfd(ifd0Ents) ++ renderIfd(exifEnts) ++
+        gps.map(renderIfd).getOrElse(Array.empty[Byte]) ++ data
+    val app1Body = "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiff
+    val len = app1Body.length + 2
+    Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte,
+      ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++ app1Body ++
+      Array[Byte](0xFF.toByte, 0xD9.toByte)
+  }
+
+  /** Column face of [[exifTags]]: one (id, tag, value) row per parsed
+    * tag, tag-sorted within an id by the output's consumers' orderBy.
+    * Unparseable/EXIF-less payloads contribute NO rows — the honest-
+    * null convention of the other codec faces. Narrow mapPartitions
+    * (byte-walking is not Column-expressible). */
+  def exifFields(df: DataFrame, idCol: Column, payloadCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(idCol.cast("long").as("id"), payloadCol.as("p"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        exifTags(p).toSeq.flatMap(_.map { case (t, v) => (id, t, v) }) })
+      .toDF("id", "tag", "value")
+  }
+
   /** Synthesize a deterministic MediaItem table from the documents table
     * (texts become payload bytes) — the test/demo input shape. */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {

@@ -1377,6 +1377,47 @@ object TextLLM {
       .orderBy("id_a", "id_b")
   }
 
+  /** EXIF provenance extraction end to end ([[Multimodal.exifTags]]):
+    * deterministic per-doc EXIF JPEGs — real SOI/APP1/TIFF byte
+    * structures via [[Multimodal.encodeExifJpeg]], alternating byte
+    * orders, IFD0 + Exif + (every third id) GPS sub-IFDs, out-of-line
+    * ASCII/RATIONAL values — parsed back by the byte-walk into
+    * (id, tag, value) rows. Ids ≡ 0 (mod 7) get a TRUNCATED payload
+    * (broken APP1 length) and ids ≡ 1 (mod 7) a JPEG with no APP1 at
+    * all: both must contribute zero rows, never a throw — the honest-
+    * null contract. The oracle replays only the planted tag VALUES
+    * (pure doc_id arithmetic); the bytes in between are the real codec
+    * under test. */
+  def mExifFields(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = docs(s, dir).filter(col("doc_id") < 60)
+      .select(col("doc_id")).as[Long]
+    val images = ids.mapPartitions { it =>
+      it.map { id =>
+        val full = Multimodal.encodeExifJpeg(
+          littleEndian = id % 2 == 0,
+          make = s"Cam${id % 5}",
+          model = s"M-${id % 3}",
+          orientation = (id % 8 + 1).toInt,
+          dateTime = f"2023:01:${id % 28 + 1}%02d 10:00:00",
+          xResolution = (72 + id % 4, 1L),
+          exposure = (1L, 50 + id % 200),
+          iso = (100 + (id % 16) * 25).toInt,
+          pixelX = 640 + id % 1024,
+          gpsLatRef = if (id % 3 == 0)
+            Some(if (id % 2 == 0) "N" else "S") else None)
+        val payload =
+          if (id % 7 == 0) full.take(12) // truncated mid-APP1: corrupt
+          else if (id % 7 == 1) // SOI + EOI: well-formed, no EXIF
+            Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)
+          else full
+        (id, payload)
+      }
+    }.toDF("doc_id", "payload")
+    Multimodal.exifFields(images, col("doc_id"), col("payload"))
+      .orderBy("id", "tag")
+  }
+
   /** Audio near-duplicate detection end to end: deterministic PCM-16
     * payloads through the REAL RIFF encode→decode chain, fingerprinted
     * by [[Multimodal.audioDHash64]] (energy-envelope delta bits), banded
@@ -1581,6 +1622,7 @@ object TextLLM {
     "m_jpeg_pixel_stats" -> (mJpegPixelStats _),
     "m_dhash_neardups" -> (mDhashNearDups _),
     "m_phash_neardups" -> (mPhashNearDups _),
+    "m_exif_fields" -> (mExifFields _),
     "m_audio_fingerprint_neardups" -> (mAudioFingerprintNeardups _),
     "m_resize_pixel_stats" -> (mResizePixelStats _),
     "m_gif_frame_stats" -> (mGifFrameStats _),
@@ -3369,6 +3411,35 @@ object TextLLM {
     // EM mirror: generated chained-CTE replay of 3 fixed E/M steps —
     // see linkageEmOracle's doc for the float-op contract.
     "t_linkage_em" -> linkageEmOracle,
+    // EXIF mirror: replays the planted tag VALUES as pure doc_id
+    // arithmetic — the APP1/TIFF bytes in between are the real codec
+    // under test (encode → byte-walk parse must be lossless). Corrupt
+    // (≡0 mod 7) and EXIF-less (≡1 mod 7) ids contribute no rows.
+    "m_exif_fields" ->
+      """WITH ok AS (SELECT doc_id AS id FROM documents
+        |  WHERE doc_id < 60 AND doc_id % 7 NOT IN (0, 1)),
+        |rows_all AS (
+        |  SELECT id, 'Make' AS tag,
+        |    'Cam' || CAST(id % 5 AS VARCHAR) AS value FROM ok
+        |  UNION ALL SELECT id, 'Model', 'M-' || CAST(id % 3 AS VARCHAR)
+        |  FROM ok
+        |  UNION ALL SELECT id, 'Orientation',
+        |    CAST(id % 8 + 1 AS VARCHAR) FROM ok
+        |  UNION ALL SELECT id, 'XResolution',
+        |    CAST(72 + id % 4 AS VARCHAR) || '/1' FROM ok
+        |  UNION ALL SELECT id, 'DateTime',
+        |    '2023:01:' || lpad(CAST(id % 28 + 1 AS VARCHAR), 2, '0')
+        |      || ' 10:00:00' FROM ok
+        |  UNION ALL SELECT id, 'ExposureTime',
+        |    '1/' || CAST(50 + id % 200 AS VARCHAR) FROM ok
+        |  UNION ALL SELECT id, 'ISOSpeedRatings',
+        |    CAST(100 + (id % 16) * 25 AS VARCHAR) FROM ok
+        |  UNION ALL SELECT id, 'PixelXDimension',
+        |    CAST(640 + id % 1024 AS VARCHAR) FROM ok
+        |  UNION ALL SELECT id, 'GPSLatitudeRef',
+        |    CASE WHEN id % 2 = 0 THEN 'N' ELSE 'S' END
+        |  FROM ok WHERE id % 3 = 0)
+        |SELECT id, tag, value FROM rows_all ORDER BY id, tag""".stripMargin,
     // Cluster-scatter mirror: the s_ann_ivf assignment CTEs, then each
     // point's own-centroid distance as the SAME fixed index-order
     // zip-fold + sqrt, floor-quantized at 1e9 — sums exact BIGINT, the

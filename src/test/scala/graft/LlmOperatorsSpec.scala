@@ -1711,6 +1711,46 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h >= 0 && Multimodal.pHash64("nope".getBytes("UTF-8")).isEmpty)
   }
 
+  test("EXIF: both byte orders round-trip; sub-IFDs followed; corrupt bytes give honest None") {
+    def enc(le: Boolean, gps: Option[String] = Some("N")) =
+      Multimodal.encodeExifJpeg(le, make = "CamCo", model = "M-1",
+        orientation = 6, dateTime = "2023:01:05 10:00:00",
+        xResolution = (72L, 1L), exposure = (1L, 125L), iso = 400,
+        pixelX = 1920L, gpsLatRef = gps)
+    for (le <- Seq(true, false)) {
+      val tags = Multimodal.exifTags(enc(le)).get
+      assert(tags("Make") == "CamCo")       // out-of-line ASCII
+      assert(tags("Model") == "M-1")        // inline ASCII (4 bytes w/ NUL)
+      assert(tags("Orientation") == "6")    // inline SHORT
+      assert(tags("XResolution") == "72/1") // out-of-line RATIONAL
+      assert(tags("DateTime") == "2023:01:05 10:00:00")
+      assert(tags("ExposureTime") == "1/125") // Exif sub-IFD
+      assert(tags("ISOSpeedRatings") == "400")
+      assert(tags("PixelXDimension") == "1920")
+      assert(tags("GPSLatitudeRef") == "N") // GPS sub-IFD
+    }
+    // no GPS pointer -> no GPS tag, everything else intact
+    val noGps = Multimodal.exifTags(enc(le = true, gps = None)).get
+    assert(!noGps.contains("GPSLatitudeRef") && noGps("Make") == "CamCo")
+    // bare TIFF (no JPEG wrapper) parses too: strip SOI+APP1 header
+    val jpeg = enc(le = true)
+    val tiff = jpeg.drop(12).dropRight(2) // SOI(2)+APP1 marker+len(4)+Exif\0\0(6)
+    assert(Multimodal.exifTags(tiff).get("Make") == "CamCo")
+    // honest None, never a throw, on every malformed shape
+    assert(Multimodal.exifTags(null).isEmpty)
+    assert(Multimodal.exifTags(Array[Byte]()).isEmpty)
+    assert(Multimodal.exifTags("not an image".getBytes).isEmpty)
+    assert(Multimodal.exifTags(Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xD9.toByte)).isEmpty)   // JPEG without APP1
+    for (cut <- Seq(4, 12, 20, 40, jpeg.length - 20))
+      assert(Multimodal.exifTags(jpeg.take(cut)).isEmpty, s"cut=$cut")
+    // corrupt TIFF magic / IFD offset beyond the payload
+    val badMagic = jpeg.clone; badMagic(12) = 'X'.toByte
+    assert(Multimodal.exifTags(badMagic).isEmpty)
+    val badOff = jpeg.clone; badOff(20) = 0x7F.toByte // entry count -> 127: absurd
+    assert(Multimodal.exifTags(badOff).isEmpty)
+  }
+
   test("audioDHash: volume-invariant, local edit few bits, garbage rejected, banded pairs") {
     def samples(id: Long, n: Int): Array[Short] =
       Array.tabulate(n)(i => (((id * 37 + i * 73) % 4001) - 2000).toShort)
