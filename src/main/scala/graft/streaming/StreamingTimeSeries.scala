@@ -725,6 +725,63 @@ object StreamingTimeSeries {
       spark.read.parquet(s"$targetDir/user_weeks")
         .dropDuplicates("__u", "__w"))
 
+  /** WATERMARKED cohort-retention maintenance — the bounded-state
+    * variant of [[startUserWeeksQuery]]. That face keeps the dedup
+    * burden in the sink (the grid is an idempotent fact table and
+    * every read re-deduplicates), which is exactly right for replay
+    * safety but leaves the emitted grid unbounded by construction and
+    * gives late data no policy at all. This face runs the dedup IN the
+    * stream with true event-time semantics:
+    *
+    *  - each event reduces to its (user, week-start) fact, with the
+    *    week start as the event-time column;
+    *  - `withWatermark(week, horizonWeeks·7 days)` +
+    *    `dropDuplicates(user, week)` make Spark hold ONE state row per
+    *    in-horizon fact and EVICT a fact's row once the watermark
+    *    passes `horizonWeeks` behind the newest observed week — state
+    *    is bounded by (active users × horizon weeks), not stream
+    *    length;
+    *  - the documented LATE-DATA POLICY (SURVEY §2.9): an event for a
+    *    week more than the horizon behind the newest seen week is
+    *    DROPPED, not resurrected — a closed cohort window never
+    *    changes retroactively. Within the horizon, late data lands
+    *    exactly once (the state row still exists to dedup against).
+    *
+    * On data whose lateness never exceeds the horizon, the sink grid —
+    * and hence [[mergedWatermarkedRetention]] — is bit-identical to
+    * the batch [[graft.operators.TimeSeries.retentionCohorts]];
+    * StreamingSpec pins that equality AND the state-store row bound. */
+  def startWatermarkedUserWeeksQuery(events: DataFrame, userCol: String,
+      dateCol: String, targetDir: String, checkpointDir: String,
+      horizonWeeks: Int = 8) = {
+    require(horizonWeeks >= 1 && horizonWeeks <= 520,
+      s"horizonWeeks in 1..520, got $horizonWeeks")
+    events
+      .filter(col(userCol).isNotNull && col(dateCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        graft.operators.TimeSeries.weekStart(col(dateCol))
+          .cast("timestamp").as("__w"))
+      .withWatermark("__w", s"${horizonWeeks * 7} days")
+      .dropDuplicates("__u", "__w")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", s"$targetDir/user_weeks_wm")
+      .start()
+  }
+
+  /** Retention matrix over the watermarked grid. The stream already
+    * emitted each in-horizon fact exactly once; the defensive
+    * dropDuplicates only covers file-sink leftovers from an unclean
+    * restart (reading the directory raw bypasses the sink manifest). */
+  def mergedWatermarkedRetention(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String): DataFrame =
+    graft.operators.TimeSeries.retentionFromUserWeeks(
+      spark.read.parquet(s"$targetDir/user_weeks_wm")
+        .select(col("__u"), col("__w").cast("date").as("__w"))
+        .dropDuplicates("__u", "__w"))
+
   /** Streaming reference-LM maintenance — the ingestion face of
     * [[graft.operators.NgramLm]]: each micro-batch of reference
     * documents reduces once to its exact (w1, w2, count) bigram deltas

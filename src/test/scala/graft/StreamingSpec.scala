@@ -680,6 +680,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("watermarked retention: closed windows == batch; state evicts beyond the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("retwm_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("retwm_ckpt").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // Sundays: week k starts 2024-01-07 + 7k
+    def wk(k: Int, day: Int = 0) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 7).plusDays(7L * k + day))
+    val input = MemoryStream[(String, java.sql.Date)]
+    val q = StreamingTimeSeries.startWatermarkedUserWeeksQuery(
+      input.toDF().toDF("u", "dt"), "u", "dt", dir, ckpt, horizonWeeks = 2)
+    try {
+      // weeks 0-1: four users, duplicate facts within AND across batches
+      val early = Seq(("u0", wk(0)), ("u0", wk(0, 3)), ("u1", wk(0)),
+        ("u2", wk(0)), ("u3", wk(0)), ("u0", wk(1)), ("u1", wk(1, 2)))
+      input.addData(early.take(4): _*); q.processAllAvailable()
+      input.addData(early.drop(4): _*); q.processAllAvailable()
+      input.addData(early.take(3): _*); q.processAllAvailable() // replay
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getDate(0).toString, r.getLong(1)) ->
+          r.toSeq.drop(2)).toMap
+      import graft.operators.TimeSeries
+      // nothing late yet: the watermarked face == batch, facts exactly once
+      assert(m(StreamingTimeSeries.mergedWatermarkedRetention(spark, dir)) ==
+        m(TimeSeries.retentionCohorts(early.toDF("u", "dt"),
+          col("u"), col("dt"))))
+      val grid0 = spark.read.parquet(s"$dir/user_weeks_wm")
+      assert(grid0.count() == 6, "a duplicated fact was emitted twice")
+      // jump to week 10: watermark moves to week 10 − 14 days; the next
+      // batch processes under it and evicts the week 0-1 state rows
+      input.addData(("u5", wk(10))): Unit; q.processAllAvailable()
+      input.addData(("u6", wk(10))): Unit; q.processAllAvailable()
+      val stateRows =
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 3,
+        s"state holds $stateRows rows — weeks 0-1 facts were not evicted")
+      // late-data policy: a week-0 fact now arrives BEYOND the horizon —
+      // dropped, the closed cohort window never changes retroactively
+      input.addData(("u9", wk(0))): Unit; q.processAllAvailable()
+      val users = spark.read.parquet(s"$dir/user_weeks_wm")
+        .select("__u").as[String].collect().toSet
+      assert(!users.contains("u9"), "a beyond-horizon late fact leaked in")
+      // and the readout still matches batch over the KEPT rows
+      val kept = early ++ Seq(("u5", wk(10)), ("u6", wk(10)))
+      assert(m(StreamingTimeSeries.mergedWatermarkedRetention(spark, dir)) ==
+        m(TimeSeries.retentionCohorts(kept.toDF("u", "dt"),
+          col("u"), col("dt"))))
+    } finally q.stop()
+  }
+
   test("streaming LM counts: cap-after-merge model == batch-trained, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
