@@ -67,6 +67,52 @@ object ScaleProbe {
       Dedup.exactClusters(aligned.toDF(), col("clusterId"), col("seq")).count()
     }
 
+    // ---- domain headline path (the original mission's spine, SURVEY
+    // §3.1–3.2): FASTA scan → flatMap variant caller → cache → the five
+    // MSA_Reader report products, then the ONE-SHUFFLE weekly matrix
+    // over a synthetic metadata join. Reference complexity for the same
+    // products: O(ref_len × events) Python loops per report
+    // (MSA_Reader.py) and O(weeks × continents × rows) for the series
+    // (Time_Series.py); here each report is one exchange over the
+    // cached events and the matrix is one Expand-style shuffle. ----
+    val events = VariantCalling.callAll(aligned, ref).cache()
+    timed("domain_call_and_cache") { events.count() }
+    val totalSeqs = aligned.agg(sum(col("clusterSize"))).head().getLong(0)
+    timed("domain_report_info_by_cluster") {
+      Reports.infoByCluster(events).count()
+    }
+    timed("domain_report_info_by_code") {
+      Reports.infoByCode(events, None).count()
+    }
+    timed("domain_report_mutation_csv") {
+      Reports.mutationCsv(events, totalSeqs).count()
+    }
+    val perPos = Reports.perPositionTable(events, ref, totalSeqs)
+    timed("domain_report_per_position") { perPos.count() }
+    timed("domain_report_pymol") { Reports.pymolStrings(perPos).count() }
+    val perCluster =
+      VariantTimeSeries.variantsPerCluster(events, "RefCluster", 1)
+    timed("domain_variants_per_cluster") { perCluster.count() }
+    // synthetic metadata: 2 accessions per cluster, 52 weeks × 6 regions
+    val regions = Seq("Asia", "Europe", "Africa", "Oceania",
+      "North America", "South America")
+    val meta = spark.range(nSeqs * 2L).select(
+      concat(lit("acc"), col("id")).as("accession"),
+      date_format(date_add(lit("2021-01-03").cast("date"),
+        pmod(col("id") * 37L, lit(364)).cast("int")), "yyyy-MM-dd")
+        .as("date"),
+      element_at(typedLit(regions), (pmod(col("id"), lit(6)) + 1).cast("int"))
+        .as("region"))
+    val clusterMap = spark.range(nSeqs * 2L).select(
+      concat(lit("acc"), col("id")).as("accession"),
+      concat(lit("Uniq"), pmod(col("id"), lit(nSeqs))).as("cluster_id"))
+    timed("domain_weekly_matrix_one_shuffle") {
+      VariantTimeSeries.weeklyMatrix(
+        VariantTimeSeries.joinMetadata(meta, clusterMap, perCluster))
+        .count()
+    }
+    events.unpersist()
+
     // ---- synthetic text corpus; every 10th doc also appears as a
     // near-duplicate copy (one appended token) under id + nDocs ----
     val docs = spark.range(nDocs).flatMap { i =>
