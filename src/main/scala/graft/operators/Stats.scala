@@ -1821,4 +1821,108 @@ object Stats {
         element_at(probsArr, col("__pos").cast("int") + 1))
       .drop("__qs", "__pos")
   }
+
+  /** Kaplan–Meier survival estimator per group (Kaplan & Meier, JASA
+    * 1958) — the time-to-event companion of the retention-cohort grid:
+    * given per-subject (duration, event) observations where `event` is
+    * true for an observed event (churn, failure) and false for a
+    * right-censored subject (still active at cutoff), estimate
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) with dᵢ = events at tᵢ and nᵢ =
+    * subjects still at risk (duration ≥ tᵢ).
+    *
+    * Shape: one aggregation thins the data to exact per-(group, t)
+    * BIGINT counts (d, c) — the only pass over the subjects — then one
+    * more collects each group's ≤ `maxTimes` distinct times in-row
+    * (sorted; assert_true fail-fast, the grouped short-series regime).
+    * nᵢ is an exact integer prefix subtraction; the survival product
+    * folds ascending-time with seed 1.0 (1.0·x == x, so a stepwise
+    * mirror recursion matches bit-for-bit). The O(times²) in-row
+    * prefix folds are bounded by maxTimes, never by subject count.
+    *
+    * Output: groups... + (t, n_risk, n_events, n_censored, survival),
+    * one row per distinct observed time (censor-only times included —
+    * survival is flat there but n_risk drops, which the next event
+    * time's factor needs). */
+  def kaplanMeier(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column,
+      maxTimes: Int = 1000): DataFrame = {
+    require(maxTimes >= 1 && maxTimes <= 10000,
+      s"kaplanMeier needs 1 <= maxTimes <= 10000, got $maxTimes")
+    val g = groupCols.map(col)
+    val ev = eventCol.cast("boolean")
+    val counts = df
+      .filter(durationCol.isNotNull && ev.isNotNull)
+      .groupBy(g :+ durationCol.cast("double").as("t"): _*)
+      .agg(sum(when(ev, 1L).otherwise(0L)).as("d"),
+        sum(when(!ev, 1L).otherwise(0L)).as("c"))
+    val grouped = counts.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("t"), col("d"), col("c"))))
+        .as("__s"),
+        sum(col("d") + col("c")).as("__n"))
+      .filter(assert_true(size(col("__s")) <= maxTimes,
+        lit(s"kaplanMeier: a group exceeds maxTimes=$maxTimes distinct " +
+          "times — bin durations coarser first")).isNull)
+    val s = col("__s")
+    val rows = transform(sequence(lit(1), size(s)), i => {
+      // running (consumed, product) over times 1..i — the accumulator
+      // carries the at-risk bookkeeping so nⱼ inside the fold is exact
+      val fin = aggregate(slice(s, lit(1), i),
+        struct(lit(0L).as("u"), lit(1.0).as("p")),
+        (acc, x) => {
+          val n = col("__n") - acc.getField("u")
+          struct(
+            (acc.getField("u") + x.getField("d") + x.getField("c"))
+              .as("u"),
+            (acc.getField("p") * (lit(1.0) -
+              x.getField("d").cast("double") / n.cast("double"))).as("p"))
+        })
+      val prior = aggregate(slice(s, lit(1), i - 1), lit(0L),
+        (a, x) => a + x.getField("d") + x.getField("c"))
+      struct(element_at(s, i).getField("t").as("t"),
+        (col("__n") - prior).as("n_risk"),
+        element_at(s, i).getField("d").as("n_events"),
+        element_at(s, i).getField("c").as("n_censored"),
+        fin.getField("p").as("survival"))
+    })
+    grouped
+      .withColumn("__e", explode(rows))
+      .select(g ++ Seq(col("__e").getField("t").as("t"),
+        col("__e").getField("n_risk").as("n_risk"),
+        col("__e").getField("n_events").as("n_events"),
+        col("__e").getField("n_censored").as("n_censored"),
+        col("__e").getField("survival").as("survival")): _*)
+  }
+
+  /** Benjamini–Hochberg FDR adjustment per group (Benjamini &
+    * Hochberg, JRSS-B 1995) — the multiple-testing closer for the
+    * drift/test family: running KS/χ²/rank tests over many slices
+    * yields many p-values, and controlling the false-discovery rate is
+    * what makes "K slices flagged" a defensible claim.
+    *
+    * adjusted(i) = min(1, min_{j ≥ i} p⁽ʲ⁾·n/j) over the ascending-p
+    * ranking (ties broken by `idCol` so the ranking — and hence the
+    * hash — is deterministic). The suffix minimum is an ORDER-
+    * INSENSITIVE window min over (p·n/j), so the whole operator is two
+    * windows on one exchange — no folds, no driver, engine-portable
+    * with no rounding (·, / only).
+    *
+    * Output: groups... + (id, p, rank, p_adj), every input row kept. */
+  def bhAdjust(df: DataFrame, groupCols: Seq[String], idCol: Column,
+      pCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*)
+    val wRank = w.orderBy(col("p"), col("id"))
+    val wSuffix = w.orderBy(col("rank"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.filter(pCol.isNotNull)
+      .select(g :+ idCol.as("id") :+ pCol.cast("double").as("p"): _*)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("rank", row_number().over(wRank).cast("bigint"))
+      .withColumn("__raw",
+        col("p") * col("__n").cast("double") / col("rank").cast("double"))
+      .withColumn("p_adj", least(lit(1.0), min(col("__raw")).over(wSuffix)))
+      .drop("__n", "__raw")
+  }
 }

@@ -622,6 +622,46 @@ object Extras {
         pmod(col("doc_id"), lit(2)) === 0)
       .orderBy("lang")
 
+  /** Kaplan–Meier survival per cohort ([[graft.operators.Stats
+    * .kaplanMeier]]) over the events table: a user's duration is the
+    * day span between their first and last activity; a user whose last
+    * activity predates the corpus maximum by more than 7 days counts
+    * as a churn EVENT, otherwise right-censored (still active at
+    * cutoff) — both faces derive the identical observations, so the
+    * estimator itself is what the oracle checks. Cohort = user_id mod
+    * 3. survival is a product of exact-count ratios (·, / only) —
+    * hashes unrounded; the mirror replays the ascending-time recursion
+    * stepwise. */
+  def cKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    val users = e.groupBy(col("user_id"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("cohort", concat(lit("c"), pmod(col("user_id"), lit(3))))
+      .withColumn("churned", col("__last") < date_sub(col("__gmax"), 7))
+    graft.operators.Stats.kaplanMeier(obs, Seq("cohort"),
+        col("duration"), col("churned"))
+      .orderBy("cohort", "t")
+  }
+
+  /** Benjamini–Hochberg FDR adjustment per lang ([[graft.operators
+    * .Stats.bhAdjust]]): deterministic pseudo p-values from exact
+    * doc_id integer arithmetic (Knuth multiplicative hash mod a prime,
+    * one division), ranked ascending with id tie-breaks; p and p_adj
+    * are ·,/-only — all columns hash unrounded. */
+  def aBhFdr(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.bhAdjust(
+        t(s, dir, "documents").filter(col("doc_id") < 200)
+          .withColumn("p",
+            pmod(col("doc_id") * lit(2654435761L), lit(1000003L))
+              .cast("double") / lit(1000003.0)),
+        Seq("lang"), col("doc_id"), col("p"))
+      .orderBy("lang", "rank")
+
   /** Nonparametric location-shift test ([[graft.operators.Stats
     * .mannWhitneyU]]): rank-sum U of document length between even- and
     * odd-id documents per lang — exact doubled-midrank BIGINTs, one
@@ -811,6 +851,8 @@ object Extras {
     "a_psi_drift" -> (aPsiDrift _),
     "a_js_divergence" -> (aJsDivergence _),
     "a_ks_drift" -> (aKsDrift _),
+    "c_kaplan_meier" -> (cKaplanMeier _),
+    "a_bh_fdr" -> (aBhFdr _),
     "a_rank_sum" -> (aRankSum _),
     "a_spearman_corr" -> (aSpearmanCorr _),
     "a_wilson_ci" -> (aWilsonCi _),
@@ -1463,6 +1505,66 @@ object Extras {
         |    CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
         |      / CAST(n1 * n2 AS DOUBLE) END AS ks
         |FROM w GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // Kaplan-Meier mirror: identical per-user observations (day-span
+    // duration, churn = last activity > 7 days before the corpus max),
+    // per-(cohort, t) exact counts, then the ascending-time survival
+    // recursion replayed stepwise (seed 1.0; 1.0*x == x, so the
+    // stepwise products match the operator's in-row fold bit-for-bit).
+    "c_kaplan_meier" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    duration, last_d < g.gmax - 7 AS ev FROM u CROSS JOIN g),
+        |cnt AS (SELECT cohort, duration AS t,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1, 2),
+        |ord AS (SELECT cohort, t, d, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY t)
+        |      AS BIGINT) AS i,
+        |    CAST(SUM(d + c) OVER (PARTITION BY cohort) AS BIGINT)
+        |      AS n_total
+        |  FROM cnt),
+        |km AS (
+        |  SELECT cohort, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS used,
+        |    CAST(1 AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS t,
+        |    CAST(NULL AS BIGINT) AS d, CAST(NULL AS BIGINT) AS c,
+        |    CAST(NULL AS BIGINT) AS n_risk
+        |  FROM (SELECT DISTINCT cohort FROM ord)
+        |  UNION ALL
+        |  SELECT o.cohort, o.i, km.used + o.d + o.c,
+        |    km.p * (CAST(1 AS DOUBLE) - CAST(o.d AS DOUBLE)
+        |      / CAST(o.n_total - km.used AS DOUBLE)),
+        |    o.t, o.d, o.c, o.n_total - km.used
+        |  FROM km JOIN ord o ON o.cohort = km.cohort AND o.i = km.i + 1)
+        |SELECT cohort, t, n_risk, d AS n_events, c AS n_censored,
+        |  p AS survival
+        |FROM km WHERE i > 0 ORDER BY cohort, t""".stripMargin,
+    // BH mirror: same pseudo-p arithmetic, same (p, id) ranking, and
+    // the suffix minimum as an order-insensitive window MIN.
+    "a_bh_fdr" ->
+      """WITH d AS (SELECT lang, doc_id AS id,
+        |    CAST((doc_id * 2654435761) % 1000003 AS DOUBLE)
+        |      / CAST(1000003 AS DOUBLE) AS p
+        |  FROM documents WHERE doc_id < 200),
+        |r AS (SELECT lang, id, p,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY p, id)
+        |      AS BIGINT) AS rank,
+        |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM d)
+        |SELECT lang, id, p, rank,
+        |  least(CAST(1 AS DOUBLE),
+        |    MIN(p * CAST(n AS DOUBLE) / CAST(rank AS DOUBLE))
+        |      OVER (PARTITION BY lang ORDER BY rank
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |    AS p_adj
+        |FROM r ORDER BY lang, rank""".stripMargin,
     "a_psi_drift" ->
       """WITH c AS (
         |  SELECT lang, n_chars, doc_id % 2 = 0 AS coh,

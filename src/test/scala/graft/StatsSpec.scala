@@ -598,6 +598,85 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == out)
   }
 
+  test("kaplanMeier: textbook six-subject curve bitwise; censoring drops risk not survival; invariance") {
+    import spark.implicits._
+    // the classic small example: event times 1,3,5,6; censored at 2,4
+    val mice = Seq((1.0, true), (2.0, false), (3.0, true),
+      (4.0, false), (5.0, true), (6.0, true))
+      .map { case (t, e) => ("m", t, e) }
+    val km = Stats.kaplanMeier(mice.toDF("g", "dur", "ev"), Seq("g"),
+        col("dur"), col("ev"))
+      .collect().map(r => r.getDouble(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // replicate with the same op order: s' = s * (1 - d/n)
+    def step(s: Double, d: Long, n: Long) = s * (1.0 - d.toDouble / n.toDouble)
+    val s1 = step(1.0, 1, 6)
+    val s2 = step(s1, 0, 5) // censor-only time: survival flat
+    val s3 = step(s2, 1, 4)
+    val s4 = step(s3, 0, 3)
+    val s5 = step(s4, 1, 2)
+    val s6 = step(s5, 1, 1)
+    assert(km(1.0) == ((6L, 1L, 0L, s1)))
+    assert(km(2.0) == ((5L, 0L, 1L, s2)) && s2 == s1)
+    assert(km(3.0) == ((4L, 1L, 0L, s3)))
+    assert(km(4.0) == ((3L, 0L, 1L, s4)) && s4 == s3)
+    assert(km(5.0) == ((2L, 1L, 0L, s5)))
+    assert(km(6.0) == ((1L, 1L, 0L, s6)) && s6 == 0.0)
+    // survival is monotone non-increasing and censoring never moves it
+    val ordered = km.toSeq.sortBy(_._1).map(_._2._4)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => b <= a })
+    // two groups + duplicate times + layout invariance, bitwise
+    val rng = new scala.util.Random(59)
+    val big = (0 until 400).map { i =>
+      (s"g${i % 2}", (rng.nextInt(12) + 1).toDouble, rng.nextBoolean()) }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Stats.kaplanMeier(df, Seq("g"), col("dur"), col("ev"))
+        .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+        .toMap
+    val a = run(big.toDF("g", "dur", "ev"))
+    assert(a == run(big.reverse.toDF("g", "dur", "ev").repartition(7)))
+    // n_risk telescopes: at the smallest time it is the group size
+    assert(a(("g0", a.keys.filter(_._1 == "g0").map(_._2).min))._1 ==
+      big.count(_._1 == "g0").toLong)
+  }
+
+  test("bhAdjust: the textbook adjusted p-values; ties break by id; per-group n") {
+    import spark.implicits._
+    // classic 4-test example: adjusted = [0.02, 0.02, 0.04, 0.04]
+    val df = Seq((1L, 0.01), (2L, 0.04), (3L, 0.03), (4L, 0.005))
+      .map { case (id, p) => ("a", id, p) }
+      .toDF("g", "id", "p")
+    val got = Stats.bhAdjust(df, Seq("g"), col("id"), col("p"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(4L) == ((0.005, 1L, 0.005 * 4 / 1)))
+    assert(got(1L) == ((0.01, 2L, 0.01 * 4 / 2)))
+    assert(got(3L) == ((0.03, 3L, 0.04 * 4 / 4))) // suffix min pulls down
+    assert(got(2L) == ((0.04, 4L, 0.04 * 4 / 4)))
+    // p_adj never exceeds 1, is >= p, and is monotone in rank
+    val rng = new scala.util.Random(61)
+    val big = (0 until 300).map(i =>
+      (s"g${i % 3}", i.toLong, rng.nextInt(100) / 100.0))
+    val out = Stats.bhAdjust(big.toDF("g", "id", "p"), Seq("g"),
+        col("id"), col("p"))
+      .collect().map(r => (r.getString(0), r.getLong(3)) ->
+        ((r.getDouble(2), r.getDouble(4))))
+    out.groupBy(_._1._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._1._2).map(_._2)
+      assert(byRank.forall { case (p, adj) => adj >= p - 1e-15 && adj <= 1.0 })
+      assert(byRank.map(_._2).zip(byRank.map(_._2).tail)
+        .forall { case (a, b) => b >= a }) // monotone non-decreasing
+    }
+    // identical p-values: ranks (and hence the frame) deterministic by id
+    val tied = Seq(("a", 10L, 0.5), ("a", 7L, 0.5), ("a", 3L, 0.5))
+      .toDF("g", "id", "p")
+    val tr = Stats.bhAdjust(tied, Seq("g"), col("id"), col("p"))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(tr == Map(3L -> 1L, 7L -> 2L, 10L -> 3L))
+  }
+
   test("mannWhitneyU: naive midrank differential, ties corrected, shift direction, nulls") {
     import spark.implicits._
     def naive(a: Seq[Long], b: Seq[Long]): (Long, Double, Double) = {
