@@ -1893,6 +1893,87 @@ object Stats {
         col("__e").getField("survival").as("survival")): _*)
   }
 
+  /** Two-sample log-rank test per group (Mantel 1966) — "are these two
+    * survival curves the same?", the inference companion to
+    * [[kaplanMeier]]: at each distinct observed time, cohort 1's
+    * observed events d₁ are compared to the hypergeometric expectation
+    * E₁ = d·n₁/n under the null, with variance
+    * V = d·(n₁/n)·(n₂/n)·(n−d)/(n−1); χ² = (Σ(d₁−E₁))²/ΣV (1 df) and
+    * z = (O₁−E₁)/√ΣV carries the direction (negative ⇒ cohort 1 has
+    * FEWER events than expected, i.e. better survival).
+    *
+    * Same shape and portability contract as [[kaplanMeier]]: exact
+    * per-(group, t) BIGINT counts, one in-row ascending-time fold
+    * carrying the two at-risk tallies and the two float sums (fixed op
+    * order — a stepwise mirror recursion matches bit-for-bit); times
+    * where n ≤ 1 or d = 0 contribute exactly 0 to both sums. All
+    * outputs are +,·,/,√-only — hash unrounded.
+    *
+    * Output per group: (n1, n2, o1, e1, v, chi2, z); chi2/z are null
+    * when ΣV = 0 (no informative times — e.g. one cohort empty). */
+  def logRank(df: DataFrame, groupCols: Seq[String], durationCol: Column,
+      eventCol: Column, cohort1: Column, maxTimes: Int = 1000): DataFrame = {
+    require(maxTimes >= 1 && maxTimes <= 10000,
+      s"logRank needs 1 <= maxTimes <= 10000, got $maxTimes")
+    val g = groupCols.map(col)
+    val ev = eventCol.cast("boolean")
+    val c1 = cohort1.cast("boolean")
+    val counts = df
+      .filter(durationCol.isNotNull && ev.isNotNull && c1.isNotNull)
+      .groupBy(g :+ durationCol.cast("double").as("t"): _*)
+      .agg(sum(when(c1 && ev, 1L).otherwise(0L)).as("d1"),
+        sum(when(c1 && !ev, 1L).otherwise(0L)).as("x1"),
+        sum(when(!c1 && ev, 1L).otherwise(0L)).as("d2"),
+        sum(when(!c1 && !ev, 1L).otherwise(0L)).as("x2"))
+    val grouped = counts.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("t"), col("d1"), col("x1"),
+        col("d2"), col("x2")))).as("__s"),
+        sum(col("d1") + col("x1")).as("__n1"),
+        sum(col("d2") + col("x2")).as("__n2"),
+        sum(col("d1")).as("o1"))
+      .filter(assert_true(size(col("__s")) <= maxTimes,
+        lit(s"logRank: a group exceeds maxTimes=$maxTimes distinct " +
+          "times — bin durations coarser first")).isNull)
+    val fin = aggregate(col("__s"),
+      struct(lit(0L).as("u1"), lit(0L).as("u2"),
+        lit(0.0).as("oe"), lit(0.0).as("v")),
+      (acc, x) => {
+        val n1 = col("__n1") - acc.getField("u1")
+        val n2 = col("__n2") - acc.getField("u2")
+        val n = n1 + n2
+        val d = x.getField("d1") + x.getField("d2")
+        val nD = n.cast("double")
+        val dD = d.cast("double")
+        val contribOe = x.getField("d1").cast("double") -
+          dD * n1.cast("double") / nD
+        val contribV = dD * (n1.cast("double") / nD) *
+          (n2.cast("double") / nD) *
+          ((n - d).cast("double") / (n - 1L).cast("double"))
+        val informative = n > 1L && d > 0L
+        struct(
+          (acc.getField("u1") + x.getField("d1") + x.getField("x1"))
+            .as("u1"),
+          (acc.getField("u2") + x.getField("d2") + x.getField("x2"))
+            .as("u2"),
+          (acc.getField("oe") +
+            when(informative, contribOe).otherwise(lit(0.0))).as("oe"),
+          (acc.getField("v") +
+            when(informative, contribV).otherwise(lit(0.0))).as("v"))
+      })
+    grouped
+      .withColumn("__f", fin)
+      .select(g ++ Seq(col("__n1").as("n1"), col("__n2").as("n2"),
+        col("o1"),
+        (col("o1").cast("double") - col("__f").getField("oe")).as("e1"),
+        col("__f").getField("v").as("v"),
+        when(col("__f").getField("v") > 0.0,
+          col("__f").getField("oe") * col("__f").getField("oe") /
+            col("__f").getField("v")).as("chi2"),
+        when(col("__f").getField("v") > 0.0,
+          col("__f").getField("oe") /
+            sqrt(col("__f").getField("v"))).as("z")): _*)
+  }
+
   /** Benjamini–Hochberg FDR adjustment per group (Benjamini &
     * Hochberg, JRSS-B 1995) — the multiple-testing closer for the
     * drift/test family: running KS/χ²/rank tests over many slices

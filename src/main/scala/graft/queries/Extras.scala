@@ -648,6 +648,28 @@ object Extras {
       .orderBy("cohort", "t")
   }
 
+  /** Two-sample log-rank test ([[graft.operators.Stats.logRank]]) over
+    * the same churn observations as [[cKaplanMeier]]: even- vs odd-id
+    * users' survival compared across one global group — exact counts,
+    * one in-row ascending-time fold, all outputs +,·,/,√-only so every
+    * column hashes unrounded; the mirror replays the fold as a
+    * recursive CTE. */
+  def cLogRank(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    val users = e.groupBy(col("user_id"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("g", lit("all"))
+      .withColumn("churned", col("__last") < date_sub(col("__gmax"), 7))
+    graft.operators.Stats.logRank(obs, Seq("g"), col("duration"),
+        col("churned"), pmod(col("user_id"), lit(2)) === 0)
+      .orderBy("g")
+  }
+
   /** Benjamini–Hochberg FDR adjustment per lang ([[graft.operators
     * .Stats.bhAdjust]]): deterministic pseudo p-values from exact
     * doc_id integer arithmetic (Knuth multiplicative hash mod a prime,
@@ -852,6 +874,7 @@ object Extras {
     "a_js_divergence" -> (aJsDivergence _),
     "a_ks_drift" -> (aKsDrift _),
     "c_kaplan_meier" -> (cKaplanMeier _),
+    "c_log_rank" -> (cLogRank _),
     "a_bh_fdr" -> (aBhFdr _),
     "a_rank_sum" -> (aRankSum _),
     "a_spearman_corr" -> (aSpearmanCorr _),
@@ -1546,6 +1569,67 @@ object Extras {
         |SELECT cohort, t, n_risk, d AS n_events, c AS n_censored,
         |  p AS survival
         |FROM km WHERE i > 0 ORDER BY cohort, t""".stripMargin,
+    // Log-rank mirror: the KM observations split even/odd, then the
+    // (u1, u2, oe, v) fold replayed as a recursive CTE in the exact op
+    // order (d*n1/n first, then the three-ratio variance product).
+    "c_log_rank" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |gm AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT user_id % 2 = 0 AS coh1, duration,
+        |    last_d < gm.gmax - 7 AS ev FROM u CROSS JOIN gm),
+        |cnt AS (SELECT duration AS t,
+        |    CAST(SUM(CASE WHEN coh1 AND ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN coh1 AND NOT ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN NOT coh1 AND ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d2,
+        |    CAST(SUM(CASE WHEN NOT coh1 AND NOT ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x2
+        |  FROM obs GROUP BY 1),
+        |ord AS (SELECT t, d1, x1, d2, x2,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS i FROM cnt),
+        |tot AS (SELECT CAST(SUM(d1 + x1) AS BIGINT) AS n1,
+        |    CAST(SUM(d2 + x2) AS BIGINT) AS n2,
+        |    CAST(SUM(d1) AS BIGINT) AS o1,
+        |    CAST(COUNT(*) AS BIGINT) AS m FROM ord),
+        |lr AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS u1,
+        |    CAST(0 AS BIGINT) AS u2, CAST(0 AS DOUBLE) AS oe,
+        |    CAST(0 AS DOUBLE) AS v
+        |  UNION ALL
+        |  SELECT o.i, lr.u1 + o.d1 + o.x1, lr.u2 + o.d2 + o.x2,
+        |    lr.oe + CASE WHEN (tot.n1 - lr.u1) + (tot.n2 - lr.u2) > 1
+        |        AND o.d1 + o.d2 > 0
+        |      THEN CAST(o.d1 AS DOUBLE)
+        |        - CAST(o.d1 + o.d2 AS DOUBLE)
+        |          * CAST(tot.n1 - lr.u1 AS DOUBLE)
+        |          / CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END,
+        |    lr.v + CASE WHEN (tot.n1 - lr.u1) + (tot.n2 - lr.u2) > 1
+        |        AND o.d1 + o.d2 > 0
+        |      THEN CAST(o.d1 + o.d2 AS DOUBLE)
+        |        * (CAST(tot.n1 - lr.u1 AS DOUBLE)
+        |          / CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) AS DOUBLE))
+        |        * (CAST(tot.n2 - lr.u2 AS DOUBLE)
+        |          / CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) AS DOUBLE))
+        |        * (CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2)
+        |            - (o.d1 + o.d2) AS DOUBLE)
+        |          / CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) - 1
+        |            AS DOUBLE))
+        |      ELSE CAST(0 AS DOUBLE) END
+        |  FROM lr JOIN ord o ON o.i = lr.i + 1 CROSS JOIN tot)
+        |SELECT 'all' AS g, tot.n1, tot.n2, tot.o1,
+        |  CAST(tot.o1 AS DOUBLE) - lr.oe AS e1, lr.v AS v,
+        |  CASE WHEN lr.v > 0 THEN lr.oe * lr.oe / lr.v END AS chi2,
+        |  CASE WHEN lr.v > 0 THEN lr.oe / sqrt(lr.v) END AS z
+        |FROM lr CROSS JOIN tot WHERE lr.i = tot.m""".stripMargin,
     // BH mirror: same pseudo-p arithmetic, same (p, id) ranking, and
     // the suffix minimum as an order-insensitive window MIN.
     "a_bh_fdr" ->

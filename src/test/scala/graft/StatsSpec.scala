@@ -642,6 +642,58 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       big.count(_._1 == "g0").toLong)
   }
 
+  test("logRank: naive replay bitwise; direction flips with the cohort; degenerate null") {
+    import spark.implicits._
+    val rng = new scala.util.Random(67)
+    // cohort 1 fails early (durations 1-6), cohort 2 late (5-12), with
+    // censoring sprinkled in — a real difference the test must detect
+    val subj = (0 until 120).map { i =>
+      val c1 = i % 2 == 0
+      val dur = if (c1) 1 + rng.nextInt(6) else 5 + rng.nextInt(8)
+      ("g", i.toLong, dur.toDouble, rng.nextInt(5) > 0, c1)
+    }
+    val df = subj.toDF("g", "id", "dur", "ev", "c1")
+    val out = Stats.logRank(df, Seq("g"), col("dur"), col("ev"),
+      col("c1")).head()
+    // naive single-threaded replay, same op order
+    val times = subj.map(_._3).distinct.sorted
+    var (u1, u2, oe, v) = (0L, 0L, 0.0, 0.0)
+    val n1T = subj.count(_._5).toLong; val n2T = subj.size - n1T
+    for (t <- times) {
+      val at = subj.filter(_._3 == t)
+      val d1 = at.count(s => s._5 && s._4).toLong
+      val x1 = at.count(s => s._5 && !s._4).toLong
+      val d2 = at.count(s => !s._5 && s._4).toLong
+      val x2 = at.count(s => !s._5 && !s._4).toLong
+      val n1 = n1T - u1; val n2 = n2T - u2; val n = n1 + n2
+      val d = d1 + d2
+      if (n > 1 && d > 0) {
+        oe += d1.toDouble - d.toDouble * n1.toDouble / n.toDouble
+        v += d.toDouble * (n1.toDouble / n.toDouble) *
+          (n2.toDouble / n.toDouble) *
+          ((n - d).toDouble / (n - 1).toDouble)
+      }
+      u1 += d1 + x1; u2 += d2 + x2
+    }
+    assert(out.getAs[Long]("n1") == n1T && out.getAs[Long]("n2") == n2T)
+    assert(out.getAs[Double]("v") == v)
+    assert(out.getAs[Double]("chi2") == oe * oe / v)
+    assert(out.getAs[Double]("z") == oe / math.sqrt(v))
+    // early-failing cohort 1 ⇒ MORE events than expected ⇒ z > 0, large
+    assert(out.getAs[Double]("z") > 3.0)
+    // swapping the cohort indicator flips o1/e1 and negates the effect
+    val sw = Stats.logRank(df, Seq("g"), col("dur"), col("ev"),
+      !col("c1")).head()
+    assert(sw.getAs[Double]("z") < -3.0)
+    assert(math.abs(sw.getAs[Double]("chi2") -
+      out.getAs[Double]("chi2")) < 1e-9)
+    // one empty cohort: no informative time has both ⇒ v = 0 ⇒ null test
+    val solo = Stats.logRank(df.filter(col("c1")), Seq("g"), col("dur"),
+      col("ev"), col("c1")).head()
+    assert(solo.isNullAt(solo.fieldIndex("chi2")) &&
+      solo.isNullAt(solo.fieldIndex("z")))
+  }
+
   test("bhAdjust: the textbook adjusted p-values; ties break by id; per-group n") {
     import spark.implicits._
     // classic 4-test example: adjusted = [0.02, 0.02, 0.04, 0.04]
