@@ -1845,16 +1845,42 @@ object Stats {
     * time's factor needs). */
   def kaplanMeier(df: DataFrame, groupCols: Seq[String],
       durationCol: Column, eventCol: Column,
+      maxTimes: Int = 1000): DataFrame =
+    kaplanMeierFromCounts(
+      survivalCounts(df, groupCols, durationCol, eventCol),
+      groupCols, maxTimes)
+
+  /** The PARTIAL behind [[kaplanMeier]]: exact per-(group, t) BIGINT
+    * (events, censored) counts over CLOSED subject observations — two
+    * associative sums, so batch-sliced partials re-summed per cell are
+    * exactly the one-shot table (the at-rest incremental artifact;
+    * state is the distinct-time grid, never subject history). The
+    * streaming contract: a (duration, event) observation is an
+    * immutable FACT about a closed subject — an open subject must not
+    * be emitted, because its duration and churn status would mutate. */
+  def survivalCounts(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column): DataFrame = {
+    val ev = eventCol.cast("boolean")
+    df.filter(durationCol.isNotNull && ev.isNotNull)
+      .groupBy(groupCols.map(col) :+ durationCol.cast("double").as("t"): _*)
+      .agg(sum(when(ev, 1L).otherwise(0L)).as("d"),
+        sum(when(!ev, 1L).otherwise(0L)).as("c"))
+  }
+
+  /** Merge [[survivalCounts]] tables: BIGINT re-sum per (group, t). */
+  def mergeSurvivalCounts(partials: Seq[DataFrame],
+      groupNames: Seq[String]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy((groupNames :+ "t").map(col): _*)
+      .agg(sum(col("d")).as("d"), sum(col("c")).as("c"))
+
+  /** Finalize a (possibly merged) [[survivalCounts]] table into the
+    * [[kaplanMeier]] schema — the streaming-readout face. */
+  def kaplanMeierFromCounts(counts: DataFrame, groupCols: Seq[String],
       maxTimes: Int = 1000): DataFrame = {
     require(maxTimes >= 1 && maxTimes <= 10000,
       s"kaplanMeier needs 1 <= maxTimes <= 10000, got $maxTimes")
     val g = groupCols.map(col)
-    val ev = eventCol.cast("boolean")
-    val counts = df
-      .filter(durationCol.isNotNull && ev.isNotNull)
-      .groupBy(g :+ durationCol.cast("double").as("t"): _*)
-      .agg(sum(when(ev, 1L).otherwise(0L)).as("d"),
-        sum(when(!ev, 1L).otherwise(0L)).as("c"))
     val grouped = counts.groupBy(g: _*)
       .agg(sort_array(collect_list(struct(col("t"), col("d"), col("c"))))
         .as("__s"),

@@ -619,6 +619,42 @@ object StreamingTimeSeries {
           .drop("batch_id")),
         Seq(groupCol)))
 
+  /** Streaming survival maintenance — the ingestion face of
+    * [[graft.operators.Stats.kaplanMeier]]: each micro-batch of CLOSED
+    * subject observations (duration, event — immutable facts; an open
+    * subject must not be emitted because its duration/churn status
+    * would mutate) reduces to exact per-(group, t) BIGINT
+    * events/censored deltas with the batch_id replay guard. Counts are
+    * associative, so the merged grid finalizes to a survival curve
+    * bit-identical to the one-shot batch estimator; state is the
+    * distinct-time grid, never subject history. */
+  def startSurvivalCountsQuery(subjects: DataFrame, groupCol: String,
+      durationCol: String, eventCol: String, targetDir: String,
+      checkpointDir: String) =
+    subjects
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Stats
+          .survivalCounts(batch.toDF(), Seq(groupCol),
+            col(durationCol), col(eventCol))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$targetDir/survival_counts")
+      }
+      .start()
+
+  /** Whole-stream Kaplan–Meier from the stored count deltas —
+    * bit-identical to the batch estimator over all closed subjects. */
+  def mergedKaplanMeier(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.kaplanMeierFromCounts(
+      graft.operators.Stats.mergeSurvivalCounts(
+        Seq(spark.read.parquet(s"$targetDir/survival_counts")
+          .dropDuplicates(groupCol, "t", "batch_id")
+          .drop("batch_id")),
+        Seq(groupCol)),
+      Seq(groupCol))
+
   /** Streaming record-linkage maintenance — the ingestion face of
     * [[graft.operators.Linkage.trainWeights]]: each micro-batch of
     * labeled pairs reduces to its per-field exact agreement-count

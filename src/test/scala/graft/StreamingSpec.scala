@@ -603,6 +603,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming survival counts: merged Kaplan-Meier == one-shot batch, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("km_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("km_ckpt").toString
+    val rng = new scala.util.Random(97)
+    // closed subjects arriving over three uneven batches: 2 cohorts,
+    // duplicate durations, ~30% censored
+    val all = (0 until 500).map { i =>
+      (s"g${i % 2}", (1 + rng.nextInt(15)).toDouble, rng.nextInt(10) < 7)
+    }
+    val input = MemoryStream[(String, Double, Boolean)]
+    val q = StreamingTimeSeries.startSurvivalCountsQuery(
+      input.toDF().toDF("g", "dur", "ev"), "g", "dur", "ev", dir, ckpt)
+    try {
+      input.addData(all.take(60): _*); q.processAllAvailable()
+      input.addData(all.slice(60, 390): _*); q.processAllAvailable()
+      input.addData(all.drop(390): _*); q.processAllAvailable()
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getDouble(1)) ->
+          r.toSeq.drop(2)).toMap
+      import graft.operators.Stats
+      val want = m(Stats.kaplanMeier(all.toDF("g", "dur", "ev"),
+        Seq("g"), col("dur"), col("ev")))
+      assert(m(StreamingTimeSeries.mergedKaplanMeier(spark, dir, "g"))
+        == want)
+      // at-least-once replay collapses via the batch_id guard
+      spark.read.parquet(s"$dir/survival_counts")
+        .filter(col("batch_id") === 1L)
+        .write.mode("append").parquet(s"$dir/survival_counts")
+      assert(m(StreamingTimeSeries.mergedKaplanMeier(spark, dir, "g"))
+        == want, "a replayed micro-batch double-counted into survival")
+    } finally q.stop()
+  }
+
   test("streaming contingency cells: merged chi2/V/MI == one-shot batch, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
