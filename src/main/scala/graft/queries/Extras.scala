@@ -648,6 +648,19 @@ object Extras {
       .orderBy("cohort", "t")
   }
 
+  /** Exact Shapley-value channel attribution ([[graft.operators
+    * .Attribution.shapley]]): purchases credited across the four
+    * non-purchase touch channels by average marginal contribution over
+    * all channel orderings. Every number up to the last division is an
+    * exact BIGINT (integer conversion counts × factorial weights), so
+    * phi_num hashes exactly and phi unrounded. */
+  def cShapleyAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Attribution.shapley(t(s, dir, "events"),
+        col("user_id"), col("event_type"),
+        col("event_type") === "purchase",
+        Seq("click", "error", "signup", "view"))
+      .orderBy("channel")
+
   /** Two-sample log-rank test ([[graft.operators.Stats.logRank]]) over
     * the same churn observations as [[cKaplanMeier]]: even- vs odd-id
     * users' survival compared across one global group — exact counts,
@@ -875,6 +888,7 @@ object Extras {
     "a_ks_drift" -> (aKsDrift _),
     "c_kaplan_meier" -> (cKaplanMeier _),
     "c_log_rank" -> (cLogRank _),
+    "c_shapley_attribution" -> (cShapleyAttribution _),
     "a_bh_fdr" -> (aBhFdr _),
     "a_rank_sum" -> (aRankSum _),
     "a_spearman_corr" -> (aSpearmanCorr _),
@@ -1569,6 +1583,32 @@ object Extras {
         |SELECT cohort, t, n_risk, d AS n_events, c AS n_censored,
         |  p AS survival
         |FROM km WHERE i > 0 ORDER BY cohort, t""".stripMargin,
+    // Shapley mirror: same per-user bitmask + conversion flag, the
+    // subset-sum v(S) over all 16 coalitions, and the factorial-
+    // weighted marginal sum — all exact BIGINTs until the /24.
+    "c_shapley_attribution" ->
+      """WITH pu AS (SELECT user_id,
+        |    CAST(SUM(DISTINCT CASE event_type WHEN 'click' THEN 1
+        |      WHEN 'error' THEN 2 WHEN 'signup' THEN 4
+        |      WHEN 'view' THEN 8 END) AS BIGINT) AS mask,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |vo AS (SELECT mask, CAST(SUM(cv) AS BIGINT) AS conv FROM pu
+        |  WHERE mask > 0 GROUP BY 1),
+        |co AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS s),
+        |v AS (SELECT s, CAST(COALESCE(SUM(vo.conv), 0) AS BIGINT) AS v
+        |  FROM co LEFT JOIN vo ON (vo.mask & co.s) = vo.mask GROUP BY s),
+        |ch AS (SELECT * FROM (VALUES (0, 'click'), (1, 'error'),
+        |    (2, 'signup'), (3, 'view')) AS t(i, channel)),
+        |pairs AS (SELECT ch.channel, v1.v AS v0, v2.v AS v1v,
+        |    CASE bit_count(v1.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+        |      WHEN 2 THEN 2 WHEN 3 THEN 6 END AS w
+        |  FROM ch JOIN v v1 ON (v1.s & (1 << ch.i)) = 0
+        |  JOIN v v2 ON v2.s = v1.s + (1 << ch.i))
+        |SELECT channel, CAST(SUM(w * (v1v - v0)) AS BIGINT) AS phi_num,
+        |  CAST(SUM(w * (v1v - v0)) AS DOUBLE) / CAST(24 AS DOUBLE) AS phi
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
     // Log-rank mirror: the KM observations split even/odd, then the
     // (u1, u2, oe, v) fold replayed as a recursive CTE in the exact op
     // order (d*n1/n first, then the three-ratio variance product).

@@ -642,6 +642,66 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       big.count(_._1 == "g0").toLong)
   }
 
+  test("shapley attribution: hand example; full-permutation replay; efficiency and null-player axioms exact") {
+    import spark.implicits._
+    import graft.operators.Attribution
+    // hand example, 2 channels: {A}→1 conv, {B}→0, {A,B}→2 convs
+    // v(∅)=0 v(A)=1 v(B)=0 v(AB)=3 ⇒ φ_A=(1·1+1·3)/2=2, φ_B=(0+1·2)/2=1
+    val hand = Seq(
+      ("u1", "A", false), ("u1", "buy", true),
+      ("u2", "B", false),
+      ("u3", "A", false), ("u3", "B", false), ("u3", "buy", true),
+      ("u4", "A", false), ("u4", "B", false), ("u4", "buy", true))
+      .toDF("u", "ch", "cv")
+    val h = Attribution.shapley(hand, col("u"), col("ch"), col("cv"),
+        Seq("A", "B"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(h("A") == ((4L, 2.0)) && h("B") == ((2L, 1.0)))
+
+    // random k=4 fixture vs a FULL-PERMUTATION naive replay: Shapley's
+    // permutation definition (average marginal contribution over all
+    // k! orderings) must equal the subset-sum formula EXACTLY
+    val rng = new scala.util.Random(71)
+    val chans = Seq("c0", "c1", "c2", "c3")
+    val rows = (0 until 300).flatMap { u =>
+      val touched = chans.filter(_ => rng.nextBoolean())
+      val conv = touched.nonEmpty && rng.nextInt(3) == 0
+      touched.map(c => (s"u$u", c, false)) ++
+        (if (conv) Seq((s"u$u", "buy", true)) else Nil)
+    }
+    val got = Attribution.shapley(rows.toDF("u", "ch", "cv"), col("u"),
+        col("ch"), col("cv"), chans)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // naive: v(S) = conversions of users with touched-set ⊆ S
+    // valuesIterator, NOT .map on the Map: tuple results would re-key
+    // by touched set and silently collapse same-set users
+    val byUser = rows.groupBy(_._1).valuesIterator.map { rs =>
+      (rs.collect { case (_, c, _) if chans.contains(c) => c }.toSet,
+        rs.exists(_._3)) }.toVector
+    def v(sets: Set[String]): Long =
+      byUser.count { case (t, cv) => cv && t.nonEmpty && t.subsetOf(sets) }
+        .toLong
+    val perms = chans.permutations.toSeq // 24 orderings
+    val naivePhi = chans.map { c =>
+      c -> perms.map { perm =>
+        val before = perm.takeWhile(_ != c).toSet
+        v(before + c) - v(before)
+      }.sum // Σ over permutations of the marginal = φ·k!
+    }.toMap
+    chans.foreach(c => assert(got(c) == naivePhi(c), s"channel $c"))
+    // efficiency axiom, as exact integers: Σ φ_num = v(N)·k!
+    assert(got.values.sum == v(chans.toSet) * 24L)
+
+    // null-player axiom: a channel never touched by any converter gets
+    // exactly zero credit
+    val withDead = rows ++ (0 until 50).map(u => (s"d$u", "c4", false))
+    val dead = Attribution.shapley(withDead.toDF("u", "ch", "cv"),
+        col("u"), col("ch"), col("cv"), chans :+ "c4")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dead("c4") == 0L)
+  }
+
   test("logRank: naive replay bitwise; direction flips with the cohort; degenerate null") {
     import spark.implicits._
     val rng = new scala.util.Random(67)
