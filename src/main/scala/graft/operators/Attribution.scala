@@ -94,4 +94,117 @@ object Attribution {
         (col("phi_num").cast("double") /
           lit(factorial(k).toDouble)).as("phi"))
   }
+
+  /** Markov-chain removal-effect attribution (Anderl et al. 2016) —
+    * the path-aware complement of [[shapley]]: user touch paths become
+    * a first-order Markov chain (START → touches in event order →
+    * CONV/NULL), and channel i's credit is how much the chain's
+    * START→CONV absorption probability drops when i is removed
+    * (its state pinned to 0 — mass routed through i is lost):
+    *
+    *   effect(i) = 1 − P_removed(i) / P_full
+    *
+    * Exactness contract (the logisticFit discipline): transition
+    * counts are exact BIGINTs from ONE aggregation; probabilities are
+    * single divisions; the absorption probabilities come from a FIXED
+    * `iters`-step value iteration x ← T·x (+ conversion column) whose
+    * per-state update sums terms in fixed declared-channel order — so
+    * a mirror replaying the same recursion is bit-identical whether or
+    * not the iteration has converged. The (k+1)² count matrix is
+    * collected to the driver (constant-bounded, like logisticFit's
+    * aggregated row); the k+1 value iterations are O(iters·k²) driver
+    * flops.
+    *
+    * Path semantics: the path is ALL of a user's universe touches
+    * ordered by (tsCol, tieCol) — `tieCol` must make the order total
+    * (duplicate timestamps would make transition counts ambiguous);
+    * conversion is the user-level `convertedCol` label (same contract
+    * as [[shapley]]); users with no universe touch are excluded.
+    *
+    * Output: one row per channel — (channel, p_full, p_removed,
+    * removal_effect), effect null when P_full = 0. */
+  def markovRemoval(df: DataFrame, userCol: Column, channelCol: Column,
+      tsCol: Column, tieCol: Column, convertedCol: Column,
+      channels: Seq[String], iters: Int = 60): DataFrame = {
+    val k = channels.size
+    require(k >= 1 && k <= 16,
+      s"markovRemoval needs 1 <= channels <= 16, got $k")
+    require(channels.distinct.size == k, "channels must be distinct")
+    require(iters >= 1 && iters <= 1000, s"iters in 1..1000, got $iters")
+    val spark = df.sparkSession
+
+    val isTouch = channelCol.isin(channels: _*)
+    val perUser = df.filter(userCol.isNotNull)
+      .groupBy(userCol.as("__u"))
+      .agg(sort_array(collect_list(when(isTouch && tsCol.isNotNull,
+          struct(tsCol.as("ts"), tieCol.as("tie"),
+            channelCol.as("ch"))))).as("__path"),
+        max(when(convertedCol.cast("boolean"), 1L).otherwise(0L))
+          .as("__cv"))
+      .filter(size(col("__path")) > 0)
+    // transitions: START→first, touch→next touch, last→CONV/NULL
+    val path = transform(col("__path"), x => x.getField("ch"))
+    val trans = perUser.select(explode(concat(
+      array(struct(lit("START").as("from"),
+        element_at(path, 1).as("to"))),
+      // guard: Spark sequence(1, 0) DESCENDS instead of being empty
+      when(size(path) > 1,
+        transform(sequence(lit(1), size(path) - 1), i =>
+          struct(element_at(path, i).as("from"),
+            element_at(path, i + 1).as("to"))))
+        .otherwise(array().cast("array<struct<from:string,to:string>>")),
+      array(struct(element_at(path, size(path)).as("from"),
+        when(col("__cv") === 1L, lit("CONV")).otherwise(lit("NULL"))
+          .as("to"))))).as("__t"))
+      .groupBy(col("__t.from").as("from"), col("__t.to").as("to"))
+      .agg(count(lit(1)).as("n"))
+    // constant-bounded collect: ≤ (k+1)(k+2) transition cells
+    val cells = trans.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val fromStates = "START" +: channels
+    val toChannels = channels
+    def cnt(f: String, t: String): Long = cells.getOrElse((f, t), 0L)
+    val totals = fromStates.map(f =>
+      f -> (toChannels.map(cnt(f, _)) ++
+        Seq(cnt(f, "CONV"), cnt(f, "NULL"))).sum).toMap
+    def p(f: String, t: String): Double = {
+      val tot = totals(f)
+      if (tot == 0L) 0.0 else cnt(f, t).toDouble / tot.toDouble
+    }
+    // fixed-iteration value iteration; removed = index into channels
+    // whose state is pinned to 0 (-1 = none). Term order is the float
+    // contract: channels in declared order, then the CONV term.
+    def absorb(removed: Int): Double = {
+      val x = Array.fill(fromStates.size)(0.0) // x(0)=START, x(1+i)=ch i
+      for (_ <- 1 to iters) {
+        val xNew = new Array[Double](fromStates.size)
+        for (si <- fromStates.indices) {
+          val f = fromStates(si)
+          var acc = 0.0
+          for (ci <- toChannels.indices)
+            acc += p(f, toChannels(ci)) *
+              (if (ci == removed) 0.0 else x(1 + ci))
+          acc += p(f, "CONV")
+          xNew(si) = acc
+        }
+        if (removed >= 0) xNew(1 + removed) = 0.0
+        Array.copy(xNew, 0, x, 0, x.length)
+      }
+      x(0)
+    }
+    val pFull = absorb(-1)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("channel", StringType, nullable = false),
+      StructField("p_full", DoubleType, nullable = false),
+      StructField("p_removed", DoubleType, nullable = false),
+      StructField("removal_effect", DoubleType, nullable = true)))
+    val out: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(channels.indices.map { i =>
+        val pr = absorb(i)
+        val eff: Any = if (pFull > 0.0) 1.0 - pr / pFull else null
+        org.apache.spark.sql.Row(channels(i), pFull, pr, eff)
+      }: _*)
+    spark.createDataFrame(out, schema)
+  }
 }

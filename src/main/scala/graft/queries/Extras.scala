@@ -661,6 +661,103 @@ object Extras {
         Seq("click", "error", "signup", "view"))
       .orderBy("channel")
 
+  /** Markov removal-effect attribution ([[graft.operators.Attribution
+    * .markovRemoval]]): user touch paths in (ts, event_id) order over
+    * the four non-purchase channels; 60 fixed value-iteration steps —
+    * deterministic whether or not converged, so transition counts,
+    * probabilities, and all three output probabilities hash unrounded
+    * against the recursive-CTE mirror. */
+  def cMarkovAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Attribution.markovRemoval(t(s, dir, "events"),
+        col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("event_type") === "purchase",
+        Seq("click", "error", "signup", "view"), iters = 60)
+      .orderBy("channel")
+
+  /** SQL mirror of the fixed-60-step Markov attribution: transition
+    * counts → a 1-row pivoted probability frame → one value-iteration
+    * recursion per variant (full + each channel pinned to 0), the
+    * per-state updates written in the operator's exact term order. */
+  private val markovOracle: String = {
+    val ch = Seq("click", "error", "signup", "view")
+    val k = ch.size
+    val states = "START" +: ch // x0 = START, x(1+i) = channel i
+    def tot(fi: Int) =
+      s"COALESCE(SUM(n) FILTER (WHERE f = '${states(fi)}'), 0)"
+    def cnt(fi: Int, t: String) =
+      s"COALESCE(SUM(n) FILTER (WHERE f = '${states(fi)}' AND t = '$t'), 0)"
+    val aggCols = (states.indices.map(fi => s"${tot(fi)} AS tot_$fi") ++
+      (for (fi <- states.indices; ti <- 0 until k)
+        yield s"${cnt(fi, ch(ti))} AS n_${fi}_$ti") ++
+      states.indices.map(fi => s"${cnt(fi, "CONV")} AS n_${fi}_conv"))
+      .mkString(",\n    ")
+    def pCol(fi: Int, t: String) =
+      s"CASE WHEN tot_$fi = 0 THEN CAST(0 AS DOUBLE) " +
+        s"ELSE CAST(n_${fi}_$t AS DOUBLE) / CAST(tot_$fi AS DOUBLE) END"
+    val pvCols = ((for (fi <- states.indices; ti <- 0 until k)
+      yield s"${pCol(fi, ti.toString)} AS p_${fi}_$ti") ++
+      states.indices.map(fi => s"${pCol(fi, "conv")} AS p_${fi}_conv"))
+      .mkString(",\n    ")
+    // one recursion per variant; removed = -1 is the full chain
+    def recursion(name: String, removed: Int): String = {
+      val seed = states.indices.map(i => s"CAST(0 AS DOUBLE) AS x$i")
+        .mkString(", ")
+      val updates = states.indices.map { fi =>
+        val terms = (0 until k).map { ti =>
+          val xRef = if (ti == removed) "CAST(0 AS DOUBLE)"
+            else s"x${1 + ti}"
+          s"p_${fi}_$ti * $xRef"
+        } :+ s"p_${fi}_conv"
+        val expr = terms.mkString(" + ")
+        if (removed >= 0 && fi - 1 == removed) "CAST(0 AS DOUBLE)"
+        else s"($expr)"
+      }.mkString(",\n      ")
+      s"""$name AS (
+         |  SELECT 0 AS it, $seed
+         |  UNION ALL
+         |  SELECT it + 1,
+         |      $updates
+         |  FROM $name CROSS JOIN pv WHERE it < 60)""".stripMargin
+    }
+    val recursions = (recursion("it_full", -1) +:
+      ch.indices.map(i => recursion(s"it_r$i", i))).mkString(",\n")
+    val selects = ch.indices.map { i =>
+      s"""SELECT '${ch(i)}' AS channel, f.x0 AS p_full, r.x0 AS p_removed,
+         |  CASE WHEN f.x0 > 0 THEN CAST(1 AS DOUBLE) - r.x0 / f.x0 END
+         |    AS removal_effect
+         |FROM (SELECT x0 FROM it_full WHERE it = 60) f
+         |CROSS JOIN (SELECT x0 FROM it_r$i WHERE it = 60) r""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH RECURSIVE pu AS (SELECT user_id,
+       |    list(event_type ORDER BY CAST(ts AS TIMESTAMP), event_id)
+       |      FILTER (WHERE event_type IN ('click','error','signup','view')
+       |        AND ts IS NOT NULL) AS path,
+       |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cv
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+       |tr AS (
+       |  SELECT 'START' AS f, path[1] AS t FROM pu WHERE len(path) > 0
+       |  UNION ALL
+       |  SELECT path[CAST(i AS INTEGER)], path[CAST(i + 1 AS INTEGER)]
+       |  FROM pu, unnest(range(1, len(path))) AS u(i)
+       |  WHERE len(path) > 0
+       |  UNION ALL
+       |  SELECT path[len(path)],
+       |    CASE WHEN cv = 1 THEN 'CONV' ELSE 'NULL' END
+       |  FROM pu WHERE len(path) > 0),
+       |cn AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM tr GROUP BY 1, 2),
+       |agg AS (SELECT
+       |    $aggCols
+       |  FROM cn),
+       |pv AS (SELECT
+       |    $pvCols
+       |  FROM agg),
+       |$recursions
+       |$selects
+       |ORDER BY channel""".stripMargin
+  }
+
   /** Two-sample log-rank test ([[graft.operators.Stats.logRank]]) over
     * the same churn observations as [[cKaplanMeier]]: even- vs odd-id
     * users' survival compared across one global group — exact counts,
@@ -889,6 +986,7 @@ object Extras {
     "c_kaplan_meier" -> (cKaplanMeier _),
     "c_log_rank" -> (cLogRank _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
+    "c_markov_attribution" -> (cMarkovAttribution _),
     "a_bh_fdr" -> (aBhFdr _),
     "a_rank_sum" -> (aRankSum _),
     "a_spearman_corr" -> (aSpearmanCorr _),
@@ -1583,6 +1681,8 @@ object Extras {
         |SELECT cohort, t, n_risk, d AS n_events, c AS n_censored,
         |  p AS survival
         |FROM km WHERE i > 0 ORDER BY cohort, t""".stripMargin,
+    // Markov mirror: generated — see markovOracle's doc.
+    "c_markov_attribution" -> markovOracle,
     // Shapley mirror: same per-user bitmask + conversion flag, the
     // subset-sum v(S) over all 16 coalitions, and the factorial-
     // weighted marginal sum — all exact BIGINTs until the /24.

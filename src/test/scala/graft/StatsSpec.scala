@@ -702,6 +702,91 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dead("c4") == 0L)
   }
 
+  test("markov attribution: hand chain exact; naive value-iteration replay bitwise; axioms") {
+    import spark.implicits._
+    import graft.operators.Attribution
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // hand chain: START->A (2/3), START->B (1/3); A->CONV .5, B->CONV 1
+    val hand = Seq(
+      ("u1", "A", ts(1), 1L), ("u1", "buy", ts(2), 2L),
+      ("u2", "A", ts(1), 3L),
+      ("u3", "B", ts(1), 4L), ("u3", "buy", ts(2), 5L))
+      .toDF("u", "ch", "t", "eid")
+    val h = Attribution.markovRemoval(hand, col("u"), col("ch"),
+        col("t"), col("eid"), col("ch") === "buy", Seq("A", "B"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val pA = 2.0 / 3.0; val pB = 1.0 / 3.0
+    val pFull = pA * 0.5 + pB * 1.0 // = 2/3
+    assert(h("A")._1 == pFull)
+    assert(h("A")._2 == pB * 1.0 && h("A")._3 == 1.0 - (pB * 1.0) / pFull)
+    assert(h("B")._2 == pA * 0.5 && h("B")._3 == 1.0 - (pA * 0.5) / pFull)
+
+    // multi-touch random fixture vs a naive value-iteration replay in
+    // the SAME term order — must match BITWISE
+    val rng = new scala.util.Random(73)
+    val chans = Seq("c0", "c1", "c2")
+    val rows = (0 until 200).flatMap { u =>
+      val len = 1 + rng.nextInt(4)
+      val path = Seq.fill(len)(chans(rng.nextInt(3)))
+      val conv = rng.nextInt(3) == 0
+      path.zipWithIndex.map { case (c, i) =>
+        (s"u$u", c, ts(i), (u * 10 + i).toLong) } ++
+        (if (conv) Seq((s"u$u", "buy", ts(9), (u * 10 + 9).toLong))
+         else Nil)
+    }
+    val got = Attribution.markovRemoval(rows.toDF("u", "ch", "t", "eid"),
+        col("u"), col("ch"), col("t"), col("eid"), col("ch") === "buy",
+        chans, iters = 60)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    // naive: counts, probabilities, 60 iterations, same fold order
+    val byUser = rows.groupBy(_._1).valuesIterator.map { rs =>
+      (rs.sortBy(r => (r._3.getTime, r._4))
+        .collect { case (_, c, _, _) if chans.contains(c) => c },
+        rs.exists(_._2 == "buy"))
+    }.toVector.filter(_._1.nonEmpty)
+    val cells = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    byUser.foreach { case (p, cv) =>
+      cells(("START", p.head)) += 1
+      p.zip(p.tail).foreach { case (a, b) => cells((a, b)) += 1 }
+      cells((p.last, if (cv) "CONV" else "NULL")) += 1
+    }
+    val froms = "START" +: chans
+    val tots = froms.map(f => f -> (chans.map(c => cells((f, c))) ++
+      Seq(cells((f, "CONV")), cells((f, "NULL")))).sum).toMap
+    def p(f: String, t: String) =
+      if (tots(f) == 0L) 0.0 else cells((f, t)).toDouble / tots(f).toDouble
+    def absorb(removed: Int): Double = {
+      val x = Array.fill(froms.size)(0.0)
+      for (_ <- 1 to 60) {
+        val nx = new Array[Double](froms.size)
+        for (si <- froms.indices) {
+          var acc = 0.0
+          for (ci <- chans.indices)
+            acc += p(froms(si), chans(ci)) *
+              (if (ci == removed) 0.0 else x(1 + ci))
+          acc += p(froms(si), "CONV")
+          nx(si) = acc
+        }
+        if (removed >= 0) nx(1 + removed) = 0.0
+        Array.copy(nx, 0, x, 0, x.length)
+      }
+      x(0)
+    }
+    chans.zipWithIndex.foreach { case (c, i) =>
+      assert(got(c)._1 == absorb(-1), s"p_full via $c")
+      assert(got(c)._2 == absorb(i), s"p_removed($c)")
+    }
+    // removing a never-touched channel changes nothing: effect exactly 0
+    val dead = Attribution.markovRemoval(rows.toDF("u", "ch", "t", "eid"),
+        col("u"), col("ch"), col("t"), col("eid"), col("ch") === "buy",
+        chans :+ "ghost", iters = 60)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(dead("ghost") == 0.0)
+  }
+
   test("logRank: naive replay bitwise; direction flips with the cohort; degenerate null") {
     import spark.implicits._
     val rng = new scala.util.Random(67)
