@@ -1919,6 +1919,114 @@ object Stats {
         col("__e").getField("survival").as("survival")): _*)
   }
 
+  /** Two-proportion uplift test per group — the conversion-rate A/B
+    * readout: treated vs control success counts, the rate difference,
+    * and the pooled two-proportion z
+    *
+    *   z = (p_t − p_c) / √( p̂(1−p̂)·(1/n_t + 1/n_c) ),  p̂ pooled
+    *
+    * All counts exact BIGINTs from ONE aggregation; every emitted value
+    * is a fixed float expression over their casts (IEEE sqrt is
+    * correctly rounded), so everything hashes unrounded. Rates/z are
+    * null when an arm is empty or the pooled rate is degenerate (0 or
+    * 1 — no variance). Output: groups... + (n_t, x_t, n_c, x_c,
+    * rate_t, rate_c, uplift, z). */
+  def proportionUplift(df: DataFrame, groupCols: Seq[Column],
+      treated: Column, outcome: Column): DataFrame = {
+    val t = treated.cast("boolean")
+    val o = outcome.cast("boolean")
+    val agg = df.filter(t.isNotNull && o.isNotNull)
+      .groupBy(groupCols: _*)
+      .agg(sum(when(t, 1L).otherwise(0L)).as("n_t"),
+        sum(when(t && o, 1L).otherwise(0L)).as("x_t"),
+        sum(when(!t, 1L).otherwise(0L)).as("n_c"),
+        sum(when(!t && o, 1L).otherwise(0L)).as("x_c"))
+    val nT = col("n_t"); val nC = col("n_c")
+    val rT = when(nT > 0, col("x_t").cast("double") / nT.cast("double"))
+    val rC = when(nC > 0, col("x_c").cast("double") / nC.cast("double"))
+    val pooledNum = col("x_t") + col("x_c")
+    val pooledDen = nT + nC
+    val pHat = pooledNum.cast("double") / pooledDen.cast("double")
+    val se = sqrt(pHat * (lit(1.0) - pHat) *
+      (lit(1.0) / nT.cast("double") + lit(1.0) / nC.cast("double")))
+    agg
+      .withColumn("rate_t", rT)
+      .withColumn("rate_c", rC)
+      .withColumn("uplift", rT - rC)
+      .withColumn("z", when(nT > 0 && nC > 0 &&
+        pooledNum > 0 && pooledNum < pooledDen,
+        (rT - rC) / se))
+  }
+
+  /** CUPED variance reduction per group (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013) — the experimentation-stack workhorse: adjust each
+    * arm's metric mean with a pre-experiment covariate,
+    *
+    *   θ       = cov(y, x) / var(x)          (pooled over both arms)
+    *   ŷ_arm   = ȳ_arm − θ·(x̄_arm − x̄_all)
+    *
+    * so covariate imbalance between arms cancels and the metric's
+    * variance drops by corr(y,x)² without biasing the effect.
+    *
+    * Exactness: y and x are floor-quantized to BIGINTs in-plan
+    * (`quantScale` sets the precision — the estimate is DEFINED over
+    * the quantized values, the standard ulp-for-portability trade), so
+    * all sums are exact, θ is the [[groupOls]] slope expression over
+    * exact products, and each mean a single division; the output
+    * uplifts divide by quantScale once at the end. One aggregation
+    * pass; an in-plan assert raises before n·max(|qx|,|qy|) can wrap
+    * the θ numerator's BIGINT products (n·m < 2·10⁹ — at large group
+    * sizes pick a coarser quantScale). Output: groups... + (n, n_t,
+    * n_c, theta, uplift_raw,
+    * uplift_cuped); theta/cuped null when var(x) = 0. */
+  def cuped(df: DataFrame, groupCols: Seq[Column], treated: Column,
+      y: Column, x: Column, quantScale: Double = 1e6): DataFrame = {
+    require(quantScale >= 1e1 && quantScale <= 1e9,
+      s"quantScale in [1e1, 1e9], got $quantScale")
+    val t = treated.cast("boolean")
+    val qy = floor(y.cast("double") * lit(quantScale)).cast("long")
+    val qx = floor(x.cast("double") * lit(quantScale)).cast("long")
+    val agg = df
+      .filter(t.isNotNull && y.isNotNull && x.isNotNull)
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(qy).as("sy"), sum(qx).as("sx"),
+        sum(qx * qx).as("sxx"),
+        sum(qx * qy).as("sxy"),
+        max(greatest(abs(qx), abs(qy))).as("__m"),
+        sum(when(t, 1L).otherwise(0L)).as("n_t"),
+        sum(when(t, qy).otherwise(0L)).as("syt"),
+        sum(when(t, qx).otherwise(0L)).as("sxt"),
+        sum(when(!t, 1L).otherwise(0L)).as("n_c"),
+        sum(when(!t, qy).otherwise(0L)).as("syc"),
+        sum(when(!t, qx).otherwise(0L)).as("sxc"))
+      // float-domain wrap guard: the θ numerator n·Σxy is bounded by
+      // n²·m² = (n·m)², so n·m < 2·10⁹ keeps every BIGINT product
+      // clear of 2⁶³ (this dominates n·m², the per-sum bound)
+      .filter(assert_true(
+        col("n").cast("double") * col("__m").cast("double") < lit(2.0e9),
+        lit("cuped: n·max(|qx|,|qy|) risks BIGINT wrap in n·Σxy — " +
+          "lower quantScale or rescale inputs")).isNull)
+    val n = col("n")
+    val den = n * col("sxx") - col("sx") * col("sx") // exact BIGINT
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val theta = when(den =!= 0, num.cast("double") / den.cast("double"))
+    def mean(s: Column, cnt: Column) =
+      when(cnt > 0, s.cast("double") / cnt.cast("double"))
+    val meanXAll = col("sx").cast("double") / n.cast("double")
+    val adjT = mean(col("syt"), col("n_t")) -
+      theta * (mean(col("sxt"), col("n_t")) - meanXAll)
+    val adjC = mean(col("syc"), col("n_c")) -
+      theta * (mean(col("sxc"), col("n_c")) - meanXAll)
+    agg
+      .withColumn("theta", theta)
+      .withColumn("uplift_raw",
+        (mean(col("syt"), col("n_t")) - mean(col("syc"), col("n_c"))) /
+          lit(quantScale))
+      .withColumn("uplift_cuped", (adjT - adjC) / lit(quantScale))
+      .drop("sy", "sx", "sxx", "sxy", "__m", "syt", "sxt", "syc", "sxc")
+  }
+
   /** Two-sample log-rank test per group (Mantel 1966) — "are these two
     * survival curves the same?", the inference companion to
     * [[kaplanMeier]]: at each distinct observed time, cohort 1's

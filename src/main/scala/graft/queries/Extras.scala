@@ -661,6 +661,33 @@ object Extras {
         Seq("click", "error", "signup", "view"))
       .orderBy("channel")
 
+  /** Two-proportion uplift test per event type ([[graft.operators
+    * .Stats.proportionUplift]]): even- vs odd-id users' high-value
+    * rate (value > 50) — exact counts, algebraic z (IEEE sqrt), every
+    * column hashes unrounded. */
+  def aProportionUplift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.proportionUplift(
+        t(s, dir, "events").filter(col("user_id").isNotNull &&
+          col("value").isNotNull),
+        Seq(col("event_type")), pmod(col("user_id"), lit(2)) === 0,
+        col("value") > lit(50.0))
+      .orderBy("event_type")
+
+  /** CUPED variance reduction per event type ([[graft.operators.Stats
+    * .cuped]]): value adjusted by a synthetic correlated covariate
+    * (0.8·value + event_id mod 7), quantScale 100 (the n·m wrap bound
+    * at sf-scale group sizes); theta and both uplifts are fixed float
+    * tails over exact BIGINT moments — all columns hash unrounded. */
+  def cCuped(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.cuped(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        Seq(col("event_type")), pmod(col("user_id"), lit(2)) === 0,
+        col("value"),
+        col("value") * lit(0.8) + pmod(col("event_id"), lit(7))
+          .cast("double"),
+        quantScale = 100.0)
+      .orderBy("event_type")
+
   /** Markov removal-effect attribution ([[graft.operators.Attribution
     * .markovRemoval]]): user touch paths in (ts, event_id) order over
     * the four non-purchase channels; 60 fixed value-iteration steps —
@@ -987,6 +1014,8 @@ object Extras {
     "c_log_rank" -> (cLogRank _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
     "c_markov_attribution" -> (cMarkovAttribution _),
+    "a_proportion_uplift" -> (aProportionUplift _),
+    "c_cuped" -> (cCuped _),
     "a_bh_fdr" -> (aBhFdr _),
     "a_rank_sum" -> (aRankSum _),
     "a_spearman_corr" -> (aSpearmanCorr _),
@@ -1681,6 +1710,82 @@ object Extras {
         |SELECT cohort, t, n_risk, d AS n_events, c AS n_censored,
         |  p AS survival
         |FROM km WHERE i > 0 ORDER BY cohort, t""".stripMargin,
+    // Two-proportion mirror: exact counts, the same pooled-z op order.
+    "a_proportion_uplift" ->
+      """WITH b AS (SELECT event_type, user_id % 2 = 0 AS t,
+        |    value > CAST(50 AS DOUBLE) AS o
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |a AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN t AND o THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x_t,
+        |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_c,
+        |    CAST(SUM(CASE WHEN NOT t AND o THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x_c
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, n_t, x_t, n_c, x_c,
+        |  CASE WHEN n_t > 0 THEN CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |    END AS rate_t,
+        |  CASE WHEN n_c > 0 THEN CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+        |    END AS rate_c,
+        |  (CASE WHEN n_t > 0 THEN CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |    END)
+        |  - (CASE WHEN n_c > 0 THEN CAST(x_c AS DOUBLE)
+        |      / CAST(n_c AS DOUBLE) END) AS uplift,
+        |  CASE WHEN n_t > 0 AND n_c > 0 AND x_t + x_c > 0
+        |      AND x_t + x_c < n_t + n_c THEN
+        |    ((CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+        |      - (CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
+        |    / sqrt((CAST(x_t + x_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE))
+        |      * (CAST(1 AS DOUBLE)
+        |        - CAST(x_t + x_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE))
+        |      * (CAST(1 AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |        + CAST(1 AS DOUBLE) / CAST(n_c AS DOUBLE)))
+        |  END AS z
+        |FROM a ORDER BY 1""".stripMargin,
+    // CUPED mirror: identical floor-quantized BIGINT moments, the
+    // groupOls theta expression, and the same mean/adjustment tail.
+    "c_cuped" ->
+      """WITH b AS (SELECT event_type, user_id % 2 = 0 AS t,
+        |    CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT) AS qy,
+        |    CAST(floor((value * CAST(0.8 AS DOUBLE)
+        |      + CAST(event_id % 7 AS DOUBLE)) * CAST(100 AS DOUBLE))
+        |      AS BIGINT) AS qx
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(qy) AS BIGINT) AS sy, CAST(SUM(qx) AS BIGINT) AS sx,
+        |    CAST(SUM(qx * qx) AS BIGINT) AS sxx,
+        |    CAST(SUM(qx * qy) AS BIGINT) AS sxy,
+        |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN t THEN qy ELSE 0 END) AS BIGINT) AS syt,
+        |    CAST(SUM(CASE WHEN t THEN qx ELSE 0 END) AS BIGINT) AS sxt,
+        |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN NOT t THEN qy ELSE 0 END) AS BIGINT)
+        |      AS syc,
+        |    CAST(SUM(CASE WHEN NOT t THEN qx ELSE 0 END) AS BIGINT)
+        |      AS sxc
+        |  FROM b GROUP BY 1),
+        |f AS (SELECT event_type, n, n_t, n_c,
+        |    CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |      CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+        |    CASE WHEN n_t > 0 THEN CAST(syt AS DOUBLE)
+        |      / CAST(n_t AS DOUBLE) END AS myt,
+        |    CASE WHEN n_t > 0 THEN CAST(sxt AS DOUBLE)
+        |      / CAST(n_t AS DOUBLE) END AS mxt,
+        |    CASE WHEN n_c > 0 THEN CAST(syc AS DOUBLE)
+        |      / CAST(n_c AS DOUBLE) END AS myc,
+        |    CASE WHEN n_c > 0 THEN CAST(sxc AS DOUBLE)
+        |      / CAST(n_c AS DOUBLE) END AS mxc,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mxa
+        |  FROM a)
+        |SELECT event_type, n, n_t, n_c, theta,
+        |  (myt - myc) / CAST(100 AS DOUBLE) AS uplift_raw,
+        |  ((myt - theta * (mxt - mxa)) - (myc - theta * (mxc - mxa)))
+        |    / CAST(100 AS DOUBLE) AS uplift_cuped
+        |FROM f ORDER BY 1""".stripMargin,
     // Markov mirror: generated — see markovOracle's doc.
     "c_markov_attribution" -> markovOracle,
     // Shapley mirror: same per-user bitmask + conversion flag, the

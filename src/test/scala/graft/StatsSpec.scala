@@ -702,6 +702,86 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dead("c4") == 0L)
   }
 
+  test("proportionUplift: hand z exact; empty arm and degenerate pooled rate give nulls") {
+    import spark.implicits._
+    // 200 treated (60 succ), 100 control (20 succ)
+    val rows = (0 until 200).map(i => ("g", true, i < 60)) ++
+      (0 until 100).map(i => ("g", false, i < 20))
+    val r = Stats.proportionUplift(rows.toDF("g", "t", "o"),
+      Seq(col("g")), col("t"), col("o")).head()
+    assert(r.getAs[Long]("n_t") == 200L && r.getAs[Long]("x_t") == 60L)
+    val rT = 60.0 / 200.0; val rC = 20.0 / 100.0
+    val pHat = 80.0 / 300.0
+    val se = math.sqrt(pHat * (1.0 - pHat) * (1.0 / 200.0 + 1.0 / 100.0))
+    assert(r.getAs[Double]("uplift") == rT - rC)
+    assert(r.getAs[Double]("z") == (rT - rC) / se)
+    // empty control arm: rate_c/uplift/z null
+    val solo = Stats.proportionUplift(
+      rows.filter(_._2).toDF("g", "t", "o"), Seq(col("g")), col("t"),
+      col("o")).head()
+    assert(solo.isNullAt(solo.fieldIndex("rate_c")) &&
+      solo.isNullAt(solo.fieldIndex("z")))
+    // all-success pooled rate: no variance, z null, uplift still 0
+    val allWin = Stats.proportionUplift(
+      Seq(("g", true, true), ("g", false, true)).toDF("g", "t", "o"),
+      Seq(col("g")), col("t"), col("o")).head()
+    assert(allWin.isNullAt(allWin.fieldIndex("z")) &&
+      allWin.getAs[Double]("uplift") == 0.0)
+  }
+
+  test("cuped: naive quantized replay bitwise; corrects covariate imbalance toward the truth") {
+    import spark.implicits._
+    val rng = new scala.util.Random(79)
+    // covariate x ~ user skill; y = x + effect·treated + noise. Arms
+    // IMBALANCED on x (treated skews high), so the raw uplift
+    // overstates the true effect 5.0 and CUPED must pull it back.
+    val rows = (0 until 2000).map { i =>
+      val t = i % 2 == 0
+      val x = rng.nextDouble() * 100 + (if (t) 20.0 else 0.0)
+      val y = x + (if (t) 5.0 else 0.0) + rng.nextGaussian() * 3
+      ("g", t, y, x)
+    }
+    val r = Stats.cuped(rows.toDF("g", "t", "y", "x"), Seq(col("g")),
+      col("t"), col("y"), col("x"), quantScale = 1e3).head()
+    val raw = r.getAs[Double]("uplift_raw")
+    val adj = r.getAs[Double]("uplift_cuped")
+    assert(raw > 20.0, s"raw uplift $raw should carry the imbalance")
+    assert(math.abs(adj - 5.0) < 1.0,
+      s"cuped uplift $adj should be near the true effect 5.0")
+
+    // naive single-threaded replay over the SAME quantized values —
+    // theta and both uplifts must match bitwise
+    val q = 1e3
+    val quant = rows.map { case (_, t, y, x) =>
+      (t, math.floor(y * q).toLong, math.floor(x * q).toLong) }
+    val n = quant.size.toLong
+    val sy = quant.map(_._2).sum; val sx = quant.map(_._3).sum
+    val sxx = quant.map(v => v._3 * v._3).sum
+    val sxy = quant.map(v => v._3 * v._2).sum
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(r.getAs[Double]("theta") == theta)
+    def arm(p: Boolean) = {
+      val a = quant.filter(_._1 == p)
+      (a.size.toLong, a.map(_._2).sum, a.map(_._3).sum)
+    }
+    val (ntL, sytL, sxtL) = arm(true); val (ncL, sycL, sxcL) = arm(false)
+    val mxa = sx.toDouble / n.toDouble
+    val adjT = sytL.toDouble / ntL.toDouble -
+      theta * (sxtL.toDouble / ntL.toDouble - mxa)
+    val adjC = sycL.toDouble / ncL.toDouble -
+      theta * (sxcL.toDouble / ncL.toDouble - mxa)
+    assert(r.getAs[Double]("uplift_cuped") == (adjT - adjC) / q)
+    assert(r.getAs[Double]("uplift_raw") ==
+      (sytL.toDouble / ntL.toDouble - sycL.toDouble / ncL.toDouble) / q)
+    // constant covariate: var(x)=0 ⇒ theta/cuped null, raw unaffected
+    val flat = Stats.cuped(rows.map(v => (v._1, v._2, v._3, 1.0))
+        .toDF("g", "t", "y", "x"), Seq(col("g")), col("t"), col("y"),
+      col("x"), quantScale = 1e3).head()
+    assert(flat.isNullAt(flat.fieldIndex("theta")) &&
+      flat.isNullAt(flat.fieldIndex("uplift_cuped")))
+    assert(flat.getAs[Double]("uplift_raw") == raw)
+  }
+
   test("markov attribution: hand chain exact; naive value-iteration replay bitwise; axioms") {
     import spark.implicits._
     import graft.operators.Attribution
