@@ -1958,6 +1958,43 @@ object Stats {
         (rT - rC) / se))
   }
 
+  /** Sample-ratio-mismatch check per group — the A/B test's smoke
+    * alarm: if the observed treated/control split deviates from the
+    * DESIGNED ratio more than chance allows, the assignment machinery
+    * is broken and every downstream readout is suspect. One-df
+    * chi-square goodness of fit against expected counts
+    * n·ratio / n·(1−ratio):
+    *
+    *   chi2 = (n_t − e_t)²/e_t + (n_c − e_c)²/e_c
+    *
+    * Counts exact; e_t = n·ratio is one multiply; the chi2 is a fixed
+    * float tail — hashes unrounded. `srm` flags chi2 above the 0.001
+    * one-df critical value 10.828 (the conventional SRM alert level —
+    * an SRM test must be conservative, a 5% false-alarm rate would
+    * page every twentieth experiment). Output: groups... + (n_t, n_c,
+    * expected_t, chi2, srm); chi2 null when n = 0 or ratio degenerate. */
+  def srmCheck(df: DataFrame, groupCols: Seq[Column], treated: Column,
+      ratio: Double = 0.5): DataFrame = {
+    require(ratio > 0.0 && ratio < 1.0, s"ratio in (0,1), got $ratio")
+    val t = treated.cast("boolean")
+    val agg = df.filter(t.isNotNull)
+      .groupBy(groupCols: _*)
+      .agg(sum(when(t, 1L).otherwise(0L)).as("n_t"),
+        sum(when(!t, 1L).otherwise(0L)).as("n_c"))
+    val n = (col("n_t") + col("n_c")).cast("double")
+    val eT = n * lit(ratio)
+    val eC = n * lit(1.0 - ratio)
+    val chi2 = when(col("n_t") + col("n_c") > 0,
+      (col("n_t").cast("double") - eT) * (col("n_t").cast("double") - eT)
+        / eT +
+        (col("n_c").cast("double") - eC) *
+          (col("n_c").cast("double") - eC) / eC)
+    agg
+      .withColumn("expected_t", when(col("n_t") + col("n_c") > 0, eT))
+      .withColumn("chi2", chi2)
+      .withColumn("srm", chi2 > 10.828)
+  }
+
   /** CUPED variance reduction per group (Deng, Xu, Kohavi & Walker,
     * WSDM 2013) — the experimentation-stack workhorse: adjust each
     * arm's metric mean with a pre-experiment covariate,

@@ -661,6 +661,16 @@ object Extras {
         Seq("click", "error", "signup", "view"))
       .orderBy("channel")
 
+  /** Sample-ratio-mismatch check per event type ([[graft.operators
+    * .Stats.srmCheck]]): the even/odd user split checked against its
+    * designed 50/50 ratio — exact counts, fixed chi-square tail, all
+    * columns hash unrounded. */
+  def aSrmCheck(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.srmCheck(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        Seq(col("event_type")), pmod(col("user_id"), lit(2)) === 0)
+      .orderBy("event_type")
+
   /** Two-proportion uplift test per event type ([[graft.operators
     * .Stats.proportionUplift]]): even- vs odd-id users' high-value
     * rate (value > 50) — exact counts, algebraic z (IEEE sqrt), every
@@ -1015,6 +1025,7 @@ object Extras {
     "c_shapley_attribution" -> (cShapleyAttribution _),
     "c_markov_attribution" -> (cMarkovAttribution _),
     "a_proportion_uplift" -> (aProportionUplift _),
+    "a_srm_check" -> (aSrmCheck _),
     "c_cuped" -> (cCuped _),
     "a_bh_fdr" -> (aBhFdr _),
     "a_rank_sum" -> (aRankSum _),
@@ -1710,6 +1721,31 @@ object Extras {
         |SELECT cohort, t, n_risk, d AS n_events, c AS n_censored,
         |  p AS survival
         |FROM km WHERE i > 0 ORDER BY cohort, t""".stripMargin,
+    // SRM mirror: same counts, same chi2 op order, same 10.828 gate.
+    "a_srm_check" ->
+      """WITH a AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN NOT (user_id % 2 = 0) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |f AS (SELECT event_type, n_t, n_c,
+        |    CAST(n_t + n_c AS DOUBLE) * CAST(0.5 AS DOUBLE) AS e_t,
+        |    CAST(n_t + n_c AS DOUBLE) * CAST(0.5 AS DOUBLE) AS e_c
+        |  FROM a)
+        |SELECT event_type, n_t, n_c,
+        |  CASE WHEN n_t + n_c > 0 THEN e_t END AS expected_t,
+        |  CASE WHEN n_t + n_c > 0 THEN
+        |    (CAST(n_t AS DOUBLE) - e_t) * (CAST(n_t AS DOUBLE) - e_t)
+        |      / e_t
+        |    + (CAST(n_c AS DOUBLE) - e_c) * (CAST(n_c AS DOUBLE) - e_c)
+        |      / e_c END AS chi2,
+        |  CASE WHEN n_t + n_c > 0 THEN
+        |    ((CAST(n_t AS DOUBLE) - e_t) * (CAST(n_t AS DOUBLE) - e_t)
+        |      / e_t
+        |    + (CAST(n_c AS DOUBLE) - e_c) * (CAST(n_c AS DOUBLE) - e_c)
+        |      / e_c) > CAST(10.828 AS DOUBLE) END AS srm
+        |FROM f ORDER BY 1""".stripMargin,
     // Two-proportion mirror: exact counts, the same pooled-z op order.
     "a_proportion_uplift" ->
       """WITH b AS (SELECT event_type, user_id % 2 = 0 AS t,

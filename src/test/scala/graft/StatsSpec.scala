@@ -729,6 +729,32 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       allWin.getAs[Double]("uplift") == 0.0)
   }
 
+  test("srmCheck: hand chi2 exact; balanced split quiet, broken split alarms") {
+    import spark.implicits._
+    // 5100 vs 4900 on a designed 50/50: chi2 = 2·(100²/5000) = 4 — noisy
+    // but NOT an SRM at the 10.828 gate
+    val ok = (0 until 5100).map(_ => ("g", true)) ++
+      (0 until 4900).map(_ => ("g", false))
+    val r1 = Stats.srmCheck(ok.toDF("g", "t"), Seq(col("g")), col("t"))
+      .head()
+    val e = 10000.0 * 0.5
+    val chi2 = (5100.0 - e) * (5100.0 - e) / e +
+      (4900.0 - e) * (4900.0 - e) / e
+    assert(r1.getAs[Double]("chi2") == chi2 && chi2 == 4.0)
+    assert(!r1.getAs[Boolean]("srm"))
+    // 5300/4700 is a real mismatch: chi2 = 36 >> 10.828
+    val bad = (0 until 5300).map(_ => ("g", true)) ++
+      (0 until 4700).map(_ => ("g", false))
+    val r2 = Stats.srmCheck(bad.toDF("g", "t"), Seq(col("g")), col("t"))
+      .head()
+    assert(r2.getAs[Boolean]("srm") && r2.getAs[Double]("chi2") == 36.0)
+    // non-even design ratio: expected counts follow it
+    val r3 = Stats.srmCheck(bad.toDF("g", "t"), Seq(col("g")), col("t"),
+      ratio = 0.53).head()
+    assert(r3.getAs[Double]("expected_t") == 5300.0)
+    assert(!r3.getAs[Boolean]("srm")) // 53/47 design: observed is spot-on
+  }
+
   test("cuped: naive quantized replay bitwise; corrects covariate imbalance toward the truth") {
     import spark.implicits._
     val rng = new scala.util.Random(79)
