@@ -99,7 +99,11 @@ object PlanDump {
     "c_ts_strength" -> "seasonal/trend strength — the decompose pipeline (centered windows, one seasonal aggregate) plus ONE per-key collect of the complete rows; all six variance folds are in-row expressions on that array",
     "c_backtest_rolling" -> "rolling-origin backtest — the c_backtest one-exchange series collect; all K origins are prefix slices of the SAME in-row array, so multi-origin evaluation adds zero exchanges over single-origin",
     "c_kaplan_meier" -> "Kaplan-Meier — one aggregate thins subjects to per-(group, t) exact counts, a second collects the bounded distinct-time grid in-row; n_risk/survival are in-row integer-prefix + product folds, no window, no join",
-    "a_bh_fdr" -> "Benjamini-Hochberg — rank and suffix-min are two windows over ONE group exchange; the suffix min is order-insensitive so no fold, no second scan")
+    "a_bh_fdr" -> "Benjamini-Hochberg — rank and suffix-min are two windows over ONE group exchange; the suffix min is order-insensitive so no fold, no second scan",
+    "c_log_rank" -> "log-rank test — the KM exact-counts pipeline plus ONE in-row (u1,u2,oe,v) fold; no window, no join beyond the two thinning aggregates",
+    "c_shapley_attribution" -> "Shapley attribution — ONE data-sized aggregate (user → bitmask); the subset-sum and marginal-pair joins run on 2^k-bounded coalition frames (broadcast nested-loop by construction, never over data)",
+    "c_cuped" -> "CUPED — one HashAggregate pass of quantized exact BIGINT moments for BOTH arms and theta together; the adjustment is a pure projection",
+    "a_srm_check" -> "SRM check — one counts aggregate, chi2 a projection; nothing else in the plan")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */

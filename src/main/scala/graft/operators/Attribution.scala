@@ -48,22 +48,17 @@ object Attribution {
     require(k >= 1 && k <= 12,
       s"shapley needs 1 <= channels <= 12, got $k")
     require(channels.distinct.size == k, "channels must be distinct")
-    val spark = df.sparkSession
+    shapleyFromVObs(df.sparkSession,
+      maskConversionCounts(df, userCol, channelCol, convertedCol,
+        channels), channels)
+  }
 
-    // channel → 2^index power (null for non-universe touches)
-    val pw = channels.zipWithIndex.foldLeft(lit(null).cast("long")) {
-      case (acc, (name, i)) => when(channelCol === name, lit(1L << i))
-        .otherwise(acc)
-    }
-    val perUser = df.filter(userCol.isNotNull)
-      .select(userCol.as("__u"), pw.as("__pw"),
-        convertedCol.cast("boolean").as("__cv"))
-      .groupBy("__u")
-      // powers are distinct bits, so SUM(DISTINCT) == bitwise OR, exact
-      .agg(sum_distinct(col("__pw")).as("mask"),
-        max(when(col("__cv"), 1L).otherwise(0L)).as("cv"))
-    val vObs = perUser.filter(col("mask") > 0)
-      .groupBy("mask").agg(sum(col("cv")).as("conv"))
+  /** The coalition tail shared by [[shapley]] and
+    * [[shapleyFromMaskCounts]]: subset-sum v(S), factorial-weighted
+    * marginals, the single /k! — everything on 2ᵏ-bounded frames. */
+  private def shapleyFromVObs(spark: org.apache.spark.sql.SparkSession,
+      vObs: DataFrame, channels: Seq[String]): DataFrame = {
+    val k = channels.size
 
     // v(S) = Σ_{T ⊆ S} conv(T) over all 2^k coalitions — a subset-sum
     // theta join on constant-bounded frames (≤ 2^k rows each side)
@@ -93,6 +88,52 @@ object Attribution {
         col("phi_num"),
         (col("phi_num").cast("double") /
           lit(factorial(k).toDouble)).as("phi"))
+  }
+
+  /** The PARTIAL behind [[shapley]]: conversions per exact touched-
+    * channel bitmask over CLOSED users — one associative BIGINT sum
+    * per observed mask (≤ 2ᵏ rows of state), so batch-sliced partials
+    * re-summed per mask are exactly the one-shot table. The streaming
+    * contract matches [[graft.operators.Stats.survivalCounts]]: a
+    * user's (mask, converted) pair is an immutable FACT only once the
+    * user is closed — an open user's mask and conversion status would
+    * both mutate. */
+  def maskConversionCounts(df: DataFrame, userCol: Column,
+      channelCol: Column, convertedCol: Column,
+      channels: Seq[String]): DataFrame = {
+    val k = channels.size
+    require(k >= 1 && k <= 12,
+      s"maskConversionCounts needs 1 <= channels <= 12, got $k")
+    // channel → 2^index power (null for non-universe touches)
+    val pw = channels.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (name, i)) => when(channelCol === name, lit(1L << i))
+        .otherwise(acc)
+    }
+    df.filter(userCol.isNotNull)
+      .select(userCol.as("__u"), pw.as("__pw"),
+        convertedCol.cast("boolean").as("__cv"))
+      .groupBy("__u")
+      // powers are distinct bits, so SUM(DISTINCT) == bitwise OR, exact
+      .agg(sum_distinct(col("__pw")).as("mask"),
+        max(when(col("__cv"), 1L).otherwise(0L)).as("cv"))
+      .filter(col("mask") > 0)
+      .groupBy("mask").agg(sum(col("cv")).as("conv"))
+  }
+
+  /** Merge [[maskConversionCounts]] tables: BIGINT re-sum per mask. */
+  def mergeMaskCounts(partials: Seq[DataFrame]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy(col("mask")).agg(sum(col("conv")).as("conv"))
+
+  /** Finalize a (possibly merged) [[maskConversionCounts]] table into
+    * the [[shapley]] schema — the streaming-readout face. */
+  def shapleyFromMaskCounts(counts: DataFrame,
+      channels: Seq[String]): DataFrame = {
+    val k = channels.size
+    require(k >= 1 && k <= 12,
+      s"shapleyFromMaskCounts needs 1 <= channels <= 12, got $k")
+    require(channels.distinct.size == k, "channels must be distinct")
+    shapleyFromVObs(counts.sparkSession, counts, channels)
   }
 
   /** Markov-chain removal-effect attribution (Anderl et al. 2016) —
@@ -125,13 +166,26 @@ object Attribution {
     * removal_effect), effect null when P_full = 0. */
   def markovRemoval(df: DataFrame, userCol: Column, channelCol: Column,
       tsCol: Column, tieCol: Column, convertedCol: Column,
-      channels: Seq[String], iters: Int = 60): DataFrame = {
+      channels: Seq[String], iters: Int = 60): DataFrame =
+    markovFromCounts(
+      transitionCounts(df, userCol, channelCol, tsCol, tieCol,
+        convertedCol, channels),
+      channels, iters)
+
+  /** The PARTIAL behind [[markovRemoval]]: exact (from, to) transition
+    * counts over CLOSED users' paths — one associative BIGINT sum per
+    * cell (≤ (k+1)(k+2) rows of state), so batch-sliced partials
+    * re-summed per cell are exactly the one-shot matrix. The streaming
+    * contract matches [[maskConversionCounts]]: a user's path and
+    * conversion label are immutable FACTS only once the user is closed
+    * — an open user's transitions would mutate with every new touch. */
+  def transitionCounts(df: DataFrame, userCol: Column,
+      channelCol: Column, tsCol: Column, tieCol: Column,
+      convertedCol: Column, channels: Seq[String]): DataFrame = {
     val k = channels.size
     require(k >= 1 && k <= 16,
-      s"markovRemoval needs 1 <= channels <= 16, got $k")
+      s"transitionCounts needs 1 <= channels <= 16, got $k")
     require(channels.distinct.size == k, "channels must be distinct")
-    require(iters >= 1 && iters <= 1000, s"iters in 1..1000, got $iters")
-    val spark = df.sparkSession
 
     val isTouch = channelCol.isin(channels: _*)
     val perUser = df.filter(userCol.isNotNull)
@@ -158,6 +212,25 @@ object Attribution {
           .as("to"))))).as("__t"))
       .groupBy(col("__t.from").as("from"), col("__t.to").as("to"))
       .agg(count(lit(1)).as("n"))
+    trans
+  }
+
+  /** Merge [[transitionCounts]] tables: BIGINT re-sum per (from, to). */
+  def mergeTransitionCounts(partials: Seq[DataFrame]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy(col("from"), col("to")).agg(sum(col("n")).as("n"))
+
+  /** Finalize a (possibly merged) [[transitionCounts]] matrix into the
+    * [[markovRemoval]] schema — the streaming-readout face. The driver
+    * collect is the constant-bounded count matrix, nothing else. */
+  def markovFromCounts(trans: DataFrame, channels: Seq[String],
+      iters: Int = 60): DataFrame = {
+    val k = channels.size
+    require(k >= 1 && k <= 16,
+      s"markovFromCounts needs 1 <= channels <= 16, got $k")
+    require(channels.distinct.size == k, "channels must be distinct")
+    require(iters >= 1 && iters <= 1000, s"iters in 1..1000, got $iters")
+    val spark = trans.sparkSession
     // constant-bounded collect: ≤ (k+1)(k+2) transition cells
     val cells = trans.collect().map(r =>
       (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap

@@ -655,6 +655,70 @@ object StreamingTimeSeries {
         Seq(groupCol)),
       Seq(groupCol))
 
+  /** Streaming attribution maintenance (set face) — the ingestion face
+    * of [[graft.operators.Attribution.shapley]]: each micro-batch of
+    * CLOSED users' touch events reduces to conversions-per-touched-set
+    * deltas (≤ 2ᵏ rows, batch_id replay guard). Same closed-subject
+    * contract as the survival face: an open user's mask and conversion
+    * label would mutate, so only closed users are facts. */
+  def startMaskCountsQuery(events: DataFrame, userCol: String,
+      channelCol: String, convertedCol: String, channels: Seq[String],
+      targetDir: String, checkpointDir: String) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Attribution
+          .maskConversionCounts(batch.toDF(), col(userCol),
+            col(channelCol), col(convertedCol), channels)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$targetDir/mask_counts")
+      }
+      .start()
+
+  /** Whole-stream Shapley attribution from the stored mask deltas —
+    * bit-identical to the batch operator over all closed users. */
+  def mergedShapley(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, channels: Seq[String]): DataFrame =
+    graft.operators.Attribution.shapleyFromMaskCounts(
+      graft.operators.Attribution.mergeMaskCounts(
+        Seq(spark.read.parquet(s"$targetDir/mask_counts")
+          .dropDuplicates("mask", "batch_id").drop("batch_id"))),
+      channels)
+
+  /** Streaming attribution maintenance (path face) — the ingestion
+    * face of [[graft.operators.Attribution.markovRemoval]]: each
+    * micro-batch of CLOSED users' touch events reduces to exact
+    * (from, to) transition-count deltas (≤ (k+1)(k+2) rows, batch_id
+    * replay guard); counts are associative, so the merged matrix
+    * finalizes to removal effects bit-identical to batch. */
+  def startTransitionCountsQuery(events: DataFrame, userCol: String,
+      channelCol: String, tsCol: String, tieCol: String,
+      convertedCol: String, channels: Seq[String], targetDir: String,
+      checkpointDir: String) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Attribution
+          .transitionCounts(batch.toDF(), col(userCol), col(channelCol),
+            col(tsCol), col(tieCol), col(convertedCol), channels)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$targetDir/transition_counts")
+      }
+      .start()
+
+  /** Whole-stream Markov removal effects from the stored transition
+    * deltas — bit-identical to the batch operator. */
+  def mergedMarkovRemoval(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, channels: Seq[String],
+      iters: Int = 60): DataFrame =
+    graft.operators.Attribution.markovFromCounts(
+      graft.operators.Attribution.mergeTransitionCounts(
+        Seq(spark.read.parquet(s"$targetDir/transition_counts")
+          .dropDuplicates("from", "to", "batch_id").drop("batch_id"))),
+      channels, iters)
+
   /** Streaming record-linkage maintenance — the ingestion face of
     * [[graft.operators.Linkage.trainWeights]]: each micro-batch of
     * labeled pairs reduces to its per-field exact agreement-count

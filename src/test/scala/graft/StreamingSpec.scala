@@ -638,6 +638,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming attribution counts: merged shapley AND markov == one-shot batch, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("attr_sink").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("attr_ck1").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("attr_ck2").toString
+    val chans = Seq("a", "b", "c")
+    val rng = new scala.util.Random(101)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // closed users arriving over three batches; each user's FULL event
+    // set stays within one batch (the closed-subject contract)
+    val users = (0 until 300).map { u =>
+      val path = Seq.fill(1 + rng.nextInt(4))(chans(rng.nextInt(3)))
+      val conv = rng.nextInt(3) == 0
+      path.zipWithIndex.map { case (ch, i) =>
+        (s"u$u", ch, ts(i), (u * 10 + i).toLong) } ++
+        (if (conv) Seq((s"u$u", "buy", ts(9), (u * 10 + 9).toLong))
+         else Nil)
+    }
+    val all = users.flatten
+    val input1 = MemoryStream[(String, String, java.sql.Timestamp, Long)]
+    val input2 = MemoryStream[(String, String, java.sql.Timestamp, Long)]
+    val cols = Seq("u", "ch", "t", "eid")
+    val q1 = StreamingTimeSeries.startMaskCountsQuery(
+      input1.toDF().toDF(cols: _*).withColumn("cv", col("ch") === "buy"),
+      "u", "ch", "cv", chans, base, ck1)
+    val q2 = StreamingTimeSeries.startTransitionCountsQuery(
+      input2.toDF().toDF(cols: _*).withColumn("cv", col("ch") === "buy"),
+      "u", "ch", "t", "eid", "cv", chans, base, ck2)
+    try {
+      val batches = Seq(users.take(40), users.slice(40, 230),
+        users.drop(230)).map(_.flatten)
+      batches.foreach { b =>
+        input1.addData(b: _*); q1.processAllAvailable()
+        input2.addData(b: _*); q2.processAllAvailable()
+      }
+      import graft.operators.Attribution
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val df = all.toDF(cols: _*).withColumn("cv", col("ch") === "buy")
+      val wantS = rows(Attribution.shapley(df, col("u"), col("ch"),
+        col("cv"), chans))
+      val wantM = rows(Attribution.markovRemoval(df, col("u"), col("ch"),
+        col("t"), col("eid"), col("cv"), chans))
+      assert(rows(StreamingTimeSeries.mergedShapley(spark, base, chans))
+        == wantS)
+      assert(rows(StreamingTimeSeries.mergedMarkovRemoval(spark, base,
+        chans)) == wantM)
+      // at-least-once replay collapses via the batch_id guard
+      for (d <- Seq("mask_counts", "transition_counts")) {
+        spark.read.parquet(s"$base/$d").filter(col("batch_id") === 1L)
+          .write.mode("append").parquet(s"$base/$d")
+      }
+      assert(rows(StreamingTimeSeries.mergedShapley(spark, base, chans))
+        == wantS, "replayed mask deltas double-counted")
+      assert(rows(StreamingTimeSeries.mergedMarkovRemoval(spark, base,
+        chans)) == wantM, "replayed transition deltas double-counted")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streaming contingency cells: merged chi2/V/MI == one-shot batch, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
