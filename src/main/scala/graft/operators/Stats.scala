@@ -1958,6 +1958,53 @@ object Stats {
         (rT - rC) / se))
   }
 
+  /** Difference-in-differences per group — the quasi-experimental
+    * effect estimate when assignment wasn't randomized but a pre
+    * period exists (Card & Krueger 1994's workhorse):
+    *
+    *   DiD = (ȳ_treated,post − ȳ_treated,pre)
+    *       − (ȳ_control,post − ȳ_control,pre)
+    *
+    * so any time-invariant group difference and any common time trend
+    * cancel. The metric is floor-quantized to BIGINTs in-plan (the
+    * [[cuped]] precision contract), the four cell sums are exact, each
+    * mean a single division, DiD a fixed three-subtraction tail over
+    * the /quantScale means — hashes unrounded. Null when any of the
+    * four cells is empty (the design is incomplete, not zero-effect).
+    * Output: groups... + (n_t_pre, n_t_post, n_c_pre, n_c_post, did). */
+  def diffInDiff(df: DataFrame, groupCols: Seq[Column], treated: Column,
+      post: Column, y: Column, quantScale: Double = 1e6): DataFrame = {
+    require(quantScale >= 1e1 && quantScale <= 1e9,
+      s"quantScale in [1e1, 1e9], got $quantScale")
+    val t = treated.cast("boolean")
+    val p = post.cast("boolean")
+    val qy = floor(y.cast("double") * lit(quantScale)).cast("long")
+    def cell(ct: Boolean, cp: Boolean) = {
+      val cond = (if (ct) t else !t) && (if (cp) p else !p)
+      (sum(when(cond, 1L).otherwise(0L)),
+        sum(when(cond, qy).otherwise(0L)))
+    }
+    val (nTPre, sTPre) = cell(ct = true, cp = false)
+    val (nTPost, sTPost) = cell(ct = true, cp = true)
+    val (nCPre, sCPre) = cell(ct = false, cp = false)
+    val (nCPost, sCPost) = cell(ct = false, cp = true)
+    val agg = df.filter(t.isNotNull && p.isNotNull && y.isNotNull)
+      .groupBy(groupCols: _*)
+      .agg(nTPre.as("n_t_pre"), sTPre.as("s_t_pre"),
+        nTPost.as("n_t_post"), sTPost.as("s_t_post"),
+        nCPre.as("n_c_pre"), sCPre.as("s_c_pre"),
+        nCPost.as("n_c_post"), sCPost.as("s_c_post"))
+    def mean(sc: String, nc: String) =
+      col(sc).cast("double") / col(nc).cast("double") / lit(quantScale)
+    agg
+      .withColumn("did",
+        when(col("n_t_pre") > 0 && col("n_t_post") > 0 &&
+          col("n_c_pre") > 0 && col("n_c_post") > 0,
+          (mean("s_t_post", "n_t_post") - mean("s_t_pre", "n_t_pre")) -
+            (mean("s_c_post", "n_c_post") - mean("s_c_pre", "n_c_pre"))))
+      .drop("s_t_pre", "s_t_post", "s_c_pre", "s_c_post")
+  }
+
   /** Sample-ratio-mismatch check per group — the A/B test's smoke
     * alarm: if the observed treated/control split deviates from the
     * DESIGNED ratio more than chance allows, the assignment machinery
@@ -2083,19 +2130,44 @@ object Stats {
     * Output per group: (n1, n2, o1, e1, v, chi2, z); chi2/z are null
     * when ΣV = 0 (no informative times — e.g. one cohort empty). */
   def logRank(df: DataFrame, groupCols: Seq[String], durationCol: Column,
-      eventCol: Column, cohort1: Column, maxTimes: Int = 1000): DataFrame = {
-    require(maxTimes >= 1 && maxTimes <= 10000,
-      s"logRank needs 1 <= maxTimes <= 10000, got $maxTimes")
-    val g = groupCols.map(col)
+      eventCol: Column, cohort1: Column, maxTimes: Int = 1000): DataFrame =
+    logRankFromCounts(
+      cohortSurvivalCounts(df, groupCols, durationCol, eventCol, cohort1),
+      groupCols, maxTimes)
+
+  /** The PARTIAL behind [[logRank]]: exact per-(group, t) BIGINT
+    * events/censored counts SPLIT BY COHORT over closed subjects —
+    * four associative sums, the two-cohort analog of
+    * [[survivalCounts]] with the same closed-subject streaming
+    * contract. */
+  def cohortSurvivalCounts(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column,
+      cohort1: Column): DataFrame = {
     val ev = eventCol.cast("boolean")
     val c1 = cohort1.cast("boolean")
-    val counts = df
-      .filter(durationCol.isNotNull && ev.isNotNull && c1.isNotNull)
-      .groupBy(g :+ durationCol.cast("double").as("t"): _*)
+    df.filter(durationCol.isNotNull && ev.isNotNull && c1.isNotNull)
+      .groupBy(groupCols.map(col) :+ durationCol.cast("double").as("t"): _*)
       .agg(sum(when(c1 && ev, 1L).otherwise(0L)).as("d1"),
         sum(when(c1 && !ev, 1L).otherwise(0L)).as("x1"),
         sum(when(!c1 && ev, 1L).otherwise(0L)).as("d2"),
         sum(when(!c1 && !ev, 1L).otherwise(0L)).as("x2"))
+  }
+
+  /** Merge [[cohortSurvivalCounts]] tables: BIGINT re-sum per cell. */
+  def mergeCohortSurvivalCounts(partials: Seq[DataFrame],
+      groupNames: Seq[String]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy((groupNames :+ "t").map(col): _*)
+      .agg(sum(col("d1")).as("d1"), sum(col("x1")).as("x1"),
+        sum(col("d2")).as("d2"), sum(col("x2")).as("x2"))
+
+  /** Finalize a (possibly merged) [[cohortSurvivalCounts]] table into
+    * the [[logRank]] schema — the streaming-readout face. */
+  def logRankFromCounts(counts: DataFrame, groupCols: Seq[String],
+      maxTimes: Int = 1000): DataFrame = {
+    require(maxTimes >= 1 && maxTimes <= 10000,
+      s"logRank needs 1 <= maxTimes <= 10000, got $maxTimes")
+    val g = groupCols.map(col)
     val grouped = counts.groupBy(g: _*)
       .agg(sort_array(collect_list(struct(col("t"), col("d1"), col("x1"),
         col("d2"), col("x2")))).as("__s"),

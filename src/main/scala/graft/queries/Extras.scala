@@ -661,6 +661,19 @@ object Extras {
         Seq("click", "error", "signup", "view"))
       .orderBy("channel")
 
+  /** Difference-in-differences per event type ([[graft.operators
+    * .Stats.diffInDiff]]): even/odd-user arms, post = second half of
+    * the month (day > 15), value quantized at 1e3 — exact cell sums,
+    * fixed float tail, all columns hash unrounded. */
+  def cDiffInDiff(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.diffInDiff(
+        t(s, dir, "events").filter(col("user_id").isNotNull &&
+          col("ts").isNotNull),
+        Seq(col("event_type")), pmod(col("user_id"), lit(2)) === 0,
+        dayofmonth(to_date(col("ts"))) > 15, col("value"),
+        quantScale = 1e3)
+      .orderBy("event_type")
+
   /** Sample-ratio-mismatch check per event type ([[graft.operators
     * .Stats.srmCheck]]): the even/odd user split checked against its
     * designed 50/50 ratio — exact counts, fixed chi-square tail, all
@@ -1026,6 +1039,7 @@ object Extras {
     "c_markov_attribution" -> (cMarkovAttribution _),
     "a_proportion_uplift" -> (aProportionUplift _),
     "a_srm_check" -> (aSrmCheck _),
+    "c_diff_in_diff" -> (cDiffInDiff _),
     "c_cuped" -> (cCuped _),
     "a_bh_fdr" -> (aBhFdr _),
     "a_rank_sum" -> (aRankSum _),
@@ -1721,6 +1735,43 @@ object Extras {
         |SELECT cohort, t, n_risk, d AS n_events, c AS n_censored,
         |  p AS survival
         |FROM km WHERE i > 0 ORDER BY cohort, t""".stripMargin,
+    // DiD mirror: same quantized cell sums and three-subtraction tail.
+    "c_diff_in_diff" ->
+      """WITH b AS (SELECT event_type, user_id % 2 = 0 AS t,
+        |    day(CAST(ts AS DATE)) > 15 AS p,
+        |    CAST(floor(value * CAST(1000 AS DOUBLE)) AS BIGINT) AS qy
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |a AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_t_pre,
+        |    CAST(SUM(CASE WHEN t AND NOT p THEN qy ELSE 0 END) AS BIGINT)
+        |      AS s_t_pre,
+        |    CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_t_post,
+        |    CAST(SUM(CASE WHEN t AND p THEN qy ELSE 0 END) AS BIGINT)
+        |      AS s_t_post,
+        |    CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_c_pre,
+        |    CAST(SUM(CASE WHEN NOT t AND NOT p THEN qy ELSE 0 END)
+        |      AS BIGINT) AS s_c_pre,
+        |    CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_c_post,
+        |    CAST(SUM(CASE WHEN NOT t AND p THEN qy ELSE 0 END) AS BIGINT)
+        |      AS s_c_post
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, n_t_pre, n_t_post, n_c_pre, n_c_post,
+        |  CASE WHEN n_t_pre > 0 AND n_t_post > 0 AND n_c_pre > 0
+        |      AND n_c_post > 0 THEN
+        |    (CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+        |        / CAST(1000 AS DOUBLE)
+        |      - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE)
+        |        / CAST(1000 AS DOUBLE))
+        |    - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+        |        / CAST(1000 AS DOUBLE)
+        |      - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)
+        |        / CAST(1000 AS DOUBLE)) END AS did
+        |FROM a ORDER BY 1""".stripMargin,
     // SRM mirror: same counts, same chi2 op order, same 10.828 gate.
     "a_srm_check" ->
       """WITH a AS (SELECT event_type,

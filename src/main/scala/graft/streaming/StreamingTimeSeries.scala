@@ -655,6 +655,37 @@ object StreamingTimeSeries {
         Seq(groupCol)),
       Seq(groupCol))
 
+  /** Streaming log-rank maintenance — the two-cohort companion of
+    * [[startSurvivalCountsQuery]]: per-batch exact per-(group, t)
+    * cohort-split events/censored deltas over CLOSED subjects
+    * (batch_id replay guard); the merged grid finalizes to a log-rank
+    * test bit-identical to batch. */
+  def startCohortSurvivalCountsQuery(subjects: DataFrame,
+      groupCol: String, durationCol: String, eventCol: String,
+      cohortCol: String, targetDir: String, checkpointDir: String) =
+    subjects
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Stats
+          .cohortSurvivalCounts(batch.toDF(), Seq(groupCol),
+            col(durationCol), col(eventCol), col(cohortCol))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$targetDir/cohort_surv_counts")
+      }
+      .start()
+
+  /** Whole-stream log-rank from the stored cohort-split deltas —
+    * bit-identical to the batch test over all closed subjects. */
+  def mergedLogRank(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.logRankFromCounts(
+      graft.operators.Stats.mergeCohortSurvivalCounts(
+        Seq(spark.read.parquet(s"$targetDir/cohort_surv_counts")
+          .dropDuplicates(groupCol, "t", "batch_id").drop("batch_id")),
+        Seq(groupCol)),
+      Seq(groupCol))
+
   /** Streaming attribution maintenance (set face) — the ingestion face
     * of [[graft.operators.Attribution.shapley]]: each micro-batch of
     * CLOSED users' touch events reduces to conversions-per-touched-set

@@ -729,6 +729,42 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       allWin.getAs[Double]("uplift") == 0.0)
   }
 
+  test("diffInDiff: recovers a planted effect under group and time confounds; empty cell null") {
+    import spark.implicits._
+    val rng = new scala.util.Random(83)
+    // treated group sits 50 higher at BASELINE (group confound), both
+    // groups drift +20 in the post period (time confound), true
+    // treatment effect = 7. Raw post-period diff would read 57.
+    val rows = (0 until 4000).map { i =>
+      val t = i % 2 == 0
+      val p = i % 4 < 2
+      val y = 100.0 + (if (t) 50.0 else 0.0) + (if (p) 20.0 else 0.0) +
+        (if (t && p) 7.0 else 0.0) + rng.nextGaussian()
+      ("g", t, p, y)
+    }
+    val r = Stats.diffInDiff(rows.toDF("g", "t", "p", "y"),
+      Seq(col("g")), col("t"), col("p"), col("y"), quantScale = 1e3)
+      .head()
+    assert(math.abs(r.getAs[Double]("did") - 7.0) < 0.2,
+      s"did=${r.getAs[Double]("did")} should isolate the 7.0 effect")
+    // naive replay over the same quantized values, bitwise
+    val q = 1e3
+    def cellMean(ct: Boolean, cp: Boolean) = {
+      val c = rows.filter(v => v._2 == ct && v._3 == cp)
+        .map(v => math.floor(v._4 * q).toLong)
+      c.sum.toDouble / c.size.toDouble / q
+    }
+    val did = (cellMean(true, true) - cellMean(true, false)) -
+      (cellMean(false, true) - cellMean(false, false))
+    assert(r.getAs[Double]("did") == did)
+    // a missing cell (no treated-pre rows) nulls the estimate
+    val gap = Stats.diffInDiff(
+      rows.filterNot(v => v._2 && !v._3).toDF("g", "t", "p", "y"),
+      Seq(col("g")), col("t"), col("p"), col("y"), quantScale = 1e3)
+      .head()
+    assert(gap.isNullAt(gap.fieldIndex("did")))
+  }
+
   test("srmCheck: hand chi2 exact; balanced split quiet, broken split alarms") {
     import spark.implicits._
     // 5100 vs 4900 on a designed 50/50: chi2 = 2·(100²/5000) = 4 — noisy

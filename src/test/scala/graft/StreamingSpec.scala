@@ -638,6 +638,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming cohort survival counts: merged log-rank == one-shot batch, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("lr_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lr_ckpt").toString
+    val rng = new scala.util.Random(103)
+    // closed subjects: cohort 1 fails earlier, arriving over 3 batches
+    val all = (0 until 400).map { i =>
+      val c1 = i % 2 == 0
+      val dur = (if (c1) 1 + rng.nextInt(8) else 4 + rng.nextInt(10))
+        .toDouble
+      ("g", dur, rng.nextInt(5) > 0, c1)
+    }
+    val input = MemoryStream[(String, Double, Boolean, Boolean)]
+    val q = StreamingTimeSeries.startCohortSurvivalCountsQuery(
+      input.toDF().toDF("g", "dur", "ev", "c1"), "g", "dur", "ev", "c1",
+      dir, ckpt)
+    try {
+      input.addData(all.take(50): _*); q.processAllAvailable()
+      input.addData(all.slice(50, 330): _*); q.processAllAvailable()
+      input.addData(all.drop(330): _*); q.processAllAvailable()
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      import graft.operators.Stats
+      val want = m(Stats.logRank(all.toDF("g", "dur", "ev", "c1"),
+        Seq("g"), col("dur"), col("ev"), col("c1")))
+      assert(m(StreamingTimeSeries.mergedLogRank(spark, dir, "g"))
+        == want)
+      spark.read.parquet(s"$dir/cohort_surv_counts")
+        .filter(col("batch_id") === 1L)
+        .write.mode("append").parquet(s"$dir/cohort_surv_counts")
+      assert(m(StreamingTimeSeries.mergedLogRank(spark, dir, "g"))
+        == want, "a replayed micro-batch double-counted into log-rank")
+    } finally q.stop()
+  }
+
   test("streaming attribution counts: merged shapley AND markov == one-shot batch, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
