@@ -103,7 +103,8 @@ object PlanDump {
     "c_log_rank" -> "log-rank test — the KM exact-counts pipeline plus ONE in-row (u1,u2,oe,v) fold; no window, no join beyond the two thinning aggregates",
     "c_shapley_attribution" -> "Shapley attribution — ONE data-sized aggregate (user → bitmask); the subset-sum and marginal-pair joins run on 2^k-bounded coalition frames (broadcast nested-loop by construction, never over data)",
     "c_cuped" -> "CUPED — one HashAggregate pass of quantized exact BIGINT moments for BOTH arms and theta together; the adjustment is a pure projection",
-    "a_srm_check" -> "SRM check — one counts aggregate, chi2 a projection; nothing else in the plan")
+    "a_srm_check" -> "SRM check — one counts aggregate, chi2 a projection; nothing else in the plan",
+    "c_diff_in_diff" -> "difference-in-differences — all four design cells in ONE aggregation pass (conditional quantized sums); the estimate is a projection")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */

@@ -113,6 +113,43 @@ object ScaleProbe {
     }
     events.unpersist()
 
+    // ---- attribution / survival at event scale: 1M users × 6 touches
+    // (6M rows). The point: both attribution operators are ONE
+    // data-sized aggregation + constant-bounded tails, and the survival
+    // pair thins to a distinct-time grid — none of them should scale
+    // worse than the aggregate itself. ----
+    val chansP = Seq("a", "b", "c", "d")
+    val touchRows = spark.range(6000000L).select(
+      (col("id") / 6L).cast("long").as("u"),
+      pmod(col("id"), lit(6L)).cast("int").as("pos"),
+      element_at(typedLit(chansP),
+        (pmod(xxhash64(col("id")), lit(4L)) + 1L).cast("int")).as("ch"))
+      .withColumn("cv", pmod(col("u"), lit(3L)) === 0L)
+      .cache()
+    timed("attrib_events_materialize") { touchRows.count() }
+    timed("shapley_1M_users_k4") {
+      graft.operators.Attribution.shapley(touchRows, col("u"), col("ch"),
+        col("cv"), chansP).count()
+    }
+    timed("markov_1M_users_k4_60it") {
+      graft.operators.Attribution.markovRemoval(touchRows, col("u"),
+        col("ch"), col("pos"), col("pos"), col("cv"), chansP).count()
+    }
+    val subjects = spark.range(1000000L).select(col("id").as("u"),
+      pmod(col("id"), lit(300L)).cast("double").as("dur"),
+      (pmod(col("id"), lit(5L)) > 0L).as("ev"),
+      (pmod(col("id"), lit(2L)) === 0L).as("c1"),
+      (pmod(col("id"), lit(4L))).cast("string").as("g"))
+    timed("kaplan_meier_1M_subjects_300t") {
+      graft.operators.Stats.kaplanMeier(subjects, Seq("g"), col("dur"),
+        col("ev")).count()
+    }
+    timed("log_rank_1M_subjects_300t") {
+      graft.operators.Stats.logRank(subjects, Seq("g"), col("dur"),
+        col("ev"), col("c1")).count()
+    }
+    touchRows.unpersist()
+
     // ---- synthetic text corpus; every 10th doc also appears as a
     // near-duplicate copy (one appended token) under id + nDocs ----
     val docs = spark.range(nDocs).flatMap { i =>
