@@ -1958,6 +1958,30 @@ object Stats {
         (rT - rC) / se))
   }
 
+  /** Quantile treatment effects per group — the distributional A/B
+    * readout mean-based uplift hides: the per-probability difference
+    * of the two arms' order statistics (did the treatment move the
+    * median? the tail?). Built on [[quantileProfile]]'s mergeable GK
+    * sketches, so each arm's quantiles cost one bounded-sketch
+    * aggregation at any scale; with `accuracy` ≥ arm size every
+    * returned element is the EXACT discrete order statistic — actual
+    * data elements, never interpolations, so the oracle's
+    * quantile_disc matches value-for-value and qte is one subtraction
+    * of exactly-equal doubles. Output: groups... + (prob, q_t, q_c,
+    * qte); q/qte null for a missing arm. */
+  def quantileTreatmentEffect(df: DataFrame, groupCols: Seq[String],
+      treated: Column, y: Column, probs: Seq[Double],
+      accuracy: Int = 1000000): DataFrame = {
+    val t = treated.cast("boolean")
+    val base = df.filter(t.isNotNull && y.isNotNull)
+    val prof = quantileProfile(base, groupCols.map(col) :+ t.as("__t"),
+      y.cast("double"), probs, accuracy)
+    prof.groupBy((groupCols :+ "prob").map(col): _*)
+      .agg(max(when(col("__t"), col("value"))).as("q_t"),
+        max(when(!col("__t"), col("value"))).as("q_c"))
+      .withColumn("qte", col("q_t") - col("q_c"))
+  }
+
   /** Difference-in-differences per group — the quasi-experimental
     * effect estimate when assignment wasn't randomized but a pre
     * period exists (Card & Krueger 1994's workhorse):

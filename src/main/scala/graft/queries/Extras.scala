@@ -661,6 +661,19 @@ object Extras {
         Seq("click", "error", "signup", "view"))
       .orderBy("channel")
 
+  /** Quantile treatment effects per event type ([[graft.operators
+    * .Stats.quantileTreatmentEffect]]): per-probability difference of
+    * the even/odd arms' EXACT order statistics of value (accuracy ≥
+    * any verification-SF arm size, the quantile_disc convention) —
+    * actual data elements, so q_t/q_c/qte hash with no rounding. */
+  def cQte(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.quantileTreatmentEffect(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        Seq("event_type"), pmod(col("user_id"), lit(2)) === 0,
+        col("value"), probs = Seq(0.25, 0.5, 0.75, 0.9),
+        accuracy = 1000000)
+      .orderBy("event_type", "prob")
+
   /** Difference-in-differences per event type ([[graft.operators
     * .Stats.diffInDiff]]): even/odd-user arms, post = second half of
     * the month (day > 15), value quantized at 1e3 — exact cell sums,
@@ -1040,6 +1053,7 @@ object Extras {
     "a_proportion_uplift" -> (aProportionUplift _),
     "a_srm_check" -> (aSrmCheck _),
     "c_diff_in_diff" -> (cDiffInDiff _),
+    "c_qte" -> (cQte _),
     "c_cuped" -> (cCuped _),
     "a_bh_fdr" -> (aBhFdr _),
     "a_rank_sum" -> (aRankSum _),
@@ -1735,6 +1749,25 @@ object Extras {
         |SELECT cohort, t, n_risk, d AS n_events, c AS n_censored,
         |  p AS survival
         |FROM km WHERE i > 0 ORDER BY cohort, t""".stripMargin,
+    // QTE mirror: quantile_disc per arm (exact discrete order
+    // statistics, the a_quantile_profile convention), lockstep unnest,
+    // arm pivot + one subtraction.
+    "c_qte" ->
+      """WITH b AS (SELECT event_type, user_id % 2 = 0 AS t, value
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |q AS (SELECT event_type, t,
+        |    quantile_disc(value, [0.25, 0.5, 0.75, 0.9]) AS qs
+        |  FROM b GROUP BY 1, 2),
+        |u AS (SELECT event_type, t,
+        |    unnest(CAST([0.25, 0.5, 0.75, 0.9] AS DOUBLE[])) AS prob,
+        |    unnest(qs) AS v
+        |  FROM q)
+        |SELECT event_type, prob,
+        |  MAX(CASE WHEN t THEN v END) AS q_t,
+        |  MAX(CASE WHEN NOT t THEN v END) AS q_c,
+        |  MAX(CASE WHEN t THEN v END)
+        |    - MAX(CASE WHEN NOT t THEN v END) AS qte
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // DiD mirror: same quantized cell sums and three-subtraction tail.
     "c_diff_in_diff" ->
       """WITH b AS (SELECT event_type, user_id % 2 = 0 AS t,

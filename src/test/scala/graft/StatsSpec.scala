@@ -729,6 +729,33 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       allWin.getAs[Double]("uplift") == 0.0)
   }
 
+  test("quantileTreatmentEffect: exact order statistics; detects a tail-only effect the mean dilutes") {
+    import spark.implicits._
+    // treated arm identical to control EXCEPT the top decile is shifted
+    // +100 — the mean moves ~10 but the median not at all
+    val control = (0 until 1000).map(i => ("g", false, i.toDouble))
+    val treatedRows = (0 until 1000).map(i =>
+      ("g", true, if (i >= 900) i + 100.0 else i.toDouble))
+    val out = Stats.quantileTreatmentEffect(
+        (control ++ treatedRows).toDF("g", "t", "y"), Seq("g"), col("t"),
+        col("y"), probs = Seq(0.5, 0.95), accuracy = 100000)
+      .collect().map(r => r.getDouble(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // exact order statistics: q(p) is an actual element of each arm
+    val ctl = control.map(_._3).sorted
+    val trt = treatedRows.map(_._3).sorted
+    def disc(xs: Seq[Double], p: Double) =
+      xs(math.ceil(p * xs.size).toInt - 1)
+    assert(out(0.5) == ((disc(trt, 0.5), disc(ctl, 0.5), 0.0)))
+    assert(out(0.95)._3 == 100.0) // the planted tail shift, exactly
+    // missing arm: q_c and qte null
+    val solo = Stats.quantileTreatmentEffect(
+        treatedRows.toDF("g", "t", "y"), Seq("g"), col("t"), col("y"),
+        probs = Seq(0.5), accuracy = 100000).head()
+    assert(solo.isNullAt(solo.fieldIndex("q_c")) &&
+      solo.isNullAt(solo.fieldIndex("qte")))
+  }
+
   test("diffInDiff: recovers a planted effect under group and time confounds; empty cell null") {
     import spark.implicits._
     val rng = new scala.util.Random(83)
