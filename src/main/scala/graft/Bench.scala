@@ -131,6 +131,76 @@ object Bench {
     sum
   }
 
+  /** Cumulative Janino compilations this JVM — the counter behind the
+    * r12 d_minhash adjudication (cold codegen vs cache hit). A rep with
+    * delta 0 ran fully cache-warm; a nonzero delta names the recompile
+    * cost that rep paid. Sampled per rep like [[gcMillis]]. */
+  def codegenCompiles(): Long =
+    org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+
+  /** Generated classes loaded so far (codegen class-count side of the
+    * registry-growth audit — VERDICT r13 task #7). */
+  def codegenClasses(): Long =
+    org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_GENERATED_CLASS_BYTECODE_SIZE.getCount
+
+  /** Metaspace in use (MB) — generated classes live here, so registry
+    * growth shows up as a rising floor across sweeps. */
+  def metaspaceUsedMb(): Long = {
+    val it = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.iterator()
+    var used = 0L
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.getName.contains("Metaspace")) used += p.getUsage.getUsed
+    }
+    used >> 20
+  }
+
+  /** Extract the per-query raw reps from a BENCH_DETAILS json payload
+    * (the `"reps_sec":{"q":[...],...}` object) without a JSON library —
+    * names and numerals contain no braces, so the object ends at the
+    * first `}` after its opener. Pure so HarnessContractSpec can lock
+    * the round-trip against [[renderDetails]] output. */
+  def parseRepsSec(detailsJson: String): Map[String, Seq[Double]] = {
+    val key = "\"reps_sec\":{"
+    val at = detailsJson.indexOf(key)
+    if (at < 0) return Map.empty
+    val start = at + key.length
+    val end = detailsJson.indexOf('}', start)
+    if (end < 0) return Map.empty
+    val body = detailsJson.substring(start, end)
+    val entry = """"([^"]+)":\[([^\]]*)\]""".r
+    entry.findAllMatchIn(body).map { m =>
+      val ts = m.group(2).split(',').toSeq.filter(_.nonEmpty)
+        .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+      m.group(1) -> ts
+    }.toMap
+  }
+
+  /** The `"sf"` field of a details payload — the drift anchor is only
+    * valid when the committed clean run used the SAME scale-factor dir
+    * as this run (an sf0.001 probe against an sf0.1 anchor retried 22
+    * queries for nothing when this rule first shipped without it). */
+  def parseSf(detailsJson: String): Option[String] = {
+    val m = """"sf":"([^"]*)"""".r.findFirstMatchIn(detailsJson)
+    m.map(_.group(1))
+  }
+
+  /** Clean-run-drift retry rule (VERDICT r13 task #1): BENCH_r13's
+    * a11_combo_frequencies had all three reps ≥1.94s — mutually within
+    * 2×, so the spread rule stayed silent — while the committed clean
+    * run had it at 0.49s. Reps that AGREE with each other can still all
+    * be contended; the committed clean-run min is the reference the
+    * spread rule lacks. A query whose session min is >2× its clean min
+    * (and at least `floorSec` absolute over it, so micro-queries don't
+    * retry on noise) gets one deferred retry rep even at low spread. */
+  def cleanDrift(sessionMin: Double, cleanMin: Double,
+      factor: Double = 2.0, floorSec: Double = 0.10): Boolean =
+    cleanMin > 0.0 && sessionMin > factor * cleanMin &&
+      sessionMin - cleanMin > floorSec
+
   /** Verbose payload for the details file (not stdout): per-query medians
     * and every raw rep, so an outlier run is diagnosable post-hoc.
     *
@@ -146,7 +216,9 @@ object Bench {
       counters: Seq[(String, QueryCounters)] = Nil,
       calByQuery: Seq[(String, Seq[Double])] = Nil,
       retried: Seq[String] = Nil,
-      gcByRep: Seq[(String, Seq[Long])] = Nil): String = {
+      gcByRep: Seq[(String, Seq[Long])] = Nil,
+      compilesByRep: Seq[(String, Seq[Long])] = Nil,
+      jvm: Seq[(String, Long)] = Nil): String = {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.4f", d)
@@ -168,9 +240,13 @@ object Bench {
     })
     val gcR = obj(gcByRep.map { case (k, gs) =>
       k -> gs.mkString("[", ",", "]") })
+    val cmpR = obj(compilesByRep.map { case (k, cs) =>
+      k -> cs.mkString("[", ",", "]") })
+    val jvmO = obj(jvm.map { case (k, v) => k -> v.toString })
     s"""{"metric":"bench_details","reps":$reps,"queries_median":$qmed,""" +
       s""""reps_sec":$raw,"calibration_sec":$cal,"cal_by_query":$calQ,""" +
       s""""retried":$rt,"counters":$ctr,"gc_by_rep":$gcR,""" +
+      s""""compiles_by_rep":$cmpR,"jvm":$jvmO,""" +
       s""""errors":$es,"sf":${jstr(sfDir)}}"""
   }
 
@@ -180,6 +256,21 @@ object Bench {
     val detailsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS",
       "/tmp/graft_bench_details.json")
     val spark = GraftSession.local("graft-bench")
+    // the committed clean-run anchor for the drift-retry rule — read
+    // BEFORE the run, because this run overwrites the repo copy at exit
+    val repoCopy = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS_REPO",
+      "BENCH_DETAILS_latest.json")
+    val cleanMins: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get(repoCopy)
+        if (java.nio.file.Files.exists(p)) {
+          val js = java.nio.file.Files.readString(p)
+          if (parseSf(js).contains(sfDir)) // anchor must be same-SF
+            parseRepsSec(js)
+              .collect { case (k, ts) if ts.nonEmpty => k -> ts.min }
+          else Map.empty
+        } else Map.empty
+      } catch { case _: Throwable => Map.empty }
     // warm the JVM + parquet footers so the first timed query isn't
     // charged for session/codegen startup
     SparkEntry.entry(spark).count()
@@ -204,6 +295,8 @@ object Bench {
     val gcDelta = scala.collection.mutable.LinkedHashMap[String, Long]()
     val gcReps = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.ArrayBuffer[Long]]()
+    val compileReps = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Long]]()
     val heapAtStart = scala.collection.mutable.LinkedHashMap[String, Long]()
     val storageAtStart = scala.collection.mutable.LinkedHashMap[String, Long]()
     ordered.foreach { case (name, _) =>
@@ -211,7 +304,14 @@ object Bench {
       times(name) = scala.collection.mutable.ArrayBuffer[Double]()
       gcDelta(name) = 0L
       gcReps(name) = scala.collection.mutable.ArrayBuffer[Long]()
+      compileReps(name) = scala.collection.mutable.ArrayBuffer[Long]()
     }
+    // registry-growth JVM audit (VERDICT r13 task #7): class/metaspace
+    // floor at sweep start vs end says whether codegen-cache pressure is
+    // building as the headline set grows
+    val metaspace0 = metaspaceUsedMb()
+    val classes0 = codegenClasses()
+    val compiles0 = codegenCompiles()
     def storageMb(): Long = spark.sparkContext.getExecutorMemoryStatus.values
       .map { case (max, rem) => max - rem }.sum >> 20 // one BM in local[*]
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
@@ -222,6 +322,7 @@ object Bench {
       calibration += cal
       calByQuery(name) += cal
       val gc0 = gcMillis()
+      val cc0 = codegenCompiles()
       if (!heapAtStart.contains(name)) {
         val rt = Runtime.getRuntime
         heapAtStart(name) = (rt.totalMemory() - rt.freeMemory()) >> 20
@@ -237,6 +338,9 @@ object Bench {
       val gcd = gcMillis() - gc0
       gcDelta(name) += gcd
       gcReps(name) += gcd // per-rep: a slow rep with flat GC ⇒ host, not heap
+      // per-rep Janino compiles: 0 ⇒ cache-warm rep; nonzero names the
+      // recompile cost this rep paid (the d_minhash-adjudication receipt)
+      compileReps(name) += codegenCompiles() - cc0
     }
     (1 to reps).foreach { _ => ordered.foreach { case (name, fn) => runOnce(name, fn) } }
 
@@ -261,7 +365,18 @@ object Bench {
       ts.size >= 2 && ts.max > 2.0 * ts.min }
       .sortBy { case (name, _) => -times(name).max / times(name).min }
       .take(16)
-    val suspect = (suspectCal ++ suspectSpread).distinct
+    // Clean-run-drift retry (round 14): BENCH_r13's a11_combo_frequencies
+    // had reps [1.94, 2.62, 2.45] — within 2× of each other (spread rule
+    // silent) and probes mostly calm (all-probes rule silent) — yet 4×
+    // the committed clean-run min. Reps that agree can still ALL be
+    // contended; the committed anchor catches what intra-session rules
+    // structurally cannot. Worst drift first, capped like spread.
+    val suspectDrift = ordered.filter { case (name, _) =>
+      val ts = times(name)
+      ts.nonEmpty && cleanMins.get(name).exists(c => cleanDrift(ts.min, c)) }
+      .sortBy { case (name, _) => -times(name).min / cleanMins(name) }
+      .take(16)
+    val suspect = (suspectCal ++ suspectSpread ++ suspectDrift).distinct
     suspect.foreach { case (name, fn) => runOnce(name, fn) }
 
     val results = ordered.map { case (name, _) => name -> times(name).toSeq }
@@ -277,15 +392,20 @@ object Bench {
       calibration.toSeq, counters,
       calByQuery = ordered.map { case (n, _) => n -> calByQuery(n).toSeq },
       retried = suspect.map(_._1),
-      gcByRep = ordered.map { case (n, _) => n -> gcReps(n).toSeq })
+      gcByRep = ordered.map { case (n, _) => n -> gcReps(n).toSeq },
+      compilesByRep = ordered.map { case (n, _) => n -> compileReps(n).toSeq },
+      jvm = Seq(
+        "metaspace_start_mb" -> metaspace0,
+        "metaspace_end_mb" -> metaspaceUsedMb(),
+        "codegen_classes_start" -> classes0,
+        "codegen_classes_end" -> codegenClasses(),
+        "codegen_compiles_sweep" -> (codegenCompiles() - compiles0)))
     // write the details BOTH to the driver-side path and into the repo,
     // so adjudicating a flagged round never depends on /tmp surviving
     // it. The repo copy anchors on build.sbt in the CWD (sbt runs from
     // the repo root) — if launched from elsewhere, it falls back to the
     // CWD and SAYS SO with the absolute path, rather than silently
     // scattering the adjudication artifact
-    val repoCopy = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS_REPO",
-      "BENCH_DETAILS_latest.json")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")))
       System.err.println("[bench] cwd is not the repo root; details repo " +
         s"copy lands at ${java.nio.file.Paths.get(repoCopy).toAbsolutePath}")

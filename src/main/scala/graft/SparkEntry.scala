@@ -68,18 +68,19 @@ object SparkEntry {
     * verdict clears it — rotation is exactly how round 10 lost
     * round-over-round comparability when its regression cluster appeared.
     * HarnessContractSpec enforces `benchPinned ⊆ headline`; update this
-    * list (only) from each round's VERDICT.md. Current entries (r12):
-    * d_minhash_neardups — the one query VERDICT r12 marked `weak`
-    * (adjudicated in round 13: rep1 was cold whole-stage codegen, rep3
-    * sat inside a sweep-3 contention episode that also hit ten
-    * alphabetically-adjacent queries 2.5–14×, so the "min" was a
-    * contended rep2; Bench's spread-retry + the 4096-entry codegen
-    * cache close the hole) — plus g_pagerank_hosts and
-    * d_duplicate_spans as the verdict's watch entries (<2× drift,
-    * plan-unchanged). The twelve r11 entries rotated out per VERDICT
-    * r12: all replayed at their r10 levels in BENCH_r12. */
+    * list (only) from each round's VERDICT.md. Current entries (r13):
+    * d_minhash_neardups — its r13 adjudication was ACCEPTED by the
+    * judge but stays pinned until a DRIVER-host run lands ≤ ~1.7s
+    * (r13 driver reps 6.1/4.9/2.6 were the monotone cooldown of the
+    * adjudicated contention pattern); a11_combo_frequencies — the r13
+    * `weak`: 0.74→1.94s min with all three driver reps ≥1.94 yet 0.49s
+    * on the committed clean run and no code change since r10
+    * (adjudication receipts: Bench's per-rep compile counters + the
+    * clean-run-drift retry this round adds). g_pagerank_hosts (0.92s,
+    * r10 level) and d_duplicate_spans (0.87× r12) rotated out per
+    * VERDICT r13 task #2 — both recovered. */
   val benchPinned: Seq[String] = Seq(
-    "d_minhash_neardups", "g_pagerank_hosts", "d_duplicate_spans")
+    "d_minhash_neardups", "a11_combo_frequencies")
 
   // d_incremental_dedup is deliberately NOT headline: its id-bounded
   // fixture is constant-size at every SF, so the bench would time ~5.6s

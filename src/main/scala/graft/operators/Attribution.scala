@@ -104,6 +104,11 @@ object Attribution {
     val k = channels.size
     require(k >= 1 && k <= 12,
       s"maskConversionCounts needs 1 <= channels <= 12, got $k")
+    // symmetric with transitionCounts: a duplicated channel would
+    // silently map every touch to the LAST-listed bit during ingestion
+    // and only fail at readout, after state accumulated under the
+    // wrong masks — reject at the ingestion face.
+    require(channels.distinct.size == k, "channels must be distinct")
     // channel → 2^index power (null for non-universe touches)
     val pw = channels.zipWithIndex.foldLeft(lit(null).cast("long")) {
       case (acc, (name, i)) => when(channelCol === name, lit(1L << i))
@@ -236,6 +241,17 @@ object Attribution {
       (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val fromStates = "START" +: channels
     val toChannels = channels
+    // fail fast on a counts table built under a DIFFERENT channel
+    // universe — silently dropping unknown cells from the row totals
+    // would renormalize the transition probabilities (same discipline
+    // as Linkage.score's raise_error on missing weights).
+    val validFrom = fromStates.toSet
+    val validTo = channels.toSet + "CONV" + "NULL"
+    val unknown = cells.keys.filter { case (f, t) =>
+      !validFrom.contains(f) || !validTo.contains(t) }
+    require(unknown.isEmpty,
+      s"markovFromCounts: transition cells outside the declared " +
+        s"channel universe: ${unknown.take(5).mkString(", ")}")
     def cnt(f: String, t: String): Long = cells.getOrElse((f, t), 0L)
     val totals = fromStates.map(f =>
       f -> (toChannels.map(cnt(f, _)) ++

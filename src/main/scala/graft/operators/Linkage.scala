@@ -177,6 +177,11 @@ object Linkage {
       s"emTrainWeights needs 1 <= fields <= 16, got ${fields.size}")
     require(quantScale >= 1e3 && quantScale <= 1e9,
       s"quantScale in [1e3, 1e9], got $quantScale")
+    // lambda's denominator uses quantScale as an exact Long; a
+    // fractional scale would truncate there while floor(g·q) kept the
+    // true scale — the two quantizations must agree exactly.
+    require(quantScale == math.floor(quantScale),
+      s"quantScale must be integral, got $quantScale")
     require(smoothing >= 1 && smoothing <= 1000,
       s"smoothing in 1..1000, got $smoothing")
     val q = quantScale

@@ -662,8 +662,8 @@ object Multimodal {
     * payload — a pure byte-walk with the same real-codec discipline as
     * the RIFF/WAVE and PNG paths: byte-order-aware TIFF header, IFD0
     * entry scan, the Exif and GPS sub-IFDs followed through their
-    * pointer tags (depth-1 — no arbitrary IFD chains), ASCII / SHORT /
-    * LONG / RATIONAL values decoded inline or via the out-of-line data
+    * pointer tags (depth-1 — no arbitrary IFD chains), BYTE / ASCII /
+    * SHORT / LONG / RATIONAL values decoded inline or via the data
     * area. Returns the known tags ([[ExifIfdTags]]/[[GpsIfdTags]]) as
     * name → rendered string (ASCII NUL-trimmed; integers decimal;
     * rationals "num/den"; multi-count values space-joined). `None` — an
@@ -744,6 +744,9 @@ object Multimodal {
         else if (tag == 0x8825 && typ == 4) gpsPtr = u32(valAt)
         else names.get(tag).foreach { name =>
           val rendered: Option[String] = typ match {
+            case 1 => // BYTE: decimal integers (GPSAltitudeRef is one)
+              Some((0 until count.toInt)
+                .map(k => u8(valAt + k)).mkString(" "))
             case 2 => // ASCII: trim at the first NUL
               val raw = new String(payload, valAt, byteLen, "US-ASCII")
               val nul = raw.indexOf('\u0000')
@@ -778,7 +781,8 @@ object Multimodal {
   def encodeExifJpeg(littleEndian: Boolean, make: String, model: String,
       orientation: Int, dateTime: String, xResolution: (Long, Long),
       exposure: (Long, Long), iso: Int, pixelX: Long,
-      gpsLatRef: Option[String]): Array[Byte] = {
+      gpsLatRef: Option[String],
+      gpsAltRef: Option[Int] = None): Array[Byte] = {
     val data = scala.collection.mutable.ArrayBuffer[Byte]()
     def p16(v: Int): Array[Byte] =
       if (littleEndian) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
@@ -806,7 +810,10 @@ object Multimodal {
       val off = data.size; data ++= p32(num); data ++= p32(den)
       Ent(tag, 5, 1, None, off)
     }
-    val gps = gpsLatRef.map(r => Seq(ascii(0x0001, r)))
+    def byte1(tag: Int, v: Int): Ent = // type-1 BYTE, inline (≤4 bytes)
+      Ent(tag, 1, 1, Some(Array[Byte](v.toByte, 0, 0, 0)), -1)
+    val gps = gpsLatRef.map(r => Seq(ascii(0x0001, r)) ++
+      gpsAltRef.map(v => byte1(0x0005, v)).toSeq)
     val exifEnts = Seq(rational(0x829A, exposure._1, exposure._2),
       short(0x8827, iso), long(0xA002, pixelX))
     def ifdSize(n: Int) = 2 + n * 12 + 4

@@ -2254,7 +2254,9 @@ object Stats {
     * windows on one exchange — no folds, no driver, engine-portable
     * with no rounding (·, / only).
     *
-    * Output: groups... + (id, p, rank, p_adj), every input row kept. */
+    * Output: groups... + (id, p, rank, p_adj). Rows with a null p are
+    * DROPPED and excluded from n (the p·n/rank multiplier counts only
+    * testable rows) — a null p-value is "no test ran", not a tie. */
   def bhAdjust(df: DataFrame, groupCols: Seq[String], idCol: Column,
       pCol: Column): DataFrame = {
     val g = groupCols.map(col)

@@ -85,6 +85,49 @@ class HarnessContractSpec extends AnyFunSuite {
     assert(!Bench.needsRetry(Nil, idleMedian = 0.3))
   }
 
+  test("parseRepsSec round-trips renderDetails output") {
+    val js = Bench.renderDetails(
+      Seq("q1" -> Seq(3.0, 1.0, 2.0), "q2" -> Seq(0.5)), 3, Nil, "/sf")
+    val reps = Bench.parseRepsSec(js)
+    assert(reps("q1") == Seq(3.0, 1.0, 2.0))
+    assert(reps("q2") == Seq(0.5))
+    // garbage and missing-key inputs degrade to empty, never throw
+    assert(Bench.parseRepsSec("not json").isEmpty)
+    assert(Bench.parseRepsSec("""{"metric":"bench_details"}""").isEmpty)
+    // sf extraction: the drift anchor is only valid same-SF
+    assert(Bench.parseSf(js).contains("/sf"))
+    assert(Bench.parseSf("not json").isEmpty)
+  }
+
+  test("clean-run-drift retry fires on the BENCH_r13 a11 signature") {
+    // reps [1.94, 2.62, 2.45]: spread < 2x (silent), clean min 0.49
+    assert(Bench.cleanDrift(sessionMin = 1.94, cleanMin = 0.49))
+    // at its clean level ⇒ no retry
+    assert(!Bench.cleanDrift(sessionMin = 0.55, cleanMin = 0.49))
+    // micro-query noise: 2x but only 60ms absolute ⇒ no retry
+    assert(!Bench.cleanDrift(sessionMin = 0.10, cleanMin = 0.04))
+    // no clean anchor (0.0 / absent) ⇒ no retry
+    assert(!Bench.cleanDrift(sessionMin = 5.0, cleanMin = 0.0))
+  }
+
+  test("details payload carries per-rep compiles and the JVM audit row") {
+    val js = Bench.renderDetails(Seq("q1" -> Seq(1.0)), 3, Nil, "/sf",
+      compilesByRep = Seq("q1" -> Seq(82L, 0L, 0L)),
+      jvm = Seq("metaspace_start_mb" -> 210L, "codegen_classes_end" -> 4100L))
+    val node = mapper.readTree(js)
+    assert(node.get("compiles_by_rep").get("q1").get(0).asLong == 82L)
+    assert(node.get("compiles_by_rep").get("q1").get(1).asLong == 0L)
+    assert(node.get("jvm").get("metaspace_start_mb").asLong == 210L)
+    assert(node.get("jvm").get("codegen_classes_end").asLong == 4100L)
+  }
+
+  test("codegen and metaspace samplers are monotone/plausible") {
+    assert(Bench.codegenCompiles() >= 0L)
+    assert(Bench.codegenClasses() >= 0L)
+    val m = Bench.metaspaceUsedMb()
+    assert(m > 0L && m < 65536L) // a running suite JVM always has some
+  }
+
   test("gcMillis is monotone non-negative and cheap to sample") {
     val a = Bench.gcMillis()
     assert(a >= 0L)

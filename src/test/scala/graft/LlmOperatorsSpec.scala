@@ -1130,6 +1130,11 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) ->
         ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(5))))
       .toMap
+    // fractional quantScale would truncate in lambda's exact-long
+    // denominator while floor(g·q) kept the true scale (ADVICE r13)
+    intercept[IllegalArgumentException] {
+      Linkage.emTrainWeights(df.drop("is_match"), fields, quantScale = 1234.5)
+    }
 
     // independent single-threaded replay of the quantized EM — same
     // init, same fixed-order factor products, same floor-quantized
@@ -1729,6 +1734,13 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(tags("PixelXDimension") == "1920")
       assert(tags("GPSLatitudeRef") == "N") // GPS sub-IFD
     }
+    // type-1 BYTE (GPSAltitudeRef): rendered as a decimal integer
+    val withAlt = Multimodal.encodeExifJpeg(littleEndian = true,
+      make = "CamCo", model = "M-1", orientation = 1,
+      dateTime = "2023:01:05 10:00:00", xResolution = (72L, 1L),
+      exposure = (1L, 125L), iso = 400, pixelX = 1920L,
+      gpsLatRef = Some("N"), gpsAltRef = Some(1))
+    assert(Multimodal.exifTags(withAlt).get("GPSAltitudeRef") == "1")
     // no GPS pointer -> no GPS tag, everything else intact
     val noGps = Multimodal.exifTags(enc(le = true, gps = None)).get
     assert(!noGps.contains("GPSLatitudeRef") && noGps("Make") == "CamCo")

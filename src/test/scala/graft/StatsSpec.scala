@@ -702,6 +702,27 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dead("c4") == 0L)
   }
 
+  test("attribution fail-fasts: duplicate channels at ingestion; foreign counts at readout") {
+    import spark.implicits._
+    import graft.operators.Attribution
+    val touches = Seq(("u1", "a", true)).toDF("u", "ch", "cv")
+    // duplicated channel must be rejected at the INGESTION face, before
+    // any state accumulates under the wrong masks (ADVICE r13)
+    val e1 = intercept[IllegalArgumentException] {
+      Attribution.maskConversionCounts(touches, col("u"), col("ch"),
+        col("cv"), Seq("a", "b", "a"))
+    }
+    assert(e1.getMessage.contains("distinct"))
+    // a counts table built under a DIFFERENT channel universe must
+    // raise, not silently renormalize the row totals (ADVICE r13)
+    val foreign = Seq(("START", "zz", 5L), ("zz", "CONV", 5L))
+      .toDF("from_state", "to_state", "n")
+    val e2 = intercept[IllegalArgumentException] {
+      Attribution.markovFromCounts(foreign, Seq("a", "b"))
+    }
+    assert(e2.getMessage.contains("universe"))
+  }
+
   test("proportionUplift: hand z exact; empty arm and degenerate pooled rate give nulls") {
     import spark.implicits._
     // 200 treated (60 succ), 100 control (20 succ)
