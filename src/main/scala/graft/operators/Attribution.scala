@@ -296,4 +296,117 @@ object Attribution {
       }: _*)
     spark.createDataFrame(out, schema)
   }
+
+  /** Position-based + time-decay attribution baselines — the four
+    * heuristic credit models practitioners sanity-check [[shapley]] /
+    * [[markovRemoval]] against, all from ONE pass over the SAME
+    * ordered per-user touch paths [[transitionCounts]] builds:
+    *
+    *  - first_touch / last_touch: 1 credit to the first / last touch —
+    *    exact BIGINT counts, no quantization needed.
+    *  - u_shaped: 40% first / 40% last / 20% split over middles
+    *    (1 touch → 100%, 2 touches → 50/50). Per-touch credit is a
+    *    pure function of (position, path length), quantized
+    *    floor(credit·10⁶) per touch and BIGINT-summed — no cross-user
+    *    float accumulation, so the hash is exact.
+    *  - time_decay: a STEP half-life — each touch is halved once per
+    *    full `halfLifeDays` elapsed before the path's last touch,
+    *    capped at 40 halvings. The weight 2^(−steps) is a dyadic
+    *    rational (exactly representable), and with ≤ `maxTouches` ≤
+    *    2¹² touches the per-user weight sum stays under 2⁵³ of the
+    *    common denominator — EXACT regardless of summation order, so
+    *    both the Spark window sum and a SQL mirror's agree bit-for-bit
+    *    without an ordered fold. The normalized share w/Σw is one
+    *    float division, then the same floor(·10⁶) quantization.
+    *
+    * Only CONVERTED users' paths earn credit (same user-level
+    * conversion contract as [[shapley]]); channels never touched by a
+    * converter appear with all-zero credit (the null-player readout).
+    * Efficiency: Σ first_touch = Σ last_touch = converting users with
+    * a path, exactly; Σ u_num and Σ td_num are within |path|·1 of
+    * 10⁶·conversions (floor loss only — asserted by the spec).
+    *
+    * Scale shape: one data-sized per-user aggregation (the path
+    * collect), one in-row weight pass over ≤ maxTouches elements, one
+    * ≤ k-row final aggregation. Output: one row per declared channel —
+    * (channel, first_touch, last_touch, u_num, u_shaped, td_num,
+    * time_decay). */
+  def positionAttribution(df: DataFrame, userCol: Column,
+      channelCol: Column, tsCol: Column, tieCol: Column,
+      convertedCol: Column, channels: Seq[String],
+      halfLifeDays: Double = 7.0, maxTouches: Int = 1024): DataFrame = {
+    val k = channels.size
+    require(k >= 1 && k <= 16,
+      s"positionAttribution needs 1 <= channels <= 16, got $k")
+    require(channels.distinct.size == k, "channels must be distinct")
+    require(halfLifeDays > 0.0, s"halfLifeDays > 0, got $halfLifeDays")
+    require(maxTouches >= 1 && maxTouches <= 4096,
+      s"maxTouches in 1..4096, got $maxTouches") // 2^12·2^40 < 2^53
+    val spark = df.sparkSession
+    val q = 1000000L
+
+    val isTouch = channelCol.isin(channels: _*)
+    val perUser = df.filter(userCol.isNotNull)
+      .groupBy(userCol.as("__u"))
+      .agg(sort_array(collect_list(when(isTouch && tsCol.isNotNull,
+          struct(tsCol.as("ts"), tieCol.as("tie"),
+            channelCol.as("ch"))))).as("__path"),
+        max(when(convertedCol.cast("boolean"), 1L).otherwise(0L))
+          .as("__cv"))
+      .filter(size(col("__path")) > 0 && col("__cv") === 1L)
+      .filter(assert_true(size(col("__path")) <= maxTouches,
+        lit(s"positionAttribution: a user exceeds maxTouches=" +
+          s"$maxTouches touches — cap or sample paths first")).isNull)
+
+    val path = col("__path")
+    val kP = size(path)
+    val kD = kP.cast("double")
+    val tLast = unix_timestamp(element_at(path, kP).getField("ts"))
+    // dyadic step-decay weights; Σ is exact (order-insensitive)
+    val weights = transform(path, x => {
+      val steps = least(lit(40L),
+        floor((tLast - unix_timestamp(x.getField("ts"))).cast("double") /
+          lit(86400.0) / lit(halfLifeDays)).cast("long"))
+      // 2^(−steps) via shift + one division — exact in any engine,
+      // no libm pow in the float contract
+      lit(1.0) / call_function("shiftleft", lit(1L), steps.cast("int"))
+        .cast("double")
+    })
+    val sumW = aggregate(weights, lit(0.0), (a, w) => a + w)
+    // per-touch credit rows: (ch, ft, lt, uq, tdq)
+    val rows = transform(sequence(lit(1), kP), i => {
+      val uq = when(kP === 1, lit(q))
+        .when(kP === 2, lit(500000L))
+        .when(i === 1 || i === kP, lit(400000L))
+        .otherwise(floor(lit(0.2) / (kD - lit(2.0)) * lit(1.0e6))
+          .cast("long"))
+      val tdq = floor(element_at(weights, i) / sumW * lit(1.0e6))
+        .cast("long")
+      struct(element_at(path, i).getField("ch").as("ch"),
+        when(i === 1, 1L).otherwise(0L).as("ft"),
+        when(i === kP, 1L).otherwise(0L).as("lt"),
+        uq.as("uq"), tdq.as("tdq"))
+    })
+    val credited = perUser
+      .withColumn("__r", explode(rows))
+      .groupBy(col("__r.ch").as("channel"))
+      .agg(sum(col("__r.ft")).as("first_touch"),
+        sum(col("__r.lt")).as("last_touch"),
+        sum(col("__r.uq")).as("u_num"),
+        sum(col("__r.tdq")).as("td_num"))
+    // zero-fill the declared universe: the null-player readout
+    val names = typedLit(channels)
+    val universe = spark.range(k)
+      .select(element_at(names, col("id").cast("int") + 1).as("channel"))
+    universe.join(credited, Seq("channel"), "left")
+      .select(col("channel"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"),
+        coalesce(col("u_num"), lit(0L)).as("u_num"),
+        (coalesce(col("u_num"), lit(0L)).cast("double") /
+          lit(1.0e6)).as("u_shaped"),
+        coalesce(col("td_num"), lit(0L)).as("td_num"),
+        (coalesce(col("td_num"), lit(0L)).cast("double") /
+          lit(1.0e6)).as("time_decay"))
+  }
 }

@@ -1919,6 +1919,160 @@ object Stats {
         col("__e").getField("survival").as("survival")): _*)
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator per group (Nelson 1972;
+    * Aalen, Ann. Stat. 1978) — the hazard-side readout of the survival
+    * block: H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ with the same dᵢ/nᵢ bookkeeping as
+    * [[kaplanMeier]], plus the standard variance estimate
+    * σ²(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ². Where KM multiplies survival factors,
+    * NA sums hazard increments — one more in-row ascending-time SUM
+    * fold on the identical [[survivalCounts]] seam (seed 0.0 is safe:
+    * 0.0 + x == x, so a stepwise mirror recursion matches
+    * bit-for-bit). Same thinning shape: subjects reduce to the
+    * distinct-time grid in ONE pass; the folds run on ≤ maxTimes rows
+    * per group, never on subjects.
+    *
+    * Output: groups... + (t, n_risk, n_events, n_censored, cum_hazard,
+    * var_hazard), one row per distinct observed time. */
+  def nelsonAalen(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column,
+      maxTimes: Int = 1000): DataFrame =
+    nelsonAalenFromCounts(
+      survivalCounts(df, groupCols, durationCol, eventCol),
+      groupCols, maxTimes)
+
+  /** Finalize a (possibly merged) [[survivalCounts]] table into the
+    * [[nelsonAalen]] schema — the streaming-readout face. NA and KM
+    * share ONE partial: the same stored count deltas serve both
+    * readouts with no extra state. */
+  def nelsonAalenFromCounts(counts: DataFrame, groupCols: Seq[String],
+      maxTimes: Int = 1000): DataFrame = {
+    require(maxTimes >= 1 && maxTimes <= 10000,
+      s"nelsonAalen needs 1 <= maxTimes <= 10000, got $maxTimes")
+    val g = groupCols.map(col)
+    val grouped = counts.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("t"), col("d"), col("c"))))
+        .as("__s"),
+        sum(col("d") + col("c")).as("__n"))
+      .filter(assert_true(size(col("__s")) <= maxTimes,
+        lit(s"nelsonAalen: a group exceeds maxTimes=$maxTimes distinct " +
+          "times — bin durations coarser first")).isNull)
+    val s = col("__s")
+    val rows = transform(sequence(lit(1), size(s)), i => {
+      // running (consumed, hazard, variance) over times 1..i — the
+      // accumulator carries at-risk bookkeeping so nⱼ is exact
+      val fin = aggregate(slice(s, lit(1), i),
+        struct(lit(0L).as("u"), lit(0.0).as("h"), lit(0.0).as("v")),
+        (acc, x) => {
+          val n = col("__n") - acc.getField("u")
+          val nD = n.cast("double")
+          val dD = x.getField("d").cast("double")
+          struct(
+            (acc.getField("u") + x.getField("d") + x.getField("c"))
+              .as("u"),
+            (acc.getField("h") + dD / nD).as("h"),
+            (acc.getField("v") + dD / (nD * nD)).as("v"))
+        })
+      val prior = aggregate(slice(s, lit(1), i - 1), lit(0L),
+        (a, x) => a + x.getField("d") + x.getField("c"))
+      struct(element_at(s, i).getField("t").as("t"),
+        (col("__n") - prior).as("n_risk"),
+        element_at(s, i).getField("d").as("n_events"),
+        element_at(s, i).getField("c").as("n_censored"),
+        fin.getField("h").as("cum_hazard"),
+        fin.getField("v").as("var_hazard"))
+    })
+    grouped
+      .withColumn("__e", explode(rows))
+      .select(g ++ Seq(col("__e").getField("t").as("t"),
+        col("__e").getField("n_risk").as("n_risk"),
+        col("__e").getField("n_events").as("n_events"),
+        col("__e").getField("n_censored").as("n_censored"),
+        col("__e").getField("cum_hazard").as("cum_hazard"),
+        col("__e").getField("var_hazard").as("var_hazard")): _*)
+  }
+
+  /** Gehan–Breslow (generalized Wilcoxon) weighted log-rank per group
+    * (Gehan, Biometrika 1965; Breslow 1970) — the early-difference-
+    * sensitive companion of [[logRank]]: each time's O−E contribution
+    * is weighted by the at-risk total wᵢ = nᵢ (so early times, where
+    * nᵢ is large, dominate — the right test when hazards cross late),
+    * with variance Σ wᵢ²·Vᵢ. One extra n-factor inside the identical
+    * [[cohortSurvivalCounts]] O−E/V fold — same seam, same one
+    * data-sized aggregation, same closed-subject streaming contract.
+    *
+    * Float contract: the weighted contributions are wD·(d1 − d·n1/n)
+    * and wD·wD·V with the INNER expressions exactly as [[logRank]]
+    * forms them, so a stepwise mirror recursion matches bit-for-bit.
+    *
+    * Output per group: (n1, n2, o1, oe, v, chi2, z); chi2/z null when
+    * ΣV = 0. `oe` is the WEIGHTED Σ w(O−E) — unlike plain log-rank it
+    * is not o1 − e1 for any unweighted e1, so the weighted sum is
+    * reported directly. */
+  def gehanLogRank(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column, cohort1: Column,
+      maxTimes: Int = 1000): DataFrame =
+    gehanLogRankFromCounts(
+      cohortSurvivalCounts(df, groupCols, durationCol, eventCol, cohort1),
+      groupCols, maxTimes)
+
+  /** Finalize a (possibly merged) [[cohortSurvivalCounts]] table into
+    * the [[gehanLogRank]] schema — the streaming-readout face; shares
+    * its stored partial with [[logRankFromCounts]]. */
+  def gehanLogRankFromCounts(counts: DataFrame, groupCols: Seq[String],
+      maxTimes: Int = 1000): DataFrame = {
+    require(maxTimes >= 1 && maxTimes <= 10000,
+      s"gehanLogRank needs 1 <= maxTimes <= 10000, got $maxTimes")
+    val g = groupCols.map(col)
+    val grouped = counts.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("t"), col("d1"), col("x1"),
+        col("d2"), col("x2")))).as("__s"),
+        sum(col("d1") + col("x1")).as("__n1"),
+        sum(col("d2") + col("x2")).as("__n2"),
+        sum(col("d1")).as("o1"))
+      .filter(assert_true(size(col("__s")) <= maxTimes,
+        lit(s"gehanLogRank: a group exceeds maxTimes=$maxTimes distinct " +
+          "times — bin durations coarser first")).isNull)
+    val fin = aggregate(col("__s"),
+      struct(lit(0L).as("u1"), lit(0L).as("u2"),
+        lit(0.0).as("oe"), lit(0.0).as("v")),
+      (acc, x) => {
+        val n1 = col("__n1") - acc.getField("u1")
+        val n2 = col("__n2") - acc.getField("u2")
+        val n = n1 + n2
+        val d = x.getField("d1") + x.getField("d2")
+        val nD = n.cast("double")
+        val dD = d.cast("double")
+        val wD = nD // the Gehan weight: at-risk total at this time
+        val contribOe = wD * (x.getField("d1").cast("double") -
+          dD * n1.cast("double") / nD)
+        val contribV = wD * wD * (dD * (n1.cast("double") / nD) *
+          (n2.cast("double") / nD) *
+          ((n - d).cast("double") / (n - 1L).cast("double")))
+        val informative = n > 1L && d > 0L
+        struct(
+          (acc.getField("u1") + x.getField("d1") + x.getField("x1"))
+            .as("u1"),
+          (acc.getField("u2") + x.getField("d2") + x.getField("x2"))
+            .as("u2"),
+          (acc.getField("oe") +
+            when(informative, contribOe).otherwise(lit(0.0))).as("oe"),
+          (acc.getField("v") +
+            when(informative, contribV).otherwise(lit(0.0))).as("v"))
+      })
+    grouped
+      .withColumn("__f", fin)
+      .select(g ++ Seq(col("__n1").as("n1"), col("__n2").as("n2"),
+        col("o1"),
+        col("__f").getField("oe").as("oe"),
+        col("__f").getField("v").as("v"),
+        when(col("__f").getField("v") > 0.0,
+          col("__f").getField("oe") * col("__f").getField("oe") /
+            col("__f").getField("v")).as("chi2"),
+        when(col("__f").getField("v") > 0.0,
+          col("__f").getField("oe") /
+            sqrt(col("__f").getField("v"))).as("z")): _*)
+  }
+
   /** Two-proportion uplift test per group — the conversion-rate A/B
     * readout: treated vs control success counts, the rate difference,
     * and the pooled two-proportion z
@@ -2133,6 +2287,106 @@ object Stats {
           lit(quantScale))
       .withColumn("uplift_cuped", (adjT - adjC) / lit(quantScale))
       .drop("sy", "sx", "sxx", "sxy", "__m", "syt", "sxt", "syc", "sxc")
+  }
+
+  /** Delta-method uplift test for RATIO-of-sums metrics (Fieller/
+    * delta method; the standard fix described in e.g. Deng, Knoblich &
+    * Lu, KDD 2018) — the workhorse experiment readout
+    * [[proportionUplift]] and [[cuped]] do NOT cover: metrics like CTR
+    * = Σclicks/Σviews or revenue-per-session, where the randomization
+    * unit (user) contributes MANY correlated numerator/denominator
+    * events, so the naive binomial/per-row variance is wrong (usually
+    * overconfident).
+    *
+    * Per arm, with per-unit sums (yᵤ, dᵤ) and R = Σy/Σd:
+    *
+    *   Var(R̂) ≈ (Cyy − 2R·Cyd + R²·Cdd) / (n−1) / n / d̄²
+    *
+    * where Cyy/Cyd/Cdd are the per-unit central moment sums and d̄ the
+    * mean per-unit denominator; z = (R_t − R_c)/√(Var_t + Var_c).
+    *
+    * Exactness contract (the [[cuped]] machinery): per-unit sums are
+    * floor(x·quantScale) BIGINTs from one exchange; arm moments are
+    * conditional BIGINT sums in ONE second (tiny) aggregation; every
+    * emitted value is a fixed float expression over their casts —
+    * quantScale cancels in R and in Var/d̄², so everything hashes
+    * unrounded. `treated` must be constant per unit (it keys the
+    * per-unit group — a unit observed in both arms splits, which the
+    * SRM check catches upstream).
+    *
+    * Output: groups... + (n_t, n_c, ratio_t, ratio_c, uplift, se, z);
+    * ratios null on an empty arm or zero denominator sum, z null when
+    * either arm has n < 2 or se is not positive. */
+  def ratioUplift(df: DataFrame, groupCols: Seq[String],
+      treated: Column, unitCol: Column, num: Column, den: Column,
+      quantScale: Double = 1e6): DataFrame = {
+    require(quantScale >= 1e0 && quantScale <= 1e9,
+      s"quantScale in [1e0, 1e9], got $quantScale")
+    val t = treated.cast("boolean")
+    val qn = when(num.isNotNull,
+      floor(num.cast("double") * lit(quantScale)).cast("long"))
+      .otherwise(0L)
+    val qd = when(den.isNotNull,
+      floor(den.cast("double") * lit(quantScale)).cast("long"))
+      .otherwise(0L)
+    val g = groupCols.map(col)
+    val perUnit = df.filter(t.isNotNull && unitCol.isNotNull)
+      .groupBy(g :+ unitCol.as("__unit") :+ t.as("__t"): _*)
+      .agg(sum(qn).as("yn"), sum(qd).as("yd"))
+    val tc = col("__t")
+    val yn = col("yn"); val yd = col("yd")
+    val agg = perUnit.groupBy(g: _*)
+      .agg(sum(when(tc, 1L).otherwise(0L)).as("n_t"),
+        sum(when(!tc, 1L).otherwise(0L)).as("n_c"),
+        sum(when(tc, yn).otherwise(0L)).as("snt"),
+        sum(when(tc, yd).otherwise(0L)).as("sdt"),
+        sum(when(tc, yn * yn).otherwise(0L)).as("snnt"),
+        sum(when(tc, yd * yd).otherwise(0L)).as("sddt"),
+        sum(when(tc, yn * yd).otherwise(0L)).as("sndt"),
+        sum(when(!tc, yn).otherwise(0L)).as("snc"),
+        sum(when(!tc, yd).otherwise(0L)).as("sdc"),
+        sum(when(!tc, yn * yn).otherwise(0L)).as("snnc"),
+        sum(when(!tc, yd * yd).otherwise(0L)).as("sddc"),
+        sum(when(!tc, yn * yd).otherwise(0L)).as("sndc"),
+        max(greatest(abs(yn), abs(yd))).as("__m"))
+      // wrap guard: each second-moment sum is bounded by n·m², so
+      // n·m² < 4·10¹⁸ keeps every BIGINT clear of 2⁶³
+      .filter(assert_true(
+        (col("n_t") + col("n_c")).cast("double") *
+          col("__m").cast("double") * col("__m").cast("double") <
+          lit(4.0e18),
+        lit("ratioUplift: n·max(|yn|,|yd|)² risks BIGINT wrap — " +
+          "lower quantScale or rescale inputs")).isNull)
+    // per-arm finalize: fixed float expression over exact BIGINT casts
+    def arm(n: Column, sn: Column, sd: Column, snn: Column,
+        sdd: Column, snd: Column): (Column, Column) = {
+      val nD = n.cast("double")
+      val r = when(sd =!= 0L, sn.cast("double") / sd.cast("double"))
+      val cyy = snn.cast("double") -
+        sn.cast("double") * sn.cast("double") / nD
+      val cyd = snd.cast("double") -
+        sn.cast("double") * sd.cast("double") / nD
+      val cdd = sdd.cast("double") -
+        sd.cast("double") * sd.cast("double") / nD
+      val dbar = sd.cast("double") / nD
+      val v = when(n > 1L && sd =!= 0L,
+        (cyy - lit(2.0) * r * cyd + r * r * cdd) /
+          (nD - lit(1.0)) / nD / (dbar * dbar))
+      (r, v)
+    }
+    val (rT, vT) = arm(col("n_t"), col("snt"), col("sdt"),
+      col("snnt"), col("sddt"), col("sndt"))
+    val (rC, vC) = arm(col("n_c"), col("snc"), col("sdc"),
+      col("snnc"), col("sddc"), col("sndc"))
+    val se = sqrt(vT + vC)
+    agg
+      .withColumn("ratio_t", rT)
+      .withColumn("ratio_c", rC)
+      .withColumn("uplift", rT - rC)
+      .withColumn("se", se)
+      .withColumn("z", when(se > 0.0, (rT - rC) / se))
+      .drop("snt", "sdt", "snnt", "sddt", "sndt",
+        "snc", "sdc", "snnc", "sddc", "sndc", "__m")
   }
 
   /** Two-sample log-rank test per group (Mantel 1966) — "are these two

@@ -648,6 +648,81 @@ object Extras {
       .orderBy("cohort", "t")
   }
 
+  /** Nelson–Aalen cumulative hazard per synthetic cohort ([[graft
+    * .operators.Stats.nelsonAalen]]): the hazard-side readout of the
+    * c_kaplan_meier fixture — same durations, same churn label, same
+    * count grid, but H(t) = Σ d/n and its Σ d/n² variance accumulate
+    * by an in-row ascending-time SUM fold (seed 0.0; the mirror steps
+    * the identical recursion), so cum_hazard/var_hazard hash with no
+    * rounding. */
+  def cNelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    val users = e.groupBy(col("user_id"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("cohort", concat(lit("c"), pmod(col("user_id"), lit(3))))
+      .withColumn("churned", col("__last") < date_sub(col("__gmax"), 7))
+    graft.operators.Stats.nelsonAalen(obs, Seq("cohort"),
+        col("duration"), col("churned"))
+      .orderBy("cohort", "t")
+  }
+
+  /** Gehan–Breslow weighted log-rank ([[graft.operators.Stats
+    * .gehanLogRank]]): the early-difference-weighted companion of
+    * c_log_rank on the same even/odd-user cohort fixture — each O−E
+    * contribution carries an n (and V an n²) factor inside the same
+    * ascending-time fold, mirrored by the same recursive CTE shape. */
+  def cGehanLogRank(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    val users = e.groupBy(col("user_id"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("g", lit("all"))
+      .withColumn("churned", col("__last") < date_sub(col("__gmax"), 7))
+    graft.operators.Stats.gehanLogRank(obs, Seq("g"), col("duration"),
+        col("churned"), pmod(col("user_id"), lit(2)) === 0)
+      .orderBy("g")
+  }
+
+  /** Delta-method uplift for a RATIO metric ([[graft.operators.Stats
+    * .ratioUplift]]): revenue-per-view per user-id-mod-3 slice, even
+    * vs odd users — per-user (purchase revenue, view count) sums are
+    * floor(x·10³) BIGINTs, arm moments exact conditional sums, and
+    * the delta-method tail a fixed float expression over their casts,
+    * so every column hashes unrounded. */
+  def aRatioUplift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.ratioUplift(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .withColumn("g", concat(lit("g"), pmod(col("user_id"), lit(3)))),
+        Seq("g"), pmod(col("user_id"), lit(2)) === 0, col("user_id"),
+        when(col("event_type") === "purchase", col("value")),
+        when(col("event_type") === "view", lit(1.0)),
+        quantScale = 1e3)
+      .orderBy("g")
+
+  /** Position-based + time-decay attribution baselines ([[graft
+    * .operators.Attribution.positionAttribution]]) over the same
+    * channel universe and conversion label as c_markov_attribution:
+    * first/last are exact BIGINT counts; U-shaped and step-half-life
+    * decay credits are per-touch floor(·10⁶) BIGINTs (the decay
+    * weights are dyadic rationals — shift + one division, no libm in
+    * the float contract), so every column hashes unrounded. */
+  def cPositionAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Attribution.positionAttribution(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("event_type") === "purchase",
+        Seq("click", "error", "signup", "view"), halfLifeDays = 7.0)
+      .orderBy("channel")
+
   /** Exact Shapley-value channel attribution ([[graft.operators
     * .Attribution.shapley]]): purchases credited across the four
     * non-purchase touch channels by average marginal contribution over
@@ -1048,6 +1123,10 @@ object Extras {
     "a_ks_drift" -> (aKsDrift _),
     "c_kaplan_meier" -> (cKaplanMeier _),
     "c_log_rank" -> (cLogRank _),
+    "c_nelson_aalen" -> (cNelsonAalen _),
+    "c_gehan_logrank" -> (cGehanLogRank _),
+    "a_ratio_uplift" -> (aRatioUplift _),
+    "c_position_attribution" -> (cPositionAttribution _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
     "c_markov_attribution" -> (cMarkovAttribution _),
     "a_proportion_uplift" -> (aProportionUplift _),
@@ -1749,6 +1828,248 @@ object Extras {
         |SELECT cohort, t, n_risk, d AS n_events, c AS n_censored,
         |  p AS survival
         |FROM km WHERE i > 0 ORDER BY cohort, t""".stripMargin,
+    // NA mirror: the KM recursion with SUM folds h += d/n, v += d/n²
+    // instead of the survival product — same grid, same stepping.
+    "c_nelson_aalen" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    duration, last_d < g.gmax - 7 AS ev FROM u CROSS JOIN g),
+        |cnt AS (SELECT cohort, duration AS t,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1, 2),
+        |ord AS (SELECT cohort, t, d, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY t)
+        |      AS BIGINT) AS i,
+        |    CAST(SUM(d + c) OVER (PARTITION BY cohort) AS BIGINT)
+        |      AS n_total
+        |  FROM cnt),
+        |na AS (
+        |  SELECT cohort, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS used,
+        |    CAST(0 AS DOUBLE) AS h, CAST(0 AS DOUBLE) AS v,
+        |    CAST(NULL AS DOUBLE) AS t, CAST(NULL AS BIGINT) AS d,
+        |    CAST(NULL AS BIGINT) AS c, CAST(NULL AS BIGINT) AS n_risk
+        |  FROM (SELECT DISTINCT cohort FROM ord)
+        |  UNION ALL
+        |  SELECT o.cohort, o.i, na.used + o.d + o.c,
+        |    na.h + CAST(o.d AS DOUBLE)
+        |      / CAST(o.n_total - na.used AS DOUBLE),
+        |    na.v + CAST(o.d AS DOUBLE)
+        |      / (CAST(o.n_total - na.used AS DOUBLE)
+        |        * CAST(o.n_total - na.used AS DOUBLE)),
+        |    o.t, o.d, o.c, o.n_total - na.used
+        |  FROM na JOIN ord o ON o.cohort = na.cohort AND o.i = na.i + 1)
+        |SELECT cohort, t, n_risk, d AS n_events, c AS n_censored,
+        |  h AS cum_hazard, v AS var_hazard
+        |FROM na WHERE i > 0 ORDER BY cohort, t""".stripMargin,
+    // Gehan mirror: the log-rank recursion with the at-risk total n as
+    // the O−E weight and n² as the V weight, same inner expressions.
+    "c_gehan_logrank" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |gm AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT user_id % 2 = 0 AS coh1, duration,
+        |    last_d < gm.gmax - 7 AS ev FROM u CROSS JOIN gm),
+        |cnt AS (SELECT duration AS t,
+        |    CAST(SUM(CASE WHEN coh1 AND ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN coh1 AND NOT ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN NOT coh1 AND ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d2,
+        |    CAST(SUM(CASE WHEN NOT coh1 AND NOT ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x2
+        |  FROM obs GROUP BY 1),
+        |ord AS (SELECT t, d1, x1, d2, x2,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS i FROM cnt),
+        |tot AS (SELECT CAST(SUM(d1 + x1) AS BIGINT) AS n1,
+        |    CAST(SUM(d2 + x2) AS BIGINT) AS n2,
+        |    CAST(SUM(d1) AS BIGINT) AS o1,
+        |    CAST(COUNT(*) AS BIGINT) AS m FROM ord),
+        |lr AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS u1,
+        |    CAST(0 AS BIGINT) AS u2, CAST(0 AS DOUBLE) AS oe,
+        |    CAST(0 AS DOUBLE) AS v
+        |  UNION ALL
+        |  SELECT o.i, lr.u1 + o.d1 + o.x1, lr.u2 + o.d2 + o.x2,
+        |    lr.oe + CASE WHEN (tot.n1 - lr.u1) + (tot.n2 - lr.u2) > 1
+        |        AND o.d1 + o.d2 > 0
+        |      THEN CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) AS DOUBLE)
+        |        * (CAST(o.d1 AS DOUBLE)
+        |          - CAST(o.d1 + o.d2 AS DOUBLE)
+        |            * CAST(tot.n1 - lr.u1 AS DOUBLE)
+        |            / CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) AS DOUBLE))
+        |      ELSE CAST(0 AS DOUBLE) END,
+        |    lr.v + CASE WHEN (tot.n1 - lr.u1) + (tot.n2 - lr.u2) > 1
+        |        AND o.d1 + o.d2 > 0
+        |      THEN CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) AS DOUBLE)
+        |        * CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) AS DOUBLE)
+        |        * (CAST(o.d1 + o.d2 AS DOUBLE)
+        |          * (CAST(tot.n1 - lr.u1 AS DOUBLE)
+        |            / CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) AS DOUBLE))
+        |          * (CAST(tot.n2 - lr.u2 AS DOUBLE)
+        |            / CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) AS DOUBLE))
+        |          * (CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2)
+        |              - (o.d1 + o.d2) AS DOUBLE)
+        |            / CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) - 1
+        |              AS DOUBLE)))
+        |      ELSE CAST(0 AS DOUBLE) END
+        |  FROM lr JOIN ord o ON o.i = lr.i + 1 CROSS JOIN tot)
+        |SELECT 'all' AS g, tot.n1, tot.n2, tot.o1, lr.oe AS oe, lr.v AS v,
+        |  CASE WHEN lr.v > 0 THEN lr.oe * lr.oe / lr.v END AS chi2,
+        |  CASE WHEN lr.v > 0 THEN lr.oe / sqrt(lr.v) END AS z
+        |FROM lr CROSS JOIN tot WHERE lr.i = tot.m""".stripMargin,
+    // ratio-uplift mirror: per-unit quantized sums, arm moment sums,
+    // then the identical delta-method float tail.
+    "a_ratio_uplift" ->
+      """WITH b AS (SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS g,
+        |    user_id % 2 = 0 AS t, user_id AS u,
+        |    CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+        |      THEN CAST(floor(value * CAST(1000 AS DOUBLE)) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS qn,
+        |    CASE WHEN event_type = 'view'
+        |      THEN CAST(floor(CAST(1 AS DOUBLE) * CAST(1000 AS DOUBLE))
+        |        AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS qd
+        |  FROM events WHERE user_id IS NOT NULL),
+        |pu AS (SELECT g, u, t, CAST(SUM(qn) AS BIGINT) AS yn,
+        |    CAST(SUM(qd) AS BIGINT) AS yd
+        |  FROM b GROUP BY 1, 2, 3),
+        |a AS (SELECT g,
+        |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN t THEN yn ELSE 0 END) AS BIGINT) AS snt,
+        |    CAST(SUM(CASE WHEN t THEN yd ELSE 0 END) AS BIGINT) AS sdt,
+        |    CAST(SUM(CASE WHEN t THEN yn * yn ELSE 0 END) AS BIGINT)
+        |      AS snnt,
+        |    CAST(SUM(CASE WHEN t THEN yd * yd ELSE 0 END) AS BIGINT)
+        |      AS sddt,
+        |    CAST(SUM(CASE WHEN t THEN yn * yd ELSE 0 END) AS BIGINT)
+        |      AS sndt,
+        |    CAST(SUM(CASE WHEN NOT t THEN yn ELSE 0 END) AS BIGINT)
+        |      AS snc,
+        |    CAST(SUM(CASE WHEN NOT t THEN yd ELSE 0 END) AS BIGINT)
+        |      AS sdc,
+        |    CAST(SUM(CASE WHEN NOT t THEN yn * yn ELSE 0 END) AS BIGINT)
+        |      AS snnc,
+        |    CAST(SUM(CASE WHEN NOT t THEN yd * yd ELSE 0 END) AS BIGINT)
+        |      AS sddc,
+        |    CAST(SUM(CASE WHEN NOT t THEN yn * yd ELSE 0 END) AS BIGINT)
+        |      AS sndc
+        |  FROM pu GROUP BY 1),
+        |r AS (SELECT g, n_t, n_c,
+        |    CASE WHEN sdt <> 0 THEN CAST(snt AS DOUBLE)
+        |      / CAST(sdt AS DOUBLE) END AS rt,
+        |    CASE WHEN sdc <> 0 THEN CAST(snc AS DOUBLE)
+        |      / CAST(sdc AS DOUBLE) END AS rc,
+        |    snt, sdt, snnt, sddt, sndt, snc, sdc, snnc, sddc, sndc
+        |  FROM a),
+        |v AS (SELECT g, n_t, n_c, rt, rc,
+        |    CASE WHEN n_t > 1 AND sdt <> 0 THEN
+        |      ((CAST(snnt AS DOUBLE) - CAST(snt AS DOUBLE)
+        |          * CAST(snt AS DOUBLE) / CAST(n_t AS DOUBLE))
+        |        - CAST(2 AS DOUBLE) * rt * (CAST(sndt AS DOUBLE)
+        |          - CAST(snt AS DOUBLE) * CAST(sdt AS DOUBLE)
+        |            / CAST(n_t AS DOUBLE))
+        |        + rt * rt * (CAST(sddt AS DOUBLE) - CAST(sdt AS DOUBLE)
+        |          * CAST(sdt AS DOUBLE) / CAST(n_t AS DOUBLE)))
+        |      / (CAST(n_t AS DOUBLE) - CAST(1 AS DOUBLE))
+        |      / CAST(n_t AS DOUBLE)
+        |      / ((CAST(sdt AS DOUBLE) / CAST(n_t AS DOUBLE))
+        |        * (CAST(sdt AS DOUBLE) / CAST(n_t AS DOUBLE))) END AS vt,
+        |    CASE WHEN n_c > 1 AND sdc <> 0 THEN
+        |      ((CAST(snnc AS DOUBLE) - CAST(snc AS DOUBLE)
+        |          * CAST(snc AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |        - CAST(2 AS DOUBLE) * rc * (CAST(sndc AS DOUBLE)
+        |          - CAST(snc AS DOUBLE) * CAST(sdc AS DOUBLE)
+        |            / CAST(n_c AS DOUBLE))
+        |        + rc * rc * (CAST(sddc AS DOUBLE) - CAST(sdc AS DOUBLE)
+        |          * CAST(sdc AS DOUBLE) / CAST(n_c AS DOUBLE)))
+        |      / (CAST(n_c AS DOUBLE) - CAST(1 AS DOUBLE))
+        |      / CAST(n_c AS DOUBLE)
+        |      / ((CAST(sdc AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |        * (CAST(sdc AS DOUBLE) / CAST(n_c AS DOUBLE))) END AS vc
+        |  FROM r)
+        |SELECT g, n_t, n_c, rt AS ratio_t, rc AS ratio_c,
+        |  rt - rc AS uplift, sqrt(vt + vc) AS se,
+        |  CASE WHEN sqrt(vt + vc) > 0 THEN (rt - rc) / sqrt(vt + vc) END
+        |    AS z
+        |FROM v ORDER BY g""".stripMargin,
+    // position/time-decay mirror: ordered paths by window functions,
+    // dyadic step-decay weights via shift (order-insensitive exact
+    // sums), per-touch floor(·10⁶) credits, zero-filled universe.
+    "c_position_attribution" ->
+      """WITH conv AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS cv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |tch AS (SELECT e.user_id, e.event_type AS ch, e.ts, e.event_id
+        |  FROM events e JOIN conv c ON c.user_id = e.user_id
+        |    AND c.cv = 1
+        |  WHERE e.user_id IS NOT NULL AND e.ts IS NOT NULL
+        |    AND e.event_type IN ('click', 'error', 'signup', 'view')),
+        |p AS (SELECT user_id, ch, ts,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS i,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS k,
+        |    MAX(ts) OVER (PARTITION BY user_id) AS t_last
+        |  FROM tch),
+        |w AS (SELECT user_id, ch, i, k,
+        |    CAST(1 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << CAST(
+        |      least(CAST(40 AS BIGINT),
+        |        CAST(floor(CAST(CAST(floor(epoch(t_last)) AS BIGINT)
+        |            - CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE)
+        |          / CAST(86400 AS DOUBLE) / CAST(7 AS DOUBLE))
+        |          AS BIGINT)) AS INTEGER) AS DOUBLE) AS wd
+        |  FROM p),
+        |s AS (SELECT user_id, ch, i, k, wd,
+        |    SUM(wd) OVER (PARTITION BY user_id) AS sw
+        |  FROM w),
+        |cr AS (SELECT ch,
+        |    CASE WHEN i = 1 THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS ft,
+        |    CASE WHEN i = k THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS lt,
+        |    CASE WHEN k = 1 THEN CAST(1000000 AS BIGINT)
+        |      WHEN k = 2 THEN CAST(500000 AS BIGINT)
+        |      WHEN i = 1 OR i = k THEN CAST(400000 AS BIGINT)
+        |      ELSE CAST(floor(CAST(0.2 AS DOUBLE)
+        |        / (CAST(k AS DOUBLE) - CAST(2 AS DOUBLE))
+        |        * CAST(1000000 AS DOUBLE)) AS BIGINT) END AS uq,
+        |    CAST(floor(wd / sw * CAST(1000000 AS DOUBLE)) AS BIGINT)
+        |      AS tdq
+        |  FROM s),
+        |agg AS (SELECT ch AS channel,
+        |    CAST(SUM(ft) AS BIGINT) AS first_touch,
+        |    CAST(SUM(lt) AS BIGINT) AS last_touch,
+        |    CAST(SUM(uq) AS BIGINT) AS u_num,
+        |    CAST(SUM(tdq) AS BIGINT) AS td_num
+        |  FROM cr GROUP BY 1),
+        |uni AS (SELECT * FROM (VALUES ('click'), ('error'), ('signup'),
+        |  ('view')) AS t(channel))
+        |SELECT uni.channel,
+        |  COALESCE(first_touch, CAST(0 AS BIGINT)) AS first_touch,
+        |  COALESCE(last_touch, CAST(0 AS BIGINT)) AS last_touch,
+        |  COALESCE(u_num, CAST(0 AS BIGINT)) AS u_num,
+        |  CAST(COALESCE(u_num, CAST(0 AS BIGINT)) AS DOUBLE)
+        |    / CAST(1000000 AS DOUBLE) AS u_shaped,
+        |  COALESCE(td_num, CAST(0 AS BIGINT)) AS td_num,
+        |  CAST(COALESCE(td_num, CAST(0 AS BIGINT)) AS DOUBLE)
+        |    / CAST(1000000 AS DOUBLE) AS time_decay
+        |FROM uni LEFT JOIN agg ON agg.channel = uni.channel
+        |ORDER BY uni.channel""".stripMargin,
     // QTE mirror: quantile_disc per arm (exact discrete order
     // statistics, the a_quantile_profile convention), lockstep unnest,
     // arm pivot + one subtraction.

@@ -686,6 +686,33 @@ object StreamingTimeSeries {
         Seq(groupCol)),
       Seq(groupCol))
 
+  /** Whole-stream Nelson–Aalen cumulative hazard — a SECOND readout
+    * over the SAME stored deltas [[startSurvivalCountsQuery]]
+    * maintains for Kaplan–Meier: no new state, no new query, just the
+    * hazard-side finalize. Bit-identical to batch. */
+  def mergedNelsonAalen(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.nelsonAalenFromCounts(
+      graft.operators.Stats.mergeSurvivalCounts(
+        Seq(spark.read.parquet(s"$targetDir/survival_counts")
+          .dropDuplicates(groupCol, "t", "batch_id")
+          .drop("batch_id")),
+        Seq(groupCol)),
+      Seq(groupCol))
+
+  /** Whole-stream Gehan–Breslow weighted log-rank — a SECOND readout
+    * over the SAME stored cohort-split deltas
+    * [[startCohortSurvivalCountsQuery]] maintains for the plain
+    * log-rank. Bit-identical to batch. */
+  def mergedGehanLogRank(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.gehanLogRankFromCounts(
+      graft.operators.Stats.mergeCohortSurvivalCounts(
+        Seq(spark.read.parquet(s"$targetDir/cohort_surv_counts")
+          .dropDuplicates(groupCol, "t", "batch_id").drop("batch_id")),
+        Seq(groupCol)),
+      Seq(groupCol))
+
   /** Streaming attribution maintenance (set face) — the ingestion face
     * of [[graft.operators.Attribution.shapley]]: each micro-batch of
     * CLOSED users' touch events reduces to conversions-per-touched-set

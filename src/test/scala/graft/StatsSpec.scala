@@ -1029,6 +1029,229 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       solo.isNullAt(solo.fieldIndex("z")))
   }
 
+  test("nelsonAalen: textbook curve bitwise; shares KM's count grid; monotone hazard") {
+    import spark.implicits._
+    // same classic six-subject fixture as the KM spec
+    val mice = Seq((1.0, true), (2.0, false), (3.0, true),
+      (4.0, false), (5.0, true), (6.0, true))
+      .map { case (t, e) => ("m", t, e) }
+    val df = mice.toDF("g", "dur", "ev")
+    val na = Stats.nelsonAalen(df, Seq("g"), col("dur"), col("ev"))
+      .collect().map(r => r.getDouble(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    // replay with the same op order: h' = h + d/n, v' = v + d/n²
+    var h = 0.0; var v2 = 0.0
+    val expected = Seq((1.0, 1L, 6L), (2.0, 0L, 5L), (3.0, 1L, 4L),
+      (4.0, 0L, 3L), (5.0, 1L, 2L), (6.0, 1L, 1L)).map {
+      case (t, d, n) =>
+        val nD = n.toDouble; val dD = d.toDouble
+        h += dD / nD; v2 += dD / (nD * nD)
+        t -> ((h, v2))
+    }.toMap
+    for ((t, (eh, ev2)) <- expected) {
+      assert(na(t)._4 == eh, s"hazard at t=$t")
+      assert(na(t)._5 == ev2, s"variance at t=$t")
+    }
+    // the count grid is IDENTICAL to kaplanMeier's (shared seam)
+    val km = Stats.kaplanMeier(df, Seq("g"), col("dur"), col("ev"))
+      .collect().map(r => r.getDouble(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for ((t, (nr, d, c, _, _)) <- na) assert(km(t) == ((nr, d, c)))
+    // hazard is monotone non-decreasing; censor-only times are flat
+    val ordered = na.toSeq.sortBy(_._1).map(_._2._4)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => b >= a })
+    assert(na(2.0)._4 == na(1.0)._4 && na(4.0)._4 == na(3.0)._4)
+    // streaming contract: two batch slices re-merged finalize
+    // bit-identically (the mergeable-partial seam)
+    val merged = Stats.nelsonAalenFromCounts(
+      Stats.mergeSurvivalCounts(Seq(
+        Stats.survivalCounts(df.limit(3), Seq("g"), col("dur"), col("ev")),
+        Stats.survivalCounts(df.except(df.limit(3)), Seq("g"),
+          col("dur"), col("ev"))), Seq("g")), Seq("g"))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(5)).toMap
+    for ((t, (_, _, _, eh, _)) <- na) assert(merged(t) == eh)
+  }
+
+  test("gehanLogRank: naive replay bitwise; equals logRank z at a single event time; early-weighting") {
+    import spark.implicits._
+    val rng = new scala.util.Random(71)
+    val subj = (0 until 120).map { i =>
+      val c1 = i % 2 == 0
+      val dur = if (c1) 1 + rng.nextInt(6) else 5 + rng.nextInt(8)
+      ("g", dur.toDouble, rng.nextInt(5) > 0, c1)
+    }
+    val df = subj.toDF("g", "dur", "ev", "c1")
+    val out = Stats.gehanLogRank(df, Seq("g"), col("dur"), col("ev"),
+      col("c1")).head()
+    // naive single-threaded replay with the weighted op order
+    val times = subj.map(_._2).distinct.sorted
+    var (u1, u2, oe, v) = (0L, 0L, 0.0, 0.0)
+    val n1T = subj.count(_._4).toLong; val n2T = subj.size - n1T
+    for (t <- times) {
+      val at = subj.filter(_._2 == t)
+      val d1 = at.count(s => s._4 && s._3).toLong
+      val x1 = at.count(s => s._4 && !s._3).toLong
+      val d2 = at.count(s => !s._4 && s._3).toLong
+      val x2 = at.count(s => !s._4 && !s._3).toLong
+      val n1 = n1T - u1; val n2 = n2T - u2; val n = n1 + n2
+      val d = d1 + d2
+      if (n > 1 && d > 0) {
+        val w = n.toDouble
+        oe += w * (d1.toDouble - d.toDouble * n1.toDouble / n.toDouble)
+        v += w * w * (d.toDouble * (n1.toDouble / n.toDouble) *
+          (n2.toDouble / n.toDouble) *
+          ((n - d).toDouble / (n - 1).toDouble))
+      }
+      u1 += d1 + x1; u2 += d2 + x2
+    }
+    assert(out.getAs[Long]("n1") == n1T && out.getAs[Long]("n2") == n2T)
+    assert(out.getAs[Double]("oe") == oe)
+    assert(out.getAs[Double]("v") == v)
+    assert(out.getAs[Double]("z") == oe / math.sqrt(v))
+    assert(out.getAs[Double]("z") > 3.0) // same direction as logRank
+    // single distinct event time: the weight cancels in z, so Gehan
+    // and plain log-rank agree exactly
+    val one = (0 until 40).map(i => ("g", 3.0, true, i % 2 == 0))
+      .toDF("g", "dur", "ev", "c1")
+    val gz = Stats.gehanLogRank(one, Seq("g"), col("dur"), col("ev"),
+      col("c1")).head()
+    val lz = Stats.logRank(one, Seq("g"), col("dur"), col("ev"),
+      col("c1")).head()
+    // both degenerate here (d1 == expected) — use a split fixture
+    val one2 = ((0 until 30).map(i => ("g", 3.0, i % 3 > 0, i % 2 == 0)) ++
+      (0 until 10).map(_ => ("g", 9.0, false, true))) // imbalance ⇒ oe ≠ 0
+      .toDF("g", "dur", "ev", "c1")
+    val gz2 = Stats.gehanLogRank(one2, Seq("g"), col("dur"), col("ev"),
+      col("c1")).head().getAs[Double]("z")
+    val lz2 = Stats.logRank(one2, Seq("g"), col("dur"), col("ev"),
+      col("c1")).head().getAs[Double]("z")
+    assert(math.abs(gz2 - lz2) < 1e-12,
+      s"single-event-time Gehan z $gz2 vs logRank z $lz2")
+    assert(gz != null && lz != null) // degenerate rows still emitted
+    // EARLY-difference sensitivity: early gap + late reversal — Gehan
+    // (n-weighted) leans on the early times harder than plain log-rank
+    val cross = ((0 until 30).map(i => ("g", 1.0, i % 2 == 0, i % 2 == 0)) ++
+      (0 until 30).map(i => ("g", 2.0, true, i % 2 == 0)) ++
+      (0 until 60).map(i => ("g", 10.0 + (i % 3), true, i % 2 == 1)))
+      .toDF("g", "dur", "ev", "c1")
+    val gC = Stats.gehanLogRank(cross, Seq("g"), col("dur"), col("ev"),
+      col("c1")).head().getAs[Double]("z")
+    val lC = Stats.logRank(cross, Seq("g"), col("dur"), col("ev"),
+      col("c1")).head().getAs[Double]("z")
+    assert(gC > lC, s"Gehan z $gC should exceed log-rank z $lC when " +
+      "the cohort-1 excess is concentrated early")
+  }
+
+  test("ratioUplift: naive replay bitwise; calibrated under user clustering where per-event z is overconfident") {
+    import spark.implicits._
+    val rng = new scala.util.Random(83)
+    // NULL effect + strong between-user rate heterogeneity: each
+    // user's ~35 views share that user's OWN CTR, so clicks within a
+    // user are correlated — the textbook per-event-overdispersion case
+    val users = (0 until 300).map { u =>
+      val views = 20 + rng.nextInt(30)
+      val ctr = rng.nextDouble() // rate differs BY USER, not arm
+      val clicks = (0 until views).count(_ => rng.nextDouble() < ctr)
+      ("g", u.toLong, u % 2 == 0, clicks.toLong, views.toLong)
+    }
+    val df = users.toDF("g", "u", "t", "clicks", "views")
+    val out = Stats.ratioUplift(df, Seq("g"), col("t"), col("u"),
+      col("clicks"), col("views"), quantScale = 1.0).head()
+    // naive single-threaded replay, same op order (quantScale 1: the
+    // inputs are already integers, so floor(x·1) == x)
+    def armStats(arm: Seq[(Long, Long)]): (Double, Double) = {
+      val n = arm.size.toLong
+      val sn = arm.map(_._1).sum; val sd = arm.map(_._2).sum
+      val snn = arm.map(p => p._1 * p._1).sum
+      val sdd = arm.map(p => p._2 * p._2).sum
+      val snd = arm.map(p => p._1 * p._2).sum
+      val nD = n.toDouble
+      val r = sn.toDouble / sd.toDouble
+      val cyy = snn.toDouble - sn.toDouble * sn.toDouble / nD
+      val cyd = snd.toDouble - sn.toDouble * sd.toDouble / nD
+      val cdd = sdd.toDouble - sd.toDouble * sd.toDouble / nD
+      val dbar = sd.toDouble / nD
+      (r, (cyy - 2.0 * r * cyd + r * r * cdd) / (nD - 1.0) / nD /
+        (dbar * dbar))
+    }
+    val (rT, vT) = armStats(users.filter(_._3).map(u => (u._4, u._5)))
+    val (rC, vC) = armStats(users.filterNot(_._3).map(u => (u._4, u._5)))
+    assert(out.getAs[Double]("ratio_t") == rT)
+    assert(out.getAs[Double]("ratio_c") == rC)
+    assert(out.getAs[Double]("uplift") == rT - rC)
+    assert(out.getAs[Double]("se") == math.sqrt(vT + vC))
+    assert(out.getAs[Double]("z") == (rT - rC) / math.sqrt(vT + vC))
+    // the delta-method z is calibrated under the null...
+    assert(math.abs(out.getAs[Double]("z")) < 2.5,
+      s"delta z ${out.getAs[Double]("z")} should not flag a null effect")
+    // ...while the naive per-event binomial z (clicks as independent
+    // Bernoulli trials) is wildly overconfident: its SE is far smaller
+    // than the clustering-aware one
+    val xT = users.filter(_._3).map(_._4).sum.toDouble
+    val nT = users.filter(_._3).map(_._5).sum.toDouble
+    val xC = users.filterNot(_._3).map(_._4).sum.toDouble
+    val nC = users.filterNot(_._3).map(_._5).sum.toDouble
+    val pPool = (xT + xC) / (nT + nC)
+    val seNaive = math.sqrt(pPool * (1 - pPool) * (1 / nT + 1 / nC))
+    assert(math.sqrt(vT + vC) > 3.0 * seNaive,
+      "clustering-aware SE should dwarf the per-event binomial SE " +
+        s"(${math.sqrt(vT + vC)} vs $seNaive)")
+    // degenerate guards: empty arm and zero denominators give nulls
+    val deg = Stats.ratioUplift(df.filter(col("t")), Seq("g"), col("t"),
+      col("u"), col("clicks"), col("views"), quantScale = 1.0).head()
+    assert(deg.isNullAt(deg.fieldIndex("ratio_c")) &&
+      deg.isNullAt(deg.fieldIndex("z")))
+  }
+
+  test("positionAttribution: hand credits exact; efficiency and null-player axioms; decay ordering") {
+    import spark.implicits._
+    import graft.operators.Attribution
+    val day = 86400L
+    def ts(d: Long) = new java.sql.Timestamp(d * day * 1000L)
+    // u1: a→b→c over 3 days, converts; u2: b only, converts;
+    // u3: c→a 14 days apart, converts; u4: a→b, does NOT convert
+    val rows = Seq(
+      ("u1", "a", ts(0), 1L, true), ("u1", "b", ts(1), 2L, true),
+      ("u1", "c", ts(2), 3L, true),
+      ("u2", "b", ts(5), 4L, true),
+      ("u3", "c", ts(0), 5L, true), ("u3", "a", ts(14), 6L, true),
+      ("u4", "a", ts(0), 7L, false), ("u4", "b", ts(1), 8L, false))
+    val df = rows.toDF("u", "ch", "ts", "eid", "cv")
+    val got = Attribution.positionAttribution(df, col("u"), col("ch"),
+        col("ts"), col("eid"), col("cv"), Seq("a", "b", "c", "d"),
+        halfLifeDays = 7.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))))
+      .toMap
+    // first touch: u1→a, u2→b, u3→c; last: u1→c, u2→b, u3→a
+    assert(got("a")._1 == 1L && got("b")._1 == 1L && got("c")._1 == 1L)
+    assert(got("a")._2 == 1L && got("b")._2 == 1L && got("c")._2 == 1L)
+    // u-shaped: u1 (k=3) → 400000/200000/400000; u2 (k=1) → 1000000;
+    // u3 (k=2) → 500000 each
+    assert(got("a")._3 == 400000L + 500000L)
+    assert(got("b")._3 == 200000L + 1000000L)
+    assert(got("c")._3 == 400000L + 500000L)
+    // time-decay, halfLife 7d: u1 deltas (2,1,0) days → 0 halvings
+    // each → equal thirds; u2 → all; u3: c is 14d before a → 2
+    // halvings → w=(0.25,1) → c 200000, a 800000
+    assert(got("a")._4 == 333333L + 800000L)
+    assert(got("b")._4 == 333333L + 1000000L)
+    assert(got("c")._4 == 333333L + 200000L)
+    // null player: d touched by nobody → exact zeros
+    assert(got("d") == ((0L, 0L, 0L, 0L)))
+    // efficiency: firsts and lasts each sum to converting users with
+    // a path (3); u/td numerators within |touches| of 10⁶·conversions
+    val conv = 3L
+    assert(got.values.map(_._1).sum == conv)
+    assert(got.values.map(_._2).sum == conv)
+    val touches = 6L
+    assert(math.abs(got.values.map(_._3).sum - 1000000L * conv) <= touches)
+    assert(math.abs(got.values.map(_._4).sum - 1000000L * conv) <= touches)
+    // non-converter u4 earned nothing: a's credit is from u1/u3 only
+    // (already asserted by the exact values above)
+  }
+
   test("bhAdjust: the textbook adjusted p-values; ties break by id; per-group n") {
     import spark.implicits._
     // classic 4-test example: adjusted = [0.02, 0.02, 0.04, 0.04]

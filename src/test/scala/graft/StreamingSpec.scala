@@ -629,12 +629,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq("g"), col("dur"), col("ev")))
       assert(m(StreamingTimeSeries.mergedKaplanMeier(spark, dir, "g"))
         == want)
+      // Nelson–Aalen: a SECOND readout over the SAME stored deltas
+      val wantNa = m(Stats.nelsonAalen(all.toDF("g", "dur", "ev"),
+        Seq("g"), col("dur"), col("ev")))
+      assert(m(StreamingTimeSeries.mergedNelsonAalen(spark, dir, "g"))
+        == wantNa)
       // at-least-once replay collapses via the batch_id guard
       spark.read.parquet(s"$dir/survival_counts")
         .filter(col("batch_id") === 1L)
         .write.mode("append").parquet(s"$dir/survival_counts")
       assert(m(StreamingTimeSeries.mergedKaplanMeier(spark, dir, "g"))
         == want, "a replayed micro-batch double-counted into survival")
+      assert(m(StreamingTimeSeries.mergedNelsonAalen(spark, dir, "g"))
+        == wantNa, "a replayed micro-batch double-counted into hazard")
     } finally q.stop()
   }
 
@@ -666,11 +673,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq("g"), col("dur"), col("ev"), col("c1")))
       assert(m(StreamingTimeSeries.mergedLogRank(spark, dir, "g"))
         == want)
+      // Gehan–Breslow: a SECOND readout over the SAME stored deltas
+      val wantG = m(Stats.gehanLogRank(all.toDF("g", "dur", "ev", "c1"),
+        Seq("g"), col("dur"), col("ev"), col("c1")))
+      assert(m(StreamingTimeSeries.mergedGehanLogRank(spark, dir, "g"))
+        == wantG)
       spark.read.parquet(s"$dir/cohort_surv_counts")
         .filter(col("batch_id") === 1L)
         .write.mode("append").parquet(s"$dir/cohort_surv_counts")
       assert(m(StreamingTimeSeries.mergedLogRank(spark, dir, "g"))
         == want, "a replayed micro-batch double-counted into log-rank")
+      assert(m(StreamingTimeSeries.mergedGehanLogRank(spark, dir, "g"))
+        == wantG, "a replayed micro-batch double-counted into Gehan")
     } finally q.stop()
   }
 
