@@ -243,4 +243,74 @@ object Linkage {
       }: _*)
     pairs.sparkSession.createDataFrame(rows, schema)
   }
+
+  /** End-to-end UNSUPERVISED entity resolution — the composed pipeline
+    * every stage of this file and the dedup block already provides,
+    * shipped as one operator:
+    *
+    *   1. candidates: MinHash/LSH banding over `blockTextCol`
+    *      ([[Dedup.minhashCandidatesFromSigs]] — banded bucket join,
+    *      mega-buckets capped, cartesian-free);
+    *   2. pair features: each candidate pair picks up both records'
+    *      `attrs` (as `a_<name>` / `b_<name>`) and evaluates the
+    *      caller's `fields` agreement expressions over them;
+    *   3. weights: [[emTrainWeights]] fits Fellegi–Sunter m/u/λ on the
+    *      UNLABELED candidate pairs (Winkler 1988);
+    *   4. scores: [[score]] sums the learned log-likelihood-ratio
+    *      weights per pair in fixed field order;
+    *   5. entities: pairs with `link_score > threshold` feed
+    *      [[Dedup.connectedComponents]] (min-id labels); records never
+    *      linked keep themselves as their entity.
+    *
+    * Scale shape: candidate generation is the only stage that touches
+    * text (shingled once); EM is `emIters` one-aggregation passes over
+    * candidate pairs (NOT all pairs — blocking bounds the quadratic);
+    * scoring is a broadcast of the |fields|-row weight table; CC runs
+    * on the matched-pair graph only. No stage is new — this operator
+    * is the composition contract, and its spec measures precision/
+    * recall against planted duplicates.
+    *
+    * `fields` agreement expressions must reference the pair frame's
+    * `a_<name>` / `b_<name>` columns (null ⇒ "comparison not possible"
+    * — the EM/score missing-field contract).
+    *
+    * Output: one row per input record — (id, entity_id), entity_id =
+    * the min record id of its linked component (own id if unlinked). */
+  def resolveEntities(records: DataFrame, idCol: Column,
+      blockTextCol: Column, attrs: Seq[(String, Column)],
+      fields: Seq[(String, Column)], threshold: Double = 0.0,
+      emIters: Int = 3, shingleK: Int = 3, numHashes: Int = 24,
+      bands: Int = 8, maxBucket: Int = 200,
+      family: Dedup.MinhashFamily = Dedup.XxMinhash): DataFrame = {
+    require(attrs.nonEmpty && attrs.size <= 16,
+      s"resolveEntities needs 1 <= attrs <= 16, got ${attrs.size}")
+    require(attrs.map(_._1).distinct.size == attrs.size,
+      "attr names must be distinct")
+    val base = records.select(
+      idCol.as("__id") +: blockTextCol.as("__text") +:
+        attrs.map { case (n, c) => c.as(n) }: _*)
+    val cands = Dedup.minhashCandidates(base, col("__id"), col("__text"),
+      shingleK, numHashes, bands, maxBucket, family)
+    val aSide = base.select(
+      col("__id").as("__ia") +:
+        attrs.map { case (n, _) => col(n).as(s"a_$n") }: _*)
+    val bSide = base.select(
+      col("__id").as("__ib") +:
+        attrs.map { case (n, _) => col(n).as(s"b_$n") }: _*)
+    val pairs = cands
+      .join(aSide, col("id_a") === col("__ia"))
+      .join(bSide, col("id_b") === col("__ib"))
+      .select(col("id_a") +: col("id_b") +:
+        fields.map { case (n, expr) => expr.as(s"__f_$n") }: _*)
+    val fieldRefs = fields.map { case (n, _) => n -> col(s"__f_$n") }
+    val weights = emTrainWeights(pairs, fieldRefs, iters = emIters)
+    val scored = score(pairs, Seq(col("id_a"), col("id_b")), weights,
+      fieldRefs)
+    val matched = scored.filter(col("link_score") > threshold)
+      .select(col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponents(matched)
+    base.select(col("__id").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("entity_id"))
+  }
 }

@@ -652,6 +652,120 @@ object TextLLM {
        |ORDER BY field""".stripMargin
   }
 
+  /** Composed UNSUPERVISED entity resolution end-to-end ([[graft
+    * .operators.Linkage.resolveEntities]]): the planted-twin corpus
+    * (doc ∪ doc+1000000 with ' appended') resolved by minhash-LSH
+    * candidates (portable md5 family) → 3-step EM on the unlabeled
+    * candidate pairs → Fellegi–Sunter scoring → threshold 0 →
+    * connected components. Output is pure integers (id, entity_id =
+    * min linked id), so the hash is exact; ln enters only the
+    * threshold comparison, where a 1-ulp engine divergence would need
+    * a pair scored within ~1e-15 of 0 to matter. */
+  def tEntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val recs = base.unionByName(base.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" appended")).as("text"),
+      col("lang"), col("source"),
+      (col("n_chars") + 9L).as("n_chars")))
+    graft.operators.Linkage.resolveEntities(recs, col("doc_id"),
+        col("text"),
+        attrs = Seq("lang" -> col("lang"), "len" -> col("n_chars"),
+          "prefix" -> substring(col("text"), 1, 24),
+          "source" -> col("source")),
+        fields = Seq(
+          "lang" -> (col("a_lang") === col("b_lang")),
+          "len" -> (abs(col("a_len") - col("b_len")) <= 20L),
+          "prefix" -> (col("a_prefix") === col("b_prefix")),
+          "source" -> (col("a_source") === col("b_source"))),
+        threshold = 0.0,
+        family = graft.operators.Dedup.Md5Minhash)
+      .orderBy("id")
+  }
+
+  /** SQL mirror of the COMPOSED resolution pipeline: the d_minhash
+    * candidate CTEs over the twin corpus, pair agreements, the
+    * 3-iteration EM replay (the linkageEmOracle recursion renamed to
+    * wK/eeK/qqK/aaK — p, p2 and m are taken by the minhash CTEs), the
+    * fixed-field-order score sum, and the min-label component walk.
+    * Output is integer-only; see [[tEntityResolution]] for the one
+    * ln-ulp caveat. */
+  private val entityResolutionOracle: String = {
+    val fs = Seq("lang", "len", "prefix", "source") // alphabetical =
+    // the sort_array fold order score() pins
+    val one = "CAST(1 AS DOUBLE)"
+    val q = "CAST(1000000 AS DOUBLE)"
+    val sQ = 1000000L // smoothing=1 × quantScale
+    def prod(p: String) = fs.map(n =>
+      s"(CASE WHEN f_$n IS NULL THEN $one WHEN f_$n THEN ${p}_$n " +
+        s"ELSE $one - ${p}_$n END)").mkString(" * ")
+    val w0 = s"w0 AS (SELECT " +
+      (fs.map(n => s"CAST(0.9 AS DOUBLE) AS m_$n") ++
+        fs.map(n => s"CAST(0.1 AS DOUBLE) AS u_$n") ++
+        Seq("CAST(0.5 AS DOUBLE) AS lam")).mkString(", ") + ")"
+    def iter(k: Int): String = {
+      val fcols = fs.map(n => s"f_$n").mkString(", ")
+      s"""ee$k AS (SELECT $fcols,
+         |    (lam * ${prod("m")})
+         |    / (lam * ${prod("m")} + ($one - lam) * ${prod("u")}) AS g
+         |  FROM pairs CROSS JOIN w${k - 1}),
+         |qq$k AS (SELECT $fcols,
+         |    CAST(floor(g * $q) AS BIGINT) AS qg,
+         |    CAST(floor(($one - g) * $q) AS BIGINT) AS qu FROM ee$k),
+         |aa$k AS (SELECT ${fs.map(n =>
+             s"SUM(CASE WHEN f_$n THEN qg ELSE 0 END) AS gm_$n, " +
+             s"SUM(CASE WHEN f_$n IS NOT NULL THEN qg ELSE 0 END) AS gt_$n, " +
+             s"SUM(CASE WHEN f_$n THEN qu ELSE 0 END) AS um_$n, " +
+             s"SUM(CASE WHEN f_$n IS NOT NULL THEN qu ELSE 0 END) AS ut_$n")
+           .mkString(", ")},
+         |    SUM(qg) AS g_all, COUNT(*) AS n FROM qq$k),
+         |w$k AS (SELECT ${fs.map(n =>
+             s"CAST(gm_$n + $sQ AS DOUBLE) / CAST(gt_$n + ${2 * sQ} AS DOUBLE) AS m_$n, " +
+             s"CAST(um_$n + $sQ AS DOUBLE) / CAST(ut_$n + ${2 * sQ} AS DOUBLE) AS u_$n")
+           .mkString(", ")},
+         |    CAST(g_all + $sQ AS DOUBLE)
+         |    / CAST(n * 1000000 + ${2 * sQ} AS DOUBLE) AS lam FROM aa$k)""".stripMargin
+    }
+    val contrib = fs.map(n =>
+      s"CASE WHEN f_$n IS NULL THEN CAST(0 AS DOUBLE) " +
+        s"WHEN f_$n THEN ln(m_$n / u_$n) " +
+        s"ELSE ln(($one - m_$n) / ($one - u_$n)) END")
+      .mkString("CAST(0 AS DOUBLE)\n    + ", "\n    + ", "")
+    s"""WITH RECURSIVE base AS (SELECT doc_id, text, lang, source, n_chars
+       |  FROM documents WHERE doc_id < 300),
+       |d AS (SELECT doc_id, text, lang, source, n_chars FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' appended', lang, source,
+       |    n_chars + 9 FROM base),
+       |${minhashSqlCtes("d")},
+       |pairs AS (SELECT cand.id_a, cand.id_b,
+       |    da.lang = db.lang AS f_lang,
+       |    abs(da.n_chars - db.n_chars) <= 20 AS f_len,
+       |    substr(da.text, 1, 24) = substr(db.text, 1, 24) AS f_prefix,
+       |    da.source = db.source AS f_source
+       |  FROM cand JOIN d da ON da.doc_id = cand.id_a
+       |    JOIN d db ON db.doc_id = cand.id_b),
+       |$w0,
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |sc AS (SELECT id_a, id_b,
+       |    $contrib AS link_score
+       |  FROM pairs CROSS JOIN w3),
+       |m2 AS (SELECT id_a, id_b FROM sc
+       |  WHERE link_score > CAST(0 AS DOUBLE)),
+       |eg AS (SELECT id_a AS a, id_b AS b FROM m2
+       |  UNION SELECT id_b, id_a FROM m2),
+       |walk(node, r) AS (
+       |  SELECT doc_id, doc_id FROM d
+       |  UNION
+       |  SELECT eg.b, walk.r FROM walk JOIN eg ON eg.a = walk.node)
+       |SELECT node AS id, MIN(r) AS entity_id FROM walk
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def sAnnIvfTop3(s: SparkSession, dir: String): DataFrame = {
     val base = emb(s, dir)
     // deterministic centroids: the k lowest-vec_id embeddings verbatim
@@ -1611,6 +1725,7 @@ object TextLLM {
     "t_linkage_weights" -> (tLinkageWeights _),
     "t_linkage_score" -> (tLinkageScore _),
     "t_linkage_em" -> (tLinkageEm _),
+    "t_entity_resolution" -> (tEntityResolution _),
     "s_ann_pq_top3" -> (sAnnPqTop3 _),
     "s_ann_ivfpq_top3" -> (sAnnIvfPqTop3 _),
     "s_ivfpq_index_roundtrip" -> (sIvfPqIndexRoundtrip _),
@@ -3411,6 +3526,7 @@ object TextLLM {
     // EM mirror: generated chained-CTE replay of 3 fixed E/M steps —
     // see linkageEmOracle's doc for the float-op contract.
     "t_linkage_em" -> linkageEmOracle,
+    "t_entity_resolution" -> entityResolutionOracle,
     // EXIF mirror: replays the planted tag VALUES as pure doc_id
     // arithmetic — the APP1/TIFF bytes in between are the real codec
     // under test (encode → byte-walk parse must be lossless). Corrupt

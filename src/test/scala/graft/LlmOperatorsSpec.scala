@@ -1197,6 +1197,60 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(emW("name") > emW("city") && emW("year") > emW("city"))
   }
 
+  test("resolveEntities: composed candidates→EM→score→CC recovers planted twins; precision/recall vs truth") {
+    import spark.implicits._
+    // 80 base records with fully disjoint 12-word texts (960-word
+    // vocab, no slice overlap); ids 0..39 get a twin at id+1000
+    // (text + ' appended', same lang/source, len+9). ids 60..79 share
+    // a TEMPLATE text (so they bucket-collide) but carry per-record
+    // distinct lang/source and spread lengths — the disagreeing
+    // candidate class the unsupervised EM needs to see to separate
+    // the mixture.
+    val vocab = (0 until 960).map(i => s"w${i}q${(i * 2654435761L) % 97}")
+    def text(i: Int): String =
+      if (i < 60) (0 until 12).map(k => vocab(i * 12 + k)).mkString(" ")
+      else s"shared template words for the colliding family block v$i"
+    def lang(i: Int) = if (i < 60) s"l${i % 3}" else s"L$i"
+    def src(i: Int) = if (i < 60) s"s${i % 2}" else s"S$i"
+    def len(i: Int): Long = if (i < 60) 100L + i else 1000L + 50L * i
+    val base = (0 until 80).map(i =>
+      (i.toLong, text(i), lang(i), src(i), len(i)))
+    val twins = (0 until 40).map(i =>
+      (i + 1000L, text(i) + " appended", lang(i), src(i), len(i) + 9L))
+    val df = (base ++ twins).toDF("id", "text", "lang", "src", "len")
+    val out = Linkage.resolveEntities(df, col("id"), col("text"),
+        attrs = Seq("lang" -> col("lang"), "len" -> col("len"),
+          "prefix" -> substring(col("text"), 1, 24),
+          "source" -> col("src")),
+        fields = Seq(
+          "lang" -> (col("a_lang") === col("b_lang")),
+          "len" -> (abs(col("a_len") - col("b_len")) <= 20L),
+          "prefix" -> (col("a_prefix") === col("b_prefix")),
+          "source" -> (col("a_source") === col("b_source"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every record got exactly one assignment
+    assert(out.size == 120)
+    // pairwise precision/recall vs the planted truth
+    val truth = (0 until 40).map(i => (i.toLong, i + 1000L)).toSet
+    val predicted = out.groupBy(_._2).values.flatMap { members =>
+      val ids = members.map(_._1).toSeq.sorted
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    val tp = (predicted & truth).size
+    assert(predicted.nonEmpty)
+    val precision = tp.toDouble / predicted.size
+    val recall = tp.toDouble / truth.size
+    assert(precision == 1.0,
+      s"false merges: ${(predicted -- truth).take(5)}")
+    assert(recall >= 0.95, s"recall $recall — twins missed")
+    // twins resolve to the min id; untouched records keep themselves
+    assert(out(5L) == 5L && out(1005L) == 5L)
+    for (i <- 40 until 60) assert(out(i.toLong) == i.toLong)
+    // the colliding template family did NOT merge (all its field
+    // evidence disagrees, so EM scores those candidates negative)
+    for (i <- 60 until 80) assert(out(i.toLong) == i.toLong)
+  }
+
   test("linkage score: a field missing from the weights table fails fast") {
     import spark.implicits._
     val pairs = Seq((1L, 2L, true, true))
