@@ -334,15 +334,30 @@ object Attribution {
   def positionAttribution(df: DataFrame, userCol: Column,
       channelCol: Column, tsCol: Column, tieCol: Column,
       convertedCol: Column, channels: Seq[String],
+      halfLifeDays: Double = 7.0, maxTouches: Int = 1024): DataFrame =
+    positionFromCredits(
+      positionCreditCounts(df, userCol, channelCol, tsCol, tieCol,
+        convertedCol, channels, halfLifeDays, maxTouches),
+      channels)
+
+  /** The PARTIAL behind [[positionAttribution]]: per-channel exact
+    * BIGINT credit sums (first/last counts, quantized U-shaped and
+    * decay numerators) over CLOSED users' paths — four associative
+    * sums (≤ k rows of state), so batch-sliced partials re-summed per
+    * channel are exactly the one-shot table. Same closed-user contract
+    * as [[maskConversionCounts]]: an open user's path (and hence every
+    * positional credit on it) would mutate with each new touch. */
+  def positionCreditCounts(df: DataFrame, userCol: Column,
+      channelCol: Column, tsCol: Column, tieCol: Column,
+      convertedCol: Column, channels: Seq[String],
       halfLifeDays: Double = 7.0, maxTouches: Int = 1024): DataFrame = {
     val k = channels.size
     require(k >= 1 && k <= 16,
-      s"positionAttribution needs 1 <= channels <= 16, got $k")
+      s"positionCreditCounts needs 1 <= channels <= 16, got $k")
     require(channels.distinct.size == k, "channels must be distinct")
     require(halfLifeDays > 0.0, s"halfLifeDays > 0, got $halfLifeDays")
     require(maxTouches >= 1 && maxTouches <= 4096,
       s"maxTouches in 1..4096, got $maxTouches") // 2^12·2^40 < 2^53
-    val spark = df.sparkSession
     val q = 1000000L
 
     val isTouch = channelCol.isin(channels: _*)
@@ -387,14 +402,35 @@ object Attribution {
         when(i === kP, 1L).otherwise(0L).as("lt"),
         uq.as("uq"), tdq.as("tdq"))
     })
-    val credited = perUser
+    perUser
       .withColumn("__r", explode(rows))
       .groupBy(col("__r.ch").as("channel"))
       .agg(sum(col("__r.ft")).as("first_touch"),
         sum(col("__r.lt")).as("last_touch"),
         sum(col("__r.uq")).as("u_num"),
         sum(col("__r.tdq")).as("td_num"))
-    // zero-fill the declared universe: the null-player readout
+  }
+
+  /** Merge [[positionCreditCounts]] tables: BIGINT re-sum per channel. */
+  def mergePositionCredits(partials: Seq[DataFrame]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy(col("channel"))
+      .agg(sum(col("first_touch")).as("first_touch"),
+        sum(col("last_touch")).as("last_touch"),
+        sum(col("u_num")).as("u_num"),
+        sum(col("td_num")).as("td_num"))
+
+  /** Finalize a (possibly merged) [[positionCreditCounts]] table into
+    * the [[positionAttribution]] schema — the streaming-readout face:
+    * zero-fill the declared universe (the null-player readout) and
+    * derive the /10⁶ doubles. */
+  def positionFromCredits(credited: DataFrame,
+      channels: Seq[String]): DataFrame = {
+    val k = channels.size
+    require(k >= 1 && k <= 16,
+      s"positionFromCredits needs 1 <= channels <= 16, got $k")
+    require(channels.distinct.size == k, "channels must be distinct")
+    val spark = credited.sparkSession
     val names = typedLit(channels)
     val universe = spark.range(k)
       .select(element_at(names, col("id").cast("int") + 1).as("channel"))

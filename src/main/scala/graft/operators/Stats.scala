@@ -1991,6 +1991,80 @@ object Stats {
         col("__e").getField("var_hazard").as("var_hazard")): _*)
   }
 
+  /** Kaplan–Meier with the Greenwood variance and a linear 95% CI —
+    * the error-bar readout of the survival curve (Greenwood 1926):
+    *
+    *   Var(S(t)) = S(t)² · Σ_{tᵢ ≤ t} dᵢ / (nᵢ·(nᵢ − dᵢ))
+    *
+    * One more running SUM in the same ascending-time fold the KM
+    * product runs in, on the same [[survivalCounts]] seam. The CI is
+    * the plain linear S ± 1.96·√Var clipped to [0, 1] — all ops are
+    * +,·,/,√ (no log-log transform, no libm), so every column hashes
+    * unrounded. At a time where dᵢ = nᵢ (everyone remaining fails) the
+    * Greenwood term is skipped: S is 0 from that time on and the
+    * variance is pinned 0 rather than ∞.
+    *
+    * Output: groups... + (t, n_risk, n_events, n_censored, survival,
+    * var_s, ci_lo, ci_hi). */
+  def kaplanMeierGreenwood(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column,
+      maxTimes: Int = 1000): DataFrame =
+    kaplanMeierGreenwoodFromCounts(
+      survivalCounts(df, groupCols, durationCol, eventCol),
+      groupCols, maxTimes)
+
+  /** Finalize a (possibly merged) [[survivalCounts]] table into the
+    * [[kaplanMeierGreenwood]] schema — the third readout sharing the
+    * KM/NA stored partial. */
+  def kaplanMeierGreenwoodFromCounts(counts: DataFrame,
+      groupCols: Seq[String], maxTimes: Int = 1000): DataFrame = {
+    require(maxTimes >= 1 && maxTimes <= 10000,
+      s"kaplanMeierGreenwood needs 1 <= maxTimes <= 10000, got $maxTimes")
+    val g = groupCols.map(col)
+    val grouped = counts.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("t"), col("d"), col("c"))))
+        .as("__s"),
+        sum(col("d") + col("c")).as("__n"))
+      .filter(assert_true(size(col("__s")) <= maxTimes,
+        lit(s"kaplanMeierGreenwood: a group exceeds maxTimes=$maxTimes " +
+          "distinct times — bin durations coarser first")).isNull)
+    val s = col("__s")
+    val rows = transform(sequence(lit(1), size(s)), i => {
+      val fin = aggregate(slice(s, lit(1), i),
+        struct(lit(0L).as("u"), lit(1.0).as("p"), lit(0.0).as("gw")),
+        (acc, x) => {
+          val n = col("__n") - acc.getField("u")
+          val nD = n.cast("double")
+          val d = x.getField("d")
+          val dD = d.cast("double")
+          struct(
+            (acc.getField("u") + d + x.getField("c")).as("u"),
+            (acc.getField("p") * (lit(1.0) - dD / nD)).as("p"),
+            (acc.getField("gw") + when(d < n,
+              dD / (nD * (n - d).cast("double"))).otherwise(lit(0.0)))
+              .as("gw"))
+        })
+      val prior = aggregate(slice(s, lit(1), i - 1), lit(0L),
+        (a, x) => a + x.getField("d") + x.getField("c"))
+      val surv = fin.getField("p")
+      val varS = surv * surv * fin.getField("gw")
+      val half = lit(1.96) * sqrt(varS)
+      struct(element_at(s, i).getField("t").as("t"),
+        (col("__n") - prior).as("n_risk"),
+        element_at(s, i).getField("d").as("n_events"),
+        element_at(s, i).getField("c").as("n_censored"),
+        surv.as("survival"),
+        varS.as("var_s"),
+        greatest(lit(0.0), surv - half).as("ci_lo"),
+        least(lit(1.0), surv + half).as("ci_hi"))
+    })
+    grouped
+      .withColumn("__e", explode(rows))
+      .select(g ++ Seq("t", "n_risk", "n_events", "n_censored",
+        "survival", "var_s", "ci_lo", "ci_hi")
+        .map(f => col("__e").getField(f).as(f)): _*)
+  }
+
   /** Gehan–Breslow (generalized Wilcoxon) weighted log-rank per group
     * (Gehan, Biometrika 1965; Breslow 1970) — the early-difference-
     * sensitive companion of [[logRank]]: each time's O−E contribution
@@ -2043,6 +2117,82 @@ object Stats {
         val nD = n.cast("double")
         val dD = d.cast("double")
         val wD = nD // the Gehan weight: at-risk total at this time
+        val contribOe = wD * (x.getField("d1").cast("double") -
+          dD * n1.cast("double") / nD)
+        val contribV = wD * wD * (dD * (n1.cast("double") / nD) *
+          (n2.cast("double") / nD) *
+          ((n - d).cast("double") / (n - 1L).cast("double")))
+        val informative = n > 1L && d > 0L
+        struct(
+          (acc.getField("u1") + x.getField("d1") + x.getField("x1"))
+            .as("u1"),
+          (acc.getField("u2") + x.getField("d2") + x.getField("x2"))
+            .as("u2"),
+          (acc.getField("oe") +
+            when(informative, contribOe).otherwise(lit(0.0))).as("oe"),
+          (acc.getField("v") +
+            when(informative, contribV).otherwise(lit(0.0))).as("v"))
+      })
+    grouped
+      .withColumn("__f", fin)
+      .select(g ++ Seq(col("__n1").as("n1"), col("__n2").as("n2"),
+        col("o1"),
+        col("__f").getField("oe").as("oe"),
+        col("__f").getField("v").as("v"),
+        when(col("__f").getField("v") > 0.0,
+          col("__f").getField("oe") * col("__f").getField("oe") /
+            col("__f").getField("v")).as("chi2"),
+        when(col("__f").getField("v") > 0.0,
+          col("__f").getField("oe") /
+            sqrt(col("__f").getField("v"))).as("z")): _*)
+  }
+
+  /** Tarone–Ware weighted log-rank per group (Tarone & Ware,
+    * Biometrika 1977) — the middle member of the weight family: wᵢ =
+    * √nᵢ sits between plain log-rank (w = 1, late-sensitive) and
+    * Gehan (w = n, early-sensitive); the usual robustness compromise
+    * when the hazard-ordering is unknown. Same
+    * [[cohortSurvivalCounts]] seam and fold; IEEE √ is correctly
+    * rounded, so the float contract stays engine-portable (the V
+    * weight is written wD·wD — the product of the rounded √, not n).
+    *
+    * Output per group: (n1, n2, o1, oe, v, chi2, z) — the
+    * [[gehanLogRank]] schema. */
+  def taroneWareLogRank(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column, cohort1: Column,
+      maxTimes: Int = 1000): DataFrame =
+    taroneWareLogRankFromCounts(
+      cohortSurvivalCounts(df, groupCols, durationCol, eventCol, cohort1),
+      groupCols, maxTimes)
+
+  /** Finalize a (possibly merged) [[cohortSurvivalCounts]] table into
+    * the [[taroneWareLogRank]] schema — the third readout sharing the
+    * log-rank/Gehan stored partial. */
+  def taroneWareLogRankFromCounts(counts: DataFrame,
+      groupCols: Seq[String], maxTimes: Int = 1000): DataFrame = {
+    require(maxTimes >= 1 && maxTimes <= 10000,
+      s"taroneWareLogRank needs 1 <= maxTimes <= 10000, got $maxTimes")
+    val g = groupCols.map(col)
+    val grouped = counts.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("t"), col("d1"), col("x1"),
+        col("d2"), col("x2")))).as("__s"),
+        sum(col("d1") + col("x1")).as("__n1"),
+        sum(col("d2") + col("x2")).as("__n2"),
+        sum(col("d1")).as("o1"))
+      .filter(assert_true(size(col("__s")) <= maxTimes,
+        lit(s"taroneWareLogRank: a group exceeds maxTimes=$maxTimes " +
+          "distinct times — bin durations coarser first")).isNull)
+    val fin = aggregate(col("__s"),
+      struct(lit(0L).as("u1"), lit(0L).as("u2"),
+        lit(0.0).as("oe"), lit(0.0).as("v")),
+      (acc, x) => {
+        val n1 = col("__n1") - acc.getField("u1")
+        val n2 = col("__n2") - acc.getField("u2")
+        val n = n1 + n2
+        val d = x.getField("d1") + x.getField("d2")
+        val nD = n.cast("double")
+        val dD = d.cast("double")
+        val wD = sqrt(nD) // the Tarone–Ware weight
         val contribOe = wD * (x.getField("d1").cast("double") -
           dD * n1.cast("double") / nD)
         val contribV = wD * wD * (dD * (n1.cast("double") / nD) *
@@ -2319,6 +2469,21 @@ object Stats {
     * either arm has n < 2 or se is not positive. */
   def ratioUplift(df: DataFrame, groupCols: Seq[String],
       treated: Column, unitCol: Column, num: Column, den: Column,
+      quantScale: Double = 1e6): DataFrame =
+    ratioFromMoments(
+      ratioMoments(df, groupCols, treated, unitCol, num, den, quantScale),
+      groupCols)
+
+  /** The PARTIAL behind [[ratioUplift]]: per-(group, arm) exact BIGINT
+    * unit count + per-unit moment sums (Σy, Σd, Σy², Σd², Σyd, plus
+    * the max-|quantized-value| wrap-guard witness) over CLOSED units —
+    * six associative sums and one max, so batch-sliced partials
+    * re-merged per (group, arm) are exactly the one-shot table. The
+    * streaming contract matches [[survivalCounts]]: a unit's (num,
+    * den) totals are immutable FACTS only once the unit is closed —
+    * an open unit's sums would mutate with every new event. */
+  def ratioMoments(df: DataFrame, groupCols: Seq[String],
+      treated: Column, unitCol: Column, num: Column, den: Column,
       quantScale: Double = 1e6): DataFrame = {
     require(quantScale >= 1e0 && quantScale <= 1e9,
       s"quantScale in [1e0, 1e9], got $quantScale")
@@ -2331,24 +2496,45 @@ object Stats {
       .otherwise(0L)
     val g = groupCols.map(col)
     val perUnit = df.filter(t.isNotNull && unitCol.isNotNull)
-      .groupBy(g :+ unitCol.as("__unit") :+ t.as("__t"): _*)
+      .groupBy(g :+ unitCol.as("__unit") :+ t.as("arm"): _*)
       .agg(sum(qn).as("yn"), sum(qd).as("yd"))
-    val tc = col("__t")
     val yn = col("yn"); val yd = col("yd")
-    val agg = perUnit.groupBy(g: _*)
-      .agg(sum(when(tc, 1L).otherwise(0L)).as("n_t"),
-        sum(when(!tc, 1L).otherwise(0L)).as("n_c"),
-        sum(when(tc, yn).otherwise(0L)).as("snt"),
-        sum(when(tc, yd).otherwise(0L)).as("sdt"),
-        sum(when(tc, yn * yn).otherwise(0L)).as("snnt"),
-        sum(when(tc, yd * yd).otherwise(0L)).as("sddt"),
-        sum(when(tc, yn * yd).otherwise(0L)).as("sndt"),
-        sum(when(!tc, yn).otherwise(0L)).as("snc"),
-        sum(when(!tc, yd).otherwise(0L)).as("sdc"),
-        sum(when(!tc, yn * yn).otherwise(0L)).as("snnc"),
-        sum(when(!tc, yd * yd).otherwise(0L)).as("sddc"),
-        sum(when(!tc, yn * yd).otherwise(0L)).as("sndc"),
-        max(greatest(abs(yn), abs(yd))).as("__m"))
+    perUnit.groupBy(g :+ col("arm"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(yn).as("sn"), sum(yd).as("sd"),
+        sum(yn * yn).as("snn"), sum(yd * yd).as("sdd"),
+        sum(yn * yd).as("snd"),
+        max(greatest(abs(yn), abs(yd))).as("m"))
+  }
+
+  /** Merge [[ratioMoments]] tables: BIGINT re-sum (and max of the
+    * wrap-guard witness) per (group, arm). */
+  def mergeRatioMoments(partials: Seq[DataFrame],
+      groupNames: Seq[String]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy((groupNames :+ "arm").map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sn")).as("sn"),
+        sum(col("sd")).as("sd"), sum(col("snn")).as("snn"),
+        sum(col("sdd")).as("sdd"), sum(col("snd")).as("snd"),
+        max(col("m")).as("m"))
+
+  /** Finalize a (possibly merged) [[ratioMoments]] table into the
+    * [[ratioUplift]] schema — the streaming-readout face. */
+  def ratioFromMoments(moments: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val tc = col("arm")
+    def armSum(c: Column) = sum(when(tc, c).otherwise(0L))
+    def ctlSum(c: Column) = sum(when(!tc, c).otherwise(0L))
+    val agg = moments.groupBy(g: _*)
+      .agg(armSum(col("n")).as("n_t"), ctlSum(col("n")).as("n_c"),
+        armSum(col("sn")).as("snt"), armSum(col("sd")).as("sdt"),
+        armSum(col("snn")).as("snnt"), armSum(col("sdd")).as("sddt"),
+        armSum(col("snd")).as("sndt"),
+        ctlSum(col("sn")).as("snc"), ctlSum(col("sd")).as("sdc"),
+        ctlSum(col("snn")).as("snnc"), ctlSum(col("sdd")).as("sddc"),
+        ctlSum(col("snd")).as("sndc"),
+        max(col("m")).as("__m"))
       // wrap guard: each second-moment sum is bounded by n·m², so
       // n·m² < 4·10¹⁸ keeps every BIGINT clear of 2⁶³
       .filter(assert_true(

@@ -671,6 +671,48 @@ object Extras {
       .orderBy("cohort", "t")
   }
 
+  /** Kaplan–Meier with Greenwood variance + linear 95% CI ([[graft
+    * .operators.Stats.kaplanMeierGreenwood]]): the error-bar readout
+    * on the c_kaplan_meier fixture — the Greenwood sum rides the same
+    * ascending-time fold, and the CI is +,·,/,√-only (no log-log, no
+    * libm), so every column hashes unrounded. */
+  def cKmGreenwood(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    val users = e.groupBy(col("user_id"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("cohort", concat(lit("c"), pmod(col("user_id"), lit(3))))
+      .withColumn("churned", col("__last") < date_sub(col("__gmax"), 7))
+    graft.operators.Stats.kaplanMeierGreenwood(obs, Seq("cohort"),
+        col("duration"), col("churned"))
+      .orderBy("cohort", "t")
+  }
+
+  /** Tarone–Ware weighted log-rank ([[graft.operators.Stats
+    * .taroneWareLogRank]]): the √n-weighted middle of the weight
+    * family on the c_log_rank fixture — IEEE √ is correctly rounded,
+    * so oe/v/chi2/z hash unrounded like the other two tests. */
+  def cTaroneWare(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    val users = e.groupBy(col("user_id"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("g", lit("all"))
+      .withColumn("churned", col("__last") < date_sub(col("__gmax"), 7))
+    graft.operators.Stats.taroneWareLogRank(obs, Seq("g"),
+        col("duration"), col("churned"),
+        pmod(col("user_id"), lit(2)) === 0)
+      .orderBy("g")
+  }
+
   /** Gehan–Breslow weighted log-rank ([[graft.operators.Stats
     * .gehanLogRank]]): the early-difference-weighted companion of
     * c_log_rank on the same even/odd-user cohort fixture — each O−E
@@ -1125,6 +1167,8 @@ object Extras {
     "c_log_rank" -> (cLogRank _),
     "c_nelson_aalen" -> (cNelsonAalen _),
     "c_gehan_logrank" -> (cGehanLogRank _),
+    "c_km_greenwood" -> (cKmGreenwood _),
+    "c_tarone_ware" -> (cTaroneWare _),
     "a_ratio_uplift" -> (aRatioUplift _),
     "c_position_attribution" -> (cPositionAttribution _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
@@ -1828,6 +1872,118 @@ object Extras {
         |SELECT cohort, t, n_risk, d AS n_events, c AS n_censored,
         |  p AS survival
         |FROM km WHERE i > 0 ORDER BY cohort, t""".stripMargin,
+    // Greenwood mirror: the KM recursion carrying (p, gw); the d = n
+    // terminal time pins its term to 0 exactly as the operator does.
+    "c_km_greenwood" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    duration, last_d < g.gmax - 7 AS ev FROM u CROSS JOIN g),
+        |cnt AS (SELECT cohort, duration AS t,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1, 2),
+        |ord AS (SELECT cohort, t, d, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY t)
+        |      AS BIGINT) AS i,
+        |    CAST(SUM(d + c) OVER (PARTITION BY cohort) AS BIGINT)
+        |      AS n_total
+        |  FROM cnt),
+        |km AS (
+        |  SELECT cohort, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS used,
+        |    CAST(1 AS DOUBLE) AS p, CAST(0 AS DOUBLE) AS gw,
+        |    CAST(NULL AS DOUBLE) AS t, CAST(NULL AS BIGINT) AS d,
+        |    CAST(NULL AS BIGINT) AS c, CAST(NULL AS BIGINT) AS n_risk
+        |  FROM (SELECT DISTINCT cohort FROM ord)
+        |  UNION ALL
+        |  SELECT o.cohort, o.i, km.used + o.d + o.c,
+        |    km.p * (CAST(1 AS DOUBLE) - CAST(o.d AS DOUBLE)
+        |      / CAST(o.n_total - km.used AS DOUBLE)),
+        |    km.gw + CASE WHEN o.d < o.n_total - km.used
+        |      THEN CAST(o.d AS DOUBLE)
+        |        / (CAST(o.n_total - km.used AS DOUBLE)
+        |          * CAST(o.n_total - km.used - o.d AS DOUBLE))
+        |      ELSE CAST(0 AS DOUBLE) END,
+        |    o.t, o.d, o.c, o.n_total - km.used
+        |  FROM km JOIN ord o ON o.cohort = km.cohort AND o.i = km.i + 1)
+        |SELECT cohort, t, n_risk, d AS n_events, c AS n_censored,
+        |  p AS survival, p * p * gw AS var_s,
+        |  greatest(CAST(0 AS DOUBLE),
+        |    p - CAST(1.96 AS DOUBLE) * sqrt(p * p * gw)) AS ci_lo,
+        |  least(CAST(1 AS DOUBLE),
+        |    p + CAST(1.96 AS DOUBLE) * sqrt(p * p * gw)) AS ci_hi
+        |FROM km WHERE i > 0 ORDER BY cohort, t""".stripMargin,
+    // Tarone–Ware mirror: the Gehan recursion with sqrt(n) / its
+    // square (written as the sqrt product) as the weights.
+    "c_tarone_ware" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |gm AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT user_id % 2 = 0 AS coh1, duration,
+        |    last_d < gm.gmax - 7 AS ev FROM u CROSS JOIN gm),
+        |cnt AS (SELECT duration AS t,
+        |    CAST(SUM(CASE WHEN coh1 AND ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN coh1 AND NOT ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN NOT coh1 AND ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d2,
+        |    CAST(SUM(CASE WHEN NOT coh1 AND NOT ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x2
+        |  FROM obs GROUP BY 1),
+        |ord AS (SELECT t, d1, x1, d2, x2,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS i FROM cnt),
+        |tot AS (SELECT CAST(SUM(d1 + x1) AS BIGINT) AS n1,
+        |    CAST(SUM(d2 + x2) AS BIGINT) AS n2,
+        |    CAST(SUM(d1) AS BIGINT) AS o1,
+        |    CAST(COUNT(*) AS BIGINT) AS m FROM ord),
+        |lr AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS u1,
+        |    CAST(0 AS BIGINT) AS u2, CAST(0 AS DOUBLE) AS oe,
+        |    CAST(0 AS DOUBLE) AS v
+        |  UNION ALL
+        |  SELECT o.i, lr.u1 + o.d1 + o.x1, lr.u2 + o.d2 + o.x2,
+        |    lr.oe + CASE WHEN (tot.n1 - lr.u1) + (tot.n2 - lr.u2) > 1
+        |        AND o.d1 + o.d2 > 0
+        |      THEN sqrt(CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2)
+        |          AS DOUBLE))
+        |        * (CAST(o.d1 AS DOUBLE)
+        |          - CAST(o.d1 + o.d2 AS DOUBLE)
+        |            * CAST(tot.n1 - lr.u1 AS DOUBLE)
+        |            / CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) AS DOUBLE))
+        |      ELSE CAST(0 AS DOUBLE) END,
+        |    lr.v + CASE WHEN (tot.n1 - lr.u1) + (tot.n2 - lr.u2) > 1
+        |        AND o.d1 + o.d2 > 0
+        |      THEN sqrt(CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2)
+        |          AS DOUBLE))
+        |        * sqrt(CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2)
+        |          AS DOUBLE))
+        |        * (CAST(o.d1 + o.d2 AS DOUBLE)
+        |          * (CAST(tot.n1 - lr.u1 AS DOUBLE)
+        |            / CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) AS DOUBLE))
+        |          * (CAST(tot.n2 - lr.u2 AS DOUBLE)
+        |            / CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) AS DOUBLE))
+        |          * (CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2)
+        |              - (o.d1 + o.d2) AS DOUBLE)
+        |            / CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) - 1
+        |              AS DOUBLE)))
+        |      ELSE CAST(0 AS DOUBLE) END
+        |  FROM lr JOIN ord o ON o.i = lr.i + 1 CROSS JOIN tot)
+        |SELECT 'all' AS g, tot.n1, tot.n2, tot.o1, lr.oe AS oe, lr.v AS v,
+        |  CASE WHEN lr.v > 0 THEN lr.oe * lr.oe / lr.v END AS chi2,
+        |  CASE WHEN lr.v > 0 THEN lr.oe / sqrt(lr.v) END AS z
+        |FROM lr CROSS JOIN tot WHERE lr.i = tot.m""".stripMargin,
     // NA mirror: the KM recursion with SUM folds h += d/n, v += d/n²
     // instead of the survival product — same grid, same stepping.
     "c_nelson_aalen" ->

@@ -744,6 +744,75 @@ object StreamingTimeSeries {
           .dropDuplicates("mask", "batch_id").drop("batch_id"))),
       channels)
 
+  /** Streaming position/time-decay attribution maintenance — the
+    * ingestion face of [[graft.operators.Attribution
+    * .positionAttribution]]: each micro-batch of CLOSED users' touch
+    * events reduces to per-channel exact BIGINT credit deltas (≤ k
+    * rows, batch_id replay guard); credits are associative, so the
+    * merged table finalizes to the four baselines bit-identical to
+    * batch. */
+  def startPositionCreditsQuery(events: DataFrame, userCol: String,
+      channelCol: String, tsCol: String, tieCol: String,
+      convertedCol: String, channels: Seq[String],
+      halfLifeDays: Double, targetDir: String,
+      checkpointDir: String) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Attribution
+          .positionCreditCounts(batch.toDF(), col(userCol),
+            col(channelCol), col(tsCol), col(tieCol), col(convertedCol),
+            channels, halfLifeDays)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$targetDir/position_credits")
+      }
+      .start()
+
+  /** Whole-stream position/time-decay attribution from the stored
+    * credit deltas — bit-identical to the batch operator. */
+  def mergedPositionAttribution(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, channels: Seq[String]): DataFrame =
+    graft.operators.Attribution.positionFromCredits(
+      graft.operators.Attribution.mergePositionCredits(
+        Seq(spark.read.parquet(s"$targetDir/position_credits")
+          .dropDuplicates("channel", "batch_id").drop("batch_id"))),
+      channels)
+
+  /** Streaming ratio-metric experiment maintenance — the ingestion
+    * face of [[graft.operators.Stats.ratioUplift]]: each micro-batch
+    * of CLOSED units' events reduces to per-(group, arm) exact BIGINT
+    * moment deltas (batch_id replay guard); the six sums and the max
+    * witness are associative, so the merged table finalizes to a
+    * delta-method readout bit-identical to batch. The experiment
+    * dashboard never rescans event history. */
+  def startRatioMomentsQuery(events: DataFrame, groupCol: String,
+      treatedCol: String, unitCol: String, numCol: String,
+      denCol: String, quantScale: Double, targetDir: String,
+      checkpointDir: String) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Stats
+          .ratioMoments(batch.toDF(), Seq(groupCol), col(treatedCol),
+            col(unitCol), col(numCol), col(denCol), quantScale)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$targetDir/ratio_moments")
+      }
+      .start()
+
+  /** Whole-stream delta-method ratio uplift from the stored moment
+    * deltas — bit-identical to the batch operator over closed units. */
+  def mergedRatioUplift(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.ratioFromMoments(
+      graft.operators.Stats.mergeRatioMoments(
+        Seq(spark.read.parquet(s"$targetDir/ratio_moments")
+          .dropDuplicates(groupCol, "arm", "batch_id").drop("batch_id")),
+        Seq(groupCol)),
+      Seq(groupCol))
+
   /** Streaming attribution maintenance (path face) — the ingestion
     * face of [[graft.operators.Attribution.markovRemoval]]: each
     * micro-batch of CLOSED users' touch events reduces to exact

@@ -1073,6 +1073,101 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((t, (_, _, _, eh, _)) <- na) assert(merged(t) == eh)
   }
 
+  test("kaplanMeierGreenwood: variance replay bitwise; CI clipped; terminal d=n pins the term") {
+    import spark.implicits._
+    val mice = Seq((1.0, true), (2.0, false), (3.0, true),
+      (4.0, false), (5.0, true), (6.0, true))
+      .map { case (t, e) => ("m", t, e) }
+    val df = mice.toDF("g", "dur", "ev")
+    val gw = Stats.kaplanMeierGreenwood(df, Seq("g"), col("dur"),
+        col("ev"))
+      .collect().map(r => r.getDouble(1) ->
+        ((r.getDouble(5), r.getDouble(6), r.getDouble(7),
+          r.getDouble(8)))).toMap
+    // replay with the same op order: p' = p·(1−d/n); gw' += d/(n(n−d))
+    // when d < n else +0; var = p²·gw; CI = p ± 1.96√var clipped
+    var p = 1.0; var acc = 0.0
+    val grid = Seq((1.0, 1L, 6L), (2.0, 0L, 5L), (3.0, 1L, 4L),
+      (4.0, 0L, 3L), (5.0, 1L, 2L), (6.0, 1L, 1L))
+    for ((t, d, n) <- grid) {
+      val nD = n.toDouble; val dD = d.toDouble
+      p = p * (1.0 - dD / nD)
+      if (d < n) acc += dD / (nD * (n - d).toDouble)
+      val varS = p * p * acc
+      val half = 1.96 * math.sqrt(varS)
+      assert(gw(t)._1 == p, s"survival at t=$t")
+      assert(gw(t)._2 == varS, s"var at t=$t")
+      assert(gw(t)._3 == math.max(0.0, p - half), s"ci_lo at t=$t")
+      assert(gw(t)._4 == math.min(1.0, p + half), s"ci_hi at t=$t")
+    }
+    // terminal time: everyone remaining fails ⇒ S = 0, var pinned 0
+    assert(gw(6.0)._1 == 0.0 && gw(6.0)._2 == 0.0)
+    assert(gw(6.0)._3 == 0.0 && gw(6.0)._4 == 0.0)
+    // survival column identical to plain kaplanMeier's (shared fold)
+    val km = Stats.kaplanMeier(df, Seq("g"), col("dur"), col("ev"))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(5)).toMap
+    for ((t, (s, _, _, _)) <- gw) assert(km(t) == s)
+    // merged partials finalize bit-identically (shared stored seam)
+    val merged = Stats.kaplanMeierGreenwoodFromCounts(
+      Stats.mergeSurvivalCounts(Seq(
+        Stats.survivalCounts(df.limit(3), Seq("g"), col("dur"), col("ev")),
+        Stats.survivalCounts(df.except(df.limit(3)), Seq("g"),
+          col("dur"), col("ev"))), Seq("g")), Seq("g"))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(6)).toMap
+    for ((t, (_, v, _, _)) <- gw) assert(merged(t) == v)
+  }
+
+  test("taroneWareLogRank: naive replay bitwise; sits between logRank and Gehan on early excess") {
+    import spark.implicits._
+    val rng = new scala.util.Random(73)
+    val subj = (0 until 120).map { i =>
+      val c1 = i % 2 == 0
+      val dur = if (c1) 1 + rng.nextInt(6) else 5 + rng.nextInt(8)
+      ("g", dur.toDouble, rng.nextInt(5) > 0, c1)
+    }
+    val df = subj.toDF("g", "dur", "ev", "c1")
+    val out = Stats.taroneWareLogRank(df, Seq("g"), col("dur"),
+      col("ev"), col("c1")).head()
+    // naive single-threaded replay with w = √n, V weight = w·w
+    val times = subj.map(_._2).distinct.sorted
+    var (u1, u2, oe, v) = (0L, 0L, 0.0, 0.0)
+    val n1T = subj.count(_._4).toLong; val n2T = subj.size - n1T
+    for (t <- times) {
+      val at = subj.filter(_._2 == t)
+      val d1 = at.count(s => s._4 && s._3).toLong
+      val x1 = at.count(s => s._4 && !s._3).toLong
+      val d2 = at.count(s => !s._4 && s._3).toLong
+      val x2 = at.count(s => !s._4 && !s._3).toLong
+      val n1 = n1T - u1; val n2 = n2T - u2; val n = n1 + n2
+      val d = d1 + d2
+      if (n > 1 && d > 0) {
+        val w = math.sqrt(n.toDouble)
+        oe += w * (d1.toDouble - d.toDouble * n1.toDouble / n.toDouble)
+        v += w * w * (d.toDouble * (n1.toDouble / n.toDouble) *
+          (n2.toDouble / n.toDouble) *
+          ((n - d).toDouble / (n - 1).toDouble))
+      }
+      u1 += d1 + x1; u2 += d2 + x2
+    }
+    assert(out.getAs[Double]("oe") == oe)
+    assert(out.getAs[Double]("v") == v)
+    assert(out.getAs[Double]("z") == oe / math.sqrt(v))
+    // early-concentrated excess: Gehan (n) > Tarone–Ware (√n) >
+    // log-rank (1) in z
+    val cross = ((0 until 30).map(i => ("g", 1.0, i % 2 == 0, i % 2 == 0)) ++
+      (0 until 30).map(i => ("g", 2.0, true, i % 2 == 0)) ++
+      (0 until 60).map(i => ("g", 10.0 + (i % 3), true, i % 2 == 1)))
+      .toDF("g", "dur", "ev", "c1")
+    val zG = Stats.gehanLogRank(cross, Seq("g"), col("dur"), col("ev"),
+      col("c1")).head().getAs[Double]("z")
+    val zTw = Stats.taroneWareLogRank(cross, Seq("g"), col("dur"),
+      col("ev"), col("c1")).head().getAs[Double]("z")
+    val zLr = Stats.logRank(cross, Seq("g"), col("dur"), col("ev"),
+      col("c1")).head().getAs[Double]("z")
+    assert(zG > zTw && zTw > zLr,
+      s"weight ordering violated: gehan $zG, tw $zTw, logrank $zLr")
+  }
+
   test("gehanLogRank: naive replay bitwise; equals logRank z at a single event time; early-weighting") {
     import spark.implicits._
     val rng = new scala.util.Random(71)

@@ -748,6 +748,88 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("streaming position credits: merged position attribution == one-shot batch, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("pos_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pos_ckpt").toString
+    val chans = Seq("a", "b", "c")
+    val rng = new scala.util.Random(107)
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${1 + d}%02d 10:00:00")
+    // closed users over three batches; day-spaced touches so the decay
+    // weights actually vary
+    val users = (0 until 200).map { u =>
+      val path = Seq.fill(1 + rng.nextInt(4))(chans(rng.nextInt(3)))
+      val conv = rng.nextInt(2) == 0
+      path.zipWithIndex.map { case (ch, i) =>
+        (s"u$u", ch, ts(i * (1 + u % 9)), (u * 10 + i).toLong) } ++
+        (if (conv) Seq((s"u$u", "buy", ts(27), (u * 10 + 9).toLong))
+         else Nil)
+    }
+    val all = users.flatten
+    val input = MemoryStream[(String, String, java.sql.Timestamp, Long)]
+    val cols = Seq("u", "ch", "t", "eid")
+    val q = StreamingTimeSeries.startPositionCreditsQuery(
+      input.toDF().toDF(cols: _*).withColumn("cv", col("ch") === "buy"),
+      "u", "ch", "t", "eid", "cv", chans, halfLifeDays = 7.0, base, ckpt)
+    try {
+      Seq(users.take(30), users.slice(30, 150), users.drop(150))
+        .foreach { b => input.addData(b.flatten: _*); q.processAllAvailable() }
+      import graft.operators.Attribution
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val df = all.toDF(cols: _*).withColumn("cv", col("ch") === "buy")
+      val want = rows(Attribution.positionAttribution(df, col("u"),
+        col("ch"), col("t"), col("eid"), col("cv"), chans,
+        halfLifeDays = 7.0))
+      assert(rows(StreamingTimeSeries.mergedPositionAttribution(spark,
+        base, chans)) == want)
+      spark.read.parquet(s"$base/position_credits")
+        .filter(col("batch_id") === 1L)
+        .write.mode("append").parquet(s"$base/position_credits")
+      assert(rows(StreamingTimeSeries.mergedPositionAttribution(spark,
+        base, chans)) == want, "replayed credit deltas double-counted")
+    } finally q.stop()
+  }
+
+  test("streaming ratio moments: merged delta-method uplift == one-shot batch, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ratio_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ratio_ckpt").toString
+    val rng = new scala.util.Random(109)
+    // closed units over three batches: each unit's full (num, den)
+    // event set stays within one batch
+    val units = (0 until 240).map { u =>
+      val n = 2 + rng.nextInt(5)
+      (0 until n).map(i =>
+        ("g" + (u % 2), u % 3 == 0, u.toLong,
+          rng.nextInt(3).toDouble, 1.0 + rng.nextInt(2)))
+    }
+    val all = units.flatten
+    val input = MemoryStream[(String, Boolean, Long, Double, Double)]
+    val cols = Seq("g", "t", "u", "num", "den")
+    val q = StreamingTimeSeries.startRatioMomentsQuery(
+      input.toDF().toDF(cols: _*), "g", "t", "u", "num", "den",
+      quantScale = 1e3, base, ckpt)
+    try {
+      Seq(units.take(50), units.slice(50, 190), units.drop(190))
+        .foreach { b => input.addData(b.flatten: _*); q.processAllAvailable() }
+      import graft.operators.Stats
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val want = rows(Stats.ratioUplift(all.toDF(cols: _*), Seq("g"),
+        col("t"), col("u"), col("num"), col("den"), quantScale = 1e3))
+      assert(rows(StreamingTimeSeries.mergedRatioUplift(spark, base,
+        "g")) == want)
+      spark.read.parquet(s"$base/ratio_moments")
+        .filter(col("batch_id") === 1L)
+        .write.mode("append").parquet(s"$base/ratio_moments")
+      assert(rows(StreamingTimeSeries.mergedRatioUplift(spark, base,
+        "g")) == want, "replayed moment deltas double-counted")
+    } finally q.stop()
+  }
+
   test("streaming contingency cells: merged chi2/V/MI == one-shot batch, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
