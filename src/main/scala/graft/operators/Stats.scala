@@ -2681,6 +2681,145 @@ object Stats {
             sqrt(col("__f").getField("v"))).as("z")): _*)
   }
 
+  /** Wald's sequential probability ratio test per group (Wald 1945) —
+    * the sequential-testing face of the experimentation block: for a
+    * binary outcome, the cumulative log-likelihood ratio of p₁ vs p₀
+    *
+    *   LLR = x·ln(p₁/p₀) + (n−x)·ln((1−p₁)/(1−p₀))
+    *
+    * against Wald's boundaries ln((1−β)/α) (accept H₁) and
+    * ln(β/(1−α)) (accept H₀) — the test that lets a metric monitor
+    * stop EARLY with guaranteed error rates instead of fixing n in
+    * advance. Counts are exact BIGINTs from one aggregation; the ln
+    * factors are constants of the parameters, so llr and the
+    * boundaries carry the ln convention (registered faces round them
+    * at 12dp). A decision compare could flip only for an llr within
+    * ~1e-12 of a boundary.
+    *
+    * Output: groups... + (n, x, llr, lower, upper, decision ∈
+    * accept_h1 / accept_h0 / continue). */
+  def sprt(df: DataFrame, groupCols: Seq[Column], outcome: Column,
+      p0: Double, p1: Double, alpha: Double = 0.05,
+      beta: Double = 0.2): DataFrame = {
+    require(p0 > 0.0 && p0 < 1.0 && p1 > 0.0 && p1 < 1.0 && p0 != p1,
+      s"p0/p1 must be distinct in (0,1), got $p0 / $p1")
+    require(alpha > 0.0 && alpha < 1.0 && beta > 0.0 && beta < 1.0,
+      s"alpha/beta in (0,1), got $alpha / $beta")
+    val o = outcome.cast("boolean")
+    val agg = df.filter(o.isNotNull)
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(o, 1L).otherwise(0L)).as("x"))
+    // ln factors evaluated IN-PLAN from the parameter literals, so a
+    // SQL mirror forms the identical expressions (same decimal
+    // literals → same doubles → engine-local ln within 1 ulp)
+    val lnWin = log(lit(p1) / lit(p0))
+    val lnLose = log((lit(1.0) - lit(p1)) / (lit(1.0) - lit(p0)))
+    val llr = col("x").cast("double") * lnWin +
+      (col("n") - col("x")).cast("double") * lnLose
+    val upper = log((lit(1.0) - lit(beta)) / lit(alpha))
+    val lower = log(lit(beta) / (lit(1.0) - lit(alpha)))
+    agg
+      .withColumn("llr", llr)
+      .withColumn("lower", lower)
+      .withColumn("upper", upper)
+      .withColumn("decision",
+        when(col("llr") >= col("upper"), "accept_h1")
+          .when(col("llr") <= col("lower"), "accept_h0")
+          .otherwise("continue"))
+  }
+
+  /** Poisson(1) inverse CDF thresholds for [[poissonBootstrapMean]] —
+    * cdf(k) for k = 0..7, written as exact decimal literals so a SQL
+    * mirror embedding the SAME literals parses the SAME doubles (the
+    * weight is a pure threshold count, no libm at runtime). */
+  val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428846, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507120, 0.9999897508033253)
+
+  /** Percentile-bootstrap CI for a per-unit mean via the ONLINE
+    * POISSON BOOTSTRAP (Chamandy et al., Google 2012; Efron 1979 for
+    * the bootstrap itself) — the scale answer to "what's the error
+    * bar on this metric" when classic resampling (n draws per
+    * replicate, all data reshuffled B times) is impossible: each unit
+    * independently receives a Poisson(1) weight per replicate, so ONE
+    * pass computes all B resampled means.
+    *
+    * Engine-portable determinism: the replicate weight is the
+    * Poisson(1) inverse CDF (literal thresholds, [[PoissonCdf]], tail
+    * capped at 8) applied to the md5-uniform of (unit, rep) — the
+    * [[graft.operators.Curation.weightedPrioritySample]] convention —
+    * so any engine reproduces the exact weights. Per-unit values are
+    * floor(v·quantScale) BIGINTs; per-(group, rep) Σw and Σw·qv are
+    * exact; each replicate mean is one division; the CI bounds are
+    * EXACT discrete order statistics of the B means (index
+    * ⌊q·(B−1)⌋+1 of the ascending sort) and the bootstrap SE folds
+    * over the SORTED means — everything hashes unrounded.
+    *
+    * Scale shape: one data-sized exchange to per-unit sums, one
+    * B×units exchange to replicate means (B bounded ≤ 1000), one ≤
+    * B-row in-row fold per group. Output: groups... + (n_units, mean,
+    * ci_lo, ci_hi, se_boot). */
+  def poissonBootstrapMean(df: DataFrame, groupCols: Seq[String],
+      unitCol: Column, valueCol: Column, reps: Int = 100,
+      quantScale: Double = 1e6, lo: Double = 0.025,
+      hi: Double = 0.975): DataFrame = {
+    require(reps >= 10 && reps <= 1000, s"reps in 10..1000, got $reps")
+    require(quantScale >= 1e0 && quantScale <= 1e9,
+      s"quantScale in [1e0, 1e9], got $quantScale")
+    require(lo > 0.0 && lo < hi && hi < 1.0, s"need 0 < lo < hi < 1")
+    val g = groupCols.map(col)
+    val qv = when(valueCol.isNotNull,
+      floor(valueCol.cast("double") * lit(quantScale)).cast("long"))
+      .otherwise(0L)
+    val perUnit = df.filter(unitCol.isNotNull)
+      .groupBy(g :+ unitCol.cast("string").as("__unit"): _*)
+      .agg(sum(qv).as("qv"))
+    val full = perUnit.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_units"), sum(col("qv")).as("__sv"))
+    // replicate weights: md5-uniform of (unit, rep) against the
+    // literal Poisson(1) CDF — a pure threshold count
+    val u = (conv(substring(md5(concat(col("__unit"), lit(":"),
+      col("__rep").cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("long") + 1).cast("double") / lit(1152921504606846976.0)
+    // reverse fold ⇒ the SMALLEST threshold is the outermost when(),
+    // so the first matching threshold wins — inverse-CDF semantics
+    val w = PoissonCdf.zipWithIndex.reverse.foldLeft(lit(8L)) {
+      case (acc, (c, k)) => when(u <= lit(c), lit(k.toLong)).otherwise(acc)
+    }
+    val perRep = perUnit
+      .withColumn("__rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__w", w)
+      .groupBy(g :+ col("__rep"): _*)
+      .agg(sum(col("__w")).as("nw"), sum(col("__w") * col("qv")).as("sw"))
+      .withColumn("__mean", when(col("nw") > 0L,
+        col("sw").cast("double") / col("nw").cast("double") /
+          lit(quantScale)))
+      .filter(col("__mean").isNotNull)
+    val loIdx = math.floor(lo * (reps - 1)).toInt + 1
+    val hiIdx = math.floor(hi * (reps - 1)).toInt + 1
+    val means = sort_array(collect_list(col("__mean")))
+    val folded = perRep.groupBy(g: _*)
+      .agg(means.as("__ms"))
+    val ms = col("__ms")
+    val b = size(ms)
+    // SE over the SORTED means: fixed-order folds, engine-mirrorable
+    val mbar = aggregate(ms, lit(0.0), (a, x) => a + x) / b.cast("double")
+    val ss = aggregate(ms, lit(0.0),
+      (a, x) => a + (x - mbar) * (x - mbar))
+    folded
+      .join(full, groupCols, "inner")
+      .select(g ++ Seq(
+        col("n_units"),
+        when(col("n_units") > 0L, col("__sv").cast("double") /
+          col("n_units").cast("double") / lit(quantScale)).as("mean"),
+        element_at(ms, least(lit(loIdx), b)).as("ci_lo"),
+        element_at(ms, least(lit(hiIdx), b)).as("ci_hi"),
+        when(b > 1, sqrt(ss / (b.cast("double") - lit(1.0))))
+          .as("se_boot")): _*)
+  }
+
   /** Benjamini–Hochberg FDR adjustment per group (Benjamini &
     * Hochberg, JRSS-B 1995) — the multiple-testing closer for the
     * drift/test family: running KS/χ²/rank tests over many slices

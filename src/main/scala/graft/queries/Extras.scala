@@ -671,6 +671,24 @@ object Extras {
       .orderBy("cohort", "t")
   }
 
+  /** Wald SPRT per event type ([[graft.operators.Stats.sprt]]):
+    * "is the high-value rate 0.55 rather than 0.45?" tested
+    * sequentially with alpha 0.05 / beta 0.2 — exact counts, the ln
+    * factors of the parameter literals, llr/bounds at 12dp (the ln
+    * convention); the decision compares the unrounded llr. */
+  def aSprt(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.sprt(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        Seq(col("event_type")), col("value") > 50.0,
+        p0 = 0.45, p1 = 0.55)
+      .withColumn("llr", round(col("llr"), 12))
+      .withColumn("bound_lo", round(col("lower"), 12))
+      .withColumn("bound_hi", round(col("upper"), 12))
+      .drop("lower", "upper")
+      .select("event_type", "n", "x", "llr", "bound_lo", "bound_hi",
+        "decision")
+      .orderBy("event_type")
+
   /** Kaplan–Meier with Greenwood variance + linear 95% CI ([[graft
     * .operators.Stats.kaplanMeierGreenwood]]): the error-bar readout
     * on the c_kaplan_meier fixture — the Greenwood sum rides the same
@@ -1169,6 +1187,7 @@ object Extras {
     "c_gehan_logrank" -> (cGehanLogRank _),
     "c_km_greenwood" -> (cKmGreenwood _),
     "c_tarone_ware" -> (cTaroneWare _),
+    "a_sprt" -> (aSprt _),
     "a_ratio_uplift" -> (aRatioUplift _),
     "c_position_attribution" -> (cPositionAttribution _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
@@ -1872,6 +1891,30 @@ object Extras {
         |SELECT cohort, t, n_risk, d AS n_events, c AS n_censored,
         |  p AS survival
         |FROM km WHERE i > 0 ORDER BY cohort, t""".stripMargin,
+    // SPRT mirror: same counts, same ln factors of the same decimal
+    // literals, decision from the unrounded llr, output at 12dp.
+    "a_sprt" ->
+      """WITH a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value > CAST(50 AS DOUBLE) THEN 1
+        |      ELSE 0 END) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |b AS (SELECT event_type, n, x,
+        |    CAST(x AS DOUBLE)
+        |      * ln(CAST(0.55 AS DOUBLE) / CAST(0.45 AS DOUBLE))
+        |      + CAST(n - x AS DOUBLE)
+        |      * ln((CAST(1 AS DOUBLE) - CAST(0.55 AS DOUBLE))
+        |        / (CAST(1 AS DOUBLE) - CAST(0.45 AS DOUBLE))) AS llr,
+        |    ln(CAST(0.2 AS DOUBLE)
+        |      / (CAST(1 AS DOUBLE) - CAST(0.05 AS DOUBLE))) AS lo_b,
+        |    ln((CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE))
+        |      / CAST(0.05 AS DOUBLE)) AS hi_b
+        |  FROM a)
+        |SELECT event_type, n, x, ROUND(llr, 12) AS llr,
+        |  ROUND(lo_b, 12) AS bound_lo, ROUND(hi_b, 12) AS bound_hi,
+        |  CASE WHEN llr >= hi_b THEN 'accept_h1'
+        |    WHEN llr <= lo_b THEN 'accept_h0'
+        |    ELSE 'continue' END AS decision
+        |FROM b ORDER BY event_type""".stripMargin,
     // Greenwood mirror: the KM recursion carrying (p, gw); the d = n
     // terminal time pins its term to 0 exactly as the operator does.
     "c_km_greenwood" ->

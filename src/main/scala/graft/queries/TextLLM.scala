@@ -1319,6 +1319,18 @@ object TextLLM {
       .select("lang", "sampled_rank", "doc_id", "n_chars")
       .orderBy("lang", "sampled_rank")
 
+  /** Online Poisson bootstrap of mean chars-per-doc per lang ([[graft
+    * .operators.Stats.poissonBootstrapMean]]): 100 replicates via the
+    * md5-uniform Poisson(1) weights (literal CDF thresholds — no libm
+    * at runtime), exact BIGINT replicate sums, exact discrete
+    * order-statistic CI, SE folded over the sorted means — every
+    * column hashes unrounded. */
+  def aPoissonBootstrap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.poissonBootstrapMean(docs(s, dir),
+        Seq("lang"), col("doc_id"), col("n_chars"), reps = 100,
+        quantScale = 1.0)
+      .orderBy("lang")
+
   /** Greedy sequence packing over the first 200 docs with the exact
     * single-partition (global) contract — the oracle replays the same
     * greedy scan as a recursive CTE. The partition-parallel form is the
@@ -1714,6 +1726,7 @@ object TextLLM {
     "t_mixture_sample" -> (tMixtureSample _),
     "t_stratified_sample" -> (tStratifiedSample _),
     "t_weighted_sample" -> (tWeightedSample _),
+    "a_poisson_bootstrap" -> (aPoissonBootstrap _),
     "t_boilerplate_lines" -> (tBoilerplateLines _),
     "t_seq_packing" -> (tSeqPacking _),
     "t_url_domains" -> (tUrlDomains _),
@@ -2785,6 +2798,60 @@ object TextLLM {
     // priority = u / n_chars — the same two correctly-rounded IEEE
     // divisions as Curation.weightedPrioritySample, so the double
     // priorities (and hence the per-stratum top-5) agree bit-for-bit.
+    // Poisson-bootstrap mirror: same md5-uniforms, same literal CDF
+    // thresholds, exact BIGINT replicate sums, same order-statistic
+    // indices and sorted-mean folds (0-seed folds == first-element
+    // seeds because 0.0 + x == x).
+    "a_poisson_bootstrap" ->
+      (s"""WITH pu AS (SELECT lang, CAST(doc_id AS VARCHAR) AS u,
+          |    CAST(SUM(CASE WHEN n_chars IS NOT NULL
+          |      THEN CAST(floor(CAST(n_chars AS DOUBLE)
+          |        * CAST(1 AS DOUBLE)) AS BIGINT)
+          |      ELSE 0 END) AS BIGINT) AS qv
+          |  FROM documents WHERE doc_id IS NOT NULL GROUP BY 1, 2),
+          |fl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_units,
+          |    CAST(SUM(qv) AS BIGINT) AS sv FROM pu GROUP BY 1),
+          |rr AS (SELECT lang, u, qv, rep FROM pu
+          |  CROSS JOIN range(100) r(rep)),
+          |hh AS (SELECT lang, qv, rep,
+          |    md5(u || ':' || CAST(rep AS VARCHAR)) AS hx FROM rr),
+          |uv AS (SELECT lang, qv, rep,
+          |    CAST(${hex15ToLong(1)} + 1 AS DOUBLE)
+          |      / CAST(1152921504606846976 AS DOUBLE) AS un FROM hh),
+          |ww AS (SELECT lang, qv, rep,
+          |    CASE WHEN un <= CAST(0.36787944117144233 AS DOUBLE) THEN 0
+          |      WHEN un <= CAST(0.7357588823428846 AS DOUBLE) THEN 1
+          |      WHEN un <= CAST(0.9196986029286058 AS DOUBLE) THEN 2
+          |      WHEN un <= CAST(0.9810118431238462 AS DOUBLE) THEN 3
+          |      WHEN un <= CAST(0.9963401531726563 AS DOUBLE) THEN 4
+          |      WHEN un <= CAST(0.9994058151824183 AS DOUBLE) THEN 5
+          |      WHEN un <= CAST(0.9999167588507120 AS DOUBLE) THEN 6
+          |      WHEN un <= CAST(0.9999897508033253 AS DOUBLE) THEN 7
+          |      ELSE 8 END AS w FROM uv),
+          |mr AS (SELECT lang, rep, CAST(SUM(w) AS BIGINT) AS nw,
+          |    CAST(SUM(w * qv) AS BIGINT) AS sw FROM ww GROUP BY 1, 2),
+          |mm AS (SELECT lang, CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE)
+          |      / CAST(1 AS DOUBLE) AS mean_r
+          |  FROM mr WHERE nw > 0),
+          |ms AS (SELECT lang, list_sort(list(mean_r)) AS l
+          |  FROM mm GROUP BY 1),
+          |mb AS (SELECT lang, l,
+          |    list_reduce(l, (a, b) -> a + b)
+          |      / CAST(len(l) AS DOUBLE) AS mbar FROM ms),
+          |sb AS (SELECT lang, l, mbar,
+          |    list_reduce(list_transform(l,
+          |      x -> (x - mbar) * (x - mbar)), (a, b) -> a + b) AS ss
+          |  FROM mb)
+          |SELECT fl.lang, fl.n_units,
+          |  CAST(fl.sv AS DOUBLE) / CAST(fl.n_units AS DOUBLE)
+          |    / CAST(1 AS DOUBLE) AS mean,
+          |  l[least(3, len(l))] AS ci_lo,
+          |  l[least(97, len(l))] AS ci_hi,
+          |  CASE WHEN len(l) > 1 THEN sqrt(ss
+          |    / (CAST(len(l) AS DOUBLE) - CAST(1 AS DOUBLE))) END
+          |    AS se_boot
+          |FROM sb JOIN fl ON fl.lang = sb.lang
+          |ORDER BY fl.lang""".stripMargin),
     "t_weighted_sample" ->
       (s"""WITH h AS (SELECT lang, doc_id, n_chars,
           |    md5(CAST(doc_id AS VARCHAR)) AS hx

@@ -1347,6 +1347,96 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (already asserted by the exact values above)
   }
 
+  test("sprt: hand llr exact; strong evidence crosses the right boundary; symmetric flip") {
+    import spark.implicits._
+    // 100 trials, 70 successes: strong evidence for p1 = 0.7 vs 0.3
+    val rows = (0 until 100).map(i => ("g", i < 70))
+    val out = Stats.sprt(rows.toDF("g", "o"), Seq(col("g")), col("o"),
+      p0 = 0.3, p1 = 0.7).head()
+    val lnWin = math.log(0.7 / 0.3)
+    val lnLose = math.log((1.0 - 0.7) / (1.0 - 0.3))
+    val llr = 70.0 * lnWin + 30.0 * lnLose
+    assert(out.getAs[Long]("n") == 100L && out.getAs[Long]("x") == 70L)
+    assert(out.getAs[Double]("llr") == llr)
+    assert(out.getAs[Double]("upper") == math.log((1.0 - 0.2) / 0.05))
+    assert(out.getAs[Double]("lower") == math.log(0.2 / (1.0 - 0.05)))
+    assert(out.getAs[String]("decision") == "accept_h1")
+    // 30/100 successes: the mirror-image evidence accepts H0
+    val flip = Stats.sprt((0 until 100).map(i => ("g", i < 30))
+        .toDF("g", "o"), Seq(col("g")), col("o"), p0 = 0.3, p1 = 0.7)
+      .head()
+    assert(flip.getAs[String]("decision") == "accept_h0")
+    // a near-even split with few trials keeps sampling
+    val cont = Stats.sprt((0 until 10).map(i => ("g", i < 5))
+        .toDF("g", "o"), Seq(col("g")), col("o"), p0 = 0.45, p1 = 0.55)
+      .head()
+    assert(cont.getAs[String]("decision") == "continue")
+    intercept[IllegalArgumentException] {
+      Stats.sprt(rows.toDF("g", "o"), Seq(col("g")), col("o"),
+        p0 = 0.5, p1 = 0.5)
+    }
+  }
+
+  test("poissonBootstrapMean: naive md5 replay bitwise; CI brackets the mean; layout-proof") {
+    import spark.implicits._
+    val rng = new scala.util.Random(127)
+    val rows = (0 until 400).map { u =>
+      ("g" + (u % 2), u.toLong, 50.0 + rng.nextInt(100).toDouble) }
+    val df = rows.toDF("g", "u", "v")
+    val out = Stats.poissonBootstrapMean(df, Seq("g"), col("u"),
+        col("v"), reps = 100, quantScale = 1e3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // naive single-threaded replay: same md5 uniforms, same literal
+    // thresholds, same exact sums, same sorted-order folds
+    def u01(unit: String, rep: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$unit:$rep".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) + 1).toDouble /
+        1152921504606846976.0
+    }
+    def pw(u: Double): Long = {
+      val cdf = Stats.PoissonCdf
+      val i = cdf.indexWhere(u <= _)
+      if (i < 0) 8L else i.toLong
+    }
+    for (grp <- Seq("g0", "g1")) {
+      val units = rows.filter(_._1 == grp)
+        .map { case (_, u, v) => (u.toString, math.floor(v * 1e3).toLong) }
+      val means = (0 until 100).flatMap { rep =>
+        var nw = 0L; var sw = 0L
+        units.foreach { case (u, qv) =>
+          val w = pw(u01(u, rep)); nw += w; sw += w * qv }
+        if (nw > 0) Some(sw.toDouble / nw.toDouble / 1e3) else None
+      }.sorted
+      val b = means.size
+      val mbar = means.foldLeft(0.0)(_ + _) / b.toDouble
+      val ss = means.foldLeft(0.0)((a, x) => a + (x - mbar) * (x - mbar))
+      val se = math.sqrt(ss / (b.toDouble - 1.0))
+      val sv = units.map(_._2).sum
+      val mean = sv.toDouble / units.size.toDouble / 1e3
+      val (nU, m, lo, hi, seB) = out(grp)
+      assert(nU == units.size.toLong)
+      assert(m == mean)
+      assert(lo == means(math.min(2, b - 1)), s"ci_lo $grp") // idx 3, 1-based
+      assert(hi == means(math.min(96, b - 1)), s"ci_hi $grp")
+      assert(seB == se, s"se $grp")
+      // the percentile CI brackets the full-sample mean here
+      assert(lo < mean && mean < hi)
+      assert(lo < hi && se > 0.0)
+    }
+    // layout invariance: reversed + repartitioned input, bitwise
+    val again = Stats.poissonBootstrapMean(
+        rows.reverse.toDF("g", "u", "v").repartition(7), Seq("g"),
+        col("u"), col("v"), reps = 100, quantScale = 1e3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(again == out)
+  }
+
   test("bhAdjust: the textbook adjusted p-values; ties break by id; per-group n") {
     import spark.implicits._
     // classic 4-test example: adjusted = [0.02, 0.02, 0.04, 0.04]
