@@ -148,6 +148,19 @@ object ScaleProbe {
       graft.operators.Stats.logRank(subjects, Seq("g"), col("dur"),
         col("ev"), col("c1")).count()
     }
+    // Cox PH: 8 Newton iterations × (one cell aggregation + one
+    // ≤300-element in-row fold per stratum) — the claim under test is
+    // that each iteration is ONE data-sized pass, subjects never
+    // collect, and the driver holds only p²-per-stratum state
+    val coxSubjects = subjects
+      .withColumn("x1", (pmod(floor(col("u") / lit(4L)), lit(2L)) === 0L)
+        .cast("int").cast("double"))
+      .withColumn("x2", (pmod(col("u"), lit(7L)).cast("double") -
+        lit(3.0)) / lit(3.0))
+    timed("cox_ph_1M_subjects_300t_p2_8it") {
+      graft.operators.Cox.coxPh(coxSubjects, Seq("g"), col("dur"),
+        col("ev"), Seq("x1" -> col("x1"), "x2" -> col("x2"))).count()
+    }
     touchRows.unpersist()
 
     // ---- synthetic text corpus; every 10th doc also appears as a
