@@ -104,7 +104,13 @@ object PlanDump {
     "c_shapley_attribution" -> "Shapley attribution — ONE data-sized aggregate (user → bitmask); the subset-sum and marginal-pair joins run on 2^k-bounded coalition frames (broadcast nested-loop by construction, never over data)",
     "c_cuped" -> "CUPED — one HashAggregate pass of quantized exact BIGINT moments for BOTH arms and theta together; the adjustment is a pure projection",
     "a_srm_check" -> "SRM check — one counts aggregate, chi2 a projection; nothing else in the plan",
-    "c_diff_in_diff" -> "difference-in-differences — all four design cells in ONE aggregation pass (conditional quantized sums); the estimate is a projection")
+    "c_diff_in_diff" -> "difference-in-differences — all four design cells in ONE aggregation pass (conditional quantized sums); the estimate is a projection",
+    "c_nelson_aalen" -> "Nelson-Aalen — the identical two-aggregate KM thinning; the hazard and its variance are one more in-row SUM fold over the same bounded time grid (one stored partial serves KM, NA, and Greenwood)",
+    "a_ratio_uplift" -> "delta-method ratio uplift — per-unit quantized sums are the one data-sized exchange; the arm-moment aggregate and the Var(R) tail run on |groups|x2 rows",
+    "c_position_attribution" -> "position/time-decay attribution — ONE per-user path collect (the Markov exchange); all four credit models are in-row expressions over the sorted path, then a k-row channel aggregate and a broadcast universe zero-fill",
+    "a_poisson_bootstrap" -> "Poisson bootstrap — per-unit sums (one data exchange), a B-fanout explode to replicate means (B bounded), then a <=B in-row sorted fold per group; no data row is visited more than once per stage",
+    "a_sprt" -> "Wald SPRT — one counts aggregate; llr, boundaries, and the decision are projections",
+    "t_entity_resolution" -> "composed entity resolution — shingle/signature pipeline once, banded bucket self-join for candidates, two record-side equi-joins for pair features, 3 EM aggregation passes, broadcast weights scoring, CC on the matched-pair graph only; no stage touches text twice and nothing is quadratic in records")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */
