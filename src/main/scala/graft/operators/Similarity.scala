@@ -91,6 +91,98 @@ object Similarity {
       .select(col(queryId), col("rank"), col(baseId).as("nid"), col("cos"))
   }
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998) — the diversity-aware selection a retrieval/data-curation
+    * pipeline runs AFTER top-N: greedily pick k candidates maximizing
+    *
+    *   λ·cos(q, c) − (1−λ)·max_{s ∈ selected} cos(c, s)
+    *
+    * so near-duplicates of an already-selected result stop winning.
+    * Input is the per-query candidate frame an ANN stage produced
+    * (qid, nid, cos-to-query, vec); the WHOLE greedy selection runs
+    * IN-ROW per query over the ≤ maxCandidates collected array — k
+    * nested scans, each candidate's redundancy term a zip-fold over
+    * the ≤ k selected vectors — so the operator adds ONE exchange
+    * (the per-query collect) regardless of k, and the data-sized work
+    * stays in the ANN stage that built the candidates.
+    *
+    * Determinism: candidates collect in ascending-nid order; ties
+    * break (score desc, nid asc); max over selected is
+    * order-insensitive (array_max); every cosine is dot/(n·n) with
+    * precomputed norms — the exact float ops a SQL mirror forms, so
+    * selections replay engine-portably even though scores are floats.
+    *
+    * Output: (queryId, rank, nid) — rank 1..k in selection order
+    * (fewer if the query has fewer candidates). */
+  def mmrRerank(candidates: DataFrame, k: Int, lambda: Double,
+      queryId: String = "qid", baseId: String = "nid",
+      cosCol: String = "cos", vecCol: String = "vec",
+      maxCandidates: Int = 1024): DataFrame = {
+    require(k >= 1 && k <= 64, s"k in 1..64, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    require(maxCandidates >= k && maxCandidates <= 4096,
+      s"maxCandidates in [k, 4096], got $maxCandidates")
+    val withN = candidates.withColumn("__nrm", norm(col(vecCol)))
+    // two nid-aligned sorted lists: (nid, cos) for scoring, (nid, vec,
+    // nrm) for the pair matrix — then the N×N candidate-pair cosines
+    // are precomputed ONCE outside the selection fold (the greedy loop
+    // then only indexes, which also keeps a SQL mirror's recursion
+    // state down to two BIGINT lists)
+    val collected = withN.groupBy(col(queryId))
+      .agg(sort_array(collect_list(struct(
+        col(baseId).cast("long").as("nid"),
+        col(cosCol).cast("double").as("cos")))).as("__c"),
+        sort_array(collect_list(struct(
+          col(baseId).cast("long").as("nid"),
+          col(vecCol).cast("array<double>").as("vec"),
+          col("__nrm").as("nrm")))).as("__v"))
+      .filter(assert_true(size(col("__c")) <= maxCandidates,
+        lit(s"mmrRerank: a query exceeds maxCandidates=$maxCandidates " +
+          "— cut candidates with a top-N stage first")).isNull)
+      .withColumn("__sm", transform(col("__v"), a =>
+        transform(col("__v"), b => {
+          val dnm = a.getField("nrm") * b.getField("nrm")
+          when(dnm === 0, lit(0.0))
+            .otherwise(dot(a.getField("vec"), b.getField("vec")) / dnm)
+        })))
+    val negInf = lit(Double.NegativeInfinity)
+    val seed = struct(
+      array().cast("array<bigint>").as("ids"),
+      array().cast("array<int>").as("idxs"))
+    val cs = col("__c"); val sm = col("__sm")
+    val sel = aggregate(sequence(lit(1), lit(k)), seed, (acc, _) => {
+      val bestSeed = struct(negInf.as("score"), lit(-1L).as("nid"),
+        lit(-1).as("ci"))
+      val best = aggregate(sequence(lit(1), size(cs)), bestSeed,
+        (b, ci) => {
+          val c = element_at(cs, ci)
+          val already = array_contains(acc.getField("ids"),
+            c.getField("nid"))
+          val maxSim = when(size(acc.getField("idxs")) === 0, lit(0.0))
+            .otherwise(array_max(transform(acc.getField("idxs"),
+              sj => element_at(element_at(sm, ci), sj))))
+          val score = lit(lambda) * c.getField("cos") -
+            lit(1.0 - lambda) * maxSim
+          val better = score > b.getField("score") ||
+            (score === b.getField("score") &&
+              c.getField("nid") < b.getField("nid"))
+          when(already, b).otherwise(when(better,
+            struct(score.as("score"), c.getField("nid").as("nid"),
+              ci.cast("int").as("ci"))).otherwise(b))
+        })
+      when(best.getField("score") === negInf, acc).otherwise(struct(
+        concat(acc.getField("ids"), array(best.getField("nid")))
+          .as("ids"),
+        concat(acc.getField("idxs"), array(best.getField("ci")))
+          .as("idxs")))
+    })
+    collected
+      .withColumn("__sel", sel)
+      .select(col(queryId), posexplode(col("__sel").getField("ids")))
+      .select(col(queryId), (col("pos") + 1).cast("int").as("rank"),
+        col("col").as("nid"))
+  }
+
   /** Deterministic random hyperplanes: `numBits` unit-free Gaussian-ish
     * vectors of dimension `dim`, from a seeded generator. */
   def randomPlanes(numBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

@@ -671,6 +671,26 @@ object Extras {
       .orderBy("cohort", "t")
   }
 
+  /** Restricted mean survival time at τ = 14 days per cohort ([[graft
+    * .operators.Stats.rmst]]): the KM step-function integral on the
+    * c_kaplan_meier fixture — one more accumulator in the same fold;
+    * all ops +,·,/, so rmst hashes unrounded. */
+  def cRmst(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    val users = e.groupBy(col("user_id"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("cohort", concat(lit("c"), pmod(col("user_id"), lit(3))))
+      .withColumn("churned", col("__last") < date_sub(col("__gmax"), 7))
+    graft.operators.Stats.rmst(obs, Seq("cohort"),
+        col("duration"), col("churned"), tau = 14.0)
+      .orderBy("cohort")
+  }
+
   /** Wald SPRT per event type ([[graft.operators.Stats.sprt]]):
     * "is the high-value rate 0.55 rather than 0.45?" tested
     * sequentially with alpha 0.05 / beta 0.2 — exact counts, the ln
@@ -1188,6 +1208,7 @@ object Extras {
     "c_km_greenwood" -> (cKmGreenwood _),
     "c_tarone_ware" -> (cTaroneWare _),
     "a_sprt" -> (aSprt _),
+    "c_rmst" -> (cRmst _),
     "a_ratio_uplift" -> (aRatioUplift _),
     "c_position_attribution" -> (cPositionAttribution _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
@@ -1891,6 +1912,50 @@ object Extras {
         |SELECT cohort, t, n_risk, d AS n_events, c AS n_censored,
         |  p AS survival
         |FROM km WHERE i > 0 ORDER BY cohort, t""".stripMargin,
+    // RMST mirror: the KM recursion carrying (p, prev_t, area); the
+    // tail rectangle closes the integral on the final row.
+    "c_rmst" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    duration, last_d < g.gmax - 7 AS ev FROM u CROSS JOIN g),
+        |cnt AS (SELECT cohort, duration AS t,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1, 2),
+        |ord AS (SELECT cohort, t, d, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY t)
+        |      AS BIGINT) AS i,
+        |    CAST(SUM(d + c) OVER (PARTITION BY cohort) AS BIGINT)
+        |      AS n_total
+        |  FROM cnt),
+        |mx AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS m,
+        |    MAX(n_total) AS n_total FROM ord GROUP BY 1),
+        |km AS (
+        |  SELECT cohort, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS used,
+        |    CAST(1 AS DOUBLE) AS p, CAST(0 AS DOUBLE) AS pt,
+        |    CAST(0 AS DOUBLE) AS area
+        |  FROM (SELECT DISTINCT cohort FROM ord)
+        |  UNION ALL
+        |  SELECT o.cohort, o.i, km.used + o.d + o.c,
+        |    km.p * (CAST(1 AS DOUBLE) - CAST(o.d AS DOUBLE)
+        |      / CAST(o.n_total - km.used AS DOUBLE)),
+        |    o.t,
+        |    km.area + km.p * (least(o.t, CAST(14 AS DOUBLE))
+        |      - least(km.pt, CAST(14 AS DOUBLE)))
+        |  FROM km JOIN ord o ON o.cohort = km.cohort AND o.i = km.i + 1)
+        |SELECT km.cohort, mx.n_total AS n_subjects,
+        |  CAST(14 AS DOUBLE) AS tau,
+        |  km.area + km.p * (CAST(14 AS DOUBLE)
+        |    - least(km.pt, CAST(14 AS DOUBLE))) AS rmst
+        |FROM km JOIN mx ON mx.cohort = km.cohort AND km.i = mx.m
+        |ORDER BY km.cohort""".stripMargin,
     // SPRT mirror: same counts, same ln factors of the same decimal
     // literals, decision from the unrounded llr, output at 12dp.
     "a_sprt" ->

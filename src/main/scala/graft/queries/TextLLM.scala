@@ -423,6 +423,23 @@ object TextLLM {
       .orderBy("qid", "rank")
   }
 
+  /** MMR diversified top-5 ([[Similarity.mmrRerank]]) over brute-force
+    * top-50 candidates: λ = 0.7 relevance vs diversity. Output
+    * (qid, rank, nid) only — selection order is the payload; every
+    * cosine is the explicit dot/(n·n) with precomputed norms so the
+    * mirror forms the identical floats. */
+  def sMmrTop5(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val topn = Similarity.bruteForceTopK(base, queries, 50)
+    val cands = topn.join(base.select(col("vec_id").as("nid"),
+        col("embedding").as("vec")), Seq("nid"))
+      .select("qid", "nid", "cos", "vec")
+    Similarity.mmrRerank(cands, k = 5, lambda = 0.7)
+      .orderBy("qid", "rank")
+  }
+
   /** Hard-negative mining ([[Similarity.hardNegatives]]): per query, the
     * 3 most similar vectors with a DIFFERENT label — the contrastive-
     * training pair miner. Output (qid, rank, nid) only, like the other
@@ -1712,6 +1729,7 @@ object TextLLM {
     "m_binary_meta" -> (mBinaryMeta _),
     "m_warc_roundtrip" -> (mWarcRoundtrip _),
     "s_ann_brute_top5" -> (sAnnBruteTop5 _),
+    "s_mmr_top5" -> (sMmrTop5 _),
     "s_hard_negatives" -> (sHardNegatives _),
     "s_quantize_int8" -> (sQuantizeInt8 _),
     "s_embedding_covariance" -> (sEmbeddingCovariance _),
@@ -3458,6 +3476,72 @@ object TextLLM {
         |    PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
         |  FROM scored)
         |SELECT qid, rank, nid FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // MMR mirror: explicit dot/(n·n) cosines (same op order as the
+    // Spark side, NOT list_cosine_similarity), top-50 prefetch, then
+    // the greedy selection as a recursive CTE over list state — the
+    // redundancy term is a list_max over zip-indexed selected vectors,
+    // (1−λ) written as the SAME subtraction the Scala side evaluates.
+    "s_mmr_top5" ->
+      """WITH RECURSIVE qq AS (SELECT vec_id AS qid,
+        |    CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |q2 AS (SELECT qid, qe,
+        |    sqrt(list_inner_product(qe, qe)) AS qn FROM qq),
+        |bb AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS be,
+        |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))) AS bn
+        |  FROM embeddings),
+        |scored AS (SELECT qid, nid, be, bn,
+        |    CASE WHEN qn * bn = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE list_inner_product(qe, be) / (qn * bn) END AS cos
+        |  FROM q2 CROSS JOIN bb WHERE nid <> qid),
+        |topn AS (SELECT qid, nid, be, bn, cos FROM (
+        |    SELECT qid, nid, be, bn, cos, ROW_NUMBER() OVER (
+        |      PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        |    FROM scored) WHERE rn <= 50),
+        |cand AS (SELECT qid,
+        |    list(struct_pack(nid := nid, cos := cos) ORDER BY nid) AS cs,
+        |    list(struct_pack(vec := be, nrm := bn) ORDER BY nid) AS vs
+        |  FROM topn GROUP BY 1),
+        |mat AS (SELECT qid, cs,
+        |    list_transform(vs, a -> list_transform(vs, b ->
+        |      CASE WHEN a.nrm * b.nrm = 0 THEN CAST(0 AS DOUBLE)
+        |        ELSE list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm)
+        |        END)) AS sm
+        |  FROM cand),
+        |sel(qid, i, ids, idxs) AS (
+        |  SELECT qid, 0, CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+        |  FROM mat
+        |  UNION ALL
+        |  SELECT qid, i + 1,
+        |    list_append(ids, best.nid), list_append(idxs, best.ci)
+        |  FROM (
+        |    SELECT s.qid, s.i, s.ids, s.idxs,
+        |      list_reduce(
+        |        list_filter(
+        |          list_transform(range(1, len(m.cs) + 1), ci -> CASE
+        |            WHEN list_contains(s.ids,
+        |              CAST(m.cs[ci].nid AS BIGINT)) THEN NULL
+        |            ELSE struct_pack(
+        |              score := CAST(0.7 AS DOUBLE) * m.cs[ci].cos -
+        |                (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+        |                (CASE WHEN len(s.idxs) = 0 THEN CAST(0 AS DOUBLE)
+        |                  ELSE list_max(list_transform(s.idxs,
+        |                    sj -> m.sm[ci][sj])) END),
+        |              nid := CAST(m.cs[ci].nid AS BIGINT), ci := ci)
+        |            END),
+        |          x -> x IS NOT NULL),
+        |        (a, b) -> CASE WHEN b.score > a.score OR
+        |          (b.score = a.score AND b.nid < a.nid) THEN b
+        |          ELSE a END) AS best
+        |    FROM sel s JOIN mat m ON m.qid = s.qid
+        |    WHERE s.i < 5)
+        |  WHERE best IS NOT NULL),
+        |fin AS (SELECT qid, ids FROM sel
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY i DESC) = 1)
+        |SELECT qid, CAST(r AS INTEGER) AS rank, ids[CAST(r AS INTEGER)] AS nid
+        |FROM fin, unnest(range(1, len(ids) + 1)) AS t(r)
+        |ORDER BY qid, rank""".stripMargin,
     "s_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
         |    label AS qlabel

@@ -1251,6 +1251,68 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (i <- 60 until 80) assert(out(i.toLong) == i.toLong)
   }
 
+  test("mmrRerank: diversifies a redundant cluster; naive greedy replay; lambda=1 is pure relevance") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(211)
+    // 60 candidates in 8-d: ids 0..19 are jitters of direction A (and
+    // the most query-similar), 20..39 of B, 40..59 of C
+    def base(c: Int) = Array.tabulate(8)(d => if (d == c) 1.0 else 0.0)
+    val cands = (0 until 60).map { i =>
+      val b = base(i / 20)
+      val vec = b.map(_ + (rng.nextDouble() - 0.5) * 0.02).toSeq
+      val qcos = (if (i < 20) 0.95 else if (i < 40) 0.90 else 0.85) +
+        rng.nextDouble() * 0.01
+      (1L, i.toLong, qcos, vec)
+    }
+    val df = cands.toDF("qid", "nid", "cos", "vec")
+    def run(d: org.apache.spark.sql.DataFrame, k: Int, l: Double) =
+      Similarity.mmrRerank(d, k, l)
+        .collect().map(r => (r.getInt(1), r.getLong(2)))
+        .sortBy(_._1).map(_._2).toSeq
+    val sel = run(df, k = 6, l = 0.5)
+    // pure relevance would pick 6 A-cluster members; MMR must cover
+    // all three clusters within the first 3 picks
+    assert(sel.take(3).map(_ / 20).toSet == Set(0L, 1L, 2L),
+      s"first three picks not diverse: $sel")
+    // naive single-threaded greedy with the identical float ops
+    val byNid = cands.sortBy(_._2)
+    val nrm = byNid.map(c => math.sqrt(c._4.map(x => x * x).sum))
+    def sim(i: Int, j: Int): Double = {
+      val d = nrm(i) * nrm(j)
+      if (d == 0) 0.0
+      else byNid(i)._4.zip(byNid(j)._4).map { case (a, b) => a * b }
+        .sum / d
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer[Int]()
+    for (_ <- 1 to 6) {
+      var bestScore = Double.NegativeInfinity
+      var bestIdx = -1
+      for (ci <- byNid.indices; if !chosen.contains(ci)) {
+        val maxSim = if (chosen.isEmpty) 0.0
+        else chosen.map(sj => sim(ci, sj)).max
+        val score = 0.5 * byNid(ci)._3 - 0.5 * maxSim
+        if (score > bestScore ||
+          (score == bestScore && byNid(ci)._2 < byNid(bestIdx)._2)) {
+          bestScore = score; bestIdx = ci
+        }
+      }
+      chosen += bestIdx
+    }
+    assert(sel == chosen.map(byNid(_)._2).toSeq,
+      s"selection diverged from the naive greedy: $sel vs " +
+        chosen.map(byNid(_)._2))
+    // lambda = 1: pure relevance == cos-desc, nid-asc order
+    val rel = run(df, k = 6, l = 1.0)
+    val want = cands.sortBy(c => (-c._3, c._2)).take(6).map(_._2)
+    assert(rel == want)
+    // layout invariance
+    assert(run(df.repartition(7), k = 6, l = 0.5) == sel)
+    // k > candidates: emits all candidates, ranks contiguous
+    val tiny = cands.take(3).toDF("qid", "nid", "cos", "vec")
+    assert(run(tiny, k = 6, l = 0.5).size == 3)
+  }
+
   test("linkage score: a field missing from the weights table fails fast") {
     import spark.implicits._
     val pairs = Seq((1L, 2L, true, true))

@@ -1168,6 +1168,46 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"weight ordering violated: gehan $zG, tw $zTw, logrank $zLr")
   }
 
+  test("rmst: step-integral exact at tau beyond/inside/before the grid; merged slices bitwise") {
+    import spark.implicits._
+    val mice = Seq((1.0, true), (2.0, false), (3.0, true),
+      (4.0, false), (5.0, true), (6.0, true))
+      .map { case (t, e) => ("m", t, e) }
+    val df = mice.toDF("g", "dur", "ev")
+    def run(tau: Double): Double =
+      Stats.rmst(df, Seq("g"), col("dur"), col("ev"), tau)
+        .head().getAs[Double]("rmst")
+    // survival steps: S=1 on [0,1), then the KM curve of the classic
+    // fixture — replay the rectangle sum with the same op order
+    def naive(tau: Double): Double = {
+      var p = 1.0; var pt = 0.0; var area = 0.0
+      val grid = Seq((1.0, 1L, 6L), (2.0, 0L, 5L), (3.0, 1L, 4L),
+        (4.0, 0L, 3L), (5.0, 1L, 2L), (6.0, 1L, 1L))
+      for ((t, d, n) <- grid) {
+        area += p * (math.min(t, tau) - math.min(pt, tau))
+        p = p * (1.0 - d.toDouble / n.toDouble)
+        pt = t
+      }
+      area + p * (tau - math.min(pt, tau))
+    }
+    for (tau <- Seq(0.5, 3.5, 6.0, 10.0))
+      assert(run(tau) == naive(tau), s"tau=$tau")
+    // tau before the first event: nobody can fail yet ⇒ rmst == tau
+    assert(run(0.5) == 0.5)
+    // tau -> large adds nothing after S hits 0 at t=6
+    assert(run(10.0) == naive(6.0))
+    // monotone non-decreasing in tau
+    assert(run(3.5) > run(0.5) && run(6.0) >= run(3.5))
+    // merged partials finalize bit-identically (shared stored seam)
+    val merged = Stats.rmstFromCounts(
+      Stats.mergeSurvivalCounts(Seq(
+        Stats.survivalCounts(df.limit(3), Seq("g"), col("dur"), col("ev")),
+        Stats.survivalCounts(df.except(df.limit(3)), Seq("g"),
+          col("dur"), col("ev"))), Seq("g")), Seq("g"), tau = 3.5)
+      .head().getAs[Double]("rmst")
+    assert(merged == run(3.5))
+  }
+
   test("gehanLogRank: naive replay bitwise; equals logRank z at a single event time; early-weighting") {
     import spark.implicits._
     val rng = new scala.util.Random(71)
