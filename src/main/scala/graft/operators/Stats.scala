@@ -2786,6 +2786,128 @@ object Stats {
           .otherwise("continue"))
   }
 
+  /** Mixture SPRT / always-valid p-value for a two-proportion metric
+    * (Johari, Koomen, Pekelis & Walsh, KDD 2017 — the "peeking-proof"
+    * test behind always-valid A/B dashboards): with the observed rate
+    * difference θ̂ and its variance s², the Gaussian-mixture likelihood
+    * ratio under mixing variance τ² is
+    *
+    *   Λ = √(s²/(s²+τ²)) · exp( θ̂²·τ² / (2·s²·(s²+τ²)) )
+    *
+    * and p_always_valid = min(1, 1/Λ) stays a valid p-value no matter
+    * how often the dashboard is refreshed (in a stream, keep the
+    * running min — Λ here is the at-rest batch face over the current
+    * exact counts, which IS the sequential statistic at this n).
+    *
+    * Exact counts from one aggregation; θ̂/s² are fixed float
+    * expressions; Λ and p carry exp (the ln convention — registered
+    * faces round them at 12dp); `significant` compares the UNROUNDED
+    * p to alpha. Null when an arm is empty or s² is degenerate (0).
+    *
+    * Output: groups... + (n_t, x_t, n_c, x_c, theta, s2, lambda,
+    * p_always_valid, significant). */
+  def msprt(df: DataFrame, groupCols: Seq[Column], treated: Column,
+      outcome: Column, tauSq: Double = 1e-4,
+      alpha: Double = 0.05): DataFrame = {
+    require(tauSq > 0.0, s"tauSq must be positive, got $tauSq")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
+    val t = treated.cast("boolean")
+    val o = outcome.cast("boolean")
+    val agg = df.filter(t.isNotNull && o.isNotNull)
+      .groupBy(groupCols: _*)
+      .agg(sum(when(t, 1L).otherwise(0L)).as("n_t"),
+        sum(when(t && o, 1L).otherwise(0L)).as("x_t"),
+        sum(when(!t, 1L).otherwise(0L)).as("n_c"),
+        sum(when(!t && o, 1L).otherwise(0L)).as("x_c"))
+    val nT = col("n_t").cast("double"); val nC = col("n_c").cast("double")
+    val pT = when(col("n_t") > 0L, col("x_t").cast("double") / nT)
+    val pC = when(col("n_c") > 0L, col("x_c").cast("double") / nC)
+    val theta = pT - pC
+    val s2 = pT * (lit(1.0) - pT) / nT + pC * (lit(1.0) - pC) / nC
+    val lam = when(s2 > 0.0,
+      sqrt(s2 / (s2 + lit(tauSq))) *
+        exp(theta * theta * lit(tauSq) /
+          (lit(2.0) * s2 * (s2 + lit(tauSq)))))
+    val p = when(lam.isNotNull, least(lit(1.0), lit(1.0) / lam))
+    agg
+      .withColumn("theta", theta)
+      .withColumn("s2", s2)
+      .withColumn("lambda", lam)
+      .withColumn("p_always_valid", p)
+      .withColumn("significant",
+        when(p.isNotNull, p < lit(alpha)))
+  }
+
+  /** Qini / uplift curve by score bucket (Radcliffe 2007) — the
+    * standard readout for "did the model find the persuadables": rank
+    * units by descending model score into `buckets` equal-depth
+    * buckets (deterministic (score desc, id) order), then per bucket
+    * the CUMULATIVE incremental gain
+    *
+    *   gain(b) = Xt(b) − Xc(b)·Nt(b)/Nc(b)
+    *
+    * against the random-targeting baseline gain(B)·(N(b)/N). All
+    * counts are exact BIGINT window sums over one exchange; gain /
+    * baseline / qini_contrib are +,·,/ expressions — everything
+    * hashes unrounded (no libm). Σ qini_contrib over buckets is the
+    * (unnormalized) Qini coefficient.
+    *
+    * Output: groups... + (bucket 1..B, n_t, x_t, n_c, x_c — all
+    * cumulative — gain, baseline, qini_contrib). */
+  def qiniCurve(df: DataFrame, groupCols: Seq[String], treated: Column,
+      outcome: Column, scoreCol: Column, idCol: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 100,
+      s"buckets in 2..100, got $buckets")
+    val t = treated.cast("boolean")
+    val o = outcome.cast("boolean")
+    val g = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*)
+      .orderBy(col("__score").desc, col("__id"))
+    val ranked = df.filter(t.isNotNull && o.isNotNull &&
+        scoreCol.isNotNull)
+      .select(g :+ t.as("__t") :+ o.as("__o") :+
+        scoreCol.cast("double").as("__score") :+ idCol.as("__id"): _*)
+      .withColumn("__b", ntile(buckets).over(w))
+    val byBucket = ranked.groupBy(g :+ col("__b").as("bucket"): _*)
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("bn_t"),
+        sum(when(col("__t") && col("__o"), 1L).otherwise(0L)).as("bx_t"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("bn_c"),
+        sum(when(!col("__t") && col("__o"), 1L).otherwise(0L))
+          .as("bx_c"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    val cum = byBucket
+      .withColumn("n_t", sum(col("bn_t")).over(wc))
+      .withColumn("x_t", sum(col("bx_t")).over(wc))
+      .withColumn("n_c", sum(col("bn_c")).over(wc))
+      .withColumn("x_c", sum(col("bx_c")).over(wc))
+      .withColumn("__tnt", sum(col("bn_t")).over(wAll))
+      .withColumn("__txt", sum(col("bx_t")).over(wAll))
+      .withColumn("__tnc", sum(col("bn_c")).over(wAll))
+      .withColumn("__txc", sum(col("bx_c")).over(wAll))
+    val gain = when(col("n_c") > 0L,
+      col("x_t").cast("double") - col("x_c").cast("double") *
+        col("n_t").cast("double") / col("n_c").cast("double"))
+    val totalGain = when(col("__tnc") > 0L,
+      col("__txt").cast("double") - col("__txc").cast("double") *
+        col("__tnt").cast("double") / col("__tnc").cast("double"))
+    val frac = (col("n_t") + col("n_c")).cast("double") /
+      (col("__tnt") + col("__tnc")).cast("double")
+    val baseline = totalGain * frac
+    cum
+      .withColumn("gain", gain)
+      .withColumn("baseline", baseline)
+      .withColumn("qini_contrib", gain - baseline)
+      .drop("bn_t", "bx_t", "bn_c", "bx_c",
+        "__tnt", "__txt", "__tnc", "__txc")
+  }
+
   /** Poisson(1) inverse CDF thresholds for [[poissonBootstrapMean]] —
     * cdf(k) for k = 0..7, written as exact decimal literals so a SQL
     * mirror embedding the SAME literals parses the SAME doubles (the

@@ -671,6 +671,38 @@ object Extras {
       .orderBy("cohort", "t")
   }
 
+  /** Always-valid p-value per event type ([[graft.operators.Stats
+    * .msprt]]): the mixture-SPRT two-proportion readout on the a_sprt
+    * fixture (even vs odd users, high-value outcome) — exact counts,
+    * fixed float tail; lambda/p carry exp and round at 12dp, the
+    * decision compares the unrounded p. */
+  def aMsprt(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.msprt(
+        t(s, dir, "events").filter(col("user_id").isNotNull &&
+          col("value").isNotNull),
+        Seq(col("event_type")), pmod(col("user_id"), lit(2)) === 0,
+        col("value") > 50.0, tauSq = 1e-4)
+      .withColumn("lambda", round(col("lambda"), 12))
+      .withColumn("p_always_valid", round(col("p_always_valid"), 12))
+      .orderBy("event_type")
+
+  /** Qini uplift curve per event type ([[graft.operators.Stats
+    * .qiniCurve]]): events ranked by a deterministic pseudo-score
+    * (Knuth-hash of event_id — uninformative by construction, so the
+    * curve hugs the random baseline), even/odd-user arms, high-value
+    * outcome; exact cumulative counts, +,·,/ tail — every column
+    * hashes unrounded. */
+  def aQiniCurve(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.qiniCurve(
+        t(s, dir, "events").filter(col("user_id").isNotNull &&
+          col("value").isNotNull && col("event_id").isNotNull),
+        Seq("event_type"), pmod(col("user_id"), lit(2)) === 0,
+        col("value") > 50.0,
+        pmod(col("event_id") * lit(2654435761L), lit(1000003L))
+          .cast("double") / lit(1000003.0),
+        col("event_id"))
+      .orderBy("event_type", "bucket")
+
   /** Restricted mean survival time at τ = 14 days per cohort ([[graft
     * .operators.Stats.rmst]]): the KM step-function integral on the
     * c_kaplan_meier fixture — one more accumulator in the same fold;
@@ -1209,6 +1241,8 @@ object Extras {
     "c_tarone_ware" -> (cTaroneWare _),
     "a_sprt" -> (aSprt _),
     "c_rmst" -> (cRmst _),
+    "a_msprt" -> (aMsprt _),
+    "a_qini_curve" -> (aQiniCurve _),
     "a_ratio_uplift" -> (aRatioUplift _),
     "c_position_attribution" -> (cPositionAttribution _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
@@ -1912,6 +1946,114 @@ object Extras {
         |SELECT cohort, t, n_risk, d AS n_events, c AS n_censored,
         |  p AS survival
         |FROM km WHERE i > 0 ORDER BY cohort, t""".stripMargin,
+    // mSPRT mirror: same counts, same fixed float tail, same literal
+    // tau-squared; lambda/p @12dp, significant from the unrounded p.
+    "a_msprt" ->
+      """WITH a AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0
+        |      AND value > CAST(50 AS DOUBLE) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x_t,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0
+        |      AND value > CAST(50 AS DOUBLE) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x_c
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |b AS (SELECT event_type, n_t, x_t, n_c, x_c,
+        |    CASE WHEN n_t > 0 THEN CAST(x_t AS DOUBLE)
+        |      / CAST(n_t AS DOUBLE) END AS pt,
+        |    CASE WHEN n_c > 0 THEN CAST(x_c AS DOUBLE)
+        |      / CAST(n_c AS DOUBLE) END AS pc
+        |  FROM a),
+        |d AS (SELECT event_type, n_t, x_t, n_c, x_c,
+        |    pt - pc AS theta,
+        |    pt * (CAST(1 AS DOUBLE) - pt) / CAST(n_t AS DOUBLE)
+        |      + pc * (CAST(1 AS DOUBLE) - pc) / CAST(n_c AS DOUBLE)
+        |      AS s2
+        |  FROM b),
+        |e AS (SELECT event_type, n_t, x_t, n_c, x_c, theta, s2,
+        |    CASE WHEN s2 > 0 THEN
+        |      sqrt(s2 / (s2 + CAST(0.0001 AS DOUBLE)))
+        |        * exp(theta * theta * CAST(0.0001 AS DOUBLE)
+        |          / (CAST(2 AS DOUBLE) * s2
+        |            * (s2 + CAST(0.0001 AS DOUBLE)))) END AS lam
+        |  FROM d),
+        |f AS (SELECT event_type, n_t, x_t, n_c, x_c, theta, s2, lam,
+        |    CASE WHEN lam IS NOT NULL
+        |      THEN least(CAST(1 AS DOUBLE), CAST(1 AS DOUBLE) / lam)
+        |      END AS p
+        |  FROM e)
+        |SELECT event_type, n_t, x_t, n_c, x_c, theta, s2,
+        |  ROUND(lam, 12) AS lambda, ROUND(p, 12) AS p_always_valid,
+        |  CASE WHEN p IS NOT NULL THEN p < CAST(0.05 AS DOUBLE) END
+        |    AS significant
+        |FROM f ORDER BY event_type""".stripMargin,
+    // Qini mirror: same deterministic pseudo-score, same NTILE
+    // buckets, exact cumulative window sums, identical float tail.
+    "a_qini_curve" ->
+      """WITH r AS (SELECT event_type,
+        |    user_id % 2 = 0 AS t, value > CAST(50 AS DOUBLE) AS o,
+        |    CAST((event_id * 2654435761) % 1000003 AS DOUBLE)
+        |      / CAST(1000003 AS DOUBLE) AS score,
+        |    event_id
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |n AS (SELECT event_type, t, o,
+        |    NTILE(10) OVER (PARTITION BY event_type
+        |      ORDER BY score DESC, event_id) AS bucket
+        |  FROM r),
+        |bb AS (SELECT event_type, bucket,
+        |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS bn_t,
+        |    CAST(SUM(CASE WHEN t AND o THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bx_t,
+        |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bn_c,
+        |    CAST(SUM(CASE WHEN NOT t AND o THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bx_c
+        |  FROM n GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bucket,
+        |    CAST(SUM(bn_t) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_t,
+        |    CAST(SUM(bx_t) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS x_t,
+        |    CAST(SUM(bn_c) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_c,
+        |    CAST(SUM(bx_c) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS x_c,
+        |    CAST(SUM(bn_t) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS tnt,
+        |    CAST(SUM(bx_t) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS txt,
+        |    CAST(SUM(bn_c) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS tnc,
+        |    CAST(SUM(bx_c) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS txc
+        |  FROM bb)
+        |SELECT event_type, bucket, n_t, x_t, n_c, x_c,
+        |  CASE WHEN n_c > 0 THEN CAST(x_t AS DOUBLE)
+        |    - CAST(x_c AS DOUBLE) * CAST(n_t AS DOUBLE)
+        |      / CAST(n_c AS DOUBLE) END AS gain,
+        |  (CASE WHEN tnc > 0 THEN CAST(txt AS DOUBLE)
+        |    - CAST(txc AS DOUBLE) * CAST(tnt AS DOUBLE)
+        |      / CAST(tnc AS DOUBLE) END)
+        |    * (CAST(n_t + n_c AS DOUBLE) / CAST(tnt + tnc AS DOUBLE))
+        |    AS baseline,
+        |  (CASE WHEN n_c > 0 THEN CAST(x_t AS DOUBLE)
+        |    - CAST(x_c AS DOUBLE) * CAST(n_t AS DOUBLE)
+        |      / CAST(n_c AS DOUBLE) END)
+        |  - (CASE WHEN tnc > 0 THEN CAST(txt AS DOUBLE)
+        |    - CAST(txc AS DOUBLE) * CAST(tnt AS DOUBLE)
+        |      / CAST(tnc AS DOUBLE) END)
+        |    * (CAST(n_t + n_c AS DOUBLE) / CAST(tnt + tnc AS DOUBLE))
+        |    AS qini_contrib
+        |FROM cum ORDER BY event_type, bucket""".stripMargin,
     // RMST mirror: the KM recursion carrying (p, prev_t, area); the
     // tail rectangle closes the integral on the final row.
     "c_rmst" ->

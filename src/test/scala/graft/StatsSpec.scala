@@ -1417,6 +1417,72 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("msprt: hand formula exact; planted effect flags, null does not; degenerate guards") {
+    import spark.implicits._
+    // strong effect: 70% vs 30% over 400/400
+    val strong = (0 until 400).map(i => ("g", true, i < 280)) ++
+      (0 until 400).map(i => ("g", false, i < 120))
+    val out = Stats.msprt(strong.toDF("g", "t", "o"), Seq(col("g")),
+      col("t"), col("o"), tauSq = 1e-4).head()
+    val pT = 280.0 / 400.0; val pC = 120.0 / 400.0
+    val theta = pT - pC
+    val s2 = pT * (1.0 - pT) / 400.0 + pC * (1.0 - pC) / 400.0
+    // Spark's codegen'd exp is StrictMath.exp (Math.exp's intrinsic
+    // can differ by 1 ulp on x86)
+    val lam = math.sqrt(s2 / (s2 + 1e-4)) *
+      StrictMath.exp(theta * theta * 1e-4 / (2.0 * s2 * (s2 + 1e-4)))
+    assert(out.getAs[Double]("theta") == theta)
+    assert(out.getAs[Double]("s2") == s2)
+    assert(out.getAs[Double]("lambda") == lam)
+    assert(out.getAs[Double]("p_always_valid") ==
+      math.min(1.0, 1.0 / lam))
+    assert(out.getAs[Boolean]("significant"))
+    assert(out.getAs[Double]("p_always_valid") < 0.01)
+    // null effect: p pegs at 1, not significant
+    val nul = (0 until 400).map(i => ("g", i % 2 == 0, i % 5 == 0))
+    val q = Stats.msprt(nul.toDF("g", "t", "o"), Seq(col("g")),
+      col("t"), col("o")).head()
+    assert(!q.getAs[Boolean]("significant"))
+    assert(q.getAs[Double]("p_always_valid") > 0.5)
+    // degenerate: both arms all-success ⇒ s2 = 0 ⇒ null lambda/p
+    val deg = Stats.msprt(Seq(("g", true, true), ("g", false, true))
+      .toDF("g", "t", "o"), Seq(col("g")), col("t"), col("o")).head()
+    assert(deg.isNullAt(deg.fieldIndex("lambda")) &&
+      deg.isNullAt(deg.fieldIndex("significant")))
+  }
+
+  test("qiniCurve: informative score lifts the curve above baseline; last bucket closes at zero; exact replay") {
+    import spark.implicits._
+    // 1000 units, 5 buckets of 200: score = persuadability; treated
+    // units convert iff persuadable (score > 0.8), controls never —
+    // a model that perfectly ranks persuadables first
+    val rows = (0 until 1000).map { i =>
+      val score = (999 - i).toDouble / 1000.0 // distinct, desc by i
+      val t = i % 2 == 0
+      val o = t && score > 0.8
+      ("g", t, o, score, i.toLong)
+    }
+    val out = Stats.qiniCurve(rows.toDF("g", "t", "o", "s", "id"),
+        Seq("g"), col("t"), col("o"), col("s"), col("id"), buckets = 5)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8)))).toMap
+    // bucket 1 = top 200 by score = i in 0..199: 100 treated, all
+    // converted (score > 0.8); 100 control, none
+    assert(out(1)._1 == 100L && out(1)._2 == 100L)
+    assert(out(1)._3 == 100L && out(1)._4 == 0L)
+    assert(out(1)._5 == 100.0) // gain = 100 − 0·1
+    // total gain = 100 (only the top fifth converts); baseline at
+    // bucket 1 = 100·(200/1000) = 20 ⇒ contrib 80
+    assert(out(1)._6 == 20.0 && out(1)._7 == 80.0)
+    // an informative model: strictly positive contribs until the
+    // curve closes; the LAST bucket always closes at exactly zero
+    assert(out(5)._5 == 100.0 && out(5)._6 == 100.0 && out(5)._7 == 0.0)
+    assert((1 to 4).forall(b => out(b)._7 > 0.0))
+    // cumulative counts telescope to the totals
+    assert(out(5)._1 == 500L && out(5)._3 == 500L)
+  }
+
   test("poissonBootstrapMean: naive md5 replay bitwise; CI brackets the mean; layout-proof") {
     import spark.implicits._
     val rng = new scala.util.Random(127)
