@@ -2048,6 +2048,107 @@ object Stats {
           .as("rmst")): _*)
   }
 
+  /** [[rmst]] plus its Greenwood-type variance (the survRM2
+    * convention): Var(RMST) = Σ_{tᵢ ≤ τ, 0 < dᵢ < nᵢ} Aᵢ²·dᵢ/(nᵢ(nᵢ−dᵢ))
+    * with Aᵢ = ∫_{tᵢ}^τ S(u)du — TWO in-row folds over the same
+    * bounded time grid (the first computes the total integral, the
+    * second re-walks it accumulating the variance with
+    * A = total − area-so-far). Output: groups... + (n_subjects, tau,
+    * rmst, var_rmst). */
+  def rmstWithVarFromCounts(counts: DataFrame, groupCols: Seq[String],
+      tau: Double, maxTimes: Int = 1000): DataFrame = {
+    require(tau > 0.0, s"tau must be positive, got $tau")
+    require(maxTimes >= 1 && maxTimes <= 10000,
+      s"rmstWithVar needs 1 <= maxTimes <= 10000, got $maxTimes")
+    val g = groupCols.map(col)
+    val grouped = counts.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("t"), col("d"), col("c"))))
+        .as("__s"),
+        sum(col("d") + col("c")).as("__n"))
+      .filter(assert_true(size(col("__s")) <= maxTimes,
+        lit(s"rmstWithVar: a group exceeds maxTimes=$maxTimes distinct " +
+          "times — bin durations coarser first")).isNull)
+    val s = col("__s")
+    def walk(acc: Column, x: Column): (Column, Column, Column, Column) = {
+      val n = col("__n") - acc.getField("u")
+      val t = x.getField("t").cast("double")
+      val seg = least(t, lit(tau)) - least(acc.getField("pt"), lit(tau))
+      val area2 = acc.getField("area") + acc.getField("p") * seg
+      val p2 = acc.getField("p") * (lit(1.0) -
+        x.getField("d").cast("double") / n.cast("double"))
+      val u2 = acc.getField("u") + x.getField("d") + x.getField("c")
+      (u2, p2, t, area2)
+    }
+    val fin1 = aggregate(s,
+      struct(lit(0L).as("u"), lit(1.0).as("p"), lit(0.0).as("pt"),
+        lit(0.0).as("area")),
+      (acc, x) => {
+        val (u2, p2, t, area2) = walk(acc, x)
+        struct(u2.as("u"), p2.as("p"), t.as("pt"), area2.as("area"))
+      })
+    val withTotal = grouped.withColumn("__total",
+      fin1.getField("area") + fin1.getField("p") *
+        (lit(tau) - least(fin1.getField("pt"), lit(tau))))
+    val fin2 = aggregate(s,
+      struct(lit(0L).as("u"), lit(1.0).as("p"), lit(0.0).as("pt"),
+        lit(0.0).as("area"), lit(0.0).as("v")),
+      (acc, x) => {
+        val n = col("__n") - acc.getField("u")
+        val d = x.getField("d")
+        val (u2, p2, t, area2) = walk(acc, x)
+        val a = col("__total") - area2
+        val informative = d > 0L && d < n &&
+          x.getField("t").cast("double") <= lit(tau)
+        val contrib = a * a * (d.cast("double") /
+          (n.cast("double") * (n - d).cast("double")))
+        struct(u2.as("u"), p2.as("p"), t.as("pt"), area2.as("area"),
+          (acc.getField("v") +
+            when(informative, contrib).otherwise(lit(0.0))).as("v"))
+      })
+    withTotal
+      .withColumn("__f", fin2)
+      .select(g ++ Seq(col("__n").as("n_subjects"),
+        lit(tau).as("tau"), col("__total").as("rmst"),
+        col("__f").getField("v").as("var_rmst")): _*)
+  }
+
+  /** Two-cohort RMST difference test (Royston & Parmar 2013 / the
+    * survRM2 readout) — the modern alternative to the log-rank family
+    * when proportional hazards fail: Δ = RMST₁(τ) − RMST₂(τ) with
+    * z = Δ/√(Var₁+Var₂). "How many extra event-free days does cohort
+    * 1 get in the first τ" is directly actionable where a log-rank χ²
+    * is not. Same [[survivalCounts]] machinery per cohort; all ops
+    * +,·,/,√ — hashes unrounded.
+    *
+    * Output per group: (n1, n2, rmst1, rmst2, diff, se, z); z null
+    * when the pooled variance is not positive. */
+  def rmstDiff(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column, cohort1: Column,
+      tau: Double, maxTimes: Int = 1000): DataFrame = {
+    val c1 = cohort1.cast("boolean")
+    val withCoh = df.filter(c1.isNotNull).withColumn("__coh", c1)
+    val perCoh = rmstWithVarFromCounts(
+      survivalCounts(withCoh, groupCols :+ "__coh", durationCol,
+        eventCol),
+      groupCols :+ "__coh", tau, maxTimes)
+    val g = groupCols.map(col)
+    val coh = col("__coh")
+    val agg = perCoh.groupBy(g: _*)
+      .agg(max(when(coh, col("n_subjects"))).as("n1"),
+        max(when(!coh, col("n_subjects"))).as("n2"),
+        max(when(coh, col("rmst"))).as("rmst1"),
+        max(when(!coh, col("rmst"))).as("rmst2"),
+        max(when(coh, col("var_rmst"))).as("__v1"),
+        max(when(!coh, col("var_rmst"))).as("__v2"))
+    val se = sqrt(col("__v1") + col("__v2"))
+    agg
+      .withColumn("diff", col("rmst1") - col("rmst2"))
+      .withColumn("se", se)
+      .withColumn("z", when(se > 0.0,
+        (col("rmst1") - col("rmst2")) / se))
+      .drop("__v1", "__v2")
+  }
+
   /** Kaplan–Meier with the Greenwood variance and a linear 95% CI —
     * the error-bar readout of the survival curve (Greenwood 1926):
     *
@@ -2293,15 +2394,39 @@ object Stats {
     * 1 — no variance). Output: groups... + (n_t, x_t, n_c, x_c,
     * rate_t, rate_c, uplift, z). */
   def proportionUplift(df: DataFrame, groupCols: Seq[Column],
-      treated: Column, outcome: Column): DataFrame = {
+      treated: Column, outcome: Column): DataFrame =
+    proportionUpliftFromCounts(armCounts(df, groupCols, treated, outcome))
+
+  /** The PARTIAL behind [[proportionUplift]] AND [[msprt]]: exact
+    * per-(group, arm) trial/success counts — four associative BIGINT
+    * sums, so batch-sliced partials re-summed per group are exactly
+    * the one-shot table, and BOTH readouts finalize from the same
+    * stored state. Unlike the per-unit seams, rows here are
+    * independent trials — no closed-subject constraint, any slicing
+    * works. */
+  def armCounts(df: DataFrame, groupCols: Seq[Column], treated: Column,
+      outcome: Column): DataFrame = {
     val t = treated.cast("boolean")
     val o = outcome.cast("boolean")
-    val agg = df.filter(t.isNotNull && o.isNotNull)
+    df.filter(t.isNotNull && o.isNotNull)
       .groupBy(groupCols: _*)
       .agg(sum(when(t, 1L).otherwise(0L)).as("n_t"),
         sum(when(t && o, 1L).otherwise(0L)).as("x_t"),
         sum(when(!t, 1L).otherwise(0L)).as("n_c"),
         sum(when(!t && o, 1L).otherwise(0L)).as("x_c"))
+  }
+
+  /** Merge [[armCounts]] tables: BIGINT re-sum per group. */
+  def mergeArmCounts(partials: Seq[DataFrame],
+      groupNames: Seq[String]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy(groupNames.map(col): _*)
+      .agg(sum(col("n_t")).as("n_t"), sum(col("x_t")).as("x_t"),
+        sum(col("n_c")).as("n_c"), sum(col("x_c")).as("x_c"))
+
+  /** Finalize a (possibly merged) [[armCounts]] table into the
+    * [[proportionUplift]] schema — the streaming-readout face. */
+  def proportionUpliftFromCounts(agg: DataFrame): DataFrame = {
     val nT = col("n_t"); val nC = col("n_c")
     val rT = when(nT > 0, col("x_t").cast("double") / nT.cast("double"))
     val rC = when(nC > 0, col("x_c").cast("double") / nC.cast("double"))
@@ -2808,17 +2933,19 @@ object Stats {
     * p_always_valid, significant). */
   def msprt(df: DataFrame, groupCols: Seq[Column], treated: Column,
       outcome: Column, tauSq: Double = 1e-4,
+      alpha: Double = 0.05): DataFrame =
+    msprtFromCounts(armCounts(df, groupCols, treated, outcome),
+      tauSq, alpha)
+
+  /** Finalize a (possibly merged) [[armCounts]] table into the
+    * [[msprt]] schema — the streaming-readout face: the live
+    * always-valid dashboard re-reads stored count deltas, never event
+    * history, and the validity-under-peeking guarantee is exactly why
+    * a continuously-refreshed readout of this number is sound. */
+  def msprtFromCounts(agg: DataFrame, tauSq: Double = 1e-4,
       alpha: Double = 0.05): DataFrame = {
     require(tauSq > 0.0, s"tauSq must be positive, got $tauSq")
     require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
-    val t = treated.cast("boolean")
-    val o = outcome.cast("boolean")
-    val agg = df.filter(t.isNotNull && o.isNotNull)
-      .groupBy(groupCols: _*)
-      .agg(sum(when(t, 1L).otherwise(0L)).as("n_t"),
-        sum(when(t && o, 1L).otherwise(0L)).as("x_t"),
-        sum(when(!t, 1L).otherwise(0L)).as("n_c"),
-        sum(when(!t && o, 1L).otherwise(0L)).as("x_c"))
     val nT = col("n_t").cast("double"); val nC = col("n_c").cast("double")
     val pT = when(col("n_t") > 0L, col("x_t").cast("double") / nT)
     val pC = when(col("n_c") > 0L, col("x_c").cast("double") / nC)

@@ -671,6 +671,27 @@ object Extras {
       .orderBy("cohort", "t")
   }
 
+  /** Two-cohort RMST difference at τ = 14 days ([[graft.operators
+    * .Stats.rmstDiff]]): even vs odd users on the c_log_rank fixture —
+    * per-cohort step integrals and Greenwood-type variances from two
+    * in-row folds each, then one subtraction and one √; every column
+    * hashes unrounded. */
+  def cRmstDiff(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    val users = e.groupBy(col("user_id"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("g", lit("all"))
+      .withColumn("churned", col("__last") < date_sub(col("__gmax"), 7))
+    graft.operators.Stats.rmstDiff(obs, Seq("g"), col("duration"),
+        col("churned"), pmod(col("user_id"), lit(2)) === 0, tau = 14.0)
+      .orderBy("g")
+  }
+
   /** Always-valid p-value per event type ([[graft.operators.Stats
     * .msprt]]): the mixture-SPRT two-proportion readout on the a_sprt
     * fixture (even vs odd users, high-value outcome) — exact counts,
@@ -1243,6 +1264,7 @@ object Extras {
     "c_rmst" -> (cRmst _),
     "a_msprt" -> (aMsprt _),
     "a_qini_curve" -> (aQiniCurve _),
+    "c_rmst_diff" -> (cRmstDiff _),
     "a_ratio_uplift" -> (aRatioUplift _),
     "c_position_attribution" -> (cPositionAttribution _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
@@ -1946,6 +1968,94 @@ object Extras {
         |SELECT cohort, t, n_risk, d AS n_events, c AS n_censored,
         |  p AS survival
         |FROM km WHERE i > 0 ORDER BY cohort, t""".stripMargin,
+    // RMST-difference mirror: the RMST recursion per cohort, a second
+    // recursion re-walking each cohort's grid for the Greenwood-type
+    // variance with A = total − area, then one pivot + subtraction.
+    "c_rmst_diff" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |gm AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT user_id % 2 = 0 AS coh, duration,
+        |    last_d < gm.gmax - 7 AS ev FROM u CROSS JOIN gm),
+        |cnt AS (SELECT coh, duration AS t,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1, 2),
+        |ord AS (SELECT coh, t, d, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY coh ORDER BY t)
+        |      AS BIGINT) AS i,
+        |    CAST(SUM(d + c) OVER (PARTITION BY coh) AS BIGINT)
+        |      AS n_total
+        |  FROM cnt),
+        |mx AS (SELECT coh, CAST(COUNT(*) AS BIGINT) AS m,
+        |    MAX(n_total) AS n_total FROM ord GROUP BY 1),
+        |km AS (
+        |  SELECT coh, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS used,
+        |    CAST(1 AS DOUBLE) AS p, CAST(0 AS DOUBLE) AS pt,
+        |    CAST(0 AS DOUBLE) AS area
+        |  FROM (SELECT DISTINCT coh FROM ord)
+        |  UNION ALL
+        |  SELECT o.coh, o.i, km.used + o.d + o.c,
+        |    km.p * (CAST(1 AS DOUBLE) - CAST(o.d AS DOUBLE)
+        |      / CAST(o.n_total - km.used AS DOUBLE)),
+        |    o.t,
+        |    km.area + km.p * (least(o.t, CAST(14 AS DOUBLE))
+        |      - least(km.pt, CAST(14 AS DOUBLE)))
+        |  FROM km JOIN ord o ON o.coh = km.coh AND o.i = km.i + 1),
+        |tot AS (SELECT km.coh, mx.n_total,
+        |    km.area + km.p * (CAST(14 AS DOUBLE)
+        |      - least(km.pt, CAST(14 AS DOUBLE))) AS total
+        |  FROM km JOIN mx ON mx.coh = km.coh AND km.i = mx.m),
+        |vr AS (
+        |  SELECT coh, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS used,
+        |    CAST(1 AS DOUBLE) AS p, CAST(0 AS DOUBLE) AS pt,
+        |    CAST(0 AS DOUBLE) AS area, CAST(0 AS DOUBLE) AS v
+        |  FROM (SELECT DISTINCT coh FROM ord)
+        |  UNION ALL
+        |  SELECT o.coh, o.i, vr.used + o.d + o.c,
+        |    vr.p * (CAST(1 AS DOUBLE) - CAST(o.d AS DOUBLE)
+        |      / CAST(o.n_total - vr.used AS DOUBLE)),
+        |    o.t,
+        |    vr.area + vr.p * (least(o.t, CAST(14 AS DOUBLE))
+        |      - least(vr.pt, CAST(14 AS DOUBLE))),
+        |    vr.v + CASE WHEN o.d > 0 AND o.d < o.n_total - vr.used
+        |        AND o.t <= CAST(14 AS DOUBLE)
+        |      THEN (t2.total - (vr.area + vr.p *
+        |          (least(o.t, CAST(14 AS DOUBLE))
+        |            - least(vr.pt, CAST(14 AS DOUBLE)))))
+        |        * (t2.total - (vr.area + vr.p *
+        |          (least(o.t, CAST(14 AS DOUBLE))
+        |            - least(vr.pt, CAST(14 AS DOUBLE)))))
+        |        * (CAST(o.d AS DOUBLE)
+        |          / (CAST(o.n_total - vr.used AS DOUBLE)
+        |            * CAST(o.n_total - vr.used - o.d AS DOUBLE)))
+        |      ELSE CAST(0 AS DOUBLE) END
+        |  FROM vr JOIN ord o ON o.coh = vr.coh AND o.i = vr.i + 1
+        |    JOIN tot t2 ON t2.coh = vr.coh),
+        |fin AS (SELECT vr.coh, tot.n_total, tot.total, vr.v
+        |  FROM vr JOIN mx ON mx.coh = vr.coh AND vr.i = mx.m
+        |  JOIN tot ON tot.coh = vr.coh)
+        |SELECT 'all' AS g,
+        |  MAX(CASE WHEN coh THEN n_total END) AS n1,
+        |  MAX(CASE WHEN NOT coh THEN n_total END) AS n2,
+        |  MAX(CASE WHEN coh THEN total END) AS rmst1,
+        |  MAX(CASE WHEN NOT coh THEN total END) AS rmst2,
+        |  MAX(CASE WHEN coh THEN total END)
+        |    - MAX(CASE WHEN NOT coh THEN total END) AS diff,
+        |  sqrt(MAX(CASE WHEN coh THEN v END)
+        |    + MAX(CASE WHEN NOT coh THEN v END)) AS se,
+        |  CASE WHEN sqrt(MAX(CASE WHEN coh THEN v END)
+        |      + MAX(CASE WHEN NOT coh THEN v END)) > 0
+        |    THEN (MAX(CASE WHEN coh THEN total END)
+        |      - MAX(CASE WHEN NOT coh THEN total END))
+        |      / sqrt(MAX(CASE WHEN coh THEN v END)
+        |        + MAX(CASE WHEN NOT coh THEN v END)) END AS z
+        |FROM fin""".stripMargin,
     // mSPRT mirror: same counts, same fixed float tail, same literal
     // tau-squared; lambda/p @12dp, significant from the unrounded p.
     "a_msprt" ->

@@ -779,6 +779,49 @@ object StreamingTimeSeries {
           .dropDuplicates("channel", "batch_id").drop("batch_id"))),
       channels)
 
+  /** Streaming experiment-counts maintenance — the ingestion face of
+    * [[graft.operators.Stats.proportionUplift]] AND [[graft.operators
+    * .Stats.msprt]]: each micro-batch of independent trials reduces to
+    * per-group exact (n_t, x_t, n_c, x_c) deltas (batch_id replay
+    * guard); BOTH readouts finalize from the one merged table — and
+    * mSPRT's validity under continuous monitoring is precisely what
+    * makes a live always-refreshing readout of this state sound. */
+  def startArmCountsQuery(events: DataFrame, groupCol: String,
+      treatedCol: String, outcomeCol: String, targetDir: String,
+      checkpointDir: String) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Stats
+          .armCounts(batch.toDF(), Seq(col(groupCol)), col(treatedCol),
+            col(outcomeCol))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$targetDir/arm_counts")
+      }
+      .start()
+
+  /** Whole-stream two-proportion uplift from the stored count deltas —
+    * bit-identical to batch. */
+  def mergedProportionUplift(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.proportionUpliftFromCounts(
+      graft.operators.Stats.mergeArmCounts(
+        Seq(spark.read.parquet(s"$targetDir/arm_counts")
+          .dropDuplicates(groupCol, "batch_id").drop("batch_id")),
+        Seq(groupCol)))
+
+  /** Whole-stream always-valid p-value from the SAME stored deltas —
+    * the peeking-proof live dashboard readout. */
+  def mergedMsprt(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String, tauSq: Double = 1e-4,
+      alpha: Double = 0.05): DataFrame =
+    graft.operators.Stats.msprtFromCounts(
+      graft.operators.Stats.mergeArmCounts(
+        Seq(spark.read.parquet(s"$targetDir/arm_counts")
+          .dropDuplicates(groupCol, "batch_id").drop("batch_id")),
+        Seq(groupCol)), tauSq, alpha)
+
   /** Streaming ratio-metric experiment maintenance — the ingestion
     * face of [[graft.operators.Stats.ratioUplift]]: each micro-batch
     * of CLOSED units' events reduces to per-(group, arm) exact BIGINT

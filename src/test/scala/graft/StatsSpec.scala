@@ -1208,6 +1208,65 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == run(3.5))
   }
 
+  test("rmstDiff: naive two-walk replay bitwise; early-failure cohort loses event-free days; flip negates") {
+    import spark.implicits._
+    val rng = new scala.util.Random(79)
+    val subj = (0 until 160).map { i =>
+      val c1 = i % 2 == 0
+      val dur = if (c1) 1 + rng.nextInt(6) else 5 + rng.nextInt(8)
+      ("g", dur.toDouble, rng.nextInt(5) > 0, c1)
+    }
+    val df = subj.toDF("g", "dur", "ev", "c1")
+    val tau = 8.0
+    val out = Stats.rmstDiff(df, Seq("g"), col("dur"), col("ev"),
+      col("c1"), tau).head()
+    // naive replay: the same two ascending-time walks per cohort
+    def cohortStats(rows: Seq[(Double, Boolean)]): (Long, Double, Double) = {
+      val n = rows.size.toLong
+      val grid = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (t, at) => (t, at.count(_._2).toLong, at.size.toLong) }
+      var p = 1.0; var pt = 0.0; var area = 0.0; var u = 0L
+      for ((t, d, all) <- grid) {
+        val nn = n - u
+        area += p * (math.min(t, tau) - math.min(pt, tau))
+        p = p * (1.0 - d.toDouble / nn.toDouble)
+        pt = t; u += all
+      }
+      val total = area + p * (tau - math.min(pt, tau))
+      p = 1.0; pt = 0.0; area = 0.0; u = 0L
+      var v = 0.0
+      for ((t, d, all) <- grid) {
+        val nn = n - u
+        val area2 = area + p * (math.min(t, tau) - math.min(pt, tau))
+        if (d > 0 && d < nn && t <= tau) {
+          val a = total - area2
+          v += a * a * (d.toDouble / (nn.toDouble * (nn - d).toDouble))
+        }
+        p = p * (1.0 - d.toDouble / nn.toDouble)
+        pt = t; area = area2; u += all
+      }
+      (n, total, v)
+    }
+    val (n1, r1, v1) = cohortStats(subj.filter(_._4)
+      .map(s => (s._2, s._3)))
+    val (n2, r2, v2) = cohortStats(subj.filterNot(_._4)
+      .map(s => (s._2, s._3)))
+    assert(out.getAs[Long]("n1") == n1 && out.getAs[Long]("n2") == n2)
+    assert(out.getAs[Double]("rmst1") == r1)
+    assert(out.getAs[Double]("rmst2") == r2)
+    assert(out.getAs[Double]("diff") == r1 - r2)
+    assert(out.getAs[Double]("se") == math.sqrt(v1 + v2))
+    assert(out.getAs[Double]("z") == (r1 - r2) / math.sqrt(v1 + v2))
+    // cohort 1 fails early ⇒ FEWER event-free days over [0, 8]
+    assert(out.getAs[Double]("diff") < -0.5)
+    assert(out.getAs[Double]("z") < -3.0)
+    // swapping the cohort negates diff/z exactly, se unchanged
+    val sw = Stats.rmstDiff(df, Seq("g"), col("dur"), col("ev"),
+      !col("c1"), tau).head()
+    assert(sw.getAs[Double]("diff") == -(r1 - r2))
+    assert(sw.getAs[Double]("se") == math.sqrt(v1 + v2))
+  }
+
   test("gehanLogRank: naive replay bitwise; equals logRank z at a single event time; early-weighting") {
     import spark.implicits._
     val rng = new scala.util.Random(71)

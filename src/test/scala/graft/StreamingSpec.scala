@@ -792,6 +792,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming arm counts: merged proportion uplift AND msprt == one-shot batch, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("arm_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("arm_ckpt").toString
+    val rng = new scala.util.Random(113)
+    // independent trials (no closed-subject constraint: any slicing)
+    val all = (0 until 900).map { i =>
+      ("g" + (i % 2), i % 2 == 0 || i % 3 == 0,
+        rng.nextDouble() < (if (i % 2 == 0) 0.5 else 0.3))
+    }
+    val input = MemoryStream[(String, Boolean, Boolean)]
+    val q = StreamingTimeSeries.startArmCountsQuery(
+      input.toDF().toDF("g", "t", "o"), "g", "t", "o", base, ckpt)
+    try {
+      Seq(all.take(100), all.slice(100, 600), all.drop(600))
+        .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      import graft.operators.Stats
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val df = all.toDF("g", "t", "o")
+      val wantU = rows(Stats.proportionUplift(df, Seq(col("g")),
+        col("t"), col("o")))
+      val wantM = rows(Stats.msprt(df, Seq(col("g")), col("t"),
+        col("o")))
+      assert(rows(StreamingTimeSeries.mergedProportionUplift(spark,
+        base, "g")) == wantU)
+      assert(rows(StreamingTimeSeries.mergedMsprt(spark, base, "g"))
+        == wantM)
+      spark.read.parquet(s"$base/arm_counts")
+        .filter(col("batch_id") === 1L)
+        .write.mode("append").parquet(s"$base/arm_counts")
+      assert(rows(StreamingTimeSeries.mergedProportionUplift(spark,
+        base, "g")) == wantU, "replayed count deltas double-counted")
+      assert(rows(StreamingTimeSeries.mergedMsprt(spark, base, "g"))
+        == wantM, "replayed count deltas double-counted into msprt")
+    } finally q.stop()
+  }
+
   test("streaming ratio moments: merged delta-method uplift == one-shot batch, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
