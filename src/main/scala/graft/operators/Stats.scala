@@ -2223,6 +2223,126 @@ object Stats {
         .map(f => col("__e").getField(f).as(f)): _*)
   }
 
+  /** Aalen–Johansen cumulative incidence per group (Aalen & Johansen
+    * 1978) — competing risks done right: when a subject can fail from
+    * one of K mutually exclusive causes (churned-to-competitor vs
+    * churned-dormant, hardware vs software failure), 1 − KM per cause
+    * OVERSTATES every cause's incidence because it treats competing
+    * failures as censoring. The AJ estimator attributes risk exactly:
+    *
+    *   CIF_k(t) = Σ_{tᵢ ≤ t} S(tᵢ−) · d_{k,i} / nᵢ
+    *
+    * with S the ALL-CAUSE Kaplan–Meier and d_{k,i} the cause-k events
+    * at tᵢ; Σ_k CIF_k(t) + S(t) = 1 at every event time.
+    *
+    * Same thinning shape as [[kaplanMeier]]: one data-sized pass to
+    * exact per-(group, t) counts (a BIGINT per cause + censored), then
+    * bounded in-row folds. The fold updates each CIF with the PRE-time
+    * survival before stepping the product, so a stepwise mirror
+    * recursion replays bit-for-bit (cif += p·(d_k/n), then
+    * p *= 1 − d_tot/n — all +,·,/, hashes unrounded).
+    *
+    * Output (long): groups... + (t, n_risk, survival, cause ∈ 1..K,
+    * n_events, cif) — K rows per distinct time; `survival` is the
+    * all-cause S(t) AFTER the step. Cause 0 in `causeCol` means
+    * right-censored. */
+  def aalenJohansen(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, causeCol: Column, nCauses: Int,
+      maxTimes: Int = 1000): DataFrame =
+    aalenJohansenFromCounts(
+      causeSurvivalCounts(df, groupCols, durationCol, causeCol, nCauses),
+      groupCols, nCauses, maxTimes)
+
+  /** The PARTIAL behind [[aalenJohansen]]: exact per-(group, t) counts
+    * with a BIGINT per cause (array position k−1 = cause k) plus the
+    * censored count — all associative sums over CLOSED subject
+    * observations (same streaming contract as [[survivalCounts]]: an
+    * open subject's duration/cause would mutate). A cause outside
+    * 0..nCauses fails fast rather than silently dropping risk mass. */
+  def causeSurvivalCounts(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, causeCol: Column, nCauses: Int): DataFrame = {
+    require(nCauses >= 1 && nCauses <= 20,
+      s"causeSurvivalCounts needs 1 <= nCauses <= 20, got $nCauses")
+    val cs = causeCol.cast("int")
+    df.filter(durationCol.isNotNull && cs.isNotNull)
+      .filter(assert_true(cs >= 0 && cs <= nCauses,
+        lit(s"causeSurvivalCounts: cause outside 0..$nCauses")).isNull)
+      .groupBy(groupCols.map(col) :+ durationCol.cast("double").as("t"): _*)
+      .agg(array((1 to nCauses).map(k =>
+          sum(when(cs === k, 1L).otherwise(0L))): _*).as("ds"),
+        sum(when(cs === 0, 1L).otherwise(0L)).as("c"))
+  }
+
+  /** Merge [[causeSurvivalCounts]] tables: element-wise BIGINT re-sum
+    * per (group, t). */
+  def mergeCauseSurvivalCounts(partials: Seq[DataFrame],
+      groupNames: Seq[String], nCauses: Int): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy((groupNames :+ "t").map(col): _*)
+      .agg(array((1 to nCauses).map(k =>
+          sum(element_at(col("ds"), k))): _*).as("ds"),
+        sum(col("c")).as("c"))
+
+  /** Finalize a (possibly merged) [[causeSurvivalCounts]] table into
+    * the [[aalenJohansen]] schema — the streaming-readout face. */
+  def aalenJohansenFromCounts(counts: DataFrame, groupCols: Seq[String],
+      nCauses: Int, maxTimes: Int = 1000): DataFrame = {
+    require(maxTimes >= 1 && maxTimes <= 10000,
+      s"aalenJohansen needs 1 <= maxTimes <= 10000, got $maxTimes")
+    val g = groupCols.map(col)
+    val dTotOf = (x: Column) =>
+      aggregate(x.getField("ds"), lit(0L), (a, d) => a + d)
+    val grouped = counts.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("t"), col("ds"), col("c"))))
+        .as("__s"),
+        sum(aggregate(col("ds"), lit(0L), (a, d) => a + d) + col("c"))
+          .as("__n"))
+      .filter(assert_true(size(col("__s")) <= maxTimes,
+        lit(s"aalenJohansen: a group exceeds maxTimes=$maxTimes distinct " +
+          "times — bin durations coarser first")).isNull)
+    val s = col("__s")
+    val rows = transform(sequence(lit(1), size(s)), i => {
+      // running (consumed, survival, cifs) over times 1..i — each CIF
+      // takes its increment at the PRE-time survival, then the product
+      // steps, so the fold is the textbook AJ recursion verbatim
+      val fin = aggregate(slice(s, lit(1), i),
+        struct(lit(0L).as("u"), lit(1.0).as("p"),
+          array_repeat(lit(0.0), nCauses).as("cifs")),
+        (acc, x) => {
+          val n = col("__n") - acc.getField("u")
+          val dTot = dTotOf(x)
+          val cifs2 = transform(sequence(lit(1), lit(nCauses)), k =>
+            element_at(acc.getField("cifs"), k) + acc.getField("p") *
+              (element_at(x.getField("ds"), k).cast("double") /
+                n.cast("double")))
+          struct(
+            (acc.getField("u") + dTot + x.getField("c")).as("u"),
+            (acc.getField("p") * (lit(1.0) -
+              dTot.cast("double") / n.cast("double"))).as("p"),
+            cifs2.as("cifs"))
+        })
+      val prior = aggregate(slice(s, lit(1), i - 1), lit(0L),
+        (a, x) => a + dTotOf(x) + x.getField("c"))
+      struct(element_at(s, i).getField("t").as("t"),
+        (col("__n") - prior).as("n_risk"),
+        element_at(s, i).getField("ds").as("ds"),
+        fin.getField("p").as("survival"),
+        fin.getField("cifs").as("cifs"))
+    })
+    grouped
+      .withColumn("__e", explode(rows))
+      .select(col("*"),
+        posexplode(col("__e").getField("cifs")).as(Seq("__pos", "cif")))
+      .withColumn("cause", (col("__pos") + 1).cast("int"))
+      .select(g ++ Seq(col("__e").getField("t").as("t"),
+        col("__e").getField("n_risk").as("n_risk"),
+        col("__e").getField("survival").as("survival"),
+        col("cause"),
+        element_at(col("__e").getField("ds"), col("cause"))
+          .as("n_events"),
+        col("cif")): _*)
+  }
+
   /** Gehan–Breslow (generalized Wilcoxon) weighted log-rank per group
     * (Gehan, Biometrika 1965; Breslow 1970) — the early-difference-
     * sensitive companion of [[logRank]]: each time's O−E contribution

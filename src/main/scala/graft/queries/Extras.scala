@@ -692,6 +692,32 @@ object Extras {
       .orderBy("g")
   }
 
+  /** Competing-risks cumulative incidence ([[graft.operators.Stats
+    * .aalenJohansen]]): the c_log_rank observation fixture with churn
+    * split into two competing causes (even vs odd total event count) —
+    * cause-specific exact counts per day, the AJ recursion carrying
+    * (used, survival, cif1, cif2); all ops +,·,/ so every column
+    * hashes unrounded. */
+  def cCumInc(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    val users = e.groupBy(col("user_id"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"),
+        count(lit(1)).as("__cnt"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("g", lit("all"))
+      .withColumn("cause",
+        when(col("__last") >= date_sub(col("__gmax"), 7), 0)
+          .otherwise(when(pmod(col("__cnt"), lit(2)) === 0, 1)
+            .otherwise(2)))
+    graft.operators.Stats.aalenJohansen(obs, Seq("g"), col("duration"),
+        col("cause"), nCauses = 2)
+      .orderBy("g", "t", "cause")
+  }
+
   /** Always-valid p-value per event type ([[graft.operators.Stats
     * .msprt]]): the mixture-SPRT two-proportion readout on the a_sprt
     * fixture (even vs odd users, high-value outcome) — exact counts,
@@ -1265,6 +1291,7 @@ object Extras {
     "a_msprt" -> (aMsprt _),
     "a_qini_curve" -> (aQiniCurve _),
     "c_rmst_diff" -> (cRmstDiff _),
+    "c_cuminc" -> (cCumInc _),
     "a_ratio_uplift" -> (aRatioUplift _),
     "c_position_attribution" -> (cPositionAttribution _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
@@ -2056,6 +2083,60 @@ object Extras {
         |      / sqrt(MAX(CASE WHEN coh THEN v END)
         |        + MAX(CASE WHEN NOT coh THEN v END)) END AS z
         |FROM fin""".stripMargin,
+    // Aalen-Johansen mirror: cause-specific daily counts, the AJ
+    // recursion carrying (used, p, cif1, cif2) — CIF increments at the
+    // PRE-step survival, product steps after, verbatim the fold order.
+    "c_cuminc" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d,
+        |    COUNT(*) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |gm AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT duration,
+        |    CASE WHEN last_d >= gm.gmax - 7 THEN 0
+        |         WHEN cnt % 2 = 0 THEN 1 ELSE 2 END AS cause
+        |  FROM u CROSS JOIN gm),
+        |cnt AS (SELECT duration AS t,
+        |    CAST(SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d1,
+        |    CAST(SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d2,
+        |    CAST(SUM(CASE WHEN cause = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM obs GROUP BY 1),
+        |ord AS (SELECT t, d1, d2, c,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS i
+        |  FROM cnt),
+        |nt AS (SELECT CAST(SUM(d1 + d2 + c) AS BIGINT) AS n_total,
+        |    CAST(COUNT(*) AS BIGINT) AS m FROM ord),
+        |aj AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS used,
+        |    CAST(1 AS DOUBLE) AS p, CAST(0 AS DOUBLE) AS cif1,
+        |    CAST(0 AS DOUBLE) AS cif2, CAST(0 AS DOUBLE) AS t,
+        |    CAST(0 AS BIGINT) AS nr, CAST(0 AS BIGINT) AS d1,
+        |    CAST(0 AS BIGINT) AS d2
+        |  UNION ALL
+        |  SELECT o.i, aj.used + o.d1 + o.d2 + o.c,
+        |    aj.p * (CAST(1 AS DOUBLE) - CAST(o.d1 + o.d2 AS DOUBLE)
+        |      / CAST(nt.n_total - aj.used AS DOUBLE)),
+        |    aj.cif1 + aj.p * (CAST(o.d1 AS DOUBLE)
+        |      / CAST(nt.n_total - aj.used AS DOUBLE)),
+        |    aj.cif2 + aj.p * (CAST(o.d2 AS DOUBLE)
+        |      / CAST(nt.n_total - aj.used AS DOUBLE)),
+        |    o.t, nt.n_total - aj.used, o.d1, o.d2
+        |  FROM aj JOIN ord o ON o.i = aj.i + 1 CROSS JOIN nt)
+        |SELECT 'all' AS g, t, nr AS n_risk, p AS survival,
+        |  1 AS cause, d1 AS n_events, cif1 AS cif
+        |FROM aj WHERE i > 0
+        |UNION ALL
+        |SELECT 'all' AS g, t, nr AS n_risk, p AS survival,
+        |  2 AS cause, d2 AS n_events, cif2 AS cif
+        |FROM aj WHERE i > 0
+        |ORDER BY g, t, cause""".stripMargin,
     // mSPRT mirror: same counts, same fixed float tail, same literal
     // tau-squared; lambda/p @12dp, significant from the unrounded p.
     "a_msprt" ->

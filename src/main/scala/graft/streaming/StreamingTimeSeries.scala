@@ -779,6 +779,39 @@ object StreamingTimeSeries {
           .dropDuplicates("channel", "batch_id").drop("batch_id"))),
       channels)
 
+  /** Streaming competing-risks maintenance — the ingestion face of
+    * [[graft.operators.Stats.aalenJohansen]]: each micro-batch of
+    * CLOSED subjects (same contract as survival: an open subject's
+    * duration/cause would mutate) reduces to per-(group, t) exact
+    * cause-count deltas (a BIGINT per cause + censored; batch_id
+    * replay guard); element-wise re-sum finalizes to cumulative
+    * incidence bit-identical to batch. */
+  def startCauseSurvivalCountsQuery(subjects: DataFrame,
+      groupCol: String, durationCol: String, causeCol: String,
+      nCauses: Int, targetDir: String, checkpointDir: String) =
+    subjects
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Stats
+          .causeSurvivalCounts(batch.toDF(), Seq(groupCol),
+            col(durationCol), col(causeCol), nCauses)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$targetDir/cause_surv_counts")
+      }
+      .start()
+
+  /** Whole-stream Aalen–Johansen cumulative incidence from the stored
+    * cause-count deltas — bit-identical to batch. */
+  def mergedAalenJohansen(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String, nCauses: Int): DataFrame =
+    graft.operators.Stats.aalenJohansenFromCounts(
+      graft.operators.Stats.mergeCauseSurvivalCounts(
+        Seq(spark.read.parquet(s"$targetDir/cause_surv_counts")
+          .dropDuplicates(groupCol, "t", "batch_id").drop("batch_id")),
+        Seq(groupCol), nCauses),
+      Seq(groupCol), nCauses)
+
   /** Streaming experiment-counts maintenance — the ingestion face of
     * [[graft.operators.Stats.proportionUplift]] AND [[graft.operators
     * .Stats.msprt]]: each micro-batch of independent trials reduces to

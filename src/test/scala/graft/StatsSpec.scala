@@ -1267,6 +1267,74 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sw.getAs[Double]("se") == math.sqrt(v1 + v2))
   }
 
+  test("aalenJohansen: naive replay bitwise; CIFs + survival close to 1; beats 1-KM overstatement; merged slices bitwise") {
+    import spark.implicits._
+    val rng = new scala.util.Random(83)
+    val subj = (0 until 180).map { i =>
+      val d = 1 + rng.nextInt(10)
+      val cause = rng.nextInt(4) match {
+        case 0 => 0; case 3 => 2; case _ => 1 }
+      ("g" + (i % 2), d.toDouble, cause)
+    }
+    val df = subj.toDF("g", "dur", "cause")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getDouble(1), r.getInt(4))
+    val got = Stats.aalenJohansen(df, Seq("g"), col("dur"),
+      col("cause"), nCauses = 2).collect().map(r => key(r) -> r).toMap
+    // naive single-threaded replay with the same float-op order
+    def replay(rows: Seq[(Double, Int)]) = {
+      val n = rows.size.toLong
+      val grid = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, at) =>
+        (t, Array(at.count(_._2 == 1).toLong, at.count(_._2 == 2).toLong),
+          at.count(_._2 == 0).toLong) }
+      var u = 0L; var p = 1.0; val cifs = Array(0.0, 0.0)
+      grid.flatMap { case (t, ds, c) =>
+        val nn = n - u
+        for (k <- 0 until 2)
+          cifs(k) = cifs(k) + p * (ds(k).toDouble / nn.toDouble)
+        p = p * (1.0 - (ds(0) + ds(1)).toDouble / nn.toDouble)
+        u += ds(0) + ds(1) + c
+        Seq((t, nn, p, 1, ds(0), cifs(0)), (t, nn, p, 2, ds(1), cifs(1)))
+      }
+    }
+    var checked = 0
+    for (g <- Seq("g0", "g1");
+         (t, nr, p, k, d, cif) <- replay(subj.filter(_._1 == g)
+           .map(s => (s._2, s._3)))) {
+      val r = got((g, t, k))
+      assert(r.getLong(2) == nr && r.getDouble(3) == p)
+      assert(r.getLong(5) == d && r.getDouble(6) == cif)
+      checked += 1
+    }
+    assert(checked == got.size && checked > 30)
+    // at the last time of each group, CIF1 + CIF2 + S(t) ≈ 1
+    for (g <- Seq("g0", "g1")) {
+      val tMax = got.keys.filter(_._1 == g).map(_._2).max
+      val s = got((g, tMax, 1)).getDouble(3)
+      val tot = got((g, tMax, 1)).getDouble(6) +
+        got((g, tMax, 2)).getDouble(6) + s
+      assert(math.abs(tot - 1.0) < 1e-12)
+    }
+    // competing-risks honesty: 1 − KM treating cause 2 as censoring
+    // OVERSTATES cause-1 incidence wherever cause-2 events precede
+    val naive1 = Stats.kaplanMeier(df.filter(col("cause") =!= 2),
+        Seq("g"), col("dur"), col("cause") === 1)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (1.0 - r.getAs[Double]("survival"))).toMap
+    val overstated = got.collect { case ((g, t, 1), r)
+      if naive1.contains((g, t)) => naive1((g, t)) - r.getDouble(6) }
+    assert(overstated.count(_ > 1e-9) > overstated.size / 2)
+    assert(overstated.forall(_ > -1e-12))
+    // merged batch-sliced partials finalize bit-identically
+    val slices = Seq(subj.take(40), subj.slice(40, 130), subj.drop(130))
+      .map(s => Stats.causeSurvivalCounts(s.toDF("g", "dur", "cause"),
+        Seq("g"), col("dur"), col("cause"), 2))
+    val merged = Stats.aalenJohansenFromCounts(
+      Stats.mergeCauseSurvivalCounts(slices, Seq("g"), 2), Seq("g"), 2)
+      .collect().map(r => key(r) -> r.toSeq).toMap
+    assert(merged == got.map { case (k, r) => k -> r.toSeq })
+  }
+
   test("gehanLogRank: naive replay bitwise; equals logRank z at a single event time; early-weighting") {
     import spark.implicits._
     val rng = new scala.util.Random(71)

@@ -792,6 +792,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming cause counts: merged Aalen-Johansen == one-shot batch, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("aj_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("aj_ckpt").toString
+    val rng = new scala.util.Random(127)
+    // CLOSED subjects: (duration, cause) immutable facts
+    val all = (0 until 300).map { i =>
+      ("g" + (i % 2), (1 + rng.nextInt(9)).toDouble,
+        rng.nextInt(4) match { case 0 => 0; case 3 => 2; case _ => 1 })
+    }
+    val input = MemoryStream[(String, Double, Int)]
+    val q = StreamingTimeSeries.startCauseSurvivalCountsQuery(
+      input.toDF().toDF("g", "dur", "cause"), "g", "dur", "cause", 2,
+      base, ckpt)
+    try {
+      Seq(all.take(70), all.slice(70, 220), all.drop(220))
+        .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      import graft.operators.Stats
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getDouble(1),
+          r.getInt(4)) -> r.toSeq).toMap
+      val want = rows(Stats.aalenJohansen(all.toDF("g", "dur", "cause"),
+        Seq("g"), col("dur"), col("cause"), 2))
+      assert(rows(StreamingTimeSeries.mergedAalenJohansen(spark, base,
+        "g", 2)) == want)
+      spark.read.parquet(s"$base/cause_surv_counts")
+        .filter(col("batch_id") === 1L)
+        .write.mode("append").parquet(s"$base/cause_surv_counts")
+      assert(rows(StreamingTimeSeries.mergedAalenJohansen(spark, base,
+        "g", 2)) == want, "replayed cause deltas double-counted")
+    } finally q.stop()
+  }
+
   test("streaming arm counts: merged proportion uplift AND msprt == one-shot batch, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
