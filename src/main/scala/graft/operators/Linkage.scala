@@ -282,6 +282,39 @@ object Linkage {
       emIters: Int = 3, shingleK: Int = 3, numHashes: Int = 24,
       bands: Int = 8, maxBucket: Int = 200,
       family: Dedup.MinhashFamily = Dedup.XxMinhash): DataFrame = {
+    val (base, pairs, fieldRefs) = erCandidatePairs(records, idCol,
+      blockTextCol, attrs, fields, shingleK, numHashes, bands,
+      maxBucket, family)
+    val weights = emTrainWeights(pairs, fieldRefs, iters = emIters)
+    erFinish(base, pairs, fieldRefs, weights, threshold)
+  }
+
+  /** [[resolveEntities]] under a FROZEN, caller-supplied weights table
+    * (same schema as [[emTrainWeights]]/[[trainWeights]] output) — the
+    * model-serving face: candidates → features → score → components,
+    * no re-training. This is the batch equivalent the incremental
+    * entity-resolution stream is held to: under frozen weights every
+    * edge is a deterministic fact of the two records' content, which is
+    * what makes append-only edge state sound. */
+  def resolveEntitiesWithWeights(records: DataFrame, idCol: Column,
+      blockTextCol: Column, attrs: Seq[(String, Column)],
+      fields: Seq[(String, Column)], weights: DataFrame,
+      threshold: Double = 0.0, shingleK: Int = 3, numHashes: Int = 24,
+      bands: Int = 8, maxBucket: Int = 200,
+      family: Dedup.MinhashFamily = Dedup.XxMinhash): DataFrame = {
+    val (base, pairs, fieldRefs) = erCandidatePairs(records, idCol,
+      blockTextCol, attrs, fields, shingleK, numHashes, bands,
+      maxBucket, family)
+    erFinish(base, pairs, fieldRefs, weights, threshold)
+  }
+
+  /** Stages 1–2 of entity resolution: blocked candidate pairs with the
+    * caller's field-agreement features evaluated. */
+  private def erCandidatePairs(records: DataFrame, idCol: Column,
+      blockTextCol: Column, attrs: Seq[(String, Column)],
+      fields: Seq[(String, Column)], shingleK: Int, numHashes: Int,
+      bands: Int, maxBucket: Int, family: Dedup.MinhashFamily)
+      : (DataFrame, DataFrame, Seq[(String, Column)]) = {
     require(attrs.nonEmpty && attrs.size <= 16,
       s"resolveEntities needs 1 <= attrs <= 16, got ${attrs.size}")
     require(attrs.map(_._1).distinct.size == attrs.size,
@@ -302,8 +335,13 @@ object Linkage {
       .join(bSide, col("id_b") === col("__ib"))
       .select(col("id_a") +: col("id_b") +:
         fields.map { case (n, expr) => expr.as(s"__f_$n") }: _*)
-    val fieldRefs = fields.map { case (n, _) => n -> col(s"__f_$n") }
-    val weights = emTrainWeights(pairs, fieldRefs, iters = emIters)
+    (base, pairs, fields.map { case (n, _) => n -> col(s"__f_$n") })
+  }
+
+  /** Stages 4–5: score under `weights`, threshold, components. */
+  private def erFinish(base: DataFrame, pairs: DataFrame,
+      fieldRefs: Seq[(String, Column)], weights: DataFrame,
+      threshold: Double): DataFrame = {
     val scored = score(pairs, Seq(col("id_a"), col("id_b")), weights,
       fieldRefs)
     val matched = scored.filter(col("link_score") > threshold)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.StreamingTimeSeries
+import graft.streaming.{StreamingEntityResolution, StreamingTimeSeries}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -789,6 +789,73 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .write.mode("append").parquet(s"$base/position_credits")
       assert(rows(StreamingTimeSeries.mergedPositionAttribution(spark,
         base, chans)) == want, "replayed credit deltas double-counted")
+    } finally q.stop()
+  }
+
+  test("incremental entity resolution: grown state == frozen-weights batch on the union; cross-batch twins link; replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("er_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("er_ckpt").toString
+    // the resolveEntities fixture, smaller: 40 disjoint-text records,
+    // ids 0..19 get a twin at id+1000; 30..39 share a template text
+    // (bucket-colliding non-matches)
+    val vocab = (0 until 480).map(i => s"w${i}q${(i * 2654435761L) % 97}")
+    def text(i: Int): String =
+      if (i < 30) (0 until 12).map(k => vocab(i * 12 + k)).mkString(" ")
+      else s"shared template words for the colliding family block v$i"
+    def lang(i: Int) = if (i < 30) s"l${i % 3}" else s"L$i"
+    def src(i: Int) = if (i < 30) s"s${i % 2}" else s"S$i"
+    def len(i: Int): Long = if (i < 30) 100L + i else 1000L + 50L * i
+    val baseRecs = (0 until 40).map(i =>
+      (i.toLong, text(i), lang(i), src(i), len(i)))
+    val twins = (0 until 20).map(i =>
+      (i + 1000L, text(i) + " appended", lang(i), src(i), len(i) + 9L))
+    val all = baseRecs ++ twins
+    val weights = Seq(("lang", 2.0, -2.0), ("len", 2.0, -2.0),
+      ("prefix", 2.0, -2.0), ("source", 2.0, -2.0))
+      .toDF("field", "w_agree", "w_disagree")
+    val fields = Seq(
+      "lang" -> (col("a_lang") === col("b_lang")),
+      "len" -> (abs(col("a_len") - col("b_len")) <= 20L),
+      "prefix" -> (col("a_prefix") === col("b_prefix")),
+      "source" -> (col("a_src") === col("b_src")))
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val stream = input.toDF().toDF("id", "text", "lang", "src", "len")
+      .withColumn("prefix", substring(col("text"), 1, 24))
+    val q = StreamingEntityResolution.startErIngestQuery(stream, "id",
+      "text", Seq("lang", "len", "prefix", "src"), fields, weights,
+      threshold = 0.0, base, ckpt, maxBucket = 10000)
+    try {
+      // bases first, twins in LATER batches: every twin edge is new-old
+      Seq(all.take(25), all.slice(25, 48), all.drop(48))
+        .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val got = StreamingEntityResolution.mergedEntities(spark, base)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      import graft.operators.Linkage
+      val unionDf = all.toDF("id", "text", "lang", "src", "len")
+        .withColumn("prefix", substring(col("text"), 1, 24))
+      val want = Linkage.resolveEntitiesWithWeights(unionDf, col("id"),
+          col("text"),
+          attrs = Seq("lang" -> col("lang"), "len" -> col("len"),
+            "prefix" -> col("prefix"), "src" -> col("src")),
+          fields = fields, weights = weights, maxBucket = 10000)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+      // the planted twins DID link across batches, to the min id
+      assert(got.size == 60)
+      for (i <- 0 until 20) assert(got(i + 1000L) == i.toLong)
+      // template family stayed separate despite bucket collisions
+      for (i <- 30 until 40) assert(got(i.toLong) == i.toLong)
+      // a verbatim re-delivered batch changes nothing (at-least-once)
+      for (sub <- Seq("er_edges", "er_records")) {
+        val replay = spark.read.parquet(s"$base/$sub")
+          .filter(col("batch_id") === 1L)
+        replay.write.mode("append").parquet(s"$base/$sub")
+      }
+      assert(StreamingEntityResolution.mergedEntities(spark, base)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == want,
+        "replayed batch mutated the entity assignment")
     } finally q.stop()
   }
 
