@@ -761,6 +761,88 @@ object Stats {
     cohenKappaFromCounts(confusionCounts(df, groupCols, r1, r2),
       groupCols.map(_.toString))
 
+  /** Fleiss' κ multi-rater agreement per group (Fleiss, Psych. Bull.
+    * 1971) — [[cohenKappa]] generalized past two raters: the LLM
+    * labeling-QA statistic when every item is judged by n annotators
+    * (or n model runs). With n_ij = ratings of item i in category j,
+    * c_j = column totals, N items, n raters per item:
+    *
+    *   P̄  = (Σ_ij n_ij² − N·n) / (N·n·(n−1))
+    *   P̄e = Σ_j c_j² / (N·n)²
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    *
+    * Every sum is an exact BIGINT (Σn_ij², Σc_j², N·n — bound:
+    * N·n < ~3·10⁹ per group); the readout is two exact-integer
+    * divisions, a subtraction, and one more division — +,·,/ only,
+    * hashes unrounded. Unequal per-item rating counts fail fast
+    * (Fleiss requires constant n; filter to a fixed panel first).
+    * κ and P̄ are null when n = 1 (no within-item pairs); κ null when
+    * P̄e = 1 (single-category degenerate).
+    *
+    * Input: one row per RATING (item, category); the rater identity is
+    * irrelevant (Fleiss is anonymous-rater by construction).
+    * Output: groups... + (n_items, n_raters, n_categories, p_bar, p_e,
+    * kappa). */
+  def fleissKappa(df: DataFrame, groupCols: Seq[String], itemCol: Column,
+      categoryCol: Column): DataFrame =
+    fleissKappaFromCounts(
+      ratingCounts(df, groupCols, itemCol, categoryCol), groupCols)
+
+  /** The PARTIAL behind [[fleissKappa]]: exact per-(group, item,
+    * category) rating counts — ONE associative sum, so ratings may
+    * arrive in any slicing (no closed-item contract: counts per cell
+    * re-sum exactly; the constant-n check runs at readout). */
+  def ratingCounts(df: DataFrame, groupCols: Seq[String],
+      itemCol: Column, categoryCol: Column): DataFrame =
+    df.filter(itemCol.isNotNull && categoryCol.isNotNull)
+      .groupBy(groupCols.map(col) :+ itemCol.as("item") :+
+        categoryCol.as("category"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge [[ratingCounts]] tables: BIGINT re-sum per cell. */
+  def mergeRatingCounts(partials: Seq[DataFrame],
+      groupNames: Seq[String]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy((groupNames :+ "item" :+ "category").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Finalize a (possibly merged) [[ratingCounts]] table into the
+    * [[fleissKappa]] schema — the streaming-readout face. */
+  def fleissKappaFromCounts(counts: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val perItem = counts
+      .groupBy(g :+ col("item"): _*)
+      .agg(sum(col("cnt")).as("__ni"),
+        sum(col("cnt") * col("cnt")).as("__sqi"))
+    val items = perItem.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_items"), min(col("__ni")).as("__nmin"),
+        max(col("__ni")).as("__nmax"), sum(col("__sqi")).as("__sumsq"))
+      .filter(assert_true(col("__nmin") === col("__nmax"),
+        lit("fleissKappa: items have unequal rating counts — Fleiss " +
+          "requires a constant rater panel; filter first")).isNull)
+      .withColumn("n_raters", col("__nmax"))
+    val cats = counts.groupBy(g :+ col("category"): _*)
+      .agg(sum(col("cnt")).as("__cj"))
+      .groupBy(g: _*)
+      .agg(sum(col("__cj") * col("__cj")).as("__sumcj2"),
+        count(lit(1)).as("n_categories"))
+    val nn = col("n_items") * col("n_raters")
+    val pBar = when(col("n_raters") > 1L,
+      (col("__sumsq") - nn).cast("double") /
+        (nn * (col("n_raters") - 1L)).cast("double"))
+    val pE = col("__sumcj2").cast("double") / (nn * nn).cast("double")
+    items.join(cats, groupCols)
+      .withColumn("p_bar", pBar)
+      .withColumn("p_e", pE)
+      .withColumn("kappa", when(col("p_bar").isNotNull &&
+          col("p_e") =!= 1.0,
+        (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e"))))
+      .select(g ++ Seq(col("n_items"), col("n_raters"),
+        col("n_categories"), col("p_bar"), col("p_e"),
+        col("kappa")): _*)
+  }
+
   /** Per-(group, bin) reliability table — the raw material of a
     * calibration curve for a probability score in [0, 1]: equal-width
     * bins (floor(score·nBins), top edge closed), exact counts and

@@ -718,6 +718,29 @@ object Extras {
       .orderBy("g", "t", "cause")
   }
 
+  /** Fleiss' multi-rater agreement ([[graft.operators.Stats
+    * .fleissKappa]]): each user's first 3 events (by event_id — unique,
+    * so the panel is deterministic) act as a 3-"rater" panel over the
+    * event-type categories; users with fewer than 3 events drop so the
+    * panel is constant. Exact BIGINT sums, two divisions, a subtraction
+    * and one more division — hashes unrounded. */
+  def aFleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("event_id").isNotNull && col("event_type").isNotNull)
+    val ranked = e.withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")))
+      .filter(col("__rk") <= 3)
+    val eligible = ranked.groupBy("user_id")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") === 3)
+    val panel = ranked
+      .join(eligible.select("user_id"), Seq("user_id"), "left_semi")
+      .withColumn("g", lit("all"))
+    graft.operators.Stats.fleissKappa(panel, Seq("g"), col("user_id"),
+        col("event_type"))
+      .orderBy("g")
+  }
+
   /** Always-valid p-value per event type ([[graft.operators.Stats
     * .msprt]]): the mixture-SPRT two-proportion readout on the a_sprt
     * fixture (even vs odd users, high-value outcome) — exact counts,
@@ -1292,6 +1315,7 @@ object Extras {
     "a_qini_curve" -> (aQiniCurve _),
     "c_rmst_diff" -> (cRmstDiff _),
     "c_cuminc" -> (cCumInc _),
+    "a_fleiss_kappa" -> (aFleissKappa _),
     "a_ratio_uplift" -> (aRatioUplift _),
     "c_position_attribution" -> (cPositionAttribution _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
@@ -2083,6 +2107,38 @@ object Extras {
         |      / sqrt(MAX(CASE WHEN coh THEN v END)
         |        + MAX(CASE WHEN NOT coh THEN v END)) END AS z
         |FROM fin""".stripMargin,
+    // Fleiss mirror: the same deterministic 3-event panel, exact
+    // BIGINT cell/marginal sums, identical float tail.
+    "a_fleiss_kappa" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS rk
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+        |p AS (SELECT user_id, event_type FROM r WHERE rk <= 3),
+        |ok AS (SELECT user_id FROM p GROUP BY 1 HAVING COUNT(*) = 3),
+        |cell AS (SELECT p.user_id, p.event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM p JOIN ok USING (user_id) GROUP BY 1, 2),
+        |it AS (SELECT user_id, SUM(cnt) AS ni, SUM(cnt * cnt) AS sqi
+        |  FROM cell GROUP BY 1),
+        |g1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(MAX(ni) AS BIGINT) AS n_raters,
+        |    CAST(SUM(sqi) AS BIGINT) AS sumsq FROM it),
+        |cj AS (SELECT event_type, SUM(cnt) AS c FROM cell GROUP BY 1),
+        |g2 AS (SELECT CAST(SUM(c * c) AS BIGINT) AS sumcj2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_categories FROM cj),
+        |f AS (SELECT n_items, n_raters, n_categories,
+        |    CAST(sumsq - n_items * n_raters AS DOUBLE)
+        |      / CAST(n_items * n_raters * (n_raters - 1) AS DOUBLE)
+        |      AS p_bar,
+        |    CAST(sumcj2 AS DOUBLE)
+        |      / CAST((n_items * n_raters) * (n_items * n_raters)
+        |        AS DOUBLE) AS p_e
+        |  FROM g1 CROSS JOIN g2)
+        |SELECT 'all' AS g, n_items, n_raters, n_categories, p_bar, p_e,
+        |  (p_bar - p_e) / (CAST(1 AS DOUBLE) - p_e) AS kappa
+        |FROM f""".stripMargin,
     // Aalen-Johansen mirror: cause-specific daily counts, the AJ
     // recursion carrying (used, p, cif1, cif2) — CIF increments at the
     // PRE-step survival, product steps after, verbatim the fold order.

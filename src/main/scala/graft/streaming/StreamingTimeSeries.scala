@@ -812,6 +812,39 @@ object StreamingTimeSeries {
         Seq(groupCol), nCauses),
       Seq(groupCol), nCauses)
 
+  /** Streaming rating-counts maintenance — the ingestion face of
+    * [[graft.operators.Stats.fleissKappa]]: each micro-batch of
+    * individual ratings reduces to per-(group, item, category) exact
+    * BIGINT deltas (batch_id replay guard). No closed-item contract —
+    * an item's ratings may straddle batches, because cell counts
+    * re-sum exactly and the constant-panel check runs at readout. */
+  def startRatingCountsQuery(ratings: DataFrame, groupCol: String,
+      itemCol: String, categoryCol: String, targetDir: String,
+      checkpointDir: String) =
+    ratings
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Stats
+          .ratingCounts(batch.toDF(), Seq(groupCol), col(itemCol),
+            col(categoryCol))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$targetDir/rating_counts")
+      }
+      .start()
+
+  /** Whole-stream Fleiss' κ from the stored rating-count deltas —
+    * bit-identical to batch. */
+  def mergedFleissKappa(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.fleissKappaFromCounts(
+      graft.operators.Stats.mergeRatingCounts(
+        Seq(spark.read.parquet(s"$targetDir/rating_counts")
+          .dropDuplicates(groupCol, "item", "category", "batch_id")
+          .drop("batch_id")),
+        Seq(groupCol)),
+      Seq(groupCol))
+
   /** Streaming experiment-counts maintenance — the ingestion face of
     * [[graft.operators.Stats.proportionUplift]] AND [[graft.operators
     * .Stats.msprt]]: each micro-batch of independent trials reduces to

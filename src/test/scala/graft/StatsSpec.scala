@@ -1991,6 +1991,61 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("d") == ((0L, 1L, 0L, Some(0.0), None, Some(0.0))))
   }
 
+  test("fleissKappa: Fleiss-1971 worked table exact; perfect panel = 1; unequal panel fails fast; merged slices bitwise") {
+    import spark.implicits._
+    // the classic 10-item / 14-rater / 5-category worked example
+    val table = Seq(
+      Seq(0, 0, 0, 0, 14), Seq(0, 2, 6, 4, 2), Seq(0, 0, 3, 5, 6),
+      Seq(0, 3, 9, 2, 0), Seq(2, 2, 8, 1, 1), Seq(7, 7, 0, 0, 0),
+      Seq(3, 2, 6, 3, 0), Seq(2, 5, 3, 2, 2), Seq(6, 5, 2, 1, 0),
+      Seq(0, 2, 2, 3, 7))
+    val ratings = for {
+      (row, i) <- table.zipWithIndex
+      (cnt, j) <- row.zipWithIndex
+      _ <- 0 until cnt
+    } yield ("g", i.toLong, s"c$j")
+    val out = Stats.fleissKappa(ratings.toDF("g", "item", "cat"),
+      Seq("g"), col("item"), col("cat")).head()
+    // naive replay with the same float-op order
+    val nI = 10L; val nR = 14L
+    val sumSq = table.flatten.map(c => c.toLong * c).sum
+    val cj = (0 until 5).map(j => table.map(_(j).toLong).sum)
+    val pBar = (sumSq - nI * nR).toDouble /
+      (nI * nR * (nR - 1L)).toDouble
+    val pE = cj.map(c => c * c).sum.toDouble /
+      (nI * nR * (nI * nR)).toDouble
+    val kappa = (pBar - pE) / (1.0 - pE)
+    assert(out.getAs[Long]("n_items") == nI &&
+      out.getAs[Long]("n_raters") == nR &&
+      out.getAs[Long]("n_categories") == 5L)
+    assert(out.getAs[Double]("p_bar") == pBar)
+    assert(out.getAs[Double]("p_e") == pE)
+    assert(out.getAs[Double]("kappa") == kappa)
+    assert(math.abs(kappa - 0.2099) < 5e-4) // the published value
+    // perfect agreement: every item unanimous, mixed marginals
+    val perfect = (0 until 6).flatMap(i =>
+      (0 until 3).map(_ => ("g", i.toLong, s"c${i % 2}")))
+    assert(Stats.fleissKappa(perfect.toDF("g", "item", "cat"),
+      Seq("g"), col("item"), col("cat")).head()
+      .getAs[Double]("kappa") == 1.0)
+    // unequal rating counts fail fast
+    val uneven = ratings :+ (("g", 0L, "c0"))
+    val ex = intercept[Exception] {
+      Stats.fleissKappa(uneven.toDF("g", "item", "cat"),
+        Seq("g"), col("item"), col("cat")).collect()
+    }
+    assert(ex.getMessage.contains("unequal rating counts"))
+    // batch-sliced partials finalize bit-identically (no closed-item
+    // contract: an item's ratings may straddle slices)
+    val slices = Seq(ratings.take(30), ratings.slice(30, 95),
+      ratings.drop(95)).map(s =>
+      Stats.ratingCounts(s.toDF("g", "item", "cat"), Seq("g"),
+        col("item"), col("cat")))
+    val merged = Stats.fleissKappaFromCounts(
+      Stats.mergeRatingCounts(slices, Seq("g")), Seq("g")).head()
+    assert(merged.toSeq == out.toSeq)
+  }
+
   test("cohenKappa: perfect 1, independence 0, degenerate null, exact hand value") {
     import spark.implicits._
     def run(rows: Seq[(String, String, String)]) =

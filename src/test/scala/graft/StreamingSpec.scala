@@ -893,6 +893,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming rating counts: merged Fleiss kappa == one-shot batch, items straddle batches, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("fk_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fk_ckpt").toString
+    val rng = new scala.util.Random(131)
+    // 60 items x 5 ratings each; slicing deliberately splits items
+    val all = (0 until 300).map { i =>
+      ("g", (i / 5).toLong, s"c${rng.nextInt(4)}")
+    }
+    val input = MemoryStream[(String, Long, String)]
+    val q = StreamingTimeSeries.startRatingCountsQuery(
+      input.toDF().toDF("g", "item", "cat"), "g", "item", "cat",
+      base, ckpt)
+    try {
+      Seq(all.take(83), all.slice(83, 201), all.drop(201))
+        .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      import graft.operators.Stats
+      val want = Stats.fleissKappa(all.toDF("g", "item", "cat"),
+        Seq("g"), col("item"), col("cat")).head().toSeq
+      assert(StreamingTimeSeries.mergedFleissKappa(spark, base, "g")
+        .head().toSeq == want)
+      spark.read.parquet(s"$base/rating_counts")
+        .filter(col("batch_id") === 1L)
+        .write.mode("append").parquet(s"$base/rating_counts")
+      assert(StreamingTimeSeries.mergedFleissKappa(spark, base, "g")
+        .head().toSeq == want, "replayed rating deltas double-counted")
+    } finally q.stop()
+  }
+
   test("streaming arm counts: merged proportion uplift AND msprt == one-shot batch, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
