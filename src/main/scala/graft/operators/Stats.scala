@@ -843,6 +843,74 @@ object Stats {
         col("kappa")): _*)
   }
 
+  /** Empirical-Bayes beta-binomial rate shrinkage per group (Robbins
+    * 1956; the method-of-moments prior) — the honest way to RANK units
+    * by a rate when trial counts vary wildly (click-through by domain,
+    * defect rate by supplier, conversion by page): a 1/1 unit must not
+    * outrank a 980/1000 one. Fit Beta(α, β) to the observed per-unit
+    * rates by moments, then shrink each unit toward the prior mean in
+    * proportion to its evidence:
+    *
+    *   c = m(1−m)/v − 1,  α = m·c,  β = (1−m)·c,
+    *   shrunk_i = (x_i + α) / (n_i + α + β)
+    *
+    * Portability (the logisticFit discipline): per-unit rates quantize
+    * to exact BIGINTs in-plan (floor(rate·quantScale)); Σq is BIGINT,
+    * Σq² runs in DECIMAL via dec18×dec18 products (q ≤ 1e12 ⇒ q² ≤
+    * 1e24, sums bounded by 38 digits to ~1e14 units) — so the moment
+    * sums are associative and the tail is fixed-order +,·,/ from exact
+    * integers; every column hashes unrounded. The prior is ONE
+    * aggregated row per group, broadcast back — no driver iteration.
+    *
+    * Degenerate regimes keep the raw rate: v = 0 (all rates equal —
+    * nothing to shrink toward), v ≥ m(1−m) (more dispersed than any
+    * beta — c ≤ 0), or a single unit (no sample variance); α/β are
+    * null there and shrunk = rate.
+    *
+    * Input: one row per unit with exact (trials, successes). Output:
+    * groups... + (id, n, x, rate, alpha, beta, shrunk_rate). */
+  def ebShrinkRates(df: DataFrame, groupCols: Seq[String], idCol: Column,
+      trialsCol: Column, successesCol: Column,
+      quantScale: Double = 1e12): DataFrame = {
+    require(quantScale >= 1e3 && quantScale <= 1e12 &&
+      quantScale == math.floor(quantScale),
+      s"quantScale integral in [1e3, 1e12], got $quantScale")
+    val dec18 = org.apache.spark.sql.types.DataTypes
+      .createDecimalType(18, 0)
+    val g = groupCols.map(col)
+    val n = trialsCol.cast("long"); val x = successesCol.cast("long")
+    val unit = df
+      .filter(n.isNotNull && x.isNotNull && n > 0L)
+      .filter(assert_true(x >= 0L && x <= n,
+        lit("ebShrinkRates: successes outside [0, trials]")).isNull)
+      .select(g ++ Seq(idCol.as("id"), n.as("n"), x.as("x"),
+        (x.cast("double") / n.cast("double")).as("rate")): _*)
+      .withColumn("__q",
+        floor(col("rate") * lit(quantScale)).cast("long"))
+    val prior = unit.groupBy(g: _*)
+      .agg(count(lit(1)).as("__m"), sum(col("__q")).as("__s1"),
+        sum(col("__q").cast(dec18) * col("__q").cast(dec18)).as("__s2"))
+    val joined =
+      if (groupCols.isEmpty) unit.crossJoin(broadcast(prior))
+      else unit.join(broadcast(prior), groupCols)
+    val md = col("__m").cast("double")
+    val mq = col("__s1").cast("double") / md
+    val m1 = mq / lit(quantScale)
+    val vq = (col("__s2").cast("double") - col("__s1").cast("double") *
+      (col("__s1").cast("double") / md)) / (md - lit(1.0))
+    val v = vq / (lit(quantScale) * lit(quantScale))
+    val c = m1 * (lit(1.0) - m1) / v - lit(1.0)
+    val ok = col("__m") > 1L && v > 0.0 && c > 0.0
+    joined
+      .withColumn("alpha", when(ok, m1 * c))
+      .withColumn("beta", when(ok, (lit(1.0) - m1) * c))
+      .withColumn("shrunk_rate", when(ok,
+          (col("x").cast("double") + col("alpha")) /
+            (col("n").cast("double") + col("alpha") + col("beta")))
+        .otherwise(col("rate")))
+      .drop("__q", "__m", "__s1", "__s2")
+  }
+
   /** Per-(group, bin) reliability table — the raw material of a
     * calibration curve for a probability score in [0, 1]: equal-width
     * bins (floor(score·nBins), top edge closed), exact counts and

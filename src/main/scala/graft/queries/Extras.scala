@@ -741,6 +741,25 @@ object Extras {
       .orderBy("g")
   }
 
+  /** Empirical-Bayes shrunken purchase rate per user
+    * ([[graft.operators.Stats.ebShrinkRates]]): beta-binomial
+    * method-of-moments prior over per-user purchase rates (exact
+    * quantized moment sums), each user shrunk toward the prior mean in
+    * proportion to evidence — all ops +,·,/ from exact integers,
+    * hashes unrounded. */
+  def aEbShrinkage(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("event_type").isNotNull)
+    val perUser = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("x"))
+      .withColumn("g", lit("all"))
+    graft.operators.Stats.ebShrinkRates(perUser, Seq("g"),
+        col("user_id"), col("n"), col("x"))
+      .orderBy("id")
+  }
+
   /** Always-valid p-value per event type ([[graft.operators.Stats
     * .msprt]]): the mixture-SPRT two-proportion readout on the a_sprt
     * fixture (even vs odd users, high-value outcome) — exact counts,
@@ -1316,6 +1335,7 @@ object Extras {
     "c_rmst_diff" -> (cRmstDiff _),
     "c_cuminc" -> (cCumInc _),
     "a_fleiss_kappa" -> (aFleissKappa _),
+    "a_eb_shrinkage" -> (aEbShrinkage _),
     "a_ratio_uplift" -> (aRatioUplift _),
     "c_position_attribution" -> (cPositionAttribution _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
@@ -2107,6 +2127,43 @@ object Extras {
         |      / sqrt(MAX(CASE WHEN coh THEN v END)
         |        + MAX(CASE WHEN NOT coh THEN v END)) END AS z
         |FROM fin""".stripMargin,
+    // EB-shrinkage mirror: identical quantized moment sums (BIGINT +
+    // DECIMAL q-squared), identical float tail ending in the same
+    // left-associated shrink denominator.
+    "a_eb_shrinkage" ->
+      """WITH pu AS (SELECT user_id AS id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL GROUP BY 1),
+        |u AS (SELECT id, n, x,
+        |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+        |    CAST(floor((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS q
+        |  FROM pu),
+        |pr AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(q) AS BIGINT) AS s1,
+        |    SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS s2
+        |  FROM u),
+        |f AS (SELECT u.*,
+        |    CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)
+        |      / CAST(1000000000000 AS DOUBLE) AS m1,
+        |    ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |        * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)))
+        |      / (CAST(m AS DOUBLE) - CAST(1 AS DOUBLE)))
+        |      / (CAST(1000000000000 AS DOUBLE)
+        |        * CAST(1000000000000 AS DOUBLE)) AS v
+        |  FROM u CROSS JOIN pr),
+        |f2 AS (SELECT f.*,
+        |    m1 * (CAST(1 AS DOUBLE) - m1) / v - CAST(1 AS DOUBLE) AS c
+        |  FROM f),
+        |f3 AS (SELECT f2.*, m1 * c AS alpha,
+        |    (CAST(1 AS DOUBLE) - m1) * c AS beta
+        |  FROM f2)
+        |SELECT 'all' AS g, id, n, x, rate, alpha, beta,
+        |  (CAST(x AS DOUBLE) + alpha)
+        |    / (CAST(n AS DOUBLE) + alpha + beta) AS shrunk_rate
+        |FROM f3 ORDER BY id""".stripMargin,
     // Fleiss mirror: the same deterministic 3-event panel, exact
     // BIGINT cell/marginal sums, identical float tail.
     "a_fleiss_kappa" ->

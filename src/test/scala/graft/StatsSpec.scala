@@ -2046,6 +2046,61 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged.toSeq == out.toSeq)
   }
 
+  test("ebShrinkRates: naive replay bitwise; sparse units shrink harder; rank honesty; degenerate keeps raw") {
+    import spark.implicits._
+    val rng = new scala.util.Random(89)
+    // mixed-evidence units around a 0.3-ish true rate, plus the
+    // classic honesty pair: 1/1 vs 980/1000
+    val units = (0 until 80).map { i =>
+      val n = 1 + rng.nextInt(200)
+      val x = (0 until n).count(_ => rng.nextDouble() < 0.3)
+      (s"u$i", n.toLong, x.toLong)
+    } ++ Seq(("perfect_tiny", 1L, 1L), ("big", 1000L, 980L))
+    val df = units.toDF("id", "n", "x")
+    val q = 1e12
+    val out = Stats.ebShrinkRates(df, Nil, col("id"), col("n"),
+      col("x"), q).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // naive replay: exact integer moment sums, same float tail
+    val rates = units.map { case (_, n, x) => x.toDouble / n.toDouble }
+    val qs = rates.map(r => math.floor(r * q).toLong)
+    val m = units.size.toLong
+    val s1 = qs.sum
+    val s2 = qs.map(v => BigDecimal(v) * BigDecimal(v)).sum
+    val md = m.toDouble
+    val m1 = s1.toDouble / md / q
+    val vq = (s2.toDouble - s1.toDouble * (s1.toDouble / md)) / (md - 1.0)
+    val v = vq / (q * q)
+    val c = m1 * (1.0 - m1) / v - 1.0
+    assert(v > 0 && c > 0)
+    val alpha = m1 * c; val beta = (1.0 - m1) * c
+    for ((id, n, x) <- units) {
+      val r = out(id)
+      assert(r.getAs[Double]("alpha") == alpha)
+      assert(r.getAs[Double]("beta") == beta)
+      assert(r.getAs[Double]("shrunk_rate") ==
+        (x.toDouble + alpha) / (n.toDouble + alpha + beta))
+    }
+    // honesty: the 1/1 unit no longer outranks the 980/1000 one
+    assert(out("perfect_tiny").getAs[Double]("rate") >
+      out("big").getAs[Double]("rate"))
+    assert(out("perfect_tiny").getAs[Double]("shrunk_rate") <
+      out("big").getAs[Double]("shrunk_rate"))
+    // sparse units move farther toward the prior mean (relative pull)
+    val pull = (id: String) => {
+      val r = out(id)
+      math.abs(r.getAs[Double]("shrunk_rate") - r.getAs[Double]("rate"))
+    }
+    assert(pull("perfect_tiny") > pull("big"))
+    // degenerate: all rates identical -> null prior, raw kept
+    val flat = Seq(("a", 10L, 5L), ("b", 100L, 50L), ("c", 4L, 2L))
+    val fr = Stats.ebShrinkRates(flat.toDF("id", "n", "x"), Nil,
+      col("id"), col("n"), col("x")).collect()
+    assert(fr.forall(_.isNullAt(4)) &&
+      fr.forall(r => r.getAs[Double]("shrunk_rate") ==
+        r.getAs[Double]("rate")))
+  }
+
   test("cohenKappa: perfect 1, independence 0, degenerate null, exact hand value") {
     import spark.implicits._
     def run(rows: Seq[(String, String, String)]) =
