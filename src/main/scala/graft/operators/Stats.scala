@@ -843,6 +843,88 @@ object Stats {
         col("kappa")): _*)
   }
 
+  /** Krippendorff's α (nominal data) per group (Krippendorff 1970/
+    * 2004) — the agreement statistic [[fleissKappa]] can't be: it
+    * accepts UNEQUAL per-item rating counts (annotators skip items,
+    * panels change) by weighing each item's within-item disagreement
+    * against chance disagreement over all pairable ratings:
+    *
+    *   α = 1 − D_o / D_e
+    *   D_o = Σ_i [Σ_c n_ic·(n_i − n_ic) / (n_i − 1)] / n
+    *   D_e = Σ_c c_c·(n − c_c) / (n·(n − 1))
+    *
+    * over items with n_i ≥ 2 (single-rating items carry no pair
+    * evidence and drop), n = Σ n_i, c_c = category totals.
+    *
+    * Portability: the per-item disagreement is a bounded in-row sum
+    * with a per-item denominator, so it is QUANTIZED to an exact
+    * BIGINT (floor(d_i·quantScale), the logisticFit discipline) before
+    * the cross-item sum — associative, plan-order-free; the category
+    * totals are exact BIGINTs; the tail is +,·,/ from exact integers,
+    * hashes unrounded. SECOND readout of the [[ratingCounts]] stored
+    * partial — the streamed labeling state serves both agreement
+    * statistics.
+    *
+    * α is null when D_e = 0 (one category — no chance disagreement) or
+    * no pairable items. Output: groups... + (n_items, n_pairable,
+    * n_ratings, d_o, d_e, alpha). */
+  def krippendorffAlpha(df: DataFrame, groupCols: Seq[String],
+      itemCol: Column, categoryCol: Column,
+      quantScale: Double = 1e12): DataFrame =
+    krippendorffAlphaFromCounts(
+      ratingCounts(df, groupCols, itemCol, categoryCol), groupCols,
+      quantScale)
+
+  /** Finalize a (possibly merged) [[ratingCounts]] table into the
+    * [[krippendorffAlpha]] schema — the streaming-readout face. */
+  def krippendorffAlphaFromCounts(counts: DataFrame,
+      groupCols: Seq[String], quantScale: Double = 1e12): DataFrame = {
+    require(quantScale >= 1e3 && quantScale <= 1e12 &&
+      quantScale == math.floor(quantScale),
+      s"quantScale integral in [1e3, 1e12], got $quantScale")
+    val g = groupCols.map(col)
+    // per item: n_i, the in-row disagreement sum, quantized
+    val perItem = counts
+      .groupBy(g :+ col("item"): _*)
+      .agg(sum(col("cnt")).as("__ni"),
+        sum(col("cnt") * col("cnt")).as("__sq"))
+    // Σ_c n_ic(n_i − n_ic) = n_i² − Σ_c n_ic² — exact BIGINTs
+    val dI = (col("__ni") * col("__ni") - col("__sq")).cast("double") /
+      (col("__ni") - 1L).cast("double")
+    val pairable = perItem.filter(col("__ni") >= 2L)
+      .withColumn("__qd", floor(dI * lit(quantScale)).cast("long"))
+    val itemsAgg = pairable.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_pairable"), sum(col("__ni")).as("n_ratings"),
+        sum(col("__qd")).as("__sd"))
+    val pairKeys = perItem.filter(col("__ni") >= 2L)
+      .select(g :+ col("item"): _*)
+    val catsAgg = counts
+      .join(pairKeys, groupCols :+ "item", "left_semi")
+      .groupBy(g :+ col("category"): _*)
+      .agg(sum(col("cnt")).as("__cc"))
+      .groupBy(g: _*)
+      .agg(sum(col("__cc") * col("__cc")).as("__sumcc2"))
+    val allItems = counts.groupBy(g: _*)
+      .agg(count_distinct(col("item")).as("n_items"))
+    val n = col("n_ratings")
+    val dO = (col("__sd").cast("double") / lit(quantScale)) /
+      n.cast("double")
+    // Σ_c c_c(n − c_c) = n² − Σ c_c²
+    val dE = (n * n - col("__sumcc2")).cast("double") /
+      (n * (n - 1L)).cast("double")
+    allItems
+      .join(itemsAgg, groupCols, "left")
+      .join(catsAgg, groupCols, "left")
+      .withColumn("d_o", when(col("n_pairable") > 0L, dO))
+      .withColumn("d_e", when(col("n_pairable") > 0L, dE))
+      .withColumn("alpha", when(col("d_e") > 0.0,
+        lit(1.0) - col("d_o") / col("d_e")))
+      .select(g ++ Seq(col("n_items"),
+        coalesce(col("n_pairable"), lit(0L)).as("n_pairable"),
+        coalesce(col("n_ratings"), lit(0L)).as("n_ratings"),
+        col("d_o"), col("d_e"), col("alpha")): _*)
+  }
+
   /** Empirical-Bayes beta-binomial rate shrinkage per group (Robbins
     * 1956; the method-of-moments prior) — the honest way to RANK units
     * by a rate when trial counts vary wildly (click-through by domain,

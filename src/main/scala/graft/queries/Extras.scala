@@ -760,6 +760,22 @@ object Extras {
       .orderBy("id")
   }
 
+  /** Krippendorff's α over the FULL unequal panels
+    * ([[graft.operators.Stats.krippendorffAlpha]]): every event a user
+    * has is a "rating" of that user by event type — panels vary from 1
+    * to dozens, exactly the regime Fleiss rejects; single-event users
+    * drop from the pairable mass. Per-item disagreement quantized to
+    * BIGINT before the cross-item sum; tail +,·,/ — hashes
+    * unrounded. */
+  def aKrippendorff(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("event_type").isNotNull)
+      .withColumn("g", lit("all"))
+    graft.operators.Stats.krippendorffAlpha(e, Seq("g"),
+        col("user_id"), col("event_type"))
+      .orderBy("g")
+  }
+
   /** Always-valid p-value per event type ([[graft.operators.Stats
     * .msprt]]): the mixture-SPRT two-proportion readout on the a_sprt
     * fixture (even vs odd users, high-value outcome) — exact counts,
@@ -1336,6 +1352,7 @@ object Extras {
     "c_cuminc" -> (cCumInc _),
     "a_fleiss_kappa" -> (aFleissKappa _),
     "a_eb_shrinkage" -> (aEbShrinkage _),
+    "a_krippendorff" -> (aKrippendorff _),
     "a_ratio_uplift" -> (aRatioUplift _),
     "c_position_attribution" -> (cPositionAttribution _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
@@ -2164,6 +2181,39 @@ object Extras {
         |  (CAST(x AS DOUBLE) + alpha)
         |    / (CAST(n AS DOUBLE) + alpha + beta) AS shrunk_rate
         |FROM f3 ORDER BY id""".stripMargin,
+    // Krippendorff mirror: same algebraic per-item disagreement,
+    // same BIGINT quantization, identical float tail.
+    "a_krippendorff" ->
+      """WITH cell AS (SELECT user_id AS item, event_type AS category,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL GROUP BY 1, 2),
+        |it AS (SELECT item, CAST(SUM(cnt) AS BIGINT) AS ni,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS sq
+        |  FROM cell GROUP BY 1),
+        |pair AS (SELECT item, ni,
+        |    CAST(floor((CAST(ni * ni - sq AS DOUBLE)
+        |        / CAST(ni - 1 AS DOUBLE))
+        |      * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS qd
+        |  FROM it WHERE ni >= 2),
+        |ia AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairable,
+        |    CAST(SUM(ni) AS BIGINT) AS n_ratings,
+        |    CAST(SUM(qd) AS BIGINT) AS sd FROM pair),
+        |ca AS (SELECT CAST(SUM(cc * cc) AS BIGINT) AS sumcc2
+        |  FROM (SELECT c.category, CAST(SUM(c.cnt) AS BIGINT) AS cc
+        |    FROM cell c JOIN pair p ON p.item = c.item GROUP BY 1)),
+        |ai AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |    AS n_items FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |f AS (SELECT n_items, n_pairable, n_ratings,
+        |    (CAST(sd AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+        |      / CAST(n_ratings AS DOUBLE) AS d_o,
+        |    CAST(n_ratings * n_ratings - sumcc2 AS DOUBLE)
+        |      / CAST(n_ratings * (n_ratings - 1) AS DOUBLE) AS d_e
+        |  FROM ai CROSS JOIN ia CROSS JOIN ca)
+        |SELECT 'all' AS g, n_items, n_pairable, n_ratings, d_o, d_e,
+        |  CAST(1 AS DOUBLE) - d_o / d_e AS alpha
+        |FROM f""".stripMargin,
     // Fleiss mirror: the same deterministic 3-event panel, exact
     // BIGINT cell/marginal sums, identical float tail.
     "a_fleiss_kappa" ->

@@ -2101,6 +2101,64 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getAs[Double]("rate")))
   }
 
+  test("krippendorffAlpha: pair-enumeration replay bitwise; unequal panels; perfect = 1; singles drop; merged slices bitwise") {
+    import spark.implicits._
+    val rng = new scala.util.Random(97)
+    // unequal panels: item i gets 1..6 ratings (singletons must drop)
+    val ratings = (0 until 50).flatMap { i =>
+      val ni = 1 + rng.nextInt(6)
+      (0 until ni).map(_ => ("g", i.toLong, s"c${rng.nextInt(3)}"))
+    }
+    val q = 1e12
+    val out = Stats.krippendorffAlpha(ratings.toDF("g", "item", "cat"),
+      Seq("g"), col("item"), col("cat"), q).head()
+    // independent replay: enumerate ordered rating pairs per item
+    val byItem = ratings.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    val pairable = byItem.filter(_._2.size >= 2)
+    val sd = pairable.values.map { rs =>
+      val disagreeOrdered = (for (a <- rs; b <- rs) yield (a, b))
+        .count { case (a, b) => a != b }
+      math.floor((disagreeOrdered.toDouble /
+        (rs.size - 1).toDouble) * q).toLong
+    }.sum
+    val n = pairable.values.map(_.size.toLong).sum
+    val cc = pairable.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).values.toSeq
+    val dO = (sd.toDouble / q) / n.toDouble
+    val dE = (n * n - cc.map(c => c * c).sum).toDouble /
+      (n * (n - 1L)).toDouble
+    assert(out.getAs[Long]("n_items") == 50L)
+    assert(out.getAs[Long]("n_pairable") == pairable.size.toLong)
+    assert(out.getAs[Long]("n_ratings") == n)
+    assert(out.getAs[Double]("d_o") == dO)
+    assert(out.getAs[Double]("d_e") == dE)
+    assert(out.getAs[Double]("alpha") == 1.0 - dO / dE)
+    // (the operator computes D_o via the n_i²−Σn_ic² algebra; the
+    // replay enumerated pairs — equality pins the identity as well)
+    // singles drop: adding single-rating items changes nothing but n_items
+    val plus = ratings ++ (100 until 110).map(i => ("g", i.toLong, "c9"))
+    val out2 = Stats.krippendorffAlpha(plus.toDF("g", "item", "cat"),
+      Seq("g"), col("item"), col("cat"), q).head()
+    assert(out2.getAs[Long]("n_items") == 60L)
+    assert(out2.getAs[Double]("alpha") == out.getAs[Double]("alpha"))
+    // perfect agreement: every item unanimous, mixed categories
+    val perfect = (0 until 8).flatMap(i =>
+      (0 to i % 3).map(_ => ("g", i.toLong, s"c${i % 2}")))
+      .filter(_ => true)
+    val pf = Stats.krippendorffAlpha(
+      (perfect ++ perfect).toDF("g", "item", "cat"),
+      Seq("g"), col("item"), col("cat")).head()
+    assert(pf.getAs[Double]("alpha") == 1.0)
+    // merged straddling slices finalize bit-identically
+    val slices = Seq(ratings.take(40), ratings.slice(40, 101),
+      ratings.drop(101)).map(s =>
+      Stats.ratingCounts(s.toDF("g", "item", "cat"), Seq("g"),
+        col("item"), col("cat")))
+    val merged = Stats.krippendorffAlphaFromCounts(
+      Stats.mergeRatingCounts(slices, Seq("g")), Seq("g"), q).head()
+    assert(merged.toSeq == out.toSeq)
+  }
+
   test("cohenKappa: perfect 1, independence 0, degenerate null, exact hand value") {
     import spark.implicits._
     def run(rows: Seq[(String, String, String)]) =
