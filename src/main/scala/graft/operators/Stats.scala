@@ -2768,6 +2768,81 @@ object Stats {
         sum(when(!t && o, 1L).otherwise(0L)).as("x_c"))
   }
 
+  /** Cochran–Mantel–Haenszel stratified 2×2 test per group (Cochran
+    * 1954; Mantel & Haenszel 1959) — "is the treatment associated with
+    * the outcome CONTROLLING for a confounder": pooling strata naively
+    * invites Simpson's paradox; CMH sums per-stratum evidence instead.
+    * With per-stratum table (a=x_t, b, c, d), n = n_t + n_c, m1 = a+c:
+    *
+    *   E_i = n_t·m1/n,  V_i = n_t·n_c·m1·m2 / (n²(n−1))
+    *   χ² = (Σa − ΣE)² / ΣV   (no continuity correction)
+    *   OR_MH = Σ(a·d/n) / Σ(b·c/n)   (the pooled odds ratio)
+    *
+    * THIRD readout of the [[armCounts]] stored partial, keyed by
+    * (group, stratum). The cross-stratum float sums fold in FIXED
+    * ascending-stratum order (sort_array + aggregate, 0.0 seed — the
+    * order-pinning convention), each per-stratum term a fixed-order
+    * +,·,/ expression over exact BIGINTs — every column hashes
+    * unrounded. Strata with n = 1 contribute zero variance; χ² null
+    * when ΣV = 0; OR null when the denominator is 0.
+    *
+    * Output: groups... + (n_strata, a_sum, e_sum, v_sum, chi2,
+    * or_mh). */
+  def cmhTest(df: DataFrame, groupCols: Seq[String], stratumCol: Column,
+      treated: Column, outcome: Column,
+      maxStrata: Int = 1000): DataFrame =
+    cmhFromCounts(
+      armCounts(df, groupCols.map(col) :+ stratumCol.as("__stratum"),
+        treated, outcome),
+      groupCols, "__stratum", maxStrata)
+
+  /** Finalize a (possibly merged) per-(group, stratum) [[armCounts]]
+    * table into the [[cmhTest]] schema — the streaming-readout face. */
+  def cmhFromCounts(counts: DataFrame, groupCols: Seq[String],
+      stratumName: String, maxStrata: Int = 1000): DataFrame = {
+    require(maxStrata >= 1 && maxStrata <= 10000,
+      s"cmhTest needs 1 <= maxStrata <= 10000, got $maxStrata")
+    val g = groupCols.map(col)
+    val nT = col("n_t"); val nC = col("n_c")
+    val a = col("x_t"); val b = nT - col("x_t")
+    val c = col("x_c"); val d = nC - col("x_c")
+    val n = nT + nC
+    val m1 = a + c; val m2 = n - m1
+    val terms = counts.select(g ++ Seq(col(stratumName).as("__st"),
+      a.as("__a"),
+      ((nT * m1).cast("double") / n.cast("double")).as("__e"),
+      when(n > 1L,
+          (nT.cast("double") * nC.cast("double") * m1.cast("double") *
+            m2.cast("double")) /
+            (n.cast("double") * n.cast("double") *
+              (n - 1L).cast("double")))
+        .otherwise(lit(0.0)).as("__v"),
+      ((a.cast("double") * d.cast("double")) / n.cast("double"))
+        .as("__orn"),
+      ((b.cast("double") * c.cast("double")) / n.cast("double"))
+        .as("__ord")): _*)
+    val grouped = terms.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("__st"), col("__e"),
+          col("__v"), col("__orn"), col("__ord")))).as("__s"),
+        count(lit(1)).as("n_strata"), sum(col("__a")).as("a_sum"))
+      .filter(assert_true(size(col("__s")) <= maxStrata,
+        lit(s"cmhTest: a group exceeds maxStrata=$maxStrata — coarsen " +
+          "the stratum key")).isNull)
+    def fold(f: String): Column = aggregate(col("__s"), lit(0.0),
+      (acc, x) => acc + x.getField(f))
+    val eS = fold("__e"); val vS = fold("__v")
+    val orN = fold("__orn"); val orD = fold("__ord")
+    grouped
+      .withColumn("e_sum", eS)
+      .withColumn("v_sum", vS)
+      .withColumn("chi2", when(col("v_sum") > 0.0,
+        (col("a_sum").cast("double") - col("e_sum")) *
+          (col("a_sum").cast("double") - col("e_sum")) / col("v_sum")))
+      .withColumn("or_mh", when(orD > 0.0, orN / orD))
+      .select(g ++ Seq(col("n_strata"), col("a_sum"), col("e_sum"),
+        col("v_sum"), col("chi2"), col("or_mh")): _*)
+  }
+
   /** Merge [[armCounts]] tables: BIGINT re-sum per group. */
   def mergeArmCounts(partials: Seq[DataFrame],
       groupNames: Seq[String]): DataFrame =

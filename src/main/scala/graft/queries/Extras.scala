@@ -776,6 +776,20 @@ object Extras {
       .orderBy("g")
   }
 
+  /** CMH stratified test across event-type strata
+    * ([[graft.operators.Stats.cmhTest]]): even/odd-user arms,
+    * high-value outcome, event_type as the confounder strata — exact
+    * per-stratum 2x2 counts, per-stratum terms folded in fixed
+    * ascending-stratum order; +,·,/ only, hashes unrounded. */
+  def aCmh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("value").isNotNull)
+      .withColumn("g", lit("all"))
+    graft.operators.Stats.cmhTest(e, Seq("g"), col("event_type"),
+        pmod(col("user_id"), lit(2)) === 0, col("value") > 50.0)
+      .orderBy("g")
+  }
+
   /** Always-valid p-value per event type ([[graft.operators.Stats
     * .msprt]]): the mixture-SPRT two-proportion readout on the a_sprt
     * fixture (even vs odd users, high-value outcome) — exact counts,
@@ -1353,6 +1367,7 @@ object Extras {
     "a_fleiss_kappa" -> (aFleissKappa _),
     "a_eb_shrinkage" -> (aEbShrinkage _),
     "a_krippendorff" -> (aKrippendorff _),
+    "a_cmh" -> (aCmh _),
     "a_ratio_uplift" -> (aRatioUplift _),
     "c_position_attribution" -> (cPositionAttribution _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
@@ -2213,6 +2228,49 @@ object Extras {
         |  FROM ai CROSS JOIN ia CROSS JOIN ca)
         |SELECT 'all' AS g, n_items, n_pairable, n_ratings, d_o, d_e,
         |  CAST(1 AS DOUBLE) - d_o / d_e AS alpha
+        |FROM f""".stripMargin,
+    // CMH mirror: same exact 2x2 counts per stratum, same per-stratum
+    // float terms, list_reduce in the same ascending-stratum order
+    // (0.0 + x == x so the missing explicit seed is safe).
+    "a_cmh" ->
+      """WITH cnt AS (SELECT event_type AS st,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND value > 50.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x_t,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 AND value > 50.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x_c
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |term AS (SELECT st, x_t AS a,
+        |    CAST(n_t * (x_t + x_c) AS DOUBLE)
+        |      / CAST(n_t + n_c AS DOUBLE) AS e,
+        |    CASE WHEN n_t + n_c > 1 THEN
+        |      CAST(n_t AS DOUBLE) * CAST(n_c AS DOUBLE)
+        |        * CAST(x_t + x_c AS DOUBLE)
+        |        * CAST((n_t + n_c) - (x_t + x_c) AS DOUBLE)
+        |      / (CAST(n_t + n_c AS DOUBLE) * CAST(n_t + n_c AS DOUBLE)
+        |        * CAST(n_t + n_c - 1 AS DOUBLE))
+        |      ELSE CAST(0 AS DOUBLE) END AS v,
+        |    CAST(x_t AS DOUBLE) * CAST(n_c - x_c AS DOUBLE)
+        |      / CAST(n_t + n_c AS DOUBLE) AS orn,
+        |    CAST(n_t - x_t AS DOUBLE) * CAST(x_c AS DOUBLE)
+        |      / CAST(n_t + n_c AS DOUBLE) AS ord
+        |  FROM cnt),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |    CAST(SUM(a) AS BIGINT) AS a_sum,
+        |    list_reduce(list(e ORDER BY st), (x, y) -> x + y) AS e_sum,
+        |    list_reduce(list(v ORDER BY st), (x, y) -> x + y) AS v_sum,
+        |    list_reduce(list(orn ORDER BY st), (x, y) -> x + y) AS o_n,
+        |    list_reduce(list(ord ORDER BY st), (x, y) -> x + y) AS o_d
+        |  FROM term)
+        |SELECT 'all' AS g, n_strata, a_sum, e_sum, v_sum,
+        |  CASE WHEN v_sum > 0 THEN
+        |    (CAST(a_sum AS DOUBLE) - e_sum)
+        |      * (CAST(a_sum AS DOUBLE) - e_sum) / v_sum END AS chi2,
+        |  CASE WHEN o_d > 0 THEN o_n / o_d END AS or_mh
         |FROM f""".stripMargin,
     // Fleiss mirror: the same deterministic 3-event panel, exact
     // BIGINT cell/marginal sums, identical float tail.

@@ -877,6 +877,20 @@ object StreamingTimeSeries {
           .dropDuplicates(groupCol, "batch_id").drop("batch_id")),
         Seq(groupCol)))
 
+  /** Whole-stream CMH stratified test from the SAME stored deltas,
+    * read with the group key as the STRATUM — no new state, no new
+    * query, just the confounder-adjusted finalize (χ² + pooled
+    * Mantel–Haenszel odds ratio across the stored strata). */
+  def mergedCmh(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, stratumCol: String,
+      maxStrata: Int = 1000): DataFrame =
+    graft.operators.Stats.cmhFromCounts(
+      graft.operators.Stats.mergeArmCounts(
+        Seq(spark.read.parquet(s"$targetDir/arm_counts")
+          .dropDuplicates(stratumCol, "batch_id").drop("batch_id")),
+        Seq(stratumCol)),
+      Nil, stratumCol, maxStrata)
+
   /** Whole-stream always-valid p-value from the SAME stored deltas —
     * the peeking-proof live dashboard readout. */
   def mergedMsprt(spark: org.apache.spark.sql.SparkSession,

@@ -1335,6 +1335,57 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == got.map { case (k, r) => k -> r.toSeq })
   }
 
+  test("cmhTest: naive replay bitwise; kidney-stone Simpson fixture un-reverses; n=1 stratum zero variance") {
+    import spark.implicits._
+    // the classic kidney-stone table: treatment better WITHIN each
+    // stratum, worse pooled
+    def arm(st: String, t: Boolean, succ: Int, tot: Int) =
+      (0 until tot).map(i => (st, t, i < succ))
+    val rows = arm("s_small", true, 81, 87) ++
+      arm("s_small", false, 234, 270) ++
+      arm("s_large", true, 192, 263) ++
+      arm("s_large", false, 55, 80) ++
+      arm("z_solo", true, 1, 1) // n=1 stratum: zero variance, no crash
+    val df = rows.toDF("st", "t", "o").withColumn("g", lit("all"))
+    val out = Stats.cmhTest(df, Seq("g"), col("st"), col("t"),
+      col("o")).head()
+    // naive replay: per-stratum exact counts, fixed ascending order
+    val strata = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (st, rs) =>
+        val a = rs.count(r => r._2 && r._3).toLong
+        val b = rs.count(r => r._2 && !r._3).toLong
+        val c = rs.count(r => !r._2 && r._3).toLong
+        val d = rs.count(r => !r._2 && !r._3).toLong
+        (st, a, b, c, d)
+    }
+    var eS = 0.0; var vS = 0.0; var orN = 0.0; var orD = 0.0
+    var aSum = 0L
+    for ((_, a, b, c, d) <- strata) {
+      val nT = a + b; val nC = c + d; val n = nT + nC
+      val m1 = a + c; val m2 = n - m1
+      aSum += a
+      eS += (nT * m1).toDouble / n.toDouble
+      vS += (if (n > 1)
+        (nT.toDouble * nC.toDouble * m1.toDouble * m2.toDouble) /
+          (n.toDouble * n.toDouble * (n - 1).toDouble) else 0.0)
+      orN += (a.toDouble * d.toDouble) / n.toDouble
+      orD += (b.toDouble * c.toDouble) / n.toDouble
+    }
+    assert(out.getAs[Long]("n_strata") == 3L)
+    assert(out.getAs[Long]("a_sum") == aSum)
+    assert(out.getAs[Double]("e_sum") == eS)
+    assert(out.getAs[Double]("v_sum") == vS)
+    assert(out.getAs[Double]("chi2") ==
+      (aSum.toDouble - eS) * (aSum.toDouble - eS) / vS)
+    assert(out.getAs[Double]("or_mh") == orN / orD)
+    // Simpson: pooled OR says treatment hurts; CMH says it helps
+    val (pa, pb, pc, pd) = (273L + 1L, 77L, 289L, 61L)
+    val pooledOr = (pa.toDouble * pd.toDouble) /
+      (pb.toDouble * pc.toDouble)
+    assert(pooledOr < 1.0)
+    assert(out.getAs[Double]("or_mh") > 1.0)
+  }
+
   test("gehanLogRank: naive replay bitwise; equals logRank z at a single event time; early-weighting") {
     import spark.implicits._
     val rng = new scala.util.Random(71)

@@ -948,10 +948,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         col("t"), col("o")))
       val wantM = rows(Stats.msprt(df, Seq(col("g")), col("t"),
         col("o")))
+      // third readout of the same state: g as the CMH stratum
+      val wantC = Stats.cmhTest(df, Nil, col("g"), col("t"), col("o"))
+        .head().toSeq
       assert(rows(StreamingTimeSeries.mergedProportionUplift(spark,
         base, "g")) == wantU)
       assert(rows(StreamingTimeSeries.mergedMsprt(spark, base, "g"))
         == wantM)
+      assert(StreamingTimeSeries.mergedCmh(spark, base, "g")
+        .head().toSeq == wantC)
       spark.read.parquet(s"$base/arm_counts")
         .filter(col("batch_id") === 1L)
         .write.mode("append").parquet(s"$base/arm_counts")
