@@ -993,6 +993,61 @@ object Stats {
       .drop("__q", "__m", "__s1", "__s2")
   }
 
+  /** Split-conformal calibration threshold per group (Vovk et al.
+    * 2005; Papadopoulos et al. 2002) — distribution-free prediction
+    * sets from ANY scorer: given a calibration set of nonconformity
+    * scores (higher = stranger), the ⌈(1−α)(n+1)⌉-th smallest score is
+    * the cutoff such that a fresh exchangeable point falls at or below
+    * it with probability ≥ 1−α. No model assumptions, no parametric
+    * tail — the modern guarantee layer over LLM-judge scores,
+    * perplexity filters, anomaly scores.
+    *
+    * EXACT: the threshold is an order statistic (well-defined under
+    * ties), selected by integer rank k = ⌈(1−α)(n+1)⌉ via a per-group
+    * sort — no floats beyond the input scores themselves, so every
+    * column hashes unrounded. k > n (tiny calibration set at this α)
+    * yields a null threshold: no finite cutoff carries the guarantee.
+    *
+    * Scale: one sort-based window per group (the exchange Spark would
+    * plan for any exact order statistic) over the CALIBRATION set —
+    * typically a small sample, not the corpus.
+    *
+    * Output: groups... + (n, k, threshold). */
+  def conformalThreshold(df: DataFrame, groupCols: Seq[String],
+      scoreCol: Column, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
+    val g = groupCols.map(col)
+    val s = scoreCol.cast("double")
+    val W = org.apache.spark.sql.expressions.Window
+    val scored = df.filter(s.isNotNull)
+      .select(g :+ s.as("__s"): _*)
+      .withColumn("__rn", row_number().over(
+        W.partitionBy(g: _*).orderBy(col("__s"))))
+      .withColumn("__n", count(lit(1)).over(W.partitionBy(g: _*)))
+      .withColumn("__k",
+        ceil(lit(1.0 - alpha) * (col("__n") + 1L).cast("double"))
+          .cast("long"))
+    scored
+      .filter(col("__rn") === least(col("__k"), col("__n")))
+      .select(g ++ Seq(col("__n").as("n"), col("__k").as("k"),
+        when(col("__k") <= col("__n"), col("__s"))
+          .as("threshold")): _*)
+  }
+
+  /** Apply a [[conformalThreshold]] table to fresh points: flag each
+    * row `covered` (score ≤ the group's threshold — inside the 1−α
+    * prediction set). Broadcast join of the tiny threshold table; rows
+    * in groups with a null threshold (or no calibration row) get a
+    * null flag — unknown coverage must not masquerade as either
+    * outcome. */
+  def applyConformal(df: DataFrame, thresholds: DataFrame,
+      groupCols: Seq[String], scoreCol: Column): DataFrame =
+    df.join(broadcast(thresholds
+        .select((groupCols.map(col) :+ col("threshold")): _*)),
+      groupCols, "left")
+      .withColumn("covered", when(col("threshold").isNotNull,
+        scoreCol.cast("double") <= col("threshold")))
+
   /** Per-(group, bin) reliability table — the raw material of a
     * calibration curve for a probability score in [0, 1]: equal-width
     * bins (floor(score·nBins), top edge closed), exact counts and

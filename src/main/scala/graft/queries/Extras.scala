@@ -790,6 +790,19 @@ object Extras {
       .orderBy("g")
   }
 
+  /** Split-conformal threshold per language
+    * ([[graft.operators.Stats.conformalThreshold]]): the
+    * ceil((1-alpha)(n+1))-th smallest n_chars per lang at alpha=0.1 —
+    * an exact order statistic selected by integer rank, no floats
+    * beyond the scores; hashes unrounded. */
+  def aConformal(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("lang").isNotNull &&
+      col("n_chars").isNotNull)
+    graft.operators.Stats.conformalThreshold(d, Seq("lang"),
+        col("n_chars"), alpha = 0.1)
+      .orderBy("lang")
+  }
+
   /** Always-valid p-value per event type ([[graft.operators.Stats
     * .msprt]]): the mixture-SPRT two-proportion readout on the a_sprt
     * fixture (even vs odd users, high-value outcome) — exact counts,
@@ -1368,6 +1381,7 @@ object Extras {
     "a_eb_shrinkage" -> (aEbShrinkage _),
     "a_krippendorff" -> (aKrippendorff _),
     "a_cmh" -> (aCmh _),
+    "a_conformal" -> (aConformal _),
     "a_ratio_uplift" -> (aRatioUplift _),
     "c_position_attribution" -> (cPositionAttribution _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
@@ -2272,6 +2286,24 @@ object Extras {
         |      * (CAST(a_sum AS DOUBLE) - e_sum) / v_sum END AS chi2,
         |  CASE WHEN o_d > 0 THEN o_n / o_d END AS or_mh
         |FROM f""".stripMargin,
+    // Conformal mirror: same integer rank over the same sort; the
+    // 1-alpha literal is the identical double (1.0-0.1 rounds to 0.9's
+    // representation in IEEE).
+    "a_conformal" ->
+      """WITH s AS (SELECT lang, CAST(n_chars AS DOUBLE) AS sc
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |r AS (SELECT lang, sc,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sc)
+        |      AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM s),
+        |kk AS (SELECT lang, sc, rn, n,
+        |    CAST(ceil(CAST(0.9 AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+        |      AS BIGINT) AS k
+        |  FROM r)
+        |SELECT lang, n, k, CASE WHEN k <= n THEN sc END AS threshold
+        |FROM kk WHERE rn = least(k, n) ORDER BY lang""".stripMargin,
     // Fleiss mirror: the same deterministic 3-event panel, exact
     // BIGINT cell/marginal sums, identical float tail.
     "a_fleiss_kappa" ->

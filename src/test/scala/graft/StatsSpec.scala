@@ -1335,6 +1335,40 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == got.map { case (k, r) => k -> r.toSeq })
   }
 
+  test("conformalThreshold: exact order statistic; coverage holds on exchangeable data; tiny-n null; apply face") {
+    import spark.implicits._
+    val rng = new scala.util.Random(101)
+    val cal = (0 until 199).map(_ => ("g", rng.nextGaussian()))
+    val out = Stats.conformalThreshold(cal.toDF("g", "s"), Seq("g"),
+      col("s"), alpha = 0.1).head()
+    val n = 199L
+    val k = math.ceil(0.9 * (n + 1).toDouble).toLong
+    assert(out.getAs[Long]("n") == n && out.getAs[Long]("k") == k)
+    val thr = cal.map(_._2).sorted.apply(k.toInt - 1)
+    assert(out.getAs[Double]("threshold") == thr)
+    // exchangeable fresh points fall inside at >= 1 - alpha (approx)
+    val fresh = (0 until 2000).map(_ => rng.nextGaussian())
+    val cover = fresh.count(_ <= thr).toDouble / fresh.size
+    assert(cover >= 0.85 && cover <= 0.97, s"coverage $cover")
+    // k > n: no finite threshold carries the guarantee
+    val tiny = Stats.conformalThreshold(
+      (0 until 5).map(i => ("g", i.toDouble)).toDF("g", "s"),
+      Seq("g"), col("s"), alpha = 0.01).head()
+    assert(tiny.getAs[Long]("k") == 6L && tiny.isNullAt(3))
+    // apply face: flags match, unknown group stays null
+    val thrDf = Stats.conformalThreshold(cal.toDF("g", "s"), Seq("g"),
+      col("s"), alpha = 0.1)
+    val pts = Seq(("g", thr - 0.1), ("g", thr), ("g", thr + 0.1),
+      ("other", 0.0)).toDF("g", "s")
+    val applied = Stats.applyConformal(pts, thrDf, Seq("g"), col("s"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getBoolean(3)))).toMap
+    assert(applied(("g", thr - 0.1)) == Some(true))
+    assert(applied(("g", thr)) == Some(true))
+    assert(applied(("g", thr + 0.1)) == Some(false))
+    assert(applied(("other", 0.0)) == None)
+  }
+
   test("cmhTest: naive replay bitwise; kidney-stone Simpson fixture un-reverses; n=1 stratum zero variance") {
     import spark.implicits._
     // the classic kidney-stone table: treatment better WITHIN each
