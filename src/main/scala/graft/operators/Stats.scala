@@ -925,6 +925,74 @@ object Stats {
         col("d_o"), col("d_e"), col("alpha")): _*)
   }
 
+  /** Cronbach's α internal-consistency reliability per group
+    * (Cronbach 1951) — "do these k signals measure ONE thing": the
+    * standard check before averaging a battery of quality signals
+    * (length, punctuation, stopword ratio, judge scores) into a single
+    * scale. With per-item sample variances and the variance of the
+    * per-unit total:
+    *
+    *   α = k/(k−1) · (1 − Σᵢ Var(itemᵢ) / Var(Σᵢ itemᵢ))
+    *
+    * High α ⇒ the signals co-vary (a coherent scale); α near 0 ⇒ they
+    * measure different things; negative ⇒ scoring direction mix-ups.
+    *
+    * Portability (the logisticFit discipline): each item quantizes to
+    * an exact BIGINT in-plan (floor(x·quantScale)); per-item and
+    * per-total moment sums run exact (Σq BIGINT, Σq² via dec18×dec18),
+    * so they are associative and plan-order-free; the variance tail is
+    * fixed-order +,·,/ from exact integers, the k-item variance sum
+    * folds in DECLARED item order — every column hashes unrounded.
+    * ONE aggregation pass, nothing driver-side.
+    *
+    * α is null when n < 2 or Var(total) ≤ 0 (a constant battery has no
+    * reliability to measure). Output: groups... + (n_units, k_items,
+    * sum_item_var, total_var, alpha) — variances in original units. */
+  def cronbachAlpha(df: DataFrame, groupCols: Seq[String],
+      items: Seq[Column], quantScale: Double = 1e6): DataFrame = {
+    require(items.size >= 2 && items.size <= 32,
+      s"cronbachAlpha needs 2 <= items <= 32, got ${items.size}")
+    require(quantScale >= 1.0 && quantScale <= 1e12 &&
+      quantScale == math.floor(quantScale),
+      s"quantScale integral in [1, 1e12], got $quantScale")
+    val dec18 = org.apache.spark.sql.types.DataTypes
+      .createDecimalType(18, 0)
+    val k = items.size
+    val g = groupCols.map(col)
+    val quant = df
+      .filter(items.map(_.isNotNull).reduce(_ && _))
+      .select(g ++ items.zipWithIndex.map { case (it, i) =>
+        floor(it.cast("double") * lit(quantScale)).cast("long")
+          .as(s"__q$i") }: _*)
+      .withColumn("__t",
+        (0 until k).map(i => col(s"__q$i")).reduce(_ + _))
+    val aggs = (0 until k).flatMap(i => Seq(
+        sum(col(s"__q$i")).as(s"__s$i"),
+        sum(col(s"__q$i").cast(dec18) * col(s"__q$i").cast(dec18))
+          .as(s"__ss$i"))) ++ Seq(
+      sum(col("__t")).as("__st"),
+      sum(col("__t").cast(dec18) * col("__t").cast(dec18)).as("__sst"),
+      count(lit(1)).as("n_units"))
+    val agg = quant.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+    val nD = col("n_units").cast("double")
+    def varOf(s: Column, ss: Column): Column =
+      (ss.cast("double") - s.cast("double") * (s.cast("double") / nD)) /
+        (nD - lit(1.0)) / (lit(quantScale) * lit(quantScale))
+    val sumItemVar = (0 until k)
+      .map(i => varOf(col(s"__s$i"), col(s"__ss$i")))
+      .reduce(_ + _)
+    val totalVar = varOf(col("__st"), col("__sst"))
+    agg
+      .withColumn("k_items", lit(k.toLong))
+      .withColumn("sum_item_var", when(col("n_units") > 1L, sumItemVar))
+      .withColumn("total_var", when(col("n_units") > 1L, totalVar))
+      .withColumn("alpha", when(col("total_var") > 0.0,
+        (lit(k.toDouble) / lit((k - 1).toDouble)) *
+          (lit(1.0) - col("sum_item_var") / col("total_var"))))
+      .select(g ++ Seq(col("n_units"), col("k_items"),
+        col("sum_item_var"), col("total_var"), col("alpha")): _*)
+  }
+
   /** Empirical-Bayes beta-binomial rate shrinkage per group (Robbins
     * 1956; the method-of-moments prior) — the honest way to RANK units
     * by a rate when trial counts vary wildly (click-through by domain,

@@ -803,6 +803,22 @@ object Extras {
       .orderBy("lang")
   }
 
+  /** Cronbach's α of a 3-signal length battery per language
+    * ([[graft.operators.Stats.cronbachAlpha]]): n_chars, text length,
+    * and space-stripped length co-vary strongly (one latent "document
+    * size" trait), so the battery reads reliable; exact quantized
+    * moment sums, fixed-order variance tail — hashes unrounded. */
+  def tCronbach(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("lang").isNotNull &&
+      col("text").isNotNull && col("n_chars").isNotNull)
+    graft.operators.Stats.cronbachAlpha(d, Seq("lang"),
+        Seq(col("n_chars").cast("double"),
+          length(col("text")).cast("double"),
+          length(regexp_replace(col("text"), " ", "")).cast("double")),
+        quantScale = 1e6)
+      .orderBy("lang")
+  }
+
   /** Always-valid p-value per event type ([[graft.operators.Stats
     * .msprt]]): the mixture-SPRT two-proportion readout on the a_sprt
     * fixture (even vs odd users, high-value outcome) — exact counts,
@@ -1382,6 +1398,7 @@ object Extras {
     "a_krippendorff" -> (aKrippendorff _),
     "a_cmh" -> (aCmh _),
     "a_conformal" -> (aConformal _),
+    "t_cronbach" -> (tCronbach _),
     "a_ratio_uplift" -> (aRatioUplift _),
     "c_position_attribution" -> (cPositionAttribution _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
@@ -2304,6 +2321,56 @@ object Extras {
         |  FROM r)
         |SELECT lang, n, k, CASE WHEN k <= n THEN sc END AS threshold
         |FROM kk WHERE rn = least(k, n) ORDER BY lang""".stripMargin,
+    // Cronbach mirror: same quantized per-item/total moment sums
+    // (HUGEINT squares), same fixed-order variance tail.
+    "t_cronbach" ->
+      """WITH u AS (SELECT lang,
+        |    CAST(floor(CAST(n_chars AS DOUBLE)
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS q0,
+        |    CAST(floor(CAST(LENGTH(text) AS DOUBLE)
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS q1,
+        |    CAST(floor(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS q2
+        |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+        |    AND n_chars IS NOT NULL),
+        |u2 AS (SELECT lang, q0, q1, q2, q0 + q1 + q2 AS tq FROM u),
+        |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(q0) AS BIGINT) AS s0,
+        |    SUM(CAST(q0 AS HUGEINT) * CAST(q0 AS HUGEINT)) AS ss0,
+        |    CAST(SUM(q1) AS BIGINT) AS s1,
+        |    SUM(CAST(q1 AS HUGEINT) * CAST(q1 AS HUGEINT)) AS ss1,
+        |    CAST(SUM(q2) AS BIGINT) AS s2,
+        |    SUM(CAST(q2 AS HUGEINT) * CAST(q2 AS HUGEINT)) AS ss2,
+        |    CAST(SUM(tq) AS BIGINT) AS st,
+        |    SUM(CAST(tq AS HUGEINT) * CAST(tq AS HUGEINT)) AS sst
+        |  FROM u2 GROUP BY 1),
+        |f AS (SELECT lang, n,
+        |    ((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+        |        * (CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE)))
+        |      / (CAST(1000000 AS DOUBLE) * CAST(1000000 AS DOUBLE))
+        |      AS v0,
+        |    ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE)))
+        |      / (CAST(1000000 AS DOUBLE) * CAST(1000000 AS DOUBLE))
+        |      AS v1,
+        |    ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+        |        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE)))
+        |      / (CAST(1000000 AS DOUBLE) * CAST(1000000 AS DOUBLE))
+        |      AS v2,
+        |    ((CAST(sst AS DOUBLE) - CAST(st AS DOUBLE)
+        |        * (CAST(st AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE)))
+        |      / (CAST(1000000 AS DOUBLE) * CAST(1000000 AS DOUBLE))
+        |      AS vt
+        |  FROM a)
+        |SELECT lang, n AS n_units, CAST(3 AS BIGINT) AS k_items,
+        |  (v0 + v1) + v2 AS sum_item_var, vt AS total_var,
+        |  CASE WHEN vt > 0 THEN (CAST(3 AS DOUBLE) / CAST(2 AS DOUBLE))
+        |    * (CAST(1 AS DOUBLE) - ((v0 + v1) + v2) / vt) END AS alpha
+        |FROM f ORDER BY lang""".stripMargin,
     // Fleiss mirror: the same deterministic 3-event panel, exact
     // BIGINT cell/marginal sums, identical float tail.
     "a_fleiss_kappa" ->

@@ -1335,6 +1335,57 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == got.map { case (k, r) => k -> r.toSeq })
   }
 
+  test("cronbachAlpha: naive replay bitwise; coherent battery high, independent low, reversed item negative; constant null") {
+    import spark.implicits._
+    val rng = new scala.util.Random(103)
+    // latent trait + item noise: a coherent 3-item battery
+    val units = (0 until 400).map { _ =>
+      val z = rng.nextGaussian()
+      ("g", z + 0.3 * rng.nextGaussian(), z + 0.3 * rng.nextGaussian(),
+        z + 0.3 * rng.nextGaussian())
+    }
+    val q = 1e6
+    val out = Stats.cronbachAlpha(units.toDF("g", "a", "b", "c"),
+      Seq("g"), Seq(col("a"), col("b"), col("c")), q).head()
+    // naive replay with the same quantization and float-op order
+    val qs = units.map { case (_, a, b, c) =>
+      Seq(math.floor(a * q).toLong, math.floor(b * q).toLong,
+        math.floor(c * q).toLong) }
+    val n = qs.size.toDouble
+    def varOf(vs: Seq[Long]): Double = {
+      val s = vs.sum.toDouble
+      val ss = vs.map(v => BigDecimal(v) * BigDecimal(v)).sum.toDouble
+      (ss - s * (s / n)) / (n - 1.0) / (q * q)
+    }
+    val itemVars = (0 until 3).map(i => varOf(qs.map(_(i))))
+    val sumV = itemVars.reduce(_ + _)
+    val totV = varOf(qs.map(_.sum))
+    val alpha = (3.0 / 2.0) * (1.0 - sumV / totV)
+    assert(out.getAs[Long]("n_units") == 400L &&
+      out.getAs[Long]("k_items") == 3L)
+    assert(out.getAs[Double]("sum_item_var") == sumV)
+    assert(out.getAs[Double]("total_var") == totV)
+    assert(out.getAs[Double]("alpha") == alpha)
+    assert(alpha > 0.85, s"coherent battery should be reliable: $alpha")
+    // independent items: alpha near 0
+    val indep = (0 until 400).map(_ => ("g", rng.nextGaussian(),
+      rng.nextGaussian(), rng.nextGaussian()))
+    val ai = Stats.cronbachAlpha(indep.toDF("g", "a", "b", "c"),
+      Seq("g"), Seq(col("a"), col("b"), col("c"))).head()
+      .getAs[Double]("alpha")
+    assert(math.abs(ai) < 0.25, s"independent battery near 0: $ai")
+    // one reversed item drags alpha down hard (direction mix-up)
+    val rev = units.map { case (g, a, b, c) => (g, a, b, -c) }
+    val ar = Stats.cronbachAlpha(rev.toDF("g", "a", "b", "c"),
+      Seq("g"), Seq(col("a"), col("b"), col("c"))).head()
+      .getAs[Double]("alpha")
+    assert(ar < 0.0, s"reversed item should sink alpha: $ar")
+    // constant battery: total variance 0 -> null
+    val const = (0 until 10).map(_ => ("g", 1.0, 2.0, 3.0))
+    assert(Stats.cronbachAlpha(const.toDF("g", "a", "b", "c"),
+      Seq("g"), Seq(col("a"), col("b"), col("c"))).head().isNullAt(5))
+  }
+
   test("conformalThreshold: exact order statistic; coverage holds on exchangeable data; tiny-n null; apply face") {
     import spark.implicits._
     val rng = new scala.util.Random(101)
