@@ -2966,6 +2966,106 @@ object Stats {
         col("v_sum"), col("chi2"), col("or_mh")): _*)
   }
 
+  /** Propensity-score stratified ATE (Rosenbaum & Rubin 1983/1984) —
+    * the composed causal-inference pipeline: when treatment was NOT
+    * randomized, fit P(treated | covariates) with [[logisticFit]],
+    * slice units into propensity strata (NTILE over the score with a
+    * unique-id tie-break — the [[qiniCurve]] determinism), and average
+    * the per-stratum treated-vs-control outcome differences weighted
+    * by stratum size. Five strata remove ~90% of covariate bias
+    * (Cochran 1968).
+    *
+    *   ATE = Σ_s (n_s / N_valid) · (ȳ_t,s − ȳ_c,s)
+    *
+    * over strata with BOTH arms present (a one-armed stratum has no
+    * within-stratum contrast; it is excluded and the weights
+    * renormalize over the valid strata — count the `diff IS NULL` rows
+    * before trusting the estimate).
+    *
+    * Portability: the fit is the [[logisticFit]] chained-quantized
+    * Newton (weights re-embedded as literals); scoring is a fixed
+    * expression; per-stratum outcome masses are exact quantized
+    * BIGINTs (floor(y·outcomeQuant), |y| ≤ maxAbsOutcome fail-fast);
+    * the cross-stratum fold runs in ascending-stratum order — +,·,/
+    * everywhere except the sigmoid's exp (the a_logistic_fit
+    * convention). The global NTILE is the one single-ordering exchange
+    * any exact ranking needs — it runs on the SCORED UNITS, after
+    * aggregation if units are pre-aggregated.
+    *
+    * Output: one row per stratum — (stratum, n, n_t, n_c, mean_t,
+    * mean_c, diff, ate) with the overall `ate` repeated on every row
+    * (null diff ⇒ the stratum is excluded from it). */
+  def propensityStratifiedAte(df: DataFrame, covariates: Seq[Column],
+      treated: Column, outcome: Column, idCol: Column, nStrata: Int = 5,
+      iters: Int = 3, quantScale: Double = 1e6,
+      outcomeQuant: Double = 1e6,
+      maxAbsOutcome: Double = 1000.0): DataFrame = {
+    require(nStrata >= 2 && nStrata <= 100,
+      s"nStrata in 2..100, got $nStrata")
+    val t = treated.cast("boolean")
+    val y = outcome.cast("double")
+    val base = df.filter(t.isNotNull && y.isNotNull && idCol.isNotNull &&
+        covariates.map(_.isNotNull).reduce(_ && _))
+      .filter(assert_true(abs(y) <= maxAbsOutcome,
+        lit(s"propensityStratifiedAte: |outcome| exceeds " +
+          s"$maxAbsOutcome — rescale or raise maxAbsOutcome")).isNull)
+    val fit = logisticFit(base, covariates, t, iters,
+      quantScale = quantScale)
+    val wRow = fit.head()
+    val w = (0 to covariates.size).map(j => wRow.getAs[Double](s"w$j"))
+    val p = logisticScore(covariates, w)
+    val W = org.apache.spark.sql.expressions.Window
+    val strata = base
+      .withColumn("__p", p)
+      .withColumn("__s",
+        ntile(nStrata).over(W.orderBy(col("__p"), idCol)))
+      .groupBy(col("__s"))
+      .agg(sum(when(t, 1L).otherwise(0L)).as("n_t"),
+        sum(when(!t, 1L).otherwise(0L)).as("n_c"),
+        sum(when(t, floor(y * lit(outcomeQuant)).cast("long"))
+          .otherwise(0L)).as("__qt"),
+        sum(when(!t, floor(y * lit(outcomeQuant)).cast("long"))
+          .otherwise(0L)).as("__qc"))
+    val grouped = strata.agg(sort_array(collect_list(struct(
+      col("__s"), col("n_t"), col("n_c"), col("__qt"), col("__qc"))))
+      .as("__cs"))
+    val valid = (x: Column) => x.getField("n_t") > 0L &&
+      x.getField("n_c") > 0L
+    val diffOf = (x: Column) =>
+      (x.getField("__qt").cast("double") / lit(outcomeQuant)) /
+        x.getField("n_t").cast("double") -
+        (x.getField("__qc").cast("double") / lit(outcomeQuant)) /
+          x.getField("n_c").cast("double")
+    val nValid = aggregate(col("__cs"), lit(0L), (acc, x) =>
+      acc + when(valid(x), x.getField("n_t") + x.getField("n_c"))
+        .otherwise(lit(0L)))
+    val ate = aggregate(col("__cs"), lit(0.0), (acc, x) =>
+      acc + when(valid(x),
+          ((x.getField("n_t") + x.getField("n_c")).cast("double") /
+            col("__nv").cast("double")) * diffOf(x))
+        .otherwise(lit(0.0)))
+    grouped
+      .withColumn("__nv", nValid)
+      .withColumn("ate", when(col("__nv") > 0L, ate))
+      .withColumn("__e", explode(col("__cs")))
+      .select(
+        col("__e").getField("__s").as("stratum"),
+        (col("__e").getField("n_t") + col("__e").getField("n_c"))
+          .as("n"),
+        col("__e").getField("n_t").as("n_t"),
+        col("__e").getField("n_c").as("n_c"),
+        when(col("__e").getField("n_t") > 0L,
+          (col("__e").getField("__qt").cast("double") /
+            lit(outcomeQuant)) /
+            col("__e").getField("n_t").cast("double")).as("mean_t"),
+        when(col("__e").getField("n_c") > 0L,
+          (col("__e").getField("__qc").cast("double") /
+            lit(outcomeQuant)) /
+            col("__e").getField("n_c").cast("double")).as("mean_c"),
+        when(valid(col("__e")), diffOf(col("__e"))).as("diff"),
+        col("ate"))
+  }
+
   /** Merge [[armCounts]] tables: BIGINT re-sum per group. */
   def mergeArmCounts(partials: Seq[DataFrame],
       groupNames: Seq[String]): DataFrame =

@@ -819,6 +819,26 @@ object Extras {
       .orderBy("lang")
   }
 
+  /** Propensity-stratified ATE on documents ([[graft.operators.Stats
+    * .propensityStratifiedAte]]): "treatment" = lang-en, propensity fit
+    * on the a_logistic_fit features (scaled length + stopword hits),
+    * outcome = scaled text length, 5 NTILE strata tie-broken by doc_id
+    * — the full composed causal pipeline, weights re-derived by the
+    * mirror's unrolled Newton CTEs. */
+  def cPropensityAte(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    val d = t(s, dir, "documents").filter(col("doc_id").isNotNull &&
+      col("text").isNotNull && col("n_chars").isNotNull)
+    graft.operators.Stats.propensityStratifiedAte(d,
+        Seq(col("n_chars").cast("double") / lit(100.0),
+          TA.vocabHits(TA.wsTokens(lower(col("text"))), TA.EnStop)
+            .cast("double") / lit(10.0)),
+        coalesce(col("lang") === "en", lit(false)),
+        length(col("text")).cast("double") / lit(100.0),
+        col("doc_id"))
+      .orderBy("stratum")
+  }
+
   /** Always-valid p-value per event type ([[graft.operators.Stats
     * .msprt]]): the mixture-SPRT two-proportion readout on the a_sprt
     * fixture (even vs odd users, high-value outcome) — exact counts,
@@ -1399,6 +1419,7 @@ object Extras {
     "a_cmh" -> (aCmh _),
     "a_conformal" -> (aConformal _),
     "t_cronbach" -> (tCronbach _),
+    "c_propensity_ate" -> (cPropensityAte _),
     "a_ratio_uplift" -> (aRatioUplift _),
     "c_position_attribution" -> (cPositionAttribution _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
@@ -1587,6 +1608,111 @@ object Extras {
        |${iter(3)}
        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dat) AS n,
        |  b0 AS w0, b1 AS w1, b2 AS w2 FROM w3""".stripMargin
+  }
+
+  /** c_propensity_ate mirror: the a_logistic_fit Newton chain verbatim
+    * (same dat features, same quantized sums, same Cramer solve), then
+    * the same sigmoid scoring, NTILE(5) ORDER BY (p, id), exact
+    * quantized per-stratum outcome masses, and the ascending-stratum
+    * list_reduce fold with zero entries for one-armed strata. */
+  private val propensityAteOracle: String = {
+    val S = "1000000.0"
+    def iter(i: Int): String = {
+      val prev = s"w${i - 1}"
+      s"""a$i AS (SELECT
+         |    SUM(CAST(floor((y - p) * $S) AS BIGINT)) AS q_g0,
+         |    SUM(CAST(floor(((y - p) * x1) * $S) AS BIGINT)) AS q_g1,
+         |    SUM(CAST(floor(((y - p) * x2) * $S) AS BIGINT)) AS q_g2,
+         |    SUM(CAST(floor((p * (1.0 - p)) * $S) AS BIGINT)) AS q_h00,
+         |    SUM(CAST(floor(((p * (1.0 - p)) * x1) * $S) AS BIGINT)) AS q_h01,
+         |    SUM(CAST(floor(((p * (1.0 - p)) * x2) * $S) AS BIGINT)) AS q_h02,
+         |    SUM(CAST(floor((((p * (1.0 - p)) * x1) * x1) * $S) AS BIGINT)) AS q_h11,
+         |    SUM(CAST(floor((((p * (1.0 - p)) * x1) * x2) * $S) AS BIGINT)) AS q_h12,
+         |    SUM(CAST(floor((((p * (1.0 - p)) * x2) * x2) * $S) AS BIGINT)) AS q_h22
+         |  FROM (SELECT y, x1, x2,
+         |      1.0 / (1.0 + exp(-((1.0 * b0 + x1 * b1) + x2 * b2))) AS p
+         |    FROM dat CROSS JOIN $prev) q),
+         |s$i AS (SELECT b0, b1, b2,
+         |    CAST(q_g0 AS DOUBLE) / $S AS g0,
+         |    CAST(q_g1 AS DOUBLE) / $S AS g1,
+         |    CAST(q_g2 AS DOUBLE) / $S AS g2,
+         |    CAST(q_h00 AS DOUBLE) / $S AS a00,
+         |    CAST(q_h01 AS DOUBLE) / $S AS a01,
+         |    CAST(q_h02 AS DOUBLE) / $S AS a02,
+         |    CAST(q_h11 AS DOUBLE) / $S AS a11,
+         |    CAST(q_h12 AS DOUBLE) / $S AS a12,
+         |    CAST(q_h22 AS DOUBLE) / $S AS a22
+         |  FROM a$i CROSS JOIN $prev),
+         |d$i AS (SELECT b0, b1, b2, g0, g1, g2,
+         |    a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02)
+         |      + a02 * (a01 * a12 - a11 * a02) AS det,
+         |    g0 * (a11 * a22 - a12 * a12) - a01 * (g1 * a22 - a12 * g2)
+         |      + a02 * (g1 * a12 - a11 * g2) AS dt0,
+         |    a00 * (g1 * a22 - a12 * g2) - g0 * (a01 * a22 - a12 * a02)
+         |      + a02 * (a01 * g2 - g1 * a02) AS dt1,
+         |    a00 * (a11 * g2 - g1 * a12) - a01 * (a01 * g2 - g1 * a02)
+         |      + g0 * (a01 * a12 - a11 * a02) AS dt2
+         |  FROM s$i),
+         |w$i AS (SELECT b0 + dt0 / det AS b0, b1 + dt1 / det AS b1,
+         |    b2 + dt2 / det AS b2 FROM d$i)""".stripMargin
+    }
+    s"""WITH dat AS (SELECT doc_id AS id,
+       |    CASE WHEN COALESCE(lang = 'en', FALSE) THEN 1.0 ELSE 0.0 END AS y,
+       |    CAST(n_chars AS DOUBLE) / 100.0 AS x1,
+       |    CAST(length(list_filter(
+       |        string_split_regex(trim(lower(text)), '\\s+'),
+       |        x -> list_contains(
+       |          ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that'], x)))
+       |      AS DOUBLE) / 10.0 AS x2,
+       |    COALESCE(lang = 'en', FALSE) AS t,
+       |    CAST(LENGTH(text) AS DOUBLE) / 100.0 AS y2
+       |  FROM documents WHERE doc_id IS NOT NULL
+       |    AND n_chars IS NOT NULL AND text IS NOT NULL),
+       |w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |sc AS (SELECT id, t, y2,
+       |    1.0 / (1.0 + exp(-((1.0 * b0 + x1 * b1) + x2 * b2))) AS p
+       |  FROM dat CROSS JOIN w3),
+       |st AS (SELECT id, t, y2,
+       |    NTILE(5) OVER (ORDER BY p, id) AS s FROM sc),
+       |cell AS (SELECT s,
+       |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |    CAST(SUM(CASE WHEN t THEN CAST(floor(y2
+       |      * CAST(1000000 AS DOUBLE)) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS qt,
+       |    CAST(SUM(CASE WHEN NOT t THEN CAST(floor(y2
+       |      * CAST(1000000 AS DOUBLE)) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS qc
+       |  FROM st GROUP BY 1),
+       |nv AS (SELECT CAST(SUM(CASE WHEN n_t > 0 AND n_c > 0
+       |    THEN n_t + n_c ELSE 0 END) AS BIGINT) AS nvv FROM cell),
+       |at AS (SELECT list_reduce(list(
+       |    CASE WHEN n_t > 0 AND n_c > 0 THEN
+       |      (CAST(n_t + n_c AS DOUBLE) / CAST(nvv AS DOUBLE))
+       |      * ((CAST(qt AS DOUBLE) / CAST(1000000 AS DOUBLE))
+       |          / CAST(n_t AS DOUBLE)
+       |        - (CAST(qc AS DOUBLE) / CAST(1000000 AS DOUBLE))
+       |          / CAST(n_c AS DOUBLE))
+       |    ELSE CAST(0 AS DOUBLE) END ORDER BY s),
+       |    (a, b) -> a + b) AS ate
+       |  FROM cell CROSS JOIN nv)
+       |SELECT CAST(s AS INTEGER) AS stratum, n_t + n_c AS n, n_t, n_c,
+       |  CASE WHEN n_t > 0 THEN (CAST(qt AS DOUBLE)
+       |    / CAST(1000000 AS DOUBLE)) / CAST(n_t AS DOUBLE) END
+       |    AS mean_t,
+       |  CASE WHEN n_c > 0 THEN (CAST(qc AS DOUBLE)
+       |    / CAST(1000000 AS DOUBLE)) / CAST(n_c AS DOUBLE) END
+       |    AS mean_c,
+       |  CASE WHEN n_t > 0 AND n_c > 0 THEN
+       |    (CAST(qt AS DOUBLE) / CAST(1000000 AS DOUBLE))
+       |      / CAST(n_t AS DOUBLE)
+       |    - (CAST(qc AS DOUBLE) / CAST(1000000 AS DOUBLE))
+       |      / CAST(n_c AS DOUBLE) END AS diff,
+       |  ate
+       |FROM cell CROSS JOIN at ORDER BY stratum""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -1990,6 +2116,7 @@ object Extras {
         |  END AS auc
         |FROM a ORDER BY 1""".stripMargin,
     "a_logistic_fit" -> logisticFitOracle,
+    "c_propensity_ate" -> propensityAteOracle,
     // reliability mirror: same fixed pseudo-score, exact bin counts,
     // quantized score mass, single-division conf/acc
     "a_reliability_bins" ->

@@ -1335,6 +1335,80 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == got.map { case (k, r) => k -> r.toSeq })
   }
 
+  test("propensityStratifiedAte: post-fit replay bitwise; de-biases a confounded effect; one-armed stratum excluded") {
+    import spark.implicits._
+    val rng = new scala.util.Random(107)
+    // confounding: high-x units are both likelier treated AND have
+    // higher outcomes; true effect = 2.0
+    val units = (0 until 1200).map { i =>
+      val x = rng.nextGaussian()
+      val t = rng.nextDouble() < 1.0 / (1.0 + math.exp(-1.5 * x))
+      val y = 2.0 * (if (t) 1.0 else 0.0) + 1.5 * x +
+        0.3 * rng.nextGaussian()
+      (i.toLong, x, t, y)
+    }
+    val df = units.toDF("id", "x", "t", "y")
+    val out = Stats.propensityStratifiedAte(df, Seq(col("x")),
+      col("t"), col("y"), col("id"), nStrata = 5).collect()
+      .sortBy(_.getInt(0))
+    val ate = out.head.getAs[Double]("ate")
+    // naive replay of everything POST-FIT: weights from the (spec'd)
+    // fit, then scala sigmoid, sort, ntile, quantized means, fold
+    val fit = Stats.logisticFit(df, Seq(col("x")), col("t")).head()
+    val (w0, w1) = (fit.getAs[Double]("w0"), fit.getAs[Double]("w1"))
+    val scored = units.map { case (id, x, t, y) =>
+      (id, 1.0 / (1.0 + math.exp(-((1.0 * w0) + x * w1))), t, y) }
+      .sortBy(r => (r._2, r._1))
+    val n = scored.size; val k = 5
+    val sizes = (1 to k).map(i => n / k + (if (i <= n % k) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val strata = (0 until k).map(i =>
+      scored.slice(offsets(i), offsets(i + 1)))
+    var nv = 0L
+    val cells = strata.map { s =>
+      val (ts, cs) = s.partition(_._3)
+      val qt = ts.map(r => math.floor(r._4 * 1e6).toLong).sum
+      val qc = cs.map(r => math.floor(r._4 * 1e6).toLong).sum
+      (ts.size.toLong, cs.size.toLong, qt, qc)
+    }
+    for ((nt, nc, _, _) <- cells if nt > 0 && nc > 0) nv += nt + nc
+    var wantAte = 0.0
+    for ((nt, nc, qt, qc) <- cells if nt > 0 && nc > 0)
+      wantAte += ((nt + nc).toDouble / nv.toDouble) *
+        ((qt.toDouble / 1e6) / nt.toDouble -
+          (qc.toDouble / 1e6) / nc.toDouble)
+    for ((row, i) <- out.zipWithIndex) {
+      val (nt, nc, qt, qc) = cells(i)
+      assert(row.getAs[Long]("n_t") == nt && row.getAs[Long]("n_c") == nc)
+      if (nt > 0)
+        assert(row.getAs[Double]("mean_t") ==
+          (qt.toDouble / 1e6) / nt.toDouble)
+      if (nt > 0 && nc > 0)
+        assert(row.getAs[Double]("diff") ==
+          (qt.toDouble / 1e6) / nt.toDouble -
+            (qc.toDouble / 1e6) / nc.toDouble)
+      assert(row.getAs[Double]("ate") == wantAte)
+    }
+    // de-biasing: naive diff is inflated by confounding; ATE is close
+    val treatedY = units.filter(_._3).map(_._4)
+    val controlY = units.filterNot(_._3).map(_._4)
+    val naive = treatedY.sum / treatedY.size -
+      controlY.sum / controlY.size
+    assert(naive > 3.0, s"fixture should be confounded: $naive")
+    assert(math.abs(ate - 2.0) < 0.4, s"stratified ATE near truth: $ate")
+    // a one-armed stratum: null diff, excluded from the fold
+    val oneArm = (0 until 100).map { i =>
+      val x = if (i < 20) 10.0 + i else rng.nextGaussian()
+      val t = i < 20 || rng.nextBoolean()
+      (i.toLong, x, t, 1.0)
+    }
+    val oa = Stats.propensityStratifiedAte(oneArm.toDF("id", "x", "t", "y"),
+      Seq(col("x")), col("t"), col("y"), col("id"), nStrata = 5,
+      maxAbsOutcome = 2000.0).collect()
+    assert(oa.exists(r => r.isNullAt(6)), "expected a one-armed stratum")
+    assert(oa.forall(r => !r.isNullAt(7)))
+  }
+
   test("cronbachAlpha: naive replay bitwise; coherent battery high, independent low, reversed item negative; constant null") {
     import spark.implicits._
     val rng = new scala.util.Random(103)
