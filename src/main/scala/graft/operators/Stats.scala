@@ -3066,6 +3066,64 @@ object Stats {
         col("ate"))
   }
 
+  /** Inverse-propensity-weighted ATE, Hájek estimator (Horvitz &
+    * Thompson 1952; Hájek 1971) — [[propensityStratifiedAte]]'s
+    * smooth sibling: instead of coarse strata, each unit is weighted
+    * by 1/e (treated) or 1/(1−e) (control), with the self-normalizing
+    * Hájek ratio that tolerates imperfect propensities:
+    *
+    *   ATE = Σ_t y/e / Σ_t 1/e  −  Σ_c y/(1−e) / Σ_c 1/(1−e)
+    *
+    * Propensities clip to [eps, 1−eps] (positivity guard — a unit with
+    * e ≈ 0/1 would otherwise dominate the sums). Same [[logisticFit]]
+    * chain; the four weighted sums are per-row terms QUANTIZED to
+    * exact BIGINTs (floor(term·termQuant), the logisticFit
+    * discipline), so they are associative and the tail is four
+    * dequantize-divisions and a subtraction — hashes unrounded given
+    * the sigmoid's exp (the a_logistic_fit convention).
+    *
+    * Output: one row — (n, n_t, n_c, mean_t_w, mean_c_w, ate). */
+  def ipwAte(df: DataFrame, covariates: Seq[Column], treated: Column,
+      outcome: Column, iters: Int = 3, eps: Double = 0.01,
+      quantScale: Double = 1e6, termQuant: Double = 1e6,
+      maxAbsOutcome: Double = 1000.0): DataFrame = {
+    require(eps > 0.0 && eps < 0.5, s"eps in (0, 0.5), got $eps")
+    val t = treated.cast("boolean")
+    val y = outcome.cast("double")
+    val base = df.filter(t.isNotNull && y.isNotNull &&
+        covariates.map(_.isNotNull).reduce(_ && _))
+      .filter(assert_true(abs(y) <= maxAbsOutcome,
+        lit(s"ipwAte: |outcome| exceeds $maxAbsOutcome — rescale or " +
+          "raise maxAbsOutcome")).isNull)
+    val fit = logisticFit(base, covariates, t, iters,
+      quantScale = quantScale)
+    val wRow = fit.head()
+    val w = (0 to covariates.size).map(j => wRow.getAs[Double](s"w$j"))
+    val e = least(greatest(logisticScore(covariates, w), lit(eps)),
+      lit(1.0 - eps))
+    def q(term: Column): Column =
+      floor(term * lit(termQuant)).cast("long")
+    val agg = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(t, 1L).otherwise(0L)).as("n_t"),
+      sum(when(!t, 1L).otherwise(0L)).as("n_c"),
+      sum(when(t, q(y / e)).otherwise(0L)).as("__yt"),
+      sum(when(t, q(lit(1.0) / e)).otherwise(0L)).as("__wt"),
+      sum(when(!t, q(y / (lit(1.0) - e))).otherwise(0L)).as("__yc"),
+      sum(when(!t, q(lit(1.0) / (lit(1.0) - e))).otherwise(0L))
+        .as("__wc"))
+    val meanT = when(col("__wt") > 0L,
+      col("__yt").cast("double") / col("__wt").cast("double"))
+    val meanC = when(col("__wc") > 0L,
+      col("__yc").cast("double") / col("__wc").cast("double"))
+    agg
+      .withColumn("mean_t_w", meanT)
+      .withColumn("mean_c_w", meanC)
+      .withColumn("ate", col("mean_t_w") - col("mean_c_w"))
+      .select(col("n"), col("n_t"), col("n_c"), col("mean_t_w"),
+        col("mean_c_w"), col("ate"))
+  }
+
   /** Merge [[armCounts]] tables: BIGINT re-sum per group. */
   def mergeArmCounts(partials: Seq[DataFrame],
       groupNames: Seq[String]): DataFrame =

@@ -839,6 +839,23 @@ object Extras {
       .orderBy("stratum")
   }
 
+  /** IPW (Hajek) ATE on documents ([[graft.operators.Stats.ipwAte]]):
+    * the same propensity chain as c_propensity_ate, smooth inverse
+    * weights clipped to [0.01, 0.99], per-row weighted terms quantized
+    * to exact BIGINTs — the readout is two BIGINT ratios and a
+    * subtraction. */
+  def cIpwAte(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    val d = t(s, dir, "documents").filter(col("text").isNotNull &&
+      col("n_chars").isNotNull)
+    graft.operators.Stats.ipwAte(d,
+      Seq(col("n_chars").cast("double") / lit(100.0),
+        TA.vocabHits(TA.wsTokens(lower(col("text"))), TA.EnStop)
+          .cast("double") / lit(10.0)),
+      coalesce(col("lang") === "en", lit(false)),
+      length(col("text")).cast("double") / lit(100.0))
+  }
+
   /** Always-valid p-value per event type ([[graft.operators.Stats
     * .msprt]]): the mixture-SPRT two-proportion readout on the a_sprt
     * fixture (even vs odd users, high-value outcome) — exact counts,
@@ -1420,6 +1437,7 @@ object Extras {
     "a_conformal" -> (aConformal _),
     "t_cronbach" -> (tCronbach _),
     "c_propensity_ate" -> (cPropensityAte _),
+    "c_ipw_ate" -> (cIpwAte _),
     "a_ratio_uplift" -> (aRatioUplift _),
     "c_position_attribution" -> (cPositionAttribution _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
@@ -1713,6 +1731,92 @@ object Extras {
        |      / CAST(n_c AS DOUBLE) END AS diff,
        |  ate
        |FROM cell CROSS JOIN at ORDER BY stratum""".stripMargin
+  }
+
+  /** c_ipw_ate mirror: the same Newton chain (no doc_id filter — the
+    * estimator needs no id), clipped sigmoid weights, quantized
+    * weighted sums, two BIGINT ratios and a subtraction. */
+  private val ipwAteOracle: String = {
+    val S = "1000000.0"
+    def iter(i: Int): String = {
+      val prev = s"w${i - 1}"
+      s"""a$i AS (SELECT
+         |    SUM(CAST(floor((y - p) * $S) AS BIGINT)) AS q_g0,
+         |    SUM(CAST(floor(((y - p) * x1) * $S) AS BIGINT)) AS q_g1,
+         |    SUM(CAST(floor(((y - p) * x2) * $S) AS BIGINT)) AS q_g2,
+         |    SUM(CAST(floor((p * (1.0 - p)) * $S) AS BIGINT)) AS q_h00,
+         |    SUM(CAST(floor(((p * (1.0 - p)) * x1) * $S) AS BIGINT)) AS q_h01,
+         |    SUM(CAST(floor(((p * (1.0 - p)) * x2) * $S) AS BIGINT)) AS q_h02,
+         |    SUM(CAST(floor((((p * (1.0 - p)) * x1) * x1) * $S) AS BIGINT)) AS q_h11,
+         |    SUM(CAST(floor((((p * (1.0 - p)) * x1) * x2) * $S) AS BIGINT)) AS q_h12,
+         |    SUM(CAST(floor((((p * (1.0 - p)) * x2) * x2) * $S) AS BIGINT)) AS q_h22
+         |  FROM (SELECT y, x1, x2,
+         |      1.0 / (1.0 + exp(-((1.0 * b0 + x1 * b1) + x2 * b2))) AS p
+         |    FROM dat CROSS JOIN $prev) q),
+         |s$i AS (SELECT b0, b1, b2,
+         |    CAST(q_g0 AS DOUBLE) / $S AS g0,
+         |    CAST(q_g1 AS DOUBLE) / $S AS g1,
+         |    CAST(q_g2 AS DOUBLE) / $S AS g2,
+         |    CAST(q_h00 AS DOUBLE) / $S AS a00,
+         |    CAST(q_h01 AS DOUBLE) / $S AS a01,
+         |    CAST(q_h02 AS DOUBLE) / $S AS a02,
+         |    CAST(q_h11 AS DOUBLE) / $S AS a11,
+         |    CAST(q_h12 AS DOUBLE) / $S AS a12,
+         |    CAST(q_h22 AS DOUBLE) / $S AS a22
+         |  FROM a$i CROSS JOIN $prev),
+         |d$i AS (SELECT b0, b1, b2, g0, g1, g2,
+         |    a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02)
+         |      + a02 * (a01 * a12 - a11 * a02) AS det,
+         |    g0 * (a11 * a22 - a12 * a12) - a01 * (g1 * a22 - a12 * g2)
+         |      + a02 * (g1 * a12 - a11 * g2) AS dt0,
+         |    a00 * (g1 * a22 - a12 * g2) - g0 * (a01 * a22 - a12 * a02)
+         |      + a02 * (a01 * g2 - g1 * a02) AS dt1,
+         |    a00 * (a11 * g2 - g1 * a12) - a01 * (a01 * g2 - g1 * a02)
+         |      + g0 * (a01 * a12 - a11 * a02) AS dt2
+         |  FROM s$i),
+         |w$i AS (SELECT b0 + dt0 / det AS b0, b1 + dt1 / det AS b1,
+         |    b2 + dt2 / det AS b2 FROM d$i)""".stripMargin
+    }
+    s"""WITH dat AS (SELECT
+       |    CASE WHEN COALESCE(lang = 'en', FALSE) THEN 1.0 ELSE 0.0 END AS y,
+       |    CAST(n_chars AS DOUBLE) / 100.0 AS x1,
+       |    CAST(length(list_filter(
+       |        string_split_regex(trim(lower(text)), '\\s+'),
+       |        x -> list_contains(
+       |          ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that'], x)))
+       |      AS DOUBLE) / 10.0 AS x2,
+       |    COALESCE(lang = 'en', FALSE) AS t,
+       |    CAST(LENGTH(text) AS DOUBLE) / 100.0 AS y2
+       |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+       |w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |sc AS (SELECT t, y2,
+       |    least(greatest(1.0 / (1.0 + exp(-((1.0 * b0 + x1 * b1)
+       |        + x2 * b2))), CAST(0.01 AS DOUBLE)),
+       |      CAST(0.99 AS DOUBLE)) AS e
+       |  FROM dat CROSS JOIN w3)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |  CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |  CAST(SUM(CASE WHEN t THEN CAST(floor((y2 / e) * $S) AS BIGINT)
+       |      ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(CASE WHEN t THEN CAST(floor((1.0 / e) * $S)
+       |      AS BIGINT) ELSE 0 END) AS DOUBLE) AS mean_t_w,
+       |  CAST(SUM(CASE WHEN NOT t THEN CAST(floor((y2 / (1.0 - e))
+       |      * $S) AS BIGINT) ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(CASE WHEN NOT t THEN CAST(floor((1.0 / (1.0 - e))
+       |      * $S) AS BIGINT) ELSE 0 END) AS DOUBLE) AS mean_c_w,
+       |  CAST(SUM(CASE WHEN t THEN CAST(floor((y2 / e) * $S) AS BIGINT)
+       |      ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(CASE WHEN t THEN CAST(floor((1.0 / e) * $S)
+       |      AS BIGINT) ELSE 0 END) AS DOUBLE)
+       |  - CAST(SUM(CASE WHEN NOT t THEN CAST(floor((y2 / (1.0 - e))
+       |      * $S) AS BIGINT) ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(CASE WHEN NOT t THEN CAST(floor((1.0 / (1.0 - e))
+       |      * $S) AS BIGINT) ELSE 0 END) AS DOUBLE) AS ate
+       |FROM sc""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -2117,6 +2221,7 @@ object Extras {
         |FROM a ORDER BY 1""".stripMargin,
     "a_logistic_fit" -> logisticFitOracle,
     "c_propensity_ate" -> propensityAteOracle,
+    "c_ipw_ate" -> ipwAteOracle,
     // reliability mirror: same fixed pseudo-score, exact bin counts,
     // quantized score mass, single-division conf/acc
     "a_reliability_bins" ->

@@ -1409,6 +1409,44 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(oa.forall(r => !r.isNullAt(7)))
   }
 
+  test("ipwAte: post-fit replay bitwise; de-biases the confounded fixture; clip guards positivity") {
+    import spark.implicits._
+    val rng = new scala.util.Random(109)
+    val units = (0 until 1200).map { i =>
+      val x = rng.nextGaussian()
+      val t = rng.nextDouble() < 1.0 / (1.0 + math.exp(-1.5 * x))
+      val y = 2.0 * (if (t) 1.0 else 0.0) + 1.5 * x +
+        0.3 * rng.nextGaussian()
+      (i.toLong, x, t, y)
+    }
+    val df = units.toDF("id", "x", "t", "y")
+    val out = Stats.ipwAte(df, Seq(col("x")), col("t"), col("y")).head()
+    // post-fit replay: weights from the spec'd fit, scala sigmoid,
+    // clip, quantized weighted sums
+    val fit = Stats.logisticFit(df, Seq(col("x")), col("t")).head()
+    val (w0, w1) = (fit.getAs[Double]("w0"), fit.getAs[Double]("w1"))
+    val q = 1e6
+    var yt = 0L; var wt = 0L; var yc = 0L; var wc = 0L
+    for ((_, x, t, y) <- units) {
+      val e0 = 1.0 / (1.0 + math.exp(-((1.0 * w0) + x * w1)))
+      val e = math.min(math.max(e0, 0.01), 0.99)
+      if (t) {
+        yt += math.floor((y / e) * q).toLong
+        wt += math.floor((1.0 / e) * q).toLong
+      } else {
+        yc += math.floor((y / (1.0 - e)) * q).toLong
+        wc += math.floor((1.0 / (1.0 - e)) * q).toLong
+      }
+    }
+    val ate = yt.toDouble / wt.toDouble - yc.toDouble / wc.toDouble
+    assert(out.getAs[Long]("n") == 1200L)
+    assert(out.getAs[Double]("mean_t_w") == yt.toDouble / wt.toDouble)
+    assert(out.getAs[Double]("mean_c_w") == yc.toDouble / wc.toDouble)
+    assert(out.getAs[Double]("ate") == ate)
+    // de-biasing: the naive gap is > 3, IPW lands near the true 2.0
+    assert(math.abs(ate - 2.0) < 0.4, s"IPW ATE near truth: $ate")
+  }
+
   test("cronbachAlpha: naive replay bitwise; coherent battery high, independent low, reversed item negative; constant null") {
     import spark.implicits._
     val rng = new scala.util.Random(103)
