@@ -110,7 +110,13 @@ object PlanDump {
     "c_position_attribution" -> "position/time-decay attribution — ONE per-user path collect (the Markov exchange); all four credit models are in-row expressions over the sorted path, then a k-row channel aggregate and a broadcast universe zero-fill",
     "a_poisson_bootstrap" -> "Poisson bootstrap — per-unit sums (one data exchange), a B-fanout explode to replicate means (B bounded), then a <=B in-row sorted fold per group; no data row is visited more than once per stage",
     "a_sprt" -> "Wald SPRT — one counts aggregate; llr, boundaries, and the decision are projections",
-    "t_entity_resolution" -> "composed entity resolution — shingle/signature pipeline once, banded bucket self-join for candidates, two record-side equi-joins for pair features, 3 EM aggregation passes, broadcast weights scoring, CC on the matched-pair graph only; no stage touches text twice and nothing is quadratic in records")
+    "t_entity_resolution" -> "composed entity resolution — shingle/signature pipeline once, banded bucket self-join for candidates, two record-side equi-joins for pair features, 3 EM aggregation passes, broadcast weights scoring, CC on the matched-pair graph only; no stage touches text twice and nothing is quadratic in records",
+    "c_cuminc" -> "Aalen-Johansen — the KM two-aggregate thinning with a BIGINT-per-cause array per (group, t); the competing-incidence recursion is one in-row fold carrying (used, survival, CIF array), the long pivot a bounded posexplode",
+    "c_rmst_diff" -> "RMST difference — per-cohort totals and Greenwood-type variances are TWO in-row folds over the same bounded survival grid (no window, no join); the z readout is a 6-column pivot projection",
+    "a_cmh" -> "CMH stratified test — one (group, stratum) counts aggregate is the only data pass; per-stratum terms and the fixed-order cross-stratum folds run on the strata frame (THIRD readout of the armCounts partial)",
+    "c_propensity_ate" -> "propensity-stratified ATE — 3 quantized-Newton aggregation passes (weights re-embedded as literals), sigmoid scoring as a projection, ONE global NTILE sort (the exact-ranking exchange), then a 5-row strata aggregate + in-row weighted fold",
+    "a_eb_shrinkage" -> "EB shrinkage — the prior is ONE aggregated row (BIGINT + decimal moments) broadcast back onto the unit frame; every per-unit output is a projection, no second data pass",
+    "a_conformal" -> "conformal threshold — one per-group sort window (the exact order-statistic exchange) and a rank-equality filter; no aggregate beyond the window counts")
 
   /** Measured analysis notes that ride along with every regeneration —
     * numbers come from the dated drives described inline. */
