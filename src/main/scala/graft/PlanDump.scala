@@ -114,7 +114,7 @@ object PlanDump {
     "c_cuminc" -> "Aalen-Johansen — the KM two-aggregate thinning with a BIGINT-per-cause array per (group, t); the competing-incidence recursion is one in-row fold carrying (used, survival, CIF array), the long pivot a bounded posexplode",
     "c_rmst_diff" -> "RMST difference — per-cohort totals and Greenwood-type variances are TWO in-row folds over the same bounded survival grid (no window, no join); the z readout is a 6-column pivot projection",
     "a_cmh" -> "CMH stratified test — one (group, stratum) counts aggregate is the only data pass; per-stratum terms and the fixed-order cross-stratum folds run on the strata frame (THIRD readout of the armCounts partial)",
-    "c_propensity_ate" -> "propensity-stratified ATE — 3 quantized-Newton aggregation passes (weights re-embedded as literals), sigmoid scoring as a projection, ONE global NTILE sort (the exact-ranking exchange), then a 5-row strata aggregate + in-row weighted fold",
+    "c_propensity_ate" -> "propensity-stratified ATE — 3 quantized-Newton aggregation passes (weights re-embedded as literals), sigmoid scoring as a projection, a PER-SOURCE-partitioned NTILE window (the exact-ranking exchange distributes across segments; no single-task window), then a (source x 5)-row strata aggregate + in-row weighted folds",
     "a_eb_shrinkage" -> "EB shrinkage — the prior is ONE aggregated row (BIGINT + decimal moments) broadcast back onto the unit frame; every per-unit output is a projection, no second data pass",
     "a_conformal" -> "conformal threshold — one per-group sort window (the exact order-statistic exchange) and a rank-equality filter; no aggregate beyond the window counts")
 

@@ -2983,28 +2983,33 @@ object Stats {
     * before trusting the estimate).
     *
     * Portability: the fit is the [[logisticFit]] chained-quantized
-    * Newton (weights re-embedded as literals); scoring is a fixed
-    * expression; per-stratum outcome masses are exact quantized
-    * BIGINTs (floor(y·outcomeQuant), |y| ≤ maxAbsOutcome fail-fast);
-    * the cross-stratum fold runs in ascending-stratum order — +,·,/
-    * everywhere except the sigmoid's exp (the a_logistic_fit
-    * convention). The global NTILE is the one single-ordering exchange
-    * any exact ranking needs — it runs on the SCORED UNITS, after
-    * aggregation if units are pre-aggregated.
+    * Newton (weights re-embedded as literals — ONE model across all
+    * groups); scoring is a fixed expression; per-stratum outcome
+    * masses are exact quantized BIGINTs (floor(y·outcomeQuant),
+    * |y| ≤ maxAbsOutcome fail-fast); the cross-stratum fold runs in
+    * ascending-stratum order — +,·,/ everywhere except the sigmoid's
+    * exp (the a_logistic_fit convention). The NTILE window PARTITIONS
+    * on `groupCols` (per-segment strata and per-segment ATE) — pass a
+    * real segmentation so the exact-ranking exchange distributes;
+    * empty `groupCols` degrades to one global ordering task and is
+    * only for small scored frames.
     *
-    * Output: one row per stratum — (stratum, n, n_t, n_c, mean_t,
-    * mean_c, diff, ate) with the overall `ate` repeated on every row
-    * (null diff ⇒ the stratum is excluded from it). */
-  def propensityStratifiedAte(df: DataFrame, covariates: Seq[Column],
-      treated: Column, outcome: Column, idCol: Column, nStrata: Int = 5,
-      iters: Int = 3, quantScale: Double = 1e6,
-      outcomeQuant: Double = 1e6,
+    * Output: one row per (group, stratum) — groups... + (stratum, n,
+    * n_t, n_c, mean_t, mean_c, diff, ate) with the group's `ate`
+    * repeated on its rows (null diff ⇒ the stratum is excluded from
+    * it). */
+  def propensityStratifiedAte(df: DataFrame, groupCols: Seq[String],
+      covariates: Seq[Column], treated: Column, outcome: Column,
+      idCol: Column, nStrata: Int = 5, iters: Int = 3,
+      quantScale: Double = 1e6, outcomeQuant: Double = 1e6,
       maxAbsOutcome: Double = 1000.0): DataFrame = {
     require(nStrata >= 2 && nStrata <= 100,
       s"nStrata in 2..100, got $nStrata")
+    val g = groupCols.map(col)
     val t = treated.cast("boolean")
     val y = outcome.cast("double")
     val base = df.filter(t.isNotNull && y.isNotNull && idCol.isNotNull &&
+        (g :+ lit(true)).map(_.isNotNull).reduce(_ && _) &&
         covariates.map(_.isNotNull).reduce(_ && _))
       .filter(assert_true(abs(y) <= maxAbsOutcome,
         lit(s"propensityStratifiedAte: |outcome| exceeds " +
@@ -3015,20 +3020,23 @@ object Stats {
     val w = (0 to covariates.size).map(j => wRow.getAs[Double](s"w$j"))
     val p = logisticScore(covariates, w)
     val W = org.apache.spark.sql.expressions.Window
+    val win =
+      if (groupCols.isEmpty) W.orderBy(col("__p"), idCol)
+      else W.partitionBy(g: _*).orderBy(col("__p"), idCol)
     val strata = base
       .withColumn("__p", p)
-      .withColumn("__s",
-        ntile(nStrata).over(W.orderBy(col("__p"), idCol)))
-      .groupBy(col("__s"))
+      .withColumn("__s", ntile(nStrata).over(win))
+      .groupBy(g :+ col("__s"): _*)
       .agg(sum(when(t, 1L).otherwise(0L)).as("n_t"),
         sum(when(!t, 1L).otherwise(0L)).as("n_c"),
         sum(when(t, floor(y * lit(outcomeQuant)).cast("long"))
           .otherwise(0L)).as("__qt"),
         sum(when(!t, floor(y * lit(outcomeQuant)).cast("long"))
           .otherwise(0L)).as("__qc"))
-    val grouped = strata.agg(sort_array(collect_list(struct(
-      col("__s"), col("n_t"), col("n_c"), col("__qt"), col("__qc"))))
-      .as("__cs"))
+    val grouped = strata.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(
+        col("__s"), col("n_t"), col("n_c"), col("__qt"), col("__qc"))))
+        .as("__cs"))
     val valid = (x: Column) => x.getField("n_t") > 0L &&
       x.getField("n_c") > 0L
     val diffOf = (x: Column) =>
@@ -3048,7 +3056,7 @@ object Stats {
       .withColumn("__nv", nValid)
       .withColumn("ate", when(col("__nv") > 0L, ate))
       .withColumn("__e", explode(col("__cs")))
-      .select(
+      .select(g ++ Seq(
         col("__e").getField("__s").as("stratum"),
         (col("__e").getField("n_t") + col("__e").getField("n_c"))
           .as("n"),
@@ -3063,7 +3071,7 @@ object Stats {
             lit(outcomeQuant)) /
             col("__e").getField("n_c").cast("double")).as("mean_c"),
         when(valid(col("__e")), diffOf(col("__e"))).as("diff"),
-        col("ate"))
+        col("ate")): _*)
   }
 
   /** Inverse-propensity-weighted ATE, Hájek estimator (Horvitz &

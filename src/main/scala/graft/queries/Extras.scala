@@ -822,21 +822,22 @@ object Extras {
   /** Propensity-stratified ATE on documents ([[graft.operators.Stats
     * .propensityStratifiedAte]]): "treatment" = lang-en, propensity fit
     * on the a_logistic_fit features (scaled length + stopword hits),
-    * outcome = scaled text length, 5 NTILE strata tie-broken by doc_id
+    * outcome = scaled text length, 5 per-SOURCE NTILE strata tie-broken by doc_id (the partitioned exact-ranking exchange)
     * — the full composed causal pipeline, weights re-derived by the
     * mirror's unrolled Newton CTEs. */
   def cPropensityAte(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{TextAnalysis => TA}
     val d = t(s, dir, "documents").filter(col("doc_id").isNotNull &&
-      col("text").isNotNull && col("n_chars").isNotNull)
-    graft.operators.Stats.propensityStratifiedAte(d,
+      col("source").isNotNull && col("text").isNotNull &&
+      col("n_chars").isNotNull)
+    graft.operators.Stats.propensityStratifiedAte(d, Seq("source"),
         Seq(col("n_chars").cast("double") / lit(100.0),
           TA.vocabHits(TA.wsTokens(lower(col("text"))), TA.EnStop)
             .cast("double") / lit(10.0)),
         coalesce(col("lang") === "en", lit(false)),
         length(col("text")).cast("double") / lit(100.0),
         col("doc_id"))
-      .orderBy("stratum")
+      .orderBy("source", "stratum")
   }
 
   /** IPW (Hajek) ATE on documents ([[graft.operators.Stats.ipwAte]]):
@@ -1674,7 +1675,7 @@ object Extras {
          |w$i AS (SELECT b0 + dt0 / det AS b0, b1 + dt1 / det AS b1,
          |    b2 + dt2 / det AS b2 FROM d$i)""".stripMargin
     }
-    s"""WITH dat AS (SELECT doc_id AS id,
+    s"""WITH dat AS (SELECT doc_id AS id, source AS grp,
        |    CASE WHEN COALESCE(lang = 'en', FALSE) THEN 1.0 ELSE 0.0 END AS y,
        |    CAST(n_chars AS DOUBLE) / 100.0 AS x1,
        |    CAST(length(list_filter(
@@ -1685,17 +1686,19 @@ object Extras {
        |    COALESCE(lang = 'en', FALSE) AS t,
        |    CAST(LENGTH(text) AS DOUBLE) / 100.0 AS y2
        |  FROM documents WHERE doc_id IS NOT NULL
+       |    AND source IS NOT NULL
        |    AND n_chars IS NOT NULL AND text IS NOT NULL),
        |w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
        |${iter(1)},
        |${iter(2)},
        |${iter(3)},
-       |sc AS (SELECT id, t, y2,
+       |sc AS (SELECT grp, id, t, y2,
        |    1.0 / (1.0 + exp(-((1.0 * b0 + x1 * b1) + x2 * b2))) AS p
        |  FROM dat CROSS JOIN w3),
-       |st AS (SELECT id, t, y2,
-       |    NTILE(5) OVER (ORDER BY p, id) AS s FROM sc),
-       |cell AS (SELECT s,
+       |st AS (SELECT grp, id, t, y2,
+       |    NTILE(5) OVER (PARTITION BY grp ORDER BY p, id) AS s
+       |  FROM sc),
+       |cell AS (SELECT grp, s,
        |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
        |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
        |    CAST(SUM(CASE WHEN t THEN CAST(floor(y2
@@ -1704,10 +1707,11 @@ object Extras {
        |    CAST(SUM(CASE WHEN NOT t THEN CAST(floor(y2
        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) ELSE 0 END)
        |      AS BIGINT) AS qc
-       |  FROM st GROUP BY 1),
-       |nv AS (SELECT CAST(SUM(CASE WHEN n_t > 0 AND n_c > 0
-       |    THEN n_t + n_c ELSE 0 END) AS BIGINT) AS nvv FROM cell),
-       |at AS (SELECT list_reduce(list(
+       |  FROM st GROUP BY 1, 2),
+       |nv AS (SELECT grp, CAST(SUM(CASE WHEN n_t > 0 AND n_c > 0
+       |    THEN n_t + n_c ELSE 0 END) AS BIGINT) AS nvv
+       |  FROM cell GROUP BY 1),
+       |at AS (SELECT cell.grp, list_reduce(list(
        |    CASE WHEN n_t > 0 AND n_c > 0 THEN
        |      (CAST(n_t + n_c AS DOUBLE) / CAST(nvv AS DOUBLE))
        |      * ((CAST(qt AS DOUBLE) / CAST(1000000 AS DOUBLE))
@@ -1716,8 +1720,9 @@ object Extras {
        |          / CAST(n_c AS DOUBLE))
        |    ELSE CAST(0 AS DOUBLE) END ORDER BY s),
        |    (a, b) -> a + b) AS ate
-       |  FROM cell CROSS JOIN nv)
-       |SELECT CAST(s AS INTEGER) AS stratum, n_t + n_c AS n, n_t, n_c,
+       |  FROM cell JOIN nv ON nv.grp = cell.grp GROUP BY 1, nvv)
+       |SELECT cell.grp AS source, CAST(s AS INTEGER) AS stratum,
+       |  n_t + n_c AS n, n_t, n_c,
        |  CASE WHEN n_t > 0 THEN (CAST(qt AS DOUBLE)
        |    / CAST(1000000 AS DOUBLE)) / CAST(n_t AS DOUBLE) END
        |    AS mean_t,
@@ -1730,7 +1735,8 @@ object Extras {
        |    - (CAST(qc AS DOUBLE) / CAST(1000000 AS DOUBLE))
        |      / CAST(n_c AS DOUBLE) END AS diff,
        |  ate
-       |FROM cell CROSS JOIN at ORDER BY stratum""".stripMargin
+       |FROM cell JOIN at ON at.grp = cell.grp
+       |ORDER BY source, stratum""".stripMargin
   }
 
   /** c_ipw_ate mirror: the same Newton chain (no doc_id filter — the

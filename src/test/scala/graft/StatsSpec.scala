@@ -1348,7 +1348,7 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (i.toLong, x, t, y)
     }
     val df = units.toDF("id", "x", "t", "y")
-    val out = Stats.propensityStratifiedAte(df, Seq(col("x")),
+    val out = Stats.propensityStratifiedAte(df, Nil, Seq(col("x")),
       col("t"), col("y"), col("id"), nStrata = 5).collect()
       .sortBy(_.getInt(0))
     val ate = out.head.getAs[Double]("ate")
@@ -1402,7 +1402,8 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val t = i < 20 || rng.nextBoolean()
       (i.toLong, x, t, 1.0)
     }
-    val oa = Stats.propensityStratifiedAte(oneArm.toDF("id", "x", "t", "y"),
+    val oa = Stats.propensityStratifiedAte(
+      oneArm.toDF("id", "x", "t", "y"), Nil,
       Seq(col("x")), col("t"), col("y"), col("id"), nStrata = 5,
       maxAbsOutcome = 2000.0).collect()
     assert(oa.exists(r => r.isNullAt(6)), "expected a one-armed stratum")
