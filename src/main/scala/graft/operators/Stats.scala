@@ -3132,6 +3132,92 @@ object Stats {
         col("mean_c_w"), col("ate"))
   }
 
+  /** AIPW doubly-robust ATE (Robins, Rotnitzky & Zhao 1994; Bang &
+    * Robins 2005) — the estimator that forgives ONE wrong model: an
+    * outcome-regression head per arm (m₁, m₀) plus an IPW correction
+    * term; the estimate stays consistent if EITHER the propensity OR
+    * the outcome model is right:
+    *
+    *   ATE = mean[ (m₁(x) − m₀(x)) + t·(y − m₁(x))/e
+    *               − (1−t)·(y − m₀(x))/(1−e) ]
+    *
+    * Composition: the [[logisticFit]] quantized-Newton propensity
+    * (clipped to [eps, 1−eps]); per-arm CLOSED-FORM OLS heads on
+    * (1, covariates) — normal-equation moments as exact quantized
+    * BIGINT sums in ONE conditional aggregation pass for BOTH arms,
+    * solved by the same fixed Cramer tree as the Newton step
+    * ([[solveFixed]], weights re-embedded as literals); the per-row
+    * AIPW term quantizes to a BIGINT (the logisticFit discipline) so
+    * the closing mean is one exact sum and two divisions. Everything
+    * is +,·,/ except the sigmoid's exp (the a_logistic_fit
+    * convention).
+    *
+    * 1–2 covariates (the explicit-Cramer regime the SQL mirror
+    * replays). Output: one row — (n, n_t, n_c, ate). */
+  def aipwAte(df: DataFrame, covariates: Seq[Column], treated: Column,
+      outcome: Column, iters: Int = 3, eps: Double = 0.01,
+      quantScale: Double = 1e6, momentQuant: Double = 1e6,
+      termQuant: Double = 1e6, maxAbsOutcome: Double = 1000.0): DataFrame = {
+    require(covariates.size >= 1 && covariates.size <= 2,
+      s"aipwAte supports 1..2 covariates, got ${covariates.size}")
+    require(eps > 0.0 && eps < 0.5, s"eps in (0, 0.5), got $eps")
+    val t = treated.cast("boolean")
+    val y = outcome.cast("double")
+    val base = df.filter(t.isNotNull && y.isNotNull &&
+        covariates.map(_.isNotNull).reduce(_ && _))
+      .filter(assert_true(abs(y) <= maxAbsOutcome,
+        lit(s"aipwAte: |outcome| exceeds $maxAbsOutcome — rescale or " +
+          "raise maxAbsOutcome")).isNull)
+    val fit = logisticFit(base, covariates, t, iters,
+      quantScale = quantScale)
+    val pRow = fit.head()
+    val pw = (0 to covariates.size).map(j => pRow.getAs[Double](s"w$j"))
+    val e = least(greatest(logisticScore(covariates, pw), lit(eps)),
+      lit(1.0 - eps))
+    // both OLS heads from ONE conditional-moment aggregation pass
+    val xs = lit(1.0) +: covariates.map(_.cast("double"))
+    val k = xs.size
+    def q(c: Column): Column = floor(c * lit(momentQuant)).cast("long")
+    val momentAggs =
+      (for (arm <- Seq(true, false); j <- 0 until k; l <- j until k)
+        yield sum(when(if (arm) t else !t, q(xs(j) * xs(l)))
+          .otherwise(0L)).as(s"m_${arm}_${j}_$l")) ++
+      (for (arm <- Seq(true, false); j <- 0 until k)
+        yield sum(when(if (arm) t else !t, q(xs(j) * y))
+          .otherwise(0L)).as(s"v_${arm}_$j")) ++ Seq(
+        count(lit(1)).as("n"),
+        sum(when(t, 1L).otherwise(0L)).as("n_t"))
+    val mRow = base.agg(momentAggs.head, momentAggs.tail: _*).head()
+    require(mRow.getAs[Long]("n_t") > 0L &&
+      mRow.getAs[Long]("n_t") < mRow.getAs[Long]("n"),
+      "aipwAte: both arms must be non-empty")
+    def headWeights(arm: Boolean): Seq[Double] = {
+      val a = Array.tabulate(k, k) { (j, l) =>
+        val (lo, hi) = if (j <= l) (j, l) else (l, j)
+        mRow.getAs[Long](s"m_${arm}_${lo}_$hi").toDouble / momentQuant
+      }
+      val g = Array.tabulate(k)(j =>
+        mRow.getAs[Long](s"v_${arm}_$j").toDouble / momentQuant)
+      solveFixed(a, g).toSeq
+    }
+    def predict(ws: Seq[Double]): Column =
+      xs.zip(ws).map { case (x, wi) => x * lit(wi) }.reduce(_ + _)
+    val m1 = predict(headWeights(true))
+    val m0 = predict(headWeights(false))
+    val term = ((m1 - m0) +
+      when(t, (y - m1) / e).otherwise(lit(0.0))) -
+      when(!t, (y - m0) / (lit(1.0) - e)).otherwise(lit(0.0))
+    base.agg(
+        count(lit(1)).as("n"),
+        sum(when(t, 1L).otherwise(0L)).as("n_t"),
+        sum(when(!t, 1L).otherwise(0L)).as("n_c"),
+        sum(floor(term * lit(termQuant)).cast("long")).as("__qs"))
+      .withColumn("ate",
+        (col("__qs").cast("double") / lit(termQuant)) /
+          col("n").cast("double"))
+      .select(col("n"), col("n_t"), col("n_c"), col("ate"))
+  }
+
   /** Merge [[armCounts]] tables: BIGINT re-sum per group. */
   def mergeArmCounts(partials: Seq[DataFrame],
       groupNames: Seq[String]): DataFrame =

@@ -857,6 +857,23 @@ object Extras {
       length(col("text")).cast("double") / lit(100.0))
   }
 
+  /** AIPW doubly-robust ATE on documents ([[graft.operators.Stats
+    * .aipwAte]]): the c_ipw_ate setup plus per-arm closed-form OLS
+    * outcome heads on (1, x1, x2) — normal-equation moments as exact
+    * quantized BIGINTs, the same Cramer tree as the Newton step, and
+    * a quantized per-row correction-term sum. */
+  def cAipwAte(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    val d = t(s, dir, "documents").filter(col("text").isNotNull &&
+      col("n_chars").isNotNull)
+    graft.operators.Stats.aipwAte(d,
+      Seq(col("n_chars").cast("double") / lit(100.0),
+        TA.vocabHits(TA.wsTokens(lower(col("text"))), TA.EnStop)
+          .cast("double") / lit(10.0)),
+      coalesce(col("lang") === "en", lit(false)),
+      length(col("text")).cast("double") / lit(100.0))
+  }
+
   /** Always-valid p-value per event type ([[graft.operators.Stats
     * .msprt]]): the mixture-SPRT two-proportion readout on the a_sprt
     * fixture (even vs odd users, high-value outcome) — exact counts,
@@ -1439,6 +1456,7 @@ object Extras {
     "t_cronbach" -> (tCronbach _),
     "c_propensity_ate" -> (cPropensityAte _),
     "c_ipw_ate" -> (cIpwAte _),
+    "c_aipw_ate" -> (cAipwAte _),
     "a_ratio_uplift" -> (aRatioUplift _),
     "c_position_attribution" -> (cPositionAttribution _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
@@ -1822,6 +1840,128 @@ object Extras {
        |      * $S) AS BIGINT) ELSE 0 END) AS DOUBLE)
        |    / CAST(SUM(CASE WHEN NOT t THEN CAST(floor((1.0 / (1.0 - e))
        |      * $S) AS BIGINT) ELSE 0 END) AS DOUBLE) AS ate
+       |FROM sc""".stripMargin
+  }
+
+  /** c_aipw_ate mirror: the ipw chain plus per-arm OLS heads — exact
+    * quantized normal-equation moments in one conditional pass, the
+    * same symmetric 3x3 Cramer tree as the Newton solve, then the
+    * quantized per-row AIPW term sum. */
+  private val aipwAteOracle: String = {
+    val S = "1000000.0"
+    def iter(i: Int): String = {
+      val prev = s"w${i - 1}"
+      s"""a$i AS (SELECT
+         |    SUM(CAST(floor((y - p) * $S) AS BIGINT)) AS q_g0,
+         |    SUM(CAST(floor(((y - p) * x1) * $S) AS BIGINT)) AS q_g1,
+         |    SUM(CAST(floor(((y - p) * x2) * $S) AS BIGINT)) AS q_g2,
+         |    SUM(CAST(floor((p * (1.0 - p)) * $S) AS BIGINT)) AS q_h00,
+         |    SUM(CAST(floor(((p * (1.0 - p)) * x1) * $S) AS BIGINT)) AS q_h01,
+         |    SUM(CAST(floor(((p * (1.0 - p)) * x2) * $S) AS BIGINT)) AS q_h02,
+         |    SUM(CAST(floor((((p * (1.0 - p)) * x1) * x1) * $S) AS BIGINT)) AS q_h11,
+         |    SUM(CAST(floor((((p * (1.0 - p)) * x1) * x2) * $S) AS BIGINT)) AS q_h12,
+         |    SUM(CAST(floor((((p * (1.0 - p)) * x2) * x2) * $S) AS BIGINT)) AS q_h22
+         |  FROM (SELECT y, x1, x2,
+         |      1.0 / (1.0 + exp(-((1.0 * b0 + x1 * b1) + x2 * b2))) AS p
+         |    FROM dat CROSS JOIN $prev) q),
+         |s$i AS (SELECT b0, b1, b2,
+         |    CAST(q_g0 AS DOUBLE) / $S AS g0,
+         |    CAST(q_g1 AS DOUBLE) / $S AS g1,
+         |    CAST(q_g2 AS DOUBLE) / $S AS g2,
+         |    CAST(q_h00 AS DOUBLE) / $S AS a00,
+         |    CAST(q_h01 AS DOUBLE) / $S AS a01,
+         |    CAST(q_h02 AS DOUBLE) / $S AS a02,
+         |    CAST(q_h11 AS DOUBLE) / $S AS a11,
+         |    CAST(q_h12 AS DOUBLE) / $S AS a12,
+         |    CAST(q_h22 AS DOUBLE) / $S AS a22
+         |  FROM a$i CROSS JOIN $prev),
+         |d$i AS (SELECT b0, b1, b2, g0, g1, g2,
+         |    a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02)
+         |      + a02 * (a01 * a12 - a11 * a02) AS det,
+         |    g0 * (a11 * a22 - a12 * a12) - a01 * (g1 * a22 - a12 * g2)
+         |      + a02 * (g1 * a12 - a11 * g2) AS dt0,
+         |    a00 * (g1 * a22 - a12 * g2) - g0 * (a01 * a22 - a12 * a02)
+         |      + a02 * (a01 * g2 - g1 * a02) AS dt1,
+         |    a00 * (a11 * g2 - g1 * a12) - a01 * (a01 * g2 - g1 * a02)
+         |      + g0 * (a01 * a12 - a11 * a02) AS dt2
+         |  FROM s$i),
+         |w$i AS (SELECT b0 + dt0 / det AS b0, b1 + dt1 / det AS b1,
+         |    b2 + dt2 / det AS b2 FROM d$i)""".stripMargin
+    }
+    def headCramer(p: String): String =
+      s"""    ${p}g0 * (${p}a11 * ${p}a22 - ${p}a12 * ${p}a12)
+         |      - ${p}a01 * (${p}g1 * ${p}a22 - ${p}a12 * ${p}g2)
+         |      + ${p}a02 * (${p}g1 * ${p}a12 - ${p}a11 * ${p}g2) AS ${p}d0,
+         |    ${p}a00 * (${p}g1 * ${p}a22 - ${p}a12 * ${p}g2)
+         |      - ${p}g0 * (${p}a01 * ${p}a22 - ${p}a12 * ${p}a02)
+         |      + ${p}a02 * (${p}a01 * ${p}g2 - ${p}g1 * ${p}a02) AS ${p}d1,
+         |    ${p}a00 * (${p}a11 * ${p}g2 - ${p}g1 * ${p}a12)
+         |      - ${p}a01 * (${p}a01 * ${p}g2 - ${p}g1 * ${p}a02)
+         |      + ${p}g0 * (${p}a01 * ${p}a12 - ${p}a11 * ${p}a02) AS ${p}d2,
+         |    ${p}a00 * (${p}a11 * ${p}a22 - ${p}a12 * ${p}a12)
+         |      - ${p}a01 * (${p}a01 * ${p}a22 - ${p}a12 * ${p}a02)
+         |      + ${p}a02 * (${p}a01 * ${p}a12 - ${p}a11 * ${p}a02)
+         |      AS ${p}det""".stripMargin
+    def headMoments(p: String, cond: String): String =
+      s"""    CAST(SUM(CASE WHEN $cond THEN CAST(floor((1.0 * 1.0) * $S)
+         |      AS BIGINT) ELSE 0 END) AS DOUBLE) / $S AS ${p}a00,
+         |    CAST(SUM(CASE WHEN $cond THEN CAST(floor((1.0 * x1) * $S)
+         |      AS BIGINT) ELSE 0 END) AS DOUBLE) / $S AS ${p}a01,
+         |    CAST(SUM(CASE WHEN $cond THEN CAST(floor((1.0 * x2) * $S)
+         |      AS BIGINT) ELSE 0 END) AS DOUBLE) / $S AS ${p}a02,
+         |    CAST(SUM(CASE WHEN $cond THEN CAST(floor((x1 * x1) * $S)
+         |      AS BIGINT) ELSE 0 END) AS DOUBLE) / $S AS ${p}a11,
+         |    CAST(SUM(CASE WHEN $cond THEN CAST(floor((x1 * x2) * $S)
+         |      AS BIGINT) ELSE 0 END) AS DOUBLE) / $S AS ${p}a12,
+         |    CAST(SUM(CASE WHEN $cond THEN CAST(floor((x2 * x2) * $S)
+         |      AS BIGINT) ELSE 0 END) AS DOUBLE) / $S AS ${p}a22,
+         |    CAST(SUM(CASE WHEN $cond THEN CAST(floor((1.0 * y2) * $S)
+         |      AS BIGINT) ELSE 0 END) AS DOUBLE) / $S AS ${p}g0,
+         |    CAST(SUM(CASE WHEN $cond THEN CAST(floor((x1 * y2) * $S)
+         |      AS BIGINT) ELSE 0 END) AS DOUBLE) / $S AS ${p}g1,
+         |    CAST(SUM(CASE WHEN $cond THEN CAST(floor((x2 * y2) * $S)
+         |      AS BIGINT) ELSE 0 END) AS DOUBLE) / $S AS ${p}g2""".stripMargin
+    s"""WITH dat AS (SELECT
+       |    CASE WHEN COALESCE(lang = 'en', FALSE) THEN 1.0 ELSE 0.0 END AS y,
+       |    CAST(n_chars AS DOUBLE) / 100.0 AS x1,
+       |    CAST(length(list_filter(
+       |        string_split_regex(trim(lower(text)), '\\s+'),
+       |        x -> list_contains(
+       |          ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that'], x)))
+       |      AS DOUBLE) / 10.0 AS x2,
+       |    COALESCE(lang = 'en', FALSE) AS t,
+       |    CAST(LENGTH(text) AS DOUBLE) / 100.0 AS y2
+       |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+       |w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |hm AS (SELECT
+       |${headMoments("t_", "t")},
+       |${headMoments("c_", "NOT t")}
+       |  FROM dat),
+       |hw AS (SELECT
+       |${headCramer("t_")},
+       |${headCramer("c_")}
+       |  FROM hm),
+       |hv AS (SELECT t_d0 / t_det AS tw0, t_d1 / t_det AS tw1,
+       |    t_d2 / t_det AS tw2, c_d0 / c_det AS cw0,
+       |    c_d1 / c_det AS cw1, c_d2 / c_det AS cw2 FROM hw),
+       |sc AS (SELECT t, y2,
+       |    least(greatest(1.0 / (1.0 + exp(-((1.0 * b0 + x1 * b1)
+       |        + x2 * b2))), CAST(0.01 AS DOUBLE)),
+       |      CAST(0.99 AS DOUBLE)) AS e,
+       |    (1.0 * tw0 + x1 * tw1) + x2 * tw2 AS m1,
+       |    (1.0 * cw0 + x1 * cw1) + x2 * cw2 AS m0
+       |  FROM dat CROSS JOIN w3 CROSS JOIN hv)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |  CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |  (CAST(SUM(CAST(floor((((m1 - m0)
+       |      + (CASE WHEN t THEN (y2 - m1) / e ELSE 0.0 END))
+       |      - (CASE WHEN NOT t THEN (y2 - m0) / (1.0 - e)
+       |        ELSE 0.0 END)) * $S) AS BIGINT)) AS DOUBLE) / $S)
+       |    / CAST(COUNT(*) AS DOUBLE) AS ate
        |FROM sc""".stripMargin
   }
 
@@ -2228,6 +2368,7 @@ object Extras {
     "a_logistic_fit" -> logisticFitOracle,
     "c_propensity_ate" -> propensityAteOracle,
     "c_ipw_ate" -> ipwAteOracle,
+    "c_aipw_ate" -> aipwAteOracle,
     // reliability mirror: same fixed pseudo-score, exact bin counts,
     // quantized score mass, single-division conf/acc
     "a_reliability_bins" ->

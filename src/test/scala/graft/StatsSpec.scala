@@ -1448,6 +1448,56 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(ate - 2.0) < 0.4, s"IPW ATE near truth: $ate")
   }
 
+  test("aipwAte: post-fit replay bitwise (OLS heads + correction); de-biases the confounded fixture") {
+    import spark.implicits._
+    val rng = new scala.util.Random(211)
+    val units = (0 until 1200).map { i =>
+      val x = rng.nextGaussian()
+      val t = rng.nextDouble() < 1.0 / (1.0 + math.exp(-1.5 * x))
+      val y = 2.0 * (if (t) 1.0 else 0.0) + 1.5 * x +
+        0.3 * rng.nextGaussian()
+      (i.toLong, x, t, y)
+    }
+    val df = units.toDF("id", "x", "t", "y")
+    val out = Stats.aipwAte(df, Seq(col("x")), col("t"), col("y"))
+      .head()
+    // post-fit replay: propensity weights from the spec'd fit; OLS
+    // heads from the same quantized moments and the same 2x2 Cramer;
+    // per-row terms quantized and summed
+    val fit = Stats.logisticFit(df, Seq(col("x")), col("t")).head()
+    val (pw0, pw1) = (fit.getAs[Double]("w0"), fit.getAs[Double]("w1"))
+    val q = 1e6
+    def ols(arm: Boolean): (Double, Double) = {
+      val rows = units.filter(_._3 == arm)
+      def s(f: ((Long, Double, Boolean, Double)) => Double): Long =
+        rows.map(r => math.floor(f(r) * q).toLong).sum
+      val a00 = s(_ => 1.0 * 1.0).toDouble / q
+      val a01 = s(r => 1.0 * r._2).toDouble / q
+      val a11 = s(r => r._2 * r._2).toDouble / q
+      val g0 = s(r => 1.0 * r._4).toDouble / q
+      val g1 = s(r => r._2 * r._4).toDouble / q
+      val det = a00 * a11 - a01 * a01
+      ((g0 * a11 - a01 * g1) / det, (a00 * g1 - g0 * a01) / det)
+    }
+    val (w10, w11) = ols(true)
+    val (w00, w01) = ols(false)
+    var qs = 0L
+    for ((_, x, t, y) <- units) {
+      val e0 = 1.0 / (1.0 + math.exp(-((1.0 * pw0) + x * pw1)))
+      val e = math.min(math.max(e0, 0.01), 0.99)
+      val m1 = (1.0 * w10) + x * w11
+      val m0 = (1.0 * w00) + x * w01
+      val term = ((m1 - m0) + (if (t) (y - m1) / e else 0.0)) -
+        (if (!t) (y - m0) / (1.0 - e) else 0.0)
+      qs += math.floor(term * q).toLong
+    }
+    val ate = (qs.toDouble / q) / units.size.toDouble
+    assert(out.getAs[Long]("n") == 1200L)
+    assert(out.getAs[Double]("ate") == ate)
+    // the naive gap is > 3 (confounded); AIPW lands near the true 2.0
+    assert(math.abs(ate - 2.0) < 0.35, s"AIPW ATE near truth: $ate")
+  }
+
   test("cronbachAlpha: naive replay bitwise; coherent battery high, independent low, reversed item negative; constant null") {
     import spark.implicits._
     val rng = new scala.util.Random(103)
