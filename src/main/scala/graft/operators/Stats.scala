@@ -761,6 +761,88 @@ object Stats {
     cohenKappaFromCounts(confusionCounts(df, groupCols, r1, r2),
       groupCols.map(_.toString))
 
+  /** Cochran's Q test per group (Cochran 1950) — "do these k binary
+    * judges differ": k models/annotators each judge the SAME items
+    * pass/fail (a complete block design); Q tests whether their
+    * success rates differ beyond chance, respecting the per-item
+    * correlation a naive k-proportion χ² ignores. The all-integer
+    * form:
+    *
+    *   Q = (k−1)·(k·Σ_j c_j² − (Σ c_j)²) / (k·Σ_i r_i − Σ_i r_i²)
+    *
+    * with c_j = per-judge success totals and r_i = per-item success
+    * counts — every sum an exact BIGINT, the statistic ONE division
+    * (χ² with k−1 dof under H₀). Q is null when the denominator is 0
+    * (every item unanimous — no within-item information). Items
+    * missing a judge fail fast (Cochran requires complete blocks).
+    *
+    * Input: one row per (item, judge) with a boolean outcome.
+    * Output: groups... + (n_items, k_judges, q_stat). */
+  def cochranQ(df: DataFrame, groupCols: Seq[String], itemCol: Column,
+      judgeCol: Column, outcomeCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val o = outcomeCol.cast("boolean")
+    val cells = df
+      .filter(itemCol.isNotNull && judgeCol.isNotNull && o.isNotNull)
+      .groupBy(g :+ itemCol.as("item") :+ judgeCol.as("judge"): _*)
+      .agg(max(when(o, 1L).otherwise(0L)).as("s"),
+        count(lit(1)).as("__dup"))
+      .filter(assert_true(col("__dup") === 1L,
+        lit("cochranQ: duplicate (item, judge) rows — aggregate to " +
+          "one verdict per pair first")).isNull)
+    val k = cells.groupBy(g: _*)
+      .agg(count_distinct(col("judge")).as("k_judges"))
+    val items = cells.groupBy(g :+ col("item"): _*)
+      .agg(count(lit(1)).as("__kj"), sum(col("s")).as("__ri"))
+    val perGroup = items.join(k, groupCols)
+      .filter(assert_true(col("__kj") === col("k_judges"),
+        lit("cochranQ: an item is missing judges — Cochran requires " +
+          "complete blocks")).isNull)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_items"), sum(col("__ri")).as("__sr"),
+        sum(col("__ri") * col("__ri")).as("__sr2"))
+    val judges = cells.groupBy(g :+ col("judge"): _*)
+      .agg(sum(col("s")).as("__cj"))
+      .groupBy(g: _*)
+      .agg(sum(col("__cj") * col("__cj")).as("__sc2"))
+    val kj = col("k_judges")
+    val num = (kj - 1L) * (kj * col("__sc2") - col("__sr") * col("__sr"))
+    val den = kj * col("__sr") - col("__sr2")
+    perGroup.join(k, groupCols).join(judges, groupCols)
+      .withColumn("q_stat", when(den > 0L,
+        num.cast("double") / den.cast("double")))
+      .select(g ++ Seq(col("n_items"), col("k_judges"),
+        col("q_stat")): _*)
+  }
+
+  /** McNemar's test per group (McNemar 1947) — the PAIRED two-model
+    * comparison: on the same items, is model A right where B is wrong
+    * more often than vice versa? Only the discordant counts carry
+    * information:
+    *
+    *   χ² = (b − c)² / (b + c)
+    *
+    * with b = A-only successes, c = B-only successes — exact BIGINTs,
+    * one division (χ² with 1 dof, no continuity correction); null when
+    * b + c = 0 (no discordant pairs). The marginal-rate twin of
+    * [[cochranQ]] at k = 2; unlike an unpaired two-proportion z it
+    * discards the correlated concordant mass.
+    *
+    * Input: one row per item with both models' boolean outcomes.
+    * Output: groups... + (n, b, c, chi2). */
+  def mcnemar(df: DataFrame, groupCols: Seq[Column], outcomeA: Column,
+      outcomeB: Column): DataFrame = {
+    val a = outcomeA.cast("boolean"); val b = outcomeB.cast("boolean")
+    df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("b"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("c"))
+      .withColumn("chi2", when(col("b") + col("c") > 0L,
+        ((col("b") - col("c")) * (col("b") - col("c"))).cast("double") /
+          (col("b") + col("c")).cast("double")))
+  }
+
   /** Fleiss' κ multi-rater agreement per group (Fleiss, Psych. Bull.
     * 1971) — [[cohenKappa]] generalized past two raters: the LLM
     * labeling-QA statistic when every item is judged by n annotators

@@ -874,6 +874,46 @@ object Extras {
       length(col("text")).cast("double") / lit(100.0))
   }
 
+  /** Cochran's Q over three per-user "detectors"
+    * ([[graft.operators.Stats.cochranQ]]): did the user ever click /
+    * purchase / view — three correlated binary judges on the same
+    * items, complete blocks by construction; the all-integer Q is one
+    * division of exact BIGINTs. */
+  def aCochranQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("event_type").isNotNull)
+    val flags = e.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("click"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchase"),
+        max(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("view"))
+    val cells = flags.selectExpr("user_id",
+      "stack(3, 'click', click, 'purchase', purchase, 'view', view) " +
+        "as (judge, s)")
+      .withColumn("g", lit("all"))
+    graft.operators.Stats.cochranQ(cells, Seq("g"), col("user_id"),
+        col("judge"), col("s") === 1L)
+      .orderBy("g")
+  }
+
+  /** McNemar's paired comparison ([[graft.operators.Stats.mcnemar]]):
+    * "ever purchased" vs "ever signed up" per user — only the
+    * discordant users carry information; exact counts, one
+    * division. */
+  def aMcnemar(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("event_type").isNotNull)
+    val flags = e.groupBy(col("user_id"))
+      .agg(max(col("event_type") === "purchase").as("a"),
+        max(col("event_type") === "signup").as("b"))
+      .withColumn("g", lit("all"))
+    graft.operators.Stats.mcnemar(flags, Seq(col("g")), col("a"),
+        col("b"))
+      .orderBy("g")
+  }
+
   /** Always-valid p-value per event type ([[graft.operators.Stats
     * .msprt]]): the mixture-SPRT two-proportion readout on the a_sprt
     * fixture (even vs odd users, high-value outcome) — exact counts,
@@ -1457,6 +1497,8 @@ object Extras {
     "c_propensity_ate" -> (cPropensityAte _),
     "c_ipw_ate" -> (cIpwAte _),
     "c_aipw_ate" -> (cAipwAte _),
+    "a_cochran_q" -> (aCochranQ _),
+    "a_mcnemar" -> (aMcnemar _),
     "a_ratio_uplift" -> (aRatioUplift _),
     "c_position_attribution" -> (cPositionAttribution _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
@@ -2750,6 +2792,52 @@ object Extras {
         |  CASE WHEN vt > 0 THEN (CAST(3 AS DOUBLE) / CAST(2 AS DOUBLE))
         |    * (CAST(1 AS DOUBLE) - ((v0 + v1) + v2) / vt) END AS alpha
         |FROM f ORDER BY lang""".stripMargin,
+    // Cochran-Q mirror: the same per-user detector flags, the same
+    // all-integer Q.
+    "a_cochran_q" ->
+      """WITH f AS (SELECT user_id,
+        |    CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS c2,
+        |    CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c3
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL GROUP BY 1),
+        |it AS (SELECT user_id, c1 + c2 + c3 AS r FROM f),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(r) AS BIGINT) AS sr,
+        |    CAST(SUM(r * r) AS BIGINT) AS sr2 FROM it),
+        |jd AS (SELECT CAST(SUM(c1) * SUM(c1) + SUM(c2) * SUM(c2)
+        |    + SUM(c3) * SUM(c3) AS BIGINT) AS sc2 FROM f)
+        |SELECT 'all' AS g, n_items, CAST(3 AS BIGINT) AS k_judges,
+        |  CASE WHEN 3 * sr - sr2 > 0 THEN
+        |    CAST((3 - 1) * (3 * sc2 - sr * sr) AS DOUBLE)
+        |      / CAST(3 * sr - sr2 AS DOUBLE) END AS q_stat
+        |FROM agg CROSS JOIN jd""".stripMargin,
+    // McNemar mirror: discordant counts, one division.
+    "a_mcnemar" ->
+      """WITH f AS (SELECT user_id,
+        |    MAX(event_type = 'purchase') AS a,
+        |    MAX(event_type = 'signup') AS b
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL GROUP BY 1)
+        |SELECT 'all' AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS b,
+        |  CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS c,
+        |  CASE WHEN SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |      + SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST((SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |        - SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END))
+        |      * (SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |        - SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END))
+        |      AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |        + SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+        |        AS DOUBLE) END AS chi2
+        |FROM f""".stripMargin,
     // Fleiss mirror: the same deterministic 3-event panel, exact
     // BIGINT cell/marginal sums, identical float tail.
     "a_fleiss_kappa" ->

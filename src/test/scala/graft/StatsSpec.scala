@@ -2290,6 +2290,63 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("d") == ((0L, 1L, 0L, Some(0.0), None, Some(0.0))))
   }
 
+  test("cochranQ + mcnemar: integer-form replay bitwise; Q(k=2) == McNemar chi2; unanimous null; incomplete block raises") {
+    import spark.implicits._
+    val rng = new scala.util.Random(113)
+    // 3 judges over 120 items; judge j2 is markedly better
+    val rates = Map("j0" -> 0.5, "j1" -> 0.55, "j2" -> 0.85)
+    val rows = for (i <- 0 until 120; j <- Seq("j0", "j1", "j2"))
+      yield ("g", i.toLong, j, rng.nextDouble() < rates(j))
+    val out = Stats.cochranQ(rows.toDF("g", "item", "judge", "s"),
+      Seq("g"), col("item"), col("judge"), col("s")).head()
+    // integer-form replay
+    val k = 3L
+    val cj = Seq("j0", "j1", "j2").map(j =>
+      rows.count(r => r._3 == j && r._4).toLong)
+    val ri = (0 until 120).map(i =>
+      rows.count(r => r._2 == i && r._4).toLong)
+    val num = (k - 1) * (k * cj.map(c => c * c).sum -
+      ri.sum * ri.sum)
+    val den = k * ri.sum - ri.map(r => r * r).sum
+    assert(out.getAs[Long]("n_items") == 120L &&
+      out.getAs[Long]("k_judges") == 3L)
+    assert(out.getAs[Double]("q_stat") == num.toDouble / den.toDouble)
+    // textbook form agrees (pins the algebra)
+    val nS = ri.sum.toDouble
+    val qText = k * (k - 1) * cj.map(c =>
+      (c - nS / k) * (c - nS / k)).sum / (k * nS - ri.map(r =>
+      r * r).sum)
+    assert(math.abs(out.getAs[Double]("q_stat") - qText) < 1e-9)
+    assert(out.getAs[Double]("q_stat") > 30.0, "planted judge gap")
+    // k=2: Q equals McNemar's chi2 exactly
+    val pairs = (0 until 80).map(i =>
+      ("g", i.toLong, rng.nextBoolean(), rng.nextDouble() < 0.7))
+    val long2 = pairs.flatMap { case (g, i, a, b) =>
+      Seq((g, i, "ja", a), (g, i, "jb", b)) }
+    val q2 = Stats.cochranQ(long2.toDF("g", "item", "judge", "s"),
+      Seq("g"), col("item"), col("judge"), col("s")).head()
+    val mn = Stats.mcnemar(pairs.toDF("g", "item", "a", "b"),
+      Seq(col("g")), col("a"), col("b")).head()
+    val bC = pairs.count(p => p._3 && !p._4).toLong
+    val cC = pairs.count(p => !p._3 && p._4).toLong
+    assert(mn.getAs[Long]("b") == bC && mn.getAs[Long]("c") == cC)
+    assert(mn.getAs[Double]("chi2") ==
+      ((bC - cC) * (bC - cC)).toDouble / (bC + cC).toDouble)
+    assert(q2.getAs[Double]("q_stat") == mn.getAs[Double]("chi2"))
+    // unanimous items: zero denominator -> null
+    val unan = (0 until 20).flatMap(i => Seq("j0", "j1").map(j =>
+      ("g", i.toLong, j, i % 2 == 0)))
+    assert(Stats.cochranQ(unan.toDF("g", "item", "judge", "s"),
+      Seq("g"), col("item"), col("judge"), col("s")).head().isNullAt(3))
+    // incomplete block fails fast
+    val incomplete = rows.filterNot(r => r._2 == 5L && r._3 == "j2")
+    val ex = intercept[Exception] {
+      Stats.cochranQ(incomplete.toDF("g", "item", "judge", "s"),
+        Seq("g"), col("item"), col("judge"), col("s")).collect()
+    }
+    assert(ex.getMessage.contains("complete blocks"))
+  }
+
   test("fleissKappa: Fleiss-1971 worked table exact; perfect panel = 1; unequal panel fails fast; merged slices bitwise") {
     import spark.implicits._
     // the classic 10-item / 14-rater / 5-category worked example
