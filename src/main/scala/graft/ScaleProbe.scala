@@ -803,6 +803,81 @@ object ScaleProbe {
       }
     }
 
+    // Aalen-Johansen at 1M closed subjects, 300 distinct times, 3
+    // causes: the data-sized pass is the cause-count aggregate; the
+    // in-row folds run on 300 rows per group, never on subjects.
+    {
+      import spark.implicits._
+      val subj = spark.range(1000000L).map { i =>
+        val r = new scala.util.Random(i)
+        ("g" + (i % 4), (1 + r.nextInt(300)).toDouble, r.nextInt(5) match {
+          case 0 => 0; case 1 | 2 => 1; case 3 => 2; case _ => 3 })
+      }.toDF("g", "dur", "cause")
+      timedShuffled("aalen_johansen_1M_300t_3cause") {
+        exec(graft.operators.Stats.aalenJohansen(subj, Seq("g"),
+          col("dur"), col("cause"), nCauses = 3))
+      }
+    }
+
+    // Propensity-stratified ATE at 1M units / 20 segments: 3 Newton
+    // aggregation passes + a per-segment NTILE sort + a 100-row strata
+    // aggregate; and AIPW on the same frame (one extra conditional
+    // moment pass + one term-sum pass, no ranking exchange at all).
+    {
+      import spark.implicits._
+      val units = spark.range(1000000L).map { i =>
+        val r = new scala.util.Random(i)
+        val x = r.nextGaussian()
+        val t = r.nextDouble() < 1.0 / (1.0 + math.exp(-1.5 * x))
+        ("s" + (i % 20), i.toLong, x,
+          t, 2.0 * (if (t) 1.0 else 0.0) + 1.5 * x + 0.3 * r.nextGaussian())
+      }.toDF("seg", "id", "x", "t", "y")
+      timedShuffled("propensity_ate_1M_20seg") {
+        exec(graft.operators.Stats.propensityStratifiedAte(units,
+          Seq("seg"), Seq(col("x")), col("t"), col("y"), col("id")))
+      }
+      timedShuffled("aipw_ate_1M") {
+        exec(graft.operators.Stats.aipwAte(units, Seq(col("x")),
+          col("t"), col("y")))
+      }
+    }
+
+    // Incremental entity resolution: a 20k-record batch arriving on a
+    // 200k-record store — the per-batch cost must track the BATCH, not
+    // the corpus (stored records join by 16-byte band keys; only the
+    // new 20k are shingled). Measured end-to-end through the real
+    // ingest path (signature, band join, scoring, parquet appends).
+    {
+      import spark.implicits._
+      val dir = "/tmp/graft_scale_er"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      def recs(from: Long, until: Long) = spark.range(from, until).map { i =>
+        val r = new scala.util.Random(i % 180000)
+        val words = Seq.fill(14)("w" + r.nextInt(500000)).mkString(" ")
+        (i.toLong, words, "l" + (i % 5), 100L + (i % 400))
+      }.toDF("id", "text", "lang", "len")
+      val weights = Seq(("lang", 2.0, -2.0), ("len", 2.0, -2.0))
+        .toDF("field", "w_agree", "w_disagree")
+      val fields = Seq(
+        "lang" -> (col("a_lang") === col("b_lang")),
+        "len" -> (abs(col("a_len") - col("b_len")) <= 20L))
+      def ingest(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        graft.streaming.StreamingEntityResolution.ingestBatch(df, id,
+          "id", "text", Seq("lang", "len"), fields,
+          weights.select(col("field"), col("w_agree"),
+            col("w_disagree")).collect().toSeq,
+          0.0, dir, 3, 24, 8, 200, graft.operators.Dedup.XxMinhash)
+      timed("er_ingest_base_200k") { ingest(recs(0L, 200000L), 0L); 200000L }
+      timed("er_ingest_batch_20k_on_200k") {
+        ingest(recs(200000L, 220000L), 1L); 20000L }
+      timedShuffled("er_merged_entities_220k") {
+        exec(graft.streaming.StreamingEntityResolution
+          .mergedEntities(spark, dir))
+      }
+    }
+
     spark.stop()
   }
 }

@@ -85,7 +85,7 @@ object StreamingEntityResolution {
       .select(col("id"), col("bk.band").as("band"),
         col("bk.bucket").as("bucket"))
 
-  private def ingestBatch(batch: DataFrame, batchId: Long, idCol: String,
+  private[graft] def ingestBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, attrs: Seq[String],
       fields: Seq[(String, Column)],
       frozenW: Seq[org.apache.spark.sql.Row], threshold: Double,
