@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   * Per micro-batch (new records N against stored records S):
   *   1. signatures for N under the frozen family (the only pass over
   *      text — each record is shingled exactly once, ever);
-  *   2. LSH band keys of S ∪ N; buckets above `maxBucket` are skipped
+  *   2. N's LSH band keys union the PERSISTED `er_keys` table (the
+  *      store is never re-hashed — a batch scans narrow
+  *      (id, band, bucket) rows; keys are deterministic, so replayed
+  *      appends dedup away); buckets above `maxBucket` are skipped
   *      THIS batch (cost guard — see the cap note below);
   *   3. candidate pairs with ≥1 side in N (old–old pairs were emitted
   *      when their later record arrived — never re-derived);
@@ -40,11 +43,12 @@ import org.apache.spark.sql.functions._
   * being generated — the same recall-for-cost trade
   * [[Dedup.minhashCandidates]] makes, applied at arrival time.
   *
-  * Scale shape: each batch shuffles |S ∪ N| 16-byte band keys but the
-  * join output is bounded by bucket caps and the N-side semi filter;
-  * the CC at readout runs on the matched-edge graph only. State is
-  * (signature + attrs) per record and one row per matched pair — never
-  * raw text, never unmatched candidates. */
+  * Scale shape: each batch shuffles |S ∪ N| 16-byte band keys (read,
+  * not recomputed) but the join output is bounded by bucket caps and
+  * the N-side semi filter; the CC at readout runs on the matched-edge
+  * graph only. State is (signature + attrs) per record, `bands` key
+  * rows per record, and one row per matched pair — never raw text,
+  * never unmatched candidates. */
 object StreamingEntityResolution {
 
   /** Start the ingestion query. `attrs` are column names present on the
@@ -99,6 +103,7 @@ object StreamingEntityResolution {
     val newRecs = sigs.join(base, col("id") === col("__id"))
       .select(col("id") +: col("signature") +: attrs.map(col): _*)
     val recsPath = s"$targetDir/er_records"
+    val keysPath = s"$targetDir/er_keys"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(recsPath), spark.sparkContext.hadoopConfiguration)
     val stored =
@@ -109,9 +114,22 @@ object StreamingEntityResolution {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         newRecs.schema)
     val all = stored.unionByName(newRecs).dropDuplicates("id")
+    val newKeyed = bandKeysOf(newRecs, numHashes, bands, family)
+    // the store's band keys persist as their own narrow table — a
+    // batch scans (id, band, bucket) rows instead of re-hashing every
+    // stored signature (band keys are deterministic, so replayed
+    // appends are byte-identical and the dedup collapses them)
+    val storedKeyed =
+      if (fs.exists(new org.apache.hadoop.fs.Path(keysPath)))
+        spark.read.parquet(keysPath).drop("batch_id")
+          .dropDuplicates("id", "band", "bucket")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        newKeyed.schema)
     // cap applies to TODAY's bucket population — the arrival-time cost
     // guard documented above
-    val keyed = bandKeysOf(all, numHashes, bands, family)
+    val keyed = storedKeyed.unionByName(newKeyed)
+      .dropDuplicates("id", "band", "bucket")
       .withColumn("__bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bucket")))
@@ -159,6 +177,8 @@ object StreamingEntityResolution {
       .write.mode("append").parquet(s"$targetDir/er_edges")
     newRecs.withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(recsPath)
+    newKeyed.withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(keysPath)
   }
 
   /** Current entity assignment from the grown state: connected

@@ -848,7 +848,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       // template family stayed separate despite bucket collisions
       for (i <- 30 until 40) assert(got(i.toLong) == i.toLong)
       // a verbatim re-delivered batch changes nothing (at-least-once)
-      for (sub <- Seq("er_edges", "er_records")) {
+      for (sub <- Seq("er_edges", "er_records", "er_keys")) {
         val replay = spark.read.parquet(s"$base/$sub")
           .filter(col("batch_id") === 1L)
         replay.write.mode("append").parquet(s"$base/$sub")
