@@ -3691,6 +3691,58 @@ object Stats {
       .agg(sum(col("d1")).as("d1"), sum(col("x1")).as("x1"),
         sum(col("d2")).as("d2"), sum(col("x2")).as("x2"))
 
+  /** Stratified log-rank test per group (Mantel 1966; the standard
+    * clinical adjustment, Peto & Peto 1972) — compare two cohorts'
+    * survival CONTROLLING for a confounding stratum (site, age band,
+    * device class): the per-stratum O−E and V from the plain
+    * [[logRank]] machinery sum across strata, so cohorts are only ever
+    * compared WITHIN a stratum — the survival-side CMH:
+    *
+    *   z = Σ_s (O₁−E₁)_s / √(Σ_s V_s),   χ² = z²
+    *
+    * One more readout over the [[cohortSurvivalCounts]] partial keyed
+    * by (group, stratum): per-stratum tests fold cross-stratum in
+    * FIXED ascending-stratum order (the CMH order-pinning); all ops
+    * +,·,/,√ — hashes unrounded.
+    *
+    * Each stratum's O−E re-derives from [[logRank]]'s reported
+    * (o1, e1) surface — o1 − e1, one deterministic ULP roundtrip of
+    * the internal fold value, identical in every engine that replays
+    * the same ops.
+    *
+    * Output: groups... + (n_strata, n1, n2, o1, oe_sum, v_sum, chi2,
+    * z); chi2/z null when ΣV = 0. */
+  def stratifiedLogRank(df: DataFrame, groupCols: Seq[String],
+      stratumCol: Column, durationCol: Column, eventCol: Column,
+      cohort1: Column, maxTimes: Int = 1000): DataFrame = {
+    val df2 = df.filter(stratumCol.isNotNull)
+      .withColumn("__stratum", stratumCol)
+    val per = logRankFromCounts(
+      cohortSurvivalCounts(df2, groupCols :+ "__stratum", durationCol,
+        eventCol, cohort1),
+      groupCols :+ "__stratum", maxTimes)
+    val g = groupCols.map(col)
+    val grouped = per.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("n1")).as("n1"), sum(col("n2")).as("n2"),
+        sum(col("o1")).as("o1"),
+        sort_array(collect_list(struct(col("__stratum"),
+          (col("o1").cast("double") - col("e1")).as("oe"),
+          col("v")))).as("__s"))
+    def fold(f: String): Column = aggregate(col("__s"), lit(0.0),
+      (acc, x) => acc + x.getField(f))
+    grouped
+      .withColumn("oe_sum", fold("oe"))
+      .withColumn("v_sum", fold("v"))
+      .withColumn("chi2", when(col("v_sum") > 0.0,
+        col("oe_sum") * col("oe_sum") / col("v_sum")))
+      .withColumn("z", when(col("v_sum") > 0.0,
+        col("oe_sum") / sqrt(col("v_sum"))))
+      .select(g ++ Seq(col("n_strata"), col("n1"), col("n2"),
+        col("o1"), col("oe_sum"), col("v_sum"), col("chi2"),
+        col("z")): _*)
+  }
+
   /** Finalize a (possibly merged) [[cohortSurvivalCounts]] table into
     * the [[logRank]] schema — the streaming-readout face. */
   def logRankFromCounts(counts: DataFrame, groupCols: Seq[String],

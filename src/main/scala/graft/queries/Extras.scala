@@ -914,6 +914,28 @@ object Extras {
       .orderBy("g")
   }
 
+  /** Stratified log-rank across user-parity strata
+    * ([[graft.operators.Stats.stratifiedLogRank]]): the c_log_rank
+    * observation fixture with user_id%3 as the confounder strata —
+    * per-stratum (O−E, V) from the same recursion, folded in fixed
+    * ascending-stratum order; +,·,/,√ only — hashes unrounded. */
+  def cStratifiedLogRank(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    val users = e.groupBy(col("user_id"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("g", lit("all"))
+      .withColumn("churned", col("__last") < date_sub(col("__gmax"), 7))
+    graft.operators.Stats.stratifiedLogRank(obs, Seq("g"),
+        pmod(col("user_id"), lit(3)), col("duration"), col("churned"),
+        pmod(col("user_id"), lit(2)) === 0)
+      .orderBy("g")
+  }
+
   /** Always-valid p-value per event type ([[graft.operators.Stats
     * .msprt]]): the mixture-SPRT two-proportion readout on the a_sprt
     * fixture (even vs odd users, high-value outcome) — exact counts,
@@ -1499,6 +1521,7 @@ object Extras {
     "c_aipw_ate" -> (cAipwAte _),
     "a_cochran_q" -> (aCochranQ _),
     "a_mcnemar" -> (aMcnemar _),
+    "c_stratified_logrank" -> (cStratifiedLogRank _),
     "a_ratio_uplift" -> (aRatioUplift _),
     "c_position_attribution" -> (cPositionAttribution _),
     "c_shapley_attribution" -> (cShapleyAttribution _),
@@ -2838,6 +2861,81 @@ object Extras {
         |        + SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
         |        AS DOUBLE) END AS chi2
         |FROM f""".stripMargin,
+    // Stratified log-rank mirror: the c_log_rank recursion PER
+    // STRATUM (joins keyed by (st, i)), each stratum's O-E re-derived
+    // as o1 - e1 exactly as the operator does, folded by list_reduce
+    // in ascending-stratum order.
+    "c_stratified_logrank" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |gm AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT user_id % 3 AS st, user_id % 2 = 0 AS coh1,
+        |    duration, last_d < gm.gmax - 7 AS ev FROM u CROSS JOIN gm),
+        |cnt AS (SELECT st, duration AS t,
+        |    CAST(SUM(CASE WHEN coh1 AND ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN coh1 AND NOT ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN NOT coh1 AND ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d2,
+        |    CAST(SUM(CASE WHEN NOT coh1 AND NOT ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x2
+        |  FROM obs GROUP BY 1, 2),
+        |ord AS (SELECT st, t, d1, x1, d2, x2,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY st ORDER BY t)
+        |      AS BIGINT) AS i FROM cnt),
+        |tot AS (SELECT st, CAST(SUM(d1 + x1) AS BIGINT) AS n1,
+        |    CAST(SUM(d2 + x2) AS BIGINT) AS n2,
+        |    CAST(SUM(d1) AS BIGINT) AS o1,
+        |    CAST(COUNT(*) AS BIGINT) AS m FROM ord GROUP BY 1),
+        |lr AS (
+        |  SELECT st, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS u1,
+        |    CAST(0 AS BIGINT) AS u2, CAST(0 AS DOUBLE) AS oe,
+        |    CAST(0 AS DOUBLE) AS v
+        |  FROM (SELECT DISTINCT st FROM ord)
+        |  UNION ALL
+        |  SELECT o.st, o.i, lr.u1 + o.d1 + o.x1, lr.u2 + o.d2 + o.x2,
+        |    lr.oe + CASE WHEN (tot.n1 - lr.u1) + (tot.n2 - lr.u2) > 1
+        |        AND o.d1 + o.d2 > 0
+        |      THEN CAST(o.d1 AS DOUBLE)
+        |        - CAST(o.d1 + o.d2 AS DOUBLE)
+        |          * CAST(tot.n1 - lr.u1 AS DOUBLE)
+        |          / CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END,
+        |    lr.v + CASE WHEN (tot.n1 - lr.u1) + (tot.n2 - lr.u2) > 1
+        |        AND o.d1 + o.d2 > 0
+        |      THEN CAST(o.d1 + o.d2 AS DOUBLE)
+        |        * (CAST(tot.n1 - lr.u1 AS DOUBLE)
+        |          / CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) AS DOUBLE))
+        |        * (CAST(tot.n2 - lr.u2 AS DOUBLE)
+        |          / CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) AS DOUBLE))
+        |        * (CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2)
+        |            - (o.d1 + o.d2) AS DOUBLE)
+        |          / CAST((tot.n1 - lr.u1) + (tot.n2 - lr.u2) - 1
+        |            AS DOUBLE))
+        |      ELSE CAST(0 AS DOUBLE) END
+        |  FROM lr JOIN ord o ON o.st = lr.st AND o.i = lr.i + 1
+        |    JOIN tot ON tot.st = lr.st),
+        |fin AS (SELECT lr.st, tot.n1, tot.n2, tot.o1,
+        |    CAST(tot.o1 AS DOUBLE) - lr.oe AS e1, lr.v
+        |  FROM lr JOIN tot ON tot.st = lr.st AND lr.i = tot.m),
+        |fold AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |    CAST(SUM(n1) AS BIGINT) AS n1,
+        |    CAST(SUM(n2) AS BIGINT) AS n2,
+        |    CAST(SUM(o1) AS BIGINT) AS o1,
+        |    list_reduce(list(CAST(o1 AS DOUBLE) - e1 ORDER BY st),
+        |      (a, b) -> a + b) AS oe_sum,
+        |    list_reduce(list(v ORDER BY st), (a, b) -> a + b) AS v_sum
+        |  FROM fin)
+        |SELECT 'all' AS g, n_strata, n1, n2, o1, oe_sum, v_sum,
+        |  CASE WHEN v_sum > 0 THEN oe_sum * oe_sum / v_sum END AS chi2,
+        |  CASE WHEN v_sum > 0 THEN oe_sum / sqrt(v_sum) END AS z
+        |FROM fold""".stripMargin,
     // Fleiss mirror: the same deterministic 3-event panel, exact
     // BIGINT cell/marginal sums, identical float tail.
     "a_fleiss_kappa" ->

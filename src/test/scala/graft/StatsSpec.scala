@@ -1634,6 +1634,63 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getAs[Double]("or_mh") > 1.0)
   }
 
+  test("stratifiedLogRank: per-stratum fold bitwise; single stratum == plain; confounded fixture de-inflates") {
+    import spark.implicits._
+    val rng = new scala.util.Random(127)
+    // confounding: stratum A is mostly cohort-1 AND short-lived,
+    // stratum B mostly cohort-2 AND long-lived; WITHIN a stratum the
+    // cohorts are identically distributed
+    val subj = (0 until 400).map { i =>
+      val stA = i % 4 != 0
+      val c1 = if (stA) i % 8 != 0 else i % 8 == 0
+      val dur = (if (stA) 1 + rng.nextInt(4) else 8 + rng.nextInt(6))
+        .toDouble
+      ("g", if (stA) "sA" else "sB", dur, rng.nextInt(5) > 0, c1)
+    }
+    val df = subj.toDF("g", "st", "dur", "ev", "c1")
+    val out = Stats.stratifiedLogRank(df, Seq("g"), col("st"),
+      col("dur"), col("ev"), col("c1")).head()
+    // replay: the (spec'd) per-stratum log-rank outputs folded in
+    // ascending stratum order with the same oe = o1 - e1 op
+    var oeS = 0.0; var vS = 0.0; var n1 = 0L; var n2 = 0L; var o1 = 0L
+    for (st <- Seq("sA", "sB")) {
+      val r = Stats.logRank(df.filter(col("st") === st), Seq("g"),
+        col("dur"), col("ev"), col("c1")).head()
+      oeS += r.getAs[Long]("o1").toDouble - r.getAs[Double]("e1")
+      vS += r.getAs[Double]("v")
+      n1 += r.getAs[Long]("n1"); n2 += r.getAs[Long]("n2")
+      o1 += r.getAs[Long]("o1")
+    }
+    assert(out.getAs[Long]("n_strata") == 2L)
+    assert(out.getAs[Long]("n1") == n1 && out.getAs[Long]("n2") == n2)
+    assert(out.getAs[Long]("o1") == o1)
+    assert(out.getAs[Double]("oe_sum") == oeS)
+    assert(out.getAs[Double]("v_sum") == vS)
+    assert(out.getAs[Double]("z") == oeS / math.sqrt(vS))
+    // the naive (unstratified) test is fooled by the confounder; the
+    // stratified one is not
+    val naive = Stats.logRank(df, Seq("g"), col("dur"), col("ev"),
+      col("c1")).head().getAs[Double]("z")
+    assert(math.abs(naive) > 5.0, s"fixture should confound: $naive")
+    assert(math.abs(out.getAs[Double]("z")) < 2.5,
+      s"stratified z should deflate: ${out.getAs[Double]("z")}")
+    // a single stratum reduces to the plain log-rank exactly
+    val one = Stats.stratifiedLogRank(df, Seq("g"), lit("only"),
+      col("dur"), col("ev"), col("c1")).head()
+    val plain = Stats.logRank(df, Seq("g"), col("dur"), col("ev"),
+      col("c1")).head()
+    assert(one.getAs[Double]("v_sum") == plain.getAs[Double]("v"))
+    // z re-derives oe from the reported (o1, e1) surface — the
+    // documented definition (one ULP roundtrip vs the internal fold)
+    val oePlain = plain.getAs[Long]("o1").toDouble -
+      plain.getAs[Double]("e1")
+    assert(one.getAs[Double]("oe_sum") == oePlain)
+    assert(one.getAs[Double]("z") ==
+      oePlain / math.sqrt(plain.getAs[Double]("v")))
+    assert(math.abs(one.getAs[Double]("z") -
+      plain.getAs[Double]("z")) < 1e-12)
+  }
+
   test("gehanLogRank: naive replay bitwise; equals logRank z at a single event time; early-weighting") {
     import spark.implicits._
     val rng = new scala.util.Random(71)
