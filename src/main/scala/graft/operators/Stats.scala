@@ -3717,16 +3717,27 @@ object Stats {
       cohort1: Column, maxTimes: Int = 1000): DataFrame = {
     val df2 = df.filter(stratumCol.isNotNull)
       .withColumn("__stratum", stratumCol)
-    val per = logRankFromCounts(
+    stratifiedLogRankFromCounts(
       cohortSurvivalCounts(df2, groupCols :+ "__stratum", durationCol,
         eventCol, cohort1),
-      groupCols :+ "__stratum", maxTimes)
+      groupCols, "__stratum", maxTimes)
+  }
+
+  /** Finalize a (possibly merged) per-(group, stratum)
+    * [[cohortSurvivalCounts]] table into the [[stratifiedLogRank]]
+    * schema — the streaming-readout face (the same stored deltas the
+    * plain log-rank maintains, read with the stratum in the key). */
+  def stratifiedLogRankFromCounts(counts: DataFrame,
+      groupCols: Seq[String], stratumName: String,
+      maxTimes: Int = 1000): DataFrame = {
+    val per = logRankFromCounts(counts, groupCols :+ stratumName,
+      maxTimes)
     val g = groupCols.map(col)
     val grouped = per.groupBy(g: _*)
       .agg(count(lit(1)).as("n_strata"),
         sum(col("n1")).as("n1"), sum(col("n2")).as("n2"),
         sum(col("o1")).as("o1"),
-        sort_array(collect_list(struct(col("__stratum"),
+        sort_array(collect_list(struct(col(stratumName),
           (col("o1").cast("double") - col("e1")).as("oe"),
           col("v")))).as("__s"))
     def fold(f: String): Column = aggregate(col("__s"), lit(0.0),

@@ -801,6 +801,20 @@ object StreamingTimeSeries {
       }
       .start()
 
+  /** Whole-stream STRATIFIED log-rank from the same stored
+    * cohort-split deltas the plain log-rank maintains, read with the
+    * group key as the STRATUM — no new state, no new query, the
+    * survival-side CMH finalize. */
+  def mergedStratifiedLogRank(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, stratumCol: String,
+      maxTimes: Int = 1000): DataFrame =
+    graft.operators.Stats.stratifiedLogRankFromCounts(
+      graft.operators.Stats.mergeCohortSurvivalCounts(
+        Seq(spark.read.parquet(s"$targetDir/cohort_surv_counts")
+          .dropDuplicates(stratumCol, "t", "batch_id").drop("batch_id")),
+        Seq(stratumCol)),
+      Nil, stratumCol, maxTimes)
+
   /** Whole-stream Aalen–Johansen cumulative incidence from the stored
     * cause-count deltas — bit-identical to batch. */
   def mergedAalenJohansen(spark: org.apache.spark.sql.SparkSession,

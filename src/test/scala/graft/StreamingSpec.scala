@@ -678,6 +678,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq("g"), col("dur"), col("ev"), col("c1")))
       assert(m(StreamingTimeSeries.mergedGehanLogRank(spark, dir, "g"))
         == wantG)
+      // stratified: a THIRD readout, the group key read as the stratum
+      val wantS = Stats.stratifiedLogRank(
+        all.toDF("g", "dur", "ev", "c1"), Nil, col("g"), col("dur"),
+        col("ev"), col("c1")).head().toSeq
+      assert(StreamingTimeSeries.mergedStratifiedLogRank(spark, dir,
+        "g").head().toSeq == wantS)
       spark.read.parquet(s"$dir/cohort_surv_counts")
         .filter(col("batch_id") === 1L)
         .write.mode("append").parquet(s"$dir/cohort_surv_counts")
