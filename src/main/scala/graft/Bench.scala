@@ -58,11 +58,79 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Multi-core capacity probe — the instrument the round-14 drift
+    * adjudication was missing: [[calibrate]] is SINGLE-threaded, so a
+    * host whose one-core speed is intact but whose 32-wide capacity is
+    * degraded (SMT-sibling / LLC / memory-bandwidth contention from a
+    * hypervisor neighbor) reads "calibration flat" while every 32-thread
+    * Spark stage runs 10–15% slow — exactly the r13→r14 committed-clean
+    * signature (33.88s → 38.59s at cal 0.320→0.323, and 43.4s at cal
+    * 0.299 on the r15-open host). Each thread runs the same dependent
+    * xorshift spin; the wall time for ALL to finish ≈ the single-thread
+    * time when the host has `threads` real cores free, and degrades
+    * proportionally with whatever capacity is missing. */
+  def calibrateParallel(threads: Int = 32,
+      iters: Long = 150000000L): Double = {
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { seed =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + seed
+        var i = 0L
+        while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        sink.addAndGet(x): Unit
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
+    if (sink.get == 42L) System.err.println("calibration sentinel")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Shared buffer for [[calibrateMemory]] — allocated once so the probe
+    * measures bandwidth, not allocation/GC. 256 MB of longs. */
+  private lazy val memProbeBuf: Array[Long] = {
+    val a = new Array[Long](32 * 1024 * 1024)
+    var i = 0
+    while (i < a.length) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+
+  /** Memory-bandwidth probe: `threads` threads stream-sum disjoint
+    * slices of a shared 256 MB array, `passes` times. One-core cache
+    * spins don't see a neighbor saturating the memory controller; this
+    * does — the second axis of host capacity the single-thread
+    * calibration is blind to. */
+  def calibrateMemory(threads: Int = 32, passes: Int = 4): Double = {
+    val buf = memProbeBuf
+    val slice = buf.length / threads
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { ti =>
+      val th = new Thread(() => {
+        var s = 0L
+        var p = 0
+        while (p < passes) {
+          var i = ti * slice
+          val end = i + slice
+          while (i < end) { s += buf(i); i += 1 }
+          p += 1
+        }
+        sink.addAndGet(s): Unit
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
+    if (sink.get == 42L) System.err.println("calibration sentinel")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Compact one-line JSON for the driver's stdout tail. Pure so
     * BenchRenderSpec can assert length + parseability. */
   def render(mins: Seq[(String, Double)], totalMedian: Double, reps: Int,
       errors: Seq[(String, String)], sfDir: String,
-      calMedian: Double = 0.0): String = {
+      calMedian: Double = 0.0, calParMedian: Double = 0.0,
+      calMemMedian: Double = 0.0): String = {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     // Locale.ROOT: a comma-decimal default locale would render 1.234 as
@@ -76,7 +144,8 @@ object Bench {
     def line(es: String) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""stat":"min_of_warm_reps","total_median":${fmt(totalMedian)},""" +
-        s""""cal":${fmt(calMedian)},""" +
+        s""""cal":${fmt(calMedian)},"calp":${fmt(calParMedian)},""" +
+        s""""calm":${fmt(calMemMedian)},""" +
         s""""scope":"headline","n_queries":${mins.size},"reps":$reps,""" +
         s""""queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
     // errors are capped ADAPTIVELY: the queries map grows with the
@@ -218,7 +287,9 @@ object Bench {
       retried: Seq[String] = Nil,
       gcByRep: Seq[(String, Seq[Long])] = Nil,
       compilesByRep: Seq[(String, Seq[Long])] = Nil,
-      jvm: Seq[(String, Long)] = Nil): String = {
+      jvm: Seq[(String, Long)] = Nil,
+      calParallel: Seq[Double] = Nil,
+      calMemory: Seq[Double] = Nil): String = {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.4f", d)
@@ -243,8 +314,11 @@ object Bench {
     val cmpR = obj(compilesByRep.map { case (k, cs) =>
       k -> cs.mkString("[", ",", "]") })
     val jvmO = obj(jvm.map { case (k, v) => k -> v.toString })
+    val calP = calParallel.map(fmt).mkString("[", ",", "]")
+    val calM = calMemory.map(fmt).mkString("[", ",", "]")
     s"""{"metric":"bench_details","reps":$reps,"queries_median":$qmed,""" +
       s""""reps_sec":$raw,"calibration_sec":$cal,"cal_by_query":$calQ,""" +
+      s""""cal_parallel_sec":$calP,"cal_memory_sec":$calM,""" +
       s""""retried":$rt,"counters":$ctr,"gc_by_rep":$gcR,""" +
       s""""compiles_by_rep":$cmpR,"jvm":$jvmO,""" +
       s""""errors":$es,"sf":${jstr(sfDir)}}"""
@@ -312,6 +386,11 @@ object Bench {
     val metaspace0 = metaspaceUsedMb()
     val classes0 = codegenClasses()
     val compiles0 = codegenCompiles()
+    // multi-core + memory-bandwidth capacity samples at sweep
+    // boundaries (the sweeps themselves keep only the cheap 1-thread
+    // probe): four samples each bracket the session
+    val calPar = scala.collection.mutable.ArrayBuffer(calibrateParallel())
+    val calMem = scala.collection.mutable.ArrayBuffer(calibrateMemory())
     def storageMb(): Long = spark.sparkContext.getExecutorMemoryStatus.values
       .map { case (max, rem) => max - rem }.sum >> 20 // one BM in local[*]
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
@@ -342,7 +421,11 @@ object Bench {
       // recompile cost this rep paid (the d_minhash-adjudication receipt)
       compileReps(name) += codegenCompiles() - cc0
     }
-    (1 to reps).foreach { _ => ordered.foreach { case (name, fn) => runOnce(name, fn) } }
+    (1 to reps).foreach { _ =>
+      ordered.foreach { case (name, fn) => runOnce(name, fn) }
+      calPar += calibrateParallel()
+      calMem += calibrateMemory()
+    }
 
     // Deferred retry sweep: a query whose EVERY in-sweep probe exceeded
     // 1.5× the session's idle calibration median has no uncontended rep,
@@ -399,7 +482,9 @@ object Bench {
         "metaspace_end_mb" -> metaspaceUsedMb(),
         "codegen_classes_start" -> classes0,
         "codegen_classes_end" -> codegenClasses(),
-        "codegen_compiles_sweep" -> (codegenCompiles() - compiles0)))
+        "codegen_compiles_sweep" -> (codegenCompiles() - compiles0)),
+      calParallel = calPar.toSeq,
+      calMemory = calMem.toSeq)
     // write the details BOTH to the driver-side path and into the repo,
     // so adjudicating a flagged round never depends on /tmp surviving
     // it. The repo copy anchors on build.sbt in the CWD (sbt runs from
@@ -415,7 +500,10 @@ object Bench {
         System.err.println(s"[bench] details write to $p failed: ${e.getMessage}")
       }
     }
-    println(render(mins, totalMedian, reps, errors.toSeq, sfDir, calMedian))
+    def med(xs: Seq[Double]) =
+      if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)
+    println(render(mins, totalMedian, reps, errors.toSeq, sfDir, calMedian,
+      calParMedian = med(calPar.toSeq), calMemMedian = med(calMem.toSeq)))
     spark.stop()
   }
 }

@@ -68,19 +68,17 @@ object SparkEntry {
     * verdict clears it — rotation is exactly how round 10 lost
     * round-over-round comparability when its regression cluster appeared.
     * HarnessContractSpec enforces `benchPinned ⊆ headline`; update this
-    * list (only) from each round's VERDICT.md. Current entries (r13):
-    * d_minhash_neardups — its r13 adjudication was ACCEPTED by the
-    * judge but stays pinned until a DRIVER-host run lands ≤ ~1.7s
-    * (r13 driver reps 6.1/4.9/2.6 were the monotone cooldown of the
-    * adjudicated contention pattern); a11_combo_frequencies — the r13
-    * `weak`: 0.74→1.94s min with all three driver reps ≥1.94 yet 0.49s
-    * on the committed clean run and no code change since r10
-    * (adjudication receipts: Bench's per-rep compile counters + the
-    * clean-run-drift retry this round adds). g_pagerank_hosts (0.92s,
-    * r10 level) and d_duplicate_spans (0.87× r12) rotated out per
-    * VERDICT r13 task #2 — both recovered. */
+    * list (only) from each round's VERDICT.md. Current entries (r14):
+    * the three largest clean-to-clean drifters of the r14 +14% uniform
+    * drift (33.88s→38.59s at flat calibration) — pinned until VERDICT
+    * accepts the round-15 drift adjudication (SCALE.md §round-15):
+    * h2_shape_min_cost_supplier (+0.36s, the judge's named profile
+    * target), t_heavy_hitters (+0.29s), t_lm_transitions (+0.26s).
+    * Rotated out per VERDICT r14: d_minhash_neardups (driver receipt
+    * 1.455s ≤ the ~1.7s done-bar) and a11_combo_frequencies (driver
+    * 0.52s after the counters-backed cold-codegen adjudication). */
   val benchPinned: Seq[String] = Seq(
-    "d_minhash_neardups", "a11_combo_frequencies")
+    "h2_shape_min_cost_supplier", "t_heavy_hitters", "t_lm_transitions")
 
   // d_incremental_dedup is deliberately NOT headline: its id-bounded
   // fixture is constant-size at every SF, so the bench would time ~5.6s

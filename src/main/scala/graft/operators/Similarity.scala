@@ -123,24 +123,26 @@ object Similarity {
     require(maxCandidates >= k && maxCandidates <= 4096,
       s"maxCandidates in [k, 4096], got $maxCandidates")
     val withN = candidates.withColumn("__nrm", norm(col(vecCol)))
-    // two nid-aligned sorted lists: (nid, cos) for scoring, (nid, vec,
-    // nrm) for the pair matrix — then the N×N candidate-pair cosines
-    // are precomputed ONCE outside the selection fold (the greedy loop
-    // then only indexes, which also keeps a SQL mirror's recursion
-    // state down to two BIGINT lists)
+    // ONE combined sorted list, then (nid, cos) and the pair matrix are
+    // both projected from it — index i of __c and row/col i of __sm are
+    // the SAME candidate by construction. (Two independently-sorted
+    // lists could misalign when a (qid, nid) repeats with different
+    // cos/vec: each list breaks the nid tie by its own remaining
+    // fields.) The N×N candidate-pair cosines are precomputed ONCE
+    // outside the selection fold, so the greedy loop only indexes.
     val collected = withN.groupBy(col(queryId))
       .agg(sort_array(collect_list(struct(
         col(baseId).cast("long").as("nid"),
-        col(cosCol).cast("double").as("cos")))).as("__c"),
-        sort_array(collect_list(struct(
-          col(baseId).cast("long").as("nid"),
-          col(vecCol).cast("array<double>").as("vec"),
-          col("__nrm").as("nrm")))).as("__v"))
-      .filter(assert_true(size(col("__c")) <= maxCandidates,
+        col(cosCol).cast("double").as("cos"),
+        col(vecCol).cast("array<double>").as("vec"),
+        col("__nrm").as("nrm")))).as("__cv"))
+      .filter(assert_true(size(col("__cv")) <= maxCandidates,
         lit(s"mmrRerank: a query exceeds maxCandidates=$maxCandidates " +
           "— cut candidates with a top-N stage first")).isNull)
-      .withColumn("__sm", transform(col("__v"), a =>
-        transform(col("__v"), b => {
+      .withColumn("__c", transform(col("__cv"), x =>
+        struct(x.getField("nid").as("nid"), x.getField("cos").as("cos"))))
+      .withColumn("__sm", transform(col("__cv"), a =>
+        transform(col("__cv"), b => {
           val dnm = a.getField("nrm") * b.getField("nrm")
           when(dnm === 0, lit(0.0))
             .otherwise(dot(a.getField("vec"), b.getField("vec")) / dnm)

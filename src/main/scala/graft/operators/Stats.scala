@@ -809,6 +809,14 @@ object Stats {
     val num = (kj - 1L) * (kj * col("__sc2") - col("__sr") * col("__sr"))
     val den = kj * col("__sr") - col("__sr2")
     perGroup.join(k, groupCols).join(judges, groupCols)
+      // wrap witness (the cuped/ratioFromMoments convention): __sr ≤
+      // k·N and k·Σc_j² ≤ (k·N)², so every product above stays in
+      // BIGINT iff k·N < √(2⁶³). The witness multiplies as DOUBLE, so
+      // it cannot itself wrap.
+      .filter(assert_true(kj.cast("double") *
+          col("n_items").cast("double") <= 3.037e9,
+        lit("cochranQ: k_judges*n_items too large — BIGINT wrap; " +
+          "shard groups first")).isNull)
       .withColumn("q_stat", when(den > 0L,
         num.cast("double") / den.cast("double")))
       .select(g ++ Seq(col("n_items"), col("k_judges"),
@@ -830,11 +838,11 @@ object Stats {
     *
     * Input: one row per item with both models' boolean outcomes.
     * Output: groups... + (n, b, c, chi2). */
-  def mcnemar(df: DataFrame, groupCols: Seq[Column], outcomeA: Column,
+  def mcnemar(df: DataFrame, groupCols: Seq[String], outcomeA: Column,
       outcomeB: Column): DataFrame = {
     val a = outcomeA.cast("boolean"); val b = outcomeB.cast("boolean")
     df.filter(a.isNotNull && b.isNotNull)
-      .groupBy(groupCols: _*)
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(when(a && !b, 1L).otherwise(0L)).as("b"),
         sum(when(!a && b, 1L).otherwise(0L)).as("c"))
@@ -915,6 +923,12 @@ object Stats {
         (nn * (col("n_raters") - 1L)).cast("double"))
     val pE = col("__sumcj2").cast("double") / (nn * nn).cast("double")
     items.join(cats, groupCols)
+      // wrap witness: nn·nn (and Σc_j² ≤ nn²) stays in BIGINT iff
+      // N·n < √(2⁶³); DOUBLE multiply so the witness cannot wrap.
+      .filter(assert_true(col("n_items").cast("double") *
+          col("n_raters").cast("double") <= 3.037e9,
+        lit("fleissKappa: n_items*n_raters too large — BIGINT wrap; " +
+          "shard groups first")).isNull)
       .withColumn("p_bar", pBar)
       .withColumn("p_e", pE)
       .withColumn("kappa", when(col("p_bar").isNotNull &&
@@ -997,6 +1011,12 @@ object Stats {
     allItems
       .join(itemsAgg, groupCols, "left")
       .join(catsAgg, groupCols, "left")
+      // wrap witness: n·n (and Σc_c² ≤ n²) stays in BIGINT iff the
+      // pairable rating total n < √(2⁶³).
+      .filter(assert_true(coalesce(col("n_ratings"), lit(0L)) <=
+          3037000499L,
+        lit("krippendorffAlpha: n_ratings too large — BIGINT wrap; " +
+          "shard groups first")).isNull)
       .withColumn("d_o", when(col("n_pairable") > 0L, dO))
       .withColumn("d_e", when(col("n_pairable") > 0L, dE))
       .withColumn("alpha", when(col("d_e") > 0.0,
@@ -1938,6 +1958,134 @@ object Stats {
       })
       .select(g ++ Seq(col("n"), col("k_levels"), col("h"),
         col("h_adj")): _*)
+  }
+
+  /** Jonckheere–Terpstra ordered-alternative trend test per group
+    * (Jonckheere, Biometrika 1954; Terpstra 1952) — the k-sample test
+    * [[kruskalWallis]] can't be: KW asks "do the levels differ AT
+    * ALL"; JT asks "do values INCREASE with the ordered dose" (model
+    * size, data fraction, severity tier), summing the pairwise
+    * Mann–Whitney counts over all level pairs a < b:
+    *
+    *   JT = Σ_{a<b} U_ab,   U_ab = #{x_a < x_b} + ½·#{x_a = x_b}
+    *
+    * Exact counting on the [[levelValueCounts]] seam (THIRD readout of
+    * the same stored partial): the cell grid densifies to
+    * (level × distinct value) per group — level count k is require-
+    * bounded, distinct values stay DISTRIBUTED — then two windows give
+    * each cell its strictly-lower-level strictly-lower-value mass and
+    * its strictly-lower-level tie mass, and the DOUBLED statistic
+    * 2·JT = Σ c·(2·cumLower + tieLower) is one exact BIGINT sum
+    * (< N² — safe under the n < 2³¹ guard).
+    *
+    * The normal readout uses the tie-corrected variance (Hollander &
+    * Wolfe §6.2): with per-level n_i, pooled tie sizes t_j,
+    *
+    *   μ  = (N² − Σn_i²)/4
+    *   σ² = A/72 + B/(36·N(N−1)(N−2)) + C/(8·N(N−1))
+    *   A  = N(N−1)(2N+5) − Σn_i(n_i−1)(2n_i+5) − Σt_j(t_j−1)(2t_j+5)
+    *   B  = Σn_i(n_i−1)(n_i−2) · Σt_j(t_j−1)(t_j−2)
+    *   C  = Σn_i(n_i−1) · Σt_j(t_j−1)
+    *
+    * Portability: tie sums are exact BIGINTs (associative, any plan
+    * order; the [[mannWhitneyU]] N·max(t)² wrap guard applies);
+    * per-level sums fold in FIXED ascending-level order over the ≤
+    * `maxLevels` collected levels (cube terms in double — n_i³ wraps
+    * BIGINT at n_i ≥ 2²¹); the z tail is fixed-order +,·,/,√ — every
+    * column hashes unrounded. z is null when σ² = 0 (degenerate).
+    *
+    * Levels order by their NATURAL type ordering — cast doses to a
+    * numeric/ordinal type first. Output: groups... + (n, k_levels, jt,
+    * mu, sigma, z). */
+  def jonckheereTerpstra(df: DataFrame, groupCols: Seq[Column],
+      level: Column, x: Column, maxLevels: Int = 100): DataFrame =
+    jonckheereFromLevelCounts(
+      levelValueCounts(df, groupCols, level, x), maxLevels)
+
+  /** Finalize a (possibly merged) [[levelValueCounts]] table into the
+    * [[jonckheereTerpstra]] schema — the streaming-readout face. */
+  def jonckheereFromLevelCounts(cells: DataFrame,
+      maxLevels: Int = 100): DataFrame = {
+    require(maxLevels >= 2 && maxLevels <= 1000,
+      s"jonckheereTerpstra needs 2 <= maxLevels <= 1000, got $maxLevels")
+    val names = cells.columns.dropRight(3).toSeq
+    val g = names.map(col)
+    val W = org.apache.spark.sql.expressions.Window
+    // densify: every (level × distinct value) cell per group, absent
+    // cells at count 0 — k is bounded, values stay distributed
+    val levels = cells.select(g :+ col("__l"): _*).distinct()
+    val values = cells.select(g :+ col("__x"): _*).distinct()
+    val grid = levels.join(values, names)
+      .join(cells, names ++ Seq("__l", "__x"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    // within-level running count of strictly smaller values
+    val wVal = W.partitionBy((names :+ "__l").map(col): _*)
+      .orderBy(col("__x")).rangeBetween(W.unboundedPreceding, -1)
+    // then across strictly lower levels at fixed value: one row per
+    // (group, value, level) ⇒ rows-preceding = lower levels
+    val wLvlCum = W.partitionBy((names :+ "__x").map(col): _*)
+      .orderBy(col("__l")).rowsBetween(W.unboundedPreceding, -1)
+    val contrib = grid
+      .withColumn("__cumw", coalesce(sum(col("__c")).over(wVal), lit(0L)))
+      .withColumn("__lowLess",
+        coalesce(sum(col("__cumw")).over(wLvlCum), lit(0L)))
+      .withColumn("__lowTie",
+        coalesce(sum(col("__c")).over(wLvlCum), lit(0L)))
+    val jt2 = contrib.groupBy(g: _*)
+      .agg(sum(col("__c") * (lit(2L) * col("__lowLess") +
+        col("__lowTie"))).as("__jt2"))
+    // per-level totals → fixed-order fold; pooled tie sizes → BIGINT
+    val perLevel = cells.groupBy(g :+ col("__l"): _*)
+      .agg(sum(col("__c")).as("__nl"))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("k_levels"),
+        sort_array(collect_list(struct(col("__l"), col("__nl"))))
+          .as("__ls"))
+      .filter(assert_true(col("k_levels") <= maxLevels.toLong,
+        lit(s"jonckheereTerpstra: a group exceeds maxLevels=$maxLevels " +
+          "— the dose factor must be bounded; bucket it first")).isNull)
+    val ties = cells.groupBy(g :+ col("__x"): _*)
+      .agg(sum(col("__c")).as("__t"))
+      .groupBy(g: _*)
+      .agg(sum(col("__t")).as("n"), max(col("__t")).as("__maxt"),
+        sum(col("__t") * (col("__t") - 1L) *
+          (lit(2L) * col("__t") + 5L)).as("__t25"),
+        sum(col("__t") * (col("__t") - 1L) * (col("__t") - 2L))
+          .as("__t3"),
+        sum(col("__t") * (col("__t") - 1L)).as("__t2"))
+    val nD = col("n").cast("double")
+    val guard = when(
+      nD >= lit(math.pow(2, 31)) ||
+        nD * col("__maxt").cast("double") * col("__maxt").cast("double")
+          >= lit(math.pow(2, 62)),
+      raise_error(lit("jonckheereTerpstra: n >= 2^31 or n*max(ties)^2 " +
+        ">= 2^62 - BIGINT sums may wrap; pre-aggregate or sample"))
+        .cast("bigint"))
+    def foldLevels(f: Column => Column): Column =
+      aggregate(col("__ls"), lit(0.0),
+        (acc, s) => acc + f(s.getField("__nl").cast("double")))
+    jt2.join(perLevel, names).join(ties, names)
+      .withColumn("n", coalesce(guard, col("n")))
+      .withColumn("jt", col("__jt2").cast("double") / lit(2.0))
+      .withColumn("mu",
+        (nD * nD - foldLevels(x => x * x)) / lit(4.0))
+      .withColumn("sigma", {
+        val a = nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) -
+          foldLevels(x => x * (x - 1.0) * (lit(2.0) * x + 5.0)) -
+          col("__t25").cast("double")
+        val b = foldLevels(x => x * (x - 1.0) * (x - 2.0)) *
+          col("__t3").cast("double")
+        val c = foldLevels(x => x * (x - 1.0)) *
+          col("__t2").cast("double")
+        val v = a / lit(72.0) +
+          b / (lit(36.0) * nD * (nD - 1.0) * (nD - 2.0)) +
+          c / (lit(8.0) * nD * (nD - 1.0))
+        when(col("n") > 2L && v > 0.0, sqrt(v))
+      })
+      .withColumn("z", when(col("sigma").isNotNull,
+        (col("jt") - col("mu")) / col("sigma")))
+      .select(g ++ Seq(col("n"), col("k_levels"), col("jt"), col("mu"),
+        col("sigma"), col("z")): _*)
   }
 
   /** Wilson score interval per group — the uncertainty companion every
@@ -2997,7 +3145,10 @@ object Stats {
       treated: Column, outcome: Column,
       maxStrata: Int = 1000): DataFrame =
     cmhFromCounts(
-      armCounts(df, groupCols.map(col) :+ stratumCol.as("__stratum"),
+      // null strata drop (matching stratifiedLogRank) — a null is an
+      // unknown stratum, not its own 2×2 table
+      armCounts(df.filter(stratumCol.isNotNull),
+        groupCols.map(col) :+ stratumCol.as("__stratum"),
         treated, outcome),
       groupCols, "__stratum", maxStrata)
 
@@ -3910,6 +4061,216 @@ object Stats {
       .withColumn("p_always_valid", p)
       .withColumn("significant",
         when(p.isNotNull, p < lit(alpha)))
+  }
+
+  /** Pocock critical values, two-sided α = 0.05, K equally-spaced
+    * looks (Pocock, Biometrika 1977; tabulated in Jennison & Turnbull
+    * 2000, Table 2.1) — the boundary is CONSTANT across looks. */
+  private val pocockC = Map(1 -> 1.960, 2 -> 2.178, 3 -> 2.289,
+    4 -> 2.361, 5 -> 2.413, 6 -> 2.453, 7 -> 2.485, 8 -> 2.512,
+    9 -> 2.535, 10 -> 2.555)
+
+  /** O'Brien–Fleming scale constants, two-sided α = 0.05, K
+    * equally-spaced looks (O'Brien & Fleming, Biometrics 1979;
+    * Jennison & Turnbull 2000, Table 2.3) — the look-k boundary is
+    * c_B(K)·√(K/k): very strict early, ≈ the fixed-sample 1.96 at the
+    * final look. */
+  private val obfC = Map(1 -> 1.960, 2 -> 1.977, 3 -> 2.004,
+    4 -> 2.024, 5 -> 2.040, 6 -> 2.053, 7 -> 2.063, 8 -> 2.072,
+    9 -> 2.080, 10 -> 2.087)
+
+  /** Group-sequential two-proportion test with Pocock or
+    * O'Brien–Fleming stopping boundaries — the DESIGNED-interim
+    * counterpart of [[msprt]]'s always-valid monitoring: a real
+    * experiment platform pre-registers K analysis looks and rejects at
+    * look k when |z_k| crosses a boundary calibrated so the WHOLE
+    * procedure spends two-sided α = 0.05. Boundaries come from the
+    * LITERAL K ≤ 10 equally-spaced-look tables above (normal-quantile
+    * integration is not SQL-replayable; published constants are — the
+    * Poisson-CDF-literal precedent).
+    *
+    * Reads the [[armCounts]] seam keyed by (group, look): per-look
+    * counts densify into CUMULATIVE exact BIGINTs through each look
+    * (one grid-sized window), z_k is the pooled two-proportion z of
+    * [[proportionUplift]] over the cumulative counts, and the readout
+    * compares against the literal boundary — sqrt-only float tail, so
+    * every column hashes unrounded.
+    *
+    * Contract: `lookCol` must be integers in 1..looks — the tables
+    * assume equally-spaced information, so the caller bins calendar
+    * time into equal-information looks first. Looks with no data
+    * inherit the previous cumulative counts only if present in the
+    * input; absent looks simply emit no row (a monitoring gap, not a
+    * boundary change). z is null when an arm is empty or the pooled
+    * rate is degenerate.
+    *
+    * Output: groups... + (look, boundary, n_t, x_t, n_c, x_c — all
+    * cumulative — z, reject). */
+  def groupSequentialTest(df: DataFrame, groupCols: Seq[String],
+      lookCol: Column, treated: Column, outcome: Column,
+      looks: Int, kind: String = "obf"): DataFrame = {
+    require(looks >= 1 && looks <= 10,
+      s"groupSequentialTest: looks in 1..10 (the literal tables), got $looks")
+    require(kind == "obf" || kind == "pocock",
+      s"groupSequentialTest: kind must be obf|pocock, got $kind")
+    val perLook = armCounts(
+      df.filter(lookCol.isNotNull),
+      groupCols.map(col) :+ lookCol.cast("int").as("look"),
+      treated, outcome)
+      .filter(assert_true(col("look") >= 1 && col("look") <= looks,
+        lit(s"groupSequentialTest: look outside 1..$looks — bin " +
+          "calendar time into the pre-registered looks first")).isNull)
+    groupSequentialFromCounts(perLook, groupCols, looks, kind)
+  }
+
+  /** Finalize a (possibly merged) per-(group, look) [[armCounts]]
+    * table into the [[groupSequentialTest]] schema — the
+    * streaming-readout face: the interim dashboard re-reads stored
+    * per-look count deltas, never event history. */
+  def groupSequentialFromCounts(counts: DataFrame,
+      groupCols: Seq[String], looks: Int,
+      kind: String = "obf"): DataFrame = {
+    require(looks >= 1 && looks <= 10,
+      s"groupSequentialFromCounts: looks in 1..10, got $looks")
+    val cTable = if (kind == "pocock") pocockC else obfC
+    val cK = cTable(looks)
+    // literal per-look boundary column: CASE look WHEN k THEN <decimal>
+    // — constants land in the plan (and its SQL mirror) verbatim
+    val boundary = (1 to looks).foldLeft(lit(null).cast("double")) {
+      case (acc, k) =>
+        val b = if (kind == "pocock") cK else cK * math.sqrt(looks.toDouble / k)
+        when(col("look") === k, lit(b)).otherwise(acc)
+    }
+    val g = groupCols.map(col)
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("look"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = counts
+      .withColumn("n_t", sum(col("n_t")).over(wc))
+      .withColumn("x_t", sum(col("x_t")).over(wc))
+      .withColumn("n_c", sum(col("n_c")).over(wc))
+      .withColumn("x_c", sum(col("x_c")).over(wc))
+    val nT = col("n_t").cast("double"); val nC = col("n_c").cast("double")
+    val pT = col("x_t").cast("double") / nT
+    val pC = col("x_c").cast("double") / nC
+    val pPool = (col("x_t") + col("x_c")).cast("double") /
+      (col("n_t") + col("n_c")).cast("double")
+    val z = when(col("n_t") > 0L && col("n_c") > 0L &&
+        pPool > 0.0 && pPool < 1.0,
+      (pT - pC) / sqrt(pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / nT + lit(1.0) / nC)))
+    cum
+      .withColumn("boundary", boundary)
+      .withColumn("z", z)
+      .withColumn("reject",
+        when(z.isNotNull, abs(z) > col("boundary")))
+      .select(g ++ Seq(col("look"), col("boundary"), col("n_t"),
+        col("x_t"), col("n_c"), col("x_c"), col("z"),
+        col("reject")): _*)
+  }
+
+  /** Win ratio for hierarchical composite endpoints per group (Pocock
+    * et al., Eur. Heart J. 2012) — the estimand a composite outcome
+    * ("death, else hospitalization, else symptom score") needs:
+    * every treatment×control pair is compared on the FIRST tier where
+    * the two subjects differ (larger value wins — encode "later death
+    * time is better" accordingly); pairs equal on every tier tie.
+    *
+    *   WR = W / L,  W = #pairs treatment wins, L = #pairs control wins
+    *
+    * NOT a quadratic pair join: a pair resolves at tier τ iff the two
+    * subjects are EQUAL on tiers 1..τ−1, so the tier-τ strict-win
+    * count is a Mann–Whitney strict count WITHIN each equal-prefix
+    * subgroup — grouping by (group, o₁..o_{τ−1}) partitions exactly
+    * the pairs still unresolved. Per tier: the [[valueCounts]] doubled-
+    * midrank window gives 2U₁ = R₁ₓ₂ − n₁(n₁+1) per subgroup, tie
+    * pairs T = Σ_x c₁c₂, and the doubled strict counts
+    *
+    *   W₂ = R₁ₓ₂ − n₁(n₁+1) − T,   L₂ = 2n₁n₂ − W₂ − 2T
+    *
+    * are exact BIGINTs; k tiers cost k count-aggregation passes over
+    * the subjects (k ≤ 5), never a pair join. Rolled up over
+    * subgroups and tiers, wins/losses/ties are exact integers.
+    *
+    * Inference: z = (W − L)/√(W + L), the Pocock-paper "win
+    * difference" normal approximation (resolved pairs as ±1 under H₀
+    * — conservative; the exact U-statistic variance needs per-subject
+    * win profiles, out of scope and documented so). WR null when
+    * L = 0; z null when W + L = 0. Subjects with a null in any tier
+    * drop (a hierarchical comparison needs every tier).
+    *
+    * BIGINT bound: the [[mannWhitneyU]] guards apply per subgroup; the
+    * rolled-up doubled counts are < 2·n₁·n₂ < n² — safe under
+    * n < 2³¹ (witnessed in-plan, DOUBLE multiply so the witness cannot
+    * wrap).
+    *
+    * Output: groups... + (n_t, n_c, wins, losses, ties, win_ratio,
+    * log_wr, z). */
+  def winRatio(df: DataFrame, groupCols: Seq[String], treated: Column,
+      tiers: Seq[Column]): DataFrame = {
+    require(tiers.nonEmpty && tiers.size <= 5,
+      s"winRatio needs 1..5 outcome tiers, got ${tiers.size}")
+    val t = treated.cast("boolean")
+    val base = df.filter(t.isNotNull &&
+        tiers.map(_.isNotNull).reduce(_ && _))
+      .select(groupCols.map(col) ++ Seq(t.as("__arm")) ++
+        tiers.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+    val g = groupCols.map(col)
+    val W = org.apache.spark.sql.expressions.Window
+    // one pass per tier: subgroup = equal prefix o₀..o_{τ−1}
+    val perTier = tiers.indices.map { ti =>
+      val prefix = (0 until ti).map(i => col(s"__o$i"))
+      val sub = g ++ prefix
+      val cells = base
+        .groupBy(sub :+ col(s"__o$ti").as("__x"): _*)
+        .agg(sum(when(col("__arm"), 1L).otherwise(0L)).as("__c1"),
+          sum(when(!col("__arm"), 1L).otherwise(0L)).as("__c2"))
+        .withColumn("__t", col("__c1") + col("__c2"))
+      val wCum = W.partitionBy(sub: _*).orderBy(col("__x"))
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+      cells
+        .withColumn("__cum", sum(col("__t")).over(wCum))
+        .groupBy(sub: _*)
+        .agg(sum(col("__c1")).as("__n1"), sum(col("__c2")).as("__n2"),
+          sum(col("__c1") * (lit(2L) * col("__cum") - col("__t") + 1L))
+            .as("__r1x2"),
+          sum(col("__c1") * col("__c2")).as("__tp"))
+        .select(g ++ Seq(
+          (col("__r1x2") - col("__n1") * (col("__n1") + 1L) -
+            col("__tp")).as("__w2"),
+          (lit(2L) * col("__n1") * col("__n2") -
+            (col("__r1x2") - col("__n1") * (col("__n1") + 1L) -
+              col("__tp")) - lit(2L) * col("__tp")).as("__l2"),
+          // final ties only persist past the LAST tier
+          (if (ti == tiers.size - 1) lit(2L) * col("__tp")
+           else lit(0L)).as("__t2"),
+          (if (ti == 0) col("__n1") else lit(0L)).as("__n1r"),
+          (if (ti == 0) col("__n2") else lit(0L)).as("__n2r")): _*)
+    }
+    val rolled = perTier.reduce(_.unionByName(_))
+      .groupBy(g: _*)
+      .agg(sum(col("__w2")).as("__w2"), sum(col("__l2")).as("__l2"),
+        sum(col("__t2")).as("__t2"), sum(col("__n1r")).as("n_t"),
+        sum(col("__n2r")).as("n_c"))
+      .filter(assert_true((col("n_t") + col("n_c")).cast("double") <
+          lit(math.pow(2, 31)),
+        lit("winRatio: n >= 2^31 — doubled pair counts may wrap; " +
+          "shard groups first")).isNull)
+    val w = col("__w2") / lit(2L); val l = col("__l2") / lit(2L)
+    rolled
+      .withColumn("wins", w).withColumn("losses", l)
+      .withColumn("ties", col("__t2") / lit(2L))
+      .withColumn("win_ratio", when(l > 0L,
+        w.cast("double") / l.cast("double")))
+      .withColumn("log_wr", when(w > 0L && l > 0L,
+        log(w.cast("double") / l.cast("double"))))
+      .withColumn("z", when(w + l > 0L,
+        (w - l).cast("double") / sqrt((w + l).cast("double"))))
+      .select(g ++ Seq(col("n_t"), col("n_c"), col("wins"),
+        col("losses"), col("ties"), col("win_ratio"), col("log_wr"),
+        col("z")): _*)
   }
 
   /** Qini / uplift curve by score bucket (Radcliffe 2007) — the

@@ -909,7 +909,7 @@ object Extras {
       .agg(max(col("event_type") === "purchase").as("a"),
         max(col("event_type") === "signup").as("b"))
       .withColumn("g", lit("all"))
-    graft.operators.Stats.mcnemar(flags, Seq(col("g")), col("a"),
+    graft.operators.Stats.mcnemar(flags, Seq("g"), col("a"),
         col("b"))
       .orderBy("g")
   }

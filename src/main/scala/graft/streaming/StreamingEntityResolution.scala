@@ -43,6 +43,18 @@ import org.apache.spark.sql.functions._
   * being generated — the same recall-for-cost trade
   * [[Dedup.minhashCandidates]] makes, applied at arrival time.
   *
+  * Re-ingest contract (which version of an id wins): duplicate ids
+  * WITHIN a batch must carry identical content — exact-duplicate rows
+  * collapse (a replayed source re-delivering a row is fine), but two
+  * versions of an id in one batch raise in-plan (`assert_true`): there
+  * is no order inside a batch, so "which version" would be
+  * nondeterministic. ACROSS batches the winner is deterministic: max
+  * `batch_id` wins (last writer), so scoring always reads the current
+  * attrs. Superseded versions are never retracted — their band keys
+  * keep generating candidates (scored against CURRENT content: a
+  * recall-widening artifact, never a wrong edge) and their emitted
+  * edges persist, per the append-only discipline above.
+  *
   * Scale shape: each batch shuffles |S ∪ N| 16-byte band keys (read,
   * not recomputed) but the join output is bounded by bucket caps and
   * the N-side semi filter; the CC at readout runs on the matched-edge
@@ -96,8 +108,19 @@ object StreamingEntityResolution {
       targetDir: String, shingleK: Int, numHashes: Int, bands: Int,
       maxBucket: Int, family: Dedup.MinhashFamily): Unit = {
     val spark = batch.sparkSession
+    // exact-duplicate rows collapse (replay-safe); a remaining duplicate
+    // __id means two VERSIONS of the record in one unordered batch —
+    // nondeterministic by construction, so it raises in-plan rather than
+    // letting an arbitrary winner break the deterministic-edge contract
     val base = batch.select(col(idCol).as("__id") +:
-      col(textCol).as("__text") +: attrs.map(col): _*)
+        col(textCol).as("__text") +: attrs.map(col): _*)
+      .dropDuplicates()
+      .withColumn("__idn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))))
+      .filter(assert_true(col("__idn") === 1L,
+        concat(lit("ingestBatch: id appears with differing content " +
+          "within one batch: "), col("__id").cast("string"))))
+      .drop("__idn")
     val sigs = Dedup.minhashSignatures(base, col("__id"), col("__text"),
       shingleK, numHashes, family)
     val newRecs = sigs.join(base, col("id") === col("__id"))
@@ -106,14 +129,24 @@ object StreamingEntityResolution {
     val keysPath = s"$targetDir/er_keys"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(recsPath), spark.sparkContext.hadoopConfiguration)
+    // deterministic winner on re-ingest: max batch_id (last writer). The
+    // row_number tie-break only binds when a batch is REPLAYED (same
+    // batch_id ⇒ byte-identical content), so any pick is the same row.
+    def latestPerId(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(
+            keys.map(col): _*).orderBy(col("batch_id").desc)))
+        .filter(col("__rn") === 1).drop("__rn", "batch_id")
     val stored =
       if (fs.exists(new org.apache.hadoop.fs.Path(recsPath)))
-        spark.read.parquet(recsPath).drop("batch_id")
-          .dropDuplicates("id")
+        latestPerId(spark.read.parquet(recsPath), Seq("id"))
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         newRecs.schema)
-    val all = stored.unionByName(newRecs).dropDuplicates("id")
+    // this batch supersedes the store for ids it re-ingests (its
+    // batch_id is ≥ every stored one under streaming's monotone ids)
+    val all = stored.join(newRecs.select(col("id")), Seq("id"),
+        "left_anti").unionByName(newRecs)
     val newKeyed = bandKeysOf(newRecs, numHashes, bands, family)
     // the store's band keys persist as their own narrow table — a
     // batch scans (id, band, bucket) rows instead of re-hashing every
@@ -195,5 +228,89 @@ object StreamingEntityResolution {
     val comps = Dedup.connectedComponents(edges)
     ids.join(comps, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("entity_id"))
+  }
+
+  /** Post-maintenance accounting, one row per er_* store. */
+  final case class StoreResult(store: String, rowsBefore: Long,
+      rowsAfter: Long, filesBefore: Int, filesAfter: Int)
+
+  /** Maintenance pass for the er_* stores — the compaction face of the
+    * append-only design. [[ingestBatch]] appends one small parquet file
+    * set per store per batch, and the HOT PATH scans er_keys every
+    * batch, so a week of 15-minute batches (~700 file sets) taxes every
+    * subsequent ingest with listing + tiny-scan overhead. This pass
+    * rewrites each store to (a) ONE logical row per key — last writer
+    * (max `batch_id`) wins, the [[ingestBatch]] read-side rule applied
+    * at rest, so reads after maintenance see byte-identical logical
+    * content through a physically smaller scan — and (b) few large
+    * files (`ceil(bytes / targetBytes)`).
+    *
+    * Keys per store: er_records → id; er_keys → (id, band, bucket);
+    * er_edges → (id_a, id_b). Each rewrite validates (distinct-key
+    * count must survive) into a dot-prefixed temp dir before the swap —
+    * the [[graft.sinks.Compaction]] validated-swap discipline, with the
+    * same non-transactional contract: run in a maintenance window with
+    * the ingest query STOPPED (checkpointed streaming restarts cleanly
+    * around it; a replayed batch re-appends rows the next maintenance
+    * collapses again).
+    *
+    * Readout invariance (StreamingSpec-pinned): [[mergedEntities]] and
+    * the next [[ingestBatch]] read per-key winners, and the winner per
+    * key is unchanged by dropping superseded rows, so results before
+    * and after maintenance are bit-identical. */
+  def erMaintenance(spark: SparkSession, targetDir: String,
+      targetBytes: Long = 128L << 20): Seq[StoreResult] = {
+    val stores = Seq(
+      "er_records" -> Seq("id"),
+      "er_keys" -> Seq("id", "band", "bucket"),
+      "er_edges" -> Seq("id_a", "id_b"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    stores.flatMap { case (store, keys) =>
+      val dir = new org.apache.hadoop.fs.Path(s"$targetDir/$store")
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) None
+      else {
+        def dataFiles() = fs.listStatus(dir).filter { f =>
+          val n = f.getPath.getName
+          f.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+            !n.startsWith(".")
+        }
+        val before = dataFiles()
+        val bytes = before.map(_.getLen).sum
+        val nFiles = math.max(1,
+          math.ceil(bytes.toDouble / targetBytes).toInt)
+        val df = spark.read.parquet(dir.toString)
+        val latest = df.withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(
+              keys.map(col): _*).orderBy(col("batch_id").desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s".ermaint-${java.util.UUID.randomUUID}")
+        latest.coalesce(nFiles).write.parquet(tmp.toString)
+        val rowsBefore = df.count()
+        val keyCount = df.select(keys.map(col): _*).distinct().count()
+        val rowsAfter = spark.read.parquet(tmp.toString).count()
+        if (rowsAfter != keyCount) {
+          fs.delete(tmp, true)
+          throw new IllegalStateException(s"erMaintenance of $store: " +
+            s"rewrote $rowsAfter rows, expected $keyCount distinct keys " +
+            "— aborted, originals untouched")
+        }
+        before.foreach(f => fs.delete(f.getPath, false))
+        val newFiles = fs.listStatus(tmp).filter(_.getPath.getName
+          .endsWith(".parquet"))
+        newFiles.foreach { f =>
+          val dest = new org.apache.hadoop.fs.Path(dir, f.getPath.getName)
+          if (!fs.rename(f.getPath, dest))
+            throw new IllegalStateException(
+              s"erMaintenance of $store: rename ${f.getPath} -> $dest " +
+                s"failed; compacted data intact under $tmp — recover " +
+                "manually")
+        }
+        fs.delete(tmp, true)
+        Some(StoreResult(store, rowsBefore, rowsAfter, before.length,
+          newFiles.length))
+      }
+    }
   }
 }

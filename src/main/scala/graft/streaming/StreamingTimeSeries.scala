@@ -619,6 +619,18 @@ object StreamingTimeSeries {
           .drop("batch_id")),
         Seq(groupCol)))
 
+  /** Whole-stream Jonckheere–Terpstra ordered-trend test from the SAME
+    * stored level-count partials as [[mergedKruskalWallis]] — a third
+    * readout of one state table, bit-identical to the batch test. */
+  def mergedJonckheere(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String): DataFrame =
+    graft.operators.Stats.jonckheereFromLevelCounts(
+      graft.operators.Stats.mergeLevelValueCounts(
+        Seq(spark.read.parquet(s"$targetDir/level_values")
+          .dropDuplicates(groupCol, "__l", "__x", "batch_id")
+          .drop("batch_id")),
+        Seq(groupCol)))
+
   /** Streaming survival maintenance — the ingestion face of
     * [[graft.operators.Stats.kaplanMeier]]: each micro-batch of CLOSED
     * subject observations (duration, event — immutable facts; an open

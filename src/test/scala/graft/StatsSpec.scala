@@ -2383,7 +2383,7 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q2 = Stats.cochranQ(long2.toDF("g", "item", "judge", "s"),
       Seq("g"), col("item"), col("judge"), col("s")).head()
     val mn = Stats.mcnemar(pairs.toDF("g", "item", "a", "b"),
-      Seq(col("g")), col("a"), col("b")).head()
+      Seq("g"), col("a"), col("b")).head()
     val bC = pairs.count(p => p._3 && !p._4).toLong
     val cC = pairs.count(p => !p._3 && p._4).toLong
     assert(mn.getAs[Long]("b") == bC && mn.getAs[Long]("c") == cC)
