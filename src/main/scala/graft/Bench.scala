@@ -141,11 +141,17 @@ object Bench {
       m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val total = mins.map(_._2).sum
     val qs = obj(mins.map { case (k, v) => k -> fmt(v) })
+    // calp/calm do NOT ride the stdout line: at 57 headline queries the
+    // line sits within ~30 chars of the driver's tail window, and the
+    // two extra fields pushed it into the truncated fallback (measured —
+    // the per-query map is worth more than a duplicate of what the
+    // committed details file already carries in cal_parallel_sec /
+    // cal_memory_sec).
+    val _ = (calParMedian, calMemMedian)
     def line(es: String) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""stat":"min_of_warm_reps","total_median":${fmt(totalMedian)},""" +
-        s""""cal":${fmt(calMedian)},"calp":${fmt(calParMedian)},""" +
-        s""""calm":${fmt(calMemMedian)},""" +
+        s""""cal":${fmt(calMedian)},""" +
         s""""scope":"headline","n_queries":${mins.size},"reps":$reps,""" +
         s""""queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
     // errors are capped ADAPTIVELY: the queries map grows with the

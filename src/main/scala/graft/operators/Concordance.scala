@@ -67,23 +67,7 @@ object Concordance {
     val names = groupCols
 
     // ---- cross-bucket via the densified bucket × time grid ----
-    val times = cells.select(g :+ col("__t"): _*).distinct()
-    val bkts = cells.select(g :+ col("__b"): _*).distinct()
-    val byBT = cells.groupBy(g ++ Seq(col("__b"), col("__t")): _*)
-      .agg(sum(col("__nall")).as("__a"), sum(col("__ncen")).as("__c"))
-    val grid = bkts.join(times, names)
-      .join(byBT, names ++ Seq("__b", "__t"), "left")
-      .na.fill(0L, Seq("__a", "__c"))
-    val wSuf = Window.partitionBy((names :+ "__b").map(col): _*)
-      .orderBy(col("__t")).rowsBetween(1, Window.unboundedFollowing)
-    val wLow = Window.partitionBy((names :+ "__t").map(col): _*)
-      .orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)
-    val wAllB = Window.partitionBy((names :+ "__t").map(col): _*)
-    val gridF = grid
-      .withColumn("__f", coalesce(sum(col("__a")).over(wSuf), lit(0L)) +
-        col("__c"))
-      .withColumn("__lowF", coalesce(sum(col("__f")).over(wLow), lit(0L)))
-      .withColumn("__denF", sum(col("__f")).over(wAllB))
+    val gridF = crossGrid(cells, names, maxTimes, "harrellC")
     val evAgg = cells.filter(col("__nev") > 0L)
       .groupBy(g ++ Seq(col("__b"), col("__t")): _*)
       .agg(sum(col("__nev")).as("__d"))
@@ -131,6 +115,250 @@ object Concordance {
         col("comparable_pairs"), col("concordant2"), col("c_index")): _*)
   }
 
+  /** Uno's IPCW concordance per group (Uno et al., Stat. Med. 2011) —
+    * [[harrellC]] corrected for censoring dependence: Harrell's C
+    * estimates a quantity that depends on the study's own censoring
+    * distribution; Uno reweights every comparable pair by the inverse
+    * squared censoring survival at the index event, w(tᵢ) = Ĝ(tᵢ⁻)⁻²,
+    * and restricts index events to tᵢ ≤ τ, recovering a
+    * population-level concordance. Same comparability/tie convention
+    * as [[harrellC]] (τ applied to the index side).
+    *
+    * Machinery: the weight depends ONLY on the index cell, so the
+    * whole bucket-grid decomposition carries over — per index cell
+    * (t, r) the exact doubled partner credit is n_ev·(2·lowF +
+    * same-bucket inner), an exact BIGINT; it is multiplied by w(t)
+    * (from the collected censoring-KM grid, the [[brierIpcw]] lookup)
+    * and floor-quantized ONCE per cell (so an engine mirror replays
+    * the identical floor chain); the quantized numerators and
+    * denominators sum associatively. In-plan witnesses guard both the
+    * per-cell floor and the BIGINT sum.
+    *
+    * Output: groups... + (n, n_events, c_uno); c_uno null when no
+    * weighted comparable mass. */
+  def unoC(df: DataFrame, groupCols: Seq[String], durationCol: Column,
+      eventCol: Column, riskCol: Column, tau: Double,
+      buckets: Int = 64, maxTimes: Int = 1000,
+      maxBucketCells: Int = 4096, quantScale: Double = 1e6): DataFrame = {
+    require(quantScale >= 1e3 && quantScale <= 1e9 &&
+      quantScale == math.floor(quantScale),
+      s"quantScale integral in [1e3, 1e9], got $quantScale")
+    val (base, cells, g) = riskCells(df, groupCols, durationCol,
+      eventCol, riskCol, buckets, maxTimes)
+    val names = groupCols
+    val gridF = crossGrid(cells, names, maxTimes, "unoC")
+    // per-index-cell same-bucket partner credit, EXCLUDING the n_ev
+    // multiplicity (every subject in a cell shares (t, r), so shares
+    // the credit sum)
+    val packed = cells.groupBy(g :+ col("__b"): _*)
+      .agg(sort_array(collect_list(struct(col("__t"), col("__r"),
+        col("__nev"), col("__ncen"), col("__nall")))).as("__cs"))
+      .filter(assert_true(size(col("__cs")) <= maxBucketCells,
+        lit(s"unoC: a risk bucket exceeds maxBucketCells=" +
+          s"$maxBucketCells distinct (t, risk) cells — raise `buckets`"))
+        .isNull)
+    val s = col("__cs")
+    val perCell = packed
+      .select(g ++ Seq(col("__b"), explode(transform(s, a =>
+        struct(a.getField("__t").as("t"), a.getField("__r").as("r"),
+          a.getField("__nev").as("nev"),
+          aggregate(s, lit(0L), (acc, b) => {
+            val m = when(b.getField("__t") > a.getField("__t"),
+                b.getField("__nall"))
+              .when(b.getField("__t") === a.getField("__t"),
+                b.getField("__ncen"))
+              .otherwise(lit(0L))
+            val credit = when(b.getField("__r") < a.getField("__r"),
+                lit(2L))
+              .when(b.getField("__r") === a.getField("__r"), lit(1L))
+              .otherwise(lit(0L))
+            acc + m * credit
+          }).as("inner2")))).as("__pc")): _*)
+      .select(g ++ Seq(col("__b"), col("__pc.t").as("__t"),
+        col("__pc.r").as("__r"), col("__pc.nev").as("__nev"),
+        col("__pc.inner2").as("__inner2")): _*)
+      .filter(col("__nev") > 0L && col("__t") <= tau)
+    // censoring KM grid for the weights (the brierIpcw lookup)
+    val cens = Stats.kaplanMeier(base, names, col("__t"), !col("__e"),
+      maxTimes)
+      .groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("t"), col("survival"))))
+        .as("__gr"))
+    val joined = perCell
+      .join(gridF.select(g ++ Seq(col("__b"), col("__t"),
+        col("__lowF"), col("__denF")): _*), names ++ Seq("__b", "__t"))
+      .join(broadcast(cens), names)
+    val gtm = aggregate(col("__gr"), lit(1.0), (acc, x) =>
+      when(x.getField("t") < col("__t"), x.getField("survival"))
+        .otherwise(acc))
+    val w = lit(1.0) / (gtm * gtm)
+    val num2 = col("__nev") * (lit(2L) * col("__lowF") + col("__inner2"))
+    val den = col("__nev") * col("__denF")
+    val qn = num2.cast("double") * w * lit(quantScale)
+    val qd = den.cast("double") * w * lit(quantScale)
+    val sums = joined
+      .filter(assert_true(gtm > 0.0,
+        lit("unoC: censoring survival hit 0 at an index event <= tau " +
+          "— lower tau")).isNull)
+      .filter(assert_true(qn < 9.2e18 && qd < 9.2e18,
+        lit("unoC: quantized cell term exceeds BIGINT — lower " +
+          "quantScale")).isNull)
+      .select(g ++ Seq(floor(qn).cast("long").as("__qn"),
+        floor(qd).cast("long").as("__qd")): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("__nc"), sum(col("__qn")).as("__sn"),
+        sum(col("__qd")).as("__sd"), greatest(max(col("__qn")),
+          max(col("__qd"))).as("__mx"))
+      .filter(assert_true(col("__nc").cast("double") *
+          greatest(col("__mx"), lit(0L)).cast("double") < 4.6e18,
+        lit("unoC: quantized sum may wrap BIGINT — lower quantScale " +
+          "or shard groups")).isNull)
+    val totals = base.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__e"), 1L).otherwise(0L)).as("n_events"))
+    totals.join(sums, names, "left")
+      .withColumn("c_uno", when(col("__sd") > 0L,
+        col("__sn").cast("double") /
+          (lit(2.0) * col("__sd").cast("double"))))
+      .select(g ++ Seq(col("n"), col("n_events"), col("c_uno")): _*)
+  }
+
+  /** Time-dependent cumulative/dynamic AUC(t) per group (Heagerty &
+    * Zheng 2005, the unweighted C/D estimator): at each horizon h,
+    * cases = subjects who FAILED by h (t ≤ h, event), controls =
+    * subjects still at risk past h (t > h); AUC(h) is the probability
+    * a random case outranks a random control on the risk score — i.e.
+    * EXACTLY the Mann–Whitney/[[Stats.auc]] statistic of the
+    * horizon-sliced labels, midrank ties and all. Censored-by-h
+    * subjects drop from that horizon (the unweighted estimator; the
+    * IPCW-weighted variant is [[brierIpcw]]'s weighting applied to
+    * ranks — out of scope, documented).
+    *
+    * Shape: ONE explode of the ≤ `maxHorizons` horizon literals (the
+    * data-sized pass), then the exact doubled-midrank machinery per
+    * (group, horizon) — counts are BIGINTs, `auc` one division, every
+    * column hashes unrounded.
+    *
+    * Output: groups... + (h, n_cases, n_controls, auc). */
+  def aucT(df: DataFrame, groupCols: Seq[String], durationCol: Column,
+      eventCol: Column, riskCol: Column,
+      horizons: Seq[Double]): DataFrame = {
+    require(horizons.nonEmpty && horizons.size <= 50,
+      s"aucT needs 1..50 horizons, got ${horizons.size}")
+    require(horizons.distinct.size == horizons.size,
+      "aucT horizons must be distinct")
+    val g = groupCols.map(col)
+    val ev = eventCol.cast("boolean")
+    val lab = df
+      .filter(durationCol.isNotNull && ev.isNotNull && riskCol.isNotNull)
+      .select(g ++ Seq(durationCol.cast("double").as("__t"),
+        ev.as("__e"), riskCol.cast("double").as("__r")): _*)
+      .withColumn("h", explode(array(horizons.map(lit): _*)))
+      .withColumn("__case",
+        when(col("__t") <= col("h") && col("__e"), lit(true))
+          .when(col("__t") > col("h"), lit(false)))
+      .filter(col("__case").isNotNull)
+    Stats.auc(lab, g :+ col("h"), col("__r"), col("__case"))
+      .withColumnRenamed("n_pos", "n_cases")
+      .withColumnRenamed("n_neg", "n_controls")
+  }
+
+  /** IPCW Brier score BS(t) per group (Graf et al., Stat. Med. 1999)
+    * — calibration-plus-discrimination grading of predicted survival
+    * probabilities under censoring: at horizon h,
+    *
+    *   BS(h) = (1/n) Σᵢ wᵢ(h) · (ŝᵢ(h) − 1{tᵢ > h})²
+    *   wᵢ(h) = 1{tᵢ ≤ h, event}/Ĝ(tᵢ⁻) + 1{tᵢ > h}/Ĝ(h)
+    *
+    * with Ĝ the Kaplan–Meier of the CENSORING distribution (events
+    * flipped — the `kaplanMeier` machinery reused verbatim, so Ĝ's
+    * step values replay engine-portably via the same recursion the
+    * c_kaplan_meier oracle already mirrors). Censored-by-h subjects
+    * get weight 0; a horizon where Ĝ hits 0 while weighted mass
+    * remains fails fast (trim horizons — the standard contract).
+    *
+    * Portability: Ĝ lookups are in-row folds over the collected
+    * ≤ maxTimes censoring grid (broadcast — one small join); each
+    * subject's term is a FIXED float expression; terms quantize to
+    * BIGINT (floor(term·quantScale), the logisticFit discipline)
+    * before the only cross-row sum, so the aggregate is associative
+    * and plan-order-free; the readout is one division. A max-term
+    * witness guards the BIGINT sum against wrap.
+    *
+    * `predCol` must be an array<double> aligned with `horizons`
+    * (ŝᵢ(h_k) at position k). Output: groups... + (h, n, n_cases,
+    * n_controls, brier). */
+  def brierIpcw(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column, predCol: Column,
+      horizons: Seq[Double], quantScale: Double = 1e12,
+      maxTimes: Int = 1000): DataFrame = {
+    require(horizons.nonEmpty && horizons.size <= 50,
+      s"brierIpcw needs 1..50 horizons, got ${horizons.size}")
+    require(quantScale >= 1e3 && quantScale <= 1e12 &&
+      quantScale == math.floor(quantScale),
+      s"quantScale integral in [1e3, 1e12], got $quantScale")
+    val g = groupCols.map(col)
+    val ev = eventCol.cast("boolean")
+    val base = df
+      .filter(durationCol.isNotNull && ev.isNotNull && predCol.isNotNull)
+      .select(g ++ Seq(durationCol.cast("double").as("__t"),
+        ev.as("__e"), predCol.cast("array<double>").as("__p")): _*)
+      .filter(assert_true(size(col("__p")) === horizons.size,
+        lit(s"brierIpcw: predCol must hold ${horizons.size} entries " +
+          "aligned with `horizons`")).isNull)
+    // censoring KM: flip the event flag; grid ≤ maxTimes per group
+    val cens = Stats.kaplanMeier(base, groupCols, col("__t"), !col("__e"),
+      maxTimes)
+      .groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("t"), col("survival"))))
+        .as("__gr"))
+    val joined = base.join(broadcast(cens), groupCols)
+      .select(g ++ Seq(col("__t"), col("__e"), col("__p"),
+        col("__gr")): _*)
+      .select(g ++ Seq(col("__t"), col("__e"), col("__gr"),
+        posexplode(col("__p")).as(Seq("__hi", "__pred"))): _*)
+      .withColumn("h", element_at(array(horizons.map(lit): _*),
+        col("__hi") + 1))
+    // Ĝ is a right-continuous step function: value at x = survival of
+    // the LAST grid time ≤ x (ascending fold, seed 1.0); the left
+    // limit Ĝ(t⁻) uses strict <
+    def gAt(x: Column, strict: Boolean): Column =
+      aggregate(col("__gr"), lit(1.0), (acc, s) => {
+        val cmp = if (strict) s.getField("t") < x else s.getField("t") <= x
+        when(cmp, s.getField("survival")).otherwise(acc)
+      })
+    val isCase = col("__t") <= col("h") && col("__e")
+    val isCtrl = col("__t") > col("h")
+    val gDen = when(isCase, gAt(col("__t"), strict = true))
+      .when(isCtrl, gAt(col("h"), strict = false))
+    val term = when(isCase || isCtrl, {
+      val o = when(isCtrl, lit(1.0)).otherwise(lit(0.0))
+      val d = col("__pred") - o
+      (lit(1.0) / gDen) * (d * d)
+    }).otherwise(lit(0.0))
+    val withQ = joined
+      .filter(assert_true(gDen.isNull || gDen > 0.0,
+        lit("brierIpcw: censoring survival hit 0 with weighted mass " +
+          "remaining — trim horizons below the last censoring time"))
+        .isNull)
+      .withColumn("__q", floor(term * lit(quantScale)).cast("long"))
+    withQ.groupBy(g :+ col("h"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(isCase, 1L).otherwise(0L)).as("n_cases"),
+        sum(when(isCtrl, 1L).otherwise(0L)).as("n_controls"),
+        sum(col("__q")).as("__sq"), max(col("__q")).as("__mq"))
+      // BIGINT wrap witness for the quantized sum (DOUBLE multiply)
+      .filter(assert_true(col("n").cast("double") *
+          greatest(col("__mq"), lit(0L)).cast("double") < lit(4.6e18),
+        lit("brierIpcw: quantized term sum may wrap BIGINT — lower " +
+          "quantScale or shard groups")).isNull)
+      .withColumn("brier",
+        (col("__sq").cast("double") / lit(quantScale)) /
+          col("n").cast("double"))
+      .select(g ++ Seq(col("h"), col("n"), col("n_cases"),
+        col("n_controls"), col("brier")): _*)
+  }
+
   /** Shared front half: subjects → (t, e, r, bucket) plus the exact
     * per-(group, bucket, t, r) cell counts, with the maxTimes grid
     * fail-fast. Bucket assignment is monotone by risk VALUE (count of
@@ -152,24 +380,66 @@ object Concordance {
       .agg(percentile_approx(col("__r"),
         array((1 until buckets).map(i =>
           lit(i.toDouble / buckets)): _*), lit(10000)).as("__bs"))
+    // bucket(r) = #{boundaries < r}, by BINARY SEARCH over the sorted
+    // boundary array — a generated O(B)-node / O(log B)-depth when-tree
+    // that whole-stage codegen compiles, where an `aggregate` HOF would
+    // cost B interpreted comparisons per ROW (measured: the dominant
+    // stage at 1M×1024)
+    def search(lo: Int, hi: Int): Column =
+      if (lo > hi) lit(lo - 1)
+      else {
+        val mid = (lo + hi) / 2
+        when(element_at(col("__bs"), mid) < col("__r"),
+          search(mid + 1, hi)).otherwise(search(lo, mid - 1))
+      }
     val withB =
       if (buckets == 1) base.withColumn("__b", lit(0))
       else base.join(broadcast(bounds), groupCols)
-        .withColumn("__b", aggregate(col("__bs"), lit(0),
-          (acc, b) => acc + when(b < col("__r"), 1).otherwise(0)))
+        .withColumn("__b", search(1, buckets - 1))
         .drop("__bs")
+    // cells fan out to several consumers (grids, event join, the
+    // same-bucket fold, n-totals) — cache so the scan + bucket assign
+    // + cell aggregation run ONCE (measured 5× recompute without)
     val cells = withB
       .groupBy(g ++ Seq(col("__b"), col("__t"), col("__r")): _*)
       .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__nev"),
         sum(when(!col("__e"), 1L).otherwise(0L)).as("__ncen"))
       .withColumn("__nall", col("__nev") + col("__ncen"))
-      .withColumn("__tn", size(collect_set(col("__t")).over(
-        Window.partitionBy(g: _*))))
-      .filter(assert_true(col("__tn") <= maxTimes,
-        lit(s"a group exceeds maxTimes=$maxTimes distinct times — " +
-          "bin durations coarser first")).isNull)
-      .drop("__tn")
+      .cache()
     (base, cells, g)
+  }
+
+  /** The densified bucket×time grid with, per (group, bucket, t):
+    * `__f` = the bucket's later-mass past t plus its censored mass AT
+    * t, `__lowF` = Σ_{b'<b} F(b', t), `__denF` = Σ_{b'} F(b', t) —
+    * window cumulative sums over ≤ B×T rows per group. The maxTimes
+    * gate rides the DISTINCT-times frame (grid-sized, never the data). */
+  private def crossGrid(cells: DataFrame, names: Seq[String],
+      maxTimes: Int, op: String): DataFrame = {
+    val g = names.map(col)
+    val times = cells.select(g :+ col("__t"): _*).distinct()
+      .withColumn("__tn", count(lit(1)).over(
+        Window.partitionBy(g: _*)))
+      .filter(assert_true(col("__tn") <= maxTimes,
+        lit(s"$op: a group exceeds maxTimes=$maxTimes distinct " +
+          "times — bin durations coarser first")).isNull)
+      .drop("__tn")
+    val bkts = cells.select(g :+ col("__b"): _*).distinct()
+    val byBT = cells.groupBy(g ++ Seq(col("__b"), col("__t")): _*)
+      .agg(sum(col("__nall")).as("__a"), sum(col("__ncen")).as("__c"))
+    val grid = bkts.join(times, names)
+      .join(byBT, names ++ Seq("__b", "__t"), "left")
+      .na.fill(0L, Seq("__a", "__c"))
+    val wSuf = Window.partitionBy((names :+ "__b").map(col): _*)
+      .orderBy(col("__t")).rowsBetween(1, Window.unboundedFollowing)
+    val wLow = Window.partitionBy((names :+ "__t").map(col): _*)
+      .orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)
+    val wAllB = Window.partitionBy((names :+ "__t").map(col): _*)
+    grid
+      .withColumn("__f", coalesce(sum(col("__a")).over(wSuf), lit(0L)) +
+        col("__c"))
+      .withColumn("__lowF", coalesce(sum(col("__f")).over(wLow), lit(0L)))
+      .withColumn("__denF", sum(col("__f")).over(wAllB))
   }
 
   /** Bounded same-bucket pair fold: collects each (group, bucket)'s
@@ -186,14 +456,14 @@ object Concordance {
         lit(s"a risk bucket exceeds maxBucketCells=$maxBucketCells " +
           "distinct (t, risk) cells — raise `buckets` to split it"))
         .isNull)
+    // fold directly over the struct array (no sequence/element_at
+    // indirection — the interpreted-HOF inner loop is the measured
+    // cost center, and per-element index-array allocations double it)
     val s = col("__cs")
     packed.withColumn("__w2",
-      aggregate(sequence(lit(1), size(s)), lit(0L), (acc, i) => {
-        val a = element_at(s, i)
+      aggregate(s, lit(0L), (acc, a) =>
         acc + when(a.getField("__nev") > 0L,
-          aggregate(sequence(lit(1), size(s)), lit(0L),
-            (acc2, j) => acc2 + term(a, element_at(s, j))))
-          .otherwise(lit(0L))
-      }))
+          aggregate(s, lit(0L), (acc2, b) => acc2 + term(a, b)))
+          .otherwise(lit(0L))))
   }
 }

@@ -2018,9 +2018,12 @@ object Stats {
     val grid = levels.join(values, names)
       .join(cells, names ++ Seq("__l", "__x"), "left")
       .withColumn("__c", coalesce(col("__c"), lit(0L)))
-    // within-level running count of strictly smaller values
+    // within-level running count of strictly smaller values — a ROWS
+    // frame is exact here: the densified grid has ONE row per (level,
+    // x), so rows-preceding ≡ strictly-smaller x (a RANGE -1 frame
+    // would mean "x ≤ current − 1.0" on the double column)
     val wVal = W.partitionBy((names :+ "__l").map(col): _*)
-      .orderBy(col("__x")).rangeBetween(W.unboundedPreceding, -1)
+      .orderBy(col("__x")).rowsBetween(W.unboundedPreceding, -1)
     // then across strictly lower levels at fixed value: one row per
     // (group, value, level) ⇒ rows-preceding = lower levels
     val wLvlCum = W.partitionBy((names :+ "__x").map(col): _*)
@@ -4258,10 +4261,13 @@ object Stats {
           lit(math.pow(2, 31)),
         lit("winRatio: n >= 2^31 — doubled pair counts may wrap; " +
           "shard groups first")).isNull)
-    val w = col("__w2") / lit(2L); val l = col("__l2") / lit(2L)
+    // the doubled counts are even by construction; integer-halve so the
+    // outputs stay BIGINT (Spark's `/` would promote to double)
+    val w = (col("__w2") / lit(2L)).cast("long")
+    val l = (col("__l2") / lit(2L)).cast("long")
     rolled
       .withColumn("wins", w).withColumn("losses", l)
-      .withColumn("ties", col("__t2") / lit(2L))
+      .withColumn("ties", (col("__t2") / lit(2L)).cast("long"))
       .withColumn("win_ratio", when(l > 0L,
         w.cast("double") / l.cast("double")))
       .withColumn("log_wr", when(w > 0L && l > 0L,

@@ -1491,7 +1491,165 @@ object Extras {
     Sketches.kmvJaccard(sa, sb).orderBy("l_returnflag")
   }
 
+  /** Group-sequential O'Brien–Fleming monitor per event type
+    * ([[graft.operators.Stats.groupSequentialTest]]): 5 pre-registered
+    * looks keyed by event_id mod 5, even/odd-user arms, high-value
+    * outcome. Boundaries are the literal K=5 OBF constants scaled by
+    * √(K/k) — the mirror recomputes the identical IEEE product, and
+    * the z is the pooled two-proportion z over exact cumulative
+    * BIGINTs; everything hashes unrounded. */
+  def aGsBounds(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.groupSequentialTest(
+        t(s, dir, "events").filter(col("user_id").isNotNull &&
+          col("value").isNotNull && col("event_id").isNotNull),
+        Seq("event_type"), lit(1) + pmod(col("event_id"), lit(5)),
+        pmod(col("user_id"), lit(2)) === 0, col("value") > 50.0,
+        looks = 5, kind = "obf")
+      .orderBy("event_type", "look")
+
+  /** Jonckheere–Terpstra ordered trend per event type
+    * ([[graft.operators.Stats.jonckheereTerpstra]]): dose = user_id
+    * mod 4 (uninformative by construction, so JT ≈ μ), x = value.
+    * The doubled statistic is an exact BIGINT from the densified
+    * level×value grid; μ/σ/z are fixed-order float tails over exact
+    * counts — every column hashes unrounded. */
+  def aJonckheere(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.jonckheereTerpstra(
+        t(s, dir, "events").filter(col("user_id").isNotNull &&
+          col("value").isNotNull),
+        Seq(col("event_type")), pmod(col("user_id"), lit(4)),
+        col("value"))
+      .orderBy("event_type")
+
+  /** Pocock win ratio per synthetic cohort ([[graft.operators.Stats
+    * .winRatio]]): hierarchical (activity-span days, then event count)
+    * composite per user, even/odd-user arms. The oracle is the NAIVE
+    * cross-arm pair join — a genuine independence check that the
+    * tiered Mann–Whitney strict counts equal direct enumeration.
+    * log_wr rounds to 12 (libm log, the a_msprt convention); every
+    * other column is exact-integer-backed. */
+  def cWinRatio(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    // subject = (user, event_type) episode — the user domain alone is
+    // ~150 ids; episodes give a real composite with heavy ties
+    val users = e.groupBy(col("user_id"), col("event_type"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("dur"),
+        count(lit(1)).cast("double").as("act"))
+      .withColumn("cohort", concat(lit("c"), pmod(col("user_id"), lit(3))))
+    graft.operators.Stats.winRatio(users, Seq("cohort"),
+        pmod(col("user_id"), lit(2)) === 0, Seq(col("dur"), col("act")))
+      .withColumn("log_wr", round(col("log_wr"), 12))
+      .orderBy("cohort")
+  }
+
+  /** Harrell's C-index per synthetic cohort ([[graft.operators
+    * .Concordance.harrellC]]): the c_kaplan_meier fixture (duration =
+    * activity span, churned = inactive 7 days before the horizon)
+    * graded by risk = per-user event count. The oracle is the NAIVE
+    * comparable-pair join — independent enumeration against the
+    * bucket-grid decomposition; counts are exact BIGINTs (doubled
+    * concordance), c_index one division. */
+  def cHarrellC(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    // subject = (user, event_type) episode: the per-user fixture never
+    // churns (every one of the ~150 users stays active to the
+    // horizon); sparse event types genuinely end early, so events,
+    // censoring, duration ties AND risk ties all occur
+    val users = e.groupBy(col("user_id"), col("event_type"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"),
+        count(lit(1)).cast("double").as("risk"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("cohort", concat(lit("c"), pmod(col("user_id"), lit(3))))
+      .withColumn("churned", col("__last") < date_sub(col("__gmax"), 7))
+    graft.operators.Concordance.harrellC(obs, Seq("cohort"),
+        col("duration"), col("churned"), col("risk"))
+      .orderBy("cohort")
+  }
+
+  /** Cumulative/dynamic AUC(t) over the c_harrell_c fixture
+    * ([[graft.operators.Concordance.aucT]]): horizon-sliced
+    * case/control labels fed to the exact Mann–Whitney machinery —
+    * BIGINT counts, one division, hashes unrounded. */
+  def cAucT(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    val users = e.groupBy(col("user_id"), col("event_type"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"),
+        count(lit(1)).cast("double").as("risk"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("cohort", concat(lit("c"), pmod(col("user_id"), lit(3))))
+      .withColumn("churned", col("__last") < date_sub(col("__gmax"), 7))
+    graft.operators.Concordance.aucT(obs, Seq("cohort"),
+        col("duration"), col("churned"), col("risk"),
+        Seq(15.0, 20.0, 25.0))
+      .orderBy("cohort", "h")
+  }
+
+  /** IPCW Brier score over the same fixture ([[graft.operators
+    * .Concordance.brierIpcw]]): predicted survival ŝ(h) = 1/(1 +
+    * h/(1+risk)) (a deterministic monotone-in-risk curve), censoring
+    * KM re-derived by the oracle's recursive CTE, Ĝ lookups by
+    * correlated last-step subqueries, and the weighted squared terms
+    * quantized to BIGINT before the only cross-row sum. */
+  def cBrierT(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    val users = e.groupBy(col("user_id"), col("event_type"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"),
+        count(lit(1)).cast("double").as("risk"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val hs = Seq(15.0, 20.0, 25.0)
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("cohort", concat(lit("c"), pmod(col("user_id"), lit(3))))
+      .withColumn("churned", col("__last") < date_sub(col("__gmax"), 7))
+      .withColumn("pred", array(hs.map(h => lit(1.0) /
+        (lit(1.0) + lit(h) / (lit(1.0) + col("risk")))): _*))
+    graft.operators.Concordance.brierIpcw(obs, Seq("cohort"),
+        col("duration"), col("churned"), col("pred"), hs)
+      .orderBy("cohort", "h")
+  }
+
+  /** Uno's IPCW concordance at τ=25 over the same fixture
+    * ([[graft.operators.Concordance.unoC]]): the oracle re-derives
+    * the censoring KM by recursion, the per-index-cell doubled
+    * credits by the naive pair join, and replays the identical
+    * floor-quantized weight chain. */
+  def cUnoC(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    val users = e.groupBy(col("user_id"), col("event_type"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"),
+        count(lit(1)).cast("double").as("risk"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("cohort", concat(lit("c"), pmod(col("user_id"), lit(3))))
+      .withColumn("churned", col("__last") < date_sub(col("__gmax"), 7))
+    graft.operators.Concordance.unoC(obs, Seq("cohort"),
+        col("duration"), col("churned"), col("risk"), tau = 25.0)
+      .orderBy("cohort")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_uno_c" -> (cUnoC _),
+    "c_auc_t" -> (cAucT _),
+    "c_brier_t" -> (cBrierT _),
+    "a_gs_bounds" -> (aGsBounds _),
+    "a_jonckheere" -> (aJonckheere _),
+    "c_win_ratio" -> (cWinRatio _),
+    "c_harrell_c" -> (cHarrellC _),
     "a_kmv_jaccard" -> (aKmvJaccard _),
     "a_welch_t" -> (aWelchT _),
     "a_welch_partials" -> (aWelchPartials _),
@@ -2031,6 +2189,352 @@ object Extras {
   }
 
   val oracle: Map[String, String] = Map(
+    // Uno's C mirror: censoring KM by recursion, per-index-cell
+    // doubled credits by the naive pair join, identical floor chain
+    "c_uno_c" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d,
+        |    CAST(COUNT(*) AS DOUBLE) AS risk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id, event_type),
+        |g AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    duration, last_d < g.gmax - 7 AS ev, risk
+        |  FROM u CROSS JOIN g),
+        |cnt AS (SELECT cohort, duration AS t,
+        |    CAST(SUM(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1, 2),
+        |ord AS (SELECT cohort, t, d, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY t)
+        |      AS BIGINT) AS i,
+        |    CAST(SUM(d + c) OVER (PARTITION BY cohort) AS BIGINT)
+        |      AS n_total
+        |  FROM cnt),
+        |km AS (
+        |  SELECT cohort, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS used,
+        |    CAST(1 AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS t
+        |  FROM (SELECT DISTINCT cohort FROM ord)
+        |  UNION ALL
+        |  SELECT o.cohort, o.i, km.used + o.d + o.c,
+        |    km.p * (CAST(1 AS DOUBLE) - CAST(o.d AS DOUBLE)
+        |      / CAST(o.n_total - km.used AS DOUBLE)),
+        |    o.t
+        |  FROM km JOIN ord o ON o.cohort = km.cohort AND o.i = km.i + 1),
+        |pcell AS (SELECT a.cohort, a.duration AS t, a.risk AS r,
+        |    CAST(SUM(CASE WHEN b.risk < a.risk THEN 2
+        |      WHEN b.risk = a.risk THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS num2,
+        |    CAST(COUNT(*) AS BIGINT) AS den
+        |  FROM obs a JOIN obs b ON a.cohort = b.cohort AND a.ev
+        |    AND a.duration <= 25.0
+        |    AND (b.duration > a.duration
+        |      OR (b.duration = a.duration AND NOT b.ev))
+        |  GROUP BY 1, 2, 3),
+        |q AS (SELECT cohort,
+        |    CAST(FLOOR(CAST(num2 AS DOUBLE) * (1.0 / (gtm * gtm))
+        |      * 1000000.0) AS BIGINT) AS qn,
+        |    CAST(FLOOR(CAST(den AS DOUBLE) * (1.0 / (gtm * gtm))
+        |      * 1000000.0) AS BIGINT) AS qd
+        |  FROM (SELECT p.*, COALESCE((SELECT km.p FROM km
+        |      WHERE km.cohort = p.cohort AND km.i > 0 AND km.t < p.t
+        |      ORDER BY km.t DESC LIMIT 1), 1.0) AS gtm
+        |    FROM pcell p) s),
+        |tot AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_events
+        |  FROM obs GROUP BY 1)
+        |SELECT tot.cohort, n, n_events,
+        |  CASE WHEN SUM(qd) > 0 THEN CAST(SUM(qn) AS DOUBLE)
+        |    / (2.0 * CAST(SUM(qd) AS DOUBLE)) END AS c_uno
+        |FROM tot LEFT JOIN q ON tot.cohort = q.cohort
+        |GROUP BY 1, 2, 3 ORDER BY tot.cohort""".stripMargin,
+    // AUC(t) mirror: horizon-sliced labels + the doubled-midrank AUC
+    "c_auc_t" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d,
+        |    CAST(COUNT(*) AS DOUBLE) AS risk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id, event_type),
+        |g AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    duration, last_d < g.gmax - 7 AS ev, risk
+        |  FROM u CROSS JOIN g),
+        |lab AS (SELECT cohort, h, risk,
+        |    duration <= h AND ev AS coh
+        |  FROM obs CROSS JOIN (VALUES (CAST(15.0 AS DOUBLE)),
+        |    (CAST(20.0 AS DOUBLE)), (CAST(25.0 AS DOUBLE))) AS hs(h)
+        |  WHERE (duration <= h AND ev) OR duration > h),
+        |d AS (SELECT cohort, h, risk AS x,
+        |    CAST(SUM(CASE WHEN coh THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN NOT coh THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c2,
+        |    CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM lab GROUP BY 1, 2, 3),
+        |w AS (SELECT cohort, h, c1, c2, t,
+        |    CAST(SUM(t) OVER (PARTITION BY cohort, h ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d),
+        |a AS (SELECT cohort, h, CAST(SUM(c1) AS BIGINT) AS n_cases,
+        |    CAST(SUM(c2) AS BIGINT) AS n_controls,
+        |    CAST(SUM(c1 * (2 * cum - t + 1)) AS BIGINT) AS r1_x2
+        |  FROM w GROUP BY 1, 2)
+        |SELECT cohort, h, n_cases, n_controls,
+        |  CASE WHEN n_cases > 0 AND n_controls > 0 THEN
+        |    (CAST(r1_x2 - n_cases * (n_cases + 1) AS DOUBLE) / 2.0)
+        |      / (CAST(n_cases AS DOUBLE) * CAST(n_controls AS DOUBLE))
+        |  END AS auc
+        |FROM a ORDER BY cohort, h""".stripMargin,
+    // IPCW Brier mirror: censoring KM by recursive CTE (the
+    // c_kaplan_meier recursion with the event flag flipped), Ĝ
+    // lookups by correlated last-step-at-or-before subqueries, and
+    // the weighted squared terms floor-quantized to BIGINT before the
+    // only cross-row sum — the exact op order of the Spark plan
+    "c_brier_t" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d,
+        |    CAST(COUNT(*) AS DOUBLE) AS risk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id, event_type),
+        |g AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    duration, last_d < g.gmax - 7 AS ev, risk
+        |  FROM u CROSS JOIN g),
+        |cnt AS (SELECT cohort, duration AS t,
+        |    CAST(SUM(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1, 2),
+        |ord AS (SELECT cohort, t, d, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY t)
+        |      AS BIGINT) AS i,
+        |    CAST(SUM(d + c) OVER (PARTITION BY cohort) AS BIGINT)
+        |      AS n_total
+        |  FROM cnt),
+        |km AS (
+        |  SELECT cohort, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS used,
+        |    CAST(1 AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS t
+        |  FROM (SELECT DISTINCT cohort FROM ord)
+        |  UNION ALL
+        |  SELECT o.cohort, o.i, km.used + o.d + o.c,
+        |    km.p * (CAST(1 AS DOUBLE) - CAST(o.d AS DOUBLE)
+        |      / CAST(o.n_total - km.used AS DOUBLE)),
+        |    o.t
+        |  FROM km JOIN ord o ON o.cohort = km.cohort AND o.i = km.i + 1),
+        |terms AS (SELECT o.cohort, hs.h,
+        |    CASE WHEN o.duration <= hs.h AND o.ev THEN 1 ELSE 0 END
+        |      AS is_case,
+        |    CASE WHEN o.duration > hs.h THEN 1 ELSE 0 END AS is_ctrl,
+        |    CASE
+        |      WHEN o.duration <= hs.h AND o.ev THEN
+        |        (1.0 / COALESCE((SELECT p FROM km
+        |          WHERE km.cohort = o.cohort AND km.i > 0
+        |            AND km.t < o.duration
+        |          ORDER BY km.t DESC LIMIT 1), 1.0))
+        |        * ((1.0 / (1.0 + hs.h / (1.0 + o.risk)) - 0.0)
+        |          * (1.0 / (1.0 + hs.h / (1.0 + o.risk)) - 0.0))
+        |      WHEN o.duration > hs.h THEN
+        |        (1.0 / COALESCE((SELECT p FROM km
+        |          WHERE km.cohort = o.cohort AND km.i > 0
+        |            AND km.t <= hs.h
+        |          ORDER BY km.t DESC LIMIT 1), 1.0))
+        |        * ((1.0 / (1.0 + hs.h / (1.0 + o.risk)) - 1.0)
+        |          * (1.0 / (1.0 + hs.h / (1.0 + o.risk)) - 1.0))
+        |      ELSE 0.0 END AS term
+        |  FROM obs o CROSS JOIN (VALUES (CAST(15.0 AS DOUBLE)),
+        |    (CAST(20.0 AS DOUBLE)), (CAST(25.0 AS DOUBLE))) AS hs(h))
+        |SELECT cohort, h, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(is_case) AS BIGINT) AS n_cases,
+        |  CAST(SUM(is_ctrl) AS BIGINT) AS n_controls,
+        |  (CAST(SUM(CAST(FLOOR(term * 1000000000000.0) AS BIGINT))
+        |      AS DOUBLE) / 1000000000000.0)
+        |    / CAST(COUNT(*) AS DOUBLE) AS brier
+        |FROM terms GROUP BY 1, 2 ORDER BY cohort, h""".stripMargin,
+    // group-sequential mirror: exact cumulative arm counts per look,
+    // the pooled two-proportion z, and the OBF boundary recomputed by
+    // the identical IEEE product 2.040·√(5/k)
+    "a_gs_bounds" ->
+      """WITH cnt AS (SELECT event_type,
+        |    CAST(1 + (event_id % 5) AS INTEGER) AS look,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND value > 50.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x_t,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 AND value > 50.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x_c
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT event_type, look,
+        |    CAST(SUM(n_t) OVER w AS BIGINT) AS n_t,
+        |    CAST(SUM(x_t) OVER w AS BIGINT) AS x_t,
+        |    CAST(SUM(n_c) OVER w AS BIGINT) AS n_c,
+        |    CAST(SUM(x_c) OVER w AS BIGINT) AS x_c
+        |  FROM cnt WINDOW w AS (PARTITION BY event_type ORDER BY look
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |fin AS (SELECT event_type, look,
+        |    CAST(2.040 AS DOUBLE) * SQRT(CAST(5.0 AS DOUBLE) /
+        |      CAST(look AS DOUBLE)) AS boundary, n_t, x_t, n_c, x_c,
+        |    CASE WHEN n_t > 0 AND n_c > 0
+        |        AND CAST(x_t + x_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE) > 0.0
+        |        AND CAST(x_t + x_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE) < 1.0
+        |      THEN (CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |          - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |        / SQRT(CAST(x_t + x_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE)
+        |          * (1.0 - CAST(x_t + x_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE))
+        |          * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE)))
+        |      END AS z
+        |  FROM cum)
+        |SELECT event_type, look, boundary, n_t, x_t, n_c, x_c, z,
+        |  CASE WHEN z IS NOT NULL THEN ABS(z) > boundary END AS reject
+        |FROM fin ORDER BY event_type, look""".stripMargin,
+    // Jonckheere mirror: the same densified level×value grid, the two
+    // ROWS-frame windows, the doubled BIGINT statistic, and the
+    // fixed-parenthesization mu/sigma/z tail
+    "a_jonckheere" ->
+      """WITH cells AS (SELECT event_type AS g, user_id % 4 AS l,
+        |    value AS x, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |lv AS (SELECT DISTINCT g, l FROM cells),
+        |vx AS (SELECT DISTINCT g, x FROM cells),
+        |grid AS (SELECT lv.g, lv.l, vx.x, COALESCE(c, 0) AS c
+        |  FROM lv JOIN vx ON lv.g = vx.g
+        |  LEFT JOIN cells ON cells.g = lv.g AND cells.l = lv.l
+        |    AND cells.x = vx.x),
+        |w1 AS (SELECT g, l, x, c, COALESCE(SUM(c) OVER (
+        |    PARTITION BY g, l ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cumw FROM grid),
+        |w2 AS (SELECT g, c,
+        |    COALESCE(SUM(cumw) OVER (PARTITION BY g, x ORDER BY l
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS lowless,
+        |    COALESCE(SUM(c) OVER (PARTITION BY g, x ORDER BY l
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS lowtie
+        |  FROM w1),
+        |jt AS (SELECT g, CAST(SUM(c * (2 * lowless + lowtie)) AS BIGINT)
+        |    AS jt2 FROM w2 GROUP BY 1),
+        |lvl AS (SELECT g, l, CAST(SUM(c) AS BIGINT) AS nl FROM cells
+        |  GROUP BY 1, 2),
+        |lvla AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS k_levels,
+        |    SUM(CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE)) AS sn2,
+        |    SUM(CAST(nl AS DOUBLE) * (CAST(nl AS DOUBLE) - 1.0)
+        |      * (2.0 * CAST(nl AS DOUBLE) + 5.0)) AS s25,
+        |    SUM(CAST(nl AS DOUBLE) * (CAST(nl AS DOUBLE) - 1.0)
+        |      * (CAST(nl AS DOUBLE) - 2.0)) AS s3,
+        |    SUM(CAST(nl AS DOUBLE) * (CAST(nl AS DOUBLE) - 1.0)) AS s2
+        |  FROM lvl GROUP BY 1),
+        |tie AS (SELECT g, x, CAST(SUM(c) AS BIGINT) AS t FROM cells
+        |  GROUP BY 1, 2),
+        |tiea AS (SELECT g, CAST(SUM(t) AS BIGINT) AS n,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS t25,
+        |    CAST(SUM(t * (t - 1) * (t - 2)) AS BIGINT) AS t3,
+        |    CAST(SUM(t * (t - 1)) AS BIGINT) AS t2
+        |  FROM tie GROUP BY 1),
+        |fin AS (SELECT jt.g, n, k_levels,
+        |    CAST(jt2 AS DOUBLE) / 2.0 AS jt,
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - sn2) / 4.0 AS mu,
+        |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |        * (2.0 * CAST(n AS DOUBLE) + 5.0) - s25
+        |        - CAST(t25 AS DOUBLE)) / 72.0
+        |      + s3 * CAST(t3 AS DOUBLE) / (36.0 * CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) - 1.0) * (CAST(n AS DOUBLE) - 2.0))
+        |      + s2 * CAST(t2 AS DOUBLE) / (8.0 * CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) - 1.0)) AS v
+        |  FROM jt JOIN lvla ON jt.g = lvla.g
+        |  JOIN tiea ON jt.g = tiea.g)
+        |SELECT g AS event_type, n, k_levels, jt, mu,
+        |  CASE WHEN n > 2 AND v > 0.0 THEN SQRT(v) END AS sigma,
+        |  CASE WHEN n > 2 AND v > 0.0 THEN (jt - mu) / SQRT(v) END AS z
+        |FROM fin ORDER BY event_type""".stripMargin,
+    // win-ratio oracle: the NAIVE cross-arm pair join — independent
+    // enumeration, not a mirror of the tiered rank decomposition
+    "c_win_ratio" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS dur,
+        |    CAST(COUNT(*) AS DOUBLE) AS act
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id, event_type),
+        |obs AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    user_id % 2 = 0 AS arm, dur, act FROM u),
+        |arms AS (SELECT cohort,
+        |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_c
+        |  FROM obs GROUP BY 1),
+        |p AS (SELECT a.cohort,
+        |    CAST(SUM(CASE WHEN a.dur > b.dur
+        |      OR (a.dur = b.dur AND a.act > b.act) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS wins,
+        |    CAST(SUM(CASE WHEN b.dur > a.dur
+        |      OR (a.dur = b.dur AND b.act > a.act) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS losses,
+        |    CAST(SUM(CASE WHEN a.dur = b.dur AND a.act = b.act
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ties
+        |  FROM obs a JOIN obs b ON a.cohort = b.cohort
+        |    AND a.arm AND NOT b.arm
+        |  GROUP BY 1)
+        |SELECT arms.cohort, n_t, n_c,
+        |  COALESCE(wins, 0) AS wins, COALESCE(losses, 0) AS losses,
+        |  COALESCE(ties, 0) AS ties,
+        |  CASE WHEN losses > 0 THEN CAST(wins AS DOUBLE)
+        |    / CAST(losses AS DOUBLE) END AS win_ratio,
+        |  CASE WHEN wins > 0 AND losses > 0 THEN ROUND(LN(
+        |    CAST(wins AS DOUBLE) / CAST(losses AS DOUBLE)), 12)
+        |    END AS log_wr,
+        |  CASE WHEN wins + losses > 0 THEN
+        |    CAST(wins - losses AS DOUBLE)
+        |      / SQRT(CAST(wins + losses AS DOUBLE)) END AS z
+        |FROM arms LEFT JOIN p ON arms.cohort = p.cohort
+        |ORDER BY arms.cohort""".stripMargin,
+    // Harrell-C oracle: the NAIVE comparable-pair join — independent
+    // enumeration against the bucket-grid decomposition
+    "c_harrell_c" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d,
+        |    CAST(COUNT(*) AS DOUBLE) AS risk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id, event_type),
+        |g AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    duration, last_d < g.gmax - 7 AS ev, risk
+        |  FROM u CROSS JOIN g),
+        |tot AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_events
+        |  FROM obs GROUP BY 1),
+        |p AS (SELECT a.cohort,
+        |    CAST(COUNT(*) AS BIGINT) AS comparable_pairs,
+        |    CAST(SUM(CASE WHEN b.risk < a.risk THEN 2
+        |      WHEN b.risk = a.risk THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS concordant2
+        |  FROM obs a JOIN obs b ON a.cohort = b.cohort AND a.ev
+        |    AND (b.duration > a.duration
+        |      OR (b.duration = a.duration AND NOT b.ev))
+        |  GROUP BY 1)
+        |SELECT tot.cohort, n, n_events,
+        |  COALESCE(comparable_pairs, 0) AS comparable_pairs,
+        |  COALESCE(concordant2, 0) AS concordant2,
+        |  CASE WHEN comparable_pairs > 0 THEN
+        |    CAST(concordant2 AS DOUBLE)
+        |      / (2.0 * CAST(comparable_pairs AS DOUBLE)) END AS c_index
+        |FROM tot LEFT JOIN p ON tot.cohort = p.cohort
+        |ORDER BY tot.cohort""".stripMargin,
     "a_kmv_jaccard" ->
       """WITH hs AS (SELECT DISTINCT l_returnflag,
         |    l_linestatus = 'F' AS ca,

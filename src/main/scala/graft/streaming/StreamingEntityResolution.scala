@@ -119,7 +119,7 @@ object StreamingEntityResolution {
         org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))))
       .filter(assert_true(col("__idn") === 1L,
         concat(lit("ingestBatch: id appears with differing content " +
-          "within one batch: "), col("__id").cast("string"))))
+          "within one batch: "), col("__id").cast("string"))).isNull)
       .drop("__idn")
     val sigs = Dedup.minhashSignatures(base, col("__id"), col("__text"),
       shingleK, numHashes, family)

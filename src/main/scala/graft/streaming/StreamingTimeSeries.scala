@@ -928,6 +928,43 @@ object StreamingTimeSeries {
           .dropDuplicates(groupCol, "batch_id").drop("batch_id")),
         Seq(groupCol)), tauSq, alpha)
 
+  /** Streaming interim-analysis maintenance — the ingestion face of
+    * [[graft.operators.Stats.groupSequentialTest]]: arm-count deltas
+    * keyed by (group, look). A look is part of the pre-registered
+    * DESIGN, so it is an attribute of the arriving trial, and the
+    * per-look counts are the same associative armCounts partial. */
+  def startArmCountsByLookQuery(events: DataFrame, groupCol: String,
+      lookCol: String, treatedCol: String, outcomeCol: String,
+      targetDir: String, checkpointDir: String) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Stats
+          .armCounts(batch.toDF(),
+            Seq(col(groupCol), col(lookCol).cast("int").as("look")),
+            col(treatedCol), col(outcomeCol))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$targetDir/arm_counts_by_look")
+      }
+      .start()
+
+  /** Whole-stream group-sequential boundary readout from the stored
+    * per-look deltas — bit-identical to the batch test. The interim
+    * dashboard re-reads count deltas, never trial history; rejection
+    * at look k is only DECLARED when look k's data is complete (the
+    * design contract — the boundary math itself is stateless). */
+  def mergedGroupSequential(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String, looks: Int,
+      kind: String = "obf"): DataFrame =
+    graft.operators.Stats.groupSequentialFromCounts(
+      graft.operators.Stats.mergeArmCounts(
+        Seq(spark.read.parquet(s"$targetDir/arm_counts_by_look")
+          .dropDuplicates(groupCol, "look", "batch_id")
+          .drop("batch_id")),
+        Seq(groupCol, "look")),
+      Seq(groupCol), looks, kind)
+
   /** Streaming ratio-metric experiment maintenance — the ingestion
     * face of [[graft.operators.Stats.ratioUplift]]: each micro-batch
     * of CLOSED units' events reduces to per-(group, arm) exact BIGINT

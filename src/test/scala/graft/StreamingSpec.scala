@@ -1697,4 +1697,144 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("merged Jonckheere-Terpstra: third readout of the level_values store == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("jt_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("jt_ckpt").toString
+    val rng = new scala.util.Random(151)
+    // ordered dose 0..3 with a genuine upward shift, heavy ties
+    val all = (0 until 500).map { i =>
+      val l = (i % 4).toLong
+      ("g" + (i % 2), l, (rng.nextInt(8) + l).toDouble)
+    }
+    val input = MemoryStream[(String, Long, Double)]
+    val q = StreamingTimeSeries.startLevelCountsQuery(
+      input.toDF().toDF("g", "l", "x"), "g", "l", "x", dir, ckpt)
+    try {
+      input.addData(all.take(90): _*); q.processAllAvailable()
+      input.addData(all.drop(90): _*); q.processAllAvailable()
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      import graft.operators.Stats
+      val want = m(Stats.jonckheereTerpstra(all.toDF("g", "l", "x"),
+        Seq(col("g")), col("l"), col("x")))
+      assert(m(StreamingTimeSeries.mergedJonckheere(spark, dir, "g"))
+        == want)
+      // the shifted dose must register as a positive trend
+      val z = Stats.jonckheereTerpstra(all.toDF("g", "l", "x"),
+        Seq(col("g")), col("l"), col("x")).collect()
+        .map(_.getAs[Double]("z"))
+      assert(z.forall(_ > 3.0))
+      // at-least-once replay collapses
+      spark.read.parquet(s"$dir/level_values")
+        .filter(col("batch_id") === 0L)
+        .write.mode("append").parquet(s"$dir/level_values")
+      assert(m(StreamingTimeSeries.mergedJonckheere(spark, dir, "g"))
+        == want, "a replayed micro-batch double-counted into JT")
+    } finally q.stop()
+  }
+
+  test("erMaintenance: readout bit-identical before/after, files shrink, next ingest rides the compacted store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("erm_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("erm_ckpt").toString
+    val vocab = (0 until 480).map(i => s"w${i}q${(i * 2654435761L) % 97}")
+    def text(i: Int): String =
+      (0 until 12).map(k => vocab((i % 30) * 12 + k)).mkString(" ")
+    val baseRecs = (0 until 30).map(i =>
+      (i.toLong, text(i), s"l${i % 3}", s"s${i % 2}", 100L + i))
+    val twins = (0 until 15).map(i =>
+      (i + 1000L, text(i) + " appended", s"l${i % 3}", s"s${i % 2}",
+        109L + i))
+    val all = baseRecs ++ twins
+    val weights = Seq(("lang", 2.0, -2.0), ("len", 2.0, -2.0),
+      ("source", 2.0, -2.0)).toDF("field", "w_agree", "w_disagree")
+    val fields = Seq(
+      "lang" -> (col("a_lang") === col("b_lang")),
+      "len" -> (abs(col("a_len") - col("b_len")) <= 20L),
+      "source" -> (col("a_src") === col("b_src")))
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val stream = input.toDF().toDF("id", "text", "lang", "src", "len")
+    val q = StreamingEntityResolution.startErIngestQuery(stream, "id",
+      "text", Seq("lang", "len", "src"), fields, weights,
+      threshold = 0.0, base, ckpt, maxBucket = 10000)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def files(sub: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/$sub"))
+        .count(f => f.getPath.getName.endsWith(".parquet"))
+    try {
+      // several small batches so every store accretes file sets
+      Seq(all.take(12), all.slice(12, 24), all.slice(24, 36),
+        all.drop(36)).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def readout() = StreamingEntityResolution.mergedEntities(spark, base)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = readout()
+    val filesBefore = Seq("er_records", "er_keys", "er_edges").map(files)
+    val res = StreamingEntityResolution.erMaintenance(spark, base)
+    assert(res.size == 3)
+    res.foreach { r => assert(r.rowsAfter <= r.rowsBefore, r.toString) }
+    val filesAfter = Seq("er_records", "er_keys", "er_edges").map(files)
+    assert(filesAfter.zip(filesBefore).forall { case (a, b) => a <= b })
+    assert(filesAfter.forall(_ == 1),
+      s"each compacted store should land in one file: $filesAfter")
+    assert(readout() == before,
+      "maintenance changed the entity readout")
+    // ingest once more directly on the compacted store: a NEW twin of
+    // record 20 must link to it through the compacted er_keys scan
+    val nextBatch = Seq((2000L, text(20) + " appended", "l2", "s0",
+      129L)).toDF("id", "text", "lang", "src", "len")
+    val frozenW = weights.collect().toSeq
+    StreamingEntityResolution.ingestBatch(nextBatch, 99L, "id", "text",
+      Seq("lang", "len", "src"), fields, frozenW, 0.0, base,
+      3, 24, 8, 10000, graft.operators.Dedup.XxMinhash)
+    val after = readout()
+    assert(after(2000L) == 20L,
+      s"post-maintenance ingest failed to link the new twin: $after")
+    assert(before.forall { case (k, v) => after(k) == v },
+      "post-maintenance ingest disturbed existing entities")
+  }
+
+  test("merged group-sequential readout == batch test over per-look arm-count deltas") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("gs_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gs_ckpt").toString
+    // 4 looks of a real uplift: treated converts 60%, control 40%
+    val all = (1 to 4).flatMap { look =>
+      (1 to 200).map { i =>
+        val arm = i % 2 == 0
+        ("g", look, arm, if (arm) (i % 10) < 6 else (i % 10) < 4)
+      }
+    }
+    val input = MemoryStream[(String, Int, Boolean, Boolean)]
+    val q = StreamingTimeSeries.startArmCountsByLookQuery(
+      input.toDF().toDF("g", "look", "arm", "conv"), "g", "look",
+      "arm", "conv", dir, ckpt)
+    try {
+      input.addData(all.take(300): _*); q.processAllAvailable()
+      input.addData(all.drop(300): _*); q.processAllAvailable()
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getAs[Int]("look") -> r.toSeq).toMap
+      import graft.operators.Stats
+      val want = m(Stats.groupSequentialTest(all.toDF("g", "look",
+        "arm", "conv"), Seq("g"), col("look"), col("arm"), col("conv"),
+        looks = 4, kind = "obf"))
+      assert(m(StreamingTimeSeries.mergedGroupSequential(spark, dir,
+        "g", looks = 4, kind = "obf")) == want)
+      // replay collapses
+      spark.read.parquet(s"$dir/arm_counts_by_look")
+        .filter(col("batch_id") === 0L)
+        .write.mode("append").parquet(s"$dir/arm_counts_by_look")
+      assert(m(StreamingTimeSeries.mergedGroupSequential(spark, dir,
+        "g", looks = 4, kind = "obf")) == want,
+        "replayed per-look deltas double-counted")
+    } finally q.stop()
+  }
 }

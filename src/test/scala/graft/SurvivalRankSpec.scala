@@ -1,0 +1,388 @@
+package graft
+
+import graft.operators.{Concordance, Stats}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 rank/sequential wave: Harrell's C (bucket-grid
+  * decomposition vs naive O(n²) replay), the Pocock win ratio (tiered
+  * Mann–Whitney counts vs naive pair enumeration), Jonckheere–Terpstra
+  * (vs naive pairwise level U sums), and the group-sequential
+  * boundary tables (OBF rejects late what Pocock rejects early). */
+class SurvivalRankSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark = GraftSession.local("survival-rank-spec")
+  override def afterAll(): Unit = spark.stop()
+
+  // deterministic LCG so fixtures replay identically
+  private def lcg(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+
+  // ---------------------------------------------------------------- C
+
+  private def naiveC(subs: Seq[(Double, Boolean, Double)]): (Long, Long) = {
+    // (comparable, concordant2) by direct enumeration
+    var pairs = 0L; var num2 = 0L
+    for ((ti, ei, ri) <- subs; if ei; (tj, ej, rj) <- subs) {
+      val comparable = tj > ti || (tj == ti && !ej)
+      if (comparable) {
+        pairs += 1
+        if (rj < ri) num2 += 2 else if (rj == ri) num2 += 1
+      }
+    }
+    (pairs, num2)
+  }
+
+  test("harrellC equals the naive O(n²) enumeration, with heavy time and risk ties") {
+    import spark.implicits._
+    val rs = lcg(7).map(x => math.abs(x)).take(3 * 400).toSeq
+    val subs = rs.grouped(3).zipWithIndex.map { case (Seq(a, b, c), i) =>
+      ("g" + (i % 2),
+        (a % 20).toDouble,          // few distinct times ⇒ many ties
+        b % 3 != 0,                 // ~2/3 events
+        (c % 15).toDouble)          // few distinct risks ⇒ risk ties
+    }.toSeq
+    val df = subs.toDF("g", "t", "e", "r")
+    val out = Concordance.harrellC(df, Seq("g"), col("t"), col("e"),
+      col("r"), buckets = 7)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("comparable_pairs"), r.getAs[Long]("concordant2"),
+          r.getAs[Double]("c_index")))).toMap
+    for (g <- Seq("g0", "g1")) {
+      val mine = subs.filter(_._1 == g).map(s => (s._2, s._3, s._4))
+      val (pairs, num2) = naiveC(mine)
+      assert(out(g)._1 == pairs, s"$g comparable")
+      assert(out(g)._2 == num2, s"$g concordant2")
+      assert(out(g)._3 == num2.toDouble / (2.0 * pairs))
+    }
+  }
+
+  test("harrellC is invariant to the bucket count (it tunes cost, not the result)") {
+    import spark.implicits._
+    val rs = lcg(11).map(math.abs).take(3 * 300).toSeq
+    val df = rs.grouped(3).map { case Seq(a, b, c) =>
+      ("g", (a % 50).toDouble + (a % 7) * 0.5, b % 4 != 0,
+        (c % 1000).toDouble / 9.0)
+    }.toSeq.toDF("g", "t", "e", "r")
+    def run(bk: Int) = Concordance.harrellC(df, Seq("g"), col("t"),
+      col("e"), col("r"), buckets = bk).collect().map(r =>
+      (r.getAs[Long]("comparable_pairs"), r.getAs[Long]("concordant2"),
+        r.getAs[Double]("c_index"))).head
+    val base = run(1)
+    assert(run(7) == base)
+    assert(run(64) == base)
+    assert(run(300) == base) // more buckets than useful boundaries
+  }
+
+  test("harrellC hand example: perfect, anti-perfect and known mixed ordering") {
+    import spark.implicits._
+    // events at t=1,2,3 (all events). risk descending with earlier
+    // failure = perfect concordance
+    val perfect = Seq(("g", 1.0, true, 3.0), ("g", 2.0, true, 2.0),
+      ("g", 3.0, true, 1.0)).toDF("g", "t", "e", "r")
+    val p = Concordance.harrellC(perfect, Seq("g"), col("t"), col("e"),
+      col("r")).head()
+    assert(p.getAs[Long]("comparable_pairs") == 3L)
+    assert(p.getAs[Double]("c_index") == 1.0)
+    val anti = Seq(("g", 1.0, true, 1.0), ("g", 2.0, true, 2.0),
+      ("g", 3.0, true, 3.0)).toDF("g", "t", "e", "r")
+    assert(Concordance.harrellC(anti, Seq("g"), col("t"), col("e"),
+      col("r")).head().getAs[Double]("c_index") == 0.0)
+    // censored-at-same-time IS comparable; event-at-same-time is NOT
+    val mixed = Seq(
+      ("g", 1.0, true, 5.0),  // index event
+      ("g", 1.0, false, 4.0), // censored same t: comparable, concordant
+      ("g", 1.0, true, 9.0),  // event same t: NOT comparable
+      ("g", 2.0, false, 5.0)  // later: comparable, risk tie (½)
+    ).toDF("g", "t", "e", "r")
+    val m = Concordance.harrellC(mixed, Seq("g"), col("t"), col("e"),
+      col("r")).head()
+    // index1 (t=1,r=5): partners j2 (2, concordant) and j4 (tie) = 2 pairs
+    // index3 (t=1,r=9): partners j2 and j4, both r < 9 = 2 concordant
+    assert(m.getAs[Long]("comparable_pairs") == 4L)
+    assert(m.getAs[Long]("concordant2") == 2L + 1L + 2L + 2L)
+    assert(m.getAs[Double]("c_index") == 7.0 / 8.0)
+  }
+
+  test("unoC equals a naive IPCW replay and is bucket-invariant") {
+    import spark.implicits._
+    val rs = lcg(31).map(math.abs).take(3 * 300).toSeq
+    val subs = rs.grouped(3).map { case Seq(a, b, c) =>
+      ("g", (a % 15 + 1).toDouble, b % 3 != 0, (c % 12).toDouble)
+    }.toSeq
+    val df = subs.toDF("g", "t", "e", "r")
+    val tau = 10.0
+    def run(bk: Int) = Concordance.unoC(df, Seq("g"), col("t"),
+      col("e"), col("r"), tau, buckets = bk).head().getAs[Double]("c_uno")
+    val got = run(5)
+    assert(got == run(1) && got == run(50), "bucket count changed c_uno")
+    // naive replay: censoring KM, per-index-cell credits, floor chain
+    val n = subs.size
+    val grid = subs.groupBy(_._2).map { case (t, xs) =>
+      (t, xs.count(!_._3).toLong, xs.count(_._3).toLong)
+    }.toSeq.sortBy(_._1)
+    var used = 0L; var p = 1.0
+    val gSteps = grid.map { case (t, d, c) =>
+      p = p * (1.0 - d.toDouble / (n - used)); used += d + c; (t, p)
+    }
+    def gtm(x: Double): Double = gSteps.foldLeft(1.0) {
+      case (acc, (t, s)) => if (t < x) s else acc }
+    // per-index-CELL (t, r): credits over all comparable partners
+    val cellsM = subs.filter(s => s._3 && s._2 <= tau)
+      .groupBy(s => (s._2, s._4))
+    var sn = 0L; var sd = 0L
+    for (((t, r), members) <- cellsM) {
+      var num2 = 0L; var den = 0L
+      for ((_, tj, ej, rj) <- subs) {
+        val comparable = tj > t || (tj == t && !ej)
+        if (comparable) {
+          den += members.size
+          num2 += members.size * (if (rj < r) 2L else if (rj == r) 1L else 0L)
+        }
+      }
+      val w = 1.0 / (gtm(t) * gtm(t))
+      sn += math.floor(num2.toDouble * w * 1e6).toLong
+      sd += math.floor(den.toDouble * w * 1e6).toLong
+    }
+    assert(got == sn.toDouble / (2.0 * sd.toDouble))
+  }
+
+  test("aucT equals naive per-horizon case/control AUC; perfect risk gives 1.0") {
+    import spark.implicits._
+    val rs = lcg(23).map(math.abs).take(3 * 400).toSeq
+    val subs = rs.grouped(3).map { case Seq(a, b, c) =>
+      ("g", (a % 25 + 1).toDouble, b % 3 != 0, (c % 40).toDouble)
+    }.toSeq
+    val df = subs.toDF("g", "t", "e", "r")
+    val hs = Seq(5.0, 12.0, 20.0)
+    val out = Concordance.aucT(df, Seq("g"), col("t"), col("e"),
+      col("r"), hs).collect()
+      .map(r => r.getAs[Double]("h") ->
+        ((r.getAs[Long]("n_cases"), r.getAs[Long]("n_controls"),
+          r.getAs[Double]("auc")))).toMap
+    for (h <- hs) {
+      val cases = subs.filter(s => s._2 <= h && s._3).map(_._4)
+      val ctrls = subs.filter(s => s._2 > h).map(_._4)
+      var num = 0.0
+      for (x <- cases; y <- ctrls)
+        num += (if (x > y) 1.0 else if (x == y) 0.5 else 0.0)
+      assert(out(h)._1 == cases.size && out(h)._2 == ctrls.size, s"h=$h")
+      assert(out(h)._3 == num / (cases.size.toDouble * ctrls.size), s"h=$h")
+    }
+    // risk = -t on all-event data ranks every case above every control
+    val perfect = (1 to 50).map(i => ("g", i.toDouble, true, -i.toDouble))
+      .toDF("g", "t", "e", "r")
+    assert(Concordance.aucT(perfect, Seq("g"), col("t"), col("e"),
+      col("r"), Seq(25.0)).head().getAs[Double]("auc") == 1.0)
+  }
+
+  test("brierIpcw matches a single-threaded IPCW replay; uncensored data needs no weights") {
+    import spark.implicits._
+    val rs = lcg(29).map(math.abs).take(3 * 300).toSeq
+    val subs = rs.grouped(3).map { case Seq(a, b, c) =>
+      ("g", (a % 20 + 1).toDouble, b % 4 != 0, (c % 100) / 100.0)
+    }.toSeq
+    val hs = Seq(6.0, 14.0)
+    val df = subs.toDF("g", "t", "e", "p0")
+      .withColumn("pred", array(lit(1.0) / (lit(1.0) + col("p0")),
+        lit(1.0) / (lit(2.0) + col("p0"))))
+    val out = Concordance.brierIpcw(df, Seq("g"), col("t"), col("e"),
+      col("pred"), hs).collect()
+      .map(r => r.getAs[Double]("h") -> r.getAs[Double]("brier")).toMap
+    // replay: censoring KM by hand (ascending distinct times), then the
+    // same quantized-term sum
+    val n = subs.size
+    val grid = subs.groupBy(_._2).map { case (t, xs) =>
+      (t, xs.count(!_._3).toLong, xs.count(_._3).toLong)
+    }.toSeq.sortBy(_._1) // (t, censorEvents, kept)
+    var used = 0L; var p = 1.0
+    val gSteps = grid.map { case (t, d, c) =>
+      val nr = n - used
+      p = p * (1.0 - d.toDouble / nr)
+      used += d + c
+      (t, p)
+    }
+    def gAt(x: Double, strict: Boolean): Double =
+      gSteps.foldLeft(1.0) { case (acc, (t, s)) =>
+        if (if (strict) t < x else t <= x) s else acc }
+    for (h <- hs) {
+      val preds = subs.map(s =>
+        if (h == 6.0) 1.0 / (1.0 + s._4) else 1.0 / (2.0 + s._4))
+      var sq = 0L
+      for (((g0, t, e, _), pr) <- subs.zip(preds)) {
+        val term =
+          if (t <= h && e) (1.0 / gAt(t, strict = true)) * ((pr - 0.0) * (pr - 0.0))
+          else if (t > h) (1.0 / gAt(h, strict = false)) * ((pr - 1.0) * (pr - 1.0))
+          else 0.0
+        sq += math.floor(term * 1e12).toLong
+      }
+      assert(out(h) == (sq.toDouble / 1e12) / n, s"h=$h")
+    }
+    // no censoring ⇒ Ĝ ≡ 1 ⇒ BS(t) is the plain quantized Brier mean
+    val unc = (1 to 100).map(i => ("g", (i % 10 + 1).toDouble, true,
+      0.3)).toDF("g", "t", "e", "p0")
+      .withColumn("pred", array(lit(0.3)))
+    val b = Concordance.brierIpcw(unc, Seq("g"), col("t"), col("e"),
+      col("pred"), Seq(5.0)).head()
+    // cases (t<=5) score (0.3-0)²; controls (0.3-1)² — Ĝ ≡ 1 throughout
+    val cases = (1 to 100).count(i => (i % 10 + 1) <= 5)
+    val ctrls = 100 - cases
+    val sq = cases * math.floor((0.3 - 0.0) * (0.3 - 0.0) * 1e12).toLong +
+      ctrls * math.floor((0.3 - 1.0) * (0.3 - 1.0) * 1e12).toLong
+    assert(b.getAs[Double]("brier") == (sq.toDouble / 1e12) / 100.0)
+  }
+
+  // ---------------------------------------------------------- win ratio
+
+  test("winRatio equals naive pair enumeration on a tiered composite with ties") {
+    import spark.implicits._
+    val rs = lcg(13).map(math.abs).take(3 * 500).toSeq
+    val subs = rs.grouped(3).zipWithIndex.map { case (Seq(a, b, c), i) =>
+      ("g" + (i % 2), a % 2 == 0, (b % 8).toDouble, (c % 5).toDouble)
+    }.toSeq
+    val df = subs.toDF("g", "arm", "o1", "o2")
+    val out = Stats.winRatio(df, Seq("g"), col("arm"),
+      Seq(col("o1"), col("o2")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("wins"), r.getAs[Long]("losses"),
+          r.getAs[Long]("ties")))).toMap
+    for (g <- Seq("g0", "g1")) {
+      val ts = subs.filter(s => s._1 == g && s._2).map(s => (s._3, s._4))
+      val cs = subs.filter(s => s._1 == g && !s._2).map(s => (s._3, s._4))
+      var w = 0L; var l = 0L; var tie = 0L
+      for ((t1, t2) <- ts; (c1, c2) <- cs) {
+        if (t1 > c1 || (t1 == c1 && t2 > c2)) w += 1
+        else if (c1 > t1 || (t1 == c1 && c2 > t2)) l += 1
+        else tie += 1
+      }
+      assert(out(g) == ((w, l, tie)), s"cohort $g")
+    }
+  }
+
+  test("winRatio tier hierarchy: tier 2 only decides pairs tied on tier 1") {
+    import spark.implicits._
+    // tier1 separates arms completely ⇒ tier2 (all equal reversed) moot
+    val df = Seq(("g", true, 2.0, 0.0), ("g", true, 2.0, 0.0),
+      ("g", false, 1.0, 9.0), ("g", false, 1.0, 9.0))
+      .toDF("g", "arm", "o1", "o2")
+    val r = Stats.winRatio(df, Seq("g"), col("arm"),
+      Seq(col("o1"), col("o2"))).head()
+    assert(r.getAs[Long]("wins") == 4L && r.getAs[Long]("losses") == 0L)
+    assert(r.getAs[Long]("ties") == 0L)
+    assert(r.get(r.fieldIndex("win_ratio")) == null) // L = 0
+    // all tied on tier1 ⇒ tier2 decides; full ties stay ties
+    val df2 = Seq(("g", true, 1.0, 5.0), ("g", true, 1.0, 3.0),
+      ("g", false, 1.0, 4.0), ("g", false, 1.0, 3.0))
+      .toDF("g", "arm", "o1", "o2")
+    val r2 = Stats.winRatio(df2, Seq("g"), col("arm"),
+      Seq(col("o1"), col("o2"))).head()
+    // (5 vs 4) W, (5 vs 3) W, (3 vs 4) L, (3 vs 3) tie
+    assert(r2.getAs[Long]("wins") == 2L && r2.getAs[Long]("losses") == 1L)
+    assert(r2.getAs[Long]("ties") == 1L)
+    assert(r2.getAs[Double]("win_ratio") == 2.0)
+    assert(r2.getAs[Double]("z") ==
+      (2.0 - 1.0) / math.sqrt(3.0))
+  }
+
+  // --------------------------------------------------------- Jonckheere
+
+  test("jonckheereTerpstra equals naive pairwise-level U sums; ordered data drives z up") {
+    import spark.implicits._
+    val rs = lcg(17).map(math.abs).take(2 * 600).toSeq
+    val subs = rs.grouped(2).zipWithIndex.map { case (Seq(a, b), i) =>
+      ("g", (i % 4).toLong, (a % 12).toDouble + (b % 3) * 0.5)
+    }.toSeq
+    val df = subs.toDF("g", "dose", "x")
+    val out = Stats.jonckheereTerpstra(df, Seq(col("g")), col("dose"),
+      col("x")).head()
+    // naive: JT = Σ_{a<b} [#(x_a < x_b) + ½#(x_a = x_b)]
+    var jt2 = 0L
+    for (la <- 0L to 3L; lb <- (la + 1) to 3L) {
+      val xa = subs.filter(_._2 == la).map(_._3)
+      val xb = subs.filter(_._2 == lb).map(_._3)
+      for (x1 <- xa; x2 <- xb) {
+        if (x1 < x2) jt2 += 2 else if (x1 == x2) jt2 += 1
+      }
+    }
+    assert(out.getAs[Double]("jt") == jt2.toDouble / 2.0)
+    assert(math.abs(out.getAs[Double]("z")) < 4.0) // dose uninformative
+    // strictly increasing with dose ⇒ JT at its maximum, z large
+    val mono = (0 until 200).map(i =>
+      ("g", (i % 4).toLong, (i % 4) * 1000.0 + i)).toDF("g", "dose", "x")
+    val m = Stats.jonckheereTerpstra(mono, Seq(col("g")), col("dose"),
+      col("x")).head()
+    val n = 200L; val nl = 50L
+    val maxJt = (6L * nl * nl).toDouble // C(4,2) level pairs × 50×50
+    assert(m.getAs[Double]("jt") == maxJt)
+    assert(m.getAs[Double]("z") > 10.0)
+  }
+
+  test("jonckheereTerpstra is layout-invariant and matches kruskalWallis's n") {
+    import spark.implicits._
+    val df = (1 to 300).map(i =>
+      ("g" + (i % 2), (i % 3).toLong, (i * 7 % 23).toDouble))
+      .toDF("g", "dose", "x")
+    val a = Stats.jonckheereTerpstra(df, Seq(col("g")), col("dose"), col("x"))
+      .orderBy("g").collect().toSeq.map(_.toSeq)
+    val b = Stats.jonckheereTerpstra(df.repartition(13), Seq(col("g")),
+      col("dose"), col("x")).orderBy("g").collect().toSeq.map(_.toSeq)
+    assert(a == b)
+  }
+
+  // ----------------------------------------------------- group-sequential
+
+  test("groupSequentialTest: OBF rejects late what Pocock rejects early") {
+    import spark.implicits._
+    // effect appears from look 1: moderate uplift. Pocock's flat 2.413
+    // boundary rejects as soon as z crosses it; OBF's early looks are
+    // much stricter (4.56 at k=1) and only relax near the end.
+    val rows = (1 to 5).flatMap { look =>
+      (1 to 400).map { i =>
+        val treated = i % 2 == 0
+        // treated converts at 60%, control at 40% (deterministic grid)
+        val conv = if (treated) (i % 10) < 6 else (i % 10) < 4
+        ("g", look, treated, conv)
+      }
+    }
+    val df = rows.toDF("g", "look", "arm", "conv")
+    def looks(kind: String) = Stats.groupSequentialTest(df, Seq("g"),
+      col("look"), col("arm"), col("conv"), looks = 5, kind = kind)
+      .orderBy("look").collect()
+      .map(r => (r.getAs[Int]("look"), r.getAs[Double]("boundary"),
+        r.getAs[Boolean]("reject")))
+    val obf = looks("obf"); val pk = looks("pocock")
+    // boundaries: OBF strictly decreasing, Pocock flat
+    assert(obf.map(_._2).sliding(2).forall(p => p(0) > p(1)))
+    assert(pk.map(_._2).distinct.length == 1)
+    val firstObf = obf.find(_._3).map(_._1)
+    val firstPk = pk.find(_._3).map(_._1)
+    assert(firstPk.isDefined, "Pocock must reject under a real effect")
+    assert(firstObf.isDefined, "OBF must reject by the final look")
+    assert(firstPk.get <= firstObf.get,
+      s"Pocock ($firstPk) rejects no later than OBF ($firstObf)")
+    assert(firstObf.get > 1, "OBF must NOT reject at the earliest look")
+  }
+
+  test("groupSequentialTest boundary values are the published K=5 constants") {
+    import spark.implicits._
+    val df = (1 to 5).flatMap(k => Seq(("g", k, true, true),
+      ("g", k, false, false))).toDF("g", "look", "arm", "conv")
+    val obf = Stats.groupSequentialTest(df, Seq("g"), col("look"),
+      col("arm"), col("conv"), looks = 5, kind = "obf")
+      .orderBy("look").collect().map(_.getAs[Double]("boundary"))
+    assert(obf.zipWithIndex.forall { case (b, i) =>
+      b == 2.040 * math.sqrt(5.0 / (i + 1)) })
+    val pk = Stats.groupSequentialTest(df, Seq("g"), col("look"),
+      col("arm"), col("conv"), looks = 5, kind = "pocock")
+      .head().getAs[Double]("boundary")
+    assert(pk == 2.413)
+    // out-of-range look fails fast
+    val bad = Seq(("g", 9, true, true)).toDF("g", "look", "arm", "conv")
+    val ex = intercept[Exception] {
+      Stats.groupSequentialTest(bad, Seq("g"), col("look"), col("arm"),
+        col("conv"), looks = 5).collect()
+    }
+    assert(ex.getMessage.contains("look outside 1..5"))
+  }
+}
