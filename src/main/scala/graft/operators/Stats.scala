@@ -3908,6 +3908,104 @@ object Stats {
         col("z")): _*)
   }
 
+  /** Log-rank trend test across ORDERED cohorts per group (Tarone,
+    * Biometrics 1975) — the survival companion of
+    * [[jonckheereTerpstra]]: k dose-ordered cohorts (model size, data
+    * fraction, severity tier), H₁ = survival shifts MONOTONICALLY with
+    * the dose. The score statistic with per-level scores s_g = the
+    * level value:
+    *
+    *   U = Σ_t [ Σ_g s_g·d_g(t) − d(t)/n(t) · Σ_g s_g·n_g(t) ]
+    *   V = Σ_t d(n−d)/(n²(n−1)) · [ n·Σ_g s_g²n_g − (Σ_g s_g n_g)² ]
+    *   z = U/√V
+    *
+    * (the Σ_gh s_g s_h V_gh hypergeometric covariance collapses to the
+    * bracketed form). RECURSION-FREE shape: at-risk counts n_g(t) are
+    * SUFFIX sums over the densified level×time grid (one window), the
+    * per-time U/V terms are fixed float expressions over exact BIGINTs,
+    * and each term floor-quantizes (·quantScale, the logisticFit
+    * discipline) so the cross-time sums are associative BIGINTs — no
+    * ordered fold, no recursive mirror; an engine replays windows +
+    * the identical floor chain. U and V are therefore quantized to
+    * 1/quantScale (documented estimand).
+    *
+    * `levelCol` must be numeric (the scores); ≤ `maxLevels` distinct
+    * values fail-fast. Output: groups... + (n, k_levels, u, v, z);
+    * z null when V ≤ 0. */
+  def trendLogRank(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column, levelCol: Column,
+      maxLevels: Int = 20, maxTimes: Int = 1000,
+      quantScale: Double = 1e9): DataFrame = {
+    require(maxLevels >= 2 && maxLevels <= 100,
+      s"trendLogRank needs 2 <= maxLevels <= 100, got $maxLevels")
+    require(quantScale >= 1e3 && quantScale <= 1e9 &&
+      quantScale == math.floor(quantScale),
+      s"quantScale integral in [1e3, 1e9], got $quantScale")
+    val g = groupCols.map(col)
+    val ev = eventCol.cast("boolean")
+    val cnt = df
+      .filter(durationCol.isNotNull && ev.isNotNull && levelCol.isNotNull)
+      .groupBy(g ++ Seq(levelCol.cast("double").as("__l"),
+        durationCol.cast("double").as("t")): _*)
+      .agg(sum(when(ev, 1L).otherwise(0L)).as("d"),
+        sum(when(!ev, 1L).otherwise(0L)).as("c"))
+    val W = org.apache.spark.sql.expressions.Window
+    val names = groupCols
+    val lv = cnt.select(g :+ col("__l"): _*).distinct()
+      .withColumn("__kl", count(lit(1)).over(W.partitionBy(g: _*)))
+      .filter(assert_true(col("__kl") <= maxLevels.toLong,
+        lit(s"trendLogRank: a group exceeds maxLevels=$maxLevels — " +
+          "the dose factor must be bounded")).isNull)
+    val times = cnt.select(g :+ col("t"): _*).distinct()
+      .withColumn("__tn", count(lit(1)).over(W.partitionBy(g: _*)))
+      .filter(assert_true(col("__tn") <= maxTimes.toLong,
+        lit(s"trendLogRank: a group exceeds maxTimes=$maxTimes " +
+          "distinct times — bin durations coarser first")).isNull)
+      .drop("__tn")
+    val grid = lv.join(times, names)
+      .join(cnt, names ++ Seq("__l", "t"), "left")
+      .na.fill(0L, Seq("d", "c"))
+    // at-risk per level at t: suffix sum INCLUDING the current time
+    val wSuf = W.partitionBy((names :+ "__l").map(col): _*)
+      .orderBy(col("t"))
+      .rowsBetween(W.currentRow, W.unboundedFollowing)
+    val atRisk = grid.withColumn("__nl", sum(col("d") + col("c")).over(wSuf))
+    val byT = atRisk.groupBy(g :+ col("t"): _*)
+      .agg(sum(col("d")).as("__d"), sum(col("__nl")).as("__n"),
+        sum(col("__l") * col("d").cast("double")).as("__sd"),
+        sum(col("__l") * col("__nl").cast("double")).as("__sn"),
+        sum(col("__l") * col("__l") * col("__nl").cast("double"))
+          .as("__sn2"),
+        first(col("__kl")).as("k_levels"))
+    val nD = col("__n").cast("double"); val dD = col("__d").cast("double")
+    val uT = col("__sd") - dD / nD * col("__sn")
+    val cT = when(col("__n") > 1L && col("__d") > 0L,
+      dD * (nD - dD) / (nD * nD * (nD - lit(1.0)))).otherwise(lit(0.0))
+    val vT = cT * (nD * col("__sn2") - col("__sn") * col("__sn"))
+    val qU = uT * lit(quantScale)
+    val qV = vT * lit(quantScale)
+    byT
+      .filter(assert_true(abs(qU) < 4.6e18 && abs(qV) < 4.6e18,
+        lit("trendLogRank: quantized per-time term exceeds BIGINT — " +
+          "lower quantScale")).isNull)
+      .groupBy(g: _*)
+      .agg(first(col("k_levels")).as("k_levels"),
+        max(col("__n")).as("n"),
+        sum(floor(qU)).as("__qu"),
+        sum(floor(qV)).as("__qv"),
+        count(lit(1)).as("__nt"),
+        greatest(max(abs(floor(qU))), max(abs(floor(qV)))).as("__mx"))
+      .filter(assert_true(col("__nt").cast("double") *
+          greatest(col("__mx"), lit(0L)).cast("double") < 4.6e18,
+        lit("trendLogRank: quantized sum may wrap BIGINT — lower " +
+          "quantScale or shard groups")).isNull)
+      .withColumn("u", col("__qu").cast("double") / lit(quantScale))
+      .withColumn("v", col("__qv").cast("double") / lit(quantScale))
+      .withColumn("z", when(col("v") > 0.0, col("u") / sqrt(col("v"))))
+      .select(g ++ Seq(col("n"), col("k_levels"), col("u"), col("v"),
+        col("z")): _*)
+  }
+
   /** Finalize a (possibly merged) [[cohortSurvivalCounts]] table into
     * the [[logRank]] schema — the streaming-readout face. */
   def logRankFromCounts(counts: DataFrame, groupCols: Seq[String],
