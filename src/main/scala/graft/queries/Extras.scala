@@ -1642,7 +1642,30 @@ object Extras {
       .orderBy("cohort")
   }
 
+  /** Tarone log-rank trend across ordered doses per synthetic cohort
+    * ([[graft.operators.Stats.trendLogRank]]): dose = user_id mod 4
+    * over the c_harrell_c episode fixture. Integer scores keep the
+    * per-time score sums exact-in-double (order-free); U/V floor-
+    * quantize per time so the cross-time sums are associative
+    * BIGINTs the mirror replays. */
+  def cTrendLogRank(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    val users = e.groupBy(col("user_id"), col("event_type"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("cohort", concat(lit("c"), pmod(col("user_id"), lit(3))))
+      .withColumn("churned", col("__last") < date_sub(col("__gmax"), 7))
+    graft.operators.Stats.trendLogRank(obs, Seq("cohort"),
+        col("duration"), col("churned"), pmod(col("user_id"), lit(4)))
+      .orderBy("cohort")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_trend_logrank" -> (cTrendLogRank _),
     "c_uno_c" -> (cUnoC _),
     "c_auc_t" -> (cAucT _),
     "c_brier_t" -> (cBrierT _),
@@ -2189,6 +2212,66 @@ object Extras {
   }
 
   val oracle: Map[String, String] = Map(
+    // trend log-rank mirror: densified level×time grid, suffix-sum
+    // at-risk window, per-time U/V terms with the identical floor chain
+    "c_trend_logrank" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id, event_type),
+        |g AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    CAST(user_id % 4 AS DOUBLE) AS l, duration,
+        |    last_d < g.gmax - 7 AS ev
+        |  FROM u CROSS JOIN g),
+        |cnt AS (SELECT cohort, l, duration AS t,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM obs GROUP BY 1, 2, 3),
+        |lv AS (SELECT DISTINCT cohort, l FROM cnt),
+        |lvk AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS k_levels
+        |  FROM lv GROUP BY 1),
+        |ts2 AS (SELECT DISTINCT cohort, t FROM cnt),
+        |grid AS (SELECT lv.cohort, lv.l, ts2.t,
+        |    COALESCE(d, 0) AS d, COALESCE(c, 0) AS c
+        |  FROM lv JOIN ts2 ON lv.cohort = ts2.cohort
+        |  LEFT JOIN cnt ON cnt.cohort = lv.cohort AND cnt.l = lv.l
+        |    AND cnt.t = ts2.t),
+        |ar AS (SELECT cohort, l, t, d,
+        |    CAST(SUM(d + c) OVER (PARTITION BY cohort, l ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS BIGINT) AS nl
+        |  FROM grid),
+        |byt AS (SELECT cohort, t, CAST(SUM(d) AS BIGINT) AS d,
+        |    CAST(SUM(nl) AS BIGINT) AS n,
+        |    SUM(l * CAST(d AS DOUBLE)) AS sd,
+        |    SUM(l * CAST(nl AS DOUBLE)) AS sn,
+        |    SUM(l * l * CAST(nl AS DOUBLE)) AS sn2
+        |  FROM ar GROUP BY 1, 2),
+        |terms AS (SELECT cohort, n,
+        |    (sd - CAST(d AS DOUBLE) / CAST(n AS DOUBLE) * sn)
+        |      * 1000000000.0 AS qu,
+        |    (CASE WHEN n > 1 AND d > 0 THEN CAST(d AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          * (CAST(n AS DOUBLE) - 1.0)) ELSE 0.0 END
+        |      * (CAST(n AS DOUBLE) * sn2 - sn * sn)) * 1000000000.0
+        |      AS qv
+        |  FROM byt),
+        |agg AS (SELECT cohort, CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(FLOOR(qu) AS BIGINT)) AS DOUBLE)
+        |      / 1000000000.0 AS u,
+        |    CAST(SUM(CAST(FLOOR(qv) AS BIGINT)) AS DOUBLE)
+        |      / 1000000000.0 AS v
+        |  FROM terms GROUP BY 1)
+        |SELECT agg.cohort, n, k_levels, u, v,
+        |  CASE WHEN v > 0.0 THEN u / SQRT(v) END AS z
+        |FROM agg JOIN lvk ON agg.cohort = lvk.cohort
+        |ORDER BY agg.cohort""".stripMargin,
     // Uno's C mirror: censoring KM by recursion, per-index-cell
     // doubled credits by the naive pair join, identical floor chain
     "c_uno_c" ->

@@ -330,6 +330,49 @@ class SurvivalRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("trendLogRank equals a per-time naive replay; dose-monotone hazard drives z negative") {
+    import spark.implicits._
+    val rs = lcg(37).map(math.abs).take(2 * 400).toSeq
+    val subs = rs.grouped(2).zipWithIndex.map { case (Seq(a, b), i) =>
+      ("g", (i % 4).toDouble, (a % 12 + 1).toDouble, b % 3 != 0)
+    }.toSeq
+    val df = subs.toDF("g", "l", "t", "e")
+    val out = Stats.trendLogRank(df, Seq("g"), col("t"), col("e"),
+      col("l")).head()
+    // naive replay: per distinct time, at-risk per level, U/V terms,
+    // the same floor-quantized accumulation
+    val times = subs.map(_._3).distinct.sorted
+    var qu = 0L; var qv = 0L
+    for (t <- times) {
+      val atRisk = subs.filter(_._3 >= t)
+      val nl = (0 to 3).map(l => atRisk.count(_._2 == l.toDouble).toLong)
+      val dl = (0 to 3).map(l =>
+        subs.count(s => s._3 == t && s._4 && s._2 == l.toDouble).toLong)
+      val n = nl.sum.toDouble; val d = dl.sum.toDouble
+      val sd = (0 to 3).map(l => l * dl(l).toDouble).sum
+      val sn = (0 to 3).map(l => l * nl(l).toDouble).sum
+      val sn2 = (0 to 3).map(l => l.toDouble * l * nl(l)).sum
+      val uT = sd - d / n * sn
+      val cT = if (n > 1 && d > 0) d * (n - d) / (n * n * (n - 1.0)) else 0.0
+      val vT = cT * (n * sn2 - sn * sn)
+      qu += math.floor(uT * 1e9).toLong
+      qv += math.floor(vT * 1e9).toLong
+    }
+    assert(out.getAs[Double]("u") == qu.toDouble / 1e9)
+    assert(out.getAs[Double]("v") == qv.toDouble / 1e9)
+    assert(math.abs(out.getAs[Double]("z")) < 4.0) // dose uninformative
+    // higher dose ⇒ shorter durations: events at high doses come early,
+    // so U (scored O−E) goes positive — a strong monotone trend
+    val mono = (0 until 400).map { i =>
+      val l = i % 4
+      ("g", l.toDouble, (20 - 4 * l + i % 3).toDouble, true)
+    }.toDF("g", "l", "t", "e")
+    val m = Stats.trendLogRank(mono, Seq("g"), col("t"), col("e"),
+      col("l")).head()
+    assert(m.getAs[Double]("z") > 5.0,
+      s"monotone hazard not detected: z=${m.getAs[Double]("z")}")
+  }
+
   // ----------------------------------------------------- group-sequential
 
   test("groupSequentialTest: OBF rejects late what Pocock rejects early") {
