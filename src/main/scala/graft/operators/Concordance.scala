@@ -359,6 +359,64 @@ object Concordance {
         col("n_controls"), col("brier")): _*)
   }
 
+  /** Survival-model calibration at one horizon per group (the
+    * "one-calibration" decile table, Demler et al. 2015 style): does a
+    * predicted event probability at h MEAN what it says? Subjects rank
+    * into `bins` equal-depth deciles of the prediction (deterministic
+    * (pred, id) order — the qiniCurve convention), and each decile
+    * reports the mean prediction against the OBSERVED Kaplan–Meier
+    * event probability 1 − Ŝ_decile(h) — censoring-correct where a
+    * naive event rate is biased low.
+    *
+    * Portability: decile assignment is NTILE over a partitioned,
+    * tie-broken window; mean predictions floor-quantize per subject
+    * before the BIGINT sum (order-free); the per-decile KM rides
+    * [[Stats.kaplanMeierFromCounts]] (the recursion every survival
+    * oracle already mirrors) and Ŝ(h) is max_by over the ≤ maxTimes
+    * grid rows at t ≤ h. Output: groups... + (bin 1..bins, n,
+    * n_events, mean_pred, observed) — `observed` null only when the
+    * decile is empty (it cannot be: ntile fills every bin when
+    * n ≥ bins). */
+  def survivalCalibration(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column, predCol: Column,
+      idCol: Column, horizon: Double, bins: Int = 10,
+      quantScale: Double = 1e12, maxTimes: Int = 1000): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bins in 2..100, got $bins")
+    require(quantScale >= 1e3 && quantScale <= 1e12 &&
+      quantScale == math.floor(quantScale),
+      s"quantScale integral in [1e3, 1e12], got $quantScale")
+    val g = groupCols.map(col)
+    val ev = eventCol.cast("boolean")
+    val w = Window.partitionBy(g: _*)
+      .orderBy(col("__p").asc, col("__id").asc)
+    val base = df
+      .filter(durationCol.isNotNull && ev.isNotNull &&
+        predCol.isNotNull && idCol.isNotNull)
+      .select(g ++ Seq(durationCol.cast("double").as("__t"),
+        ev.as("__e"), predCol.cast("double").as("__p"),
+        idCol.as("__id")): _*)
+      .withColumn("bin", ntile(bins).over(w))
+    val perBin = base
+      .groupBy(g :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__e"), 1L).otherwise(0L)).as("n_events"),
+        sum(floor(col("__p") * lit(quantScale)).cast("long")).as("__qp"))
+    val km = Stats.kaplanMeier(base, groupCols :+ "bin", col("__t"),
+      col("__e"), maxTimes)
+    val sAtH = km.filter(col("t") <= horizon)
+      .groupBy(g :+ col("bin"): _*)
+      .agg(max_by(col("survival"), col("t")).as("__sh"))
+    perBin
+      .join(sAtH, groupCols :+ "bin", "left")
+      .withColumn("mean_pred",
+        (col("__qp").cast("double") / lit(quantScale)) /
+          col("n").cast("double"))
+      .withColumn("observed",
+        lit(1.0) - coalesce(col("__sh"), lit(1.0)))
+      .select(g ++ Seq(col("bin"), col("n"), col("n_events"),
+        col("mean_pred"), col("observed")): _*)
+  }
+
   /** Shared front half: subjects → (t, e, r, bucket) plus the exact
     * per-(group, bucket, t, r) cell counts, with the maxTimes grid
     * fail-fast. Bucket assignment is monotone by risk VALUE (count of

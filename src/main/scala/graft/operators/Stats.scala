@@ -3908,6 +3908,74 @@ object Stats {
         col("z")): _*)
   }
 
+  /** Standardized mortality/event ratio per group against the POOLED
+    * cohort (indirect standardization, the classic SMR table): each
+    * group's observed events O against the events EXPECTED if the
+    * group experienced the pooled Nelson–Aalen hazard over its own
+    * follow-up, E = Σᵢ Ĥ_pooled(tᵢ) — "which cohorts over/under-event
+    * after accounting for how long each member was watched".
+    *
+    *   SMR = O/E,  CI = (√O ± z/2)²/E  (Vandenbroucke 1982 — √-only,
+    *   no gamma quantiles, hashes unrounded)
+    *
+    * Shape: the pooled hazard thins to the ≤ maxTimes distinct-time
+    * grid and accumulates by an in-row ascending-time fold (the
+    * [[nelsonAalen]] sum — seed 0.0, mirror-replayable); each
+    * subject's Ĥ(tᵢ) is a step-function lookup over the broadcast
+    * grid, floor-quantized (·quantScale) before the only cross-row
+    * BIGINT sum. O is exact. E is quantized to 1/quantScale
+    * (documented estimand). SMR/CI null when E = 0.
+    *
+    * Output: groups... + (n, o, e, smr, lo, hi). */
+  def smr(df: DataFrame, groupCols: Seq[String], durationCol: Column,
+      eventCol: Column, z: Double = 1.96, quantScale: Double = 1e9,
+      maxTimes: Int = 1000): DataFrame = {
+    require(z > 0 && z <= 10, s"smr needs 0 < z <= 10, got $z")
+    require(quantScale >= 1e3 && quantScale <= 1e9 &&
+      quantScale == math.floor(quantScale),
+      s"quantScale integral in [1e3, 1e9], got $quantScale")
+    val g = groupCols.map(col)
+    val ev = eventCol.cast("boolean")
+    val base = df.filter(durationCol.isNotNull && ev.isNotNull)
+      .select(g ++ Seq(durationCol.cast("double").as("__t"),
+        ev.as("__e")): _*)
+    // pooled hazard grid: ONE all-groups Nelson–Aalen, collected
+    // in-row (≤ maxTimes rows) and broadcast back
+    val pooled = nelsonAalen(base.withColumn("__all", lit("all")),
+      Seq("__all"), col("__t"), col("__e"), maxTimes)
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("t"),
+        col("cum_hazard")))).as("__gr"))
+    val hAt = aggregate(col("__gr"), lit(0.0), (acc, x) =>
+      when(x.getField("t") <= col("__t"), x.getField("cum_hazard"))
+        .otherwise(acc))
+    val sums = base.crossJoin(broadcast(pooled))
+      .withColumn("__qe", floor(hAt * lit(quantScale)).cast("long"))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__e"), 1L).otherwise(0L)).as("o"),
+        sum(col("__qe")).as("__se"), max(col("__qe")).as("__mq"))
+      .filter(assert_true(col("n").cast("double") *
+          greatest(col("__mq"), lit(0L)).cast("double") < 4.6e18,
+        lit("smr: quantized expected-event sum may wrap BIGINT — " +
+          "lower quantScale or shard groups")).isNull)
+    val e = col("__se").cast("double") / lit(quantScale)
+    val oD = col("o").cast("double")
+    sums
+      .withColumn("e", e)
+      .withColumn("smr", when(e > 0.0, oD / e))
+      .withColumn("lo", when(e > 0.0, {
+        val s = sqrt(oD) - lit(z / 2.0)
+        (s * s) / e
+      }))
+      .withColumn("hi", when(e > 0.0, {
+        val s = sqrt(oD) + lit(z / 2.0)
+        (s * s) / e
+      }))
+      .select(g ++ Seq(col("n"), col("o"), col("e"), col("smr"),
+        col("lo"), col("hi")): _*)
+  }
+
   /** Log-rank trend test across ORDERED cohorts per group (Tarone,
     * Biometrics 1975) — the survival companion of
     * [[jonckheereTerpstra]]: k dose-ordered cohorts (model size, data

@@ -1664,7 +1664,58 @@ object Extras {
       .orderBy("cohort")
   }
 
+  /** Survival-model one-calibration at h=25 over the episode fixture
+    * ([[graft.operators.Concordance.survivalCalibration]]): predicted
+    * event probability 1 − 1/(1 + 25/(1+risk)) in 5 deterministic
+    * (pred, id)-ordered deciles; observed = 1 − per-decile KM at 25 —
+    * the mirror replays the NTILE, the quantized prediction means,
+    * and the per-decile KM recursion. */
+  def cSurvCalibration(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    val users = e.groupBy(col("user_id"), col("event_type"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"),
+        count(lit(1)).cast("double").as("risk"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("cohort", concat(lit("c"), pmod(col("user_id"), lit(3))))
+      .withColumn("churned", col("__last") < date_sub(col("__gmax"), 7))
+      .withColumn("pred", lit(1.0) - lit(1.0) /
+        (lit(1.0) + lit(25.0) / (lit(1.0) + col("risk"))))
+      .withColumn("sid", concat(col("user_id").cast("string"), lit("_"),
+        col("event_type")))
+    graft.operators.Concordance.survivalCalibration(obs, Seq("cohort"),
+        col("duration"), col("churned"), col("pred"), col("sid"),
+        horizon = 25.0, bins = 5)
+      .orderBy("cohort", "bin")
+  }
+
+  /** Standardized event ratio per cohort against the pooled hazard
+    * ([[graft.operators.Stats.smr]]): observed churn events vs the
+    * expectation under the pooled Nelson–Aalen over each episode's
+    * own follow-up; Vandenbroucke √-CI. The mirror replays the pooled
+    * NA recursion, the step lookups, and the floor chain. */
+  def cSmr(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    val users = e.groupBy(col("user_id"), col("event_type"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("cohort", concat(lit("c"), pmod(col("user_id"), lit(3))))
+      .withColumn("churned", col("__last") < date_sub(col("__gmax"), 7))
+    graft.operators.Stats.smr(obs, Seq("cohort"), col("duration"),
+        col("churned"))
+      .orderBy("cohort")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_surv_calibration" -> (cSurvCalibration _),
+    "c_smr" -> (cSmr _),
     "c_trend_logrank" -> (cTrendLogRank _),
     "c_uno_c" -> (cUnoC _),
     "c_auc_t" -> (cAucT _),
@@ -2212,6 +2263,115 @@ object Extras {
   }
 
   val oracle: Map[String, String] = Map(
+    // one-calibration mirror: NTILE deciles, quantized prediction
+    // means, per-decile KM recursion, arg_max step lookup at h
+    "c_surv_calibration" ->
+      """WITH RECURSIVE u AS (SELECT user_id, event_type,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d,
+        |    CAST(COUNT(*) AS DOUBLE) AS risk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id, event_type),
+        |g AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    duration, last_d < g.gmax - 7 AS ev,
+        |    1.0 - 1.0 / (1.0 + 25.0 / (1.0 + risk)) AS pred,
+        |    CAST(user_id AS VARCHAR) || '_' || event_type AS sid
+        |  FROM u CROSS JOIN g),
+        |nt AS (SELECT cohort, duration, ev, pred,
+        |    CAST(NTILE(5) OVER (PARTITION BY cohort
+        |      ORDER BY pred, sid) AS INTEGER) AS bin
+        |  FROM obs),
+        |perbin AS (SELECT cohort, bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_events,
+        |    CAST(SUM(CAST(FLOOR(pred * 1000000000000.0) AS BIGINT))
+        |      AS BIGINT) AS qp
+        |  FROM nt GROUP BY 1, 2),
+        |cnt AS (SELECT cohort, bin, duration AS t,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM nt GROUP BY 1, 2, 3),
+        |ord AS (SELECT cohort, bin, t, d, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cohort, bin
+        |      ORDER BY t) AS BIGINT) AS i,
+        |    CAST(SUM(d + c) OVER (PARTITION BY cohort, bin) AS BIGINT)
+        |      AS n_total
+        |  FROM cnt),
+        |km AS (
+        |  SELECT cohort, bin, CAST(0 AS BIGINT) AS i,
+        |    CAST(0 AS BIGINT) AS used, CAST(1 AS DOUBLE) AS p,
+        |    CAST(NULL AS DOUBLE) AS t
+        |  FROM (SELECT DISTINCT cohort, bin FROM ord)
+        |  UNION ALL
+        |  SELECT o.cohort, o.bin, o.i, km.used + o.d + o.c,
+        |    km.p * (CAST(1 AS DOUBLE) - CAST(o.d AS DOUBLE)
+        |      / CAST(o.n_total - km.used AS DOUBLE)),
+        |    o.t
+        |  FROM km JOIN ord o ON o.cohort = km.cohort
+        |    AND o.bin = km.bin AND o.i = km.i + 1),
+        |sh AS (SELECT cohort, bin, arg_max(p, t) AS s_h FROM km
+        |  WHERE i > 0 AND t <= 25.0 GROUP BY 1, 2)
+        |SELECT perbin.cohort, perbin.bin, n, n_events,
+        |  (CAST(qp AS DOUBLE) / 1000000000000.0) / CAST(n AS DOUBLE)
+        |    AS mean_pred,
+        |  1.0 - COALESCE(s_h, 1.0) AS observed
+        |FROM perbin LEFT JOIN sh ON perbin.cohort = sh.cohort
+        |  AND perbin.bin = sh.bin
+        |ORDER BY perbin.cohort, perbin.bin""".stripMargin,
+    // SMR mirror: pooled Nelson–Aalen recursion, per-subject step
+    // lookup, quantized expected-event sum, Vandenbroucke CI
+    "c_smr" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id, event_type),
+        |g AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    duration, last_d < g.gmax - 7 AS ev FROM u CROSS JOIN g),
+        |cnt AS (SELECT duration AS t,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM obs GROUP BY 1),
+        |ord AS (SELECT t, d, c,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS i,
+        |    CAST(SUM(d + c) OVER () AS BIGINT) AS n_total
+        |  FROM cnt),
+        |na AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS used,
+        |    CAST(0 AS DOUBLE) AS h, CAST(NULL AS DOUBLE) AS t
+        |  UNION ALL
+        |  SELECT o.i, na.used + o.d + o.c,
+        |    na.h + CAST(o.d AS DOUBLE)
+        |      / CAST(o.n_total - na.used AS DOUBLE),
+        |    o.t
+        |  FROM na JOIN ord o ON o.i = na.i + 1),
+        |subj AS (SELECT cohort, ev,
+        |    CAST(FLOOR(COALESCE((SELECT na.h FROM na
+        |      WHERE na.i > 0 AND na.t <= obs.duration
+        |      ORDER BY na.t DESC LIMIT 1), 0.0) * 1000000000.0)
+        |      AS BIGINT) AS qe
+        |  FROM obs),
+        |agg AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS o,
+        |    CAST(SUM(qe) AS DOUBLE) / 1000000000.0 AS e
+        |  FROM subj GROUP BY 1)
+        |SELECT cohort, n, o, e,
+        |  CASE WHEN e > 0.0 THEN CAST(o AS DOUBLE) / e END AS smr,
+        |  CASE WHEN e > 0.0 THEN
+        |    ((SQRT(CAST(o AS DOUBLE)) - 0.98)
+        |      * (SQRT(CAST(o AS DOUBLE)) - 0.98)) / e END AS lo,
+        |  CASE WHEN e > 0.0 THEN
+        |    ((SQRT(CAST(o AS DOUBLE)) + 0.98)
+        |      * (SQRT(CAST(o AS DOUBLE)) + 0.98)) / e END AS hi
+        |FROM agg ORDER BY cohort""".stripMargin,
     // trend log-rank mirror: densified level×time grid, suffix-sum
     // at-risk window, per-time U/V terms with the identical floor chain
     "c_trend_logrank" ->

@@ -373,6 +373,72 @@ class SurvivalRankSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"monotone hazard not detected: z=${m.getAs[Double]("z")}")
   }
 
+  test("smr: pooled-cohort identity (SMR == 1 up to quantization); naive replay per group") {
+    import spark.implicits._
+    val rs = lcg(41).map(math.abs).take(2 * 400).toSeq
+    val subs = rs.grouped(2).zipWithIndex.map { case (Seq(a, b), i) =>
+      ("g" + (i % 3), (a % 15 + 1).toDouble, b % 3 != 0)
+    }.toSeq
+    val df = subs.toDF("g", "t", "e")
+    // identity: Σᵢ Ĥ(tᵢ) = Σ_t d_t when the "group" IS the pool
+    val one = Stats.smr(df.withColumn("g", lit("all")), Seq("g"),
+      col("t"), col("e")).head()
+    val o = one.getAs[Long]("o")
+    assert(math.abs(one.getAs[Double]("e") - o.toDouble) < 1e-6)
+    assert(math.abs(one.getAs[Double]("smr") - 1.0) < 1e-6)
+    // naive replay per group against the pooled hazard
+    val n = subs.size
+    val grid = subs.groupBy(_._2).map { case (t, xs) =>
+      (t, xs.count(_._3).toLong, xs.count(!_._3).toLong)
+    }.toSeq.sortBy(_._1)
+    var used = 0L; var h = 0.0
+    val hSteps = grid.map { case (t, d, c) =>
+      h = h + d.toDouble / (n - used); used += d + c; (t, h)
+    }
+    def hAt(x: Double): Double = hSteps.foldLeft(0.0) {
+      case (acc, (t, s)) => if (t <= x) s else acc }
+    val out = Stats.smr(df, Seq("g"), col("t"), col("e")).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("o"),
+        r.getAs[Double]("e"), r.getAs[Double]("smr")))).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val mine = subs.filter(_._1 == g)
+      val oG = mine.count(_._3).toLong
+      val eQ = mine.map(s => math.floor(hAt(s._2) * 1e9).toLong).sum
+      assert(out(g)._1 == oG)
+      assert(out(g)._2 == eQ.toDouble / 1e9)
+      assert(out(g)._3 == oG.toDouble / (eQ.toDouble / 1e9))
+    }
+  }
+
+  test("survivalCalibration: uncensored deciles read the empirical event fraction; predictions average exactly") {
+    import spark.implicits._
+    // all events ⇒ KM at h is exactly 1 − fraction(t ≤ h) per decile
+    val subs = (0 until 200).map { i =>
+      ("g", (i % 20 + 1).toDouble, true, (i % 50) / 50.0, f"id$i%03d")
+    }
+    val df = subs.toDF("g", "t", "e", "pred", "sid")
+    val out = Concordance.survivalCalibration(df, Seq("g"), col("t"),
+      col("e"), col("pred"), col("sid"), horizon = 10.0, bins = 4)
+      .orderBy("bin").collect()
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(50L, 50L, 50L, 50L))
+    // replay the deterministic (pred, sid) ntile to locate each bin's
+    // members, then check observed == its empirical fraction ≤ h
+    val ranked = subs.sortBy(s => (s._4, s._5))
+    val binOf = ranked.zipWithIndex.map { case (s, ix) => s -> (ix / 50 + 1) }
+    for (b <- 1 to 4) {
+      val members = binOf.filter(_._2 == b).map(_._1)
+      val frac = members.count(_._2 <= 10.0).toDouble / members.size
+      val row = out(b - 1)
+      // the KM product telescopes to the empirical fraction exactly in
+      // ℝ; in floats each factor rounds, so compare to 1e-12
+      assert(math.abs(row.getAs[Double]("observed") - frac) < 1e-12,
+        s"bin $b observed")
+      val qp = members.map(s => math.floor(s._4 * 1e12).toLong).sum
+      assert(row.getAs[Double]("mean_pred") ==
+        (qp.toDouble / 1e12) / members.size, s"bin $b mean_pred")
+    }
+  }
+
   // ----------------------------------------------------- group-sequential
 
   test("groupSequentialTest: OBF rejects late what Pocock rejects early") {
