@@ -86,6 +86,32 @@ object ConcordanceProbe {
         col("t"), col("e"), col("pred"), hs))
     }
 
+    timedShuffled("smr_1M_4g") {
+      val su = spark.range(1000000).map { i =>
+        val r = new scala.util.Random(i + 5)
+        ("g" + (i % 4), (r.nextInt(300) + 1).toDouble, r.nextInt(3) != 0)
+      }.toDF("g", "t", "e")
+      exec(graft.operators.Stats.smr(su, Seq("g"), col("t"), col("e")))
+    }
+    timedShuffled("surv_calibration_1M_4g_10bins") {
+      val su = spark.range(1000000).map { i =>
+        val r = new scala.util.Random(i + 9)
+        ("g" + (i % 4), (r.nextInt(300) + 1).toDouble, r.nextInt(3) != 0,
+          r.nextDouble(), i)
+      }.toDF("g", "t", "e", "pred", "id")
+      exec(graft.operators.Concordance.survivalCalibration(su, Seq("g"),
+        col("t"), col("e"), col("pred"), col("id"), horizon = 150.0))
+    }
+    timedShuffled("trend_logrank_1M_4g_8lvl") {
+      val su = spark.range(1000000).map { i =>
+        val r = new scala.util.Random(i + 11)
+        ("g" + (i % 4), (i % 8).toDouble, (r.nextInt(300) + 1).toDouble,
+          r.nextInt(3) != 0)
+      }.toDF("g", "l", "t", "e")
+      exec(graft.operators.Stats.trendLogRank(su, Seq("g"), col("t"),
+        col("e"), col("l")))
+    }
+
     // ---- win ratio: 1M subjects, tiered composite with heavy ties ----
     val wr = spark.range(1000000).map { i =>
       val r = new scala.util.Random(i + 7)

@@ -422,6 +422,53 @@ object Graph {
     * constant by contract (real-graph peel depths are shallow; raise
     * it when the degree column says so). Exact BIGINTs throughout.
     * Output: (node, degree) of the surviving subgraph. */
+  /** Synchronous label propagation (Raghavan et al., Phys. Rev. E
+    * 2007) — the community detector the graph block lacked: every node
+    * starts labeled with itself; each round it adopts the MOST FREQUENT
+    * label among its neighbors, ties broken by the SMALLEST label — a
+    * deterministic synchronous update (the async/random-order variants
+    * are not engine-portable; this one replays bit-for-bit, and an
+    * unrolled SQL mirror can replicate each round).
+    *
+    * `rounds` is a fixed unroll like [[pageRank]]/[[kcorePeel]] — LPA
+    * on real graphs stabilizes in a handful of sweeps, and a FIXED
+    * round count is what keeps the operator deterministic and the
+    * oracle finite. Isolated-from-the-join nodes keep their current
+    * label. Each round is one join + one count aggregation + one
+    * partitioned top-1 window over (node, label) pairs — edge-sized
+    * shuffles, no driver state; `localCheckpoint` truncates the
+    * lineage per round (the iterative-operator convention).
+    *
+    * Output: (node, label) — nodes sharing a label share a community. */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      materialize: Boolean = true): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"labelPropagation needs 1 <= rounds <= 8, got $rounds")
+    def cut(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(eager = false) else df
+    val und = cut(edges
+      .select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      .where(col("u") =!= col("v")).distinct())
+    val nodes = und.select(col("u").as("node")).distinct()
+    var labels = cut(nodes.withColumn("label", col("node")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("__c").desc, col("label").asc)
+    for (_ <- 1 to rounds) {
+      val next = und
+        .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+        .groupBy(col("u").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("node", "label")
+      labels = cut(nodes.join(next, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node"))
+          .as("label")))
+    }
+    labels
+  }
+
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int,
       materialize: Boolean = true): DataFrame = {
     require(k >= 1, s"kcorePeel needs k >= 1, got $k")

@@ -4232,21 +4232,30 @@ object Stats {
         when(p.isNotNull, p < lit(alpha)))
   }
 
-  /** Pocock critical values, two-sided α = 0.05, K equally-spaced
-    * looks (Pocock, Biometrika 1977; tabulated in Jennison & Turnbull
-    * 2000, Table 2.1) — the boundary is CONSTANT across looks. */
-  private val pocockC = Map(1 -> 1.960, 2 -> 2.178, 3 -> 2.289,
-    4 -> 2.361, 5 -> 2.413, 6 -> 2.453, 7 -> 2.485, 8 -> 2.512,
-    9 -> 2.535, 10 -> 2.555)
+  /** Pocock critical values, two-sided α ∈ {0.05, 0.01}, K
+    * equally-spaced looks (Pocock, Biometrika 1977; tabulated in
+    * Jennison & Turnbull 2000, Table 2.1) — the boundary is CONSTANT
+    * across looks. */
+  private val pocockC = Map(
+    0.05 -> Map(1 -> 1.960, 2 -> 2.178, 3 -> 2.289, 4 -> 2.361,
+      5 -> 2.413, 6 -> 2.453, 7 -> 2.485, 8 -> 2.512, 9 -> 2.535,
+      10 -> 2.555),
+    0.01 -> Map(1 -> 2.576, 2 -> 2.772, 3 -> 2.873, 4 -> 2.939,
+      5 -> 2.986, 6 -> 3.023, 7 -> 3.053, 8 -> 3.078, 9 -> 3.099,
+      10 -> 3.117))
 
-  /** O'Brien–Fleming scale constants, two-sided α = 0.05, K
+  /** O'Brien–Fleming scale constants, two-sided α ∈ {0.05, 0.01}, K
     * equally-spaced looks (O'Brien & Fleming, Biometrics 1979;
     * Jennison & Turnbull 2000, Table 2.3) — the look-k boundary is
-    * c_B(K)·√(K/k): very strict early, ≈ the fixed-sample 1.96 at the
-    * final look. */
-  private val obfC = Map(1 -> 1.960, 2 -> 1.977, 3 -> 2.004,
-    4 -> 2.024, 5 -> 2.040, 6 -> 2.053, 7 -> 2.063, 8 -> 2.072,
-    9 -> 2.080, 10 -> 2.087)
+    * c_B(K)·√(K/k): very strict early, ≈ the fixed-sample quantile at
+    * the final look. */
+  private val obfC = Map(
+    0.05 -> Map(1 -> 1.960, 2 -> 1.977, 3 -> 2.004, 4 -> 2.024,
+      5 -> 2.040, 6 -> 2.053, 7 -> 2.063, 8 -> 2.072, 9 -> 2.080,
+      10 -> 2.087),
+    0.01 -> Map(1 -> 2.576, 2 -> 2.580, 3 -> 2.595, 4 -> 2.609,
+      5 -> 2.621, 6 -> 2.631, 7 -> 2.640, 8 -> 2.648, 9 -> 2.654,
+      10 -> 2.660))
 
   /** Group-sequential two-proportion test with Pocock or
     * O'Brien–Fleming stopping boundaries — the DESIGNED-interim
@@ -4277,7 +4286,8 @@ object Stats {
     * cumulative — z, reject). */
   def groupSequentialTest(df: DataFrame, groupCols: Seq[String],
       lookCol: Column, treated: Column, outcome: Column,
-      looks: Int, kind: String = "obf"): DataFrame = {
+      looks: Int, kind: String = "obf",
+      alpha: Double = 0.05): DataFrame = {
     require(looks >= 1 && looks <= 10,
       s"groupSequentialTest: looks in 1..10 (the literal tables), got $looks")
     require(kind == "obf" || kind == "pocock",
@@ -4289,7 +4299,7 @@ object Stats {
       .filter(assert_true(col("look") >= 1 && col("look") <= looks,
         lit(s"groupSequentialTest: look outside 1..$looks — bin " +
           "calendar time into the pre-registered looks first")).isNull)
-    groupSequentialFromCounts(perLook, groupCols, looks, kind)
+    groupSequentialFromCounts(perLook, groupCols, looks, kind, alpha)
   }
 
   /** Finalize a (possibly merged) per-(group, look) [[armCounts]]
@@ -4298,10 +4308,13 @@ object Stats {
     * per-look count deltas, never event history. */
   def groupSequentialFromCounts(counts: DataFrame,
       groupCols: Seq[String], looks: Int,
-      kind: String = "obf"): DataFrame = {
+      kind: String = "obf", alpha: Double = 0.05): DataFrame = {
     require(looks >= 1 && looks <= 10,
       s"groupSequentialFromCounts: looks in 1..10, got $looks")
-    val cTable = if (kind == "pocock") pocockC else obfC
+    require(alpha == 0.05 || alpha == 0.01,
+      s"groupSequentialFromCounts: the literal tables cover two-sided " +
+        s"alpha in {0.05, 0.01}, got $alpha")
+    val cTable = (if (kind == "pocock") pocockC else obfC)(alpha)
     val cK = cTable(looks)
     // literal per-look boundary column: CASE look WHEN k THEN <decimal>
     // — constants land in the plan (and its SQL mirror) verbatim

@@ -366,7 +366,46 @@ object GraphInfra {
       Quality.Unique(Seq("o_orderkey")),
       Quality.Unique(Seq("o_custkey"))))
 
+  /** Synchronous label propagation (3 rounds, deterministic
+    * most-frequent/min-label updates) over the chained host graph
+    * ([[Graph.labelPropagation]]): the pendant chains collapse toward
+    * their core anchors while the dense md5 core churns labels —
+    * integer labels, bit-portable. */
+  def gLabelProp(s: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagation(chainedHostEdges(t(s, dir, "documents")),
+      rounds = 3).orderBy("node")
+
+  /** DuckDB mirror: the same 3 synchronous sweeps unrolled as CTEs —
+    * per round, neighbor-label counts and the (count desc, label asc)
+    * top-1 window. */
+  private def labelPropSql(rounds: Int): String = {
+    val header =
+      s"""WITH $chainedCte,
+         |und AS (SELECT DISTINCT u, v FROM (
+         |    SELECT src AS u, dst AS v FROM chained
+         |    UNION ALL SELECT dst, src FROM chained) AS b
+         |  WHERE u <> v),
+         |nodes AS (SELECT DISTINCT u AS node FROM und),
+         |l0 AS (SELECT node, node AS label FROM nodes)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""n$r AS (SELECT node, label FROM (
+         |    SELECT und.u AS node, l.label, COUNT(*) AS c,
+         |      ROW_NUMBER() OVER (PARTITION BY und.u
+         |        ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+         |    FROM und JOIN l${r - 1} l ON und.v = l.node
+         |    GROUP BY und.u, l.label) AS x WHERE rn = 1),
+         |l$r AS (SELECT nodes.node,
+         |    COALESCE(n$r.label, nodes.node) AS label
+         |  FROM nodes LEFT JOIN n$r ON nodes.node = n$r.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$header,
+       |$steps
+       |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_label_prop" -> (gLabelProp _),
     "l_merge_apply" -> (lMergeApply _),
     "l_quality_report" -> (lQualityReport _),
     "g_pagerank_hosts" -> (gPagerankHosts _),
@@ -382,6 +421,7 @@ object GraphInfra {
   )
 
   val oracle: Map[String, String] = Map(
+    "g_label_prop" -> labelPropSql(rounds = 3),
     "l_quality_report" ->
       """WITH a AS (SELECT COUNT(*) AS total,
         |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)

@@ -322,4 +322,32 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(statuses.contains("unchanged") && statuses.subsetOf(
       Set("added", "removed", "changed", "unchanged")))
   }
+
+  test("labelPropagation: two cliques resolve to their min labels; deterministic and layout-invariant") {
+    import spark.implicits._
+    // two 5-cliques {0..4} and {10..14} joined by one bridge 4-10
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns; if a < b) yield (a, b)
+    val edges = (clique(0L to 4L) ++ clique(10L to 14L) ++ Seq((4L, 10L)))
+      .toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // within each clique every node sees the same neighbor-label
+    // multiset after round 1, so both cliques stabilize on label 0
+    // resp. 10; the bridge does not flip the far clique
+    assert((0L to 4L).forall(n => out(n) == 0L), s"left clique: $out")
+    assert((10L to 14L).forall(n => out(n) == 10L), s"right clique: $out")
+    // deterministic under repartition
+    val out2 = Graph.labelPropagation(edges.repartition(7), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == out)
+    // isolated pair keeps swapping? no - min-label tie-break pins the
+    // 2-cycle: both adopt the smaller node's label and stay
+    val pair = Seq((100L, 101L)).toDF("src", "dst")
+    val p2 = Graph.labelPropagation(pair, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p2 == Map(100L -> 101L, 101L -> 100L) ||
+      p2 == Map(100L -> 100L, 101L -> 100L),
+      s"pair behavior changed: $p2")
+  }
 }

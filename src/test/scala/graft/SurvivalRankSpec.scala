@@ -486,6 +486,17 @@ class SurvivalRankSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("arm"), col("conv"), looks = 5, kind = "pocock")
       .head().getAs[Double]("boundary")
     assert(pk == 2.413)
+    // α = 0.01 tables: uniformly stricter than α = 0.05
+    val pk01 = Stats.groupSequentialTest(df, Seq("g"), col("look"),
+      col("arm"), col("conv"), looks = 5, kind = "pocock", alpha = 0.01)
+      .head().getAs[Double]("boundary")
+    assert(pk01 == 2.986 && pk01 > pk)
+    val obf01 = Stats.groupSequentialTest(df, Seq("g"), col("look"),
+      col("arm"), col("conv"), looks = 5, kind = "obf", alpha = 0.01)
+      .orderBy("look").collect().map(_.getAs[Double]("boundary"))
+    assert(obf01.zip(obf).forall { case (a, b) => a > b })
+    assert(obf01.zipWithIndex.forall { case (b, i) =>
+      b == 2.621 * math.sqrt(5.0 / (i + 1)) })
     // out-of-range look fails fast
     val bad = Seq(("g", 9, true, true)).toDF("g", "look", "arm", "conv")
     val ex = intercept[Exception] {
