@@ -124,6 +124,25 @@ object PlanDump {
     """
       |# Analysis notes (measured)
       |
+      |## Round-15 survival-discrimination plans
+      |
+      |c_harrell_c / c_uno_c decompose the pair statistic into (a) a
+      |broadcast quantile-boundary join + generated binary-search bucket
+      |assignment (codegen'd — the first cut used an `aggregate` HOF and
+      |measured 135 s at 1M×1024 vs 21.6 s final), (b) window cumulative
+      |sums over the densified bucket×time grid, (c) a bounded in-row
+      |fold for same-bucket pairs. The cell frame is CACHED — it fans
+      |out to five consumers and uncached the scan+assign+aggregate
+      |re-derived five times (measured as the dominant cost). Counts are
+      |exact integers; `buckets` tunes cost only (spec-pinned
+      |invariance). c_brier_t's only exchange is the final per-(group,
+      |horizon) sum (0.6 MB at 1M×3): the censoring-KM grid broadcasts
+      |and every weighted term quantizes in-map. c_trend_logrank /
+      |c_smr / c_surv_calibration are one-to-three small exchanges each
+      |(suffix-sum windows, pooled-grid broadcast, NTILE + per-decile KM
+      |on the ≤B×T grids). g_label_prop is the pageRank convention:
+      |fixed unroll, edge-sized shuffles, localCheckpoint per round.
+      |
       |## Bench adjudication (r12 "d_minhash_neardups 4.2×") — round 13
       |
       |The one r12 `weak` item decomposed with counters, not guesses
