@@ -417,6 +417,118 @@ object Concordance {
         col("mean_pred"), col("observed")): _*)
   }
 
+  /** The PARTIAL behind the STREAMING face of survival calibration:
+    * exact per-(group, bin, t) BIGINT (events, censored, quantized-
+    * prediction-sum) cells under CALLER-FROZEN bin edges — three
+    * associative sums, so batch-sliced partials re-summed per cell are
+    * exactly the one-shot table. Freezing the edges is what makes the
+    * partial sound (the frozen-model discipline): [[survivalCalibration]]'s
+    * NTILE deciles depend on ALL data, so they cannot accumulate
+    * incrementally; a monitoring pipeline pre-registers the bin edges
+    * instead. bin = 1 + #{edges < pred} — monotone by value. Closed
+    * subjects only (the [[Stats.survivalCounts]] streaming contract). */
+  def calibrationCounts(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column, predCol: Column,
+      edges: Seq[Double], quantScale: Double = 1e12): DataFrame = {
+    require(edges.nonEmpty && edges.size <= 31 &&
+      edges == edges.sorted && edges.distinct.size == edges.size,
+      s"edges must be 1..31 sorted distinct cut points, got $edges")
+    require(quantScale >= 1e3 && quantScale <= 1e12 &&
+      quantScale == math.floor(quantScale),
+      s"quantScale integral in [1e3, 1e12], got $quantScale")
+    val g = groupCols.map(col)
+    val ev = eventCol.cast("boolean")
+    val p = predCol.cast("double")
+    val bin = edges.foldLeft(lit(1)) { (acc, e) =>
+      acc + when(lit(e) < p, 1).otherwise(0) }
+    df.filter(durationCol.isNotNull && ev.isNotNull && p.isNotNull)
+      .groupBy(g ++ Seq(bin.as("bin"),
+        durationCol.cast("double").as("t")): _*)
+      .agg(sum(when(ev, 1L).otherwise(0L)).as("d"),
+        sum(when(!ev, 1L).otherwise(0L)).as("c"),
+        sum(floor(p * lit(quantScale)).cast("long")).as("qp"))
+  }
+
+  /** Merge [[calibrationCounts]] tables: BIGINT re-sum per cell. */
+  def mergeCalibrationCounts(partials: Seq[DataFrame],
+      groupNames: Seq[String]): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy((groupNames ++ Seq("bin", "t")).map(col): _*)
+      .agg(sum(col("d")).as("d"), sum(col("c")).as("c"),
+        sum(col("qp")).as("qp"))
+
+  /** Finalize a (possibly merged) [[calibrationCounts]] table into the
+    * [[survivalCalibration]] output schema — the streaming-readout
+    * face (frozen-edges estimand; the batch NTILE face is the
+    * data-driven-deciles estimand, documented apart). */
+  def survivalCalibrationFromCounts(counts: DataFrame,
+      groupCols: Seq[String], horizon: Double,
+      quantScale: Double = 1e12, maxTimes: Int = 1000): DataFrame = {
+    val g = groupCols.map(col)
+    val perBin = counts.groupBy(g :+ col("bin"): _*)
+      .agg(sum(col("d") + col("c")).as("n"), sum(col("d")).as("n_events"),
+        sum(col("qp")).as("__qp"))
+    val km = Stats.kaplanMeierFromCounts(
+      counts.select((groupCols :+ "bin").map(col) :+ col("t") :+
+        col("d") :+ col("c"): _*),
+      groupCols :+ "bin", maxTimes)
+    val sAtH = km.filter(col("t") <= horizon)
+      .groupBy(g :+ col("bin"): _*)
+      .agg(max_by(col("survival"), col("t")).as("__sh"))
+    perBin
+      .join(sAtH, groupCols :+ "bin", "left")
+      .withColumn("mean_pred",
+        (col("__qp").cast("double") / lit(quantScale)) /
+          col("n").cast("double"))
+      .withColumn("observed",
+        lit(1.0) - coalesce(col("__sh"), lit(1.0)))
+      .select(g ++ Seq(col("bin"), col("n"), col("n_events"),
+        col("mean_pred"), col("observed")): _*)
+  }
+
+  /** Conditional survival per group — the "you made it this far"
+    * readout every retention review asks for: P(T > t₀+s | T > t₀) =
+    * Ŝ(t₀+s)/Ŝ(t₀) from the Kaplan–Meier grid, for each requested
+    * (t₀, s) pair. Two step-function lookups over the collected
+    * ≤ maxTimes grid and ONE division — rides the same stored
+    * [[Stats.survivalCounts]] partial as every other survival readout.
+    * Null when Ŝ(t₀) = 0. Output: groups... + (t0, s, s_t0, s_t1,
+    * cond_survival). */
+  def conditionalSurvival(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column,
+      pairs: Seq[(Double, Double)], maxTimes: Int = 1000): DataFrame =
+    conditionalSurvivalFromCounts(
+      Stats.survivalCounts(df, groupCols, durationCol, eventCol),
+      groupCols, pairs, maxTimes)
+
+  /** Finalize a (possibly merged) [[Stats.survivalCounts]] table into
+    * the [[conditionalSurvival]] schema — the streaming-readout face. */
+  def conditionalSurvivalFromCounts(counts: DataFrame,
+      groupCols: Seq[String], pairs: Seq[(Double, Double)],
+      maxTimes: Int = 1000): DataFrame = {
+    require(pairs.nonEmpty && pairs.size <= 50 &&
+      pairs.forall { case (t0, s) => t0 >= 0 && s > 0 },
+      s"pairs must be 1..50 (t0 >= 0, s > 0) entries, got $pairs")
+    val g = groupCols.map(col)
+    val grid = Stats.kaplanMeierFromCounts(counts, groupCols, maxTimes)
+      .groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("t"), col("survival"))))
+        .as("__gr"))
+    def sAt(x: Column): Column =
+      aggregate(col("__gr"), lit(1.0), (acc, e) =>
+        when(e.getField("t") <= x, e.getField("survival")).otherwise(acc))
+    grid
+      .withColumn("__p", explode(array(pairs.map { case (t0, s) =>
+        struct(lit(t0).as("t0"), lit(s).as("s")) }: _*)))
+      .select(g ++ Seq(col("__p.t0").as("t0"), col("__p.s").as("s"),
+        col("__gr")): _*)
+      .withColumn("s_t0", sAt(col("t0")))
+      .withColumn("s_t1", sAt(col("t0") + col("s")))
+      .withColumn("cond_survival",
+        when(col("s_t0") > 0.0, col("s_t1") / col("s_t0")))
+      .drop("__gr")
+  }
+
   /** Shared front half: subjects → (t, e, r, bucket) plus the exact
     * per-(group, bucket, t, r) cell counts, with the maxTimes grid
     * fail-fast. Bucket assignment is monotone by risk VALUE (count of

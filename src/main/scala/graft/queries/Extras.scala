@@ -1713,7 +1713,29 @@ object Extras {
       .orderBy("cohort")
   }
 
+  /** Conditional survival over the KM fixture ([[graft.operators
+    * .Concordance.conditionalSurvival]]): P(T > t₀+s | T > t₀) at
+    * three (t₀, s) pairs — two step lookups on the KM grid and one
+    * division; the mirror replays the recursion + lookups. */
+  def cCondSurvival(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    val users = e.groupBy(col("user_id"), col("event_type"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("cohort", concat(lit("c"), pmod(col("user_id"), lit(3))))
+      .withColumn("churned", col("__last") < date_sub(col("__gmax"), 7))
+    graft.operators.Concordance.conditionalSurvival(obs, Seq("cohort"),
+        col("duration"), col("churned"),
+        Seq((10.0, 5.0), (15.0, 10.0), (20.0, 5.0)))
+      .orderBy("cohort", "t0", "s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_cond_survival" -> (cCondSurvival _),
     "c_surv_calibration" -> (cSurvCalibration _),
     "c_smr" -> (cSmr _),
     "c_trend_logrank" -> (cTrendLogRank _),
@@ -2263,6 +2285,56 @@ object Extras {
   }
 
   val oracle: Map[String, String] = Map(
+    // conditional-survival mirror: the KM recursion + two correlated
+    // step lookups per (t0, s) pair + one division
+    "c_cond_survival" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id, event_type),
+        |g AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    duration, last_d < g.gmax - 7 AS ev FROM u CROSS JOIN g),
+        |cnt AS (SELECT cohort, duration AS t,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM obs GROUP BY 1, 2),
+        |ord AS (SELECT cohort, t, d, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY t)
+        |      AS BIGINT) AS i,
+        |    CAST(SUM(d + c) OVER (PARTITION BY cohort) AS BIGINT)
+        |      AS n_total
+        |  FROM cnt),
+        |km AS (
+        |  SELECT cohort, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS used,
+        |    CAST(1 AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS t
+        |  FROM (SELECT DISTINCT cohort FROM ord)
+        |  UNION ALL
+        |  SELECT o.cohort, o.i, km.used + o.d + o.c,
+        |    km.p * (CAST(1 AS DOUBLE) - CAST(o.d AS DOUBLE)
+        |      / CAST(o.n_total - km.used AS DOUBLE)),
+        |    o.t
+        |  FROM km JOIN ord o ON o.cohort = km.cohort AND o.i = km.i + 1),
+        |ps AS (SELECT * FROM (VALUES
+        |    (CAST(10.0 AS DOUBLE), CAST(5.0 AS DOUBLE)),
+        |    (CAST(15.0 AS DOUBLE), CAST(10.0 AS DOUBLE)),
+        |    (CAST(20.0 AS DOUBLE), CAST(5.0 AS DOUBLE))) AS v(t0, s)),
+        |co AS (SELECT DISTINCT cohort FROM obs),
+        |fin AS (SELECT co.cohort, ps.t0, ps.s,
+        |    COALESCE((SELECT km.p FROM km WHERE km.cohort = co.cohort
+        |      AND km.i > 0 AND km.t <= ps.t0
+        |      ORDER BY km.t DESC LIMIT 1), 1.0) AS s_t0,
+        |    COALESCE((SELECT km.p FROM km WHERE km.cohort = co.cohort
+        |      AND km.i > 0 AND km.t <= ps.t0 + ps.s
+        |      ORDER BY km.t DESC LIMIT 1), 1.0) AS s_t1
+        |  FROM co CROSS JOIN ps)
+        |SELECT cohort, t0, s, s_t0, s_t1,
+        |  CASE WHEN s_t0 > 0.0 THEN s_t1 / s_t0 END AS cond_survival
+        |FROM fin ORDER BY cohort, t0, s""".stripMargin,
     // one-calibration mirror: NTILE deciles, quantized prediction
     // means, per-decile KM recursion, arg_max step lookup at h
     "c_surv_calibration" ->

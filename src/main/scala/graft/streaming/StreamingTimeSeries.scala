@@ -965,6 +965,54 @@ object StreamingTimeSeries {
         Seq(groupCol, "look")),
       Seq(groupCol), looks, kind)
 
+  /** Streaming survival-calibration maintenance — the ingestion face
+    * of [[graft.operators.Concordance.survivalCalibrationFromCounts]]:
+    * closed subjects reduce per batch to exact per-(group, bin, t)
+    * (events, censored, quantized-prediction-sum) deltas under
+    * CALLER-FROZEN bin edges (the frozen-model discipline — NTILE
+    * deciles cannot accumulate; a monitoring pipeline pre-registers
+    * its edges). batch_id replay guard as everywhere. */
+  def startCalibrationCountsQuery(events: DataFrame, groupCol: String,
+      durationCol: String, eventCol: String, predCol: String,
+      edges: Seq[Double], targetDir: String, checkpointDir: String) =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Concordance
+          .calibrationCounts(batch.toDF(), Seq(groupCol),
+            col(durationCol), col(eventCol), col(predCol), edges)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$targetDir/calibration_counts")
+      }
+      .start()
+
+  /** Whole-stream calibration table from the stored deltas —
+    * bit-identical to the batch frozen-edges face over all data. */
+  def mergedSurvivalCalibration(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String, horizon: Double): DataFrame =
+    graft.operators.Concordance.survivalCalibrationFromCounts(
+      graft.operators.Concordance.mergeCalibrationCounts(
+        Seq(spark.read.parquet(s"$targetDir/calibration_counts")
+          .dropDuplicates(groupCol, "bin", "t", "batch_id")
+          .drop("batch_id")),
+        Seq(groupCol)),
+      Seq(groupCol), horizon)
+
+  /** Whole-stream conditional survival from the SAME stored survival
+    * deltas the KM/NA readouts maintain — another readout, no new
+    * state. */
+  def mergedConditionalSurvival(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, groupCol: String,
+      pairs: Seq[(Double, Double)]): DataFrame =
+    graft.operators.Concordance.conditionalSurvivalFromCounts(
+      graft.operators.Stats.mergeSurvivalCounts(
+        Seq(spark.read.parquet(s"$targetDir/survival_counts")
+          .dropDuplicates(groupCol, "t", "batch_id")
+          .drop("batch_id")),
+        Seq(groupCol)),
+      Seq(groupCol), pairs)
+
   /** Streaming ratio-metric experiment maintenance — the ingestion
     * face of [[graft.operators.Stats.ratioUplift]]: each micro-batch
     * of CLOSED units' events reduces to per-(group, arm) exact BIGINT

@@ -1837,4 +1837,70 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         "replayed per-look deltas double-counted")
     } finally q.stop()
   }
+
+  test("merged survival calibration (frozen edges) == batch frozen-bins face; replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cal_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cal_ckpt").toString
+    val rng = new scala.util.Random(163)
+    val all = (0 until 400).map { i =>
+      ("g" + (i % 2), (rng.nextInt(20) + 1).toDouble, rng.nextInt(3) != 0,
+        rng.nextInt(100) / 100.0)
+    }
+    val edges = Seq(0.25, 0.5, 0.75)
+    val input = MemoryStream[(String, Double, Boolean, Double)]
+    val q = StreamingTimeSeries.startCalibrationCountsQuery(
+      input.toDF().toDF("g", "dur", "ev", "pred"), "g", "dur", "ev",
+      "pred", edges, dir, ckpt)
+    try {
+      input.addData(all.take(90): _*); q.processAllAvailable()
+      input.addData(all.drop(90): _*); q.processAllAvailable()
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getAs[Int]("bin")) ->
+          r.toSeq.drop(2)).toMap
+      import graft.operators.Concordance
+      val want = m(Concordance.survivalCalibrationFromCounts(
+        Concordance.calibrationCounts(all.toDF("g", "dur", "ev", "pred"),
+          Seq("g"), col("dur"), col("ev"), col("pred"), edges),
+        Seq("g"), horizon = 10.0))
+      assert(m(StreamingTimeSeries.mergedSurvivalCalibration(spark, dir,
+        "g", horizon = 10.0)) == want)
+      // replay collapses
+      spark.read.parquet(s"$dir/calibration_counts")
+        .filter(col("batch_id") === 0L)
+        .write.mode("append").parquet(s"$dir/calibration_counts")
+      assert(m(StreamingTimeSeries.mergedSurvivalCalibration(spark, dir,
+        "g", horizon = 10.0)) == want,
+        "replayed calibration deltas double-counted")
+    } finally q.stop()
+  }
+
+  test("merged conditional survival reads the SAME survival_counts store as KM") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cs_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cs_ckpt").toString
+    val rng = new scala.util.Random(167)
+    val all = (0 until 300).map { i =>
+      ("g" + (i % 2), (rng.nextInt(15) + 1).toDouble, rng.nextInt(4) != 0)
+    }
+    val input = MemoryStream[(String, Double, Boolean)]
+    val q = StreamingTimeSeries.startSurvivalCountsQuery(
+      input.toDF().toDF("g", "dur", "ev"), "g", "dur", "ev", dir, ckpt)
+    try {
+      input.addData(all.take(120): _*); q.processAllAvailable()
+      input.addData(all.drop(120): _*); q.processAllAvailable()
+      val pairs = Seq((4.0, 3.0), (8.0, 4.0))
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getAs[Double]("t0"),
+          r.getAs[Double]("s")) -> r.toSeq.drop(3)).toMap
+      import graft.operators.Concordance
+      val want = m(Concordance.conditionalSurvival(
+        all.toDF("g", "dur", "ev"), Seq("g"), col("dur"), col("ev"),
+        pairs))
+      assert(m(StreamingTimeSeries.mergedConditionalSurvival(spark, dir,
+        "g", pairs)) == want)
+    } finally q.stop()
+  }
 }
