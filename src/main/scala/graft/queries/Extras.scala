@@ -1734,7 +1734,31 @@ object Extras {
       .orderBy("cohort", "t0", "s")
   }
 
+  /** Uno-weighted AUC(t) over the c_auc_t fixture ([[graft.operators
+    * .Concordance.aucTIpcw]]): case weights Ĝ(t⁻)⁻² floor-quantized,
+    * controls unweighted (the common Ĝ(h)⁻² cancels); the mirror
+    * replays the censoring-KM recursion, the per-case floor chain,
+    * and the weighted doubled-credit window sums. */
+  def cAucTIpcw(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+      col("ts").isNotNull)
+    val users = e.groupBy(col("user_id"), col("event_type"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("double").as("duration"),
+        max(to_date(col("ts"))).as("__last"),
+        count(lit(1)).cast("double").as("risk"))
+    val horizon = e.agg(max(to_date(col("ts"))).as("__gmax"))
+    val obs = users.crossJoin(broadcast(horizon))
+      .withColumn("cohort", concat(lit("c"), pmod(col("user_id"), lit(3))))
+      .withColumn("churned", col("__last") < date_sub(col("__gmax"), 7))
+    graft.operators.Concordance.aucTIpcw(obs, Seq("cohort"),
+        col("duration"), col("churned"), col("risk"),
+        Seq(15.0, 20.0, 25.0))
+      .orderBy("cohort", "h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_auc_t_ipcw" -> (cAucTIpcw _),
     "c_cond_survival" -> (cCondSurvival _),
     "c_surv_calibration" -> (cSurvCalibration _),
     "c_smr" -> (cSmr _),
@@ -2285,6 +2309,74 @@ object Extras {
   }
 
   val oracle: Map[String, String] = Map(
+    // Uno-weighted AUC(t) mirror: censoring-KM recursion, per-case
+    // quantized weights, weighted doubled-credit window sums
+    "c_auc_t_ipcw" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS DOUBLE) AS duration,
+        |    MAX(CAST(ts AS DATE)) AS last_d,
+        |    CAST(COUNT(*) AS DOUBLE) AS risk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id, event_type),
+        |g AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    duration, last_d < g.gmax - 7 AS ev, risk
+        |  FROM u CROSS JOIN g),
+        |cnt AS (SELECT cohort, duration AS t,
+        |    CAST(SUM(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1, 2),
+        |ord AS (SELECT cohort, t, d, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY t)
+        |      AS BIGINT) AS i,
+        |    CAST(SUM(d + c) OVER (PARTITION BY cohort) AS BIGINT)
+        |      AS n_total
+        |  FROM cnt),
+        |km AS (
+        |  SELECT cohort, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS used,
+        |    CAST(1 AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS t
+        |  FROM (SELECT DISTINCT cohort FROM ord)
+        |  UNION ALL
+        |  SELECT o.cohort, o.i, km.used + o.d + o.c,
+        |    km.p * (CAST(1 AS DOUBLE) - CAST(o.d AS DOUBLE)
+        |      / CAST(o.n_total - km.used AS DOUBLE)),
+        |    o.t
+        |  FROM km JOIN ord o ON o.cohort = km.cohort AND o.i = km.i + 1),
+        |lab AS (SELECT cohort, h, risk, duration,
+        |    duration <= h AND ev AS is_case
+        |  FROM obs CROSS JOIN (VALUES (CAST(15.0 AS DOUBLE)),
+        |    (CAST(20.0 AS DOUBLE)), (CAST(25.0 AS DOUBLE))) AS hs(h)
+        |  WHERE (duration <= h AND ev) OR duration > h),
+        |rows2 AS (SELECT cohort, h, risk AS x,
+        |    CASE WHEN is_case THEN CAST(FLOOR((1.0 / (gtm * gtm))
+        |      * 1000000.0) AS BIGINT) ELSE 0 END AS qa,
+        |    CASE WHEN is_case THEN 0 ELSE 1 END AS c2,
+        |    CASE WHEN is_case THEN 1 ELSE 0 END AS c1
+        |  FROM (SELECT l.*, COALESCE((SELECT km.p FROM km
+        |      WHERE km.cohort = l.cohort AND km.i > 0
+        |        AND km.t < l.duration
+        |      ORDER BY km.t DESC LIMIT 1), 1.0) AS gtm
+        |    FROM lab l) s),
+        |cells AS (SELECT cohort, h, x, CAST(SUM(qa) AS BIGINT) AS qa,
+        |    CAST(SUM(c2) AS BIGINT) AS c2, CAST(SUM(c1) AS BIGINT) AS c1
+        |  FROM rows2 GROUP BY 1, 2, 3),
+        |wc AS (SELECT cohort, h, qa, c2, c1,
+        |    CAST(SUM(c2) OVER (PARTITION BY cohort, h ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+        |  FROM cells),
+        |agg AS (SELECT cohort, h,
+        |    CAST(SUM(qa * (2 * (cum2 - c2) + c2)) AS BIGINT) AS num,
+        |    CAST(SUM(qa) AS BIGINT) AS w,
+        |    CAST(SUM(c2) AS BIGINT) AS n_controls,
+        |    CAST(SUM(c1) AS BIGINT) AS n_cases
+        |  FROM wc GROUP BY 1, 2)
+        |SELECT cohort, h, n_cases, n_controls,
+        |  CASE WHEN w > 0 AND n_controls > 0 THEN
+        |    CAST(num AS DOUBLE) / (2.0 * CAST(w AS DOUBLE)
+        |      * CAST(n_controls AS DOUBLE)) END AS auc_ipcw
+        |FROM agg ORDER BY cohort, h""".stripMargin,
     // conditional-survival mirror: the KM recursion + two correlated
     // step lookups per (t0, s) pair + one division
     "c_cond_survival" ->

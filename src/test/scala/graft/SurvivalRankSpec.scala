@@ -177,6 +177,54 @@ class SurvivalRankSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("r"), Seq(25.0)).head().getAs[Double]("auc") == 1.0)
   }
 
+  test("aucTIpcw equals a naive weighted replay; equals unweighted aucT when nothing censors") {
+    import spark.implicits._
+    val rs = lcg(43).map(math.abs).take(3 * 300).toSeq
+    val subs = rs.grouped(3).map { case Seq(a, b, c) =>
+      ("g", (a % 18 + 1).toDouble, b % 3 != 0, (c % 25).toDouble)
+    }.toSeq
+    val df = subs.toDF("g", "t", "e", "r")
+    val hs = Seq(6.0, 12.0)
+    val out = Concordance.aucTIpcw(df, Seq("g"), col("t"), col("e"),
+      col("r"), hs).collect()
+      .map(r => r.getAs[Double]("h") -> r.getAs[Double]("auc_ipcw")).toMap
+    // replay: censoring KM then the quantized weighted pair sum
+    val n = subs.size
+    val grid = subs.groupBy(_._2).map { case (t, xs) =>
+      (t, xs.count(!_._3).toLong, xs.count(_._3).toLong)
+    }.toSeq.sortBy(_._1)
+    var used = 0L; var p = 1.0
+    val gSteps = grid.map { case (t, d, c) =>
+      p = p * (1.0 - d.toDouble / (n - used)); used += d + c; (t, p)
+    }
+    def gtm(x: Double): Double = gSteps.foldLeft(1.0) {
+      case (acc, (t, s)) => if (t < x) s else acc }
+    for (h <- hs) {
+      val cases = subs.filter(s => s._2 <= h && s._3)
+      val ctrls = subs.filter(s => s._2 > h).map(_._4)
+      var num = 0L; var w = 0L
+      for ((_, t, _, r) <- cases) {
+        val qa = math.floor((1.0 / (gtm(t) * gtm(t))) * 1e6).toLong
+        w += qa
+        val strict = ctrls.count(_ < r).toLong
+        val tie = ctrls.count(_ == r).toLong
+        num += qa * (2 * strict + tie)
+      }
+      assert(out(h) ==
+        num.toDouble / (2.0 * w.toDouble * ctrls.size.toDouble), s"h=$h")
+    }
+    // all-event data: every weight is 1/Ĝ(t⁻)² with Ĝ ≡ 1 ⇒ the
+    // weighted statistic IS the unweighted aucT
+    val unc = subs.map(s => (s._1, s._2, true, s._4)).toDF("g", "t", "e", "r")
+    val a1 = Concordance.aucTIpcw(unc, Seq("g"), col("t"), col("e"),
+      col("r"), hs).collect()
+      .map(r => r.getAs[Double]("h") -> r.getAs[Double]("auc_ipcw")).toMap
+    val a0 = Concordance.aucT(unc, Seq("g"), col("t"), col("e"),
+      col("r"), hs).collect()
+      .map(r => r.getAs[Double]("h") -> r.getAs[Double]("auc")).toMap
+    for (h <- hs) assert(a1(h) == a0(h), s"uncensored mismatch at h=$h")
+  }
+
   test("brierIpcw matches a single-threaded IPCW replay; uncensored data needs no weights") {
     import spark.implicits._
     val rs = lcg(29).map(math.abs).take(3 * 300).toSeq
