@@ -77,6 +77,10 @@ object ConcordanceProbe {
       exec(graft.operators.Concordance.aucT(surv, Seq("g"), col("t"),
         col("e"), col("risk"), Seq(50.0, 150.0, 250.0)))
     }
+    timedShuffled("auc_t_ipcw_1M_3h") {
+      exec(graft.operators.Concordance.aucTIpcw(surv, Seq("g"),
+        col("t"), col("e"), col("risk"), Seq(50.0, 150.0, 250.0)))
+    }
     timedShuffled("brier_t_1M_3h") {
       val hs = Seq(50.0, 150.0, 250.0)
       val withPred = surv.withColumn("pred", array(hs.map(h =>

@@ -1718,6 +1718,110 @@ object Stats {
       .withColumnRenamed("n2", "n_neg")
       .drop("r1_x2", "u1", "z")
 
+  /** Partial AUC at a false-positive-rate cap per group (McClish,
+    * Med. Decis. Making 1989 — the production-eval variant of [[auc]]:
+    * when only the top of the ranking ships, full AUC rewards
+    * irrelevant tail ordering). The empirical estimand: keep the
+    * k = ⌊fpr·n_neg⌋ HIGHEST-scoring negatives (the hard negatives a
+    * threshold at that FPR would admit, selected DETERMINISTICALLY by
+    * (score desc, id) — the qiniCurve tie-break convention) and
+    * compute the exact midrank pair statistic of positives against
+    * just those:
+    *
+    *   pAUC = [#(s⁺ > s⁻ₖ) + ½ ties] / (n_pos·k)       (∈ [0, 1])
+    *   pauc_std = (1 + (pAUC − ½)/... ) — NOT emitted: McClish
+    *   standardization is a fixed affine map callers can apply; the
+    *   raw conditional probability is the portable number.
+    *
+    * One ranking window + the [[mannWhitneyU]] machinery — exact
+    * BIGINTs, one division. Null when a class (or k) is empty.
+    *
+    * Output: groups... + (n_pos, n_neg, k_neg, pauc). */
+  def partialAuc(df: DataFrame, groupCols: Seq[String], score: Column,
+      label: Column, idCol: Column, fpr: Double): DataFrame = {
+    require(fpr > 0.0 && fpr <= 1.0, s"fpr in (0,1], got $fpr")
+    val g = groupCols.map(col)
+    val l = label.cast("boolean")
+    val base = df.filter(score.isNotNull && l.isNotNull && idCol.isNotNull)
+      .select(g ++ Seq(score.cast("double").as("__s"), l.as("__l"),
+        idCol.as("__id")): _*)
+    val wNeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__s").desc, col("__id").asc)
+    val negRanked = base.filter(!col("__l"))
+      .withColumn("__rn", row_number().over(wNeg))
+      .withColumn("__nneg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
+      .withColumn("__k", floor(col("__nneg").cast("double") * lit(fpr))
+        .cast("long"))
+    val kept = negRanked.filter(col("__rn") <= col("__k"))
+      .select(g ++ Seq(col("__s"), col("__l"), col("__nneg"),
+        col("__k")): _*)
+    val pos = base.filter(col("__l"))
+      .select(g ++ Seq(col("__s"), col("__l"),
+        lit(null).cast("long").as("__nneg"),
+        lit(null).cast("long").as("__k")): _*)
+    val res = auc(pos.unionByName(kept), g, col("__s"), col("__l"))
+      .withColumnRenamed("auc", "pauc")
+      .withColumnRenamed("n_neg", "k_neg")
+    val negTotals = negRanked.groupBy(g: _*)
+      .agg(max(col("__nneg")).as("n_neg"))
+    res.join(negTotals, groupCols, "left")
+      .select(g ++ Seq(col("n_pos"), coalesce(col("n_neg"), lit(0L))
+        .as("n_neg"), col("k_neg"), col("pauc")): _*)
+  }
+
+  /** Required sample size per arm for a two-proportion test per group
+    * (the classic normal-approximation design formula every experiment
+    * platform quotes): with the OBSERVED baseline rate p̂ as control,
+    * p₂ = p̂ + mde, p̄ = (p̂+p₂)/2,
+    *
+    *   n/arm = ⌈ (z_{α/2}·√(2·p̄(1−p̄)) + z_β·√(p̂(1−p̂)+p₂(1−p₂)))²
+    *             / mde² ⌉
+    *
+    * z quantiles come from LITERAL published constants (the
+    * group-sequential-table convention — no erf in-plan): α two-sided
+    * ∈ {0.05 → 1.959963984540054, 0.01 → 2.5758293035489004}, power ∈
+    * {0.8 → 0.8416212335705798, 0.9 → 1.2815515655446004}. Baseline
+    * counts are exact BIGINTs; the tail is fixed-order +,·,/,√ —
+    * hashes unrounded. n_required null when the baseline is degenerate
+    * or p₂ leaves (0,1).
+    *
+    * Output: groups... + (n, x, p_hat, mde, n_required). */
+  def requiredSampleSize(df: DataFrame, groupCols: Seq[Column],
+      outcome: Column, mde: Double, alpha: Double = 0.05,
+      power: Double = 0.8): DataFrame = {
+    require(mde != 0.0 && math.abs(mde) < 1.0,
+      s"mde nonzero in (-1,1), got $mde")
+    val zA = alpha match {
+      case 0.05 => 1.959963984540054
+      case 0.01 => 2.5758293035489004
+      case a => throw new IllegalArgumentException(
+        s"alpha in {0.05, 0.01} (literal z table), got $a")
+    }
+    val zB = power match {
+      case 0.8 => 0.8416212335705798
+      case 0.9 => 1.2815515655446004
+      case p => throw new IllegalArgumentException(
+        s"power in {0.8, 0.9} (literal z table), got $p")
+    }
+    val o = outcome.cast("boolean")
+    val agg = df.filter(o.isNotNull)
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(o, 1L).otherwise(0L)).as("x"))
+    val p1 = col("x").cast("double") / col("n").cast("double")
+    val p2 = p1 + lit(mde)
+    val pBar = (p1 + p2) / lit(2.0)
+    val num = lit(zA) * sqrt(lit(2.0) * pBar * (lit(1.0) - pBar)) +
+      lit(zB) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    agg
+      .withColumn("p_hat", p1)
+      .withColumn("mde", lit(mde))
+      .withColumn("n_required",
+        when(p1 > 0.0 && p1 < 1.0 && p2 > 0.0 && p2 < 1.0,
+          ceil(num * num / lit(mde * mde)).cast("long")))
+  }
+
   /** Spearman rank correlation per group — the monotone-association
     * complement to [[crossCorr]]'s linear Pearson: does y tend to
     * increase with x at all, judged on ranks, so any monotone transform

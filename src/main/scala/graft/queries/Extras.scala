@@ -1757,7 +1757,32 @@ object Extras {
       .orderBy("cohort", "h")
   }
 
+  /** Partial AUC at FPR ≤ 0.2 per source ([[graft.operators.Stats
+    * .partialAuc]]): the a_auc_length fixture restricted to the
+    * hardest 20% of negatives — deterministic (score desc, doc_id)
+    * selection, then the exact midrank machinery. */
+  def aPartialAuc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.partialAuc(
+        t(s, dir, "documents").filter(col("n_chars").isNotNull &&
+          col("doc_id").isNotNull),
+        Seq("source"), col("n_chars"),
+        coalesce(col("lang") === "en", lit(false)), col("doc_id"),
+        fpr = 0.2)
+      .orderBy("source")
+
+  /** Required per-arm sample size per event type ([[graft.operators
+    * .Stats.requiredSampleSize]]): observed high-value rate as the
+    * baseline, mde = 2pp at α=0.05 / power 0.8 — literal z constants,
+    * exact counts, √-only tail. */
+  def aSampleSize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.requiredSampleSize(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        Seq(col("event_type")), col("value") > 50.0, mde = 0.02)
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_partial_auc" -> (aPartialAuc _),
+    "a_sample_size" -> (aSampleSize _),
     "c_auc_t_ipcw" -> (cAucTIpcw _),
     "c_cond_survival" -> (cCondSurvival _),
     "c_surv_calibration" -> (cSurvCalibration _),
@@ -2309,6 +2334,72 @@ object Extras {
   }
 
   val oracle: Map[String, String] = Map(
+    // partial-AUC mirror: deterministic hard-negative selection +
+    // the doubled-midrank machinery on the restricted pool
+    "a_partial_auc" ->
+      """WITH b AS (SELECT source, CAST(n_chars AS DOUBLE) AS s,
+        |    COALESCE(lang = 'en', FALSE) AS l, doc_id
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |    AND doc_id IS NOT NULL),
+        |neg AS (SELECT source, s, l,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+        |      AS nneg
+        |  FROM b WHERE NOT l),
+        |keep AS (SELECT source, s, l FROM neg
+        |  WHERE rn <= CAST(FLOOR(CAST(nneg AS DOUBLE) * 0.2)
+        |    AS BIGINT)),
+        |pool AS (SELECT source, s, l FROM b WHERE l
+        |  UNION ALL SELECT source, s, l FROM keep),
+        |d AS (SELECT source, s AS x,
+        |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN NOT l THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c2,
+        |    CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM pool GROUP BY 1, 2),
+        |w AS (SELECT source, c1, c2, t,
+        |    CAST(SUM(t) OVER (PARTITION BY source ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d),
+        |a AS (SELECT source, CAST(SUM(c1) AS BIGINT) AS n_pos,
+        |    CAST(SUM(c2) AS BIGINT) AS k_neg,
+        |    CAST(SUM(c1 * (2 * cum - t + 1)) AS BIGINT) AS r1_x2
+        |  FROM w GROUP BY 1),
+        |nt AS (SELECT source, CAST(MAX(nneg) AS BIGINT) AS n_neg
+        |  FROM neg GROUP BY 1)
+        |SELECT a.source, n_pos, COALESCE(n_neg, 0) AS n_neg, k_neg,
+        |  CASE WHEN n_pos > 0 AND k_neg > 0 THEN
+        |    (CAST(r1_x2 - n_pos * (n_pos + 1) AS DOUBLE) / 2.0)
+        |      / (CAST(n_pos AS DOUBLE) * CAST(k_neg AS DOUBLE))
+        |  END AS pauc
+        |FROM a LEFT JOIN nt ON a.source = nt.source
+        |ORDER BY a.source""".stripMargin,
+    // sample-size mirror: literal z constants + the same fixed-order
+    // normal-approximation formula over exact counts
+    "a_sample_size" ->
+      """WITH agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |f AS (SELECT event_type, n, x,
+        |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p1
+        |  FROM agg)
+        |SELECT event_type, n, x, p1 AS p_hat,
+        |  CAST(0.02 AS DOUBLE) AS mde,
+        |  CASE WHEN p1 > 0.0 AND p1 < 1.0 AND p1 + 0.02 > 0.0
+        |      AND p1 + 0.02 < 1.0 THEN
+        |    CAST(CEIL(
+        |      (1.959963984540054 * SQRT(2.0 * ((p1 + (p1 + 0.02)) / 2.0)
+        |          * (1.0 - (p1 + (p1 + 0.02)) / 2.0))
+        |        + 0.8416212335705798 * SQRT(p1 * (1.0 - p1)
+        |          + (p1 + 0.02) * (1.0 - (p1 + 0.02))))
+        |      * (1.959963984540054 * SQRT(2.0 * ((p1 + (p1 + 0.02)) / 2.0)
+        |          * (1.0 - (p1 + (p1 + 0.02)) / 2.0))
+        |        + 0.8416212335705798 * SQRT(p1 * (1.0 - p1)
+        |          + (p1 + 0.02) * (1.0 - (p1 + 0.02))))
+        |      / (0.02 * 0.02)) AS BIGINT)
+        |  END AS n_required
+        |FROM f ORDER BY event_type""".stripMargin,
     // Uno-weighted AUC(t) mirror: censoring-KM recursion, per-case
     // quantized weights, weighted doubled-credit window sums
     "c_auc_t_ipcw" ->

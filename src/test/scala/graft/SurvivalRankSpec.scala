@@ -487,6 +487,57 @@ class SurvivalRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("partialAuc: fpr=1 equals full AUC; naive replay on the hard-negative pool") {
+    import spark.implicits._
+    val rs = lcg(47).map(math.abs).take(2 * 400).toSeq
+    val subs = rs.grouped(2).zipWithIndex.map { case (Seq(a, b), i) =>
+      ("g", (a % 30).toDouble, b % 3 == 0, i.toLong)
+    }.toSeq
+    val df = subs.toDF("g", "s", "l", "id")
+    val full = Stats.auc(df, Seq(col("g")), col("s"), col("l"))
+      .head().getAs[Double]("auc")
+    val p1 = Stats.partialAuc(df, Seq("g"), col("s"), col("l"),
+      col("id"), fpr = 1.0).head()
+    assert(p1.getAs[Double]("pauc") == full)
+    assert(p1.getAs[Long]("k_neg") == p1.getAs[Long]("n_neg"))
+    // naive replay at fpr = 0.3: hard negatives by (score desc, id)
+    val out = Stats.partialAuc(df, Seq("g"), col("s"), col("l"),
+      col("id"), fpr = 0.3).head()
+    val negs = subs.filter(!_._3).sortBy(s => (-s._2, s._4))
+    val k = (negs.size * 0.3).toInt
+    val kept = negs.take(k).map(_._2)
+    val poss = subs.filter(_._3).map(_._2)
+    var num = 0.0
+    for (x <- poss; y <- kept)
+      num += (if (x > y) 1.0 else if (x == y) 0.5 else 0.0)
+    assert(out.getAs[Long]("k_neg") == k)
+    assert(out.getAs[Double]("pauc") ==
+      num / (poss.size.toDouble * k))
+    // hard negatives only ⇒ pAUC can only be ≤ the full ranking's AUC
+    assert(out.getAs[Double]("pauc") <= full)
+  }
+
+  test("requiredSampleSize replays the design formula; smaller mde needs more subjects") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ("g", i % 10 < 3)).toDF("g", "o")
+    def run(mde: Double) = Stats.requiredSampleSize(df, Seq(col("g")),
+      col("o"), mde).head().getAs[Long]("n_required")
+    val got = run(0.02)
+    // replay: p̂ = 0.3
+    val p1 = 0.3; val p2 = 0.32; val pBar = (p1 + p2) / 2.0
+    val num = 1.959963984540054 * math.sqrt(2.0 * pBar * (1.0 - pBar)) +
+      0.8416212335705798 * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+    assert(got == math.ceil(num * num / (0.02 * 0.02)).toLong)
+    assert(got > 8000L && got < 9500L, s"implausible n: $got")
+    assert(run(0.01) > got && run(0.05) < got)
+    // unsupported alpha raises
+    val ex = intercept[IllegalArgumentException] {
+      Stats.requiredSampleSize(df, Seq(col("g")), col("o"), 0.02,
+        alpha = 0.10)
+    }
+    assert(ex.getMessage.contains("literal z table"))
+  }
+
   // ----------------------------------------------------- group-sequential
 
   test("groupSequentialTest: OBF rejects late what Pocock rejects early") {
