@@ -267,9 +267,14 @@ object Tpch {
           .select(col("o_orderkey"), col("o_custkey"),
             year(col("o_orderdate")).as("o_year")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+      // r15 optimization (guide §2.3): the ASIA nation filter used to run
+      // AFTER the o_custkey shuffle join — pre-filtering customer with the
+      // broadcast nation-key dim first (inner joins commute) shrinks the
+      // customer side of that exchange to the ASIA fraction.
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey")
+          .join(broadcast(asiaNationKeys), col("c_nationkey") === col("c_nk"))
+          .select("c_custkey"),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(asiaNationKeys), col("c_nationkey") === col("c_nk"))
       .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
@@ -471,9 +476,6 @@ object Tpch {
     * per-part minima relation is |parts|-sized and joins on partkey
     * (AQE is free to broadcast it at low SF). */
   def q2ShapeMinCostSupplier(s: SparkSession, dir: String): DataFrame = {
-    val catalog = t(s, dir, "lineitem")
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(dec("l_extendedprice")).as("supplycost"))
     val regionSupp = t(s, dir, "supplier")
       .join(broadcast(t(s, dir, "nation")
           .join(broadcast(t(s, dir, "region")
@@ -484,6 +486,27 @@ object Tpch {
       .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     val sized = t(s, dir, "part")
       .filter(col("p_size") === 23).select("p_partkey")
+    // r15 optimization (guide §2.3/§3.2): both final filters COMMUTE
+    // with the catalog aggregate, so they now prune its input before
+    // the (partkey, suppkey) exchange instead of after it:
+    //   - p_size = 23 filters on l_partkey, a group key — per-part
+    //     minima over region suppliers are computed from exactly the
+    //     same rows for every surviving part, and non-sized parts were
+    //     dropped by the final broadcast(sized) join anyway;
+    //   - the EUROPE supplier restriction filters on l_suppkey, a group
+    //     key, and `regional` applied it to EVERY catalog row before
+    //     minc, so filtering earlier keeps minc's per-part input
+    //     identical (s_suppkey is unique in supplier — a semi-filter,
+    //     not a fan-out).
+    // Plan diff: the full-lineitem aggregate exchange becomes a
+    // doubly-pruned one (~|sized|/|parts| × EUROPE fraction of rows).
+    val catalog = t(s, dir, "lineitem")
+      .join(broadcast(sized.select(col("p_partkey").as("sp_partkey"))),
+        col("l_partkey") === col("sp_partkey"), "left_semi")
+      .join(broadcast(regionSupp.select(col("s_suppkey").as("rs_suppkey"))),
+        col("l_suppkey") === col("rs_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(dec("l_extendedprice")).as("supplycost"))
     val regional = catalog
       .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
     val minc = regional.groupBy(col("l_partkey").as("m_partkey"))
@@ -570,7 +593,17 @@ object Tpch {
       .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
       .groupBy("l_partkey", "l_suppkey")
       .agg(sum(col("l_quantity")).as("recent_qty"))
+    // r15 optimization (guide §2.3/§3.2): the all-time aggregate used to
+    // scan FULL lineitem, but it inner-joins `recent` on the pair key and
+    // every recent pair already has l_partkey ∈ smallParts — so the same
+    // broadcast semi-filter prunes the all-time side's input (and its
+    // pair-key exchange) to the small-part fraction without dropping any
+    // matching pair or changing a surviving pair's SUM (the filter is on
+    // a group key). Plan diff: both pair aggregates now sit above the
+    // broadcast prune; the all-time exchange shrinks ~|small|/|parts|.
     val allTime = li
+      .join(broadcast(smallParts.select(col("p_partkey").as("ap_partkey"))),
+        col("l_partkey") === col("ap_partkey"), "left_semi")
       .groupBy(col("l_partkey").as("a_partkey"),
         col("l_suppkey").as("a_suppkey"))
       .agg(sum(col("l_quantity")).as("all_qty"))
@@ -604,12 +637,22 @@ object Tpch {
     * sides; orders arrives last on the orderkey shuffle. Profit terms
     * stay DECIMAL through the sum, one double cast at the end. */
   def q9ShapeProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val rodParts = t(s, dir, "part")
+      .filter(col("p_name").contains("rod")).select("p_partkey")
+    // r15 optimization (guide §2.3/§3.2): the catalog aggregate used to
+    // scan FULL lineitem — but every catalog row whose partkey fails the
+    // rod filter is dropped by the downstream inner join anyway, and
+    // l_partkey is a GROUP KEY, so a broadcast semi-filter before the
+    // groupBy prunes the aggregate's input (and its (partkey, suppkey)
+    // exchange) to the rod fraction without changing any surviving
+    // group's MIN. Plan diff: the catalog-side scan now carries the
+    // broadcast prune; the aggregate exchange shrinks ~|rod|/|parts|.
     val catalog = t(s, dir, "lineitem")
+      .join(broadcast(rodParts.select(col("p_partkey").as("cp_partkey"))),
+        col("l_partkey") === col("cp_partkey"), "left_semi")
       .groupBy(col("l_partkey").as("c_partkey"),
         col("l_suppkey").as("c_suppkey"))
       .agg(min(dec("l_extendedprice")).as("supplycost"))
-    val rodParts = t(s, dir, "part")
-      .filter(col("p_name").contains("rod")).select("p_partkey")
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         revenueTerm.as("rev"), dec("l_quantity").as("qty"))
