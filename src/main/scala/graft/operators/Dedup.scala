@@ -897,11 +897,12 @@ object Dedup {
     * [[TextAnalysis.duplicateWindows]] (hash + counts only) points to
     * with "join back on the hash to locate spans".
     *
-    * Scale: the corpus-wide shuffle keys are md5 digests (hex, for
-    * engine-portable oracling — swap [[md5Hash60]]'s xxhash64 in when
-    * portability is not needed) with map-side partial counts; the
-    * islands window partitions BY DOCUMENT, so no global sort exists.
-    * Shuffled rows are (id, pos, hash) — never text.
+    * Scale: the corpus-wide shuffle keys are 8-byte xxhash64 digests
+    * (see [[shingleHits]] — equality-only use, so no engine-portable
+    * hex needed); the frequency filter is one window count partitioned
+    * by digest and the islands window partitions BY DOCUMENT, so no
+    * global sort exists. Shuffled rows are (id, pos, hash) — never
+    * text.
     *
     * Output: one maximal duplicated span per row — (id, span_start,
     * span_end, n_shingles) in 0-based token coordinates; span length in
@@ -915,23 +916,41 @@ object Dedup {
     df.select(idCol.as("id"), tk.as("tk"))
   }
 
-  /** (id, pos, h) md5 digests of all w-shingles over [[spanTokens]] —
-    * the shared front half of the three span operators. */
+  /** (id, pos, h) 64-bit digests of all w-shingles over [[spanTokens]] —
+    * the shared front half of the three span operators. xxhash64 (r16):
+    * the digest never surfaces in any output — every span operator only
+    * tests digest EQUALITY — so the engine-portable md5 hex the oracle
+    * replays is not needed Spark-side, and an 8-byte long both hashes
+    * ~5× cheaper per shingle and shuffles 6× narrower than 32-char hex
+    * (guide §2.3 narrower types). Results are identical short of a
+    * 64-bit collision between distinct shingle strings (~n²/2⁶⁵; at 10⁸
+    * distinct shingles odds are ~3·10⁻⁴, and the oracle gate would
+    * surface one at test SFs). */
   private def shingleHits(toks: DataFrame, w: Int): DataFrame = {
     val shingleArr = when(size(col("tk")) < w,
         array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(col("tk")) - w),
-        i => md5(array_join(slice(col("tk"), i + lit(1), lit(w)), " "))))
-    toks.select(col("id"), posexplode(shingleArr).as(Seq("pos", "h")))
+        i => array_join(slice(col("tk"), i + lit(1), lit(w)), " ")))
+    toks.select(col("id"), posexplode(shingleArr).as(Seq("pos", "s")))
+      .select(col("id"), col("pos"), xxhash64(col("s")).as("h"))
   }
 
   def duplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
       w: Int = 5, minShingles: Int = 3): DataFrame = {
     require(w >= 1 && minShingles >= 1, "w and minShingles must be >= 1")
     val sh = shingleHits(spanTokens(df, idCol, textCol), w)
-    val dup = sh.groupBy("h").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= 2).select("h")
-    val hits = sh.join(dup, Seq("h"), "left_semi")
+    // corpus-frequency filter as ONE window count over the digest
+    // (r16, guide §2.4): the former groupBy(h)+left-semi-join form
+    // planned the whole scan→tokenize→digest→explode subtree TWICE
+    // (once under the aggregate, once as the join's probe side — Spark
+    // does not share subtrees) and broadcast every duplicated digest.
+    // The window keys the same exchange volume ((id, pos, h) longs),
+    // runs the expensive subtree once, and drops the broadcast — which
+    // at 100 TB would hold every duplicated digest on the driver.
+    val hits = sh
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("__c") >= 2)
+      .select("id", "pos")
     val rn = row_number().over(Window.partitionBy("id").orderBy("pos"))
     hits.withColumn("__grp", col("pos") - rn)
       .groupBy("id", "__grp")

@@ -60,6 +60,17 @@ object TextLLM {
 
   def tBpeEncode(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
+      .select("doc_id", "text")
+      // SORT FIRST, encode after (r16, guide §1.4/§2.4): a global sort's
+      // range exchange runs a SAMPLING job over its child to compute
+      // partition bounds, so everything below the exchange executes
+      // twice — with the encode below the orderBy (the old shape) the
+      // whole 10-pass replace chain ran 2× per row (plan: the expensive
+      // Project sat under Exchange rangepartitioning). Sorting the bare
+      // (doc_id, text) scan and projecting the encode ABOVE the Sort
+      // runs the chain exactly once; Catalyst keeps Project above Sort,
+      // and a projection preserves the sorted order the query declares.
+      .orderBy("doc_id")
       // enc staged ONCE and referenced twice (count + md5). Measured
       // neutral at sf0.1 — replace() is codegen'd, so whole-stage
       // subexpression elimination already deduped the two identical
@@ -71,7 +82,6 @@ object TextLLM {
       .select(col("doc_id"),
         Bpe.bpeTokenCountFromEncoded(col("enc")).as("n_bpe_tokens"),
         md5(col("enc").cast("binary")).as("enc_md5"))
-      .orderBy("doc_id")
 
   def tQualityStopwords(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
