@@ -64,10 +64,56 @@ object Dedup {
       k: Int): DataFrame = {
     val toks = df.select(idCol.as("id"),
       TextAnalysis.wsTokens(TextAnalysis.normalized(textCol)).as("toks"))
+    // shingle building + per-doc distinct as ONE JVM udf (r16, guide §4):
+    // the Catalyst form (transform-lambda of concat_ws slices, then
+    // array_distinct) is interpreted per element — profiled at sf0.1 it
+    // was +0.51 s over the token pass, vs ~0.1 s for the JVM loop; the
+    // tokenization itself STAYS a Catalyst expression so its regex
+    // semantics (and the oracle mirrors) are untouched. Same contract as
+    // explode(array_distinct(shinglesFromTokens)): <k tokens → the single
+    // all-tokens shingle, first-occurrence order, null toks → no rows.
     val shingles = toks.select(col("id"),
-      shinglesFromTokens(col("toks"), k).as("shingles"))
-    shingles.select(col("id"), explode(array_distinct(col("shingles"))).as("sh"))
+      explode(distinctShinglesUdf(k)(col("toks"))).as("sh"))
+    shingles
   }
+
+  /** JVM twin of `array_distinct(shinglesFromTokens(toks, k))` — see
+    * [[shinglePosting]]. One LinkedHashSet pass preserves the
+    * first-occurrence order array_distinct guarantees.
+    *
+    * MEMOIZED per k: ScalaUDF expressions canonicalize by FUNCTION
+    * REFERENCE, so a fresh closure per call would make two invocations
+    * of the same query build non-matching plans — CacheManager then
+    * misses on the minhash pipelines' `.cache()`d postings and every
+    * run re-materializes (measured 4× on d_minhash_neardups) while the
+    * orphaned old entries pile up in storage memory. */
+  private val shingleUdfByK =
+    new java.util.concurrent.ConcurrentHashMap[Int,
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
+  private def distinctShinglesUdf(k: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    shingleUdfByK.computeIfAbsent(k, buildShingleUdf(_))
+  private def buildShingleUdf(k: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((toks: Seq[String]) =>
+      if (toks == null) null
+      else if (toks.length < k) Array(toks.mkString(" "))
+      else {
+        val arr = toks.toArray
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i <= arr.length - k) {
+          val sb = new java.lang.StringBuilder
+          var j = i
+          while (j < i + k) {
+            if (j > i) sb.append(' ')
+            sb.append(arr(j)); j += 1
+          }
+          seen.add(sb.toString): Unit
+          i += 1
+        }
+        seen.toArray(new Array[String](seen.size()))
+      })
 
   /** The k-shingle array over a token column (pre-distinct). `toks` MUST
     * be a materialized attribute (a staged `withColumn`/projection), not
