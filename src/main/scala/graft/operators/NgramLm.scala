@@ -36,13 +36,31 @@ object NgramLm {
         struct(element_at(toks, i + 1).as("w1"),
           element_at(toks, i + 2).as("w2"))))
 
+  /** Bigram-struct row for [[bigramStructsUdf]]. */
+  private case class Bg(w1: String, w2: String)
+
+  /** JVM twin of [[bigramsFromTokens]] (r16, guide §4): the HOF form is
+    * interpreted per element; the JVM loop profiled 3× faster on the
+    * sibling string-bigram shape. STABLE single instance — ScalaUDF
+    * canonicalizes by function reference, so a fresh closure per call
+    * would break plan-cache/exchange reuse (the Dedup.shinglePosting
+    * lesson). Same contract: <2 tokens → empty, null toks → empty
+    * (both explode to zero rows). */
+  private val bigramStructsUdf =
+    udf((toks: Seq[String]) =>
+      if (toks == null || toks.length < 2) Array.empty[Bg]
+      else {
+        val arr = toks.toArray
+        Array.tabulate(arr.length - 1)(i => Bg(arr(i), arr(i + 1)))
+      })
+
   private def tokenized(df: DataFrame, idCol: Column, textCol: Column) =
     df.select(idCol.as("id"),
       TextAnalysis.wsTokens(TextAnalysis.normalized(textCol)).as("toks"))
 
   private def transitions(df: DataFrame, idCol: Column, textCol: Column) =
     tokenized(df, idCol, textCol)
-      .select(col("id"), explode(bigramsFromTokens(col("toks"))).as("bg"))
+      .select(col("id"), explode(bigramStructsUdf(col("toks"))).as("bg"))
       .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
   /** Bigram counts over the reference corpus, capped to the `maxBigrams`
@@ -94,7 +112,13 @@ object NgramLm {
       ref: DataFrame, refTextCol: Column,
       likelyNum: Int = 1, likelyDen: Int = 100,
       maxBigrams: Int = 250000): DataFrame = {
+    // lazy localCheckpoint (the frequentItems pattern): lm feeds BOTH
+    // broadcasts (model + prevCounts denominators) — without it the
+    // whole ref pipeline (scan → bigrams → agg → top-maxBigrams) is
+    // planned and executed twice (r16; plan showed the duplicated
+    // subtree under each BroadcastExchange)
     val lm = bigramCounts(ref, refTextCol, maxBigrams)
+      .localCheckpoint(eager = false)
     val pc = prevCounts(lm)
     transitions(docs, idCol, textCol)
       .join(broadcast(lm), Seq("w1", "w2"), "left")
@@ -129,14 +153,18 @@ object NgramLm {
   def logProbStats(docs: DataFrame, idCol: Column, textCol: Column,
       ref: DataFrame, refTextCol: Column, alpha: Double = 0.5,
       maxBigrams: Int = 250000): DataFrame = {
+    // lazy localCheckpoint: lm feeds the model broadcast, prevCounts,
+    // AND the eager vocabulary count below — three derivations of the
+    // ref pipeline without it (see transitionStats)
     val lm = bigramCounts(ref, refTextCol, maxBigrams)
+      .localCheckpoint(eager = false)
     val pc = prevCounts(lm)
     val v = lm.select(countDistinct(col("w2")).as("v")).head().getLong(0) + 1
     val p = (coalesce(col("c2"), lit(0L)).cast("double") + lit(alpha)) /
       (coalesce(col("c1"), lit(0L)).cast("double") + lit(alpha * v))
     tokenized(docs, idCol, textCol)
       .select(col("id"),
-        posexplode(bigramsFromTokens(col("toks"))).as(Seq("pos", "bg")))
+        posexplode(bigramStructsUdf(col("toks"))).as(Seq("pos", "bg")))
       .select(col("id"), col("pos"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .join(broadcast(lm), Seq("w1", "w2"), "left")

@@ -39,8 +39,14 @@ object Ranks {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
+    // lazy localCheckpoint (r16): withPid feeds BOTH the per-partition
+    // counts and the final rank join — without it the whole upstream
+    // plan (often an aggregation) executed once per branch (×2) and the
+    // counts branch again under offsets (×3 total; a2_exact_dedup_docs'
+    // plan showed three copies of its cluster aggregate).
     val withPid = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
     // per-partition sizes (≤ `parts` rows) → prefix offsets via a tiny
     // theta self-join (no window, no collect)
     val counts = withPid.groupBy("__pid").agg(count(lit(1)).as("__cnt"))

@@ -74,7 +74,22 @@ object Search {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val idx = invertedIndex(df, idCol, textCol)
+    // Query-term pre-filter BELOW the index aggregate (r16, guide §2.3):
+    // the query terms are driver-known literals, so the exploded token
+    // stream is cut to matching postings BEFORE the (term, id) exchange
+    // — the full-vocabulary index shuffle becomes a few-terms shuffle.
+    // df_t stays exact: every posting of a matched term survives the
+    // filter, which is precisely the set the old index ⋉ qdf semi-join
+    // kept. The general invertedIndex stays for the at-rest index uses.
+    val qTerms = queries.flatMap(_._2.map(_.toLowerCase)).distinct
+    val idx = df
+      .select(idCol.as("id"),
+        TextAnalysis.wsTokens(lower(textCol)).as("toks"))
+      .select(col("id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(qTerms.map(x => x: Any): _*))
+      .groupBy("term", "id")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
 
     // corpus constants: a dedicated tokenizing scan reduced to one
     // broadcast row. Deliberately NOT derived from `idx` (Σtf equals the
@@ -96,13 +111,11 @@ object Search {
       .flatMap { case (qid, ts) => ts.map(t => (qid, t.toLowerCase)) }
       .distinct.toDF("qid", "term")
 
-    // postings of the query terms only; df_t counted over this restricted
-    // set is the term's true document frequency (the semi join keeps every
-    // posting of a matched term). A pathological stop-word query term
-    // funnels its postings into one window partition — same bound as the
-    // term's posting list itself.
+    // df_t over the restricted postings is the term's true document
+    // frequency (see the pre-filter note above). A pathological
+    // stop-word query term funnels its postings into one window
+    // partition — same bound as the term's posting list itself.
     val cand = idx
-      .join(broadcast(qdf.select("term").distinct()), "term")
       .withColumn("df_t", count(lit(1)).over(Window.partitionBy("term")))
 
     val avgdl = col("total_dl").cast("double") / col("n_docs")

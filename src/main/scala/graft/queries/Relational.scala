@@ -347,16 +347,19 @@ object Relational {
     * runs over `xxhash64(content)` buckets first (operators.Dedup) so the
     * shuffle carries 8-byte keys, and the `Uniq` rank is over the already-
     * aggregated (small) cluster table. */
-  def a2ExactDedupDocs(s: SparkSession, dir: String): DataFrame = {
-    val clusters = t(s, dir, "documents")
-      .groupBy("text")
-      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("first_doc"))
-    Ranks.globalRowNumber(clusters,
-        Seq(col("cluster_size").desc, col("first_doc").asc), "__rk")
-      .withColumn("cluster_id", concat(lit("Uniq"), col("__rk")))
-      .select("cluster_id", "cluster_size", "first_doc")
+  def a2ExactDedupDocs(s: SparkSession, dir: String): DataFrame =
+    // r16: via the scale-form operator — the old inline groupBy("text")
+    // shuffled full document text as the grouping key; exactClusters
+    // groups on (xxhash64, sha2-256), 40 bytes a row, per the Dedup
+    // design rule (guide §2.3). Identical clusters (a simultaneous
+    // 64+256-bit collision between distinct texts is negligible — and
+    // the oracle, which still replays GROUP BY text, would catch one),
+    // identical rank order (cluster_size desc, first id asc).
+    graft.operators.Dedup.exactClusters(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      .select(col("cluster_id"), col("cluster_size"),
+        col("first_id").as("first_doc"))
       .orderBy(col("cluster_size").desc, col("first_doc").asc)
-  }
 
   /** A9 — per-position pivot as conditional aggregation: one shuffle, never
     * a per-position rescan (`/root/reference/MSA_Reader.py:1107–1162`). */
