@@ -188,9 +188,9 @@ object Concordance {
       .join(gridF.select(g ++ Seq(col("__b"), col("__t"),
         col("__lowF"), col("__denF")): _*), names ++ Seq("__b", "__t"))
       .join(broadcast(cens), names)
-    val gtm = aggregate(col("__gr"), lit(1.0), (acc, x) =>
-      when(x.getField("t") < col("__t"), x.getField("survival"))
-        .otherwise(acc))
+    // binary-search step lookup (r16) — see [[Stats.stepLookupLt1]];
+    // was an interpreted O(|grid|) fold per cell row
+    val gtm = Stats.stepLookupLt1(col("__gr"), col("__t"))
     val w = lit(1.0) / (gtm * gtm)
     val num2 = col("__nev") * (lit(2L) * col("__lowF") + col("__inner2"))
     val den = col("__nev") * col("__denF")
@@ -307,9 +307,9 @@ object Concordance {
         when(col("__t") <= col("h") && col("__e"), lit(true))
           .when(col("__t") > col("h"), lit(false)))
       .filter(col("__case").isNotNull)
-    val gtm = aggregate(col("__gr"), lit(1.0), (acc, x) =>
-      when(x.getField("t") < col("__t"), x.getField("survival"))
-        .otherwise(acc))
+    // binary-search step lookup (r16) — see [[Stats.stepLookupLt1]];
+    // was an interpreted O(|grid|) fold per (subject, horizon) row
+    val gtm = Stats.stepLookupLt1(col("__gr"), col("__t"))
     val qa = when(col("__case"),
       floor((lit(1.0) / (gtm * gtm)) * lit(quantScale)).cast("long"))
       .otherwise(lit(0L))
@@ -406,13 +406,12 @@ object Concordance {
       .withColumn("h", element_at(array(horizons.map(lit): _*),
         col("__hi") + 1))
     // Ĝ is a right-continuous step function: value at x = survival of
-    // the LAST grid time ≤ x (ascending fold, seed 1.0); the left
-    // limit Ĝ(t⁻) uses strict <
+    // the LAST grid time ≤ x (seed 1.0); the left limit Ĝ(t⁻) uses
+    // strict <. Binary-search lookup (r16) — see [[Stats.stepLookupLt1]];
+    // was an interpreted O(|grid|) fold per (subject, horizon) row.
     def gAt(x: Column, strict: Boolean): Column =
-      aggregate(col("__gr"), lit(1.0), (acc, s) => {
-        val cmp = if (strict) s.getField("t") < x else s.getField("t") <= x
-        when(cmp, s.getField("survival")).otherwise(acc)
-      })
+      if (strict) Stats.stepLookupLt1(col("__gr"), x)
+      else Stats.stepLookupLeq1(col("__gr"), x)
     val isCase = col("__t") <= col("h") && col("__e")
     val isCtrl = col("__t") > col("h")
     val gDen = when(isCase, gAt(col("__t"), strict = true))
@@ -600,9 +599,8 @@ object Concordance {
       .groupBy(g: _*)
       .agg(sort_array(collect_list(struct(col("t"), col("survival"))))
         .as("__gr"))
-    def sAt(x: Column): Column =
-      aggregate(col("__gr"), lit(1.0), (acc, e) =>
-        when(e.getField("t") <= x, e.getField("survival")).otherwise(acc))
+    // binary-search step lookup (r16) — see [[Stats.stepLookupLeq1]]
+    def sAt(x: Column): Column = Stats.stepLookupLeq1(col("__gr"), x)
     grid
       .withColumn("__p", explode(array(pairs.map { case (t0, s) =>
         struct(lit(t0).as("t0"), lit(s).as("s")) }: _*)))

@@ -1041,15 +1041,22 @@ object Dedup {
     require(w >= 1 && minShingles >= 1, "w and minShingles must be >= 1")
     val toks = spanTokens(df, idCol, textCol)
     val sh = shingleHits(toks, w)
-    // canonical occurrence per duplicated digest: min (id, pos) struct
-    val can = sh.groupBy("h")
-      .agg(count(lit(1)).as("__c"),
-        min(struct(col("id"), col("pos"))).as("can"))
+    // canonical occurrence per duplicated digest via TWO window
+    // functions over ONE digest partitioning (r16, guide §2.4): the
+    // former groupBy(h)+join form planned the shingle subtree three
+    // times (under the aggregate — used twice — plus the join probe);
+    // here both downstream branches read the same digest exchange
+    // (ReuseExchange), the subtree runs once, and a row knows inline
+    // whether it IS its digest's canonical (min (id, pos)) occurrence.
+    val fw = Window.partitionBy("h")
+    val marked = sh
+      .withColumn("__c", count(lit(1)).over(fw))
+      .withColumn("__can", min(struct(col("id"), col("pos"))).over(fw))
       .filter(col("__c") >= 2)
-      .select(col("h"), col("can.id").as("can_id"), col("can.pos").as("can_pos"))
-    val removable = sh.join(can, Seq("h"))
-      .filter(!(col("id") === col("can_id") && col("pos") === col("can_pos")))
-      .select("id", "pos")
+      .select(col("id"), col("pos"),
+        (col("__can.id") === col("id") &&
+          col("__can.pos") === col("pos")).as("__is_can"))
+    val removable = marked.filter(!col("__is_can")).select("id", "pos")
     val rn = row_number().over(Window.partitionBy("id").orderBy("pos"))
     val spans = removable.withColumn("__grp", col("pos") - rn)
       .groupBy("id", "__grp")
@@ -1065,7 +1072,7 @@ object Dedup {
     // non-canonical, so the content would survive nowhere). Protection
     // wins over removal token-by-token; a removable span overlapping a
     // canonical window is excised only outside it.
-    val protSpans = can.select(col("can_id").as("id"), col("can_pos").as("pos"))
+    val protSpans = marked.filter(col("__is_can")).select("id", "pos")
       .withColumn("__grp", col("pos") - rn)
       .groupBy("id", "__grp")
       .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(w - 1)).as("e"))
@@ -1115,10 +1122,15 @@ object Dedup {
       w: Int = 5, minShingles: Int = 3, maxPosting: Int = 1000): DataFrame = {
     require(w >= 1 && minShingles >= 1, "w and minShingles must be >= 1")
     val sh = shingleHits(spanTokens(df, idCol, textCol), w)
-    // posting-size fail-fast BEFORE the self-join (quadratic in posting)
-    val pcount = sh.groupBy("h").agg(count(lit(1)).as("__pc"))
+    // posting-size fail-fast BEFORE the self-join (quadratic in
+    // posting), as ONE window count over the digest (r16, guide §2.4):
+    // the former groupBy(h)+join form planned the shingle subtree twice
+    // (aggregate + probe); both self-join sides below now read the same
+    // digest exchange (ReuseExchange), which also already satisfies the
+    // join's hashpartitioning(h) requirement.
+    val hot = sh
+      .withColumn("__pc", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("__pc") >= 2)
-    val hot = sh.join(pcount, Seq("h"))
       .filter(assert_true(col("__pc") <= maxPosting,
         lit(s"maxDupSpans: a shingle digest occurs more than " +
           s"maxPosting=$maxPosting times — strip boilerplate upstream or " +

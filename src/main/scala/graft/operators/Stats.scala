@@ -24,6 +24,47 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Binary-search step-function lookup over a SORTED ascending
+    * (t, value) struct grid — the JVM replacement (r16, guide §4) for
+    * the interpreted `aggregate()` fold every IPCW/Nelson–Aalen lookup
+    * used: the fold evaluates a Catalyst when-chain per grid element
+    * per ROW (O(n·|grid|) interpreted at 1M-subject scale), while this
+    * udf is O(log |grid|) of plain JVM compares. Semantics are the
+    * fold's exactly: on an ascending grid the predicate (t < x, or
+    * t ≤ x) holds on a prefix, and the fold's last overwrite is the
+    * last prefix element — which the binary search returns; no prefix
+    * element → `seed` (the fold's initial acc); null grid → null;
+    * null x → seed (every comparison null ⇒ acc survives).
+    * Instances are MEMOIZED vals: ScalaUDF canonicalizes by function
+    * reference, so fresh closures would break plan-cache/exchange
+    * reuse (the Dedup.shinglePosting lesson). */
+  private def mkStepLookupUdf(strict: Boolean, seed: Double)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((grid: Seq[org.apache.spark.sql.Row], x: java.lang.Double) =>
+      if (grid == null) null
+      else if (x == null) java.lang.Double.valueOf(seed)
+      else {
+        val t = x.doubleValue
+        var lo = 0
+        var hi = grid.size - 1
+        var ans = seed
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          val gt = grid(mid).getDouble(0)
+          if (if (strict) gt < t else gt <= t) {
+            ans = grid(mid).getDouble(1); lo = mid + 1
+          } else hi = mid - 1
+        }
+        java.lang.Double.valueOf(ans)
+      })
+
+  /** Ĝ(x⁻): last grid value with t < x, else 1.0. */
+  private[operators] val stepLookupLt1 = mkStepLookupUdf(strict = true, 1.0)
+  /** Ĝ(x): last grid value with t ≤ x, else 1.0. */
+  private[operators] val stepLookupLeq1 = mkStepLookupUdf(strict = false, 1.0)
+  /** Cumulative-hazard H(x): last grid value with t ≤ x, else 0.0. */
+  private[operators] val stepLookupLeq0 = mkStepLookupUdf(strict = false, 0.0)
+
   /** One-pass column profile — the ANALYZE-TABLE face of the engine: for
     * each named column, null count, EXACT distinct count, and min/max
     * (rendered as strings so heterogeneous column types share one output
@@ -4050,9 +4091,9 @@ object Stats {
       .groupBy()
       .agg(sort_array(collect_list(struct(col("t"),
         col("cum_hazard")))).as("__gr"))
-    val hAt = aggregate(col("__gr"), lit(0.0), (acc, x) =>
-      when(x.getField("t") <= col("__t"), x.getField("cum_hazard"))
-        .otherwise(acc))
+    // binary-search step lookup (r16) — see [[stepLookupLeq0]]; was an
+    // interpreted O(|grid|) fold per subject row
+    val hAt = stepLookupLeq0(col("__gr"), col("__t"))
     val sums = base.crossJoin(broadcast(pooled))
       .withColumn("__qe", floor(hAt * lit(quantScale)).cast("long"))
       .groupBy(g: _*)
