@@ -13,19 +13,19 @@ object PlanDump {
     "j6_range_join_exec" -> "range join — optimizer-rewritten to BroadcastRangeJoin (binary search per probe row, no nested loop)",
     "w3_share_normalization" -> "week normalization — one shuffle + window, no second scan",
     "a5_dense_weekly" -> "dense key×week frame — sequence() + broadcast key set",
-    "a2_exact_dedup_docs" -> "exact dedup — groupBy content, rank over aggregated clusters",
+    "a2_exact_dedup_docs" -> "exact dedup — via Dedup.exactClusters (r16): groupBy (xxhash64, sha2) 40-byte keys, never raw text; rank over the checkpointed cluster table (globalRowNumber executes its input once)",
     "d_minhash_neardups" -> "minhash near-dups — explode/hash/aggregate, bucket self-join, no cartesian",
     "s_ann_brute_top5" -> "ANN brute force — broadcast queries, codegen'd vector dot, rank-limit window",
     "t_decontaminate" -> "benchmark decontamination — eval grams broadcast, corpus never shuffles",
     "j_bloom_prefilter_join" -> "bloom prefilter — codegen'd bitmap test at the scan, then exact join",
-    "t_bpe_encode" -> "BPE encode — codegen replace chain at scan speed, no UDF, no shuffle before the sort",
+    "t_bpe_encode" -> "BPE encode — sort the bare (id, text) scan FIRST (r16), replace-chain encode projected ABOVE the Sort so the range-exchange sampling job never re-runs it; still pure codegen, no UDF",
     "s_ann_pq_top3" -> "PQ ADC search — per-query lookup table staged once, base scanned as codes, rank-limit window",
     "s_ann_ivfpq_top3" -> "IVF-PQ search — broadcast probes equi-join the coarse lists (nProbe/k of the codes per query), ADC table lookups, rank-limit window",
     "t_tfidf_cosine_top3" -> "TF-IDF cosine — sparse dots as a posting equi-join on term, sorted-order fold, only term-sharing pairs scored",
     "j_asof_prior_view" -> "as-of join — union-tag + one window per key, NO join node in the plan",
     "a6_grouping_sets" -> "grouping sets — all three levels in ONE Expand pass + one aggregate, not three unioned scans",
     "c_session_stats" -> "sessionization — lag + running sum over ONE sort, no second exchange",
-    "t_bm25_top5" -> "BM25 search — broadcast query terms + broadcast corpus stats, cost ∝ matched postings",
+    "t_bm25_top5" -> "BM25 search — driver-known query terms filter the exploded token stream BELOW the index aggregate (r16), so the (term, id) exchange carries matched postings only; broadcast corpus stats",
     "t_langid_confusion" -> "language ID — tokens and all four votes materialized once, pure scan + one agg shuffle",
     "d_incremental_dedup" -> "incremental dedup — batch vs state joins on 40-byte hash keys and 16-byte band keys; the corpus text never shuffles",
     "g_pagerank_hosts" -> "fixed-point PageRank — K unrolled join+agg rounds over a 16-byte (node, rank) relation, outdeg folded into the edges once",
@@ -35,6 +35,7 @@ object PlanDump {
     "h15_top_supplier" -> "TPC-H Q15 — scalar max via a broadcast one-row join on the EXACT decimal sums, not a partition-less window",
     "h17_small_quantity_revenue" -> "TPC-H Q17 — correlated per-part average as an aggregate-then-join, threshold multiplied through to exact decimal",
     "h5_local_supplier_volume" -> "TPC-H Q5 — the fact join shuffles once on orderkey; every dimension side is a BroadcastExchange",
+    "h8_market_share" -> "TPC-H Q8 — r15: the ASIA nation-key broadcast pre-filters CUSTOMER before the o_custkey shuffle join (inner joins commute), shrinking that exchange to the ASIA fraction; part/supplier/nation broadcast",
     "h6_forecast_revenue" -> "TPC-H Q6 — no join node; date/discount/quantity predicates pushed to the parquet scan",
     "h18_large_volume_customer" -> "TPC-H Q18 — HashAggregate on l_orderkey BELOW both joins: the HAVING filter collapses the fact table before anything widens",
     "h4_order_priority" -> "TPC-H Q4 — EXISTS as a left-semi hash join; the late-shipment non-equi conjunct rides the join condition",
@@ -42,13 +43,13 @@ object PlanDump {
     "h21_shape_waiting_supplier" -> "TPC-H Q21 shape — double-correlated EXISTS/NOT-EXISTS as shuffled hash LEFT-SEMI + LEFT-ANTI on l_orderkey with the suppkey inequality as join residual; probe side cut first by the broadcast nation dim",
     "h16_shape_supplier_count" -> "TPC-H Q16 shape — NOT IN over a non-nullable key as a broadcast LEFT-ANTI, feeding a two-level (partial) count-distinct aggregate",
     "a_quantile_sketch" -> "mergeable quantile sketch — two batch sketches (≤900·decades bucket rows each) union + re-aggregate; the cumulative window runs over bucket counters, never raw values",
-    "h2_shape_min_cost_supplier" -> "TPC-H Q2 shape — correlated scalar MIN decorrelated to a per-part aggregate equi-joined back on (partkey, exact-decimal cost); region supplier dim broadcast; one lineitem-sized shuffle (the catalog aggregate)",
+    "h2_shape_min_cost_supplier" -> "TPC-H Q2 shape — correlated scalar MIN decorrelated to a per-part aggregate; r15: broadcast LEFT-SEMI prunes (sized parts, EUROPE suppliers) BELOW the catalog aggregate, so its exchange carries the pruned fraction, not full lineitem; region supplier dim broadcast",
     "h11_shape_important_stock" -> "TPC-H Q11 shape — global-threshold HAVING as a 1-row broadcast nested-loop filter join over exact BIGINT cents; the per-part aggregate is the only real shuffle",
-    "h20_shape_concentrated_supplier" -> "TPC-H Q20 shape — aggregate-vs-correlated-aggregate decorrelated to two pair-grained aggregates equi-joined on the pair key, feeding a LEFT-SEMI into the broadcast-nation supplier dim",
-    "d_duplicate_spans" -> "substring-span dedup — shingle-hash frequency count (md5 keys, map-side partials) + semi join back + per-document gaps-and-islands window; no global sort, text never shuffles",
-    "h9_shape_product_profit" -> "TPC-H Q9 shape — widest join tree (fact ⋈ derived catalog ⋈ 3 broadcast dims ⋈ orders) into a SIGNED exact-decimal profit sum",
+    "h20_shape_concentrated_supplier" -> "TPC-H Q20 shape — aggregate-vs-correlated-aggregate decorrelated to two pair-grained aggregates equi-joined on the pair key; r15: broadcast semi on the filtered parts prunes the all-time aggregate's input below its exchange; feeds a LEFT-SEMI into the broadcast-nation supplier dim",
+    "d_duplicate_spans" -> "substring-span dedup — ONE window count over xxhash64 digests (r16: single shingle subtree, no broadcast of duplicated digests) + per-document gaps-and-islands window; no global sort, text never shuffles",
+    "h9_shape_product_profit" -> "TPC-H Q9 shape — widest join tree (fact ⋈ derived catalog ⋈ 3 broadcast dims ⋈ orders) into a SIGNED exact-decimal profit sum; r15: broadcast semi on the rod parts prunes the catalog aggregate BELOW its (partkey, suppkey) exchange",
     "h12_shape_shipping_modes" -> "TPC-H Q12 shape — two complementary CASE sums in ONE aggregate pass (partial+final only), fact⋈orders on the orderkey shuffle",
-    "t_heavy_hitters" -> "exact heavy hitters — zero-shuffle per-partition Misra-Gries candidates (mapPartitions, ≤slots rows out), ONE exact count restricted to the broadcast candidate semi-join; the key universe never shuffles",
+    "t_heavy_hitters" -> "exact heavy hitters — bigram stream as a narrow JVM mapPartitions (r16; the two-pass MG+verify re-executes it, and the HOF form was interpreted), zero-shuffle Misra-Gries candidates, ONE exact count against the broadcast candidate semi-join; the key universe never shuffles",
     "d_jaccard_prefix_pairs" -> "prefix-filter Jaccard join — per-doc array_sort realizes the global df order locally (no rank window), candidates equi-join ONLY prefix postings with the length filter in the join condition, exact verify is narrow array_intersect on candidate pairs",
     "c_funnel_steps" -> "ordered funnel — ONE exchange on user, k stacked window-mins over the same partitioning (no per-step self-joins), single-row summary exploded to steps",
     "w_rolling_3d" -> "rolling time-range metrics — RANGE frame on integer microseconds over one user exchange; count and exact-decimal sum share the frame",
@@ -62,8 +63,8 @@ object PlanDump {
     "a_welch_t" -> "Welch's t — both cohorts' conditional moments in ONE HashAggregate pass (partial+final), no per-cohort scans, no join; the t expression is a pure projection on top",
     "a_kmv_jaccard" -> "KMV resemblance — two k-min sketch builds + the union re-min + two membership joins, all over ≤ 3k hash rows per group; the part table is scanned twice and never shuffles its key universe",
     "a_welch_partials" -> "incremental Welch — three batch-sliced conditional-moment aggregates union + component-wise BIGINT re-sum; the fixed float tail sits on the merged partials, so the plan proves batch slicing adds one cheap re-aggregate, not a rescan",
-    "d_max_dup_spans" -> "pairwise max duplicated spans — digest-posting self-join (md5 keys, posting fail-fast BEFORE the join), then gaps-and-islands windowed per (pair, diagonal): tiny partitions, no global sort, text never shuffles",
-    "d_remove_dup_spans" -> "duplicated-span removal — canonical election as groupBy-min on the digest (no hot-hash window), per-doc islands, and a broadcast-able (id, spans) join back; the excision is an index-aware array filter IN THE SCAN — the corpus text never crosses an exchange",
+    "d_max_dup_spans" -> "pairwise max duplicated spans — posting fail-fast as a window count over xxhash64 digests (r16: one shingle subtree, the self-join reuses the window's exchange), then gaps-and-islands per (pair, diagonal): tiny partitions, no global sort, text never shuffles",
+    "d_remove_dup_spans" -> "duplicated-span removal — canonical election as a window min-struct over the digest partitioning (r16: one shingle subtree, removable + protected branches share the exchange), per-doc islands, broadcast-able (id, spans) join back; the excision is an index-aware array filter IN THE SCAN — the corpus text never crosses an exchange",
     "d_jaro_winkler_pairs" -> "jaro-winkler join — block-key equi-self-join (no cartesian), native codegen'd graft_jaro_winkler scorer inside the join stage; the block-size guard is one count window over (key, id) rows",
     "c_assoc_rules" -> "association rules — distinct (basket, item) agg, basket-key equi-self-join for pairs, two broadcast-able count joins + a 1-row broadcast total; every metric a projection",
     "d_edit1_pairs" -> "edit-distance-1 join — deletion-variant hash postings equi-join (16-byte rows), exact levenshtein verify AFTER the candidate distinct; strings re-attach by two narrow id joins",

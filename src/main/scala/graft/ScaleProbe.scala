@@ -235,6 +235,41 @@ object ScaleProbe {
           TextAnalysis.wsTokens(col("text")))).as("k")),
         col("k"), minShare = 0.0001).count()
     }
+    timed("heavy_hitters_jvm_bigrams") { // r16: the registered
+      // t_heavy_hitters path — bigrams as a narrow JVM mapPartitions
+      // (identical multiset to the HOF stage above, ~3× cheaper per
+      // pass; frequentItems re-executes the stream for its verify pass)
+      val bg = docs.select(col("text")).as[String].mapPartitions { it =>
+        it.flatMap { t =>
+          if (t == null) Iterator.empty
+          else {
+            val toks = t.split("\\s+").iterator.filter(_.nonEmpty).toArray
+            if (toks.length < 2) Iterator.empty
+            else (0 until toks.length - 1).iterator.map(i =>
+              toks(i) + " " + toks(i + 1))
+          }
+        }
+      }.toDF("k")
+      Sketches.frequentItems(bg, col("k"), minShare = 0.0001).count()
+    }
+    timed("bpe_encode_sortfirst") { // r16: the registered t_bpe_encode
+      // shape — global sort of the bare (id, text) scan FIRST, the
+      // 10-pass replace-chain encode projected above the Sort so the
+      // range-exchange sampling job never re-runs it; toRdd.count()
+      // materializes every column (a bare count() would prune the
+      // encode away)
+      val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+        "e" -> "r", "o" -> "n", "an" -> "d", "o" -> "r")
+      docs.select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+        .withColumn("enc", graft.operators.Bpe.applyMergesColumn(
+          regexp_replace(col("text"), "\\s+", " "), merges))
+        .select(col("doc_id"),
+          graft.operators.Bpe.bpeTokenCountFromEncoded(col("enc"))
+            .as("n_bpe_tokens"),
+          md5(col("enc").cast("binary")).as("enc_md5"))
+        .queryExecution.toRdd.count()
+    }
     timed("weighted_sample_50_per_stratum") { // one partitioned window;
       // priority is a pure scan-level column of (id, weight)
       Curation.weightedPrioritySample(
