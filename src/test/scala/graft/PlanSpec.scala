@@ -119,35 +119,41 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = (1 to 10000).map(i => ((i * 2654435761L) % 997, i))
       .sorted.zipWithIndex.map { case ((k, id), i) => (i + 1L, k, id) }
     assert(got.toSeq == expected)
-    // the offsets branch must REUSE the ranking branch's range shuffle —
-    // otherwise independently sampled bounds could disagree between phases.
-    // AQE reuse is a runtime decision (collect() first) and shows up as the
-    // SAME ShuffleQueryStage id at every consumer: walk the final plan and
-    // assert all range-shuffle stages share one id (one materialization).
+    // the offsets branch must see the SAME range partitioning as the
+    // ranking branch — independently sampled bounds could disagree
+    // between phases. Since r16 the operator lazily localCheckpoints the
+    // range-partitioned frame, so consistency holds by CONSTRUCTION: the
+    // range exchange materializes once inside the checkpoint and every
+    // branch (counts, offsets, rank join) is an RDD scan over that one
+    // checkpointed RDD. Assert exactly that: all checkpoint scans in the
+    // executed plan share ONE underlying RDD id, and no consumer re-runs
+    // its own range shuffle.
     ranked.collect()
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
-    val adaptive = ranked.queryExecution.executedPlan.collectFirst {
-      case a: AdaptiveSparkPlanExec => a
-    }.get
-    // QueryStageExec hides its subtree from collect(); walk through .plan
-    def rangeStages(p: SparkPlan): Seq[SparkPlan] = {
-      val here = p match {
-        case s: ShuffleQueryStageExec
-            if s.shuffle.outputPartitioning.isInstanceOf[RangePartitioning] => Seq(s.plan)
-        case _ => Seq.empty
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
       }
-      val kids = p match { case q: QueryStageExec => Seq(q.plan); case _ => p.children }
-      here ++ kids.flatMap(rangeStages)
+      p +: kids.flatMap(walk)
     }
-    val stages = rangeStages(adaptive.executedPlan)
-    val materialized = stages.count(_.isInstanceOf[ShuffleExchangeExec])
-    val reused = stages.count(_.isInstanceOf[ReusedExchangeExec])
-    assert(stages.size >= 3 && materialized == 1 && reused == stages.size - 1,
-      s"range shuffle must materialize ONCE and be reused by the offset " +
-        s"branches: got $materialized materialized / $reused reused of ${stages.size}")
+    val nodes = walk(ranked.queryExecution.executedPlan)
+    val ckptIds = nodes.collect { case s: RDDScanExec => s.inputRDD.id }
+    assert(ckptIds.size >= 2 && ckptIds.distinct.size == 1,
+      s"every branch must read ONE checkpointed range-partitioned RDD: " +
+        s"got scans over RDD ids ${ckptIds.mkString(",")}")
+    val rangeShuffles = nodes.count {
+      case s: ShuffleExchangeExec =>
+        s.outputPartitioning.isInstanceOf[RangePartitioning]
+      case _ => false
+    }
+    assert(rangeShuffles == 0,
+      s"no consumer may re-run its own range shuffle above the " +
+        s"checkpoint: found $rangeShuffles")
   }
 
   test("groupOls is ONE aggregation pass: a single exchange, no join, no window") {
