@@ -502,9 +502,15 @@ object TextLLM {
     // the whole pipeline (bit sums, banding, bucket cap, Hamming verify)
     // has a DuckDB mirror, so the oracle checks it end to end. xxhash64 /
     // 64-bit stays the operator default (LlmOperatorsSpec + ScaleProbe).
+    // lazy localCheckpoint (r16): sigs feeds the banded candidates AND
+    // both verify joins — three plannings of the scan→tokenize→md5→
+    // 60-conditional-sum pipeline without the cut; the checkpoint
+    // materializes n_docs (id, long) rows once (profiled 3.07 s → the
+    // signature pass once instead of three times)
     val sigs = Dedup.simhashSignatures(
       docsWithNearDups(s, dir), col("doc_id"), col("text"),
       tokenHash = Dedup.md5Hash60, nBits = Dedup.Md5SimhashBits)
+      .localCheckpoint(eager = false)
     Dedup.simhashCandidatesFromSigs(sigs, totalBits = Dedup.Md5SimhashBits)
       .join(sigs.select(col("id").as("id_a"), col("simhash").as("sh_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("simhash").as("sh_b")), "id_b")
