@@ -123,13 +123,9 @@ object Similarity {
     require(maxCandidates >= k && maxCandidates <= 4096,
       s"maxCandidates in [k, 4096], got $maxCandidates")
     val withN = candidates.withColumn("__nrm", norm(col(vecCol)))
-    // ONE combined sorted list, then (nid, cos) and the pair matrix are
-    // both projected from it — index i of __c and row/col i of __sm are
-    // the SAME candidate by construction. (Two independently-sorted
-    // lists could misalign when a (qid, nid) repeats with different
-    // cos/vec: each list breaks the nid tie by its own remaining
-    // fields.) The N×N candidate-pair cosines are precomputed ONCE
-    // outside the selection fold, so the greedy loop only indexes.
+    // ONE combined sorted list — index i is the SAME candidate in every
+    // derived structure. (Two independently-sorted lists could misalign
+    // when a (qid, nid) repeats with different cos/vec.)
     val collected = withN.groupBy(col(queryId))
       .agg(sort_array(collect_list(struct(
         col(baseId).cast("long").as("nid"),
@@ -139,51 +135,106 @@ object Similarity {
       .filter(assert_true(size(col("__cv")) <= maxCandidates,
         lit(s"mmrRerank: a query exceeds maxCandidates=$maxCandidates " +
           "— cut candidates with a top-N stage first")).isNull)
-      .withColumn("__c", transform(col("__cv"), x =>
-        struct(x.getField("nid").as("nid"), x.getField("cos").as("cos"))))
-      .withColumn("__sm", transform(col("__cv"), a =>
-        transform(col("__cv"), b => {
-          val dnm = a.getField("nrm") * b.getField("nrm")
-          when(dnm === 0, lit(0.0))
-            .otherwise(dot(a.getField("vec"), b.getField("vec")) / dnm)
-        })))
-    val negInf = lit(Double.NegativeInfinity)
-    val seed = struct(
-      array().cast("array<bigint>").as("ids"),
-      array().cast("array<int>").as("idxs"))
-    val cs = col("__c"); val sm = col("__sm")
-    val sel = aggregate(sequence(lit(1), lit(k)), seed, (acc, _) => {
-      val bestSeed = struct(negInf.as("score"), lit(-1L).as("nid"),
-        lit(-1).as("ci"))
-      val best = aggregate(sequence(lit(1), size(cs)), bestSeed,
-        (b, ci) => {
-          val c = element_at(cs, ci)
-          val already = array_contains(acc.getField("ids"),
-            c.getField("nid"))
-          val maxSim = when(size(acc.getField("idxs")) === 0, lit(0.0))
-            .otherwise(array_max(transform(acc.getField("idxs"),
-              sj => element_at(element_at(sm, ci), sj))))
-          val score = lit(lambda) * c.getField("cos") -
-            lit(1.0 - lambda) * maxSim
-          val better = score > b.getField("score") ||
-            (score === b.getField("score") &&
-              c.getField("nid") < b.getField("nid"))
-          when(already, b).otherwise(when(better,
-            struct(score.as("score"), c.getField("nid").as("nid"),
-              ci.cast("int").as("ci"))).otherwise(b))
-        })
-      when(best.getField("score") === negInf, acc).otherwise(struct(
-        concat(acc.getField("ids"), array(best.getField("nid")))
-          .as("ids"),
-        concat(acc.getField("idxs"), array(best.getField("ci")))
-          .as("idxs")))
-    })
+    // The pair matrix + greedy selection run in ONE memoized JVM udf
+    // (r16, guide §4). The previous Catalyst form staged the N×N
+    // pair-cosine matrix as a single-reference alias, which
+    // CollapseProject INLINED into the selection fold — interpreted HOF
+    // eval then recomputed the whole N²·dim matrix on EVERY element_at
+    // inside the greedy loop (measured: 32.9 s for 5 queries × 50
+    // candidates at sf0.1; 1.0 s as this udf). The udf replicates the
+    // exact float semantics: dot = index-order sum of products (the
+    // VectorDot kernel), cosine = dot/(n·n) with the collected
+    // precomputed norms and the 0-denominator guard, score =
+    // λ·cos − (1−λ)·maxSim in that IEEE order, ties (score equal) break
+    // to the smaller nid, selection stops when no unselected candidate
+    // remains — selections replay engine-portably, same as before.
     collected
-      .withColumn("__sel", sel)
-      .select(col(queryId), posexplode(col("__sel").getField("ids")))
+      .withColumn("__sel", mmrSelectUdf(k, lambda)(col("__cv")))
+      .select(col(queryId), posexplode(col("__sel")))
       .select(col(queryId), (col("pos") + 1).cast("int").as("rank"),
         col("col").as("nid"))
   }
+
+  /** Memoized per (k, λ) — ScalaUDF canonicalizes by function reference
+    * (the Dedup.shinglePosting lesson). */
+  private val mmrUdfByParams =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Double),
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
+  private def mmrSelectUdf(k: Int, lambda: Double)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    mmrUdfByParams.computeIfAbsent((k, lambda), { case (kk, lam) =>
+      udf((cv: Seq[org.apache.spark.sql.Row]) => {
+        val n = cv.length
+        val nids = new Array[Long](n)
+        val cos = new Array[Double](n)
+        val vecs = new Array[Array[Double]](n)
+        val nrm = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val r = cv(i)
+          nids(i) = r.getLong(0); cos(i) = r.getDouble(1)
+          vecs(i) = r.getSeq[Double](2).toArray; nrm(i) = r.getDouble(3)
+          i += 1
+        }
+        // N×N pair cosines, exactly the VectorDot/ cosineWithNorms ops
+        val sm = Array.ofDim[Double](n, n)
+        i = 0
+        while (i < n) {
+          var j = 0
+          while (j < n) {
+            val d = nrm(i) * nrm(j)
+            sm(i)(j) = if (d == 0) 0.0 else {
+              val a = vecs(i); val b = vecs(j)
+              var s = 0.0; var t = 0
+              while (t < a.length) { s += a(t) * b(t); t += 1 }
+              s / d
+            }
+            j += 1
+          }
+          i += 1
+        }
+        val selIds = new Array[Long](math.min(kk, n))
+        val selIdx = new Array[Int](math.min(kk, n))
+        var nSel = 0
+        var round = 0
+        var exhausted = false
+        while (round < kk && !exhausted) {
+          var bestScore = Double.NegativeInfinity
+          var bestNid = -1L
+          var bestCi = -1
+          var ci = 0
+          while (ci < n) {
+            var already = false
+            var s = 0
+            while (s < nSel && !already) {
+              if (selIds(s) == nids(ci)) already = true; s += 1
+            }
+            if (!already) {
+              var maxSim = 0.0
+              if (nSel > 0) {
+                maxSim = Double.NegativeInfinity
+                var sj = 0
+                while (sj < nSel) {
+                  val v = sm(ci)(selIdx(sj))
+                  if (v > maxSim) maxSim = v
+                  sj += 1
+                }
+              }
+              val score = lam * cos(ci) - (1.0 - lam) * maxSim
+              if (score > bestScore ||
+                  (score == bestScore && nids(ci) < bestNid)) {
+                bestScore = score; bestNid = nids(ci); bestCi = ci
+              }
+            }
+            ci += 1
+          }
+          if (bestCi < 0) exhausted = true
+          else { selIds(nSel) = bestNid; selIdx(nSel) = bestCi; nSel += 1 }
+          round += 1
+        }
+        java.util.Arrays.copyOf(selIds, nSel)
+      })
+    })
 
   /** Deterministic random hyperplanes: `numBits` unit-free Gaussian-ish
     * vectors of dimension `dim`, from a seeded generator. */
