@@ -387,15 +387,22 @@ object Attribution {
       lit(1.0) / call_function("shiftleft", lit(1L), steps.cast("int"))
         .cast("double")
     })
-    val sumW = aggregate(weights, lit(0.0), (a, w) => a + w)
-    // per-touch credit rows: (ch, ft, lt, uq, tdq)
+    // per-touch credit rows: (ch, ft, lt, uq, tdq). __w/__sw are STAGED
+    // attributes (r16): both were single-reference expression trees that
+    // CollapseProject inlined INTO the per-touch lambda below, so
+    // interpreted HOF eval rebuilt the whole weight array AND re-ran the
+    // sum fold once per touch — O(touches²) timestamp math per user
+    // (measured 3.3 s → 0.74 s on c_position_attribution at sf0.1). The
+    // assert between the projections is a true invariant (the last
+    // touch's decay weight is exactly 1.0, so Σ ≥ 1) and doubles as the
+    // Project boundary that keeps __sw from being collapsed back in.
     val rows = transform(sequence(lit(1), kP), i => {
       val uq = when(kP === 1, lit(q))
         .when(kP === 2, lit(500000L))
         .when(i === 1 || i === kP, lit(400000L))
         .otherwise(floor(lit(0.2) / (kD - lit(2.0)) * lit(1.0e6))
           .cast("long"))
-      val tdq = floor(element_at(weights, i) / sumW * lit(1.0e6))
+      val tdq = floor(element_at(col("__w"), i) / col("__sw") * lit(1.0e6))
         .cast("long")
       struct(element_at(path, i).getField("ch").as("ch"),
         when(i === 1, 1L).otherwise(0L).as("ft"),
@@ -403,6 +410,11 @@ object Attribution {
         uq.as("uq"), tdq.as("tdq"))
     })
     perUser
+      .withColumn("__w", weights)
+      .withColumn("__sw", aggregate(col("__w"), lit(0.0), (a, w) => a + w))
+      .filter(assert_true(col("__sw") >= 1.0,
+        lit("positionAttribution: decay-weight sum below 1 — the last " +
+          "touch must weigh exactly 1.0")).isNull)
       .withColumn("__r", explode(rows))
       .groupBy(col("__r.ch").as("channel"))
       .agg(sum(col("__r.ft")).as("first_touch"),

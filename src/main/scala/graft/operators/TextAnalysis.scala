@@ -378,4 +378,57 @@ object TextAnalysis {
       i => col("t").substr(i, lit(k)))).as("g"))
     grams.groupBy("id").agg(min(gramHash(col("g"))).as("fingerprint"))
   }
+
+  /** JVM fast path of [[rollingMinHashes]] for the md5-hex gram hash
+    * (r16, guide §4): one pass per document computing min md5-hex over
+    * all character k-grams — no per-gram string explode, no 5M-row
+    * aggregate, one MessageDigest reused per partition. Bit-identical to
+    * `rollingMinHashes(df, id, text, k, g => md5(g.cast("binary")))`:
+    * `normalized` output is pure ASCII (lowercased, non-[a-z0-9\s]
+    * replaced), so JVM substring == Spark's code-point substr; lowercase
+    * hex compares like Spark's string min; a null-text doc keeps its row
+    * with a NULL fingerprint (the explode form emits one null gram for
+    * it — `greatest` ignores the null length — and min-of-null is null);
+    * the <k-length gram convention (one gram = the whole string,
+    * possibly "") matches `greatest(len-k+1, 1)`. LlmOperatorsSpec pins
+    * equality against the expression form on real testdata. */
+  def rollingMinMd5(df: org.apache.spark.sql.DataFrame,
+      idCol: Column, textCol: Column, k: Int = 8)
+      : org.apache.spark.sql.DataFrame =
+    df.select(idCol.as("id"),
+      rollingMinMd5Udf(k)(normalized(textCol)).as("fingerprint"))
+
+  /** Memoized per k — ScalaUDF canonicalizes by function reference. */
+  private val rollingMd5ByK =
+    new java.util.concurrent.ConcurrentHashMap[Int,
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
+  private def rollingMinMd5Udf(k: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    rollingMd5ByK.computeIfAbsent(k, kk => udf((t: String) =>
+      if (t == null) null
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        def md5Hex(s: String): String = {
+          md.reset()
+          val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val out = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            out(2 * i) = hex((d(i) >> 4) & 0xf)
+            out(2 * i + 1) = hex(d(i) & 0xf)
+            i += 1
+          }
+          new String(out)
+        }
+        val n = math.max(t.length - (kk - 1), 1)
+        var best: String = null
+        var i = 0
+        while (i < n) {
+          val h = md5Hex(t.substring(i, math.min(i + kk, t.length)))
+          if (best == null || h.compareTo(best) < 0) best = h
+          i += 1
+        }
+        best
+      }))
 }

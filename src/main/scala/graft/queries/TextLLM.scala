@@ -976,9 +976,12 @@ object TextLLM {
     // gramHash=md5: min-over-hex-strings is identical in DuckDB, so the
     // registered query is oracle-checked end to end (round 5; xxhash64
     // stays the operator default for 8-byte shuffle keys at scale, and is
-    // exercised by LlmOperatorsSpec + ScaleProbe)
-    val fps = TA.rollingMinHashes(docs(s, dir), col("doc_id"), col("text"),
-        k = 8, gramHash = g => md5(g.cast("binary")))
+    // exercised by LlmOperatorsSpec + ScaleProbe). r16: via the JVM fast
+    // path [[TA.rollingMinMd5]] — bit-identical by spec test + oracle;
+    // the explode form paid ~len(t) md5+string rows per doc through a
+    // Generate and an aggregate (3.03 s → sub-second isolated).
+    val fps = TA.rollingMinMd5(docs(s, dir), col("doc_id"), col("text"),
+        k = 8)
       .withColumnRenamed("id", "doc_id")
     fps.join(docs(s, dir).select("doc_id", "source"), Seq("doc_id"))
       .groupBy("source")

@@ -293,6 +293,27 @@ class LlmOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rel(1L) != rel(3L))
   }
 
+  test("rollingMinMd5 JVM path == rollingMinHashes(md5) on real docs + edges") {
+    // the r16 fast path must be BIT-identical to the expression form —
+    // same grams (incl. the <k whole-string gram), same lowercase hex,
+    // same string min, same dropped rows for null text
+    val real = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    val edges = docsDf(
+      (9000001L, ""), (9000002L, "short"), (9000003L, "exactly8"),
+      (9000004L, "  MIXED Case,   punct!!  and    spaces  "),
+      (9000005L, null.asInstanceOf[String]))
+    val df = real.unionByName(edges)
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val jvm = toMap(TA.rollingMinMd5(df, col("doc_id"), col("text"), k = 8))
+    val expr = toMap(TA.rollingMinHashes(df, col("doc_id"), col("text"),
+      k = 8, gramHash = g => org.apache.spark.sql.functions.md5(
+        g.cast("binary"))))
+    assert(jvm == expr)
+    assert(jvm(9000005L).isEmpty) // null text keeps its row, null fp
+  }
+
   test("fingerprint64 is invariant to case/punct/whitespace") {
     val df = docsDf((1L, "Hello,   World!"), (2L, "hello world"), (3L, "other"))
     val fps = df.select(TA.fingerprint64(col("text"))).collect().map(_.getLong(0))
