@@ -144,7 +144,13 @@ object TimeSeries {
   def anomalies(df: DataFrame, groupCols: Seq[String], tCol: Column,
       v: Column, period: Int, k: Double = 3.0): DataFrame = {
     require(k > 0, s"anomalies needs k > 0, got $k")
+    // lazy localCheckpoint (r16): dec feeds the median branch, the MAD
+    // branch, and the final readout — without the cut the whole
+    // decomposition (and everything upstream of it, typically a
+    // scan+aggregate) planned and executed three times. The
+    // materialized frame is one row per (group, period slot) — tiny.
     val dec = decompose(df, groupCols, tCol, v, period)
+      .localCheckpoint(eager = false)
     val meds = dec.filter(col("remainder").isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(percentile(col("remainder"), lit(0.5)).as("med"))
