@@ -2157,11 +2157,15 @@ object Stats {
     val g = names.map(col)
     val W = org.apache.spark.sql.expressions.Window
     // densify: every (level × distinct value) cell per group, absent
-    // cells at count 0 — k is bounded, values stay distributed
-    val levels = cells.select(g :+ col("__l"): _*).distinct()
-    val values = cells.select(g :+ col("__x"): _*).distinct()
+    // cells at count 0 — k is bounded, values stay distributed.
+    // lazy localCheckpoint (r16): the cells frame feeds the level dim,
+    // the value dim, AND the grid join — without the cut the upstream
+    // levelValueCounts scan+aggregate planned and executed three times.
+    val cellsM = cells.localCheckpoint(eager = false)
+    val levels = cellsM.select(g :+ col("__l"): _*).distinct()
+    val values = cellsM.select(g :+ col("__x"): _*).distinct()
     val grid = levels.join(values, names)
-      .join(cells, names ++ Seq("__l", "__x"), "left")
+      .join(cellsM, names ++ Seq("__l", "__x"), "left")
       .withColumn("__c", coalesce(col("__c"), lit(0L)))
     // within-level running count of strictly smaller values — a ROWS
     // frame is exact here: the densified grid has ONE row per (level,
@@ -4156,12 +4160,16 @@ object Stats {
       s"quantScale integral in [1e3, 1e9], got $quantScale")
     val g = groupCols.map(col)
     val ev = eventCol.cast("boolean")
+    // lazy localCheckpoint (r16): cnt feeds the level dim, the time dim,
+    // AND the grid join — the jonckheereFromLevelCounts pattern; without
+    // the cut the scan+aggregate planned and executed three times
     val cnt = df
       .filter(durationCol.isNotNull && ev.isNotNull && levelCol.isNotNull)
       .groupBy(g ++ Seq(levelCol.cast("double").as("__l"),
         durationCol.cast("double").as("t")): _*)
       .agg(sum(when(ev, 1L).otherwise(0L)).as("d"),
         sum(when(!ev, 1L).otherwise(0L)).as("c"))
+      .localCheckpoint(eager = false)
     val W = org.apache.spark.sql.expressions.Window
     val names = groupCols
     val lv = cnt.select(g :+ col("__l"): _*).distinct()
